@@ -4,7 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{TextFunctions, VectorFunctions}
 import graft.operators._
+import graft.sources.Paginated
+import graft.streaming.Streams
 
 /** The oracle-checked query inventory (SURVEY.md §2.10).
   *
@@ -152,6 +155,195 @@ object Queries {
         count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("revenue"))
   }
+
+  // ---------------------------------------------------------------- Q6
+  /** P2: JSON codec round-trip of an array column — to_json then from_json
+    * must be the identity (float shortest-round-trip representation).
+    */
+  def q6JsonRoundTrip(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings").select(
+      col("vec_id"),
+      from_json(to_json(col("embedding")),
+        org.apache.spark.sql.types.DataType.fromDDL("array<float>")).as("embedding"))
+
+  // ---------------------------------------------------------------- Q12
+  /** §2.7 class: tumbling event-time window agg (same code path serves the
+    * streaming plan — see Streams.streamingTumblingAgg).
+    */
+  def q12TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Streams.tumblingAgg(t(spark, dir, "events"), "ts", "1 hour")
+
+  // ---------------------------------------------------------------- Q13
+  /** Exact content dedup: one survivor (min doc_id) per distinct text. */
+  def q13ExactTextDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.byContent(t(spark, dir, "documents"), "text", "doc_id")
+
+  /** MinHash+LSH near-dedup (rows-only: not SQL-expressible). */
+  def q13bMinHashDedup(spark: SparkSession, dir: String): DataFrame =
+    MinHashDedup.dedup(t(spark, dir, "documents"), "doc_id", "text",
+      MinHashDedup.Config(jaccardThreshold = 0.5))
+
+  /** SimHash fingerprints (rows-only; deterministic given xxhash64). */
+  def q13cSimHash(spark: SparkSession, dir: String): DataFrame =
+    SimHashDedup.fingerprints(t(spark, dir, "documents"), "doc_id", "text")
+
+  /** N-gram Jaccard verified near-dup pairs (rows-only). */
+  def q13dJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    MinHashDedup.verifiedPairs(t(spark, dir, "documents"), "doc_id", "text",
+      MinHashDedup.Config(jaccardThreshold = 0.5))
+
+  // ---------------------------------------------------------------- Q14
+  /** Brute-force cosine top-10 for query vectors vec_id < 5. */
+  def q14CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.topKJoin(
+      emb.where(col("vec_id") < 5), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 10)
+  }
+
+  /** LSH-bucketed ANN variant (rows-only: approximate by design). */
+  def q14bLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.lshTopKJoin(
+      emb.where(col("vec_id") < 5), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 10, dim = 64, bits = 8, probes = 2)
+  }
+
+  // ---------------------------------------------------------------- Q15
+  /** Text stats per language: doc/char/token/subword tallies. */
+  def q15TextStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(TextFunctions.tokenCount(col("text")).cast("bigint")).as("sum_tokens"),
+        sum(TextFunctions.subwordCount(col("text")).cast("bigint")).as("sum_subwords"),
+        avg(TextFunctions.tokenCount(col("text"))).as("avg_tokens"))
+
+  // ---------------------------------------------------------------- Q16
+  /** Per-document quality features (deterministic, SQL-expressible). */
+  def q16Quality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextFunctions.qualityScore(col("text")).as("quality_score"))
+
+  // ---------------------------------------------------------------- Q17
+  /** Language-ID heuristic histogram (argmax of stopword-lexicon hits). */
+  def q17LangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(TextFunctions.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Rolling-hash document fingerprints (rows-only: xxhash64-based). */
+  def q17bFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"), TextFunctions.rollingFingerprint(col("text")).as("fingerprint"))
+
+  // ---------------------------------------------------------------- Q18
+  /** Multimodal: opaque binary payload + metadata (codegen-only path). */
+  def q18MediaMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.payloadMeta(
+      Multimodal.attachPayload(t(spark, dir, "documents"), "doc_id", "text", "text/plain"))
+
+  /** Multimodal decode stub via mapPartitions (rows-only: stub codec). */
+  def q18bMediaDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(spark,
+      Multimodal.attachPayload(t(spark, dir, "documents"), "doc_id", "text", "image/png"))
+      .toDF()
+      .select(col("media_id"), col("byte_len"), col("width"), col("height"), col("n_frames"))
+
+  // ---------------------------------------------------------------- Q19
+  /** §2.5 class: global sort + limit with deterministic tiebreak. */
+  def q19TopN(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  // ---------------------------------------------------------------- Q20/21
+  /** Set ops: custkeys both in customer and with orders. */
+  def q20Intersect(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_custkey"))
+      .intersect(t(spark, dir, "orders").select(col("o_custkey").as("c_custkey")))
+
+  /** Set ops: custkeys with no HIGH-VALUE order (non-trivial difference). */
+  def q21Except(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_custkey"))
+      .except(t(spark, dir, "orders")
+        .where(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("c_custkey")))
+
+  // ---------------------------------------------------------------- Q22/23
+  /** Semi join: full customer rows having >= 1 order. */
+  def q22SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    c.join(t(spark, dir, "orders"), c("c_custkey") === col("o_custkey"), "left_semi")
+  }
+
+  /** Anti join: full customer rows with no URGENT order. */
+  def q23AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val urgent = t(spark, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+  }
+
+  // ---------------------------------------------------------------- Q24/25
+  /** Rollup over lineitem (subtotal + grand-total grouping-set rows). */
+  def q24Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+
+  /** Cube over orders (all grouping-set combinations). */
+  def q25Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+
+  // ---------------------------------------------------------------- Q26
+  /** S1/S2: paginated REST ingest (synthetic deterministic feed) —
+    * distributed page fetch + from_json/explode normalization.
+    */
+  def q26RestIngest(spark: SparkSession, dir: String): DataFrame =
+    Paginated.ingest(spark, Paginated.SyntheticMovieFetcher(pages = 5, perPage = 20), "popular")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("page")).as("n_pages"),
+        sum(col("id")).as("sum_ids"),
+        sum(size(col("genre_ids"))).cast("bigint").as("sum_genres"))
+
+  // ---------------------------------------------------------------- Q27
+  /** The full reference load path: schema-drift evolution THEN merge
+    * (etl.py:128-141 -> 153-179). Delta adds column `o_channel`; change
+    * detection treats NULL vs 'web' as a change (null-safe P5), so every
+    * matched delta row updates and old rows read NULL in the new column.
+    */
+  def q27DriftMerge(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val dest = Audit.stampAt(orders, lit(DestStamp))
+    val delta0 = ordersDelta(orders).withColumn("o_channel", lit("web"))
+    val delta = Audit.stampAt(delta0, lit(DeltaStamp))
+    val (destAligned, deltaAligned) = SchemaDrift.align(dest, delta)
+    Merge.merge(destAligned, deltaAligned, pk = Seq("o_orderkey"))
+  }
+
+  // ---------------------------------------------------------------- Q28
+  /** Distinct-count class: exact + HLL approx (rows-only: approx value is
+    * engine-specific; the exact column is what a reviewer can eyeball).
+    */
+  def q28ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_partkey")).as("approx_parts"))
+
+  // ---------------------------------------------------------------- Q29
+  /** Session windows per user (rows-only: no DuckDB analog). */
+  def q29SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Streams.sessionAgg(t(spark, dir, "events"), "ts", "30 minutes")
 
   // ---------------------------------------------------------------- Q11
   /** §2.5 class: window top-k — top 3 orders per customer by price.

@@ -28,6 +28,31 @@ object SparkEntry {
     "q9_agg" -> (Queries.q9Agg _),
     "q10_star_join" -> (Queries.q10StarJoin _),
     "q11_window_topk" -> (Queries.q11WindowTopK _),
+    "q6_json_roundtrip" -> (Queries.q6JsonRoundTrip _),
+    "q12_tumbling_window" -> (Queries.q12TumblingWindow _),
+    "q13_exact_text_dedup" -> (Queries.q13ExactTextDedup _),
+    "q13b_minhash_dedup" -> (Queries.q13bMinHashDedup _),
+    "q13c_simhash" -> (Queries.q13cSimHash _),
+    "q13d_jaccard_pairs" -> (Queries.q13dJaccardPairs _),
+    "q14_cosine_topk" -> (Queries.q14CosineTopK _),
+    "q14b_lsh_topk" -> (Queries.q14bLshTopK _),
+    "q15_text_stats" -> (Queries.q15TextStats _),
+    "q16_quality" -> (Queries.q16Quality _),
+    "q17_langid" -> (Queries.q17LangId _),
+    "q17b_fingerprint" -> (Queries.q17bFingerprint _),
+    "q18_media_meta" -> (Queries.q18MediaMeta _),
+    "q18b_media_decode" -> (Queries.q18bMediaDecode _),
+    "q19_topn" -> (Queries.q19TopN _),
+    "q20_intersect" -> (Queries.q20Intersect _),
+    "q21_except" -> (Queries.q21Except _),
+    "q22_semi_join" -> (Queries.q22SemiJoin _),
+    "q23_anti_join" -> (Queries.q23AntiJoin _),
+    "q24_rollup" -> (Queries.q24Rollup _),
+    "q25_cube" -> (Queries.q25Cube _),
+    "q26_rest_ingest" -> (Queries.q26RestIngest _),
+    "q27_drift_merge" -> (Queries.q27DriftMerge _),
+    "q28_approx_distinct" -> (Queries.q28ApproxDistinct _),
+    "q29_session_window" -> (Queries.q29SessionWindow _),
   )
 
   private val mergeOracle: String = {
@@ -66,6 +91,55 @@ object SparkEntry {
        |       CASE WHEN take_s THEN s_d ELSE d_d END AS o_orderdate,
        |       CASE WHEN take_s THEN s_pr ELSE d_pr END AS o_orderpriority,
        |       CASE WHEN take_s THEN s_t ELSE d_t END AS record_loaded_at
+       |FROM joined
+       |UNION ALL
+       |SELECT s.* FROM delta s WHERE NOT EXISTS (SELECT 1 FROM dest d WHERE d.o_orderkey = s.o_orderkey)
+       |""".stripMargin
+  }
+
+  /** q27: the merge oracle extended with the drift-added `o_channel` column
+    * (dest reads NULL, delta carries 'web'; NULL vs 'web' trips the
+    * null-safe change predicate, so every matched delta row updates).
+    */
+  private val driftMergeOracle: String = {
+    val deltaStamp = "TIMESTAMP '2024-02-01 00:00:00'"
+    s"""WITH dest AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+       |         TIMESTAMP '2024-01-01 00:00:00' AS record_loaded_at,
+       |         CAST(NULL AS VARCHAR) AS o_channel
+       |  FROM orders
+       |), delta AS (
+       |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+       |         o_orderdate, o_orderpriority, $deltaStamp AS record_loaded_at, 'web' AS o_channel
+       |  FROM orders WHERE o_orderkey % 10 = 3
+       |  UNION ALL
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, $deltaStamp, 'web'
+       |  FROM orders WHERE o_orderkey % 10 = 7
+       |  UNION ALL
+       |  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority, $deltaStamp, 'web'
+       |  FROM orders WHERE o_orderkey % 10 = 5
+       |), joined AS (
+       |  SELECT d.o_orderkey AS d_k, d.o_custkey AS d_c, d.o_orderstatus AS d_s, d.o_totalprice AS d_p,
+       |         d.o_orderdate AS d_d, d.o_orderpriority AS d_pr, d.record_loaded_at AS d_t, d.o_channel AS d_ch,
+       |         s.o_orderkey AS s_k, s.o_custkey AS s_c, s.o_orderstatus AS s_s, s.o_totalprice AS s_p,
+       |         s.o_orderdate AS s_d, s.o_orderpriority AS s_pr, s.record_loaded_at AS s_t, s.o_channel AS s_ch,
+       |         (s.o_orderkey IS NOT NULL AND (
+       |            d.o_custkey IS DISTINCT FROM s.o_custkey OR
+       |            d.o_orderstatus IS DISTINCT FROM s.o_orderstatus OR
+       |            d.o_totalprice IS DISTINCT FROM s.o_totalprice OR
+       |            d.o_orderdate IS DISTINCT FROM s.o_orderdate OR
+       |            d.o_orderpriority IS DISTINCT FROM s.o_orderpriority OR
+       |            d.o_channel IS DISTINCT FROM s.o_channel)) AS take_s
+       |  FROM dest d LEFT JOIN delta s ON d.o_orderkey = s.o_orderkey
+       |)
+       |SELECT CASE WHEN take_s THEN s_k ELSE d_k END AS o_orderkey,
+       |       CASE WHEN take_s THEN s_c ELSE d_c END AS o_custkey,
+       |       CASE WHEN take_s THEN s_s ELSE d_s END AS o_orderstatus,
+       |       CASE WHEN take_s THEN s_p ELSE d_p END AS o_totalprice,
+       |       CASE WHEN take_s THEN s_d ELSE d_d END AS o_orderdate,
+       |       CASE WHEN take_s THEN s_pr ELSE d_pr END AS o_orderpriority,
+       |       CASE WHEN take_s THEN s_t ELSE d_t END AS record_loaded_at,
+       |       CASE WHEN take_s THEN s_ch ELSE d_ch END AS o_channel
        |FROM joined
        |UNION ALL
        |SELECT s.* FROM delta s WHERE NOT EXISTS (SELECT 1 FROM dest d WHERE d.o_orderkey = s.o_orderkey)
@@ -122,5 +196,92 @@ object SparkEntry {
         |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rk
         |  FROM orders
         |) WHERE rk <= 3""".stripMargin,
+    "q6_json_roundtrip" -> "SELECT vec_id, embedding FROM embeddings",
+    "q12_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS window_start,
+        |       time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) + INTERVAL '1 hour' AS window_end,
+        |       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q13_exact_text_dedup" ->
+      """SELECT * FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
+    "q14_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         round(list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+    "q15_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_subwords,
+        |       avg(len(string_split(text, ' '))) AS avg_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q16_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) AS nt,
+        |         CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |                   / CAST(length(text) AS DOUBLE) END AS pr,
+        |         CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+        |              ELSE CAST(len(list_filter(string_split(text, ' '),
+        |                     tk -> list_contains(['the','and','of','to','in','is','that','it','a'], tk))) AS DOUBLE)
+        |                   / CAST(len(string_split(text, ' ')) AS DOUBLE) END AS sr
+        |  FROM documents)
+        |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, pr AS punct_ratio, sr AS stopword_ratio,
+        |       round(0.4 * least(CAST(nt AS DOUBLE) / 100.0, 1.0)
+        |             + 0.3 * (1.0 - least(pr * 5.0, 1.0))
+        |             + 0.3 * least(sr * 4.0, 1.0), 6) AS quality_score
+        |FROM f""".stripMargin,
+    "q17_langid" ->
+      """WITH s AS (
+        |  SELECT len(list_intersect(string_split(text,' '), ['der','die','das','und','ist','nicht','ein','zu'])) AS s_de,
+        |         len(list_intersect(string_split(text,' '), ['the','and','of','to','in','is','that','it','a'])) AS s_en,
+        |         len(list_intersect(string_split(text,' '), ['el','la','los','y','es','no','una','que'])) AS s_es,
+        |         len(list_intersect(string_split(text,' '), ['le','la','les','et','est','pas','une','que'])) AS s_fr,
+        |         len(list_intersect(string_split(text,' '), ['的','是','不','了','在','人','有','我'])) AS s_zh
+        |  FROM documents),
+        |g AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM s)
+        |SELECT CASE WHEN m <= 0 THEN 'und'
+        |            WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en'
+        |            WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr'
+        |            ELSE 'zh' END AS lang_pred,
+        |       count(*) AS n
+        |FROM g GROUP BY 1""".stripMargin,
+    "q18_media_meta" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS mime,
+        |       octet_length(encode(text)) AS payload_len, md5(text) AS payload_md5
+        |FROM documents""".stripMargin,
+    "q19_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q20_intersect" ->
+      "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders",
+    "q21_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0""".stripMargin,
+    "q22_semi_join" ->
+      """SELECT * FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q23_anti_join" ->
+      """SELECT * FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+    "q24_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q25_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q26_rest_ingest" ->
+      """SELECT CAST(100 AS BIGINT) AS n_rows, CAST(5 AS BIGINT) AS n_pages,
+        |       CAST(4950 AS BIGINT) AS sum_ids, CAST(200 AS BIGINT) AS sum_genres""".stripMargin,
+    "q27_drift_merge" -> driftMergeOracle,
   )
 }

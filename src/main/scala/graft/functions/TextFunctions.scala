@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` only —
+  * whole-stage-codegen'd expressions, no UDFs — so the operators stay inside
+  * Tungsten at any scale. Token model: whitespace-separated words (the
+  * testdata `documents.text` is single-space separated).
+  */
+object TextFunctions {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count; `size(split)` = separators + 1 on single-spaced text. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-piece heuristic counting regex matches of
+    * letter-runs, digit-runs and single punctuation, ~GPT-2 pre-tokenizer
+    * shape. regexp_count is codegen'd.
+    */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Word n-grams (ordered, overlapping). Empty array when fewer than n
+    * tokens — `sequence(0, size-n)` would otherwise run DESCENDING for
+    * negative spans.
+    */
+  def wordNGrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Distinct word n-gram shingles — the unit set for Jaccard/MinHash. */
+  def shingles(text: Column, n: Int): Column = array_distinct(wordNGrams(text, n))
+
+  /** Punctuation ratio: non-alnum/non-space chars over total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+          length(text).cast("double"))
+
+  /** Per-language stopword lexicons for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: broadcast as literals into the plan.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "una", "que"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+
+  /** Count of DISTINCT tokens that hit a lexicon (array_intersect is
+    * set-semantic on both Spark and DuckDB — keeps the oracle expressible).
+    */
+  def stopwordHits(text: Column, lexicon: Seq[String]): Column =
+    size(array_intersect(tokens(text), array(lexicon.map(lit): _*)))
+
+  /** Ratio of stopword TOKEN OCCURRENCES (English lexicon) to all tokens —
+    * a classic document-quality feature.
+    */
+  def stopwordRatio(text: Column, lexicon: Seq[String] = stopwords("en")): Column = {
+    val lex = array(lexicon.map(lit): _*)
+    val hits = size(filter(tokens(text), t => array_contains(lex, t)))
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / tokenCount(text).cast("double"))
+  }
+
+  /** Language-ID heuristic: argmax of per-language distinct-stopword hits,
+    * deterministic tie-break by language code, "und" when no lexicon hits.
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, lex) =>
+      struct(stopwordHits(text, lex).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on struct(score, lang): max score, then max lang — to get
+    // the SMALLEST lang on ties we compare on (score, negated-rank) instead.
+    val ranked = stopwords.keys.toSeq.sorted.zipWithIndex.toMap
+    val scored2 = stopwords.toSeq.sortBy(_._1).map { case (lang, lex) =>
+      struct(
+        stopwordHits(text, lex).as("score"),
+        lit(-ranked(lang)).as("nrank"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored2: _*))
+    when(best.getField("score") <= 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, low
+    * punctuation, healthy stopword ratio. Weights are heuristic; the value
+    * is deterministic and SQL-expressible for the oracle.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthTerm = least(nTok / lit(100.0), lit(1.0))
+    val punctTerm = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopTerm = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round(lit(0.4) * lengthTerm + lit(0.3) * punctTerm + lit(0.3) * stopTerm, 6)
+  }
+
+  /** 56-bit rolling (polynomial) document fingerprint over tokens:
+    * h = (h * 31 + xxhash64(token)) mod 2^56, evaluated left-to-right.
+    * Order-sensitive (unlike a bag-of-words hash) so token permutations
+    * fingerprint apart. The power-of-two modulus is applied by masking at
+    * every step, keeping intermediates < 2^62 — no ANSI overflow.
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val mask = (1L << 56) - 1
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => (acc * lit(31L) + xxhash64(t).bitwiseAND(lit(mask))).bitwiseAND(lit(mask)))
+  }
+}

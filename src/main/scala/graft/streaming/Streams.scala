@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{Dedup, Merge}
+
+/** Streaming surface (§2.7).
+  *
+  * The reference's "streaming" is a daily batch re-run + idempotent MERGE
+  * (`themovies.py:130` @daily, retries `:117-122`, MERGE `queries.py:35-48`)
+  * — i.e. an at-least-once, upsert-deduplicated micro-batch pipeline. That
+  * maps 1:1 onto Structured Streaming with `foreachBatch{ merge }`:
+  * the same [[Merge]] operator serves batch and stream, and within-batch
+  * dedup + MERGE idempotence upgrade at-least-once delivery to
+  * effectively-once results.
+  *
+  * All aggregations here are written on plain DataFrames so the identical
+  * code runs in batch (for the DuckDB oracle) and under a streaming plan
+  * (watermark + append/update sink) — the Spark-idiomatic unification.
+  */
+object Streams {
+
+  /** Tumbling-window counts/sums. Works on batch or streaming input. */
+  def tumblingAgg(events: DataFrame, tsCol: String, width: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding-window variant. */
+  def slidingAgg(events: DataFrame, tsCol: String, width: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n_events"))
+
+  /** Session-window counts per user (gap-based). */
+  def sessionAgg(events: DataFrame, tsCol: String, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
+
+  /** Streaming tumbling agg with watermarked late-data handling. */
+  def streamingTumblingAgg(stream: DataFrame, tsCol: String, width: String,
+      watermark: String): DataFrame =
+    tumblingAgg(stream.withWatermark(tsCol, watermark), tsCol, width)
+
+  /** Streaming dedup on key within the watermark horizon (A1/A2 streaming
+    * analog): `withWatermark + dropDuplicates(keys)`.
+    */
+  def streamingDedup(stream: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermark).dropDuplicates(keys :+ tsCol)
+
+  /** The reference pipeline as a stream: each micro-batch is deduped on pk
+    * (deterministic winner) and MERGEd into the parquet destination table
+    * via full-snapshot swap (see [[ParquetUpsertSink]]).
+    */
+  def upsertStream(
+      spark: SparkSession,
+      stream: DataFrame,
+      destPath: String,
+      pk: Seq[String],
+      orderCols: Seq[String],
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ParquetUpsertSink.mergeInto(spark, destPath, batch, pk, orderCols)
+      }
+      .start()
+}
+
+/** Merge-into-parquet sink with write-new-then-swap atomicity (SURVEY §7
+  * "hard parts": plain parquet has no transactional MERGE; a Delta/Iceberg
+  * sink would replace the swap with a real commit).
+  */
+object ParquetUpsertSink {
+  def mergeInto(
+      spark: SparkSession,
+      destPath: String,
+      batch: DataFrame,
+      pk: Seq[String],
+      orderCols: Seq[String]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dest = new org.apache.hadoop.fs.Path(destPath)
+    val deduped = Dedup.byKeyLatest(batch, pk, orderCols)
+    val merged =
+      if (fs.exists(dest)) Merge.merge(spark.read.parquet(destPath), deduped, pk)
+      else deduped
+    val tmp = new org.apache.hadoop.fs.Path(destPath + ".staging")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(destPath + ".old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(dest)) fs.rename(dest, bak)
+    fs.rename(tmp, dest)
+    fs.delete(bak, true)
+  }
+}
