@@ -85,16 +85,25 @@ object Merge {
 
     strategy match {
       case MergeStrategy.BroadcastSource =>
+        // The strategy precondition is a broadcast-sized source, so persist
+        // it (and the even-smaller matched-key set). Besides skipping
+        // recomputation, the InMemoryRelation is an optimizer barrier: it
+        // stops the left-anti below from being pushed through a source
+        // union, which would otherwise clone the dest pk-scan + broadcast
+        // subtree once per union branch — fatal when dest is the 100 TB
+        // side.
+        val sMat = s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // (1) pk-only scan of dest: which source keys already exist?
         val matchedKeys = d.select(pk.map(k => col(dc(k))): _*)
-          .join(broadcast(s), joinCond, "left_semi")
+          .join(broadcast(sMat), joinCond, "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // (2) inserts: source rows whose key is NOT in dest.
-        val inserts = s
+        val inserts = sMat
           .join(broadcast(matchedKeys), joinCond, "left_anti")
           .select(cols.map(c => col(sc(c)).as(c)): _*)
         // (3) one full scan of dest; matched+changed rows take the source image.
         val takeSource = srcMatched && changed
-        val upserts = d.join(broadcast(s), joinCond, "left_outer")
+        val upserts = d.join(broadcast(sMat), joinCond, "left_outer")
           .select(cols.map(c => when(takeSource, col(sc(c))).otherwise(col(dc(c))).as(c)): _*)
         upserts.unionByName(inserts)
 

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class TextFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("v")).collect().head.getAs[T]("v")
+
+  private def oneArr(c: org.apache.spark.sql.Column, text: String): Seq[String] =
+    Seq(text).toDF("text").select(c.as("v")).collect().head
+      .getAs[scala.collection.Seq[String]]("v").toSeq
+
+  test("tokenCount and subwordCount") {
+    assert(one[Int](TextFunctions.tokenCount($"text"), "a b c") == 3)
+    assert(one[Int](TextFunctions.subwordCount($"text"), "ab 12 c!d") == 5)
+  }
+
+  test("wordNGrams: ordered overlapping; short docs -> empty") {
+    assert(oneArr(TextFunctions.wordNGrams($"text", 2), "a b c") == Seq("a b", "b c"))
+    assert(oneArr(TextFunctions.wordNGrams($"text", 3), "a b") == Seq.empty)
+  }
+
+  test("shingles are distinct") {
+    assert(oneArr(TextFunctions.shingles($"text", 2), "a b a b a") == Seq("a b", "b a"))
+  }
+
+  test("punctRatio and stopwordRatio") {
+    assert(math.abs(one[Double](TextFunctions.punctRatio($"text"), "ab!!") - 0.5) < 1e-9)
+    assert(math.abs(one[Double](TextFunctions.stopwordRatio($"text"), "the cat the dog") - 0.5) < 1e-9)
+  }
+
+  test("langId picks the dominant lexicon, und when nothing hits") {
+    assert(one[String](TextFunctions.langId($"text"), "the cat is in the house and it is warm") == "en")
+    assert(one[String](TextFunctions.langId($"text"), "das ist nicht ein problem und die katze") == "de")
+    assert(one[String](TextFunctions.langId($"text"), "xyzzy plugh qwerty") == "und")
+  }
+
+  test("rolling fingerprint is order-sensitive and deterministic") {
+    val f1 = one[Long](TextFunctions.rollingFingerprint($"text"), "a b c")
+    val f2 = one[Long](TextFunctions.rollingFingerprint($"text"), "c b a")
+    val f3 = one[Long](TextFunctions.rollingFingerprint($"text"), "a b c")
+    assert(f1 != f2, "permutation must change the fingerprint")
+    assert(f1 == f3)
+    assert(f1 >= 0 && f1 < (1L << 56))
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bad = docs.select(TextFunctions.qualityScore(col("text")).as("q"))
+      .where(col("q") < 0 || col("q") > 1)
+    assert(bad.count() == 0)
+  }
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def media = Multimodal.attachPayload(
+    Seq((1L, "hello world"), (2L, "")).toDF("id", "txt"), "id", "txt", "image/png")
+
+  test("attachPayload: binary payload with mime metadata") {
+    val row = media.where($"media_id" === 1L).collect().head
+    assert(new String(row.getAs[Array[Byte]]("payload"), "UTF-8") == "hello world")
+    assert(row.getAs[String]("mime") == "image/png")
+  }
+
+  test("payloadMeta: length + digest without decoding") {
+    val m = Multimodal.payloadMeta(media).where($"media_id" === 1L).collect().head
+    assert(m.getAs[Long]("payload_len") == 11L)
+    assert(m.getAs[String]("payload_md5") == "5eb63bbbe01eeed093cb22bb8f5acdc3")
+  }
+
+  test("decodeFeatures: stub codec is deterministic, partition-shaped") {
+    val f1 = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.decodeFeatures(spark, media.repartition(3)).collect().sortBy(_.media_id)
+    assert(f1.map(_.width).toSeq == f2.map(_.width).toSeq,
+      "decode must not depend on partitioning")
+    assert(f1.forall(f => f.width >= 1 && f.height >= 1 && f.feature.length == 4))
+    assert(f1.find(_.media_id == 1L).get.byte_len == 11L)
+  }
+
+  test("video mime gets frame sampling metadata") {
+    val vid = Multimodal.attachPayload(
+      Seq((1L, "x" * 100)).toDF("id", "txt"), "id", "txt", "video/mp4")
+    val feats = Multimodal.decodeFeatures(spark, vid)
+    val sampled = Multimodal.sampleFrameIndexes(feats, stride = 10).collect().head
+    val idx = sampled.getAs[scala.collection.Seq[Int]]("frame_indexes").toSeq
+    assert(idx.nonEmpty && idx == idx.sorted && idx.head == 0)
+  }
+}

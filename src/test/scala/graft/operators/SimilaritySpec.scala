@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.VectorFunctions
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cosine: identical vectors -> 1, orthogonal -> 0, zero-norm -> 0") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f), 1.0),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f), 0.0),
+      (Array(0f, 0f, 0f), Array(1f, 1f, 1f), 0.0)
+    ).toDF("a", "b", "want")
+    val got = df.select(
+      round(VectorFunctions.cosine($"a", $"b"), 9).as("got"), $"want")
+      .as[(Double, Double)].collect()
+    got.foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+  }
+
+  test("brute-force topK returns nearest neighbors, excludes self") {
+    val corpus = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.topKJoin(
+      corpus.where($"vec_id" === 0), "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 2)
+      .orderBy($"sim".desc)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L), s"got $out")
+  }
+
+  test("LSH topK recall: bucketed results are a subset of brute-force ranks") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 3)
+    val brute = Similarity.topKJoin(queries, "vec_id", "embedding", emb, "vec_id", "embedding", 20)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopKJoin(queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+      k = 5, dim = 64, bits = 6, probes = 3)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty, "lsh should return candidates")
+    val recall = lsh.count(brute.contains).toDouble / lsh.size
+    assert(recall > 0.5, s"LSH hits should mostly be true near-neighbors; recall=$recall")
+  }
+
+  test("hyperplane signatures are deterministic across invocations") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+    def sigs = emb.select($"vec_id",
+      VectorFunctions.hyperplaneSignature($"embedding", 64, 12, 42L).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs == sigs)
+  }
+}

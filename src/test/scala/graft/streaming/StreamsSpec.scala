@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.operators.Tables
+
+class StreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("streaming tumbling agg equals the batch plan on the same data") {
+    val batchEvents = Tables.load(spark, sf, "events")
+    val dir = tmpDir("events-stream")
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    val streamIn = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val agg = Streams.streamingTumblingAgg(streamIn, "ts", "1 hour", watermark = "2 hours")
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("tumbling_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+      val batch = Streams.tumblingAgg(batchEvents, "ts", "1 hour")
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
+  test("upsertStream: foreachBatch MERGE gives effectively-once upserts") {
+    val destPath = tmpDir("upsert-dest") + "/t"
+    val in = tmpDir("upsert-in")
+    // batch 1: initial load (with an in-batch dup on pk -> latest wins)
+    Seq((1L, 1L, "a"), (2L, 1L, "b"), (2L, 2L, "b2"))
+      .toDF("id", "seq", "v").write.mode("overwrite").parquet(in)
+    val stream1 = spark.readStream.schema(spark.read.parquet(in).schema).parquet(in)
+    val q1 = Streams.upsertStream(spark, stream1, destPath,
+      pk = Seq("id"), orderCols = Seq("seq"), checkpoint = tmpDir("ck1"))
+    q1.processAllAvailable(); q1.stop()
+    val afterFirst = spark.read.parquet(destPath)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(afterFirst == Map(1L -> "a", 2L -> "b2"))
+
+    // batch 2 (re-sent + changed + new), new stream on a fresh dir
+    val in2 = tmpDir("upsert-in2")
+    Seq((2L, 3L, "b3"), (3L, 1L, "c"), (1L, 1L, "a"))
+      .toDF("id", "seq", "v").write.mode("overwrite").parquet(in2)
+    val stream2 = spark.readStream.schema(spark.read.parquet(in2).schema).parquet(in2)
+    val q2 = Streams.upsertStream(spark, stream2, destPath,
+      pk = Seq("id"), orderCols = Seq("seq"), checkpoint = tmpDir("ck2"))
+    q2.processAllAvailable(); q2.stop()
+    val afterSecond = spark.read.parquet(destPath)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(afterSecond == Map(1L -> "a", 2L -> "b3", 3L -> "c"))
+  }
+
+  test("session windows merge events within the gap") {
+    val df = Seq(
+      ("2024-01-01 00:00:00", 1L), ("2024-01-01 00:10:00", 1L), // one session
+      ("2024-01-01 02:00:00", 1L),                              // new session
+      ("2024-01-01 00:05:00", 2L)
+    ).toDF("ts_s", "user_id").withColumn("ts", $"ts_s".cast("timestamp"))
+    val out = Streams.sessionAgg(df, "ts", "30 minutes")
+    assert(out.count() == 3)
+    assert(out.where($"user_id" === 1L && $"n_events" === 2).count() == 1)
+  }
+}
