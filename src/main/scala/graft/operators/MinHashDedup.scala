@@ -64,20 +64,45 @@ object MinHashDedup {
   /** id, shingles, sig (array<long> of numHashes minima). Docs with no
     * shingle (shorter than shingleN tokens) get an empty sig and are never
     * candidates.
+    *
+    * Shape matters here: a naive `zip_with(perms, ... array_min(transform(
+    * shingles...)))` inlines the expensive shingle-string construction into
+    * every one of the 64 permutation lambdas (CollapseProject re-duplicates
+    * it even across select boundaries) — a 64x blowup measured at ~70s for
+    * 5k docs. Instead we explode to one row per (id, shingle), hash each
+    * shingle ONCE, and take the 64 permutation minima in a single
+    * partial-aggregatable groupBy — string work linear in total shingles,
+    * map-side combine collapses to one row per doc before the shuffle.
     */
   def signatures(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
     val (as, bs) = coefficients(cfg)
-    val aArr = array(as.map(lit): _*)
-    val bArr = array(bs.map(lit): _*)
-    val sh = TextFunctions.shingles(col(textCol), cfg.shingleN)
-    // 64-bit base hash per shingle, masked positive so the modular
-    // arithmetic below stays in [0, 2^61).
-    val shingleHashes = transform(sh, s => pmod(xxhash64(s), lit(MersennePrime)))
-    val sig = when(size(sh) === 0, array().cast("array<bigint>"))
-      .otherwise(
-        zip_with(aArr, bArr, (a, b) =>
-          array_min(transform(shingleHashes, h => pmod(a * h + b, lit(MersennePrime))))))
-    df.select(col(idCol).as("id"), sh.as("shingles"), sig.as("sig"))
+    val base = df.select(col(idCol).as("id"),
+      TextFunctions.shingles(col(textCol), cfg.shingleN).as("shingles"))
+    // repartition(id) is load-bearing twice over: the Exchange is an
+    // optimizer barrier (CollapseProject would otherwise inline xxhash64
+    // into all 64 permutation columns below), and it pre-partitions by the
+    // aggregation key so the groupBy reuses the partitioning — one shuffle
+    // total, same as the plain groupBy would cost.
+    val hashed = base
+      .select(col("id"), explode(col("shingles")).as("s"))
+      .select(col("id"), pmod(xxhash64(col("s")), lit(MersennePrime)).as("h"))
+      .repartition(col("id"))
+    // The permutation values are PROJECTED into plain columns before the
+    // aggregate: min(pmod(...)) with the arithmetic inside the agg child
+    // measured ~100x slower (the agg update path evaluates complex children
+    // outside whole-stage codegen); min over a bound column stays fused.
+    val projected = hashed.select(
+      col("id") +: as.zip(bs).zipWithIndex.map { case ((a, b), i) =>
+        pmod(lit(a) * col("h") + lit(b), lit(MersennePrime)).as(s"__v$i")
+      }: _*)
+    val minCols = (0 until cfg.numHashes).map(i => min(col(s"__v$i")).as(s"__m$i"))
+    val sigRows = projected.groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((0 until cfg.numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+    base.join(sigRows, Seq("id"), "left")
+      .select(col("id"), col("shingles"),
+        coalesce(col("sig"), array().cast("array<bigint>")).as("sig"))
   }
 
   /** (band, bucket, id) rows — `bands` per doc. Bucket key hashes the
@@ -127,10 +152,52 @@ object MinHashDedup {
   }
 
   /** Transitive closure of dup pairs -> (id, rep) where rep = min id of the
-    * connected component. Iterative min-label propagation; each step is a
-    * groupBy-min (partial agg), bounded by `maxIterations` with early stop.
+    * connected component.
+    *
+    * Adaptive: the verified-pair set is orders of magnitude smaller than
+    * the corpus (it only contains actual near-dups), so when it fits
+    * comfortably on the driver (`driverThreshold` edges) we run a local
+    * union-find — one collect, zero iterative jobs. Above the threshold we
+    * fall back to distributed min-label propagation (each step a
+    * partial-aggregatable groupBy-min), which handles arbitrarily large
+    * edge sets at the cost of one join round per component diameter.
     */
-  def duplicateGroups(pairs: DataFrame, maxIterations: Int = 15): DataFrame = {
+  def duplicateGroups(pairs: DataFrame, maxIterations: Int = 15,
+      driverThreshold: Long = 5000000L): DataFrame = {
+    // full count (not limit+count): one clean materialization of the
+    // persisted pair set — incremental-limit execution would re-run the
+    // expensive upstream pipeline per scale-up attempt.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = p.count()
+    if (n <= driverThreshold) duplicateGroupsLocal(p)
+    else duplicateGroupsDistributed(p, maxIterations)
+  }
+
+  /** Driver union-find over a collected edge list (small verified-pair sets). */
+  private def duplicateGroupsLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("idA").cast("long"), col("idB").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+    }
+    val rows = parent.keys.toSeq.map(id => (id, find(id)))
+    spark.createDataset(rows).toDF("id", "rep")
+  }
+
+  /** Distributed min-label propagation (bounded iterations, early stop). */
+  def duplicateGroupsDistributed(pairs: DataFrame, maxIterations: Int = 15): DataFrame = {
     // undirected edge list, both directions
     val fwd = pairs.select(col("idA").as("src"), col("idB").as("dst"))
     val edges = fwd.union(pairs.select(col("idB").as("src"), col("idA").as("dst")))
