@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
+import graft.plans.VectorExpressions
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (north-star operator).
@@ -38,7 +39,7 @@ object Similarity {
     val c = corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("c_id") =!= col("q_id"))
-      .withColumn("sim", round(VectorFunctions.cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("sim", round(VectorExpressions.cosine(col("q_vec"), col("c_vec")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     scored
       .withColumn("rn", row_number().over(w))
@@ -69,7 +70,7 @@ object Similarity {
               call_function("shiftleft", lit(1L), p - 1)))))).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("c_id") =!= col("q_id"))
-      .withColumn("sim", round(VectorFunctions.cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("sim", round(VectorExpressions.cosine(col("q_vec"), col("c_vec")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     scored
       .withColumn("rn", row_number().over(w))
@@ -89,7 +90,7 @@ object Similarity {
     val r = t.select(col("bucket"), col("id").as("idB"), col("vec").as("vecB"))
     l.join(r, Seq("bucket"))
       .where(col("idA") < col("idB"))
-      .withColumn("sim", VectorFunctions.cosine(col("vecA"), col("vecB")))
+      .withColumn("sim", VectorExpressions.cosine(col("vecA"), col("vecB")))
       .where(col("sim") >= threshold)
       .select("idA", "idB", "sim")
   }

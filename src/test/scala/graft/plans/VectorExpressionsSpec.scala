@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.VectorFunctions
+
+class VectorExpressionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("native cosine is bit-equal to the functions composition") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = emb.select($"vec_id".as("ida"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("idb"), $"embedding".as("vb"))
+    val pairs = a.join(b, $"ida" < $"idb").limit(2000)
+    val mismatches = pairs.select(
+      VectorExpressions.cosine($"va", $"vb").as("native"),
+      VectorFunctions.cosine($"va", $"vb").as("composed"))
+      .where($"native" =!= $"composed")
+      .count()
+    assert(mismatches == 0, "sequential double accumulation must match exactly")
+  }
+
+  test("zero-norm and empty arrays return 0.0, nulls propagate") {
+    val df = Seq(
+      (Some(Array(0f, 0f)), Some(Array(1f, 1f))),
+      (Some(Array.empty[Float]), Some(Array.empty[Float])),
+      (None, Some(Array(1f, 1f)))
+    ).toDF("a", "b")
+    val out = df.select(VectorExpressions.cosine($"a", $"b").as("c"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(out(0) == 0.0 && out(1) == 0.0 && out(2) == null)
+  }
+
+  test("registered SQL function works and survives codegen + interpreted paths") {
+    VectorExpressions.register(spark)
+    spark.read.parquet(s"$sf/embeddings.parquet").createOrReplaceTempView("emb")
+    val viaSql = spark.sql(
+      """SELECT round(cosine_similarity(a.embedding, b.embedding), 6) AS sim
+        |FROM emb a JOIN emb b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin)
+      .as[Double].head()
+    val viaCol = spark.table("emb").where($"vec_id" === 0)
+      .crossJoin(spark.table("emb").where($"vec_id" === 1).select($"embedding".as("e2")))
+      .select(round(VectorExpressions.cosine($"embedding", $"e2"), 6))
+      .as[Double].head()
+    assert(viaSql == viaCol)
+  }
+}
