@@ -345,6 +345,23 @@ object Queries {
   def q29SessionWindow(spark: SparkSession, dir: String): DataFrame =
     Streams.sessionAgg(t(spark, dir, "events"), "ts", "30 minutes")
 
+  // ---------------------------------------------------------------- Q30
+  /** Embedding-cosine near-dup pairs, LSH-bucketed (rows-only: approximate
+    * candidate generation by design). The synthetic embeddings are
+    * near-orthogonal (max pairwise cosine ~0.48), so the threshold here is
+    * set low to exercise the candidate->verify mechanics; real corpora use
+    * ~0.9.
+    */
+  def q30CosineNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.2, dim = 64, bits = 8)
+
+  // ---------------------------------------------------------------- Q31
+  /** Sliding windows (1h width, 15m slide) over events. */
+  def q31SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Streams.slidingAgg(t(spark, dir, "events"), "ts", "1 hour", "15 minutes")
+
   // ---------------------------------------------------------------- Q11
   /** §2.5 class: window top-k — top 3 orders per customer by price.
     * Deterministic tiebreak on o_orderkey.

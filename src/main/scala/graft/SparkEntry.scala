@@ -53,6 +53,8 @@ object SparkEntry {
     "q27_drift_merge" -> (Queries.q27DriftMerge _),
     "q28_approx_distinct" -> (Queries.q28ApproxDistinct _),
     "q29_session_window" -> (Queries.q29SessionWindow _),
+    "q30_cosine_near_dup" -> (Queries.q30CosineNearDup _),
+    "q31_sliding_window" -> (Queries.q31SlidingWindow _),
   )
 
   private val mergeOracle: String = {
@@ -283,5 +285,13 @@ object SparkEntry {
       """SELECT CAST(100 AS BIGINT) AS n_rows, CAST(5 AS BIGINT) AS n_pages,
         |       CAST(4950 AS BIGINT) AS sum_ids, CAST(200 AS BIGINT) AS sum_genres""".stripMargin,
     "q27_drift_merge" -> driftMergeOracle,
+    // sliding window: every event belongs to exactly width/slide = 4
+    // epoch-aligned windows -> expand via generate_series
+    "q31_sliding_window" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts::TIMESTAMP) - k * INTERVAL '15 minutes' AS window_start,
+        |       time_bucket(INTERVAL '15 minutes', ts::TIMESTAMP) - k * INTERVAL '15 minutes' + INTERVAL '1 hour' AS window_end,
+        |       event_type, count(*) AS n_events
+        |FROM events CROSS JOIN generate_series(0, 3) AS t(k)
+        |GROUP BY 1, 2, 3""".stripMargin,
   )
 }
