@@ -1,0 +1,53 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+
+class SinksSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString + "/t"
+
+  test("appendInto: create-on-first-load, then append (write_dataframe path)") {
+    val path = tmp("append")
+    Sinks.appendInto(spark, path, Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(spark.read.parquet(path).count() == 2, "first load dedups + creates")
+    Sinks.appendInto(spark, path, Seq((3L, "c")).toDF("id", "v"))
+    val t = spark.read.parquet(path)
+    assert(t.count() == 3)
+    assert(t.columns.contains("record_loaded_at"))
+  }
+
+  test("appendInto evolves the table on drift (added column)") {
+    val path = tmp("drift")
+    Sinks.appendInto(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    Sinks.appendInto(spark, path, Seq((2L, "b", 9.5)).toDF("id", "v", "score"))
+    val t = spark.read.parquet(path)
+    assert(t.columns.contains("score"))
+    assert(t.where($"id" === 1L).select($"score").collect().head.isNullAt(0))
+    assert(t.where($"id" === 2L).select($"score").as[Double].head() == 9.5)
+  }
+
+  test("appendInto type drift lands in the sidecar column") {
+    val path = tmp("typedrift")
+    Sinks.appendInto(spark, path, Seq((1L, 10)).toDF("id", "v"))
+    Sinks.appendInto(spark, path, Seq((2L, "x")).toDF("id", "v"))
+    val t = spark.read.parquet(path)
+    assert(t.columns.contains("v_string"), t.columns.mkString(","))
+    assert(t.where($"id" === 2L).select($"v_string").as[String].head() == "x")
+  }
+
+  test("handoff round-trips a stage boundary") {
+    val df = Seq((1, "a")).toDF("id", "v")
+    val back = Sinks.handoff(spark, df, tmp("handoff"))
+    assert(back.collect().toSeq == df.collect().toSeq)
+  }
+
+  test("swapInto replaces content atomically-by-rename") {
+    val path = tmp("swap")
+    Sinks.swapInto(spark, path, Seq((1, "old")).toDF("id", "v"))
+    Sinks.swapInto(spark, path, Seq((2, "new")).toDF("id", "v"))
+    assert(spark.read.parquet(path).select($"v").as[String].collect().toSeq == Seq("new"))
+  }
+}
