@@ -78,6 +78,52 @@ object Similarity {
       .select(col("q_id"), col("c_id").as("vec_id"), col("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
+    * their nearest of `nLists` centroids (one partition-pruned "inverted
+    * list" each); a query scores only the vectors in its `nProbe` nearest
+    * lists. The 100 TB deployment writes the corpus bucketed/partitioned by
+    * `list` so a probe reads only those partitions.
+    *
+    * Centroids here are chosen deterministically (every corpus-size/nLists-th
+    * vector by id — a seeded sample stand-in for k-means; the operator is
+    * agnostic to how centroids were trained and accepts them as a plain
+    * (id, vector) DataFrame).
+    */
+  def ivfTopKJoin(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, nLists: Int = 16, nProbe: Int = 2): DataFrame = {
+    val c0 = corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec"))
+    // deterministic centroid seeds: the nLists lowest-id vectors (a k-means
+    // training step would refine these; the operator only needs SOME fixed
+    // centroid set and takes it from the corpus head, a bounded collect)
+    val centroids = c0.orderBy(col("c_id")).limit(nLists).collect()
+    val centArr = centroids.map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray))
+    // argmax-cosine centroid assignment as one expression over a literal
+    // centroid array (small by construction: nLists entries)
+    def best(vec: Column, n: Int): Column = {
+      val scored = centArr.zipWithIndex.map { case ((cid, cv), i) =>
+        struct(
+          VectorExpressions.cosine(vec,
+            array(cv.map(x => lit(x)): _*).cast("array<float>")).as("sim"),
+          lit(cid).as("list"))
+      }
+      // top-n lists by similarity
+      slice(reverse(array_sort(array(scored: _*))), 1, n)
+    }
+    val cAssigned = c0.withColumn("list", best(col("c_vec"), 1).getItem(0).getField("list"))
+    val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
+      .withColumn("list", explode(transform(best(col("q_vec"), nProbe), s => s.getField("list"))))
+    val scored = cAssigned.join(broadcast(q), Seq("list"))
+      .where(col("c_id") =!= col("q_id"))
+      .withColumn("sim", round(VectorExpressions.cosine(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("c_id").as("vec_id"), col("sim"))
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine >= threshold,
     * LSH-bucketed (the embedding-space sibling of [[MinHashDedup]]).
     */

@@ -46,6 +46,19 @@ class SimilaritySpec extends SparkSuite {
     assert(recall > 0.5, s"LSH hits should mostly be true near-neighbors; recall=$recall")
   }
 
+  test("IVF topK: probed lists cover most true neighbors") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 3)
+    val brute = Similarity.topKJoin(queries, "vec_id", "embedding", emb, "vec_id", "embedding", 20)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopKJoin(queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+      k = 5, nLists = 8, nProbe = 3)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty, "ivf should return candidates")
+    val precision = ivf.count(brute.contains).toDouble / ivf.size
+    assert(precision > 0.3, s"ivf hits should often be true near-neighbors; precision=$precision")
+  }
+
   test("hyperplane signatures are deterministic across invocations") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
     def sigs = emb.select($"vec_id",
