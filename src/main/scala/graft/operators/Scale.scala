@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale mechanics: skew-tolerant aggregation and bucketed co-located
+  * joins. These are the knobs a 100 TB deployment turns when AQE's generic
+  * handling isn't enough.
+  */
+object Scale {
+
+  /** Two-phase salted aggregation for heavy-hitter group keys.
+    *
+    * A plain `groupBy(keys).agg(sum)` sends every row of a hot key to ONE
+    * reducer; with a 10^9-row key that reducer is the job. Salting splits
+    * each key into `saltBuckets` sub-groups for the first (partial) shuffle
+    * and re-aggregates the partials in a second, tiny shuffle. Only
+    * algebraic aggregates (sum/count/min/max) can be composed this way —
+    * the API takes the per-phase columns explicitly.
+    *
+    * (Map-side combine already handles mild skew; salting matters when a
+    * key's cardinality exceeds what one task should hold, e.g. top-1
+    * event_type at 100 TB.)
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int)(
+      phase1: Seq[Column],   // e.g. sum("v").as("s"), count(lit(1)).as("n")
+      phase2: Seq[Column]    // e.g. sum("s").as("s"), sum("n").as("n")
+  ): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val partials = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(phase1.head, phase1.tail: _*)
+    partials
+      .groupBy(keys.map(col): _*)
+      .agg(phase2.head, phase2.tail: _*)
+  }
+
+  /** Write both sides bucketed+sorted by the join key so subsequent joins
+    * are exchange-free (co-located, zipper-merge). This is the batch-layer
+    * answer to "this join runs every day on the same keys": pay the shuffle
+    * once at write time, never again at read time.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket columns. With matching
+    * bucket specs Spark plans a SortMergeJoin with NO Exchange on either
+    * side (verify via `planHasExchange`).
+    */
+  def bucketedJoin(
+      spark: SparkSession,
+      leftTable: String,
+      rightTable: String,
+      joinCols: Seq[String]): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), joinCols)
+
+  /** True if the executed plan of `df` contains a shuffle exchange —
+    * the assertion hook for co-location tests.
+    */
+  def planHasExchange(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+      case _ => false
+    }
+}

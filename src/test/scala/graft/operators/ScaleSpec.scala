@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class ScaleSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("saltedAgg equals plain agg on skewed data") {
+    // heavy hitter: 10k rows of one key, a few of others
+    val rows = (1 to 10000).map(i => ("hot", i.toDouble)) ++
+      Seq(("a", 1.0), ("b", 2.0), ("b", 3.0))
+    val df = rows.toDF("k", "v")
+    val plain = df.groupBy($"k").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+    val salted = Scale.saltedAgg(df, Seq("k"), saltBuckets = 8)(
+      phase1 = Seq(sum($"v").as("s"), count(lit(1)).as("n")),
+      phase2 = Seq(sum($"s").as("s"), sum($"n").as("n")))
+    assert(salted.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet)
+  }
+
+  test("bucketed join plans without a shuffle exchange") {
+    // a previous JVM's managed-table location survives the metastore; clear it
+    for (t <- Seq("orders_b", "customer_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    Scale.writeBucketed(orders, "orders_b", Seq("o_custkey"), numBuckets = 8)
+    Scale.writeBucketed(customer, "customer_b", Seq("o_custkey"), numBuckets = 8)
+    val joined = Scale.bucketedJoin(spark, "orders_b", "customer_b", Seq("o_custkey"))
+      // force SMJ: disable broadcast so the co-location is what's tested
+    val smjJoined = {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val j = Scale.bucketedJoin(spark, "orders_b", "customer_b", Seq("o_custkey"))
+        assert(!Scale.planHasExchange(j),
+          s"bucketed join must be exchange-free:\n${j.queryExecution.executedPlan}")
+        j.count()
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    }
+    assert(smjJoined == joined.count())
+  }
+}
