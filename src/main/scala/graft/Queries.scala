@@ -362,6 +362,27 @@ object Queries {
   def q31SlidingWindow(spark: SparkSession, dir: String): DataFrame =
     Streams.slidingAgg(t(spark, dir, "events"), "ts", "1 hour", "15 minutes")
 
+  // ---------------------------------------------------------------- Q32
+  /** As-of join: each event picks up the latest order of its user with
+    * o_orderdate <= ts (point-in-time correctness; DuckDB ASOF JOIN is the
+    * oracle). Right side deduped to one row per (custkey, orderdate).
+    */
+  def q32AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    val orders = Dedup.byKeyLatest(
+      t(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice")),
+      keys = Seq("o_custkey", "o_orderdate"), orderCols = Seq("o_orderkey"))
+    AsOfJoin.asOf(
+      events.select(col("event_id"), col("user_id"), col("ts")),
+      orders,
+      leftKeys = Seq("user_id"), rightKeys = Seq("o_custkey"),
+      leftTime = "ts", rightTime = "o_orderdate",
+      rightCols = Map(
+        "o_orderkey" -> "last_orderkey",
+        "o_totalprice" -> "last_totalprice"))
+  }
+
   // ---------------------------------------------------------------- Q11
   /** §2.5 class: window top-k — top 3 orders per customer by price.
     * Deterministic tiebreak on o_orderkey.

@@ -55,6 +55,7 @@ object SparkEntry {
     "q29_session_window" -> (Queries.q29SessionWindow _),
     "q30_cosine_near_dup" -> (Queries.q30CosineNearDup _),
     "q31_sliding_window" -> (Queries.q31SlidingWindow _),
+    "q32_asof_join" -> (Queries.q32AsOfJoin _),
   )
 
   private val mergeOracle: String = {
@@ -293,5 +294,15 @@ object SparkEntry {
         |       event_type, count(*) AS n_events
         |FROM events CROSS JOIN generate_series(0, 3) AS t(k)
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q32_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate,
+        |         max(o_orderkey) AS o_orderkey,
+        |         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |       r.o_orderkey AS last_orderkey, r.o_totalprice AS last_totalprice
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
   )
 }
