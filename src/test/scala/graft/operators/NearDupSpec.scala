@@ -60,6 +60,14 @@ class NearDupSpec extends SparkSuite {
     assert(!pairs.contains((4L, 5L)), "unrelated docs must not pair")
   }
 
+  test("distributed fingerprints equal the scalar simhash expression") {
+    val byTable = SimHashDedup.fingerprintsDistributed(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val byExpr = SimHashDedup.fingerprints(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(byTable == byExpr)
+  }
+
   test("signatures: empty/short docs never become candidates") {
     val df = Seq((1L, "one two"), (2L, "")).toDF("doc_id", "text")
     val sigs = MinHashDedup.signatures(df, "doc_id", "text", MinHashDedup.Config())
