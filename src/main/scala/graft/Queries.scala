@@ -383,6 +383,26 @@ object Queries {
         "o_totalprice" -> "last_totalprice"))
   }
 
+  // ---------------------------------------------------------------- Q33
+  /** Range join: events matched to 2-hour per-order intervals (derived
+    * deterministically so the oracle can rebuild them) via time-bucketized
+    * equi-join — never a nested-loop cross product.
+    */
+  def q33RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val intervals = t(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      (lit("2024-01-01 00:00:00").cast("timestamp") +
+        expr("make_interval(0, 0, 0, 0, CAST(o_orderkey % 96 AS INT), 0, 0)")).as("iv_start"))
+      .withColumn("iv_end", col("iv_start") + expr("INTERVAL 2 HOURS"))
+    RangeJoin.pointInInterval(
+      events, intervals,
+      pointKeys = Seq("user_id"), intervalKeys = Seq("o_custkey"),
+      pointTime = "ts", intervalStart = "iv_start", intervalEnd = "iv_end",
+      bucketWidthMicros = 2L * 3600 * 1000000)
+      .select(col("event_id"), col("user_id"), col("ts"), col("o_orderkey"))
+  }
+
   // ---------------------------------------------------------------- Q11
   /** §2.5 class: window top-k — top 3 orders per customer by price.
     * Deterministic tiebreak on o_orderkey.

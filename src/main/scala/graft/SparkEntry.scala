@@ -56,6 +56,7 @@ object SparkEntry {
     "q30_cosine_near_dup" -> (Queries.q30CosineNearDup _),
     "q31_sliding_window" -> (Queries.q31SlidingWindow _),
     "q32_asof_join" -> (Queries.q32AsOfJoin _),
+    "q33_range_join" -> (Queries.q33RangeJoin _),
   )
 
   private val mergeOracle: String = {
@@ -304,5 +305,14 @@ object SparkEntry {
         |       r.o_orderkey AS last_orderkey, r.o_totalprice AS last_totalprice
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
+    "q33_range_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         TIMESTAMP '2024-01-01 00:00:00' + (o_orderkey % 96) * INTERVAL 1 HOUR AS iv_start,
+        |         TIMESTAMP '2024-01-01 00:00:00' + (o_orderkey % 96) * INTERVAL 1 HOUR + INTERVAL 2 HOUR AS iv_end
+        |  FROM orders)
+        |SELECT e.event_id, e.user_id, e.ts, iv.o_orderkey
+        |FROM events e JOIN iv
+        |  ON e.user_id = iv.o_custkey AND e.ts >= iv.iv_start AND e.ts < iv.iv_end""".stripMargin,
   )
 }
