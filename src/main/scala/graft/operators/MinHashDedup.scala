@@ -100,7 +100,9 @@ object MinHashDedup {
       .agg(minCols.head, minCols.tail: _*)
       .select(col("id"),
         array((0 until cfg.numHashes).map(i => col(s"__m$i")): _*).as("sig"))
-    base.join(sigRows, Seq("id"), "left")
+    // broadcast pinned to the sig side (64 longs/row); the base side's
+    // shingle arrays are huge and badly size-estimated
+    base.join(broadcast(sigRows), Seq("id"), "left")
       .select(col("id"), col("shingles"),
         coalesce(col("sig"), array().cast("array<bigint>")).as("sig"))
   }
@@ -137,13 +139,22 @@ object MinHashDedup {
       .distinct()
   }
 
-  /** Candidate pairs verified by true shingle Jaccard >= threshold. */
+  /** Candidate pairs verified by true shingle Jaccard >= threshold.
+    *
+    * Join order is pinned: the candidate set (tiny — actual near-dup
+    * suspects) is ALWAYS the broadcast side against the shingle table.
+    * Left to AQE, the shingle table (small row count but huge array
+    * payloads) sometimes got picked as the broadcast build, causing
+    * multi-hundred-MB broadcasts and 4-10x run-to-run variance.
+    */
   def verifiedPairs(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
     val sigs = signatures(df, idCol, textCol, cfg).cache()
     val cands = candidatePairs(sigs, cfg)
     val shA = sigs.select(col("id").as("idA"), col("shingles").as("shA"))
     val shB = sigs.select(col("id").as("idB"), col("shingles").as("shB"))
-    cands.join(shA, "idA").join(shB, "idB")
+    val withA = shA.join(broadcast(cands), Seq("idA"))
+    val withBoth = shB.join(broadcast(withA), Seq("idB"))
+    withBoth
       .withColumn("jaccard",
         size(array_intersect(col("shA"), col("shB"))).cast("double") /
           size(array_union(col("shA"), col("shB"))).cast("double"))
