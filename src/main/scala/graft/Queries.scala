@@ -383,7 +383,35 @@ object Queries {
         "o_totalprice" -> "last_totalprice"))
   }
 
-  // ---------------------------------------------------------------- Q33
+  // ---------------------------------------------------------------- Q34
+  /** Explicit GROUPING SETS (beyond rollup/cube): totals by status, by
+    * priority, and overall, in one pass.
+    */
+  def q34GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- Q35
+  /** Scalar function battery (§2.6 surface): string, date, math, struct
+    * and conditional functions in one projection, oracle-matched.
+    */
+  def q35ScalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(
+      col("c_custkey"),
+      upper(col("c_name")).as("name_upper"),
+      substring(col("c_mktsegment"), 1, 3).as("seg3"),
+      length(col("c_name")).as("name_len"),
+      concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
+      abs(col("c_acctbal")).as("abs_bal"),
+      round(col("c_acctbal") / 100.0, 4).as("bal_h"),
+      greatest(col("c_acctbal"), lit(0.0)).as("bal_pos"),
+      when(col("c_acctbal") < 0, "neg").otherwise("pos").as("bal_sign"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg_or_other"))
   /** Range join: events matched to 2-hour per-order intervals (derived
     * deterministically so the oracle can rebuild them) via time-bucketized
     * equi-join — never a nested-loop cross product.

@@ -57,6 +57,8 @@ object SparkEntry {
     "q31_sliding_window" -> (Queries.q31SlidingWindow _),
     "q32_asof_join" -> (Queries.q32AsOfJoin _),
     "q33_range_join" -> (Queries.q33RangeJoin _),
+    "q34_grouping_sets" -> (Queries.q34GroupingSets _),
+    "q35_scalar_funcs" -> (Queries.q35ScalarFuncs _),
   )
 
   private val mergeOracle: String = {
@@ -314,5 +316,22 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ts, iv.o_orderkey
         |FROM events e JOIN iv
         |  ON e.user_id = iv.o_custkey AND e.ts >= iv.iv_start AND e.ts < iv.iv_end""".stripMargin,
+    "q34_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q35_scalar_funcs" ->
+      """SELECT c_custkey,
+        |       upper(c_name) AS name_upper,
+        |       substring(c_mktsegment, 1, 3) AS seg3,
+        |       CAST(length(c_name) AS INTEGER) AS name_len,
+        |       concat_ws('|', c_mktsegment, c_name) AS seg_name,
+        |       abs(c_acctbal) AS abs_bal,
+        |       round(c_acctbal / 100.0, 4) AS bal_h,
+        |       greatest(c_acctbal, 0.0) AS bal_pos,
+        |       CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign,
+        |       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other
+        |FROM customer""".stripMargin,
   )
 }
