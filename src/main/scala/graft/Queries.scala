@@ -383,6 +383,31 @@ object Queries {
         "o_totalprice" -> "last_totalprice"))
   }
 
+  // ---------------------------------------------------------------- Q36
+  /** Pivot: order counts by status (rows) x priority (columns), explicit
+    * value list so output columns are deterministic.
+    */
+  def q36Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L, priorities)
+  }
+
+  // ---------------------------------------------------------------- Q37
+  /** Unpivot (melt): customer balance metrics to long form. */
+  def q37Unpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        abs(col("c_acctbal")).as("abs_bal"))
+      .unpivot(
+        ids = Array(col("c_custkey")),
+        values = Array(col("c_acctbal"), col("abs_bal")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+
   // ---------------------------------------------------------------- Q34
   /** Explicit GROUPING SETS (beyond rollup/cube): totals by status, by
     * priority, and overall, in one pass.

@@ -59,6 +59,8 @@ object SparkEntry {
     "q33_range_join" -> (Queries.q33RangeJoin _),
     "q34_grouping_sets" -> (Queries.q34GroupingSets _),
     "q35_scalar_funcs" -> (Queries.q35ScalarFuncs _),
+    "q36_pivot" -> (Queries.q36Pivot _),
+    "q37_unpivot" -> (Queries.q37Unpivot _),
   )
 
   private val mergeOracle: String = {
@@ -333,5 +335,17 @@ object SparkEntry {
         |       CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign,
         |       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other
         |FROM customer""".stripMargin,
+    "q36_pivot" ->
+      """SELECT o_orderstatus,
+        |       count(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+        |       count(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+        |       count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        |       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+        |       count(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q37_unpivot" ->
+      """SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'abs_bal', abs(c_acctbal) FROM customer""".stripMargin,
   )
 }
