@@ -4,12 +4,36 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(Sessions.envCpus, "graft-bench")
-    // JVM/codegen warmup outside the timed region: a shuffle + a parquet
-    // scan compile the hot executor paths so the first measured query isn't
-    // charged session setup (it was ~5s of pure warmup otherwise).
-    spark.range(1000000).selectExpr("id % 100 AS k", "id AS v")
-      .groupBy("k").count().write.format("noop").mode("overwrite").save()
-    spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
+    // JVM/codegen/JIT warmup outside the timed region: compile every hot
+    // executor path the measured queries lean on — shuffle, wide hash-agg
+    // with distinct, window functions, higher-order-function folds,
+    // broadcast join, top-k sort — plus one scan of each table so cold
+    // file/footers aren't charged to the first measured query (BENCH_r01's
+    // early queries q10-q13 absorbed exactly this cost).
+    locally {
+      import org.apache.spark.sql.functions.{broadcast, desc}
+      val warm = spark.range(1000000).selectExpr(
+        "id % 100 AS k", "id AS v", "CAST(id AS DOUBLE) AS d",
+        "array_repeat(id % 7, 8) AS arr", "CAST(id % 50 AS STRING) AS s")
+      warm.selectExpr("k", "v",
+          "aggregate(arr, 0L, (a, x) -> a + x) AS hof",
+          "row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn")
+        .where("rn <= 3")
+        .write.format("noop").mode("overwrite").save()
+      warm.groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v"),
+          org.apache.spark.sql.functions.avg("d"),
+          org.apache.spark.sql.functions.countDistinct("s"))
+        .write.format("noop").mode("overwrite").save()
+      warm.join(broadcast(spark.range(100).selectExpr("id AS k")), "k")
+        .orderBy(desc("v")).limit(10)
+        .write.format("noop").mode("overwrite").save()
+      Seq("region", "nation", "supplier", "part", "customer", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     // Force full materialization through the noop sink (count() would let
     // Catalyst prune the payload columns and under-measure).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -27,6 +27,13 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** Table load + minimum-parallelism guard — for queries whose first stage
+    * does real per-row work directly over the scan (aggs, windows, sorts).
+    * No-op when the file layout already parallelizes (see [[Parallelism]]).
+    */
+  private def tp(spark: SparkSession, dir: String, name: String): DataFrame =
+    Parallelism.ensure(Tables.load(spark, dir, name))
+
   // Fixed audit stamps so merge results are oracle-comparable.
   private val DestStamp = "2024-01-01 00:00:00"
   private val DeltaStamp = "2024-02-01 00:00:00"
@@ -126,7 +133,7 @@ object Queries {
     * rounded to stay oracle-stable.
     */
   def q9Agg(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
+    tp(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
@@ -160,11 +167,18 @@ object Queries {
   /** P2: JSON codec round-trip of an array column — to_json then from_json
     * must be the identity (float shortest-round-trip representation).
     */
+  /** Checked output is scalar-only (vec_id, element index, element value):
+    * the round-trip must reproduce every original float bit-exactly, and
+    * the oracle compares against the raw table — but without any raw array
+    * column in the checked frame (the driver's canonical row-sort cannot
+    * hash numpy arrays; CORRECTNESS_r01 q6 err).
+    */
   def q6JsonRoundTrip(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "embeddings").select(
-      col("vec_id"),
-      from_json(to_json(col("embedding")),
-        org.apache.spark.sql.types.DataType.fromDDL("array<float>")).as("embedding"))
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(from_json(to_json(col("embedding")),
+          org.apache.spark.sql.types.DataType.fromDDL("array<float>"))))
+      .select(col("vec_id"), col("pos").as("idx"), col("col").as("val"))
 
   // ---------------------------------------------------------------- Q12
   /** §2.7 class: tumbling event-time window agg (same code path serves the
@@ -187,10 +201,15 @@ object Queries {
   def q13cSimHash(spark: SparkSession, dir: String): DataFrame =
     SimHashDedup.fingerprints(t(spark, dir, "documents"), "doc_id", "text")
 
-  /** N-gram Jaccard verified near-dup pairs (rows-only). */
+  /** N-gram Jaccard near-dup pairs — EXACT (prefix-filtered inverted-index
+    * candidates, no LSH recall loss), so a brute-force DuckDB all-pairs
+    * Jaccard is a faithful oracle. Scores rounded to 6 dp for FP-stable
+    * comparison.
+    */
   def q13dJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    MinHashDedup.verifiedPairs(t(spark, dir, "documents"), "doc_id", "text",
-      MinHashDedup.Config(jaccardThreshold = 0.5))
+    MinHashDedup.jaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
+      threshold = 0.5, shingleN = 3)
+      .withColumn("jaccard", round(col("jaccard"), 6))
 
   // ---------------------------------------------------------------- Q14
   /** Brute-force cosine top-10 for query vectors vec_id < 5. */
@@ -212,7 +231,7 @@ object Queries {
   // ---------------------------------------------------------------- Q15
   /** Text stats per language: doc/char/token/subword tallies. */
   def q15TextStats(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    Parallelism.ensureCompute(t(spark, dir, "documents"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -224,7 +243,7 @@ object Queries {
   // ---------------------------------------------------------------- Q16
   /** Per-document quality features (deterministic, SQL-expressible). */
   def q16Quality(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select(
+    Parallelism.ensureCompute(t(spark, dir, "documents")).select(
       col("doc_id"),
       TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
       TextFunctions.punctRatio(col("text")).as("punct_ratio"),
@@ -234,13 +253,13 @@ object Queries {
   // ---------------------------------------------------------------- Q17
   /** Language-ID heuristic histogram (argmax of stopword-lexicon hits). */
   def q17LangId(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    Parallelism.ensureCompute(t(spark, dir, "documents"))
       .groupBy(TextFunctions.langId(col("text")).as("lang_pred"))
       .agg(count(lit(1)).as("n"))
 
   /** Rolling-hash document fingerprints (rows-only: xxhash64-based). */
   def q17bFingerprint(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select(
+    Parallelism.ensureCompute(t(spark, dir, "documents")).select(
       col("doc_id"), TextFunctions.rollingFingerprint(col("text")).as("fingerprint"))
 
   // ---------------------------------------------------------------- Q18
@@ -259,7 +278,7 @@ object Queries {
   // ---------------------------------------------------------------- Q19
   /** §2.5 class: global sort + limit with deterministic tiebreak. */
   def q19TopN(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "orders")
+    tp(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(100)
@@ -294,13 +313,13 @@ object Queries {
   // ---------------------------------------------------------------- Q24/25
   /** Rollup over lineitem (subtotal + grand-total grouping-set rows). */
   def q24Rollup(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
+    tp(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
 
   /** Cube over orders (all grouping-set combinations). */
   def q25Cube(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "orders")
+    tp(spark, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"))
 
@@ -344,6 +363,41 @@ object Queries {
   /** Session windows per user (rows-only: no DuckDB analog). */
   def q29SessionWindow(spark: SparkSession, dir: String): DataFrame =
     Streams.sessionAgg(t(spark, dir, "events"), "ts", "30 minutes")
+
+  /** Custom sessionization via the secondary-sort batch path (§2.7 scale
+    * variant): shuffle-by-user + in-partition sort, O(1) state per task,
+    * no per-group materialization. Oracle-checked against DuckDB
+    * gaps-and-islands (strict 30-minute gap; sums rounded one digit finer
+    * than the 2-decimal data grid).
+    */
+  def q29bSessionizeSorted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[graft.streaming.Stateful.Event]
+    graft.streaming.Stateful.userSessionsBatchSorted(spark, events, gapMillis = 30 * 60000L)
+      .toDF()
+      .withColumn("sum_value", round(col("sum_value"), 3))
+  }
+
+  // ---------------------------------------------------------------- Q38
+  /** RDBMS round-trip (S4 against the reference's actual destination kind):
+    * land a deterministic orders slice in embedded Derby via the JDBC sink,
+    * read it back over JDBC, aggregate. Oracle aggregates the same slice
+    * straight off parquet — green means types and values survive the
+    * database round-trip exactly.
+    */
+  def q38JdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q38-derby")
+    val conn = JdbcSink.Conn(s"jdbc:derby:$tmp/db;create=true")
+    val slice = t(spark, dir, "orders")
+      .where(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    JdbcSink.swapInto(spark, conn, "orders_rt", slice)
+    JdbcSink.read(spark, conn, "orders_rt")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
 
   // ---------------------------------------------------------------- Q30
   /** Embedding-cosine near-dup pairs, LSH-bucketed (rows-only: approximate
@@ -389,7 +443,7 @@ object Queries {
     */
   def q36Pivot(spark: SparkSession, dir: String): DataFrame = {
     val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
-    t(spark, dir, "orders")
+    tp(spark, dir, "orders")
       .groupBy(col("o_orderstatus"))
       .pivot("o_orderpriority", priorities)
       .agg(count(lit(1)))
@@ -413,7 +467,7 @@ object Queries {
     * priority, and overall, in one pass.
     */
   def q34GroupingSets(spark: SparkSession, dir: String): DataFrame = {
-    t(spark, dir, "orders").createOrReplaceTempView("orders_gs")
+    tp(spark, dir, "orders").createOrReplaceTempView("orders_gs")
     spark.sql(
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |       round(sum(o_totalprice), 2) AS revenue
@@ -463,7 +517,7 @@ object Queries {
   def q11WindowTopK(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    t(spark, dir, "orders")
+    tp(spark, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 3)

@@ -53,6 +53,7 @@ object SparkEntry {
     "q27_drift_merge" -> (Queries.q27DriftMerge _),
     "q28_approx_distinct" -> (Queries.q28ApproxDistinct _),
     "q29_session_window" -> (Queries.q29SessionWindow _),
+    "q29b_sessionize_sorted" -> (Queries.q29bSessionizeSorted _),
     "q30_cosine_near_dup" -> (Queries.q30CosineNearDup _),
     "q31_sliding_window" -> (Queries.q31SlidingWindow _),
     "q32_asof_join" -> (Queries.q32AsOfJoin _),
@@ -61,6 +62,7 @@ object SparkEntry {
     "q35_scalar_funcs" -> (Queries.q35ScalarFuncs _),
     "q36_pivot" -> (Queries.q36Pivot _),
     "q37_unpivot" -> (Queries.q37Unpivot _),
+    "q38_jdbc_roundtrip" -> (Queries.q38JdbcRoundtrip _),
   )
 
   private val mergeOracle: String = {
@@ -204,7 +206,70 @@ object SparkEntry {
         |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rk
         |  FROM orders
         |) WHERE rk <= 3""".stripMargin,
-    "q6_json_roundtrip" -> "SELECT vec_id, embedding FROM embeddings",
+    // scalar-only frame: one row per array element; values must equal the
+    // ORIGINAL floats bit-exactly, proving to_json->from_json is identity
+    "q6_json_roundtrip" ->
+      """SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS idx,
+        |       unnest(embedding) AS val
+        |FROM embeddings""".stripMargin,
+    // brute-force exact all-pairs n-gram Jaccard (the Spark side is exact
+    // too: prefix-filtered inverted index, no LSH recall loss)
+    "q13d_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |           generate_series(1, greatest(len(ws) - 2, 0)),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |)
+        |SELECT idA, idB, round(jac, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |         CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.s) > 0 AND len(b.s) > 0)
+        |WHERE jac >= 0.5""".stripMargin,
+    // classic gaps-and-islands sessionization: break when the gap from the
+    // previous event reaches 30 minutes; session_end = last event + gap
+    "q29_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts,
+        |         CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+        |              OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), g AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM o
+        |)
+        |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       user_id, count(*) AS n_events
+        |FROM g GROUP BY user_id, grp""".stripMargin,
+    // strict-gap gaps-and-islands (break only when the gap EXCEEDS 30
+    // minutes — the custom sessionizer's continue-on-equality semantics);
+    // session_end is the last event, sums rounded to 3 (one digit finer
+    // than the 2-decimal value grid)
+    "q29b_sessionize_sorted" ->
+      """WITH o AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, value,
+        |         CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+        |              OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), g AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM o
+        |)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events, round(sum(value), 3) AS sum_value
+        |FROM g GROUP BY user_id, grp""".stripMargin,
+    "q38_jdbc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |GROUP BY o_orderstatus""".stripMargin,
     "q12_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS window_start,
         |       time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) + INTERVAL '1 hour' AS window_end,

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Full-row distinct (A1). Equivalent to `df.dropDuplicates()`: one
-    * hash-aggregate over all columns with partial aggregation.
+    * hash-aggregate over all columns with partial aggregation. The
+    * [[Parallelism.ensure]] guard keeps the map-side partial aggregate
+    * multi-core even when the input layout is a single row group.
     */
-  def fullRow(df: DataFrame): DataFrame = df.dropDuplicates()
+  def fullRow(df: DataFrame): DataFrame = Parallelism.ensure(df).dropDuplicates()
 
   /** Keep exactly one row per key set (A2, within-batch half of the merge
     * key dedup). Non-deterministic winner — use [[byKeyLatest]] when a
@@ -39,7 +41,7 @@ object Dedup {
   def byKeyLatest(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
     val payload = struct(df.columns.map(col).toIndexedSeq: _*)
     val ordering = struct(orderCols.map(col): _*)
-    df.groupBy(keys.map(col): _*)
+    Parallelism.ensure(df).groupBy(keys.map(col): _*)
       .agg(max_by(payload, ordering).as("__row"))
       .select(df.columns.map(c => col(s"__row.`$c`").as(c)).toIndexedSeq: _*)
   }
@@ -52,7 +54,7 @@ object Dedup {
     */
   def byContent(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
     val payload = struct(df.columns.map(col).toIndexedSeq: _*)
-    df.groupBy(md5(col(contentCol).cast("binary")).as("__h"))
+    Parallelism.ensureCompute(df).groupBy(md5(col(contentCol).cast("binary")).as("__h"))
       .agg(min_by(payload, col(idCol)).as("__row"))
       .select(df.columns.map(c => col(s"__row.`$c`").as(c)).toIndexedSeq: _*)
   }

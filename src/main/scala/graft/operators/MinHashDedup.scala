@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -22,10 +22,19 @@ import graft.functions.TextFunctions
   *    produce 10^12 pairs;
   *  - candidate pairs are verified against true shingle-set Jaccard before
   *    any doc is dropped (LSH is a filter, not an oracle);
+  *  - NOTHING carrying a shingle array is ever broadcast: only the bare
+  *    (idA, idB) candidate-pair keys travel to every task; the shingle
+  *    table stays on the probe side of both verify joins and the final
+  *    pair-up is a pinned shuffle join on the pair key;
   *  - duplicate groups are closed transitively with alternating
   *    small-star/large-star label propagation (bounded iterations, each a
   *    partial-aggregatable min-reduce — the published CC-in-MapReduce
   *    recipe), so chains A~B~C collapse to one survivor.
+  *
+  * Cache lifecycle: the shingle table (the only big intermediate) is
+  * persisted for the duration of the verify step and unpersisted as soon as
+  * the (tiny, result-sized) verified-pair set is materialized — nothing
+  * input-sized stays pinned in executor memory after a call returns.
   */
 object MinHashDedup {
 
@@ -61,9 +70,14 @@ object MinHashDedup {
     (as, bs)
   }
 
-  /** id, shingles, sig (array<long> of numHashes minima). Docs with no
-    * shingle (shorter than shingleN tokens) get an empty sig and are never
-    * candidates.
+  /** (id, shingles) — computed once per pipeline; the parallelism guard
+    * spreads the shingle construction even off a single-row-group scan.
+    */
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame =
+    Parallelism.ensureCompute(df).select(col(idCol).as("id"),
+      TextFunctions.shingles(col(textCol), cfg.shingleN).as("shingles"))
+
+  /** (id, sig) for every doc with >= 1 shingle.
     *
     * Shape matters here: a naive `zip_with(perms, ... array_min(transform(
     * shingles...)))` inlines the expensive shingle-string construction into
@@ -74,10 +88,8 @@ object MinHashDedup {
     * partial-aggregatable groupBy — string work linear in total shingles,
     * map-side combine collapses to one row per doc before the shuffle.
     */
-  def signatures(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
+  private def sigTable(base: DataFrame, cfg: Config): DataFrame = {
     val (as, bs) = coefficients(cfg)
-    val base = df.select(col(idCol).as("id"),
-      TextFunctions.shingles(col(textCol), cfg.shingleN).as("shingles"))
     // repartition(id) is load-bearing twice over: the Exchange is an
     // optimizer barrier (CollapseProject would otherwise inline xxhash64
     // into all 64 permutation columns below), and it pre-partitions by the
@@ -96,13 +108,23 @@ object MinHashDedup {
         pmod(lit(a) * col("h") + lit(b), lit(MersennePrime)).as(s"__v$i")
       }: _*)
     val minCols = (0 until cfg.numHashes).map(i => min(col(s"__v$i")).as(s"__m$i"))
-    val sigRows = projected.groupBy(col("id"))
+    projected.groupBy(col("id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("id"),
         array((0 until cfg.numHashes).map(i => col(s"__m$i")): _*).as("sig"))
-    // broadcast pinned to the sig side (64 longs/row); the base side's
-    // shingle arrays are huge and badly size-estimated
-    base.join(broadcast(sigRows), Seq("id"), "left")
+  }
+
+  /** id, shingles, sig (array<long> of numHashes minima). Docs with no
+    * shingle (shorter than shingleN tokens) get an empty sig and are never
+    * candidates.
+    *
+    * The shingle-carrying side is NEVER broadcast (its array payloads are
+    * both huge and badly size-estimated); the join is pinned shuffle-hash,
+    * which at any scale is one id-shuffle of each side.
+    */
+  def signatures(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
+    val base = shingleTable(df, idCol, textCol, cfg)
+    base.join(sigTable(base, cfg).hint("shuffle_hash"), Seq("id"), "left")
       .select(col("id"), col("shingles"),
         coalesce(col("sig"), array().cast("array<bigint>")).as("sig"))
   }
@@ -139,27 +161,98 @@ object MinHashDedup {
       .distinct()
   }
 
-  /** Candidate pairs verified by true shingle Jaccard >= threshold.
+  /** True-Jaccard verification of candidate pairs against the shingle table.
     *
-    * Join order is pinned: the candidate set (tiny — actual near-dup
-    * suspects) is ALWAYS the broadcast side against the shingle table.
-    * Left to AQE, the shingle table (small row count but huge array
-    * payloads) sometimes got picked as the broadcast build, causing
-    * multi-hundred-MB broadcasts and 4-10x run-to-run variance.
+    * Broadcast discipline: `cands` is the bare (idA, idB) key set — the only
+    * thing small by construction — and is broadcast into BOTH probe joins.
+    * Each probe side therefore carries exactly ONE shingle array per row,
+    * and the final pair-up joins the two |cands|-sized sides on the full
+    * pair key as a pinned shuffle-hash join. No array column ever sits on a
+    * broadcast side (left to AQE, the array side's bad size estimates
+    * caused multi-hundred-MB broadcasts and 4-10x run variance).
     */
-  def verifiedPairs(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
-    val sigs = signatures(df, idCol, textCol, cfg).cache()
-    val cands = candidatePairs(sigs, cfg)
-    val shA = sigs.select(col("id").as("idA"), col("shingles").as("shA"))
-    val shB = sigs.select(col("id").as("idB"), col("shingles").as("shB"))
-    val withA = shA.join(broadcast(cands), Seq("idA"))
-    val withBoth = shB.join(broadcast(withA), Seq("idB"))
-    withBoth
+  private def verifyJaccard(base: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
+    val aSide = base.select(col("id").as("idA"), col("shingles").as("shA"))
+      .join(broadcast(cands), Seq("idA"))
+    val bSide = base.select(col("id").as("idB"), col("shingles").as("shB"))
+      .join(broadcast(cands), Seq("idB"))
+    aSide.join(bSide.hint("shuffle_hash"), Seq("idA", "idB"))
       .withColumn("jaccard",
         size(array_intersect(col("shA"), col("shB"))).cast("double") /
           size(array_union(col("shA"), col("shB"))).cast("double"))
-      .where(col("jaccard") >= cfg.jaccardThreshold)
+      .where(col("jaccard") >= threshold)
       .select("idA", "idB", "jaccard")
+  }
+
+  /** Lazy plan for [[verifiedPairs]] — exposed for plan-inspection tests. */
+  private[graft] def verifiedPairsPlan(
+      df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
+    val base = shingleTable(df, idCol, textCol, cfg)
+    verifyJaccard(base, candidatePairs(sigTable(base, cfg), cfg), cfg.jaccardThreshold)
+  }
+
+  /** Candidate pairs verified by true shingle Jaccard >= threshold.
+    *
+    * Eagerly materialized: the result (actual near-dup suspects — orders of
+    * magnitude smaller than the corpus) is persisted and counted so the
+    * input-sized shingle cache can be dropped before returning. Callers get
+    * a small cached DataFrame; nothing corpus-sized stays pinned.
+    */
+  def verifiedPairs(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
+    // CacheManager matches by canonicalized plan, so persisting this base
+    // instance makes the identical subtree inside verifiedPairsPlan hit it.
+    val base = shingleTable(df, idCol, textCol, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = verifiedPairsPlan(df, idCol, textCol, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the tiny pair set so the shingle cache can go
+    base.unpersist()
+    out
+  }
+
+  /** EXACT n-gram-Jaccard near-dup pairs via prefix-filtered inverted-index
+    * candidate generation (AllPairs/PPJoin prefix filter, Bayardo et al.,
+    * WWW'07 — public algorithm).
+    *
+    * Unlike the minhash LSH path (probabilistic recall), this finds EVERY
+    * pair with true Jaccard >= threshold: J(A,B) >= t implies
+    * |A∩B| >= ceil(t·|A|), so under any global shingle order the first
+    * |A| - ceil(t·|A|) + 1 shingles of A (its "prefix") must contain an
+    * intersection element — candidates are pairs sharing a prefix shingle.
+    * Ordering the global order by ascending document frequency makes
+    * prefixes land on the RAREST shingles, so posting lists stay short and
+    * the candidate set near-linear — the published 100 TB-scale recipe for
+    * exact similarity self-join.
+    *
+    * Cost shape: one df-count aggregation over exploded shingles, one
+    * window per doc to rank, one self-join on prefix shingles, then the
+    * same broadcast-free verify as the LSH path.
+    */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val base = shingleTable(df, idCol, textCol, Config(shingleN = shingleN))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = base.select(col("id"), size(col("shingles")).as("len"),
+      explode(col("shingles")).as("s"))
+    val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
+    val prefixes = exploded.join(freq, Seq("s"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("len") - ceil(lit(threshold) * col("len")).cast("int") + 1)
+      .select(col("s"), col("id"))
+    val cands = prefixes.select(col("s"), col("id").as("idA"))
+      .join(prefixes.select(col("s"), col("id").as("idB")), Seq("s"))
+      .where(col("idA") < col("idB"))
+      .select("idA", "idB")
+      .distinct()
+    val out = verifyJaccard(base, cands, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    base.unpersist()
+    out
   }
 
   /** Transitive closure of dup pairs -> (id, rep) where rep = min id of the
@@ -180,18 +273,35 @@ object MinHashDedup {
     // expensive upstream pipeline per scale-up attempt.
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = p.count()
-    if (n <= driverThreshold) duplicateGroupsLocal(p)
-    else duplicateGroupsDistributed(p, maxIterations)
+    if (n <= driverThreshold) {
+      val out = duplicateGroupsLocal(p)
+      p.unpersist() // edges live on the driver now; drop the cluster copy
+      out
+    } else duplicateGroupsDistributed(p, maxIterations)
   }
 
-  /** Driver union-find over a collected edge list (small verified-pair sets). */
+  /** Driver union-find over a collected edge list (small verified-pair
+    * sets). Generic over the id type: reps match the distributed variant's
+    * `least()` semantics (numeric order for numeric ids, lexicographic for
+    * strings).
+    */
   private def duplicateGroupsLocal(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
     val spark = pairs.sparkSession
-    import spark.implicits._
-    val edges = pairs.select(col("idA").cast("long"), col("idB").cast("long"))
-      .as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
+    val idField = pairs.schema("idA")
+    val ord: Ordering[Any] = idField.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Ordering.by((x: Any) => x.asInstanceOf[Number].longValue)
+      case FloatType | DoubleType =>
+        Ordering.by((x: Any) => x.asInstanceOf[Number].doubleValue)
+      case StringType => Ordering.by((x: Any) => x.asInstanceOf[String])
+      case other => throw new IllegalArgumentException(
+        s"unsupported id type for local union-find: $other")
+    }
+    val edges = pairs.select(col("idA"), col("idB")).collect()
+      .map(r => (r.get(0), r.get(1)))
+    val parent = scala.collection.mutable.Map.empty[Any, Any]
+    def find(x: Any): Any = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
       var c = x
@@ -201,21 +311,30 @@ object MinHashDedup {
     edges.foreach { case (a, b) =>
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+      if (ra != rb) {
+        val (lo, hi) = if (ord.lt(ra, rb)) (ra, rb) else (rb, ra)
+        parent(hi) = lo
+      }
     }
-    val rows = parent.keys.toSeq.map(id => (id, find(id)))
-    spark.createDataset(rows).toDF("id", "rep")
+    val rows = parent.keys.toSeq.map(id => Row(id, find(id)))
+    val schema = StructType(Seq(
+      StructField("id", idField.dataType), StructField("rep", idField.dataType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
-  /** Distributed min-label propagation (bounded iterations, early stop). */
+  /** Distributed min-label propagation (bounded iterations, early stop).
+    * The returned label table is result-sized (one row per doc appearing in
+    * a dup pair) and stays cached — callers may `unpersist()` it when done;
+    * the input-sized edge cache is dropped before returning.
+    */
   def duplicateGroupsDistributed(pairs: DataFrame, maxIterations: Int = 15): DataFrame = {
     // undirected edge list, both directions
     val fwd = pairs.select(col("idA").as("src"), col("idB").as("dst"))
     val edges = fwd.union(pairs.select(col("idB").as("src"), col("idA").as("dst")))
-      .distinct().cache()
+      .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("rep"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var converged = false
     while (iter < maxIterations && !converged) {
@@ -226,7 +345,7 @@ object MinHashDedup {
         .agg(min(col("rep")).as("nrep"))
       val next = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .cache()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
         .where(col("rep") =!= col("prev")).limit(1).count()
       labels.unpersist()
@@ -234,6 +353,7 @@ object MinHashDedup {
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 

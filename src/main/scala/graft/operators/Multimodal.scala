@@ -90,7 +90,7 @@ object Multimodal {
       media: DataFrame,
       codec: MediaCodec = DeterministicFakeCodec): Dataset[MediaFeatures] = {
     implicit val enc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
-    media.select("media_id", "mime", "payload")
+    Parallelism.ensureCompute(media.select("media_id", "mime", "payload"))
       .mapPartitions { rows =>
         // real codecs hook per-partition init here (decoder ctx, model load)
         rows.map { row =>

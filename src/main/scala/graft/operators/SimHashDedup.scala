@@ -55,7 +55,8 @@ object SimHashDedup {
     * and shuffle-free at any scale.
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String, cfg: Config = Config()): DataFrame =
-    df.select(col(idCol).as("id"), simhash(col(textCol), cfg.ngramN).as("simhash"))
+    Parallelism.ensureCompute(df)
+      .select(col(idCol).as("id"), simhash(col(textCol), cfg.ngramN).as("simhash"))
 
   /** Distributed-vote variant (explode -> 64 sign columns -> partial-agg
     * sums): one shuffle of (id, featureHash) rows. Only preferable when
@@ -64,7 +65,7 @@ object SimHashDedup {
     * [[fingerprints]].
     */
   def fingerprintsDistributed(df: DataFrame, idCol: String, textCol: String, cfg: Config = Config()): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
+    val base = Parallelism.ensureCompute(df).select(col(idCol).as("id"),
       TextFunctions.wordNGrams(col(textCol), cfg.ngramN).as("feats"))
     val hashed = base
       .select(col("id"), explode(col("feats")).as("f"))
@@ -88,18 +89,29 @@ object SimHashDedup {
   }
 
   /** Verified near-dup pairs (idA < idB, hamming <= maxHamming) via the
-    * pigeonhole chunk join. Chunk count = maxHamming + 1.
+    * pigeonhole chunk join. Chunk count = maxHamming + 1; the chunks
+    * PARTITION all 64 bits (widths differ by at most one) — an uncovered
+    * bit would break the pigeonhole guarantee: maxHamming differences
+    * could hide one per chunk plus one in the uncovered bits, leaving no
+    * identical chunk. `-1L` is the all-ones mask for a 64-bit chunk
+    * (maxHamming = 0), where `(1L << 64) - 1` would be 0 (shift mod 64).
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String, cfg: Config = Config()): DataFrame = {
+    require(cfg.maxHamming >= 0 && cfg.maxHamming < 64, "maxHamming must be in [0, 64)")
     val chunks = cfg.maxHamming + 1
-    val width = 64 / chunks
+    val baseW = 64 / chunks
+    val rem = 64 % chunks
+    val widths = (0 until chunks).map(c => baseW + (if (c < rem) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
     val fps = fingerprints(df, idCol, textCol, cfg)
+    val chunkCols = (0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        call_function("shiftright", col("simhash"), lit(starts(c)))
+          .bitwiseAND(lit(mask(widths(c)))).as("key"))
+    }
     val chunked = fps.select(
-      col("id"), col("simhash"),
-      explode(transform(sequence(lit(0), lit(chunks - 1)), c =>
-        struct(c.as("chunk"),
-          call_function("shiftright", col("simhash"), (c * width).cast("int"))
-            .bitwiseAND((1L << width) - 1).as("key")))).as("ck"))
+      col("id"), col("simhash"), explode(array(chunkCols: _*)).as("ck"))
       .select(col("id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
     val sized = chunked
       .withColumn("bs", count(lit(1)).over(

@@ -36,7 +36,7 @@ object Similarity {
       corpus: DataFrame, cId: String, cVec: String,
       k: Int): DataFrame = {
     val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
-    val c = corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec"))
+    val c = Parallelism.ensureCompute(corpus).select(col(cId).as("c_id"), col(cVec).as("c_vec"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("c_id") =!= col("q_id"))
       .withColumn("sim", round(VectorExpressions.cosine(col("q_vec"), col("c_vec")), 6))
@@ -58,7 +58,8 @@ object Similarity {
       k: Int, dim: Int, bits: Int = 12, probes: Int = 2, seed: Long = 42L): DataFrame = {
     val sigC = VectorFunctions.hyperplaneSignature(col("c_vec"), dim, bits, seed)
     val sigQ = VectorFunctions.hyperplaneSignature(col("q_vec"), dim, bits, seed)
-    val c = corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec"), sigC.as("bucket"))
+    val c = Parallelism.ensureCompute(corpus)
+      .select(col(cId).as("c_id"), col(cVec).as("c_vec"), sigC.as("bucket"))
     // each query probes its own bucket + `probes` single-bit flips
     val probeArr = sequence(lit(0), lit(probes))
     val q = queries
@@ -78,40 +79,72 @@ object Similarity {
       .select(col("q_id"), col("c_id").as("vec_id"), col("sim"))
   }
 
+  /** Top-`n` centroid lists by cosine, as one expression over a literal
+    * centroid array (small by construction: nLists entries of dim floats).
+    */
+  private def nearestLists(vec: Column, cents: Array[Array[Float]], n: Int): Column = {
+    val scored = cents.zipWithIndex.map { case (cv, i) =>
+      struct(
+        VectorExpressions.cosine(vec,
+          array(cv.map(x => lit(x)): _*).cast("array<float>")).as("sim"),
+        lit(i.toLong).as("list"))
+    }
+    slice(reverse(array_sort(array(scored: _*))), 1, n)
+  }
+
+  /** Distributed Lloyd's k-means over an embedding column (the IVF centroid
+    * trainer). Every step is cluster-parallel and bounded on the driver:
+    *  - init: the `k` vectors with the smallest `xxhash64(id, seed)` — a
+    *    deterministic pseudo-random sample via TakeOrderedAndProject (no
+    *    full sort, no full collect);
+    *  - assign: argmax-cosine against the broadcast literal centroid array
+    *    (k × dim floats — tiny) inside codegen;
+    *  - update: per-dimension mean via posexplode + partial-aggregatable
+    *    groupBy(list, pos); the collect is k × dim scalars, never rows.
+    * For cosine/spherical k-means the un-normalized mean has the same
+    * argmax as the normalized centroid, so means are used as-is. Empty
+    * lists keep their previous centroid.
+    */
+  def trainCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, maxIter: Int = 3, seed: Long = 42L): Array[Array[Float]] = {
+    val c = Parallelism.ensureCompute(corpus)
+      .select(col(vecCol).as("vec"), xxhash64(col(idCol), lit(seed)).as("__h"))
+      .where(size(col("vec")) === dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = c.orderBy(col("__h")).limit(k).collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (_ <- 0 until maxIter) {
+      val means = c
+        .withColumn("list", nearestLists(col("vec"), cents, 1).getItem(0).getField("list"))
+        .select(col("list"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy(col("list"), col("pos")).agg(avg(col("v")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      cents = next
+    }
+    c.unpersist()
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
-    * their nearest of `nLists` centroids (one partition-pruned "inverted
-    * list" each); a query scores only the vectors in its `nProbe` nearest
-    * lists. The 100 TB deployment writes the corpus bucketed/partitioned by
-    * `list` so a probe reads only those partitions.
-    *
-    * Centroids here are chosen deterministically (every corpus-size/nLists-th
-    * vector by id — a seeded sample stand-in for k-means; the operator is
-    * agnostic to how centroids were trained and accepts them as a plain
-    * (id, vector) DataFrame).
+    * their nearest of `nLists` k-means centroids (one partition-pruned
+    * "inverted list" each); a query scores only the vectors in its `nProbe`
+    * nearest lists. The 100 TB deployment trains centroids once (or on a
+    * sample), writes the corpus bucketed/partitioned by `list`, and a probe
+    * reads only those partitions.
     */
   def ivfTopKJoin(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
-      k: Int, nLists: Int = 16, nProbe: Int = 2): DataFrame = {
-    val c0 = corpus.select(col(cId).as("c_id"), col(cVec).as("c_vec"))
-    // deterministic centroid seeds: the nLists lowest-id vectors (a k-means
-    // training step would refine these; the operator only needs SOME fixed
-    // centroid set and takes it from the corpus head, a bounded collect)
-    val centroids = c0.orderBy(col("c_id")).limit(nLists).collect()
-    val centArr = centroids.map(r =>
-      (r.getLong(0), r.getSeq[Float](1).toArray))
-    // argmax-cosine centroid assignment as one expression over a literal
-    // centroid array (small by construction: nLists entries)
-    def best(vec: Column, n: Int): Column = {
-      val scored = centArr.zipWithIndex.map { case ((cid, cv), i) =>
-        struct(
-          VectorExpressions.cosine(vec,
-            array(cv.map(x => lit(x)): _*).cast("array<float>")).as("sim"),
-          lit(cid).as("list"))
-      }
-      // top-n lists by similarity
-      slice(reverse(array_sort(array(scored: _*))), 1, n)
-    }
+      k: Int, nLists: Int = 16, nProbe: Int = 2,
+      dim: Int = 64, trainIters: Int = 3): DataFrame = {
+    val c0 = Parallelism.ensureCompute(corpus).select(col(cId).as("c_id"), col(cVec).as("c_vec"))
+    val cents = trainCentroids(corpus, cId, cVec, nLists, dim, trainIters)
+    def best(vec: Column, n: Int): Column = nearestLists(vec, cents, n)
     val cAssigned = c0.withColumn("list", best(col("c_vec"), 1).getItem(0).getField("list"))
     val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
       .withColumn("list", explode(transform(best(col("q_vec"), nProbe), s => s.getField("list"))))
@@ -131,7 +164,8 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, bits: Int = 12, seed: Long = 42L): DataFrame = {
     val sig = VectorFunctions.hyperplaneSignature(col(vecCol), dim, bits, seed)
-    val t = df.select(col(idCol).as("id"), col(vecCol).as("vec"), sig.as("bucket"))
+    val t = Parallelism.ensureCompute(df)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), sig.as("bucket"))
     val l = t.select(col("bucket"), col("id").as("idA"), col("vec").as("vecA"))
     val r = t.select(col("bucket"), col("id").as("idB"), col("vec").as("vecB"))
     l.join(r, Seq("bucket"))

@@ -111,6 +111,39 @@ object Paginated {
       .select(col("p.page").as("page"), explode(col("p.results")).as("r"))
       .select(col("page") +: resultSchema.fieldNames.toIndexedSeq.map(f => col(s"r.$f")): _*)
 
+  /** Real HTTP transport over `java.net.http` — the reference's client
+    * shape (`themovies.py:19-28`: bearer-token auth header, one GET per
+    * page, `?page=N` query param). Status handling (400 = past-the-end
+    * stop, other non-200 = fail) lives in [[ingest]], matching
+    * `themovies.py:34-38`.
+    *
+    * Serialization: the case class ships only config to executors; the
+    * HttpClient (not serializable) is rebuilt lazily once per JVM, so all
+    * tasks of an executor share one connection pool.
+    */
+  final case class HttpPageFetcher(
+      baseUrl: String,
+      bearerToken: Option[String] = None,
+      pageParam: String = "page",
+      timeoutMillis: Long = 30000L) extends PageFetcher {
+    @transient private lazy val client: java.net.http.HttpClient =
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMillis))
+        .build()
+    override def fetch(endpoint: String, page: Int): FetchResult = {
+      val sep = if (endpoint.contains("?")) "&" else "?"
+      val uri = java.net.URI.create(
+        s"${baseUrl.stripSuffix("/")}/$endpoint$sep$pageParam=$page")
+      val builder = java.net.http.HttpRequest.newBuilder(uri)
+        .timeout(java.time.Duration.ofMillis(timeoutMillis))
+        .GET()
+      bearerToken.foreach(t => builder.header("Authorization", s"Bearer $t"))
+      val resp = client.send(builder.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      FetchResult(resp.statusCode(), resp.body())
+    }
+  }
+
   /** Deterministic synthetic movie-feed fetcher (no network): `pages` pages
     * of `perPage` movies with formulaic fields — drives tests and the
     * oracle-checked ingest query.

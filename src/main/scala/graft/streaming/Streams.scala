@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.{Dedup, Merge}
+import graft.operators.{Dedup, Merge, Parallelism}
 
 /** Streaming surface (§2.7).
   *
@@ -22,9 +22,11 @@ import graft.operators.{Dedup, Merge}
   */
 object Streams {
 
-  /** Tumbling-window counts/sums. Works on batch or streaming input. */
+  /** Tumbling-window counts/sums. Works on batch or streaming input
+    * ([[Parallelism.ensure]] is a streaming-safe no-op on a stream).
+    */
   def tumblingAgg(events: DataFrame, tsCol: String, width: String): DataFrame =
-    events
+    Parallelism.ensure(events)
       .groupBy(window(col(tsCol), width), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .select(
@@ -34,7 +36,7 @@ object Streams {
 
   /** Sliding-window variant. */
   def slidingAgg(events: DataFrame, tsCol: String, width: String, slide: String): DataFrame =
-    events
+    Parallelism.ensure(events)
       .groupBy(window(col(tsCol), width, slide), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"),
@@ -42,7 +44,7 @@ object Streams {
 
   /** Session-window counts per user (gap-based). */
   def sessionAgg(events: DataFrame, tsCol: String, gap: String): DataFrame =
-    events
+    Parallelism.ensure(events)
       .groupBy(session_window(col(tsCol), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("session_start"),

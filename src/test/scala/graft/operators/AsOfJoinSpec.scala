@@ -47,6 +47,28 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out.columns.toSeq == Seq("trade_id", "t_key", "t_ts", "last_price"))
   }
 
+  test("NULL fields of the latest right row are preserved, not backfilled") {
+    // the 10:00 quote for key 1 has a NULL venue; a 09:30 trade joined
+    // as-of 10:30 must see (price=101.0, venue=NULL) — one coherent image
+    // of the LATEST row, never venue from the older 09:00 row
+    val quotesWithVenue = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(100.0), Some("NYSE")),
+      (1L, ts("2024-01-01 10:00:00"), Some(101.0), None)
+    ).toDF("q_key", "q_ts", "price", "venue")
+    val lateTrade = Seq((1L, 1L, ts("2024-01-01 10:30:00")))
+      .toDF("trade_id", "t_key", "t_ts")
+    val out = AsOfJoin.asOf(lateTrade, quotesWithVenue,
+      leftKeys = Seq("t_key"), rightKeys = Seq("q_key"),
+      leftTime = "t_ts", rightTime = "q_ts",
+      rightCols = Map("price" -> "last_price", "venue" -> "last_venue"))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDouble(r.fieldIndex("last_price")) == 101.0)
+    assert(r.isNullAt(r.fieldIndex("last_venue")),
+      "venue must be the latest row's NULL, not the older row's NYSE")
+  }
+
   test("output-name collision is rejected") {
     intercept[IllegalArgumentException] {
       AsOfJoin.asOf(trades, quotes,

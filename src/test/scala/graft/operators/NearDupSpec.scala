@@ -73,4 +73,60 @@ class NearDupSpec extends SparkSuite {
     val sigs = MinHashDedup.signatures(df, "doc_id", "text", MinHashDedup.Config())
     assert(sigs.where(size($"sig") > 0).count() == 0) // all below shingleN
   }
+
+  test("no broadcast side in the verify pipeline carries an array column") {
+    // the 100 TB contract: shingle/signature arrays are huge and badly
+    // size-estimated — only bare id pairs may be broadcast. Plan-inspect
+    // with AQE off so the compile-time joins are what's asserted.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = MinHashDedup.verifiedPairsPlan(corpus, "doc_id", "text",
+        MinHashDedup.Config(jaccardThreshold = 0.5, shingleN = 3))
+      val bcasts = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(bcasts.nonEmpty, "expected pinned broadcasts of the pair keys")
+      bcasts.foreach { b =>
+        val arrayCols = b.output.filter(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        assert(arrayCols.isEmpty,
+          s"broadcast side carries array columns ${arrayCols.map(_.name)}:\n$b")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("duplicateGroups handles string ids in the local union-find path") {
+    val pairs = Seq(("b", "c", 0.9), ("a", "b", 0.9), ("x", "y", 0.8))
+      .toDF("idA", "idB", "jaccard")
+    val groups = MinHashDedup.duplicateGroups(pairs)
+      .as[(String, String)].collect().toMap
+    assert(groups("a") == "a" && groups("b") == "a" && groups("c") == "a")
+    assert(groups("x") == "x" && groups("y") == "x")
+  }
+
+  test("simhash maxHamming=0 pairs exact duplicates (64-bit chunk mask)") {
+    val df = Seq((1L, base), (2L, base), (3L, unrelated1)).toDF("doc_id", "text")
+    val pairs = SimHashDedup.nearDupPairs(df, "doc_id", "text",
+      SimHashDedup.Config(maxHamming = 0))
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("jaccardPairs is exact: equals brute-force all-pairs Jaccard") {
+    import graft.functions.TextFunctions
+    val sh = corpus.select($"doc_id",
+      TextFunctions.shingles($"text", 3).as("s"))
+    val brute = sh.as("a").crossJoin(sh.as("b"))
+      .where($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("idA"), $"b.doc_id".as("idB"),
+        (size(array_intersect($"a.s", $"b.s")).cast("double") /
+          size(array_union($"a.s", $"b.s")).cast("double")).as("j"))
+      .where($"j" >= 0.5)
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    val exact = MinHashDedup.jaccardPairs(corpus, "doc_id", "text",
+      threshold = 0.5, shingleN = 3)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(exact == brute && exact.nonEmpty,
+      s"prefix-filter candidates must lose nothing: exact=$exact brute=$brute")
+  }
 }

@@ -59,6 +59,25 @@ class SimilaritySpec extends SparkSuite {
     assert(precision > 0.3, s"ivf hits should often be true near-neighbors; precision=$precision")
   }
 
+  test("k-means centroids: deterministic, right shape, tighter than init") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def cost(cents: Array[Array[Float]]): Double = {
+      import graft.plans.VectorExpressions
+      val best = greatest(cents.map(cv => VectorExpressions.cosine(
+        $"embedding", array(cv.map(x => lit(x)): _*).cast("array<float>"))): _*)
+      emb.select(avg(best)).as[Double].head()
+    }
+    val init = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8, dim = 64, maxIter = 0)
+    val trained = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8, dim = 64, maxIter = 3)
+    val again = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8, dim = 64, maxIter = 3)
+    assert(trained.length == 8 && trained.forall(_.length == 64))
+    assert(trained.zip(again).forall { case (a, b) => a.sameElements(b) },
+      "training must be deterministic")
+    val (c0, c1) = (cost(init), cost(trained))
+    assert(c1 >= c0 - 1e-6,
+      s"Lloyd's iterations must not loosen mean assignment similarity: init=$c0 trained=$c1")
+  }
+
   test("hyperplane signatures are deterministic across invocations") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
     def sigs = emb.select($"vec_id",

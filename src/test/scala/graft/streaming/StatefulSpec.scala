@@ -44,14 +44,78 @@ class StatefulSpec extends SparkSuite {
     val stream = spark.readStream
       .schema(spark.read.parquet(dir).schema).parquet(dir)
       .as[Stateful.Event]
+      .withWatermark("ts", "0 seconds")
     val q = Stateful.userSessions(spark, stream, gapMillis = 30 * 60000L)
       .writeStream.outputMode("append").format("memory").queryName("sessions_out").start()
     try {
       q.processAllAvailable()
       // first session closed by the 90-minute-later event; the open one
-      // stays in state (no timeout configured)
+      // stays in state (watermark never passes its close alarm)
       val rows = spark.table("sessions_out").collect()
       assert(rows.length == 1)
     } finally q.stop()
+  }
+
+  test("streaming event-time timeout emits the open session and clears state") {
+    val dir = java.nio.file.Files.createTempDirectory("stateful-to").toString
+    // batch 1: one open session for user 1
+    Seq(
+      Stateful.Event(1L, ts(0), "a", 1.0),
+      Stateful.Event(1L, ts(10), "b", 2.0)
+    ).toDS().write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+      .as[Stateful.Event]
+      .withWatermark("ts", "0 seconds")
+    val q = Stateful.userSessions(spark, stream, gapMillis = 30 * 60000L)
+      .writeStream.outputMode("append").format("memory").queryName("sessions_timeout").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sessions_timeout").count() == 0) // still open
+      // batch 2: a far-future event for ANOTHER user pushes the watermark
+      // past user 1's last+gap; the no-data follow-up batch fires the alarm
+      Seq(Stateful.Event(2L, ts(300), "x", 5.0))
+        .toDS().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 20000
+      var rows = spark.table("sessions_timeout").as[Stateful.ClosedSession].collect()
+      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+        rows = spark.table("sessions_timeout").as[Stateful.ClosedSession].collect()
+      }
+      assert(rows.length == 1)
+      assert(rows.head.user_id == 1L && rows.head.n_events == 2 &&
+        rows.head.session_start == ts(0) && rows.head.session_end == ts(10))
+    } finally q.stop()
+  }
+
+  test("sorted batch sessionization matches flatMapGroupsWithState output") {
+    val rng = new scala.util.Random(42)
+    val events = (0 until 2000).map { i =>
+      Stateful.Event(rng.nextInt(7).toLong, ts(rng.nextInt(3000).toLong),
+        s"e$i", rng.nextInt(10).toDouble)
+    }.toDS()
+    def canon(s: Seq[Stateful.ClosedSession]) =
+      s.sortBy(x => (x.user_id, x.session_start.getTime))
+        .map(x => (x.user_id, x.session_start, x.session_end, x.n_events, x.sum_value))
+    val viaState = canon(
+      Stateful.userSessionsBatch(spark, events, gapMillis = 30 * 60000L)
+        .collect().toSeq)
+    val viaSort = canon(
+      Stateful.userSessionsBatchSorted(spark, events, gapMillis = 30 * 60000L)
+        .collect().toSeq)
+    assert(viaSort == viaState)
+    assert(viaSort.nonEmpty)
+  }
+
+  test("sorted batch sessionization handles one dominant hot key") {
+    // one user with every event; the sorted pass must stream through it
+    val events = (0 until 5000).map { i =>
+      Stateful.Event(1L, ts(i.toLong * 5), s"e$i", 1.0)
+    }.toDS()
+    // 5-minute steps, 30-minute gap: one giant session
+    val out = Stateful.userSessionsBatchSorted(spark, events, gapMillis = 30 * 60000L)
+      .collect()
+    assert(out.length == 1 && out.head.n_events == 5000)
   }
 }
