@@ -40,6 +40,16 @@ object TextFunctions {
   /** Distinct word n-gram shingles — the unit set for Jaccard/MinHash. */
   def shingles(text: Column, n: Int): Column = array_distinct(wordNGrams(text, n))
 
+  /** Distinct shingles as 64-bit xxhash64 values. Set cardinalities (and so
+    * Jaccard) are preserved w.h.p. (collision odds ~|shingles|²/2⁶⁴), while
+    * downstream set ops run on fixed-width longs instead of n-word strings —
+    * the working set shrinks ~10x and `array_intersect`/`array_union` stop
+    * hashing variable-length strings per comparison. Hash-then-distinct:
+    * the distinct compares 8-byte longs, not strings.
+    */
+  def hashedShingles(text: Column, n: Int): Column =
+    array_distinct(transform(wordNGrams(text, n), s => xxhash64(s)))
+
   /** Punctuation ratio: non-alnum/non-space chars over total chars. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0))

@@ -70,48 +70,49 @@ object MinHashDedup {
     (as, bs)
   }
 
-  /** (id, shingles) — computed once per pipeline; the parallelism guard
-    * spreads the shingle construction even off a single-row-group scan.
+  /** (id, shingles) with shingles pre-hashed to 64-bit longs (see
+    * [[TextFunctions.hashedShingles]]) — computed once per pipeline; the
+    * parallelism guard spreads the shingle construction even off a
+    * single-row-group scan. Everything downstream (signature permutations,
+    * Jaccard verification) consumes the hashes: set cardinalities are
+    * preserved w.h.p., and the verify joins carry compact long arrays
+    * instead of n-word strings.
     */
   private def shingleTable(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame =
     Parallelism.ensureCompute(df).select(col(idCol).as("id"),
-      TextFunctions.shingles(col(textCol), cfg.shingleN).as("shingles"))
+      TextFunctions.hashedShingles(col(textCol), cfg.shingleN).as("shingles"))
 
-  /** (id, sig) for every doc with >= 1 shingle.
+  /** (id, sig) for every doc with >= 1 shingle; empty-shingle docs get an
+    * empty sig.
     *
-    * Shape matters here: a naive `zip_with(perms, ... array_min(transform(
-    * shingles...)))` inlines the expensive shingle-string construction into
-    * every one of the 64 permutation lambdas (CollapseProject re-duplicates
-    * it even across select boundaries) — a 64x blowup measured at ~70s for
-    * 5k docs. Instead we explode to one row per (id, shingle), hash each
-    * shingle ONCE, and take the 64 permutation minima in a single
-    * partial-aggregatable groupBy — string work linear in total shingles,
-    * map-side combine collapses to one row per doc before the shuffle.
+    * Shape matters here. The shingles arrive pre-hashed (xxhash64 longs), so
+    * the per-permutation work is pure long arithmetic — a row-local
+    * `array_min(transform(...))` per permutation, no explode, no shuffle of
+    * exploded rows, no 64-column hash agg, no join-back (measured 2.5-5x
+    * faster than the explode+agg shape it replaces). Two guardrails:
+    *  - the Mersenne reduction `pmod(h, p)` is projected to `__hm` BELOW a
+    *    `repartition(id)` Exchange — the barrier stops CollapseProject from
+    *    re-inlining the shingle construction (and the reduction) into all
+    *    `numHashes` lambdas, the measured-70s blowup;
+    *  - the repartition also spreads per-doc sig compute across the cluster
+    *    even off a single-row-group scan, and downstream joins on `id`
+    *    reuse the partitioning.
+    * Values are identical to pmod(xxhash64(shingle_string) * a + b, p) of
+    * the explode+agg shape — permutation math unchanged.
     */
   private def sigTable(base: DataFrame, cfg: Config): DataFrame = {
     val (as, bs) = coefficients(cfg)
-    // repartition(id) is load-bearing twice over: the Exchange is an
-    // optimizer barrier (CollapseProject would otherwise inline xxhash64
-    // into all 64 permutation columns below), and it pre-partitions by the
-    // aggregation key so the groupBy reuses the partitioning — one shuffle
-    // total, same as the plain groupBy would cost.
-    val hashed = base
-      .select(col("id"), explode(col("shingles")).as("s"))
-      .select(col("id"), pmod(xxhash64(col("s")), lit(MersennePrime)).as("h"))
-      .repartition(col("id"))
-    // The permutation values are PROJECTED into plain columns before the
-    // aggregate: min(pmod(...)) with the arithmetic inside the agg child
-    // measured ~100x slower (the agg update path evaluates complex children
-    // outside whole-stage codegen); min over a bound column stays fused.
-    val projected = hashed.select(
-      col("id") +: as.zip(bs).zipWithIndex.map { case ((a, b), i) =>
-        pmod(lit(a) * col("h") + lit(b), lit(MersennePrime)).as(s"__v$i")
-      }: _*)
-    val minCols = (0 until cfg.numHashes).map(i => min(col(s"__v$i")).as(s"__m$i"))
-    projected.groupBy(col("id"))
-      .agg(minCols.head, minCols.tail: _*)
+    val perms = array(as.zip(bs).map { case (a, b) =>
+      array_min(transform(col("__hm"), x =>
+        pmod(lit(a) * x + lit(b), lit(MersennePrime))))
+    }: _*)
+    base
       .select(col("id"),
-        array((0 until cfg.numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+        transform(col("shingles"), h => pmod(h, lit(MersennePrime))).as("__hm"))
+      .repartition(col("id"))
+      .select(col("id"),
+        when(size(col("__hm")) === 0, array().cast("array<bigint>"))
+          .otherwise(perms).as("sig"))
   }
 
   /** id, shingles, sig (array<long> of numHashes minima). Docs with no
@@ -224,9 +225,21 @@ object MinHashDedup {
     * the candidate set near-linear — the published 100 TB-scale recipe for
     * exact similarity self-join.
     *
+    * Candidate pruning (all exactness-preserving, from the same paper):
+    *  - length filter: J(A,B) >= t implies |A| >= t*|B| (wlog |A| <= |B|),
+    *    so wildly different-sized docs never pair;
+    *  - asymmetric prefixes: order each pair as (smaller, larger) by
+    *    shingle-set size. The overlap bound O = ceil(t/(1+t)*(|A|+|B|))
+    *    gives O >= ceil(2t/(1+t)*|A|) for the smaller side and
+    *    O >= ceil(t*|B|) for the larger, and the SMALLEST common shingle
+    *    under the global (df, hash) order must land inside both
+    *    |x| - O_x + 1 prefixes — so the smaller side indexes only its
+    *    short 2t/(1+t) prefix while the larger probes with its t prefix.
+    *    At t=0.5 that is a ~len/3-vs-len/2 join instead of len/2 squared.
+    *
     * Cost shape: one df-count aggregation over exploded shingles, one
-    * window per doc to rank, one self-join on prefix shingles, then the
-    * same broadcast-free verify as the LSH path.
+    * window per doc to rank, one index-vs-probe join on prefix shingles,
+    * then the same broadcast-free verify as the LSH path.
     */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -239,18 +252,29 @@ object MinHashDedup {
     val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
-    val prefixes = exploded.join(freq, Seq("s"))
+    // probe prefix (the longer of the two cutoffs) is computed once and
+    // persisted — it is prefix-sized, far smaller than the shingle table —
+    // and the index prefix is a filter over it (alpha >= t, so shorter).
+    val alpha = 2 * threshold / (1 + threshold)
+    val ranked = exploded.join(freq, Seq("s"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= col("len") - ceil(lit(threshold) * col("len")).cast("int") + 1)
-      .select(col("s"), col("id"))
-    val cands = prefixes.select(col("s"), col("id").as("idA"))
-      .join(prefixes.select(col("s"), col("id").as("idB")), Seq("s"))
-      .where(col("idA") < col("idB"))
-      .select("idA", "idB")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val index = ranked
+      .where(col("rk") <= col("len") - ceil(lit(alpha) * col("len")).cast("int") + 1)
+      .select(col("s"), col("id").as("idI"), col("len").as("lenI"))
+    val probe = ranked.select(col("s"), col("id").as("idP"), col("len").as("lenP"))
+    val cands = index.join(probe, Seq("s"))
+      .where((col("lenI") < col("lenP") ||
+          (col("lenI") === col("lenP") && col("idI") < col("idP"))) &&
+        col("lenI").cast("double") >= lit(threshold) * col("lenP"))
+      .select(least(col("idI"), col("idP")).as("idA"),
+        greatest(col("idI"), col("idP")).as("idB"))
       .distinct()
     val out = verifyJaccard(base, cands, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
+    ranked.unpersist()
     base.unpersist()
     out
   }
@@ -277,7 +301,14 @@ object MinHashDedup {
       val out = duplicateGroupsLocal(p)
       p.unpersist() // edges live on the driver now; drop the cluster copy
       out
-    } else duplicateGroupsDistributed(p, maxIterations)
+    } else {
+      // duplicateGroupsDistributed re-persists its own (deduped, undirected)
+      // edge table up front, so the raw pair cache can be dropped as soon as
+      // that first materialization exists — not leaked for the session.
+      val out = duplicateGroupsDistributed(p, maxIterations)
+      p.unpersist()
+      out
+    }
   }
 
   /** Driver union-find over a collected edge list (small verified-pair
