@@ -12,8 +12,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * swap destinations by swapping the sink object.
   *
   * Tested against embedded Derby (the JDBC driver available offline); the
-  * code path is the generic `spark.read/write.format("jdbc")` one, so any
-  * dialect Spark ships (Postgres, MySQL, ...) works unchanged.
+  * read/write paths are the generic `spark.read/write.format("jdbc")` ones.
+  * The one dialect-sensitive statement this object issues itself — the
+  * staging-swap rename — is routed per-dialect in [[renameSql]]
+  * (`ALTER TABLE .. RENAME TO` for PostgreSQL and friends, `RENAME TABLE`
+  * for Derby/MySQL); only the Derby branch is exercised offline.
   *
   * Scale notes:
   *  - writes are executor-parallel (one INSERT batch per input partition;
@@ -129,21 +132,60 @@ object JdbcSink {
     }
   }
 
+  /** Table names follow Spark's `dbtable` convention: passed through
+    * VERBATIM (Spark's own JDBC writer interpolates `dbtable` unquoted into
+    * its CREATE TABLE, so a quoted variant here would name a DIFFERENT table
+    * under case-folding databases like Derby/Postgres). To keep the verbatim
+    * interpolation from doubling as an injection vector, names are
+    * restricted to plain (optionally schema-qualified) identifiers.
+    */
+  private def checkTableName(table: String): String = {
+    require(table.matches("""[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)?"""),
+      s"table name must be a plain (optionally schema-qualified) identifier: $table")
+    table
+  }
+
+  /** Dialect-correct table rename: ANSI/PostgreSQL-family databases use
+    * `ALTER TABLE .. RENAME TO ..`; Derby and MySQL use `RENAME TABLE .. TO
+    * ..`.
+    */
+  private def renameSql(url: String, from: String, to: String): String = {
+    val u = url.toLowerCase
+    if (u.startsWith("jdbc:derby") || u.startsWith("jdbc:mysql"))
+      s"RENAME TABLE ${checkTableName(from)} TO ${checkTableName(to)}"
+    else s"ALTER TABLE ${checkTableName(from)} RENAME TO ${checkTableName(to)}"
+  }
+
   /** Write-staging-then-swap full-table rewrite ([[Sinks.swapInto]] for an
     * RDBMS): land `data` in `<table>__staging` FIRST — materializing any
     * plan that still reads the live table — then drop + rename inside one
-    * connection. (True transactional DDL swap is dialect-specific; this is
-    * the portable shape.)
+    * transaction on one connection. On databases with transactional DDL
+    * (PostgreSQL, Derby) the swap is atomic: a reader never observes the
+    * missing-table window and a crash between the statements rolls back.
+    * MySQL auto-commits DDL, so there the swap is only crash-safe up to its
+    * implicit commits — the staging table always holds the full image either
+    * way, so no data is lost.
     */
   def swapInto(spark: SparkSession, conn: Conn, table: String, data: DataFrame): Unit = {
-    val staging = s"${table}__staging"
+    val staging = s"${checkTableName(table)}__staging"
     write(data, conn, staging, SaveMode.Overwrite)
     withConnection(conn) { c =>
+      val autoCommit = c.getAutoCommit
+      c.setAutoCommit(false)
       val st = c.createStatement()
       try {
-        if (tableExists(conn, table)) st.executeUpdate(s"DROP TABLE $table")
-        st.executeUpdate(s"RENAME TABLE $staging TO $table")
-      } finally st.close()
+        if (tableExists(conn, table))
+          st.executeUpdate(s"DROP TABLE $table")
+        st.executeUpdate(renameSql(conn.url, staging, table))
+        c.commit()
+      } catch {
+        case e: Throwable =>
+          try c.rollback() catch { case _: Throwable => () }
+          throw e
+      } finally {
+        st.close()
+        try c.setAutoCommit(autoCommit) catch { case _: Throwable => () }
+      }
     }
   }
 

@@ -22,6 +22,24 @@ import org.apache.spark.sql.DataFrame
   */
 object Parallelism {
 
+  /** Planned-partition counts memoized by (session, canonicalized-plan
+    * semantic hash): `df.rdd.getNumPartitions` runs full physical planning
+    * (file listing included) of the input, and `ensure` sits on hot operator
+    * paths that probe the same table loads over and over. The count is a
+    * parallelism DECISION input, not a correctness input — a stale entry
+    * (e.g. the same path re-read after a sink swap grew it) costs at most a
+    * suboptimal repartition choice — so a plain bounded cache is safe.
+    */
+  private val partitionCounts =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Int]()
+
+  private def plannedPartitions(df: DataFrame): Int = {
+    val key = (System.identityHashCode(df.sparkSession).toString,
+      df.queryExecution.logical.canonicalized.semanticHash())
+    if (partitionCounts.size > 4096) partitionCounts.clear()
+    partitionCounts.computeIfAbsent(key, _ => df.rdd.getNumPartitions)
+  }
+
   /** Repartition `df` up to the default parallelism if its planned partition
     * count is lower and its estimated size exceeds `minBytes` (tiny dims are
     * cheaper single-partition than shuffled).
@@ -32,7 +50,7 @@ object Parallelism {
   def ensure(df: DataFrame, minBytes: Long = 1L << 20): DataFrame = {
     if (df.isStreaming) return df
     val want = df.sparkSession.sparkContext.defaultParallelism
-    val have = df.rdd.getNumPartitions
+    val have = plannedPartitions(df)
     if (have >= want) return df
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (estBytes < minBytes) df else df.repartition(want)

@@ -114,6 +114,13 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = c.orderBy(col("__h")).limit(k).collect()
       .map(_.getSeq[Float](0).toArray)
+    if (cents.isEmpty) {
+      c.unpersist()
+      throw new IllegalArgumentException(
+        s"trainCentroids: no vectors of dim=$dim in column '$vecCol' — " +
+          "the corpus embeddings have a different length (pass the right dim, " +
+          "or let ivfTopKJoin infer it)")
+    }
     for (_ <- 0 until maxIter) {
       val means = c
         .withColumn("list", nearestLists(col("vec"), cents, 1).getItem(0).getField("list"))
@@ -141,9 +148,19 @@ object Similarity {
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
       k: Int, nLists: Int = 16, nProbe: Int = 2,
-      dim: Int = 64, trainIters: Int = 3): DataFrame = {
+      dim: Int = -1, trainIters: Int = 3): DataFrame = {
     val c0 = Parallelism.ensureCompute(corpus).select(col(cId).as("c_id"), col(cVec).as("c_vec"))
-    val cents = trainCentroids(corpus, cId, cVec, nLists, dim, trainIters)
+    // dim <= 0 = infer from the data (the modal vector length — one tiny
+    // aggregation, no assumption that row one is representative); an
+    // explicit wrong dim fails fast in trainCentroids instead of silently
+    // training on a skewed subset.
+    val useDim =
+      if (dim > 0) dim
+      else c0.groupBy(size(col("c_vec")).as("d")).count()
+        .orderBy(col("count").desc, col("d").asc)
+        .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(
+          throw new IllegalArgumentException("ivfTopKJoin: empty corpus"))
+    val cents = trainCentroids(corpus, cId, cVec, nLists, useDim, trainIters)
     def best(vec: Column, n: Int): Column = nearestLists(vec, cents, n)
     val cAssigned = c0.withColumn("list", best(col("c_vec"), 1).getItem(0).getField("list"))
     val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
