@@ -200,13 +200,28 @@ object MinHashDedup {
     * a small cached DataFrame; nothing corpus-sized stays pinned.
     */
   def verifiedPairs(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
-    // CacheManager matches by canonicalized plan, so persisting this base
-    // instance makes the identical subtree inside verifiedPairsPlan hit it.
+    // Each expensive stage is persisted AND materialized before its
+    // consumers run. This matters twice over: the downstream plan reads
+    // every stage from more than one place (the bucket self-join reads the
+    // sig pipeline twice, the two verify broadcasts read the candidate
+    // subtree twice, both probe sides read the shingle table), and an
+    // UNmaterialized cache is recomputed by each concurrent consumer rather
+    // than computed once — measured 101s -> ~10s at sf0.1. The caches are
+    // dropped on exit; only the result-sized pair set stays.
     val base = shingleTable(df, idCol, textCol, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = verifiedPairsPlan(df, idCol, textCol, cfg)
+    base.count()
+    val sigs = sigTable(base, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize the tiny pair set so the shingle cache can go
+    sigs.count()
+    val cands = candidatePairs(sigs, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands.count()
+    val out = verifyJaccard(base, cands, cfg.jaccardThreshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the tiny pair set so the upstream caches can go
+    cands.unpersist()
+    sigs.unpersist()
     base.unpersist()
     out
   }
@@ -247,6 +262,7 @@ object MinHashDedup {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val base = shingleTable(df, idCol, textCol, Config(shingleN = shingleN))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // materialize before fan-out (see verifiedPairs)
     val exploded = base.select(col("id"), size(col("shingles")).as("len"),
       explode(col("shingles")).as("s"))
     val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -260,6 +276,7 @@ object MinHashDedup {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= col("len") - ceil(lit(threshold) * col("len")).cast("int") + 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranked.count() // both prefix sides read this — materialize once
     val index = ranked
       .where(col("rk") <= col("len") - ceil(lit(alpha) * col("len")).cast("int") + 1)
       .select(col("s"), col("id").as("idI"), col("len").as("lenI"))
@@ -271,9 +288,12 @@ object MinHashDedup {
       .select(least(col("idI"), col("idP")).as("idA"),
         greatest(col("idI"), col("idP")).as("idB"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands.count() // both verify broadcasts read this — materialize once
     val out = verifyJaccard(base, cands, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
+    cands.unpersist()
     ranked.unpersist()
     base.unpersist()
     out
