@@ -522,4 +522,157 @@ object Queries {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 3)
   }
+
+  // ---------------------------------------------------------------- Q39
+  /** Exact (interpolating) percentiles + dispersion statistics per group —
+    * the ordered-aggregate class (§2.3 generalization; DuckDB
+    * quantile_cont/median/stddev are the oracle). Exact `percentile`, not
+    * `percentile_approx`: a single sort-based ordered agg per group.
+    * Interpolated values land on a 0.0025-grid for 2-dp data, and the
+    * dispersion stats are irrational — rounding at 6 dp is boundary-safe.
+    */
+  def q39Percentiles(spark: SparkSession, dir: String): DataFrame =
+    tp(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25_qty"),
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50_qty"),
+        round(percentile(col("l_quantity"), lit(0.95)), 6).as("p95_qty"),
+        round(median(col("l_extendedprice")), 6).as("med_price"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
+
+  // ---------------------------------------------------------------- Q40
+  /** Analytic-window battery (§2.5 surface): lag/lead/first_value, a
+    * running sum and a bounded moving average, rank and ntile — one window
+    * pass per frame spec, partitioned by customer. All orderings carry a
+    * unique tiebreak (o_orderkey) so every function is deterministic; the
+    * running sum is rounded at 3 dp (values on a 2-dp grid, summation
+    * associativity differs between engines).
+    */
+  def q40WindowBattery(spark: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey").asc)
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    tp(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(byKey))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(byKey))
+      .withColumn("first_price", first(col("o_totalprice")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("run_sum", round(sum(col("o_totalprice")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 3))
+      .withColumn("mov_avg3", round(avg(col("o_totalprice")).over(
+        byKey.rowsBetween(-2, Window.currentRow)), 3))
+      .withColumn("price_rank", rank().over(byPrice))
+      .withColumn("quartile", ntile(4).over(byKey))
+  }
+
+  // ---------------------------------------------------------------- Q41
+  /** Date/time function battery (§2.6 surface) over o_orderdate:
+    * calendar parts, truncation, last-day, day arithmetic. Day-of-week is
+    * normalized to Spark's 1=Sunday convention on both sides.
+    */
+  def q41DateBattery(spark: SparkSession, dir: String): DataFrame =
+    tp(spark, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      quarter(col("o_orderdate")).as("q"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      dayofyear(col("o_orderdate")).as("doy"),
+      dayofweek(col("o_orderdate")).as("dow_sun1"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      // DATE comes back from parquet as a python object column while the
+      // DuckDB DATE materializes as datetime64 — compare as timestamps
+      last_day(col("o_orderdate")).cast("timestamp_ntz").as("month_last"),
+      datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).as("days_since"))
+
+  // ---------------------------------------------------------------- Q42
+  /** TF-IDF top terms per document (training-data text analysis): token
+    * explode -> per-(doc, term) TF -> document frequency -> score =
+    * tf * ln(N/df), top 3 terms per doc (doc_id < 100) with deterministic
+    * (score desc, term asc) ranking. Every stage is a partial-aggregatable
+    * groupBy or a broadcastable dimension (the term-df table is vocabulary-
+    * sized, not corpus-sized).
+    */
+  def q42Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val tokens = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq.hint("broadcast"), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      .where(col("doc_id") < 100)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rn"))
+  }
+
+  // ---------------------------------------------------------------- Q43
+  /** Full outer join (§2.4 class): urgent-order counts vs big-ticket
+    * aggregates per customer — both sides have keys the other lacks, so
+    * null-extension fires in both directions.
+    */
+  def q43FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val orders = tp(spark, dir, "orders")
+    val urgent = orders.where(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_urgent"))
+    val big = orders.where(col("o_totalprice") > 300000.0)
+      .groupBy(col("o_custkey")).agg(
+        count(lit(1)).as("n_big"),
+        round(sum(col("o_totalprice")), 2).as("rev_big"))
+    urgent.join(big, Seq("o_custkey"), "full_outer")
+  }
+
+  // ---------------------------------------------------------------- Q44
+  /** Corpus-wide bigram counts, top 50 (n-gram language statistics for a
+    * training-data pipeline): one explode + one partial-aggregatable
+    * groupBy + TakeOrderedAndProject; ties broken lexicographically.
+    */
+  def q44Bigrams(spark: SparkSession, dir: String): DataFrame =
+    tp(spark, dir, "documents")
+      .select(explode(TextFunctions.wordNGrams(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(50)
+
+  // ---------------------------------------------------------------- Q45
+  /** Pairwise edit distance (fuzzy text similarity — the non-set-based
+    * sibling of Jaccard): levenshtein over 60-char prefixes of a small doc
+    * slice, all pairs idA < idB. Codegen'd built-in, no UDF.
+    */
+  def q45Levenshtein(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").where(col("doc_id") < 30)
+      .select(col("doc_id"), substring(col("text"), 1, 60).as("prefix"))
+    val a = d.select(col("doc_id").as("idA"), col("prefix").as("prefA"))
+    val b = d.select(col("doc_id").as("idB"), col("prefix").as("prefB"))
+    a.crossJoin(b).where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        levenshtein(col("prefA"), col("prefB")).as("dist"))
+  }
+
+  // ---------------------------------------------------------------- Q46
+  /** Correlated scalar subqueries through the SQL surface — Catalyst
+    * decorrelates both into aggregate-then-join; exercises the
+    * subquery-rewrite class the DataFrame API never produces directly.
+    */
+  def q46ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("q46_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("q46_orders")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |       (SELECT count(*) FROM q46_orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |       (SELECT round(coalesce(max(o_totalprice), 0.0), 2) FROM q46_orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM q46_customer c""".stripMargin)
+  }
 }

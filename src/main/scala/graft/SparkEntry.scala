@@ -63,6 +63,14 @@ object SparkEntry {
     "q36_pivot" -> (Queries.q36Pivot _),
     "q37_unpivot" -> (Queries.q37Unpivot _),
     "q38_jdbc_roundtrip" -> (Queries.q38JdbcRoundtrip _),
+    "q39_percentiles" -> (Queries.q39Percentiles _),
+    "q40_window_battery" -> (Queries.q40WindowBattery _),
+    "q41_date_battery" -> (Queries.q41DateBattery _),
+    "q42_tfidf" -> (Queries.q42Tfidf _),
+    "q43_full_outer" -> (Queries.q43FullOuter _),
+    "q44_bigrams" -> (Queries.q44Bigrams _),
+    "q45_levenshtein" -> (Queries.q45Levenshtein _),
+    "q46_scalar_subquery" -> (Queries.q46ScalarSubquery _),
   )
 
   private val mergeOracle: String = {
@@ -412,5 +420,87 @@ object SparkEntry {
       """SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value FROM customer
         |UNION ALL
         |SELECT c_custkey, 'abs_bal', abs(c_acctbal) FROM customer""".stripMargin,
+    "q39_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |       round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+        |       round(median(l_extendedprice), 6) AS med_price,
+        |       round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |       round(var_samp(l_quantity), 6) AS var_qty,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q40_window_battery" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       lag(o_totalprice, 1) OVER wk AS prev_price,
+        |       lead(o_totalprice, 1) OVER wk AS next_price,
+        |       first_value(o_totalprice) OVER (wk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+        |       round(sum(o_totalprice) OVER (wk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS run_sum,
+        |       round(avg(o_totalprice) OVER (wk ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS mov_avg3,
+        |       CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS price_rank,
+        |       CAST(ntile(4) OVER wk AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW wk AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC)""".stripMargin,
+    "q41_date_battery" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS INTEGER) AS y,
+        |       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |       CAST(month(o_orderdate) AS INTEGER) AS m,
+        |       CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        |       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+        |       date_trunc('month', o_orderdate) AS month_start,
+        |       last_day(o_orderdate) AS month_last,
+        |       CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS INTEGER) AS days_since
+        |FROM orders""".stripMargin,
+    "q42_tfidf" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df, score, rn FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) AS score,
+        |         CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) DESC,
+        |                    tf.term ASC) AS INTEGER) AS rn
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |  WHERE tf.doc_id < 100)
+        |WHERE rn <= 3""".stripMargin,
+    "q43_full_outer" ->
+      """WITH urgent AS (
+        |  SELECT o_custkey, count(*) AS n_urgent FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+        |), big AS (
+        |  SELECT o_custkey, count(*) AS n_big, round(sum(o_totalprice), 2) AS rev_big
+        |  FROM orders WHERE o_totalprice > 300000.0 GROUP BY o_custkey
+        |)
+        |SELECT coalesce(urgent.o_custkey, big.o_custkey) AS o_custkey,
+        |       n_urgent, n_big, rev_big
+        |FROM urgent FULL OUTER JOIN big ON urgent.o_custkey = big.o_custkey""".stripMargin,
+    "q44_bigrams" ->
+      """SELECT bigram, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(
+        |           generate_series(1, greatest(len(ws) - 1, 0)),
+        |           i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents))
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin,
+    "q45_levenshtein" ->
+      """WITH d AS (
+        |  SELECT doc_id, substring(text, 1, 60) AS prefix FROM documents WHERE doc_id < 30
+        |)
+        |SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |       CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id""".stripMargin,
+    "q46_scalar_subquery" ->
+      """SELECT c_custkey, c_name,
+        |       (SELECT count(*) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |       (SELECT round(coalesce(max(o_totalprice), 0.0), 2) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c""".stripMargin,
   )
 }
