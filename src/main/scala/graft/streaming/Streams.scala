@@ -62,6 +62,36 @@ object Streams {
       keys: Seq[String]): DataFrame =
     stream.withWatermark(tsCol, watermark).dropDuplicates(keys :+ tsCol)
 
+  /** Key-equality interval join: left row matches right rows with the same
+    * key whose timestamp lands in [leftTs, leftTs + maxDelay] — the
+    * impression->click shape. Written on plain DataFrames so the identical
+    * plan runs in batch (oracle-comparable) and as a stream-stream join.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      maxDelay: String): DataFrame =
+    left.join(right,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+
+  /** Stream-stream inner join with state cleanup: both sides watermarked,
+    * and the time-range condition bounds how long either side's rows are
+    * retained in the join state — without it a stream-stream join buffers
+    * forever, the canonical 100 TB streaming failure mode.
+    */
+  def streamingIntervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      maxDelay: String, watermark: String): DataFrame =
+    intervalJoin(
+      left.withWatermark(leftTs, watermark),
+      right.withWatermark(rightTs, watermark),
+      leftKey, rightKey, leftTs, rightTs, maxDelay)
+
   /** The reference pipeline as a stream: each micro-batch is deduped on pk
     * (deterministic winner) and MERGEd into the parquet destination table
     * via full-snapshot swap (see [[ParquetUpsertSink]]).

@@ -64,6 +64,57 @@ class StreamsSpec extends SparkSuite {
     assert(afterSecond == Map(1L -> "a", 2L -> "b3", 3L -> "c"))
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val events = Tables.load(spark, sf, "events")
+    val clicks = events.where($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+    val views = events.where($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"ts".as("v_ts"), $"event_id".as("v_id"))
+    val vDir = tmpDir("views-stream")
+    val cDir = tmpDir("clicks-stream")
+    views.write.mode("overwrite").parquet(vDir)
+    clicks.write.mode("overwrite").parquet(cDir)
+
+    val vStream = spark.readStream.schema(views.schema).parquet(vDir)
+    val cStream = spark.readStream.schema(clicks.schema).parquet(cDir)
+    val joined = Streams.streamingIntervalJoin(
+      vStream, cStream, "v_user", "c_user", "v_ts", "c_ts",
+      maxDelay = "10 minutes", watermark = "1 hour")
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName("ssjoin_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_out")
+      val batch = Streams.intervalJoin(
+        views, clicks, "v_user", "c_user", "v_ts", "c_ts", "10 minutes")
+      assert(batch.count() > 0, "fixture must produce at least one join row")
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
+  test("streamingDedup drops in-horizon duplicate keys, stream==batch distinct") {
+    val dir = tmpDir("dedup-stream")
+    Seq(
+      ("2024-01-01 00:00:00", 1L, "a"),
+      ("2024-01-01 00:01:00", 1L, "a"), // same key+ts grid? different ts, same id
+      ("2024-01-01 00:00:00", 1L, "a"), // exact dup of row 1 -> dropped
+      ("2024-01-01 00:02:00", 2L, "b")
+    ).toDF("ts_s", "id", "v")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+      .write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val out = Streams.streamingDedup(streamIn, "ts", "1 hour", keys = Seq("id"))
+    val q = out.writeStream
+      .outputMode("append").format("memory").queryName("sdedup_out").start()
+    try {
+      q.processAllAvailable()
+      // (id, ts) pairs: exact duplicate collapsed, distinct ts survive
+      assert(spark.table("sdedup_out").count() == 3)
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap") {
     val df = Seq(
       ("2024-01-01 00:00:00", 1L), ("2024-01-01 00:10:00", 1L), // one session
