@@ -659,6 +659,50 @@ object Queries {
         levenshtein(col("prefA"), col("prefB")).as("dist"))
   }
 
+  // ---------------------------------------------------------------- Q47
+  /** Text normalization + repetition signals (training-data cleaning
+    * battery): lowercase/whitespace-collapse/punctuation-strip
+    * normalization with a content hash (the canonical pre-dedup transform),
+    * digit ratio, and the Gopher-style 3-gram repetition ratio
+    * (1 - distinct/total n-grams) that flags boilerplate. Pure codegen'd
+    * expressions, no UDF.
+    */
+  def q47TextNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+      " +", " ")
+    val grams = TextFunctions.wordNGrams(col("text"), 3)
+    tp(spark, dir, "documents").select(
+      col("doc_id"),
+      md5(norm).as("norm_md5"),
+      length(norm).as("norm_len"),
+      when(length(col("text")) === 0, lit(0.0))
+        .otherwise(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+          length(col("text")).cast("double")).as("digit_ratio"),
+      when(size(grams) === 0, lit(0.0))
+        .otherwise(round(lit(1.0) -
+          size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 6))
+        .as("rep_ratio"))
+  }
+
+  // ---------------------------------------------------------------- Q48
+  /** Array higher-order-function battery (§2.6/§2.8 surface): filter,
+    * transform+aggregate, sort/slice/join, membership — the HOF family the
+    * LLM-pipeline operators lean on, oracle-matched against DuckDB's list
+    * functions.
+    */
+  def q48ArrayHof(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    tp(spark, dir, "documents").select(
+      col("doc_id"),
+      size(filter(toks, t => length(t) > 3)).as("n_long_tokens"),
+      aggregate(transform(toks, t => length(t).cast("bigint")), lit(0L), (a, x) => a + x)
+        .as("sum_token_len"),
+      array_join(slice(array_sort(toks), 1, 3), ",").as("first3_sorted"),
+      array_contains(toks, "the").cast("int").as("has_the"),
+      size(array_distinct(toks)).as("n_distinct_tokens"))
+  }
+
   // ---------------------------------------------------------------- Q46
   /** Correlated scalar subqueries through the SQL surface — Catalyst
     * decorrelates both into aggregate-then-join; exercises the

@@ -71,6 +71,8 @@ object SparkEntry {
     "q44_bigrams" -> (Queries.q44Bigrams _),
     "q45_levenshtein" -> (Queries.q45Levenshtein _),
     "q46_scalar_subquery" -> (Queries.q46ScalarSubquery _),
+    "q47_text_normalize" -> (Queries.q47TextNormalize _),
+    "q48_array_hof" -> (Queries.q48ArrayHof _),
   )
 
   private val mergeOracle: String = {
@@ -502,5 +504,33 @@ object SparkEntry {
         |       (SELECT round(coalesce(max(o_totalprice), 0.0), 2) FROM orders o
         |        WHERE o.o_custkey = c.c_custkey) AS max_price
         |FROM customer c""".stripMargin,
+    "q47_text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                        ' +', ' ', 'g') AS norm,
+        |         list_transform(
+        |           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |                || ' ' || string_split(text, ' ')[i+2]) AS grams
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS norm_md5,
+        |       CAST(length(norm) AS INTEGER) AS norm_len,
+        |       CASE WHEN length(text) = 0 THEN 0.0
+        |            ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |                 / CAST(length(text) AS DOUBLE) END AS digit_ratio,
+        |       CASE WHEN len(grams) = 0 THEN 0.0
+        |            ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |                 / CAST(len(grams) AS DOUBLE), 6) END AS rep_ratio
+        |FROM n""".stripMargin,
+    "q48_array_hof" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(list_filter(ws, tk -> length(tk) > 3)) AS INTEGER) AS n_long_tokens,
+        |       CAST(list_sum(list_transform(ws, tk -> length(tk))) AS BIGINT) AS sum_token_len,
+        |       array_to_string(list_sort(ws)[1:3], ',') AS first3_sorted,
+        |       CAST(list_contains(ws, 'the') AS INTEGER) AS has_the,
+        |       CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct_tokens
+        |FROM t""".stripMargin,
   )
 }
