@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.operators._
+import graft.plans.NativeRangeJoin
 import graft.sources.Paginated
 import graft.streaming.Streams
 
@@ -718,5 +719,29 @@ object Queries {
         |       (SELECT round(coalesce(max(o_totalprice), 0.0), 2) FROM q46_orders o
         |        WHERE o.o_custkey = c.c_custkey) AS max_price
         |FROM q46_customer c""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- Q49
+  /** Range join planned by the NATIVE operator ([[graft.plans.BroadcastRangeJoin]]
+    * logical node -> `BroadcastRangeJoinExec`): start-sorted broadcast
+    * interval index + per-row binary search, zero shuffles, point-side
+    * partitioning preserved. Same semantics as [[q33RangeJoin]] (which keeps
+    * the bucketized both-sides-large path); interval side filtered to the
+    * dimension-sized regime this operator targets.
+    */
+  def q49NativeRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val intervals = t(spark, dir, "orders")
+      .where(col("o_orderkey") % 10 === 0)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        (lit("2024-01-01 00:00:00").cast("timestamp") +
+          expr("make_interval(0, 0, 0, 0, CAST(o_orderkey % 96 AS INT), 0, 0)")).as("iv_start"))
+      .withColumn("iv_end", col("iv_start") + expr("INTERVAL 2 HOURS"))
+    NativeRangeJoin.pointInInterval(
+      events, intervals,
+      pointKeys = Seq("user_id"), intervalKeys = Seq("o_custkey"),
+      pointTime = "ts", intervalStart = "iv_start", intervalEnd = "iv_end")
+      .select(col("event_id"), col("user_id"), col("ts"), col("o_orderkey"))
   }
 }

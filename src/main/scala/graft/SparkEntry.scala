@@ -73,6 +73,7 @@ object SparkEntry {
     "q46_scalar_subquery" -> (Queries.q46ScalarSubquery _),
     "q47_text_normalize" -> (Queries.q47TextNormalize _),
     "q48_array_hof" -> (Queries.q48ArrayHof _),
+    "q49_native_range_join" -> (Queries.q49NativeRangeJoin _),
   )
 
   private val mergeOracle: String = {
@@ -532,5 +533,14 @@ object SparkEntry {
         |       CAST(list_contains(ws, 'the') AS INTEGER) AS has_the,
         |       CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct_tokens
         |FROM t""".stripMargin,
+    "q49_native_range_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         TIMESTAMP '2024-01-01 00:00:00' + (o_orderkey % 96) * INTERVAL 1 HOUR AS iv_start,
+        |         TIMESTAMP '2024-01-01 00:00:00' + (o_orderkey % 96) * INTERVAL 1 HOUR + INTERVAL 2 HOUR AS iv_end
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT e.event_id, e.user_id, e.ts, iv.o_orderkey
+        |FROM events e JOIN iv
+        |  ON e.user_id = iv.o_custkey AND e.ts >= iv.iv_start AND e.ts < iv.iv_end""".stripMargin,
   )
 }
