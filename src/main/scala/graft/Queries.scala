@@ -744,4 +744,31 @@ object Queries {
       pointTime = "ts", intervalStart = "iv_start", intervalEnd = "iv_end")
       .select(col("event_id"), col("user_id"), col("ts"), col("o_orderkey"))
   }
+
+  // ---------------------------------------------------------------- Q50
+  /** Deterministic per-group sample via the custom [[graft.plans.BottomKSketch]]
+    * aggregate (k distinct values with smallest md5) — a KMV sketch: state
+    * bounded at O(k) per group through partial aggregation, reproducible
+    * across re-runs/partitionings, and portable (the oracle rebuilds the
+    * exact sample with `row_number() OVER (ORDER BY md5(v))`). Exploded to
+    * scalar rows for the comparator.
+    */
+  def q50BottomkSample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(graft.plans.SketchAggregates.bottom_k(col("c_name"), 5).as("sample"))
+      .select(col("c_mktsegment"), posexplode(col("sample")).as(Seq("pos", "name")))
+
+  // ---------------------------------------------------------------- Q51
+  /** Heavy hitters via Spark's sketch aggregate `approx_top_k`. With
+    * `maxItemsTracked` >= the true distinct count the sketch is EXACT, so
+    * the oracle is a plain count GROUP BY — the honest way to oracle-check
+    * a sketch operator. At 100 TB the same plan holds: fixed-size sketch
+    * per partition, single merge, no full shuffle of the raw column.
+    */
+  def q51ApproxTopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .agg(expr("approx_top_k(event_type, 10, 100)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.count").as("n"))
 }

@@ -74,6 +74,8 @@ object SparkEntry {
     "q47_text_normalize" -> (Queries.q47TextNormalize _),
     "q48_array_hof" -> (Queries.q48ArrayHof _),
     "q49_native_range_join" -> (Queries.q49NativeRangeJoin _),
+    "q50_bottomk_sample" -> (Queries.q50BottomkSample _),
+    "q51_approx_topk" -> (Queries.q51ApproxTopK _),
   )
 
   private val mergeOracle: String = {
@@ -542,5 +544,14 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ts, iv.o_orderkey
         |FROM events e JOIN iv
         |  ON e.user_id = iv.o_custkey AND e.ts >= iv.iv_start AND e.ts < iv.iv_end""".stripMargin,
+    "q50_bottomk_sample" ->
+      """WITH d AS (SELECT DISTINCT c_mktsegment, c_name FROM customer),
+        |r AS (SELECT c_mktsegment, c_name,
+        |             row_number() OVER (PARTITION BY c_mktsegment ORDER BY md5(c_name)) AS rk
+        |      FROM d)
+        |SELECT c_mktsegment, CAST(rk - 1 AS INTEGER) AS pos, c_name AS name
+        |FROM r WHERE rk <= 5""".stripMargin,
+    "q51_approx_topk" ->
+      """SELECT event_type, count(*) AS n FROM events GROUP BY 1""".stripMargin,
   )
 }
