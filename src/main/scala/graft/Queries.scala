@@ -771,4 +771,51 @@ object Queries {
       .agg(expr("approx_top_k(event_type, 10, 100)").as("tk"))
       .select(explode(col("tk")).as("e"))
       .select(col("e.item").as("event_type"), col("e.count").as("n"))
+
+  // ---------------------------------------------------------------- Q52
+  /** Bivariate statistics battery (§2.3 class): correlation, covariance,
+    * dispersion per group — one partial-aggregatable pass (Welford-style
+    * co-moment merging, no per-group buffering). Price rescaled to keep
+    * magnitudes O(10) so 6-dp rounding is far above cross-engine FP noise.
+    */
+  def q52StatsBattery(spark: SparkSession, dir: String): DataFrame =
+    tp(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        (col("l_extendedprice") / lit(1000.0)).as("price_k"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("price_k")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("price_k")), 6).as("covs_qp"),
+        round(covar_pop(col("l_quantity"), col("price_k")), 6).as("covp_qp"),
+        round(stddev_samp(col("price_k")), 6).as("sd_price"),
+        round(var_samp(col("price_k")), 6).as("var_price"))
+
+  // ---------------------------------------------------------------- Q53
+  /** Reproducible sampling: keep rows whose key's md5 starts with '0' — an
+    * exact 1/16-rate Bernoulli sample that is deterministic across re-runs,
+    * partitionings, and ENGINES (the oracle applies the identical
+    * predicate), unlike `rand()`/TABLESAMPLE. At 100 TB this is the only
+    * sampling you can audit: membership is a pure function of the key, the
+    * filter pushes to the scan, and downstream joins of two tables sampled
+    * on the same key stay consistent (matching rows survive together).
+    */
+  def q53DeterministicSample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .where(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  // ---------------------------------------------------------------- Q54
+  /** Fixed-width histogram: price distribution binned by floor-division —
+    * single hash-agg pass, bin count bounded by the value range, the shape
+    * profiling sweeps use on every numeric column at scale.
+    */
+  def q54Histogram(spark: SparkSession, dir: String): DataFrame =
+    tp(spark, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 50000).cast("bigint").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"),
+        round(avg(col("o_totalprice")), 4).as("mean_price"))
 }

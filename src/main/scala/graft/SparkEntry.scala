@@ -76,6 +76,9 @@ object SparkEntry {
     "q49_native_range_join" -> (Queries.q49NativeRangeJoin _),
     "q50_bottomk_sample" -> (Queries.q50BottomkSample _),
     "q51_approx_topk" -> (Queries.q51ApproxTopK _),
+    "q52_stats_battery" -> (Queries.q52StatsBattery _),
+    "q53_deterministic_sample" -> (Queries.q53DeterministicSample _),
+    "q54_histogram" -> (Queries.q54Histogram _),
   )
 
   private val mergeOracle: String = {
@@ -553,5 +556,26 @@ object SparkEntry {
         |FROM r WHERE rk <= 5""".stripMargin,
     "q51_approx_topk" ->
       """SELECT event_type, count(*) AS n FROM events GROUP BY 1""".stripMargin,
+    "q52_stats_battery" ->
+      """WITH s AS (SELECT l_returnflag, l_quantity, l_extendedprice / 1000.0 AS price_k
+        |           FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n,
+        |       round(corr(l_quantity, price_k), 6) AS corr_qp,
+        |       round(covar_samp(l_quantity, price_k), 6) AS covs_qp,
+        |       round(covar_pop(l_quantity, price_k), 6) AS covp_qp,
+        |       round(stddev_samp(price_k), 6) AS sd_price,
+        |       round(var_samp(price_k), 6) AS var_price
+        |FROM s GROUP BY 1""".stripMargin,
+    "q53_deterministic_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""".stripMargin,
+    "q54_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+        |       count(*) AS n,
+        |       round(min(o_totalprice), 2) AS lo,
+        |       round(max(o_totalprice), 2) AS hi,
+        |       round(avg(o_totalprice), 4) AS mean_price
+        |FROM orders GROUP BY 1""".stripMargin,
   )
 }
