@@ -259,9 +259,14 @@ object Queries {
       .agg(count(lit(1)).as("n"))
 
   /** Rolling-hash document fingerprints (rows-only: xxhash64-based). */
+  /** Document fingerprinting via the PORTABLE rolling hash — oracle-checked
+    * bit-for-bit (DuckDB recomputes the same 48-bit polynomial folds). The
+    * xxhash64-based [[TextFunctions.rollingFingerprint]] fast path keeps its
+    * own order-sensitivity spec.
+    */
   def q17bFingerprint(spark: SparkSession, dir: String): DataFrame =
     Parallelism.ensureCompute(t(spark, dir, "documents")).select(
-      col("doc_id"), TextFunctions.rollingFingerprint(col("text")).as("fingerprint"))
+      col("doc_id"), TextFunctions.portableFingerprint(col("text")).as("fingerprint"))
 
   // ---------------------------------------------------------------- Q18
   /** Multimodal: opaque binary payload + metadata (codegen-only path). */

@@ -343,6 +343,17 @@ object SparkEntry {
         |            ELSE 'zh' END AS lang_pred,
         |       count(*) AS n
         |FROM g GROUP BY 1""".stripMargin,
+    "q17b_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(text, ' '), t ->
+        |             list_reduce(
+        |               list_prepend(CAST(0 AS BIGINT),
+        |                 list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |               (a, x) -> (a * 131 + x) % 281474976710656))),
+        |         (acc, h) -> (acc * 31 + h) % 281474976710656) AS fingerprint
+        |FROM documents""".stripMargin,
     "q18_media_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         |       octet_length(encode(text)) AS payload_len, md5(text) AS payload_md5

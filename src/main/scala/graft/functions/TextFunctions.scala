@@ -128,4 +128,24 @@ object TextFunctions {
       lit(0L),
       (acc, t) => (acc * lit(31L) + xxhash64(t).bitwiseAND(lit(mask))).bitwiseAND(lit(mask)))
   }
+
+  /** PORTABLE rolling fingerprint: nested polynomial folds (chars within
+    * token, tokens within document) in 48-bit modular arithmetic — every
+    * operation is plain integer math over codepoints, so any engine with a
+    * string split and a list fold recomputes the exact value (the DuckDB
+    * oracle does). 48-bit modulus keeps `acc*131 + code` under 2^56 — no
+    * ANSI 64-bit overflow. Order-sensitive at both levels like
+    * [[rollingFingerprint]]; use that one when speed matters more than
+    * cross-engine portability (xxhash64 is one codegen'd call per token).
+    */
+  def portableFingerprint(text: Column): Column = {
+    val m = lit(1L << 48)
+    // Spark's split(t, "") keeps a trailing "" (limit -1 semantics); drop
+    // empties so the fold sees exactly the characters, like the oracle.
+    def tokenHash(t: Column): Column =
+      aggregate(filter(split(t, ""), c => c =!= ""), lit(0L),
+        (a, c) => (a * lit(131L) + ascii(c).cast("long")) % m)
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * lit(31L) + tokenHash(t)) % m)
+  }
 }
