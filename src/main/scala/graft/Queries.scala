@@ -815,6 +815,26 @@ object Queries {
     * single hash-agg pass, bin count bounded by the value range, the shape
     * profiling sweeps use on every numeric column at scale.
     */
+  // ---------------------------------------------------------------- Q55
+  /** Layout-aware scan: hive-partitioned write, then an aggregate behind a
+    * partition filter — the scan prunes non-matching partition DIRECTORIES
+    * at planning time (LayoutSpec asserts `selectedPartitions == 1`), so at
+    * 100 TB the excluded partitions cost zero IO. Oracle sees the same rows
+    * via a plain filter on the unpartitioned source.
+    */
+  def q55PartitionPruned(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q55").toString
+    Layout.writePartitioned(
+      t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice")),
+      tmp, Seq("o_orderstatus"))
+    spark.read.parquet(tmp)
+      .where(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
   def q54Histogram(spark: SparkSession, dir: String): DataFrame =
     tp(spark, dir, "orders")
       .groupBy(floor(col("o_totalprice") / 50000).cast("bigint").as("bin"))

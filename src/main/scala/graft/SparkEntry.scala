@@ -79,6 +79,7 @@ object SparkEntry {
     "q52_stats_battery" -> (Queries.q52StatsBattery _),
     "q53_deterministic_sample" -> (Queries.q53DeterministicSample _),
     "q54_histogram" -> (Queries.q54Histogram _),
+    "q55_partition_pruned" -> (Queries.q55PartitionPruned _),
   )
 
   private val mergeOracle: String = {
@@ -588,5 +589,8 @@ object SparkEntry {
         |       round(max(o_totalprice), 2) AS hi,
         |       round(avg(o_totalprice), 4) AS mean_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "q55_partition_pruned" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY 1""".stripMargin,
   )
 }

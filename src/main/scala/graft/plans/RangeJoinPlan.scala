@@ -286,13 +286,35 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
-/** `SparkSessionExtensions` entry point: planner strategy + rewrite rule.
-  * Wired into every engine session by [[graft.Sessions]].
+/** `SparkSessionExtensions` entry point: planner strategy + rewrite rule +
+  * SQL registration of the engine's custom expressions. Wired into every
+  * engine session by [[graft.Sessions]].
   */
 object GraftExtensions {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => RangeJoinStrategy)
     e.injectOptimizerRule(_ => RangeJoinRewrite())
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_similarity(a, b) takes 2 arguments")
+        CosineSimilarity(args.head, args(1))
+      }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bottom_k"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BottomKSketch].getName, "bottom_k"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bottom_k(col, k) takes 2 arguments")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bottom_k k must be an integer literal, got $other")
+        }
+        BottomKSketch(args.head, k)
+      }))
   }
 }
 

@@ -1,0 +1,70 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Layout operators: partition pruning actually prunes, clustered files
+  * carry disjoint key ranges (the min/max-skipping enabler), compaction
+  * bin-packs without changing data.
+  */
+class LayoutSpec extends SparkSuite with AdaptiveSparkPlanHelper {
+
+  private def orders = Tables.load(spark, sf, "orders")
+    .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  test("writePartitioned: partition filter prunes directories at planning time") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    Layout.writePartitioned(orders, dir, Seq("o_orderstatus"))
+    val nStatuses = orders.select(col("o_orderstatus")).distinct().count()
+
+    val filtered = spark.read.parquet(dir).where(col("o_orderstatus") === "F")
+    filtered.collect()
+    val scans = collect(filtered.queryExecution.executedPlan) { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val scanStr = scans.head.toString
+    assert(scanStr.contains("PartitionFilters") && scanStr.contains("o_orderstatus"),
+      s"partition filter not pushed:\n$scanStr")
+    // Planning-time pruning: the scan selected exactly 1 of the partitions.
+    val selected = scans.head.selectedPartitions.partitionCount
+    assert(selected === 1, s"expected 1 of $nStatuses partitions, got $selected")
+    // And the data round-trips.
+    assert(filtered.count() === orders.where(col("o_orderstatus") === "F").count())
+  }
+
+  test("writeClustered: files carry disjoint cluster-key ranges") {
+    val dir = Files.createTempDirectory("graft_clust").toString
+    Layout.writeClustered(orders, dir, Seq("o_custkey"), numFiles = 5)
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_custkey").as("lo"), max("o_custkey").as("hi"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.length === 5)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    // Round-trip equality.
+    assert(spark.read.parquet(dir).count() === orders.count())
+  }
+
+  test("compact: bin-packs small files, data unchanged") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    // Simulate an append-sink aftermath: 24 tiny files.
+    orders.repartition(24).write.mode("overwrite").parquet(dir)
+    // Exact row-level equality (a double SUM would vary with file order).
+    val beforeRows = spark.read.parquet(dir).orderBy("o_orderkey").collect().toSeq
+    val (before, after) = Layout.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+    assert(before === 24)
+    assert(after === 1) // tiny table packs into one target-size file
+    val afterRows = spark.read.parquet(dir).orderBy("o_orderkey").collect().toSeq
+    assert(afterRows === beforeRows)
+  }
+}

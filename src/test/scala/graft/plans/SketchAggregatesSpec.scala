@@ -53,4 +53,15 @@ class SketchAggregatesSpec extends SparkSuite {
       .select(size(col("s"))).head().getInt(0)
     assert(n === 3)
   }
+
+  test("SQL surface: bottom_k registered via SparkSessionExtensions") {
+    customer.createOrReplaceTempView("sketch_customer")
+    val sql = spark.sql(
+      "SELECT c_mktsegment, bottom_k(c_name, 5) AS s FROM sketch_customer GROUP BY c_mktsegment")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val api = customer.groupBy(col("c_mktsegment"))
+      .agg(bottom_k(col("c_name"), 5).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(sql === api)
+  }
 }

@@ -21,6 +21,22 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(mismatches == 0, "sequential double accumulation must match exactly")
   }
 
+  test("SQL surface: cosine_similarity registered via SparkSessionExtensions") {
+    spark.read.parquet(s"$sf/embeddings.parquet").createOrReplaceTempView("vx_emb")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |       cosine_similarity(a.embedding, b.embedding) AS sim
+        |FROM vx_emb a JOIN vx_emb b ON a.vec_id < b.vec_id
+        |LIMIT 100""".stripMargin)
+    val viaApi = viaSql.selectExpr("ida", "idb")
+      .join(spark.table("vx_emb").selectExpr("vec_id AS ida", "embedding AS va"), "ida")
+      .join(spark.table("vx_emb").selectExpr("vec_id AS idb", "embedding AS vb"), "idb")
+      .select($"ida", $"idb", VectorExpressions.cosine($"va", $"vb").as("sim2"))
+    val joinBack = viaSql.join(viaApi, Seq("ida", "idb"))
+      .where($"sim" =!= $"sim2").count()
+    assert(joinBack == 0)
+  }
+
   test("zero-norm and empty arrays return 0.0, nulls propagate") {
     val df = Seq(
       (Some(Array(0f, 0f)), Some(Array(1f, 1f))),
