@@ -802,8 +802,10 @@ object Queries {
     * partitionings, and ENGINES (the oracle applies the identical
     * predicate), unlike `rand()`/TABLESAMPLE. At 100 TB this is the only
     * sampling you can audit: membership is a pure function of the key, the
-    * filter pushes to the scan, and downstream joins of two tables sampled
-    * on the same key stay consistent (matching rows survive together).
+    * predicate evaluates inside the whole-stage-codegen'd scan stage (a
+    * derived expression can't use parquet stats, but no extra pass either),
+    * and downstream joins of two tables sampled on the same key stay
+    * consistent (matching rows survive together).
     */
   def q53DeterministicSample(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

@@ -54,6 +54,29 @@ class SketchAggregatesSpec extends SparkSuite {
     assert(n === 3)
   }
 
+  test("streaming: sketch accumulates incrementally across micro-batches == batch") {
+    val dir = java.nio.file.Files.createTempDirectory("sketch-stream").toString
+    // 6 files -> 6 micro-batches: state-store serialize/merge exercised.
+    customer.repartition(6).write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream
+      .schema(customer.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = streamIn.groupBy(col("c_mktsegment"))
+      .agg(bottom_k(col("c_name"), 5).as("s"))
+      .writeStream.outputMode("complete").format("memory").queryName("sketch_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sketch_out")
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      val batch = customer.groupBy(col("c_mktsegment"))
+        .agg(bottom_k(col("c_name"), 5).as("s"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("SQL surface: bottom_k registered via SparkSessionExtensions") {
     customer.createOrReplaceTempView("sketch_customer")
     val sql = spark.sql(
