@@ -62,6 +62,27 @@ object Streams {
       keys: Seq[String]): DataFrame =
     stream.withWatermark(tsCol, watermark).dropDuplicates(keys :+ tsCol)
 
+  /** Streaming NEAR-dup drop: fingerprint each document with the simhash
+    * vote vector and drop later arrivals whose fingerprint collides inside
+    * the watermark horizon. Same ingest-time shape the batch
+    * [[graft.operators.SimHashDedup]] pipeline has offline — identical
+    * (and near-identical, since simhash quantizes local edits into the
+    * same 64-bit code for highly similar text) documents are suppressed at
+    * the door instead of at the next batch compaction. State is one row
+    * per DISTINCT fingerprint inside the horizon — bounded by the
+    * watermark, not the stream history. The identical plan runs in batch
+    * (fingerprint + dropDuplicates), which the spec compares against.
+    */
+  def streamingNearDupDrop(
+      stream: DataFrame, tsCol: String, watermark: String,
+      textCol: String): DataFrame = {
+    val fp = graft.operators.SimHashDedup.simhash(col(textCol))
+    val in = stream.withColumn("__fp", fp)
+    (if (in.isStreaming) in.withWatermark(tsCol, watermark) else in)
+      .dropDuplicates("__fp")
+      .drop("__fp")
+  }
+
   /** Key-equality interval join: left row matches right rows with the same
     * key whose timestamp lands in [leftTs, leftTs + maxDelay] — the
     * impression->click shape. Written on plain DataFrames so the identical

@@ -115,6 +115,33 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamingNearDupDrop suppresses identical-fingerprint docs, stream==batch") {
+    val dir = tmpDir("neardup-stream")
+    val docs = Seq(
+      ("2024-01-01 00:00:00", 10L, "the quick brown fox jumps over the lazy dog today"),
+      ("2024-01-01 00:01:00", 11L, "the quick brown fox jumps over the lazy dog today"), // exact dup
+      ("2024-01-01 00:02:00", 12L, "completely different text about spark physical planning"),
+      ("2024-01-01 00:03:00", 13L, "completely different text about spark physical planning"), // dup
+      ("2024-01-01 00:04:00", 14L, "a third unique document with its own words entirely")
+    ).toDF("ts_s", "doc_id", "text")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    docs.write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val out = Streams.streamingNearDupDrop(streamIn, "ts", "1 hour", "text")
+    val q = out.writeStream
+      .outputMode("append").format("memory").queryName("sneardup_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sneardup_out")
+      val batch = Streams.streamingNearDupDrop(spark.read.parquet(dir), "ts", "1 hour", "text")
+      assert(streamed.count() == 3) // 5 docs, 2 fingerprint collisions
+      assert(streamed.count() == batch.count())
+      // The same text GROUPS survive either way (representative may differ).
+      assert(streamed.select("text").distinct().collect().map(_.getString(0)).sorted
+        === batch.select("text").distinct().collect().map(_.getString(0)).sorted)
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap") {
     val df = Seq(
       ("2024-01-01 00:00:00", 1L), ("2024-01-01 00:10:00", 1L), // one session
