@@ -268,6 +268,19 @@ object Queries {
     Parallelism.ensureCompute(t(spark, dir, "documents")).select(
       col("doc_id"), TextFunctions.portableFingerprint(col("text")).as("fingerprint"))
 
+  /** Portable simhash (48-bit vote vector over portable token hashes) —
+    * the near-dup SKETCH CLASS oracle-checked bit-for-bit; the production
+    * splitmix64 simhash ([[SimHashDedup]], `q13c`) keeps its NearDupSpec
+    * planted-duplicate checks. Token hashes materialize once behind a
+    * repartition barrier so CollapseProject cannot re-inline the char
+    * folds into the 48 bit-vote references.
+    */
+  def q13ePortableSimhash(spark: SparkSession, dir: String): DataFrame =
+    Parallelism.ensureCompute(t(spark, dir, "documents"))
+      .select(col("doc_id"), TextFunctions.portableTokenHashes(col("text")).as("hs"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), TextFunctions.portableSimhash48(col("hs")).as("simhash"))
+
   // ---------------------------------------------------------------- Q18
   /** Multimodal: opaque binary payload + metadata (codegen-only path). */
   def q18MediaMeta(spark: SparkSession, dir: String): DataFrame =

@@ -39,6 +39,7 @@ object SparkEntry {
     "q15_text_stats" -> (Queries.q15TextStats _),
     "q16_quality" -> (Queries.q16Quality _),
     "q17_langid" -> (Queries.q17LangId _),
+    "q13e_portable_simhash" -> (Queries.q13ePortableSimhash _),
     "q17b_fingerprint" -> (Queries.q17bFingerprint _),
     "q18_media_meta" -> (Queries.q18MediaMeta _),
     "q18b_media_decode" -> (Queries.q18bMediaDecode _),
@@ -344,6 +345,22 @@ object SparkEntry {
         |            ELSE 'zh' END AS lang_pred,
         |       count(*) AS n
         |FROM g GROUP BY 1""".stripMargin,
+    "q13e_portable_simhash" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split(text, ' '), t ->
+        |           list_reduce(
+        |             list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |             (a, x) -> (a * 131 + x) % 281474976710656)) AS hs
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(list_sum(list_transform(range(0, 48), i ->
+        |         CASE WHEN list_sum(list_transform(hs, hv ->
+        |                CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+        |              THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+        |         AS simhash
+        |FROM h""".stripMargin,
     "q17b_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(

@@ -138,14 +138,39 @@ object TextFunctions {
     * [[rollingFingerprint]]; use that one when speed matters more than
     * cross-engine portability (xxhash64 is one codegen'd call per token).
     */
-  def portableFingerprint(text: Column): Column = {
-    val m = lit(1L << 48)
-    // Spark's split(t, "") keeps a trailing "" (limit -1 semantics); drop
-    // empties so the fold sees exactly the characters, like the oracle.
-    def tokenHash(t: Column): Column =
-      aggregate(filter(split(t, ""), c => c =!= ""), lit(0L),
-        (a, c) => (a * lit(131L) + ascii(c).cast("long")) % m)
+  def portableFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
-      (acc, t) => (acc * lit(31L) + tokenHash(t)) % m)
-  }
+      (acc, t) => (acc * lit(31L) + portableTokenHash(t)) % lit(1L << 48))
+
+  /** 48-bit polynomial char fold of one token — the portable unit hash.
+    * Spark's split(t, "") keeps a trailing "" (limit -1 semantics); drop
+    * empties so the fold sees exactly the characters, like the oracle.
+    */
+  def portableTokenHash(t: Column): Column =
+    aggregate(filter(split(t, ""), c => c =!= ""), lit(0L),
+      (a, c) => (a * lit(131L) + ascii(c).cast("long")) % lit(1L << 48))
+
+  /** Per-token portable hashes — materialize this as a column (behind a
+    * repartition barrier) before fanning out into multi-reference
+    * consumers like [[portableSimhash48]]: CollapseProject would otherwise
+    * re-inline the char folds into every reference.
+    */
+  def portableTokenHashes(text: Column): Column =
+    transform(tokens(text), t => portableTokenHash(t))
+
+  /** Portable 48-bit simhash over a pre-materialized token-hash array:
+    * Charikar vote vector — bit i is set when the majority of token hashes
+    * carry bit i. Same construction as
+    * [[graft.operators.SimHashDedup.simhash]] but in engine-portable
+    * arithmetic, so the DuckDB oracle recomputes it bit-for-bit. (The
+    * production simhash keeps splitmix64 mixing — better bit independence;
+    * this variant's value is that the CLASS of sketch is oracle-checkable.)
+    */
+  def portableSimhash48(hs: Column): Column =
+    aggregate(sequence(lit(0), lit(47)), lit(0L), (acc, i) => {
+      val vote = aggregate(hs, lit(0L), (v, h) =>
+        v + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
+          .otherwise(lit(-1L)))
+      acc + when(vote >= 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
+    })
 }

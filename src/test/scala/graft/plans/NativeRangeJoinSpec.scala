@@ -74,6 +74,42 @@ class NativeRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     } finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
   }
 
+  test("rule stays out: non-range predicates and over-threshold build sides") {
+    val e = events
+    val iv = intervals
+    def hasNative(df: org.apache.spark.sql.DataFrame) =
+      collect(df.queryExecution.executedPlan) { case x: BroadcastRangeJoinExec => x }.nonEmpty
+
+    // No upper bound -> not a range join; Spark plans it its own way.
+    val lowerOnly = e.join(iv,
+      e("user_id") === iv("o_custkey") && e("ts") >= iv("iv_start"))
+    assert(!hasNative(lowerOnly), "fired without an upper bound")
+
+    // Build side above the broadcast threshold -> stays declarative.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try {
+      val tooBig = e.join(iv,
+        e("user_id") === iv("o_custkey") &&
+          e("ts") >= iv("iv_start") && e("ts") < iv("iv_end"))
+      assert(!hasNative(tooBig), "fired above the broadcast threshold")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    // Range predicate pointing the wrong way (bounds on the LEFT side)
+    // must not match the point-from-left pattern.
+    val swapped = iv.join(e,
+      iv("o_custkey") === e("user_id") &&
+        iv("iv_start") <= e("ts") && iv("iv_end") > e("ts"))
+    // Here the "point" is on the RIGHT child; the rule's left/right
+    // classification must not misfire into a wrong-side plan. Either no
+    // native node, or — if planned — results must still be correct.
+    val viaNative = hasNative(swapped)
+    val expected = e.join(iv,
+      e("user_id") === iv("o_custkey") &&
+        e("ts") >= iv("iv_start") && e("ts") < iv("iv_end")).count()
+    assert(swapped.count() === expected, s"wrong results (native=$viaNative)")
+  }
+
   test("overlapping intervals, no equi keys, null hygiene") {
     import spark.implicits._
     val pts = Seq(
