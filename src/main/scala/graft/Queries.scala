@@ -850,6 +850,26 @@ object Queries {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
   }
 
+  // ---------------------------------------------------------------- Q56
+  /** Co-located bucketed join through the oracle gate: both sides written
+    * `bucketBy(8, custkey)` + sorted, so the join plans as SortMergeJoin
+    * with NO shuffle exchange on either side (ScaleSpec asserts the plan;
+    * this query checks the results). At 100 TB this is THE join layout for
+    * repeatedly-joined fact tables: shuffle paid once at write, never per
+    * query.
+    */
+  def q56BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    Scale.writeBucketed(
+      t(spark, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+      "q56_orders_b", Seq("o_custkey"), numBuckets = 8)
+    Scale.writeBucketed(
+      t(spark, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+      "q56_customer_b", Seq("o_custkey"), numBuckets = 8)
+    Scale.bucketedJoin(spark, "q56_orders_b", "q56_customer_b", Seq("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
   def q54Histogram(spark: SparkSession, dir: String): DataFrame =
     tp(spark, dir, "orders")
       .groupBy(floor(col("o_totalprice") / 50000).cast("bigint").as("bin"))

@@ -81,6 +81,7 @@ object SparkEntry {
     "q53_deterministic_sample" -> (Queries.q53DeterministicSample _),
     "q54_histogram" -> (Queries.q54Histogram _),
     "q55_partition_pruned" -> (Queries.q55PartitionPruned _),
+    "q56_bucketed_join" -> (Queries.q56BucketedJoin _),
   )
 
   private val mergeOracle: String = {
@@ -609,5 +610,9 @@ object SparkEntry {
     "q55_partition_pruned" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
         |FROM orders WHERE o_orderstatus = 'F' GROUP BY 1""".stripMargin,
+    "q56_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
   )
 }
