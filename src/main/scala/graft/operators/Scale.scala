@@ -48,13 +48,23 @@ object Scale {
       df: DataFrame,
       table: String,
       bucketCols: Seq[String],
-      numBuckets: Int): Unit =
+      numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // A crashed prior run can leave the managed location on disk while the
+    // in-memory catalog has forgotten the table; saveAsTable then fails with
+    // LOCATION_ALREADY_EXISTS, so clear the orphan directory first.
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket columns. With matching
     * bucket specs Spark plans a SortMergeJoin with NO Exchange on either

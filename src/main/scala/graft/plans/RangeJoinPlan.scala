@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   GreaterThanOrEqual, JoinedRow, LessThan, LessThanOrEqual, PredicateHelper,
   UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
@@ -138,7 +138,17 @@ case class BroadcastRangeJoinExec(
     val numIntervals = longMetric("numIntervals")
 
     // Driver side: collect + index the (broadcast-sized) interval side.
+    // The rewrite rule gates on autoBroadcastJoinThreshold; the programmatic
+    // API has no stats to gate on, so enforce a hard row cap here — failing
+    // fast with a named conf beats an opaque driver OOM.
+    val maxRows = conf.getConfString("spark.graft.rangeJoin.maxBroadcastRows", "5000000").toLong
     val rightRows = right.executeCollect()
+    if (rightRows.length > maxRows) {
+      throw new IllegalStateException(
+        s"BroadcastRangeJoin interval side has ${rightRows.length} rows " +
+          s"(> spark.graft.rangeJoin.maxBroadcastRows=$maxRows); use " +
+          "graft.operators.RangeJoin.pointInInterval (bucketized) for large interval sides")
+    }
     numIntervals.add(rightRows.length)
     val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
     val rRowProj = UnsafeProjection.create(right.output, right.output)
@@ -245,14 +255,20 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
     val threshold = conf.autoBroadcastJoinThreshold
     if (threshold <= 0) return plan
     plan.transformUp {
-      case j @ Join(l, r, Inner, Some(cond), _)
-          if cond.deterministic && r.stats.sizeInBytes <= threshold =>
-        rewrite(j, l, r, cond).getOrElse(j)
+      case j @ Join(l, r, Inner, Some(cond), _) if cond.deterministic =>
+        // Points may sit on either side; the interval (broadcast) side must
+        // be under the threshold. The swapped orientation restores the
+        // join's original column order with a Project.
+        rewrite(j, l, r, cond, threshold, swapped = false)
+          .orElse(rewrite(j, r, l, cond, threshold, swapped = true))
+          .getOrElse(j)
     }
   }
 
   private def rewrite(
-      j: Join, l: LogicalPlan, r: LogicalPlan, cond: Expression): Option[LogicalPlan] = {
+      j: Join, l: LogicalPlan, r: LogicalPlan, cond: Expression,
+      threshold: Long, swapped: Boolean): Option[LogicalPlan] = {
+    if (r.stats.sizeInBytes > threshold) return None
     val conjuncts = splitConjunctivePredicates(cond)
 
     def fromLeft(e: Expression) = e.references.subsetOf(l.outputSet)
@@ -280,7 +296,10 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
           case EqualTo(a, b) => (b, a)
         }.unzip
         val node = BroadcastRangeJoin(l, r, lk, rk, p, s, e)
-        if (leftover.isEmpty) node else Filter(leftover.reduce(org.apache.spark.sql.catalyst.expressions.And), node)
+        val base: LogicalPlan =
+          if (leftover.isEmpty) node
+          else Filter(leftover.reduce(org.apache.spark.sql.catalyst.expressions.And), node)
+        if (swapped) Project(j.output, base) else base
       }
     }
   }

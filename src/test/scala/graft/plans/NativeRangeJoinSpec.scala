@@ -95,19 +95,18 @@ class NativeRangeJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       assert(!hasNative(tooBig), "fired above the broadcast threshold")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
-    // Range predicate pointing the wrong way (bounds on the LEFT side)
-    // must not match the point-from-left pattern.
+    // Intervals on the LEFT child: the mirrored pattern fires with a
+    // Project restoring the join's original column order.
     val swapped = iv.join(e,
       iv("o_custkey") === e("user_id") &&
         iv("iv_start") <= e("ts") && iv("iv_end") > e("ts"))
-    // Here the "point" is on the RIGHT child; the rule's left/right
-    // classification must not misfire into a wrong-side plan. Either no
-    // native node, or — if planned — results must still be correct.
-    val viaNative = hasNative(swapped)
+    assert(hasNative(swapped), "mirrored orientation did not fire")
+    assert(swapped.columns.toSeq === (iv.columns.toSeq ++ e.columns.toSeq),
+      "swapped rewrite changed column order")
     val expected = e.join(iv,
       e("user_id") === iv("o_custkey") &&
         e("ts") >= iv("iv_start") && e("ts") < iv("iv_end")).count()
-    assert(swapped.count() === expected, s"wrong results (native=$viaNative)")
+    assert(swapped.count() === expected)
   }
 
   test("overlapping intervals, no equi keys, null hygiene") {
