@@ -281,6 +281,17 @@ object Queries {
       .repartition(col("doc_id"))
       .select(col("doc_id"), TextFunctions.portableSimhash48(col("hs")).as("simhash"))
 
+  /** PORTABLE minhash-LSH near-dup pairs: the ENTIRE LSH pipeline —
+    * signatures, band buckets, candidate generation, Jaccard verify — in
+    * engine-portable arithmetic, replayed bit-for-bit by the DuckDB oracle.
+    * This is the q13b operator class put through the correctness gate, not
+    * just its exact-verify tail. Scores rounded to 6 dp.
+    */
+  def q13fPortableMinhash(spark: SparkSession, dir: String): DataFrame =
+    MinHashDedup.portableVerifiedPairs(
+      t(spark, dir, "documents"), "doc_id", "text", threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+
   // ---------------------------------------------------------------- Q18
   /** Multimodal: opaque binary payload + metadata (codegen-only path). */
   def q18MediaMeta(spark: SparkSession, dir: String): DataFrame =
@@ -429,6 +440,15 @@ object Queries {
     Similarity.cosineNearDupPairs(
       t(spark, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.2, dim = 64, bits = 8)
+
+  /** EXACT all-pairs cosine near-dup — the ground truth q30 approximates;
+    * oracle-checked against DuckDB list_cosine_similarity (bit-equal per
+    * the q14 precedent). Scores rounded to 6 dp for FP-stable compare.
+    */
+  def q30bCosineNearDupExact(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairsExact(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", threshold = 0.2)
+      .withColumn("sim", round(col("sim"), 6))
 
   // ---------------------------------------------------------------- Q31
   /** Sliding windows (1h width, 15m slide) over events. */

@@ -40,6 +40,7 @@ object SparkEntry {
     "q16_quality" -> (Queries.q16Quality _),
     "q17_langid" -> (Queries.q17LangId _),
     "q13e_portable_simhash" -> (Queries.q13ePortableSimhash _),
+    "q13f_portable_minhash" -> (Queries.q13fPortableMinhash _),
     "q17b_fingerprint" -> (Queries.q17bFingerprint _),
     "q18_media_meta" -> (Queries.q18MediaMeta _),
     "q18b_media_decode" -> (Queries.q18bMediaDecode _),
@@ -56,6 +57,7 @@ object SparkEntry {
     "q29_session_window" -> (Queries.q29SessionWindow _),
     "q29b_sessionize_sorted" -> (Queries.q29bSessionizeSorted _),
     "q30_cosine_near_dup" -> (Queries.q30CosineNearDup _),
+    "q30b_cosine_near_dup_exact" -> (Queries.q30bCosineNearDupExact _),
     "q31_sliding_window" -> (Queries.q31SlidingWindow _),
     "q32_asof_join" -> (Queries.q32AsOfJoin _),
     "q33_range_join" -> (Queries.q33RangeJoin _),
@@ -173,6 +175,57 @@ object SparkEntry {
        |UNION ALL
        |SELECT s.* FROM delta s WHERE NOT EXISTS (SELECT 1 FROM dest d WHERE d.o_orderkey = s.o_orderkey)
        |""".stripMargin
+  }
+
+  /** q13f: the full portable minhash-LSH pipeline replayed in DuckDB —
+    * token char-folds, 48-bit shingle folds, the SAME 16 permutation
+    * coefficients (interpolated from [[graft.operators.MinHashDedup
+    * .portableCoefficients]] so Scala and SQL literals cannot drift), 8
+    * band-bucket folds, capped buckets, candidate self-join, exact Jaccard
+    * verify. Every number both engines compute is identical.
+    */
+  private val portableMinhashOracle: String = {
+    val (as, bs) = graft.operators.MinHashDedup.portableCoefficients(16, 7L)
+    val sigExprs = as.zip(bs).map { case (a, b) =>
+      s"list_min(list_transform(m, h -> ($a * h + $b) % 2147483647))"
+    }.mkString(",\n       |  ")
+    s"""WITH th AS (
+       |  SELECT doc_id,
+       |         list_transform(string_split(text, ' '), t ->
+       |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |             (a, x) -> (a * 131 + x) % 281474976710656)) AS th
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |           generate_series(1, greatest(len(th) - 2, 0)),
+       |           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+2]),
+       |                  (a, x) -> (a * 31 + x) % 281474976710656))) AS hs
+       |  FROM th),
+       |hm AS (SELECT doc_id, hs, list_transform(hs, h -> h % 2147483647) AS m
+       |       FROM sh WHERE len(hs) > 0),
+       |sig AS (SELECT doc_id,
+       |  [$sigExprs] AS sig
+       |  FROM hm),
+       |bk AS (
+       |  ${(0 until 8).map { b =>
+            val (i1, i2) = (2 * b + 1, 2 * b + 2)
+            s"SELECT doc_id, $b AS band, ((($b * 31 + sig[$i1]) % 281474976710656) * 31 + sig[$i2]) % 281474976710656 AS bucket FROM sig"
+          }.mkString("\n       |  UNION ALL ")}),
+       |capped AS (
+       |  SELECT band, bucket, doc_id FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bs FROM bk)
+       |  WHERE bs <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT idA, idB, round(jac, 6) AS jaccard FROM (
+       |  SELECT c.idA, c.idB,
+       |         CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+       |         CAST(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS jac
+       |  FROM cand c JOIN hm x ON x.doc_id = c.idA JOIN hm y ON y.doc_id = c.idB)
+       |WHERE jac >= 0.5""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -346,6 +399,7 @@ object SparkEntry {
         |            ELSE 'zh' END AS lang_pred,
         |       count(*) AS n
         |FROM g GROUP BY 1""".stripMargin,
+    "q13f_portable_minhash" -> portableMinhashOracle,
     "q13e_portable_simhash" ->
       """WITH h AS (
         |  SELECT doc_id,
@@ -402,6 +456,14 @@ object SparkEntry {
       """SELECT CAST(100 AS BIGINT) AS n_rows, CAST(5 AS BIGINT) AS n_pages,
         |       CAST(4950 AS BIGINT) AS sum_ids, CAST(200 AS BIGINT) AS sum_genres""".stripMargin,
     "q27_drift_merge" -> driftMergeOracle,
+    // brute-force exact cosine pair join (the Spark side is exact too; the
+    // LSH-bucketed q30 is the approximate scale path this one grounds)
+    "q30b_cosine_near_dup_exact" ->
+      """SELECT idA, idB, round(sim, 6) AS sim FROM (
+        |  SELECT a.vec_id AS idA, b.vec_id AS idB,
+        |         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE sim >= 0.2""".stripMargin,
     // sliding window: every event belongs to exactly width/slide = 4
     // epoch-aligned windows -> expand via generate_series
     "q31_sliding_window" ->

@@ -158,6 +158,23 @@ object TextFunctions {
   def portableTokenHashes(text: Column): Column =
     transform(tokens(text), t => portableTokenHash(t))
 
+  /** Portable hashed word-shingles over a pre-materialized token-hash
+    * array: shingle hash = 48-bit polynomial fold of its n token hashes
+    * ((acc*31 + th) % 2^48, acc0 = 0). Composing from
+    * [[portableTokenHashes]] runs each token's char fold once per doc (not
+    * once per covering shingle), and the arithmetic is engine-portable so
+    * the DuckDB oracle recomputes every value — the minhash analog of
+    * [[portableFingerprint]]. Intermediates stay < 2^53.2: no ANSI
+    * overflow. Fewer-than-n tokens -> empty array (the `sequence` guard —
+    * negative spans run DESCENDING).
+    */
+  def portableShingleHashes(ths: Column, n: Int): Column =
+    when(size(ths) < n, array().cast("array<bigint>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(ths) - (n - 1)),
+        i => aggregate(slice(ths, i, lit(n)), lit(0L),
+          (a, h) => (a * lit(31L) + h) % lit(1L << 48)))))
+
   /** Portable 48-bit simhash over a pre-materialized token-hash array:
     * Charikar vote vector — bit i is set when the majority of token hashes
     * carry bit i. Same construction as

@@ -299,6 +299,87 @@ object MinHashDedup {
     out
   }
 
+  /** Coefficients for the PORTABLE minhash variant — exposed so the oracle
+    * SQL generator embeds the exact same literals (same scheme as
+    * [[coefficients]], parameterized count).
+    */
+  private[graft] def portableCoefficients(k: Int, seed: Long): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val as = Seq.fill(k)((math.abs(rnd.nextLong()) % (MersennePrime - 1)) + 1)
+    val bs = Seq.fill(k)(math.abs(rnd.nextLong()) % MersennePrime)
+    (as, bs)
+  }
+
+  /** PORTABLE minhash-LSH near-dup pairs — the [[verifiedPairs]] pipeline
+    * re-expressed in engine-portable arithmetic, so EVERY stage (shingle
+    * hashes -> permutation minima -> band buckets -> candidate pairs ->
+    * Jaccard verify) is recomputed bit-for-bit by another engine: shingle
+    * hashes are 48-bit polynomial folds of per-token char folds (see
+    * [[TextFunctions.portableShingleHashes]]) instead of xxhash64, and band
+    * buckets are 48-bit folds of the band's signature slice (init = band
+    * index) instead of xxhash64. The DuckDB oracle replays the whole thing,
+    * which puts the LSH candidate step itself — not just the exact verify —
+    * through the correctness gate. Same plan shape and cache discipline as
+    * [[verifiedPairs]]; use that one in production (xxhash64 is one
+    * codegen'd call where the portable fold is a per-char loop).
+    */
+  def portableVerifiedPairs(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      numHashes: Int = 16, bands: Int = 8, shingleN: Int = 3,
+      maxBucketSize: Int = 1000, seed: Long = 7L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val m48 = 1L << 48
+    val (as, bs) = portableCoefficients(numHashes, seed)
+    val base = Parallelism.ensureCompute(df)
+      .select(col(idCol).as("id"),
+        TextFunctions.portableShingleHashes(
+          TextFunctions.portableTokenHashes(col(textCol)), shingleN).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val perms = array(as.zip(bs).map { case (a, b) =>
+      array_min(transform(col("__hm"), x =>
+        pmod(lit(a) * x + lit(b), lit(MersennePrime))))
+    }: _*)
+    val sigs = base
+      .select(col("id"),
+        transform(col("shingles"), h => pmod(h, lit(MersennePrime))).as("__hm"))
+      .repartition(col("id")) // CollapseProject barrier, see sigTable
+      .select(col("id"),
+        when(size(col("__hm")) === 0, array().cast("array<bigint>"))
+          .otherwise(perms).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    val bandIdx = sequence(lit(0), lit(bands - 1))
+    val buckets = sigs.where(size(col("sig")) > 0)
+      .select(col("id"),
+        explode(transform(bandIdx, b =>
+          struct(b.as("band"),
+            aggregate(slice(col("sig"), b * r + 1, lit(r)), b.cast("bigint"),
+              (acc, v) => pmod(acc * lit(31L) + v, lit(m48))).as("bucket")))).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val sized = buckets
+      .withColumn("bs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("bs") <= maxBucketSize)
+      .drop("bs")
+    val l = sized.select(col("band"), col("bucket"), col("id").as("idA"))
+    val rr = sized.select(col("band"), col("bucket"), col("id").as("idB"))
+    val cands = l.join(rr, Seq("band", "bucket"))
+      .where(col("idA") < col("idB"))
+      .select("idA", "idB")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands.count()
+    val out = verifyJaccard(base, cands, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cands.unpersist()
+    sigs.unpersist()
+    base.unpersist()
+    out
+  }
+
   /** Transitive closure of dup pairs -> (id, rep) where rep = min id of the
     * connected component.
     *

@@ -174,6 +174,30 @@ object Similarity {
       .select(col("q_id"), col("c_id").as("vec_id"), col("sim"))
   }
 
+  /** EXACT all-pairs near-duplicate detection by embedding cosine >=
+    * threshold — the brute-force O(n²) counterpart of
+    * [[cosineNearDupPairs]]. Quadratic by construction: it exists as the
+    * oracle-checkable ground truth the LSH variant is measured against
+    * (recall = |lsh ∩ exact| / |exact|), and for small corpora where n²
+    * beats building buckets. At corpus scale run the bucketed path.
+    *
+    * Plan shape: non-equi self-join on `idA < idB`; Spark plans a
+    * broadcast-nested-loop with the (deduplicated) vector table broadcast
+    * once — the right plan when one side fits, which is the only regime
+    * this variant targets.
+    */
+  def cosineNearDupPairsExact(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val t = Parallelism.ensureCompute(df)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val l = t.select(col("id").as("idA"), col("vec").as("vecA"))
+    val r = t.select(col("id").as("idB"), col("vec").as("vecB"))
+    l.join(r, col("idA") < col("idB"))
+      .withColumn("sim", VectorExpressions.cosine(col("vecA"), col("vecB")))
+      .where(col("sim") >= threshold)
+      .select("idA", "idB", "sim")
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine >= threshold,
     * LSH-bucketed (the embedding-space sibling of [[MinHashDedup]]).
     */

@@ -129,4 +129,19 @@ class NearDupSpec extends SparkSuite {
     assert(exact == brute && exact.nonEmpty,
       s"prefix-filter candidates must lose nothing: exact=$exact brute=$brute")
   }
+
+  test("portable minhash finds planted pairs, subset of exact Jaccard pairs") {
+    val portable = MinHashDedup.portableVerifiedPairs(
+      corpus, "doc_id", "text", threshold = 0.5)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(portable.contains((1L, 2L)), s"expected (1,2) in $portable")
+    assert(!portable.exists(p => p._1 >= 4L || p._2 >= 4L),
+      s"unrelated docs must not pair: $portable")
+    // LSH is a filter over the exact pair set: candidates it keeps must all
+    // verify, so portable ⊆ exact (recall may be < 1, never precision)
+    val exact = MinHashDedup.jaccardPairs(corpus, "doc_id", "text",
+      threshold = 0.5, shingleN = 3)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(portable.subsetOf(exact), s"portable=$portable exact=$exact")
+  }
 }

@@ -85,4 +85,16 @@ class SimilaritySpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(sigs == sigs)
   }
+
+  test("exact cosine pairs ground the LSH near-dup variant (subset + scores)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = Similarity.cosineNearDupPairsExact(emb, "vec_id", "embedding", 0.2)
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "threshold too high for testdata — no exact pairs")
+    assert(exact.forall { case (a, b) => a < b }, "pair orientation must be idA < idB")
+    val lsh = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.2, dim = 64, bits = 8)
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact),
+      s"LSH found pairs the exact join did not: ${lsh.diff(exact).take(3)}")
+  }
 }
