@@ -898,4 +898,37 @@ object Queries {
         round(min(col("o_totalprice")), 2).as("lo"),
         round(max(col("o_totalprice")), 2).as("hi"),
         round(avg(col("o_totalprice")), 4).as("mean_price"))
+
+  // ---------------------------------------------------------------- Q57
+  /** Overlapping token-window chunking (window 64, stride 48) — the
+    * corpus→context-window step of a pretraining pipeline. Narrow/map-only.
+    */
+  def q57Chunking(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.chunk(t(spark, dir, "documents"), "doc_id", "text",
+      window = 64, stride = 48)
+      .withColumnRenamed("id", "doc_id")
+
+  // ---------------------------------------------------------------- Q58
+  /** Concat-and-cut sequence packing into 4096-token bins via the
+    * DISTRIBUTED prefix sum (range-partitioned cumsum + offsets — a bare
+    * global window would single-task). Aggregated per bin for the oracle.
+    */
+  def q58PackBins(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.packBins(t(spark, dir, "documents"), "doc_id", "text",
+      budget = 4096)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+
+  // ---------------------------------------------------------------- Q59
+  /** Deterministic shuffle-shard: md5-order permutation, 16 hex-nibble
+    * shards; per-shard stats + head doc prove order and assignment are
+    * engine-reproducible.
+    */
+  def q59ShuffleShard(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.shuffleShard(t(spark, dir, "documents"), "doc_id")
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+        min_by(col("doc_id"), col("h")).as("head_doc"))
 }

@@ -84,6 +84,9 @@ object SparkEntry {
     "q54_histogram" -> (Queries.q54Histogram _),
     "q55_partition_pruned" -> (Queries.q55PartitionPruned _),
     "q56_bucketed_join" -> (Queries.q56BucketedJoin _),
+    "q57_chunking" -> (Queries.q57Chunking _),
+    "q58_pack_bins" -> (Queries.q58PackBins _),
+    "q59_shuffle_shard" -> (Queries.q59ShuffleShard _),
   )
 
   private val mergeOracle: String = {
@@ -675,6 +678,33 @@ object SparkEntry {
     "q56_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    // overlapping token windows: starts 1, 1+48, 1+96, ... <= token count
+    "q57_chunking" ->
+      """SELECT doc_id, CAST(start AS INTEGER) AS chunk_start,
+        |       CAST(least(64, len(ws) - start + 1) AS INTEGER) AS n_tokens,
+        |       md5(array_to_string(ws[start:start+63], ' ')) AS chunk_md5
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+        |             unnest(generate_series(1, len(string_split(text, ' ')), 48)) AS start
+        |      FROM documents)""".stripMargin,
+    // concat-and-cut packing: doc's bin = floor(tape start / 4096); the
+    // window cumsum is the oracle stand-in for the distributed prefix sum
+    "q58_pack_bins" ->
+      """WITH c AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |           FROM documents),
+        |s AS (SELECT doc_id, nt,
+        |             CAST(sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM c)
+        |SELECT CAST(floor((cum - nt) / 4096) AS BIGINT) AS bin,
+        |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens
+        |FROM s GROUP BY 1""".stripMargin,
+    // md5-order shuffle: shard = first hex nibble, head doc = arg-min md5
+    "q59_shuffle_shard" ->
+      """SELECT CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INTEGER) AS shard,
+        |       count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |       arg_min(doc_id, h) AS head_doc
+        |FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
         |GROUP BY 1""".stripMargin,
   )
 }

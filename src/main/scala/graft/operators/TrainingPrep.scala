@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Training-data preparation operators: chunking, sequence packing, and
+  * deterministic shuffle-sharding — the steps between a cleaned corpus and
+  * the tokenizer at pretraining scale. No analog in the reference (whose
+  * pipeline stops at warehouse upsert, `etl.py:88-183`); these belong to
+  * the LLM-pipeline mandate. All three are engine-portable arithmetic over
+  * tokens, so the DuckDB oracle checks them end-to-end.
+  */
+object TrainingPrep {
+
+  /** Overlapping token-window chunks: one row per (doc, window start),
+    * starts at 1, 1+stride, 1+2·stride, … ≤ token count; the tail chunk may
+    * be short. Emits the chunk's md5 rather than its text so results stay
+    * compact; swap the projection for `array_join(...)` to materialize text.
+    *
+    * Scale: narrow, shuffle-free — a per-row explode with fan-out
+    * ≈ len/stride. At 100 TB this runs as a map-only stage pinned to the
+    * scan; the only knob that matters is `maxPartitionBytes` on the input.
+    */
+  def chunk(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    df.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col("id"),
+        explode(transform(sequence(lit(1), size(col("__t")), lit(stride)), i =>
+          struct(
+            i.cast("int").as("chunk_start"),
+            least(lit(window), size(col("__t")) - i + 1).cast("int").as("n_tokens"),
+            md5(array_join(slice(col("__t"), i, lit(window)), " ")).as("chunk_md5")))).as("c"))
+      .select(col("id"), col("c.chunk_start"), col("c.n_tokens"), col("c.chunk_md5"))
+  }
+
+  /** Distributed global prefix sum of `valueCol` in `orderCol` order —
+    * `outCol` = inclusive running total. A bare `Window.orderBy` computes
+    * this on ONE task (Spark warns and single-threads); this is the
+    * scalable recipe: range-repartition on the order key, per-partition
+    * window cumsum, then add per-partition offsets. The offsets table is
+    * one row per partition — a bounded driver collect (same defense as the
+    * IVF centroid head), and the result is a pure function of the data:
+    * partition boundaries cancel out of the sum.
+    *
+    * `orderCol` must be unique (range partitioning keeps equal keys
+    * together, but tie order within a key would be nondeterministic).
+    */
+  def globalPrefixSum(
+      df: DataFrame, orderCol: String, valueCol: String, outCol: String,
+      numParts: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(numParts, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val local = ranged.withColumn("__lc", sum(col(valueCol)).over(w))
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__tot"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, tot) =>
+      val off = acc; acc += tot; Row(pid, off)
+    }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType))))
+    val out = local.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(outCol, col("__lc") + col("__off"))
+      .drop("__pid", "__lc", "__off")
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    ranged.unpersist()
+    out
+  }
+
+  /** Concat-and-cut sequence packing: documents in `idCol` order are laid
+    * end-to-end on a token tape and the tape is cut every `budget` tokens;
+    * a document belongs to the bin where it STARTS (floor(start/budget)).
+    * This is exactly how pretraining packs sequences — deterministic, no
+    * bin search, one distributed prefix sum. Returns (id, n_tokens, bin).
+    */
+  def packBins(
+      df: DataFrame, idCol: String, textCol: String, budget: Int,
+      numParts: Int = 32): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val counted = Parallelism.ensureCompute(df)
+      .select(col(idCol).as("id"), TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    globalPrefixSum(counted, "id", "n_tokens", "__cum", numParts)
+      // start offset = cum - n_tokens; values ≪ 2^53, double floor is exact
+      .withColumn("bin",
+        floor((col("__cum") - col("n_tokens")) / lit(budget.toDouble)).cast("bigint"))
+      .select(col("id"), col("n_tokens"), col("bin"))
+  }
+
+  /** Deterministic shuffle + shard: order key = md5 of the id (a fixed
+    * pseudo-random permutation — same property tables get from
+    * ORDER BY hash), shard = first hex nibble (16 shards). Returns
+    * (id, h, shard); downstream writes `partitionBy("shard")` and sorts
+    * each shard by `h` for a reproducible training order.
+    *
+    * Scale: the md5 is a per-row projection; sharding is a hash-partitioned
+    * write with NO extra shuffle beyond the one the write needs. For 2^k
+    * shards beyond 16, widen the nibble slice.
+    */
+  def shuffleShard(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("h", md5(col(idCol).cast("string")))
+      .withColumn("shard", conv(substring(col("h"), 1, 1), 16, 10).cast("int"))
+}

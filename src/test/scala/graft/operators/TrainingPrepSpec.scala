@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class TrainingPrepSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("chunk: stride-overlapping windows cover all tokens, short tail kept") {
+    val doc = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TrainingPrep.chunk(doc, "doc_id", "text", window = 4, stride = 3)
+      .select($"chunk_start", $"n_tokens").as[(Int, Int)].collect().toSet
+    assert(got == Set((1, 4), (4, 4), (7, 4), (10, 1)), s"got $got")
+  }
+
+  test("distributed prefix sum equals the single-window global cumsum") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".as("id"),
+        size(split($"text", " ")).cast("long").as("v"))
+    val dist = TrainingPrep.globalPrefixSum(docs, "id", "v", "cum", numParts = 8)
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    val naive = docs
+      .withColumn("cum", sum($"v").over(Window.orderBy($"id")))
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    assert(dist == naive, "range-partitioned cumsum must match the global window")
+  }
+
+  test("packBins: tape semantics — first doc in bin 0, totals preserved") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bins = TrainingPrep.packBins(docs, "doc_id", "text", budget = 512)
+    val total = bins.agg(sum($"n_tokens")).as[Long].head()
+    val expected = docs.agg(sum(size(split($"text", " ")))).as[Long].head()
+    assert(total == expected, "packing must not lose tokens")
+    val firstBin = bins.orderBy($"id").select($"bin").as[Long].head()
+    assert(firstBin == 0L, "the tape starts at bin 0")
+    // a doc starting in bin k implies every earlier doc starts in bin <= k
+    val mono = bins.orderBy($"id").select($"bin").as[Long].collect()
+    assert(mono.sameElements(mono.sorted), "bin must be monotone in tape order")
+  }
+
+  test("shuffleShard: 16 shards, every doc assigned, deterministic") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def run = TrainingPrep.shuffleShard(docs, "doc_id")
+      .select($"doc_id", $"shard").as[(Long, Int)].collect().toMap
+    val a = run
+    assert(a.values.toSet.subsetOf((0 until 16).toSet), "shard out of range")
+    assert(a.size == docs.count(), "every doc gets a shard")
+    assert(a == run, "assignment must be deterministic")
+  }
+}
