@@ -931,4 +931,65 @@ object Queries {
         count(lit(1)).as("n_docs"),
         sum(TextFunctions.tokenCount(col("text")).cast("long")).as("sum_tokens"),
         min_by(col("doc_id"), col("h")).as("head_doc"))
+
+  // ---------------------------------------------------------------- Q60
+  /** PII redaction: the corpus is deterministically salted with
+    * email/URL/digit-run spans (CASE on doc_id so zero AND nonzero counts
+    * both occur), then scrubbed by [[TextFunctions.redactPii]]. Counts +
+    * md5 of the scrubbed text prove the replacement behaves identically
+    * across engines. Pure per-row regex — map-only at any scale.
+    */
+  def q60Redact(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" see https://data.example.org/d/"), col("doc_id").cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(" ref 123456789")).otherwise(lit("")))
+    tp(spark, dir, "documents")
+      .select(col("doc_id"), aug.as("aug"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("aug"), lit(TextFunctions.piiPatterns(0)._1)).cast("int").as("n_emails"),
+        regexp_count(col("aug"), lit(TextFunctions.piiPatterns(1)._1)).cast("int").as("n_urls"),
+        regexp_count(col("aug"), lit(TextFunctions.piiPatterns(2)._1)).cast("int").as("n_nums"),
+        md5(TextFunctions.redactPii(col("aug"))).as("redacted_md5"))
+  }
+
+  // ---------------------------------------------------------------- Q61
+  /** End-to-end corpus-curation funnel — the complete pre-training filter
+    * stack in ONE plan: language gate, quality gate, exact dedup, greedy
+    * near-dedup (drop the larger id of any exact-Jaccard >= 0.5 pair; the
+    * transitive-closure variant is [[MinHashDedup.duplicateGroups]], kept
+    * out of the funnel so the oracle stays non-recursive SQL). One row of
+    * per-stage survivor counts — what a 100 TB curation run reports.
+    */
+  def q61CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val flags = tp(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextFunctions.langId(col("text")).as("lp"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      .withColumn("pass_lang", col("lp") === "en")
+      .withColumn("pass_q", col("pass_lang") && col("q") >= 0.5)
+    val counts = flags.agg(
+      count(lit(1)).as("n_total"),
+      count(when(col("pass_lang"), 1)).as("n_lang"),
+      count(when(col("pass_q"), 1)).as("n_quality"),
+      countDistinct(when(col("pass_q"), md5(col("text")))).as("n_exact"))
+    val winners = flags.where(col("pass_q"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("text"))
+    val dropped = MinHashDedup.jaccardPairs(winners, "doc_id", "text",
+        threshold = 0.5, shingleN = 3)
+      .agg(countDistinct(col("idB")).as("n_dropped"))
+    counts.crossJoin(dropped)
+      .select(col("n_total"), col("n_lang"), col("n_quality"), col("n_exact"),
+        (col("n_exact") - col("n_dropped")).as("n_near"))
+  }
 }

@@ -87,6 +87,8 @@ object SparkEntry {
     "q57_chunking" -> (Queries.q57Chunking _),
     "q58_pack_bins" -> (Queries.q58PackBins _),
     "q59_shuffle_shard" -> (Queries.q59ShuffleShard _),
+    "q60_redact" -> (Queries.q60Redact _),
+    "q61_curation_funnel" -> (Queries.q61CurationFunnel _),
   )
 
   private val mergeOracle: String = {
@@ -698,6 +700,71 @@ object SparkEntry {
         |SELECT CAST(floor((cum - nt) / 4096) AS BIGINT) AS bin,
         |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens
         |FROM s GROUP BY 1""".stripMargin,
+    // salt deterministic PII spans, scrub with the same three ordered
+    // passes ('g' = all occurrences, Spark's default), compare md5
+    "q60_redact" ->
+      """WITH a AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' see https://data.example.org/d/' || CAST(doc_id AS VARCHAR) ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' ref 123456789' ELSE '' END AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
+        |  CAST(len(regexp_extract_all(aug, '[0-9]{6,}')) AS INTEGER) AS n_nums,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g')) AS redacted_md5
+        |FROM a""".stripMargin,
+    // the full curation funnel: langid gate, quality gate, exact dedup,
+    // greedy near-dedup (drop larger id of any Jaccard>=0.5 pair)
+    "q61_curation_funnel" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         len(list_intersect(string_split(text,' '), ['der','die','das','und','ist','nicht','ein','zu'])) AS s_de,
+        |         len(list_intersect(string_split(text,' '), ['the','and','of','to','in','is','that','it','a'])) AS s_en,
+        |         len(list_intersect(string_split(text,' '), ['el','la','los','y','es','no','una','que'])) AS s_es,
+        |         len(list_intersect(string_split(text,' '), ['le','la','les','et','est','pas','une','que'])) AS s_fr,
+        |         len(list_intersect(string_split(text,' '), ['的','是','不','了','在','人','有','我'])) AS s_zh
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+        |              WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |              WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |              WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |              WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |              ELSE 'zh' END AS lp,
+        |         round(0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+        |             + 0.3 * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |                  ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |                       / CAST(length(text) AS DOUBLE) END) * 5.0, 1.0))
+        |             + 0.3 * least((CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+        |                  ELSE CAST(len(list_filter(string_split(text, ' '),
+        |                         tk -> list_contains(['the','and','of','to','in','is','that','it','a'], tk))) AS DOUBLE)
+        |                       / CAST(len(string_split(text, ' ')) AS DOUBLE) END) * 4.0, 1.0), 6) AS q
+        |  FROM s),
+        |f AS (SELECT doc_id, text FROM p WHERE lp = 'en' AND q >= 0.5),
+        |e AS (SELECT doc_id, text FROM (
+        |        SELECT doc_id, text,
+        |               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |        FROM f) WHERE rn = 1),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |         generate_series(1, greatest(len(ws) - 2, 0)),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM e)),
+        |pr AS (SELECT DISTINCT b.doc_id AS idB
+        |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |       WHERE len(a.sg) > 0 AND len(b.sg) > 0
+        |         AND CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+        |             / CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) AS DOUBLE) >= 0.5)
+        |SELECT (SELECT count(*) FROM p) AS n_total,
+        |       (SELECT count(*) FROM p WHERE lp = 'en') AS n_lang,
+        |       (SELECT count(*) FROM f) AS n_quality,
+        |       (SELECT count(*) FROM e) AS n_exact,
+        |       (SELECT count(*) FROM e) - (SELECT count(*) FROM pr) AS n_near""".stripMargin,
     // md5-order shuffle: shard = first hex nibble, head doc = arg-min md5
     "q59_shuffle_shard" ->
       """SELECT CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INTEGER) AS shard,

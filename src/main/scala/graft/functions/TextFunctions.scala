@@ -115,6 +115,20 @@ object TextFunctions {
     round(lit(0.4) * lengthTerm + lit(0.3) * punctTerm + lit(0.3) * stopTerm, 6)
   }
 
+  /** PII redaction patterns, applied in order (emails before the URL and
+    * digit-run passes so an address is never half-eaten by a later rule).
+    * Deliberately engine-portable regex (no lookarounds, no \\s classes) so
+    * Java regex and RE2-family engines match identically.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^ ]+" -> "<URL>",
+    "[0-9]{6,}" -> "<NUM>")
+
+  /** Scrub PII-shaped spans: sequential codegen'd regexp_replace passes. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
   /** 56-bit rolling (polynomial) document fingerprint over tokens:
     * h = (h * 31 + xxhash64(token)) mod 2^56, evaluated left-to-right.
     * Order-sensitive (unlike a bag-of-words hash) so token permutations
