@@ -992,4 +992,16 @@ object Queries {
       .select(col("n_total"), col("n_lang"), col("n_quality"), col("n_exact"),
         (col("n_exact") - col("n_dropped")).as("n_near"))
   }
+
+  // ---------------------------------------------------------------- Q62
+  /** Deterministic mixture sampling: per-language keep rates (en 1/2,
+    * de 3/4, fr 1/4, es 1/8, zh all) selected by md5 nibble — the
+    * dataset-interleaving step, reproducible across engines and reruns.
+    */
+  def q62MixtureSample(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.mixtureSample(tp(spark, dir, "documents"), "doc_id", "lang",
+      Map("en" -> 8, "de" -> 12, "fr" -> 4, "es" -> 2, "zh" -> 16))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("sum_tokens"))
 }

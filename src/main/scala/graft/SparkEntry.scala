@@ -89,6 +89,7 @@ object SparkEntry {
     "q59_shuffle_shard" -> (Queries.q59ShuffleShard _),
     "q60_redact" -> (Queries.q60Redact _),
     "q61_curation_funnel" -> (Queries.q61CurationFunnel _),
+    "q62_mixture_sample" -> (Queries.q62MixtureSample _),
   )
 
   private val mergeOracle: String = {
@@ -765,6 +766,16 @@ object SparkEntry {
         |       (SELECT count(*) FROM f) AS n_quality,
         |       (SELECT count(*) FROM e) AS n_exact,
         |       (SELECT count(*) FROM e) - (SELECT count(*) FROM pr) AS n_near""".stripMargin,
+    // hash-gated mixture: keep when first md5 nibble sorts below the
+    // group's threshold char ('g' > every hex digit = keep all)
+    "q62_mixture_sample" ->
+      """SELECT lang, count(*) AS n_kept,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |FROM documents
+        |WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1) <
+        |      CASE lang WHEN 'en' THEN '8' WHEN 'de' THEN 'c' WHEN 'fr' THEN '4'
+        |                WHEN 'es' THEN '2' WHEN 'zh' THEN 'g' ELSE '0' END
+        |GROUP BY 1""".stripMargin,
     // md5-order shuffle: shard = first hex nibble, head doc = arg-min md5
     "q59_shuffle_shard" ->
       """SELECT CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INTEGER) AS shard,

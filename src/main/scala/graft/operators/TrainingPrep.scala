@@ -115,4 +115,28 @@ object TrainingPrep {
   def shuffleShard(df: DataFrame, idCol: String): DataFrame =
     df.withColumn("h", md5(col(idCol).cast("string")))
       .withColumn("shard", conv(substring(col("h"), 1, 1), 16, 10).cast("int"))
+
+  /** Deterministic mixture sampling — the dataset-interleaving step of
+    * corpus assembly: each group (source/language/domain) keeps a fixed
+    * fraction of its rows, chosen by hash, not RNG, so every engine and
+    * every rerun selects the SAME rows. Rates are sixteenths: a row
+    * survives when the first nibble of md5("mix:" + id) is
+    * lexicographically below the group's threshold character (16/16 = 'g'
+    * sorts above every hex digit = keep all). Per-row projection + filter:
+    * map-only at any scale, and rebalancing a 100 TB mixture is a
+    * one-constant change, no reshuffle.
+    */
+  def mixtureSample(
+      df: DataFrame, idCol: String, groupCol: String,
+      sixteenths: Map[String, Int], defaultSixteenths: Int = 0): DataFrame = {
+    val alphabet = "0123456789abcdefg"
+    def thrChar(n: Int): String = {
+      require(n >= 0 && n <= 16, s"rate must be 0..16 sixteenths, got $n")
+      alphabet.charAt(n).toString
+    }
+    val thr = sixteenths.toSeq.sortBy(_._1).foldLeft(lit(thrChar(defaultSixteenths))) {
+      case (acc, (g, n)) => when(col(groupCol) === g, lit(thrChar(n))).otherwise(acc)
+    }
+    df.where(substring(md5(concat(lit("mix:"), col(idCol).cast("string"))), 1, 1) < thr)
+  }
 }

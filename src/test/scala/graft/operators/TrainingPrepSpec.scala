@@ -41,6 +41,24 @@ class TrainingPrepSpec extends SparkSuite {
     assert(mono.sameElements(mono.sorted), "bin must be monotone in tape order")
   }
 
+  test("mixtureSample: rates hold within nibble tolerance, deterministic, zero/full rates exact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rates = Map("en" -> 8, "de" -> 12, "fr" -> 4, "es" -> 0, "zh" -> 16)
+    def run = TrainingPrep.mixtureSample(docs, "doc_id", "lang", rates)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val kept = run
+    val totals = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(!kept.contains("es"), "rate 0 must drop everything")
+    assert(kept("zh") == totals("zh"), "rate 16 must keep everything")
+    // hash-gated sampling concentrates: allow a generous binomial margin
+    for ((g, n) <- Seq("en" -> 8, "de" -> 12, "fr" -> 4)) {
+      val (got, want) = (kept(g).toDouble, totals(g) * n / 16.0)
+      assert(math.abs(got - want) < totals(g) * 0.2,
+        s"$g kept $got, expected ~$want of ${totals(g)}")
+    }
+    assert(run == kept, "selection must be deterministic")
+  }
+
   test("shuffleShard: 16 shards, every doc assigned, deterministic") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def run = TrainingPrep.shuffleShard(docs, "doc_id")
