@@ -147,30 +147,43 @@ object TextFunctions {
     * token, tokens within document) in 48-bit modular arithmetic — every
     * operation is plain integer math over codepoints, so any engine with a
     * string split and a list fold recomputes the exact value (the DuckDB
-    * oracle does). 48-bit modulus keeps `acc*131 + code` under 2^56 — no
+    * oracle does). 48-bit modulus keeps every intermediate under 2^56 — no
     * ANSI 64-bit overflow. Order-sensitive at both levels like
     * [[rollingFingerprint]]; use that one when speed matters more than
-    * cross-engine portability (xxhash64 is one codegen'd call per token).
+    * cross-engine portability. The inner char folds come from the native
+    * [[graft.plans.PolyTokenHashes]] expression; only the cheap per-token
+    * outer fold stays a HOF.
     */
   def portableFingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => (acc * lit(31L) + portableTokenHash(t)) % lit(1L << 48))
+    aggregate(portableTokenHashes(text), lit(0L),
+      (acc, h) => (acc * lit(31L) + h) % lit(1L << 48))
 
   /** 48-bit polynomial char fold of one token — the portable unit hash.
     * Spark's split(t, "") keeps a trailing "" (limit -1 semantics); drop
     * empties so the fold sees exactly the characters, like the oracle.
+    * Reference HOF shape: [[portableTokenHashes]] computes the same values
+    * natively; this stays as the executable spec the equivalence test
+    * checks against.
     */
-  def portableTokenHash(t: Column): Column =
+  private[graft] def portableTokenHash(t: Column): Column =
     aggregate(filter(split(t, ""), c => c =!= ""), lit(0L),
       (a, c) => (a * lit(131L) + ascii(c).cast("long")) % lit(1L << 48))
 
-  /** Per-token portable hashes — materialize this as a column (behind a
-    * repartition barrier) before fanning out into multi-reference
+  /** HOF composition of [[portableTokenHash]] — the executable spec for
+    * the native expression (asserted equal in TextFunctionsSpec).
+    */
+  private[graft] def portableTokenHashesHof(text: Column): Column =
+    transform(tokens(text), t => portableTokenHash(t))
+
+  /** Per-token portable hashes via the native single-pass
+    * [[graft.plans.PolyTokenHashes]] expression (codegen'd; ~10x the HOF
+    * chain on the token-hash stage). Still materialize as a column behind
+    * a repartition barrier before fanning out into multi-reference
     * consumers like [[portableSimhash48]]: CollapseProject would otherwise
-    * re-inline the char folds into every reference.
+    * re-inline the fold into every reference.
     */
   def portableTokenHashes(text: Column): Column =
-    transform(tokens(text), t => portableTokenHash(t))
+    graft.plans.PolyHashExpressions.polyTokenHashes(text)
 
   /** Portable hashed word-shingles over a pre-materialized token-hash
     * array: shingle hash = 48-bit polynomial fold of its n token hashes

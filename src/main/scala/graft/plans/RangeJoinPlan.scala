@@ -322,6 +322,14 @@ object GraftExtensions {
         CosineSimilarity(args.head, args(1))
       }))
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("poly_token_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PolyTokenHashes].getName, "poly_token_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "poly_token_hashes(text) takes 1 argument")
+        PolyTokenHashes(args.head)
+      }))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("bottom_k"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[BottomKSketch].getName, "bottom_k"),

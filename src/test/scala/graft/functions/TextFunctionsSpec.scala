@@ -54,4 +54,23 @@ class TextFunctionsSpec extends SparkSuite {
       .where(col("q") < 0 || col("q") > 1)
     assert(bad.count() == 0)
   }
+
+  test("native poly_token_hashes equals the HOF executable spec") {
+    // edge shapes the single-pass loop must reproduce exactly: empty
+    // string, leading/trailing/double spaces (empty tokens hash to 0),
+    // non-ASCII code points
+    val edge = Seq("", " ", "a", "a b", " a", "a ", "a  b", "héllo wörld 你好")
+      .toDF("text")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select($"text")
+    for (df <- Seq(edge, docs)) {
+      val mismatch = df.select(
+          TextFunctions.portableTokenHashes($"text").as("native"),
+          TextFunctions.portableTokenHashesHof($"text").as("hof"))
+        .where(not($"native" <=> $"hof"))
+      assert(mismatch.count() == 0, "native expression diverged from HOF spec")
+    }
+    // fingerprint path (outer fold over the native array) stays in range
+    val fp = one[Long](TextFunctions.portableFingerprint($"text"), "a b c")
+    assert(fp >= 0 && fp < (1L << 48))
+  }
 }
