@@ -993,6 +993,26 @@ object Queries {
         (col("n_exact") - col("n_dropped")).as("n_near"))
   }
 
+  // ---------------------------------------------------------------- Q63
+  /** Z-order layout scan: orders written z-ordered on
+    * (o_custkey, price-bucket), then a box predicate on BOTH dimensions +
+    * aggregate. The result is layout-independent (that's what the oracle
+    * checks); LayoutSpec asserts the layout property itself — file min/max
+    * ranges stay prunable on both columns, which 1-D clustering cannot do.
+    */
+  def q63ZOrderScan(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q63").toString
+    Layout.writeZOrdered(
+      t(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") / 1000).cast("int").as("price_kb"),
+        col("o_totalprice")),
+      tmp, "o_custkey", "price_kb", numFiles = 16)
+    spark.read.parquet(tmp)
+      .where(col("o_custkey") < 500 && col("price_kb") < 100)
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
   // ---------------------------------------------------------------- Q62
   /** Deterministic mixture sampling: per-language keep rates (en 1/2,
     * de 3/4, fr 1/4, es 1/8, zh all) selected by md5 nibble — the

@@ -90,6 +90,7 @@ object SparkEntry {
     "q60_redact" -> (Queries.q60Redact _),
     "q61_curation_funnel" -> (Queries.q61CurationFunnel _),
     "q62_mixture_sample" -> (Queries.q62MixtureSample _),
+    "q63_zorder_scan" -> (Queries.q63ZOrderScan _),
   )
 
   private val mergeOracle: String = {
@@ -766,6 +767,11 @@ object SparkEntry {
         |       (SELECT count(*) FROM f) AS n_quality,
         |       (SELECT count(*) FROM e) AS n_exact,
         |       (SELECT count(*) FROM e) - (SELECT count(*) FROM pr) AS n_near""".stripMargin,
+    // layout-independent semantics of the z-ordered box scan
+    "q63_zorder_scan" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE o_custkey < 500 AND floor(o_totalprice / 1000) < 100""".stripMargin,
     // hash-gated mixture: keep when first md5 nibble sorts below the
     // group's threshold char ('g' > every hex digit = keep all)
     "q62_mixture_sample" ->

@@ -40,6 +40,66 @@ object Layout {
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Morton (z-order) interleave of the low 16 bits of two non-negative
+    * int columns — bit i of x lands at position 2i, bit i of y at 2i+1, so
+    * sorting by the z-value clusters BOTH dimensions at once: any box
+    * predicate (x range AND/OR y range) maps to a bounded set of z-runs,
+    * and parquet min/max footers skip files on either column. Plain shift
+    * arithmetic (the `sequence` fold is the same portable shape as the
+    * simhash vote loop) — engine-portable, no UDF.
+    */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, i) =>
+      acc +
+        call_function("shiftleft",
+          call_function("shiftright", x.cast("long"), i).bitwiseAND(lit(1L)), i * 2) +
+        call_function("shiftleft",
+          call_function("shiftright", y.cast("long"), i).bitwiseAND(lit(1L)), i * 2 + 1))
+  }
+
+  /** Z-ordered write: range-repartition + sort on the interleaved key, so
+    * each file covers a compact rectangle-ish region of (c1, c2) space —
+    * min/max pruning works on BOTH columns, where [[writeClustered]] on c1
+    * leaves c2 scattered across every file. The multi-dimensional layout
+    * lever for fact tables filtered on more than one key.
+    *
+    * Both columns are min/max-normalized to 16 bits before interleaving —
+    * WITHOUT this, the wider-range dimension owns every high z-bit and the
+    * file split degenerates to 1-D clustering on it (measured: 8/8 files
+    * touched on the narrow dimension). Min/max is one bounded agg (4
+    * driver scalars). Normalization is exact while (range × 2^16) < 2^53;
+    * beyond that swap in rank-based bucketing.
+    */
+  def writeZOrdered(
+      df: DataFrame, path: String, c1: String, c2: String, numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val r = df.agg(
+      min(col(c1)).cast("long"), max(col(c1)).cast("long"),
+      min(col(c2)).cast("long"), max(col(c2)).cast("long")).head()
+    def norm(c: String, lo: Long, hi: Long) =
+      if (hi <= lo) lit(0L)
+      else floor((col(c).cast("long") - lit(lo)) * lit(65536.0) / lit((hi - lo + 1).toDouble)).cast("long")
+    df.withColumn("__z",
+        zValue(norm(c1, r.getLong(0), r.getLong(1)), norm(c2, r.getLong(2), r.getLong(3))))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file (min, max) of an int column, from the files' own contents —
+    * the spec-side stand-in for parquet footer stats in pruning tests.
+    */
+  def fileRanges(spark: SparkSession, path: String, c: String): Seq[(Long, Long)] =
+    dataFiles(spark, path).map { case (f, _) =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min(col(c)).cast("long"),
+          org.apache.spark.sql.functions.max(col(c)).cast("long"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
   /** Parquet data files under a table path (recursive — covers hive
     * partition subdirectories).
     */

@@ -55,6 +55,36 @@ class LayoutSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(spark.read.parquet(dir).count() === orders.count())
   }
 
+  test("writeZOrdered: file ranges prunable on BOTH dimensions, beats 1-D clustering") {
+    val src = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") / 1000).cast("int").as("price_kb"),
+        col("o_totalprice"))
+    val n = 8
+    val zDir = Files.createTempDirectory("graft_z").toString
+    Layout.writeZOrdered(src, zDir, "o_custkey", "price_kb", numFiles = n)
+    val cDir = Files.createTempDirectory("graft_c").toString
+    Layout.writeClustered(src, cDir, Seq("o_custkey"), numFiles = n)
+
+    // files whose [min,max] on column c intersects [lo, hi]
+    def touching(path: String, c: String, lo: Long, hi: Long): Int =
+      Layout.fileRanges(spark, path, c).count { case (mn, mx) => mx >= lo && mn <= hi }
+
+    val (loC, hiC) = (0L, 30L)     // narrow custkey band
+    val (loP, hiP) = (0L, 60L)     // narrow price band
+    // z-order must allow skipping on EACH dimension independently
+    assert(touching(zDir, "o_custkey", loC, hiC) < n,
+      "z-order: no file skipped on custkey")
+    assert(touching(zDir, "price_kb", loP, hiP) < n,
+      "z-order: no file skipped on price")
+    // 1-D clustering on custkey scatters price across every file — the
+    // z-layout must not be worse on the second dimension
+    assert(touching(zDir, "price_kb", loP, hiP) <= touching(cDir, "price_kb", loP, hiP),
+      "z-order lost to 1-D clustering on the second dimension")
+    // and the data round-trips
+    assert(spark.read.parquet(zDir).count() === src.count())
+  }
+
   test("compact: bin-packs small files, data unchanged") {
     val dir = Files.createTempDirectory("graft_compact").toString
     // Simulate an append-sink aftermath: 24 tiny files.
