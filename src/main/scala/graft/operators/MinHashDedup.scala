@@ -102,17 +102,13 @@ object MinHashDedup {
     */
   private def sigTable(base: DataFrame, cfg: Config): DataFrame = {
     val (as, bs) = coefficients(cfg)
-    val perms = array(as.zip(bs).map { case (a, b) =>
-      array_min(transform(col("__hm"), x =>
-        pmod(lit(a) * x + lit(b), lit(MersennePrime))))
-    }: _*)
     base
       .select(col("id"),
         transform(col("shingles"), h => pmod(h, lit(MersennePrime))).as("__hm"))
       .repartition(col("id"))
       .select(col("id"),
-        when(size(col("__hm")) === 0, array().cast("array<bigint>"))
-          .otherwise(perms).as("sig"))
+        graft.plans.PolyHashExpressions
+          .minhashSignature(col("__hm"), as, bs, MersennePrime).as("sig"))
   }
 
   /** id, shingles, sig (array<long> of numHashes minima). Docs with no
@@ -337,17 +333,13 @@ object MinHashDedup {
           TextFunctions.portableTokenHashes(col(textCol)), shingleN).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.count()
-    val perms = array(as.zip(bs).map { case (a, b) =>
-      array_min(transform(col("__hm"), x =>
-        pmod(lit(a) * x + lit(b), lit(MersennePrime))))
-    }: _*)
     val sigs = base
       .select(col("id"),
         transform(col("shingles"), h => pmod(h, lit(MersennePrime))).as("__hm"))
       .repartition(col("id")) // CollapseProject barrier, see sigTable
       .select(col("id"),
-        when(size(col("__hm")) === 0, array().cast("array<bigint>"))
-          .otherwise(perms).as("sig"))
+        graft.plans.PolyHashExpressions
+          .minhashSignature(col("__hm"), as, bs, MersennePrime).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count()
     val bandIdx = sequence(lit(0), lit(bands - 1))

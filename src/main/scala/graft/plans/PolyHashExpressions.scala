@@ -80,8 +80,87 @@ case class PolyTokenHashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object PolyHashOpsMinhash {
+  /** All-permutations minhash minima in ONE pass: for each element h of
+    * the (already mod-p-reduced) hash array, update every permutation's
+    * running minimum of (a_j*h + b_j) % p. Replaces numHashes separate
+    * array traversals of interpreted lambdas. Empty input -> empty
+    * signature (the "no shingles, never a candidate" contract).
+    */
+  def signature(hm: ArrayData, as: Array[Long], bs: Array[Long], p: Long): ArrayData = {
+    val n = hm.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hm.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * h + bs(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** Native minhash signature: `array<long>` of one minimum per permutation
+  * over literal (a, b) coefficient pairs in the Mersenne-31 space. The
+  * HOF shape (`array(array_min(transform(hm, ...)) * numHashes)`)
+  * re-traverses the hash array once per permutation with interpreted
+  * lambdas; this updates all permutation minima in a single pass inside
+  * whole-stage codegen. Arithmetic is identical ((a*h + b) % p on
+  * nonnegative operands == pmod), so signatures — and every LSH bucket
+  * and oracle value derived from them — are bit-equal.
+  *
+  * Input MUST already be reduced mod p (the sigTable projection does
+  * this below the repartition barrier); coefficients and p ride along as
+  * expression parameters, reaching generated code via reference objects.
+  */
+case class MinHashSignature(
+    child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
+    extends UnaryExpression {
+  require(as.length == bs.length && as.nonEmpty, "coefficient seqs must match")
+
+  private lazy val asArr = as.toArray
+  private lazy val bsArr = bs.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHashOpsMinhash.signature(input.asInstanceOf[ArrayData], asArr, bsArr, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", asArr, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bsArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.PolyHashOpsMinhash.signature($c, $asRef, $bsRef, ${p}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object PolyHashExpressions {
   /** Column-API surface for the native expression. */
   def polyTokenHashes(text: Column): Column =
     ColumnBridge.column(PolyTokenHashes(ColumnBridge.expression(text)))
+
+  /** Column-API surface for the one-pass minhash signature. */
+  def minhashSignature(hm: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hm), as, bs, p))
 }

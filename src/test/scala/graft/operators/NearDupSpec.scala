@@ -130,6 +130,24 @@ class NearDupSpec extends SparkSuite {
       s"prefix-filter candidates must lose nothing: exact=$exact brute=$brute")
   }
 
+  test("native minhash signature equals the HOF executable spec") {
+    import graft.functions.TextFunctions
+    val p = (1L << 31) - 1
+    val (as, bs) = MinHashDedup.portableCoefficients(16, 7L)
+    val hofPerms = array(as.zip(bs).map { case (a, b) =>
+      array_min(transform($"hm", x => pmod(lit(a) * x + lit(b), lit(p))))
+    }: _*)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id",
+        transform(TextFunctions.hashedShingles($"text", 3), h => pmod(h, lit(p))).as("hm"))
+      .union(Seq((-1L, Seq.empty[Long])).toDF("doc_id", "hm")) // empty-input contract
+    val mismatch = docs.select(
+        graft.plans.PolyHashExpressions.minhashSignature($"hm", as, bs, p).as("native"),
+        when(size($"hm") === 0, array().cast("array<bigint>")).otherwise(hofPerms).as("hof"))
+      .where(not($"native" <=> $"hof"))
+    assert(mismatch.count() == 0, "native signature diverged from HOF spec")
+  }
+
   test("portable minhash finds planted pairs, subset of exact Jaccard pairs") {
     val portable = MinHashDedup.portableVerifiedPairs(
       corpus, "doc_id", "text", threshold = 0.5)
