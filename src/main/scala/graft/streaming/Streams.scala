@@ -113,6 +113,16 @@ object Streams {
       right.withWatermark(rightTs, watermark),
       leftKey, rightKey, leftTs, rightTs, maxDelay)
 
+  /** Stream-static enrichment: join each micro-batch against a (slowly
+    * changing) dimension table with an explicit broadcast. The static side
+    * is re-resolved every micro-batch (Spark re-plans it), so a dim
+    * refresh lands without restarting the query, and the stream side never
+    * shuffles — at 100 TB/day the enrichment has to stay map-side. Left
+    * join: an unmatched fact is a data-quality signal, not a dropped row.
+    */
+  def streamStaticEnrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
+
   /** The reference pipeline as a stream: each micro-batch is deduped on pk
     * (deterministic winner) and MERGEd into the parquet destination table
     * via full-snapshot swap (see [[ParquetUpsertSink]]).

@@ -94,6 +94,27 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment equals the batch join, keeps unmatched facts") {
+    val events = Tables.load(spark, sf, "events")
+      .select($"event_id", $"user_id", $"event_type")
+    val dim = Tables.load(spark, sf, "customer")
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    val eDir = tmpDir("enrich-stream")
+    events.write.mode("overwrite").parquet(eDir)
+    val eStream = spark.readStream.schema(events.schema).parquet(eDir)
+    val q = Streams.streamStaticEnrich(eStream, dim, Seq("user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+      val batch = Streams.streamStaticEnrich(events, dim, Seq("user_id"))
+      assert(batch.count() == events.count(), "left join must keep every fact row")
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("streamingDedup drops in-horizon duplicate keys, stream==batch distinct") {
     val dir = tmpDir("dedup-stream")
     Seq(
