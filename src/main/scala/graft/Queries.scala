@@ -993,6 +993,24 @@ object Queries {
         (col("n_exact") - col("n_dropped")).as("n_near"))
   }
 
+  // ---------------------------------------------------------------- Q64
+  /** Int8 embedding quantization: codes checksum + reconstruction error
+    * per vector — the 4x-storage ANN path, all-double arithmetic so the
+    * oracle recomputes every code and error bit-for-bit.
+    */
+  def q64Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val (lo, hi) = (-0.6, 0.6)
+    val q = VectorFunctions.quantize8(col("embedding"), lo, hi)
+    tp(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), q.as("q"))
+      .select(
+        col("vec_id"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+        round(array_max(zip_with(col("embedding"),
+          VectorFunctions.dequantize8(col("q"), lo, hi),
+          (orig, deq) => abs(orig.cast("double") - deq))), 9).as("max_abs_err"))
+  }
+
   // ---------------------------------------------------------------- Q63
   /** Z-order layout scan: orders written z-ordered on
     * (o_custkey, price-bucket), then a box predicate on BOTH dimensions +

@@ -91,6 +91,7 @@ object SparkEntry {
     "q61_curation_funnel" -> (Queries.q61CurationFunnel _),
     "q62_mixture_sample" -> (Queries.q62MixtureSample _),
     "q63_zorder_scan" -> (Queries.q63ZOrderScan _),
+    "q64_quantize" -> (Queries.q64Quantize _),
   )
 
   private val mergeOracle: String = {
@@ -767,6 +768,22 @@ object SparkEntry {
         |       (SELECT count(*) FROM f) AS n_quality,
         |       (SELECT count(*) FROM e) AS n_exact,
         |       (SELECT count(*) FROM e) - (SELECT count(*) FROM pr) AS n_near""".stripMargin,
+    // int8 quantization replayed in double arithmetic: codes, checksum,
+    // midpoint-dequant reconstruction error
+    "q64_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |         list_transform(embedding, v ->
+        |           CAST(least(floor((greatest(least(CAST(v AS DOUBLE), 0.6), -0.6) + 0.6)
+        |             * 255.0 / 1.2), 255.0) AS INTEGER)) AS codes
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |       CAST(list_sum(codes) AS BIGINT) AS q_sum,
+        |       round(list_max(list_transform(generate_series(1, len(embedding)), i ->
+        |         abs(CAST(embedding[i] AS DOUBLE)
+        |             - (-0.6 + (CAST(codes[i] AS DOUBLE) + 0.5) * 1.2 / 255.0)))), 9)
+        |         AS max_abs_err
+        |FROM q""".stripMargin,
     // layout-independent semantics of the z-ordered box scan
     "q63_zorder_scan" ->
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS revenue

@@ -25,6 +25,24 @@ object VectorFunctions {
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
   }
 
+  /** Scalar int8 quantization: clip to [lo, hi], map linearly to 0..255.
+    * All arithmetic in double (float inputs cast exactly), so any
+    * IEEE-conformant engine produces the same codes — the DuckDB oracle
+    * does. At 100 TB this is the 4x storage/IO lever for embedding
+    * corpora: ANN candidate generation runs on codes, full precision only
+    * re-scores the shortlist.
+    */
+  def quantize8(vec: Column, lo: Double, hi: Double): Column =
+    transform(vec, v =>
+      least(floor((greatest(least(v.cast("double"), lit(hi)), lit(lo)) - lit(lo))
+        * lit(255.0) / lit(hi - lo)), lit(255.0)).cast("int"))
+
+  /** Midpoint dequantization (code -> bucket center). Reconstruction error
+    * is bounded by (hi-lo)/255/2 per element for in-range inputs.
+    */
+  def dequantize8(q: Column, lo: Double, hi: Double): Column =
+    transform(q, x => lit(lo) + (x.cast("double") + lit(0.5)) * lit(hi - lo) / lit(255.0))
+
   /** Random-hyperplane (SimHash-for-vectors) LSH signature: `bits` sign
     * bits packed into a long. Hyperplane h_i is a deterministic pseudo-random
     * unit-free vector derived from (seed, i, dim) via a splitmix-style hash

@@ -86,6 +86,31 @@ class SimilaritySpec extends SparkSuite {
     assert(sigs == sigs)
   }
 
+  test("int8 quantization: error bounded by half a bucket, top-k mostly survives") {
+    val (lo, hi) = (-0.6, 0.6)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = VectorFunctions.quantize8($"embedding", lo, hi)
+    val maxErr = emb.select(
+        array_max(zip_with($"embedding", VectorFunctions.dequantize8(q, lo, hi),
+          (o, d) => abs(o.cast("double") - d))).as("e"))
+      .agg(max($"e")).as[Double].head()
+    assert(maxErr <= (hi - lo) / 255.0 / 2.0 + 1e-12, s"err $maxErr exceeds half-bucket")
+    // topKJoin's native cosine takes array<float>; quantized path re-scores
+    // in float like a production shortlist would
+    val deq = emb.select($"vec_id",
+      transform(VectorFunctions.dequantize8(q, lo, hi), _.cast("float")).as("embedding"))
+    def top(corpus: org.apache.spark.sql.DataFrame) = Similarity.topKJoin(
+        corpus.where($"vec_id" < 3), "vec_id", "embedding",
+        corpus, "vec_id", "embedding", k = 10)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (full, quant) = (top(emb.select($"vec_id", $"embedding")), top(deq))
+    for ((qid, ids) <- full) {
+      val overlap = ids.intersect(quant(qid)).size
+      assert(overlap >= 6, s"query $qid: only $overlap/10 neighbors survived quantization")
+    }
+  }
+
   test("exact cosine pairs ground the LSH near-dup variant (subset + scores)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = Similarity.cosineNearDupPairsExact(emb, "vec_id", "embedding", 0.2)
