@@ -913,11 +913,16 @@ object Queries {
     * DISTRIBUTED prefix sum (range-partitioned cumsum + offsets — a bare
     * global window would single-task). Aggregated per bin for the oracle.
     */
-  def q58PackBins(spark: SparkSession, dir: String): DataFrame =
-    TrainingPrep.packBins(t(spark, dir, "documents"), "doc_id", "text",
+  def q58PackBins(spark: SparkSession, dir: String): DataFrame = {
+    val bins = TrainingPrep.packBins(t(spark, dir, "documents"), "doc_id", "text",
       budget = 4096)
-      .groupBy(col("bin"))
+    val out = bins.groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // bin-count-sized; lets the input-sized bins cache go
+    bins.unpersist()
+    out
+  }
 
   // ---------------------------------------------------------------- Q59
   /** Deterministic shuffle-shard: md5-order permutation, 16 hex-nibble

@@ -236,6 +236,32 @@ object SparkEntry {
        |WHERE jac >= 0.5""".stripMargin
   }
 
+  /** q60: the DuckDB redaction replay, with the regex/replacement pairs
+    * interpolated from [[graft.functions.TextFunctions.piiPatterns]] (the
+    * patterns contain no single quotes, so they embed into SQL string
+    * literals verbatim).
+    */
+  private val redactOracle: String = {
+    val ps = graft.functions.TextFunctions.piiPatterns
+    require(ps.forall { case (p, r) => !p.contains("'") && !r.contains("'") })
+    val counts = Seq("n_emails", "n_urls", "n_nums").zip(ps).map { case (name, (p, _)) =>
+      s"CAST(len(regexp_extract_all(aug, '$p')) AS INTEGER) AS $name"
+    }.mkString(",\n       |  ")
+    val redacted = ps.foldLeft("aug") { case (inner, (p, r)) =>
+      s"regexp_replace($inner, '$p', '$r', 'g')"
+    }
+    s"""WITH a AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN ' see https://data.example.org/d/' || CAST(doc_id AS VARCHAR) ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' ref 123456789' ELSE '' END AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |  $counts,
+       |  md5($redacted) AS redacted_md5
+       |FROM a""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_dedup_full" -> "SELECT DISTINCT * FROM lineitem",
     "q2_latest_by_key" ->
@@ -704,23 +730,10 @@ object SparkEntry {
         |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens
         |FROM s GROUP BY 1""".stripMargin,
     // salt deterministic PII spans, scrub with the same three ordered
-    // passes ('g' = all occurrences, Spark's default), compare md5
-    "q60_redact" ->
-      """WITH a AS (
-        |  SELECT doc_id, text
-        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
-        |    || CASE WHEN doc_id % 5 = 0 THEN ' see https://data.example.org/d/' || CAST(doc_id AS VARCHAR) ELSE '' END
-        |    || CASE WHEN doc_id % 7 = 0 THEN ' ref 123456789' ELSE '' END AS aug
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
-        |  CAST(len(regexp_extract_all(aug, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
-        |  CAST(len(regexp_extract_all(aug, '[0-9]{6,}')) AS INTEGER) AS n_nums,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    'https?://[^ ]+', '<URL>', 'g'),
-        |    '[0-9]{6,}', '<NUM>', 'g')) AS redacted_md5
-        |FROM a""".stripMargin,
+    // passes ('g' = all occurrences, Spark's default), compare md5. The
+    // regex/replacement literals are interpolated from the ONE Scala
+    // definition (TextFunctions.piiPatterns) so the sides cannot drift.
+    "q60_redact" -> redactOracle,
     // the full curation funnel: langid gate, quality gate, exact dedup,
     // greedy near-dedup (drop larger id of any Jaccard>=0.5 pair)
     "q61_curation_funnel" ->

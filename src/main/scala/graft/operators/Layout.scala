@@ -77,6 +77,10 @@ object Layout {
     val r = df.agg(
       min(col(c1)).cast("long"), max(col(c1)).cast("long"),
       min(col(c2)).cast("long"), max(col(c2)).cast("long")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) { // empty input: nothing to z-order
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     def norm(c: String, lo: Long, hi: Long) =
       if (hi <= lo) lit(0L)
       else floor((col(c).cast("long") - lit(lo)) * lit(65536.0) / lit((hi - lo + 1).toDouble)).cast("long")
@@ -90,14 +94,15 @@ object Layout {
 
   /** Per-file (min, max) of an int column, from the files' own contents —
     * the spec-side stand-in for parquet footer stats in pruning tests.
+    * Zero-row part files carry no range and are omitted.
     */
   def fileRanges(spark: SparkSession, path: String, c: String): Seq[(Long, Long)] =
-    dataFiles(spark, path).map { case (f, _) =>
+    dataFiles(spark, path).flatMap { case (f, _) =>
       val r = spark.read.parquet(f)
         .agg(org.apache.spark.sql.functions.min(col(c)).cast("long"),
           org.apache.spark.sql.functions.max(col(c)).cast("long"))
         .head()
-      (r.getLong(0), r.getLong(1))
+      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
     }
 
   /** Parquet data files under a table path (recursive — covers hive

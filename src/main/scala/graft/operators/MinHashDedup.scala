@@ -63,12 +63,8 @@ object MinHashDedup {
   private val MersennePrime = (1L << 31) - 1
 
   /** Deterministic (a, b) permutation coefficients from the seed. */
-  private def coefficients(cfg: Config): (Seq[Long], Seq[Long]) = {
-    val rnd = new scala.util.Random(cfg.seed)
-    val as = Seq.fill(cfg.numHashes)((math.abs(rnd.nextLong()) % (MersennePrime - 1)) + 1)
-    val bs = Seq.fill(cfg.numHashes)(math.abs(rnd.nextLong()) % MersennePrime)
-    (as, bs)
-  }
+  private def coefficients(cfg: Config): (Seq[Long], Seq[Long]) =
+    portableCoefficients(cfg.numHashes, cfg.seed)
 
   /** (id, shingles) with shingles pre-hashed to 64-bit longs (see
     * [[TextFunctions.hashedShingles]]) — computed once per pipeline; the
@@ -140,15 +136,16 @@ object MinHashDedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** Distinct candidate pairs (idA < idB) sharing any band bucket, with
-    * oversized buckets dropped.
+  /** Shared tail of LSH candidate generation: cap oversized buckets
+    * (boilerplate guard), self-join on (band, bucket), orient and dedup
+    * pairs. Both the xxhash64 and portable pipelines route through here so
+    * cap/join discipline can never drift between them.
     */
-  def candidatePairs(sigs: DataFrame, cfg: Config): DataFrame = {
-    val buckets = bandBuckets(sigs, cfg)
+  private def capAndPair(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
     val sized = buckets
       .withColumn("bs", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .where(col("bs") <= cfg.maxBucketSize)
+      .where(col("bs") <= maxBucketSize)
       .drop("bs")
     val l = sized.select(col("band"), col("bucket"), col("id").as("idA"))
     val r = sized.select(col("band"), col("bucket"), col("id").as("idB"))
@@ -157,6 +154,12 @@ object MinHashDedup {
       .select("idA", "idB")
       .distinct()
   }
+
+  /** Distinct candidate pairs (idA < idB) sharing any band bucket, with
+    * oversized buckets dropped.
+    */
+  def candidatePairs(sigs: DataFrame, cfg: Config): DataFrame =
+    capAndPair(bandBuckets(sigs, cfg), cfg.maxBucketSize)
 
   /** True-Jaccard verification of candidate pairs against the shingle table.
     *
@@ -350,17 +353,7 @@ object MinHashDedup {
             aggregate(slice(col("sig"), b * r + 1, lit(r)), b.cast("bigint"),
               (acc, v) => pmod(acc * lit(31L) + v, lit(m48))).as("bucket")))).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val sized = buckets
-      .withColumn("bs", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .where(col("bs") <= maxBucketSize)
-      .drop("bs")
-    val l = sized.select(col("band"), col("bucket"), col("id").as("idA"))
-    val rr = sized.select(col("band"), col("bucket"), col("id").as("idB"))
-    val cands = l.join(rr, Seq("band", "bucket"))
-      .where(col("idA") < col("idB"))
-      .select("idA", "idB")
-      .distinct()
+    val cands = capAndPair(buckets, maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands.count()
     val out = verifyJaccard(base, cands, threshold)

@@ -49,13 +49,20 @@ object Scale {
       table: String,
       bucketCols: Seq[String],
       numBuckets: Int): Unit = {
+    require(!table.contains("."),
+      "writeBucketed takes an unqualified table name in the current database")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // A crashed prior run can leave the managed location on disk while the
-    // in-memory catalog has forgotten the table; saveAsTable then fails with
-    // LOCATION_ALREADY_EXISTS, so clear the orphan directory first.
+    // in-memory catalog has forgotten the table; saveAsTable then fails
+    // with LOCATION_ALREADY_EXISTS, so clear the orphan directory first.
+    // The location is resolved through the session catalog (not assumed to
+    // be <warehouse>/<table>) so a non-default current database can never
+    // alias another database's directory.
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+      table, Some(spark.catalog.currentDatabase))
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write

@@ -49,6 +49,14 @@ object TrainingPrep {
     *
     * `orderCol` must be unique (range partitioning keeps equal keys
     * together, but tie order within a key would be nondeterministic).
+    *
+    * Cache contract: the returned DataFrame is persisted and MATERIALIZED,
+    * and the caller owns it — unpersist when done. The persist is
+    * load-bearing, not an optimization: the offsets were computed against
+    * THIS execution's range-partition boundaries, and a recompute would
+    * re-sample them (new RDD ids seed the range sampler), silently
+    * misaligning offset and partition. The input-sized `ranged` cache is
+    * dropped before returning.
     */
   def globalPrefixSum(
       df: DataFrame, orderCol: String, valueCol: String, outCol: String,
@@ -95,11 +103,16 @@ object TrainingPrep {
     require(budget > 0, "budget must be positive")
     val counted = Parallelism.ensureCompute(df)
       .select(col(idCol).as("id"), TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    globalPrefixSum(counted, "id", "n_tokens", "__cum", numParts)
-      // start offset = cum - n_tokens; values ≪ 2^53, double floor is exact
+    val cum = globalPrefixSum(counted, "id", "n_tokens", "__cum", numParts)
+    // start offset = cum - n_tokens; values ≪ 2^53, double floor is exact
+    val out = cum
       .withColumn("bin",
         floor((col("__cum") - col("n_tokens")) / lit(budget.toDouble)).cast("bigint"))
       .select(col("id"), col("n_tokens"), col("bin"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize while the prefix-sum cache is still alive
+    cum.unpersist()
+    out // caller-owned (single retained cache; unpersist when done)
   }
 
   /** Deterministic shuffle + shard: order key = md5 of the id (a fixed

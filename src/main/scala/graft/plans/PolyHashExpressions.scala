@@ -85,7 +85,14 @@ object PolyHashOpsMinhash {
     * the (already mod-p-reduced) hash array, update every permutation's
     * running minimum of (a_j*h + b_j) % p. Replaces numHashes separate
     * array traversals of interpreted lambdas. Empty input -> empty
-    * signature (the "no shingles, never a candidate" contract).
+    * signature (the "no shingles, never a candidate" contract). Null
+    * elements are SKIPPED — treated as absent shingles, like `array_min`
+    * ignoring the nulls `transform` propagates — rather than read as 0,
+    * which is what an unguarded getLong would silently do. (An ALL-null
+    * array yields MaxValue minima rather than the HOF's null slots; no
+    * caller produces null hashes, the guard exists so a future one fails
+    * loudly in Jaccard verification rather than silently bucket-matching
+    * everything on b_j.)
     */
   def signature(hm: ArrayData, as: Array[Long], bs: Array[Long], p: Long): ArrayData = {
     val n = hm.numElements()
@@ -94,12 +101,14 @@ object PolyHashOpsMinhash {
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = hm.getLong(i)
-      var j = 0
-      while (j < k) {
-        val v = (as(j) * h + bs(j)) % p
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      if (!hm.isNullAt(i)) {
+        val h = hm.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = (as(j) * h + bs(j)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }

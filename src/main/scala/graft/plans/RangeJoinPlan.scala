@@ -140,13 +140,17 @@ case class BroadcastRangeJoinExec(
     // Driver side: collect + index the (broadcast-sized) interval side.
     // The rewrite rule gates on autoBroadcastJoinThreshold; the programmatic
     // API has no stats to gate on, so enforce a hard row cap here — failing
-    // fast with a named conf beats an opaque driver OOM.
-    val maxRows = conf.getConfString("spark.graft.rangeJoin.maxBroadcastRows", "5000000").toLong
-    val rightRows = right.executeCollect()
+    // fast with a named conf beats an opaque driver OOM. The cap must bound
+    // the collect ITSELF: executeTake(cap+1) never materializes more than
+    // one row past the limit, where a collect-then-check would OOM first.
+    val maxRows = math.min(
+      conf.getConfString("spark.graft.rangeJoin.maxBroadcastRows", "5000000").toLong,
+      Int.MaxValue - 2L).toInt
+    val rightRows = right.executeTake(maxRows + 1)
     if (rightRows.length > maxRows) {
       throw new IllegalStateException(
-        s"BroadcastRangeJoin interval side has ${rightRows.length} rows " +
-          s"(> spark.graft.rangeJoin.maxBroadcastRows=$maxRows); use " +
+        s"BroadcastRangeJoin interval side exceeds " +
+          s"spark.graft.rangeJoin.maxBroadcastRows=$maxRows rows; use " +
           "graft.operators.RangeJoin.pointInInterval (bucketized) for large interval sides")
     }
     numIntervals.add(rightRows.length)
