@@ -305,6 +305,19 @@ object Queries {
       .toDF()
       .select(col("media_id"), col("byte_len"), col("width"), col("height"), col("n_frames"))
 
+  /** Video frame-sampling fan-out. Frame PAYLOADS are stub-derived, but
+    * the fan-out arithmetic (stub n_frames = payload_len % 240 + 1, every
+    * 10th frame) is a pure function of byte length — so the per-video row
+    * counts and last sampled index ARE oracle-checked.
+    */
+  def q18cFrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.attachPayload(t(spark, dir, "documents"), "doc_id", "text", "video/mp4"),
+      stride = 10)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        max(col("frame_idx")).cast("int").as("last_idx"))
+
   // ---------------------------------------------------------------- Q19
   /** §2.5 class: global sort + limit with deterministic tiebreak. */
   def q19TopN(spark: SparkSession, dir: String): DataFrame =

@@ -44,6 +44,7 @@ object SparkEntry {
     "q17b_fingerprint" -> (Queries.q17bFingerprint _),
     "q18_media_meta" -> (Queries.q18MediaMeta _),
     "q18b_media_decode" -> (Queries.q18bMediaDecode _),
+    "q18c_frame_sample" -> (Queries.q18cFrameSample _),
     "q19_topn" -> (Queries.q19TopN _),
     "q20_intersect" -> (Queries.q20Intersect _),
     "q21_except" -> (Queries.q21Except _),
@@ -464,6 +465,13 @@ object SparkEntry {
     "q18_media_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         |       octet_length(encode(text)) AS payload_len, md5(text) AS payload_md5
+        |FROM documents""".stripMargin,
+    // stub fan-out arithmetic: n_frames = (octet_length % 240) + 1,
+    // sampled every 10th frame -> row counts and last index are exact
+    "q18c_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(ceil(((octet_length(encode(text)) % 240) + 1) / 10.0) AS BIGINT) AS n_sampled,
+        |       CAST((((octet_length(encode(text)) % 240) + 1 - 1) // 10) * 10 AS INTEGER) AS last_idx
         |FROM documents""".stripMargin,
     "q19_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

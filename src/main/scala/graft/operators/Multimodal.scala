@@ -56,6 +56,15 @@ object Multimodal {
   trait MediaCodec extends Serializable {
     /** Decode payload bytes into (width, height, frames, feature vector). */
     def decode(mediaId: Long, mime: String, payload: Array[Byte]): MediaFeatures
+
+    /** Re-encode the payload at (w, h) — a real codec decodes, scales,
+      * re-encodes; output is again an opaque payload.
+      */
+    def resize(mime: String, payload: Array[Byte], w: Int, h: Int): Array[Byte]
+
+    /** Extract the frame at `frameIdx` as its own payload (video -> still).
+      */
+    def extractFrame(mime: String, payload: Array[Byte], frameIdx: Int): Array[Byte]
   }
 
   /** STUB codec: derives fake-but-deterministic "decoded" dimensions and a
@@ -78,6 +87,35 @@ object Multimodal {
           (checksum & 0xffff).toFloat,
           ((checksum >> 16) & 0xffff).toFloat,
           ((checksum >> 32) & 0xffff).toFloat))
+    }
+
+    /** Fake resize: deterministic function of (payload, w, h) with size
+      * proportional to the target area — byte identity is irrelevant, the
+      * plumbing (binary in, binary out, stable for same inputs) is what
+      * tests assert.
+      */
+    override def resize(mime: String, payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val outLen = math.max(1, math.min(payload.length, (w.toLong * h % 4096L).toInt + 16))
+      val out = new Array[Byte](outLen)
+      var i = 0
+      while (i < outLen) {
+        out(i) = (payload(i % math.max(1, payload.length)) ^ (w + 31 * h + i)).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** Fake frame extraction: a deterministic slice keyed by frame index. */
+    override def extractFrame(mime: String, payload: Array[Byte], frameIdx: Int): Array[Byte] = {
+      val n = math.max(1, payload.length)
+      val outLen = math.min(64, n)
+      val out = new Array[Byte](outLen)
+      var i = 0
+      while (i < outLen) {
+        out(i) = payload((frameIdx * 53 + i) % n)
+        i += 1
+      }
+      out
     }
   }
 
@@ -107,4 +145,53 @@ object Multimodal {
     features.toDF().select(
       col("media_id"),
       sequence(lit(0), col("n_frames") - 1, lit(stride)).as("frame_indexes"))
+
+  /** A transcoded payload row (resize output schema). */
+  final case class ResizedMedia(
+      media_id: Long, mime: String, payload: Array[Byte], width: Int, height: Int)
+
+  /** Resize every payload to (w, h) through the codec seam — same
+    * mapPartitions shape as [[decodeFeatures]] (per-partition codec init,
+    * narrow, payloads never shuffled).
+    */
+  def resizePayloads(
+      media: DataFrame, w: Int, h: Int,
+      codec: MediaCodec = DeterministicFakeCodec): Dataset[ResizedMedia] = {
+    implicit val enc: Encoder[ResizedMedia] = Encoders.product[ResizedMedia]
+    Parallelism.ensureCompute(media.select("media_id", "mime", "payload"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val mime = row.getString(1)
+          ResizedMedia(row.getLong(0), mime,
+            codec.resize(mime, row.getAs[Array[Byte]](2), w, h), w, h)
+        }
+      }(enc)
+  }
+
+  /** A single sampled frame (video fan-out output schema). */
+  final case class FrameRow(media_id: Long, frame_idx: Int, frame_payload: Array[Byte])
+
+  /** Sample every `stride`-th frame of each payload into its own row —
+    * the video -> stills fan-out. Per-row output is bounded by
+    * n_frames/stride; the source payload is read once per partition and
+    * never shuffled (the fan-out happens AFTER decode, emitting small
+    * frame payloads, not copies of the source).
+    */
+  def sampleFrames(
+      media: DataFrame, stride: Int,
+      codec: MediaCodec = DeterministicFakeCodec): Dataset[FrameRow] = {
+    require(stride > 0, "stride must be positive")
+    implicit val enc: Encoder[FrameRow] = Encoders.product[FrameRow]
+    Parallelism.ensureCompute(media.select("media_id", "mime", "payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { row =>
+          val (id, mime) = (row.getLong(0), row.getString(1))
+          val payload = row.getAs[Array[Byte]](2)
+          val nFrames = codec.decode(id, mime, payload).n_frames
+          (0 until nFrames by stride).iterator.map { f =>
+            FrameRow(id, f, codec.extractFrame(mime, payload, f))
+          }
+        }
+      }(enc)
+  }
 }

@@ -39,4 +39,31 @@ class MultimodalSpec extends SparkSuite {
     val idx = sampled.getAs[scala.collection.Seq[Int]]("frame_indexes").toSeq
     assert(idx.nonEmpty && idx == idx.sorted && idx.head == 0)
   }
+
+  test("resizePayloads: deterministic transcode through the codec seam") {
+    val media = Multimodal.attachPayload(
+      Seq((1L, "hello world"), (2L, "second doc")).toDF("id", "txt"),
+      "id", "txt", "image/png")
+    def run = Multimodal.resizePayloads(media, 64, 48).collect()
+      .map(r => (r.media_id, r.payload.toSeq, r.width, r.height)).sortBy(_._1)
+    val a = run
+    assert(a.length == 2 && a.forall { case (_, p, w, h) => p.nonEmpty && w == 64 && h == 48 })
+    assert(a.map(x => (x._1, x._2)).toSeq == run.map(x => (x._1, x._2)).toSeq,
+      "transcode must be deterministic")
+  }
+
+  test("sampleFrames: video fans out to bounded per-frame rows") {
+    val vid = Multimodal.attachPayload(
+      Seq((1L, "x" * 100)).toDF("id", "txt"), "id", "txt", "video/mp4")
+    val nFrames = Multimodal.decodeFeatures(spark, vid).collect().head.n_frames
+    val stride = 10
+    val frames = Multimodal.sampleFrames(vid, stride).collect().sortBy(_.frame_idx)
+    assert(frames.length == (nFrames + stride - 1) / stride,
+      s"expected ceil($nFrames/$stride) frames, got ${frames.length}")
+    assert(frames.map(_.frame_idx).toSeq == (0 until nFrames by stride).toSeq)
+    assert(frames.forall(_.frame_payload.nonEmpty))
+    val again = Multimodal.sampleFrames(vid, stride).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_payload.toSeq).toSeq == again.map(_.frame_payload.toSeq).toSeq,
+      "frame extraction must be deterministic")
+  }
 }
