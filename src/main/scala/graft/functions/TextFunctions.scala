@@ -45,9 +45,17 @@ object TextFunctions {
     * downstream set ops run on fixed-width longs instead of n-word strings —
     * the working set shrinks ~10x and `array_intersect`/`array_union` stop
     * hashing variable-length strings per comparison. Hash-then-distinct:
-    * the distinct compares 8-byte longs, not strings.
+    * the distinct compares 8-byte longs, not strings. Computed by the
+    * native one-pass [[graft.plans.HashedShingles]] expression
+    * (bit-identical to the HOF spec below, asserted in TextFunctionsSpec).
     */
   def hashedShingles(text: Column, n: Int): Column =
+    graft.plans.PolyHashExpressions.hashedShingles(text, n)
+
+  /** HOF composition — the executable spec [[hashedShingles]]' native
+    * expression is asserted against.
+    */
+  private[graft] def hashedShinglesHof(text: Column, n: Int): Column =
     array_distinct(transform(wordNGrams(text, n), s => xxhash64(s)))
 
   /** Punctuation ratio: non-alnum/non-space chars over total chars. */

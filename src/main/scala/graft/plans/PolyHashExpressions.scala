@@ -45,6 +45,70 @@ object PolyHashOps {
   }
 }
 
+/** Single-pass loop behind [[HashedShingles]]. Semantics are EXACTLY the
+  * HOF chain (`array_distinct(transform(wordNGrams(text, n), s ->
+  * xxhash64(s)))`): split on the single-space regex with limit -1 (empty
+  * tokens kept), shingle = n consecutive tokens joined with one space,
+  * hash = Spark's own XxHash64Function at the default seed 42, distinct
+  * keeps first-occurrence order like `array_distinct`.
+  */
+object ShingleOps {
+  def hashedShingles(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        UTF8String.fromString(sb.toString), StringType, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native distinct word-shingle xxhash64 hashes — the minhash/Jaccard
+  * pipelines' unit set, computed in one pass per row instead of the
+  * wordNGrams/array_join/slice/transform HOF tree (one interpreted lambda
+  * per shingle). Values are bit-identical (same split regex semantics,
+  * same XxHash64 seed), asserted against the retained HOF spec.
+  */
+case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "shingle width must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "hashed_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.hashedShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleOps.hashedShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native 48-bit polynomial per-token hash: `array<long>`, one value per
   * space-separated token of the input, each the code-point fold
   * (acc*131 + cp) % 2^48. The portable-hash family's unit operation
@@ -172,4 +236,8 @@ object PolyHashExpressions {
   /** Column-API surface for the one-pass minhash signature. */
   def minhashSignature(hm: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hm), as, bs, p))
+
+  /** Column-API surface for the one-pass hashed shingles. */
+  def hashedShingles(text: Column, n: Int): Column =
+    ColumnBridge.column(HashedShingles(ColumnBridge.expression(text), n))
 }

@@ -73,4 +73,19 @@ class TextFunctionsSpec extends SparkSuite {
     val fp = one[Long](TextFunctions.portableFingerprint($"text"), "a b c")
     assert(fp >= 0 && fp < (1L << 48))
   }
+
+  test("native hashed_shingles equals the HOF executable spec") {
+    // edges: short doc (< n tokens), repeated shingles (distinct +
+    // first-occurrence order), empty tokens from double spaces
+    val edge = Seq("", "a b", "a b c", "a b c a b c a b c", "a  b c d", "x " * 50)
+      .toDF("text")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select($"text")
+    for (df <- Seq(edge, docs)) {
+      val mismatch = df.select(
+          TextFunctions.hashedShingles($"text", 3).as("native"),
+          TextFunctions.hashedShinglesHof($"text", 3).as("hof"))
+        .where(not($"native" <=> $"hof"))
+      assert(mismatch.count() == 0, "native shingles diverged from HOF spec")
+    }
+  }
 }
