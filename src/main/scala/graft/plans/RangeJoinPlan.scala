@@ -326,6 +326,19 @@ object GraftExtensions {
         CosineSimilarity(args.head, args(1))
       }))
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("hashed_shingles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HashedShingles].getName, "hashed_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "hashed_shingles(text, n) takes 2 arguments")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hashed_shingles n must be an integer literal, got $other")
+        }
+        HashedShingles(args.head, n)
+      }))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("poly_token_hashes"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[PolyTokenHashes].getName, "poly_token_hashes"),

@@ -74,6 +74,19 @@ class TextFunctionsSpec extends SparkSuite {
     assert(fp >= 0 && fp < (1L << 48))
   }
 
+  test("SQL surface: hashed_shingles and poly_token_hashes registered") {
+    spark.read.parquet(s"$sf/documents.parquet").limit(20)
+      .createOrReplaceTempView("tf_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, hashed_shingles(text, 3) AS hs, poly_token_hashes(text) AS th
+        |FROM tf_docs""".stripMargin)
+      .as[(Long, Seq[Long], Seq[Long])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val viaApi = spark.table("tf_docs").select($"doc_id",
+        TextFunctions.hashedShingles($"text", 3), TextFunctions.portableTokenHashes($"text"))
+      .as[(Long, Seq[Long], Seq[Long])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(viaSql == viaApi, "SQL registration must match the Column API")
+  }
+
   test("native hashed_shingles equals the HOF executable spec") {
     // edges: short doc (< n tokens), repeated shingles (distinct +
     // first-occurrence order), empty tokens from double spaces
