@@ -723,7 +723,10 @@ object Queries {
     val norm = regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
       " +", " ")
-    val grams = TextFunctions.wordNGrams(col("text"), 3)
+    // total 3-grams = tokens-2 (when any); distinct via the native hashed
+    // shingles (hash-distinct == string-distinct w.h.p., and the gram
+    // strings are never materialized twice)
+    val nGrams = greatest(TextFunctions.tokenCount(col("text")) - 2, lit(0))
     tp(spark, dir, "documents").select(
       col("doc_id"),
       md5(norm).as("norm_md5"),
@@ -731,9 +734,10 @@ object Queries {
       when(length(col("text")) === 0, lit(0.0))
         .otherwise(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
           length(col("text")).cast("double")).as("digit_ratio"),
-      when(size(grams) === 0, lit(0.0))
+      when(nGrams === 0, lit(0.0))
         .otherwise(round(lit(1.0) -
-          size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 6))
+          size(TextFunctions.hashedShingles(col("text"), 3)).cast("double") /
+            nGrams.cast("double"), 6))
         .as("rep_ratio"))
   }
 

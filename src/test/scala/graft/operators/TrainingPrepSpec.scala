@@ -59,6 +59,36 @@ class TrainingPrepSpec extends SparkSuite {
     assert(run == kept, "selection must be deterministic")
   }
 
+  test("chunk/mixtureSample/redact are map-only: no shuffle in the plan") {
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plans = Seq(
+      "chunk" -> TrainingPrep.chunk(docs, "doc_id", "text", 64, 48),
+      "mixtureSample" -> TrainingPrep.mixtureSample(docs, "doc_id", "lang", Map("en" -> 8)),
+      "redact" -> docs.select($"doc_id", TextFunctions.redactPii($"text")))
+    for ((name, df) <- plans)
+      assert(!Scale.planHasExchange(df),
+        s"$name must stay map-only, found a shuffle exchange")
+  }
+
+  test("chunk runs identically as a streaming transform (map-only => stream==batch)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_stream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = TrainingPrep.chunk(stream, "doc_id", "text", 64, 48)
+      .writeStream.outputMode("append").format("memory").queryName("chunk_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_out")
+      val batch = TrainingPrep.chunk(spark.read.parquet(dir), "doc_id", "text", 64, 48)
+      assert(batch.count() > 0 && streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("shuffleShard: 16 shards, every doc assigned, deterministic") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def run = TrainingPrep.shuffleShard(docs, "doc_id")
