@@ -142,11 +142,17 @@ object MinHashDedup {
     * cap/join discipline can never drift between them.
     */
   private def capAndPair(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
-    val sized = buckets
-      .withColumn("bs", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .where(col("bs") <= maxBucketSize)
-      .drop("bs")
+    // Oversized buckets are, by the boilerplate guard's own premise, RARE —
+    // so compute them with a partial-aggregatable count and anti-join them
+    // away instead of window-counting every bucket row (which shuffles AND
+    // sorts the full bucket table). The anti-join and the pair self-join
+    // key on the same (band, bucket), so the one shuffle is reused; AQE
+    // broadcasts the (near-empty) oversized set when it fits.
+    val oversized = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bs"))
+      .where(col("bs") > maxBucketSize)
+      .select("band", "bucket")
+    val sized = buckets.join(oversized, Seq("band", "bucket"), "left_anti")
     val l = sized.select(col("band"), col("bucket"), col("id").as("idA"))
     val r = sized.select(col("band"), col("bucket"), col("id").as("idB"))
     l.join(r, Seq("band", "bucket"))
