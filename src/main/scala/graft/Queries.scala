@@ -990,12 +990,17 @@ object Queries {
     * per-stage survivor counts — what a 100 TB curation run reports.
     */
   def q61CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    // `flags` (langId + quality over the whole corpus) feeds BOTH the
+    // counts aggregate and the winners filter — persist it for the call so
+    // the lexicon/regex work runs once, and drop it after the (1-row)
+    // funnel result is materialized.
     val flags = tp(spark, dir, "documents")
       .select(col("doc_id"), col("text"),
         TextFunctions.langId(col("text")).as("lp"),
         TextFunctions.qualityScore(col("text")).as("q"))
       .withColumn("pass_lang", col("lp") === "en")
       .withColumn("pass_q", col("pass_lang") && col("q") >= 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = flags.agg(
       count(lit(1)).as("n_total"),
       count(when(col("pass_lang"), 1)).as("n_lang"),
@@ -1010,9 +1015,13 @@ object Queries {
     val dropped = MinHashDedup.jaccardPairs(winners, "doc_id", "text",
         threshold = 0.5, shingleN = 3)
       .agg(countDistinct(col("idB")).as("n_dropped"))
-    counts.crossJoin(dropped)
+    val out = counts.crossJoin(dropped)
       .select(col("n_total"), col("n_lang"), col("n_quality"), col("n_exact"),
         (col("n_exact") - col("n_dropped")).as("n_near"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // one row; lets the corpus-sized flags cache go
+    flags.unpersist()
+    out
   }
 
   // ---------------------------------------------------------------- Q64
