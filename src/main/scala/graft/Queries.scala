@@ -281,6 +281,17 @@ object Queries {
       .repartition(col("doc_id"))
       .select(col("doc_id"), TextFunctions.portableSimhash48(col("hs")).as("simhash"))
 
+  /** Connected components of the exact-Jaccard pair graph — the transitive
+    * closure that turns verified pairs into dup groups (chains A~B~C
+    * collapse to one representative). Oracle: DuckDB WITH RECURSIVE
+    * reachability + min-label, so the CC operator itself goes through the
+    * correctness gate, not just its input pairs.
+    */
+  def q13gDupGroups(spark: SparkSession, dir: String): DataFrame =
+    MinHashDedup.duplicateGroups(
+      MinHashDedup.jaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, shingleN = 3))
+
   /** PORTABLE minhash-LSH near-dup pairs: the ENTIRE LSH pipeline —
     * signatures, band buckets, candidate generation, Jaccard verify — in
     * engine-portable arithmetic, replayed bit-for-bit by the DuckDB oracle.

@@ -41,6 +41,7 @@ object SparkEntry {
     "q17_langid" -> (Queries.q17LangId _),
     "q13e_portable_simhash" -> (Queries.q13ePortableSimhash _),
     "q13f_portable_minhash" -> (Queries.q13fPortableMinhash _),
+    "q13g_dup_groups" -> (Queries.q13gDupGroups _),
     "q17b_fingerprint" -> (Queries.q17bFingerprint _),
     "q18_media_meta" -> (Queries.q18MediaMeta _),
     "q18b_media_decode" -> (Queries.q18bMediaDecode _),
@@ -435,6 +436,29 @@ object SparkEntry {
         |       count(*) AS n
         |FROM g GROUP BY 1""".stripMargin,
     "q13f_portable_minhash" -> portableMinhashOracle,
+    // transitive closure of the q13d pair graph via recursive reachability,
+    // rep = min id of the component (both edge directions seeded)
+    "q13g_dup_groups" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |           generate_series(1, greatest(len(ws) - 2, 0)),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |),
+        |pr AS (
+        |  SELECT a.doc_id AS idA, b.doc_id AS idB
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.s) > 0 AND len(b.s) > 0
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
+        |),
+        |e AS (SELECT idA AS a, idB AS b FROM pr UNION SELECT idB, idA FROM pr),
+        |reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        |)
+        |SELECT a AS id, least(a, min(b)) AS rep FROM reach GROUP BY a""".stripMargin,
     "q13e_portable_simhash" ->
       """WITH h AS (
         |  SELECT doc_id,
