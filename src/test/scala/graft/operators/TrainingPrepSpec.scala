@@ -16,16 +16,21 @@ class TrainingPrepSpec extends SparkSuite {
     assert(got == Set((1, 4), (4, 4), (7, 4), (10, 1)), s"got $got")
   }
 
-  test("distributed prefix sum equals the single-window global cumsum") {
+  test("distributed prefix sum equals the single-window global cumsum at any partition count") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id".as("id"),
         size(split($"text", " ")).cast("long").as("v"))
-    val dist = TrainingPrep.globalPrefixSum(docs, "id", "v", "cum", numParts = 8)
-      .select($"id", $"cum").as[(Long, Long)].collect().toMap
     val naive = docs
       .withColumn("cum", sum($"v").over(Window.orderBy($"id")))
       .select($"id", $"cum").as[(Long, Long)].collect().toMap
-    assert(dist == naive, "range-partitioned cumsum must match the global window")
+    // 1 = degenerate single partition; 3 = offsets genuinely matter;
+    // 64 = more partitions than the default parallelism (empty partitions)
+    for (parts <- Seq(1, 3, 8, 64)) {
+      val got = TrainingPrep.globalPrefixSum(docs, "id", "v", "cum", numParts = parts)
+      val dist = got.select($"id", $"cum").as[(Long, Long)].collect().toMap
+      got.unpersist()
+      assert(dist == naive, s"numParts=$parts diverged from the global window")
+    }
   }
 
   test("packBins: tape semantics — first doc in bin 0, totals preserved") {
