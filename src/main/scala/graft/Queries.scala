@@ -292,6 +292,47 @@ object Queries {
       MinHashDedup.jaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
         threshold = 0.5, shingleN = 3))
 
+  /** PORTABLE simhash near-dup pairs: 48-bit portable simhash codes →
+    * pigeonhole banding (4 × 12-bit bands: any pair within hamming 3
+    * shares a band) → exact hamming verify — the q13c operator class with
+    * every stage replayed by the DuckDB oracle (codes, band values,
+    * candidate pairs, bit_count(xor) distances).
+    */
+  def q13hPortableSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val maxHamming = 3
+    // Remix token hashes before voting: a short token's polynomial fold
+    // rarely reaches the high 48-bit range, so un-remixed votes make the
+    // top band all-zeros for EVERY doc — one giant bucket, i.e. brute
+    // force. (h*32749 + 12345) % 2^48 spreads entropy into the high bits
+    // and keeps products < 2^63 (ANSI-safe); the oracle replays it.
+    val remixed = transform(col("hs"), h => (h * lit(32749L) + lit(12345L)) % lit(1L << 48))
+    val codes = Parallelism.ensureCompute(t(spark, dir, "documents"))
+      .select(col("doc_id"), TextFunctions.portableTokenHashes(col("text")).as("hs"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), TextFunctions.portableSimhash48(remixed).as("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codes.count() // read by the band self-join twice + the verify join twice
+    val bands = codes.select(col("doc_id"), explode(array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("code"), 12 * b).bitwiseAND(lit(4095L)).as("v"))
+    }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.v").as("v"))
+    val cand = bands.select(col("band"), col("v"), col("doc_id").as("idA"))
+      .join(bands.select(col("band"), col("v"), col("doc_id").as("idB")), Seq("band", "v"))
+      .where(col("idA") < col("idB"))
+      .select("idA", "idB").distinct()
+    val out = cand
+      .join(codes.select(col("doc_id").as("idA"), col("code").as("cA")), Seq("idA"))
+      .join(codes.select(col("doc_id").as("idB"), col("code").as("cB")), Seq("idB"))
+      .withColumn("hamming", bit_count(col("cA").bitwiseXOR(col("cB"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("idA"), col("idB"), col("hamming"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // pair-sized; lets the corpus-sized code cache go
+    codes.unpersist()
+    out
+  }
+
   /** PORTABLE minhash-LSH near-dup pairs: the ENTIRE LSH pipeline —
     * signatures, band buckets, candidate generation, Jaccard verify — in
     * engine-portable arithmetic, replayed bit-for-bit by the DuckDB oracle.

@@ -42,6 +42,7 @@ object SparkEntry {
     "q13e_portable_simhash" -> (Queries.q13ePortableSimhash _),
     "q13f_portable_minhash" -> (Queries.q13fPortableMinhash _),
     "q13g_dup_groups" -> (Queries.q13gDupGroups _),
+    "q13h_portable_simhash_pairs" -> (Queries.q13hPortableSimhashPairs _),
     "q17b_fingerprint" -> (Queries.q17bFingerprint _),
     "q18_media_meta" -> (Queries.q18MediaMeta _),
     "q18b_media_decode" -> (Queries.q18bMediaDecode _),
@@ -436,6 +437,37 @@ object SparkEntry {
         |       count(*) AS n
         |FROM g GROUP BY 1""".stripMargin,
     "q13f_portable_minhash" -> portableMinhashOracle,
+    // portable simhash codes -> 4x12-bit pigeonhole bands -> hamming verify
+    "q13h_portable_simhash_pairs" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split(text, ' '), t ->
+        |           list_reduce(
+        |             list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |             (a, x) -> (a * 131 + x) % 281474976710656)) AS hs
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |         list_transform(hs, x -> (x * 32749 + 12345) % 281474976710656) AS hm
+        |  FROM h),
+        |c AS (
+        |  SELECT doc_id,
+        |         CAST(list_sum(list_transform(range(0, 48), i ->
+        |           CASE WHEN list_sum(list_transform(hm, hv ->
+        |                  CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+        |                THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+        |           AS code
+        |  FROM r),
+        |bk AS (
+        |  SELECT doc_id, t.b AS band, (code >> (12 * t.b)) & 4095 AS v
+        |  FROM c, (VALUES (0), (1), (2), (3)) AS t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+        |SELECT idA, idB, CAST(bit_count(xor(x.code, y.code)) AS INTEGER) AS hamming
+        |FROM cand JOIN c x ON x.doc_id = idA JOIN c y ON y.doc_id = idB
+        |WHERE bit_count(xor(x.code, y.code)) <= 3""".stripMargin,
     // transitive closure of the q13d pair graph via recursive reachability,
     // rep = min id of the component (both edge directions seeded)
     "q13g_dup_groups" ->
