@@ -107,6 +107,21 @@ object MinHashDedup {
           .minhashSignature(col("__hm"), as, bs, MersennePrime).as("sig"))
   }
 
+  /** Map-only signature projection over an ALREADY-persisted shingle
+    * table. Scanning the InMemoryRelation is itself the CollapseProject
+    * barrier that [[sigTable]]'s `repartition(id)` provides on the lazy
+    * path (a cache scan cannot be inlined into the permutation lambdas),
+    * so on the eager pipelines the repartition Exchange and the id
+    * join-back of [[signatures]] are pure overhead: this computes every
+    * permutation minimum in one pass over the cache — zero shuffles of
+    * the corpus where the lazy shape pays two.
+    */
+  private def sigsFromCached(base: DataFrame, as: Seq[Long], bs: Seq[Long]): DataFrame =
+    base.select(col("id"),
+      graft.plans.PolyHashExpressions.minhashSignature(
+        transform(col("shingles"), h => pmod(h, lit(MersennePrime))),
+        as, bs, MersennePrime).as("sig"))
+
   /** id, shingles, sig (array<long> of numHashes minima). Docs with no
     * shingle (shorter than shingleN tokens) get an empty sig and are never
     * candidates.
@@ -216,7 +231,8 @@ object MinHashDedup {
     val base = shingleTable(df, idCol, textCol, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.count()
-    val sigs = sigTable(base, cfg)
+    val (as, bs) = coefficients(cfg)
+    val sigs = sigsFromCached(base, as, bs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count()
     val cands = candidatePairs(sigs, cfg)
@@ -342,13 +358,7 @@ object MinHashDedup {
           TextFunctions.portableTokenHashes(col(textCol)), shingleN).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.count()
-    val sigs = base
-      .select(col("id"),
-        transform(col("shingles"), h => pmod(h, lit(MersennePrime))).as("__hm"))
-      .repartition(col("id")) // CollapseProject barrier, see sigTable
-      .select(col("id"),
-        graft.plans.PolyHashExpressions
-          .minhashSignature(col("__hm"), as, bs, MersennePrime).as("sig"))
+    val sigs = sigsFromCached(base, as, bs) // cache scan = the barrier
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count()
     val bandIdx = sequence(lit(0), lit(bands - 1))
