@@ -1125,4 +1125,78 @@ object Queries {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),
         sum(TextFunctions.tokenCount(col("text")).cast("long")).as("sum_tokens"))
+
+  // ---------------------------------------------------------------- Q65
+  /** Benchmark decontamination audit: per corpus doc (doc_id % 20 != 0),
+    * the count of its distinct 5-gram shingles that appear anywhere in the
+    * benchmark slice (doc_id % 20 == 0). Wide shingles fire only on real
+    * leakage — at sf0.01 exactly the planted near-copies of benchmark
+    * docs survive the n=5 gate, the 3-gram accidental-overlap noise does
+    * not. Zero-hit docs are reported with n_hits = 0 so EVERY per-doc
+    * count goes through the oracle.
+    */
+  def q65Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val corpus = docs.where(col("doc_id") % 20 =!= 0)
+    val bench = docs.where(col("doc_id") % 20 === 0)
+    val hits = Decontaminate.contaminationHits(corpus, bench, "doc_id", "text", n = 5)
+      .withColumnRenamed("id", "doc_id")
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  // ---------------------------------------------------------------- Q66
+  /** SCD2 dimension history: two order snapshots (t1 = the raw table,
+    * t2 = keys divisible by 7 change status + price) folded through
+    * [[Scd2.applyBatch]]. Every key ends with its full version timeline —
+    * unchanged keys one open row, changed keys a closed t1 row plus an
+    * open t2 row. Prices shift by an exactly-representable 100.0 so both
+    * engines do one identical IEEE add.
+    */
+  def q66Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val orders = tp(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val s2 = orders.select(col("o_orderkey"),
+      when(col("o_orderkey") % 7 === 0, lit("X"))
+        .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+      when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(100.0))
+        .otherwise(col("o_totalprice")).as("o_totalprice"))
+    val h1 = Scd2.applyBatch(
+      Scd2.emptyHistory(orders, "o_orderkey"), orders, "o_orderkey", DestStamp)
+    val h2 = Scd2.applyBatch(h1, s2, "o_orderkey", DeltaStamp)
+    h2.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      col("valid_from"), col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
+  // ---------------------------------------------------------------- Q67
+  /** Semi-structured JSON extraction battery over `events.props` (a JSON
+    * string column — the reference's core payload shape,
+    * `themovies.py:69-72`): path extraction (`get_json_object`) and
+    * schema-projected parsing (`from_json`) over the same column, with
+    * the two paths cross-checked row by row (n_consistent == n_events iff
+    * they agree everywhere — the oracle pins it to count(*)).
+    */
+  def q67JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    tp(spark, dir, "events")
+      .select(col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+        expr("from_json(props, 'k INT').k").as("k_struct"))
+      .groupBy(pmod(col("k_path"), lit(10)).as("kb"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("value")), 6).as("avg_value"),
+        count(when(col("k_path") <=> col("k_struct"), 1)).as("n_consistent"))
+
+  // ---------------------------------------------------------------- Q68
+  /** EXACT n-gram containment pairs (|A∩B| / |A| >= 0.8): sub-document
+    * duplication — excerpts and embedded copies that symmetric Jaccard
+    * under-scores. Probe-side-only prefix filter keeps candidate
+    * generation near-linear; containment values are intersection
+    * cardinalities, hash-invariant, so the oracle recomputes them on raw
+    * string shingles.
+    */
+  def q68ContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    MinHashDedup.containmentPairs(t(spark, dir, "documents"), "doc_id", "text",
+      threshold = 0.8, shingleN = 3)
+      .withColumn("containment", round(col("containment"), 6))
 }

@@ -95,6 +95,10 @@ object SparkEntry {
     "q62_mixture_sample" -> (Queries.q62MixtureSample _),
     "q63_zorder_scan" -> (Queries.q63ZOrderScan _),
     "q64_quantize" -> (Queries.q64Quantize _),
+    "q65_decontaminate" -> (Queries.q65Decontaminate _),
+    "q66_scd2" -> (Queries.q66Scd2 _),
+    "q67_json_extract" -> (Queries.q67JsonExtract _),
+    "q68_containment_pairs" -> (Queries.q68ContainmentPairs _),
   )
 
   private val mergeOracle: String = {
@@ -876,6 +880,61 @@ object SparkEntry {
         |      CASE lang WHEN 'en' THEN '8' WHEN 'de' THEN 'c' WHEN 'fr' THEN '4'
         |                WHEN 'es' THEN '2' WHEN 'zh' THEN 'g' ELSE '0' END
         |GROUP BY 1""".stripMargin,
+    // per-doc count of distinct 5-gram shingles shared with the benchmark
+    // slice; hit counts are intersection cardinalities, so the oracle works
+    // on raw n-gram strings while the engine hashes (cardinality-preserving)
+    "q65_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |           generate_series(1, greatest(len(ws) - 4, 0)),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
+        |hits AS (
+        |  SELECT e.doc_id, count(*) AS n_hits
+        |  FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 != 0) e
+        |  JOIN bench USING (g) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 20 != 0""".stripMargin,
+    // two-snapshot SCD2 timeline: keys % 7 = 0 change at t2 (closed t1 row
+    // + open t2 row), everything else keeps one open t1 row
+    "q66_scd2" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |       TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        |       CASE WHEN o_orderkey % 7 = 0
+        |            THEN TIMESTAMP '2024-02-01 00:00:00' END AS valid_to,
+        |       o_orderkey % 7 != 0 AS is_current
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'X', o_totalprice + 100.0,
+        |       TIMESTAMP '2024-02-01 00:00:00', NULL, TRUE
+        |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+    // path extraction == schema-projected parsing, pinned by n_consistent
+    "q67_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS kb,
+        |       count(*) AS n_events,
+        |       round(avg(value), 6) AS avg_value,
+        |       count(*) AS n_consistent
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    // brute-force all-pairs containment (the Spark side's prefix filter is
+    // exactness-preserving, so candidates only ever shrink the join, never
+    // the answer)
+    "q68_containment_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |           generate_series(1, greatest(len(ws) - 2, 0)),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |)
+        |SELECT idA, idB, round(c, 6) AS containment FROM (
+        |  SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |         CAST(len(a.s) AS DOUBLE) AS c
+        |  FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+        |  WHERE len(a.s) > 0 AND len(b.s) > 0)
+        |WHERE c >= 0.8""".stripMargin,
     // md5-order shuffle: shard = first hex nibble, head doc = arg-min md5
     "q59_shuffle_shard" ->
       """SELECT CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INTEGER) AS shard,

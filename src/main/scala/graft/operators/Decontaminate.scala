@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Benchmark decontamination: flag (and drop) training documents that
+  * share word-n-gram shingles with an evaluation/benchmark set — the
+  * standard guard against test-set leakage when assembling LLM training
+  * corpora. No analog in the reference (its dedup is exact-row only,
+  * `etl.py:50`); this generalizes the same "remove what you must not
+  * train on" intent to fuzzy n-gram evidence.
+  *
+  * Scale design (the corpus is the 100 TB side, the benchmark is not):
+  *  - the BENCHMARK side collapses to a distinct shingle-hash set — eval
+  *    suites are orders of magnitude smaller than the corpus, so this set
+  *    broadcasts (a benchmark would have to reach ~10^9 distinct shingles
+  *    before the broadcast breaks, at which point drop the hint and let
+  *    the same plan run as a shuffle join);
+  *  - the CORPUS side explodes to (doc, shingle) and probes the broadcast
+  *    map-side; hits aggregate per doc with partial aggregation, so the
+  *    only shuffle carries (doc_id, partial-count) rows — never text,
+  *    never shingle arrays;
+  *  - shingle hashes are single-pass codegen'd xxhash64
+  *    ([[TextFunctions.hashedShingles]]): hit COUNTS are intersection
+  *    cardinalities, which any injective-w.h.p. hash preserves, so the
+  *    DuckDB oracle recomputes them over raw n-gram strings — the hash
+  *    function never has to leave the engine.
+  */
+object Decontaminate {
+
+  private def shingles(textCol: Column, n: Int): Column =
+    TextFunctions.hashedShingles(textCol, n)
+
+  /** Distinct shingle hashes of the benchmark set (the broadcast side). */
+  private def benchShingleSet(bench: DataFrame, textCol: String, n: Int): DataFrame =
+    Parallelism.ensureCompute(bench)
+      .select(explode(shingles(col(textCol), n)).as("s"))
+      .distinct()
+
+  /** (id, n_hits) per corpus doc: how many of its DISTINCT shingles occur
+    * anywhere in the benchmark set. Docs with zero hits are absent.
+    */
+  def contaminationHits(
+      corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val corpusShingles = Parallelism.ensureCompute(corpus)
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+    corpusShingles
+      .join(broadcast(benchShingleSet(bench, textCol, n)), Seq("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Corpus rows whose benchmark shingle-hit count stays below
+    * `maxHits` (strictly fewer than `maxHits` shared n-grams). The flagged
+    * set is hit-count-sized; the anti-join leaves the corpus partitioning
+    * untouched and AQE broadcasts the flagged ids when they fit.
+    */
+  def clean(
+      corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8, maxHits: Long = 1): DataFrame = {
+    val flagged = contaminationHits(corpus, bench, idCol, textCol, n)
+      .where(col("n_hits") >= maxHits)
+      .select(col("id").as("__contaminated"))
+    corpus.join(flagged, col(idCol) === col("__contaminated"), "left_anti")
+  }
+}

@@ -320,6 +320,66 @@ object MinHashDedup {
     out
   }
 
+  /** EXACT n-gram CONTAINMENT pairs: (idA, idB, containment) where
+    * containment = |A∩B| / |A| >= threshold (A = idA's shingle set). Where
+    * Jaccard is symmetric similarity, containment catches SUB-DOCUMENT
+    * duplication — doc A quoted, excerpted, or wholly embedded inside a
+    * larger doc B — the common long-tail duplication mode in web corpora
+    * that Jaccard misses (a small doc inside a big one has low Jaccard but
+    * containment 1.0).
+    *
+    * Exactness: |A∩B| >= ceil(t·|A|) forces at least one element of the
+    * first |A| - ceil(t·|A|) + 1 shingles of A (under the global
+    * ascending-(df, hash) order) to be in B — so A probes with only its
+    * rare-shingle prefix while B is indexed in full (the probe-side-only
+    * specialization of the AllPairs prefix filter; no length filter is
+    * sound here since B may be arbitrarily large). Posting lists land on
+    * the rarest shingles, keeping the candidate join near-linear; the
+    * boilerplate tail of hot shingles never enters a probe prefix.
+    *
+    * Same portable shingle hashing and cache/broadcast discipline as
+    * [[jaccardPairs]]; the verify step ships only bare id pairs.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val base = shingleTable(df, idCol, textCol, Config(shingleN = shingleN))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // materialize before fan-out (see verifiedPairs)
+    val exploded = base.select(col("id"), size(col("shingles")).as("len"),
+      explode(col("shingles")).as("s"))
+    val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
+    val probe = exploded.join(freq, Seq("s"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("len") - ceil(lit(threshold) * col("len")).cast("int") + 1)
+      .select(col("s"), col("id").as("idA"))
+    val index = exploded.select(col("s"), col("id").as("idB"))
+    val cands = probe.join(index, Seq("s"))
+      .where(col("idA") =!= col("idB"))
+      .select("idA", "idB")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands.count() // both verify broadcasts read this — materialize once
+    val aSide = base.select(col("id").as("idA"), col("shingles").as("shA"))
+      .join(broadcast(cands), Seq("idA"))
+    val bSide = base.select(col("id").as("idB"), col("shingles").as("shB"))
+      .join(broadcast(cands), Seq("idB"))
+    val out = aSide.join(bSide.hint("shuffle_hash"), Seq("idA", "idB"))
+      .withColumn("containment",
+        size(array_intersect(col("shA"), col("shB"))).cast("double") /
+          size(col("shA")).cast("double"))
+      .where(col("containment") >= threshold)
+      .select("idA", "idB", "containment")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cands.unpersist()
+    base.unpersist()
+    out
+  }
+
   /** Coefficients for the PORTABLE minhash variant — exposed so the oracle
     * SQL generator embeds the exact same literals (same scheme as
     * [[coefficients]], parameterized count).

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Decontamination must flag exactly the corpus docs sharing wide n-grams
+  * with the benchmark set — verbatim copies and embedded excerpts — and
+  * leave paraphrases with no shared n-gram window untouched.
+  */
+class DecontaminateSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val benchQ =
+    "what is the capital of france and when was the eiffel tower completed exactly"
+  private val benchQ2 =
+    "solve for x in the quadratic equation two x squared plus three x minus five"
+
+  private def bench = Seq((100L, benchQ), (101L, benchQ2)).toDF("doc_id", "text")
+
+  private def corpus = Seq(
+    // verbatim copy of a benchmark item
+    (1L, benchQ),
+    // benchmark item embedded inside a longer doc
+    (2L, s"some page preamble text here $benchQ and a trailing footer line"),
+    // paraphrase: same topic, no shared 5-gram
+    (3L, "france has paris as its capital and the famous tower was finished in 1889"),
+    // unrelated
+    (4L, "distributed query engines shuffle data between executors during wide transformations")
+  ).toDF("doc_id", "text")
+
+  test("contaminationHits counts shared wide shingles per doc") {
+    val hits = Decontaminate.contaminationHits(corpus, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(hits.contains(1L) && hits(1L) >= 8, s"verbatim copy must hit hard: $hits")
+    assert(hits.contains(2L) && hits(2L) >= 8, s"embedded copy must hit: $hits")
+    assert(!hits.contains(3L), s"paraphrase must not hit at n=5: $hits")
+    assert(!hits.contains(4L), s"unrelated doc must not hit: $hits")
+  }
+
+  test("clean drops flagged docs and keeps the rest intact") {
+    val kept = Decontaminate.clean(corpus, bench, "doc_id", "text", n = 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L), s"expected {3, 4}, got $kept")
+  }
+
+  test("verbatim copy hit count equals its own distinct shingle count") {
+    // every shingle of a verbatim copy is in the benchmark set
+    val own = corpus.where($"doc_id" === 1L)
+      .select(size(array_distinct(graft.functions.TextFunctions
+        .hashedShingles($"text", 5))))
+      .as[Int].head()
+    val hits = Decontaminate.contaminationHits(corpus, bench, "doc_id", "text", n = 5)
+      .where($"id" === 1L).select($"n_hits").as[Long].head()
+    assert(hits == own.toLong, s"verbatim: expected $own hits, got $hits")
+  }
+}

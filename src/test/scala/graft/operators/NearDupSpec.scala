@@ -130,6 +130,29 @@ class NearDupSpec extends SparkSuite {
       s"prefix-filter candidates must lose nothing: exact=$exact brute=$brute")
   }
 
+  test("containmentPairs is exact and catches embedded sub-documents") {
+    import graft.functions.TextFunctions
+    // doc 6 is a small excerpt embedded in doc 1: containment(6 -> 1) is
+    // 1.0 while Jaccard(1, 6) is far below any useful threshold.
+    val excerpt = "jumps over the lazy dog while the cat watches"
+    val docs = corpus.union(Seq((6L, excerpt)).toDF("doc_id", "text"))
+    val sh = docs.select($"doc_id",
+      TextFunctions.shingles($"text", 3).as("s"))
+    val brute = sh.as("a").crossJoin(sh.as("b"))
+      .where($"a.doc_id" =!= $"b.doc_id" && size($"a.s") > 0 && size($"b.s") > 0)
+      .select($"a.doc_id".as("idA"), $"b.doc_id".as("idB"),
+        (size(array_intersect($"a.s", $"b.s")).cast("double") /
+          size($"a.s").cast("double")).as("c"))
+      .where($"c" >= 0.8)
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    val exact = MinHashDedup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.8, shingleN = 3)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(exact == brute, s"containment must equal brute force: $exact vs $brute")
+    assert(exact.contains((6L, 1L)), s"embedded excerpt must be caught: $exact")
+    assert(!exact.contains((1L, 6L)), "containment is asymmetric")
+  }
+
   test("native minhash signature equals the HOF executable spec") {
     import graft.functions.TextFunctions
     val p = (1L << 31) - 1

@@ -1,0 +1,94 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** SCD2 semantics: version timelines under change / no-change / new-key /
+  * missing-key batches, delta vs snapshot modes, null-safe change
+  * detection.
+  */
+class Scd2Spec extends SparkSuite {
+  import spark.implicits._
+
+  private val t1 = "2024-01-01 00:00:00"
+  private val t2 = "2024-02-01 00:00:00"
+  private val t3 = "2024-03-01 00:00:00"
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def batch1 = Seq(
+    (1L, "gold", 10.0), (2L, "silver", 5.0), (3L, "bronze", 1.0)
+  ).toDF("k", "tier", "score")
+
+  test("first batch opens one row per key") {
+    val h = Scd2.applyBatch(Scd2.emptyHistory(batch1, "k"), batch1, "k", t1)
+    val rows = h.select($"k", $"tier", $"score", $"valid_from", $"valid_to")
+      .as[(Long, String, Double, Timestamp, Option[Timestamp])].collect().toSet
+    assert(rows == Set(
+      (1L, "gold", 10.0, ts(t1), None),
+      (2L, "silver", 5.0, ts(t1), None),
+      (3L, "bronze", 1.0, ts(t1), None)))
+  }
+
+  test("change closes the old version and opens a new one; no-op keeps the row") {
+    val h1 = Scd2.applyBatch(Scd2.emptyHistory(batch1, "k"), batch1, "k", t1)
+    val batch2 = Seq(
+      (1L, "gold", 10.0),      // unchanged
+      (2L, "gold", 7.0),       // changed
+      (4L, "silver", 2.0)      // new key
+    ).toDF("k", "tier", "score")
+    val h2 = Scd2.applyBatch(h1, batch2, "k", t2)
+    val rows = h2.select($"k", $"tier", $"score", $"valid_from", $"valid_to")
+      .as[(Long, String, Double, Timestamp, Option[Timestamp])].collect().toSet
+    assert(rows == Set(
+      (1L, "gold", 10.0, ts(t1), None),          // untouched, original from
+      (2L, "silver", 5.0, ts(t1), Some(ts(t2))), // closed
+      (2L, "gold", 7.0, ts(t2), None),           // new version
+      (3L, "bronze", 1.0, ts(t1), None),         // absent from delta: stays
+      (4L, "silver", 2.0, ts(t2), None)))        // new key
+  }
+
+  test("snapshot mode closes keys missing from the batch") {
+    val h1 = Scd2.applyBatch(Scd2.emptyHistory(batch1, "k"), batch1, "k", t1)
+    val snap = Seq((1L, "gold", 10.0)).toDF("k", "tier", "score")
+    val h2 = Scd2.applyBatch(h1, snap, "k", t2, closeMissing = true)
+    val byKey = h2.select($"k", $"valid_to")
+      .as[(Long, Option[Timestamp])].collect().groupBy(_._1)
+    assert(byKey(1L).map(_._2).toSet == Set(None))
+    assert(byKey(2L).map(_._2).toSet == Set(Some(ts(t2))))
+    assert(byKey(3L).map(_._2).toSet == Set(Some(ts(t2))))
+  }
+
+  test("null attributes compare null-safely") {
+    val b1 = Seq((1L, Option.empty[String], 1.0)).toDF("k", "tier", "score")
+    val h1 = Scd2.applyBatch(Scd2.emptyHistory(b1, "k"), b1, "k", t1)
+    // same null -> no new version
+    val h2 = Scd2.applyBatch(h1, b1, "k", t2)
+    assert(h2.count() == 1 && h2.where($"valid_to".isNull).count() == 1)
+    // null -> value IS a change
+    val b3 = Seq((1L, Option("gold"), 1.0)).toDF("k", "tier", "score")
+    val h3 = Scd2.applyBatch(h2, b3, "k", t3)
+    val open = h3.where($"valid_to".isNull)
+      .select($"tier", $"valid_from").as[(Option[String], Timestamp)].collect()
+    assert(open.toSeq == Seq((Some("gold"), ts(t3))))
+    assert(h3.where($"valid_to" === ts(t3)).count() == 1)
+  }
+
+  test("three batches build a full timeline and currentOf sees only open rows") {
+    val b = (v: String, s: Double) => Seq((1L, v, s)).toDF("k", "tier", "score")
+    var h = Scd2.applyBatch(Scd2.emptyHistory(batch1, "k"), b("a", 1.0), "k", t1)
+    h = Scd2.applyBatch(h, b("b", 2.0), "k", t2)
+    h = Scd2.applyBatch(h, b("c", 3.0), "k", t3)
+    val timeline = h.orderBy($"valid_from")
+      .select($"tier", $"valid_from", $"valid_to")
+      .as[(String, Timestamp, Option[Timestamp])].collect().toSeq
+    assert(timeline == Seq(
+      ("a", ts(t1), Some(ts(t2))),
+      ("b", ts(t2), Some(ts(t3))),
+      ("c", ts(t3), None)))
+    assert(Scd2.currentOf(h).select($"tier").as[String].collect().toSeq == Seq("c"))
+  }
+}
