@@ -639,13 +639,19 @@ object Queries {
     tp(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25_qty"),
-        round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50_qty"),
-        round(percentile(col("l_quantity"), lit(0.95)), 6).as("p95_qty"),
+        // one sorted-agg buffer for all three quantiles (array form), not
+        // three independent buffers of the same column
+        percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.95)))
+          .as("pq"),
         round(median(col("l_extendedprice")), 6).as("med_price"),
         round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
         round(var_samp(col("l_quantity")), 6).as("var_qty"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
+      .select(col("l_returnflag"),
+        round(element_at(col("pq"), 1), 6).as("p25_qty"),
+        round(element_at(col("pq"), 2), 6).as("p50_qty"),
+        round(element_at(col("pq"), 3), 6).as("p95_qty"),
+        col("med_price"), col("sd_qty"), col("var_qty"), col("corr_qty_price"))
 
   // ---------------------------------------------------------------- Q40
   /** Analytic-window battery (§2.5 surface): lag/lead/first_value, a
@@ -1199,4 +1205,30 @@ object Queries {
     MinHashDedup.containmentPairs(t(spark, dir, "documents"), "doc_id", "text",
       threshold = 0.8, shingleN = 3)
       .withColumn("containment", round(col("containment"), 6))
+
+  // ---------------------------------------------------------------- Q69
+  /** Cross-corpus near-dup join: EXACT Jaccard pairs between the
+    * benchmark slice (doc_id % 20 == 0, the "new batch") and the rest
+    * (the "existing corpus") — the incremental-ingest dedup decision.
+    * Within-corpus pairs are never produced.
+    */
+  def q69CrossNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    MinHashDedup.crossJaccardPairs(
+      docs.where(col("doc_id") % 20 === 0),
+      docs.where(col("doc_id") % 20 =!= 0),
+      "doc_id", "text", threshold = 0.5, shingleN = 3)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+  }
+
+  // ---------------------------------------------------------------- Q70
+  /** Chunk-granular exact dedup audit: per doc, how many of its
+    * non-overlapping 32-token chunks already occur earlier in the corpus
+    * (keep-first by (doc_id, chunk_start)) — the sub-document pass that
+    * catches boilerplate and quoted passages doc-level dedup misses.
+    */
+  def q70ChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.chunkDedupStats(tp(spark, dir, "documents"),
+        "doc_id", "text", window = 32, stride = 32)
+      .withColumnRenamed("id", "doc_id")
 }

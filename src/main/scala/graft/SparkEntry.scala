@@ -99,6 +99,8 @@ object SparkEntry {
     "q66_scd2" -> (Queries.q66Scd2 _),
     "q67_json_extract" -> (Queries.q67JsonExtract _),
     "q68_containment_pairs" -> (Queries.q68ContainmentPairs _),
+    "q69_cross_neardup" -> (Queries.q69CrossNearDup _),
+    "q70_chunk_dedup" -> (Queries.q70ChunkDedup _),
   )
 
   private val mergeOracle: String = {
@@ -935,6 +937,38 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id != b.doc_id
         |  WHERE len(a.s) > 0 AND len(b.s) > 0)
         |WHERE c >= 0.8""".stripMargin,
+    // brute-force cross-corpus Jaccard (the Spark side's shared-order
+    // prefix filter is exactness-preserving)
+    "q69_cross_neardup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |           generate_series(1, greatest(len(ws) - 2, 0)),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |)
+        |SELECT idA, idB, round(jac, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |         CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id % 20 = 0 AND b.doc_id % 20 != 0
+        |  WHERE len(a.s) > 0 AND len(b.s) > 0)
+        |WHERE jac >= 0.5""".stripMargin,
+    // keep-first chunk dedup: winner of a chunk hash = smallest
+    // (doc_id, chunk_start); md5 of the space-joined token window is
+    // engine-portable
+    "q70_chunk_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS chunk_start,
+        |         md5(array_to_string(t[i:i+31], ' ')) AS h
+        |  FROM tk, LATERAL unnest(generate_series(1, len(t), 32)) AS g(i)),
+        |rk AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_start) AS r
+        |  FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |       count(CASE WHEN r > 1 THEN 1 END) AS n_dup_chunks
+        |FROM rk GROUP BY 1""".stripMargin,
     // md5-order shuffle: shard = first hex nibble, head doc = arg-min md5
     "q59_shuffle_shard" ->
       """SELECT CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INTEGER) AS shard,

@@ -320,6 +320,69 @@ object MinHashDedup {
     out
   }
 
+  /** EXACT cross-corpus n-gram-Jaccard pairs: every (a in A, b in B) with
+    * J(a, b) >= threshold — never pairs within either corpus. The
+    * incremental-ingest dedup shape: B = the existing corpus, A = the new
+    * crawl batch; only A-vs-B duplication decides what enters.
+    *
+    * Exactness (prefix filter, cross-set form): J(a,b) >= t implies the
+    * SMALLEST common shingle under the global ascending-(df, hash) order
+    * sits within the first |x| - ceil(t·|x|) + 1 shingles of BOTH sides
+    * (it is the first of >= ceil(t·|x|) intersection elements in either
+    * sorted set), so joining the two prefix tables on the shingle loses
+    * nothing. Document frequencies are taken over A ∪ B — one shared
+    * order, prefixes on the rarest shingles. The t·|len| length filter
+    * applies in both directions. Verify ships bare id pairs only.
+    */
+  def crossJaccardPairs(
+      dfA: DataFrame, dfB: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val cfg = Config(shingleN = shingleN)
+    val baseA = shingleTable(dfA, idCol, textCol, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val baseB = shingleTable(dfB, idCol, textCol, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    baseA.count(); baseB.count()
+    def explodedOf(base: DataFrame) =
+      base.select(col("id"), size(col("shingles")).as("len"),
+        explode(col("shingles")).as("s"))
+    val exA = explodedOf(baseA)
+    val exB = explodedOf(baseB)
+    // shared global order: document frequency over BOTH corpora
+    val freq = exA.union(exB).groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
+    def prefixOf(ex: DataFrame, side: String) =
+      ex.join(freq, Seq("s"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= col("len") - ceil(lit(threshold) * col("len")).cast("int") + 1)
+        .select(col("s"), col("id").as(s"id$side"), col("len").as(s"len$side"))
+    val cands = prefixOf(exA, "A").join(prefixOf(exB, "B"), Seq("s"))
+      .where(col("lenA").cast("double") >= lit(threshold) * col("lenB") &&
+        col("lenB").cast("double") >= lit(threshold) * col("lenA"))
+      .select("idA", "idB")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands.count()
+    val aSide = baseA.select(col("id").as("idA"), col("shingles").as("shA"))
+      .join(broadcast(cands), Seq("idA"))
+    val bSide = baseB.select(col("id").as("idB"), col("shingles").as("shB"))
+      .join(broadcast(cands), Seq("idB"))
+    val out = aSide.join(bSide.hint("shuffle_hash"), Seq("idA", "idB"))
+      .withColumn("jaccard",
+        size(array_intersect(col("shA"), col("shB"))).cast("double") /
+          size(array_union(col("shA"), col("shB"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("idA", "idB", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cands.unpersist()
+    baseA.unpersist()
+    baseB.unpersist()
+    out
+  }
+
   /** EXACT n-gram CONTAINMENT pairs: (idA, idB, containment) where
     * containment = |A∩B| / |A| >= threshold (A = idA's shingle set). Where
     * Jaccard is symmetric similarity, containment catches SUB-DOCUMENT

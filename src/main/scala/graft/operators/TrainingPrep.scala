@@ -38,6 +38,32 @@ object TrainingPrep {
       .select(col("id"), col("c.chunk_start"), col("c.n_tokens"), col("c.chunk_md5"))
   }
 
+  /** Sub-document EXACT dedup at chunk granularity: global keep-first over
+    * chunk hashes (winner of a hash = smallest (id, chunk_start)), reported
+    * as per-doc counts — total chunks vs chunks whose content already
+    * appears earlier in the corpus. The CCNet-style defense against
+    * boilerplate and quoted passages that survive doc-level dedup because
+    * the surrounding document differs.
+    *
+    * Scale: winner election is a partial-aggregatable `min(struct)` per
+    * hash — never a window sort over the chunk table — and the winner
+    * join keys on the same `chunk_md5` shuffle, which AQE reuses. Chunk
+    * rows carry (id, start, md5): 16-byte-hash-sized, not text-sized.
+    */
+  def chunkDedupStats(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    val c = chunk(df, idCol, textCol, window, stride)
+    val winners = c.groupBy(col("chunk_md5"))
+      .agg(min(struct(col("id"), col("chunk_start"))).as("w"))
+    c.join(winners, Seq("chunk_md5"))
+      .withColumn("is_dup",
+        col("w.id") =!= col("id") || col("w.chunk_start") =!= col("chunk_start"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("is_dup"), 1)).as("n_dup_chunks"))
+  }
+
   /** Distributed global prefix sum of `valueCol` in `orderCol` order —
     * `outCol` = inclusive running total. A bare `Window.orderBy` computes
     * this on ONE task (Spark warns and single-threads); this is the

@@ -153,6 +153,31 @@ class NearDupSpec extends SparkSuite {
     assert(!exact.contains((1L, 6L)), "containment is asymmetric")
   }
 
+  test("crossJaccardPairs is exact across corpora and never pairs within one") {
+    import graft.functions.TextFunctions
+    val a = Seq((10L, base), (11L, unrelated1)).toDF("doc_id", "text")
+    val b = corpus // contains near-dups of base (ids 2, 3) and unrelated2
+    val sh = (df: org.apache.spark.sql.DataFrame) => df.select($"doc_id",
+      TextFunctions.shingles($"text", 3).as("s"))
+    val brute = sh(a).as("a").crossJoin(sh(b).as("b"))
+      .where(size($"a.s") > 0 && size($"b.s") > 0)
+      .select($"a.doc_id".as("idA"), $"b.doc_id".as("idB"),
+        (size(array_intersect($"a.s", $"b.s")).cast("double") /
+          size(array_union($"a.s", $"b.s")).cast("double")).as("j"))
+      .where($"j" >= 0.5)
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    val exact = MinHashDedup.crossJaccardPairs(a, b, "doc_id", "text",
+      threshold = 0.5, shingleN = 3)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(exact == brute && exact.nonEmpty,
+      s"cross prefix filter must lose nothing: exact=$exact brute=$brute")
+    // 10 is a verbatim copy of corpus doc 1 -> must pair; the within-B
+    // near-dup pair (1, 2) must NOT appear
+    assert(exact.contains((10L, 1L)))
+    assert(exact.forall { case (x, y) => Set(10L, 11L)(x) && !Set(10L, 11L)(y) },
+      s"pairs must go A -> B only: $exact")
+  }
+
   test("native minhash signature equals the HOF executable spec") {
     import graft.functions.TextFunctions
     val p = (1L << 31) - 1

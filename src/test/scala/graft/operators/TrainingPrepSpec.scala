@@ -16,6 +16,25 @@ class TrainingPrepSpec extends SparkSuite {
     assert(got == Set((1, 4), (4, 4), (7, 4), (10, 1)), s"got $got")
   }
 
+  test("chunkDedupStats: keep-first winners across and within docs") {
+    val tok = (a: Int, b: Int) => (a to b).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, tok(1, 8)),              // chunks [w1..w4], [w5..w8]
+      (2L, tok(1, 4)),              // duplicate of doc 1's first chunk
+      (3L, tok(5, 8) + " " + tok(5, 8)), // dup of doc 1's 2nd chunk, twice
+      (4L, tok(20, 27))             // fresh content
+    ).toDF("doc_id", "text")
+    val got = TrainingPrep.chunkDedupStats(docs, "doc_id", "text",
+        window = 4, stride = 4)
+      .select($"id", $"n_chunks", $"n_dup_chunks")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, d) => id -> ((n, d)) }.toMap
+    assert(got(1L) == ((2L, 0L)), s"doc 1 owns both chunks: $got")
+    assert(got(2L) == ((1L, 1L)), s"doc 2 repeats doc 1: $got")
+    assert(got(3L) == ((2L, 2L)), s"both of doc 3's chunks repeat doc 1's: $got")
+    assert(got(4L) == ((2L, 0L)), s"doc 4 is fresh: $got")
+  }
+
   test("distributed prefix sum equals the single-window global cumsum at any partition count") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id".as("id"),
