@@ -1231,4 +1231,67 @@ object Queries {
     TrainingPrep.chunkDedupStats(tp(spark, dir, "documents"),
         "doc_id", "text", window = 32, stride = 32)
       .withColumnRenamed("id", "doc_id")
+
+  // ---------------------------------------------------------------- Q71
+  /** IVF ANN in its EXACT regime: nProbe == nLists probes every inverted
+    * list and each corpus vector lives in exactly one list, so every
+    * (query, corpus) pair is scored exactly once — the result MUST equal
+    * brute force. Puts the whole IVF plumbing (k-means centroid training,
+    * list assignment, probe fan-out, per-list scoring) through the oracle
+    * gate with q14's brute-force SQL verbatim; SimilaritySpec covers the
+    * approximate nProbe < nLists regime via recall bounds.
+    */
+  def q71IvfExact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfTopKJoin(
+      emb.where(col("vec_id") < 5), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 10, nLists = 8, nProbe = 8)
+  }
+
+  // ---------------------------------------------------------------- Q72
+  /** Subquery-predicate battery (§2.4 SQL surface next to q46's scalar
+    * subqueries): correlated EXISTS / NOT EXISTS and uncorrelated IN,
+    * all decorrelated by Catalyst into joins — no per-row re-execution.
+    */
+  def q72ExistsIn(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("q72_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("q72_orders")
+    t(spark, dir, "nation").createOrReplaceTempView("q72_nation")
+    spark.sql(
+      """SELECT c_nationkey,
+        |       count(*) AS n_customers,
+        |       count(CASE WHEN EXISTS (
+        |         SELECT 1 FROM q72_orders o
+        |         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |         THEN 1 END) AS n_big_spenders,
+        |       count(CASE WHEN NOT EXISTS (
+        |         SELECT 1 FROM q72_orders o WHERE o.o_custkey = c.c_custkey)
+        |         THEN 1 END) AS n_dormant
+        |FROM q72_customer c
+        |WHERE c.c_nationkey IN (SELECT n_nationkey FROM q72_nation
+        |                        WHERE n_regionkey < 3)
+        |GROUP BY c_nationkey""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- Q73
+  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) — the
+    * multiplicity-preserving counterparts of q20/q21, over order-priority
+    * multisets from two channel slices.
+    */
+  def q73SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = tp(spark, dir, "orders")
+    val a = o.where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderpriority"), col("o_orderstatus"))
+    val b = o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderpriority"), col("o_orderstatus"))
+    a.intersectAll(b).groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_intersect"))
+      .join(
+        a.exceptAll(b).groupBy(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_except")),
+        Seq("o_orderpriority", "o_orderstatus"), "full_outer")
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        coalesce(col("n_intersect"), lit(0L)).as("n_intersect"),
+        coalesce(col("n_except"), lit(0L)).as("n_except"))
+  }
 }

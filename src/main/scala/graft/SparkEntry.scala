@@ -101,6 +101,9 @@ object SparkEntry {
     "q68_containment_pairs" -> (Queries.q68ContainmentPairs _),
     "q69_cross_neardup" -> (Queries.q69CrossNearDup _),
     "q70_chunk_dedup" -> (Queries.q70ChunkDedup _),
+    "q71_ivf_exact" -> (Queries.q71IvfExact _),
+    "q72_exists_in" -> (Queries.q72ExistsIn _),
+    "q73_set_ops_all" -> (Queries.q73SetOpsAll _),
   )
 
   private val mergeOracle: String = {
@@ -937,6 +940,47 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id != b.doc_id
         |  WHERE len(a.s) > 0 AND len(b.s) > 0)
         |WHERE c >= 0.8""".stripMargin,
+    // IVF at nProbe == nLists must equal brute force: q14's oracle verbatim
+    "q71_ivf_exact" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         round(list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+    // correlated EXISTS / NOT EXISTS + uncorrelated IN, same SQL both sides
+    "q72_exists_in" ->
+      """SELECT c_nationkey,
+        |       count(*) AS n_customers,
+        |       count(CASE WHEN EXISTS (
+        |         SELECT 1 FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |         THEN 1 END) AS n_big_spenders,
+        |       count(CASE WHEN NOT EXISTS (
+        |         SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |         THEN 1 END) AS n_dormant
+        |FROM customer c
+        |WHERE c.c_nationkey IN (SELECT n_nationkey FROM nation
+        |                        WHERE n_regionkey < 3)
+        |GROUP BY c_nationkey""".stripMargin,
+    // bag-semantics set ops: multiplicities via INTERSECT ALL / EXCEPT ALL
+    "q73_set_ops_all" ->
+      """WITH a AS (SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0),
+        |b AS (SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0),
+        |i AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n_intersect
+        |      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1, 2),
+        |e AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n_except
+        |      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1, 2)
+        |SELECT coalesce(i.o_orderpriority, e.o_orderpriority) AS o_orderpriority,
+        |       coalesce(i.o_orderstatus, e.o_orderstatus) AS o_orderstatus,
+        |       coalesce(n_intersect, 0) AS n_intersect,
+        |       coalesce(n_except, 0) AS n_except
+        |FROM i FULL OUTER JOIN e
+        |  ON i.o_orderpriority = e.o_orderpriority
+        | AND i.o_orderstatus = e.o_orderstatus""".stripMargin,
     // brute-force cross-corpus Jaccard (the Spark side's shared-order
     // prefix filter is exactness-preserving)
     "q69_cross_neardup" ->

@@ -44,6 +44,44 @@ class DecontaminateSpec extends SparkSuite {
     assert(kept == Set(3L, 4L), s"expected {3, 4}, got $kept")
   }
 
+  test("plan: benchmark side broadcasts; no broadcast carries the corpus") {
+    // the 100 TB contract — the corpus (big side) probes map-side; only
+    // the collapsed benchmark shingle set may sit behind a broadcast.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val hits = Decontaminate.contaminationHits(corpus, bench, "doc_id", "text", n = 5)
+      val plan = hits.queryExecution.executedPlan
+      val bcasts = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(bcasts.nonEmpty, s"benchmark shingle set must broadcast:\n$plan")
+      bcasts.foreach { b =>
+        assert(b.output.map(_.name) == Seq("s"),
+          s"only the bare shingle-hash set may broadcast, got ${b.output}:\n$b")
+      }
+      // corpus-side shuffles (outside the broadcast subtree): exactly the
+      // partial-agg hit-count exchange, carrying (id, count) — never text
+      // or shingle arrays. Bench-side shuffles inside the broadcast are a
+      // benchmark-sized concern, not a corpus-sized one.
+      val shuffles = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+      }
+      val inBcast = bcasts.flatMap(_.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+      }).toSet
+      val corpusSide = shuffles.filterNot(inBcast)
+      assert(corpusSide.size == 1,
+        s"corpus must shuffle exactly once (partial hit counts):\n$plan")
+      corpusSide.foreach { s =>
+        val bad = s.output.filter(a =>
+          a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+            a.name == "text")
+        assert(bad.isEmpty,
+          s"corpus shuffle carries payload ${bad.map(_.name)}:\n$s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("verbatim copy hit count equals its own distinct shingle count") {
     // every shingle of a verbatim copy is in the benchmark set
     val own = corpus.where($"doc_id" === 1L)

@@ -77,6 +77,26 @@ class Scd2Spec extends SparkSuite {
     assert(h3.where($"valid_to" === ts(t3)).count() == 1)
   }
 
+  test("plan: closed history unions back below the join without a shuffle") {
+    // the scale contract — applying a batch joins ONLY the current slice;
+    // closed rows must never enter an exchange. With AQE off, the plan of
+    // one applyBatch carries exactly the join's two shuffles (current,
+    // batch): any third would mean history size entered the cost.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val h1 = Scd2.applyBatch(Scd2.emptyHistory(batch1, "k"), batch1, "k", t1)
+        .localCheckpoint() // realistic: history arrives materialized
+      val batch2 = Seq((2L, "gold", 7.0)).toDF("k", "tier", "score")
+      val h2 = Scd2.applyBatch(h1, batch2, "k", t2)
+      val shuffles = h2.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+      }
+      assert(shuffles.size <= 2,
+        s"closed history must not shuffle (want <= 2 exchanges):\n" +
+          h2.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("three batches build a full timeline and currentOf sees only open rows") {
     val b = (v: String, s: Double) => Seq((1L, v, s)).toDF("k", "tier", "score")
     var h = Scd2.applyBatch(Scd2.emptyHistory(batch1, "k"), b("a", 1.0), "k", t1)
