@@ -39,6 +39,36 @@ object Scale {
       .agg(phase2.head, phase2.tail: _*)
   }
 
+  /** Salted join for heavy-hitter JOIN keys: fact rows of a hot key are
+    * spread over `saltBuckets` sub-keys (deterministically, by hashing a
+    * unique fact column) while the dim side replicates each of its rows
+    * into every bucket — the join runs on (key, salt), so no single task
+    * owns a hot key's full row set.
+    *
+    * AQE's skew-join split is the first line of defense (it stays on);
+    * this manual lever covers what AQE cannot: skew that only materializes
+    * AFTER the exchange (stateful downstream ops keyed on the join key),
+    * deterministic layouts where re-planning is off, and streaming joins
+    * where AQE does not apply. Cost: dim side grows `saltBuckets`x — use
+    * for dimension-sized right sides only.
+    *
+    * Inner/left joins only: under dim replication an unmatched dim row
+    * would surface once per salt replica, so right/full semantics cannot
+    * be preserved — fail fast rather than silently multiply.
+    */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame, key: String, factUniqueCol: String,
+      saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    require(Set("inner", "left", "left_outer", "leftouter")(joinType.toLowerCase),
+      s"saltedJoin preserves inner/left semantics only, got '$joinType'")
+    val f = fact.withColumn("__salt",
+      pmod(xxhash64(col(factUniqueCol)), lit(saltBuckets)).cast("int"))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    f.join(d, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   /** Write both sides bucketed+sorted by the join key so subsequent joins
     * are exchange-free (co-located, zipper-merge). This is the batch-layer
     * answer to "this join runs every day on the same keys": pay the shuffle

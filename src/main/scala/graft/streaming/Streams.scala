@@ -62,6 +62,18 @@ object Streams {
       keys: Seq[String]): DataFrame =
     stream.withWatermark(tsCol, watermark).dropDuplicates(keys :+ tsCol)
 
+  /** Streaming dedup on the KEY ALONE within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`): where [[streamingDedup]] drops
+    * exact (key, ts) re-deliveries, this also suppresses re-sends whose
+    * event time DIFFERS — the at-least-once producer that re-stamps on
+    * retry. State is one row per key seen inside the horizon and expires
+    * with the watermark.
+    */
+  def streamingDedupWithinWatermark(stream: DataFrame, tsCol: String,
+      watermark: String, keys: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Streaming NEAR-dup drop: fingerprint each document with the simhash
     * vote vector and drop later arrivals whose fingerprint collides inside
     * the watermark horizon. Same ingest-time shape the batch

@@ -19,6 +19,29 @@ class ScaleSpec extends SparkSuite {
     assert(salted.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet)
   }
 
+  test("saltedJoin equals plain join on skewed keys, spreads the hot key") {
+    val fact = ((1 to 5000).map(i => (i.toLong, "hot")) ++
+      Seq((9001L, "a"), (9002L, "b"))).toDF("row_id", "k")
+    val dim = Seq(("hot", 10), ("a", 20), ("b", 30), ("c", 40)).toDF("k", "attr")
+    val plain = fact.join(dim, Seq("k")).select($"row_id", $"k", $"attr")
+    val salted = Scale.saltedJoin(fact, dim, "k", "row_id", saltBuckets = 8)
+      .select($"row_id", $"k", $"attr")
+    assert(salted.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet)
+    // the hot key's fact rows really land in multiple salt buckets
+    val buckets = fact.where($"k" === "hot")
+      .select(pmod(xxhash64($"row_id"), lit(8)).cast("int").as("b"))
+      .distinct().count()
+    assert(buckets > 4, s"expected the hot key spread over buckets, got $buckets")
+    // left join keeps unmatched fact rows exactly once
+    val factExtra = fact.union(Seq((9003L, "nodim")).toDF("row_id", "k"))
+    val left = Scale.saltedJoin(factExtra, dim, "k", "row_id", 8, "left")
+    assert(left.where($"k" === "nodim").count() == 1)
+    // right/full would multiply unmatched dim rows -> must be rejected
+    intercept[IllegalArgumentException] {
+      Scale.saltedJoin(fact, dim, "k", "row_id", 8, "right")
+    }
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     // a previous JVM's managed-table location survives the metastore; clear it
     for (t <- Seq("orders_b", "customer_b")) {

@@ -136,6 +136,31 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamingDedupWithinWatermark collapses re-stamped re-sends of a key") {
+    val dir = tmpDir("dedup-wwm-stream")
+    Seq(
+      ("2024-01-01 00:00:00", 1L, "a"),
+      ("2024-01-01 00:01:00", 1L, "a"), // re-send, new stamp -> DROPPED here
+      ("2024-01-01 00:02:00", 2L, "b"),
+      ("2024-01-01 00:03:00", 1L, "a")  // another re-stamp, still in horizon
+    ).toDF("ts_s", "id", "v")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+      .write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val out = Streams.streamingDedupWithinWatermark(streamIn, "ts", "1 hour",
+      keys = Seq("id"))
+    val q = out.writeStream
+      .outputMode("append").format("memory").queryName("sdedupw_out").start()
+    try {
+      q.processAllAvailable()
+      // one row per key inside the horizon, despite three distinct stamps
+      // for key 1 (streamingDedup would keep all three)
+      val ids = spark.table("sdedupw_out").select($"id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("streamingNearDupDrop suppresses identical-fingerprint docs, stream==batch") {
     val dir = tmpDir("neardup-stream")
     val docs = Seq(
