@@ -1278,6 +1278,59 @@ object Queries {
     * multiplicity-preserving counterparts of q20/q21, over order-priority
     * multisets from two channel slices.
     */
+  def q74VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    // token frequency -> rank by (count desc, token) -> cumulative corpus
+    // coverage of a 200-token vocabulary: the unigram-vocab construction
+    // step of tokenizer training. Both the cumsum AND the rank run through
+    // the distributed prefix sum (range-partitioned) — never a single-task
+    // global window, even though a vocabulary is corpus-compressed. The
+    // sort key packs (count desc, token) into one string so one range
+    // partitioning serves both passes.
+    val counts = tp(spark, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val totalDf = counts.agg(sum(col("n")).as("__total"))
+    val withOrd = counts
+      .withColumn("__ord", concat(
+        lpad((lit(1000000000000000000L) - col("n")).cast("string"), 19, "0"),
+        col("token")))
+      .withColumn("__one", lit(1L))
+    val cum = TrainingPrep.globalPrefixSum(withOrd, "__ord", "n", "cum_n")
+    val ranked = TrainingPrep.globalPrefixSum(cum, "__ord", "__one", "rank")
+    ranked.where(col("rank") <= 200)
+      .crossJoin(broadcast(totalDf))
+      .select(col("rank"), col("token"), col("n"),
+        round(col("cum_n").cast("double") / col("__total"), 6).as("coverage"))
+  }
+
+  // ---------------------------------------------------------------- Q75
+  /** Vector-math battery over embeddings: L2 norm, unit-normalization
+    * residual, dot product and euclidean distance against a fixed probe
+    * vector (vec_id 0) — the feature-engineering surface under every ANN
+    * path, all `zip_with`/`aggregate` HOFs, no UDFs.
+    */
+  def q75VectorMath(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val probe = emb.where(col("vec_id") === 0)
+      .select(col("embedding").as("p_vec"))
+    emb.crossJoin(broadcast(probe))
+      .select(
+        col("vec_id"),
+        round(VectorFunctions.normL2(col("embedding")), 6).as("l2"),
+        round(abs(VectorFunctions.normL2(transform(col("embedding"),
+          x => x.cast("double") / VectorFunctions.normL2(col("embedding"))))
+          - lit(1.0)), 9).as("unit_residual"),
+        round(VectorFunctions.dot(col("embedding"), col("p_vec")), 6).as("dot_p"),
+        round(sqrt(aggregate(zip_with(col("embedding"), col("p_vec"),
+            (a, b) => pow(a.cast("double") - b.cast("double"), 2)),
+          lit(0.0), (acc, x) => acc + x)), 6).as("dist_p"))
+  }
+
+  // ---------------------------------------------------------------- Q73
+  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) — the
+    * multiplicity-preserving counterparts of q20/q21, over order-priority
+    * multisets from two channel slices.
+    */
   def q73SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
     val o = tp(spark, dir, "orders")
     val a = o.where(col("o_orderkey") % 3 === 0)

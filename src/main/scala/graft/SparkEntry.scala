@@ -104,6 +104,8 @@ object SparkEntry {
     "q71_ivf_exact" -> (Queries.q71IvfExact _),
     "q72_exists_in" -> (Queries.q72ExistsIn _),
     "q73_set_ops_all" -> (Queries.q73SetOpsAll _),
+    "q74_vocab_coverage" -> (Queries.q74VocabCoverage _),
+    "q75_vector_math" -> (Queries.q75VectorMath _),
   )
 
   private val mergeOracle: String = {
@@ -940,6 +942,37 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id != b.doc_id
         |  WHERE len(a.s) > 0 AND len(b.s) > 0)
         |WHERE c >= 0.8""".stripMargin,
+    // unigram vocab: rank by (count desc, token), cumulative coverage
+    "q74_vocab_coverage" ->
+      """WITH c AS (
+        |  SELECT t AS token, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(n) AS total FROM c),
+        |r AS (SELECT token, n,
+        |        row_number() OVER (ORDER BY n DESC, token) AS rank,
+        |        sum(n) OVER (ORDER BY n DESC, token
+        |                     ROWS UNBOUNDED PRECEDING) AS cum_n
+        |      FROM c)
+        |SELECT rank, token, n,
+        |       round(CAST(cum_n AS DOUBLE) / total, 6) AS coverage
+        |FROM r, tot WHERE rank <= 200""".stripMargin,
+    // vector-math battery; rounding absorbs summation-order ulps
+    "q75_vector_math" ->
+      """WITH p AS (SELECT embedding AS p_vec FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, embedding, p_vec,
+        |             sqrt(list_sum(list_transform(embedding,
+        |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |      FROM embeddings, p)
+        |SELECT vec_id,
+        |       round(nrm, 6) AS l2,
+        |       round(abs(sqrt(list_sum(list_transform(embedding,
+        |         x -> pow(CAST(x AS DOUBLE) / nrm, 2)))) - 1.0), 9) AS unit_residual,
+        |       round(list_dot_product(embedding::DOUBLE[], p_vec::DOUBLE[]), 6) AS dot_p,
+        |       round(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+        |         i -> pow(CAST(embedding[i] AS DOUBLE) - CAST(p_vec[i] AS DOUBLE), 2)))), 6)
+        |         AS dist_p
+        |FROM e""".stripMargin,
     // IVF at nProbe == nLists must equal brute force: q14's oracle verbatim
     "q71_ivf_exact" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
