@@ -1273,10 +1273,9 @@ object Queries {
         |GROUP BY c_nationkey""".stripMargin)
   }
 
-  // ---------------------------------------------------------------- Q73
-  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) — the
-    * multiplicity-preserving counterparts of q20/q21, over order-priority
-    * multisets from two channel slices.
+  // ---------------------------------------------------------------- Q74
+  /** Unigram vocabulary construction: token frequency ranking with the
+    * cumulative corpus-coverage curve — what sizes a tokenizer vocab.
     */
   def q74VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     // token frequency -> rank by (count desc, token) -> cumulative corpus
@@ -1324,6 +1323,25 @@ object Queries {
         round(sqrt(aggregate(zip_with(col("embedding"), col("p_vec"),
             (a, b) => pow(a.cast("double") - b.cast("double"), 2)),
           lit(0.0), (acc, x) => acc + x)), 6).as("dist_p"))
+  }
+
+  // ---------------------------------------------------------------- Q76
+  /** Data-quality gate over orders: value expectations plus a referential
+    * check (o_custkey resolves in customer — composed as a broadcast key
+    * join BEFORE the predicate, never a per-row subquery), reported as a
+    * one-pass conditional-count aggregate. The quarantine split itself is
+    * exercised in QualitySpec; the oracle checks every violation count.
+    */
+  def q76QualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val custKeys = t(spark, dir, "customer")
+      .select(col("c_custkey").as("__ck")).distinct()
+    val orders = tp(spark, dir, "orders")
+      .join(broadcast(custKeys), col("o_custkey") === col("__ck"), "left")
+    Quality.report(orders, Seq(
+      Quality.Expectation("positive_price", col("o_totalprice") > 0),
+      Quality.Expectation("price_under_300k", col("o_totalprice") < 300000),
+      Quality.Expectation("not_urgent", col("o_orderpriority") =!= "1-URGENT"),
+      Quality.Expectation("known_customer", col("__ck").isNotNull)))
   }
 
   // ---------------------------------------------------------------- Q73

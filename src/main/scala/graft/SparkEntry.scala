@@ -106,6 +106,7 @@ object SparkEntry {
     "q73_set_ops_all" -> (Queries.q73SetOpsAll _),
     "q74_vocab_coverage" -> (Queries.q74VocabCoverage _),
     "q75_vector_math" -> (Queries.q75VectorMath _),
+    "q76_quality_gate" -> (Queries.q76QualityGate _),
   )
 
   private val mergeOracle: String = {
@@ -942,6 +943,25 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id != b.doc_id
         |  WHERE len(a.s) > 0 AND len(b.s) > 0)
         |WHERE c >= 0.8""".stripMargin,
+    // one-pass expectation report; referential check via LEFT JOIN marker
+    "q76_quality_gate" ->
+      """WITH j AS (
+        |  SELECT o.*, c.c_custkey AS ck
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey),
+        |agg AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 END) AS positive_price,
+        |    count(CASE WHEN NOT coalesce(o_totalprice < 300000, FALSE) THEN 1 END) AS price_under_300k,
+        |    count(CASE WHEN NOT coalesce(o_orderpriority != '1-URGENT', FALSE) THEN 1 END) AS not_urgent,
+        |    count(CASE WHEN ck IS NULL THEN 1 END) AS known_customer
+        |  FROM j)
+        |SELECT x.expectation, x.n_violations, agg.n_rows
+        |FROM agg, LATERAL (VALUES
+        |  ('positive_price', positive_price),
+        |  ('price_under_300k', price_under_300k),
+        |  ('not_urgent', not_urgent),
+        |  ('known_customer', known_customer)) AS x(expectation, n_violations)""".stripMargin,
     // unigram vocab: rank by (count desc, token), cumulative coverage
     "q74_vocab_coverage" ->
       """WITH c AS (
