@@ -1344,6 +1344,27 @@ object Queries {
       Quality.Expectation("known_customer", col("__ck").isNotNull)))
   }
 
+  // ---------------------------------------------------------------- Q77
+  /** RANGE-frame window (value-based, not row-based — the window class
+    * q40's ROWS battery does not cover): rolling 7-day revenue per
+    * customer. RANGE frames include ALL ties of the current order value,
+    * so the sum is well-defined even when a customer places several
+    * orders the same day — no tiebreak column needed, and both engines
+    * agree without one.
+    */
+  def q77RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"))
+      .rangeBetween(-6, Window.currentRow)
+    tp(spark, dir, "orders")
+      .where(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).as("day"),
+        col("o_totalprice"))
+      .withColumn("rolling_7d", round(sum(col("o_totalprice")).over(w), 3))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "rolling_7d")
+  }
+
   // ---------------------------------------------------------------- Q73
   /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) — the
     * multiplicity-preserving counterparts of q20/q21, over order-priority

@@ -107,6 +107,7 @@ object SparkEntry {
     "q74_vocab_coverage" -> (Queries.q74VocabCoverage _),
     "q75_vector_math" -> (Queries.q75VectorMath _),
     "q76_quality_gate" -> (Queries.q76QualityGate _),
+    "q77_range_frame" -> (Queries.q77RangeFrame _),
   )
 
   private val mergeOracle: String = {
@@ -943,6 +944,14 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id != b.doc_id
         |  WHERE len(a.s) > 0 AND len(b.s) > 0)
         |WHERE c >= 0.8""".stripMargin,
+    // value-based RANGE frame: ties share the frame, no tiebreak needed
+    "q77_range_frame" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |       round(sum(o_totalprice) OVER (
+        |         PARTITION BY o_custkey
+        |         ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 3) AS rolling_7d
+        |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin,
     // one-pass expectation report; referential check via LEFT JOIN marker
     "q76_quality_gate" ->
       """WITH j AS (
