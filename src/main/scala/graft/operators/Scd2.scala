@@ -43,6 +43,9 @@ object Scd2 {
       closeMissing: Boolean = false): DataFrame = {
     val attrs = batch.columns.filterNot(_ == key).toSeq
     require(attrs.nonEmpty, "batch must carry at least one attribute column")
+    require(!attrs.contains("valid_from") && !attrs.contains("valid_to") &&
+      !attrs.exists(_.startsWith("__")),
+      "batch columns must not collide with validity/marker columns")
     val histCols = (Seq(key) ++ attrs ++ Seq("valid_from", "valid_to")).map(col)
     val ts = to_timestamp(lit(batchTs))
 
