@@ -97,6 +97,50 @@ class Scd2Spec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("randomized batch sequence keeps SCD2 invariants (seeded)") {
+    val rnd = new scala.util.Random(42)
+    val keys = (1L to 20L).toSeq
+    val stamps = (1 to 6).map(i => f"2024-$i%02d-01 00:00:00")
+    var h = Scd2.emptyHistory(Seq((0L, "x", 0.0)).toDF("k", "tier", "score"), "k")
+    val lastSeen = scala.collection.mutable.Map.empty[Long, (String, Double)]
+    stamps.foreach { stamp =>
+      val batch = keys.filter(_ => rnd.nextBoolean()).map { k =>
+        val v = (s"t${rnd.nextInt(3)}", rnd.nextInt(5).toDouble)
+        lastSeen(k) = v
+        (k, v._1, v._2)
+      }
+      if (batch.nonEmpty)
+        h = Scd2.applyBatch(h, batch.toDF("k", "tier", "score"), "k", stamp)
+    }
+    val rows = h.select($"k", $"tier", $"score", $"valid_from", $"valid_to")
+      .as[(Long, String, Double, Timestamp, Option[Timestamp])].collect()
+    val byKey = rows.groupBy(_._1)
+    byKey.foreach { case (k, vs) =>
+      // exactly one open row per ever-seen key (delta mode never closes)
+      val open = vs.filter(_._5.isEmpty)
+      assert(open.size == 1, s"key $k must have one open row: ${vs.toSeq}")
+      // the open row carries the last observed attributes
+      assert((open.head._2, open.head._3) == lastSeen(k),
+        s"key $k open row must match last batch value")
+      // closed intervals chain: each valid_to equals the next valid_from
+      val sorted = vs.sortBy(_._4.getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4),
+            s"key $k timeline must chain: ${sorted.toSeq}")
+        case _ =>
+      }
+      // versions only exist where attributes actually changed
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert((a._2, a._3) != ((b._2, b._3)),
+            s"key $k has a no-op version: ${sorted.toSeq}")
+        case _ =>
+      }
+    }
+    assert(byKey.keySet == lastSeen.keySet)
+  }
+
   test("three batches build a full timeline and currentOf sees only open rows") {
     val b = (v: String, s: Double) => Seq((1L, v, s)).toDF("k", "tier", "score")
     var h = Scd2.applyBatch(Scd2.emptyHistory(batch1, "k"), b("a", 1.0), "k", t1)
