@@ -1325,6 +1325,27 @@ object Queries {
           lit(0.0), (acc, x) => acc + x)), 6).as("dist_p"))
   }
 
+  // ---------------------------------------------------------------- Q78
+  /** Canonical selection per near-dup group: where q13b keeps the min-id
+    * survivor, real curation keeps the BEST member — highest quality
+    * score, min doc_id on ties (rounding the score to 6 dp first makes
+    * "tie" engine-portable). One partial-aggregatable `max_by` over the
+    * transitive closure; group sizes and best quality ride along.
+    */
+  def q78CanonicalPick(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val groups = MinHashDedup.duplicateGroups(
+      MinHashDedup.jaccardPairs(docs, "doc_id", "text",
+        threshold = 0.5, shingleN = 3))
+    val scored = docs.select(col("doc_id").as("id"),
+      round(TextFunctions.qualityScore(col("text")), 6).as("q"))
+    groups.join(scored, Seq("id"))
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("group_size"),
+        max_by(col("id"), struct(col("q"), negate(col("id")))).as("canonical"),
+        max(col("q")).as("best_quality"))
+  }
+
   // ---------------------------------------------------------------- Q76
   /** Data-quality gate over orders: value expectations plus a referential
     * check (o_custkey resolves in customer — composed as a broadcast key

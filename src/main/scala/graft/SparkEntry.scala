@@ -108,6 +108,7 @@ object SparkEntry {
     "q75_vector_math" -> (Queries.q75VectorMath _),
     "q76_quality_gate" -> (Queries.q76QualityGate _),
     "q77_range_frame" -> (Queries.q77RangeFrame _),
+    "q78_canonical_pick" -> (Queries.q78CanonicalPick _),
   )
 
   private val mergeOracle: String = {
@@ -944,6 +945,44 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id != b.doc_id
         |  WHERE len(a.s) > 0 AND len(b.s) > 0)
         |WHERE c >= 0.8""".stripMargin,
+    // q13g's recursive closure + quality arg_max: best member per group
+    "q78_canonical_pick" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |           generate_series(1, greatest(len(ws) - 2, 0)),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |),
+        |pr AS (
+        |  SELECT a.doc_id AS idA, b.doc_id AS idB
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.s) > 0 AND len(b.s) > 0
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
+        |),
+        |e AS (SELECT idA AS a, idB AS b FROM pr UNION SELECT idB, idA FROM pr),
+        |reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        |),
+        |labels AS (SELECT a AS id, least(a, min(b)) AS rep FROM reach GROUP BY a),
+        |ql AS (
+        |  SELECT doc_id AS id,
+        |         round(0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+        |           + 0.3 * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |               ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |                    / CAST(length(text) AS DOUBLE) END) * 5.0, 1.0))
+        |           + 0.3 * least((CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+        |               ELSE CAST(len(list_filter(string_split(text, ' '),
+        |                      tk -> list_contains(['the','and','of','to','in','is','that','it','a'], tk))) AS DOUBLE)
+        |                    / CAST(len(string_split(text, ' ')) AS DOUBLE) END) * 4.0, 1.0), 6) AS q
+        |  FROM documents)
+        |SELECT l.rep, count(*) AS group_size,
+        |       first(l.id ORDER BY ql.q DESC, l.id ASC) AS canonical,
+        |       max(ql.q) AS best_quality
+        |FROM labels l JOIN ql ON ql.id = l.id
+        |GROUP BY l.rep""".stripMargin,
     // value-based RANGE frame: ties share the frame, no tiebreak needed
     "q77_range_frame" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,
