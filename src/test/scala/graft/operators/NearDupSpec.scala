@@ -178,6 +178,25 @@ class NearDupSpec extends SparkSuite {
       s"pairs must go A -> B only: $exact")
   }
 
+  test("crossJaccardPairs agrees with the self-join restricted across the split") {
+    // the cross-corpus operator must find exactly the self-join pairs of
+    // A ∪ B that straddle the split — no extra, no fewer
+    val a = Seq((10L, base), (11L, unrelated1)).toDF("doc_id", "text")
+    val b = corpus
+    val self = MinHashDedup.jaccardPairs(a.union(b), "doc_id", "text",
+      threshold = 0.5, shingleN = 3)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    val aIds = Set(10L, 11L)
+    val straddling = self.collect {
+      case (x, y) if aIds(x) && !aIds(y) => (x, y)
+      case (x, y) if aIds(y) && !aIds(x) => (y, x)
+    }
+    val cross = MinHashDedup.crossJaccardPairs(a, b, "doc_id", "text",
+      threshold = 0.5, shingleN = 3)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(cross == straddling, s"cross=$cross straddling=$straddling")
+  }
+
   test("native minhash signature equals the HOF executable spec") {
     import graft.functions.TextFunctions
     val p = (1L << 31) - 1
