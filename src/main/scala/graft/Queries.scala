@@ -1325,6 +1325,38 @@ object Queries {
           lit(0.0), (acc, x) => acc + x)), 6).as("dist_p"))
   }
 
+  // ---------------------------------------------------------------- Q79
+  /** The reference's PRODUCT, end to end, twice: daily run 1 ingests 3
+    * REST pages (ids 0-59) into the warehouse; daily run 2 re-crawls 5
+    * pages (ids 0-99) where every even id's vote_count moved upstream.
+    * extract → normalize → audit-stamp → MERGE, then report the post-run
+    * state: odd matched rows are UNCHANGED (null-safe predicate keeps the
+    * day-1 stamp), even matched rows UPDATE, new ids INSERT. The synthetic
+    * page payloads are closed-form, so the oracle derives every count
+    * from generate_series.
+    */
+  def q79DailyRerun(spark: SparkSession, dir: String): DataFrame = {
+    val day1 = Paginated.ingest(spark,
+      Paginated.SyntheticMovieFetcher(pages = 3, perPage = 20), "popular")
+    val day2 = Paginated.ingest(spark,
+        Paginated.SyntheticMovieFetcher(pages = 5, perPage = 20), "popular")
+      .withColumn("vote_count",
+        when(col("id") % 2 === 0, col("vote_count") + 1)
+          .otherwise(col("vote_count")))
+    val merged = Merge.merge(
+      Audit.stampAt(day1, to_timestamp(lit(DestStamp))),
+      Audit.stampAt(day2, to_timestamp(lit(DeltaStamp))),
+      pk = Seq("id"))
+    merged.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("id") >= 60, 1)).as("n_inserted"),
+      count(when(col("id") < 60 &&
+        col("record_loaded_at") === to_timestamp(lit(DeltaStamp)), 1)).as("n_updated"),
+      count(when(col("record_loaded_at") === to_timestamp(lit(DestStamp)), 1))
+        .as("n_unchanged"),
+      sum(col("vote_count")).as("sum_votes"))
+  }
+
   // ---------------------------------------------------------------- Q78
   /** Canonical selection per near-dup group: where q13b keeps the min-id
     * survivor, real curation keeps the BEST member — highest quality

@@ -109,6 +109,7 @@ object SparkEntry {
     "q76_quality_gate" -> (Queries.q76QualityGate _),
     "q77_range_frame" -> (Queries.q77RangeFrame _),
     "q78_canonical_pick" -> (Queries.q78CanonicalPick _),
+    "q79_daily_rerun" -> (Queries.q79DailyRerun _),
   )
 
   private val mergeOracle: String = {
@@ -945,6 +946,20 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id != b.doc_id
         |  WHERE len(a.s) > 0 AND len(b.s) > 0)
         |WHERE c >= 0.8""".stripMargin,
+    // the synthetic page payloads are closed-form: id = (page-1)*20 + i,
+    // vote_count = 3*id (+1 on even ids in the day-2 re-crawl), so the
+    // whole two-run merge outcome derives from generate_series
+    "q79_daily_rerun" ->
+      """WITH f AS (
+        |  SELECT i AS id,
+        |         3 * i + CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS vote_count
+        |  FROM generate_series(0, 99) t(i))
+        |SELECT count(*) AS n_rows,
+        |       count(CASE WHEN id >= 60 THEN 1 END) AS n_inserted,
+        |       count(CASE WHEN id < 60 AND id % 2 = 0 THEN 1 END) AS n_updated,
+        |       count(CASE WHEN id < 60 AND id % 2 = 1 THEN 1 END) AS n_unchanged,
+        |       CAST(sum(vote_count) AS BIGINT) AS sum_votes
+        |FROM f""".stripMargin,
     // q13g's recursive closure + quality arg_max: best member per group
     "q78_canonical_pick" ->
       """WITH RECURSIVE sh AS (
