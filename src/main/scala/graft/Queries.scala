@@ -1325,6 +1325,36 @@ object Queries {
           lit(0.0), (acc, x) => acc + x)), 6).as("dist_p"))
   }
 
+  // ---------------------------------------------------------------- Q80
+  /** Ordered-funnel analysis: users progressing view → click → purchase
+    * with STRICTLY increasing event times. One shuffle (the per-user
+    * collect), then pure HOF scans — earliest-qualifying-event semantics,
+    * which is reachability-optimal, so counts equal the oracle's
+    * min-after-join derivation. Per-task state is one user's events, not
+    * a window sort of the stream.
+    */
+  def q80Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tp(spark, dir, "events")
+      .where(col("event_type").isin("view", "click", "purchase"))
+    ev.groupBy(col("user_id"))
+      .agg(collect_list(struct(col("ts"), col("event_type"))).as("evs"))
+      .withColumn("t_view", expr(
+        "array_min(transform(filter(evs, e -> e.event_type = 'view'), e -> e.ts))"))
+      .withColumn("t_click", expr(
+        """array_min(transform(filter(evs,
+          |  e -> e.event_type = 'click' AND t_view IS NOT NULL AND e.ts > t_view),
+          |  e -> e.ts))""".stripMargin))
+      .withColumn("t_purchase", expr(
+        """array_min(transform(filter(evs,
+          |  e -> e.event_type = 'purchase' AND t_click IS NOT NULL AND e.ts > t_click),
+          |  e -> e.ts))""".stripMargin))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_view")).as("n_viewed"),
+        count(col("t_click")).as("n_clicked"),
+        count(col("t_purchase")).as("n_purchased"))
+  }
+
   // ---------------------------------------------------------------- Q79
   /** The reference's PRODUCT, end to end, twice: daily run 1 ingests 3
     * REST pages (ids 0-59) into the warehouse; daily run 2 re-crawls 5

@@ -110,6 +110,7 @@ object SparkEntry {
     "q77_range_frame" -> (Queries.q77RangeFrame _),
     "q78_canonical_pick" -> (Queries.q78CanonicalPick _),
     "q79_daily_rerun" -> (Queries.q79DailyRerun _),
+    "q80_funnel" -> (Queries.q80Funnel _),
   )
 
   private val mergeOracle: String = {
@@ -946,6 +947,21 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id != b.doc_id
         |  WHERE len(a.s) > 0 AND len(b.s) > 0)
         |WHERE c >= 0.8""".stripMargin,
+    // earliest-qualifying-event funnel == greedy min-after chain
+    "q80_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts) AS t_click FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts > t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts) AS t_purchase FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts > t_click GROUP BY 1)
+        |SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+        |       (SELECT count(*) FROM v) AS n_viewed,
+        |       (SELECT count(*) FROM c) AS n_clicked,
+        |       (SELECT count(*) FROM p) AS n_purchased""".stripMargin,
     // the synthetic page payloads are closed-form: id = (page-1)*20 + i,
     // vote_count = 3*id (+1 on even ids in the day-2 re-crawl), so the
     // whole two-run merge outcome derives from generate_series
