@@ -1355,6 +1355,22 @@ object Queries {
         count(col("t_purchase")).as("n_purchased"))
   }
 
+  // ---------------------------------------------------------------- Q81
+  /** Cohort retention matrix: users bucketed by first-seen day, activity
+    * counted per (cohort, day-offset) cell. Two partial-aggregatable
+    * shuffles — first-seen per user, then the cell counts; the first-seen
+    * table re-joins the events map-side when AQE broadcasts it.
+    */
+  def q81Cohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tp(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+    ev.join(firstSeen, Seq("user_id"))
+      .groupBy(col("cohort").cast("timestamp").as("cohort"),
+        datediff(col("d"), col("cohort")).cast("bigint").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
   // ---------------------------------------------------------------- Q79
   /** The reference's PRODUCT, end to end, twice: daily run 1 ingests 3
     * REST pages (ids 0-59) into the warehouse; daily run 2 re-crawls 5

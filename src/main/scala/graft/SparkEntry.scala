@@ -111,6 +111,7 @@ object SparkEntry {
     "q78_canonical_pick" -> (Queries.q78CanonicalPick _),
     "q79_daily_rerun" -> (Queries.q79DailyRerun _),
     "q80_funnel" -> (Queries.q80Funnel _),
+    "q81_cohorts" -> (Queries.q81Cohorts _),
   )
 
   private val mergeOracle: String = {
@@ -947,6 +948,14 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id != b.doc_id
         |  WHERE len(a.s) > 0 AND len(b.s) > 0)
         |WHERE c >= 0.8""".stripMargin,
+    // first-seen-day cohorts x day offset, distinct active users per cell
+    "q81_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1)
+        |SELECT f.cohort::TIMESTAMP AS cohort, date_diff('day', f.cohort, e.d) AS day_offset,
+        |       count(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     // earliest-qualifying-event funnel == greedy min-after chain
     "q80_funnel" ->
       """WITH e AS (
