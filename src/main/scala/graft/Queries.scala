@@ -1325,6 +1325,38 @@ object Queries {
           lit(0.0), (acc, x) => acc + x)), 6).as("dist_p"))
   }
 
+  // ---------------------------------------------------------------- Q82
+  /** The salted two-phase aggregation under the oracle: five hot group
+    * keys (event_type), each split over 16 salt buckets for the partial
+    * phase. Results are salt-invariant by construction — the oracle is a
+    * plain GROUP BY.
+    */
+  def q82SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Scale.saltedAgg(tp(spark, dir, "events"), Seq("event_type"), saltBuckets = 16)(
+      phase1 = Seq(sum(col("value")).as("s"), count(lit(1)).as("n")),
+      phase2 = Seq(sum(col("s")).as("s"), sum(col("n")).as("n")))
+      .select(col("event_type"), round(col("s"), 3).as("sum_value"),
+        col("n").as("n_events"))
+
+  // ---------------------------------------------------------------- Q83
+  /** The salted skew JOIN under the oracle: lineitem (hot l_suppkey
+    * distribution at scale) against a supplier dimension slice, fact side
+    * salted by order-key hash, dim replicated 8x. Join results are
+    * salt-invariant — the oracle is the plain join.
+    */
+  def q83SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = tp(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_orderkey"),
+        col("l_extendedprice"))
+    val dim = t(spark, dir, "supplier")
+      .where(col("s_suppkey") % 3 === 0)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    Scale.saltedJoin(fact, dim, "suppkey", "l_orderkey", saltBuckets = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+  }
+
   // ---------------------------------------------------------------- Q80
   /** Ordered-funnel analysis: users progressing view → click → purchase
     * with STRICTLY increasing event times. One shuffle (the per-user

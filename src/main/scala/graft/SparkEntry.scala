@@ -112,6 +112,8 @@ object SparkEntry {
     "q79_daily_rerun" -> (Queries.q79DailyRerun _),
     "q80_funnel" -> (Queries.q80Funnel _),
     "q81_cohorts" -> (Queries.q81Cohorts _),
+    "q82_salted_agg" -> (Queries.q82SaltedAgg _),
+    "q83_salted_join" -> (Queries.q83SaltedJoin _),
   )
 
   private val mergeOracle: String = {
@@ -948,6 +950,18 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id != b.doc_id
         |  WHERE len(a.s) > 0 AND len(b.s) > 0)
         |WHERE c >= 0.8""".stripMargin,
+    // salting is result-invariant: plain GROUP BY is the oracle
+    "q82_salted_agg" ->
+      """SELECT event_type, round(sum(value), 3) AS sum_value,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    // salting is result-invariant: plain join is the oracle
+    "q83_salted_join" ->
+      """SELECT s.s_nationkey, count(*) AS n_lines,
+        |       round(sum(l.l_extendedprice), 2) AS revenue
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE s.s_suppkey % 3 = 0
+        |GROUP BY 1""".stripMargin,
     // first-seen-day cohorts x day offset, distinct active users per cell
     "q81_cohorts" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -136,6 +136,28 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("Quality gate composes onto streams: validate/pass is a pure projection") {
+    import graft.operators.Quality
+    val dir = tmpDir("quality-stream")
+    Seq((1L, 10.0, "ok"), (2L, -5.0, "ok"), (3L, 20.0, "bad"), (4L, 7.5, "ok"))
+      .toDF("id", "price", "status")
+      .write.mode("overwrite").parquet(dir)
+    val exps = Seq(
+      Quality.Expectation("positive_price", $"price" > 0),
+      Quality.Expectation("ok_status", $"status" === "ok"))
+    val streamIn = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val out = Quality.pass(Quality.validate(streamIn, exps))
+    val q = out.writeStream
+      .outputMode("append").format("memory").queryName("quality_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("quality_out").select($"id").as[Long].collect().toSet
+      val batch = Quality.pass(Quality.validate(spark.read.parquet(dir), exps))
+        .select($"id").as[Long].collect().toSet
+      assert(streamed == batch && streamed == Set(1L, 4L), s"got $streamed")
+    } finally q.stop()
+  }
+
   test("streamingDedupWithinWatermark collapses re-stamped re-sends of a key") {
     val dir = tmpDir("dedup-wwm-stream")
     Seq(
