@@ -64,6 +64,29 @@ class StreamsSpec extends SparkSuite {
     assert(afterSecond == Map(1L -> "a", 2L -> "b3", 3L -> "c"))
   }
 
+  test("upsertStream restart resumes the checkpoint — committed files never replay") {
+    val destPath = tmpDir("restart-dest") + "/t"
+    val in = tmpDir("restart-in")
+    val ck = tmpDir("restart-ck")
+    Seq((1L, 1L, "a")).toDF("id", "seq", "v").write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val q1 = Streams.upsertStream(spark,
+      spark.readStream.schema(schema).parquet(in), destPath,
+      pk = Seq("id"), orderCols = Seq("seq"), checkpoint = ck)
+    q1.processAllAvailable(); q1.stop()
+    Seq((2L, 1L, "b")).toDF("id", "seq", "v").write.mode("append").parquet(in)
+    val q2 = Streams.upsertStream(spark,
+      spark.readStream.schema(schema).parquet(in), destPath,
+      pk = Seq("id"), orderCols = Seq("seq"), checkpoint = ck)
+    q2.processAllAvailable(); q2.stop()
+    val dest = spark.read.parquet(destPath)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(dest == Map(1L -> "a", 2L -> "b"))
+    // offsets resumed: the restarted run ingested ONLY the new file's row
+    val replayed = q2.recentProgress.map(_.numInputRows).sum
+    assert(replayed == 1, s"restart must skip committed files, read $replayed rows")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val events = Tables.load(spark, sf, "events")
     val clicks = events.where($"event_type" === "click")
