@@ -1288,18 +1288,27 @@ object Queries {
     val counts = tp(spark, dir, "documents")
       .select(explode(TextFunctions.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
-    val totalDf = counts.agg(sum(col("n")).as("__total"))
     val withOrd = counts
       .withColumn("__ord", concat(
         lpad((lit(1000000000000000000L) - col("n")).cast("string"), 19, "0"),
         col("token")))
       .withColumn("__one", lit(1L))
+    // globalPrefixSum returns caller-owned caches; the grand total is the
+    // max inclusive cumsum — read it off the cache instead of re-running
+    // the token aggregation, and drop both caches once the (≤ 200-row)
+    // result is materialized.
     val cum = TrainingPrep.globalPrefixSum(withOrd, "__ord", "n", "cum_n")
     val ranked = TrainingPrep.globalPrefixSum(cum, "__ord", "__one", "rank")
-    ranked.where(col("rank") <= 200)
+    val totalDf = cum.agg(max(col("cum_n")).as("__total"))
+    val out = ranked.where(col("rank") <= 200)
       .crossJoin(broadcast(totalDf))
       .select(col("rank"), col("token"), col("n"),
         round(col("cum_n").cast("double") / col("__total"), 6).as("coverage"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ranked.unpersist()
+    cum.unpersist()
+    out
   }
 
   // ---------------------------------------------------------------- Q75

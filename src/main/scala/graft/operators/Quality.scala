@@ -29,10 +29,16 @@ object Quality {
     * expectation's name (empty = clean row). NULL predicate results count
     * as violations (a null check outcome is not a pass).
     */
-  def validate(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
+  private def checkNames(expectations: Seq[Expectation]): Unit = {
     require(expectations.nonEmpty, "at least one expectation required")
     val names = expectations.map(_.name)
     require(names.distinct.size == names.size, "expectation names must be unique")
+    require(!names.contains("n_rows"),
+      "'n_rows' is reserved for the report's total-row column")
+  }
+
+  def validate(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
+    checkNames(expectations)
     df.withColumn(ViolationsCol,
       filter(
         array(expectations.map(e =>
@@ -54,6 +60,7 @@ object Quality {
     * partial-aggregatable, no shuffle of data rows.
     */
   def report(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
+    checkNames(expectations)
     val agg = df.agg(
       count(lit(1)).as("n_rows"),
       expectations.map(e =>

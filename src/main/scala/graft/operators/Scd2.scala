@@ -46,6 +46,15 @@ object Scd2 {
     require(!attrs.contains("valid_from") && !attrs.contains("valid_to") &&
       !attrs.exists(_.startsWith("__")),
       "batch columns must not collide with validity/marker columns")
+    // A duplicate key in the batch would fan out the full_outer join and
+    // silently break the one-open-row-per-key invariant — fail fast
+    // instead. One O(batch) aggregation per batch application; batches are
+    // dimension-sized by this operator's contract.
+    val dupKey = batch.groupBy(col(key)).count()
+      .where(col("count") > 1).limit(1).collect()
+    require(dupKey.isEmpty,
+      s"batch has duplicate key '${dupKey.headOption.map(_.get(0)).orNull}' — " +
+        "dedup the batch (e.g. Dedup.byKeyLatest) before applyBatch")
     val histCols = (Seq(key) ++ attrs ++ Seq("valid_from", "valid_to")).map(col)
     val ts = to_timestamp(lit(batchTs))
 
@@ -84,10 +93,13 @@ object Scd2 {
   }
 
   /** An empty history with the batch's key/attribute schema. */
-  def emptyHistory(batch: DataFrame, key: String): DataFrame =
+  def emptyHistory(batch: DataFrame, key: String): DataFrame = {
+    require(batch.columns.contains(key),
+      s"key '$key' not in batch columns ${batch.columns.mkString(", ")}")
     batch.limit(0)
       .withColumn("valid_from", lit(null).cast("timestamp"))
       .withColumn("valid_to", lit(null).cast("timestamp"))
+  }
 
   /** Current-state view of a history (one open row per live key). */
   def currentOf(history: DataFrame): DataFrame =

@@ -62,6 +62,15 @@ class Scd2Spec extends SparkSuite {
     assert(byKey(3L).map(_._2).toSet == Set(Some(ts(t2))))
   }
 
+  test("a batch with duplicate keys is rejected, not silently fanned out") {
+    val h = Scd2.applyBatch(Scd2.emptyHistory(batch1, "k"), batch1, "k", t1)
+    val dup = Seq((1L, "gold", 1.0), (1L, "silver", 2.0)).toDF("k", "tier", "score")
+    val e = intercept[IllegalArgumentException] {
+      Scd2.applyBatch(h, dup, "k", t2)
+    }
+    assert(e.getMessage.contains("duplicate key"), e.getMessage)
+  }
+
   test("null attributes compare null-safely") {
     val b1 = Seq((1L, Option.empty[String], 1.0)).toDF("k", "tier", "score")
     val h1 = Scd2.applyBatch(Scd2.emptyHistory(b1, "k"), b1, "k", t1)
