@@ -64,6 +64,40 @@ class StreamsSpec extends SparkSuite {
     assert(afterSecond == Map(1L -> "a", 2L -> "b3", 3L -> "c"))
   }
 
+  test("SCD2 composes with foreachBatch: per-micro-batch history maintenance") {
+    import graft.operators.Scd2
+    val in = tmpDir("scd2-stream")
+    // day-1 and day-2 dimension snapshots arrive as ONE file each (so
+    // maxFilesPerTrigger=1 yields exactly one micro-batch per snapshot)
+    Seq((1L, "gold", 10.0), (2L, "silver", 5.0))
+      .toDF("k", "tier", "score").coalesce(1).write.mode("append").parquet(in)
+    Seq((1L, "gold", 10.0), (2L, "gold", 7.0), (3L, "bronze", 1.0))
+      .toDF("k", "tier", "score").coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val stamps = Map(0L -> "2024-01-01 00:00:00", 1L -> "2024-02-01 00:00:00")
+    var hist: org.apache.spark.sql.DataFrame = null
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val cur = if (hist == null) Scd2.emptyHistory(batch, "k") else hist
+        // localCheckpoint materializes each generation so the next batch
+        // builds on data, not on a plan referencing a consumed stream
+        hist = Scd2.applyBatch(cur, batch, "k", stamps(id)).localCheckpoint()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // order of file discovery is append order; equals the batch-mode fold
+    val b1 = Seq((1L, "gold", 10.0), (2L, "silver", 5.0)).toDF("k", "tier", "score")
+    val b2 = Seq((1L, "gold", 10.0), (2L, "gold", 7.0), (3L, "bronze", 1.0))
+      .toDF("k", "tier", "score")
+    val expect = Scd2.applyBatch(
+      Scd2.applyBatch(Scd2.emptyHistory(b1, "k"), b1, "k", stamps(0L)),
+      b2, "k", stamps(1L))
+    assert(hist.count() == expect.count())
+    assert(hist.exceptAll(expect).count() == 0 && expect.exceptAll(hist).count() == 0)
+  }
+
   test("upsertStream restart resumes the checkpoint — committed files never replay") {
     val destPath = tmpDir("restart-dest") + "/t"
     val in = tmpDir("restart-in")
