@@ -36,33 +36,66 @@ object Bench {
     }
     // Force full materialization through the noop sink (count() would let
     // Catalyst prune the payload columns and under-measure). Each query is
-    // built fresh and timed TWICE; the minimum is recorded: queries are
-    // pure by the driver contract (Verify re-runs them too), and the
-    // minimum is the standard steady-state estimator under external load
-    // spikes — BENCH_r01/r02 recorded 30-100x one-off outliers on a busy
-    // host that a single sample cannot defend against.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+    // built fresh and timed TWICE; the minimum over SUCCESSFUL attempts is
+    // recorded: queries are pure by the driver contract (Verify re-runs
+    // them too), and the minimum is the standard steady-state estimator
+    // under external load spikes — BENCH_r01/r02 recorded 30-100x one-off
+    // outliers on a busy host that a single sample cannot defend against.
+    // A failed attempt contributes NO timing (a fast crash must never read
+    // as a fast query); if every attempt fails the query is recorded as an
+    // error and the process exits nonzero.
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      (once(), once()) match {
+        case (Right(a), Right(b)) => timings(name) = math.min(a, b)
+        case (Right(a), Left(_))  => timings(name) = a
+        case (Left(_), Right(b))  => timings(name) = b
+        case (Left(m), Left(_))   => errors(name) = m
+      }
+    }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+    val qs = timings.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val total = if (timings.nonEmpty) timings.values.sum else 0.0
     // warmup policy is part of the methodology and recorded with the
     // numbers: timings are steady-state (codegen/JIT pre-compiled, table
     // file/footer IO pre-read through the noop sink before any query is
     // timed) — not comparable with a cold-read run.
     val warmup = "steady-state: pre-read all tables via noop sink; " +
       "pre-compiled shuffle/window/HOF/agg/broadcast-join/top-k paths; " +
-      "per-query value is the MIN of 2 fresh builds+runs"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup":"$warmup"}""")
+      "per-query value is the MIN of 2 fresh builds+runs " +
+      "(failed attempts excluded; all-fail recorded under errors)"
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","warmup":${jstr(warmup)}}"""
+    // The official channel captures a bounded TAIL of this process's log, so
+    // a single giant line loses its FRONT (BENCH_r03 lost 40/96 timings and
+    // the total). Truncation-proofing, per round-3 advice:
+    //   1. the complete per-query JSON is persisted to a file at repo root;
+    //   2. the full line is still printed (intact when the tail is big
+    //      enough);
+    //   3. the LAST line printed is a compact total-first summary with no
+    //      per-query map — short enough to survive any plausible tail cut —
+    //      pointing at the file twin.
+    val outFile = java.nio.file.Paths.get("BENCH_local.json")
+    java.nio.file.Files.write(outFile,
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir","queries_file":"${outFile.toAbsolutePath}"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

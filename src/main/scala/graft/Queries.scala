@@ -446,13 +446,25 @@ object Queries {
   }
 
   // ---------------------------------------------------------------- Q28
-  /** Distinct-count class: exact + HLL approx (rows-only: approx value is
-    * engine-specific; the exact column is what a reviewer can eyeball).
+  /** Distinct-count class: exact + HLL approx, split into oracle-checkable
+    * halves. The raw HLL estimate is engine-specific (DuckDB's sketch
+    * differs from Spark's), so the query emits the exact count verbatim
+    * plus the HLL estimate REDUCED to its checkable fact: a boolean
+    * asserting the estimate landed within 4× the sketch's documented
+    * relative standard deviation (rsd 0.05 → |err| ≤ 20%; the estimator's
+    * σ is rsd·exact, so 4σ fails with probability ~6e-5 and any real HLL
+    * regression by construction). The oracle derives the same bound from
+    * its own exact count — both columns hash-match bit-for-bit while the
+    * HLL path still executes inside the measured, verified query.
+    * QueriesSpec additionally pins the numeric estimate within the bound.
     */
   def q28ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem").agg(
       countDistinct(col("l_partkey")).as("exact_parts"),
-      approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      approx_count_distinct(col("l_partkey"), rsd = 0.05).as("__approx"))
+      .select(col("exact_parts"),
+        (abs(col("__approx") - col("exact_parts")) <=
+          col("exact_parts") * lit(0.20)).as("approx_within_rsd"))
 
   // ---------------------------------------------------------------- Q29
   /** Session windows per user (rows-only: no DuckDB analog). */
@@ -1368,27 +1380,36 @@ object Queries {
 
   // ---------------------------------------------------------------- Q80
   /** Ordered-funnel analysis: users progressing view → click → purchase
-    * with STRICTLY increasing event times. One shuffle (the per-user
-    * collect), then pure HOF scans — earliest-qualifying-event semantics,
-    * which is reachability-optimal, so counts equal the oracle's
-    * min-after-join derivation. Per-task state is one user's events, not
-    * a window sort of the stream.
+    * with STRICTLY increasing event times, as a chain of
+    * min-after-previous-stage aggregations — earliest-qualifying-event
+    * semantics, which is reachability-optimal.
+    *
+    * Scale: every step is a partial-aggregatable `min` per user or an
+    * equi-join against a user-sized frame; NO operator ever materializes
+    * one user's events in memory (the round-3 shape collect_list'ed each
+    * user's history into a single row — a bot-scale hot user concentrated
+    * its whole stream in one task; here a hot user just contributes more
+    * rows to map-side partial mins). All shuffles key on user_id and the
+    * stage frames are one-row-per-user, which AQE broadcasts.
     */
   def q80Funnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = tp(spark, dir, "events")
       .where(col("event_type").isin("view", "click", "purchase"))
-    ev.groupBy(col("user_id"))
-      .agg(collect_list(struct(col("ts"), col("event_type"))).as("evs"))
-      .withColumn("t_view", expr(
-        "array_min(transform(filter(evs, e -> e.event_type = 'view'), e -> e.ts))"))
-      .withColumn("t_click", expr(
-        """array_min(transform(filter(evs,
-          |  e -> e.event_type = 'click' AND t_view IS NOT NULL AND e.ts > t_view),
-          |  e -> e.ts))""".stripMargin))
-      .withColumn("t_purchase", expr(
-        """array_min(transform(filter(evs,
-          |  e -> e.event_type = 'purchase' AND t_click IS NOT NULL AND e.ts > t_click),
-          |  e -> e.ts))""".stripMargin))
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val tView = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val tClick = ev.where(col("event_type") === "click")
+      .join(tView, Seq("user_id"))
+      .where(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val tPurchase = ev.where(col("event_type") === "purchase")
+      .join(tClick, Seq("user_id"))
+      .where(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    ev.select(col("user_id")).distinct()
+      .join(tView, Seq("user_id"), "left")
+      .join(tClick, Seq("user_id"), "left")
+      .join(tPurchase, Seq("user_id"), "left")
       .agg(
         count(lit(1)).as("n_users"),
         count(col("t_view")).as("n_viewed"),

@@ -573,6 +573,13 @@ object SparkEntry {
       """SELECT CAST(100 AS BIGINT) AS n_rows, CAST(5 AS BIGINT) AS n_pages,
         |       CAST(4950 AS BIGINT) AS sum_ids, CAST(200 AS BIGINT) AS sum_genres""".stripMargin,
     "q27_drift_merge" -> driftMergeOracle,
+    // the HLL estimate itself is engine-specific; the query reduces it to
+    // its checkable fact (within 4×rsd of exact), which the oracle derives
+    // from its own exact count — see Queries.q28ApproxDistinct
+    "q28_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |       TRUE AS approx_within_rsd
+        |FROM lineitem""".stripMargin,
     // brute-force exact cosine pair join (the Spark side is exact too; the
     // LSH-bucketed q30 is the approximate scale path this one grounds)
     "q30b_cosine_near_dup_exact" ->

@@ -61,6 +61,12 @@ object Decontaminate {
   def clean(
       corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 8, maxHits: Long = 1): DataFrame = {
+    // The anti-join keys on a synthesized marker column; a corpus that
+    // already carries that name would make the join condition ambiguous
+    // (or capture the wrong side). Same collision discipline as
+    // Scd2/Quality: reject instead of resolving silently.
+    require(!corpus.columns.contains("__contaminated"),
+      "corpus must not already contain a '__contaminated' column")
     val flagged = contaminationHits(corpus, bench, idCol, textCol, n)
       .where(col("n_hits") >= maxHits)
       .select(col("id").as("__contaminated"))

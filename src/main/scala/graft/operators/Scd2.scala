@@ -40,21 +40,37 @@ object Scd2 {
     */
   def applyBatch(
       history: DataFrame, batch: DataFrame, key: String, batchTs: String,
-      closeMissing: Boolean = false): DataFrame = {
+      closeMissing: Boolean = false, skipDupCheck: Boolean = false): DataFrame = {
     val attrs = batch.columns.filterNot(_ == key).toSeq
     require(attrs.nonEmpty, "batch must carry at least one attribute column")
     require(!attrs.contains("valid_from") && !attrs.contains("valid_to") &&
       !attrs.exists(_.startsWith("__")),
       "batch columns must not collide with validity/marker columns")
+    // The output schema is derived from the BATCH columns; a history that
+    // carries attribute columns the batch lacks would have them silently
+    // projected away below. Fail fast on that schema drift instead of
+    // losing data — callers must align the batch (SchemaDrift.align) first.
+    val expectedHist = (Seq(key) ++ attrs ++ Seq("valid_from", "valid_to")).toSet
+    require(history.columns.toSet == expectedHist,
+      s"history schema ${history.columns.sorted.mkString("[", ", ", "]")} does " +
+        s"not match key+batch attributes+validity ${expectedHist.toSeq.sorted.mkString("[", ", ", "]")} — " +
+        "align the batch to the history schema (SchemaDrift.align) before applyBatch")
     // A duplicate key in the batch would fan out the full_outer join and
     // silently break the one-open-row-per-key invariant — fail fast
-    // instead. One O(batch) aggregation per batch application; batches are
-    // dimension-sized by this operator's contract.
-    val dupKey = batch.groupBy(col(key)).count()
-      .where(col("count") > 1).limit(1).collect()
-    require(dupKey.isEmpty,
-      s"batch has duplicate key '${dupKey.headOption.map(_.get(0)).orNull}' — " +
-        "dedup the batch (e.g. Dedup.byKeyLatest) before applyBatch")
+    // instead. NOTE: this guard is an EAGER Spark action (one O(batch)
+    // aggregation job per applyBatch call — per micro-batch under
+    // foreachBatch) and evaluates the batch input once more than the lazy
+    // plan would; batches are dimension-sized by this operator's contract.
+    // Callers that already guarantee key uniqueness (e.g. a
+    // Dedup.byKeyLatest output) can pass skipDupCheck = true to keep the
+    // builder fully lazy.
+    if (!skipDupCheck) {
+      val dupKey = batch.groupBy(col(key)).count()
+        .where(col("count") > 1).limit(1).collect()
+      require(dupKey.isEmpty,
+        s"batch has duplicate key '${dupKey.headOption.map(_.get(0)).orNull}' — " +
+          "dedup the batch (e.g. Dedup.byKeyLatest) before applyBatch")
+    }
     val histCols = (Seq(key) ++ attrs ++ Seq("valid_from", "valid_to")).map(col)
     val ts = to_timestamp(lit(batchTs))
 

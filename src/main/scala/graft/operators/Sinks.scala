@@ -10,8 +10,19 @@ object Sinks {
   private def fs(spark: SparkSession) =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
-  def tableExists(spark: SparkSession, path: String): Boolean =
-    fs(spark).exists(new org.apache.hadoop.fs.Path(path))
+  /** Existence probe — and the self-healing half of [[swapInto]]'s crash
+    * contract: a crash between swapInto's two renames leaves no live table
+    * but a complete `.old` backup; the next probe detects exactly that
+    * state (dest absent + `.old` present) and restores the backup before
+    * answering, so readers see the pre-swap table rather than nothing.
+    */
+  def tableExists(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark)
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".old")
+    if (!f.exists(dest) && f.exists(bak)) f.rename(bak, dest)
+    f.exists(dest)
+  }
 
   /** The append path (`write_dataframe`, etl.py:27-86): dedup; if the table
     * does not exist, create it from the batch schema; else resolve schema
@@ -37,8 +48,13 @@ object Sinks {
     }
   }
 
-  /** Atomic-ish write-new-then-swap for full-table rewrites (plain parquet
-    * has no transactional commit; Delta/Iceberg would replace this).
+  /** Atomic-ish write-new-then-swap for full-table rewrites. Plain parquet
+    * has no transactional commit, so the swap is two directory renames
+    * with a crash window between them: a failure after `dest -> .old` but
+    * before `.staging -> dest` leaves NO live table — only the complete
+    * `.old` backup. [[tableExists]] self-heals that state (restores `.old`
+    * as the table) on the next probe. A table format with an atomic commit
+    * (Delta/Iceberg) is the production replacement for this whole seam.
     */
   def swapInto(spark: SparkSession, destPath: String, data: DataFrame): Unit = {
     val f = fs(spark)

@@ -83,12 +83,19 @@ object TrainingPrep {
     * re-sample them (new RDD ids seed the range sampler), silently
     * misaligning offset and partition. The input-sized `ranged` cache is
     * dropped before returning.
+    *
+    * `numParts <= 0` (the default) derives the range-partition count from
+    * the INPUT's partitioning — `max(32, input partitions)` — so the
+    * cumsum's parallelism scales with the data instead of bottlenecking a
+    * 100 TB tape on a fixed 32 ranges; the offsets collect stays one row
+    * per partition. Pass an explicit positive count to pin it.
     */
   def globalPrefixSum(
       df: DataFrame, orderCol: String, valueCol: String, outCol: String,
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = -1): DataFrame = {
     val spark = df.sparkSession
-    val ranged = df.repartitionByRange(numParts, col(orderCol))
+    val parts = derivePrefixSumParts(df, numParts)
+    val ranged = df.repartitionByRange(parts, col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
@@ -123,9 +130,17 @@ object TrainingPrep {
     * This is exactly how pretraining packs sequences — deterministic, no
     * bin search, one distributed prefix sum. Returns (id, n_tokens, bin).
     */
+  /** Range-partition count [[globalPrefixSum]] will use for `df` when the
+    * caller leaves `numParts` unset: `max(32, current input partitions)`.
+    * Exposed so tests can assert the derivation.
+    */
+  def derivePrefixSumParts(df: DataFrame, numParts: Int = -1): Int =
+    if (numParts > 0) numParts
+    else math.max(32, df.rdd.getNumPartitions)
+
   def packBins(
       df: DataFrame, idCol: String, textCol: String, budget: Int,
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = -1): DataFrame = {
     require(budget > 0, "budget must be positive")
     val counted = Parallelism.ensureCompute(df)
       .select(col(idCol).as("id"), TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))

@@ -82,6 +82,16 @@ class DecontaminateSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("a corpus already carrying the __contaminated marker is rejected") {
+    // the anti-join keys on the synthesized marker; name capture would be
+    // silent — same collision discipline as Scd2/Quality
+    val clash = corpus.withColumn("__contaminated", lit(true))
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.clean(clash, bench, "doc_id", "text", n = 5)
+    }
+    assert(e.getMessage.contains("__contaminated"), e.getMessage)
+  }
+
   test("verbatim copy hit count equals its own distinct shingle count") {
     // every shingle of a verbatim copy is in the benchmark set
     val own = corpus.where($"doc_id" === 1L)

@@ -71,6 +71,30 @@ class Scd2Spec extends SparkSuite {
     assert(e.getMessage.contains("duplicate key"), e.getMessage)
   }
 
+  test("history whose columns drift from the batch is rejected, not silently projected") {
+    // the output schema derives from the BATCH; a history attribute the
+    // batch lacks would be dropped without this guard (round-3 advice)
+    val h = Scd2.applyBatch(Scd2.emptyHistory(batch1, "k"), batch1, "k", t1)
+      .withColumn("region", lit("emea"))
+    val e = intercept[IllegalArgumentException] {
+      Scd2.applyBatch(h, batch1, "k", t2)
+    }
+    assert(e.getMessage.contains("history schema"), e.getMessage)
+  }
+
+  test("skipDupCheck skips the eager guard and matches the checked path") {
+    val h1 = Scd2.applyBatch(Scd2.emptyHistory(batch1, "k"), batch1, "k", t1)
+    val batch2 = Seq((2L, "gold", 7.0), (4L, "silver", 2.0)).toDF("k", "tier", "score")
+    val checked = Scd2.applyBatch(h1, batch2, "k", t2)
+    val unchecked = Scd2.applyBatch(h1, batch2, "k", t2, skipDupCheck = true)
+    assert(checked.exceptAll(unchecked).isEmpty && unchecked.exceptAll(checked).isEmpty)
+    // the lazy path must not run the dup-check aggregation job at build time
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    Scd2.applyBatch(h1, batch2, "k", t3, skipDupCheck = true)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "skipDupCheck = true must stay fully lazy (no Spark job)")
+  }
+
   test("null attributes compare null-safely") {
     val b1 = Seq((1L, Option.empty[String], 1.0)).toDF("k", "tier", "score")
     val h1 = Scd2.applyBatch(Scd2.emptyHistory(b1, "k"), b1, "k", t1)

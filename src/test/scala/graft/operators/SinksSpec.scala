@@ -50,4 +50,20 @@ class SinksSpec extends SparkSuite {
     Sinks.swapInto(spark, path, Seq((2, "new")).toDF("id", "v"))
     assert(spark.read.parquet(path).select($"v").as[String].collect().toSeq == Seq("new"))
   }
+
+  test("a crash between swapInto's two renames self-heals on the next probe") {
+    val path = tmp("swapcrash")
+    Sinks.swapInto(spark, path, Seq((1, "live")).toDF("id", "v"))
+    // reproduce the crash window exactly: dest has been renamed to .old,
+    // the staging->dest rename never happened — no live table on disk
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".old"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path)), "precondition: dest gone")
+    // the probe detects dest-absent + .old-present and restores the backup
+    assert(Sinks.tableExists(spark, path), "probe must restore the .old backup")
+    assert(spark.read.parquet(path).select($"v").as[String].collect().toSeq == Seq("live"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".old")),
+      ".old must be consumed by the restore")
+  }
 }

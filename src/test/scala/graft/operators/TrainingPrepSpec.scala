@@ -52,6 +52,23 @@ class TrainingPrepSpec extends SparkSuite {
     }
   }
 
+  test("prefix-sum partition count derives from the input, floored at 32") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".as("id"), lit(1L).as("v"))
+    // small input: the floor keeps driver-collect overhead trivial
+    assert(TrainingPrep.derivePrefixSumParts(docs.repartition(4)) == 32)
+    // big input: parallelism follows the data, never pinned at 32
+    assert(TrainingPrep.derivePrefixSumParts(docs.repartition(96)) == 96)
+    // explicit count wins
+    assert(TrainingPrep.derivePrefixSumParts(docs.repartition(96), numParts = 7) == 7)
+    // the derived default still sums correctly end to end
+    val wide = docs.repartition(48)
+    val got = TrainingPrep.globalPrefixSum(wide, "id", "v", "cum")
+    val last = got.agg(max($"cum")).as[Long].head()
+    got.unpersist()
+    assert(last == docs.count(), "derived-count prefix sum must total the input")
+  }
+
   test("packBins: tape semantics — first doc in bin 0, totals preserved") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val bins = TrainingPrep.packBins(docs, "doc_id", "text", budget = 512)
