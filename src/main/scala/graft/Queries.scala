@@ -350,12 +350,22 @@ object Queries {
     Multimodal.payloadMeta(
       Multimodal.attachPayload(t(spark, dir, "documents"), "doc_id", "text", "text/plain"))
 
-  /** Multimodal decode stub via mapPartitions (rows-only: stub codec). */
-  def q18bMediaDecode(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeFeatures(spark,
-      Multimodal.attachPayload(t(spark, dir, "documents"), "doc_id", "text", "image/png"))
+  /** Multimodal decode with a REAL codec: per-doc PNGs are generated on
+    * executors with closed-form dimensions (width = doc_id % 13 + 1,
+    * height = doc_id % 7 + 1), then decoded back through `javax.imageio` —
+    * the decoded width/height prove real image bytes round-tripped through
+    * a real decoder, and the oracle recomputes the dimensions from the
+    * same id arithmetic. (The r1-r3 stub-codec version of this query was
+    * rows-only; the remaining stub surface is audio/video.)
+    */
+  def q18bMediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.attachPngPayload(
+      t(spark, dir, "documents"), "doc_id",
+      wCol = col("doc_id") % 13 + 1, hCol = col("doc_id") % 7 + 1)
+    Multimodal.decodeFeatures(spark, media, Multimodal.ImageIoCodec)
       .toDF()
-      .select(col("media_id"), col("byte_len"), col("width"), col("height"), col("n_frames"))
+      .select(col("media_id"), col("width"), col("height"), col("n_frames"))
+  }
 
   /** Video frame-sampling fan-out. Frame PAYLOADS are stub-derived, but
     * the fan-out arithmetic (stub n_frames = payload_len % 240 + 1, every
@@ -1258,6 +1268,40 @@ object Queries {
     Similarity.ivfTopKJoin(
       emb.where(col("vec_id") < 5), "vec_id", "embedding",
       emb, "vec_id", "embedding", k = 10, nLists = 8, nProbe = 8)
+  }
+
+  /** IVF ANN in its APPROXIMATE regime (nProbe=1 < nLists=4) under the
+    * oracle — the regime users actually run, which recall tests alone
+    * covered through round 3. Determinism comes from the production
+    * pattern the operator already models: a FROZEN pre-trained index.
+    * The corpus is a closed-form clustered set derived from vec_id
+    * arithmetic — cluster g = vec_id % 4 lives on axis 2g of an 8-dim
+    * space, with a per-doc perturbation eps = (vec_id % 7 + 1)/16 on axis
+    * 2g+1 (sixteenths are exact in float32, so Spark's float-input/
+    * double-accumulate cosine and DuckDB's double cosine agree
+    * bit-for-bit) — and the supplied centroids are the four one-hot
+    * cluster axes. Clusters are mutually orthogonal, so nProbe=1 probes
+    * exactly the query's own cluster list and the expected top-k is the
+    * within-cluster cosine ranking, which the oracle computes from the
+    * same arithmetic. A query CANNOT pass by probing everything: 3/4 of
+    * the corpus is pruned, and any assignment/probe/ranking bug surfaces
+    * as a hash mismatch.
+    */
+  def q71bIvfApprox(spark: SparkSession, dir: String): DataFrame = {
+    val g2 = (col("vec_id") % 4) * 2
+    val eps = ((col("vec_id") % 7) + 1).cast("double") / lit(16.0)
+    val v = t(spark, dir, "embeddings").select(col("vec_id"))
+      .withColumn("vec", transform(sequence(lit(0), lit(7)), i =>
+        when(i === g2, lit(1.0))
+          .when(i === g2 + 1, eps)
+          .otherwise(lit(0.0)).cast("float")))
+    val oneHot = Array.tabulate(4) { g =>
+      val a = Array.fill(8)(0f); a(2 * g) = 1f; a
+    }
+    Similarity.ivfTopKJoin(
+      v.where(col("vec_id") % 97 === 0), "vec_id", "vec",
+      v, "vec_id", "vec",
+      k = 5, nLists = 4, nProbe = 1, dim = 8, centroids = oneHot)
   }
 
   // ---------------------------------------------------------------- Q72

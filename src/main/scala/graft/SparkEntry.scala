@@ -102,6 +102,7 @@ object SparkEntry {
     "q69_cross_neardup" -> (Queries.q69CrossNearDup _),
     "q70_chunk_dedup" -> (Queries.q70ChunkDedup _),
     "q71_ivf_exact" -> (Queries.q71IvfExact _),
+    "q71b_ivf_approx" -> (Queries.q71bIvfApprox _),
     "q72_exists_in" -> (Queries.q72ExistsIn _),
     "q73_set_ops_all" -> (Queries.q73SetOpsAll _),
     "q74_vocab_coverage" -> (Queries.q74VocabCoverage _),
@@ -540,6 +541,15 @@ object SparkEntry {
     "q18_media_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         |       octet_length(encode(text)) AS payload_len, md5(text) AS payload_md5
+        |FROM documents""".stripMargin,
+    // REAL decode path: executor-generated PNGs with closed-form
+    // dimensions, decoded back through javax.imageio — green means actual
+    // image bytes round-tripped through an actual decoder
+    "q18b_media_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(doc_id % 13 + 1 AS INTEGER) AS width,
+        |       CAST(doc_id % 7 + 1 AS INTEGER) AS height,
+        |       CAST(1 AS INTEGER) AS n_frames
         |FROM documents""".stripMargin,
     // stub fan-out arithmetic: n_frames = (octet_length % 240) + 1,
     // sampled every 10th frame -> row counts and last index are exact
@@ -1113,6 +1123,29 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
         |  FROM scored)
         |WHERE rn <= 10""".stripMargin,
+    // approximate IVF with a frozen one-hot index over the closed-form
+    // clustered corpus (see Queries.q71bIvfApprox): nProbe=1 restricts
+    // candidates to the query's own cluster, so the expected answer is the
+    // within-cluster cosine top-k from the same vec_id arithmetic; eps
+    // values are sixteenths (exact in float32), so both engines' double
+    // cosine agrees bit-for-bit
+    "q71b_ivf_approx" ->
+      """WITH v AS (
+        |  SELECT vec_id, vec_id % 4 AS g,
+        |         list_transform(range(0, 8), i ->
+        |           CASE WHEN i = (vec_id % 4) * 2 THEN 1.0
+        |                WHEN i = (vec_id % 4) * 2 + 1 THEN ((vec_id % 7) + 1) / 16.0
+        |                ELSE 0.0 END) AS vec
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id,
+        |         round(list_cosine_similarity(q.vec, c.vec), 6) AS sim
+        |  FROM v q JOIN v c ON q.g = c.g AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 97 = 0)
+        |SELECT q_id, vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5""".stripMargin,
     // correlated EXISTS / NOT EXISTS + uncorrelated IN, same SQL both sides
     "q72_exists_in" ->
       """SELECT c_nationkey,

@@ -50,8 +50,51 @@ object Multimodal {
       length(col("payload")).cast("bigint").as("payload_len"),
       md5(col("payload")).as("payload_md5"))
 
-  /** The codec seam. A real deployment implements this with an image/audio
-    * library; [[DeterministicFakeCodec]] is the test stand-in.
+  /** A generated media payload row ([[attachPngPayload]]'s output schema). */
+  final case class MediaPayload(media_id: Long, payload: Array[Byte], mime: String)
+
+  /** Attach a REAL PNG payload per row, encoded with the JDK's
+    * `javax.imageio` (zero extra dependencies): dimensions come from the
+    * `wCol`/`hCol` expressions and the pixel pattern is a pure function of
+    * (media_id, x, y), so the whole image is deterministic and the decoded
+    * dimensions are closed-form in the id — which is what lets the decode
+    * path run under the DuckDB oracle (q18b). Same mapPartitions shape as
+    * the decode side: encoder state is per-partition, payloads are born on
+    * executors and never shuffled.
+    */
+  def attachPngPayload(
+      df: DataFrame, idCol: String,
+      wCol: org.apache.spark.sql.Column, hCol: org.apache.spark.sql.Column): DataFrame = {
+    implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    Parallelism.ensureCompute(
+        df.select(col(idCol).cast("bigint").as("media_id"),
+          wCol.cast("int").as("w"), hCol.cast("int").as("h")))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val (id, w, h) = (row.getLong(0), row.getInt(1), row.getInt(2))
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ((id * 131 + x * 31 + y * 17) & 0xff).toInt
+              img.setRGB(x, y, (v << 16) | (((v * 7) & 0xff) << 8) | ((v * 13) & 0xff))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaPayload(id, bos.toByteArray, "image/png")
+        }
+      }(enc).toDF()
+  }
+
+  /** The codec seam. Still images run through [[ImageIoCodec]] (a REAL
+    * codec on the JDK's `javax.imageio`, zero extra dependencies); the
+    * audio/video half stays stubbed behind [[DeterministicFakeCodec]]
+    * (this container ships no media libraries beyond the JDK).
     */
   trait MediaCodec extends Serializable {
     /** Decode payload bytes into (width, height, frames, feature vector). */
@@ -67,9 +110,72 @@ object Multimodal {
     def extractFrame(mime: String, payload: Array[Byte], frameIdx: Int): Array[Byte]
   }
 
+  /** REAL still-image codec on `javax.imageio` — decodes actual PNG/JPEG
+    * bytes (dimensions come out of the decoded raster, not arithmetic),
+    * resizes through a `Graphics2D` re-render + re-encode, and treats a
+    * still as its own single frame. Feature vector = (width, height, mean
+    * red, mean green) over the decoded pixels — cheap, deterministic, and
+    * enough to prove the decode touched every pixel. Rejects non-image
+    * mimes: audio/video stay behind [[DeterministicFakeCodec]] until a
+    * real AV library exists in the deployment.
+    */
+  object ImageIoCodec extends MediaCodec {
+    private def read(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "ImageIoCodec: payload is not a decodable image")
+      img
+    }
+
+    private def requireImage(mime: String): Unit =
+      require(mime.startsWith("image/"),
+        s"ImageIoCodec handles image/* only, got '$mime' — route audio/video " +
+          "through an AV codec implementation of MediaCodec")
+
+    override def decode(mediaId: Long, mime: String, payload: Array[Byte]): MediaFeatures = {
+      requireImage(mime)
+      val img = read(payload)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sumR, sumG) = (0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sumR += (rgb >> 16) & 0xff
+          sumG += (rgb >> 8) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      MediaFeatures(mediaId, mime, payload.length.toLong, w, h, n_frames = 1,
+        feature = Array(w.toFloat, h.toFloat, sumR.toFloat / n, sumG.toFloat / n))
+    }
+
+    override def resize(mime: String, payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      requireImage(mime)
+      val src = read(payload)
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      bos.toByteArray
+    }
+
+    /** A still image IS frame 0; any other index is out of range. */
+    override def extractFrame(mime: String, payload: Array[Byte], frameIdx: Int): Array[Byte] = {
+      requireImage(mime)
+      require(frameIdx == 0, s"still image has exactly one frame, got index $frameIdx")
+      payload
+    }
+  }
+
   /** STUB codec: derives fake-but-deterministic "decoded" dimensions and a
     * 4-float "embedding" from the payload bytes. Replace with a real codec
-    * (`???` seam) in production.
+    * (`???` seam) in production — [[ImageIoCodec]] is that replacement for
+    * still images; this stub remains the stand-in for audio/video.
     */
   object DeterministicFakeCodec extends MediaCodec {
     override def decode(mediaId: Long, mime: String, payload: Array[Byte]): MediaFeatures = {

@@ -143,24 +143,35 @@ object Similarity {
     * nearest lists. The 100 TB deployment trains centroids once (or on a
     * sample), writes the corpus bucketed/partitioned by `list`, and a probe
     * reads only those partitions.
+    *
+    * `centroids` — pre-trained centroid vectors to index against,
+    * `nLists`-many (the production path: a deployed IVF index trains once
+    * and every later ingest/probe reuses the frozen centroids; it is also
+    * what makes the approximate regime deterministic enough to oracle,
+    * q71b). Null = train in-line via [[trainCentroids]].
     */
   def ivfTopKJoin(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
       k: Int, nLists: Int = 16, nProbe: Int = 2,
-      dim: Int = -1, trainIters: Int = 3): DataFrame = {
+      dim: Int = -1, trainIters: Int = 3,
+      centroids: Array[Array[Float]] = null): DataFrame = {
+    require(centroids == null || centroids.length == nLists,
+      s"centroids (${Option(centroids).map(_.length).orNull}) must match nLists=$nLists")
     val c0 = Parallelism.ensureCompute(corpus).select(col(cId).as("c_id"), col(cVec).as("c_vec"))
     // dim <= 0 = infer from the data (the modal vector length — one tiny
     // aggregation, no assumption that row one is representative); an
     // explicit wrong dim fails fast in trainCentroids instead of silently
     // training on a skewed subset.
-    val useDim =
+    lazy val useDim =
       if (dim > 0) dim
       else c0.groupBy(size(col("c_vec")).as("d")).count()
         .orderBy(col("count").desc, col("d").asc)
         .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(
           throw new IllegalArgumentException("ivfTopKJoin: empty corpus"))
-    val cents = trainCentroids(corpus, cId, cVec, nLists, useDim, trainIters)
+    val cents =
+      if (centroids != null) centroids
+      else trainCentroids(corpus, cId, cVec, nLists, useDim, trainIters)
     def best(vec: Column, n: Int): Column = nearestLists(vec, cents, n)
     val cAssigned = c0.withColumn("list", best(col("c_vec"), 1).getItem(0).getField("list"))
     val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))

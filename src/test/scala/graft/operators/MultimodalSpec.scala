@@ -52,6 +52,45 @@ class MultimodalSpec extends SparkSuite {
       "transcode must be deterministic")
   }
 
+  test("ImageIoCodec: generated PNGs are real PNG bytes and decode to exact dims") {
+    val docs = Seq(5L, 14L, 27L).toDF("id")
+    val media = Multimodal.attachPngPayload(docs, "id",
+      wCol = $"id" % 13 + 1, hCol = $"id" % 7 + 1)
+    val pngMagic = Array(0x89, 'P', 'N', 'G').map(_.toByte).toSeq
+    media.collect().foreach { r =>
+      assert(r.getAs[Array[Byte]]("payload").take(4).toSeq == pngMagic,
+        "payload must carry the PNG signature")
+    }
+    val feats = Multimodal.decodeFeatures(spark, media, Multimodal.ImageIoCodec)
+      .collect().map(f => f.media_id -> ((f.width, f.height, f.n_frames))).toMap
+    for (id <- Seq(5L, 14L, 27L))
+      assert(feats(id) == (((id % 13 + 1).toInt, (id % 7 + 1).toInt, 1)),
+        s"decoded dims for $id: ${feats(id)}")
+  }
+
+  test("ImageIoCodec: resize re-encodes a decodable PNG at the target dims") {
+    val media = Multimodal.attachPngPayload(Seq(9L).toDF("id"), "id", lit(8), lit(6))
+    val resized = Multimodal.resizePayloads(media, 5, 3, Multimodal.ImageIoCodec).collect().head
+    assert((resized.width, resized.height) == ((5, 3)))
+    val back = Multimodal.ImageIoCodec.decode(9L, "image/png", resized.payload)
+    assert((back.width, back.height) == ((5, 3)), "resized payload must decode at target dims")
+  }
+
+  test("ImageIoCodec: still = frame 0; non-image mimes and OOB frames rejected") {
+    val payload = Multimodal.attachPngPayload(Seq(3L).toDF("id"), "id", lit(2), lit(2))
+      .collect().head.getAs[Array[Byte]]("payload")
+    assert(Multimodal.ImageIoCodec.extractFrame("image/png", payload, 0).sameElements(payload))
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoCodec.extractFrame("image/png", payload, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoCodec.decode(3L, "video/mp4", payload)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoCodec.decode(3L, "image/png", Array[Byte](1, 2, 3))
+    }
+  }
+
   test("sampleFrames: video fans out to bounded per-frame rows") {
     val vid = Multimodal.attachPayload(
       Seq((1L, "x" * 100)).toDF("id", "txt"), "id", "txt", "video/mp4")

@@ -59,6 +59,31 @@ class SimilaritySpec extends SparkSuite {
     assert(precision > 0.3, s"ivf hits should often be true near-neighbors; precision=$precision")
   }
 
+  test("IVF with frozen centroids: nProbe=1 prunes to the query's own cluster exactly") {
+    // two orthogonal clusters; a frozen one-hot index makes the
+    // approximate regime deterministic: nProbe=1 must return the
+    // within-cluster ranking and NEVER a cross-cluster candidate
+    val corpus = Seq(
+      (0L, Array(1f, 0.10f, 0f, 0f)), (2L, Array(1f, 0.20f, 0f, 0f)),
+      (4L, Array(1f, 0.30f, 0f, 0f)),
+      (1L, Array(0f, 0f, 1f, 0.10f)), (3L, Array(0f, 0f, 1f, 0.25f))
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val got = Similarity.ivfTopKJoin(
+      corpus.where($"vec_id" <= 1), "vec_id", "embedding",
+      corpus, "vec_id", "embedding",
+      k = 3, nLists = 2, nProbe = 1, dim = 4, centroids = cents)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    assert(got(0L) == Set(2L, 4L), s"even query must see only its cluster: $got")
+    assert(got(1L) == Set(3L), s"odd query must see only its cluster: $got")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKJoin(corpus, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", k = 1, nLists = 3, centroids = cents)
+    }
+    assert(e.getMessage.contains("nLists"), e.getMessage)
+  }
+
   test("k-means centroids: deterministic, right shape, tighter than init") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     def cost(cents: Array[Array[Float]]): Double = {
