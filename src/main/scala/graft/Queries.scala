@@ -1591,4 +1591,86 @@ object Queries {
         coalesce(col("n_intersect"), lit(0L)).as("n_intersect"),
         coalesce(col("n_except"), lit(0L)).as("n_except"))
   }
+
+  // ---------------------------------------------------------------- Q84
+  /** CDC changelog apply: a three-epoch synthetic change stream over
+    * orders (seq 1: insert all; seq 2: price/status update for keys
+    * %5==1; seq 3: delete keys %7==2) reduced to final state by
+    * [[Cdc.applyChangelog]] — one max_by shuffle, no window sort. The
+    * oracle replays the same changelog with arg_max.
+    */
+  def q84CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val o = tp(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val ins = o.select(col("o_orderkey"), lit(1L).as("seq"), lit("I").as("op"),
+      col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+    val upd = o.where(col("o_orderkey") % 5 === 1)
+      .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+        (col("o_totalprice") + lit(50.0)).as("price"), lit("U2").as("status"))
+    val del = o.where(col("o_orderkey") % 7 === 2)
+      .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"),
+        lit(null).cast("double").as("price"), lit(null).cast("string").as("status"))
+    Cdc.applyChangelog(ins.unionByName(upd).unionByName(del),
+      key = "o_orderkey", seqCol = "seq", opCol = "op")
+  }
+
+  // ---------------------------------------------------------------- Q85
+  /** Table reconciliation: diff two versions of orders (removed keys
+    * %11==4, changed prices %5==2, added keys %10==6 at +2e9) into status
+    * counts via [[Diff.diffSummary]] — one full-outer join, null-safe
+    * change detection, partial-agg counts.
+    */
+  def q85TableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val before = tp(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val kept = before.where(col("o_orderkey") % 11 =!= 4)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 2, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+    val added = before.where(col("o_orderkey") % 10 === 6)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+    Diff.diffSummary(before, kept.unionByName(added), pk = Seq("o_orderkey"))
+  }
+
+  // ---------------------------------------------------------------- Q86
+  /** Time-series densification: per-user daily event value sums projected
+    * onto each user's continuous date spine with LOCF fill
+    * ([[TimeSeries.densifyDaily]]) — gap days read the last observed
+    * value, `observed` flags real days. Sums are rounded BEFORE the fill
+    * so the carried value is engine-portable.
+    */
+  def q86GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tp(spark, dir, "events").where(col("user_id") % 37 === 0)
+    val daily = TimeSeries.dailyAggregate(ev, "user_id", "ts", "value")
+    TimeSeries.densifyDaily(daily, "user_id", "d", "value")
+      // DATE→TIMESTAMP only for the comparison channel (q81's convention:
+      // the driver compares parquet date32 against DuckDB timestamps)
+      .withColumn("d", col("d").cast("timestamp"))
+  }
+
+  // ---------------------------------------------------------------- Q87
+  /** Stratified sampling with exact per-language quotas
+    * ([[TrainingPrep.stratifiedSample]]): 40 lowest-md5 docs per lang —
+    * deterministic, engine-portable, window-group-limited (no full group
+    * sort). The rate-based map-only sibling is q62.
+    */
+  def q87StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.stratifiedSample(
+      t(spark, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", "lang", quota = 40)
+
+  // ---------------------------------------------------------------- Q88
+  /** Iterative graph analytics: 3-iteration PageRank over a 50-node
+    * order-key-derived edge list ([[Graph.pageRank]]) — the join+agg
+    * iteration shape, one lazy plan, node-count as the only driver
+    * scalar. The oracle replays all three iterations as chained CTEs.
+    */
+  def q88PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tp(spark, dir, "orders")
+      .select((col("o_orderkey") % 50).as("src"),
+        expr("(o_orderkey div 7) % 50").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
+  }
 }

@@ -115,6 +115,11 @@ object SparkEntry {
     "q81_cohorts" -> (Queries.q81Cohorts _),
     "q82_salted_agg" -> (Queries.q82SaltedAgg _),
     "q83_salted_join" -> (Queries.q83SaltedJoin _),
+    "q84_cdc_apply" -> (Queries.q84CdcApply _),
+    "q85_table_diff" -> (Queries.q85TableDiff _),
+    "q86_gap_fill" -> (Queries.q86GapFill _),
+    "q87_stratified_sample" -> (Queries.q87StratifiedSample _),
+    "q88_pagerank" -> (Queries.q88PageRank _),
   )
 
   private val mergeOracle: String = {
@@ -979,6 +984,103 @@ object SparkEntry {
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |WHERE s.s_suppkey % 3 = 0
         |GROUP BY 1""".stripMargin,
+    // replay the same three-epoch changelog; per-column arg_max is safe
+    // because only delete rows carry NULL attrs and delete keys are
+    // filtered by the last-op predicate
+    "q84_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey, 1 AS seq, 'I' AS op,
+        |         o_totalprice AS price, o_orderstatus AS status FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', o_totalprice + 50.0, 'U2'
+        |  FROM orders WHERE o_orderkey % 5 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', NULL, NULL
+        |  FROM orders WHERE o_orderkey % 7 = 2)
+        |SELECT o_orderkey, price, status FROM (
+        |  SELECT o_orderkey, arg_max(op, seq) AS op,
+        |         arg_max(price, seq) AS price, arg_max(status, seq) AS status
+        |  FROM ch GROUP BY o_orderkey)
+        |WHERE op <> 'D'""".stripMargin,
+    // same before/after derivation, full-outer join, null-safe change test
+    "q85_table_diff" ->
+      """WITH bfr AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+        |  FROM orders),
+        |aft AS (
+        |  SELECT k, CASE WHEN k % 5 = 2 THEN price + 1.0 ELSE price END AS price,
+        |         status
+        |  FROM bfr WHERE k % 11 <> 4
+        |  UNION ALL
+        |  SELECT k + 2000000000, price, status FROM bfr WHERE k % 10 = 6)
+        |SELECT CASE WHEN b.k IS NULL THEN 'added'
+        |            WHEN a.k IS NULL THEN 'removed'
+        |            WHEN b.price IS DISTINCT FROM a.price
+        |              OR b.status IS DISTINCT FROM a.status THEN 'changed'
+        |            ELSE 'unchanged' END AS diff_status,
+        |       count(*) AS n
+        |FROM bfr b FULL OUTER JOIN aft a ON b.k = a.k
+        |GROUP BY 1""".stripMargin,
+    // per-user daily sums (rounded BEFORE the fill), per-user date spine,
+    // LOCF via last_value IGNORE NULLS over the running frame
+    "q86_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 3) AS value
+        |  FROM events WHERE user_id % 37 = 0 GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(d) AS mn, max(d) AS mx FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS d
+        |  FROM b)
+        |SELECT s.user_id, s.d::TIMESTAMP AS d,
+        |       CAST(CASE WHEN daily.d IS NULL THEN 0 ELSE 1 END AS BIGINT) AS observed,
+        |       last_value(daily.value IGNORE NULLS) OVER (
+        |         PARTITION BY s.user_id ORDER BY s.d
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        |FROM spine s LEFT JOIN daily ON daily.user_id = s.user_id AND daily.d = s.d""".stripMargin,
+    // identical md5 rank both engines -> identical exact-quota selection
+    "q87_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 40""".stripMargin,
+    // three PageRank iterations as chained CTEs over the same edge list;
+    // all arithmetic forced to DOUBLE (DuckDB's bare 1.0 is DECIMAL) and
+    // the final rank rounded to 6 dp on both sides (summation order)
+    "q88_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_orderkey % 50 AS src, (o_orderkey // 7) % 50 AS dst
+        |  FROM orders WHERE o_orderkey % 50 <> (o_orderkey // 7) % 50),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT node, 1.0::DOUBLE / nn.n AS r FROM nodes CROSS JOIN nn),
+        |r1 AS (
+        |  SELECT n.node, 0.15::DOUBLE / nn.n
+        |         + 0.85::DOUBLE * coalesce(sum(r0.r / deg.d), 0.0::DOUBLE) AS r
+        |  FROM nodes n CROSS JOIN nn
+        |  LEFT JOIN e ON e.dst = n.node
+        |  LEFT JOIN deg ON deg.src = e.src
+        |  LEFT JOIN r0 ON r0.node = e.src
+        |  GROUP BY n.node, nn.n),
+        |r2 AS (
+        |  SELECT n.node, 0.15::DOUBLE / nn.n
+        |         + 0.85::DOUBLE * coalesce(sum(r1.r / deg.d), 0.0::DOUBLE) AS r
+        |  FROM nodes n CROSS JOIN nn
+        |  LEFT JOIN e ON e.dst = n.node
+        |  LEFT JOIN deg ON deg.src = e.src
+        |  LEFT JOIN r1 ON r1.node = e.src
+        |  GROUP BY n.node, nn.n),
+        |r3 AS (
+        |  SELECT n.node, 0.15::DOUBLE / nn.n
+        |         + 0.85::DOUBLE * coalesce(sum(r2.r / deg.d), 0.0::DOUBLE) AS r
+        |  FROM nodes n CROSS JOIN nn
+        |  LEFT JOIN e ON e.dst = n.node
+        |  LEFT JOIN deg ON deg.src = e.src
+        |  LEFT JOIN r2 ON r2.node = e.src
+        |  GROUP BY n.node, nn.n)
+        |SELECT node, round(r, 6) AS rank FROM r3""".stripMargin,
     // first-seen-day cohorts x day offset, distinct active users per cell
     "q81_cohorts" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),

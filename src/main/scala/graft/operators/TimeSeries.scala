@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series densification: project a sparse per-key daily series onto a
+  * continuous date spine and forward-fill gaps (LOCF — last observation
+  * carried forward). The standard shape behind retention dashboards,
+  * balance snapshots and feature backfills, where "no row that day" must
+  * read as "previous value", not NULL. No reference analog (its pipeline
+  * is ingest-only); belongs to the analytics mandate.
+  *
+  * Scale design:
+  *  - the spine is generated per key from that key's own [min, max] date
+  *    (`sequence` + `explode`) — a narrow fan-out proportional to the
+  *    key's span, never a cross join against a global calendar;
+  *  - the fill is `last(value, ignoreNulls) OVER (PARTITION BY key ORDER
+  *    BY date ROWS UNBOUNDED PRECEDING)` — a running frame, so Spark's
+  *    WindowExec streams it with O(1) state per key, no per-key buffering;
+  *  - one shuffle total (key): the spine agg, the left join back and the
+  *    window all share the key partitioning, which AQE reuses.
+  */
+object TimeSeries {
+
+  /** Densify `df`'s (key, date, value) onto each key's continuous daily
+    * spine. Output: key, `dateCol` (every day in the key's span),
+    * `observed` (0 on gap days) and `<valueCol>_filled` (LOCF; never null —
+    * day one of each key is an observed row by construction of the span).
+    * `df` must be pre-aggregated to one row per (key, date) — use
+    * [[dailyAggregate]] for the raw-events front end.
+    */
+  def densifyDaily(
+      df: DataFrame, keyCol: String, dateCol: String, valueCol: String): DataFrame = {
+    val spine = df.groupBy(col(keyCol))
+      .agg(min(col(dateCol)).as("__mn"), max(col(dateCol)).as("__mx"))
+      .select(col(keyCol),
+        explode(sequence(col("__mn"), col("__mx"), expr("interval 1 day")))
+          .as(dateCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(df.withColumn("__obs", lit(1L)), Seq(keyCol, dateCol), "left")
+      .select(col(keyCol), col(dateCol),
+        coalesce(col("__obs"), lit(0L)).as("observed"),
+        last(col(valueCol), ignoreNulls = true).over(w).as(s"${valueCol}_filled"))
+  }
+
+  /** One row per (key, day): row count + a rounded sum of `valueCol`
+    * (rounded HERE, before any fill copies it, so the carried-forward
+    * value is deterministic across engines regardless of summation order).
+    */
+  def dailyAggregate(
+      df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      scale: Int = 3): DataFrame =
+    df.groupBy(col(keyCol), to_date(col(tsCol)).as("d"))
+      .agg(round(sum(col(valueCol)), scale).as(valueCol))
+}

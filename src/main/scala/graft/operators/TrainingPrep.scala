@@ -170,6 +170,30 @@ object TrainingPrep {
     df.withColumn("h", md5(col(idCol).cast("string")))
       .withColumn("shard", conv(substring(col("h"), 1, 1), 16, 10).cast("int"))
 
+  /** Stratified sampling with EXACT per-group quotas: each group keeps its
+    * `quota` lowest-md5 rows (all of them if the group is smaller) — the
+    * companion to [[mixtureSample]] when a balanced eval slice or a
+    * fixed-size per-language probe set needs exact counts, not rates.
+    * Deterministic and engine-portable: the md5 rank replays anywhere.
+    *
+    * Scale: rank-based quotas need a per-group top-k; this runs as a
+    * window over (group, hash-order) — ONE shuffle on the group key, and
+    * Spark's WindowGroupLimit pushes the `rn <= quota` limit into partial
+    * per-task top-k heaps before the shuffle, so no task ever sorts a full
+    * group. When approximate rates suffice, [[mixtureSample]] is the
+    * map-only path.
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, groupCol: String, quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__r"), col(idCol))
+    df.withColumn("__r", md5(concat(lit("strat:"), col(idCol).cast("string"))))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= quota)
+      .drop("__r", "__rn")
+  }
+
   /** Deterministic mixture sampling — the dataset-interleaving step of
     * corpus assembly: each group (source/language/domain) keeps a fixed
     * fraction of its rows, chosen by hash, not RNG, so every engine and

@@ -104,11 +104,12 @@ object Streams {
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
-      maxDelay: String): DataFrame =
+      maxDelay: String, joinType: String = "inner"): DataFrame =
     left.join(right,
       col(leftKey) === col(rightKey) &&
         col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"),
+      joinType)
 
   /** Stream-stream inner join with state cleanup: both sides watermarked,
     * and the time-range condition bounds how long either side's rows are
@@ -124,6 +125,24 @@ object Streams {
       left.withWatermark(leftTs, watermark),
       right.withWatermark(rightTs, watermark),
       leftKey, rightKey, leftTs, rightTs, maxDelay)
+
+  /** Stream-stream LEFT OUTER interval join: matches emit as they pair up;
+    * an UNMATCHED left row emits with a NULL right side only once the
+    * watermark has passed its join window (the earliest moment the engine
+    * can prove no match is still coming). The attribution shape where
+    * unclicked impressions must still land downstream — and the state
+    * contract is the same as the inner variant: both sides' retention is
+    * bounded by watermark + interval, never the stream history.
+    */
+  def streamingIntervalJoinLeftOuter(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      maxDelay: String, watermark: String): DataFrame =
+    intervalJoin(
+      left.withWatermark(leftTs, watermark),
+      right.withWatermark(rightTs, watermark),
+      leftKey, rightKey, leftTs, rightTs, maxDelay, joinType = "left_outer")
 
   /** Stream-static enrichment: join each micro-batch against a (slowly
     * changing) dimension table with an explicit broadcast. The static side

@@ -1,0 +1,62 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class TimeSeriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("densifyDaily: gaps filled with LOCF, observed flags real days") {
+    val daily = Seq(
+      ("u1", d("2024-01-01"), 10.0),
+      ("u1", d("2024-01-04"), 40.0),   // 2 gap days before this
+      ("u2", d("2024-01-02"), 7.0)     // single-day key
+    ).toDF("k", "day", "v")
+    val got = TimeSeries.densifyDaily(daily, "k", "day", "v")
+      .as[(String, Date, Long, Double)].collect()
+      .map(r => (r._1, r._2.toString) -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      ("u1", "2024-01-01") -> ((1L, 10.0)),
+      ("u1", "2024-01-02") -> ((0L, 10.0)),   // carried forward
+      ("u1", "2024-01-03") -> ((0L, 10.0)),
+      ("u1", "2024-01-04") -> ((1L, 40.0)),
+      ("u2", "2024-01-02") -> ((1L, 7.0))))
+  }
+
+  test("dailyAggregate + densify: never a null fill (spine starts at first observation)") {
+    val ev = Seq(
+      ("u1", "2024-01-01 10:00:00", 1.5), ("u1", "2024-01-01 11:00:00", 2.5),
+      ("u1", "2024-01-05 09:00:00", 4.0)
+    ).toDF("k", "ts", "v").withColumn("ts", to_timestamp($"ts"))
+    val out = TimeSeries.densifyDaily(
+      TimeSeries.dailyAggregate(ev, "k", "ts", "v"), "k", "d", "v")
+    assert(out.count() == 5, "Jan 1..5 inclusive")
+    assert(out.where($"v_filled".isNull).count() == 0)
+    val day1 = out.where($"d" === d("2024-01-01")).select($"v_filled").as[Double].head()
+    assert(day1 == 4.0, "same-day rows aggregate before the fill")
+    assert(out.where($"observed" === 0).count() == 3)
+  }
+
+  test("fill window is a running frame (streams in WindowExec, no full-partition buffer)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val daily = Seq(("u1", d("2024-01-01"), 1.0)).toDF("k", "day", "v")
+      val plan = TimeSeries.densifyDaily(daily, "k", "day", "v")
+        .queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"expected a WindowExec:\n$plan")
+      windows.foreach { w =>
+        val expr = w.windowExpression.mkString.toLowerCase
+        assert(expr.contains("unboundedpreceding") && expr.contains("currentrow"),
+          s"LOCF must be a running frame:\n$w")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}

@@ -130,6 +130,25 @@ class TrainingPrepSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stratifiedSample: exact quotas, small groups kept whole, deterministic") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val totals = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val quota = 30
+    def run = TrainingPrep.stratifiedSample(docs, "doc_id", "lang", quota)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    val kept = run
+    val byLang = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    for ((lang, n) <- totals)
+      assert(byLang.getOrElse(lang, 0) == math.min(n, quota.toLong).toInt,
+        s"$lang: want min($n, $quota), got ${byLang.get(lang)}")
+    assert(run == kept, "selection must be deterministic")
+    // the rank limit must push into per-task top-k heaps, not a full sort
+    val plan = TrainingPrep.stratifiedSample(docs, "doc_id", "lang", quota)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pushdown in:\n$plan")
+  }
+
   test("shuffleShard: 16 shards, every doc assigned, deterministic") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def run = TrainingPrep.shuffleShard(docs, "doc_id")

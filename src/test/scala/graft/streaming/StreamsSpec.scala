@@ -151,6 +151,48 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: matches pair up, unmatched flush on watermark") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val views = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 1L),
+      ("b", ts("2024-01-01 10:05:00"), 2L)   // never clicked
+    ).toDF("v_user", "v_ts", "v_id")
+    val clicks = Seq(
+      ("a", ts("2024-01-01 10:03:00"), 11L)
+    ).toDF("c_user", "c_ts", "c_id")
+    val vDir = tmpDir("lo-views")
+    val cDir = tmpDir("lo-clicks")
+    views.write.mode("overwrite").parquet(vDir)
+    clicks.write.mode("overwrite").parquet(cDir)
+    val vStream = spark.readStream.schema(views.schema).parquet(vDir)
+    val cStream = spark.readStream.schema(clicks.schema).parquet(cDir)
+    val joined = Streams.streamingIntervalJoinLeftOuter(
+      vStream, cStream, "v_user", "c_user", "v_ts", "c_ts",
+      maxDelay = "10 minutes", watermark = "5 minutes")
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName("lojoin_out").start()
+    try {
+      q.processAllAvailable()
+      // unmatched 'b' can only emit once the watermark PROVES no click is
+      // coming — push it with a late sentinel on both sides, then let the
+      // engine run its watermark-advance batch
+      Seq(("zz", ts("2024-01-01 23:00:00"), 9L)).toDF("v_user", "v_ts", "v_id")
+        .write.mode("append").parquet(vDir)
+      Seq(("zz", ts("2024-01-01 23:00:00"), 99L)).toDF("c_user", "c_ts", "c_id")
+        .write.mode("append").parquet(cDir)
+      q.processAllAvailable()
+      val out = spark.table("lojoin_out").where($"v_user" =!= "zz")
+      val matched = out.where($"c_id".isNotNull)
+        .select($"v_user", $"c_id").as[(String, Long)].collect().toSet
+      assert(matched == Set(("a", 11L)), s"got $matched")
+      val unmatched = out.where($"c_id".isNull)
+        .select($"v_user").as[String].collect().toSeq
+      assert(unmatched == Seq("b"),
+        s"unmatched view must emit with a NULL right side, got $unmatched")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment equals the batch join, keeps unmatched facts") {
     val events = Tables.load(spark, sf, "events")
       .select($"event_id", $"user_id", $"event_type")
