@@ -1673,4 +1673,32 @@ object Queries {
       .distinct()
     Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
   }
+
+  // ---------------------------------------------------------------- Q89
+  /** Column-level profiling ([[Profile.profile]]): one scan, one
+    * aggregation, every column's null/exact-distinct/min/max at once.
+    * Profiled columns are int/string/date (engine-identical string
+    * rendering; doubles would pit Spark's formatter against DuckDB's).
+    */
+  def q89Profile(spark: SparkSession, dir: String): DataFrame =
+    Profile.profile(tp(spark, dir, "orders"),
+      Seq("o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority"))
+
+  // ---------------------------------------------------------------- Q90
+  /** Growth analytics: daily newly-CONVERTED users (first purchase) +
+    * cumulative converted count — the running total rides
+    * [[TrainingPrep.globalPrefixSum]] (range-partitioned distributed
+    * cumsum), NOT a single-task global window; same scale contract as
+    * q58/q74. (First-ANY-event would be degenerate on this synthetic
+    * corpus: every user is active from day one; first purchase spreads.)
+    */
+  def q90UserGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tp(spark, dir, "events").where(col("event_type") === "purchase")
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d"))
+    val newPerDay = firstSeen.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_new"))
+    TrainingPrep.globalPrefixSum(newPerDay, "d", "n_new", "cum_users")
+      .select(col("d").cast("timestamp").as("d"), col("n_new"), col("cum_users"))
+  }
 }

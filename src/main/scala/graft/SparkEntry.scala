@@ -120,6 +120,8 @@ object SparkEntry {
     "q86_gap_fill" -> (Queries.q86GapFill _),
     "q87_stratified_sample" -> (Queries.q87StratifiedSample _),
     "q88_pagerank" -> (Queries.q88PageRank _),
+    "q89_profile" -> (Queries.q89Profile _),
+    "q90_user_growth" -> (Queries.q90UserGrowth _),
   )
 
   private val mergeOracle: String = {
@@ -1045,6 +1047,41 @@ object SparkEntry {
         |    ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 40""".stripMargin,
+    // per-column stats, one UNION branch per profiled column (the Spark
+    // side computes all of them in ONE aggregation; the oracle only needs
+    // to agree on values). min/max rendered as strings on both sides —
+    // int/string/date columns only, where rendering is engine-identical
+    "q89_profile" ->
+      """SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+        |       count(*) - count(o_orderkey) AS n_nulls,
+        |       count(DISTINCT o_orderkey) AS n_distinct,
+        |       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+        |       CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |       count(DISTINCT o_orderstatus),
+        |       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |       count(DISTINCT o_orderdate),
+        |       CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |       count(DISTINCT o_orderpriority),
+        |       CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+        |FROM orders""".stripMargin,
+    // first-purchase day per user -> daily conversion counts -> running total
+    "q90_user_growth" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events
+        |           WHERE event_type = 'purchase' GROUP BY 1),
+        |n AS (SELECT d, count(*) AS n_new FROM f GROUP BY 1)
+        |SELECT d::TIMESTAMP AS d, n_new,
+        |       CAST(sum(n_new) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |         AS cum_users
+        |FROM n""".stripMargin,
     // three PageRank iterations as chained CTEs over the same edge list;
     // all arithmetic forced to DOUBLE (DuckDB's bare 1.0 is DECIMAL) and
     // the final rank rounded to 6 dp on both sides (summation order)
