@@ -1701,4 +1701,36 @@ object Queries {
     TrainingPrep.globalPrefixSum(newPerDay, "d", "n_new", "cum_users")
       .select(col("d").cast("timestamp").as("d"), col("n_new"), col("cum_users"))
   }
+
+  // ---------------------------------------------------------------- Q91
+  /** Incremental aggregate maintenance ([[IncrementalAgg]]): build the
+    * per-status (count, revenue) view on a base slice of orders, then
+    * fold an I/U/D change batch into it — inserts (keys %10==5), deletes
+    * (%9==0), updates that MOVE rows to a new group 'X' (%10==3, price
+    * +1000). The oracle recomputes the FINAL table from scratch: green
+    * means the delta-maintained view equals the full recompute
+    * bit-for-bit (decimal sums, cast to double only at the edge).
+    */
+  def q91IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = tp(spark, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("g"),
+      col("o_totalprice").cast("decimal(18,2)").as("v"))
+    val base = o.where(col("k") % 10 =!= 5)
+    val state0 = IncrementalAgg.build(base, "g", "v")
+    val ins = o.where(col("k") % 10 === 5).select(lit("I").as("op"),
+      col("g").as("group"), col("v").as("value"),
+      lit(null).cast("string").as("old_group"),
+      lit(null).cast("decimal(18,2)").as("old_value"))
+    val del = base.where(col("k") % 9 === 0).select(lit("D").as("op"),
+      lit(null).cast("string").as("group"),
+      lit(null).cast("decimal(18,2)").as("value"),
+      col("g").as("old_group"), col("v").as("old_value"))
+    val upd = base.where(col("k") % 9 =!= 0 && col("k") % 10 === 3)
+      .select(lit("U").as("op"),
+        lit("X").as("group"), (col("v") + lit(1000)).as("value"),
+        col("g").as("old_group"), col("v").as("old_value"))
+    IncrementalAgg.applyChanges(state0, ins.unionByName(del).unionByName(upd), "g")
+      .select(col("g").as("o_orderstatus"), col("n"),
+        col("total").cast("double").as("total"))
+  }
 }

@@ -122,6 +122,7 @@ object SparkEntry {
     "q88_pagerank" -> (Queries.q88PageRank _),
     "q89_profile" -> (Queries.q89Profile _),
     "q90_user_growth" -> (Queries.q90UserGrowth _),
+    "q91_incremental_agg" -> (Queries.q91IncrementalAgg _),
   )
 
   private val mergeOracle: String = {
@@ -1082,6 +1083,23 @@ object SparkEntry {
         |       CAST(sum(n_new) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |         AS cum_users
         |FROM n""".stripMargin,
+    // the oracle NEVER sees the changelog: it recomputes the final table
+    // from scratch, so a green row proves incremental == full recompute
+    "q91_incremental_agg" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS g,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+        |base AS (SELECT * FROM o WHERE k % 10 <> 5),
+        |final AS (
+        |  SELECT k,
+        |         CASE WHEN k % 10 = 3 THEN 'X' ELSE g END AS g,
+        |         CASE WHEN k % 10 = 3 THEN v + 1000 ELSE v END AS v
+        |  FROM base WHERE k % 9 <> 0
+        |  UNION ALL
+        |  SELECT k, g, v FROM o WHERE k % 10 = 5)
+        |SELECT g AS o_orderstatus, count(*) AS n,
+        |       CAST(sum(v) AS DOUBLE) AS total
+        |FROM final GROUP BY 1""".stripMargin,
     // three PageRank iterations as chained CTEs over the same edge list;
     // all arithmetic forced to DOUBLE (DuckDB's bare 1.0 is DECIMAL) and
     // the final rank rounded to 6 dp on both sides (summation order)
