@@ -1733,4 +1733,83 @@ object Queries {
       .select(col("g").as("o_orderstatus"), col("n"),
         col("total").cast("double").as("total"))
   }
+
+  // ---------------------------------------------------------------- Q92
+  /** Six-table analytical join (TPC-H Q5 shape): revenue per supplier
+    * nation for one region / one customer segment / one order year.
+    * Declarative on purpose — Catalyst reorders the joins, broadcasts the
+    * dimension chain (nation ⋈ region collapses to a map-side probe),
+    * pushes the date and segment filters to the scans, and AQE picks
+    * shuffle-vs-broadcast for customer at runtime. The fact table
+    * shuffles at most twice (orderkey, then suppkey) at any scale.
+    */
+  def q92MultiJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = tp(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val c = t(spark, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val s = t(spark, dir, "supplier")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region").where(col("r_name") === "ASIA")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+  }
+
+  // ---------------------------------------------------------------- Q93
+  /** Last-touch attribution: each purchase attributed to the user's most
+    * recent preceding (or simultaneous) click — [[AsOfJoin.asOf]] composed
+    * on behavioral events, LEFT semantics (unattributed purchases keep a
+    * NULL click). Clicks pre-deduped per (user, ts) so "the" latest is
+    * well-defined on both engines (DuckDB ASOF leaves ties undefined).
+    */
+  def q93Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tp(spark, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    AsOfJoin.asOf(purchases, clicks,
+      leftKeys = Seq("user_id"), rightKeys = Seq("user_id"),
+      leftTime = "ts", rightTime = "ts",
+      rightCols = Map("click_id" -> "click_id", "ts" -> "click_ts"))
+  }
+
+  // ---------------------------------------------------------------- Q94
+  /** Equi-DEPTH histogram / quantile binning (the feature-engineering
+    * discretizer; q54 is the equi-WIDTH sibling): deciles over (price,
+    * key) via [[TrainingPrep.distributedNtile]] — the EXACT ntile
+    * assignment computed on the range-partitioned prefix sum, never a
+    * single-task global window. Unique-key tiebreak makes boundaries
+    * deterministic; the oracle uses plain `ntile`, so green proves the
+    * distributed formula reproduces the SQL-standard bucketing
+    * bit-for-bit.
+    */
+  def q94QuantileBins(spark: SparkSession, dir: String): DataFrame = {
+    val base = tp(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("__ord", struct(col("o_totalprice"), col("o_orderkey")))
+    val tiled = TrainingPrep.distributedNtile(base, "__ord", k = 10)
+    // q74's cache pattern: materialize the bucket summary off the live
+    // rank cache, then drop it — the returned 10-row frame is the only
+    // retained cache
+    val out = tiled
+      .groupBy(col("ntile").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .select("bucket", "n", "lo", "hi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tiled.unpersist()
+    out
+  }
 }

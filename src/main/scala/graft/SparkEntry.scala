@@ -123,6 +123,9 @@ object SparkEntry {
     "q89_profile" -> (Queries.q89Profile _),
     "q90_user_growth" -> (Queries.q90UserGrowth _),
     "q91_incremental_agg" -> (Queries.q91IncrementalAgg _),
+    "q92_multi_join_revenue" -> (Queries.q92MultiJoinRevenue _),
+    "q93_attribution" -> (Queries.q93Attribution _),
+    "q94_quantile_bins" -> (Queries.q94QuantileBins _),
   )
 
   private val mergeOracle: String = {
@@ -1083,6 +1086,41 @@ object SparkEntry {
         |       CAST(sum(n_new) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |         AS cum_users
         |FROM n""".stripMargin,
+    // six-table TPC-H-Q5-shape join; revenue rounded both sides
+    "q92_multi_join_revenue" ->
+      """SELECT n_name, count(*) AS n_lines,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND c_mktsegment = 'BUILDING'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    // DuckDB's native ASOF LEFT JOIN, inclusive (>=) like AsOfJoin.asOf;
+    // clicks pre-deduped per (user, ts) on both sides so ties are defined
+    "q93_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id, c.ts AS click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    // plain SQL-standard ntile — green proves the distributed
+    // prefix-sum formula reproduces it bit-for-bit
+    "q94_quantile_bins" ->
+      """SELECT bucket, count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |         CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+        |  FROM orders)
+        |GROUP BY 1""".stripMargin,
     // the oracle NEVER sees the changelog: it recomputes the final table
     // from scratch, so a green row proves incremental == full recompute
     "q91_incremental_agg" ->

@@ -170,6 +170,39 @@ object TrainingPrep {
     df.withColumn("h", md5(col(idCol).cast("string")))
       .withColumn("shard", conv(substring(col("h"), 1, 1), 16, 10).cast("int"))
 
+  /** Exact global ntile WITHOUT a single-task window: the SQL-standard
+    * `ntile(k)` assigns buckets by global row rank, which a bare
+    * `Window.orderBy` computes on ONE task; here the rank comes from the
+    * range-partitioned [[globalPrefixSum]] and the bucket from the
+    * standard ntile formula (first n%k buckets get ceil(n/k) rows, the
+    * rest floor(n/k)) — bit-identical to `ntile`, scalable to any input.
+    * The row count is the one driver-side scalar.
+    *
+    * `orderCol` must be globally unique (build a struct of (value, unique
+    * key) for tie-broken value buckets). Output adds `ntile`; cache
+    * contract as [[globalPrefixSum]]: caller owns the returned frame.
+    */
+  def distributedNtile(df: DataFrame, orderCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val n = df.count()
+    val q = n / k
+    val m = n % k
+    val ranked = globalPrefixSum(
+      df.withColumn("__one", lit(1L)), orderCol, "__one", "__rank")
+    // ceil(a/b) = (a + b - 1) div b — integer `div` keeps the arithmetic
+    // exact at any row count (double division would lose bits past 2^53)
+    val bucket =
+      if (q == 0) col("__rank") // fewer rows than buckets: rank IS the tile
+      else when(col("__rank") <= m * (q + 1),
+          expr(s"(__rank + ${q}L) div ${q + 1}L"))
+        .otherwise(expr(s"${m}L + (__rank - ${m * (q + 1)}L + ${q - 1}L) div ${q}L"))
+    val out = ranked.withColumn("ntile", bucket).drop("__one", "__rank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize while the rank cache is alive (same as packBins)
+    ranked.unpersist()
+    out // caller-owned (single retained cache; unpersist when done)
+  }
+
   /** Stratified sampling with EXACT per-group quotas: each group keeps its
     * `quota` lowest-md5 rows (all of them if the group is smaller) — the
     * companion to [[mixtureSample]] when a balanced eval slice or a

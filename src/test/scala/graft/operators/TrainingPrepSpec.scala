@@ -130,6 +130,24 @@ class TrainingPrepSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("distributedNtile equals the single-task ntile at every bucket count") {
+    import org.apache.spark.sql.functions.ntile
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", size(split($"text", " ")).as("len"))
+      .withColumn("__ord", struct($"len", $"doc_id"))
+    val n = docs.count()
+    // k divides n unevenly; k=1 degenerate; k > n (rank IS the tile)
+    for (k <- Seq(1, 7, 10, n.toInt + 5)) {
+      val naive = docs
+        .withColumn("t", ntile(k).over(Window.orderBy($"len", $"doc_id")).cast("long"))
+        .select($"doc_id", $"t").as[(Long, Long)].collect().toMap
+      val dist = TrainingPrep.distributedNtile(docs, "__ord", k)
+      val got = dist.select($"doc_id", $"ntile").as[(Long, Long)].collect().toMap
+      dist.unpersist()
+      assert(got == naive, s"k=$k diverged from SQL-standard ntile")
+    }
+  }
+
   test("stratifiedSample: exact quotas, small groups kept whole, deterministic") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val totals = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
