@@ -1812,4 +1812,60 @@ object Queries {
     tiled.unpersist()
     out
   }
+
+  // ---------------------------------------------------------------- Q95
+  /** Dynamic partition pruning: the fact table is hive-partitioned on the
+    * join key and the DIM side carries the selective filter, so the
+    * partitions to read are only known at RUNTIME — Catalyst injects a
+    * dynamicpruning subquery into the fact scan (LayoutSpec asserts it),
+    * reusing the dim's broadcast. The lever q55's static pruning can't
+    * reach: at 100 TB, a date-dim filter pruning a date-partitioned fact
+    * is THE canonical warehouse scan pattern.
+    */
+  def q95DynamicPruning(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q95").toString
+    Layout.writePartitioned(
+      t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          col("o_totalprice"), col("o_orderstatus")),
+      tmp, Seq("o_orderstatus"))
+    val fact = spark.read.parquet(tmp)
+    // the dim predicate must NOT be constant-foldable into a literal on
+    // the join key (Catalyst would propagate it as a STATIC partition
+    // filter — LayoutSpec proved it does); an md5 gate over the dim
+    // column is opaque to folding, selects exactly status 'F'
+    // (md5("s:F") starts "11"), and forces the RUNTIME subquery
+    val dim = t(spark, dir, "orders")
+      .select(col("o_orderstatus")).distinct()
+      .where(substring(md5(concat(lit("s:"), col("o_orderstatus"))), 1, 2) === "11")
+    fact.join(broadcast(dim), Seq("o_orderstatus"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
+  // ---------------------------------------------------------------- Q96
+  /** Source/sink format coverage beyond parquet: the same orders slice
+    * round-trips through CSV (header + explicit schema), JSON lines, and
+    * ORC, and each format's read-back aggregate must equal the
+    * parquet-derived oracle — proving values (including doubles, via
+    * shortest-roundtrip rendering) survive every container.
+    */
+  def q96FormatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val slice = t(spark, dir, "orders")
+      .where(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = java.nio.file.Files.createTempDirectory("graft_q96").toString
+    slice.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    slice.write.mode("overwrite").json(s"$base/json")
+    slice.write.mode("overwrite").orc(s"$base/orc")
+    val back = Seq(
+      "csv" -> spark.read.schema(slice.schema).option("header", "true").csv(s"$base/csv"),
+      "json" -> spark.read.schema(slice.schema).json(s"$base/json"),
+      "orc" -> spark.read.orc(s"$base/orc"))
+    back.map { case (fmt, df) =>
+      df.agg(lit(fmt).as("format"), count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_key"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+    }.reduce(_ unionByName _)
+  }
 }

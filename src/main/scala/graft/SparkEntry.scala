@@ -126,6 +126,8 @@ object SparkEntry {
     "q92_multi_join_revenue" -> (Queries.q92MultiJoinRevenue _),
     "q93_attribution" -> (Queries.q93Attribution _),
     "q94_quantile_bins" -> (Queries.q94QuantileBins _),
+    "q95_dynamic_pruning" -> (Queries.q95DynamicPruning _),
+    "q96_format_roundtrip" -> (Queries.q96FormatRoundtrip _),
   )
 
   private val mergeOracle: String = {
@@ -1112,6 +1114,26 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id, c.ts AS click_ts
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    // the pruning mechanism is Spark-side (LayoutSpec asserts the
+    // dynamicpruning subquery in the scan); values = a plain filtered agg
+    "q95_dynamic_pruning" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1""".stripMargin,
+    // each format must reproduce the same parquet-derived aggregate
+    "q96_format_roundtrip" ->
+      """WITH s AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 20 = 0)
+        |SELECT 'csv' AS format, count(*) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       round(sum(o_totalprice), 2) AS revenue FROM s
+        |UNION ALL
+        |SELECT 'json', count(*), CAST(sum(o_orderkey) AS BIGINT),
+        |       round(sum(o_totalprice), 2) FROM s
+        |UNION ALL
+        |SELECT 'orc', count(*), CAST(sum(o_orderkey) AS BIGINT),
+        |       round(sum(o_totalprice), 2) FROM s""".stripMargin,
     // plain SQL-standard ntile — green proves the distributed
     // prefix-sum formula reproduces it bit-for-bit
     "q94_quantile_bins" ->

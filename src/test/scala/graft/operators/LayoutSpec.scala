@@ -36,6 +36,31 @@ class LayoutSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(filtered.count() === orders.where(col("o_orderstatus") === "F").count())
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    Layout.writePartitioned(orders, dir, Seq("o_orderstatus"))
+    val fact = spark.read.parquet(dir)
+    // the dim predicate must not be constant-foldable to a join-key
+    // literal (Catalyst would propagate it as a STATIC PartitionFilter);
+    // the md5 gate is opaque to folding and selects exactly status 'F'
+    val dim = orders.select(col("o_orderstatus")).distinct()
+      .where(substring(md5(concat(lit("s:"), col("o_orderstatus"))), 1, 2) === "11")
+    val joined = fact
+      .join(broadcast(dim), Seq("o_orderstatus"))
+      .groupBy(col("o_orderstatus")).count()
+    joined.collect()
+    val scans = collect(joined.queryExecution.executedPlan) {
+      case s: FileSourceScanExec if s.toString.contains("graft_dpp") => s
+    }
+    assert(scans.nonEmpty, "fact scan not found")
+    val scanStr = scans.head.toString
+    assert(scanStr.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in the fact scan:\n$scanStr")
+    // and the runtime subquery actually pruned: 1 of N partitions read
+    assert(scans.head.selectedPartitions.partitionCount === 1,
+      s"DPP should leave one partition, got ${scans.head.selectedPartitions.partitionCount}")
+  }
+
   test("writeClustered: files carry disjoint cluster-key ranges") {
     val dir = Files.createTempDirectory("graft_clust").toString
     Layout.writeClustered(orders, dir, Seq("o_custkey"), numFiles = 5)
