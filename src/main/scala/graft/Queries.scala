@@ -1868,4 +1868,21 @@ object Queries {
         round(sum(col("o_totalprice")), 2).as("revenue"))
     }.reduce(_ unionByName _)
   }
+
+  // ---------------------------------------------------------------- Q97
+  /** Hierarchy flattening ([[Graph.flattenForest]]): chains over the
+    * order-key residue space (`parent = node - 1` where present, gaps
+    * start new roots) resolved to (root, depth) in O(log height) pointer-
+    * doubling rounds — 10 rounds cover depth 1024 where the oracle's
+    * WITH RECURSIVE walks one level per step. Chain shape maximizes
+    * depth, the hard case for hierarchy queries.
+    */
+  def q97FlattenHierarchy(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = tp(spark, dir, "orders")
+      .select((col("o_orderkey") % 512).as("node")).distinct()
+    val parentOf = nodes.as("k")
+      .join(nodes.as("p"), col("k.node") - 1 === col("p.node"), "left")
+      .select(col("k.node").as("node"), col("p.node").as("parent"))
+    Graph.flattenForest(parentOf, "node", "parent", rounds = 10)
+  }
 }

@@ -128,6 +128,7 @@ object SparkEntry {
     "q94_quantile_bins" -> (Queries.q94QuantileBins _),
     "q95_dynamic_pruning" -> (Queries.q95DynamicPruning _),
     "q96_format_roundtrip" -> (Queries.q96FormatRoundtrip _),
+    "q97_flatten_hierarchy" -> (Queries.q97FlattenHierarchy _),
   )
 
   private val mergeOracle: String = {
@@ -1114,6 +1115,20 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id, c.ts AS click_ts
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    // the oracle walks the same chains one level per recursive step; the
+    // Spark side jumps pointer-doubling rounds — results must agree
+    "q97_flatten_hierarchy" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT DISTINCT o_orderkey % 512 AS node FROM orders),
+        |p AS (
+        |  SELECT n.node, pp.node AS parent
+        |  FROM nodes n LEFT JOIN nodes pp ON pp.node = n.node - 1),
+        |walk AS (
+        |  SELECT node, node AS root, 0 AS depth FROM p WHERE parent IS NULL
+        |  UNION ALL
+        |  SELECT p.node, w.root, w.depth + 1
+        |  FROM p JOIN walk w ON p.parent = w.node)
+        |SELECT node, root, CAST(depth AS BIGINT) AS depth FROM walk""".stripMargin,
     // the pruning mechanism is Spark-side (LayoutSpec asserts the
     // dynamicpruning subquery in the scan); values = a plain filtered agg
     "q95_dynamic_pruning" ->

@@ -38,4 +38,29 @@ class GraphSpec extends SparkSuite {
     val e = Seq.empty[(Long, Long)].toDF("src", "dst")
     intercept[IllegalArgumentException] { Graph.pageRank(e, "src", "dst") }
   }
+
+  test("flattenForest: a 21-deep chain resolves in 5 doubling rounds") {
+    // parent = n-1; 2^5 = 32 >= depth 20, so 5 rounds must converge
+    val parentOf = (0L to 20L)
+      .map(n => (n, if (n == 0) None else Some(n - 1)))
+      .toDF("node", "parent")
+    val got = Graph.flattenForest(parentOf, "node", "parent", rounds = 5)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    for (n <- 0L to 20L)
+      assert(got(n) == ((0L, n)), s"node $n: ${got(n)}")
+  }
+
+  test("flattenForest: a forest keeps trees separate, extra rounds harmless") {
+    val parentOf = Seq(
+      (10L, None), (11L, Some(10L)), (12L, Some(11L)),   // tree rooted at 10
+      (20L, None), (21L, Some(20L))                      // tree rooted at 20
+    ).toDF("node", "parent")
+    val got = Graph.flattenForest(parentOf, "node", "parent", rounds = 8)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      10L -> ((10L, 0L)), 11L -> ((10L, 1L)), 12L -> ((10L, 2L)),
+      20L -> ((20L, 0L)), 21L -> ((20L, 1L))))
+  }
 }

@@ -98,6 +98,36 @@ class StreamsSpec extends SparkSuite {
     assert(hist.exceptAll(expect).count() == 0 && expect.exceptAll(hist).count() == 0)
   }
 
+  test("IncrementalAgg composes with foreachBatch: streaming materialized-view refresh") {
+    import graft.operators.IncrementalAgg
+    val in = tmpDir("mv-stream")
+    def chg(rows: (String, String, String, String, String)*) =
+      rows.toDF("op", "group", "value", "old_group", "old_value")
+        .select($"op", $"group", $"value".cast("decimal(18,2)").as("value"),
+          $"old_group", $"old_value".cast("decimal(18,2)").as("old_value"))
+    // two change batches arrive as one file each
+    chg(("I", "a", "10.00", null, null), ("I", "b", "5.00", null, null))
+      .coalesce(1).write.mode("append").parquet(in)
+    chg(("U", "a", "12.00", "a", "10.00"), ("D", null, null, "b", "5.00"),
+        ("I", "c", "1.00", null, null))
+      .coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    var view = IncrementalAgg.build(
+      chg().select($"group".as("g"), $"value".as("v")), "g", "v").localCheckpoint()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        view = IncrementalAgg.applyChanges(view, batch, "g").localCheckpoint()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = view.select($"g", $"n", $"total".cast("string"))
+      .as[(String, Long, String)].collect().toSet
+    assert(got == Set(("a", 1L, "12.00"), ("c", 1L, "1.00")),
+      s"streamed MV must equal the folded changelog: $got")
+  }
+
   test("upsertStream restart resumes the checkpoint — committed files never replay") {
     val destPath = tmpDir("restart-dest") + "/t"
     val in = tmpDir("restart-in")
