@@ -1885,4 +1885,34 @@ object Queries {
       .select(col("k.node").as("node"), col("p.node").as("parent"))
     Graph.flattenForest(parentOf, "node", "parent", rounds = 10)
   }
+
+  // ---------------------------------------------------------------- Q98
+  /** Web-corpus preprocessing: URL structure extraction (`parse_url` —
+    * host / path / query, the crawl-curation grouping keys) and HTML
+    * boilerplate stripping (script/comment/tag removal + whitespace
+    * collapse) — the step between a crawl and the documents table.
+    * Deterministic synthetic pages are derived from doc_id/lang/md5(text)
+    * (hex-ASCII body sidesteps engine Unicode-length semantics); the
+    * oracle rebuilds the same pages and strips them with the same regex
+    * chain, and Spark's `parse_url` must agree with the oracle's plain
+    * regex derivation. Map-only: scales with the scan.
+    */
+  def q98WebPrep(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://host"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com/p/"), col("doc_id").cast("string"),
+      lit("?lang="), col("lang"))
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><script>track()</script></head><body><h1>"), col("lang"),
+      lit("</h1>  <p>"), md5(col("text")), lit("</p><!-- t --></body></html>"))
+    val clean = trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      html, "<script.*?</script>", " "), "<!--.*?-->", " "),
+      "<[^>]+>", " "), "\\s+", " "))
+    tp(spark, dir, "documents")
+      .select(col("doc_id"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("url_path"),
+        parse_url(url, lit("QUERY")).as("url_query"),
+        clean.as("clean_text"))
+  }
 }

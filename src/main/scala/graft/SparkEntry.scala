@@ -129,6 +129,7 @@ object SparkEntry {
     "q95_dynamic_pruning" -> (Queries.q95DynamicPruning _),
     "q96_format_roundtrip" -> (Queries.q96FormatRoundtrip _),
     "q97_flatten_hierarchy" -> (Queries.q97FlattenHierarchy _),
+    "q98_web_prep" -> (Queries.q98WebPrep _),
   )
 
   private val mergeOracle: String = {
@@ -1115,6 +1116,26 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id, c.ts AS click_ts
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    // same synthetic pages, same strip chain; host/path/query derived by
+    // plain regex where Spark uses parse_url — both must agree
+    "q98_web_prep" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |         'https://host' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+        |         '?lang=' || lang AS url,
+        |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |         '</title><script>track()</script></head><body><h1>' || lang ||
+        |         '</h1>  <p>' || md5(text) || '</p><!-- t --></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_extract(url, 'https://([^/]+)', 1) AS host,
+        |       regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS url_path,
+        |       regexp_extract(url, '\?(.*)$', 1) AS url_query,
+        |       trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |         html, '<script.*?</script>', ' ', 'g'), '<!--.*?-->', ' ', 'g'),
+        |         '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text
+        |FROM pages""".stripMargin,
     // the oracle walks the same chains one level per recursive step; the
     // Spark side jumps pointer-doubling rounds — results must agree
     "q97_flatten_hierarchy" ->
