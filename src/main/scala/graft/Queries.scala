@@ -1915,4 +1915,23 @@ object Queries {
         parse_url(url, lit("QUERY")).as("url_query"),
         clean.as("clean_text"))
   }
+
+  // ---------------------------------------------------------------- Q99
+  /** Approx-percentile sketch (GK) under the q28 reduction pattern —
+    * completing the sketch inventory (HLL q28, approx-top-k q51, KMV
+    * q50): the exact percentile is checked verbatim, the sketch estimate
+    * is reduced to its checkable fact (accuracy 1000 → rank error ≤ 0.1%,
+    * asserted as a within-5%-of-exact boolean, generous by ~an order of
+    * magnitude). The sketch runs inside the measured, verified query; any
+    * real regression flips the boolean.
+    */
+  def q99ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    tp(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_p50"),
+        (abs(expr("percentile_approx(l_extendedprice, 0.5, 1000)") -
+          expr("percentile(l_extendedprice, 0.5)")) <=
+          expr("percentile(l_extendedprice, 0.5)") * lit(0.05))
+          .as("approx_within_bound"))
 }

@@ -130,6 +130,7 @@ object SparkEntry {
     "q96_format_roundtrip" -> (Queries.q96FormatRoundtrip _),
     "q97_flatten_hierarchy" -> (Queries.q97FlattenHierarchy _),
     "q98_web_prep" -> (Queries.q98WebPrep _),
+    "q99_approx_percentile" -> (Queries.q99ApproxPercentile _),
   )
 
   private val mergeOracle: String = {
@@ -1116,6 +1117,13 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id, c.ts AS click_ts
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    // exact percentile verbatim; the GK sketch reduced to a within-bound
+    // boolean the oracle derives trivially (q28's reduction pattern)
+    "q99_approx_percentile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+        |       TRUE AS approx_within_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // same synthetic pages, same strip chain; host/path/query derived by
     // plain regex where Spark uses parse_url — both must agree
     "q98_web_prep" ->
