@@ -25,6 +25,33 @@ class CdcSpec extends SparkSuite {
     assert(got.count() == 0)
   }
 
+  test("CDC final state == SCD2 current slice under the same update stream (seeded)") {
+    // two independent implementations of "latest version per key" — the
+    // aggregate fold (Cdc) and the dimension-history fold (Scd2) — must
+    // agree on every randomized insert/update sequence
+    val rnd = new scala.util.Random(7)
+    val keys = (1L to 15L).toSeq
+    val epochs = (1 to 5).map(i => (i.toLong, f"2024-$i%02d-01 00:00:00"))
+    var hist = Scd2.emptyHistory(
+      Seq((0L, "x", 0.0)).toDF("k", "tier", "score"), "k")
+    val log = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, String, Double)]
+    epochs.foreach { case (seq, stamp) =>
+      val batch = keys.filter(_ => rnd.nextBoolean())
+        .map(k => (k, s"t${rnd.nextInt(3)}", rnd.nextInt(5).toDouble))
+      if (batch.nonEmpty) {
+        hist = Scd2.applyBatch(hist, batch.toDF("k", "tier", "score"), "k", stamp)
+        batch.foreach { case (k, t, s) => log += ((k, seq, "I", t, s)) }
+      }
+    }
+    val cdc = Cdc.applyChangelog(
+        log.toSeq.toDF("k", "seq", "op", "tier", "score"), "k", "seq", "op")
+      .as[(Long, String, Double)].collect().toSet
+    val scd2 = Scd2.currentOf(hist)
+      .select($"k", $"tier", $"score")
+      .as[(Long, String, Double)].collect().toSet
+    assert(cdc == scd2, "the two latest-version folds diverged")
+  }
+
   test("plan: one partial-agg shuffle, no window sort over the changelog") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -75,4 +75,25 @@ class ScaleSpec extends SparkSuite {
     }
     assert(smjJoined == joined.count())
   }
+
+  test("q92 multi-join: every join broadcasts, the fact table never join-shuffles") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.Queries.q92MultiJoinRevenue(spark, sf)
+        .queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.size == 5, s"six tables -> five joins:\n$plan")
+      joins.foreach { j =>
+        assert(j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec],
+          s"expected broadcast at this scale, got ${j.getClass.getSimpleName}:\n$j")
+      }
+      val shuffles = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+      }
+      assert(shuffles.size == 1,
+        s"only the final groupBy may exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
