@@ -1934,4 +1934,54 @@ object Queries {
           expr("percentile(l_extendedprice, 0.5)")) <=
           expr("percentile(l_extendedprice, 0.5)") * lit(0.05))
           .as("approx_within_bound"))
+
+  // ---------------------------------------------------------------- Q100
+  /** The END-TO-END pretraining data pipeline as one oracle-checked run —
+    * q61's curation funnel extended through the remaining stages: corpus
+    * split (docs %97==0 held out as the eval suite) → lang gate → quality
+    * gate → exact dedup (keep-first) → DECONTAMINATION against the eval
+    * suite (any shared 5-gram drops the doc) → token-window CHUNKING →
+    * sequence PACKING onto 2048-token bins via the distributed prefix
+    * sum. One row of per-stage survivor counts; the oracle recomputes
+    * every stage in SQL. This is the "a user could run their whole
+    * pipeline on this engine" artifact: every stage is the scale-shaped
+    * operator (broadcast bench set, partial-agg dedup, range-partitioned
+    * cumsum), not a test-only composition.
+    */
+  def q100PretrainingPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val bench = docs.where(col("doc_id") % 97 === 0).select(col("doc_id"), col("text"))
+    val flags = docs.where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text"),
+        TextFunctions.langId(col("text")).as("lp"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      .withColumn("pass", col("lp") === "en" && col("q") >= 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val survivors = flags.where(col("pass"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("text"))
+    val clean = Decontaminate.clean(survivors, bench, "doc_id", "text", n = 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    clean.count() // materialize: three consumers below
+    val bins = TrainingPrep.packBins(clean, "doc_id", "text", budget = 2048)
+    val out = flags.agg(
+        count(lit(1)).as("n_corpus"),
+        count(when(col("lp") === "en", 1)).as("n_lang"),
+        count(when(col("pass"), 1)).as("n_quality"),
+        countDistinct(when(col("pass"), md5(col("text")))).as("n_exact"))
+      .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+      .crossJoin(TrainingPrep.chunk(clean, "doc_id", "text", window = 128, stride = 128)
+        .agg(count(lit(1)).as("n_chunks")))
+      .crossJoin(bins.agg(countDistinct(col("bin")).as("n_bins"),
+        sum(col("n_tokens")).as("n_tokens")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // one row; lets the corpus-sized caches go
+    bins.unpersist()
+    clean.unpersist()
+    flags.unpersist()
+    out
+  }
 }

@@ -131,6 +131,7 @@ object SparkEntry {
     "q97_flatten_hierarchy" -> (Queries.q97FlattenHierarchy _),
     "q98_web_prep" -> (Queries.q98WebPrep _),
     "q99_approx_percentile" -> (Queries.q99ApproxPercentile _),
+    "q100_pretraining_pipeline" -> (Queries.q100PretrainingPipeline _),
   )
 
   private val mergeOracle: String = {
@@ -1117,6 +1118,65 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id, c.ts AS click_ts
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    // every stage of the pretraining pipeline recomputed in SQL: q61's
+    // lang/quality/exact-dedup CTEs (filtered to the %97 corpus split),
+    // 5-gram decontamination vs the held-out slice, chunk counts, and the
+    // window cumsum as the packing stand-in
+    "q100_pretraining_pipeline" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         len(list_intersect(string_split(text,' '), ['der','die','das','und','ist','nicht','ein','zu'])) AS s_de,
+        |         len(list_intersect(string_split(text,' '), ['the','and','of','to','in','is','that','it','a'])) AS s_en,
+        |         len(list_intersect(string_split(text,' '), ['el','la','los','y','es','no','una','que'])) AS s_es,
+        |         len(list_intersect(string_split(text,' '), ['le','la','les','et','est','pas','une','que'])) AS s_fr,
+        |         len(list_intersect(string_split(text,' '), ['的','是','不','了','在','人','有','我'])) AS s_zh
+        |  FROM documents WHERE doc_id % 97 != 0),
+        |p AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+        |              WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |              WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |              WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |              WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |              ELSE 'zh' END AS lp,
+        |         round(0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+        |             + 0.3 * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |                  ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |                       / CAST(length(text) AS DOUBLE) END) * 5.0, 1.0))
+        |             + 0.3 * least((CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+        |                  ELSE CAST(len(list_filter(string_split(text, ' '),
+        |                         tk -> list_contains(['the','and','of','to','in','is','that','it','a'], tk))) AS DOUBLE)
+        |                       / CAST(len(string_split(text, ' ')) AS DOUBLE) END) * 4.0, 1.0), 6) AS q
+        |  FROM s),
+        |f AS (SELECT doc_id, text FROM p WHERE lp = 'en' AND q >= 0.5),
+        |e AS (SELECT doc_id, text FROM (
+        |        SELECT doc_id, text,
+        |               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |        FROM f) WHERE rn = 1),
+        |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |           generate_series(1, greatest(len(ws) - 4, 0)),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS g
+        |        FROM (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 97 = 0)),
+        |esh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |           generate_series(1, greatest(len(ws) - 4, 0)),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS g
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM e)),
+        |dirty AS (SELECT DISTINCT esh.doc_id FROM esh JOIN bsh USING (g)),
+        |clean AS (SELECT doc_id, text FROM e
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+        |ct AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM clean),
+        |cum AS (SELECT doc_id, nt,
+        |               CAST(sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        |        FROM ct)
+        |SELECT (SELECT count(*) FROM p) AS n_corpus,
+        |       (SELECT count(*) FROM p WHERE lp = 'en') AS n_lang,
+        |       (SELECT count(*) FROM f) AS n_quality,
+        |       (SELECT count(*) FROM e) AS n_exact,
+        |       (SELECT count(*) FROM clean) AS n_clean,
+        |       (SELECT CAST(sum(len(generate_series(1, len(string_split(text, ' ')), 128))) AS BIGINT)
+        |        FROM clean) AS n_chunks,
+        |       (SELECT count(DISTINCT (c - nt) // 2048) FROM cum) AS n_bins,
+        |       (SELECT CAST(sum(nt) AS BIGINT) FROM ct) AS n_tokens""".stripMargin,
     // exact percentile verbatim; the GK sketch reduced to a within-bound
     // boolean the oracle derives trivially (q28's reduction pattern)
     "q99_approx_percentile" ->
