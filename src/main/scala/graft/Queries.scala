@@ -1935,6 +1935,25 @@ object Queries {
           expr("percentile(l_extendedprice, 0.5)") * lit(0.05))
           .as("approx_within_bound"))
 
+  // ---------------------------------------------------------------- Q14c
+  /** The LSH-ANN pipeline under a bit-for-bit oracle — the q13f treatment
+    * applied to the last rows-only algorithm class: the PRODUCTION
+    * hyperplane signature (splitmix-derived planes, seed 42) runs
+    * end-to-end (sign bits → bucket join → exact cosine → top-k), and the
+    * oracle recomputes the SAME planes (interpolated from the one Scala
+    * generator into the SQL, so the sides cannot drift), the same
+    * sequential-fold dot products, the same bucket join and ranking.
+    * probes=0 keeps the probe set closed-form; q14b remains the
+    * multi-probe recall-tested variant.
+    */
+  def q14cPortableLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.lshTopKJoin(
+      emb.where(col("vec_id") < 3), "vec_id", "embedding",
+      emb, "vec_id", "embedding",
+      k = 5, dim = 64, bits = 8, probes = 0, seed = 42L)
+  }
+
   // ---------------------------------------------------------------- Q100
   /** The END-TO-END pretraining data pipeline as one oracle-checked run —
     * q61's curation funnel extended through the remaining stages: corpus

@@ -130,6 +130,7 @@ object SparkEntry {
     "q96_format_roundtrip" -> (Queries.q96FormatRoundtrip _),
     "q97_flatten_hierarchy" -> (Queries.q97FlattenHierarchy _),
     "q98_web_prep" -> (Queries.q98WebPrep _),
+    "q14c_portable_lsh" -> (Queries.q14cPortableLsh _),
     "q99_approx_percentile" -> (Queries.q99ApproxPercentile _),
     "q100_pretraining_pipeline" -> (Queries.q100PretrainingPipeline _),
   )
@@ -302,7 +303,38 @@ object SparkEntry {
        |FROM a""".stripMargin
   }
 
+  /** q14c: the production hyperplane planes (splitmix, seed 42) are
+    * interpolated from the ONE Scala generator into the SQL — the q13f
+    * shared-literal discipline — and the dot product is the same
+    * sequential left fold (`list_reduce` == Spark's `aggregate` from 0.0,
+    * identical for IEEE addition), so signatures, buckets, candidates and
+    * ranks replay bit-for-bit.
+    */
+  private val portableLshOracle: String = {
+    val planes = graft.functions.LshPlanes.planes(dim = 64, bits = 8, seed = 42L)
+    val sigExpr = planes.zipWithIndex.map { case (p, i) =>
+      val lit = p.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_reduce(list_transform(generate_series(1, 64), " +
+        s"j -> CAST(embedding[j] AS DOUBLE) * ($lit::DOUBLE[])[j]), " +
+        s"(a, b) -> a + b) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n         + ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding,
+       |         $sigExpr AS bucket
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id,
+       |         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+       |  FROM sig q JOIN sig c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 3)
+       |SELECT q_id, vec_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+       |  FROM cand)
+       |WHERE rn <= 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q14c_portable_lsh" -> portableLshOracle,
     "q1_dedup_full" -> "SELECT DISTINCT * FROM lineitem",
     "q2_latest_by_key" ->
       """SELECT event_id, ts, user_id, event_type, value, props FROM (
