@@ -1287,21 +1287,47 @@ object Queries {
     * the corpus is pruned, and any assignment/probe/ranking bug surfaces
     * as a hash mismatch.
     */
-  def q71bIvfApprox(spark: SparkSession, dir: String): DataFrame = {
+  /** The q71b/q71c closed-form clustered corpus: cluster g = vec_id % 4
+    * on axis 2g, float-exact sixteenth perturbation on axis 2g+1.
+    */
+  private def clusteredEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     val g2 = (col("vec_id") % 4) * 2
     val eps = ((col("vec_id") % 7) + 1).cast("double") / lit(16.0)
-    val v = t(spark, dir, "embeddings").select(col("vec_id"))
+    t(spark, dir, "embeddings").select(col("vec_id"))
       .withColumn("vec", transform(sequence(lit(0), lit(7)), i =>
         when(i === g2, lit(1.0))
           .when(i === g2 + 1, eps)
           .otherwise(lit(0.0)).cast("float")))
-    val oneHot = Array.tabulate(4) { g =>
-      val a = Array.fill(8)(0f); a(2 * g) = 1f; a
-    }
+  }
+
+  /** The four one-hot cluster axes — the frozen index for q71b/q71c. */
+  private val oneHotCentroids: Array[Array[Float]] = Array.tabulate(4) { g =>
+    val a = Array.fill(8)(0f); a(2 * g) = 1f; a
+  }
+
+  def q71bIvfApprox(spark: SparkSession, dir: String): DataFrame = {
+    val v = clusteredEmbeddings(spark, dir)
     Similarity.ivfTopKJoin(
       v.where(col("vec_id") % 97 === 0), "vec_id", "vec",
       v, "vec_id", "vec",
-      k = 5, nLists = 4, nProbe = 1, dim = 8, centroids = oneHot)
+      k = 5, nLists = 4, nProbe = 1, dim = 8, centroids = oneHotCentroids)
+  }
+
+  /** The MATERIALIZED IVF index on the same closed-form corpus: write the
+    * corpus hive-partitioned by inverted list ([[Similarity.writeIvfIndex]]),
+    * then probe with nProbe=1 ([[Similarity.probeIvfIndex]]) — the scan
+    * reads ONLY the probed list partitions (SimilaritySpec asserts the
+    * pruning), and the result must equal q71b's in-memory operator, which
+    * the oracle already pins. This is the train-once / probe-from-layout
+    * deployment path the 100 TB design describes, as tested code.
+    */
+  def q71cIvfIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val v = clusteredEmbeddings(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q71c").toString
+    Similarity.writeIvfIndex(v, "vec_id", "vec", tmp, oneHotCentroids)
+    Similarity.probeIvfIndex(spark, tmp,
+      v.where(col("vec_id") % 97 === 0), "vec_id", "vec",
+      k = 5, centroids = oneHotCentroids, nProbe = 1)
   }
 
   // ---------------------------------------------------------------- Q72

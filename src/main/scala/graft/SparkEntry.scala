@@ -103,6 +103,7 @@ object SparkEntry {
     "q70_chunk_dedup" -> (Queries.q70ChunkDedup _),
     "q71_ivf_exact" -> (Queries.q71IvfExact _),
     "q71b_ivf_approx" -> (Queries.q71bIvfApprox _),
+    "q71c_ivf_index" -> (Queries.q71cIvfIndexProbe _),
     "q72_exists_in" -> (Queries.q72ExistsIn _),
     "q73_set_ops_all" -> (Queries.q73SetOpsAll _),
     "q74_vocab_coverage" -> (Queries.q74VocabCoverage _),
@@ -332,6 +333,29 @@ object SparkEntry {
        |  FROM cand)
        |WHERE rn <= 5""".stripMargin
   }
+
+  /** Shared by q71b (in-memory operator) and q71c (materialized index
+    * probe): same frozen one-hot index over the same closed-form
+    * clustered corpus — nProbe=1's expected answer is the within-cluster
+    * cosine top-k, layout-independent by construction.
+    */
+  private val ivfApproxOracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, vec_id % 4 AS g,
+      |         list_transform(range(0, 8), i ->
+      |           CASE WHEN i = (vec_id % 4) * 2 THEN 1.0
+      |                WHEN i = (vec_id % 4) * 2 + 1 THEN ((vec_id % 7) + 1) / 16.0
+      |                ELSE 0.0 END) AS vec
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id,
+      |         round(list_cosine_similarity(q.vec, c.vec), 6) AS sim
+      |  FROM v q JOIN v c ON q.g = c.g AND c.vec_id <> q.vec_id
+      |  WHERE q.vec_id % 97 = 0)
+      |SELECT q_id, vec_id, sim FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+      |  FROM scored)
+      |WHERE rn <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q14c_portable_lsh" -> portableLshOracle,
@@ -1482,23 +1506,10 @@ object SparkEntry {
     // within-cluster cosine top-k from the same vec_id arithmetic; eps
     // values are sixteenths (exact in float32), so both engines' double
     // cosine agrees bit-for-bit
-    "q71b_ivf_approx" ->
-      """WITH v AS (
-        |  SELECT vec_id, vec_id % 4 AS g,
-        |         list_transform(range(0, 8), i ->
-        |           CASE WHEN i = (vec_id % 4) * 2 THEN 1.0
-        |                WHEN i = (vec_id % 4) * 2 + 1 THEN ((vec_id % 7) + 1) / 16.0
-        |                ELSE 0.0 END) AS vec
-        |  FROM embeddings),
-        |scored AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id,
-        |         round(list_cosine_similarity(q.vec, c.vec), 6) AS sim
-        |  FROM v q JOIN v c ON q.g = c.g AND c.vec_id <> q.vec_id
-        |  WHERE q.vec_id % 97 = 0)
-        |SELECT q_id, vec_id, sim FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
-        |  FROM scored)
-        |WHERE rn <= 5""".stripMargin,
+    "q71b_ivf_approx" -> ivfApproxOracle,
+    // the MATERIALIZED index probe has identical semantics (same corpus,
+    // same frozen centroids, same nProbe) — layout must not change results
+    "q71c_ivf_index" -> ivfApproxOracle,
     // correlated EXISTS / NOT EXISTS + uncorrelated IN, same SQL both sides
     "q72_exists_in" ->
       """SELECT c_nationkey,

@@ -185,6 +185,50 @@ object Similarity {
       .select(col("q_id"), col("c_id").as("vec_id"), col("sim"))
   }
 
+  /** Materialize the IVF DEPLOYMENT layout the scaladoc above promises:
+    * corpus vectors assigned to their nearest frozen centroid and written
+    * hive-partitioned by inverted-list id. This is the train-once /
+    * ingest-many half of a production ANN index — at 100 TB the partition
+    * layout IS the index.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame, cId: String, cVec: String,
+      path: String, centroids: Array[Array[Float]]): Unit =
+    Parallelism.ensureCompute(corpus)
+      .select(col(cId).as("c_id"), col(cVec).as("c_vec"))
+      .withColumn("list",
+        nearestLists(col("c_vec"), centroids, 1).getItem(0).getField("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(path)
+
+  /** Probe a materialized IVF index: each query computes its `nProbe`
+    * nearest lists against the same frozen centroids and the scan reads
+    * ONLY those partitions — the probe list is driver-known (queries are
+    * the small side by contract), so the `isin` filter prunes list
+    * directories at PLANNING time (SimilaritySpec asserts
+    * selectedPartitions). Scoring/ranking is identical to
+    * [[ivfTopKJoin]], so a probe against the index equals the in-memory
+    * operator with the same centroids.
+    */
+  def probeIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qId: String, qVec: String,
+      k: Int, centroids: Array[Array[Float]], nProbe: Int): DataFrame = {
+    val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
+      .withColumn("list", explode(transform(
+        nearestLists(col("q_vec"), centroids, nProbe), s => s.getField("list"))))
+    val probedLists = q.select(col("list")).distinct()
+      .collect().map(_.getLong(0)) // bounded: <= |queries| * nProbe ids
+    val scored = spark.read.parquet(path)
+      .where(col("list").isin(probedLists: _*))
+      .join(broadcast(q), Seq("list"))
+      .where(col("c_id") =!= col("q_id"))
+      .withColumn("sim", round(VectorExpressions.cosine(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("c_id").as("vec_id"), col("sim"))
+  }
+
   /** EXACT all-pairs near-duplicate detection by embedding cosine >=
     * threshold — the brute-force O(n²) counterpart of
     * [[cosineNearDupPairs]]. Quadratic by construction: it exists as the

@@ -84,6 +84,41 @@ class SimilaritySpec extends SparkSuite {
     assert(e.getMessage.contains("nLists"), e.getMessage)
   }
 
+  test("materialized IVF index: probe equals the in-memory operator, scan reads only probed lists") {
+    val corpus = Seq(
+      (0L, Array(1f, 0.10f, 0f, 0f)), (2L, Array(1f, 0.20f, 0f, 0f)),
+      (4L, Array(1f, 0.30f, 0f, 0f)),
+      (1L, Array(0f, 0f, 1f, 0.10f)), (3L, Array(0f, 0f, 1f, 0.25f))
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", dir, cents)
+    val queries = corpus.where($"vec_id" === 0)
+    val probe = Similarity.probeIvfIndex(spark, dir, queries, "vec_id", "embedding",
+      k = 3, centroids = cents, nProbe = 1)
+    val mem = Similarity.ivfTopKJoin(queries, "vec_id", "embedding",
+      corpus, "vec_id", "embedding",
+      k = 3, nLists = 2, nProbe = 1, dim = 4, centroids = cents)
+    assert(probe.exceptAll(mem).isEmpty && mem.exceptAll(probe).isEmpty,
+      "layout must not change results")
+    // the scale contract: the probe scan touches ONLY the probed list's
+    // partition directory — 1 of 2 at planning time
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Similarity.probeIvfIndex(spark, dir, queries, "vec_id", "embedding",
+          k = 3, centroids = cents, nProbe = 1)
+        .queryExecution.executedPlan
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains("graft_ivfidx") => s
+      }
+      assert(scans.nonEmpty, s"index scan not found:\n$plan")
+      assert(scans.head.selectedPartitions.partitionCount == 1,
+        s"probe must read 1 of 2 list partitions, got " +
+          s"${scans.head.selectedPartitions.partitionCount}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("k-means centroids: deterministic, right shape, tighter than init") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     def cost(cents: Array[Array[Float]]): Double = {
