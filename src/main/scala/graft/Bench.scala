@@ -46,6 +46,17 @@ object Bench {
     // error and the process exits nonzero.
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Any attempt failing (even when another succeeded and produced a
+    // timing) is surfaced in the artifact, not just stderr: a 50%-flaky
+    // query must not look healthy in BENCH_local.json.
+    val partialErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // The heaviest queries take min-of-3 (everything else min-of-2): a
+    // single host-contention spike on one of them dominates the round
+    // total (round-4's q61 recorded 38.7 s official vs 2.9-4.1 s in every
+    // replay — PLANS.md "Round-5 q61 re-measure").
+    val heavy = Set("q61_curation_funnel", "q78_canonical_pick",
+      "q63_zorder_scan", "q100_pretraining_pipeline",
+      "q30b_cosine_near_dup_exact")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
@@ -57,19 +68,27 @@ object Bench {
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
         }
       }
-      (once(), once()) match {
-        case (Right(a), Right(b)) => timings(name) = math.min(a, b)
-        case (Right(a), Left(_))  => timings(name) = a
-        case (Left(_), Right(b))  => timings(name) = b
-        case (Left(m), Left(_))   => errors(name) = m
-      }
+      val attempts = Seq.fill(if (heavy(name)) 3 else 2)(once())
+      val ok = attempts.collect { case Right(t) => t }
+      val bad = attempts.collect { case Left(m) => m }
+      if (ok.nonEmpty) {
+        timings(name) = ok.min
+        if (bad.nonEmpty)
+          partialErrors(name) = s"${bad.size}/${attempts.size} attempts failed: ${bad.head}"
+      } else errors(name) = bad.head
     }
     def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+      "\"" + s.flatMap {
+        case '\\' => "\\\\"
+        case '"'  => "\\\""
+        case c if c < 0x20 => f"\\u${c.toInt}%04x"
+        case c    => c.toString
+      } + "\""
     val qs = timings.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val partialJson = partialErrors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
     // warmup policy is part of the methodology and recorded with the
@@ -78,9 +97,10 @@ object Bench {
     // timed) — not comparable with a cold-read run.
     val warmup = "steady-state: pre-read all tables via noop sink; " +
       "pre-compiled shuffle/window/HOF/agg/broadcast-join/top-k paths; " +
-      "per-query value is the MIN of 2 fresh builds+runs " +
-      "(failed attempts excluded; all-fail recorded under errors)"
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","warmup":${jstr(warmup)}}"""
+      "per-query value is the MIN over fresh builds+runs (3 attempts for " +
+      "the 5 heaviest queries, else 2; failed attempts excluded and " +
+      "recorded under partial_errors; all-fail recorded under errors)"
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"partial_errors":$partialJson,"sf":"$sfDir","warmup":${jstr(warmup)}}"""
     // The official channel captures a bounded TAIL of this process's log, so
     // a single giant line loses its FRONT (BENCH_r03 lost 40/96 timings and
     // the total). Truncation-proofing, per round-3 advice:
@@ -94,7 +114,7 @@ object Bench {
     java.nio.file.Files.write(outFile,
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir","queries_file":"${outFile.toAbsolutePath}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size},"n_errors":${errors.size},"n_partial_errors":${partialErrors.size},"errors":$errJson,"sf":"$sfDir","queries_file":"${outFile.toAbsolutePath}"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -380,6 +380,32 @@ object Queries {
       .agg(count(lit(1)).as("n_sampled"),
         max(col("frame_idx")).cast("int").as("last_idx"))
 
+  /** Audio decode with a REAL codec: per-doc PCM WAVs are generated on
+    * executors with closed-form properties (rate = 8000 + doc_id%3*4000 Hz,
+    * channels = doc_id%2+1, frames = doc_id%100+20) and every 16-bit sample
+    * a pure function of (id, frame, channel), then parsed back through
+    * `javax.sound.sampled` — decoded rate/channels/frames come out of the
+    * real WAV header, byte_len proves the canonical 44-byte-header encode,
+    * and the decoded-sample SUM proves the decode read the full waveform;
+    * the oracle recomputes all of it from the same id arithmetic. With this
+    * the remaining codec stub surface is video only.
+    */
+  def q18dAudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.attachWavPayload(
+      t(spark, dir, "documents"), "doc_id",
+      rateCol = lit(8000) + (col("doc_id") % 3) * 4000,
+      channelsCol = col("doc_id") % 2 + 1,
+      framesCol = col("doc_id") % 100 + 20)
+    Multimodal.decodeFeatures(spark, media, Multimodal.WavCodec)
+      .toDF()
+      .select(col("media_id"),
+        col("width").as("sample_rate"),
+        col("height").as("channels"),
+        col("n_frames"),
+        col("byte_len"),
+        element_at(col("feature"), 4).cast("bigint").as("sample_sum"))
+  }
+
   // ---------------------------------------------------------------- Q19
   /** §2.5 class: global sort + limit with deterministic tiebreak. */
   def q19TopN(spark: SparkSession, dir: String): DataFrame =
@@ -1784,9 +1810,13 @@ object Queries {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
+      // the per-row double product is identical on any engine (same IEEE
+      // ops); casting it to DECIMAL before the sum makes the aggregate
+      // order-independent, so the rounded result can't flip with
+      // partitioning (the round(sum(double)) boundary class — ADVICE r4)
       .agg(count(lit(1)).as("n_lines"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"))
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
   }
 
   // ---------------------------------------------------------------- Q93
@@ -1866,7 +1896,10 @@ object Queries {
       .where(substring(md5(concat(lit("s:"), col("o_orderstatus"))), 1, 2) === "11")
     fact.join(broadcast(dim), Seq("o_orderstatus"))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      // decimal sum: order-independent over the freshly partition-pruned
+      // rewrite, whose split order varies run to run (ADVICE r4 class)
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
   }
 
   // ---------------------------------------------------------------- Q96
@@ -1889,9 +1922,16 @@ object Queries {
       "json" -> spark.read.schema(slice.schema).json(s"$base/json"),
       "orc" -> spark.read.orc(s"$base/orc"))
     back.map { case (fmt, df) =>
+      // both aggregates go through DECIMAL so they are order-independent
+      // (round(sum(double)) can flip its last digit with summation order —
+      // ADVICE r4): `revenue` is the 2-dp headline; `price_fp` keeps the
+      // double-round-trip sensitivity the query exists for — a 12-dp
+      // per-row decimal capture summed exactly and compared as a string,
+      // so a container mangling any double's low digits still breaks it
       df.agg(lit(fmt).as("format"), count(lit(1)).as("n_rows"),
         sum(col("o_orderkey")).as("sum_key"),
-        round(sum(col("o_totalprice")), 2).as("revenue"))
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        sum(col("o_totalprice").cast("decimal(18,12)")).cast("string").as("price_fp"))
     }.reduce(_ unionByName _)
   }
 

@@ -47,6 +47,7 @@ object SparkEntry {
     "q18_media_meta" -> (Queries.q18MediaMeta _),
     "q18b_media_decode" -> (Queries.q18bMediaDecode _),
     "q18c_frame_sample" -> (Queries.q18cFrameSample _),
+    "q18d_audio_decode" -> (Queries.q18dAudioDecode _),
     "q19_topn" -> (Queries.q19TopN _),
     "q20_intersect" -> (Queries.q20Intersect _),
     "q21_except" -> (Queries.q21Except _),
@@ -631,6 +632,23 @@ object SparkEntry {
         |       CAST(ceil(((octet_length(encode(text)) % 240) + 1) / 10.0) AS BIGINT) AS n_sampled,
         |       CAST((((octet_length(encode(text)) % 240) + 1 - 1) // 10) * 10 AS INTEGER) AS last_idx
         |FROM documents""".stripMargin,
+    // REAL audio decode path: executor-generated PCM WAVs with closed-form
+    // properties and per-sample arithmetic, parsed back through
+    // javax.sound.sampled — green means actual WAV bytes round-tripped
+    // through an actual audio parser (44-byte canonical header in
+    // byte_len; decoded-sample sum replayed per-sample by the oracle)
+    "q18d_audio_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+        |       CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |       CAST(doc_id % 100 + 20 AS INTEGER) AS n_frames,
+        |       CAST(44 + (doc_id % 100 + 20) * (doc_id % 2 + 1) * 2 AS BIGINT) AS byte_len,
+        |       CAST(list_sum(flatten(list_transform(
+        |         range(CAST(doc_id % 100 + 20 AS INTEGER)), i ->
+        |           list_transform(range(CAST(doc_id % 2 + 1 AS INTEGER)), c ->
+        |             (doc_id * 131 + i * 17 + c * 7) % 32768 - 16384)))) AS BIGINT)
+        |         AS sample_sum
+        |FROM documents""".stripMargin,
     "q19_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
@@ -1089,11 +1107,13 @@ object SparkEntry {
         |       count(*) AS n
         |FROM bfr b FULL OUTER JOIN aft a ON b.k = a.k
         |GROUP BY 1""".stripMargin,
-    // per-user daily sums (rounded BEFORE the fill), per-user date spine,
-    // LOCF via last_value IGNORE NULLS over the running frame
+    // per-user daily sums (decimal-exact, rounded BEFORE the fill),
+    // per-user date spine, LOCF via last_value IGNORE NULLS
     "q86_gap_fill" ->
       """WITH daily AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 3) AS value
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |         CAST(round(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,9))), 3)
+        |              AS DOUBLE) AS value
         |  FROM events WHERE user_id % 37 = 0 GROUP BY 1, 2),
         |b AS (SELECT user_id, min(d) AS mn, max(d) AS mx FROM daily GROUP BY 1),
         |spine AS (
@@ -1148,10 +1168,12 @@ object SparkEntry {
         |       CAST(sum(n_new) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |         AS cum_users
         |FROM n""".stripMargin,
-    // six-table TPC-H-Q5-shape join; revenue rounded both sides
+    // six-table TPC-H-Q5-shape join; revenue summed as DECIMAL on both
+    // sides (order-independent), rounded once at the end
     "q92_multi_join_revenue" ->
       """SELECT n_name, count(*) AS n_lines,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |       CAST(round(sum(CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR)
+        |                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1278,22 +1300,33 @@ object SparkEntry {
     // dynamicpruning subquery in the scan); values = a plain filtered agg
     "q95_dynamic_pruning" ->
       """SELECT o_orderpriority, count(*) AS n,
-        |       round(sum(o_totalprice), 2) AS revenue
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY 1""".stripMargin,
     // each format must reproduce the same parquet-derived aggregate
+    // the 12-dp fingerprint cast goes double -> VARCHAR -> DECIMAL: Spark
+    // casts double to decimal via the SHORTEST decimal representation
+    // (BigDecimal.valueOf), DuckDB via the true binary expansion — at 12 dp
+    // those differ by half an ulp per row, so the oracle routes through the
+    // shortest rendering to match Spark's cast semantics exactly
     "q96_format_roundtrip" ->
       """WITH s AS (
-        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 20 = 0)
+        |  SELECT o_orderkey, o_totalprice,
+        |         CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,12)) AS fp
+        |  FROM orders WHERE o_orderkey % 20 = 0)
         |SELECT 'csv' AS format, count(*) AS n_rows,
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
-        |       round(sum(o_totalprice), 2) AS revenue FROM s
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       CAST(sum(fp) AS VARCHAR) AS price_fp
+        |FROM s
         |UNION ALL
         |SELECT 'json', count(*), CAST(sum(o_orderkey) AS BIGINT),
-        |       round(sum(o_totalprice), 2) FROM s
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |       CAST(sum(fp) AS VARCHAR) FROM s
         |UNION ALL
         |SELECT 'orc', count(*), CAST(sum(o_orderkey) AS BIGINT),
-        |       round(sum(o_totalprice), 2) FROM s""".stripMargin,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |       CAST(sum(fp) AS VARCHAR) FROM s""".stripMargin,
     // plain SQL-standard ntile — green proves the distributed
     // prefix-sum formula reproduces it bit-for-bit
     "q94_quantile_bins" ->

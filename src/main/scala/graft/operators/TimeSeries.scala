@@ -45,13 +45,18 @@ object TimeSeries {
         last(col(valueCol), ignoreNulls = true).over(w).as(s"${valueCol}_filled"))
   }
 
-  /** One row per (key, day): row count + a rounded sum of `valueCol`
-    * (rounded HERE, before any fill copies it, so the carried-forward
-    * value is deterministic across engines regardless of summation order).
+  /** One row per (key, day): a rounded sum of `valueCol`, rounded HERE,
+    * before any fill copies it. The sum itself goes through DECIMAL — a
+    * per-row cast at 9 dp (deterministic: a function of each value alone),
+    * then an EXACT order-independent decimal sum — because round(sum of
+    * doubles) can land on a rounding boundary and flip the last digit with
+    * summation order (the q61/q96 bench-noise class); the decimal path is
+    * bit-stable across engines and partitionings.
     */
   def dailyAggregate(
       df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
       scale: Int = 3): DataFrame =
     df.groupBy(col(keyCol), to_date(col(tsCol)).as("d"))
-      .agg(round(sum(col(valueCol)), scale).as(valueCol))
+      .agg(round(sum(col(valueCol).cast("decimal(18,9)")), scale)
+        .cast("double").as(valueCol))
 }

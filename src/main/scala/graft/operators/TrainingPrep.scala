@@ -85,7 +85,8 @@ object TrainingPrep {
     * dropped before returning.
     *
     * `numParts <= 0` (the default) derives the range-partition count from
-    * the INPUT's partitioning — `max(32, input partitions)` — so the
+    * the input's PLAN ([[derivePrefixSumParts]]: declared repartition or
+    * size-estimate, floored at 32, never executing the plan) — so the
     * cumsum's parallelism scales with the data instead of bottlenecking a
     * 100 TB tape on a fixed 32 ranges; the offsets collect stays one row
     * per partition. Pass an explicit positive count to pin it.
@@ -131,12 +132,37 @@ object TrainingPrep {
     * bin search, one distributed prefix sum. Returns (id, n_tokens, bin).
     */
   /** Range-partition count [[globalPrefixSum]] will use for `df` when the
-    * caller leaves `numParts` unset: `max(32, current input partitions)`.
-    * Exposed so tests can assert the derivation.
+    * caller leaves `numParts` unset — derived at PLANNING time only
+    * (`df.rdd.getNumPartitions` would finalize an adaptive plan and
+    * eagerly run the upstream shuffle stages once just to read a count,
+    * doubling upstream work at exactly the scale this default serves):
+    * the topmost declared repartition count in the optimized plan if the
+    * caller set one, else `ceil(stats.sizeInBytes / maxPartitionBytes)`
+    * (the same sizing a leaf file scan gets), else `defaultParallelism`;
+    * always floored at 32. Exposed so tests can assert the derivation.
     */
   def derivePrefixSumParts(df: DataFrame, numParts: Int = -1): Int =
     if (numParts > 0) numParts
-    else math.max(32, df.rdd.getNumPartitions)
+    else {
+      val spark = df.sparkSession
+      val plan = df.queryExecution.optimizedPlan
+      val declared = plan.collectFirst {
+        case r: org.apache.spark.sql.catalyst.plans.logical.Repartition =>
+          r.numPartitions
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+            if r.optNumPartitions.isDefined => r.optNumPartitions.get
+      }
+      val derived = declared.getOrElse {
+        val size = plan.stats.sizeInBytes
+        val maxPart = BigInt(
+          org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
+        // unknown stats default to Long.MaxValue-ish sentinels; fall back
+        if (size > 0 && size < BigInt(Long.MaxValue) / 4)
+          ((size + maxPart - 1) / maxPart).min(BigInt(1000000)).toInt
+        else spark.sparkContext.defaultParallelism
+      }
+      math.max(32, derived)
+    }
 
   def packBins(
       df: DataFrame, idCol: String, textCol: String, budget: Int,

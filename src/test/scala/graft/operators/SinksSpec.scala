@@ -51,7 +51,7 @@ class SinksSpec extends SparkSuite {
     assert(spark.read.parquet(path).select($"v").as[String].collect().toSeq == Seq("new"))
   }
 
-  test("a crash between swapInto's two renames self-heals on the next probe") {
+  test("a crash between swapInto's two renames self-heals on the next WRITE") {
     val path = tmp("swapcrash")
     Sinks.swapInto(spark, path, Seq((1, "live")).toDF("id", "v"))
     // reproduce the crash window exactly: dest has been renamed to .old,
@@ -60,10 +60,55 @@ class SinksSpec extends SparkSuite {
     fs.rename(new org.apache.hadoop.fs.Path(path),
       new org.apache.hadoop.fs.Path(path + ".old"))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path)), "precondition: dest gone")
-    // the probe detects dest-absent + .old-present and restores the backup
-    assert(Sinks.tableExists(spark, path), "probe must restore the .old backup")
-    assert(spark.read.parquet(path).select($"v").as[String].collect().toSeq == Seq("live"))
+    // the probe is PURE (a read-sounding call must not race a concurrent
+    // writer's renames — ADVICE r4): it reports the crashed state as-is
+    assert(!Sinks.tableExists(spark, path), "probe must not mutate")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path + ".old")),
+      "probe must leave the backup untouched")
+    // the next WRITER owns the repair: appendInto restores the backed-up
+    // rows before appending, so nothing is silently dropped
+    Sinks.appendInto(spark, path, Seq((2, "next")).toDF("id", "v"))
+    assert(spark.read.parquet(path).select($"v").as[String].collect().toSet ==
+      Set("live", "next"), "heal must restore the backup, then append")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".old")),
       ".old must be consumed by the restore")
+  }
+
+  test("swapIntoVersioned publishes via commit marker; readCurrent follows it") {
+    val root = tmp("versioned")
+    Sinks.swapIntoVersioned(spark, root, Seq((1, "v1")).toDF("id", "v"))
+    assert(Sinks.readCurrent(spark, root).select($"v").as[String].collect().toSeq == Seq("v1"))
+    Sinks.swapIntoVersioned(spark, root, Seq((2, "v2")).toDF("id", "v"))
+    assert(Sinks.readCurrent(spark, root).select($"v").as[String].collect().toSeq == Seq("v2"))
+  }
+
+  test("a crash before the commit marker leaves readers on the old version") {
+    val root = tmp("vcrash")
+    Sinks.swapIntoVersioned(spark, root, Seq((1, "committed")).toDF("id", "v"))
+    // simulate a writer that died after writing data but BEFORE the commit
+    // point: a bare v-directory with no marker
+    Seq((2, "torn")).toDF("id", "v")
+      .write.mode("overwrite").parquet(root + "/v00000002")
+    assert(Sinks.readCurrent(spark, root).select($"v").as[String].collect().toSeq ==
+      Seq("committed"), "uncommitted data must be invisible")
+    // the next successful swap reuses the orphan's version slot (overwrite
+    // clears the torn files) and its marker makes the new data visible
+    Sinks.swapIntoVersioned(spark, root, Seq((3, "v3")).toDF("id", "v"))
+    assert(Sinks.readCurrent(spark, root).select($"v").as[String].collect().toSeq == Seq("v3"),
+      "the orphan slot's torn files must have been overwritten by the commit")
+  }
+
+  test("versioned retention: latest two versions kept, older GC'd") {
+    val root = tmp("vgc")
+    (1 to 4).foreach { i =>
+      Sinks.swapIntoVersioned(spark, root, Seq((i, s"v$i")).toDF("id", "v"))
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root + "/v00000004")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root + "/v00000003")),
+      "previous version stays readable for in-flight readers")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root + "/v00000002")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root + "/_commit_00000002")))
+    assert(Sinks.readCurrent(spark, root).select($"v").as[String].collect().toSeq == Seq("v4"))
   }
 }
