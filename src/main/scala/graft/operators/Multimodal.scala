@@ -91,10 +91,11 @@ object Multimodal {
       }(enc).toDF()
   }
 
-  /** The codec seam. Still images run through [[ImageIoCodec]] (a REAL
-    * codec on the JDK's `javax.imageio`, zero extra dependencies); the
-    * audio/video half stays stubbed behind [[DeterministicFakeCodec]]
-    * (this container ships no media libraries beyond the JDK).
+  /** The codec seam. Still images run through [[ImageIoCodec]] and WAV
+    * audio through [[WavCodec]] (both REAL codecs on JDK-only APIs —
+    * `javax.imageio` / `javax.sound.sampled`, zero extra dependencies);
+    * only video remains stubbed behind [[DeterministicFakeCodec]] (this
+    * container ships no video library beyond the JDK).
     */
   trait MediaCodec extends Serializable {
     /** Decode payload bytes into (width, height, frames, feature vector). */
@@ -172,10 +173,176 @@ object Multimodal {
     }
   }
 
+  /** Attach a REAL PCM WAV payload per row, encoded with the JDK's
+    * `javax.sound.sampled` (zero extra dependencies). Sample rate, channel
+    * count and frame count come from the given column expressions and every
+    * 16-bit sample is a pure function of (media_id, frame, channel), so the
+    * whole waveform is deterministic and the decoded properties — and even
+    * the SUM over all decoded samples — are closed-form in the id, which is
+    * what lets the audio decode path run under the DuckDB oracle (q18d) the
+    * same way [[attachPngPayload]] does for images (q18b). Same
+    * mapPartitions shape: payloads are born on executors, never shuffled.
+    */
+  def attachWavPayload(
+      df: DataFrame, idCol: String,
+      rateCol: org.apache.spark.sql.Column,
+      channelsCol: org.apache.spark.sql.Column,
+      framesCol: org.apache.spark.sql.Column): DataFrame = {
+    implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    Parallelism.ensureCompute(
+        df.select(col(idCol).cast("bigint").as("media_id"),
+          rateCol.cast("int").as("rate"), channelsCol.cast("int").as("ch"),
+          framesCol.cast("int").as("n")))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val (id, rate, ch, n) =
+            (row.getLong(0), row.getInt(1), row.getInt(2), row.getInt(3))
+          MediaPayload(id, encodeWav(id, rate, ch, n), "audio/wav")
+        }
+      }(enc).toDF()
+  }
+
+  /** The deterministic 16-bit sample at (frame, channel) for media `id` —
+    * shared by the encoder and the q18d oracle's SQL replay. Range
+    * [-16384, 16383], so a sum over any payload this repo generates stays
+    * far inside float-exact integer range.
+    */
+  private def wavSample(id: Long, frame: Int, channel: Int): Int =
+    ((id * 131 + frame * 17 + channel * 7) % 32768 - 16384).toInt
+
+  private def encodeWav(id: Long, rate: Int, ch: Int, n: Int): Array[Byte] = {
+    val data = new Array[Byte](n * ch * 2)
+    var p = 0
+    var i = 0
+    while (i < n) {
+      var c = 0
+      while (c < ch) {
+        val v = wavSample(id, i, c)
+        data(p) = (v & 0xff).toByte
+        data(p + 1) = ((v >> 8) & 0xff).toByte
+        p += 2
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      rate.toFloat, 16, ch, ch * 2, rate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio codec on `javax.sound.sampled` — parses actual WAV bytes
+    * (sample rate / channels / frame count come out of the decoded header,
+    * not arithmetic) and folds every decoded 16-bit sample into the feature
+    * vector, proving the decode touched the full waveform. [[MediaFeatures]]
+    * mapping for audio: width = sample rate (Hz), height = channels,
+    * n_frames = PCM frame count, feature = (rate, channels, frames,
+    * sample sum). `resize` re-encodes at (w = target rate, h = target
+    * channels) via nearest-neighbor resampling; `extractFrame` cuts the
+    * single PCM frame at the index into its own one-frame WAV. Rejects
+    * non-audio mimes; video stays behind [[DeterministicFakeCodec]].
+    */
+  object WavCodec extends MediaCodec {
+    import javax.sound.sampled._
+
+    private def requireAudio(mime: String): Unit =
+      require(mime.startsWith("audio/"),
+        s"WavCodec handles audio/* only, got '$mime' — route video through " +
+          "an AV codec implementation of MediaCodec")
+
+    /** (format, frames, 16-bit LE samples frame-major) from WAV bytes. */
+    private def read(payload: Array[Byte]): (AudioFormat, Int, Array[Short]) = {
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+        fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+        s"WavCodec decodes 16-bit little-endian PCM, got $fmt")
+      val bytes = ais.readAllBytes()
+      val samples = new Array[Short](bytes.length / 2)
+      var i = 0
+      while (i < samples.length) {
+        samples(i) = (((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort)
+        i += 1
+      }
+      (fmt, ais.getFrameLength.toInt, samples)
+    }
+
+    private def write(rate: Int, ch: Int, samples: Array[Short]): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        data(2 * i) = (samples(i) & 0xff).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        rate.toFloat, 16, ch, ch * 2, rate.toFloat, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, (samples.length / ch).toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    override def decode(mediaId: Long, mime: String, payload: Array[Byte]): MediaFeatures = {
+      requireAudio(mime)
+      val (fmt, frames, samples) = read(payload)
+      var sum = 0L
+      var i = 0
+      while (i < samples.length) { sum += samples(i); i += 1 }
+      MediaFeatures(mediaId, mime, payload.length.toLong,
+        width = fmt.getSampleRate.toInt, height = fmt.getChannels,
+        n_frames = frames,
+        feature = Array(fmt.getSampleRate, fmt.getChannels.toFloat,
+          frames.toFloat, sum.toFloat))
+    }
+
+    /** Audio "resize": transcode to (w = sample rate, h = channels) —
+      * nearest-neighbor frame resampling, channel mix by truncate/repeat.
+      */
+    override def resize(mime: String, payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      requireAudio(mime)
+      val (fmt, frames, samples) = read(payload)
+      val srcCh = fmt.getChannels
+      val outFrames = math.max(1,
+        math.round(frames.toDouble * w / fmt.getSampleRate).toInt)
+      val out = new Array[Short](outFrames * h)
+      var i = 0
+      while (i < outFrames) {
+        val srcFrame = math.min(frames - 1,
+          (i.toLong * frames / outFrames).toInt)
+        var c = 0
+        while (c < h) {
+          out(i * h + c) = samples(srcFrame * srcCh + math.min(c, srcCh - 1))
+          c += 1
+        }
+        i += 1
+      }
+      write(w, h, out)
+    }
+
+    /** One PCM frame (all channels) at `frameIdx`, as its own 1-frame WAV. */
+    override def extractFrame(mime: String, payload: Array[Byte], frameIdx: Int): Array[Byte] = {
+      requireAudio(mime)
+      val (fmt, frames, samples) = read(payload)
+      require(frameIdx >= 0 && frameIdx < frames,
+        s"frame index $frameIdx out of range [0, $frames)")
+      val ch = fmt.getChannels
+      write(fmt.getSampleRate.toInt, ch,
+        java.util.Arrays.copyOfRange(samples, frameIdx * ch, (frameIdx + 1) * ch))
+    }
+  }
+
   /** STUB codec: derives fake-but-deterministic "decoded" dimensions and a
     * 4-float "embedding" from the payload bytes. Replace with a real codec
     * (`???` seam) in production — [[ImageIoCodec]] is that replacement for
-    * still images; this stub remains the stand-in for audio/video.
+    * still images and [[WavCodec]] for WAV audio; this stub remains the
+    * stand-in for video.
     */
   object DeterministicFakeCodec extends MediaCodec {
     override def decode(mediaId: Long, mime: String, payload: Array[Byte]): MediaFeatures = {

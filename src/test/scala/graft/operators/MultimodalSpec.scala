@@ -91,6 +91,57 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("WavCodec: generated WAVs are real RIFF bytes and decode to exact properties") {
+    val docs = Seq(5L, 14L, 42L).toDF("id")
+    val media = Multimodal.attachWavPayload(docs, "id",
+      rateCol = lit(8000) + ($"id" % 3) * 4000,
+      channelsCol = $"id" % 2 + 1,
+      framesCol = $"id" % 100 + 20)
+    media.collect().foreach { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      assert(p.take(4).toSeq == "RIFF".getBytes.toSeq &&
+        p.slice(8, 12).toSeq == "WAVE".getBytes.toSeq,
+        "payload must carry the RIFF/WAVE signature")
+      val id = r.getAs[Long]("media_id")
+      assert(p.length == 44 + ((id % 100 + 20) * (id % 2 + 1) * 2).toInt,
+        "canonical 44-byte header + PCM data")
+    }
+    val feats = Multimodal.decodeFeatures(spark, media, Multimodal.WavCodec)
+      .collect().map(f => f.media_id -> f).toMap
+    for (id <- Seq(5L, 14L, 42L)) {
+      val f = feats(id)
+      assert((f.width, f.height, f.n_frames) ==
+        (((8000 + (id % 3) * 4000).toInt, (id % 2 + 1).toInt, (id % 100 + 20).toInt)),
+        s"decoded properties for $id: ${(f.width, f.height, f.n_frames)}")
+      // the decoded-sample sum must equal the generator arithmetic exactly
+      val expect = (for {
+        i <- 0 until (id % 100 + 20).toInt
+        c <- 0 until (id % 2 + 1).toInt
+      } yield (id * 131 + i * 17 + c * 7) % 32768 - 16384).sum
+      assert(f.feature(3).toLong == expect, s"sample sum for $id")
+    }
+  }
+
+  test("WavCodec: resize resamples to target rate/channels; extractFrame cuts one frame") {
+    val media = Multimodal.attachWavPayload(
+      Seq(9L).toDF("id"), "id", lit(16000), lit(2), lit(40))
+    val resized = Multimodal.resizePayloads(media, 8000, 1, Multimodal.WavCodec)
+      .collect().head
+    val back = Multimodal.WavCodec.decode(9L, "audio/wav", resized.payload)
+    assert((back.width, back.height, back.n_frames) == ((8000, 1, 20)),
+      "half the rate = half the frames, stereo mixed down to mono")
+    val payload = media.collect().head.getAs[Array[Byte]]("payload")
+    val frame = Multimodal.WavCodec.extractFrame("audio/wav", payload, 7)
+    val f = Multimodal.WavCodec.decode(9L, "audio/wav", frame)
+    assert(f.n_frames == 1 && f.height == 2, "one stereo frame")
+    intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.extractFrame("audio/wav", payload, 40)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.decode(9L, "video/mp4", payload)
+    }
+  }
+
   test("sampleFrames: video fans out to bounded per-frame rows") {
     val vid = Multimodal.attachPayload(
       Seq((1L, "x" * 100)).toDF("id", "txt"), "id", "txt", "video/mp4")
