@@ -3,6 +3,29 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** Lineage cap for iterative operators: how per-round state is pinned so
+  * the plan does not grow (and recompute) across rounds.
+  *
+  *  - [[LocalCheckpoint]] (default): `localCheckpoint` — executor-memory
+  *    blocks, zero I/O, the right sandbox/interactive choice. NOT durable:
+  *    an executor loss at 100 TB drops its partitions and fails the job.
+  *  - [[DurableCheckpoint]]: each round round-trips through parquet via
+  *    [[Sinks.handoff]] under `dir/round_<i>` — survives executor loss
+  *    (any executor can re-read any partition), the cluster-scale choice.
+  */
+sealed trait IterCheckpoint extends Serializable {
+  def apply(df: DataFrame, round: Int): DataFrame
+}
+
+case object LocalCheckpoint extends IterCheckpoint {
+  def apply(df: DataFrame, round: Int): DataFrame = df.localCheckpoint()
+}
+
+final case class DurableCheckpoint(dir: String) extends IterCheckpoint {
+  def apply(df: DataFrame, round: Int): DataFrame =
+    Sinks.handoff(df.sparkSession, df, s"$dir/round_$round")
+}
+
 /** Distributed iterative graph analytics over edge lists — PageRank as the
   * canonical representative (the same join-agg-iterate shape serves label
   * propagation, which [[MinHashDedup.connectedComponents]] already uses
@@ -30,8 +53,11 @@ object Graph {
     */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+      iters: Int = 3, damping: Double = 0.85,
+      checkpointEvery: Int = 0,
+      checkpointer: IterCheckpoint = LocalCheckpoint): DataFrame = {
     require(iters >= 1 && iters <= 20, "iters must be in [1, 20] (lineage grows per iteration)")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0 (0 = one lazy plan)")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -41,7 +67,7 @@ object Graph {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
     val eDeg = e.join(deg, Seq("src"))
     var r = nodes.withColumn("r", lit(1.0 / n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = eDeg.join(r, eDeg("src") === r("node"))
         .select(col("dst").as("node"), (col("r") / col("__d")).as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
@@ -49,6 +75,12 @@ object Graph {
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("__s"), lit(0.0))).as("r"))
+      // checkpointEvery = 0 keeps the whole computation ONE lazy plan
+      // (Catalyst sees all iterations); a positive cadence pins the rank
+      // state every k rounds through the chosen checkpointer so deep runs
+      // cap lineage — durably, if the caller passed DurableCheckpoint.
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        r = checkpointer(r, i)
     }
     r.select(col("node"), round(col("r"), 6).as("rank"))
   }
@@ -65,26 +97,27 @@ object Graph {
     * is one self-equi-join on the ancestor pointer; the state is
     * checkpointed per round to keep the plan linear (the join reuses the
     * state twice — without the checkpoint the lazy plan doubles per
-    * round). Rounds must satisfy 2^rounds >= max depth; a converged
-    * node's pointer self-loops at the root (depth contribution 0), so
-    * extra rounds are harmless.
+    * round). The checkpoint is the `checkpointer` seam: the default
+    * [[LocalCheckpoint]] is zero-I/O but dies with an executor; pass
+    * [[DurableCheckpoint]] for cluster runs so a lost executor re-reads
+    * its partitions instead of failing the job. Rounds must satisfy
+    * 2^rounds >= max depth; a converged node's pointer self-loops at the
+    * root (depth contribution 0), so extra rounds are harmless.
     */
   def flattenForest(
       parentOf: DataFrame, nodeCol: String, parentCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, checkpointer: IterCheckpoint = LocalCheckpoint): DataFrame = {
     require(rounds >= 1 && rounds <= 30, "rounds must be in [1, 30]")
-    var s = parentOf.select(
+    var s = checkpointer(parentOf.select(
       col(nodeCol).as("node"),
       coalesce(col(parentCol), col(nodeCol)).as("anc"),
-      when(col(parentCol).isNull, 0L).otherwise(1L).as("depth"))
-      .localCheckpoint()
-    for (_ <- 1 to rounds) {
+      when(col(parentCol).isNull, 0L).otherwise(1L).as("depth")), 0)
+    for (i <- 1 to rounds) {
       val b = s.select(col("node").as("__bn"), col("anc").as("__ba"),
         col("depth").as("__bd"))
-      s = s.join(b, col("anc") === col("__bn"))
+      s = checkpointer(s.join(b, col("anc") === col("__bn"))
         .select(col("node"), col("__ba").as("anc"),
-          (col("depth") + col("__bd")).as("depth"))
-        .localCheckpoint()
+          (col("depth") + col("__bd")).as("depth")), i)
     }
     s.select(col("node"), col("anc").as("root"), col("depth"))
   }

@@ -51,6 +51,40 @@ class GraphSpec extends SparkSuite {
       assert(got(n) == ((0L, n)), s"node $n: ${got(n)}")
   }
 
+  test("flattenForest: durable checkpoint mode is bit-identical to local") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val parentOf = (0L to 20L)
+      .map(n => (n, if (n == 0) None else Some(n - 1)))
+      .toDF("node", "parent")
+    def run(ck: IterCheckpoint) =
+      Graph.flattenForest(parentOf, "node", "parent", rounds = 5, ck)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val local = run(LocalCheckpoint)
+    val durable = run(DurableCheckpoint(dir))
+    assert(local == durable, "checkpoint strategy must not change results")
+    // the durable rounds actually hit disk — that is what survives an
+    // executor loss (localCheckpoint blocks die with their executor)
+    assert(new java.io.File(s"$dir/round_0").exists() &&
+      new java.io.File(s"$dir/round_5").exists(),
+      "durable mode must write each round's state")
+  }
+
+  test("pageRank: durable checkpoint cadence preserves ranks exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-pr").toString
+    val e = (1L to 60L).map(i => (i % 10, (i * 7) % 10))
+      .filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
+    val oneLazyPlan = Graph.pageRank(e, "src", "dst", iters = 4)
+      .as[(Long, Double)].collect().toMap
+    val durable = Graph.pageRank(e, "src", "dst", iters = 4,
+        checkpointEvery = 2, checkpointer = DurableCheckpoint(dir))
+      .as[(Long, Double)].collect().toMap
+    assert(oneLazyPlan == durable, "checkpointing must not change ranks")
+    assert(new java.io.File(s"$dir/round_2").exists(),
+      "cadence 2 over 4 iters must persist the midpoint state")
+    assert(!new java.io.File(s"$dir/round_4").exists(),
+      "the final iteration is returned lazily, never checkpointed")
+  }
+
   test("flattenForest: a forest keeps trees separate, extra rounds harmless") {
     val parentOf = Seq(
       (10L, None), (11L, Some(10L)), (12L, Some(11L)),   // tree rooted at 10
