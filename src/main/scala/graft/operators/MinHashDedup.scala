@@ -74,7 +74,7 @@ object MinHashDedup {
     * preserved w.h.p., and the verify joins carry compact long arrays
     * instead of n-word strings.
     */
-  private def shingleTable(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame =
+  private[graft] def shingleTable(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame =
     Parallelism.ensureCompute(df).select(col(idCol).as("id"),
       TextFunctions.hashedShingles(col(textCol), cfg.shingleN).as("shingles"))
 
@@ -284,6 +284,23 @@ object MinHashDedup {
     val base = shingleTable(df, idCol, textCol, Config(shingleN = shingleN))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.count() // materialize before fan-out (see verifiedPairs)
+    val cands = prefixCandidates(base, threshold)
+    val out = verifyJaccard(base, cands, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cands.unpersist()
+    base.unpersist()
+    out
+  }
+
+  /** [[jaccardPairs]]'s candidate stage, over an already-persisted shingle
+    * table: the AllPairs/PPJoin prefix-filtered inverted-index self-join.
+    * Returned candidate set is persisted+materialized (result-sized);
+    * callers unpersist it when done. Exposed `private[graft]` so the skew
+    * suite can assert candidate-count ceilings on adversarial corpora —
+    * the near-linearity claim is the whole 100 TB argument for this path.
+    */
+  private[graft] def prefixCandidates(base: DataFrame, threshold: Double): DataFrame = {
     val exploded = base.select(col("id"), size(col("shingles")).as("len"),
       explode(col("shingles")).as("s"))
     val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -311,13 +328,8 @@ object MinHashDedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands.count() // both verify broadcasts read this — materialize once
-    val out = verifyJaccard(base, cands, threshold)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    cands.unpersist()
     ranked.unpersist()
-    base.unpersist()
-    out
+    cands
   }
 
   /** EXACT cross-corpus n-gram-Jaccard pairs: every (a in A, b in B) with

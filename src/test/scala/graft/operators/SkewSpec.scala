@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Adversarial-distribution evidence for the dedup/ANN candidate
+  * generators (round-4 advice): the 100 TB claim for these paths is that
+  * candidate counts stay NEAR-LINEAR in the corpus even when the data is
+  * pathological — a viral boilerplate shingle in half the docs, or one
+  * LSH bucket holding 90% of the corpus. Each test pins an explicit
+  * candidate-count ceiling next to the quadratic count the naive join
+  * would produce, so a regression that silently reintroduces an
+  * all-pairs blowup fails loudly here rather than at scale.
+  */
+class SkewSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val N = 200
+
+  test("prefix filter: a shingle in 50% of docs adds ~zero candidates (AllPairs bound)") {
+    // each doc: 12 unique tokens; half also carry a 6-token viral phrase,
+    // so 4+ shingles have document frequency N/2 — the classic boilerplate
+    // skew. A hot-shingle inverted index would emit (N/2 choose 2) = 4950
+    // candidate pairs from those postings alone; the df-ordered prefix
+    // filter ranks hot shingles LAST per doc, outside every prefix.
+    val viral = "common viral boiler plate phrase"
+    val docs = (0 until N).map { i =>
+      val unique = (0 until 12).map(j => s"u${i}t$j").mkString(" ")
+      (i.toLong, if (i % 2 == 0) s"$unique $viral" else unique)
+    } ++ Seq( // three true near-dup pairs (clones) the filter must keep
+      (1000L, s"${(0 until 12).map(j => s"u0t$j").mkString(" ")} $viral"),
+      (1001L, s"${(0 until 12).map(j => s"u2t$j").mkString(" ")} $viral"),
+      (1002L, (0 until 12).map(j => s"u3t$j").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val base = MinHashDedup.shingleTable(df, "doc_id", "text",
+        MinHashDedup.Config(shingleN = 3))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val cands = MinHashDedup.prefixCandidates(base, threshold = 0.6)
+    val nCands = cands.count()
+    // ceiling: linear in the corpus (one candidate per doc on average),
+    // nowhere near the 4950 the hot postings would contribute alone
+    assert(nCands <= N, s"candidate blowup under boilerplate skew: $nCands")
+    assert(nCands >= 3, "the three clone pairs must survive the filter")
+    cands.unpersist(); base.unpersist()
+    // exactness is not traded away: the full operator still finds every
+    // true pair at the threshold
+    val pairs = MinHashDedup.jaccardPairs(df, "doc_id", "text", threshold = 0.6)
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    assert(Set((0L, 1000L), (2L, 1001L), (3L, 1002L)).subsetOf(pairs),
+      s"clone pairs missing from $pairs")
+  }
+
+  test("minhash LSH: a bucket holding 90% of the corpus is capped, not joined") {
+    // 90% of docs are the SAME viral text -> identical signatures -> every
+    // band has one bucket with 0.9N members. Uncapped, that self-join emits
+    // 180*179/2 = 16110 pairs; the maxBucketSize guard drops the bucket
+    // (boilerplate is dedup'd by exact hash upstream, not pairwise).
+    val docs = (0 until N).map { i =>
+      val text =
+        if (i < N * 9 / 10) "the same viral boilerplate text repeated everywhere"
+        else s"genuinely distinct document $i with its own words ${i * 7}"
+      (i.toLong, text)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val cfg = MinHashDedup.Config(jaccardThreshold = 0.8, maxBucketSize = 50)
+    val sigs = MinHashDedup.signatures(df, "doc_id", "text", cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    val capped = MinHashDedup.candidatePairs(sigs, cfg).count()
+    assert(capped <= N,
+      s"capped candidate count must stay near-linear, got $capped")
+    // the quadratic mass is real — prove the cap is what removed it
+    val uncapped = MinHashDedup.candidatePairs(
+      sigs, cfg.copy(maxBucketSize = 1000000)).count()
+    val dupMass = (N * 9 / 10).toLong
+    assert(uncapped >= dupMass * (dupMass - 1) / 2,
+      s"uncapped skew bucket should be quadratic, got $uncapped")
+    sigs.unpersist()
+  }
+
+  test("embedding LSH: 90% of vectors in one bucket stays |q|-bounded, output exactly k") {
+    // hot bucket on the corpus side: per-query candidates are bucket-sized
+    // (linear), never corpus-squared — the join is queries-vs-bucket by
+    // construction. Output stays exactly k per query with deterministic
+    // tie-break even though 90% of candidates tie at similarity 1.0.
+    val dim = 8
+    val hot = Array.tabulate(dim)(j => if (j == 0) 1.0f else 0.1f)
+    val corpus = (0 until N).map { i =>
+      val v =
+        if (i < N * 9 / 10) hot
+        else Array.tabulate(dim)(j => math.sin(i * 31 + j).toFloat)
+      (i.toLong, v)
+    }.toDF("c_id", "c_vec")
+    val queries = Seq((9001L, hot), (9002L, Array.tabulate(dim)(j => math.cos(j).toFloat)))
+      .toDF("q_id", "q_vec")
+    val k = 5
+    val out = Similarity.lshTopKJoin(
+      queries, "q_id", "q_vec", corpus, "c_id", "c_vec", k = k, dim = dim)
+    val perQuery = out.groupBy($"q_id").count().as[(Long, Long)].collect().toMap
+    // the hot-bucket query ranks a 180-member bucket and must cut to
+    // exactly k; the sparse query sees however many candidates its bucket
+    // holds (approximate recall by design) but never more than k
+    assert(perQuery(9001L) == k, s"hot-bucket query must cut to k: $perQuery")
+    assert(perQuery.values.forall(c => c >= 1 && c <= k),
+      s"per-query output must stay within k: $perQuery")
+    val again = Similarity.lshTopKJoin(
+      queries, "q_id", "q_vec", corpus, "c_id", "c_vec", k = k, dim = dim)
+      .orderBy($"q_id", $"vec_id").collect().toSeq
+    assert(out.orderBy($"q_id", $"vec_id").collect().toSeq == again,
+      "skewed ties must resolve deterministically")
+  }
+}
