@@ -406,6 +406,26 @@ object Queries {
         element_at(col("feature"), 4).cast("bigint").as("sample_sum"))
   }
 
+  /** Video decode with a REAL container codec: per-doc MJPEG-in-AVI videos
+    * are generated on executors (RIFF container + `javax.imageio` JPEG
+    * frames, JDK-only) with closed-form properties (width = doc_id%13+1,
+    * height = doc_id%7+1, frames = doc_id%6+2), then parsed back through
+    * the real chunk walker — decoded dims/frame count come out of the
+    * actual `avih` header and `00dc` chunks, and the oracle recomputes
+    * them from the same id arithmetic. Frame pixel BYTES are lossy JPEG
+    * (MultimodalSpec proves each extracted frame decodes through ImageIO
+    * at the right dims); with this all three media branches are real.
+    */
+  def q18eVideoDecode(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.attachAviPayload(
+      t(spark, dir, "documents"), "doc_id",
+      wCol = col("doc_id") % 13 + 1, hCol = col("doc_id") % 7 + 1,
+      framesCol = col("doc_id") % 6 + 2)
+    Multimodal.decodeFeatures(spark, media, Multimodal.AviCodec)
+      .toDF()
+      .select(col("media_id"), col("width"), col("height"), col("n_frames"))
+  }
+
   // ---------------------------------------------------------------- Q19
   /** §2.5 class: global sort + limit with deterministic tiebreak. */
   def q19TopN(spark: SparkSession, dir: String): DataFrame =

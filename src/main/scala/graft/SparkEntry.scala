@@ -48,6 +48,7 @@ object SparkEntry {
     "q18b_media_decode" -> (Queries.q18bMediaDecode _),
     "q18c_frame_sample" -> (Queries.q18cFrameSample _),
     "q18d_audio_decode" -> (Queries.q18dAudioDecode _),
+    "q18e_video_decode" -> (Queries.q18eVideoDecode _),
     "q19_topn" -> (Queries.q19TopN _),
     "q20_intersect" -> (Queries.q20Intersect _),
     "q21_except" -> (Queries.q21Except _),
@@ -648,6 +649,16 @@ object SparkEntry {
         |           list_transform(range(CAST(doc_id % 2 + 1 AS INTEGER)), c ->
         |             (doc_id * 131 + i * 17 + c * 7) % 32768 - 16384)))) AS BIGINT)
         |         AS sample_sum
+        |FROM documents""".stripMargin,
+    // REAL video decode path: executor-generated MJPEG-in-AVI containers
+    // with closed-form properties, parsed back through the RIFF chunk
+    // walker — green means actual AVI bytes round-tripped through an
+    // actual container parser (frame JPEGs proven decodable in the spec)
+    "q18e_video_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(doc_id % 13 + 1 AS INTEGER) AS width,
+        |       CAST(doc_id % 7 + 1 AS INTEGER) AS height,
+        |       CAST(doc_id % 6 + 2 AS INTEGER) AS n_frames
         |FROM documents""".stripMargin,
     "q19_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -338,11 +338,205 @@ object Multimodal {
     }
   }
 
+  /** Attach a REAL MJPEG-in-AVI video payload per row, built with JDK-only
+    * APIs (RIFF container writing + `javax.imageio` JPEG frames — zero
+    * extra dependencies). Dimensions and frame count come from the given
+    * column expressions; each frame's pixel pattern is a pure function of
+    * (media_id, frame, x, y), so container-level properties (width,
+    * height, n_frames) are closed-form in the id and the decode path runs
+    * under the DuckDB oracle (q18e) the way q18b/q18d do for image/audio.
+    * Frame BYTES are real lossy JPEG (not oracle-checkable pixel-for-pixel
+    * — the spec instead proves each extracted frame decodes through
+    * `ImageIO` at the right dimensions). Same mapPartitions shape:
+    * payloads are born on executors, never shuffled.
+    */
+  def attachAviPayload(
+      df: DataFrame, idCol: String,
+      wCol: org.apache.spark.sql.Column, hCol: org.apache.spark.sql.Column,
+      framesCol: org.apache.spark.sql.Column): DataFrame = {
+    implicit val enc: Encoder[MediaPayload] = Encoders.product[MediaPayload]
+    Parallelism.ensureCompute(
+        df.select(col(idCol).cast("bigint").as("media_id"),
+          wCol.cast("int").as("w"), hCol.cast("int").as("h"),
+          framesCol.cast("int").as("n")))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val (id, w, h, n) =
+            (row.getLong(0), row.getInt(1), row.getInt(2), row.getInt(3))
+          val frames = (0 until n).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = ((id * 131 + f * 61 + x * 31 + y * 17) & 0xff).toInt
+                img.setRGB(x, y, (v << 16) | (((v * 7) & 0xff) << 8) | ((v * 13) & 0xff))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", bos)
+            bos.toByteArray
+          }
+          MediaPayload(id, AviCodec.encodeAvi(w, h, frames), "video/avi")
+        }
+      }(enc).toDF()
+  }
+
+  /** REAL video codec for MJPEG-in-AVI, on JDK-only APIs: the AVI (RIFF)
+    * container is parsed chunk by chunk — width/height/frame count come
+    * out of the actual `avih` header, frames out of the actual `00dc`
+    * chunks — and each frame is a genuine JPEG decoded/encoded through
+    * `javax.imageio`. MJPEG is the one video format the JDK can fully
+    * round-trip without native libraries; anything needing inter-frame
+    * compression (H.264 etc.) is the remaining external-library seam.
+    *
+    * [[MediaFeatures]] mapping for video: width/height from the container
+    * header, n_frames = data-chunk count, feature = (width, height,
+    * n_frames, total frame payload bytes). `resize` re-encodes every frame
+    * at (w, h) via `Graphics2D`; `extractFrame` returns the frame's JPEG
+    * bytes — a REAL still payload that [[ImageIoCodec]] decodes directly.
+    */
+  object AviCodec extends MediaCodec {
+    private def requireVideo(mime: String): Unit =
+      require(mime.startsWith("video/"),
+        s"AviCodec handles video/* only, got '$mime'")
+
+    private def fourCC(s: String): Int =
+      (s(0) & 0xff) | ((s(1) & 0xff) << 8) | ((s(2) & 0xff) << 16) | ((s(3) & 0xff) << 24)
+
+    /** Build a minimal standard AVI: RIFF('AVI ') { LIST('hdrl') { avih,
+      * LIST('strl') { strh('vids'/'MJPG'), strf(BITMAPINFOHEADER) } },
+      * LIST('movi') { '00dc' jpeg... } } — every chunk even-padded per the
+      * RIFF rule.
+      */
+    private[operators] def encodeAvi(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = body.length % 2
+        val bb = ByteBuffer.allocate(8 + body.length + pad).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(fourCC(id)).putInt(body.length).put(body)
+        bb.array()
+      }
+      def list(kind: String, body: Array[Byte]): Array[Byte] = {
+        val bb = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(fourCC("LIST")).putInt(4 + body.length).putInt(fourCC(kind)).put(body)
+        bb.array()
+      }
+      val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+      val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(40000)        // dwMicroSecPerFrame (25 fps)
+        .putInt(maxFrame * 25) // dwMaxBytesPerSec
+        .putInt(0).putInt(0)  // padding granularity, flags
+        .putInt(frames.length) // dwTotalFrames
+        .putInt(0).putInt(1)  // initial frames, dwStreams
+        .putInt(maxFrame)     // suggested buffer
+        .putInt(w).putInt(h)  // dwWidth, dwHeight
+        .array()
+      val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(fourCC("vids")).putInt(fourCC("MJPG"))
+        .putInt(0).putInt(0)  // flags, priority+language
+        .putInt(0)            // initial frames
+        .putInt(1).putInt(25) // scale, rate -> 25 fps
+        .putInt(0).putInt(frames.length) // start, length
+        .putInt(maxFrame).putInt(-1).putInt(0) // bufSize, quality, sampleSize
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+        .array()
+      val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(24)      // planes, bitCount
+        .putInt(fourCC("MJPG"))        // biCompression
+        .putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+        .array()
+      val hdrl = list("hdrl",
+        chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+      val body = hdrl ++ movi
+      val riff = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(fourCC("RIFF")).putInt(4 + body.length).putInt(fourCC("AVI "))
+        .put(body)
+      riff.array()
+    }
+
+    /** Parsed container: (width, height, frame JPEG byte arrays). Walks
+      * the real chunk structure — no assumption beyond the RIFF spec.
+      */
+    private def parse(payload: Array[Byte]): (Int, Int, Vector[Array[Byte]]) = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      require(bb.getInt() == fourCC("RIFF"), "not a RIFF container")
+      bb.getInt() // riff size
+      require(bb.getInt() == fourCC("AVI "), "not an AVI RIFF form")
+      var w = -1
+      var h = -1
+      var frames = Vector.empty[Array[Byte]]
+      def walk(end: Int): Unit =
+        while (bb.position() + 8 <= end) {
+          val id = bb.getInt()
+          val size = bb.getInt()
+          val next = bb.position() + size + (size % 2)
+          if (id == fourCC("LIST")) {
+            bb.getInt() // list kind; walk contents either way
+            walk(bb.position() + size - 4)
+          } else if (id == fourCC("avih")) {
+            val base = bb.position()
+            w = bb.getInt(base + 32)
+            h = bb.getInt(base + 36)
+          } else if (id == fourCC("00dc") || id == fourCC("00db")) {
+            val f = new Array[Byte](size)
+            bb.get(bb.position(), f) // absolute bulk read, position unchanged
+            frames = frames :+ f
+          }
+          bb.position(math.min(next, end))
+        }
+      walk(payload.length)
+      require(w > 0 && h > 0, "missing avih header")
+      (w, h, frames)
+    }
+
+    override def decode(mediaId: Long, mime: String, payload: Array[Byte]): MediaFeatures = {
+      requireVideo(mime)
+      val (w, h, frames) = parse(payload)
+      MediaFeatures(mediaId, mime, payload.length.toLong, w, h, frames.length,
+        feature = Array(w.toFloat, h.toFloat, frames.length.toFloat,
+          frames.map(_.length.toLong).sum.toFloat))
+    }
+
+    override def resize(mime: String, payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      requireVideo(mime)
+      val (_, _, frames) = parse(payload)
+      val resized = frames.map { f =>
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+        require(src != null, "AVI frame is not a decodable JPEG")
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "jpg", bos)
+        bos.toByteArray
+      }
+      encodeAvi(w, h, resized)
+    }
+
+    /** The frame's own JPEG bytes — directly decodable by [[ImageIoCodec]]. */
+    override def extractFrame(mime: String, payload: Array[Byte], frameIdx: Int): Array[Byte] = {
+      requireVideo(mime)
+      val (_, _, frames) = parse(payload)
+      require(frameIdx >= 0 && frameIdx < frames.length,
+        s"frame index $frameIdx out of range [0, ${frames.length})")
+      frames(frameIdx)
+    }
+  }
+
   /** STUB codec: derives fake-but-deterministic "decoded" dimensions and a
-    * 4-float "embedding" from the payload bytes. Replace with a real codec
-    * (`???` seam) in production — [[ImageIoCodec]] is that replacement for
-    * still images and [[WavCodec]] for WAV audio; this stub remains the
-    * stand-in for video.
+    * 4-float "embedding" from the payload bytes. All three real-media
+    * branches now exist ([[ImageIoCodec]] stills, [[WavCodec]] WAV audio,
+    * [[AviCodec]] MJPEG video); this stub remains only as the stand-in for
+    * formats the JDK cannot decode (inter-frame-compressed video, lossy
+    * audio), and as the deterministic fixture for plumbing tests.
     */
   object DeterministicFakeCodec extends MediaCodec {
     override def decode(mediaId: Long, mime: String, payload: Array[Byte]): MediaFeatures = {

@@ -142,6 +142,59 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("AviCodec: generated AVIs are real RIFF containers with decodable JPEG frames") {
+    val docs = Seq(5L, 14L, 27L).toDF("id")
+    val media = Multimodal.attachAviPayload(docs, "id",
+      wCol = $"id" % 13 + 1, hCol = $"id" % 7 + 1, framesCol = $"id" % 6 + 2)
+    media.collect().foreach { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      assert(p.take(4).toSeq == "RIFF".getBytes.toSeq &&
+        p.slice(8, 12).toSeq == "AVI ".getBytes.toSeq,
+        "payload must carry the RIFF/AVI signature")
+    }
+    val feats = Multimodal.decodeFeatures(spark, media, Multimodal.AviCodec)
+      .collect().map(f => f.media_id -> ((f.width, f.height, f.n_frames))).toMap
+    for (id <- Seq(5L, 14L, 27L))
+      assert(feats(id) ==
+        (((id % 13 + 1).toInt, (id % 7 + 1).toInt, (id % 6 + 2).toInt)),
+        s"decoded container properties for $id: ${feats(id)}")
+  }
+
+  test("AviCodec: extractFrame yields a real JPEG; resize re-encodes all frames") {
+    val media = Multimodal.attachAviPayload(
+      Seq(9L).toDF("id"), "id", lit(8), lit(6), lit(4))
+    val payload = media.collect().head.getAs[Array[Byte]]("payload")
+    // each frame is a genuine JPEG the still-image codec can decode
+    for (f <- 0 until 4) {
+      val jpeg = Multimodal.AviCodec.extractFrame("video/avi", payload, f)
+      assert(jpeg.take(2).toSeq == Seq(0xff.toByte, 0xd8.toByte), "JPEG SOI marker")
+      val still = Multimodal.ImageIoCodec.decode(9L, "image/jpeg", jpeg)
+      assert((still.width, still.height) == ((8, 6)), s"frame $f dims")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.AviCodec.extractFrame("video/avi", payload, 4)
+    }
+    val resized = Multimodal.AviCodec.resize("video/avi", payload, 4, 3)
+    val back = Multimodal.AviCodec.decode(9L, "video/avi", resized)
+    assert((back.width, back.height, back.n_frames) == ((4, 3, 4)),
+      "resize must keep the frame count and hit the target dims")
+    intercept[IllegalArgumentException] {
+      Multimodal.AviCodec.decode(9L, "audio/wav", payload)
+    }
+  }
+
+  test("sampleFrames: the real video codec fans out real frames through the seam") {
+    val media = Multimodal.attachAviPayload(
+      Seq(3L).toDF("id"), "id", lit(5), lit(4), lit(7))
+    val frames = Multimodal.sampleFrames(media, stride = 2, Multimodal.AviCodec)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4, 6))
+    frames.foreach { f =>
+      val still = Multimodal.ImageIoCodec.decode(3L, "image/jpeg", f.frame_payload)
+      assert((still.width, still.height) == ((5, 4)))
+    }
+  }
+
   test("sampleFrames: video fans out to bounded per-frame rows") {
     val vid = Multimodal.attachPayload(
       Seq((1L, "x" * 100)).toDF("id", "txt"), "id", "txt", "video/mp4")
