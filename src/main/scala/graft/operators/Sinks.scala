@@ -118,20 +118,27 @@ object Sinks {
     * half-written table: before the marker exists they read the previous
     * version, after it they read the new one. A crash before the marker
     * leaves an orphan data dir that the next successful swap's GC removes.
-    * Retention: the latest two versions are kept so in-flight readers of
-    * the previous version never have their files deleted under them;
-    * older versions and orphans are GC'd. Single writer per table root.
+    * Retention (`keepVersions`, >= 2): the latest N versions are kept so
+    * in-flight readers of recent versions never have their files deleted
+    * under them — size it to cover the longest reader scan divided by the
+    * swap cadence; older versions and orphans are GC'd. Single writer per
+    * table root.
     */
-  def swapIntoVersioned(spark: SparkSession, tableRoot: String, data: DataFrame): Unit = {
+  def swapIntoVersioned(
+      spark: SparkSession, tableRoot: String, data: DataFrame,
+      keepVersions: Int = 2): Unit = {
+    require(keepVersions >= 2,
+      "keepVersions must be >= 2 (readers of the previous version must survive a swap)")
     val f = fs(spark)
     val root = new Path(tableRoot)
     val next = committedVersions(f, root).maxOption.getOrElse(0L) + 1L
     data.write.mode("overwrite").parquet(versionDir(root, next).toString)
     val marker = new Path(root, f"$CommitPrefix$next%08d")
     f.create(marker, false).close() // atomic publish; fails if it exists
-    // GC: drop committed versions older than the two newest, plus any
-    // orphan vNNNNNNNN data dirs with no marker (crashed pre-commit swaps)
-    val keep = committedVersions(f, root).sorted.takeRight(2).toSet
+    // GC: drop committed versions older than the keepVersions newest, plus
+    // any orphan vNNNNNNNN data dirs with no marker (crashed pre-commit
+    // swaps)
+    val keep = committedVersions(f, root).sorted.takeRight(keepVersions).toSet
     f.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith(CommitPrefix) && !keep(n.stripPrefix(CommitPrefix).toLong))

@@ -98,6 +98,43 @@ class SinksSpec extends SparkSuite {
       "the orphan slot's torn files must have been overwritten by the commit")
   }
 
+  test("a reader concurrent with repeated versioned swaps always sees a complete table") {
+    // the claim swapIntoVersioned makes over rename-based swapInto: there
+    // is NO instant at which a reader resolves to a missing or partial
+    // table. Hammer readCurrent from a second thread while the writer
+    // publishes 8 versions; every read must return a complete snapshot
+    // (all rows of exactly one version), never an error or a torn set.
+    // deep retention: a reader mid-scan must survive however many swaps
+    // land during its read — that is exactly what keepVersions sizes
+    val root = tmp("vconcurrent")
+    def swap(v: Int): Unit = Sinks.swapIntoVersioned(
+      spark, root, Seq((v, s"v$v"), (v, s"v$v")).toDF("ver", "tag"), keepVersions = 20)
+    swap(0)
+    @volatile var writerDone = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!writerDone) {
+        try {
+          val vers = Sinks.readCurrent(spark, root)
+            .select($"tag").as[String].collect().toSeq
+          if (vers.size != 2 || vers.distinct.size != 1)
+            failures.add(s"torn read: $vers")
+          reads.incrementAndGet()
+        } catch {
+          case e: Exception => failures.add(s"reader error: ${e.getMessage}")
+        }
+      }
+    })
+    reader.start()
+    for (v <- 1 to 8) swap(v)
+    writerDone = true
+    reader.join(30000)
+    assert(failures.isEmpty, s"concurrent reads failed: ${failures.toArray.mkString("; ")}")
+    assert(reads.get() > 0, "the reader must have actually raced the writer")
+    assert(Sinks.readCurrent(spark, root).select($"tag").as[String].collect().toSet == Set("v8"))
+  }
+
   test("versioned retention: latest two versions kept, older GC'd") {
     val root = tmp("vgc")
     (1 to 4).foreach { i =>
