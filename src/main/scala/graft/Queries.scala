@@ -1376,6 +1376,27 @@ object Queries {
       k = 5, centroids = oneHotCentroids, nProbe = 1)
   }
 
+  /** The INCREMENTALLY-built IVF index: half the corpus at build time,
+    * the other half appended later against the same frozen centroids
+    * ([[Similarity.appendToIvfIndex]]) — the train-once / ingest-many
+    * production path. The probe result must equal the from-scratch index
+    * (q71c) and the in-memory operator (q71b), all pinned by the same
+    * oracle: a batch-vs-incremental divergence (wrong assignment on
+    * append, partition overwrite instead of append, probe missing a
+    * partition written later) surfaces as a hash mismatch.
+    */
+  def q71dIvfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val v = clusteredEmbeddings(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q71d").toString
+    Similarity.writeIvfIndex(
+      v.where(col("vec_id") % 2 === 0), "vec_id", "vec", tmp, oneHotCentroids)
+    Similarity.appendToIvfIndex(
+      v.where(col("vec_id") % 2 =!= 0), "vec_id", "vec", tmp, oneHotCentroids)
+    Similarity.probeIvfIndex(spark, tmp,
+      v.where(col("vec_id") % 97 === 0), "vec_id", "vec",
+      k = 5, centroids = oneHotCentroids, nProbe = 1)
+  }
+
   // ---------------------------------------------------------------- Q72
   /** Subquery-predicate battery (§2.4 SQL surface next to q46's scalar
     * subqueries): correlated EXISTS / NOT EXISTS and uncorrelated IN,

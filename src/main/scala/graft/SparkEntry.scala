@@ -106,6 +106,7 @@ object SparkEntry {
     "q71_ivf_exact" -> (Queries.q71IvfExact _),
     "q71b_ivf_approx" -> (Queries.q71bIvfApprox _),
     "q71c_ivf_index" -> (Queries.q71cIvfIndexProbe _),
+    "q71d_ivf_incremental" -> (Queries.q71dIvfIncremental _),
     "q72_exists_in" -> (Queries.q72ExistsIn _),
     "q73_set_ops_all" -> (Queries.q73SetOpsAll _),
     "q74_vocab_coverage" -> (Queries.q74VocabCoverage _),
@@ -1554,6 +1555,9 @@ object SparkEntry {
     // the MATERIALIZED index probe has identical semantics (same corpus,
     // same frozen centroids, same nProbe) — layout must not change results
     "q71c_ivf_index" -> ivfApproxOracle,
+    // the INCREMENTALLY-built index (half built, half appended on frozen
+    // centroids) must again be indistinguishable — same oracle
+    "q71d_ivf_incremental" -> ivfApproxOracle,
     // correlated EXISTS / NOT EXISTS + uncorrelated IN, same SQL both sides
     "q72_exists_in" ->
       """SELECT c_nationkey,

@@ -200,6 +200,26 @@ object Similarity {
         nearestLists(col("c_vec"), centroids, 1).getItem(0).getField("list"))
       .write.mode("overwrite").partitionBy("list").parquet(path)
 
+  /** Incremental ingest into a materialized IVF index: assign the new
+    * batch to its nearest FROZEN centroids and append into the same
+    * hive-partitioned layout — the ingest-many half of train-once /
+    * ingest-many. At 100 TB the index is never rebuilt per batch; each
+    * ingest touches only the list partitions its vectors land in, and a
+    * probe immediately sees old + new (SimilaritySpec pins incremental ==
+    * from-scratch bit-for-bit; q71d pins it under the DuckDB oracle).
+    * Centroids must be the ones the index was built with — drift between
+    * build and ingest assignments would silently degrade recall, which is
+    * why this takes the array rather than re-training.
+    */
+  def appendToIvfIndex(
+      batch: DataFrame, cId: String, cVec: String,
+      path: String, centroids: Array[Array[Float]]): Unit =
+    Parallelism.ensureCompute(batch)
+      .select(col(cId).as("c_id"), col(cVec).as("c_vec"))
+      .withColumn("list",
+        nearestLists(col("c_vec"), centroids, 1).getItem(0).getField("list"))
+      .write.mode("append").partitionBy("list").parquet(path)
+
   /** Probe a materialized IVF index: each query computes its `nProbe`
     * nearest lists against the same frozen centroids and the scan reads
     * ONLY those partitions — the probe list is driver-known (queries are

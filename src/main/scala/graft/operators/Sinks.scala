@@ -161,6 +161,25 @@ object Sinks {
     spark.read.parquet(versionDir(root, vs.max).toString)
   }
 
+  /** All committed versions of a [[swapIntoVersioned]] table, ascending —
+    * only versions inside the retention window survive GC, so this is
+    * also the time-travel horizon.
+    */
+  def listVersions(spark: SparkSession, tableRoot: String): Seq[Long] =
+    committedVersions(fs(spark), new Path(tableRoot)).sorted
+
+  /** Time-travel read of one committed version (the what-did-the-table-
+    * say-then read every audit/backfill needs). Fails fast on a version
+    * outside the retention window rather than resolving a GC'd directory.
+    */
+  def readVersion(spark: SparkSession, tableRoot: String, version: Long): DataFrame = {
+    val root = new Path(tableRoot)
+    val vs = committedVersions(fs(spark), root)
+    require(vs.contains(version),
+      s"version $version not committed under $tableRoot (retained: ${vs.sorted.mkString(", ")})")
+    spark.read.parquet(versionDir(root, version).toString)
+  }
+
   /** Inter-stage handoff (S3): the reference shuttles rows between Airflow
     * tasks via XCom; in one SparkSession the lazy plan needs no handoff at
     * all, and a durable checkpoint between pipeline stages is a parquet

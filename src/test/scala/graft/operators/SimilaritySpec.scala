@@ -119,6 +119,35 @@ class SimilaritySpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("incremental IVF ingest: build-half-append-half equals from-scratch") {
+    val corpus = Seq(
+      (0L, Array(1f, 0.10f, 0f, 0f)), (2L, Array(1f, 0.20f, 0f, 0f)),
+      (4L, Array(1f, 0.30f, 0f, 0f)),
+      (1L, Array(0f, 0f, 1f, 0.10f)), (3L, Array(0f, 0f, 1f, 0.25f))
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val full = java.nio.file.Files.createTempDirectory("graft_ivffull").toString
+    val incr = java.nio.file.Files.createTempDirectory("graft_ivfincr").toString
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", full, cents)
+    Similarity.writeIvfIndex(
+      corpus.where($"vec_id" % 2 === 0), "vec_id", "embedding", incr, cents)
+    Similarity.appendToIvfIndex(
+      corpus.where($"vec_id" % 2 =!= 0), "vec_id", "embedding", incr, cents)
+    // the appended batch landed in the same list partitions (assignment on
+    // the frozen centroids), and a probe cannot tell the indexes apart
+    for (qid <- Seq(0L, 1L, 3L)) {
+      val queries = corpus.where($"vec_id" === qid)
+      val a = Similarity.probeIvfIndex(spark, full, queries, "vec_id", "embedding",
+        k = 3, centroids = cents, nProbe = 1)
+      val b = Similarity.probeIvfIndex(spark, incr, queries, "vec_id", "embedding",
+        k = 3, centroids = cents, nProbe = 1)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"incremental index diverged from batch index for query $qid")
+    }
+    // both indexes carry every vector exactly once
+    assert(spark.read.parquet(incr).count() == corpus.count())
+  }
+
   test("k-means centroids: deterministic, right shape, tighter than init") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     def cost(cents: Array[Array[Float]]): Double = {

@@ -135,6 +135,19 @@ class SinksSpec extends SparkSuite {
     assert(Sinks.readCurrent(spark, root).select($"tag").as[String].collect().toSet == Set("v8"))
   }
 
+  test("time travel: readVersion resolves retained versions, rejects GC'd ones") {
+    val root = tmp("vtravel")
+    (1 to 3).foreach { i =>
+      Sinks.swapIntoVersioned(spark, root,
+        Seq((i, s"v$i")).toDF("id", "v"), keepVersions = 3)
+    }
+    assert(Sinks.listVersions(spark, root) == Seq(1L, 2L, 3L))
+    assert(Sinks.readVersion(spark, root, 2L).select($"v").as[String].collect().toSeq == Seq("v2"))
+    Sinks.swapIntoVersioned(spark, root, Seq((4, "v4")).toDF("id", "v"), keepVersions = 3)
+    assert(Sinks.listVersions(spark, root) == Seq(2L, 3L, 4L), "v1 left the horizon")
+    intercept[IllegalArgumentException] { Sinks.readVersion(spark, root, 1L) }
+  }
+
   test("versioned retention: latest two versions kept, older GC'd") {
     val root = tmp("vgc")
     (1 to 4).foreach { i =>
