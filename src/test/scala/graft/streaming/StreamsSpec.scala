@@ -128,6 +128,46 @@ class StreamsSpec extends SparkSuite {
       s"streamed MV must equal the folded changelog: $got")
   }
 
+  test("streaming IVF maintenance: foreachBatch appends keep the index probe-identical to batch") {
+    // the production ANN-ingest loop: vectors arrive as a stream, each
+    // micro-batch is assigned against the FROZEN centroids and appended
+    // into the partitioned index — the index is never rebuilt, and a
+    // probe after the stream drains equals a from-scratch batch build
+    import graft.operators.Similarity
+    val in = tmpDir("ivf-stream-in")
+    val idx = tmpDir("ivf-stream-idx") + "/index"
+    val corpus = Seq(
+      (0L, Array(1f, 0.10f, 0f, 0f)), (2L, Array(1f, 0.20f, 0f, 0f)),
+      (4L, Array(1f, 0.30f, 0f, 0f)),
+      (1L, Array(0f, 0f, 1f, 0.10f)), (3L, Array(0f, 0f, 1f, 0.25f))
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    // three arrival batches, one file each
+    corpus.where($"vec_id" < 2).coalesce(1).write.mode("append").parquet(in)
+    corpus.where($"vec_id" >= 2 && $"vec_id" < 4).coalesce(1).write.mode("append").parquet(in)
+    corpus.where($"vec_id" >= 4).coalesce(1).write.mode("append").parquet(in)
+    val q = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.appendToIvfIndex(batch, "vec_id", "embedding", idx, cents)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val batchIdx = tmpDir("ivf-stream-batch") + "/index"
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", batchIdx, cents)
+    for (qid <- Seq(0L, 1L)) {
+      val queries = corpus.where($"vec_id" === qid)
+      val streamed = Similarity.probeIvfIndex(spark, idx, queries,
+        "vec_id", "embedding", k = 3, centroids = cents, nProbe = 1)
+      val batch = Similarity.probeIvfIndex(spark, batchIdx, queries,
+        "vec_id", "embedding", k = 3, centroids = cents, nProbe = 1)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        s"stream-maintained index diverged for query $qid")
+    }
+    assert(spark.read.parquet(idx).count() == corpus.count())
+  }
+
   test("upsertStream restart resumes the checkpoint — committed files never replay") {
     val destPath = tmpDir("restart-dest") + "/t"
     val in = tmpDir("restart-in")
