@@ -2042,6 +2042,42 @@ object Queries {
           expr("percentile(l_extendedprice, 0.5)") * lit(0.05))
           .as("approx_within_bound"))
 
+  // ---------------------------------------------------------------- Q101
+  /** INCREMENTAL distinct counting via mergeable HLL sketches — the
+    * distinct-count member of the incremental-view family (q91 maintains
+    * sums/counts by delta; exact distinct is the aggregate deltas CANNOT
+    * maintain, and the one every 100 TB pipeline needs for "unique users
+    * to date" without rescanning history). Per-day DataSketches HLL
+    * sketches are the stored state (one small binary per day); the
+    * all-time estimate is a UNION of sketches — new days merge in, the
+    * base is never rescanned.
+    *
+    * Oracled under the q28 reduction: exact count verbatim; the sketch
+    * path reduced to its two checkable facts — (a) merge losslessness:
+    * union-of-daily-sketches estimates EXACTLY what the one-shot sketch
+    * estimates (HLL register merge is a max — no information loss at
+    * equal lgConfigK), and (b) the estimate lands within 4× the
+    * documented rsd (lgK=12 → rsd 1.04/√4096 ≈ 1.63%, bound 6.5%). Both
+    * sketch aggregations execute inside the measured, verified query.
+    */
+  def q101HllIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val daily = e.groupBy(to_date(col("ts")).as("d"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val merged = daily.agg(
+      count(lit(1)).as("n_days"),
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("__inc"))
+    val oneshot = e.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("__full"),
+      countDistinct(col("user_id")).as("exact_users"))
+    merged.crossJoin(oneshot).select(
+      col("n_days"),
+      col("exact_users"),
+      (col("__inc") === col("__full")).as("merge_lossless"),
+      (abs(col("__inc") - col("exact_users")) <=
+        col("exact_users") * lit(0.065)).as("approx_within_rsd"))
+  }
+
   // ---------------------------------------------------------------- Q14c
   /** The LSH-ANN pipeline under a bit-for-bit oracle — the q13f treatment
     * applied to the last rows-only algorithm class: the PRODUCTION

@@ -137,6 +137,7 @@ object SparkEntry {
     "q14c_portable_lsh" -> (Queries.q14cPortableLsh _),
     "q99_approx_percentile" -> (Queries.q99ApproxPercentile _),
     "q100_pretraining_pipeline" -> (Queries.q100PretrainingPipeline _),
+    "q101_hll_incremental" -> (Queries.q101HllIncremental _),
   )
 
   private val mergeOracle: String = {
@@ -1267,6 +1268,15 @@ object SparkEntry {
         |        FROM clean) AS n_chunks,
         |       (SELECT count(DISTINCT (c - nt) // 2048) FROM cum) AS n_bins,
         |       (SELECT CAST(sum(nt) AS BIGINT) FROM ct) AS n_tokens""".stripMargin,
+    // incremental distinct: exact count + day count verbatim; the HLL
+    // sketch path reduced to its checkable facts (merge losslessness and
+    // the 4-sigma accuracy bound) per the q28 reduction pattern
+    "q101_hll_incremental" ->
+      """SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS merge_lossless,
+        |       TRUE AS approx_within_rsd
+        |FROM events""".stripMargin,
     // exact percentile verbatim; the GK sketch reduced to a within-bound
     // boolean the oracle derives trivially (q28's reduction pattern)
     "q99_approx_percentile" ->
