@@ -2146,4 +2146,61 @@ object Queries {
     flags.unpersist()
     out
   }
+
+  // ---------------------------------------------------------------- Q102
+  /** Manifest-table file skipping under the oracle: lineitem is
+    * range-clustered on l_shipdate and committed through
+    * [[graft.operators.ManifestTable]] (per-file min/max stats in the
+    * manifest), then a one-year revenue rollup reads via [[ManifestTable
+    * .scanRange]] — the driver drops non-overlapping files from stats
+    * alone before Spark opens anything. Pruning returns a superset; the
+    * exact predicate is applied on top, so the result is identical to a
+    * full scan (the oracle computes it from the raw table) while the
+    * files-read count drops (ManifestTableSpec pins that). At 100 TB
+    * this is the needle-query path: manifest stats turn a full-table
+    * date slice into a handful of file reads.
+    */
+  def q102ManifestScan(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q102").resolve("t").toString
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_shipdate"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_discount"))
+      .repartitionByRange(16, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+    ManifestTable.commit(spark, root, li, Seq("l_shipdate"))
+    val pruned = ManifestTable.scanRange(spark, root, "l_shipdate",
+      Some("1997-01-01 00:00:00"), Some("1997-12-31 23:59:59"))
+    pruned.df
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+  }
+
+  // ---------------------------------------------------------------- Q103
+  /** Incremental consumption off the manifest log: orders lands in two
+    * append commits (history, then the 1995+ tail); a downstream job
+    * that checkpointed version 1 reads [[graft.operators.ManifestTable
+    * .changes]] (v1 → v2) — exactly the files added by the second
+    * commit, never rescanning the base — and aggregates just the delta.
+    * The oracle recomputes the delta from the raw table by the same
+    * cutoff, proving changes() == the appended rows. This is the batch
+    * CDC feed a 100 TB incremental pipeline checkpoints against.
+    */
+  def q103ManifestChanges(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q103").resolve("t").toString
+    val o = t(spark, dir, "orders")
+    val cut = lit("1999-01-01").cast("timestamp")
+    val v1 = ManifestTable.commit(spark, root,
+      o.where(col("o_orderdate") < cut), Seq("o_orderdate"))
+    val v2 = ManifestTable.commit(spark, root,
+      o.where(col("o_orderdate") >= cut), Seq("o_orderdate"), append = true)
+    ManifestTable.changes(spark, root, v1, v2)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("total_price"))
+  }
 }

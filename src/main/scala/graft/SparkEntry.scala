@@ -138,6 +138,8 @@ object SparkEntry {
     "q99_approx_percentile" -> (Queries.q99ApproxPercentile _),
     "q100_pretraining_pipeline" -> (Queries.q100PretrainingPipeline _),
     "q101_hll_incremental" -> (Queries.q101HllIncremental _),
+    "q102_manifest_scan" -> (Queries.q102ManifestScan _),
+    "q103_manifest_changes" -> (Queries.q103ManifestChanges _),
   )
 
   private val mergeOracle: String = {
@@ -1277,6 +1279,26 @@ object SparkEntry {
         |       TRUE AS merge_lossless,
         |       TRUE AS approx_within_rsd
         |FROM events""".stripMargin,
+    // manifest file-skipping returns a pruned SUPERSET + exact predicate,
+    // so the answer equals a plain full-scan slice (double product routed
+    // through VARCHAR->DECIMAL, the q92 order-independence pattern)
+    "q102_manifest_scan" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |       CAST(round(sum(CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR)
+        |                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+    // changes(v1, v2) of the two-commit manifest log == the rows the
+    // second (append) commit added, i.e. the raw table past the cutoff
+    "q103_manifest_changes" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n_orders,
+        |       CAST(round(sum(CAST(CAST(o_totalprice AS VARCHAR)
+        |                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |GROUP BY 1""".stripMargin,
     // exact percentile verbatim; the GK sketch reduced to a within-bound
     // boolean the oracle derives trivially (q28's reduction pattern)
     "q99_approx_percentile" ->

@@ -1,0 +1,151 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class ManifestTableSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_manifest").resolve("t").toString
+
+  private def docs(n: Int, from: Int = 0) =
+    (from until from + n).map(i => (i.toLong, s"doc_$i", i * 10.0)).toDF("id", "name", "score")
+
+  test("commit + read round-trips the batch exactly") {
+    val root = freshRoot()
+    val in = docs(500)
+    val v = ManifestTable.commit(spark, root, in, Seq("id", "score"))
+    assert(v == 1L)
+    val back = ManifestTable.read(spark, root)
+    // parquet round-trip relaxes nullability; names and types must hold
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      in.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq == in.orderBy("id").collect().toSeq)
+  }
+
+  test("append commit extends the snapshot; old version still time-travels") {
+    val root = freshRoot()
+    val v1 = ManifestTable.commit(spark, root, docs(100), Seq("id"))
+    val v2 = ManifestTable.commit(spark, root, docs(50, from = 100), Seq("id"), append = true)
+    assert(ManifestTable.listVersions(spark, root) == Seq(1L, 2L))
+    assert(ManifestTable.read(spark, root, Some(v1)).count() == 100)
+    assert(ManifestTable.read(spark, root, Some(v2)).count() == 150)
+    assert(ManifestTable.currentVersion(spark, root) == 2L)
+  }
+
+  test("overwrite commit logically truncates but keeps history readable") {
+    val root = freshRoot()
+    ManifestTable.commit(spark, root, docs(100), Seq("id"))
+    ManifestTable.commit(spark, root, docs(10, from = 900), Seq("id"))
+    assert(ManifestTable.read(spark, root).count() == 10)
+    assert(ManifestTable.read(spark, root, Some(1L)).count() == 100)
+  }
+
+  test("append with a drifted schema fails fast") {
+    val root = freshRoot()
+    ManifestTable.commit(spark, root, docs(10), Seq("id"))
+    val drifted = docs(10, from = 10).withColumn("extra", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, root, drifted, Seq("id"), append = true)
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
+  test("scanRange prunes files by min/max stats without changing results") {
+    val root = freshRoot()
+    // range-cluster so each of the 8 files owns a disjoint id range
+    val in = docs(4000).repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    ManifestTable.commit(spark, root, in, Seq("id"))
+    val pruned = ManifestTable.scanRange(spark, root, "id", Some("1000"), Some("1499"))
+    assert(pruned.filesTotal == 8)
+    assert(pruned.filesScanned < pruned.filesTotal,
+      s"expected skipping, scanned ${pruned.filesScanned}/${pruned.filesTotal}")
+    val exact = pruned.df.where(col("id").between(1000, 1499))
+    val full = ManifestTable.read(spark, root).where(col("id").between(1000, 1499))
+    assert(exact.orderBy("id").collect().toSeq == full.orderBy("id").collect().toSeq)
+    assert(exact.count() == 500)
+  }
+
+  test("scanRange skips all-null-stats files and open bounds work") {
+    val root = freshRoot()
+    val withNulls = Seq[(java.lang.Long, String)]((null, "a"), (null, "b"))
+      .toDF("id", "name").withColumn("score", lit(null).cast("double"))
+      .select(col("id").cast("long"), col("name"), col("score"))
+    val typed = docs(100).unionByName(withNulls.as[(Long, String, Double)].toDF("id", "name", "score"))
+    ManifestTable.commit(spark, root,
+      typed.repartitionByRange(4, col("id")).sortWithinPartitions("id"), Seq("id"))
+    val open = ManifestTable.scanRange(spark, root, "id", Some("50"), None)
+    val got = open.df.where(col("id") >= 50)
+    assert(got.count() == 50)
+  }
+
+  test("changes between appends yields exactly the added rows") {
+    val root = freshRoot()
+    val v1 = ManifestTable.commit(spark, root, docs(100), Seq("id"))
+    val v2 = ManifestTable.commit(spark, root, docs(30, from = 100), Seq("id"), append = true)
+    val v3 = ManifestTable.commit(spark, root, docs(20, from = 130), Seq("id"), append = true)
+    val delta = ManifestTable.changes(spark, root, v1, v3)
+    assert(delta.agg(min("id"), max("id"), count(lit(1))).collect().head ==
+      Row(100L, 149L, 50L))
+    assert(ManifestTable.changes(spark, root, v2, v3).count() == 20)
+  }
+
+  test("changes across an overwrite fails fast") {
+    val root = freshRoot()
+    val v1 = ManifestTable.commit(spark, root, docs(10), Seq("id"))
+    ManifestTable.commit(spark, root, docs(5), Seq("id")) // overwrite
+    val v3 = ManifestTable.commit(spark, root, docs(5, from = 5), Seq("id"), append = true)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.changes(spark, root, v1, v3)
+    }
+    assert(e.getMessage.contains("non-append"))
+  }
+
+  test("crashed commit (data written, manifest never published) is invisible and vacuumed") {
+    val root = freshRoot()
+    ManifestTable.commit(spark, root, docs(100), Seq("id"))
+    // simulate a crash: batch dir for v2 exists, no manifest-00000002.json
+    docs(10, from = 100).write.parquet(s"$root/data/b00000002")
+    assert(ManifestTable.currentVersion(spark, root) == 1L)
+    assert(ManifestTable.read(spark, root).count() == 100)
+    ManifestTable.vacuum(spark, root, keepVersions = 2)
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/data/b00000002")))
+    assert(ManifestTable.read(spark, root).count() == 100)
+  }
+
+  test("vacuum drops history outside retention but keeps shared files of retained versions") {
+    val root = freshRoot()
+    ManifestTable.commit(spark, root, docs(100), Seq("id"))               // v1
+    ManifestTable.commit(spark, root, docs(30, from = 100), Seq("id"), append = true) // v2
+    ManifestTable.commit(spark, root, docs(20, from = 130), Seq("id"), append = true) // v3
+    ManifestTable.vacuum(spark, root, keepVersions = 2)
+    assert(ManifestTable.listVersions(spark, root) == Seq(2L, 3L))
+    // v2 and v3 still read fully: v1's files are SHARED into them and must survive
+    assert(ManifestTable.read(spark, root, Some(2L)).count() == 130)
+    assert(ManifestTable.read(spark, root, Some(3L)).count() == 150)
+    intercept[IllegalArgumentException] {
+      ManifestTable.read(spark, root, Some(1L))
+    }
+  }
+
+  test("manifest stats carry portable timestamp min/max that prune date ranges") {
+    val root = freshRoot()
+    val ts = (0 until 365).map { d =>
+      (d.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:00").toInstant
+        .plusSeconds(d.toLong * 86400).toString.replace("T", " ").replace("Z", ""))
+    }.toDF("id", "ts_str")
+      .select(col("id"), to_timestamp(col("ts_str")).as("ts"))
+      .repartitionByRange(6, col("ts")).sortWithinPartitions("ts")
+    ManifestTable.commit(spark, root, ts, Seq("ts"))
+    val pruned = ManifestTable.scanRange(spark, root, "ts",
+      Some("2024-06-01 00:00:00"), Some("2024-06-30 23:59:59"))
+    assert(pruned.filesScanned < pruned.filesTotal)
+    assert(pruned.df.where(col("ts") >= "2024-06-01" && col("ts") < "2024-07-01").count() == 30)
+  }
+}
