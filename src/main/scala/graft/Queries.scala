@@ -2147,6 +2147,29 @@ object Queries {
     out
   }
 
+  // ---------------------------------------------------------------- Q104
+  /** q65's decontamination through the BLOOM PREFILTER path
+    * ([[Decontaminate.contaminationHitsBloom]]): corpus shingles probe a
+    * driver-built Catalyst bloom map-side, only the suspect sliver pays
+    * the exact-set join, and the answer is bit-identical to the exact
+    * operator — same oracle SQL as q65 proves it (the bloom admits false
+    * positives, the exact join removes them; nothing true is lost). The
+    * 100 TB shape this buys: the corpus never shuffles its shingles, and
+    * the benchmark's exact set stops needing to broadcast.
+    */
+  def q104BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val corpus = docs.where(col("doc_id") % 20 =!= 0)
+    val bench = docs.where(col("doc_id") % 20 === 0)
+    val hits = Decontaminate.contaminationHitsBloom(
+      corpus, bench, "doc_id", "text", n = 5,
+      estimatedItems = 1L << 18, fpp = 0.01)
+      .withColumnRenamed("id", "doc_id")
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
   // ---------------------------------------------------------------- Q102
   /** Manifest-table file skipping under the oracle: lineitem is
     * range-clustered on l_shipdate and committed through

@@ -140,6 +140,7 @@ object SparkEntry {
     "q101_hll_incremental" -> (Queries.q101HllIncremental _),
     "q102_manifest_scan" -> (Queries.q102ManifestScan _),
     "q103_manifest_changes" -> (Queries.q103ManifestChanges _),
+    "q104_bloom_decontaminate" -> (Queries.q104BloomDecontaminate _),
   )
 
   private val mergeOracle: String = {
@@ -1022,6 +1023,21 @@ object SparkEntry {
     // slice; hit counts are intersection cardinalities, so the oracle works
     // on raw n-gram strings while the engine hashes (cardinality-preserving)
     "q65_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |           generate_series(1, greatest(len(ws) - 4, 0)),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
+        |hits AS (
+        |  SELECT e.doc_id, count(*) AS n_hits
+        |  FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 != 0) e
+        |  JOIN bench USING (g) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 20 != 0""".stripMargin,
+    // bloom prefilter + exact verify == the exact path: same oracle as q65
+    "q104_bloom_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
         |           generate_series(1, greatest(len(ws) - 4, 0)),

@@ -1,7 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
 
 import graft.functions.TextFunctions
 
@@ -72,4 +76,68 @@ object Decontaminate {
       .select(col("id").as("__contaminated"))
     corpus.join(flagged, col(idCol) === col("__contaminated"), "left_anti")
   }
+
+  // ----------------------------------------------------- bloom prefilter
+
+  /** Build the benchmark's Bloom filter over its distinct shingle hashes
+    * — Catalyst's own codegen'd [[BloomFilterAggregate]] (the engine's
+    * runtime-join-filter machinery, driven directly). At ~1.2 bytes per
+    * item at 1% FPP, a benchmark whose EXACT hash set is tens of GB (the
+    * point where [[contaminationHits]]'s broadcast breaks) collapses to
+    * a few hundred MB of bits — still one broadcastable blob.
+    */
+  def benchShingleBloom(bench: DataFrame, textCol: String, n: Int = 8,
+      estimatedItems: Long = 1L << 20, fpp: Double = 0.01): Array[Byte] = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // standard sizing: m = -n ln p / (ln 2)^2   (capped by Spark's
+    // runtime-bloom conf ceiling inside the aggregate itself)
+    val numBits = math.ceil(
+      -estimatedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val agg = new BloomFilterAggregate(
+      ColumnBridge.expression(col("s")),
+      Literal(estimatedItems), Literal(numBits)).toAggregateExpression()
+    benchShingleSet(bench, textCol, n)
+      .select(ColumnBridge.column(agg).as("bloom"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Map-side membership probe against a driver-built bloom blob
+    * (codegen'd [[BloomFilterMightContain]]; the blob rides the task
+    * binary exactly like a broadcast).
+    */
+  def bloomMightContain(bloom: Array[Byte], hashCol: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType), ColumnBridge.expression(hashCol)))
+
+  /** [[contaminationHits]] with a Bloom PREFILTER: corpus shingles probe
+    * the benchmark's bloom map-side (zero shuffle, zero join), and only
+    * the surviving "suspect" sliver — true hits plus the fpp of false
+    * positives — pays the exact-set join that removes the FPs. Results
+    * are IDENTICAL to [[contaminationHits]] (the bloom never drops a true
+    * hit, the exact join never keeps a false one); what changes is the
+    * 100 TB shape: the corpus-sized side never shuffles, and the exact
+    * shingle set joins against suspect-sized input, so it no longer needs
+    * to broadcast at all (no hint here — AQE picks; at benchmark sizes
+    * where even the bloom build is huge, the same code degrades to a
+    * plain shuffle join of a small side).
+    */
+  def contaminationHitsBloom(
+      corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      estimatedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val bloom = benchShingleBloom(bench, textCol, n, estimatedItems, fpp)
+    suspectShingles(corpus, bloom, idCol, textCol, n)
+      .join(benchShingleSet(bench, textCol, n), Seq("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The prefiltered (id, shingle-hash) sliver — exposed so specs can pin
+    * the pass rate against the fpp bound.
+    */
+  private[operators] def suspectShingles(corpus: DataFrame, bloom: Array[Byte],
+      idCol: String, textCol: String, n: Int): DataFrame =
+    Parallelism.ensureCompute(corpus)
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+      .where(bloomMightContain(bloom, col("s")))
 }

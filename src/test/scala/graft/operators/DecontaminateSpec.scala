@@ -92,6 +92,38 @@ class DecontaminateSpec extends SparkSuite {
     assert(e.getMessage.contains("__contaminated"), e.getMessage)
   }
 
+  test("bloom-prefiltered hits are identical to the exact path") {
+    val exact = Decontaminate.contaminationHits(corpus, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    val bloomed = Decontaminate.contaminationHitsBloom(corpus, bench, "doc_id", "text",
+      n = 5, estimatedItems = 1024, fpp = 0.01)
+      .as[(Long, Long)].collect().toMap
+    assert(bloomed == exact, s"bloom path diverged: $bloomed vs $exact")
+  }
+
+  test("bloom prefilter passes true hits and holds false positives near fpp") {
+    // disjoint corpus: 5000 numbered shingle streams sharing nothing with
+    // the benchmark — every pass through the prefilter is a false positive
+    val disjoint = (0 until 250).map { i =>
+      (i.toLong, (0 until 24).map(j => s"tok_${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val bloom = Decontaminate.benchShingleBloom(bench, "text", n = 5,
+      estimatedItems = 1024, fpp = 0.01)
+    val total = disjoint.select(explode(graft.functions.TextFunctions
+      .hashedShingles($"text", 5))).count()
+    val passed = Decontaminate.suspectShingles(disjoint, bloom, "doc_id", "text", 5).count()
+    assert(total >= 4000, s"fixture too small: $total shingles")
+    // 1% nominal fpp; allow generous slack for the small filter
+    assert(passed <= total / 20, s"prefilter leaked $passed of $total disjoint shingles")
+    // and the verbatim-copy doc's shingles ALL pass (no false negatives)
+    val copyShingles = corpus.where($"doc_id" === 1L)
+      .select(explode(graft.functions.TextFunctions.hashedShingles($"text", 5)))
+      .count()
+    val copyPassed = Decontaminate.suspectShingles(
+      corpus.where($"doc_id" === 1L), bloom, "doc_id", "text", 5).count()
+    assert(copyPassed == copyShingles, "bloom must never drop a true hit")
+  }
+
   test("verbatim copy hit count equals its own distinct shingle count") {
     // every shingle of a verbatim copy is in the benchmark set
     val own = corpus.where($"doc_id" === 1L)
