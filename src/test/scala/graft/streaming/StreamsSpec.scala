@@ -168,6 +168,40 @@ class StreamsSpec extends SparkSuite {
     assert(spark.read.parquet(idx).count() == corpus.count())
   }
 
+  test("streaming manifest maintenance: foreachBatch append commits feed changes() incrementally") {
+    // the batch-CDC loop over the manifest log: each micro-batch lands as
+    // one append commit; a downstream consumer checkpointing version
+    // numbers reads changes(lastSeen, current) and reconstructs the table
+    // exactly, never rescanning the base
+    import graft.operators.ManifestTable
+    val in = tmpDir("manifest-stream-in")
+    val root = tmpDir("manifest-stream-tbl") + "/t"
+    val rows = (0 until 90).map(i => (i.toLong, s"r_$i")).toDF("id", "payload")
+    rows.where($"id" < 30).coalesce(1).write.mode("append").parquet(in)
+    rows.where($"id" >= 30 && $"id" < 60).coalesce(1).write.mode("append").parquet(in)
+    rows.where($"id" >= 60).coalesce(1).write.mode("append").parquet(in)
+    val q = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        ManifestTable.commit(spark, root, batch, Seq("id"),
+          append = ManifestTable.listVersions(spark, root).nonEmpty)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val versions = ManifestTable.listVersions(spark, root)
+    assert(versions.size == 3, s"expected one commit per micro-batch: $versions")
+    // consumer replay: fold every changes() delta — must equal the table
+    val replayed = versions.sliding(2).map { case Seq(a, b) =>
+      ManifestTable.changes(spark, root, a, b)
+    }.foldLeft(ManifestTable.read(spark, root, Some(versions.head)))(_ unionByName _)
+    val full = ManifestTable.read(spark, root)
+    assert(replayed.exceptAll(full).isEmpty && full.exceptAll(replayed).isEmpty,
+      "changes() replay diverged from the table")
+    assert(full.count() == 90)
+  }
+
   test("upsertStream restart resumes the checkpoint — committed files never replay") {
     val destPath = tmpDir("restart-dest") + "/t"
     val in = tmpDir("restart-in")
