@@ -2147,6 +2147,30 @@ object Queries {
     out
   }
 
+  // ---------------------------------------------------------------- Q105
+  /** CCNet-style boilerplate removal under the oracle: synthetic "crawl
+    * pages" (every doc_id % 3 == 0 doc gets the same 10-token header
+    * prepended — a shared cookie-banner analog) run through
+    * [[TrainingPrep.removeBoilerplate]] on a 10-token grid. The header
+    * occupies window 1 of every third page, crosses the doc-frequency
+    * threshold, and is dropped from ALL of them (boilerplate semantics:
+    * repetition kills every copy, not all-but-first); organic windows
+    * stay. The oracle rebuilds the same grid, doc-frequency count and
+    * ordered reassembly in SQL; md5 of the cleaned text keeps the compare
+    * exact without hauling full documents through the hash gate.
+    */
+  def q105BoilerplateRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val header = "this site uses cookies accept our policy to continue reading"
+    val pages = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(lit(header), lit(" "), col("text")))
+          .otherwise(col("text")).as("page_text"))
+    TrainingPrep.removeBoilerplate(pages, "doc_id", "page_text",
+        window = 10, minDocFreq = 5)
+      .select(col("id").as("doc_id"), md5(col("clean_text")).as("clean_md5"),
+        col("n_windows"), col("n_dropped"))
+  }
+
   // ---------------------------------------------------------------- Q104
   /** q65's decontamination through the BLOOM PREFILTER path
     * ([[Decontaminate.contaminationHitsBloom]]): corpus shingles probe a

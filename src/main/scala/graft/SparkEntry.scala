@@ -141,6 +141,7 @@ object SparkEntry {
     "q102_manifest_scan" -> (Queries.q102ManifestScan _),
     "q103_manifest_changes" -> (Queries.q103ManifestChanges _),
     "q104_bloom_decontaminate" -> (Queries.q104BloomDecontaminate _),
+    "q105_boilerplate_removal" -> (Queries.q105BoilerplateRemoval _),
   )
 
   private val mergeOracle: String = {
@@ -1036,6 +1037,32 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits
         |FROM documents d LEFT JOIN hits h USING (doc_id)
         |WHERE d.doc_id % 20 != 0""".stripMargin,
+    // fixed 10-token grid; header window repeated across every third page
+    // crosses min doc-freq and is dropped from ALL copies; survivors
+    // reassemble in order (string_agg ORDER BY pos == Spark's array_sort)
+    "q105_boilerplate_removal" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN 'this site uses cookies accept our policy to continue reading ' || text
+        |              ELSE text END AS page_text
+        |  FROM documents),
+        |base AS (SELECT doc_id, string_split(page_text, ' ') AS ws FROM pages),
+        |segs AS (
+        |  SELECT doc_id, i AS pos,
+        |         array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ') AS seg,
+        |         greatest(CAST(ceil(len(ws) / 10.0) AS BIGINT), 1) AS n_windows
+        |  FROM base, UNNEST(generate_series(1, greatest(CAST(ceil(len(ws) / 10.0) AS BIGINT), 1))) AS u(i)),
+        |bp AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 5),
+        |kept AS (SELECT s.doc_id, s.pos, s.seg FROM segs s ANTI JOIN bp USING (seg)),
+        |rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(seg, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |totals AS (SELECT DISTINCT doc_id, n_windows FROM segs)
+        |SELECT t.doc_id, md5(coalesce(r.clean_text, '')) AS clean_md5,
+        |       t.n_windows, t.n_windows - coalesce(r.n_kept, 0) AS n_dropped
+        |FROM totals t LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
     // bloom prefilter + exact verify == the exact path: same oracle as q65
     "q104_bloom_decontaminate" ->
       """WITH sh AS (

@@ -276,4 +276,46 @@ object TrainingPrep {
     }
     df.where(substring(md5(concat(lit("mix:"), col(idCol).cast("string"))), 1, 1) < thr)
   }
+
+  /** CCNet-style BOILERPLATE REMOVAL: grid each document into fixed
+    * `window`-token segments, drop every segment whose exact text occurs
+    * in at least `minDocFreq` DISTINCT documents (headers, footers,
+    * cookie banners — the repeated furniture of a web crawl), and
+    * reassemble the survivors in order. Differs from [[chunkDedupStats]]'s
+    * keep-first dedup: repetition is evidence of boilerplate, so ALL
+    * copies go, including the first.
+    *
+    * Scale shape: segments shuffle as 8-byte xxhash64 keys (never text)
+    * for the doc-frequency count; the boilerplate set is hit-sized and
+    * joined anti (AQE broadcasts it when small); reassembly state is one
+    * document's segments — the natural unit any text op already holds.
+    * Output: (id, clean_text, n_windows, n_dropped) — clean_text is ''
+    * for a fully-boilerplate doc (the row survives for accounting).
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 10, minDocFreq: Long = 2): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val words = split(col(textCol), " ")
+    val nW = greatest(ceil(size(words) / lit(window.toDouble)).cast("int"), lit(1))
+    val segs = Parallelism.ensureCompute(docs)
+      .select(col(idCol).as("id"), nW.as("n_windows"),
+        posexplode(transform(sequence(lit(1), nW),
+          i => array_join(slice(words, (i - lit(1)) * window + lit(1), lit(window)), " "))))
+      .select(col("id"), col("n_windows"), col("pos"), xxhash64(col("col")).as("h"),
+        col("col").as("seg"))
+    val boilerplate = segs.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("doc_freq"))
+      .where(col("doc_freq") >= minDocFreq)
+      .select(col("h"))
+    val rebuilt = segs.join(boilerplate, Seq("h"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg")), " ").as("clean_text"))
+    docs.select(col(idCol).as("id"), nW.as("n_windows"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_windows").cast("long").as("n_windows"),
+        (col("n_windows") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_dropped"))
+  }
 }

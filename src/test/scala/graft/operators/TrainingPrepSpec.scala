@@ -176,4 +176,44 @@ class TrainingPrepSpec extends SparkSuite {
     assert(a.size == docs.count(), "every doc gets a shard")
     assert(a == run, "assignment must be deterministic")
   }
+
+  test("removeBoilerplate drops EVERY copy of a repeated window, keeps organic text in order") {
+    // 4-token grid; "a b c d" is the shared banner, bodies are unique
+    val pages = Seq(
+      (1L, "a b c d w1 w2 w3 w4 x1 x2"),
+      (2L, "a b c d y1 y2 y3 y4"),
+      (3L, "a b c d z1 z2 z3 z4 z5 z6 z7 z8"),
+      (4L, "n1 n2 n3 n4 n5 n6 n7 n8")
+    ).toDF("doc_id", "text")
+    val out = TrainingPrep.removeBoilerplate(pages, "doc_id", "text",
+        window = 4, minDocFreq = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("w1 w2 w3 w4 x1 x2", 3L, 1L)), out(1L))
+    assert(out(2L) == (("y1 y2 y3 y4", 2L, 1L)), out(2L))
+    assert(out(3L) == (("z1 z2 z3 z4 z5 z6 z7 z8", 3L, 1L)), out(3L))
+    assert(out(4L) == (("n1 n2 n3 n4 n5 n6 n7 n8", 2L, 0L)), out(4L))
+  }
+
+  test("removeBoilerplate keeps a fully-boilerplate doc as an empty row") {
+    val pages = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d"),
+      (4L, "u1 u2 u3 u4")
+    ).toDF("doc_id", "text")
+    val out = TrainingPrep.removeBoilerplate(pages, "doc_id", "text",
+        window = 4, minDocFreq = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.size == 4, "accounting rows must survive full drops")
+    Seq(1L, 2L, 3L).foreach(id => assert(out(id) == (("", 1L, 1L)), out(id)))
+    assert(out(4L) == (("u1 u2 u3 u4", 1L, 0L)))
+  }
+
+  test("removeBoilerplate below the doc-freq threshold changes nothing") {
+    val pages = Seq((1L, "a b c d e1"), (2L, "a b c d e2")).toDF("doc_id", "text")
+    val out = TrainingPrep.removeBoilerplate(pages, "doc_id", "text",
+        window = 4, minDocFreq = 3)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.forall(_._4 == 0L), out.mkString(", "))
+  }
 }
