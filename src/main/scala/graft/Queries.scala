@@ -2147,6 +2147,31 @@ object Queries {
     out
   }
 
+  // ---------------------------------------------------------------- Q106
+  /** The INCREMENTAL near-dup loop under a bit-for-bit oracle: even
+    * doc_ids are "yesterday's corpus" — their [[MinHashDedup
+    * .portableSignatures]] persisted through a [[ManifestTable]] commit
+    * (the real signature store, not an in-memory stand-in) — and odd
+    * doc_ids arrive as today's batch. [[MinHashDedup
+    * .portableIncrementalVerifiedPairs]] reads the store, hashes only the
+    * batch, and emits exactly the near-dup pairs TOUCHING the batch. The
+    * oracle replays the full q13f pipeline in SQL with its candidate set
+    * restricted the same way — so green proves the incremental pass finds
+    * precisely the pairs a from-scratch run would attribute to the new
+    * data, while never rescanning or rehashing the store.
+    */
+  def q106IncrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_q106").resolve("s").toString
+    ManifestTable.commit(spark, root,
+      MinHashDedup.portableSignatures(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text"), Seq("id"))
+    MinHashDedup.portableIncrementalVerifiedPairs(
+        ManifestTable.read(spark, root),
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text", threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+  }
+
   // ---------------------------------------------------------------- Q105
   /** CCNet-style boilerplate removal under the oracle: synthetic "crawl
     * pages" (every doc_id % 3 == 0 doc gets the same 10-token header

@@ -142,6 +142,7 @@ object SparkEntry {
     "q103_manifest_changes" -> (Queries.q103ManifestChanges _),
     "q104_bloom_decontaminate" -> (Queries.q104BloomDecontaminate _),
     "q105_boilerplate_removal" -> (Queries.q105BoilerplateRemoval _),
+    "q106_incremental_minhash" -> (Queries.q106IncrementalMinhash _),
   )
 
   private val mergeOracle: String = {
@@ -538,6 +539,12 @@ object SparkEntry {
         |       count(*) AS n
         |FROM g GROUP BY 1""".stripMargin,
     "q13f_portable_minhash" -> portableMinhashOracle,
+    // the SAME portable pipeline, candidates restricted to pairs touching
+    // the odd-id batch — the incremental pass may differ from from-scratch
+    // ONLY by dropping store-internal pairs
+    "q106_incremental_minhash" -> portableMinhashOracle.replace(
+      "AND a.doc_id < b.doc_id)",
+      "AND a.doc_id < b.doc_id AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1))"),
     // portable simhash codes -> 4x12-bit pigeonhole bands -> hamming verify
     "q13h_portable_simhash_pairs" ->
       """WITH h AS (

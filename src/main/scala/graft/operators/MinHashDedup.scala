@@ -247,6 +247,130 @@ object MinHashDedup {
     out
   }
 
+  /** INCREMENTAL near-dup against a persisted signature store — the loop
+    * a 100 TB corpus actually runs daily: the store holds (id, shingles,
+    * sig) for everything already ingested (the [[signatures]] output,
+    * persisted through any table sink — ManifestTable append commits are
+    * the natural fit); each arriving batch computes ITS OWN signatures,
+    * generates only candidates that TOUCH the batch (new×store and
+    * new×new band-bucket collisions — store×store pairs were found when
+    * those docs arrived), and verifies them with the same broadcast-free
+    * exact-Jaccard tail as [[verifiedPairs]]. Work per day is
+    * O(batch × collision rate), never O(corpus²) and never a corpus
+    * rescan; the bucket join keys on (band, bucket) exactly like the
+    * batch path, so the store side shuffles its BUCKET rows only (8-byte
+    * hashes), not shingles.
+    *
+    * Returns (idA, idB, jaccard) pairs with at least one batch endpoint,
+    * oriented idA < idB. The caller then appends [[signatures]] of the
+    * batch to the store (deterministic — same seed, same rows) to close
+    * the loop. Batch and store ids must be disjoint (same contract as any
+    * append).
+    */
+  def incrementalVerifiedPairs(
+      store: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, cfg: Config): DataFrame = {
+    val newSigs = signatures(batch, idCol, textCol, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    newSigs.count()
+    val out = incrementalCore(store, newSigs, bandBuckets(_, cfg),
+      cfg.jaccardThreshold, cfg.maxBucketSize)
+    newSigs.unpersist() // out is materialized pair-sized by the core
+    out
+  }
+
+  /** Shared incremental tail: bucket both sides, apply the boilerplate
+    * guard over the FULL bucket table (an oversized bucket is oversized
+    * regardless of which side filled it), pair only where the left
+    * endpoint is NEW, orient, dedup, verify. The xxhash64 and portable
+    * pipelines both route through here — candidate discipline cannot
+    * drift between them (same contract as [[capAndPair]] for the batch
+    * paths).
+    */
+  private def incrementalCore(storeSigs: DataFrame, newSigs: DataFrame,
+      toBuckets: DataFrame => DataFrame,
+      threshold: Double, maxBucketSize: Int): DataFrame = {
+    val allBuckets = toBuckets(storeSigs).unionByName(toBuckets(newSigs))
+    val oversized = allBuckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bs"))
+      .where(col("bs") > maxBucketSize)
+      .select("band", "bucket")
+    val sized = allBuckets.join(oversized, Seq("band", "bucket"), "left_anti")
+    val newSide = sized.join(newSigs.select(col("id")), Seq("id"), "left_semi")
+    val cands = newSide.select(col("band"), col("bucket"), col("id").as("l"))
+      .join(sized.select(col("band"), col("bucket"), col("id").as("r")),
+        Seq("band", "bucket"))
+      .where(col("l") =!= col("r"))
+      .select(least(col("l"), col("r")).as("idA"),
+        greatest(col("l"), col("r")).as("idB"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands.count()
+    val base = storeSigs.select(col("id"), col("shingles"))
+      .unionByName(newSigs.select(col("id"), col("shingles")))
+    // same discipline as verifiedPairs: the verify reads cands from BOTH
+    // broadcast probes, so it stays cached until the pair-sized result is
+    // materialized; only that result stays pinned for the caller
+    val out = verifyJaccard(base, cands, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cands.unpersist()
+    out
+  }
+
+  /** [[signatures]] in the PORTABLE hash space (48-bit polynomial token/
+    * shingle hashes, Mersenne-projected minima — the q13f pipeline): the
+    * signature-store schema for corpora whose dedup state must be
+    * replayable outside this engine. Returns (id, shingles, sig).
+    */
+  def portableSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleN: Int = 3, seed: Long = 7L): DataFrame = {
+    val (as, bs) = portableCoefficients(numHashes, seed)
+    Parallelism.ensureCompute(df)
+      .select(col(idCol).as("id"),
+        TextFunctions.portableShingleHashes(
+          TextFunctions.portableTokenHashes(col(textCol)), shingleN).as("shingles"))
+      .select(col("id"), col("shingles"),
+        graft.plans.PolyHashExpressions.minhashSignature(
+          transform(col("shingles"), h => pmod(h, lit(MersennePrime))),
+          as, bs, MersennePrime).as("sig"))
+  }
+
+  /** Portable-space band buckets (48-bit polynomial fold over each band's
+    * signature slice — the replayable analog of [[bandBuckets]]).
+    */
+  private def portableBandBuckets(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
+    val m48 = 1L << 48
+    val bandIdx = sequence(lit(0), lit(bands - 1))
+    sigs.where(size(col("sig")) > 0)
+      .select(col("id"),
+        explode(transform(bandIdx, b =>
+          struct(b.as("band"),
+            aggregate(slice(col("sig"), b * r + 1, lit(r)), b.cast("bigint"),
+              (acc, v) => pmod(acc * lit(31L) + v, lit(m48))).as("bucket")))).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** [[incrementalVerifiedPairs]] in the portable hash space: the store
+    * holds [[portableSignatures]] rows, the batch hashes itself the same
+    * way, and every stage (signatures, band folds, bucket cap, verify) is
+    * replayable bit-for-bit in SQL — which is exactly what q106's oracle
+    * does, restricted like this pipeline to pairs touching the batch.
+    */
+  def portableIncrementalVerifiedPairs(
+      storeSigs: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 16, bands: Int = 8, shingleN: Int = 3,
+      maxBucketSize: Int = 1000, seed: Long = 7L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val newSigs = portableSignatures(batch, idCol, textCol, numHashes, shingleN, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    newSigs.count()
+    val out = incrementalCore(storeSigs, newSigs,
+      portableBandBuckets(_, bands, numHashes / bands), threshold, maxBucketSize)
+    newSigs.unpersist() // out is materialized pair-sized by the core
+    out
+  }
+
   /** EXACT n-gram-Jaccard near-dup pairs via prefix-filtered inverted-index
     * candidate generation (AllPairs/PPJoin prefix filter, Bayardo et al.,
     * WWW'07 — public algorithm).
@@ -485,7 +609,6 @@ object MinHashDedup {
       maxBucketSize: Int = 1000, seed: Long = 7L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val m48 = 1L << 48
     val (as, bs) = portableCoefficients(numHashes, seed)
     val base = Parallelism.ensureCompute(df)
       .select(col(idCol).as("id"),
@@ -496,15 +619,7 @@ object MinHashDedup {
     val sigs = sigsFromCached(base, as, bs) // cache scan = the barrier
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count()
-    val bandIdx = sequence(lit(0), lit(bands - 1))
-    val buckets = sigs.where(size(col("sig")) > 0)
-      .select(col("id"),
-        explode(transform(bandIdx, b =>
-          struct(b.as("band"),
-            aggregate(slice(col("sig"), b * r + 1, lit(r)), b.cast("bigint"),
-              (acc, v) => pmod(acc * lit(31L) + v, lit(m48))).as("bucket")))).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cands = capAndPair(buckets, maxBucketSize)
+    val cands = capAndPair(portableBandBuckets(sigs, bands, r), maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands.count()
     val out = verifyJaccard(base, cands, threshold)

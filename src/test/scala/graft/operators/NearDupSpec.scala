@@ -39,6 +39,34 @@ class NearDupSpec extends SparkSuite {
     assert(!kept.contains(2L), "near-dup of doc 1 must be dropped")
   }
 
+  test("incremental near-dup vs a manifest-persisted signature store == one-shot batch run") {
+    // day 1: docs 1, 4 ingested; signatures persisted via ManifestTable.
+    // day 2: docs 2, 3, 5 arrive; incremental pass must surface exactly
+    // the full-corpus pairs that touch the new batch (all of them here —
+    // every planted pair spans the two days) without rescanning day 1.
+    val cfg = MinHashDedup.Config(jaccardThreshold = 0.5, shingleN = 3)
+    val day1 = corpus.where($"doc_id".isin(1L, 4L))
+    val day2 = corpus.where(!$"doc_id".isin(1L, 4L))
+    val root = java.nio.file.Files.createTempDirectory("graft_sigstore").resolve("s").toString
+    ManifestTable.commit(spark, root,
+      MinHashDedup.signatures(day1, "doc_id", "text", cfg), Seq("id"))
+    val store = ManifestTable.read(spark, root)
+    val inc = MinHashDedup.incrementalVerifiedPairs(store, day2, "doc_id", "text", cfg)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    val full = MinHashDedup.verifiedPairs(corpus, "doc_id", "text", cfg)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    val day1Only = MinHashDedup.verifiedPairs(day1, "doc_id", "text", cfg)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(inc.union(day1Only) == full,
+      s"incremental $inc + day1 $day1Only must equal one-shot $full")
+    assert(inc.forall { case (a, b) => !(Set(1L, 4L)(a) && Set(1L, 4L)(b)) },
+      s"incremental pass must never re-emit store-only pairs: $inc")
+    // close the loop: append day 2's signatures; the store now serves day 3
+    ManifestTable.commit(spark, root,
+      MinHashDedup.signatures(day2, "doc_id", "text", cfg), Seq("id"), append = true)
+    assert(ManifestTable.read(spark, root).count() == corpus.count())
+  }
+
   test("duplicateGroups closes chains transitively") {
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (7L, 8L, 0.9))
       .toDF("idA", "idB", "jaccard")
