@@ -2147,6 +2147,34 @@ object Queries {
     out
   }
 
+  // ---------------------------------------------------------------- Q107
+  /** URL canonicalization as the crawl-frontier dedup key: every doc gets
+    * TWO raw fetch URLs — same page, different casing, default port,
+    * tracking params, param order, fragment — and
+    * [[TextFunctions.canonicalizeUrl]] must collapse them to ONE
+    * canonical form (n_raw = 2, n_docs = 1 per row). The oracle rebuilds
+    * the same raw URLs and replays every rule (lowercase, :443 strip,
+    * fragment drop, utm/gclid filter, param sort) with plain regexes.
+    */
+  def q107UrlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"))
+    val k = (col("doc_id") % 7).cast("string")
+    val id = col("doc_id").cast("string")
+    val u1 = concat(lit("HTTPS://Host"), k, lit(".Example.COM:443/p/"), id,
+      lit("?b=2&utm_source=x&a=1#top"))
+    val u2 = concat(lit("https://host"), k, lit(".example.com/p/"), id,
+      lit("?a=1&gclid=zzz&b=2"))
+    docs.select(col("doc_id"), explode(array(u1, u2)).as("raw_url"))
+      .select(col("doc_id"),
+        TextFunctions.canonicalizeUrl(col("raw_url")).as("canonical_url"),
+        col("raw_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        countDistinct(col("raw_url")).as("n_raw"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .select(col("doc_id"), col("canonical_url"), col("n_raw"), col("n_docs"))
+  }
+
   // ---------------------------------------------------------------- Q106
   /** The INCREMENTAL near-dup loop under a bit-for-bit oracle: even
     * doc_ids are "yesterday's corpus" — their [[MinHashDedup

@@ -143,6 +143,7 @@ object SparkEntry {
     "q104_bloom_decontaminate" -> (Queries.q104BloomDecontaminate _),
     "q105_boilerplate_removal" -> (Queries.q105BoilerplateRemoval _),
     "q106_incremental_minhash" -> (Queries.q106IncrementalMinhash _),
+    "q107_url_canonicalize" -> (Queries.q107UrlCanonicalize _),
   )
 
   private val mergeOracle: String = {
@@ -1070,6 +1071,40 @@ object SparkEntry {
         |SELECT t.doc_id, md5(coalesce(r.clean_text, '')) AS clean_md5,
         |       t.n_windows, t.n_windows - coalesce(r.n_kept, 0) AS n_dropped
         |FROM totals t LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+    // same two raw URLs per doc rebuilt in SQL; every canonicalization
+    // rule replayed with plain regexes (q98 pinned parse_url <-> regex
+    // agreement on this URL shape)
+    "q107_url_canonicalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         'HTTPS://Host' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM:443/p/' ||
+        |         CAST(doc_id AS VARCHAR) || '?b=2&utm_source=x&a=1#top' AS raw_url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |         'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' ||
+        |         CAST(doc_id AS VARCHAR) || '?a=1&gclid=zzz&b=2' AS raw_url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id, raw_url,
+        |         proto || '://' ||
+        |         CASE WHEN proto = 'https' THEN regexp_replace(auth, ':443$', '')
+        |              WHEN proto = 'http' THEN regexp_replace(auth, ':80$', '')
+        |              ELSE auth END ||
+        |         regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) ||
+        |         CASE WHEN sortedq = '' THEN '' ELSE '?' || sortedq END AS canonical_url
+        |  FROM (
+        |    SELECT doc_id, raw_url,
+        |           lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) AS proto,
+        |           lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]+)', 1)) AS auth,
+        |           array_to_string(list_sort(list_filter(
+        |             string_split(regexp_extract(raw_url, '\?([^#]*)', 1), '&'),
+        |             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)='))),
+        |             '&') AS sortedq
+        |    FROM raw))
+        |SELECT min(doc_id) AS doc_id, canonical_url,
+        |       count(DISTINCT raw_url) AS n_raw, count(DISTINCT doc_id) AS n_docs
+        |FROM canon GROUP BY canonical_url""".stripMargin,
     // bloom prefilter + exact verify == the exact path: same oracle as q65
     "q104_bloom_decontaminate" ->
       """WITH sh AS (

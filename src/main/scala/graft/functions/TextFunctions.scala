@@ -218,6 +218,28 @@ object TextFunctions {
     * production simhash keeps splitmix64 mixing — better bit independence;
     * this variant's value is that the CLASS of sketch is oracle-checkable.)
     */
+  /** Canonical URL form — the crawl-frontier dedup key (two fetches of
+    * "the same page" must collide BEFORE content ever downloads):
+    * lowercase scheme+authority, strip default ports (:80 http / :443
+    * https), drop the fragment, remove tracking parameters
+    * (utm_*, gclid, fbclid, ref), sort the survivors. Pure codegen'd
+    * built-ins (`parse_url` + HOFs) — map-only at any scale, and the
+    * DuckDB oracle replays every rule with plain regexes (q98 already
+    * pinned parse_url <-> regex agreement for this URL shape).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val proto = lower(parse_url(url, lit("PROTOCOL")))
+    val rawAuth = lower(parse_url(url, lit("AUTHORITY")))
+    val auth = when(proto === "https", regexp_replace(rawAuth, ":443$", ""))
+      .when(proto === "http", regexp_replace(rawAuth, ":80$", ""))
+      .otherwise(rawAuth)
+    val params = filter(split(coalesce(parse_url(url, lit("QUERY")), lit("")), "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)="))
+    val sorted = array_join(array_sort(params), "&")
+    concat(proto, lit("://"), auth, coalesce(parse_url(url, lit("PATH")), lit("")),
+      when(sorted === "", lit("")).otherwise(concat(lit("?"), sorted)))
+  }
+
   def portableSimhash48(hs: Column): Column =
     aggregate(sequence(lit(0), lit(47)), lit(0L), (acc, i) => {
       val vote = aggregate(hs, lit(0L), (v, h) =>

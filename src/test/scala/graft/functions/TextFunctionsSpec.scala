@@ -101,4 +101,25 @@ class TextFunctionsSpec extends SparkSuite {
       assert(mismatch.count() == 0, "native shingles diverged from HOF spec")
     }
   }
+
+  test("canonicalizeUrl: case, default ports, fragments, tracking params, param order") {
+    val cases = Seq(
+      // equivalent fetches of one page -> one canonical form
+      ("HTTPS://Host1.Example.COM:443/p/5?b=2&utm_source=x&a=1#top",
+        "https://host1.example.com/p/5?a=1&b=2"),
+      ("https://host1.example.com/p/5?a=1&gclid=zzz&b=2",
+        "https://host1.example.com/p/5?a=1&b=2"),
+      // http default port; ref tracking param; fragment only
+      ("HTTP://h.io:80/x?ref=feed#frag", "http://h.io/x"),
+      // NON-default port survives; params all tracked -> no query
+      ("https://h.io:8443/x?utm_campaign=a&fbclid=b", "https://h.io:8443/x"),
+      // no query, no fragment: untouched apart from case
+      ("https://H.IO/plain", "https://h.io/plain")
+    ).toDF("raw", "expected")
+    val bad = cases
+      .withColumn("got", TextFunctions.canonicalizeUrl($"raw"))
+      .where($"got" =!= $"expected")
+      .select("raw", "got", "expected").collect()
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
 }
