@@ -2147,6 +2147,27 @@ object Queries {
     out
   }
 
+  // ---------------------------------------------------------------- Q108
+  /** Token-budget corpus selection — "take the best documents until the
+    * training budget is spent": rank docs by a quality proxy (longest
+    * first, doc_id tiebreak), lay their token counts on a tape with
+    * [[TrainingPrep.globalPrefixSum]] (range-partitioned cumsum — never a
+    * single-task global window), and keep every doc that STARTS within
+    * the budget. The composite rank rides one struct order key, so the
+    * prefix sum needs no second sort column plumbing. Oracle replays the
+    * selection with a plain window cumsum.
+    */
+  def q108TokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 10000L
+    val toks = tp(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("__ord", struct((-col("n_chars")).as("a"), col("doc_id").as("b")))
+    TrainingPrep.globalPrefixSum(toks, "__ord", "n_tokens", "cum_tokens")
+      .where(col("cum_tokens") - col("n_tokens") < budget)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+  }
+
   // ---------------------------------------------------------------- Q107
   /** URL canonicalization as the crawl-frontier dedup key: every doc gets
     * TWO raw fetch URLs — same page, different casing, default port,

@@ -144,6 +144,7 @@ object SparkEntry {
     "q105_boilerplate_removal" -> (Queries.q105BoilerplateRemoval _),
     "q106_incremental_minhash" -> (Queries.q106IncrementalMinhash _),
     "q107_url_canonicalize" -> (Queries.q107UrlCanonicalize _),
+    "q108_token_budget_select" -> (Queries.q108TokenBudgetSelect _),
   )
 
   private val mergeOracle: String = {
@@ -1105,6 +1106,18 @@ object SparkEntry {
         |SELECT min(doc_id) AS doc_id, canonical_url,
         |       count(DISTINCT raw_url) AS n_raw, count(DISTINCT doc_id) AS n_docs
         |FROM canon GROUP BY canonical_url""".stripMargin,
+    // greedy budget selection replayed with a plain window cumsum (the
+    // Spark side's range-partitioned prefix sum must order identically)
+    "q108_token_budget_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, n_chars, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS cum_tokens
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens - n_tokens < 10000""".stripMargin,
     // bloom prefilter + exact verify == the exact path: same oracle as q65
     "q104_bloom_decontaminate" ->
       """WITH sh AS (
