@@ -67,6 +67,30 @@ class NearDupSpec extends SparkSuite {
     assert(ManifestTable.read(spark, root).count() == corpus.count())
   }
 
+  test("streaming incremental dedup: per-batch incremental pairs accumulate to the one-shot set") {
+    // the full daily loop, three arrivals: store seeded EMPTY (a 0-file
+    // manifest commit — the cold-start edge), each batch finds its
+    // incremental pairs (new x store AND new x new) and appends its
+    // signatures; the union over batches must equal one-shot verifiedPairs
+    val cfg = MinHashDedup.Config(jaccardThreshold = 0.5, shingleN = 3)
+    val root = java.nio.file.Files.createTempDirectory("graft_sigloop").resolve("s").toString
+    val empty = MinHashDedup.signatures(corpus.limit(0), "doc_id", "text", cfg)
+    ManifestTable.commit(spark, root, empty, Seq("id"))
+    val batches = Seq(Seq(1L, 4L), Seq(2L, 5L), Seq(3L))
+    val acc = scala.collection.mutable.Set.empty[(Long, Long)]
+    batches.foreach { ids =>
+      val batch = corpus.where($"doc_id".isin(ids: _*))
+      val store = ManifestTable.read(spark, root)
+      acc ++= MinHashDedup.incrementalVerifiedPairs(store, batch, "doc_id", "text", cfg)
+        .select("idA", "idB").as[(Long, Long)].collect()
+      ManifestTable.commit(spark, root,
+        MinHashDedup.signatures(batch, "doc_id", "text", cfg), Seq("id"), append = true)
+    }
+    val full = MinHashDedup.verifiedPairs(corpus, "doc_id", "text", cfg)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(acc.toSet == full, s"accumulated $acc != one-shot $full")
+  }
+
   test("duplicateGroups closes chains transitively") {
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (7L, 8L, 0.9))
       .toDF("idA", "idB", "jaccard")
