@@ -2147,6 +2147,31 @@ object Queries {
     out
   }
 
+  // ---------------------------------------------------------------- Q109
+  /** Inverted-index construction ([[Retrieval.invertedIndex]]) with the
+    * df band applied BEFORE posting-list materialization (stopword-tier
+    * terms never build corpus-sized lists). Postings reduce to an md5 of
+    * the sorted id list so the hash gate stays row-light.
+    */
+  def q109InvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.invertedIndex(t(spark, dir, "documents"), "doc_id", "text",
+        minDf = 5, maxDfFraction = 0.9)
+      .select(col("term"), col("df"), col("tf_total"),
+        md5(array_join(col("postings"), ",")).as("postings_md5"))
+
+  // ---------------------------------------------------------------- Q110
+  /** BM25 top-k lexical retrieval ([[Retrieval.bm25TopK]]): corpus stats
+    * collapse to driver scalars, scoring is map-only, the top-k is a
+    * TakeOrderedAndProject. Query-term adds run in sorted-term order on
+    * both engines, so scores are reproduced operation-for-operation by
+    * the oracle (+,-,*,/ are correctly rounded everywhere; ln agreement
+    * is pinned by this very query staying green).
+    */
+  def q110Bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(t(spark, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "merge"), k = 10)
+      .withColumnRenamed("id", "doc_id")
+
   // ---------------------------------------------------------------- Q108
   /** Token-budget corpus selection — "take the best documents until the
     * training budget is spent": rank docs by a quality proxy (longest

@@ -145,6 +145,8 @@ object SparkEntry {
     "q106_incremental_minhash" -> (Queries.q106IncrementalMinhash _),
     "q107_url_canonicalize" -> (Queries.q107UrlCanonicalize _),
     "q108_token_budget_select" -> (Queries.q108TokenBudgetSelect _),
+    "q109_inverted_index" -> (Queries.q109InvertedIndex _),
+    "q110_bm25_topk" -> (Queries.q110Bm25TopK _),
   )
 
   private val mergeOracle: String = {
@@ -1118,6 +1120,44 @@ object SparkEntry {
         |  FROM toks)
         |SELECT doc_id, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens - n_tokens < 10000""".stripMargin,
+    // df band applied on counts before lists; postings md5 over the
+    // sorted id list matches Spark's array_sort(collect_set) exactly
+    "q109_inverted_index" ->
+      """WITH t2 AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |t3 AS (SELECT * FROM t2 WHERE term <> '')
+        |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf_total,
+        |       md5(array_to_string(list_sort(list(DISTINCT doc_id)), ',')) AS postings_md5
+        |FROM t3 GROUP BY term
+        |HAVING count(DISTINCT doc_id) >= 5
+        |   AND count(DISTINCT doc_id) <= CAST(floor(0.9 * (SELECT count(*) FROM documents)) AS BIGINT)""".stripMargin,
+    // same stats, same term order (sorted: merge, spark, window), same
+    // operation order -> bit-identical scores; ties broken by doc_id
+    "q110_bm25_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+        |f AS (SELECT
+        |        CAST((SELECT count(*) FROM d WHERE list_contains(ws, 'merge')) AS DOUBLE) AS df_merge,
+        |        CAST((SELECT count(*) FROM d WHERE list_contains(ws, 'spark')) AS DOUBLE) AS df_spark,
+        |        CAST((SELECT count(*) FROM d WHERE list_contains(ws, 'window')) AS DOUBLE) AS df_window),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ln((s.n - f.df_merge + 0.5) / (f.df_merge + 0.5) + 1.0) *
+        |      (CAST(len(list_filter(ws, w -> w = 'merge')) AS DOUBLE) * (1.2 + 1.0)) /
+        |      (CAST(len(list_filter(ws, w -> w = 'merge')) AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / s.avgdl)) +
+        |    ln((s.n - f.df_spark + 0.5) / (f.df_spark + 0.5) + 1.0) *
+        |      (CAST(len(list_filter(ws, w -> w = 'spark')) AS DOUBLE) * (1.2 + 1.0)) /
+        |      (CAST(len(list_filter(ws, w -> w = 'spark')) AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / s.avgdl)) +
+        |    ln((s.n - f.df_window + 0.5) / (f.df_window + 0.5) + 1.0) *
+        |      (CAST(len(list_filter(ws, w -> w = 'window')) AS DOUBLE) * (1.2 + 1.0)) /
+        |      (CAST(len(list_filter(ws, w -> w = 'window')) AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / s.avgdl)) AS sc
+        |  FROM d, s, f)
+        |SELECT doc_id, round(sc, 6) AS score FROM scored
+        |ORDER BY sc DESC, doc_id ASC LIMIT 10""".stripMargin,
     // bloom prefilter + exact verify == the exact path: same oracle as q65
     "q104_bloom_decontaminate" ->
       """WITH sh AS (

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over a text corpus — the sparse counterpart of the
+  * [[Similarity]] ANN family (a RAG stack runs both): inverted-index
+  * construction and BM25 ranking (Robertson/Sparck Jones; the public
+  * Okapi formulation). No analog in the reference (its queries are
+  * key-equality only); added per the training-pipeline mandate — corpus
+  * search underpins decontamination audits, dedup forensics and
+  * retrieval-eval set construction.
+  */
+object Retrieval {
+
+  /** Posting-list table: one row per term — document frequency, total
+    * term frequency, and the sorted posting list of containing doc ids.
+    *
+    * Scale shape: one explode + one partial-agg shuffle keyed by term.
+    * Posting lists are per-term state, and for stopword-tier terms that
+    * state is corpus-sized — so the df BAND ([minDf, maxDfFraction·N])
+    * is applied BEFORE list materialization: a first partial-agg pass
+    * computes df (counts only, no lists), the band survivors (the
+    * useful vocabulary — stopwords carry no retrieval signal and
+    * hapaxes no reuse) are semi-joined back, and only their postings
+    * aggregate. At 100 TB the band is what keeps the widest row
+    * bounded; to index stopwords too, shard the term key (the salted-agg
+    * pattern, `Scale.saltedAgg`).
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 1L, maxDfFraction: Double = 1.0): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    require(maxDfFraction > 0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0,1], got $maxDfFraction")
+    val n = Parallelism.ensureCompute(docs).count().toDouble
+    val terms = Parallelism.ensureCompute(docs)
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "")
+    val banded = terms.groupBy(col("term"))
+      .agg(countDistinct(col("id")).as("df"))
+      .where(col("df") >= minDf && col("df") <= (maxDfFraction * n).toLong)
+    terms.join(banded, Seq("term"), "left_semi")
+      .groupBy(col("term"))
+      .agg(countDistinct(col("id")).as("df"),
+        count(lit(1)).as("tf_total"),
+        array_sort(collect_set(col("id"))).as("postings"))
+  }
+
+  /** BM25 top-k: score every document against a bag of query terms and
+    * keep the k best (ties broken by ascending id). Okapi BM25 with the
+    * standard (k1, b) saturation/length normalization and the
+    * `ln((N - df + 0.5)/(df + 0.5) + 1)` idf (the Lucene-style shifted
+    * form — never negative).
+    *
+    * Scale shape: corpus statistics collapse to |terms|+2 driver scalars
+    * (N, avgdl, one df per query term — partial-agg counts, never
+    * lists); scoring is then a MAP-ONLY pass (per-term tf via codegen'd
+    * array HOFs, idf folded in as literals) and the top-k plans as
+    * TakeOrderedAndProject — per-partition heaps of k rows, no global
+    * sort at any corpus size.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val base = Parallelism.ensureCompute(docs)
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .withColumn("dl", size(col("ws")).cast("double"))
+    val Array(nRow) = base.agg(count(lit(1)), avg(col("dl"))).collect()
+    val (n, avgdl) = (nRow.getLong(0).toDouble, nRow.getDouble(1))
+    val dfs: Map[String, Long] = base
+      .select(explode(array_distinct(col("ws"))).as("t"))
+      .where(col("t").isin(queryTerms: _*))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fixed term order on both engines: the floating adds run in the
+    // same sequence, so scores are bit-identical to the oracle's
+    val score = queryTerms.sorted.map { t =>
+      val dft = dfs.getOrElse(t, 0L).toDouble
+      val idf = math.log((n - dft + 0.5) / (dft + 0.5) + 1.0)
+      val tf = size(filter(col("ws"), w => w === t)).cast("double")
+      lit(idf) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    }.reduce(_ + _)
+    base.select(col("id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+}

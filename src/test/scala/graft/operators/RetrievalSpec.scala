@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Lexical retrieval: inverted-index banding and BM25 ranking semantics. */
+class RetrievalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark shuffles data between executors during wide stages"),
+    (2L, "spark spark spark tuning spark memory spark settings"),
+    (3L, "window functions rank rows within partitions"),
+    (4L, "the the the the the the the the"),
+    (5L, "merge upserts change data into warehouse tables"),
+    (6L, "spark window merge all in one pipeline")
+  ).toDF("doc_id", "text")
+
+  test("invertedIndex: postings sorted+complete, df band drops hapax and stopword tiers") {
+    val idx = Retrieval.invertedIndex(corpus, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    assert(idx("spark") == ((3L, 7L, Seq(1L, 2L, 6L))), idx("spark"))
+    assert(idx("merge") == ((2L, 2L, Seq(5L, 6L))), idx("merge"))
+    // band: minDf=2 kills hapaxes, maxDfFraction keeps "the" (1 of 6 docs) out
+    val banded = Retrieval.invertedIndex(corpus, "doc_id", "text",
+        minDf = 2, maxDfFraction = 0.4)
+      .select($"term").as[String].collect().toSet
+    assert(banded.contains("merge") && banded.contains("window"))
+    assert(!banded.contains("executors"), "hapax must fall below minDf")
+    assert(!banded.contains("spark"), "3/6 docs is above the 0.4 df fraction")
+  }
+
+  test("bm25TopK ranks all-terms doc first, repetition saturates, k caps output") {
+    val top = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("spark", "window", "merge"), k = 3)
+    val rows = top.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 3)
+    assert(rows.head._1 == 6L, s"doc 6 holds all three terms: ${rows.mkString(", ")}")
+    // saturation: doc 2's five "spark"s must not outscore three distinct terms
+    assert(rows.head._2 > rows(1)._2)
+    val scores = rows.map(_._2).toSeq
+    assert(scores == scores.sorted.reverse, "descending order")
+    // determinism
+    val again = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("spark", "window", "merge"), k = 3).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("bm25TopK plans as TakeOrderedAndProject — no global sort") {
+    val top = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("spark"), k = 2)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
+  test("query term absent from the corpus contributes zero, not NaN") {
+    val top = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("nonexistent_token", "spark"), k = 2)
+    val scores = top.select($"score").as[Double].collect()
+    assert(scores.forall(s => !s.isNaN && s > 0.0), scores.mkString(", "))
+  }
+}
