@@ -102,7 +102,9 @@ object ManifestTable {
     val next = parentV.getOrElse(0L) + 1L
     val parent = parentV.map(v => loadManifest(f, root, v))
 
-    val schemaDdl = batch.schema.toDDL
+    // nullability normalized away: parquet does not round-trip NOT NULL,
+    // so two batches of identical data can disagree on it spuriously
+    val schemaDdl = StructType(batch.schema.fields.map(_.copy(nullable = true))).toDDL
     parent.filter(_ => append).foreach { p =>
       require(p.schemaDdl == schemaDdl,
         s"append schema mismatch: table is <${p.schemaDdl}>, batch is <$schemaDdl>")
@@ -300,6 +302,68 @@ object ManifestTable {
       if (f.listStatus(bdir.getPath).forall(s => !s.getPath.getName.endsWith(".parquet")))
         f.delete(bdir.getPath, true)
     }
+  }
+
+  // -------------------------------------------------------- maintenance
+
+  /** Small-file compaction as a NEW overwrite commit: reads the current
+    * snapshot, re-clusters it on the first stats column (compaction must
+    * not destroy the min/max locality that [[scanRange]] skipping paid
+    * for) into ceil(total/targetBytes) files, and commits. History stays
+    * readable — the pre-compaction snapshot and its small files survive
+    * until [[vacuum]] retires them. Returns the new version.
+    */
+  def compact(spark: SparkSession, tableRoot: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val f = fs(spark)
+    val root = new Path(tableRoot)
+    val m = resolve(f, root, None)
+    val total = m.files.map(_.bytes).sum
+    val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val df = dfFor(spark, root, m, m.files)
+    val clustered = m.statsCols.headOption match {
+      case Some(c) => df.repartitionByRange(parts, col(c)).sortWithinPartitions(c)
+      case None => df.repartition(parts)
+    }
+    commit(spark, tableRoot, clustered, m.statsCols)
+  }
+
+  /** Metadata-only snapshot comparison — the pipeline-health check that
+    * costs ZERO table IO: per stats column, row/null counts and min/max
+    * of two snapshots, straight from their manifests. A nightly load
+    * whose null rate doubles or whose key range collapses is caught here
+    * before anything downstream scans it.
+    */
+  def statsDrift(spark: SparkSession, tableRoot: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val f = fs(spark)
+    val root = new Path(tableRoot)
+    val from = resolve(f, root, Some(fromVersion))
+    val to = resolve(f, root, Some(toVersion))
+    val dt = StructType.fromDDL(to.schemaDdl)
+    def rollup(m: Manifest, c: String): (Long, Long, Option[String], Option[String]) = {
+      val ss = m.files.flatMap(_.stats.get(c))
+      val mins = ss.flatMap(_.min)
+      val maxs = ss.flatMap(_.max)
+      (m.files.map(_.rows).sum, ss.map(_.nulls).sum,
+        if (mins.isEmpty) None else Some(mins.min(Ordering.fromLessThan[String](cmp(dt(c).dataType, _, _) < 0))),
+        if (maxs.isEmpty) None else Some(maxs.max(Ordering.fromLessThan[String](cmp(dt(c).dataType, _, _) < 0))))
+    }
+    val cols = from.statsCols.intersect(to.statsCols)
+    val rows = cols.map { c =>
+      val (rf, nf, mnf, mxf) = rollup(from, c)
+      val (rt, nt, mnt, mxt) = rollup(to, c)
+      Row(c, rf, rt, nf, nt, mnf.orNull, mnt.orNull, mxf.orNull, mxt.orNull)
+    }
+    val schema = StructType(Seq(
+      StructField("column", StringType), StructField("rows_from", LongType),
+      StructField("rows_to", LongType), StructField("nulls_from", LongType),
+      StructField("nulls_to", LongType), StructField("min_from", StringType),
+      StructField("min_to", StringType), StructField("max_from", StringType),
+      StructField("max_to", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
   }
 
   // ----------------------------------------------------- (de)serialize

@@ -134,6 +134,41 @@ class ManifestTableSpec extends SparkSuite {
     }
   }
 
+  test("compact merges small files into a new snapshot, preserves rows and skipping") {
+    val root = freshRoot()
+    // three append commits -> many small files
+    ManifestTable.commit(spark, root,
+      docs(1000).repartitionByRange(4, col("id")).sortWithinPartitions("id"), Seq("id"))
+    ManifestTable.commit(spark, root,
+      docs(1000, from = 1000).repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      Seq("id"), append = true)
+    val before = ManifestTable.scanRange(spark, root, "id", Some("0"), Some("10"))
+    val v = ManifestTable.compact(spark, root, targetBytes = 10L * 1024 * 1024)
+    val after = ManifestTable.scanRange(spark, root, "id", Some("0"), Some("10"))
+    assert(ManifestTable.read(spark, root).count() == 2000)
+    assert(after.filesTotal < before.filesTotal,
+      s"expected fewer files after compaction: ${after.filesTotal} vs ${before.filesTotal}")
+    assert(after.df.where(col("id") <= 10).count() == 11)
+    // pre-compaction snapshot still time-travels
+    assert(ManifestTable.read(spark, root, Some(v - 1)).count() == 2000)
+  }
+
+  test("statsDrift reads two snapshots' health from manifests alone") {
+    val root = freshRoot()
+    val v1 = ManifestTable.commit(spark, root, docs(100), Seq("id", "score"))
+    val withNulls = docs(50, from = 100)
+      .withColumn("score", when(col("id") % 2 === 0, col("score")))
+    val v2 = ManifestTable.commit(spark, root, withNulls, Seq("id", "score"), append = true)
+    val drift = ManifestTable.statsDrift(spark, root, v1, v2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = drift("score")
+    assert(s.getLong(1) == 100L && s.getLong(2) == 150L, "row counts")
+    assert(s.getLong(3) == 0L && s.getLong(4) == 25L, s"null drift: $s")
+    val i = drift("id")
+    assert(i.getString(5) == "0" && i.getString(6) == "0", "min id stable")
+    assert(BigDecimal(i.getString(8)) == BigDecimal(149), s"max id advanced: $i")
+  }
+
   test("manifest stats carry portable timestamp min/max that prune date ranges") {
     val root = freshRoot()
     val ts = (0 until 365).map { d =>
