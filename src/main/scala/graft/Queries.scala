@@ -2147,6 +2147,37 @@ object Queries {
     out
   }
 
+  // ---------------------------------------------------------------- Q111
+  /** Telemetry debounce ([[TimeSeries.debounce]]): per (user, event_type),
+    * drop events arriving under an hour after their predecessor — the
+    * retry-storm/double-fire guard. One lag window per key; oracle
+    * replays the identical lag + epoch-gap filter.
+    */
+  def q111Debounce(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.debounce(
+      tp(spark, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts")),
+      Seq("user_id", "event_type"), "ts", "event_id",
+      minGapMicros = 3600L * 1000000)
+
+  // ---------------------------------------------------------------- Q112
+  /** Per-label embedding centroids — the domain/cluster mean-pool every
+    * mixture-weighting and clustering pass needs. Per-dimension sums run
+    * through DECIMAL (order-independent: float -> exact double widen ->
+    * shortest-rendering decimal, the q92/q96 discipline), then one exact
+    * double division by the count; output is (label, dim) rows, so no
+    * array reassembly and no collect anywhere.
+    */
+  def q112LabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    tp(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("col").cast("double").cast("decimal(25,10)")).cast("double") /
+          count(lit(1))).as("mean_val"))
+      .select(col("label"), col("pos").cast("long").as("dim"),
+        col("n"), col("mean_val"))
+
   // ---------------------------------------------------------------- Q109
   /** Inverted-index construction ([[Retrieval.invertedIndex]]) with the
     * df band applied BEFORE posting-list materialization (stopword-tier

@@ -147,6 +147,8 @@ object SparkEntry {
     "q108_token_budget_select" -> (Queries.q108TokenBudgetSelect _),
     "q109_inverted_index" -> (Queries.q109InvertedIndex _),
     "q110_bm25_topk" -> (Queries.q110Bm25TopK _),
+    "q111_debounce" -> (Queries.q111Debounce _),
+    "q112_label_centroids" -> (Queries.q112LabelCentroids _),
   )
 
   private val mergeOracle: String = {
@@ -1158,6 +1160,24 @@ object SparkEntry {
         |  FROM d, s, f)
         |SELECT doc_id, round(sc, 6) AS score FROM scored
         |ORDER BY sc DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // identical lag window + epoch-gap filter
+    "q111_debounce" ->
+      """SELECT event_id, user_id, event_type, ts FROM (
+        |  SELECT event_id, user_id, event_type, ts,
+        |         lag(ts) OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events)
+        |WHERE prev_ts IS NULL
+        |   OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(prev_ts AS TIMESTAMP)) >= 3600000000""".stripMargin,
+    // per-dim decimal-exact sums (float -> double widen -> VARCHAR ->
+    // DECIMAL, matching Spark's shortest-rendering cast), one exact
+    // double division
+    "q112_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS dim, count(*) AS n,
+        |       CAST(sum(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR)
+        |                     AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS mean_val
+        |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+        |GROUP BY 1, 2""".stripMargin,
     // bloom prefilter + exact verify == the exact path: same oracle as q65
     "q104_bloom_decontaminate" ->
       """WITH sh AS (

@@ -53,6 +53,31 @@ object TimeSeries {
     * summation order (the q61/q96 bench-noise class); the decimal path is
     * bit-stable across engines and partitionings.
     */
+  /** Gap-based DEBOUNCE: within each key, drop an event that follows its
+    * predecessor (same key, (ts, tieBreak) order) by less than `minGap` —
+    * the telemetry-ingest guard against retry storms and double-fires.
+    * Gap is measured to the previous RAW event (one `lag`, one window
+    * pass — O(1) state per row); the anchor-chained variant is the
+    * sorted-sessionizer's job ([[graft.Sessions]]). Partition-by-key
+    * window: the shuffle carries only the key + timestamp columns' rows
+    * once, and at 100 TB per-key order is the same order any
+    * event-stream op already needs.
+    */
+  def debounce(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieBreakCol: String, minGapMicros: Long): DataFrame = {
+    require(keyCols.nonEmpty, "debounce needs at least one key column")
+    require(minGapMicros > 0, s"minGap must be positive, got $minGapMicros")
+    require(!df.columns.contains("__prev_ts"),
+      "input must not already contain a '__prev_ts' column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
+    df.withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
+      .where(col("__prev_ts").isNull ||
+        unix_micros(col(tsCol).cast("timestamp")) -
+          unix_micros(col("__prev_ts").cast("timestamp")) >= minGapMicros)
+      .drop("__prev_ts")
+  }
+
   def dailyAggregate(
       df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
       scale: Int = 3): DataFrame =

@@ -59,4 +59,33 @@ class TimeSeriesSpec extends SparkSuite {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("debounce drops only events under the gap, per key, raw-predecessor semantics") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1 / click: 0s, +2s (drop), +4s (drop: 2s after RAW predecessor), +20s (keep)
+      (1L, 1L, "click", ts("2024-01-01 00:00:00")),
+      (2L, 1L, "click", ts("2024-01-01 00:00:02")),
+      (3L, 1L, "click", ts("2024-01-01 00:00:04")),
+      (4L, 1L, "click", ts("2024-01-01 00:00:24")),
+      // same user, different type: independent clock
+      (5L, 1L, "view", ts("2024-01-01 00:00:01")),
+      // other user: untouched
+      (6L, 2L, "click", ts("2024-01-01 00:00:03"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val kept = TimeSeries.debounce(events, Seq("user_id", "event_type"),
+        "ts", "event_id", minGapMicros = 5L * 1000000)
+      .select($"event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L, 6L), s"got $kept")
+    // simultaneous events: tiebreak keeps the lower id deterministically
+    val dup = Seq(
+      (10L, 3L, "click", ts("2024-01-01 00:00:00")),
+      (11L, 3L, "click", ts("2024-01-01 00:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val keptDup = TimeSeries.debounce(dup, Seq("user_id", "event_type"),
+        "ts", "event_id", minGapMicros = 1000000)
+      .select($"event_id").as[Long].collect().toSet
+    assert(keptDup == Set(10L), s"got $keptDup")
+  }
 }
