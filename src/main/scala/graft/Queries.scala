@@ -2147,6 +2147,35 @@ object Queries {
     out
   }
 
+  // ---------------------------------------------------------------- Q113
+  /** Corrupt-record quarantine on semi-structured ingest: a JSONL feed
+    * where every 13th line is truncated mid-string runs through
+    * PERMISSIVE `from_json` with a corrupt-record column — bad lines
+    * quarantine whole (original text preserved for replay), good lines
+    * parse. The malformed set is closed-form (doc_id % 13 == 0), so the
+    * oracle states the expected quarantine split and good-side aggregates
+    * directly; green proves the permissive parse drops nothing and
+    * corrupts nothing else. Map-only at any scale — this is the
+    * error-tolerant edge of the S2 JSON-normalize surface.
+    */
+  def q113CorruptIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val raw = docs.select(
+      when(col("doc_id") % 13 === 0,
+        concat(lit("{\"doc_id\":"), col("doc_id").cast("string"), lit(",\"lang\":\"")))
+        .otherwise(to_json(struct(col("doc_id"), col("lang")))).as("line"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, _corrupt STRING")
+    raw.select(from_json(col("line"), schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(col("j._corrupt")).as("n_corrupt"),
+        count(when(col("j._corrupt").isNull, 1)).as("n_good"),
+        sum(when(col("j._corrupt").isNull, col("j.doc_id"))).as("good_id_sum"),
+        countDistinct(when(col("j._corrupt").isNull, col("j.lang"))).as("n_langs"))
+  }
+
   // ---------------------------------------------------------------- Q111
   /** Telemetry debounce ([[TimeSeries.debounce]]): per (user, event_type),
     * drop events arriving under an hour after their predecessor — the

@@ -149,6 +149,7 @@ object SparkEntry {
     "q110_bm25_topk" -> (Queries.q110Bm25TopK _),
     "q111_debounce" -> (Queries.q111Debounce _),
     "q112_label_centroids" -> (Queries.q112LabelCentroids _),
+    "q113_corrupt_ingest" -> (Queries.q113CorruptIngest _),
   )
 
   private val mergeOracle: String = {
@@ -1178,6 +1179,15 @@ object SparkEntry {
         |                     AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS mean_val
         |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
         |GROUP BY 1, 2""".stripMargin,
+    // the malformed set is closed-form (every 13th line truncated), so
+    // the expected quarantine split is stated directly
+    "q113_corrupt_ingest" ->
+      """SELECT count(*) AS n_total,
+        |       count(CASE WHEN doc_id % 13 = 0 THEN 1 END) AS n_corrupt,
+        |       count(CASE WHEN doc_id % 13 != 0 THEN 1 END) AS n_good,
+        |       CAST(sum(CASE WHEN doc_id % 13 != 0 THEN doc_id END) AS BIGINT) AS good_id_sum,
+        |       count(DISTINCT CASE WHEN doc_id % 13 != 0 THEN lang END) AS n_langs
+        |FROM documents""".stripMargin,
     // bloom prefilter + exact verify == the exact path: same oracle as q65
     "q104_bloom_decontaminate" ->
       """WITH sh AS (
