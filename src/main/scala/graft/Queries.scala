@@ -2147,6 +2147,48 @@ object Queries {
     out
   }
 
+  // ---------------------------------------------------------------- Q114
+  /** Event-transition mining: per-user (type -> next type) bigram counts
+    * over the time-ordered stream — the transition matrix behind funnel
+    * design and session modeling. One lead window per user, then a
+    * partial-agg count; the shuffle carries (from, to) pairs only.
+    */
+  def q114Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    tp(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // ---------------------------------------------------------------- Q115
+  /** Point-in-time dimension lookup — the query SCD2 exists FOR: facts
+    * (lineitem, with a deterministic fact time landing in one of the two
+    * validity eras) join the q66 dimension timeline on key + validity
+    * window, so each fact sees the attribute values that were true AT ITS
+    * TIME, not today's. Eras split by l_linenumber parity; era-2 facts on
+    * %7 keys must pick up the changed status/price. Aggregates run
+    * per-status with the decimal-sum discipline.
+    */
+  def q115Scd2PointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val dim = q66Scd2(spark, dir)
+    val facts = tp(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_linenumber") % 2 === 0, lit("2024-01-15 00:00:00"))
+        .otherwise(lit("2024-02-15 00:00:00")).cast("timestamp").as("ft"))
+    facts.join(dim,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("ft") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ft") < col("valid_to")))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_facts"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("price_sum"))
+  }
+
   // ---------------------------------------------------------------- Q113
   /** Corrupt-record quarantine on semi-structured ingest: a JSONL feed
     * where every 13th line is truncated mid-string runs through

@@ -150,6 +150,8 @@ object SparkEntry {
     "q111_debounce" -> (Queries.q111Debounce _),
     "q112_label_centroids" -> (Queries.q112LabelCentroids _),
     "q113_corrupt_ingest" -> (Queries.q113CorruptIngest _),
+    "q114_transitions" -> (Queries.q114Transitions _),
+    "q115_scd2_point_in_time" -> (Queries.q115Scd2PointInTime _),
   )
 
   private val mergeOracle: String = {
@@ -1188,6 +1190,40 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN doc_id % 13 != 0 THEN doc_id END) AS BIGINT) AS good_id_sum,
         |       count(DISTINCT CASE WHEN doc_id % 13 != 0 THEN lang END) AS n_langs
         |FROM documents""".stripMargin,
+    // identical lead window + bigram count
+    "q114_transitions" ->
+      """SELECT from_type, to_type, count(*) AS n FROM (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts ASC, event_id ASC) AS to_type
+        |  FROM events)
+        |WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+    // q66's closed-form timeline as the dimension CTE; validity-window
+    // join replayed verbatim
+    "q115_scd2_point_in_time" ->
+      """WITH dim AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        |         CASE WHEN o_orderkey % 7 = 0
+        |              THEN TIMESTAMP '2024-02-01 00:00:00' END AS valid_to
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X', o_totalprice + 100.0,
+        |         TIMESTAMP '2024-02-01 00:00:00', NULL
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |facts AS (
+        |  SELECT l_orderkey,
+        |         CASE WHEN l_linenumber % 2 = 0 THEN TIMESTAMP '2024-01-15 00:00:00'
+        |              ELSE TIMESTAMP '2024-02-15 00:00:00' END AS ft
+        |  FROM lineitem)
+        |SELECT o_orderstatus, count(*) AS n_facts,
+        |       CAST(round(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,6))), 2)
+        |            AS DOUBLE) AS price_sum
+        |FROM facts JOIN dim
+        |  ON l_orderkey = o_orderkey
+        | AND ft >= valid_from AND (valid_to IS NULL OR ft < valid_to)
+        |GROUP BY 1""".stripMargin,
     // bloom prefilter + exact verify == the exact path: same oracle as q65
     "q104_bloom_decontaminate" ->
       """WITH sh AS (
