@@ -111,4 +111,24 @@ class SkewSpec extends SparkSuite {
     assert(out.orderBy($"q_id", $"vec_id").collect().toSeq == again,
       "skewed ties must resolve deterministically")
   }
+
+  test("inverted index under a stopword-heavy corpus: band caps the widest posting row") {
+    // 'the' lands in EVERY doc (corpus-sized posting list if
+    // materialized); the df band must exclude it BEFORE any list builds,
+    // and the surviving widest row stays at the banded ceiling
+    val n = 400
+    val docs = (0 until n).map { i =>
+      val rare = s"tok_$i"
+      val mid = s"shared_${i % 20}" // df = 20 each
+      (i.toLong, s"the $mid $rare the common words the")
+    }.toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(docs, "doc_id", "text",
+        minDf = 2, maxDfFraction = 0.5)
+      .select($"term", size($"postings").as("w")).as[(String, Int)].collect().toMap
+    assert(!idx.contains("the") && !idx.contains("common") && !idx.contains("words"),
+      s"df-1.0 terms must fall to the band, got ${idx.keys}")
+    assert(!idx.exists(_._1.startsWith("tok_")), "hapaxes below minDf")
+    assert(idx.values.max <= 20, s"widest posting row must stay banded: $idx")
+    assert(idx.size == 20, s"exactly the shared_* tier survives: ${idx.keys}")
+  }
 }
