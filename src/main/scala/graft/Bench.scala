@@ -56,7 +56,7 @@ object Bench {
     // replay — PLANS.md "Round-5 q61 re-measure").
     val heavy = Set("q61_curation_funnel", "q78_canonical_pick",
       "q63_zorder_scan", "q100_pretraining_pipeline",
-      "q30b_cosine_near_dup_exact")
+      "q30b_cosine_near_dup_exact", "q106_incremental_minhash")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
@@ -98,7 +98,7 @@ object Bench {
     val warmup = "steady-state: pre-read all tables via noop sink; " +
       "pre-compiled shuffle/window/HOF/agg/broadcast-join/top-k paths; " +
       "per-query value is the MIN over fresh builds+runs (3 attempts for " +
-      "the 5 heaviest queries, else 2; failed attempts excluded and " +
+      "the heaviest queries, else 2; failed attempts excluded and " +
       "recorded under partial_errors; all-fail recorded under errors)"
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"partial_errors":$partialJson,"sf":"$sfDir","warmup":${jstr(warmup)}}"""
     // The official channel captures a bounded TAIL of this process's log, so

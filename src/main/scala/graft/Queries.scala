@@ -2147,6 +2147,42 @@ object Queries {
     out
   }
 
+  // ---------------------------------------------------------------- Q116
+  /** A/B experiment readout: users assigned to arms by key hash (the
+    * deterministic assignment every experiment platform uses), per-arm
+    * n/mean/variance of order value, and Welch's t statistic — all from
+    * ONE partial-agg pass carrying exact DECIMAL (sum, sum-of-squares)
+    * pairs, so the moments are order-independent and the final t is a
+    * fixed sequence of correctly-rounded double ops the oracle replays
+    * verbatim. The scale shape is the point: experiment readouts over
+    * 100 TB of events are two shuffled rows.
+    */
+  def q116AbTest(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = tp(spark, dir, "orders").select(
+      (substring(md5(concat(lit("exp1:"), col("o_custkey").cast("string"))), 1, 1) <= "7")
+        .as("treatment"),
+      col("o_totalprice").cast("decimal(18,6)").as("x"))
+    val arms = assigned.groupBy(col("treatment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"))
+      .select(col("treatment"), col("n"),
+        (col("s").cast("double") / col("n")).as("mean_x"),
+        ((col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n")) /
+          (col("n") - lit(1))).as("var_x"))
+    val t = arms.where(col("treatment")).select(col("n").as("nt"),
+        col("mean_x").as("mt"), col("var_x").as("vt"))
+      .crossJoin(arms.where(!col("treatment")).select(col("n").as("nc"),
+        col("mean_x").as("mc"), col("var_x").as("vc")))
+      .select(
+        round((col("mt") - col("mc")) /
+          sqrt(col("vt") / col("nt") + col("vc") / col("nc")), 6).as("welch_t"))
+    arms.crossJoin(t)
+      .select(col("treatment"), col("n"), round(col("mean_x"), 6).as("mean_x"),
+        round(col("var_x"), 4).as("var_x"), col("welch_t"))
+  }
+
   // ---------------------------------------------------------------- Q114
   /** Event-transition mining: per-user (type -> next type) bigram counts
     * over the time-ordered stream — the transition matrix behind funnel

@@ -152,6 +152,7 @@ object SparkEntry {
     "q113_corrupt_ingest" -> (Queries.q113CorruptIngest _),
     "q114_transitions" -> (Queries.q114Transitions _),
     "q115_scd2_point_in_time" -> (Queries.q115Scd2PointInTime _),
+    "q116_ab_test" -> (Queries.q116AbTest _),
   )
 
   private val mergeOracle: String = {
@@ -1224,6 +1225,31 @@ object SparkEntry {
         |  ON l_orderkey = o_orderkey
         | AND ft >= valid_from AND (valid_to IS NULL OR ft < valid_to)
         |GROUP BY 1""".stripMargin,
+    // one partial-agg pass of exact decimal (sum, sumsq); the moment and
+    // Welch-t math is the same fixed sequence of double ops on both sides
+    "q116_ab_test" ->
+      """WITH a AS (
+        |  SELECT substr(md5('exp1:' || CAST(o_custkey AS VARCHAR)), 1, 1) <= '7' AS treatment,
+        |         CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,6)) AS x
+        |  FROM orders),
+        |arms AS (
+        |  SELECT treatment, count(*) AS n, sum(x) AS s,
+        |         sum(CAST(x AS DECIMAL(28,6)) * x) AS ss
+        |  FROM a GROUP BY 1),
+        |m AS (
+        |  SELECT treatment, n,
+        |         CAST(s AS DOUBLE) / n AS mean_x,
+        |         (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |           / (n - 1) AS var_x
+        |  FROM arms),
+        |tt AS (
+        |  SELECT round((t.mean_x - c.mean_x) /
+        |               sqrt(t.var_x / t.n + c.var_x / c.n), 6) AS welch_t
+        |  FROM (SELECT * FROM m WHERE treatment) t,
+        |       (SELECT * FROM m WHERE NOT treatment) c)
+        |SELECT treatment, n, round(mean_x, 6) AS mean_x,
+        |       round(var_x, 4) AS var_x, welch_t
+        |FROM m, tt""".stripMargin,
     // bloom prefilter + exact verify == the exact path: same oracle as q65
     "q104_bloom_decontaminate" ->
       """WITH sh AS (
