@@ -111,6 +111,51 @@ object Stateful {
     userSessions(spark, events.union(sentinels), gapMillis)
   }
 
+  final case class DebKey(user_id: Long, event_type: String)
+
+  /** Streaming DEBOUNCE with the same raw-predecessor semantics as the
+    * batch [[graft.operators.TimeSeries.debounce]]: per (user, type) an
+    * event is emitted iff it follows the previous RAW event by at least
+    * `minGapMillis`; the previous-raw clock advances on every event,
+    * emitted or not. State per key is ONE timestamp; on a streaming
+    * input an event-time timeout clears keys idle past the watermark, so
+    * state is bounded by keys active inside the horizon (set a watermark
+    * before calling). In-batch events sort by ts before applying (same
+    * discipline as [[userSessions]]; ties need a unique ts per key, as
+    * the batch operator's tiebreak column does).
+    */
+  def debounceStream(
+      events: Dataset[Event], minGapMillis: Long): Dataset[Event] = {
+    implicit val eventEnc = Encoders.product[Event]
+    implicit val stateEnc = Encoders.scalaLong
+    implicit val keyEnc = Encoders.product[DebKey]
+    val streaming = events.isStreaming
+
+    def fn(key: DebKey, it: Iterator[Event], state: GroupState[Long]): Iterator[Event] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var prev = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[Event]
+      it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        if (prev.forall(p => e.ts.getTime - p >= minGapMillis)) out += e
+        prev = Some(e.ts.getTime)
+      }
+      prev.foreach { p =>
+        state.update(p)
+        if (streaming) {
+          val wm = state.getCurrentWatermarkMs()
+          state.setTimeoutTimestamp(math.max(p + minGapMillis, wm + 1))
+        }
+      }
+      out.iterator
+    }
+
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(e => DebKey(e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(fn)
+  }
+
   /** Batch sessionization with NO per-group materialization: shuffle by
     * user, sort each partition by (user, ts) — Spark's sort spills to disk —
     * then a single forward pass holds O(1) state (current user + open

@@ -118,4 +118,42 @@ class StatefulSpec extends SparkSuite {
       .collect()
     assert(out.length == 1 && out.head.n_events == 5000)
   }
+
+  test("streaming debounce == batch debounce, raw-predecessor semantics, per-key state GC'd") {
+    import org.apache.spark.sql.functions.col
+    // per (user, type): 0m, +1m (drop), +2m (drop: 1m after RAW), +30m (keep)
+    val events = Seq(
+      Stateful.Event(1L, ts(0), "click", 1.0),
+      Stateful.Event(1L, ts(1), "click", 2.0),
+      Stateful.Event(1L, ts(1), "view", 5.0),
+      Stateful.Event(2L, ts(1), "click", 6.0),
+      Stateful.Event(1L, ts(2), "click", 3.0),
+      Stateful.Event(1L, ts(32), "click", 4.0)
+    )
+    val dir = java.nio.file.Files.createTempDirectory("debounce-in").toString
+    // three arrival files, in event-time order (a 0-second watermark
+    // drops genuinely late rows — correct streaming semantics, not what
+    // this test probes)
+    events.take(4).toDS().coalesce(1).write.mode("append").parquet(dir)
+    events.slice(4, 5).toDS().coalesce(1).write.mode("append").parquet(dir)
+    events.drop(5).toDS().coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .as[Stateful.Event]
+      .withWatermark("ts", "0 seconds")
+    val q = Stateful.debounceStream(stream, minGapMillis = 5 * 60000L)
+      .writeStream.outputMode("append").format("memory").queryName("deb_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("deb_out")
+      .select($"user_id", $"event_type", $"ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
+    val batch = graft.operators.TimeSeries.debounce(
+        events.toDF(), Seq("user_id", "event_type"), "ts", "value",
+        minGapMicros = 5L * 60000L * 1000)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed.size == 4, streamed.toString)
+  }
 }
