@@ -21,10 +21,11 @@ import org.apache.spark.sql.types._
   * Layout:
   * {{{
   * tableRoot/
-  *   data/b00000001/part-*.parquet   (immutable; never rewritten)
-  *   data/b00000002/part-*.parquet
+  *   data/b-3f9a1c.../part-*.parquet (immutable; never rewritten)
+  *   data/b-87be22.../part-*.parquet
+  *   claim-00000001                  (version fence; zero bytes)
   *   manifest-00000001.json          (snapshot: file list + stats)
-  *   manifest-00000002.json          (append: b1 files + b2 files)
+  *   manifest-00000002.json          (append: first batch + second)
   * }}}
   *
   * COMMIT POINT: the manifest file appears via write-temp-then-rename —
@@ -42,9 +43,11 @@ import org.apache.spark.sql.types._
   * same cardinality as the manifest itself); [[scanRange]] prunes files
   * on the DRIVER from manifest stats before Spark ever lists or opens
   * them, which is what makes a needle query on a 100 TB range-clustered
-  * table read MB not TB. Single writer per table root (same contract as
-  * [[Sinks]]); the rename commit fails loudly if a concurrent writer
-  * took the version first.
+  * table read MB not TB. CONCURRENT writers are safe: version numbers
+  * are fenced by an atomic create-exclusive claim file and commit()
+  * retries allocation on a lost race (appends re-base onto the winner's
+  * snapshot) — run [[vacuum]] from one coordinator, though, since it
+  * deletes what nothing retained references.
   */
 object ManifestTable {
 
@@ -74,6 +77,17 @@ object ManifestTable {
       .filter(n => n.startsWith(ManifestPrefix) && n.endsWith(".json") && !n.endsWith(".tmp"))
       .map(_.stripPrefix(ManifestPrefix).stripSuffix(".json").toLong)
 
+  private val ClaimPrefix = "claim-"
+
+  private def claimPath(root: Path, v: Long): Path =
+    new Path(root, f"$ClaimPrefix$v%08d")
+
+  private def claimedVersions(f: FileSystem, root: Path): Seq[Long] =
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(ClaimPrefix))
+      .map(_.stripPrefix(ClaimPrefix).toLong)
+
   def listVersions(spark: SparkSession, tableRoot: String): Seq[Long] =
     committedVersions(fs(spark), new Path(tableRoot)).sorted
 
@@ -92,53 +106,101 @@ object ManifestTable {
     * drift-tolerant path is [[Sinks.appendInto]]; a transactional table's
     * schema evolves by explicit DDL, not silently per batch).
     *
-    * Returns the committed version number.
+    * CONCURRENT writers are safe: version allocation retries on a lost
+    * manifest rename (appends re-base onto the winner; see the commit
+    * body). Returns the committed version number.
     */
   def commit(spark: SparkSession, tableRoot: String, batch: DataFrame,
-      statsCols: Seq[String] = Seq.empty, append: Boolean = false): Long = {
+      statsCols: Seq[String] = Seq.empty, append: Boolean = false,
+      maxRetries: Int = 5): Long = {
     val f = fs(spark)
     val root = new Path(tableRoot)
-    val parentV = committedVersions(f, root).maxOption
-    val next = parentV.getOrElse(0L) + 1L
-    val parent = parentV.map(v => loadManifest(f, root, v))
-
     // nullability normalized away: parquet does not round-trip NOT NULL,
     // so two batches of identical data can disagree on it spuriously
     val schemaDdl = StructType(batch.schema.fields.map(_.copy(nullable = true))).toDDL
-    parent.filter(_ => append).foreach { p =>
-      require(p.schemaDdl == schemaDdl,
-        s"append schema mismatch: table is <${p.schemaDdl}>, batch is <$schemaDdl>")
-      require(statsCols == p.statsCols,
-        s"append stats columns mismatch: table tracks ${p.statsCols}, batch asked for $statsCols")
-    }
     statsCols.foreach { c =>
       val dt = batch.schema(c).dataType
       require(statsComparable(dt), s"stats column $c has unsupported type $dt " +
         "(numeric, string, date and timestamp min/max order is portable; others are not)")
     }
 
-    val batchRel = f"data/b$next%08d"
+    // Batch dir names carry a NONCE, not the version: the data write
+    // happens before version allocation and can never collide with a
+    // concurrent writer's, so the manifest rename below is the only race
+    // point — which is what makes it retryable (optimistic concurrency,
+    // the Delta commit-protocol shape). Data is written exactly once;
+    // only the metadata loop repeats. A crashed attempt leaves an
+    // unreferenced dir for [[vacuum]].
+    val batchRel = s"data/b-${java.util.UUID.randomUUID.toString.take(12)}"
     val batchDir = new Path(root, batchRel)
     batch.write.mode("overwrite").parquet(batchDir.toString)
-
     val newEntries = collectFileStats(spark, f, batchDir, batchRel, statsCols)
-    val files = if (append) parent.map(_.files).getOrElse(Seq.empty) ++ newEntries
-    else newEntries
-    val m = Manifest(next, if (append) "append" else "overwrite",
-      schemaDdl, statsCols, files)
 
-    // atomic publish: full write to a temp name, then one rename. A loser
-    // of a (contract-violating) concurrent race fails the rename loudly
-    // instead of clobbering the winner's snapshot.
-    val tmp = new Path(root, f"$ManifestPrefix$next%08d.json.tmp")
-    val out = f.create(tmp, true)
-    out.write(renderManifest(m).getBytes(StandardCharsets.UTF_8))
-    out.close()
-    val dest = manifestPath(root, next)
-    require(!f.exists(dest) && f.rename(tmp, dest),
-      s"commit of version $next lost a race or failed to publish $dest")
-    next
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      // allocate over PUBLISHED and CLAIMED versions: a crashed writer's
+      // claim burns its number (readers never see it — no manifest), and
+      // live racers are fenced by the claim itself
+      val next = math.max(committedVersions(f, root).maxOption.getOrElse(0L),
+        claimedVersions(f, root).maxOption.getOrElse(0L)) + 1L
+
+      // Version CLAIM: a zero-byte create(overwrite = false) — the one
+      // primitive that is atomic-exclusive on local, HDFS and object-store
+      // FileSystems alike (bare rename clobbers on POSIX, so it cannot be
+      // the fence). The claim winner owns the version number; the rename
+      // below then targets a name no live writer competes for, and a
+      // reader sees the manifest only complete (rename is atomic).
+      val won =
+        try { f.create(claimPath(root, next), false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (!won) {
+        require(attempt <= maxRetries,
+          s"commit lost the version race $maxRetries times under $root - " +
+            "persistent writer contention; coordinate writers or raise maxRetries")
+      } else {
+        // The parent snapshot is read ONLY NOW — after the claim, and
+        // after the previous claimant either publishes or is declared
+        // crashed (claim without manifest past the wait): reading it any
+        // earlier could re-base an append onto a stale parent and silently
+        // drop a concurrent writer's files. A genuinely live-but-slower
+        // predecessor is indistinguishable from a crashed one on a bare
+        // FileSystem (the reason Delta-on-S3 grew a lock service); the
+        // wait bounds that window, it cannot close it.
+        if (next > 1 && f.exists(claimPath(root, next - 1))) {
+          val deadline = System.currentTimeMillis() + parentWaitMs
+          while (!f.exists(manifestPath(root, next - 1)) &&
+            System.currentTimeMillis() < deadline) Thread.sleep(20)
+        }
+        val parentV = committedVersions(f, root).maxOption
+        val parent = parentV.map(v => loadManifest(f, root, v))
+        parent.filter(_ => append).foreach { p =>
+          require(p.schemaDdl == schemaDdl,
+            s"append schema mismatch: table is <${p.schemaDdl}>, batch is <$schemaDdl>")
+          require(statsCols == p.statsCols,
+            s"append stats columns mismatch: table tracks ${p.statsCols}, batch asked for $statsCols")
+        }
+        val files = if (append) parent.map(_.files).getOrElse(Seq.empty) ++ newEntries
+        else newEntries
+        val m = Manifest(next, if (append) "append" else "overwrite",
+          schemaDdl, statsCols, files)
+        val tmp = new Path(root, s"${ManifestPrefix}tmp-${batchRel.stripPrefix("data/")}.json.tmp")
+        val out = f.create(tmp, true)
+        out.write(renderManifest(m).getBytes(StandardCharsets.UTF_8))
+        out.close()
+        val dest = manifestPath(root, next)
+        require(f.rename(tmp, dest), s"claimed version $next but failed to publish $dest")
+        committed = next
+      }
+    }
+    committed
   }
+
+  /** How long a claim winner waits for its predecessor claimant to
+    * publish before declaring the number burned (crashed writer).
+    */
+  private val parentWaitMs = 30000L
 
   /** One partial-agg pass over the just-written batch: per-file row
     * counts and min/max/null-count for the stats columns. Driver
@@ -291,6 +353,12 @@ object ManifestTable {
     val keep = vs.takeRight(keepVersions).toSet
     val referenced: Set[String] = keep.flatMap(v => loadManifest(f, root, v).files.map(_.path))
     vs.filterNot(keep).foreach(v => f.delete(manifestPath(root, v), false))
+    // claims of non-retained versions (incl. burned numbers below the
+    // horizon) and orphaned manifest tmp files from crashed publishes
+    claimedVersions(f, root).filter(_ < keep.minOption.getOrElse(Long.MaxValue))
+      .foreach(v => f.delete(claimPath(root, v), false))
+    f.listStatus(root).filter(_.getPath.getName.endsWith(".json.tmp"))
+      .foreach(st => f.delete(st.getPath, false))
     val dataRoot = new Path(root, "data")
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { bdir =>
       val rel = s"data/${bdir.getPath.getName}"

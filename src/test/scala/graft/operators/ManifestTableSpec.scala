@@ -169,6 +169,30 @@ class ManifestTableSpec extends SparkSuite {
     assert(BigDecimal(i.getString(8)) == BigDecimal(149), s"max id advanced: $i")
   }
 
+  test("concurrent append commits: distinct versions, no batch lost, no row duplicated") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val root = freshRoot()
+    ManifestTable.commit(spark, root, docs(10), Seq("id"))
+    val racers = (0 until 4).map { i =>
+      Future {
+        ManifestTable.commit(spark, root, docs(10, from = 10 + i * 10),
+          Seq("id"), append = true, maxRetries = 50)
+      }
+    }
+    val versions = Await.result(Future.sequence(racers), 180.seconds)
+    assert(versions.toSet.size == 4, s"each racer its own version: $versions")
+    val finalTable = ManifestTable.read(spark, root)
+    assert(finalTable.count() == 50, "every batch must land in the final snapshot")
+    assert(finalTable.select("id").distinct().count() == 50, "no row duplicated")
+    // every racer's snapshot contains its own batch plus all predecessors'
+    versions.sorted.zipWithIndex.foreach { case (v, i) =>
+      assert(ManifestTable.read(spark, root, Some(v)).count() >= 10L * (i + 2),
+        s"version $v dropped a predecessor's files")
+    }
+  }
+
   test("manifest stats carry portable timestamp min/max that prune date ranges") {
     val root = freshRoot()
     val ts = (0 until 365).map { d =>
