@@ -2487,4 +2487,66 @@ object Queries {
         round(sum(col("o_totalprice").cast("decimal(18,6)")), 2)
           .cast("double").as("total_price"))
   }
+
+  // ---------------------------------------------------------------- Q117
+  /** Copy-on-write MERGE on the manifest table: orders lands
+    * key-clustered; an update batch (every 97th key re-priced, status
+    * 'U') plus an insert batch (negated 101st keys — guaranteed new)
+    * merges in, and [[graft.operators.ManifestTable.merge]] rewrites
+    * ONLY the files that actually hold a matching key — stats prune,
+    * then a semi-join probe, then a rewrite bounded by the touched-file
+    * set (ManifestTableSpec pins the file-level evidence). The oracle
+    * replays the same upsert in SQL over the raw table; `key_sum` makes
+    * a lost or duplicated key arithmetically visible. At 100 TB this is
+    * the nightly-correction path: a fraction-of-a-percent update touches
+    * files proportional to ITS key range, not the table.
+    */
+  def q117ManifestMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q117").resolve("t").toString
+    val o = t(spark, dir, "orders")
+    ManifestTable.commit(spark, root,
+      o.repartitionByRange(16, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+      Seq("o_orderkey"))
+    val upd = o.where(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + 100000.0)
+    val ins = o.where(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+    ManifestTable.merge(spark, root, upd.unionByName(ins), "o_orderkey")
+    ManifestTable.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("total_price"),
+        sum(col("o_orderkey")).as("key_sum"))
+  }
+
+  // ---------------------------------------------------------------- Q118
+  /** Copy-on-write range DELETE: lineitem lands ship-date-clustered;
+    * retiring the 1995 slice classifies every file from manifest stats
+    * alone — interior files DROP from metadata (zero IO), boundary files
+    * rewrite with the complement filter, the rest carry by reference
+    * ([[graft.operators.ManifestTable.deleteRange]]). The oracle is the
+    * raw table under NOT BETWEEN; `n_years` pins that the deleted year
+    * is really gone. The 100 TB shape of GDPR/retention deletes:
+    * clustered data makes "delete a year" a manifest edit plus two
+    * boundary files.
+    */
+  def q118ManifestDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q118").resolve("t").toString
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_shipdate"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_discount"))
+      .repartitionByRange(16, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+    ManifestTable.commit(spark, root, li, Seq("l_shipdate"))
+    ManifestTable.deleteRange(spark, root, "l_shipdate",
+      Some("1995-01-01 00:00:00"), Some("1995-12-31 23:59:59"))
+    ManifestTable.read(spark, root)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")), 2).cast("double").as("revenue"),
+        countDistinct(year(col("l_shipdate"))).as("n_years"))
+  }
 }

@@ -153,6 +153,8 @@ object SparkEntry {
     "q114_transitions" -> (Queries.q114Transitions _),
     "q115_scd2_point_in_time" -> (Queries.q115Scd2PointInTime _),
     "q116_ab_test" -> (Queries.q116AbTest _),
+    "q117_manifest_merge" -> (Queries.q117ManifestMerge _),
+    "q118_manifest_delete" -> (Queries.q118ManifestDelete _),
   )
 
   private val mergeOracle: String = {
@@ -1528,6 +1530,39 @@ object SparkEntry {
         |                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |GROUP BY 1""".stripMargin,
+    // the oracle replays the copy-on-write upsert as plain SQL set
+    // algebra: non-matching base rows + re-priced updates + negated-key
+    // inserts; key_sum catches any lost or duplicated key
+    "q117_manifest_merge" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 100000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |), ins AS (
+        |  SELECT -o_orderkey AS o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 101 = 0
+        |), merged AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins
+        |)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(round(sum(CAST(CAST(o_totalprice AS VARCHAR)
+        |                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM merged GROUP BY 1""".stripMargin,
+    // the oracle is the raw table under the complement predicate; the
+    // engine got there by dropping interior files from metadata alone
+    "q118_manifest_delete" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |       CAST(round(sum(CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR)
+        |                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |       count(DISTINCT CAST(year(l_shipdate) AS INTEGER)) AS n_years
+        |FROM lineitem
+        |WHERE l_shipdate NOT BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+        |                         AND TIMESTAMP '1995-12-31 23:59:59'
         |GROUP BY 1""".stripMargin,
     // exact percentile verbatim; the GK sketch reduced to a within-bound
     // boolean the oracle derives trivially (q28's reduction pattern)

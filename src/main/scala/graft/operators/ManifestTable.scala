@@ -54,13 +54,27 @@ object ManifestTable {
   final case class ColStats(min: Option[String], max: Option[String], nulls: Long)
   final case class FileEntry(path: String, rows: Long, bytes: Long,
       stats: Map[String, ColStats])
+
+  /** `txn` is the streaming idempotence ledger: highest batchId applied
+    * per writer app (the Delta `txn` action shape) — carried forward
+    * across ALL commit modes so a stream restarted after a [[compact]]
+    * still detects its replays.
+    */
   final case class Manifest(version: Long, mode: String, schemaDdl: String,
-      statsCols: Seq[String], files: Seq[FileEntry])
+      statsCols: Seq[String], files: Seq[FileEntry],
+      txn: Map[String, Long] = Map.empty)
 
   /** Pruned scan result: the superset DataFrame plus the skip evidence
     * (specs and plan audits assert `filesScanned < filesTotal`).
     */
   final case class PrunedScan(df: DataFrame, filesScanned: Int, filesTotal: Int)
+
+  /** Copy-on-write evidence: how many files the op kept untouched,
+    * dropped from metadata alone (zero IO), and actually rewrote —
+    * the numbers that make "merge touched 3 of 40 000 files" auditable.
+    */
+  final case class CowStats(version: Long, filesKept: Int, filesDropped: Int,
+      filesRewritten: Int)
 
   private val ManifestPrefix = "manifest-"
   private val mapper = new ObjectMapper()
@@ -91,6 +105,17 @@ object ManifestTable {
   def listVersions(spark: SparkSession, tableRoot: String): Seq[Long] =
     committedVersions(fs(spark), new Path(tableRoot)).sorted
 
+  /** A snapshot's data file paths, table-relative — the audit surface
+    * for copy-on-write evidence (which files a [[merge]]/[[deleteRange]]
+    * carried by reference vs rewrote).
+    */
+  def listFiles(spark: SparkSession, tableRoot: String,
+      version: Option[Long] = None): Seq[String] = {
+    val f = fs(spark)
+    val root = new Path(tableRoot)
+    resolve(f, root, version).files.map(_.path)
+  }
+
   def currentVersion(spark: SparkSession, tableRoot: String): Long = {
     val vs = committedVersions(fs(spark), new Path(tableRoot))
     require(vs.nonEmpty, s"no committed snapshot under $tableRoot")
@@ -107,35 +132,82 @@ object ManifestTable {
     * schema evolves by explicit DDL, not silently per batch).
     *
     * CONCURRENT writers are safe: version allocation retries on a lost
-    * manifest rename (appends re-base onto the winner; see the commit
-    * body). Returns the committed version number.
+    * manifest rename (appends re-base onto the winner; see the publish
+    * loop). `txn = Some(appId -> batchId)` makes the commit IDEMPOTENT
+    * per writer app: a replay whose batchId is <= the table's recorded
+    * high-water mark for that app is skipped (no new version; the
+    * already-containing version is returned) — the exactly-once contract
+    * [[streamInto]] builds on. Returns the committed version number.
     */
   def commit(spark: SparkSession, tableRoot: String, batch: DataFrame,
       statsCols: Seq[String] = Seq.empty, append: Boolean = false,
-      maxRetries: Int = 5): Long = {
+      maxRetries: Int = 5, txn: Option[(String, Long)] = None): Long = {
     val f = fs(spark)
     val root = new Path(tableRoot)
-    // nullability normalized away: parquet does not round-trip NOT NULL,
-    // so two batches of identical data can disagree on it spuriously
-    val schemaDdl = StructType(batch.schema.fields.map(_.copy(nullable = true))).toDDL
-    statsCols.foreach { c =>
-      val dt = batch.schema(c).dataType
-      require(statsComparable(dt), s"stats column $c has unsupported type $dt " +
-        "(numeric, string, date and timestamp min/max order is portable; others are not)")
+    // replay fast path: already applied per the latest snapshot → no
+    // data write at all (the post-claim re-check in publish closes the
+    // race against a concurrent replay of the same batch)
+    txnAppliedIn(latest(f, root), txn) getOrElse {
+      // nullability normalized away: parquet does not round-trip NOT
+      // NULL, so identical batches can disagree on it spuriously
+      val schemaDdl = StructType(batch.schema.fields.map(_.copy(nullable = true))).toDDL
+      statsCols.foreach { c =>
+        val dt = batch.schema(c).dataType
+        require(statsComparable(dt), s"stats column $c has unsupported type $dt " +
+          "(numeric, string, date and timestamp min/max order is portable; others are not)")
+      }
+      val (newEntries, _) = writeBatch(spark, f, root, batch, statsCols)
+      publish(f, root, if (append) "append" else "overwrite", schemaDdl,
+        statsCols, txn, maxRetries, expectParent = None) { parent =>
+        parent.filter(_ => append).foreach { p =>
+          require(p.schemaDdl == schemaDdl,
+            s"append schema mismatch: table is <${p.schemaDdl}>, batch is <$schemaDdl>")
+          require(statsCols == p.statsCols,
+            s"append stats columns mismatch: table tracks ${p.statsCols}, batch asked for $statsCols")
+        }
+        (if (append) parent.map(_.files).getOrElse(Seq.empty) else Seq.empty) ++ newEntries
+      }
     }
+  }
 
-    // Batch dir names carry a NONCE, not the version: the data write
-    // happens before version allocation and can never collide with a
-    // concurrent writer's, so the manifest rename below is the only race
-    // point — which is what makes it retryable (optimistic concurrency,
-    // the Delta commit-protocol shape). Data is written exactly once;
-    // only the metadata loop repeats. A crashed attempt leaves an
-    // unreferenced dir for [[vacuum]].
+  /** Write a batch under a fresh nonce dir and collect its file stats.
+    * Batch dir names carry a NONCE, not the version: the data write
+    * happens before version allocation and can never collide with a
+    * concurrent writer's, so the manifest rename in [[publish]] is the
+    * only race point — which is what makes it retryable (optimistic
+    * concurrency, the Delta commit-protocol shape). Data is written
+    * exactly once; only the metadata loop repeats. A crashed or skipped
+    * attempt leaves an unreferenced dir for [[vacuum]].
+    */
+  private def writeBatch(spark: SparkSession, f: FileSystem, root: Path,
+      batch: DataFrame, statsCols: Seq[String]): (Seq[FileEntry], String) = {
     val batchRel = s"data/b-${java.util.UUID.randomUUID.toString.take(12)}"
     val batchDir = new Path(root, batchRel)
     batch.write.mode("overwrite").parquet(batchDir.toString)
-    val newEntries = collectFileStats(spark, f, batchDir, batchRel, statsCols)
+    (collectFileStats(spark, f, batchDir, batchRel, statsCols), batchRel)
+  }
 
+  private def latest(f: FileSystem, root: Path): Option[Manifest] =
+    committedVersions(f, root).maxOption.map(v => loadManifest(f, root, v))
+
+  /** The version already containing this txn's batch, if the commit
+    * would be a replay (batchId at or below the app's high-water mark).
+    */
+  private def txnAppliedIn(parent: Option[Manifest],
+      txn: Option[(String, Long)]): Option[Long] =
+    for {
+      (app, bid) <- txn; p <- parent; seen <- p.txn.get(app) if seen >= bid
+    } yield p.version
+
+  /** The claim-fenced optimistic publish loop shared by every commit
+    * mode. `filesFor(parent)` builds the new snapshot's file list;
+    * `expectParent` (merge/delete) aborts if the snapshot moved since
+    * the caller planned its rewrite against it.
+    */
+  private def publish(f: FileSystem, root: Path, mode: String,
+      schemaDdl: String, statsCols: Seq[String], txn: Option[(String, Long)],
+      maxRetries: Int, expectParent: Option[Long])
+      (filesFor: Option[Manifest] => Seq[FileEntry]): Long = {
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
@@ -161,37 +233,50 @@ object ManifestTable {
             "persistent writer contention; coordinate writers or raise maxRetries")
       } else {
         // The parent snapshot is read ONLY NOW — after the claim, and
-        // after the previous claimant either publishes or is declared
-        // crashed (claim without manifest past the wait): reading it any
-        // earlier could re-base an append onto a stale parent and silently
-        // drop a concurrent writer's files. A genuinely live-but-slower
-        // predecessor is indistinguishable from a crashed one on a bare
-        // FileSystem (the reason Delta-on-S3 grew a lock service); the
-        // wait bounds that window, it cannot close it.
+        // after the previous claimant either publishes, abandons its
+        // claim (replay skip), or is declared crashed (claim without
+        // manifest past the wait): reading it any earlier could re-base
+        // an append onto a stale parent and silently drop a concurrent
+        // writer's files. A genuinely live-but-slower predecessor is
+        // indistinguishable from a crashed one on a bare FileSystem (the
+        // reason Delta-on-S3 grew a lock service); the wait bounds that
+        // window, it cannot close it.
         if (next > 1 && f.exists(claimPath(root, next - 1))) {
           val deadline = System.currentTimeMillis() + parentWaitMs
           while (!f.exists(manifestPath(root, next - 1)) &&
+            f.exists(claimPath(root, next - 1)) &&
             System.currentTimeMillis() < deadline) Thread.sleep(20)
         }
-        val parentV = committedVersions(f, root).maxOption
-        val parent = parentV.map(v => loadManifest(f, root, v))
-        parent.filter(_ => append).foreach { p =>
-          require(p.schemaDdl == schemaDdl,
-            s"append schema mismatch: table is <${p.schemaDdl}>, batch is <$schemaDdl>")
-          require(statsCols == p.statsCols,
-            s"append stats columns mismatch: table tracks ${p.statsCols}, batch asked for $statsCols")
+        val parent = latest(f, root)
+        txnAppliedIn(parent, txn) match {
+          case Some(v) =>
+            // a concurrent replay of the same batch won the race between
+            // our fast path and our claim: abandon the claim (successors
+            // stop waiting on it — see the loop condition above) and
+            // point the caller at the version that already has the rows
+            f.delete(claimPath(root, next), false)
+            committed = v
+          case None =>
+            expectParent.foreach { pv =>
+              if (!parent.map(_.version).contains(pv)) {
+                f.delete(claimPath(root, next), false)
+                throw new IllegalStateException(
+                  s"snapshot moved from v$pv to v${parent.map(_.version).getOrElse(0L)} " +
+                    s"while a $mode was planned against it under $root; re-run the $mode " +
+                    "(its rewrite set is stale)")
+              }
+            }
+            val txnMap = parent.map(_.txn).getOrElse(Map.empty) ++ txn
+            val m = Manifest(next, mode, schemaDdl, statsCols, filesFor(parent), txnMap)
+            val tmp = new Path(root,
+              s"${ManifestPrefix}tmp-${java.util.UUID.randomUUID.toString.take(12)}.json.tmp")
+            val out = f.create(tmp, true)
+            out.write(renderManifest(m).getBytes(StandardCharsets.UTF_8))
+            out.close()
+            val dest = manifestPath(root, next)
+            require(f.rename(tmp, dest), s"claimed version $next but failed to publish $dest")
+            committed = next
         }
-        val files = if (append) parent.map(_.files).getOrElse(Seq.empty) ++ newEntries
-        else newEntries
-        val m = Manifest(next, if (append) "append" else "overwrite",
-          schemaDdl, statsCols, files)
-        val tmp = new Path(root, s"${ManifestPrefix}tmp-${batchRel.stripPrefix("data/")}.json.tmp")
-        val out = f.create(tmp, true)
-        out.write(renderManifest(m).getBytes(StandardCharsets.UTF_8))
-        out.close()
-        val dest = manifestPath(root, next)
-        require(f.rename(tmp, dest), s"claimed version $next but failed to publish $dest")
-        committed = next
       }
     }
     committed
@@ -210,6 +295,10 @@ object ManifestTable {
     */
   private def collectFileStats(spark: SparkSession, f: FileSystem,
       batchDir: Path, batchRel: String, statsCols: Seq[String]): Seq[FileEntry] = {
+    // an all-empty batch (idle streaming micro-batch) may write no part
+    // files at all — its commit is a file-less manifest, not a read error
+    if (!f.listStatus(batchDir).exists(_.getPath.getName.endsWith(".parquet")))
+      return Seq.empty
     val written = spark.read.parquet(batchDir.toString)
     val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap { c =>
       Seq(min(col(c)).cast("string").as(s"__min_$c"),
@@ -232,6 +321,163 @@ object ManifestTable {
       FileEntry(s"$batchRel/$name", r.getAs[Long]("__rows"),
         sizes.getOrElse(name, 0L), stats)
     }.sortBy(_.path)
+  }
+
+  // ---------------------------------------------------------- streaming
+
+  /** Exactly-once Structured Streaming sink — pass to `foreachBatch`:
+    * {{{
+    * df.writeStream
+    *   .foreachBatch(ManifestTable.streamInto(root, "ingest", Seq("id")) _)
+    * }}}
+    * Each micro-batch becomes one append commit stamped
+    * `txn = (queryName, batchId)`. foreachBatch is only AT-LEAST-once
+    * (a restart replays the last batch whose sink effects weren't
+    * checkpointed); the table's per-app batchId high-water mark turns
+    * the replay into a no-op, so rows land EXACTLY once — the Delta
+    * idempotent-sink contract, on this manifest log. `queryName` must be
+    * stable across restarts and unique per logical stream (two streams
+    * sharing a name would swallow each other's batches); concurrent
+    * distinct streams are fine — commits claim-fence like any writer.
+    */
+  def streamInto(tableRoot: String, queryName: String,
+      statsCols: Seq[String] = Seq.empty)(batch: DataFrame, batchId: Long): Unit = {
+    commit(batch.sparkSession, tableRoot, batch, statsCols, append = true,
+      txn = Some(queryName -> batchId))
+    ()
+  }
+
+  // ------------------------------------------------------ copy-on-write
+
+  /** Copy-on-write upsert: `updates` rows REPLACE same-key table rows,
+    * new-key rows are inserted — rewriting ONLY the files that actually
+    * hold a matching key. Three phases, each strictly narrowing:
+    *
+    *  1. STATS PRUNE (driver-only, zero IO): files whose `[min,max]` on
+    *     `keyCol` cannot contain any update key (or are all-NULL — no
+    *     NULL equals a key) are carried into the new snapshot by
+    *     reference.
+    *  2. PROBE (one semi-join): among the candidates, the files that
+    *     really contain a matching key, via `input_file_name()` semi-join
+    *     against the update keys — the collect is distinct FILE names,
+    *     bounded by the manifest's own cardinality.
+    *  3. REWRITE: the touched files' non-matching rows + all updates are
+    *     written as one new batch; untouched candidates join group 1.
+    *
+    * On a 100 TB key-clustered table an update of one key range rewrites
+    * a handful of files and never scans the rest — the manifest makes
+    * "which files could match" a metadata question. Requires `updates`
+    * to match the table schema; duplicate keys WITHIN `updates` are the
+    * caller's bug (both rows would land). Commits mode "merge", which
+    * [[changes]] refuses to cross (history is rewritten). Fails loudly
+    * if the snapshot moves between planning and publish (the rewrite set
+    * would be stale) — re-run on a fresh snapshot.
+    */
+  def merge(spark: SparkSession, tableRoot: String, updates: DataFrame,
+      keyCol: String, maxRetries: Int = 5): CowStats = {
+    val f = fs(spark)
+    val root = new Path(tableRoot)
+    val m = resolve(f, root, None)
+    val updDdl = StructType(updates.schema.fields.map(_.copy(nullable = true))).toDDL
+    require(m.schemaDdl == updDdl,
+      s"merge schema mismatch: table is <${m.schemaDdl}>, updates is <$updDdl>")
+    val dt = StructType.fromDDL(m.schemaDdl)(keyCol).dataType
+
+    val bounds = updates.agg(
+      min(col(keyCol)).cast("string").as("lo"),
+      max(col(keyCol)).cast("string").as("hi")).head()
+    if (bounds.isNullAt(0)) // no non-null update keys: nothing can match
+      CowStats(m.version, m.files.size, 0, 0)
+    else {
+      val (lo, hi) = (bounds.getString(0), bounds.getString(1))
+      val (candidates, pruned) = m.files.partition { fe =>
+        fe.stats.get(keyCol) match {
+          case Some(ColStats(Some(mn), Some(mx), _)) =>
+            cmp(dt, mx, lo) >= 0 && cmp(dt, mn, hi) <= 0
+          case Some(ColStats(None, None, _)) => false // all-NULL file
+          case _ => true // key stats not tracked: must probe
+        }
+      }
+      val keys = updates.select(col(keyCol)).distinct()
+      val touched: Set[String] =
+        if (candidates.isEmpty) Set.empty
+        else dfFor(spark, root, m, candidates)
+          .withColumn("__file", input_file_name())
+          .join(keys, Seq(keyCol), "left_semi")
+          .select(col("__file")).distinct().collect()
+          .map { r => val p = new Path(r.getString(0))
+            s"data/${p.getParent.getName}/${p.getName}" }.toSet
+      val (rewrite, untouchedCand) = candidates.partition(fe => touched(fe.path))
+      val survivors =
+        if (rewrite.isEmpty) updates.limit(0)
+        else dfFor(spark, root, m, rewrite).join(keys, Seq(keyCol), "left_anti")
+      val (newEntries, _) =
+        writeBatch(spark, f, root, survivors.unionByName(updates), m.statsCols)
+      val v = publish(f, root, "merge", m.schemaDdl, m.statsCols, None,
+        maxRetries, expectParent = Some(m.version)) { _ =>
+        pruned ++ untouchedCand ++ newEntries
+      }
+      CowStats(v, pruned.size + untouchedCand.size, 0, rewrite.size)
+    }
+  }
+
+  /** Copy-on-write range delete: removes rows whose `colName` lies in
+    * `[lower, upper]` (portable string bounds, as in [[scanRange]];
+    * `None` = unbounded; NULLs never match a range). Files classified
+    * from manifest stats alone:
+    *
+    *  - DISJOINT range (or all-NULL): kept by reference, zero IO.
+    *  - FULLY CONTAINED and NULL-free: dropped from METADATA alone —
+    *    no file is opened. Retiring a day from a 100 TB time-clustered
+    *    table is a manifest edit.
+    *  - straddling the boundary: rewritten with the complement filter
+    *    (NULL rows kept explicitly — a bare NOT BETWEEN would eat them).
+    *
+    * Commits mode "delete" (refused by [[changes]]); same
+    * snapshot-moved fail-loud contract as [[merge]].
+    */
+  def deleteRange(spark: SparkSession, tableRoot: String, colName: String,
+      lower: Option[String], upper: Option[String],
+      maxRetries: Int = 5): CowStats = {
+    require(lower.isDefined || upper.isDefined,
+      "deleteRange with both bounds open would delete every non-NULL row; " +
+        "commit an explicit truncation instead")
+    val f = fs(spark)
+    val root = new Path(tableRoot)
+    val m = resolve(f, root, None)
+    require(m.statsCols.contains(colName),
+      s"no stats collected for $colName (have: ${m.statsCols.mkString(", ")})")
+    val dt = StructType.fromDDL(m.schemaDdl)(colName).dataType
+
+    val (keeps, drops, rewrites) = {
+      val k = Seq.newBuilder[FileEntry]; val d = Seq.newBuilder[FileEntry]
+      val rw = Seq.newBuilder[FileEntry]
+      m.files.foreach { fe =>
+        fe.stats.get(colName) match {
+          case Some(ColStats(Some(mn), Some(mx), nulls)) =>
+            val disjoint = lower.exists(lo => cmp(dt, mx, lo) < 0) ||
+              upper.exists(up => cmp(dt, mn, up) > 0)
+            val contained = nulls == 0 &&
+              lower.forall(lo => cmp(dt, mn, lo) >= 0) &&
+              upper.forall(up => cmp(dt, mx, up) <= 0)
+            if (disjoint) k += fe else if (contained) d += fe else rw += fe
+          case Some(ColStats(None, None, _)) => k += fe // all-NULL file
+          case _ => rw += fe // statless (can't arise today): rewrite is safe
+        }
+      }
+      (k.result(), d.result(), rw.result())
+    }
+    val newEntries = if (rewrites.isEmpty) Seq.empty else {
+      val c = col(colName)
+      val inRange = (lower.map(lo => c >= lit(lo).cast(dt)) ++
+        upper.map(up => c <= lit(up).cast(dt))).reduce(_ && _)
+      val (entries, _) = writeBatch(spark, f, root,
+        dfFor(spark, root, m, rewrites).where(c.isNull || !inRange), m.statsCols)
+      entries
+    }
+    val v = publish(f, root, "delete", m.schemaDdl, m.statsCols, None,
+      maxRetries, expectParent = Some(m.version)) { _ => keeps ++ newEntries }
+    CowStats(v, keeps.size, drops.size, rewrites.size)
   }
 
   // --------------------------------------------------------------- read
@@ -442,6 +688,10 @@ object ManifestTable {
     o.put("mode", m.mode)
     o.put("schemaDdl", m.schemaDdl)
     val sc = o.putArray("statsCols"); m.statsCols.foreach(sc.add)
+    if (m.txn.nonEmpty) {
+      val tx = o.putObject("txn")
+      m.txn.toSeq.sortBy(_._1).foreach { case (app, bid) => tx.put(app, bid) }
+    }
     val fa = o.putArray("files")
     m.files.foreach { fe =>
       val fo = fa.addObject()
@@ -463,6 +713,11 @@ object ManifestTable {
     def arr(n: JsonNode): Seq[JsonNode] = {
       val b = new ArrayBuffer[JsonNode](n.size()); n.forEach(e => b += e); b.toSeq
     }
+    val txn = Option(node.get("txn")).fold(Map.empty[String, Long]) { tn =>
+      val b = Map.newBuilder[String, Long]
+      tn.fieldNames().forEachRemaining(app => b += app -> tn.get(app).asLong())
+      b.result()
+    }
     Manifest(
       node.get("version").asLong(),
       node.get("mode").asText(),
@@ -483,6 +738,6 @@ object ManifestTable {
         }
         FileEntry(fn.get("path").asText(), fn.get("rows").asLong(),
           fn.get("bytes").asLong(), stats)
-      })
+      }, txn)
   }
 }

@@ -193,6 +193,135 @@ class ManifestTableSpec extends SparkSuite {
     }
   }
 
+  test("txn-stamped commit is idempotent: replayed batchIds are skipped") {
+    val root = freshRoot()
+    val v0 = ManifestTable.commit(spark, root, docs(10), Seq("id"),
+      append = true, txn = Some("app_a" -> 0L))
+    val v1 = ManifestTable.commit(spark, root, docs(10, from = 10), Seq("id"),
+      append = true, txn = Some("app_a" -> 1L))
+    assert(v1 > v0)
+    // replay of batch 1 (restart after un-checkpointed sink effect)
+    val vReplay = ManifestTable.commit(spark, root, docs(10, from = 10), Seq("id"),
+      append = true, txn = Some("app_a" -> 1L))
+    assert(vReplay == v1, "replay must point at the version that already has the rows")
+    assert(ManifestTable.currentVersion(spark, root) == v1, "replay must not advance the log")
+    assert(ManifestTable.read(spark, root).count() == 20, "no duplicated rows")
+    // a DIFFERENT app's batch 1 is not a replay
+    val vOther = ManifestTable.commit(spark, root, docs(5, from = 100), Seq("id"),
+      append = true, txn = Some("app_b" -> 1L))
+    assert(vOther > v1)
+    assert(ManifestTable.read(spark, root).count() == 25)
+    // and app_a's next batch applies normally
+    ManifestTable.commit(spark, root, docs(5, from = 200), Seq("id"),
+      append = true, txn = Some("app_a" -> 2L))
+    assert(ManifestTable.read(spark, root).count() == 30)
+  }
+
+  test("txn high-water mark survives compaction (restart after compact still dedups)") {
+    val root = freshRoot()
+    ManifestTable.commit(spark, root, docs(10), Seq("id"),
+      append = true, txn = Some("stream" -> 7L))
+    ManifestTable.compact(spark, root, targetBytes = 1L << 30)
+    val vReplay = ManifestTable.commit(spark, root, docs(10), Seq("id"),
+      append = true, txn = Some("stream" -> 7L))
+    assert(vReplay == ManifestTable.currentVersion(spark, root))
+    assert(ManifestTable.read(spark, root).count() == 10, "replay after compact must be skipped")
+  }
+
+  test("streamInto lands each micro-batch exactly once under at-least-once delivery") {
+    val root = freshRoot()
+    val sink = ManifestTable.streamInto(root, "ingest", Seq("id")) _
+    sink(docs(10), 0L)
+    sink(docs(10, from = 10), 1L)
+    sink(docs(10, from = 10), 1L) // foreachBatch replay after restart
+    sink(docs(10, from = 20), 2L)
+    val t = ManifestTable.read(spark, root)
+    assert(t.count() == 30)
+    assert(t.select("id").distinct().count() == 30)
+  }
+
+  test("merge rewrites only files that hold a matching key; untouched files carry by reference") {
+    val root = freshRoot()
+    val in = docs(4000).repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    ManifestTable.commit(spark, root, in, Seq("id"))
+    val before = ManifestTable.listFiles(spark, root)
+    // updates hit one narrow key range + insert brand-new keys
+    val updates = docs(50, from = 1000).withColumn("score", col("score") + 1)
+      .unionByName(docs(10, from = 9000))
+    val cow = ManifestTable.merge(spark, root, updates, "id")
+    assert(cow.filesRewritten <= 2,
+      s"a 50-key range on 8 range-clustered files must touch few: $cow")
+    assert(cow.filesKept >= 6, s"$cow")
+    val after = ManifestTable.listFiles(spark, root)
+    assert(before.intersect(after).size == cow.filesKept,
+      "kept files must be the SAME paths, not rewritten copies")
+    val t = ManifestTable.read(spark, root)
+    assert(t.count() == 4010)
+    // updated rows carry the new score, untouched rows the old one
+    val updated = t.where(col("id").between(1000, 1049))
+    assert(updated.where(col("score") === col("id") * 10 + 1).count() == 50)
+    assert(t.where(col("id") === 500 && col("score") === 5000).count() == 1)
+    assert(t.where(col("id") >= 9000).count() == 10)
+    // merge rewrites history: the changes feed refuses to cross it
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.changes(spark, root, 1L, cow.version)
+    }
+    assert(e.getMessage.contains("non-append"))
+  }
+
+  test("merge with no matching or overlapping keys is append-shaped (zero rewrites)") {
+    val root = freshRoot()
+    val in = docs(1000).repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    ManifestTable.commit(spark, root, in, Seq("id"))
+    val cow = ManifestTable.merge(spark, root, docs(10, from = 5000), "id")
+    assert(cow.filesRewritten == 0 && cow.filesKept == 4, s"$cow")
+    assert(ManifestTable.read(spark, root).count() == 1010)
+    // and an empty updates frame is a no-op that commits nothing
+    val noop = ManifestTable.merge(spark, root, docs(0), "id")
+    assert(noop.version == cow.version && noop.filesRewritten == 0)
+  }
+
+  test("merge with a drifted schema fails fast") {
+    val root = freshRoot()
+    ManifestTable.commit(spark, root, docs(10), Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root, docs(5).withColumn("extra", lit(1)), "id")
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
+  test("deleteRange drops fully-covered files from metadata alone and keeps NULLs") {
+    val root = freshRoot()
+    // 8 disjoint id-range files over 0..3999 plus NULL-score rows
+    val withNulls = docs(4000)
+      .withColumn("score", when(col("id") % 100 === 0, lit(null)).otherwise(col("score")))
+    val in = withNulls.repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    ManifestTable.commit(spark, root, in, Seq("id"))
+    // delete ids 500..2499: middle files fully covered, edges straddle
+    val cow = ManifestTable.deleteRange(spark, root, "id", Some("500"), Some("2499"))
+    assert(cow.filesDropped >= 2,
+      s"interior files must be dropped without any IO: $cow")
+    assert(cow.filesRewritten <= 2, s"only boundary files rewrite: $cow")
+    assert(cow.filesKept + cow.filesDropped + cow.filesRewritten == 8)
+    val t = ManifestTable.read(spark, root)
+    assert(t.count() == 2000)
+    assert(t.where(col("id").between(500, 2499)).count() == 0)
+    // NULL-score rows outside the id range are untouched by an id delete
+    assert(t.where(col("score").isNull).count() ==
+      withNulls.where(col("score").isNull && !col("id").between(500, 2499)).count())
+  }
+
+  test("deleteRange on the stats column keeps NULL rows of that column (NOT-BETWEEN would eat them)") {
+    val root = freshRoot()
+    val in = docs(100)
+      .withColumn("score", when(col("id") < 10, lit(null)).otherwise(col("score")))
+    ManifestTable.commit(spark, root, in, Seq("score"))
+    val cow = ManifestTable.deleteRange(spark, root, "score", Some("100"), None)
+    assert(ManifestTable.read(spark, root).where(col("score").isNull).count() == 10,
+      s"NULLs are outside every range and must survive: $cow")
+    assert(ManifestTable.read(spark, root).count() == 10)
+  }
+
   test("manifest stats carry portable timestamp min/max that prune date ranges") {
     val root = freshRoot()
     val ts = (0 until 365).map { d =>

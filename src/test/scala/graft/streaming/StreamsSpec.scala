@@ -202,6 +202,51 @@ class StreamsSpec extends SparkSuite {
     assert(full.count() == 90)
   }
 
+  test("streamInto is exactly-once through a crash-window restart (replayed batch skipped)") {
+    // foreachBatch is at-least-once: if the process dies after the sink
+    // effect but before the checkpoint commit marker, the restart replays
+    // the batch. Simulate exactly that window by deleting the last
+    // commits/ marker, then prove the manifest txn ledger absorbs the
+    // replay: same rows, no duplicates, no extra version.
+    import graft.operators.ManifestTable
+    val in = tmpDir("minto-in")
+    val ck = tmpDir("minto-ck")
+    val root = tmpDir("minto-tbl") + "/t"
+    val rows = (0 until 40).map(i => (i.toLong, s"r_$i")).toDF("id", "payload")
+    rows.where($"id" < 20).coalesce(1).write.mode("append").parquet(in)
+    rows.where($"id" >= 20).coalesce(1).write.mode("append").parquet(in)
+    val batchesRun = new java.util.concurrent.atomic.AtomicInteger
+    def run() = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batchesRun.incrementAndGet()
+        ManifestTable.streamInto(root, "minto", Seq("id"))(b, id)
+      }
+      .start()
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(ManifestTable.read(spark, root).count() == 40)
+    val vBefore = ManifestTable.currentVersion(spark, root)
+    // crash window: sink effects landed, last commit marker did not
+    val commits = new java.io.File(ck, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    // the local FS keeps a checksum sidecar; leaving it behind would make
+    // the restart's atomic re-write of this marker look like a collision
+    new java.io.File(commits.last.getParentFile, s".${commits.last.getName}.crc").delete()
+    assert(commits.last.delete(), "failed to simulate the crash window")
+    val ranBefore = batchesRun.get()
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batchesRun.get() > ranBefore,
+      "restart must actually replay the uncommitted batch")
+    val t = ManifestTable.read(spark, root)
+    assert(t.count() == 40, "replayed batch must not duplicate rows")
+    assert(t.select("id").distinct().count() == 40)
+    assert(ManifestTable.currentVersion(spark, root) == vBefore,
+      "a skipped replay must not advance the manifest log")
+  }
+
   test("upsertStream restart resumes the checkpoint — committed files never replay") {
     val destPath = tmpDir("restart-dest") + "/t"
     val in = tmpDir("restart-in")
