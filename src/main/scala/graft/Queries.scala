@@ -2549,4 +2549,38 @@ object Queries {
           .cast("decimal(18,6)")), 2).cast("double").as("revenue"),
         countDistinct(year(col("l_shipdate"))).as("n_years"))
   }
+
+  // ---------------------------------------------------------------- Q119
+  /** SemDeDup-style semantic dedup over the embeddings table: frozen
+    * centroids (the 16 lowest-id vectors — the deployed train-once
+    * path, and what makes the run replayable), nearest-centroid
+    * assignment, pairwise cosine ONLY within a cluster, drop any vector
+    * with a >= 0.35-similar smaller-id cluster-mate. The oracle replays
+    * assignment (same sims, same `sim DESC, cid DESC` tie-break as the
+    * operator's sorted-struct argmax) and the drop rule in SQL — the
+    * full per-row (id, cluster, keep) frame must match bit-for-bit.
+    * The pairwise stage is quadratic only within a cluster (O(Σ|c|²)),
+    * which is the whole reason semantic dedup is runnable at 100 TB.
+    */
+  def q119SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cents = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    Similarity.semanticDedup(emb, "vec_id", "embedding",
+        tau = 0.35, centroids = cents)
+      .select(col("id").as("vec_id"), col("cluster"), col("keep"))
+  }
+
+  // ---------------------------------------------------------------- Q120
+  /** Gopher-style repetition signals over every document: top-word
+    * fraction, duplicated-word fraction, duplicated-trigram fraction
+    * ([[graft.operators.TrainingPrep.repetitionSignals]]) — the quality
+    * axis the per-token battery (q16) can't see. Both stages are
+    * (doc, gram)-keyed partial aggs, so a crawler-trap document spreads
+    * across tasks instead of concentrating in one. The oracle recomputes
+    * every signal per doc in SQL; the full per-row frame must match.
+    */
+  def q120RepetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.repetitionSignals(t(spark, dir, "documents"), "doc_id", "text")
 }

@@ -155,6 +155,8 @@ object SparkEntry {
     "q116_ab_test" -> (Queries.q116AbTest _),
     "q117_manifest_merge" -> (Queries.q117ManifestMerge _),
     "q118_manifest_delete" -> (Queries.q118ManifestDelete _),
+    "q119_semantic_dedup" -> (Queries.q119SemanticDedup _),
+    "q120_repetition_signals" -> (Queries.q120RepetitionSignals _),
   )
 
   private val mergeOracle: String = {
@@ -1564,6 +1566,57 @@ object SparkEntry {
         |WHERE l_shipdate NOT BETWEEN TIMESTAMP '1995-01-01 00:00:00'
         |                         AND TIMESTAMP '1995-12-31 23:59:59'
         |GROUP BY 1""".stripMargin,
+    // frozen centroids = the 16 lowest-id vectors; assignment replayed
+    // with the operator's exact tie-break (sim DESC, centroid id DESC),
+    // sims rounded to 6 dp before the threshold on both sides
+    "q119_semantic_dedup" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16
+        |), scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |         list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        |  FROM embeddings e CROSS JOIN cents c
+        |), assigned AS (
+        |  SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+        |    FROM scored)
+        |  WHERE rn = 1
+        |), dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |  WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.35
+        |)
+        |SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS keep
+        |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id""".stripMargin,
+    // same whitespace tokens and 1-based trigram windows; integer gram
+    // counts make the double divisions bit-identical across engines
+    "q120_repetition_signals" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), wc AS (
+        |  SELECT doc_id, w, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(ts) AS w FROM toks) GROUP BY 1, 2
+        |), ws AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, max(n) AS top_word_n,
+        |         CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_word_tokens
+        |  FROM wc GROUP BY 1
+        |), tc AS (
+        |  SELECT doc_id, g, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+        |               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |        FROM toks WHERE len(ts) >= 3) GROUP BY 1, 2
+        |), ts2 AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tri,
+        |         CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_tri
+        |  FROM tc GROUP BY 1
+        |)
+        |SELECT w.doc_id, w.n_words,
+        |       round(top_word_n / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
+        |       round(dup_word_tokens / CAST(n_words AS DOUBLE), 6) AS dup_word_frac,
+        |       round(coalesce(dup_tri / CAST(n_tri AS DOUBLE), 0.0), 6) AS dup_trigram_frac
+        |FROM ws w LEFT JOIN ts2 t ON w.doc_id = t.doc_id""".stripMargin,
     // exact percentile verbatim; the GK sketch reduced to a within-bound
     // boolean the oracle derives trivially (q28's reduction pattern)
     "q99_approx_percentile" ->

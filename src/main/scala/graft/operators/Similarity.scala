@@ -290,4 +290,56 @@ object Similarity {
       .where(col("sim") >= threshold)
       .select("idA", "idB", "sim")
   }
+
+  /** SemDeDup-style SEMANTIC deduplication (cluster-then-compare, the
+    * shape of Abbas et al. 2023): every vector is assigned to its
+    * nearest centroid, pairwise cosine runs ONLY within a cluster, and
+    * a doc is dropped when a smaller-id same-cluster doc is at least
+    * `tau` similar (deterministic keeper: the lowest id of a duplicate
+    * set always survives). Returns `(id, cluster, keep)` for every
+    * input row.
+    *
+    * Scale: the pairwise stage shuffles on `cluster` and is quadratic
+    * only WITHIN a cluster — O(Σ|c|²), the SemDeDup economics that make
+    * semantic dedup feasible where all-pairs O(n²) is not; size
+    * `nClusters` so the largest cluster's pairs fit a task (the paper
+    * runs tens of thousands of clusters at web scale — a skewed giant
+    * cluster is the thing to tune against). Assignment is the same
+    * broadcast-literal-centroid codegen argmax as the IVF family; sims
+    * are rounded to 6 dp before the threshold so the decision is
+    * portable (and oracle-checkable) across engines.
+    *
+    * `centroids` — frozen centroids (the deployed path: train once on a
+    * sample, reuse per batch; also what makes results replayable); null
+    * trains in-line via [[trainCentroids]].
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String, tau: Double,
+      nClusters: Int = 16, dim: Int = -1, trainIters: Int = 3,
+      centroids: Array[Array[Float]] = null): DataFrame = {
+    require(centroids == null || centroids.nonEmpty, "centroids must be non-empty")
+    val c0 = Parallelism.ensureCompute(df)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    lazy val useDim =
+      if (dim > 0) dim
+      else c0.groupBy(size(col("vec")).as("d")).count()
+        .orderBy(col("count").desc, col("d").asc)
+        .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(
+          throw new IllegalArgumentException("semanticDedup: empty corpus"))
+    val cents =
+      if (centroids != null) centroids
+      else trainCentroids(df, idCol, vecCol, nClusters, useDim, trainIters)
+    val assigned = c0.withColumn("cluster",
+      nearestLists(col("vec"), cents, 1).getItem(0).getField("list"))
+    val l = assigned.select(col("cluster"), col("id").as("ia"), col("vec").as("va"))
+    val r = assigned.select(col("cluster"), col("id").as("ib"), col("vec").as("vb"))
+    val dups = l.join(r, Seq("cluster"))
+      .where(col("ia") < col("ib"))
+      .where(round(VectorExpressions.cosine(col("va"), col("vb")), 6) >= tau)
+      .select(col("ib").as("id")).distinct()
+    assigned
+      .join(dups.withColumn("__dup", lit(true)), Seq("id"), "left_outer")
+      .select(col("id"), col("cluster"),
+        not(coalesce(col("__dup"), lit(false))).as("keep"))
+  }
 }

@@ -318,4 +318,47 @@ object TrainingPrep {
         col("n_windows").cast("long").as("n_windows"),
         (col("n_windows") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_dropped"))
   }
+
+  /** Gopher-style per-document REPETITION signals (adapted from the
+    * repetition filters of Rae et al. 2021 §A1.1): the fraction of
+    * tokens that are the single most frequent word, the fraction of
+    * tokens belonging to any word seen more than once, and the fraction
+    * of trigram occurrences that are duplicates. Repetition is the
+    * failure mode the length/punct/stopword battery
+    * ([[graft.functions.TextFunctions.qualityScore]]) cannot see: a
+    * crawler trap repeating one paragraph scores "fluent" on every
+    * per-token signal and lights up here.
+    *
+    * Scale: explode → `groupBy(doc, gram)` → per-doc partial aggs. Both
+    * shuffles key on (doc, gram) — a hot document spreads across tasks
+    * during the gram count and collapses to ONE row per doc afterwards;
+    * nothing ever materializes a whole document's grams in one task
+    * (the HOF alternative — `transform(distinct, w → count)` — is
+    * O(len²) per doc and dies exactly on the repetitive outliers this
+    * gate exists to catch). Fractions are rounded to 6 dp for
+    * engine-portable comparison.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = Parallelism.ensureCompute(df)
+    val wordStats = base
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("n")).as("n_words"),
+        max(col("n")).as("top_word_n"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup_word_tokens"))
+    val triStats = base
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.wordNGrams(col(textCol), 3)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("n")).as("n_tri"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup_tri"))
+    wordStats.join(triStats, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_words"),
+        round(col("top_word_n") / col("n_words"), 6).as("top_word_frac"),
+        round(col("dup_word_tokens") / col("n_words"), 6).as("dup_word_frac"),
+        round(coalesce(col("dup_tri") / col("n_tri"), lit(0.0)), 6).as("dup_trigram_frac"))
+  }
 }

@@ -211,4 +211,60 @@ class SimilaritySpec extends SparkSuite {
     assert(lsh.subsetOf(exact),
       s"LSH found pairs the exact join did not: ${lsh.diff(exact).take(3)}")
   }
+
+  test("semanticDedup: lowest id of a duplicate set survives, cross-cluster twins don't pair") {
+    // two tight duplicate sets on orthogonal axes (ids 0/1/2 in cluster
+    // A, ids 10/11 in cluster B) plus an isolated diagonal doc: per set,
+    // exactly the lowest id survives; pairs join on cluster, so the A
+    // and B sets can never see each other.
+    def v(x: Float, y: Float, eps: Float) = Array(x, y, eps, 0f)
+    val corpus = Seq(
+      0L -> v(1f, 0f, 0.00f), 1L -> v(1f, 0f, 0.01f), 2L -> v(1f, 0f, 0.02f),
+      10L -> v(0f, 1f, 0.00f), 11L -> v(0f, 1f, 0.01f),
+      20L -> v(0.7f, 0.7f, 0f)
+    ).toDF("id", "vec")
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0.7f, 0.7f, 0f, 0f))
+    val out = Similarity.semanticDedup(corpus, "id", "vec", tau = 0.999,
+      centroids = cents)
+      .select($"id", $"cluster", $"keep").as[(Long, Long, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 10L, 11L, 20L))
+    // cluster assignment by nearest centroid
+    assert(out(0L)._1 == 0 && out(1L)._1 == 0 && out(2L)._1 == 0)
+    assert(out(10L)._1 == 1 && out(11L)._1 == 1)
+    assert(out(20L)._1 == 2)
+    // min id per duplicate set kept, the rest dropped
+    assert(out(0L)._2 && !out(1L)._2 && !out(2L)._2,
+      s"cluster A keep flags wrong: $out")
+    assert(out(10L)._2 && !out(11L)._2, s"cluster B keep flags wrong: $out")
+    assert(out(20L)._2, "an isolated doc must survive")
+  }
+
+  test("semanticDedup with trained centroids: keep set is a valid dedup cover at tau") {
+    // regardless of HOW clustering lands, the published guarantees hold:
+    // (a) every dropped doc really has a kept-or-smaller-id >= tau twin
+    //     in its own cluster, (b) no two kept docs in the SAME cluster
+    //     are >= tau similar
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      tau = 0.35, nClusters = 8)
+    val clusters = out.groupBy($"cluster").count().collect()
+    assert(clusters.length > 1, "training collapsed to one cluster")
+    val joined = out.as("x").join(out.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.id") < col("y.id"))
+      .join(emb.as("ex"), col("x.id") === col("ex.vec_id"))
+      .join(emb.as("ey"), col("y.id") === col("ey.vec_id"))
+      .select(col("x.id").as("ia"), col("y.id").as("ib"),
+        col("x.keep").as("ka"), col("y.keep").as("kb"),
+        round(graft.plans.VectorExpressions.cosine(
+          col("ex.embedding"), col("ey.embedding")), 6).as("sim"))
+    val bothKeptDup = joined.where($"ka" && $"kb" && $"sim" >= 0.35).count()
+    assert(bothKeptDup == 0, s"$bothKeptDup kept pairs are >= tau similar in one cluster")
+    val droppedIds = out.where(!$"keep").select($"id").as[Long].collect().toSet
+    val justified = joined.where($"sim" >= 0.35)
+      .select($"ib").as[Long].collect().toSet
+    assert(droppedIds.subsetOf(justified),
+      s"dropped without a smaller-id twin: ${droppedIds.diff(justified).take(3)}")
+  }
 }
