@@ -2583,4 +2583,52 @@ object Queries {
     */
   def q120RepetitionSignals(spark: SparkSession, dir: String): DataFrame =
     TrainingPrep.repetitionSignals(t(spark, dir, "documents"), "doc_id", "text")
+
+  // ---------------------------------------------------------------- Q121
+  /** CCNet-style perplexity gate with a corpus-trained unigram LM
+    * ([[graft.operators.DataSelection.unigramCrossEntropy]]): per-doc
+    * cross-entropy in nats/token. The LM is one term-keyed partial agg;
+    * scoring is a vocab join — nothing wider than the doc key ever
+    * shuffles. Oracle replays counts, ln, the decimal-exact per-doc sum
+    * and the final division.
+    */
+  def q121UnigramCrossEntropy(spark: SparkSession, dir: String): DataFrame =
+    DataSelection.unigramCrossEntropy(t(spark, dir, "documents"), "doc_id", "text")
+
+  // ---------------------------------------------------------------- Q122
+  /** DSIR importance weights toward the `lang='en'` slice
+    * ([[graft.operators.DataSelection.dsirLogWeights]]): 64 portable
+    * hash buckets, smoothed target/source log-ratio, decimal-exact
+    * per-doc sum. The model is 64 scalars on a broadcast — the corpus
+    * is never shuffled wider than its own doc key.
+    */
+  def q122DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    DataSelection.dsirLogWeights(t(spark, dir, "documents"), "doc_id", "text",
+      targetFilter = col("lang") === "en", nBuckets = 64)
+
+  // ---------------------------------------------------------------- Q123
+  /** Exact duplicated-span report (Lee et al. 2021 shape,
+    * [[graft.operators.SubstringDedup.duplicatedSpans]]) at 5-token
+    * anchors: per-doc maximal duplicated regions and covered-token
+    * fraction. All-integer until the final division; the oracle replays
+    * gram hashes, the duplicate set and the interval merge exactly.
+    */
+  def q123DuplicatedSpans(spark: SparkSession, dir: String): DataFrame =
+    SubstringDedup.duplicatedSpans(t(spark, dir, "documents"), "doc_id", "text", k = 5)
+
+  // ---------------------------------------------------------------- Q124
+  /** Contrastive hard-negative mining over the embeddings table
+    * ([[graft.operators.Similarity.hardNegatives]]): top-5 most-similar
+    * different-label vectors per anchor, pairs scored only within a
+    * frozen-centroid cluster (q119's replayable assignment — sim DESC,
+    * centroid id DESC argmax).
+    */
+  def q124HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cents = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      k = 5, centroids = cents)
+  }
 }

@@ -157,6 +157,10 @@ object SparkEntry {
     "q118_manifest_delete" -> (Queries.q118ManifestDelete _),
     "q119_semantic_dedup" -> (Queries.q119SemanticDedup _),
     "q120_repetition_signals" -> (Queries.q120RepetitionSignals _),
+    "q121_unigram_cross_entropy" -> (Queries.q121UnigramCrossEntropy _),
+    "q122_dsir_weights" -> (Queries.q122DsirWeights _),
+    "q123_duplicated_spans" -> (Queries.q123DuplicatedSpans _),
+    "q124_hard_negatives" -> (Queries.q124HardNegatives _),
   )
 
   private val mergeOracle: String = {
@@ -1617,6 +1621,102 @@ object SparkEntry {
         |       round(dup_word_tokens / CAST(n_words AS DOUBLE), 6) AS dup_word_frac,
         |       round(coalesce(dup_tri / CAST(n_tri AS DOUBLE), 0.0), 6) AS dup_trigram_frac
         |FROM ws w LEFT JOIN ts2 t ON w.doc_id = t.doc_id""".stripMargin,
+    // corpus unigram LM: ln is pinned bit-identical (q110), per-doc sums
+    // run through DECIMAL(25,10) on both engines before one exact division
+    "q121_unigram_cross_entropy" ->
+      """WITH t2 AS (
+        |  SELECT doc_id, w
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''
+        |), vocab AS (SELECT w, count(*) AS n FROM t2 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM vocab),
+        |lp AS (SELECT w, ln(CAST(n AS DOUBLE) / (SELECT nn FROM tot)) AS lnp FROM vocab),
+        |dt AS (SELECT doc_id, w, count(*) AS c FROM t2 GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       round(CAST(sum(CAST(c * -lnp AS DECIMAL(25,10))) AS DOUBLE)
+        |             / CAST(sum(c) AS BIGINT), 6) AS cross_entropy
+        |FROM dt JOIN lp USING (w) GROUP BY 1""".stripMargin,
+    // same 48-bit char folds as q13f; bucket = hash % 64; smoothing adds
+    // run in double exactly as the Scala driver computes them
+    "q122_dsir_weights" ->
+      """WITH th AS (
+        |  SELECT doc_id, lang, list_transform(string_split(text, ' '), t ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 131 + x) % 281474976710656)) AS th
+        |  FROM documents),
+        |tb AS (SELECT doc_id, lang = 'en' AS is_tgt, unnest(th) % 64 AS b FROM th),
+        |bc AS (SELECT b, count(*) AS n_src,
+        |              CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+        |       FROM tb GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_src) AS DOUBLE) AS ns, CAST(sum(n_tgt) AS DOUBLE) AS nt FROM bc),
+        |ratio AS (SELECT b,
+        |         ln((n_tgt + 1.0) / ((SELECT nt FROM tot) + 64))
+        |       - ln((n_src + 1.0) / ((SELECT ns FROM tot) + 64)) AS ln_ratio FROM bc),
+        |dc AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       round(CAST(sum(CAST(c * ln_ratio AS DECIMAL(25,10))) AS DOUBLE), 6) AS log_weight
+        |FROM dc JOIN ratio USING (b) GROUP BY 1""".stripMargin,
+    // positional 5-gram hashes (q13f's folds, positions kept), duplicate
+    // set by occurrence count, per-doc interval merge — integer math
+    // end-to-end until the final dup_frac division
+    "q123_duplicated_spans" ->
+      """WITH th AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '), t ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 131 + x) % 281474976710656)) AS th
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(th) AS n_tokens,
+        |         CASE WHEN len(th) < 5 THEN [] ELSE
+        |           list_transform(generate_series(1, len(th) - 4),
+        |             i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+4]),
+        |                    (a, x) -> (a * 31 + x) % 281474976710656)) END AS ghs
+        |  FROM th),
+        |pos AS (SELECT doc_id, unnest(generate_series(1, len(ghs))) - 1 AS p,
+        |               unnest(ghs) AS gh FROM g),
+        |dup AS (SELECT gh FROM (SELECT gh, count(*) AS occ FROM pos GROUP BY 1) WHERE occ > 1),
+        |dp AS (SELECT doc_id, p FROM pos WHERE gh IN (SELECT gh FROM dup)),
+        |sp AS (SELECT doc_id, p,
+        |         CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL THEN 1
+        |              WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 5 THEN 1
+        |              ELSE 0 END AS new_span FROM dp),
+        |sp2 AS (SELECT doc_id, p, sum(new_span) OVER (
+        |          PARTITION BY doc_id ORDER BY p
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id FROM sp),
+        |spans AS (SELECT doc_id, span_id, max(p) - min(p) + 5 AS span_len FROM sp2 GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |               CAST(sum(span_len) AS BIGINT) AS dup_tokens FROM spans GROUP BY 1)
+        |SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+        |       coalesce(a.n_spans, 0) AS n_spans,
+        |       coalesce(a.dup_tokens, 0) AS dup_tokens,
+        |       round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / g.n_tokens, 6) AS dup_frac
+        |FROM g LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // q119's frozen-centroid assignment (sim DESC, cid DESC argmax), then
+    // per-anchor rank over different-label cluster-mates at 6-dp sims
+    "q124_hard_negatives" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16
+        |), scored AS (
+        |  SELECT e.vec_id, e.label, c.cid,
+        |         list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        |  FROM embeddings e CROSS JOIN cents c
+        |), assigned AS (
+        |  SELECT vec_id, label, cid AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+        |    FROM scored)
+        |  WHERE rn = 1
+        |), pairs AS (
+        |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+        |         round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS sim
+        |  FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.label <> b.label
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id)
+        |SELECT anchor_id, neg_id, sim, CAST(rnk AS BIGINT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neg_id ASC) AS rnk
+        |  FROM pairs)
+        |WHERE rnk <= 5""".stripMargin,
     // exact percentile verbatim; the GK sketch reduced to a within-bound
     // boolean the oracle derives trivially (q28's reduction pattern)
     "q99_approx_percentile" ->

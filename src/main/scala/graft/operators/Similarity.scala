@@ -342,4 +342,47 @@ object Similarity {
       .select(col("id"), col("cluster"),
         not(coalesce(col("__dup"), lit(false))).as("keep"))
   }
+
+  /** HARD-NEGATIVE mining for contrastive training: for every anchor
+    * vector, the `k` most cosine-similar vectors carrying a DIFFERENT
+    * label — near the anchor in embedding space yet labeled otherwise,
+    * the pairs that actually move a contrastive loss (the in-batch
+    * random negatives they replace are trivially far). Returns
+    * `(anchor_id, neg_id, sim, rank)`.
+    *
+    * Scale shape: [[semanticDedup]]'s cluster economics — anchors and
+    * candidates are both assigned to their nearest centroid (the
+    * broadcast-literal codegen argmax), pairs score ONLY within a
+    * cluster, so the pairwise stage is O(Σ|c|²) keyed by cluster, never
+    * all-pairs. Mining is approximate at cluster boundaries exactly like
+    * SemDeDup/IVF-probe retrieval; raise `nClusters` resolution or probe
+    * more lists when recall matters more than cost. Scores are rounded
+    * to 6 dp BEFORE ranking (rank boundaries stable across engines),
+    * ties broken by ascending candidate id.
+    */
+  def hardNegatives(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int, centroids: Array[Array[Float]]): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(centroids != null && centroids.nonEmpty, "centroids required")
+    val base = Parallelism.ensureCompute(df)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col(labelCol).as("lbl"))
+      .withColumn("cluster",
+        nearestLists(col("vec"), centroids, 1).getItem(0).getField("list"))
+    val a = base.select(col("cluster"), col("id").as("anchor_id"),
+      col("vec").as("va"), col("lbl").as("la"))
+    val c = base.select(col("cluster"), col("id").as("neg_id"),
+      col("vec").as("vc"), col("lbl").as("lc"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("sim").desc, col("neg_id").asc)
+    a.join(c, Seq("cluster"))
+      .where(col("la") =!= col("lc"))
+      .withColumn("sim",
+        round(VectorExpressions.cosine(col("va"), col("vc")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("anchor_id"), col("neg_id"), col("sim"),
+        col("rank").cast("long").as("rank"))
+  }
 }

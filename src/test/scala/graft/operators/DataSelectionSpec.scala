@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class DataSelectionSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("unigramCrossEntropy: hand-computed corpus, surprising doc scores higher") {
+    // corpus: "a" x 6, "b" x 2, "z" x 1, "y" x 1  (N = 10)
+    val docs = Seq(
+      (1L, "a a a b"),   // common words only
+      (2L, "a a a b"),
+      (3L, "z y")        // two hapaxes — maximally surprising
+    ).toDF("doc_id", "text")
+    val out = DataSelection.unigramCrossEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val lnA = -math.log(6.0 / 10); val lnB = -math.log(2.0 / 10)
+    val lnZ = -math.log(1.0 / 10)
+    val h12 = BigDecimal((3 * lnA + lnB) / 4)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val h3 = BigDecimal(lnZ)  // (lnZ + lnY) / 2, both ln(1/10)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((4L, h12)) && out(2L) == ((4L, h12)), s"got $out")
+    assert(out(3L) == ((2L, h3)), s"got $out")
+    assert(out(3L)._2 > out(1L)._2, "hapax doc must be more surprising")
+  }
+
+  test("unigramCrossEntropy: identical docs score identically on the real corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = DataSelection.unigramCrossEntropy(docs, "doc_id", "text")
+    assert(out.count() == docs.count(), "one row per doc")
+    // cross-entropy is a pure function of the text: equal texts, equal score
+    val perText = docs.select($"doc_id", $"text")
+      .join(out, "doc_id")
+      .groupBy($"text").agg(countDistinct($"cross_entropy").as("d"))
+      .where($"d" > 1).count()
+    assert(perText == 0, s"$perText texts got distinct scores")
+  }
+
+  test("dsirLogWeights: target-only vocabulary upweights target-like docs") {
+    // target docs speak {t1,t2}, source-only docs speak {s1,s2}; a
+    // held-out doc in the target vocabulary must outscore one in the
+    // source-only vocabulary
+    val docs = Seq(
+      (1L, "t1 t2 t1 t2", "en"), (2L, "t2 t1 t2 t1", "en"),
+      (3L, "s1 s2 s1 s2", "de"), (4L, "s2 s1 s2 s1", "de"),
+      (5L, "t1 t2 t1 t2", "de"), // target-like text, source label
+      (6L, "s1 s2 s1 s2", "fr")  // source-like text
+    ).toDF("doc_id", "text", "lang")
+    val out = DataSelection.dsirLogWeights(docs, "doc_id", "text",
+        targetFilter = col("lang") === "en", nBuckets = 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(5L) > out(6L),
+      s"target-vocab doc must outweigh source-vocab doc: $out")
+    assert(out(1L) > out(3L), s"target doc must outweigh source doc: $out")
+    assert(out.values.forall(w => !w.isNaN && !w.isInfinite), s"degenerate: $out")
+  }
+
+  test("dsirLogWeights: empty target slice is all-smoothing, finite, flat-signed") {
+    val docs = Seq((1L, "a b c", "en"), (2L, "d e f", "de")).toDF("doc_id", "text", "lang")
+    val out = DataSelection.dsirLogWeights(docs, "doc_id", "text",
+        targetFilter = col("lang") === "xx", nBuckets = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 2)
+    // with zero target mass every ratio is ln(1/8 / p_s[b]) — finite
+    assert(out.forall(r => !r._3.isNaN && !r._3.isInfinite), s"got ${out.toSeq}")
+  }
+}

@@ -267,4 +267,33 @@ class SimilaritySpec extends SparkSuite {
     assert(droppedIds.subsetOf(justified),
       s"dropped without a smaller-id twin: ${droppedIds.diff(justified).take(3)}")
   }
+
+  test("hardNegatives: only different-label cluster-mates, ranked by similarity") {
+    // cluster 0 (x-axis): ids 0,1 label A; id 2 label B close to A's; id 3
+    // label C farther. cluster 1 (y-axis): id 10 label A alone -> no rows.
+    def v(x: Float, y: Float, eps: Float) = Array(x, y, eps, 0f)
+    val emb = Seq(
+      (0L, v(1f, 0f, 0.00f), "A"), (1L, v(1f, 0f, 0.01f), "A"),
+      (2L, v(1f, 0f, 0.05f), "B"), (3L, v(0.9f, 0f, 0.4f), "C"),
+      (10L, v(0f, 1f, 0f), "A")
+    ).toDF("id", "vec", "lbl")
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    val out = Similarity.hardNegatives(emb, "id", "vec", "lbl",
+        k = 2, centroids = cents)
+      .as[(Long, Long, Double, Long)].collect()
+    val byAnchor = out.groupBy(_._1)
+    // anchor 0: negatives are 2 (nearer) then 3; never same-label 1
+    assert(byAnchor(0L).sortBy(_._4).map(_._2).toSeq == Seq(2L, 3L),
+      s"anchor 0: ${byAnchor(0L).toSeq}")
+    // anchor 2 (label B): both A twins rank above far C; k=2 caps at the
+    // As, and 1 (eps 0.01, nearer to eps 0.05) outranks 0 (eps 0)
+    assert(byAnchor(2L).sortBy(_._4).map(_._2).toSeq == Seq(1L, 0L),
+      s"anchor 2: ${byAnchor(2L).toSeq}")
+    // id 10 is alone in its cluster: no negatives mined
+    assert(!byAnchor.contains(10L), s"anchor 10 rows: ${out.toSeq}")
+    // no pair ever shares a label; ranks are 1-based dense per anchor
+    assert(out.forall(r => r._4 >= 1 && r._4 <= 2))
+    val labels = Map(0L -> "A", 1L -> "A", 2L -> "B", 3L -> "C", 10L -> "A")
+    assert(out.forall(r => labels(r._1) != labels(r._2)), s"same-label pair: ${out.toSeq}")
+  }
 }
