@@ -2631,4 +2631,34 @@ object Queries {
     Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
       k = 5, centroids = cents)
   }
+
+  // ---------------------------------------------------------------- Q125
+  /** DSIR end-to-end: q122's importance weights fed through
+    * deterministic Gumbel-top-k resampling
+    * ([[graft.operators.DataSelection.gumbelTopK]]) — the 100 docs a
+    * weight-proportional sample keeps, reproducible run-to-run because
+    * the uniforms derive from the portable id hash. Top-k plans as
+    * TakeOrderedAndProject; the rank window sees only the k survivors.
+    */
+  def q125DsirResample(spark: SparkSession, dir: String): DataFrame = {
+    val w = DataSelection.dsirLogWeights(t(spark, dir, "documents"),
+      "doc_id", "text", targetFilter = col("lang") === "en", nBuckets = 64)
+    DataSelection.gumbelTopK(w, "doc_id", "log_weight", k = 100)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  // ---------------------------------------------------------------- Q126
+  /** Entity resolution over customer names
+    * ([[graft.operators.EntityResolution.fuzzyPairs]]): two masking
+    * blocking passes (drop the last two digits; drop two middle digits)
+    * propose candidates, exact Levenshtein <= 1 confirms. A pair missed
+    * by one mask is caught by the other — the standard multi-pass
+    * recall argument; neither pass ever goes all-pairs.
+    */
+  def q126FuzzyMatch(spark: SparkSession, dir: String): DataFrame =
+    EntityResolution.fuzzyPairs(t(spark, dir, "customer"), "c_custkey", "c_name",
+      blockers = Seq(
+        s => substring(s, 1, 16),
+        s => concat(substring(s, 1, 14), substring(s, 17, 2))),
+      maxDist = 1)
 }

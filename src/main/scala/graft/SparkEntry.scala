@@ -161,6 +161,8 @@ object SparkEntry {
     "q122_dsir_weights" -> (Queries.q122DsirWeights _),
     "q123_duplicated_spans" -> (Queries.q123DuplicatedSpans _),
     "q124_hard_negatives" -> (Queries.q124HardNegatives _),
+    "q125_dsir_resample" -> (Queries.q125DsirResample _),
+    "q126_fuzzy_match" -> (Queries.q126FuzzyMatch _),
   )
 
   private val mergeOracle: String = {
@@ -1717,6 +1719,59 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neg_id ASC) AS rnk
         |  FROM pairs)
         |WHERE rnk <= 5""".stripMargin,
+    // q122's weight pipeline + Gumbel keys from the portable id-string
+    // char fold; u = (h + 0.5) / 2^48, ln pinned, rank at 6-dp keys
+    "q125_dsir_resample" ->
+      """WITH th AS (
+        |  SELECT doc_id, lang, list_transform(string_split(text, ' '), t ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 131 + x) % 281474976710656)) AS th
+        |  FROM documents),
+        |tb AS (SELECT doc_id, lang = 'en' AS is_tgt, unnest(th) % 64 AS b FROM th),
+        |bc AS (SELECT b, count(*) AS n_src,
+        |              CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+        |       FROM tb GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_src) AS DOUBLE) AS ns, CAST(sum(n_tgt) AS DOUBLE) AS nt FROM bc),
+        |ratio AS (SELECT b,
+        |         ln((n_tgt + 1.0) / ((SELECT nt FROM tot) + 64))
+        |       - ln((n_src + 1.0) / ((SELECT ns FROM tot) + 64)) AS ln_ratio FROM bc),
+        |dc AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY 1, 2),
+        |w AS (
+        |  SELECT doc_id,
+        |         round(CAST(sum(CAST(c * ln_ratio AS DECIMAL(25,10))) AS DOUBLE), 6) AS log_weight
+        |  FROM dc JOIN ratio USING (b) GROUP BY 1),
+        |keyed AS (
+        |  SELECT doc_id, log_weight,
+        |         round(log_weight - ln(-ln(
+        |           (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+        |                c -> CAST(ascii(c) AS BIGINT))),
+        |              (a, x) -> (a * 131 + x) % 281474976710656) + 0.5)
+        |           / 281474976710656.0)), 6) AS gumbel_key
+        |  FROM w)
+        |SELECT doc_id, log_weight, gumbel_key, CAST(rnk AS BIGINT) AS rank FROM (
+        |  SELECT *, row_number() OVER (ORDER BY gumbel_key DESC, doc_id ASC) AS rnk
+        |  FROM keyed)
+        |WHERE rnk <= 100""".stripMargin,
+    // two masking blocking passes, capped blocks (replayed though the cap
+    // never binds here), distinct union, Levenshtein <= 1 verify
+    "q126_fuzzy_match" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+        |p1 AS (SELECT id, s, substr(s, 1, 16) AS bk FROM c),
+        |p2 AS (SELECT id, s, substr(s, 1, 14) || substr(s, 17, 2) AS bk FROM c),
+        |c1 AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY bk) AS bs FROM p1)
+        |       WHERE bs <= 10000),
+        |c2 AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY bk) AS bs FROM p2)
+        |       WHERE bs <= 10000),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+        |  FROM c1 a JOIN c1 b ON a.bk = b.bk AND a.id < b.id
+        |  UNION
+        |  SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+        |  FROM c2 a JOIN c2 b ON a.bk = b.bk AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(s_a, s_b) <= 1""".stripMargin,
     // exact percentile verbatim; the GK sketch reduced to a within-bound
     // boolean the oracle derives trivially (q28's reduction pattern)
     "q99_approx_percentile" ->

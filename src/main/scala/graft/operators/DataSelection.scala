@@ -119,4 +119,39 @@ object DataSelection {
       .select(col("doc_id"), col("n_tokens"),
         round(col("w_sum").cast("double"), 6).as("log_weight"))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement via the
+    * Gumbel-top-k trick (Efraimidis–Spirakis / Vieira): per-row key
+    * `log w + Gumbel = log w - ln(-ln u)`, the k largest keys are an
+    * exact sample proportional to the weights. The uniform `u` is not
+    * random: it is derived from the portable 48-bit char fold of
+    * `salt || id` — replayable on any engine, stable across runs (the
+    * property a resumable 100 TB pipeline needs; re-running the job
+    * selects the same sample), re-drawable by changing `salt`.
+    *
+    * This is DSIR's resampling step ([[dsirLogWeights]] provides
+    * `log w`), and the general "sample k docs by quality weight" tool.
+    *
+    * Scale shape: map-only scoring, then top-k plans as
+    * TakeOrderedAndProject — per-partition heaps of k rows, no global
+    * sort. Keys are rounded to 6 dp BEFORE ranking (stable rank
+    * boundaries), ties broken by id.
+    */
+  def gumbelTopK(weights: DataFrame, idCol: String, logWeightCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val m = (1L << 48).toDouble
+    val u = (TextFunctions.portableTokenHash(
+      concat(lit(salt), col("id").cast("string"))).cast("double") + 0.5) / m
+    Parallelism.ensureCompute(weights)
+      .select(col(idCol).as("id"), col(logWeightCol).as("log_weight"))
+      .withColumn("gumbel_key", round(col("log_weight") - log(-log(u)), 6))
+      .orderBy(col("gumbel_key").desc, col("id").asc)
+      .limit(k)
+      // the rank window is unpartitioned BUT runs over the k surviving
+      // rows only — bounded by construction, never the corpus
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("gumbel_key").desc, col("id").asc)).cast("long"))
+  }
 }

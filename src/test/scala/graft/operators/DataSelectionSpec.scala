@@ -67,4 +67,25 @@ class DataSelectionSpec extends SparkSuite {
     // with zero target mass every ratio is ln(1/8 / p_s[b]) — finite
     assert(out.forall(r => !r._3.isNaN && !r._3.isInfinite), s"got ${out.toSeq}")
   }
+
+  test("gumbelTopK: deterministic, weight-dominant, salt re-draws") {
+    // 50 heavy rows (log w = 5) vs 950 light rows (log w = -5): a
+    // weight-proportional sample of 25 is overwhelmingly heavy — the
+    // Gumbel noise is stdev ~1.3 against a 10-nat gap
+    val rows = (0L until 1000L)
+      .map(i => (i, if (i < 50) 5.0 else -5.0)).toDF("id", "lw")
+    val a = DataSelection.gumbelTopK(rows, "id", "lw", k = 25)
+      .as[(Long, Double, Double, Long)].collect()
+    val b = DataSelection.gumbelTopK(rows, "id", "lw", k = 25)
+      .as[(Long, Double, Double, Long)].collect()
+    assert(a.toSeq == b.toSeq, "same salt must reproduce the same sample")
+    assert(a.map(_._4).toSeq == (1L to 25L), s"ranks: ${a.map(_._4).toSeq}")
+    assert(a.map(_._3).toSeq == a.map(_._3).sortBy(-_).toSeq, "keys descend")
+    val heavy = a.count(_._1 < 50L)
+    assert(heavy >= 23, s"only $heavy/25 heavy rows sampled")
+    val c = DataSelection.gumbelTopK(rows, "id", "lw", k = 25, salt = "redraw")
+      .as[(Long, Double, Double, Long)].collect()
+    assert(c.map(_._1).toSet != a.map(_._1).toSet,
+      "a different salt must draw a different sample")
+  }
 }
