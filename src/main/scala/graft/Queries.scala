@@ -2661,4 +2661,58 @@ object Queries {
         s => substring(s, 1, 16),
         s => concat(substring(s, 1, 14), substring(s, 17, 2))),
       maxDist = 1)
+
+  // ---------------------------------------------------------------- Q127
+  /** q123 APPLIED ([[graft.operators.SubstringDedup.stripDuplicatedSpans]]):
+    * every duplicated 5-token span removed from every copy, documents
+    * reassembled in order. The oracle rebuilds each cleaned doc with
+    * `string_agg ORDER BY` over the kept positions — text compared
+    * verbatim, so reassembly order and coverage must both be exact.
+    */
+  def q127StripSpans(spark: SparkSession, dir: String): DataFrame =
+    SubstringDedup.stripDuplicatedSpans(t(spark, dir, "documents"),
+      "doc_id", "text", k = 5)
+
+  // ---------------------------------------------------------------- Q128
+  /** Temperature mixture resampling
+    * ([[graft.operators.DataSelection.temperatureResample]]): source
+    * shares flattened at tau=0.7 against an 8k-token budget; per-doc
+    * deterministic keep from the portable id hash. Driver state = one
+    * rate per source; the decision pass is map-only.
+    */
+  def q128TemperatureResample(spark: SparkSession, dir: String): DataFrame =
+    DataSelection.temperatureResample(t(spark, dir, "documents"),
+      "doc_id", "text", "source", tau = 0.7, budgetTokens = 8000L)
+
+  // ---------------------------------------------------------------- Q129
+  /** Per-source adaptive quality cutoff: q121's cross-entropy scored
+    * against each SOURCE's own 80th percentile (exact interpolated
+    * percentile, the q39 semantics) rather than one global threshold —
+    * the standard per-domain curation move (a threshold tuned on web
+    * text would gut code or dialog sources). Composition: q121 → one
+    * per-source partial-agg percentile (20 driver-sized rows, broadcast
+    * back) → map-only keep flag.
+    */
+  def q129AdaptiveCutoff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val ce = DataSelection.unigramCrossEntropy(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val cut = ce.groupBy(col("source"))
+      .agg(round(expr("percentile(cross_entropy, 0.8)"), 6).as("cutoff"))
+    ce.join(broadcast(cut), Seq("source"))
+      .select(col("doc_id"), col("source"), col("cross_entropy"),
+        col("cutoff"), (col("cross_entropy") <= col("cutoff")).as("keep"))
+  }
+
+  // ---------------------------------------------------------------- Q130
+  /** Leakage-safe GROUP-AWARE train/val/test split
+    * ([[graft.operators.TrainingPrep.groupAwareSplit]]) of lineitem by
+    * order: every line of an order lands in one split, with zero
+    * shuffle — the split key is a pure function of the group value.
+    * Output is per-row so the oracle pins every single assignment.
+    */
+  def q130GroupSplit(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.groupAwareSplit(t(spark, dir, "lineitem"), "l_orderkey",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("l_orderkey"), col("l_linenumber"), col("split"))
 }

@@ -163,6 +163,10 @@ object SparkEntry {
     "q124_hard_negatives" -> (Queries.q124HardNegatives _),
     "q125_dsir_resample" -> (Queries.q125DsirResample _),
     "q126_fuzzy_match" -> (Queries.q126FuzzyMatch _),
+    "q127_strip_spans" -> (Queries.q127StripSpans _),
+    "q128_temperature_resample" -> (Queries.q128TemperatureResample _),
+    "q129_adaptive_cutoff" -> (Queries.q129AdaptiveCutoff _),
+    "q130_group_split" -> (Queries.q130GroupSplit _),
   )
 
   private val mergeOracle: String = {
@@ -1744,11 +1748,12 @@ object SparkEntry {
         |keyed AS (
         |  SELECT doc_id, log_weight,
         |         round(log_weight - ln(-ln(
-        |           (list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |              list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
-        |                c -> CAST(ascii(c) AS BIGINT))),
-        |              (a, x) -> (a * 131 + x) % 281474976710656) + 0.5)
-        |           / 281474976710656.0)), 6) AS gumbel_key
+        |           (((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+        |                  c -> CAST(ascii(c) AS BIGINT))),
+        |                (a, x) -> (a * 131 + x) % 281474976710656)
+        |              % 2147483647) * 1103515245 + 12345) % 2147483647 + 0.5)
+        |           / 2147483647.0)), 6) AS gumbel_key
         |  FROM w)
         |SELECT doc_id, log_weight, gumbel_key, CAST(rnk AS BIGINT) AS rank FROM (
         |  SELECT *, row_number() OVER (ORDER BY gumbel_key DESC, doc_id ASC) AS rnk
@@ -1772,6 +1777,107 @@ object SparkEntry {
         |  FROM c2 a JOIN c2 b ON a.bk = b.bk AND a.id < b.id)
         |SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(s_a, s_b) <= 1""".stripMargin,
+    // q123's duplicate set expanded to covered positions, kept tokens
+    // reassembled with string_agg ORDER BY (q105's discipline) — the
+    // cleaned text compares verbatim
+    "q127_strip_spans" ->
+      """WITH th AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '), t ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 131 + x) % 281474976710656)) AS th
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(th) AS n_tokens,
+        |         CASE WHEN len(th) < 5 THEN [] ELSE
+        |           list_transform(generate_series(1, len(th) - 4),
+        |             i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+4]),
+        |                    (a, x) -> (a * 31 + x) % 281474976710656)) END AS ghs
+        |  FROM th),
+        |pos AS (SELECT doc_id, unnest(generate_series(1, len(ghs))) - 1 AS p,
+        |               unnest(ghs) AS gh FROM g),
+        |dup AS (SELECT gh FROM (SELECT gh, count(*) AS occ FROM pos GROUP BY 1) WHERE occ > 1),
+        |cov AS (SELECT DISTINCT doc_id, tp FROM (
+        |  SELECT doc_id, unnest(generate_series(p, p + 4)) AS tp
+        |  FROM pos WHERE gh IN (SELECT gh FROM dup))),
+        |toks AS (SELECT doc_id,
+        |           unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS tp,
+        |           unnest(string_split(text, ' ')) AS tok
+        |         FROM documents),
+        |kept AS (SELECT t.doc_id, t.tp, t.tok
+        |         FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tp = c.tp
+        |         WHERE c.tp IS NULL),
+        |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |              string_agg(tok, ' ' ORDER BY tp) AS clean_text
+        |       FROM kept GROUP BY 1)
+        |SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+        |       coalesce(k.n_kept, 0) AS n_kept,
+        |       coalesce(k.clean_text, '') AS clean_text
+        |FROM g LEFT JOIN ka k USING (doc_id)""".stripMargin,
+    // pow normalizer summed through DECIMAL (order-independent), rates
+    // rounded to 6 dp before the compare, uniforms from the id-string
+    // char fold — the exact driver arithmetic in SQL
+    "q128_temperature_resample" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |cnt AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_s FROM base GROUP BY 1),
+        |ps AS (SELECT CAST(sum(CAST(pow(CAST(n_s AS DOUBLE), 0.7) AS DECIMAL(25,10)))
+        |              AS DOUBLE) AS pow_sum FROM cnt),
+        |rates AS (
+        |  SELECT source,
+        |         round(least(1.0,
+        |           pow(CAST(n_s AS DOUBLE), 0.7) / (SELECT pow_sum FROM ps)
+        |             * 8000 / n_s), 6) AS rate
+        |  FROM cnt)
+        |SELECT b.doc_id, b.source, b.n_toks, r.rate,
+        |       ((((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(string_split(CAST(b.doc_id AS VARCHAR), ''),
+        |              c -> CAST(ascii(c) AS BIGINT))),
+        |            (a, x) -> (a * 131 + x) % 281474976710656)
+        |          % 2147483647) * 1103515245 + 12345) % 2147483647 + 0.5)
+        |         / 2147483647.0 < r.rate) AS keep
+        |FROM base b JOIN rates r USING (source)""".stripMargin,
+    // q121's cross-entropy joined to source, per-source exact
+    // interpolated percentile (quantile_cont == Spark percentile, the
+    // q39 agreement), map-only keep flag
+    "q129_adaptive_cutoff" ->
+      """WITH t2 AS (
+        |  SELECT doc_id, w
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''
+        |), vocab AS (SELECT w, count(*) AS n FROM t2 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM vocab),
+        |lp AS (SELECT w, ln(CAST(n AS DOUBLE) / (SELECT nn FROM tot)) AS lnp FROM vocab),
+        |dt AS (SELECT doc_id, w, count(*) AS c FROM t2 GROUP BY 1, 2),
+        |ce AS (
+        |  SELECT doc_id,
+        |         round(CAST(sum(CAST(c * -lnp AS DECIMAL(25,10))) AS DOUBLE)
+        |               / CAST(sum(c) AS BIGINT), 6) AS cross_entropy
+        |  FROM dt JOIN lp USING (w) GROUP BY 1),
+        |ce2 AS (SELECT ce.doc_id, d.source, ce.cross_entropy
+        |        FROM ce JOIN documents d ON ce.doc_id = d.doc_id),
+        |cut AS (SELECT source, round(quantile_cont(cross_entropy, 0.8), 6) AS cutoff
+        |        FROM ce2 GROUP BY 1)
+        |SELECT c2.doc_id, c2.source, c2.cross_entropy, cut.cutoff,
+        |       (c2.cross_entropy <= cut.cutoff) AS keep
+        |FROM ce2 c2 JOIN cut USING (source)""".stripMargin,
+    // the split key is the 48-bit char fold of the ORDER key string;
+    // thresholds are the cumulative 0.8/0.9 shares — every row replayed
+    "q130_group_split" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |         (((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(string_split(CAST(l_orderkey AS VARCHAR), ''),
+        |                c -> CAST(ascii(c) AS BIGINT))),
+        |              (a, x) -> (a * 131 + x) % 281474976710656)
+        |            % 2147483647) * 1103515245 + 12345) % 2147483647 + 0.5)
+        |          / 2147483647.0 AS u
+        |  FROM lineitem)""".stripMargin,
     // exact percentile verbatim; the GK sketch reduced to a within-bound
     // boolean the oracle derives trivially (q28's reduction pattern)
     "q99_approx_percentile" ->

@@ -177,6 +177,22 @@ object TextFunctions {
     aggregate(filter(split(t, ""), c => c =!= ""), lit(0L),
       (a, c) => (a * lit(131L) + ascii(c).cast("long")) % lit(1L << 48))
 
+  /** Deterministic engine-portable uniform in (0, 1) from any key: the
+    * 48-bit char fold of `key` folded into Z_{2^31-1} and scrambled by
+    * one affine step with a LARGE multiplier (the classic LCG
+    * constants), then midpoint-normalized. The affine step is the part
+    * that makes it a usable uniform: the raw char fold of a SHORT key
+    * ("42") is numerically tiny against the modulus, so thresholding it
+    * directly sends every short key to the low end (an all-train split,
+    * a keep-everything sample); the large multiplier spreads unit fold
+    * steps ~0.514 apart around the circle. All intermediates < 2^62 —
+    * no overflow in any ANSI engine; every operation replays in the
+    * DuckDB oracles (q13f's permutation arithmetic class).
+    */
+  def portableUniform(key: Column): Column =
+    (((portableTokenHash(key) % lit(2147483647L)) * lit(1103515245L)
+      + lit(12345L)) % lit(2147483647L) + lit(0.5)) / lit(2147483647.0)
+
   /** HOF composition of [[portableTokenHash]] — the executable spec for
     * the native expression (asserted equal in TextFunctionsSpec).
     */

@@ -124,8 +124,8 @@ object DataSelection {
     * Gumbel-top-k trick (Efraimidis–Spirakis / Vieira): per-row key
     * `log w + Gumbel = log w - ln(-ln u)`, the k largest keys are an
     * exact sample proportional to the weights. The uniform `u` is not
-    * random: it is derived from the portable 48-bit char fold of
-    * `salt || id` — replayable on any engine, stable across runs (the
+    * random: it is [[TextFunctions.portableUniform]] over `salt || id`
+    * — replayable on any engine, stable across runs (the
     * property a resumable 100 TB pipeline needs; re-running the job
     * selects the same sample), re-drawable by changing `salt`.
     *
@@ -140,9 +140,8 @@ object DataSelection {
   def gumbelTopK(weights: DataFrame, idCol: String, logWeightCol: String,
       k: Int, salt: String = ""): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val m = (1L << 48).toDouble
-    val u = (TextFunctions.portableTokenHash(
-      concat(lit(salt), col("id").cast("string"))).cast("double") + 0.5) / m
+    val u = TextFunctions.portableUniform(
+      concat(lit(salt), col("id").cast("string")))
     Parallelism.ensureCompute(weights)
       .select(col(idCol).as("id"), col(logWeightCol).as("log_weight"))
       .withColumn("gumbel_key", round(col("log_weight") - log(-log(u)), 6))
@@ -153,5 +152,54 @@ object DataSelection {
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("gumbel_key").desc, col("id").asc)).cast("long"))
+  }
+
+  /** Temperature-based mixture resampling (the mT5/XLM-R recipe for
+    * rebalancing skewed source/language mixtures): source s with `n_s`
+    * tokens gets target share `p_s ∝ n_s^tau` (tau<1 flattens the head,
+    * lifts the tail), and a per-source keep RATE
+    * `min(1, p_s * budget / n_s)`. Every document then keeps or drops
+    * deterministically: `u(id) < rate(source)`, with `u` from the
+    * portable id hash — rerun-stable, salt re-draws, and expected kept
+    * tokens per source = its target allocation.
+    *
+    * Scale shape: per-source token counts are one partial-agg pass into
+    * driver scalars (sources are FEW — the op is for rebalancing a
+    * handful of domains); rates come back as a broadcast literal table;
+    * the keep decision is map-only. Rates are rounded to 6 dp before
+    * the compare so the decision boundary is engine-portable (`pow` is
+    * the one non-pinned operation here; a last-ulp wobble cannot cross
+    * a 6-dp-rounded boundary on real data). The per-doc uniform is
+    * [[TextFunctions.portableUniform]] — rerun-stable, salt re-draws.
+    */
+  def temperatureResample(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, tau: Double, budgetTokens: Long,
+      salt: String = ""): DataFrame = {
+    require(tau > 0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = Parallelism.ensureCompute(docs)
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_toks"))
+    val counts = base.groupBy(col("source")).agg(sum(col("n_toks")).as("n_s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    // pow sum through DECIMAL (shortest-rendering cast, the q112 route)
+    // so the normalizer is summation-order-independent and the oracle
+    // reproduces it with a plain decimal SUM
+    val powSum = counts.map { case (_, n) =>
+      BigDecimal(math.pow(n.toDouble, tau))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val rates = counts.map { case (s, n) =>
+      val share = math.pow(n.toDouble, tau) / powSum
+      val rate = math.min(1.0, share * budgetTokens / n)
+      (s, BigDecimal(rate).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.toDF("source", "rate")
+    val u = TextFunctions.portableUniform(
+      concat(lit(salt), col("doc_id").cast("string")))
+    base.join(broadcast(rates), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("rate"),
+        (u < col("rate")).as("keep"))
   }
 }

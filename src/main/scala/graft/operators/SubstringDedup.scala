@@ -94,4 +94,52 @@ object SubstringDedup {
         round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           col("n_tokens"), 6).as("dup_frac"))
   }
+
+  /** APPLY the duplicated-span finding: rebuild every document with all
+    * duplicated spans removed (the aggressive variant Lee et al. §4
+    * evaluate — drop every copy; the keep-one policy is a dedup-group
+    * canonical-pick away, [[MinHashDedup]] owns that machinery). Returns
+    * `(doc_id, n_tokens, n_kept, clean_text)` for every input doc — a
+    * fully-duplicated doc survives as an accounting row with empty text.
+    *
+    * Scale shape: the covered-position set comes straight from the
+    * duplicated anchors (`explode(sequence(p, p+k-1))` + distinct — no
+    * window, no span materialization), the keep-side is one anti-join
+    * keyed by (doc, position), and reassembly is the [[TrainingPrep
+    * .removeBoilerplate]] discipline: per-doc sorted struct collect —
+    * state bounded by ONE document's tokens, only for docs that lost
+    * something (untouched docs pass through without reassembly).
+    */
+  def stripDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"anchor width must be >= 2 tokens, got $k")
+    val base = Parallelism.ensureCompute(docs)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        TextFunctions.portableTokenHashes(col(textCol)).as("ths"))
+      .select(col("doc_id"), col("text"),
+        size(col("ths")).cast("long").as("n_tokens"),
+        positionalGramHashes(col("ths"), k).as("ghs"))
+    val pos = base.select(col("doc_id"),
+      posexplode(col("ghs")).as(Seq("p", "gh")))
+    val dupHashes = pos.groupBy(col("gh")).agg(count(lit(1)).as("occ"))
+      .where(col("occ") > 1)
+    val covered = pos.join(dupHashes, Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("tp"))
+      .distinct()
+    val kept = base
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("tp", "tok")))
+      .join(covered, Seq("doc_id", "tp"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tp"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -360,5 +360,38 @@ object TrainingPrep {
         round(col("top_word_n") / col("n_words"), 6).as("top_word_frac"),
         round(col("dup_word_tokens") / col("n_words"), 6).as("dup_word_frac"),
         round(coalesce(col("dup_tri") / col("n_tri"), lit(0.0)), 6).as("dup_trigram_frac"))
+  }
+
+  /** GROUP-AWARE train/val/test split — every row of a group lands in
+    * the same split (the GroupShuffleSplit contract): eval leakage
+    * guard for entity-keyed data, where a random row split would let a
+    * user/order/document straddle train and test and the model grade
+    * itself on memorized neighbors.
+    *
+    * The split key is a pure function of the GROUP VALUE
+    * ([[TextFunctions.portableUniform]] of `salt || group`), so the
+    * operator is MAP-ONLY:
+    * no groups table, no join, no shuffle — co-assignment holds by
+    * construction at any scale, across batches, and across engines
+    * (late-arriving rows of a known group land in the same split
+    * forever). `fractions` label→weight pairs are normalized;
+    * assignment thresholds are the cumulative shares. Salt re-draws
+    * the entire split deterministically.
+    */
+  def groupAwareSplit(df: DataFrame, groupCol: String,
+      fractions: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      s"fractions must be positive, got $fractions")
+    val total = fractions.map(_._2).sum
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val u = TextFunctions.portableUniform(
+      concat(lit(salt), col(groupCol).cast("string")))
+    // nested CASE over cumulative thresholds; the last bucket is the
+    // ELSE so float edges can never drop a row
+    val split = fractions.init.zip(cum.init).foldRight(
+      lit(fractions.last._1): Column) { case (((label, _), hi), acc) =>
+      when(u < lit(hi), lit(label)).otherwise(acc)
+    }
+    Parallelism.ensureCompute(df).withColumn("split", split)
   }
 }

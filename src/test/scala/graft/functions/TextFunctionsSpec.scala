@@ -122,4 +122,19 @@ class TextFunctionsSpec extends SparkSuite {
       .select("raw", "got", "expected").collect()
     assert(bad.isEmpty, bad.mkString("\n"))
   }
+
+  test("portableUniform: short consecutive keys equidistribute, stay in (0,1)") {
+    // the failure mode the affine finalizer exists for: raw char folds
+    // of "0".."999" all sit near 0 against the modulus; the scrambled
+    // uniform must fill every decile instead
+    val keys = (0 until 1000).map(_.toString).toDF("k")
+    val us = keys.select(TextFunctions.portableUniform($"k").as("u"))
+      .as[Double].collect()
+    assert(us.forall(u => u > 0.0 && u < 1.0), "u must stay inside (0,1)")
+    assert(us.distinct.length == 1000, "distinct keys must not collide here")
+    val deciles = us.groupBy(u => (u * 10).toInt).view.mapValues(_.length)
+    assert(deciles.size == 10, s"empty deciles: $deciles")
+    assert(deciles.values.forall(n => n > 50 && n < 200),
+      s"decile skew: ${deciles.toMap}")
+  }
 }

@@ -88,4 +88,43 @@ class DataSelectionSpec extends SparkSuite {
     assert(c.map(_._1).toSet != a.map(_._1).toSet,
       "a different salt must draw a different sample")
   }
+
+  test("temperatureResample: tau<1 lifts the tail source's rate, budget respected") {
+    // head source: 90 docs x 10 tokens = 900; tail source: 10 docs x 10
+    // tokens = 100. At tau=0.5 the tail's share rises from 10% to
+    // sqrt(100)/(sqrt(900)+sqrt(100)) = 25%.
+    val docs = ((0L until 90L).map(i => (i, (1 to 10).map(j => s"h$j").mkString(" "), "head")) ++
+      (90L until 100L).map(i => (i, (1 to 10).map(j => s"t$j").mkString(" "), "tail")))
+      .toDF("doc_id", "text", "source")
+    val rows = DataSelection.temperatureResample(docs, "doc_id", "text",
+        "source", tau = 0.5, budgetTokens = 400L)
+      .as[(Long, String, Long, Double, Boolean)].collect()
+    // head rate = 0.75 * 400 / 900 = 1/3; tail = 0.25 * 400 / 100 = 1.0
+    val bySrc = rows.groupBy(_._2)
+    assert(bySrc("tail").forall(_._4 == 1.0), s"tail rates: ${bySrc("tail").map(_._4).toSet}")
+    assert(bySrc("head").forall(r => math.abs(r._4 - 1.0 / 3) < 1e-6),
+      s"head rates: ${bySrc("head").map(_._4).toSet}")
+    // rate 1.0 keeps everything; u < 1 always
+    assert(bySrc("tail").forall(_._5), "tail must be fully kept at rate 1.0")
+    // deterministic: same call, same keeps
+    val again = DataSelection.temperatureResample(docs, "doc_id", "text",
+      "source", tau = 0.5, budgetTokens = 400L)
+      .as[(Long, String, Long, Double, Boolean)].collect().toSet
+    assert(again == rows.toSet, "resample must be deterministic")
+    // u is uniform-ish: the head keep count should land near 30 of 90
+    val keptHead = bySrc("head").count(_._5)
+    assert(keptHead > 5 && keptHead < 60, s"head kept $keptHead of 90")
+  }
+
+  test("temperatureResample: tau=1 reduces to proportional (uniform) rates") {
+    val docs = Seq(
+      (1L, "a b c d", "x"), (2L, "e f g h", "x"),
+      (3L, "i j k l", "y")
+    ).toDF("doc_id", "text", "source")
+    val out = DataSelection.temperatureResample(docs, "doc_id", "text",
+        "source", tau = 1.0, budgetTokens = 6L)
+      .as[(Long, String, Long, Double, Boolean)].collect()
+    // tau=1: share_s = n_s/N, rate = share*B/n_s = B/N = 6/12 for BOTH
+    assert(out.forall(_._4 == 0.5), s"got ${out.toSeq}")
+  }
 }

@@ -216,4 +216,43 @@ class TrainingPrepSpec extends SparkSuite {
       .as[(Long, String, Long, Long)].collect()
     assert(out.forall(_._4 == 0L), out.mkString(", "))
   }
+
+  test("groupAwareSplit: no group straddles a split; fractions roughly hold; salt re-draws") {
+    val rows = (0L until 500L).flatMap(g =>
+      (0 until 4).map(i => (g, i))).toDF("grp", "row_id")
+    val out = TrainingPrep.groupAwareSplit(rows, "grp",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .as[(Long, Int, String)].collect()
+    // leakage guard: one split per group, always
+    val perGroup = out.groupBy(_._1).map(_._2.map(_._3).toSet)
+    assert(perGroup.forall(_.size == 1), "a group straddled splits")
+    // every row survives, labels are exactly the declared ones
+    assert(out.length == 2000)
+    val shares = out.groupBy(_._3).map { case (s, r) => s -> r.length / 2000.0 }
+    assert(shares.keySet == Set("train", "val", "test"), s"labels: $shares")
+    assert(shares("train") > 0.7 && shares("train") < 0.9, s"shares: $shares")
+    assert(shares("val") > 0.04 && shares("val") < 0.16, s"shares: $shares")
+    // determinism + salt re-draw
+    val again = TrainingPrep.groupAwareSplit(rows, "grp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .as[(Long, Int, String)].collect()
+    assert(again.toSet == out.toSet, "split must be deterministic")
+    val redraw = TrainingPrep.groupAwareSplit(rows, "grp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "fold2")
+      .as[(Long, Int, String)].collect()
+    assert(redraw.toSet != out.toSet, "salt must re-draw the split")
+  }
+
+  test("groupAwareSplit: weights normalize and a single bucket takes everything") {
+    val rows = (0L until 50L).map(g => (g, g % 7)).toDF("grp", "v")
+    val out = TrainingPrep.groupAwareSplit(rows, "grp", Seq("all" -> 3.0))
+      .as[(Long, Long, String)].collect()
+    assert(out.forall(_._3 == "all"))
+    // unnormalized 3:1 behaves exactly like 0.75:0.25
+    val a = TrainingPrep.groupAwareSplit(rows, "grp",
+      Seq("x" -> 3.0, "y" -> 1.0)).as[(Long, Long, String)].collect().toSet
+    val b = TrainingPrep.groupAwareSplit(rows, "grp",
+      Seq("x" -> 0.75, "y" -> 0.25)).as[(Long, Long, String)].collect().toSet
+    assert(a == b, "weight normalization must be scale-invariant")
+  }
 }
