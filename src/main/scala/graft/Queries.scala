@@ -2715,4 +2715,69 @@ object Queries {
     TrainingPrep.groupAwareSplit(t(spark, dir, "lineitem"), "l_orderkey",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .select(col("l_orderkey"), col("l_linenumber"), col("split"))
+
+  // ---------------------------------------------------------------- Q131
+  /** ADDITIVE schema evolution on the manifest table: pre-1995 orders
+    * land with a narrow schema; the 1995+ tail appends with a NEW
+    * `o_orderpriority` column under `mergeSchema = true`
+    * ([[graft.operators.ManifestTable.commit]]). The snapshot schema
+    * becomes the union and every pre-evolution file reads NULL for the
+    * new column — no rewrite of history, the Delta
+    * mergeSchema / Iceberg add-column contract. The oracle replays the
+    * union with an explicit NULL fill; grouping on
+    * `coalesce(priority, 'LEGACY')` makes the NULL-fill itself the
+    * thing being checked. At 100 TB this is how a table gains a column
+    * without touching a single existing file.
+    */
+  def q131SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q131").resolve("t").toString
+    val o = t(spark, dir, "orders")
+    val cut = lit("1995-01-01").cast("timestamp")
+    ManifestTable.commit(spark, root,
+      o.where(col("o_orderdate") < cut).select("o_orderkey", "o_totalprice"),
+      Seq("o_orderkey"))
+    ManifestTable.commit(spark, root,
+      o.where(col("o_orderdate") >= cut)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+      Seq("o_orderkey"), append = true, mergeSchema = true)
+    ManifestTable.read(spark, root)
+      .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("total_price"))
+  }
+
+  // ---------------------------------------------------------------- Q132
+  /** MERGE-ON-READ delete (deletion vectors): orders lands
+    * key-clustered; every 13th key is deleted by writing a TOMBSTONE —
+    * zero data files rewritten, the read path subtracts with one
+    * broadcast anti-join on (key, file)
+    * ([[graft.operators.ManifestTable.deleteKeysMor]]). A later append
+    * re-lands the 1000-multiple keys (status 'A') — including keys that
+    * are ALSO multiples of 13 — and survives, because tombstones are
+    * scoped to the files they targeted, never retroactive. `key_sum`
+    * makes a row wrongly deleted (or resurrected) arithmetically
+    * visible. The oracle replays delete-then-append as set algebra. At
+    * 100 TB this is the GDPR-erasure path that costs O(|keys|) at
+    * request time and defers file rewrites to the maintenance window
+    * ([[graft.operators.ManifestTable.rewriteDeletes]], ManifestTableSpec).
+    */
+  def q132MorDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q132").resolve("t").toString
+    val o = t(spark, dir, "orders")
+    ManifestTable.commit(spark, root,
+      o.repartitionByRange(16, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+      Seq("o_orderkey"))
+    ManifestTable.deleteKeysMor(spark, root,
+      o.where(col("o_orderkey") % 13 === 0).select("o_orderkey"), "o_orderkey")
+    ManifestTable.commit(spark, root,
+      o.where(col("o_orderkey") % 1000 === 0).withColumn("o_orderstatus", lit("A")),
+      Seq("o_orderkey"), append = true)
+    ManifestTable.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("total_price"),
+        sum(col("o_orderkey")).as("key_sum"))
+  }
 }

@@ -167,6 +167,8 @@ object SparkEntry {
     "q128_temperature_resample" -> (Queries.q128TemperatureResample _),
     "q129_adaptive_cutoff" -> (Queries.q129AdaptiveCutoff _),
     "q130_group_split" -> (Queries.q130GroupSplit _),
+    "q131_schema_evolution" -> (Queries.q131SchemaEvolution _),
+    "q132_mor_delete" -> (Queries.q132MorDelete _),
   )
 
   private val mergeOracle: String = {
@@ -1878,6 +1880,39 @@ object SparkEntry {
         |            % 2147483647) * 1103515245 + 12345) % 2147483647 + 0.5)
         |          / 2147483647.0 AS u
         |  FROM lineitem)""".stripMargin,
+    // the oracle replays additive evolution as a union with explicit
+    // NULL fill — grouping on coalesce(priority,'LEGACY') checks the
+    // NULL-fill itself
+    "q131_schema_evolution" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |)
+        |SELECT coalesce(o_orderpriority, 'LEGACY') AS priority,
+        |       count(*) AS n_orders,
+        |       CAST(round(sum(CAST(CAST(o_totalprice AS VARCHAR)
+        |                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+        |FROM unioned GROUP BY 1""".stripMargin,
+    // merge-on-read delete then append, replayed as set algebra: the
+    // appended 1000-multiples survive even where divisible by 13
+    // (tombstones are file-scoped, never retroactive); key_sum catches
+    // any wrongly deleted or resurrected row
+    "q132_mor_delete" ->
+      """WITH kept AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'A' AS o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 1000 = 0
+        |)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(round(sum(CAST(CAST(o_totalprice AS VARCHAR)
+        |                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM kept GROUP BY 1""".stripMargin,
     // exact percentile verbatim; the GK sketch reduced to a within-bound
     // boolean the oracle derives trivially (q28's reduction pattern)
     "q99_approx_percentile" ->

@@ -55,14 +55,28 @@ object ManifestTable {
   final case class FileEntry(path: String, rows: Long, bytes: Long,
       stats: Map[String, ColStats])
 
+  /** Merge-on-read deletion vector: a parquet directory of deleted keys
+    * plus the EXPLICIT file scope it applies to (the candidate files at
+    * delete time, after stats pruning). Scoping by file — not table-wide
+    * by key — is what keeps the semantics honest: a row appended AFTER
+    * the delete with a tombstoned key is a new row, not retroactively
+    * deleted (the Delta/Iceberg DV contract, keyed instead of
+    * row-indexed).
+    */
+  final case class Tombstone(path: String, rows: Long, bytes: Long,
+      keyCol: String, appliesTo: Seq[String])
+
   /** `txn` is the streaming idempotence ledger: highest batchId applied
     * per writer app (the Delta `txn` action shape) — carried forward
     * across ALL commit modes so a stream restarted after a [[compact]]
-    * still detects its replays.
+    * still detects its replays. `tombstones` are the outstanding
+    * merge-on-read deletes ([[deleteKeysMor]]); reads subtract them,
+    * [[rewriteDeletes]]/[[compact]] materialize and clear them.
     */
   final case class Manifest(version: Long, mode: String, schemaDdl: String,
       statsCols: Seq[String], files: Seq[FileEntry],
-      txn: Map[String, Long] = Map.empty)
+      txn: Map[String, Long] = Map.empty,
+      tombstones: Seq[Tombstone] = Seq.empty)
 
   /** Pruned scan result: the superset DataFrame plus the skip evidence
     * (specs and plan audits assert `filesScanned < filesTotal`).
@@ -129,7 +143,14 @@ object ManifestTable {
     * files stay on disk for time travel until [[vacuum]]); `append = true`
     * extends the parent snapshot's list, with a strict schema check (the
     * drift-tolerant path is [[Sinks.appendInto]]; a transactional table's
-    * schema evolves by explicit DDL, not silently per batch).
+    * schema evolves by explicit DDL, not silently per batch) unless
+    * `mergeSchema = true`, which allows ADDITIVE evolution: the batch may
+    * add new columns (and may omit existing ones); common columns must
+    * keep their types. The snapshot's schema becomes the union, and the
+    * read path projects every file through it — files written before a
+    * column existed yield NULL for it, exactly the Delta
+    * `mergeSchema`/Iceberg add-column contract. Dropping or retyping a
+    * column stays an explicit rewrite, never a silent per-batch drift.
     *
     * CONCURRENT writers are safe: version allocation retries on a lost
     * manifest rename (appends re-base onto the winner; see the publish
@@ -141,7 +162,10 @@ object ManifestTable {
     */
   def commit(spark: SparkSession, tableRoot: String, batch: DataFrame,
       statsCols: Seq[String] = Seq.empty, append: Boolean = false,
-      maxRetries: Int = 5, txn: Option[(String, Long)] = None): Long = {
+      maxRetries: Int = 5, txn: Option[(String, Long)] = None,
+      mergeSchema: Boolean = false): Long = {
+    require(!mergeSchema || append,
+      "mergeSchema only applies to appends; an overwrite already replaces the schema")
     val f = fs(spark)
     val root = new Path(tableRoot)
     // replay fast path: already applied per the latest snapshot → no
@@ -157,17 +181,41 @@ object ManifestTable {
           "(numeric, string, date and timestamp min/max order is portable; others are not)")
       }
       val (newEntries, _) = writeBatch(spark, f, root, batch, statsCols)
-      publish(f, root, if (append) "append" else "overwrite", schemaDdl,
+      publish(f, root, if (append) "append" else "overwrite",
         statsCols, txn, maxRetries, expectParent = None) { parent =>
         parent.filter(_ => append).foreach { p =>
-          require(p.schemaDdl == schemaDdl,
-            s"append schema mismatch: table is <${p.schemaDdl}>, batch is <$schemaDdl>")
+          if (!mergeSchema) require(p.schemaDdl == schemaDdl,
+            s"append schema mismatch: table is <${p.schemaDdl}>, batch is <$schemaDdl> " +
+              "(pass mergeSchema = true for additive evolution)")
           require(statsCols == p.statsCols,
             s"append stats columns mismatch: table tracks ${p.statsCols}, batch asked for $statsCols")
         }
-        (if (append) parent.map(_.files).getOrElse(Seq.empty) else Seq.empty) ++ newEntries
+        val snapshotDdl = parent match {
+          case Some(p) if append && mergeSchema => unionDdl(p.schemaDdl, batch.schema)
+          case _ => schemaDdl
+        }
+        (snapshotDdl,
+          (if (append) parent.map(_.files).getOrElse(Seq.empty) else Seq.empty) ++ newEntries,
+          if (append) parent.map(_.tombstones).getOrElse(Seq.empty) else Seq.empty)
       }
     }
+  }
+
+  /** Additive schema union: every batch column already in the table must
+    * keep its type; batch-only columns append after the table's, so the
+    * evolved schema is stable regardless of batch column order.
+    */
+  private def unionDdl(parentDdl: String, batchSchema: StructType): String = {
+    val p = StructType.fromDDL(parentDdl)
+    val b = StructType(batchSchema.fields.map(_.copy(nullable = true)))
+    b.fields.foreach { bf =>
+      p.fields.find(_.name == bf.name).foreach { pf =>
+        require(pf.dataType == bf.dataType,
+          s"column ${bf.name} type changed: table has ${pf.dataType}, batch has " +
+            s"${bf.dataType} — mergeSchema is additive only; retype via an explicit rewrite")
+      }
+    }
+    StructType(p.fields ++ b.fields.filterNot(bf => p.fieldNames.contains(bf.name))).toDDL
   }
 
   /** Write a batch under a fresh nonce dir and collect its file stats.
@@ -200,14 +248,14 @@ object ManifestTable {
     } yield p.version
 
   /** The claim-fenced optimistic publish loop shared by every commit
-    * mode. `filesFor(parent)` builds the new snapshot's file list;
-    * `expectParent` (merge/delete) aborts if the snapshot moved since
-    * the caller planned its rewrite against it.
+    * mode. `build(parent)` produces the new snapshot's (schema, file
+    * list, tombstones); `expectParent` (merge/delete) aborts if the
+    * snapshot moved since the caller planned its rewrite against it.
     */
   private def publish(f: FileSystem, root: Path, mode: String,
-      schemaDdl: String, statsCols: Seq[String], txn: Option[(String, Long)],
+      statsCols: Seq[String], txn: Option[(String, Long)],
       maxRetries: Int, expectParent: Option[Long])
-      (filesFor: Option[Manifest] => Seq[FileEntry]): Long = {
+      (build: Option[Manifest] => (String, Seq[FileEntry], Seq[Tombstone])): Long = {
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
@@ -267,7 +315,8 @@ object ManifestTable {
               }
             }
             val txnMap = parent.map(_.txn).getOrElse(Map.empty) ++ txn
-            val m = Manifest(next, mode, schemaDdl, statsCols, filesFor(parent), txnMap)
+            val (schemaDdl, files, tombs) = build(parent)
+            val m = Manifest(next, mode, schemaDdl, statsCols, files, txnMap, tombs)
             val tmp = new Path(root,
               s"${ManifestPrefix}tmp-${java.util.UUID.randomUUID.toString.take(12)}.json.tmp")
             val out = f.create(tmp, true)
@@ -378,6 +427,9 @@ object ManifestTable {
     val f = fs(spark)
     val root = new Path(tableRoot)
     val m = resolve(f, root, None)
+    require(m.tombstones.isEmpty,
+      "merge over outstanding merge-on-read deletes would resurrect deleted rows " +
+        "in rewritten files; run rewriteDeletes or compact first")
     val updDdl = StructType(updates.schema.fields.map(_.copy(nullable = true))).toDDL
     require(m.schemaDdl == updDdl,
       s"merge schema mismatch: table is <${m.schemaDdl}>, updates is <$updDdl>")
@@ -413,9 +465,9 @@ object ManifestTable {
         else dfFor(spark, root, m, rewrite).join(keys, Seq(keyCol), "left_anti")
       val (newEntries, _) =
         writeBatch(spark, f, root, survivors.unionByName(updates), m.statsCols)
-      val v = publish(f, root, "merge", m.schemaDdl, m.statsCols, None,
+      val v = publish(f, root, "merge", m.statsCols, None,
         maxRetries, expectParent = Some(m.version)) { _ =>
-        pruned ++ untouchedCand ++ newEntries
+        (m.schemaDdl, pruned ++ untouchedCand ++ newEntries, Seq.empty)
       }
       CowStats(v, pruned.size + untouchedCand.size, 0, rewrite.size)
     }
@@ -445,6 +497,9 @@ object ManifestTable {
     val f = fs(spark)
     val root = new Path(tableRoot)
     val m = resolve(f, root, None)
+    require(m.tombstones.isEmpty,
+      "deleteRange over outstanding merge-on-read deletes would resurrect deleted " +
+        "rows in rewritten files; run rewriteDeletes or compact first")
     require(m.statsCols.contains(colName),
       s"no stats collected for $colName (have: ${m.statsCols.mkString(", ")})")
     val dt = StructType.fromDDL(m.schemaDdl)(colName).dataType
@@ -475,10 +530,147 @@ object ManifestTable {
         dfFor(spark, root, m, rewrites).where(c.isNull || !inRange), m.statsCols)
       entries
     }
-    val v = publish(f, root, "delete", m.schemaDdl, m.statsCols, None,
-      maxRetries, expectParent = Some(m.version)) { _ => keeps ++ newEntries }
+    val v = publish(f, root, "delete", m.statsCols, None,
+      maxRetries, expectParent = Some(m.version)) { _ =>
+      (m.schemaDdl, keeps ++ newEntries, Seq.empty)
+    }
     CowStats(v, keeps.size, drops.size, rewrites.size)
   }
+
+  // ------------------------------------------------------- merge-on-read
+
+  /** Merge-on-read key delete: instead of rewriting any data file, write
+    * the (distinct, non-NULL) keys as a TOMBSTONE parquet and record in
+    * the manifest which files it applies to — the candidate files whose
+    * `[min, max]` on `keyCol` could hold a key (stats prune, driver-only,
+    * zero table IO). Reads subtract tombstoned rows with one broadcast
+    * anti-join on (key, file); [[rewriteDeletes]] or [[compact]]
+    * materializes later, off the ingest latency path.
+    *
+    * The DV trade-off, explicitly: a COW delete pays file rewrites NOW so
+    * reads stay pure scans; a MOR delete is O(|keys|) NOW and every read
+    * pays a small anti-join until maintenance. At 100 TB that is the
+    * difference between a GDPR erasure request costing a compaction cycle
+    * at request time vs at the nightly maintenance window.
+    *
+    * File scoping means rows appended AFTER this delete are never
+    * affected, even on a tombstoned key (new files are outside every
+    * tombstone's `appliesTo`). Outstanding tombstones must share one
+    * `keyCol`; [[merge]]/[[deleteRange]] refuse to run over them.
+    * Commits mode "mor-delete" (refused by [[changes]]). Returns
+    * [[CowStats]] with `filesRewritten = 0` — the point of MOR.
+    */
+  def deleteKeysMor(spark: SparkSession, tableRoot: String, keys: DataFrame,
+      keyCol: String, maxRetries: Int = 5): CowStats = {
+    val f = fs(spark)
+    val root = new Path(tableRoot)
+    val m = resolve(f, root, None)
+    m.tombstones.headOption.foreach { tb =>
+      require(tb.keyCol == keyCol,
+        s"outstanding tombstones key on ${tb.keyCol}, this delete keys on $keyCol; " +
+          "materialize with rewriteDeletes/compact before changing the delete key")
+    }
+    val dt = StructType.fromDDL(m.schemaDdl)(keyCol).dataType
+    val k = keys.select(col(keyCol).cast(dt).as(keyCol))
+      .where(col(keyCol).isNotNull).distinct()
+    val bounds = k.agg(min(col(keyCol)).cast("string").as("lo"),
+      max(col(keyCol)).cast("string").as("hi"), count(lit(1)).as("n")).head()
+    if (bounds.isNullAt(0)) CowStats(m.version, m.files.size, 0, 0)
+    else {
+      val (lo, hi) = (bounds.getString(0), bounds.getString(1))
+      val applies = m.files.filter { fe =>
+        fe.stats.get(keyCol) match {
+          case Some(ColStats(Some(mn), Some(mx), _)) =>
+            cmp(dt, mx, lo) >= 0 && cmp(dt, mn, hi) <= 0
+          case Some(ColStats(None, None, _)) => false // all-NULL file
+          case _ => true // key stats not tracked: scope conservatively
+        }
+      }.map(_.path)
+      if (applies.isEmpty) CowStats(m.version, m.files.size, 0, 0)
+      else {
+        val batchRel = s"data/b-${java.util.UUID.randomUUID.toString.take(12)}"
+        val batchDir = new Path(root, batchRel)
+        k.write.mode("overwrite").parquet(batchDir.toString)
+        val bytes = f.listStatus(batchDir).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+        val tomb = Tombstone(batchRel, bounds.getAs[Long]("n"), bytes, keyCol, applies)
+        val v = publish(f, root, "mor-delete", m.statsCols, None,
+          maxRetries, expectParent = Some(m.version)) { _ =>
+          (m.schemaDdl, m.files, m.tombstones :+ tomb)
+        }
+        CowStats(v, m.files.size, 0, 0)
+      }
+    }
+  }
+
+  /** Materialize outstanding merge-on-read deletes: among the files any
+    * tombstone applies to, probe which REALLY contain a tombstoned
+    * (key, file) pair (one semi-join; the collect is distinct file
+    * names, bounded by the manifest's own cardinality), rewrite only
+    * those without their deleted rows, and commit a tombstone-free
+    * snapshot — every other file carries by reference. The maintenance
+    * half of the MOR bargain, run at compaction cadence.
+    */
+  def rewriteDeletes(spark: SparkSession, tableRoot: String,
+      maxRetries: Int = 5): CowStats = {
+    val f = fs(spark)
+    val root = new Path(tableRoot)
+    val m = resolve(f, root, None)
+    if (m.tombstones.isEmpty) CowStats(m.version, m.files.size, 0, 0)
+    else {
+      val keyCol = m.tombstones.head.keyCol
+      val inScope = m.tombstones.flatMap(_.appliesTo).toSet
+      val (candidates, outside) = m.files.partition(fe => inScope(fe.path))
+      val pairs = tombstonePairs(spark, root, m)
+      val touched: Set[String] =
+        if (candidates.isEmpty) Set.empty
+        else withRelPath(dfFor(spark, root, m, candidates))
+          .join(pairs, Seq(keyCol, RelCol), "left_semi")
+          .select(col(RelCol)).distinct().collect().map(_.getString(0)).toSet
+      val (rewrite, untouchedCand) = candidates.partition(fe => touched(fe.path))
+      val newEntries = if (rewrite.isEmpty) Seq.empty else {
+        val survivors = withRelPath(dfFor(spark, root, m, rewrite))
+          .join(pairs, Seq(keyCol, RelCol), "left_anti").drop(RelCol)
+        writeBatch(spark, f, root, survivors, m.statsCols)._1
+      }
+      val v = publish(f, root, "mor-rewrite", m.statsCols, None,
+        maxRetries, expectParent = Some(m.version)) { _ =>
+        (m.schemaDdl, outside ++ untouchedCand ++ newEntries, Seq.empty)
+      }
+      CowStats(v, outside.size + untouchedCand.size, 0, rewrite.size)
+    }
+  }
+
+  /** The per-row table-relative path, matching [[FileEntry.path]] /
+    * [[Tombstone.appliesTo]] form (`data/b-…/part-….parquet`).
+    */
+  private val RelCol = "__graft_rel_path"
+
+  private def withRelPath(df: DataFrame): DataFrame =
+    df.withColumn(RelCol,
+      regexp_extract(input_file_name(), "(data/[^/]+/[^/]+)$", 1))
+
+  /** The outstanding deletes as a broadcast (key, file) frame: each
+    * tombstone's keys exploded across its `appliesTo` scope. Size is
+    * |keys| x |scoped files| AFTER stats pruning — the same locality
+    * that bounds [[merge]]'s rewrite set bounds this join's build side.
+    */
+  private def tombstonePairs(spark: SparkSession, root: Path, m: Manifest): DataFrame = {
+    val keyCol = m.tombstones.head.keyCol
+    broadcast(m.tombstones.map { tb =>
+      spark.read.parquet(new Path(root, tb.path).toString)
+        .select(col(keyCol), explode(typedLit(tb.appliesTo)).as(RelCol))
+    }.reduce(_ unionByName _))
+  }
+
+  private def subtractTombstones(spark: SparkSession, root: Path,
+      m: Manifest, df: DataFrame): DataFrame =
+    if (m.tombstones.isEmpty) df
+    else withRelPath(df)
+      .join(tombstonePairs(spark, root, m),
+        Seq(m.tombstones.head.keyCol, RelCol), "left_anti")
+      .drop(RelCol)
+      .select(StructType.fromDDL(m.schemaDdl).fieldNames.map(col).toIndexedSeq: _*)
 
   // --------------------------------------------------------------- read
 
@@ -490,7 +682,7 @@ object ManifestTable {
     val f = fs(spark)
     val root = new Path(tableRoot)
     val m = resolve(f, root, version)
-    dfFor(spark, root, m, m.files)
+    subtractTombstones(spark, root, m, dfFor(spark, root, m, m.files))
   }
 
   private def resolve(f: FileSystem, root: Path, version: Option[Long]): Manifest = {
@@ -538,7 +730,8 @@ object ManifestTable {
         case _ => false // all-null (or statless) file: BETWEEN can't match
       }
     }
-    PrunedScan(dfFor(spark, root, m, kept), kept.size, m.files.size)
+    PrunedScan(subtractTombstones(spark, root, m, dfFor(spark, root, m, kept)),
+      kept.size, m.files.size)
   }
 
   private def statsComparable(dt: DataType): Boolean = dt match {
@@ -597,7 +790,10 @@ object ManifestTable {
     val root = new Path(tableRoot)
     val vs = committedVersions(f, root).sorted
     val keep = vs.takeRight(keepVersions).toSet
-    val referenced: Set[String] = keep.flatMap(v => loadManifest(f, root, v).files.map(_.path))
+    val kept = keep.toSeq.map(v => loadManifest(f, root, v))
+    val referenced: Set[String] = kept.flatMap(_.files.map(_.path)).toSet
+    // tombstones reference whole batch DIRS (a key set may span part files)
+    val tombstoneDirs: Set[String] = kept.flatMap(_.tombstones.map(_.path)).toSet
     vs.filterNot(keep).foreach(v => f.delete(manifestPath(root, v), false))
     // claims of non-retained versions (incl. burned numbers below the
     // horizon) and orphaned manifest tmp files from crashed publishes
@@ -608,13 +804,15 @@ object ManifestTable {
     val dataRoot = new Path(root, "data")
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { bdir =>
       val rel = s"data/${bdir.getPath.getName}"
-      f.listStatus(bdir.getPath).foreach { st =>
-        val fileRel = s"$rel/${st.getPath.getName}"
-        if (st.getPath.getName.endsWith(".parquet") && !referenced(fileRel))
-          f.delete(st.getPath, false)
+      if (!tombstoneDirs(rel)) {
+        f.listStatus(bdir.getPath).foreach { st =>
+          val fileRel = s"$rel/${st.getPath.getName}"
+          if (st.getPath.getName.endsWith(".parquet") && !referenced(fileRel))
+            f.delete(st.getPath, false)
+        }
+        if (f.listStatus(bdir.getPath).forall(s => !s.getPath.getName.endsWith(".parquet")))
+          f.delete(bdir.getPath, true)
       }
-      if (f.listStatus(bdir.getPath).forall(s => !s.getPath.getName.endsWith(".parquet")))
-        f.delete(bdir.getPath, true)
     }
   }
 
@@ -623,9 +821,11 @@ object ManifestTable {
   /** Small-file compaction as a NEW overwrite commit: reads the current
     * snapshot, re-clusters it on the first stats column (compaction must
     * not destroy the min/max locality that [[scanRange]] skipping paid
-    * for) into ceil(total/targetBytes) files, and commits. History stays
-    * readable — the pre-compaction snapshot and its small files survive
-    * until [[vacuum]] retires them. Returns the new version.
+    * for) into ceil(total/targetBytes) files, and commits. Outstanding
+    * merge-on-read tombstones are MATERIALIZED on the way through (the
+    * rewrite subtracts them, the overwrite commit clears them). History
+    * stays readable — the pre-compaction snapshot and its small files
+    * survive until [[vacuum]] retires them. Returns the new version.
     */
   def compact(spark: SparkSession, tableRoot: String,
       targetBytes: Long = 128L * 1024 * 1024): Long = {
@@ -635,7 +835,7 @@ object ManifestTable {
     val m = resolve(f, root, None)
     val total = m.files.map(_.bytes).sum
     val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val df = dfFor(spark, root, m, m.files)
+    val df = subtractTombstones(spark, root, m, dfFor(spark, root, m, m.files))
     val clustered = m.statsCols.headOption match {
       case Some(c) => df.repartitionByRange(parts, col(c)).sortWithinPartitions(c)
       case None => df.repartition(parts)
@@ -704,6 +904,15 @@ object ManifestTable {
         co.put("nulls", s.nulls)
       }
     }
+    if (m.tombstones.nonEmpty) {
+      val ta = o.putArray("tombstones")
+      m.tombstones.foreach { tb =>
+        val to = ta.addObject()
+        to.put("path", tb.path); to.put("rows", tb.rows); to.put("bytes", tb.bytes)
+        to.put("keyCol", tb.keyCol)
+        val ap = to.putArray("appliesTo"); tb.appliesTo.foreach(ap.add)
+      }
+    }
     o.toPrettyString
   }
 
@@ -717,6 +926,16 @@ object ManifestTable {
       val b = Map.newBuilder[String, Long]
       tn.fieldNames().forEachRemaining(app => b += app -> tn.get(app).asLong())
       b.result()
+    }
+    val tombstones = Option(node.get("tombstones")).fold(Seq.empty[Tombstone]) { ta =>
+      val b = new ArrayBuffer[Tombstone](ta.size())
+      ta.forEach { tn =>
+        val ap = new ArrayBuffer[String](tn.get("appliesTo").size())
+        tn.get("appliesTo").forEach(p => ap += p.asText())
+        b += Tombstone(tn.get("path").asText(), tn.get("rows").asLong(),
+          tn.get("bytes").asLong(), tn.get("keyCol").asText(), ap.toSeq)
+      }
+      b.toSeq
     }
     Manifest(
       node.get("version").asLong(),
@@ -738,6 +957,6 @@ object ManifestTable {
         }
         FileEntry(fn.get("path").asText(), fn.get("rows").asLong(),
           fn.get("bytes").asLong(), stats)
-      }, txn)
+      }, txn, tombstones)
   }
 }

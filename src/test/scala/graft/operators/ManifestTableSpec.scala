@@ -322,6 +322,163 @@ class ManifestTableSpec extends SparkSuite {
     assert(ManifestTable.read(spark, root).count() == 10)
   }
 
+  // ---------------------------------------------------- schema evolution
+
+  test("mergeSchema append adds a column; pre-evolution files read NULL for it") {
+    val root = freshRoot()
+    ManifestTable.commit(spark, root, docs(10), Seq("id"))
+    val evolved = docs(5, from = 10)
+      .withColumn("lang", concat(lit("l"), (col("id") % 2).cast("string")))
+    val v2 = ManifestTable.commit(spark, root, evolved, Seq("id"),
+      append = true, mergeSchema = true)
+    val back = ManifestTable.read(spark, root)
+    assert(back.columns.toSeq == Seq("id", "name", "score", "lang"))
+    assert(back.count() == 15)
+    assert(back.where(col("lang").isNull).count() == 10)
+    assert(back.where(col("id") >= 10 && col("lang").isNotNull).count() == 5)
+    // time travel keeps the pre-evolution narrow schema
+    assert(ManifestTable.read(spark, root, Some(1L)).columns.toSeq ==
+      Seq("id", "name", "score"))
+    assert(v2 == 2L)
+  }
+
+  test("mergeSchema append may omit existing columns; its files read NULL for them") {
+    val root = freshRoot()
+    ManifestTable.commit(spark, root, docs(10), Seq("id"))
+    ManifestTable.commit(spark, root, docs(5, from = 10).drop("score"),
+      Seq("id"), append = true, mergeSchema = true)
+    val back = ManifestTable.read(spark, root)
+    assert(back.columns.toSeq == Seq("id", "name", "score"))
+    assert(back.where(col("score").isNull).count() == 5)
+    assert(back.where(col("score").isNotNull).count() == 10)
+  }
+
+  test("mergeSchema rejects a retyped column; strict append still rejects new columns") {
+    val root = freshRoot()
+    ManifestTable.commit(spark, root, docs(10), Seq("id"))
+    val retyped = docs(5, from = 10).withColumn("score", col("score").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, root, retyped, Seq("id"),
+        append = true, mergeSchema = true)
+    }
+    assert(e.getMessage.contains("type changed"))
+    val widened = docs(5, from = 10).withColumn("extra", lit(1))
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, root, widened, Seq("id"), append = true)
+    }
+    assert(e2.getMessage.contains("mergeSchema"))
+  }
+
+  // ----------------------------------------------------- merge-on-read
+
+  test("deleteKeysMor removes keys without touching any data file; time travel sees them") {
+    val root = freshRoot()
+    val in = docs(400).repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    ManifestTable.commit(spark, root, in, Seq("id"))
+    val before = ManifestTable.listFiles(spark, root)
+    val st = ManifestTable.deleteKeysMor(spark, root,
+      Seq(3L, 7L, 150L).toDF("id"), "id")
+    assert(st.filesRewritten == 0 && st.filesDropped == 0)
+    assert(ManifestTable.listFiles(spark, root) == before,
+      "a MOR delete must not rewrite or drop data files")
+    val now = ManifestTable.read(spark, root)
+    assert(now.count() == 397)
+    assert(now.where(col("id").isin(3L, 7L, 150L)).count() == 0)
+    assert(ManifestTable.read(spark, root, Some(1L)).count() == 400)
+    // an empty key set is a no-op: no new version
+    val v = ManifestTable.currentVersion(spark, root)
+    ManifestTable.deleteKeysMor(spark, root, Seq.empty[Long].toDF("id"), "id")
+    assert(ManifestTable.currentVersion(spark, root) == v)
+  }
+
+  test("rows appended after a MOR delete keep a tombstoned key (file-scoped, not retroactive)") {
+    val root = freshRoot()
+    ManifestTable.commit(spark, root, docs(100), Seq("id"))
+    ManifestTable.deleteKeysMor(spark, root, Seq(5L).toDF("id"), "id")
+    ManifestTable.commit(spark, root, docs(1, from = 5), Seq("id"), append = true)
+    val back = ManifestTable.read(spark, root)
+    assert(back.where(col("id") === 5L).count() == 1,
+      "a re-inserted key is a new row, not retroactively deleted")
+    assert(back.count() == 100) // 100 - 1 deleted + 1 re-inserted
+  }
+
+  test("rewriteDeletes materializes tombstones: only touched files rewritten, result unchanged") {
+    val root = freshRoot()
+    val in = docs(400).repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    ManifestTable.commit(spark, root, in, Seq("id"))
+    ManifestTable.deleteKeysMor(spark, root, Seq(10L, 20L).toDF("id"), "id")
+    val logical = ManifestTable.read(spark, root).orderBy("id").collect().toSeq
+    val st = ManifestTable.rewriteDeletes(spark, root)
+    assert(st.filesRewritten == 1,
+      s"ids 10 and 20 live in one of 8 range files, got ${st.filesRewritten} rewrites")
+    assert(st.filesKept == 7)
+    assert(ManifestTable.read(spark, root).orderBy("id").collect().toSeq == logical)
+    // tombstones cleared: COW ops are allowed again, and a no-op rewrite no-ops
+    val v = ManifestTable.currentVersion(spark, root)
+    assert(ManifestTable.rewriteDeletes(spark, root).filesRewritten == 0)
+    assert(ManifestTable.currentVersion(spark, root) == v)
+    ManifestTable.merge(spark, root, docs(1, from = 1000), "id")
+  }
+
+  test("compact materializes MOR deletes and clears tombstones") {
+    val root = freshRoot()
+    ManifestTable.commit(spark, root,
+      docs(200).repartitionByRange(4, col("id")).sortWithinPartitions("id"), Seq("id"))
+    ManifestTable.deleteKeysMor(spark, root, Seq(42L).toDF("id"), "id")
+    ManifestTable.compact(spark, root, targetBytes = 1L << 20)
+    val back = ManifestTable.read(spark, root)
+    assert(back.count() == 199)
+    assert(back.where(col("id") === 42L).count() == 0)
+    // no outstanding tombstones: a delete may now key on a different column
+    ManifestTable.deleteKeysMor(spark, root, Seq("doc_7").toDF("name"), "name")
+    assert(ManifestTable.read(spark, root).count() == 198)
+  }
+
+  test("COW merge/deleteRange and a different-key MOR delete refuse over outstanding tombstones") {
+    val root = freshRoot()
+    ManifestTable.commit(spark, root, docs(50), Seq("id", "score"))
+    ManifestTable.deleteKeysMor(spark, root, Seq(1L).toDF("id"), "id")
+    val e1 = intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root, docs(1), "id")
+    }
+    assert(e1.getMessage.contains("rewriteDeletes"))
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestTable.deleteRange(spark, root, "score", Some("0"), Some("10"))
+    }
+    assert(e2.getMessage.contains("rewriteDeletes"))
+    val e3 = intercept[IllegalArgumentException] {
+      ManifestTable.deleteKeysMor(spark, root, Seq("doc_3").toDF("name"), "name")
+    }
+    assert(e3.getMessage.contains("materialize"))
+  }
+
+  test("successive MOR deletes accumulate; scanRange subtracts tombstones") {
+    val root = freshRoot()
+    val in = docs(400).repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    ManifestTable.commit(spark, root, in, Seq("id"))
+    ManifestTable.deleteKeysMor(spark, root, Seq(100L).toDF("id"), "id")
+    ManifestTable.deleteKeysMor(spark, root, Seq(101L).toDF("id"), "id")
+    val pruned = ManifestTable.scanRange(spark, root, "id", Some("100"), Some("109"))
+    assert(pruned.filesScanned < pruned.filesTotal)
+    assert(pruned.df.where(col("id").between(100, 109)).count() == 8)
+    assert(ManifestTable.read(spark, root).count() == 398)
+  }
+
+  test("changes refuses to cross a MOR delete; vacuum keeps live tombstone files") {
+    val root = freshRoot()
+    val v1 = ManifestTable.commit(spark, root, docs(100), Seq("id"))
+    ManifestTable.deleteKeysMor(spark, root, Seq(7L).toDF("id"), "id")
+    val v3 = ManifestTable.commit(spark, root, docs(10, from = 100), Seq("id"), append = true)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.changes(spark, root, v1, v3)
+    }
+    assert(e.getMessage.contains("non-append"))
+    ManifestTable.vacuum(spark, root, keepVersions = 1)
+    // the tombstone parquet survived vacuum: reads still subtract the key
+    assert(ManifestTable.read(spark, root).where(col("id") === 7L).count() == 0)
+    assert(ManifestTable.read(spark, root).count() == 109)
+  }
+
   test("manifest stats carry portable timestamp min/max that prune date ranges") {
     val root = freshRoot()
     val ts = (0 until 365).map { d =>
