@@ -2780,4 +2780,79 @@ object Queries {
           .cast("double").as("total_price"),
         sum(col("o_orderkey")).as("key_sum"))
   }
+
+  // ---------------------------------------------------------------- Q133
+  /** LSH quality evaluation — "measure, don't guess" for probabilistic
+    * dedup: the portable minhash CANDIDATE set
+    * ([[graft.operators.MinHashDedup.portableCandidatePairs]], no verify)
+    * scored against EXACT n-gram-Jaccard ground truth
+    * ([[graft.operators.MinHashDedup.jaccardPairs]], the prefix-filtered
+    * exact self-join). One full-outer join of two pair sets → TP/FP/FN,
+    * candidate precision and recall. Candidate RECALL is the number
+    * band/row settings are chosen by before a 100 TB run (pairs LSH never
+    * surfaces are lost forever — the verify stage can only remove false
+    * positives, never recover false negatives); this readout on a sample
+    * is how those settings are picked. The oracle replays BOTH pipelines
+    * (the q13f candidate CTEs, the q13d exact-truth formulation) and the
+    * same set algebra.
+    */
+  def q133LshEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val cand = MinHashDedup.portableCandidatePairs(docs, "doc_id", "text")
+      .withColumn("is_cand", lit(true))
+    val truth = MinHashDedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .select(col("idA"), col("idB")).withColumn("is_true", lit(true))
+    cand.join(truth, Seq("idA", "idB"), "full_outer")
+      .select(coalesce(col("is_cand"), lit(false)).as("is_cand"),
+        coalesce(col("is_true"), lit(false)).as("is_true"))
+      .agg(
+        sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_candidates"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("is_cand") && col("is_true"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("is_cand") && !col("is_true"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("is_true") && !col("is_cand"), 1L).otherwise(0L)).as("fn"))
+      .select(col("n_candidates"), col("n_true"), col("tp"), col("fp"), col("fn"),
+        round(col("tp").cast("double") / col("n_candidates").cast("double"), 6)
+          .as("precision"),
+        round(col("tp").cast("double") / col("n_true").cast("double"), 6)
+          .as("recall"))
+  }
+
+  // ---------------------------------------------------------------- Q134
+  /** k-anonymity release gate ([[graft.operators.Privacy.suppressBelowK]])
+    * over customer quasi-identifiers (nation, 2000-unit account-balance
+    * bucket): rows whose combination is shared by fewer than k=8
+    * customers get those columns SUPPRESSED before export. One partial-agg
+    * count + broadcast probe — the structural-privacy companion to the
+    * text-level PII redaction battery (q60). The oracle replays the group
+    * count and the suppression CASE per row.
+    */
+  def q134KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        floor(col("c_acctbal") / 2000).cast("bigint").as("bal_bucket"))
+    Privacy.suppressBelowK(c, Seq("c_nationkey", "bal_bucket"), 8)
+      .select(col("c_custkey"), col("c_nationkey"), col("bal_bucket"),
+        col("suppressed"))
+  }
+
+  // ---------------------------------------------------------------- Q135
+  /** Margin-based bitext mining ([[graft.operators.Similarity
+    * .marginBitext]], the Artetxe & Schwenk ratio margin): even-id
+    * vectors play the source language, odd-id the target; pairs must be
+    * MUTUAL cosine-best matches AND clear a 1.2 ratio margin over each
+    * side's 4-NN neighborhood average. The margin test runs divisionless
+    * over DECIMAL sums (`40·sim >= 6·(fa+fb)`), so the oracle replays it
+    * exactly — no float-division agreement to hope for. This is the
+    * parallel-corpus miner of translation-data pipelines; the margin
+    * denominator is what de-hubs dense regions a raw cosine cutoff
+    * cannot.
+    */
+  def q135BitextMargin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val src = emb.where(col("vec_id") % 2 === 0 && col("vec_id") < 1000)
+    val tgt = emb.where(col("vec_id") % 2 === 1 && col("vec_id") < 1000)
+    Similarity.marginBitext(src, "vec_id", "embedding",
+      tgt, "vec_id", "embedding", k = 4, marginNum = 6, marginDen = 5)
+  }
 }

@@ -169,6 +169,9 @@ object SparkEntry {
     "q130_group_split" -> (Queries.q130GroupSplit _),
     "q131_schema_evolution" -> (Queries.q131SchemaEvolution _),
     "q132_mor_delete" -> (Queries.q132MorDelete _),
+    "q133_lsh_eval" -> (Queries.q133LshEval _),
+    "q134_k_anonymity" -> (Queries.q134KAnonymity _),
+    "q135_bitext_margin" -> (Queries.q135BitextMargin _),
   )
 
   private val mergeOracle: String = {
@@ -269,7 +272,13 @@ object SparkEntry {
     * band-bucket folds, capped buckets, candidate self-join, exact Jaccard
     * verify. Every number both engines compute is identical.
     */
-  private val portableMinhashOracle: String = {
+  /** The portable minhash pipeline's CTE chain through its CANDIDATE set
+    * (shingle hashes → signatures → band folds → capped buckets → distinct
+    * pairs) — shared verbatim by q13f/q106 (who verify and emit pairs) and
+    * q133 (who evaluates the candidate set itself against exact ground
+    * truth).
+    */
+  private val portableMinhashCandCtes: String = {
     val (as, bs) = graft.operators.MinHashDedup.portableCoefficients(16, 7L)
     val sigExprs = as.zip(bs).map { case (a, b) =>
       s"list_min(list_transform(m, h -> ($a * h + $b) % 2147483647))"
@@ -304,14 +313,59 @@ object SparkEntry {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
        |  FROM capped a JOIN capped b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-       |SELECT idA, idB, round(jac, 6) AS jaccard FROM (
-       |  SELECT c.idA, c.idB,
-       |         CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
-       |         CAST(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS jac
-       |  FROM cand c JOIN hm x ON x.doc_id = c.idA JOIN hm y ON y.doc_id = c.idB)
-       |WHERE jac >= 0.5""".stripMargin
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private val portableMinhashOracle: String =
+    portableMinhashCandCtes + "\n" +
+      """SELECT idA, idB, round(jac, 6) AS jaccard FROM (
+        |  SELECT c.idA, c.idB,
+        |         CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+        |         CAST(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS jac
+        |  FROM cand c JOIN hm x ON x.doc_id = c.idA JOIN hm y ON y.doc_id = c.idB)
+        |WHERE jac >= 0.5""".stripMargin
+
+  /** q133: the LSH candidate set (the CTE chain above) scored against
+    * EXACT n-gram-Jaccard ground truth. Truth is computed on raw trigram
+    * STRINGS (q13d's formulation); the engine computes it on hashed
+    * trigrams — set Jaccard is identical for any collision-free hash of
+    * the distinct shingles, which both q13d's and q13f's green rows
+    * already witness on this corpus.
+    */
+  private val lshEvalOracle: String =
+    portableMinhashCandCtes + ",\n" +
+      """truth AS (
+        |  SELECT a.doc_id AS idA, b.doc_id AS idB FROM (
+        |    SELECT doc_id, list_distinct(list_transform(
+        |             generate_series(1, greatest(len(ws) - 2, 0)),
+        |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  ) a JOIN (
+        |    SELECT doc_id, list_distinct(list_transform(
+        |             generate_series(1, greatest(len(ws) - 2, 0)),
+        |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  ) b ON a.doc_id < b.doc_id
+        |  WHERE len(a.s) > 0 AND len(b.s) > 0
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
+        |),
+        |ev AS (
+        |  SELECT coalesce(c.is_cand, FALSE) AS is_cand,
+        |         coalesce(t.is_true, FALSE) AS is_true
+        |  FROM (SELECT idA, idB, TRUE AS is_cand FROM cand) c
+        |  FULL OUTER JOIN (SELECT idA, idB, TRUE AS is_true FROM truth) t
+        |    ON c.idA = t.idA AND c.idB = t.idB)
+        |SELECT count(*) FILTER (is_cand) AS n_candidates,
+        |       count(*) FILTER (is_true) AS n_true,
+        |       count(*) FILTER (is_cand AND is_true) AS tp,
+        |       count(*) FILTER (is_cand AND NOT is_true) AS fp,
+        |       count(*) FILTER (is_true AND NOT is_cand) AS fn,
+        |       round(CAST(count(*) FILTER (is_cand AND is_true) AS DOUBLE) /
+        |             CAST(count(*) FILTER (is_cand) AS DOUBLE), 6) AS precision,
+        |       round(CAST(count(*) FILTER (is_cand AND is_true) AS DOUBLE) /
+        |             CAST(count(*) FILTER (is_true) AS DOUBLE), 6) AS recall
+        |FROM ev""".stripMargin
 
   /** q60: the DuckDB redaction replay, with the regex/replacement pairs
     * interpolated from [[graft.functions.TextFunctions.piiPatterns]] (the
@@ -565,6 +619,47 @@ object SparkEntry {
         |       count(*) AS n
         |FROM g GROUP BY 1""".stripMargin,
     "q13f_portable_minhash" -> portableMinhashOracle,
+    "q133_lsh_eval" -> lshEvalOracle,
+    // group count + suppression CASE replayed per row; the bucket is
+    // floor-division of a double, bit-identical in both engines
+    "q134_k_anonymity" ->
+      """WITH b AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket
+        |  FROM customer),
+        |g AS (SELECT c_nationkey, bal_bucket, count(*) AS n
+        |      FROM b GROUP BY 1, 2)
+        |SELECT c_custkey,
+        |       CASE WHEN n < 8 THEN NULL ELSE c_nationkey END AS c_nationkey,
+        |       CASE WHEN n < 8 THEN NULL ELSE bal_bucket END AS bal_bucket,
+        |       (n < 8) AS suppressed
+        |FROM b JOIN g USING (c_nationkey, bal_bucket)""".stripMargin,
+    // sims rounded to 6 dp before ranking; the margin test is the same
+    // divisionless decimal inequality (40*sim >= 6*(fa_sum+fb_sum)), so
+    // every stage replays exactly
+    "q135_bitext_margin" ->
+      """WITH src AS (SELECT vec_id AS src_id, embedding FROM embeddings
+        |             WHERE vec_id % 2 = 0 AND vec_id < 1000),
+        |tgt AS (SELECT vec_id AS tgt_id, embedding FROM embeddings
+        |        WHERE vec_id % 2 = 1 AND vec_id < 1000),
+        |sims AS (
+        |  SELECT s.src_id, t.tgt_id,
+        |         round(list_cosine_similarity(s.embedding::DOUBLE[],
+        |                                      t.embedding::DOUBLE[]), 6) AS sim
+        |  FROM src s CROSS JOIN tgt t),
+        |ranked AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id ASC) AS rf,
+        |         row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id ASC) AS rb
+        |  FROM sims),
+        |fa AS (SELECT src_id, sum(CAST(sim AS DECIMAL(18,6))) AS fa_sum
+        |       FROM ranked WHERE rf <= 4 GROUP BY 1),
+        |fb AS (SELECT tgt_id, sum(CAST(sim AS DECIMAL(18,6))) AS fb_sum
+        |       FROM ranked WHERE rb <= 4 GROUP BY 1)
+        |SELECT r.src_id, r.tgt_id, r.sim
+        |FROM ranked r JOIN fa USING (src_id) JOIN fb USING (tgt_id)
+        |WHERE rf = 1 AND rb = 1
+        |  AND 40 * CAST(r.sim AS DECIMAL(18,6)) >= 6 * (fa_sum + fb_sum)""".stripMargin,
     // the SAME portable pipeline, candidates restricted to pairs touching
     // the odd-id batch — the incremental pass may differ from from-scratch
     // ONLY by dropping store-internal pairs

@@ -631,6 +631,39 @@ object MinHashDedup {
     out
   }
 
+  /** The portable pipeline's CANDIDATE stage alone — exactly what
+    * [[portableVerifiedPairs]] hands to its Jaccard verify, without the
+    * verify. Exposed so the LSH layer itself can be SCORED against the
+    * exact [[jaccardPairs]] ground truth (q133): candidate recall is the
+    * quantity band/row settings are chosen by, and at 100 TB you pick
+    * them from this readout on a sample, not from folklore. Same persist
+    * discipline as the verified pipeline (result is pair-sized; the
+    * corpus-sized shingle/signature caches are dropped before return).
+    */
+  def portableCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 8, shingleN: Int = 3,
+      maxBucketSize: Int = 1000, seed: Long = 7L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val (as, bs) = portableCoefficients(numHashes, seed)
+    val base = Parallelism.ensureCompute(df)
+      .select(col(idCol).as("id"),
+        TextFunctions.portableShingleHashes(
+          TextFunctions.portableTokenHashes(col(textCol)), shingleN).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val sigs = sigsFromCached(base, as, bs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    val out = capAndPair(portableBandBuckets(sigs, bands, numHashes / bands),
+        maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sigs.unpersist()
+    base.unpersist()
+    out
+  }
+
   /** Transitive closure of dup pairs -> (id, rep) where rep = min id of the
     * connected component.
     *

@@ -385,4 +385,56 @@ object Similarity {
       .select(col("anchor_id"), col("neg_id"), col("sim"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019's ratio margin —
+    * public method): score every (src, tgt) pair by cosine relative to
+    * the average of each side's k nearest neighbors in the OTHER corpus,
+    * keep pairs that are MUTUAL best matches and clear the margin. The
+    * margin denominator is what makes this robust where a raw cosine
+    * cutoff is not: hub vectors that are near-everything have a high
+    * neighborhood average, so their inflated sims are discounted.
+    *
+    * Exactness discipline: sims round to 6 dp before any ranking;
+    * neighborhood averages stay EXACT by never dividing — the margin test
+    * `sim / ((fa/k + fb/k) / 2) >= num/den` is algebraically rewritten to
+    * `2*k*den*sim >= num*(fa_sum + fb_sum)` over DECIMAL(18,6) sums,
+    * order-independent and engine-portable (the q112/q116 decimal route).
+    *
+    * Scale: this is the exact formulation — one side must be broadcastable
+    * (mine language pairs in src-language chunks, the way [[topKJoin]]
+    * batches queries). For corpus x corpus at 100 TB, generate candidates
+    * with [[lshTopKJoin]]/[[ivfTopK]] first and feed the SAME margin test;
+    * recall loss is then the LSH layer's, measurable via the q133 pattern.
+    *
+    * Returns mutual-best pairs passing the margin: (src_id, tgt_id, sim).
+    */
+  def marginBitext(
+      src: DataFrame, sId: String, sVec: String,
+      tgt: DataFrame, tId: String, tVec: String,
+      k: Int, marginNum: Int, marginDen: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(marginNum > 0 && marginDen > 0, "margin must be a positive rational")
+    val s = Parallelism.ensureCompute(src)
+      .select(col(sId).as("src_id"), col(sVec).as("src_vec"))
+    val tq = tgt.select(col(tId).as("tgt_id"), col(tVec).as("tgt_vec"))
+    val sims = s.crossJoin(broadcast(tq))
+      .select(col("src_id"), col("tgt_id"),
+        round(VectorExpressions.cosine(col("src_vec"), col("tgt_vec")), 6).as("sim"))
+    val wF = Window.partitionBy(col("src_id")).orderBy(col("sim").desc, col("tgt_id").asc)
+    val wB = Window.partitionBy(col("tgt_id")).orderBy(col("sim").desc, col("src_id").asc)
+    val ranked = sims
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("rb", row_number().over(wB))
+    val simDec = col("sim").cast("decimal(18,6)")
+    val fa = ranked.where(col("rf") <= k).groupBy(col("src_id"))
+      .agg(sum(simDec).as("fa_sum"))
+    val fb = ranked.where(col("rb") <= k).groupBy(col("tgt_id"))
+      .agg(sum(simDec).as("fb_sum"))
+    ranked.where(col("rf") === 1 && col("rb") === 1)
+      .join(broadcast(fa), Seq("src_id"))
+      .join(broadcast(fb), Seq("tgt_id"))
+      .where(lit(2L * k * marginDen) * simDec >=
+        lit(marginNum.toLong) * (col("fa_sum") + col("fb_sum")))
+      .select(col("src_id"), col("tgt_id"), col("sim"))
+  }
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class PrivacySpec extends SparkSuite {
+  import spark.implicits._
+
+  // 3 rows share (US, A); (US, B) and (CA, A) are singletons
+  private def people = Seq(
+    (1L, "US", "A", 10.0), (2L, "US", "A", 11.0), (3L, "US", "A", 12.0),
+    (4L, "US", "B", 13.0), (5L, "CA", "A", 14.0)
+  ).toDF("id", "country", "segment", "score")
+
+  test("kAnonymityAudit counts each quasi combination and flags those below k") {
+    val audit = Privacy.kAnonymityAudit(people, Seq("country", "segment"), 3)
+      .orderBy("country", "segment").collect()
+    assert(audit.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq(("CA", "A", 1L, true), ("US", "A", 3L, false), ("US", "B", 1L, true)))
+  }
+
+  test("suppressBelowK nulls exactly the risky groups' quasi columns, nothing else") {
+    val out = Privacy.suppressBelowK(people, Seq("country", "segment"), 3)
+      .orderBy("id").collect()
+    // the (US, A) trio keeps its values
+    (0 until 3).foreach { i =>
+      assert(out(i).getString(1) == "US" && out(i).getString(2) == "A")
+      assert(!out(i).getBoolean(4))
+    }
+    // singletons are suppressed: quasi cols null, other cols intact
+    Seq(3, 4).foreach { i =>
+      assert(out(i).isNullAt(1) && out(i).isNullAt(2), s"row $i must be suppressed")
+      assert(out(i).getBoolean(4))
+      assert(!out(i).isNullAt(3), "non-quasi columns must survive suppression")
+    }
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("a small NULL quasi combination is suppressed too (null-safe probe)") {
+    val withNull = people.unionByName(
+      Seq((6L, null.asInstanceOf[String], "A", 15.0)).toDF("id", "country", "segment", "score"))
+    val out = Privacy.suppressBelowK(withNull, Seq("country", "segment"), 3)
+    val row6 = out.where(col("id") === 6L).collect().head
+    assert(row6.getBoolean(4), "the lone (NULL, A) group is below k and must be flagged")
+    assert(row6.isNullAt(1) && row6.isNullAt(2))
+    assert(out.where(col("suppressed")).count() == 3)
+  }
+
+  test("a NULL combination at or above k is already anonymous and kept") {
+    val nulls = (10L to 13L).map(i => (i, null.asInstanceOf[String], "Z", 1.0))
+      .toDF("id", "country", "segment", "score")
+    val out = Privacy.suppressBelowK(people.unionByName(nulls), Seq("country", "segment"), 3)
+    assert(out.where(col("id") >= 10L && !col("suppressed")).count() == 4)
+    assert(out.where(col("id") >= 10L && col("segment") === "Z").count() == 4)
+  }
+
+  test("invalid arguments fail fast") {
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymityAudit(people, Seq("country"), 1)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.suppressBelowK(people, Seq("nope"), 3)
+    }
+  }
+}

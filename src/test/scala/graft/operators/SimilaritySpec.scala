@@ -296,4 +296,39 @@ class SimilaritySpec extends SparkSuite {
     val labels = Map(0L -> "A", 1L -> "A", 2L -> "B", 3L -> "C", 10L -> "A")
     assert(out.forall(r => labels(r._1) != labels(r._2)), s"same-label pair: ${out.toSeq}")
   }
+
+  test("marginBitext: isolated mutual pairs pass, a dense hub cluster is margin-filtered") {
+    import spark.implicits._
+    // two isolated cross-lingual pairs near the axes, plus a 4-vector hub
+    // cluster in the opposite quadrant whose members are all ~equally close
+    val src = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (6L, Array(-0.6f, -0.8f)), (8L, Array(-0.8f, -0.6f))
+    ).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (1L, Array(0.99f, 0.14f)), (3L, Array(0.1f, 0.995f)),
+      (7L, Array(-0.6f, -0.8f)), (9L, Array(-0.8f, -0.6f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.marginBitext(src, "vec_id", "embedding",
+        tgt, "vec_id", "embedding", k = 2, marginNum = 6, marginDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (6,7)/(8,9) are MUTUAL BEST (cos = 1.0) yet excluded: their 2nd
+    // neighbors sit at 0.96, so the ratio margin is ~1.02 < 1.2 — the
+    // de-hubbing a raw cosine cutoff cannot do
+    assert(out == Set((0L, 1L), (2L, 3L)), s"got $out")
+  }
+
+  test("marginBitext: non-mutual best pairs never emit") {
+    import spark.implicits._
+    // b1's best source is a0, so a2 -> b1 is one-directional; with k=1 and
+    // margin 1/1 the only surviving pair is the mutual (a0, b1)
+    val src = Seq((0L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.436f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Array(0.98f, 0.199f)), (3L, Array(0.5f, 0.866f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.marginBitext(src, "vec_id", "embedding",
+        tgt, "vec_id", "embedding", k = 1, marginNum = 1, marginDen = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L)), s"got $out")
+  }
 }
