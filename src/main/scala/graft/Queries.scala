@@ -2855,4 +2855,126 @@ object Queries {
     Similarity.marginBitext(src, "vec_id", "embedding",
       tgt, "vec_id", "embedding", k = 4, marginNum = 6, marginDen = 5)
   }
+
+  // ---------------------------------------------------------------- Q136
+  /** HYBRID retrieval via reciprocal-rank fusion
+    * ([[graft.operators.Retrieval.rrfFuse]]): the lexical BM25 top-20
+    * (q110's ranker) and the dense cosine top-20 (q14's ranker, query =
+    * vector 0, ids shared with documents 1:1) fused by
+    * `Σ 1/(60 + rank)` — the RAG-stack standard that needs no score
+    * calibration between the two lists. Both input rankings rank on
+    * 6-dp-rounded scores and the reciprocals are exact integer
+    * divisions added in fixed (lex, dense) order, so the oracle replays
+    * every stage bit-for-bit.
+    */
+  def q136RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val wLex = Window.orderBy(col("score").desc, col("id").asc)
+    val lex = Retrieval.bm25TopK(t(spark, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "merge"), k = 20)
+      .withColumn("rank", row_number().over(wLex))
+    val emb = t(spark, dir, "embeddings")
+    val wDen = Window.orderBy(col("sim").desc, col("id").asc)
+    val dense = Similarity.topKJoin(
+        emb.where(col("vec_id") === 0), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 20)
+      .select(col("vec_id").as("id"), col("sim"))
+      .withColumn("rank", row_number().over(wDen))
+    Retrieval.rrfFuse(Seq("lex" -> lex, "dense" -> dense), "id", "rank",
+        k = 10, c = 60)
+      .select(col("id").as("doc_id"), col("rank_lex"), col("rank_dense"),
+        col("rrf_score"), col("fused_rank"))
+  }
+
+  // ---------------------------------------------------------------- Q137
+  /** Count-min sketch frequency estimation
+    * ([[graft.operators.CountMin]]): a depth-4 × width-256 sketch of
+    * lineitem part-key frequencies (2000 keys forced into 256 counters
+    * per row — real collisions), point-queried for every 97th part key,
+    * with the exact count alongside. `est >= exact` always (CMS
+    * one-sided error); the portable mod-Mersenne hashes mean the oracle
+    * rebuilds every counter and every min, not just the answers.
+    */
+  def q137CountMin(spark: SparkSession, dir: String): DataFrame = {
+    val li = tp(spark, dir, "lineitem")
+    val sketch = CountMin.build(li, "l_partkey", depth = 4, width = 256)
+    val probes = t(spark, dir, "part").where(col("p_partkey") % 97 === 0)
+    val est = CountMin.estimate(sketch, probes, "p_partkey",
+      depth = 4, width = 256)
+    val exact = li.groupBy(col("l_partkey").as("key"))
+      .agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("key"), "left")
+      .select(col("key").as("p_partkey"), col("est"),
+        coalesce(col("exact"), lit(0L)).as("exact"))
+  }
+
+  // ---------------------------------------------------------------- Q138
+  /** Rolling z-score anomaly gate
+    * ([[graft.operators.TimeSeries.rollingAnomaly]]) over the events
+    * stream: per user, a value deviating more than 3 sample standard
+    * deviations from the previous-20-events window (self excluded, >= 5
+    * events of history) is flagged. Values become exact cents
+    * (`round(value·100)` — the data is 2-dp), and the whole test runs
+    * division-free in BIGINT, so the flag set is bit-identical in the
+    * oracle's replay of the same window.
+    */
+  def q138RollingAnomaly(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.rollingAnomaly(
+        tp(spark, dir, "events")
+          .withColumn("cents", round(col("value") * 100).cast("long")),
+        Seq("user_id"), "ts", "event_id", col("cents"),
+        lookback = 20, minN = 5, z = 3)
+      .where(col("is_anomaly"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("n_window"))
+
+  // ---------------------------------------------------------------- Q139
+  /** ROUGE-2 overlap scoring
+    * ([[graft.functions.TextFunctions.ngramOverlapClipped]]): each doc
+    * (id < 150) as candidate against its successor doc as reference —
+    * clipped bigram overlap, then recall (/ ref bigrams) and precision
+    * (/ cand bigrams). The generation-eval staple, map-only per pair;
+    * counts are exact integers and each ratio one IEEE division, so the
+    * oracle replays the list algebra exactly. Zero-bigram references
+    * yield NULL ratios on both engines by the same CASE.
+    */
+  def q139RougeOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val cand = d.where(col("doc_id") < 150)
+      .select(col("doc_id").as("cand_id"), col("text").as("cand_text"))
+    val ref = d.select((col("doc_id") - 1).as("cand_id"),
+      col("doc_id").as("ref_id"), col("text").as("ref_text"))
+    cand.join(ref, Seq("cand_id"))
+      .select(col("cand_id"), col("ref_id"),
+        size(TextFunctions.wordNGrams(col("cand_text"), 2)).cast("long")
+          .as("cand_bigrams"),
+        size(TextFunctions.wordNGrams(col("ref_text"), 2)).cast("long")
+          .as("ref_bigrams"),
+        TextFunctions.ngramOverlapClipped(col("cand_text"), col("ref_text"), 2)
+          .as("overlap"))
+      .withColumn("rouge2_recall",
+        when(col("ref_bigrams") > 0,
+          round(col("overlap").cast("double") / col("ref_bigrams").cast("double"), 6)))
+      .withColumn("rouge2_precision",
+        when(col("cand_bigrams") > 0,
+          round(col("overlap").cast("double") / col("cand_bigrams").cast("double"), 6)))
+  }
+
+  // ---------------------------------------------------------------- Q140
+  /** Bloom semi-join reduction ([[graft.operators.BloomJoin]]): lineitem
+    * reduced by the 9 high-balance suppliers' bloom filter BEFORE the
+    * exact semi-join, then aggregated. The result is bit-identical to
+    * the plain semi-join (no false negatives + exact verify) — which is
+    * exactly what the oracle checks; the bloom stage is pure plan
+    * hygiene that shrinks the shuffle at 100 TB (BloomJoinSpec pins the
+    * candidate-reduction behavior itself).
+    */
+  def q140BloomSemiJoin(spark: SparkSession, dir: String): DataFrame =
+    BloomJoin.bloomSemiJoin(
+        tp(spark, dir, "lineitem"), "l_suppkey",
+        t(spark, dir, "supplier").where(col("s_acctbal") > 9000), "s_suppkey",
+        numBits = 1 << 16, numHashes = 5)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(18,6)")), 2)
+          .cast("double").as("sum_qty"))
 }

@@ -172,6 +172,11 @@ object SparkEntry {
     "q133_lsh_eval" -> (Queries.q133LshEval _),
     "q134_k_anonymity" -> (Queries.q134KAnonymity _),
     "q135_bitext_margin" -> (Queries.q135BitextMargin _),
+    "q136_rrf_fusion" -> (Queries.q136RrfFusion _),
+    "q137_count_min" -> (Queries.q137CountMin _),
+    "q138_rolling_anomaly" -> (Queries.q138RollingAnomaly _),
+    "q139_rouge_overlap" -> (Queries.q139RougeOverlap _),
+    "q140_bloom_semi_join" -> (Queries.q140BloomSemiJoin _),
   )
 
   private val mergeOracle: String = {
@@ -660,6 +665,142 @@ object SparkEntry {
         |FROM ranked r JOIN fa USING (src_id) JOIN fb USING (tgt_id)
         |WHERE rf = 1 AND rb = 1
         |  AND 40 * CAST(r.sim AS DECIMAL(18,6)) >= 6 * (fa_sum + fb_sum)""".stripMargin,
+    // q110's BM25 CTEs (ranked on the 6-dp-rounded score, top 20) + q14's
+    // dense cosine (query = vec 0, top 20), fused by 1/(60+rank) with the
+    // two reciprocals added in the same (lex, dense) order as the Scala
+    // fold — each reciprocal is one IEEE division, so scores replay
+    // bit-for-bit
+    "q136_rrf_fusion" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+        |f AS (SELECT
+        |        CAST((SELECT count(*) FROM d WHERE list_contains(ws, 'merge')) AS DOUBLE) AS df_merge,
+        |        CAST((SELECT count(*) FROM d WHERE list_contains(ws, 'spark')) AS DOUBLE) AS df_spark,
+        |        CAST((SELECT count(*) FROM d WHERE list_contains(ws, 'window')) AS DOUBLE) AS df_window),
+        |scored AS (
+        |  SELECT doc_id, round(
+        |    ln((s.n - f.df_merge + 0.5) / (f.df_merge + 0.5) + 1.0) *
+        |      (CAST(len(list_filter(ws, w -> w = 'merge')) AS DOUBLE) * (1.2 + 1.0)) /
+        |      (CAST(len(list_filter(ws, w -> w = 'merge')) AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / s.avgdl)) +
+        |    ln((s.n - f.df_spark + 0.5) / (f.df_spark + 0.5) + 1.0) *
+        |      (CAST(len(list_filter(ws, w -> w = 'spark')) AS DOUBLE) * (1.2 + 1.0)) /
+        |      (CAST(len(list_filter(ws, w -> w = 'spark')) AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / s.avgdl)) +
+        |    ln((s.n - f.df_window + 0.5) / (f.df_window + 0.5) + 1.0) *
+        |      (CAST(len(list_filter(ws, w -> w = 'window')) AS DOUBLE) * (1.2 + 1.0)) /
+        |      (CAST(len(list_filter(ws, w -> w = 'window')) AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / s.avgdl)), 6) AS score
+        |  FROM d, s, f),
+        |lex AS (SELECT id, rank_lex FROM (
+        |  SELECT doc_id AS id,
+        |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_lex
+        |  FROM scored) WHERE rank_lex <= 20),
+        |den0 AS (
+        |  SELECT e.vec_id AS id,
+        |         round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |                                      e.embedding::DOUBLE[]), 6) AS sim
+        |  FROM embeddings e,
+        |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id != 0),
+        |den AS (SELECT id, rank_dense FROM (
+        |  SELECT id, row_number() OVER (ORDER BY sim DESC, id ASC) AS rank_dense
+        |  FROM den0) WHERE rank_dense <= 20),
+        |fused AS (
+        |  SELECT coalesce(l.id, dn.id) AS id, l.rank_lex, dn.rank_dense,
+        |         round(coalesce(1.0 / (60.0 + CAST(l.rank_lex AS DOUBLE)), 0.0)
+        |             + coalesce(1.0 / (60.0 + CAST(dn.rank_dense AS DOUBLE)), 0.0), 9) AS rrf_score
+        |  FROM lex l FULL OUTER JOIN den dn ON l.id = dn.id),
+        |top AS (SELECT * FROM fused ORDER BY rrf_score DESC, id ASC LIMIT 10)
+        |SELECT id AS doc_id, rank_lex, rank_dense, rrf_score,
+        |       CAST(row_number() OVER (ORDER BY rrf_score DESC, id ASC) AS INTEGER) AS fused_rank
+        |FROM top""".stripMargin,
+    // every counter and every min replayed from the same mod-Mersenne
+    // arithmetic (a_d = (1103515245(d+1)+12345) mod P, b_d =
+    // (2654435761(d+1)+1013904223) mod P, P = 2^31-1, width 256)
+    "q137_count_min" ->
+      """WITH ds AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(d)),
+        |base AS (
+        |  SELECT ((l_partkey % 2147483647) + 2147483647) % 2147483647 AS km
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT d, (((km * ((CAST(1103515245 AS BIGINT) * (d + 1) + 12345) % 2147483647))
+        |              + ((CAST(2654435761 AS BIGINT) * (d + 1) + 1013904223) % 2147483647))
+        |             % 2147483647) % 256 AS bucket
+        |  FROM base, ds),
+        |cms AS (SELECT d, bucket, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT p_partkey AS key FROM part WHERE p_partkey % 97 = 0),
+        |pe AS (
+        |  SELECT key, d,
+        |         ((((((key % 2147483647) + 2147483647) % 2147483647)
+        |             * ((CAST(1103515245 AS BIGINT) * (d + 1) + 12345) % 2147483647))
+        |           + ((CAST(2654435761 AS BIGINT) * (d + 1) + 1013904223) % 2147483647))
+        |          % 2147483647) % 256 AS bucket
+        |  FROM probes, ds),
+        |est AS (
+        |  SELECT key, min(coalesce(cnt, 0)) AS est
+        |  FROM pe LEFT JOIN cms USING (d, bucket) GROUP BY 1),
+        |ex AS (SELECT l_partkey AS key, count(*) AS exact FROM lineitem GROUP BY 1)
+        |SELECT key AS p_partkey, est, coalesce(exact, 0) AS exact
+        |FROM est LEFT JOIN ex USING (key)""".stripMargin,
+    // same exact-cents window stats, same division-free BIGINT inequality
+    "q138_rolling_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts, value,
+        |         CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, ts, value, v,
+        |         count(v) OVER win AS n_window,
+        |         sum(v) OVER win AS s1,
+        |         sum(v * v) OVER win AS s2
+        |  FROM c
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts, value, n_window
+        |FROM w
+        |WHERE n_window >= 5
+        |  AND (v * n_window - s1) * (v * n_window - s1)
+        |      > 9 * (n_window * s2 - s1 * s1)""".stripMargin,
+    // clipped-count overlap replayed with the same list algebra; the two
+    // ratios are single IEEE divisions of exact integers
+    "q139_rouge_overlap" ->
+      """WITH p AS (
+        |  SELECT a.doc_id AS cand_id, b.doc_id AS ref_id,
+        |         string_split(a.text, ' ') AS cw, string_split(b.text, ' ') AS rw
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id < 150),
+        |g AS (
+        |  SELECT cand_id, ref_id,
+        |         list_transform(generate_series(1, greatest(len(cw) - 1, 0)),
+        |                        i -> cw[i] || ' ' || cw[i+1]) AS cg,
+        |         list_transform(generate_series(1, greatest(len(rw) - 1, 0)),
+        |                        i -> rw[i] || ' ' || rw[i+1]) AS rg
+        |  FROM p),
+        |o AS (
+        |  SELECT cand_id, ref_id,
+        |         CAST(len(cg) AS BIGINT) AS cand_bigrams,
+        |         CAST(len(rg) AS BIGINT) AS ref_bigrams,
+        |         CAST(coalesce(list_sum(list_transform(list_distinct(rg), x ->
+        |           least(len(list_filter(cg, y -> y = x)),
+        |                 len(list_filter(rg, y -> y = x))))), 0) AS BIGINT) AS overlap
+        |  FROM g)
+        |SELECT cand_id, ref_id, cand_bigrams, ref_bigrams, overlap,
+        |       CASE WHEN ref_bigrams > 0
+        |            THEN round(CAST(overlap AS DOUBLE) / CAST(ref_bigrams AS DOUBLE), 6)
+        |       END AS rouge2_recall,
+        |       CASE WHEN cand_bigrams > 0
+        |            THEN round(CAST(overlap AS DOUBLE) / CAST(cand_bigrams AS DOUBLE), 6)
+        |       END AS rouge2_precision
+        |FROM o""".stripMargin,
+    // the bloom stage is invisible to the answer by construction (no
+    // false negatives + exact verify): the oracle is the plain semi-join
+    "q140_bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000)
+        |GROUP BY 1""".stripMargin,
     // the SAME portable pipeline, candidates restricted to pairs touching
     // the odd-id batch — the incremental pass may differ from from-scratch
     // ONLY by dropping store-internal pairs

@@ -263,4 +263,25 @@ object TextFunctions {
           .otherwise(lit(-1L)))
       acc + when(vote >= 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
     })
+
+  /** CLIPPED n-gram overlap — the ROUGE-n numerator (Lin 2004): over the
+    * reference's DISTINCT n-grams, sum min(count in candidate, count in
+    * reference). Clipping is what stops a candidate from farming credit
+    * by repeating one matching n-gram. Recall = overlap / |ref n-grams|,
+    * precision = overlap / |cand n-grams| — the generation-eval and
+    * summarization-QA staple.
+    *
+    * Pure codegen'd array HOFs (no UDF), map-only per pair; cost is
+    * O(|distinct ref n-grams| · (|cand| + |ref|)) per row — fine for the
+    * sentence/paragraph texts this measures. Exact integer result, so an
+    * oracle replays it with the same list operations.
+    */
+  def ngramOverlapClipped(cand: Column, ref: Column, n: Int): Column = {
+    val cg = wordNGrams(cand, n)
+    val rg = wordNGrams(ref, n)
+    aggregate(array_distinct(rg), lit(0L), (acc, g) =>
+      acc + least(
+        size(filter(cg, x => x === g)).cast("long"),
+        size(filter(rg, x => x === g)).cast("long")))
+  }
 }

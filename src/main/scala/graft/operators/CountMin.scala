@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005) as a TABLE: `depth`
+  * pairwise-independent hash rows of `width` counters, materialized as at
+  * most depth·width (d, bucket, cnt) rows. The frequency-estimation
+  * sibling of the HLL/heavy-hitter sketches already in
+  * [[graft.plans.SketchAggregates]] — but built from PORTABLE arithmetic
+  * (`((a_d·k + b_d) mod P) mod width`, P = 2³¹−1 Mersenne), so an oracle
+  * replays every counter and every estimate bit-for-bit, which the
+  * binary-blob `count_min_sketch()` builtin cannot.
+  *
+  * Estimates are upper bounds: `est(k) = min_d cnt[d][h_d(k)] ≥ true(k)`,
+  * within `ε·N` of truth with probability 1−δ at width = ⌈e/ε⌉,
+  * depth = ⌈ln 1/δ⌉.
+  *
+  * Scale shape: the build is one explode(depth) + one partial-agg shuffle
+  * keyed by (d, bucket) — map-side combine collapses each partition to at
+  * most depth·width rows regardless of input size, so the shuffle carries
+  * sketch-sized data, not input-sized. The probe side joins the (tiny,
+  * ≤ depth·width rows) sketch BROADCAST against the probe keys — no
+  * driver state at any input size. Sketches for different shards/days
+  * union-and-re-aggregate into one (counters are additive), the property
+  * that makes CMS the streaming/incremental frequency monitor.
+  */
+object CountMin {
+
+  /** 2³¹ − 1 (Mersenne): mod-P products of two < P values stay < 2⁶²,
+    * inside BIGINT on both engines — the portability contract.
+    */
+  val P: Long = 2147483647L
+
+  private def hashA(d: Int): Long = (1103515245L * (d + 1) + 12345L) % P
+  private def hashB(d: Int): Long = (2654435761L * (d + 1) + 1013904223L) % P
+
+  /** Bucket of `key` under hash row `d` — pure column arithmetic, exact
+    * BIGINT, replayable as the same expression in any SQL engine.
+    */
+  def bucket(key: Column, d: Int, width: Int): Column =
+    (((key % P + P) % P) * hashA(d) + hashB(d)) % P % width
+
+  /** Build the sketch over `df[keyCol]` (BIGINT keys): one row per
+    * non-empty (d, bucket) counter.
+    */
+  def build(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val buckets = (0 until depth).map(d => bucket(col(keyCol), d, width))
+    Parallelism.ensureCompute(df)
+      .select(posexplode(array(buckets: _*)).as(Seq("d", "bucket")))
+      .groupBy(col("d"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch for every distinct key of `probes[keyCol]`:
+    * `est = min_d cnt[d][h_d(key)]` (an untouched counter reads 0). The
+    * sketch side is broadcast — it is ≤ depth·width rows by construction.
+    */
+  def estimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val keys = probes.select(col(keyCol).as("key")).distinct()
+    val expanded = keys.select(col("key"),
+      posexplode(array((0 until depth).map(d => bucket(col("key"), d, width)): _*))
+        .as(Seq("d", "bucket")))
+    expanded.join(broadcast(sketch), Seq("d", "bucket"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lexical retrieval over a text corpus — the sparse counterpart of the
@@ -86,5 +87,42 @@ object Retrieval {
     base.select(col("id"), round(score, 6).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse N
+    * rankings of one id space by `score(id) = Σ_i 1/(c + rank_i(id))`,
+    * an id absent from a list contributing 0 for that list. The standard
+    * hybrid-retrieval combiner (lexical BM25 + dense ANN) — rank-based,
+    * so the lists' score scales never need calibrating against each
+    * other.
+    *
+    * Determinism: each reciprocal is one IEEE division of exact
+    * integers, and the terms add in the Seq's declaration order (a fixed
+    * left fold on both engines), so fused scores are bit-identical to an
+    * oracle that writes the same additions in the same order; scores are
+    * still rounded to 9 dp before ranking as rank-boundary insurance.
+    *
+    * Scale shape: the inputs are already per-list top-k tables (bounded),
+    * so the full-outer merge and the final rank run on ≤ N·k rows — the
+    * single-partition rank window is bounded by construction, never
+    * corpus-sized. Output: id, each list's rank (null = absent), the
+    * fused score, and `fused_rank` 1..k.
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
+      rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0, s"k must be positive, got $k")
+    require(c >= 0, s"c must be non-negative, got $c")
+    val joined = rankings.map { case (nm, df) =>
+      df.select(col(idCol).as("id"), col(rankCol).cast("long").as(s"rank_$nm"))
+    }.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val score = rankings.map { case (nm, _) =>
+      coalesce(lit(1.0) / (lit(c).cast("double") + col(s"rank_$nm").cast("double")),
+        lit(0.0))
+    }.reduce(_ + _)
+    val w = Window.orderBy(col("rrf_score").desc, col("id").asc)
+    joined.withColumn("rrf_score", round(score, 9))
+      .orderBy(col("rrf_score").desc, col("id").asc).limit(k)
+      .withColumn("fused_rank", row_number().over(w))
   }
 }

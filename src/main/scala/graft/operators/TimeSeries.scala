@@ -84,4 +84,57 @@ object TimeSeries {
     df.groupBy(col(keyCol), to_date(col(tsCol)).as("d"))
       .agg(round(sum(col(valueCol).cast("decimal(18,9)")), scale)
         .cast("double").as(valueCol))
+
+  /** DIVISION-FREE rolling z-score anomaly gate: flag a point whose
+    * deviation from the mean of the previous `lookback` points (same key,
+    * (ts, tie) order — the point itself EXCLUDED, so an outlier never
+    * masks itself) exceeds `z` sample standard deviations. The classic
+    * telemetry / fraud / sensor-spike monitor.
+    *
+    * The test `|v − mean| > z·stddev` is evaluated in EXACT integer
+    * arithmetic on `intCol` (the caller scales values to integers, e.g.
+    * cents): with n = window count, s1 = Σv, s2 = Σv²,
+    *
+    *   (v·n − s1)² > z² · (n·s2 − s1²)
+    *
+    * — both sides BIGINT, no mean/variance division, no sqrt, no float:
+    * the flag is bit-identical across engines and partitionings (the
+    * q135 divisionless-margin discipline applied to rolling stats).
+    * Overflow contract: sound while lookback · max|v|² < 2⁶³ / max(z², n)
+    * — e.g. cents ≤ 10⁶, lookback ≤ 10³, z ≤ 10 keeps every term under
+    * 10¹⁷.
+    *
+    * Scale shape: one partition-by-key window with a ROWS frame — Spark's
+    * WindowExec streams it with O(lookback) state per key, one shuffle on
+    * the key, no per-key materialization. Emits `n_window` (0 for the
+    * key's first row) and `is_anomaly`; rows with n_window < `minN` are
+    * never flagged (cold start).
+    */
+  def rollingAnomaly(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieBreakCol: String, intCol: Column, lookback: Int, minN: Int,
+      z: Int): DataFrame = {
+    require(keyCols.nonEmpty, "rollingAnomaly needs at least one key column")
+    require(lookback >= 1, s"lookback must be >= 1, got $lookback")
+    require(minN >= 2 && minN <= lookback,
+      s"minN must be in [2, lookback], got $minN")
+    require(z >= 1, s"z must be >= 1, got $z")
+    Seq("__v", "__s1", "__s2").foreach { c =>
+      require(!df.columns.contains(c), s"input must not already contain '$c'")
+    }
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
+      .rowsBetween(-lookback, -1)
+    val v = col("__v")
+    val n = col("n_window")
+    val s1 = col("__s1")
+    val s2 = col("__s2")
+    val dev = v * n - s1
+    df.withColumn("__v", intCol.cast("long"))
+      .withColumn("n_window", count(v).over(w))
+      .withColumn("__s1", sum(v).over(w))
+      .withColumn("__s2", sum(v * v).over(w))
+      .withColumn("is_anomaly",
+        n >= minN && dev * dev > lit(z.toLong * z) * (n * s2 - s1 * s1))
+      .drop("__v", "__s1", "__s2")
+  }
 }

@@ -137,4 +137,21 @@ class TextFunctionsSpec extends SparkSuite {
     assert(deciles.values.forall(n => n > 50 && n < 200),
       s"decile skew: ${deciles.toMap}")
   }
+
+  test("ngramOverlapClipped: clipping stops repeated-ngram credit farming") {
+    def overlap(cand: String, ref: String, n: Int = 2): Long =
+      Seq((cand, ref)).toDF("c", "r")
+        .select(TextFunctions.ngramOverlapClipped($"c", $"r", n).as("o"))
+        .as[Long].head()
+    // identical text: overlap == all bigrams
+    assert(overlap("a b c d", "a b c d") == 3L)
+    // candidate repeats the one matching bigram 3x; ref has it once ->
+    // clipped to 1, not 3
+    assert(overlap("x y x y x y", "x y z w", 2) == 1L)
+    // per-ngram clipping: "x y" -> min(3,2)=2, "y x" -> min(2,1)=1, "z x" -> 0
+    assert(overlap("x y x y x y", "z x y x y", 2) == 3L)
+    // disjoint texts and too-short texts -> 0
+    assert(overlap("a b c", "d e f") == 0L)
+    assert(overlap("single", "single word here") == 0L)
+  }
 }

@@ -60,4 +60,31 @@ class RetrievalSpec extends SparkSuite {
     val scores = top.select($"score").as[Double].collect()
     assert(scores.forall(s => !s.isNaN && s > 0.0), scores.mkString(", "))
   }
+
+  test("rrfFuse: score math, absent-list zeros, ordering and fused_rank") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("id", "rank")
+    val fused = Retrieval.rrfFuse(Seq("a" -> a, "b" -> b), "id", "rank", k = 10)
+      .collect().map(r => (r.getLong(0),
+        (Option(r.get(1)), Option(r.get(2)), r.getDouble(3), r.getInt(4))))
+      .toMap
+    def rrf(rs: Double*): Double = rs.map(r => 1.0 / (60.0 + r)).sum
+    def close(a: Double, b: Double): Boolean = math.abs(a - b) < 1e-9
+    // 10 and 20 appear in both lists at ranks {1,2} — tied score, id breaks
+    assert(close(fused(10L)._3, rrf(1, 2)) && close(fused(20L)._3, rrf(2, 1)))
+    assert(fused(10L)._4 == 1 && fused(20L)._4 == 2, s"id tiebreak: $fused")
+    // 30/40 are single-list: the missing list contributes exactly zero
+    assert(close(fused(30L)._3, rrf(3)) && fused(30L)._2.isEmpty)
+    assert(close(fused(40L)._3, rrf(3)) && fused(40L)._1.isEmpty)
+    assert(fused(30L)._4 == 3 && fused(40L)._4 == 4, "30 before 40 on id")
+  }
+
+  test("rrfFuse: k caps the fused list, not the inputs") {
+    val a = (1 to 8).map(i => (i.toLong, i)).toDF("id", "rank")
+    val b = (1 to 8).map(i => (i.toLong + 100, i)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq("a" -> a, "b" -> b), "id", "rank", k = 5)
+    assert(out.count() == 5)
+    // rank 1 of each list ties at 1/61; id 1 wins the tie over id 101
+    assert(out.orderBy($"fused_rank").first().getLong(0) == 1L)
+  }
 }

@@ -88,4 +88,41 @@ class TimeSeriesSpec extends SparkSuite {
       .select($"event_id").as[Long].collect().toSet
     assert(keptDup == Set(10L), s"got $keptDup")
   }
+
+  test("rollingAnomaly: spike flagged, cold start and steady state are not") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00")
+    // user 1: ten steady ~100s (varied — zero-variance history would flag
+    // ANY deviation), then a 10x spike, then steady again
+    val vals = Seq(100L, 101L, 99L, 100L, 102L) ++
+      Seq(98L, 100L, 101L, 99L, 100L) ++ Seq(1000L) ++ Seq(100L, 101L)
+    val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, 1L, ts(i), v) }
+    val df = rows.toDF("event_id", "user_id", "ts", "v")
+    val out = TimeSeries.rollingAnomaly(df, Seq("user_id"), "ts", "event_id",
+        $"v", lookback = 20, minN = 5, z = 3)
+      .where($"is_anomaly").select($"event_id").as[Long].collect().toSet
+    assert(out == Set(10L), s"only the spike row flags, got $out")
+  }
+
+  test("rollingAnomaly: window excludes self — an outlier cannot mask itself") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00")
+    // with the point itself IN the window, a lone huge spike inflates the
+    // stddev enough to pass; exclusion keeps the baseline tight
+    val vals = Seq(10L, 10L, 10L, 10L, 10L, 10L, 100000L)
+    val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, 1L, ts(i), v) }
+    val out = TimeSeries.rollingAnomaly(rows.toDF("event_id", "user_id", "ts", "v"),
+        Seq("user_id"), "ts", "event_id", $"v", lookback = 20, minN = 5, z = 3)
+      .where($"is_anomaly").select($"event_id").as[Long].collect().toSet
+    assert(out == Set(6L), s"got $out")
+  }
+
+  test("rollingAnomaly: constant history (zero variance) flags any deviation") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00")
+    val vals = Seq(50L, 50L, 50L, 50L, 50L, 51L)
+    val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, 1L, ts(i), v) }
+    val out = TimeSeries.rollingAnomaly(rows.toDF("event_id", "user_id", "ts", "v"),
+        Seq("user_id"), "ts", "event_id", $"v", lookback = 20, minN = 5, z = 3)
+      .where($"is_anomaly").select($"event_id").as[Long].collect().toSet
+    // (1*5 - 0)^2 = 25 > 9 * (5*0 - 0) = 0 after centering on 50
+    assert(out == Set(5L), s"got $out")
+  }
 }
