@@ -2961,9 +2961,9 @@ object Queries {
 
   // ---------------------------------------------------------------- Q140
   /** Bloom semi-join reduction ([[graft.operators.BloomJoin]]): lineitem
-    * reduced by the 9 high-balance suppliers' bloom filter BEFORE the
-    * exact semi-join, then aggregated. The result is bit-identical to
-    * the plain semi-join (no false negatives + exact verify) — which is
+    * reduced by the every-7th-supplier bloom filter BEFORE the exact
+    * semi-join, then aggregated. The result is bit-identical to the
+    * plain semi-join (no false negatives + exact verify) — which is
     * exactly what the oracle checks; the bloom stage is pure plan
     * hygiene that shrinks the shuffle at 100 TB (BloomJoinSpec pins the
     * candidate-reduction behavior itself).
@@ -2971,10 +2971,54 @@ object Queries {
   def q140BloomSemiJoin(spark: SparkSession, dir: String): DataFrame =
     BloomJoin.bloomSemiJoin(
         tp(spark, dir, "lineitem"), "l_suppkey",
-        t(spark, dir, "supplier").where(col("s_acctbal") > 9000), "s_suppkey",
+        t(spark, dir, "supplier").where(col("s_suppkey") % 7 === 0), "s_suppkey",
         numBits = 1 << 16, numHashes = 5)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("l_quantity").cast("decimal(18,6)")), 2)
           .cast("double").as("sum_qty"))
+
+  // ---------------------------------------------------------------- Q141
+  /** PMI collocation mining ([[graft.operators.Retrieval
+    * .pmiCollocations]]): bigrams seen >= 25 times scored by pointwise
+    * mutual information against the unigram independence assumption —
+    * tokenizer-merge candidates / multi-word-expression discovery. All
+    * counts exact BIGINT; one IEEE division + one ln per survivor, so
+    * the oracle replays every value.
+    */
+  def q141PmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.pmiCollocations(t(spark, dir, "documents"), "text",
+      minCount = 25)
+
+  // ---------------------------------------------------------------- Q142
+  /** Hashed linear classifier inference ([[graft.operators.DataSelection
+    * .hashedLinearScore]]): the fastText serving shape — portable token
+    * hash → 64 buckets → integer weight → exact sum → one normalizing
+    * division → threshold on the INTEGER sum. Map-only model inference
+    * over the corpus; every stage replayed by the oracle from the same
+    * arithmetic.
+    */
+  def q142HashedClassifier(spark: SparkSession, dir: String): DataFrame =
+    DataSelection.hashedLinearScore(
+      tp(spark, dir, "documents"), "doc_id", "text", buckets = 64)
+
+  // ---------------------------------------------------------------- Q143
+  /** INCREMENTAL count-min maintenance ([[graft.operators.CountMin
+    * .merge]]): the event stream split into two "days" (even/odd ids),
+    * each day sketched independently, the sketches MERGED — and the
+    * estimates must equal a from-scratch build over everything, which
+    * is exactly what the oracle computes (one full-input CMS replay).
+    * Counter additivity is what lets a 100 TB frequency monitor absorb
+    * a daily delta without ever rescanning history.
+    */
+  def q143IncrementalCountMin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tp(spark, dir, "events")
+    val day1 = CountMin.build(
+      ev.where(col("event_id") % 2 === 0), "user_id", depth = 4, width = 64)
+    val day2 = CountMin.build(
+      ev.where(col("event_id") % 2 === 1), "user_id", depth = 4, width = 64)
+    CountMin.estimate(CountMin.merge(day1, day2), ev, "user_id",
+        depth = 4, width = 64)
+      .select(col("key").as("user_id"), col("est"))
+  }
 }

@@ -10,7 +10,11 @@ import org.apache.spark.sql.SparkSession
   * - AQE on: runtime coalescing, skew-join splitting, broadcast demotion;
   * - UTC session timezone for oracle parity;
   * - legacy nanosAsLong so parquet TIMESTAMP(NANOS) (events.ts) is readable;
-  *   [[graft.operators.Tables]] converts it back to a µs timestamp.
+  *   [[graft.operators.Tables]] converts it back to a µs timestamp;
+  * - NTZ inference OFF: driver testdata writes events.ts as
+  *   TIMESTAMP(µs, isAdjustedToUTC=false), which would otherwise read as
+  *   TIMESTAMP_NTZ — a type streaming watermarks reject. With the session
+  *   timezone pinned UTC the TimestampType read is value-identical.
   */
 object Sessions {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
@@ -21,6 +25,7 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")
 

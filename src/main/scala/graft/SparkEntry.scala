@@ -177,6 +177,9 @@ object SparkEntry {
     "q138_rolling_anomaly" -> (Queries.q138RollingAnomaly _),
     "q139_rouge_overlap" -> (Queries.q139RougeOverlap _),
     "q140_bloom_semi_join" -> (Queries.q140BloomSemiJoin _),
+    "q141_pmi_collocations" -> (Queries.q141PmiCollocations _),
+    "q142_hashed_classifier" -> (Queries.q142HashedClassifier _),
+    "q143_incremental_cms" -> (Queries.q143IncrementalCountMin _),
   )
 
   private val mergeOracle: String = {
@@ -477,7 +480,7 @@ object SparkEntry {
         |  ('l_orderkey','bigint',1),('l_partkey','bigint',2),('l_suppkey','bigint',3),
         |  ('l_linenumber','int',4),('l_quantity','double',5),('l_extendedprice','double',6),
         |  ('l_discount','double',7),('l_tax','double',8),('l_returnflag','string',9),
-        |  ('l_linestatus','string',10),('l_shipdate','timestamp_ntz',11)
+        |  ('l_linestatus','string',10),('l_shipdate','timestamp',11)
         |) AS t(column_name, data_type, ordinal_position)""".stripMargin,
     "q8_fanout_merge" -> mergeOracle,
     "q9_agg" ->
@@ -799,8 +802,70 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem
-        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000)
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
         |GROUP BY 1""".stripMargin,
+    // exact BIGINT counts; the PMI argument is one IEEE division of two
+    // exact integer products, then one ln (the q110/q121 discipline)
+    "q141_pmi_collocations" ->
+      """WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |uni AS (SELECT unnest(ws) AS t FROM ws),
+        |un AS (SELECT t, count(*) AS c FROM uni GROUP BY 1),
+        |nu AS (SELECT count(*) AS n_u FROM uni),
+        |bi AS (SELECT unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+        |                                    i -> ws[i] || ' ' || ws[i+1])) AS bg FROM ws),
+        |bc AS (SELECT bg, count(*) AS c_xy FROM bi GROUP BY 1 HAVING count(*) >= 25),
+        |nb AS (SELECT count(*) AS n_b FROM bi)
+        |SELECT string_split(bg, ' ')[1] AS term_a, string_split(bg, ' ')[2] AS term_b, c_xy,
+        |       round(ln(CAST(c_xy * n_u * n_u AS DOUBLE)
+        |                / CAST(n_b * a.c * b.c AS DOUBLE)), 6) AS pmi
+        |FROM bc, nu, nb
+        |JOIN un a ON a.t = string_split(bg, ' ')[1]
+        |JOIN un b ON b.t = string_split(bg, ' ')[2]""".stripMargin,
+    // the q13e portable token hashes -> bucket -> integer weight -> exact
+    // sum; label thresholds the INTEGER sum, never the float
+    "q142_hashed_classifier" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         list_transform(string_split(text, ' '), t ->
+        |           list_reduce(
+        |             list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |             (a, x) -> (a * 131 + x) % 281474976710656)) AS hs
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tokens,
+        |        CAST(coalesce(list_sum(list_transform(hs, hv ->
+        |          ((hv % 64) * 2654435761) % 1997 - 998)), 0) AS BIGINT) AS score_int
+        |      FROM h)
+        |SELECT doc_id, n_tokens, score_int,
+        |       CASE WHEN n_tokens > 0
+        |            THEN round(CAST(score_int AS DOUBLE) / CAST(n_tokens * 1000 AS DOUBLE), 6)
+        |       END AS score,
+        |       (score_int > 0) AS label
+        |FROM s""".stripMargin,
+    // counter additivity makes merged-day sketches == one full build, so
+    // the oracle IS the from-scratch CMS over all events (q137 hashes,
+    // user_id keys, width 64)
+    "q143_incremental_cms" ->
+      """WITH ds AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(d)),
+        |base AS (
+        |  SELECT ((user_id % 2147483647) + 2147483647) % 2147483647 AS km
+        |  FROM events),
+        |e AS (
+        |  SELECT d, (((km * ((CAST(1103515245 AS BIGINT) * (d + 1) + 12345) % 2147483647))
+        |              + ((CAST(2654435761 AS BIGINT) * (d + 1) + 1013904223) % 2147483647))
+        |             % 2147483647) % 64 AS bucket
+        |  FROM base, ds),
+        |cms AS (SELECT d, bucket, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT user_id AS key FROM events),
+        |pe AS (
+        |  SELECT key, d,
+        |         ((((((key % 2147483647) + 2147483647) % 2147483647)
+        |             * ((CAST(1103515245 AS BIGINT) * (d + 1) + 12345) % 2147483647))
+        |           + ((CAST(2654435761 AS BIGINT) * (d + 1) + 1013904223) % 2147483647))
+        |          % 2147483647) % 64 AS bucket
+        |  FROM probes, ds)
+        |SELECT key AS user_id, min(coalesce(cnt, 0)) AS est
+        |FROM pe LEFT JOIN cms USING (d, bucket) GROUP BY 1""".stripMargin,
     // the SAME portable pipeline, candidates restricted to pairs touching
     // the odd-id batch — the incremental pass may differ from from-scratch
     // ONLY by dropping store-internal pairs

@@ -54,6 +54,19 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge shard/day sketches built with the SAME (depth, width): counters
+    * add. This is the incremental-maintenance path — yesterday's sketch
+    * plus today's delta equals the full rebuild bit-for-bit, with history
+    * never rescanned (the sketch analog of the q91 incremental-agg /
+    * q106 incremental-minhash discipline).
+    */
+  def merge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "merge needs at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("d"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** Point-query the sketch for every distinct key of `probes[keyCol]`:
     * `est = min_d cnt[d][h_d(key)]` (an untouched counter reads 0). The
     * sketch side is broadcast — it is ≤ depth·width rows by construction.

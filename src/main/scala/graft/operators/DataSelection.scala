@@ -202,4 +202,42 @@ object DataSelection {
       .select(col("doc_id"), col("source"), col("n_toks"), col("rate"),
         (u < col("rate")).as("keep"))
   }
+
+  /** Hashed linear classifier INFERENCE (the fastText serving shape:
+    * hash features into buckets, dot with a weight vector, threshold) —
+    * how a trained quality/language/toxicity filter actually runs over
+    * a 100 TB corpus: as pure map-side arithmetic, no model server, no
+    * shuffle, no per-row UDF.
+    *
+    * Weights here are a pure FUNCTION of the bucket id
+    * (`((b·2654435761) mod 1997) − 998`, an integer in [−998, 998]) —
+    * the operator's point is the inference PLUMBING (portable token
+    * hash → bucket → weight → sum → normalize → threshold), and
+    * function-weights keep every stage exactly replayable by an
+    * oracle; swapping in trained weights means joining a broadcast
+    * (bucket, weight) table or baking them into the same expression.
+    * The score is Σ w(bucket(token)) — exact BIGINT — normalized by
+    * one IEEE division over `n_tokens · 1000` (weights are milli-units)
+    * and thresholded at 0 on the INTEGER sum, so the label never
+    * depends on float rounding.
+    *
+    * Scale: one codegen'd pass (native [[TextFunctions.portableTokenHashes]]
+    * + array HOF fold), embarrassingly parallel.
+    */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    val hs = TextFunctions.portableTokenHashes(col(textCol))
+    val w = (h: org.apache.spark.sql.Column) =>
+      (h % buckets) * 2654435761L % 1997L - 998L
+    docs.select(col(idCol),
+        size(hs).cast("long").as("n_tokens"),
+        aggregate(hs, lit(0L), (acc, h) => acc + w(h)).as("score_int"))
+      .select(col(idCol), col("n_tokens"), col("score_int"),
+        when(col("n_tokens") > 0,
+          round(col("score_int").cast("double") /
+            (col("n_tokens") * 1000L).cast("double"), 6)).as("score"),
+        (col("score_int") > 0L).as("label"))
+  }
 }

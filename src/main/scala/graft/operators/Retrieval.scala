@@ -125,4 +125,45 @@ object Retrieval {
       .orderBy(col("rrf_score").desc, col("id").asc).limit(k)
       .withColumn("fused_rank", row_number().over(w))
   }
+
+  /** PMI collocation mining (Church & Hanks 1990): bigrams whose joint
+    * frequency beats the independence assumption,
+    * `pmi = ln(c_xy · N_u² / (N_b · c_x · c_y))` — the collocation
+    * detector behind tokenizer-merge candidates, multi-word-expression
+    * vocabularies and corpus drift reports.
+    *
+    * Determinism: every count is an exact BIGINT; the PMI argument is ONE
+    * IEEE division of two exact integer products, then one `ln` — both
+    * bit-identical across engines (the q110/q121 ln discipline), rounded
+    * to 6 dp at the end only.
+    *
+    * Scale shape: two partial-agg shuffles (unigram-keyed, bigram-keyed —
+    * both vocabulary-sized after map-side combine, never corpus-sized);
+    * the `minCount` band prunes the bigram tail BEFORE the unigram
+    * joins, so the join probes carry only the survivors. Corpus totals
+    * collapse to two driver scalars. Overflow contract: exact while
+    * `c_xy · N_u² < 2⁶³` — beyond ~10¹⁸ total tokens, shift the products
+    * into log space (`ln c_xy + 2 ln N_u − …`) at a last-ulp cost.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val base = Parallelism.ensureCompute(docs)
+    val uni = base.select(explode(split(col(textCol), " ")).as("t"))
+    val uniCounts = uni.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val bi = base.select(explode(
+      graft.functions.TextFunctions.wordNGrams(col(textCol), 2)).as("bg"))
+    val biCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+    val Array(totals) = uni.agg(count(lit(1))).crossJoin(bi.agg(count(lit(1)))).collect()
+    val (nU, nB) = (totals.getLong(0), totals.getLong(1))
+    biCounts
+      .withColumn("term_a", split(col("bg"), " ").getItem(0))
+      .withColumn("term_b", split(col("bg"), " ").getItem(1))
+      .join(uniCounts.select(col("t").as("term_a"), col("c").as("c_a")), Seq("term_a"))
+      .join(uniCounts.select(col("t").as("term_b"), col("c").as("c_b")), Seq("term_b"))
+      .select(col("term_a"), col("term_b"), col("c_xy"),
+        round(log((col("c_xy") * lit(nU) * lit(nU)).cast("double") /
+          (lit(nB) * col("c_a") * col("c_b")).cast("double")), 6).as("pmi"))
+  }
 }

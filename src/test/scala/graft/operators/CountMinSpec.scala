@@ -46,9 +46,8 @@ class CountMinSpec extends SparkSuite {
   test("counters are additive: union-then-reaggregate == build of the union") {
     val a = skewed.where(col("key") < 25)
     val b = skewed.where(col("key") >= 25)
-    val merged = CountMin.build(a, "key", 3, 64)
-      .unionByName(CountMin.build(b, "key", 3, 64))
-      .groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
+    val merged = CountMin.merge(
+      CountMin.build(a, "key", 3, 64), CountMin.build(b, "key", 3, 64))
     val direct = CountMin.build(skewed, "key", 3, 64)
     assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
       "merged shard sketches must equal the one-pass sketch")

@@ -127,4 +127,34 @@ class DataSelectionSpec extends SparkSuite {
     // tau=1: share_s = n_s/N, rate = share*B/n_s = B/N = 6/12 for BOTH
     assert(out.forall(_._4 == 0.5), s"got ${out.toSeq}")
   }
+
+  test("hashedLinearScore: exact integer scoring, label thresholds the int sum") {
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val out = DataSelection.hashedLinearScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // identical text -> identical score; inference is deterministic
+    assert(out(1L) == out(2L))
+    // weights are integers in [-998, 998]: |score_int| <= 998 * n_tokens
+    out.values.foreach { case (n, s, _, _) => assert(math.abs(s) <= 998 * n) }
+    // the normalized score is score_int / (n_tokens * 1000), rounded 6dp
+    val (n1, s1, sc1, l1) = out(1L)
+    assert(n1 == 2L)
+    assert(math.abs(sc1 - s1.toDouble / (n1 * 1000)) < 5e-7)
+    assert(l1 == (s1 > 0), "label must threshold the integer sum")
+  }
+
+  test("hashedLinearScore: single-token docs score w(bucket)/1000 exactly") {
+    // the weight function is ((h%64)*2654435761 % 1997) - 998 on the
+    // portable token hash — replay it here as the executable spec
+    val docs = Seq((1L, "alpha"), (2L, "zebra")).toDF("doc_id", "text")
+    val out = DataSelection.hashedLinearScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def polyHash(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % 281474976710656L)
+    def w(t: String): Long = polyHash(t) % 64 * 2654435761L % 1997L - 998L
+    assert(out(1L) == w("alpha"), s"got ${out(1L)}, want ${w("alpha")}")
+    assert(out(2L) == w("zebra"))
+  }
 }

@@ -87,4 +87,23 @@ class RetrievalSpec extends SparkSuite {
     // rank 1 of each list ties at 1/61; id 1 wins the tie over id 101
     assert(out.orderBy($"fused_rank").first().getLong(0) == 1L)
   }
+
+  test("pmiCollocations: exact counts, attraction positive, band prunes") {
+    // "new york" always together (attraction); "a"/"b" co-occur at chance
+    val docs = Seq.fill(8)("new york a b") ++ Seq.fill(8)("a new york b")
+    val out = Retrieval.pmiCollocations(docs.toDF("text"), "text", minCount = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val (cNy, pmiNy) = out(("new", "york"))
+    assert(cNy == 16L, "every doc holds one 'new york'")
+    // c=16, N_u=64, c_new=c_york=16: pmi = ln(16*64²/(48*16*16)) = ln(16/3)
+    assert(math.abs(pmiNy - math.log(16.0 / 3)) < 1e-5, s"got $pmiNy")
+    assert(pmiNy > 0, "collocation must attract")
+    // minCount band: "york a" appears 8 times -> present at band 8,
+    // pruned at band 9
+    assert(out.contains(("york", "a")))
+    val banded = Retrieval.pmiCollocations(docs.toDF("text"), "text", minCount = 9)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(banded == Set(("new", "york")), s"got $banded")
+  }
 }
