@@ -2941,16 +2941,19 @@ object Queries {
     val d = t(spark, dir, "documents")
     val cand = d.where(col("doc_id") < 150)
       .select(col("doc_id").as("cand_id"), col("text").as("cand_text"))
-    val ref = d.select((col("doc_id") - 1).as("cand_id"),
-      col("doc_id").as("ref_id"), col("text").as("ref_text"))
+    val ref = d.where(col("doc_id") <= 150)
+      .select((col("doc_id") - 1).as("cand_id"),
+        col("doc_id").as("ref_id"), col("text").as("ref_text"))
     cand.join(ref, Seq("cand_id"))
+      // bind the n-gram arrays to real columns: clippedOverlap's lambdas
+      // re-evaluate referenced expression trees per iteration
       .select(col("cand_id"), col("ref_id"),
-        size(TextFunctions.wordNGrams(col("cand_text"), 2)).cast("long")
-          .as("cand_bigrams"),
-        size(TextFunctions.wordNGrams(col("ref_text"), 2)).cast("long")
-          .as("ref_bigrams"),
-        TextFunctions.ngramOverlapClipped(col("cand_text"), col("ref_text"), 2)
-          .as("overlap"))
+        TextFunctions.wordNGrams(col("cand_text"), 2).as("cg"),
+        TextFunctions.wordNGrams(col("ref_text"), 2).as("rg"))
+      .select(col("cand_id"), col("ref_id"),
+        size(col("cg")).cast("long").as("cand_bigrams"),
+        size(col("rg")).cast("long").as("ref_bigrams"),
+        TextFunctions.clippedOverlap(col("cg"), col("rg")).as("overlap"))
       .withColumn("rouge2_recall",
         when(col("ref_bigrams") > 0,
           round(col("overlap").cast("double") / col("ref_bigrams").cast("double"), 6)))

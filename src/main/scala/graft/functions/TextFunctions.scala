@@ -276,12 +276,19 @@ object TextFunctions {
     * sentence/paragraph texts this measures. Exact integer result, so an
     * oracle replays it with the same list operations.
     */
-  def ngramOverlapClipped(cand: Column, ref: Column, n: Int): Column = {
-    val cg = wordNGrams(cand, n)
-    val rg = wordNGrams(ref, n)
+  def ngramOverlapClipped(cand: Column, ref: Column, n: Int): Column =
+    clippedOverlap(wordNGrams(cand, n), wordNGrams(ref, n))
+
+  /** Clipped overlap over n-gram ARRAY columns. Performance contract:
+    * lambda bodies re-evaluate whatever expression tree they reference,
+    * so pass REAL (pre-projected) array columns here — an inlined
+    * `wordNGrams(...)` would be rebuilt once per distinct ref gram
+    * (measured ~5x on q139's bench slice); a bound column materializes
+    * once per row.
+    */
+  def clippedOverlap(cg: Column, rg: Column): Column =
     aggregate(array_distinct(rg), lit(0L), (acc, g) =>
       acc + least(
         size(filter(cg, x => x === g)).cast("long"),
         size(filter(rg, x => x === g)).cast("long")))
-  }
 }
