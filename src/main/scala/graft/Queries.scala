@@ -3024,4 +3024,36 @@ object Queries {
         depth = 4, width = 64)
       .select(col("key").as("user_id"), col("est"))
   }
+
+  // ---------------------------------------------------------------- Q144
+  /** Two-sample Kolmogorov–Smirnov drift statistic
+    * ([[graft.operators.Drift.ksStatistic]]): purchase values vs click
+    * values from the events stream — the binless "did the distribution
+    * move" gate. The sup runs on the INTEGER cross-scaled ECDF gap
+    * (`|cumA·n_b − cumB·n_a|`), so ks_num is exact; one final division.
+    * The oracle replays the ECDFs with a plain ordered window — the
+    * operator's range-partitioned prefix sum must agree exactly.
+    */
+  def q144KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tp(spark, dir, "events")
+    Drift.ksStatistic(
+      ev.where(col("event_type") === "purchase"),
+      ev.where(col("event_type") === "click"),
+      "value")
+  }
+
+  // ---------------------------------------------------------------- Q145
+  /** Per-bin population stability index
+    * ([[graft.operators.Drift.psiBins]]): signup vs error event values
+    * in width-25 bins — the drift score that localizes WHERE the
+    * distribution moved. Exact integer counts; each term a fixed chain
+    * of IEEE ops the oracle replays verbatim.
+    */
+  def q145PsiBins(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tp(spark, dir, "events")
+    Drift.psiBins(
+      ev.where(col("event_type") === "signup"),
+      ev.where(col("event_type") === "error"),
+      "value", binWidth = 25.0)
+  }
 }

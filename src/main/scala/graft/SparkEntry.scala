@@ -180,6 +180,8 @@ object SparkEntry {
     "q141_pmi_collocations" -> (Queries.q141PmiCollocations _),
     "q142_hashed_classifier" -> (Queries.q142HashedClassifier _),
     "q143_incremental_cms" -> (Queries.q143IncrementalCountMin _),
+    "q144_ks_drift" -> (Queries.q144KsDrift _),
+    "q145_psi_bins" -> (Queries.q145PsiBins _),
   )
 
   private val mergeOracle: String = {
@@ -866,6 +868,38 @@ object SparkEntry {
         |  FROM probes, ds)
         |SELECT key AS user_id, min(coalesce(cnt, 0)) AS est
         |FROM pe LEFT JOIN cms USING (d, bucket) GROUP BY 1""".stripMargin,
+    // ECDFs as one ordered window over per-distinct-value counts; the sup
+    // on the integer cross-scaled gap, one final rounded division
+    "q144_ks_drift" ->
+      """WITH x AS (
+        |  SELECT value AS v,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+        |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |g AS (SELECT v, CAST(sum(ia) AS BIGINT) AS ca, CAST(sum(ib) AS BIGINT) AS cb
+        |      FROM x GROUP BY 1),
+        |c AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+        |             sum(cb) OVER (ORDER BY v) AS cumb
+        |      FROM g),
+        |t AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a, CAST(sum(ib) AS BIGINT) AS n_b FROM x)
+        |SELECT n_a, n_b,
+        |       CAST(max(abs(cuma * n_b - cumb * n_a)) AS BIGINT) AS ks_num,
+        |       round(CAST(max(abs(cuma * n_b - cumb * n_a)) AS DOUBLE)
+        |             / CAST(n_a * n_b AS DOUBLE), 6) AS ks
+        |FROM c, t GROUP BY n_a, n_b""".stripMargin,
+    // exact bin counts; each psi term the same fixed chain of IEEE ops
+    "q145_psi_bins" ->
+      """WITH a AS (
+        |  SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS c_a
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS c_b
+        |  FROM events WHERE event_type = 'error' GROUP BY 1),
+        |t AS (SELECT (SELECT sum(c_a) FROM a) AS n_a, (SELECT sum(c_b) FROM b) AS n_b)
+        |SELECT bin, c_a, c_b,
+        |       round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+        |             * ln(CAST(c_a * n_b AS DOUBLE) / CAST(c_b * n_a AS DOUBLE)), 6) AS psi_term
+        |FROM a JOIN b USING (bin), t""".stripMargin,
     // the SAME portable pipeline, candidates restricted to pairs touching
     // the odd-id batch — the incremental pass may differ from from-scratch
     // ONLY by dropping store-internal pairs

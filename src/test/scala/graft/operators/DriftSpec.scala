@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Distribution-drift monitors: exact KS statistic and per-bin PSI. */
+class DriftSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("ksStatistic: identical samples -> 0, disjoint samples -> 1") {
+    val a = (1 to 50).map(_.toDouble).toDF("v")
+    val same = Drift.ksStatistic(a, a, "v").head()
+    assert(same.getLong(2) == 0L && same.getDouble(3) == 0.0)
+    val b = (101 to 150).map(_.toDouble).toDF("v")
+    val far = Drift.ksStatistic(a, b, "v").head()
+    assert(far.getDouble(3) == 1.0, s"disjoint supports must reach 1: $far")
+    assert(far.getLong(2) == 50L * 50L)
+  }
+
+  test("ksStatistic matches the brute-force sup over a known case") {
+    // a = {1,2,3,4}, b = {3,4,5,6}: sup|F_a - F_b| at v=2: |2/4 - 0/4| = 0.5
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    val r = Drift.ksStatistic(a, b, "v").head()
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 4L)))
+    assert(r.getLong(2) == 8L, s"sup |cumA*nb - cumB*na| = |2*4-0*4|: $r")
+    assert(r.getDouble(3) == 0.5)
+  }
+
+  test("ksStatistic: duplicate values collapse into one ECDF step") {
+    // ties must not double-count: a has 3x the value 2
+    val a = Seq(1.0, 2.0, 2.0, 2.0).toDF("v")
+    val b = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val r = Drift.ksStatistic(a, b, "v").head()
+    // at v=2: F_a = 4/4, F_b = 2/4 -> gap 8; at v=1: |1*4-1*4| = 0
+    assert(r.getLong(2) == 8L && r.getDouble(3) == 0.5, s"got $r")
+  }
+
+  test("psiBins: identical distributions -> zero terms; shift localizes") {
+    val a = (Seq.fill(60)(10.0) ++ Seq.fill(40)(35.0)).toDF("v")
+    val sameTerms = Drift.psiBins(a, a, "v", binWidth = 25.0)
+      .select($"psi_term").as[Double].collect()
+    assert(sameTerms.length == 2 && sameTerms.forall(_ == 0.0))
+    // b shifts mass from bin 0 to bin 1: both terms nonzero, term sign
+    // follows the direction of the shift
+    val b = (Seq.fill(40)(10.0) ++ Seq.fill(60)(35.0)).toDF("v")
+    val terms = Drift.psiBins(a, b, "v", binWidth = 25.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(terms(0L) > 0 && terms(1L) > 0,
+      s"PSI terms are (p-q)ln(p/q) >= 0 for two-sided shifts: $terms")
+    // hand value: (0.6-0.4)*ln(0.6/0.4) rounded to 6
+    assert(math.abs(terms(0L) - 0.2 * math.log(1.5)) < 1e-6, s"got ${terms(0L)}")
+  }
+
+  test("ksStatistic guards: empty side and oversize contract") {
+    val a = Seq(1.0).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Drift.ksStatistic(a, spark.emptyDataFrame.selectExpr("CAST(1.0 AS DOUBLE) AS v").where(lit(false)), "v")
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
+}
