@@ -56,7 +56,8 @@ object Bench {
     // replay — PLANS.md "Round-5 q61 re-measure").
     val heavy = Set("q61_curation_funnel", "q78_canonical_pick",
       "q63_zorder_scan", "q100_pretraining_pipeline",
-      "q30b_cosine_near_dup_exact", "q106_incremental_minhash")
+      "q30b_cosine_near_dup_exact", "q106_incremental_minhash",
+      "q144_ks_drift")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
