@@ -3056,4 +3056,19 @@ object Queries {
       ev.where(col("event_type") === "error"),
       "value", binWidth = 25.0)
   }
+
+  // ---------------------------------------------------------------- Q146
+  /** KMV / theta-sketch join-cardinality probe
+    * ([[graft.operators.Scale.kmvOverlapEstimate]]): union and
+    * intersection estimates for customer keys vs ordering-customer keys
+    * from two O(k) mergeable sketches — the "how selective is this join"
+    * planning readout. θ, ρ and both estimates derive from portable md5
+    * arithmetic, so the oracle replays them digit-for-digit; exact
+    * counts ride along as the accuracy readout.
+    */
+  def q146KmvOverlap(spark: SparkSession, dir: String): DataFrame =
+    Scale.kmvOverlapEstimate(
+      t(spark, dir, "customer"), "c_custkey",
+      t(spark, dir, "orders").where(col("o_orderkey") % 17 === 0),
+      "o_custkey", k = 64)
 }

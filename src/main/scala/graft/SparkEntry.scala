@@ -182,6 +182,7 @@ object SparkEntry {
     "q143_incremental_cms" -> (Queries.q143IncrementalCountMin _),
     "q144_ks_drift" -> (Queries.q144KsDrift _),
     "q145_psi_bins" -> (Queries.q145PsiBins _),
+    "q146_kmv_overlap" -> (Queries.q146KmvOverlap _),
   )
 
   private val mergeOracle: String = {
@@ -900,6 +901,36 @@ object SparkEntry {
         |       round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
         |             * ln(CAST(c_a * n_b AS DOUBLE) / CAST(c_b * n_a AS DOUBLE)), 6) AS psi_term
         |FROM a JOIN b USING (bin), t""".stripMargin,
+    // theta, rho and both estimates replayed from the same md5 ordering
+    // and 48-bit hex fold; 63.0*2^48/theta and rho*est/64 written in the
+    // same operation order as the Scala side
+    "q146_kmv_overlap" ->
+      """WITH da AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v FROM customer),
+        |db AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders
+        |      WHERE o_orderkey % 17 = 0),
+        |ha AS (SELECT md5(v) AS h FROM da),
+        |hb AS (SELECT md5(v) AS h FROM db),
+        |du AS (SELECT DISTINCT h FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)),
+        |uk AS (SELECT h, rk FROM (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rk FROM du) WHERE rk <= 64),
+        |theta AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(string_split(substr(h, 1, 12), ''), c ->
+        |              CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |            (a, x) -> a * 16 + x) AS theta48
+        |          FROM uk WHERE rk = 64),
+        |rho AS (SELECT count(*) AS rho FROM uk
+        |        WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)),
+        |ex AS (SELECT
+        |        (SELECT count(*) FROM du) AS exact_union,
+        |        (SELECT count(*) FROM ha WHERE h IN (SELECT h FROM hb)) AS exact_intersection)
+        |SELECT CAST(64 AS INTEGER) AS k, CAST(rho AS BIGINT) AS rho, theta48,
+        |       round(CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(theta48 AS DOUBLE), 4) AS est_union,
+        |       round(CAST(rho AS DOUBLE)
+        |             * (CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(theta48 AS DOUBLE)) / 64, 4)
+        |         AS est_intersection,
+        |       CAST(exact_union AS BIGINT) AS exact_union,
+        |       CAST(exact_intersection AS BIGINT) AS exact_intersection
+        |FROM theta, rho, ex""".stripMargin,
     // the SAME portable pipeline, candidates restricted to pairs touching
     // the odd-id batch — the incremental pass may differ from from-scratch
     // ONLY by dropping store-internal pairs

@@ -122,4 +122,66 @@ object Scale {
       case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
       case _ => false
     }
+
+  /** KMV (k-minimum-values / theta-sketch) UNION and INTERSECTION
+    * cardinality estimates for two key sets (Beyer et al. 2007; the
+    * Apache DataSketches theta formulation) — the "should this join side
+    * broadcast, and how selective is the join" planning probe: each side
+    * reduces to an O(k) mergeable sketch ([[graft.plans.SketchAggregates
+    * .bottom_k]], one partial-agg pass, no shuffle of the key column),
+    * and BOTH estimates fall out of the merged sketch:
+    *
+    *   θ        = k-th smallest md5 of the union, as a unit fraction
+    *   est(∪)  = (k−1)/θ
+    *   ρ        = fraction of the union sketch present in both sides
+    *   est(∩)  = ρ · est(∪)
+    *
+    * Requires the UNION to hold at least k distinct keys (below that the
+    * sets are small enough to count exactly — this throws rather than
+    * silently degrade). Everything downstream of the two aggregates runs
+    * on 1-row frames (bounded); md5 arithmetic is portable, so an oracle
+    * replays θ, ρ and both estimates digit-for-digit. Exact counts ride
+    * along for the accuracy readout (±1/√k relative error at 95%).
+    */
+  def kmvOverlapEstimate(a: DataFrame, aKey: String, b: DataFrame,
+      bKey: String, k: Int): DataFrame = {
+    require(k >= 16, s"k must be >= 16 for a usable estimate, got $k")
+    import graft.plans.SketchAggregates.bottom_k
+    def sketch(df: DataFrame, key: String, out: String): DataFrame =
+      Parallelism.ensureCompute(df)
+        .select(col(key).cast("string").as("v"))
+        .agg(bottom_k(col("v"), k).as("vals"))
+        .select(transform(col("vals"), v => md5(v)).as(out))
+    val hA = sketch(a, aKey, "ha")
+    val hB = sketch(b, bKey, "hb")
+    val exacts = a.select(col(aKey).cast("string").as("v"))
+      .withColumn("ia", lit(1)).unionByName(
+        b.select(col(bKey).cast("string").as("v")).withColumn("ia", lit(0)))
+      .groupBy(col("v")).agg(max(col("ia")).as("maxIa"), min(col("ia")).as("minIa"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("maxIa") === 1 && col("minIa") === 0, 1L).otherwise(0L))
+          .as("exact_intersection"))
+    // 48-bit hex prefix -> integer, the portable q13e-style fold
+    def hex48(h: Column): Column =
+      aggregate(filter(split(substring(h, 1, 12), ""), c => c =!= ""),
+        lit(0L), (acc, c) => acc * 16L + (instr(lit("0123456789abcdef"), c) - 1L))
+    val union = slice(array_sort(array_distinct(concat(col("ha"), col("hb")))), 1, k)
+    hA.crossJoin(hB).crossJoin(exacts)
+      .select(lit(k).as("k"),
+        when(size(union) >= k, union).otherwise(raise_error(lit(
+          s"kmvOverlapEstimate: union holds fewer than k=$k distinct keys — " +
+            "count exactly instead"))).as("uk"),
+        col("ha"), col("hb"), col("exact_union"), col("exact_intersection"))
+      .withColumn("rho", size(filter(col("uk"), h =>
+        array_contains(col("ha"), h) && array_contains(col("hb"), h))).cast("long"))
+      .withColumn("theta48", hex48(element_at(col("uk"), k)))
+      .withColumn("est_union",
+        round(lit((k - 1).toDouble) * 281474976710656.0 /
+          col("theta48").cast("double"), 4))
+      .withColumn("est_intersection",
+        round(col("rho").cast("double") * (lit((k - 1).toDouble) * 281474976710656.0 /
+          col("theta48").cast("double")) / k, 4))
+      .select(col("k"), col("rho"), col("theta48"), col("est_union"),
+        col("est_intersection"), col("exact_union"), col("exact_intersection"))
+  }
 }

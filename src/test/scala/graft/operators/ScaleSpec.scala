@@ -96,4 +96,31 @@ class ScaleSpec extends SparkSuite {
         s"only the final groupBy may exchange:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("kmvOverlapEstimate: identical, disjoint and subset sets behave") {
+    import spark.implicits._
+    val a = (1 to 500).map(_.toLong).toDF("k")
+    val same = Scale.kmvOverlapEstimate(a, "k", a, "k", k = 64).head()
+    // identical sets: every union-sketch hash is in both sides
+    assert(same.getLong(1) == 64L, s"rho must be k: $same")
+    assert(same.getDouble(3) == same.getDouble(4), "est_union == est_intersection")
+    assert((same.getLong(5), same.getLong(6)) == ((500L, 500L)))
+    // estimate within 4/sqrt(k) = 50% of truth (generous, deterministic)
+    assert(math.abs(same.getDouble(3) - 500.0) < 250.0, s"est: $same")
+    val b = (1001 to 1500).map(_.toLong).toDF("k")
+    val disj = Scale.kmvOverlapEstimate(a, "k", b, "k", k = 64).head()
+    assert(disj.getLong(1) == 0L && disj.getDouble(4) == 0.0,
+      s"disjoint sets: rho and est_intersection must be 0: $disj")
+    assert(disj.getLong(5) == 1000L && disj.getLong(6) == 0L)
+  }
+
+  test("kmvOverlapEstimate refuses a union smaller than k") {
+    import spark.implicits._
+    val tiny = (1 to 20).map(_.toLong).toDF("k")
+    val e = intercept[Exception] {
+      Scale.kmvOverlapEstimate(tiny, "k", tiny, "k", k = 64).head()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("fewer than k"),
+      s"got: ${e.getMessage}")
+  }
 }
