@@ -49,4 +49,15 @@ class BloomJoinSpec extends SparkSuite {
     assert(bits.length == (1 << 10) / 64)
     assert(bits.exists(_ != 0L), "some word must be set")
   }
+
+  test("plan shape: the bloom probe adds ZERO shuffle to the large side") {
+    val bits = BloomJoin.buildBits(small, "k", numBits = 1 << 12, numHashes = 4)
+    val probed = large.where(BloomJoin.probe(bits, 1 << 12, 4)(col("k")))
+    val exchanges = probed.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.isEmpty,
+      s"probe must be map-only — candidates shrink BEFORE any exchange:\n" +
+        probed.queryExecution.executedPlan)
+  }
 }

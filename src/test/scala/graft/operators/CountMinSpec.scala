@@ -57,4 +57,58 @@ class CountMinSpec extends SparkSuite {
     val sk = CountMin.build(skewed, "key", depth = 4, width = 16)
     assert(sk.count() <= 4L * 16)
   }
+
+  test("plan shapes: build shuffles once (partial-agg), probe broadcasts the sketch") {
+    val sk = CountMin.build(skewed, "key", depth = 4, width = 16)
+    // string form: AQE's AdaptiveSparkPlan hides children from collect()
+    val buildPlan = sk.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(buildPlan).size == 1,
+      s"build must be ONE (d,bucket)-keyed shuffle:\n$buildPlan")
+    assert(buildPlan.contains("partial_count"),
+      s"map-side combine must run before the exchange:\n$buildPlan")
+    val probes = spark.range(50).selectExpr("id AS key")
+    val est = CountMin.estimate(sk, probes, "key", depth = 4, width = 16)
+    val probePlan = est.queryExecution.executedPlan.toString
+    assert(probePlan.contains("BroadcastHashJoin") || probePlan.contains("BroadcastExchange"),
+      s"the sketch side must broadcast:\n$probePlan")
+  }
+
+  test("streaming maintenance: foreachBatch-merged sketch equals the batch build") {
+    // the q143 additivity contract driven through an actual stream: each
+    // micro-batch's delta sketch merges into the store, history never
+    // rescanned; the final store must equal a from-scratch build
+    val in = java.nio.file.Files.createTempDirectory("cms-stream").toString
+    val store = java.nio.file.Files.createTempDirectory("cms-store").toString + "/sk"
+    spark.range(0, 400).selectExpr("id % 37 AS key")
+      .coalesce(1).write.parquet(s"$in/f1")
+    spark.range(400, 1000).selectExpr("id % 23 AS key")
+      .coalesce(1).write.parquet(s"$in/f2")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/f1").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$in/*")
+    val q = stream.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      val delta = CountMin.build(batch, "key", depth = 3, width = 16)
+      val merged =
+        if (new java.io.File(store).exists)
+          CountMin.merge(delta.sparkSession.read.parquet(store), delta)
+        else delta
+      // bounded materialization (<= depth*width rows) so the overwrite
+      // never reads what it is replacing
+      val rows = merged.collect().toSeq
+      val ss = delta.sparkSession
+      ss.createDataFrame(ss.sparkContext.parallelize(rows, 1), merged.schema)
+        .write.mode("overwrite").parquet(store)
+      ()
+    }.option("checkpointLocation",
+      java.nio.file.Files.createTempDirectory("cms-ck").toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(store)
+    val direct = CountMin.build(
+      spark.range(0, 400).selectExpr("id % 37 AS key").unionByName(
+        spark.range(400, 1000).selectExpr("id % 23 AS key")),
+      "key", depth = 3, width = 16)
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty,
+      "stream-maintained sketch must equal the one-pass batch build")
+  }
 }
