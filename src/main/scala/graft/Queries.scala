@@ -3071,4 +3071,19 @@ object Queries {
       t(spark, dir, "customer"), "c_custkey",
       t(spark, dir, "orders").where(col("o_orderkey") % 17 === 0),
       "o_custkey", k = 64)
+
+  // ---------------------------------------------------------------- Q147
+  /** Filter-agreement audit ([[graft.operators.Metrics.agreement]]):
+    * Cohen's kappa between the hashed linear classifier's label (q142)
+    * and a length-based heuristic gate over the same documents — the
+    * readout run before swapping one corpus filter for another (raw
+    * agreement overstates concordance under skewed base rates; kappa
+    * corrects by chance agreement). Exact confusion counts; p_o / p_e /
+    * kappa as fixed IEEE chains the oracle replays.
+    */
+  def q147FilterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val scored = DataSelection.hashedLinearScore(
+      tp(spark, dir, "documents"), "doc_id", "text", buckets = 64)
+    Metrics.agreement(scored, col("label"), col("n_tokens") >= 60)
+  }
 }

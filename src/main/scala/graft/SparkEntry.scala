@@ -183,6 +183,7 @@ object SparkEntry {
     "q144_ks_drift" -> (Queries.q144KsDrift _),
     "q145_psi_bins" -> (Queries.q145PsiBins _),
     "q146_kmv_overlap" -> (Queries.q146KmvOverlap _),
+    "q147_filter_agreement" -> (Queries.q147FilterAgreement _),
   )
 
   private val mergeOracle: String = {
@@ -931,6 +932,37 @@ object SparkEntry {
         |       CAST(exact_union AS BIGINT) AS exact_union,
         |       CAST(exact_intersection AS BIGINT) AS exact_intersection
         |FROM theta, rho, ex""".stripMargin,
+    // q142's label CTEs reused; confusion counts exact, p_o/p_e/kappa the
+    // same unrounded IEEE chains, rounded 6 dp only at the end
+    "q147_filter_agreement" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         list_transform(string_split(text, ' '), t ->
+        |           list_reduce(
+        |             list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |             (a, x) -> (a * 131 + x) % 281474976710656)) AS hs
+        |  FROM documents),
+        |s AS (SELECT n_tokens,
+        |        CAST(coalesce(list_sum(list_transform(hs, hv ->
+        |          ((hv % 64) * 2654435761) % 1997 - 998)), 0) AS BIGINT) AS score_int
+        |      FROM h),
+        |l AS (SELECT (score_int > 0) AS la, (n_tokens >= 60) AS lb FROM s),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN NOT la AND NOT lb THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        |        CAST(sum(CASE WHEN NOT la AND lb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |        CAST(sum(CASE WHEN la AND NOT lb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |        CAST(sum(CASE WHEN la AND lb THEN 1 ELSE 0 END) AS BIGINT) AS n11
+        |      FROM l),
+        |p AS (SELECT n, n00, n01, n10, n11,
+        |        CAST(n00 + n11 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |        CAST((n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11) AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+        |      FROM c)
+        |SELECT n, n00, n01, n10, n11,
+        |       round(po, 6) AS p_o, round(pe, 6) AS p_e,
+        |       CASE WHEN pe < 1.0 THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
+        |FROM p""".stripMargin,
     // the SAME portable pipeline, candidates restricted to pairs touching
     // the odd-id batch — the incremental pass may differ from from-scratch
     // ONLY by dropping store-internal pairs

@@ -27,4 +27,36 @@ object Metrics {
     val obs = Observation(name)
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
+
+  /** Inter-rater AGREEMENT between two boolean labelers over the same
+    * rows (Cohen 1960): the full confusion matrix plus observed
+    * agreement p_o, chance agreement p_e, and kappa
+    * `(p_o − p_e)/(1 − p_e)`. The audit run before swapping one quality
+    * / language / toxicity filter for another at corpus scale — raw
+    * agreement overstates concordance when the label base rates are
+    * skewed, which is exactly what kappa corrects.
+    *
+    * One partial-agg pass (count + four conditional sums, map-side
+    * combined), 1-row output. Counts are exact BIGINT; p_o, p_e and
+    * kappa are fixed chains of IEEE ops on them (p_e's numerator stays
+    * in integer products), rounded 6 dp at the end — engine-portable.
+    * Degenerate p_e = 1 (both raters constant and equal) yields NULL
+    * kappa via the same CASE on both engines.
+    */
+  import org.apache.spark.sql.functions._
+  def agreement(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val base = df.select(a.cast("boolean").as("la"), b.cast("boolean").as("lb"))
+    def cell(x: Boolean, y: Boolean): Column =
+      sum(when(col("la") === x && col("lb") === y, 1L).otherwise(0L))
+    val agg = base.agg(count(lit(1)).as("n"),
+      cell(false, false).as("n00"), cell(false, true).as("n01"),
+      cell(true, false).as("n10"), cell(true, true).as("n11"))
+    val n = col("n").cast("double")
+    val po = (col("n00") + col("n11")).cast("double") / n
+    val pe = ((col("n00") + col("n01")) * (col("n00") + col("n10")) +
+      (col("n10") + col("n11")) * (col("n01") + col("n11"))).cast("double") / (n * n)
+    agg.select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
+      round(po, 6).as("p_o"), round(pe, 6).as("p_e"),
+      when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
 }

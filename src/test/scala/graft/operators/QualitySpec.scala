@@ -58,4 +58,25 @@ class QualitySpec extends SparkSuite {
     assert(m("rows") == 5L, s"got $m")
     assert(m("n_positive") == 2L, s"got $m")
   }
+
+  test("Metrics.agreement: perfect raters kappa=1, skewed-base-rate kappa ~0") {
+    def lab(pairs: Seq[(Boolean, Boolean)]) = pairs.toDF("a", "b")
+    val perfect = Metrics.agreement(
+      lab(Seq((true, true), (false, false), (true, true), (false, false))),
+      $"a", $"b").head()
+    assert(perfect.getDouble(7) == 1.0, s"got $perfect")
+    // raw agreement 84% but labels near-independent: kappa must collapse
+    // toward 0 (the base-rate illusion kappa exists to correct). 50 rows:
+    // both raters 90% true, agree on 42 of 50 -> po=0.84, pe=0.82,
+    // kappa=(0.84-0.82)/0.18 ~ 0.11
+    val skew = (1 to 50).map { i => (i <= 45, i <= 41 || i > 46) }
+    val k = Metrics.agreement(lab(skew), $"a", $"b").head()
+    assert(math.abs(k.getDouble(7)) < 0.15,
+      s"raw p_o=${k.getDouble(5)} but kappa must be near 0: $k")
+    assert(k.getDouble(5) > 0.8, "raw agreement IS high — that's the trap")
+    // degenerate: both raters constant-true -> pe=1 -> NULL kappa
+    val const = Metrics.agreement(
+      lab(Seq((true, true), (true, true))), $"a", $"b").head()
+    assert(const.isNullAt(7), s"got $const")
+  }
 }
