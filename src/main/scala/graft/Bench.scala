@@ -53,12 +53,31 @@ object Bench {
     // The heaviest queries take min-of-3 (everything else min-of-2): a
     // single host-contention spike on one of them dominates the round
     // total (round-4's q61 recorded 38.7 s official vs 2.9-4.1 s in every
-    // replay — PLANS.md "Round-5 q61 re-measure").
+    // replay — PLANS.md "Round-5 q61 re-measure"). Membership = every
+    // query that topped BENCH_r05's driver run (the set that swung 4-12x
+    // between same-commit runs) plus the round-4 originals; extra
+    // attempts cost wall-clock only, never inflate the min-based metric.
     val heavy = Set("q61_curation_funnel", "q78_canonical_pick",
       "q63_zorder_scan", "q100_pretraining_pipeline",
       "q30b_cosine_near_dup_exact", "q106_incremental_minhash",
-      "q144_ks_drift")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      "q144_ks_drift",
+      "q122_dsir_weights", "q58_pack_bins", "q126_fuzzy_match",
+      "q71d_ivf_incremental", "q123_duplicated_spans", "q127_strip_spans",
+      "q120_repetition_signals", "q121_unigram_cross_entropy",
+      "q73_set_ops_all", "q133_lsh_eval")
+    // Local-iteration aids (the driver sets neither): SPARK_GRAFT_ONLY
+    // filters to a comma-separated query subset; SPARK_GRAFT_ATTEMPTS
+    // forces a fixed attempt count for every query (e.g. 3 for the sf1
+    // scale-trend run, where min-of-3 everywhere beats the heavy-set
+    // heuristic).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val forcedAttempts = sys.env.get("SPARK_GRAFT_ATTEMPTS").map(_.toInt)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
         try {
@@ -69,7 +88,8 @@ object Bench {
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
         }
       }
-      val attempts = Seq.fill(if (heavy(name)) 3 else 2)(once())
+      val attempts =
+        Seq.fill(forcedAttempts.getOrElse(if (heavy(name)) 3 else 2))(once())
       val ok = attempts.collect { case Right(t) => t }
       val bad = attempts.collect { case Left(m) => m }
       if (ok.nonEmpty) {

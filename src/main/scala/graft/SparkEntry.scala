@@ -767,8 +767,8 @@ object SparkEntry {
         |SELECT event_id, user_id, ts, value, n_window
         |FROM w
         |WHERE n_window >= 5
-        |  AND (v * n_window - s1) * (v * n_window - s1)
-        |      > 9 * (n_window * s2 - s1 * s1)""".stripMargin,
+        |  AND (v * n_window - s1) * (v * n_window - s1) * (n_window - 1)
+        |      > 9 * n_window * (n_window * s2 - s1 * s1)""".stripMargin,
     // clipped-count overlap replayed with the same list algebra; the two
     // ratios are single IEEE divisions of exact integers
     "q139_rouge_overlap" ->
@@ -877,7 +877,8 @@ object SparkEntry {
         |  SELECT value AS v,
         |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
         |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib
-        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |    AND value IS NOT NULL),
         |g AS (SELECT v, CAST(sum(ia) AS BIGINT) AS ca, CAST(sum(ib) AS BIGINT) AS cb
         |      FROM x GROUP BY 1),
         |c AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma,
@@ -947,7 +948,8 @@ object SparkEntry {
         |        CAST(coalesce(list_sum(list_transform(hs, hv ->
         |          ((hv % 64) * 2654435761) % 1997 - 998)), 0) AS BIGINT) AS score_int
         |      FROM h),
-        |l AS (SELECT (score_int > 0) AS la, (n_tokens >= 60) AS lb FROM s),
+        |l AS (SELECT (score_int > 0) AS la, (n_tokens >= 60) AS lb FROM s
+        |      WHERE (score_int > 0) IS NOT NULL AND (n_tokens >= 60) IS NOT NULL),
         |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |        CAST(sum(CASE WHEN NOT la AND NOT lb THEN 1 ELSE 0 END) AS BIGINT) AS n00,
         |        CAST(sum(CASE WHEN NOT la AND lb THEN 1 ELSE 0 END) AS BIGINT) AS n01,

@@ -24,9 +24,13 @@ import org.apache.spark.sql.functions._
   * Scale shape: the bitset aggregates DISTRIBUTED (explode positions →
   * partial-agg `bit_or` per 64-bit word) and only the finished words —
   * ≤ numBits/64 longs, bounded BY CONSTRUCTION regardless of key count —
-  * are collected and re-broadcast as one array literal; the probe is then
-  * a map-only codegen'd predicate (xxhash64 + shift/mask), zero extra
-  * shuffle on the large side before the filter.
+  * are collected and re-shipped to the executors; the probe is then a
+  * map-only codegen'd predicate (xxhash64 + shift/mask), zero extra
+  * shuffle on the large side before the filter. Transport matches size:
+  * small bitsets ride the plan as a literal, large ones go out once per
+  * executor as a real broadcast variable behind a native expression
+  * ([[graft.plans.BroadcastBitTest]]) — a 32 MB filter never serializes
+  * per-task.
   */
 object BloomJoin {
 
@@ -55,11 +59,18 @@ object BloomJoin {
     bits
   }
 
-  /** Membership probe as a pure codegen'd predicate over the broadcast
-    * bitset literal: true iff every hash position's bit is set.
+  /** Membership probe as a pure codegen'd predicate over a bitset
+    * LITERAL: true iff every hash position's bit is set. Literal-only
+    * regime — the array rides the plan and is serialized with every
+    * task, so this variant caps at 2²² bits (512 KB); above that use
+    * [[probeBroadcast]], which ships the bitset once per executor as a
+    * real Spark broadcast variable.
     */
   def probe(bits: Array[Long], numBits: Int, numHashes: Int)
       (key: Column): Column = {
+    require(numBits <= (1 << 22),
+      s"literal probe caps at 2^22 bits (512 KB plan payload); " +
+        s"got $numBits — use probeBroadcast for large bitsets")
     val arr = typedLit(bits.toSeq)
     (0 until numHashes).map { i =>
       val pos = pmod(xxhash64(key, lit(i)), lit(numBits.toLong))
@@ -69,17 +80,39 @@ object BloomJoin {
     }.reduce(_ && _)
   }
 
+  /** Membership probe over a REAL broadcast variable
+    * ([[graft.plans.BloomExpressions.bitTest]] — a native codegen'd
+    * expression closing over the broadcast handle): the bitset ships to
+    * each executor once, never with the plan. The variant for the upper
+    * end of the permitted sizes (2²⁸ bits = 32 MB holds ~2·10⁷ keys at
+    * 1% fp), where a literal would bloat every serialized task.
+    */
+  def probeBroadcast(spark: org.apache.spark.sql.SparkSession,
+      bits: Array[Long], numBits: Int, numHashes: Int)
+      (key: Column): Column = {
+    val bc = spark.sparkContext.broadcast(bits)
+    (0 until numHashes).map { i =>
+      val pos = pmod(xxhash64(key, lit(i)), lit(numBits.toLong))
+      graft.plans.BloomExpressions.bitTest(pos, bc)
+    }.reduce(_ && _)
+  }
+
   /** `large SEMI JOIN small` with the bloom reduction in front: exact
     * result (bloom admits every true match; the final semi-join removes
-    * the false positives).
+    * the false positives). The probe picks its transport by size:
+    * literal for small bitsets (plan-local, zero setup), broadcast
+    * variable above 2²² bits.
     */
   def bloomSemiJoin(large: DataFrame, largeKey: String,
       small: DataFrame, smallKey: String,
       numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
     val bits = buildBits(small.select(col(smallKey)).distinct(), smallKey,
       numBits, numHashes)
+    val pred =
+      if (numBits <= (1 << 22)) probe(bits, numBits, numHashes)(col(largeKey))
+      else probeBroadcast(large.sparkSession, bits, numBits, numHashes)(col(largeKey))
     large
-      .where(probe(bits, numBits, numHashes)(col(largeKey)))
+      .where(pred)
       .join(small.select(col(smallKey).as(largeKey)).distinct(),
         Seq(largeKey), "left_semi")
   }

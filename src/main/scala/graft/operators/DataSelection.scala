@@ -72,11 +72,16 @@ object DataSelection {
     * Sampling source docs proportional to `exp(log w)` reshapes the
     * corpus toward the target domain (Xie et al. 2023 §3).
     *
-    * Scale shape: both distributions are `nBuckets` longs — partial-agg
-    * counts into driver scalars, re-emitted as a BROADCAST literal
-    * table; scoring is per-doc bucket counts (one partial-agg keyed by
-    * (doc, bucket), fan-in `nBuckets`) plus a broadcast hash join. The
-    * corpus is never shuffled by anything wider than its own doc key.
+    * Scale shape: the corpus is TOKENIZED ONCE — the token stream
+    * collapses immediately into the per-(doc, bucket) count table
+    * (≤ nBuckets rows per doc, orders of magnitude smaller than the
+    * text), which persists (MEMORY_AND_DISK) and feeds BOTH the global
+    * bucket distribution (one tiny second agg over it, `nBuckets` longs
+    * to the driver, re-emitted as a BROADCAST literal table) and the
+    * scoring join. The corpus is never shuffled by anything wider than
+    * its own doc key; the cached doc-bucket table is released to the
+    * session's LRU once the caller's action completes (its lineage can
+    * rebuild it, at one extra tokenize, if evicted).
     *
     * Portability: bucket ids are integer math; each `(c+1)/(N+B)` is
     * one exact double division, ln is pinned, the per-doc sum runs
@@ -96,9 +101,14 @@ object DataSelection {
         explode(TextFunctions.portableTokenHashes(col("__text"))).as("h"))
       .select(col("doc_id"), col("__is_target"),
         (col("h") % nBuckets).cast("int").as("b"))
-    val counts = base.groupBy(col("b"))
-      .agg(count(lit(1)).as("n_src"),
-        sum(when(col("__is_target"), 1L).otherwise(0L)).as("n_tgt"))
+    // ONE tokenize pass: (doc, bucket) counts; __is_target rides the key
+    // (per-doc constant, so cardinality is unchanged)
+    val docBucket = base.groupBy(col("doc_id"), col("__is_target"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = docBucket.groupBy(col("b"))
+      .agg(sum(col("c")).as("n_src"),
+        sum(when(col("__is_target"), col("c")).otherwise(0L)).as("n_tgt"))
       .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val nSrc = counts.valuesIterator.map(_._1).sum.toDouble
     val nTgt = counts.valuesIterator.map(_._2).sum.toDouble
@@ -110,7 +120,7 @@ object DataSelection {
       val lnS = math.log((cs + 1.0) / (nSrc + nBuckets))
       (b, lnT - lnS)
     }.toDF("b", "ln_ratio")
-    base.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    docBucket
       .join(broadcast(ratios), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"),

@@ -42,8 +42,13 @@ object Drift {
     */
   def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     val spark = a.sparkSession
-    val tagged = a.select(col(valueCol).as("v"), lit(1L).as("ia"), lit(0L).as("ib"))
-      .unionByName(b.select(col(valueCol).as("v"), lit(0L).as("ia"), lit(1L).as("ib")))
+    // NULLs carry no distribution mass and their sort position differs
+    // across engines (Spark NULLS FIRST vs DuckDB NULLS LAST) — an ECDF
+    // must be over actual values only, so both inputs filter them out
+    val tagged = a.where(col(valueCol).isNotNull)
+      .select(col(valueCol).as("v"), lit(1L).as("ia"), lit(0L).as("ib"))
+      .unionByName(b.where(col(valueCol).isNotNull)
+        .select(col(valueCol).as("v"), lit(0L).as("ia"), lit(1L).as("ib")))
     val perV = Parallelism.ensureCompute(tagged)
       .groupBy(col("v"))
       .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fuzzy entity matching — find record pairs that refer to the same
@@ -38,11 +37,17 @@ object EntityResolution {
     val candidates = blockers.zipWithIndex.map { case (blocker, i) =>
       val keyed = base.select(col("id"), col("s"),
         blocker(col("s")).as("bk"))
-      // cap: count-only window per key, oversized blocks dropped whole
-      // (documented recall tradeoff; same contract as LSH bucket caps)
-      val capped = keyed.withColumn("bs",
-          count(lit(1)).over(Window.partitionBy(col("bk"))))
+      // cap: oversized blocks dropped whole (documented recall tradeoff;
+      // same contract as LSH bucket caps). The block sizes come from a
+      // COUNTS-ONLY partial agg — (bk, count) rows, map-side combined —
+      // and gate via a semi-join, so full rows shuffle on bk exactly
+      // once, for the self-join itself (a count-per-key WINDOW would
+      // shuffle + sort the full rows a second time for nothing but the
+      // gate; EntityResolutionSpec pins the window-free plan).
+      val okKeys = keyed.groupBy(col("bk")).agg(count(lit(1)).as("bs"))
         .where(col("bs") <= maxBlockSize)
+        .select(col("bk"))
+      val capped = keyed.join(okKeys, Seq("bk"), "left_semi")
       capped.as("a").join(capped.as("b"),
           col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

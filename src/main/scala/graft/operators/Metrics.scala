@@ -41,11 +41,14 @@ object Metrics {
     * kappa are fixed chains of IEEE ops on them (p_e's numerator stays
     * in integer products), rounded 6 dp at the end — engine-portable.
     * Degenerate p_e = 1 (both raters constant and equal) yields NULL
-    * kappa via the same CASE on both engines.
+    * kappa via the same CASE on both engines. Rows where EITHER labeler
+    * abstained (null) are excluded up front — they land in no confusion
+    * cell, so counting them in n would silently deflate p_o and p_e.
     */
   import org.apache.spark.sql.functions._
   def agreement(df: DataFrame, a: Column, b: Column): DataFrame = {
     val base = df.select(a.cast("boolean").as("la"), b.cast("boolean").as("lb"))
+      .where(col("la").isNotNull && col("lb").isNotNull)
     def cell(x: Boolean, y: Boolean): Column =
       sum(when(col("la") === x && col("lb") === y, 1L).otherwise(0L))
     val agg = base.agg(count(lit(1)).as("n"),

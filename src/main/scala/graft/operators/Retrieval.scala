@@ -54,11 +54,14 @@ object Retrieval {
     * form — never negative).
     *
     * Scale shape: corpus statistics collapse to |terms|+2 driver scalars
-    * (N, avgdl, one df per query term — partial-agg counts, never
-    * lists); scoring is then a MAP-ONLY pass (per-term tf via codegen'd
-    * array HOFs, idf folded in as literals) and the top-k plans as
-    * TakeOrderedAndProject — per-partition heaps of k rows, no global
-    * sort at any corpus size.
+    * in ONE partial-agg pass (N, avgdl and every query term's df ride a
+    * single aggregation — df_t as `sum(contains(ws, t))`, the query
+    * terms being a driver-known handful); scoring is then a MAP-ONLY
+    * second pass (per-term tf via codegen'd array HOFs, idf folded in
+    * as literals) and the top-k plans as TakeOrderedAndProject —
+    * per-partition heaps of k rows, no global sort at any corpus size.
+    * Two corpus scans total, the information-theoretic floor for a
+    * corpus-normalized score.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int,
@@ -68,13 +71,14 @@ object Retrieval {
     val base = Parallelism.ensureCompute(docs)
       .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
       .withColumn("dl", size(col("ws")).cast("double"))
-    val Array(nRow) = base.agg(count(lit(1)), avg(col("dl"))).collect()
+    val distinctTerms = queryTerms.distinct
+    val statAggs = Seq(count(lit(1)), avg(col("dl"))) ++
+      distinctTerms.map(t =>
+        sum(when(array_contains(col("ws"), t), 1L).otherwise(0L)))
+    val Array(nRow) = base.agg(statAggs.head, statAggs.tail: _*).collect()
     val (n, avgdl) = (nRow.getLong(0).toDouble, nRow.getDouble(1))
-    val dfs: Map[String, Long] = base
-      .select(explode(array_distinct(col("ws"))).as("t"))
-      .where(col("t").isin(queryTerms: _*))
-      .groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfs: Map[String, Long] = distinctTerms.zipWithIndex
+      .map { case (t, i) => t -> nRow.getLong(i + 2) }.toMap
     // fixed term order on both engines: the floating adds run in the
     // same sequence, so scores are bit-identical to the oracle's
     val score = queryTerms.sorted.map { t =>
@@ -137,11 +141,15 @@ object Retrieval {
     * bit-identical across engines (the q110/q121 ln discipline), rounded
     * to 6 dp at the end only.
     *
-    * Scale shape: two partial-agg shuffles (unigram-keyed, bigram-keyed —
-    * both vocabulary-sized after map-side combine, never corpus-sized);
-    * the `minCount` band prunes the bigram tail BEFORE the unigram
-    * joins, so the join probes carry only the survivors. Corpus totals
-    * collapse to two driver scalars. Overflow contract: exact while
+    * Scale shape: two corpus scans exactly — one unigram-keyed and one
+    * bigram-keyed partial-agg shuffle (both vocabulary-sized after
+    * map-side combine, never corpus-sized); the corpus TOTALS derive
+    * from those grouped tables (`N_u = Σ c`, `N_b = Σ c_xy` over the
+    * un-banded bigram counts), not from extra corpus passes — the
+    * grouped tables persist (vocab-sized, MEMORY_AND_DISK) and one
+    * driver action reads both sums. The `minCount` band prunes the
+    * bigram tail AFTER the total but BEFORE the unigram joins, so the
+    * join probes carry only the survivors. Overflow contract: exact while
     * `c_xy · N_u² < 2⁶³` — beyond ~10¹⁸ total tokens, shift the products
     * into log space (`ln c_xy + 2 ln N_u − …`) at a last-ulp cost.
     */
@@ -151,12 +159,15 @@ object Retrieval {
     val base = Parallelism.ensureCompute(docs)
     val uni = base.select(explode(split(col(textCol), " ")).as("t"))
     val uniCounts = uni.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bi = base.select(explode(
       graft.functions.TextFunctions.wordNGrams(col(textCol), 2)).as("bg"))
-    val biCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_xy"))
-      .where(col("c_xy") >= minCount)
-    val Array(totals) = uni.agg(count(lit(1))).crossJoin(bi.agg(count(lit(1)))).collect()
+    val biAll = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_xy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val Array(totals) = uniCounts.agg(coalesce(sum(col("c")), lit(0L)))
+      .crossJoin(biAll.agg(coalesce(sum(col("c_xy")), lit(0L)))).collect()
     val (nU, nB) = (totals.getLong(0), totals.getLong(1))
+    val biCounts = biAll.where(col("c_xy") >= minCount)
     biCounts
       .withColumn("term_a", split(col("bg"), " ").getItem(0))
       .withColumn("term_b", split(col("bg"), " ").getItem(1))

@@ -291,6 +291,42 @@ object Similarity {
       .select("idA", "idB", "sim")
   }
 
+  /** Nearest-centroid assignment plus the hash SUB-SHARD that bounds the
+    * within-cluster pairwise stage: every row gets its `cluster` (argmax
+    * cosine against the broadcast literal centroids) and a `shard` in
+    * `[0, ceil(|cluster| / maxClusterSize))` from the portable id hash.
+    * Pairwise consumers join on (cluster, shard), so a degenerate
+    * cluster of n rows costs O(n · maxClusterSize) pairs instead of
+    * O(n²) — the same hard ceiling `maxBucketSize` gives the MinHash LSH
+    * buckets and `maxBlockSize` gives entity-resolution blocks. The
+    * recall price is explicit: a same-cluster pair lands in one shard
+    * with probability ~1/nShards once the cap binds (exact-duplicate
+    * mass should be removed by hash dedup upstream, where it is free).
+    *
+    * `base` must carry `id` and `vec`; other columns pass through. Cost
+    * when the cap does not bind: one extra counts-only partial agg and a
+    * broadcast join against a ≤ nClusters-row table; nShards is then 1
+    * everywhere and the output equals the unsharded assignment.
+    */
+  private[graft] def shardedAssignment(
+      base: DataFrame, centroids: Array[Array[Float]],
+      maxClusterSize: Int, shardSeed: Long = 7L): DataFrame = {
+    require(maxClusterSize >= 1,
+      s"maxClusterSize must be >= 1, got $maxClusterSize")
+    val assigned = base.withColumn("cluster",
+      nearestLists(col("vec"), centroids, 1).getItem(0).getField("list"))
+    if (maxClusterSize == Int.MaxValue) assigned.withColumn("shard", lit(0L))
+    else {
+      val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("__csz"))
+      val nShards = greatest(
+        floor((col("__csz") + lit(maxClusterSize.toLong - 1)) /
+          lit(maxClusterSize.toDouble)).cast("long"), lit(1L))
+      assigned.join(broadcast(sizes), Seq("cluster"))
+        .withColumn("shard", pmod(xxhash64(col("id"), lit(shardSeed)), nShards))
+        .drop("__csz")
+    }
+  }
+
   /** SemDeDup-style SEMANTIC deduplication (cluster-then-compare, the
     * shape of Abbas et al. 2023): every vector is assigned to its
     * nearest centroid, pairwise cosine runs ONLY within a cluster, and
@@ -312,11 +348,22 @@ object Similarity {
     * `centroids` — frozen centroids (the deployed path: train once on a
     * sample, reuse per batch; also what makes results replayable); null
     * trains in-line via [[trainCentroids]].
+    *
+    * `maxClusterSize` — hard ceiling on the pairwise cell
+    * ([[shardedAssignment]]): a cluster larger than this is hash
+    * sub-sharded so its pair count is O(n · maxClusterSize), never
+    * O(n²) — the guard against a skewed corpus (or an under-scaled
+    * `nClusters`) turning the stage quadratic. Inside the cap the
+    * semantics are exactly SemDeDup's; beyond it, cross-shard pairs in
+    * the oversized cluster are forfeited (documented recall tradeoff,
+    * SkewSpec-pinned) — dedup exact duplicates by hash upstream and
+    * size `nClusters` so real clusters stay under the cap.
     */
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String, tau: Double,
       nClusters: Int = 16, dim: Int = -1, trainIters: Int = 3,
-      centroids: Array[Array[Float]] = null): DataFrame = {
+      centroids: Array[Array[Float]] = null,
+      maxClusterSize: Int = 1 << 13): DataFrame = {
     require(centroids == null || centroids.nonEmpty, "centroids must be non-empty")
     val c0 = Parallelism.ensureCompute(df)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
@@ -329,15 +376,16 @@ object Similarity {
     val cents =
       if (centroids != null) centroids
       else trainCentroids(df, idCol, vecCol, nClusters, useDim, trainIters)
-    val assigned = c0.withColumn("cluster",
-      nearestLists(col("vec"), cents, 1).getItem(0).getField("list"))
-    val l = assigned.select(col("cluster"), col("id").as("ia"), col("vec").as("va"))
-    val r = assigned.select(col("cluster"), col("id").as("ib"), col("vec").as("vb"))
-    val dups = l.join(r, Seq("cluster"))
+    val sharded = shardedAssignment(c0, cents, maxClusterSize)
+    val l = sharded.select(col("cluster"), col("shard"),
+      col("id").as("ia"), col("vec").as("va"))
+    val r = sharded.select(col("cluster"), col("shard"),
+      col("id").as("ib"), col("vec").as("vb"))
+    val dups = l.join(r, Seq("cluster", "shard"))
       .where(col("ia") < col("ib"))
       .where(round(VectorExpressions.cosine(col("va"), col("vb")), 6) >= tau)
       .select(col("ib").as("id")).distinct()
-    assigned
+    sharded
       .join(dups.withColumn("__dup", lit(true)), Seq("id"), "left_outer")
       .select(col("id"), col("cluster"),
         not(coalesce(col("__dup"), lit(false))).as("keep"))
@@ -359,24 +407,30 @@ object Similarity {
     * more lists when recall matters more than cost. Scores are rounded
     * to 6 dp BEFORE ranking (rank boundaries stable across engines),
     * ties broken by ascending candidate id.
+    *
+    * `maxClusterSize` — the [[shardedAssignment]] pairwise ceiling:
+    * anchors in an oversized cluster mine only their own hash shard
+    * (≥ maxClusterSize candidates each in expectation), so the stage
+    * stays O(n · maxClusterSize) under any skew.
     */
   def hardNegatives(
       df: DataFrame, idCol: String, vecCol: String, labelCol: String,
-      k: Int, centroids: Array[Array[Float]]): DataFrame = {
+      k: Int, centroids: Array[Array[Float]],
+      maxClusterSize: Int = 1 << 13): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(centroids != null && centroids.nonEmpty, "centroids required")
-    val base = Parallelism.ensureCompute(df)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        col(labelCol).as("lbl"))
-      .withColumn("cluster",
-        nearestLists(col("vec"), centroids, 1).getItem(0).getField("list"))
-    val a = base.select(col("cluster"), col("id").as("anchor_id"),
+    val base = shardedAssignment(
+      Parallelism.ensureCompute(df)
+        .select(col(idCol).as("id"), col(vecCol).as("vec"),
+          col(labelCol).as("lbl")),
+      centroids, maxClusterSize)
+    val a = base.select(col("cluster"), col("shard"), col("id").as("anchor_id"),
       col("vec").as("va"), col("lbl").as("la"))
-    val c = base.select(col("cluster"), col("id").as("neg_id"),
+    val c = base.select(col("cluster"), col("shard"), col("id").as("neg_id"),
       col("vec").as("vc"), col("lbl").as("lc"))
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(col("sim").desc, col("neg_id").asc)
-    a.join(c, Seq("cluster"))
+    a.join(c, Seq("cluster", "shard"))
       .where(col("la") =!= col("lc"))
       .withColumn("sim",
         round(VectorExpressions.cosine(col("va"), col("vc")), 6))

@@ -91,18 +91,21 @@ object TimeSeries {
     * masks itself) exceeds `z` sample standard deviations. The classic
     * telemetry / fraud / sensor-spike monitor.
     *
-    * The test `|v − mean| > z·stddev` is evaluated in EXACT integer
-    * arithmetic on `intCol` (the caller scales values to integers, e.g.
-    * cents): with n = window count, s1 = Σv, s2 = Σv²,
+    * The test `|v − mean| > z·stddev` (SAMPLE stddev, Bessel n−1
+    * divisor — the estimator a z-gate over a finite window calls for)
+    * is evaluated in EXACT integer arithmetic on `intCol` (the caller
+    * scales values to integers, e.g. cents): with n = window count,
+    * s1 = Σv, s2 = Σv², the inequality
+    * `(v − s1/n)² > z² · (n·s2 − s1²)/(n(n−1))` clears denominators to
     *
-    *   (v·n − s1)² > z² · (n·s2 − s1²)
+    *   (v·n − s1)² · (n−1) > z² · n · (n·s2 − s1²)
     *
     * — both sides BIGINT, no mean/variance division, no sqrt, no float:
     * the flag is bit-identical across engines and partitionings (the
     * q135 divisionless-margin discipline applied to rolling stats).
-    * Overflow contract: sound while lookback · max|v|² < 2⁶³ / max(z², n)
-    * — e.g. cents ≤ 10⁶, lookback ≤ 10³, z ≤ 10 keeps every term under
-    * 10¹⁷.
+    * Overflow contract: sound while max(4, z²) · lookback³ · max|v|²
+    * < 2⁶³ — e.g. cents ≤ 10⁵, lookback ≤ 10², z ≤ 10 keeps both sides
+    * under 10¹⁸.
     *
     * Scale shape: one partition-by-key window with a ROWS frame — Spark's
     * WindowExec streams it with O(lookback) state per key, one shuffle on
@@ -134,7 +137,8 @@ object TimeSeries {
       .withColumn("__s1", sum(v).over(w))
       .withColumn("__s2", sum(v * v).over(w))
       .withColumn("is_anomaly",
-        n >= minN && dev * dev > lit(z.toLong * z) * (n * s2 - s1 * s1))
+        n >= minN &&
+          dev * dev * (n - lit(1L)) > lit(z.toLong * z) * n * (n * s2 - s1 * s1))
       .drop("__v", "__s1", "__s2")
   }
 }

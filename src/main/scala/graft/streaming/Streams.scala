@@ -144,6 +144,26 @@ object Streams {
       right.withWatermark(rightTs, watermark),
       leftKey, rightKey, leftTs, rightTs, maxDelay, joinType = "left_outer")
 
+  /** Stream-stream FULL OUTER interval join: matches emit as they pair
+    * up; an unmatched row on EITHER side emits with a NULL other side
+    * once the watermark has passed its join window — the symmetric
+    * completion of [[streamingIntervalJoinLeftOuter]]. The
+    * reconciliation shape (orders vs payments, impressions vs clicks
+    * where both orphan kinds matter downstream); state retention on both
+    * sides stays bounded by watermark + interval exactly as in the inner
+    * variant — the null-side flush is a state-expiry read, not extra
+    * state.
+    */
+  def streamingIntervalJoinFullOuter(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      maxDelay: String, watermark: String): DataFrame =
+    intervalJoin(
+      left.withWatermark(leftTs, watermark),
+      right.withWatermark(rightTs, watermark),
+      leftKey, rightKey, leftTs, rightTs, maxDelay, joinType = "full_outer")
+
   /** Stream-static enrichment: join each micro-batch against a (slowly
     * changing) dimension table with an explicit broadcast. The static side
     * is re-resolved every micro-batch (Spark re-plans it), so a dim

@@ -50,6 +50,31 @@ class BloomJoinSpec extends SparkSuite {
     assert(bits.exists(_ != 0L), "some word must be set")
   }
 
+  test("probeBroadcast equals the literal probe decision-for-decision") {
+    val bits = BloomJoin.buildBits(small, "k", numBits = 1 << 12, numHashes = 4)
+    val lit = large.where(BloomJoin.probe(bits, 1 << 12, 4)(col("k")))
+      .select($"k").as[Long].collect().toSet
+    val bc = large.where(
+        BloomJoin.probeBroadcast(spark, bits, 1 << 12, 4)(col("k")))
+      .select($"k").as[Long].collect().toSet
+    assert(lit == bc, "broadcast transport changed probe decisions")
+  }
+
+  test("bloomSemiJoin stays exact on the broadcast-variable transport (> 2^22 bits)") {
+    val viaBloom = BloomJoin.bloomSemiJoin(large, "k", small, "k",
+      numBits = 1 << 23, numHashes = 5)
+    val plain = large.join(small, Seq("k"), "left_semi")
+    assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty)
+    assert(viaBloom.count() == 100)
+  }
+
+  test("the literal probe refuses plan-bloating bitsets") {
+    val bits = new Array[Long]((1 << 23) / 64)
+    intercept[IllegalArgumentException] {
+      BloomJoin.probe(bits, 1 << 23, 4)(col("k"))
+    }
+  }
+
   test("plan shape: the bloom probe adds ZERO shuffle to the large side") {
     val bits = BloomJoin.buildBits(small, "k", numBits = 1 << 12, numHashes = 4)
     val probed = large.where(BloomJoin.probe(bits, 1 << 12, 4)(col("k")))

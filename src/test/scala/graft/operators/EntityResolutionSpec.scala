@@ -46,6 +46,19 @@ class EntityResolutionSpec extends SparkSuite {
     assert(got.toSeq == Seq((1L, 2L, 0L)), s"got ${got.toSeq}")
   }
 
+  test("plan shape: the block-size cap is a partial-agg gate, never a window sort") {
+    // the gate must come from a counts-only aggregation + semi-join — a
+    // count-per-key window would shuffle AND sort the full candidate rows
+    // a second time just to read a size
+    val recs = (1L to 50L).map(i => (i, s"name_$i")).toDF("id", "name")
+    val plan = EntityResolution.fuzzyPairs(recs, "id", "name",
+      prefix4, maxDist = 1).queryExecution.executedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"cap regressed to a window:\n$plan")
+  }
+
   test("fuzzyPairs: oversized blocks are dropped whole (degenerate-key guard)") {
     // 20 rows share one degenerate key; cap 10 drops the block entirely
     val recs = (1L to 20L).map(i => (i, "same")).toDF("id", "name")

@@ -112,6 +112,96 @@ class SkewSpec extends SparkSuite {
       "skewed ties must resolve deterministically")
   }
 
+  test("semantic dedup: a 90%-degenerate cluster is sub-sharded, never quadratic") {
+    // 90% of vectors fall to ONE frozen centroid (the under-scaled-
+    // nClusters / skewed-corpus case): uncapped, the within-cluster
+    // pairwise join is (0.9N choose 2)-quadratic; maxClusterSize hash
+    // sub-shards the cluster so the candidate mass stays O(n · cap).
+    val dim = 8
+    val cents = Array(
+      Array.tabulate(dim)(j => if (j == 0) 1.0f else 0.0f),
+      Array.tabulate(dim)(j => if (j == 1) 1.0f else 0.0f))
+    val nHot = N * 9 / 10
+    val corpus = (0 until N).map { i =>
+      val v =
+        if (i < nHot) // near centroid 0, each perturbed distinctly
+          Array.tabulate(dim)(j =>
+            if (j == 0) 1.0f else (math.sin(i * 13 + j) * 0.05).toFloat)
+        else Array.tabulate(dim)(j =>
+          if (j == 1) 1.0f else (math.cos(i * 17 + j) * 0.05).toFloat)
+      (i.toLong, v)
+    }.toDF("id", "vec")
+    val cap = 30
+    val sharded = Similarity.shardedAssignment(corpus, cents, maxClusterSize = cap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sharded.count()
+    // candidate-pair ceiling: sum over (cluster, shard) cells of
+    // sz*(sz-1)/2 must be near n·cap, nowhere near the 16110-pair
+    // quadratic mass of the unsharded hot cluster
+    val cellPairs = sharded.groupBy($"cluster", $"shard")
+      .agg(count(lit(1)).as("sz"))
+      .agg(sum($"sz" * ($"sz" - 1) / 2).cast("long")).as[Long].head()
+    val quadratic = nHot.toLong * (nHot - 1) / 2
+    assert(cellPairs <= 2L * N * cap,
+      s"sub-sharded candidate mass must stay O(n*cap): $cellPairs")
+    assert(cellPairs < quadratic / 4,
+      s"ceiling not meaningfully below quadratic: $cellPairs vs $quadratic")
+    // hash sharding keeps expected shard sizes at the cap (slack 2x)
+    val maxCell = sharded.groupBy($"cluster", $"shard")
+      .agg(count(lit(1)).as("sz")).agg(max($"sz")).as[Long].head()
+    assert(maxCell <= 2L * cap, s"a shard cell far exceeds the cap: $maxCell")
+    sharded.unpersist()
+    // soundness: capping only FORFEITS pairs — every capped drop is also
+    // an uncapped drop (no new false drops), and the uncapped run on the
+    // same corpus equals the maxClusterSize=MaxValue fast path
+    val capped = Similarity.semanticDedup(corpus, "id", "vec",
+      tau = 0.995, centroids = cents, maxClusterSize = cap)
+    val uncapped = Similarity.semanticDedup(corpus, "id", "vec",
+      tau = 0.995, centroids = cents, maxClusterSize = Int.MaxValue)
+    val droppedCapped = capped.where(!$"keep").select($"id").as[Long].collect().toSet
+    val droppedUncapped = uncapped.where(!$"keep").select($"id").as[Long].collect().toSet
+    assert(droppedCapped.subsetOf(droppedUncapped),
+      s"cap introduced false drops: ${droppedCapped -- droppedUncapped}")
+    assert(capped.count() == N, "every input row must be judged")
+    // the cap must not bind when clusters are small: same corpus, cap
+    // above the largest cluster -> bit-identical to the MaxValue path
+    val slack = Similarity.semanticDedup(corpus, "id", "vec",
+      tau = 0.995, centroids = cents, maxClusterSize = N + 1)
+    assert(slack.orderBy($"id").collect().toSeq ==
+      uncapped.orderBy($"id").collect().toSeq,
+      "non-binding cap changed the result")
+  }
+
+  test("hard negatives under the same skew: per-anchor candidates stay shard-bounded") {
+    val dim = 8
+    val cents = Array(
+      Array.tabulate(dim)(j => if (j == 0) 1.0f else 0.0f),
+      Array.tabulate(dim)(j => if (j == 1) 1.0f else 0.0f))
+    val nHot = N * 9 / 10
+    val corpus = (0 until N).map { i =>
+      val v =
+        if (i < nHot)
+          Array.tabulate(dim)(j =>
+            if (j == 0) 1.0f else (math.sin(i * 13 + j) * 0.05).toFloat)
+        else Array.tabulate(dim)(j =>
+          if (j == 1) 1.0f else (math.cos(i * 17 + j) * 0.05).toFloat)
+      (i.toLong, v, s"label_${i % 3}")
+    }.toDF("id", "vec", "lbl")
+    val out = Similarity.hardNegatives(corpus, "id", "vec", "lbl",
+      k = 5, centroids = cents, maxClusterSize = 30)
+    val perAnchor = out.groupBy($"anchor_id").count().as[(Long, Long)].collect()
+    assert(perAnchor.forall(_._2 <= 5), "per-anchor output must stay within k")
+    assert(perAnchor.nonEmpty, "skewed corpus must still mine negatives")
+    // capped output is a subset of the uncapped candidate relation:
+    // every mined pair is a genuine different-label cluster-mate
+    val pairs = out.select($"anchor_id", $"neg_id").as[(Long, Long)].collect()
+    val lbl = (0 until N).map(i => i.toLong -> s"label_${i % 3}").toMap
+    val clusterOf = (i: Long) => if (i < nHot) 0 else 1
+    assert(pairs.forall { case (a, n) =>
+      lbl(a) != lbl(n) && clusterOf(a) == clusterOf(n)
+    }, "mined pair violates the different-label same-cluster contract")
+  }
+
   test("inverted index under a stopword-heavy corpus: band caps the widest posting row") {
     // 'the' lands in EVERY doc (corpus-sized posting list if
     // materialized); the df band must exclude it BEFORE any list builds,

@@ -342,6 +342,61 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER interval join: both sides' unmatched flush on watermark") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val views = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 1L),
+      ("b", ts("2024-01-01 10:05:00"), 2L)   // never clicked
+    ).toDF("v_user", "v_ts", "v_id")
+    val clicks = Seq(
+      ("a", ts("2024-01-01 10:03:00"), 11L),
+      ("c", ts("2024-01-01 10:06:00"), 12L)  // click with no view
+    ).toDF("c_user", "c_ts", "c_id")
+    val vDir = tmpDir("fo-views")
+    val cDir = tmpDir("fo-clicks")
+    views.write.mode("overwrite").parquet(vDir)
+    clicks.write.mode("overwrite").parquet(cDir)
+    val vStream = spark.readStream.schema(views.schema).parquet(vDir)
+    val cStream = spark.readStream.schema(clicks.schema).parquet(cDir)
+    val joined = Streams.streamingIntervalJoinFullOuter(
+      vStream, cStream, "v_user", "c_user", "v_ts", "c_ts",
+      maxDelay = "10 minutes", watermark = "5 minutes")
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName("fojoin_out").start()
+    try {
+      q.processAllAvailable()
+      // unmatched rows emit only once the watermark PROVES no partner is
+      // coming — late sentinels advance it, then the expiry batch runs
+      Seq(("zz", ts("2024-01-01 23:00:00"), 9L)).toDF("v_user", "v_ts", "v_id")
+        .write.mode("append").parquet(vDir)
+      Seq(("zz", ts("2024-01-01 23:00:00"), 99L)).toDF("c_user", "c_ts", "c_id")
+        .write.mode("append").parquet(cDir)
+      q.processAllAvailable()
+      val out = spark.table("fojoin_out")
+        .where(coalesce($"v_user", lit("")) =!= "zz" &&
+          coalesce($"c_user", lit("")) =!= "zz")
+      val matched = out.where($"c_id".isNotNull && $"v_id".isNotNull)
+        .select($"v_user", $"c_id").as[(String, Long)].collect().toSet
+      assert(matched == Set(("a", 11L)), s"got $matched")
+      val leftOnly = out.where($"c_id".isNull)
+        .select($"v_user").as[String].collect().toSeq
+      assert(leftOnly == Seq("b"),
+        s"unmatched view must emit with a NULL right side, got $leftOnly")
+      val rightOnly = out.where($"v_id".isNull)
+        .select($"c_user").as[String].collect().toSeq
+      assert(rightOnly == Seq("c"),
+        s"unmatched click must emit with a NULL left side, got $rightOnly")
+      // stream result == the batch full-outer interval join on the same
+      // (sentinel-free) inputs
+      val batch = Streams.intervalJoin(views, clicks,
+        "v_user", "c_user", "v_ts", "c_ts", "10 minutes", "full_outer")
+      assert(out.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(out).count() == 0,
+        "stream full-outer must equal the batch full-outer")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment equals the batch join, keeps unmatched facts") {
     val events = Tables.load(spark, sf, "events")
       .select($"event_id", $"user_id", $"event_type")
