@@ -3086,4 +3086,155 @@ object Queries {
       tp(spark, dir, "documents"), "doc_id", "text", buckets = 64)
     Metrics.agreement(scored, col("label"), col("n_tokens") >= 60)
   }
+
+  // ---------------------------------------------------------------- Q148
+  /** SEMANTIC decontamination ([[graft.operators.Decontaminate
+    * .semanticContaminationHits]]): the corpus is screened against a
+    * "benchmark" embedding set (vec_id < 20 stands in for the eval
+    * suite) by exact cosine — the leak n-gram matching (q65/q104) can't
+    * see. Broadcast bench side, one corpus scan, argmax via two
+    * portable partial aggs. Returns every contaminated vector with its
+    * nearest benchmark id and the similarity.
+    */
+  def q148SemanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Decontaminate.semanticContaminationHits(
+        emb.where(col("vec_id") >= 20), "vec_id", "embedding",
+        emb.where(col("vec_id") < 20), "vec_id", "embedding",
+        tau = 0.30)
+      .select(col("id").as("vec_id"), col("bench_id"), col("sim"))
+  }
+
+  // ---------------------------------------------------------------- Q149
+  /** INCREMENTAL semantic dedup ([[graft.operators.Similarity
+    * .incrementalSemanticDedup]]): even vec_ids are yesterday's kept
+    * store, odd vec_ids arrive as today's batch, centroids are frozen
+    * (vec_id < 16 — the q119 codebook). Only the batch pays assignment;
+    * both pairwise stages key on cluster with the maxClusterSize
+    * ceiling. The full per-batch-row (id, cluster, keep) frame must
+    * match the oracle's replay of both drop rules.
+    */
+  def q149IncrementalSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cents = emb.where(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    Similarity.incrementalSemanticDedup(
+        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        tau = 0.35, centroids = cents)
+      .select(col("id").as("vec_id"), col("cluster"), col("keep"))
+  }
+
+  // ---------------------------------------------------------------- Q150
+  /** VARIANT ingestion (Spark 4's semi-structured type): event rows are
+    * wrapped into one JSON document each, parsed ONCE into a `VARIANT`
+    * column, and typed fields are extracted with `variant_get` path
+    * expressions — the schema-on-read path for logs whose shape drifts
+    * faster than DDL (the modern answer to the reference's
+    * drift-evolution problem, `etl.py:191-277`: drifting fields live
+    * inside the variant, extraction is per-query, nothing ALTERs).
+    * Variant parse/extract is codegen'd and map-only; the aggregation
+    * is one partial-agg shuffle on the extracted type key. The oracle
+    * replays the same paths with DuckDB's JSON operators over the
+    * identical strings.
+    */
+  def q150VariantIngest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tp(spark, dir, "events")
+    val json = concat(
+      lit("{\"meta\":"), col("props"),
+      lit(",\"event\":{\"type\":\""), col("event_type"),
+      lit("\",\"id\":"), col("event_id").cast("string"),
+      lit(",\"user\":"), col("user_id").cast("string"), lit("}}"))
+    ev.select(parse_json(json).as("v"))
+      .select(
+        variant_get(col("v"), "$.event.type", "string").as("event_type"),
+        variant_get(col("v"), "$.meta.k", "long").as("k"),
+        variant_get(col("v"), "$.event.user", "long").as("user_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  // ---------------------------------------------------------------- Q151
+  /** Per-document n-gram novelty ([[graft.operators.DataSelection
+    * .noveltyScores]]): every distinct trigram attributed to its
+    * first-containing doc (min doc_id); a doc's novelty is the fraction
+    * of its trigrams it introduced. One (shingle)-keyed partial-agg
+    * min, one shingle join, one per-doc agg — nothing quadratic, the
+    * marginal-value readout dedup reports can't give. Oracle recomputes
+    * over raw trigram strings (hash injective w.h.p., the q13d
+    * contract); the full per-doc frame must match.
+    */
+  def q151NgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    DataSelection.noveltyScores(tp(spark, dir, "documents"),
+        "doc_id", "text", n = 3)
+      .withColumnRenamed("id", "doc_id")
+
+  // ---------------------------------------------------------------- Q152
+  /** Perceptual image near-dup ([[graft.operators.Multimodal
+    * .dhashNearDupPairs]]): REAL 16x16 PNGs are encoded per doc
+    * (`javax.imageio`), decoded back, 56-bit dHashed (integer
+    * luminance, 8x8 mean pool, horizontal gradient signs), and paired
+    * by Hamming <= 3 through the shared pigeonhole band kernel
+    * ([[graft.operators.SimHashDedup.hammingPairs]]). The generator's
+    * pixel formula is closed-form in doc_id, so the oracle recomputes
+    * every pixel, pool cell, hash bit and pair in SQL — the decode path
+    * (PNG is lossless) must reproduce them bit-for-bit.
+    */
+  def q152ImageDhash(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.attachPngPayload(
+      t(spark, dir, "documents"), "doc_id", lit(16), lit(16))
+    Multimodal.dhashNearDupPairs(media, maxHamming = 3)
+  }
+
+  // ---------------------------------------------------------------- Q153
+  /** Domain-level corpus stats ([[graft.functions.TextFunctions
+    * .registrableDomain]]): synthetic per-doc URLs across a mix of
+    * one- and two-level public suffixes collapse to their eTLD+1
+    * (`www.siteK.co.uk` -> `siteK.co.uk`), excluded domains drop, and
+    * the survivors aggregate doc counts + char mass — the per-site
+    * quota/blocklist pass every crawl pipeline runs. Extraction is
+    * codegen'd `parse_url` + array ops (map-only); the aggregation is
+    * one domain-keyed partial agg. The oracle derives the expected
+    * domain closed-form from the generator, so Spark's parse-based
+    * extraction is checked against intent, not itself.
+    */
+  def q153DomainStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val suffix = element_at(
+      array(lit("com"), lit("co.uk"), lit("github.io"), lit("org"), lit("com.au")),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val url = concat(lit("https://www.site"), (col("doc_id") % 40).cast("string"),
+      lit("."), suffix, lit("/p/"), col("doc_id").cast("string"), lit("?x=1"))
+    docs.select(col("doc_id"), col("n_chars"),
+        TextFunctions.registrableDomain(url).as("domain"))
+      .where(!col("domain").isin("site3.com", "site11.co.uk"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  // ---------------------------------------------------------------- Q154
+  /** Two-stage hybrid retrieval ([[graft.operators.Retrieval.bm25TopK]]
+    * -> [[graft.operators.Retrieval.rerankByCosine]]): BM25 recalls 50
+    * lexical candidates, the dense stage reranks them by exact cosine
+    * against a query embedding (vec_id 0), top 10 survive. The
+    * candidate set broadcasts to the vector table (map-side probe; the
+    * corpus-sized embedding store never shuffles), final top-k is
+    * TakeOrderedAndProject. Complements q136's rank fusion: rerank
+    * REPLACES the lexical order inside the recalled set.
+    */
+  def q154HybridRerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").where(col("doc_id") >= 1)
+    val emb = t(spark, dir, "embeddings")
+    val qVec = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val cands = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "merge", "window"), k = 50)
+    Retrieval.rerankByCosine(cands, "id", "score",
+        emb.where(col("vec_id") >= 1), "vec_id", "embedding", qVec, k = 10)
+      .select(col("id").as("doc_id"), col("score").as("bm25"),
+        col("sim"), col("rank"))
+  }
 }

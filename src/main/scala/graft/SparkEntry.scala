@@ -184,6 +184,13 @@ object SparkEntry {
     "q145_psi_bins" -> (Queries.q145PsiBins _),
     "q146_kmv_overlap" -> (Queries.q146KmvOverlap _),
     "q147_filter_agreement" -> (Queries.q147FilterAgreement _),
+    "q148_semantic_decontaminate" -> (Queries.q148SemanticDecontaminate _),
+    "q149_incremental_semdedup" -> (Queries.q149IncrementalSemdedup _),
+    "q150_variant_ingest" -> (Queries.q150VariantIngest _),
+    "q151_ngram_novelty" -> (Queries.q151NgramNovelty _),
+    "q152_image_dhash" -> (Queries.q152ImageDhash _),
+    "q153_domain_stats" -> (Queries.q153DomainStats _),
+    "q154_hybrid_rerank" -> (Queries.q154HybridRerank _),
   )
 
   private val mergeOracle: String = {
@@ -2674,5 +2681,168 @@ object SparkEntry {
         |       arg_min(doc_id, h) AS head_doc
         |FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
         |GROUP BY 1""".stripMargin,
+    // exact cosine vs the benchmark slice; argmax replayed as two
+    // portable aggs (max sim, then min bench_id at that sim)
+    "q148_semantic_decontaminate" ->
+      """WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+        |b AS (SELECT vec_id AS bench_id, embedding AS b_emb FROM embeddings WHERE vec_id < 20),
+        |hits AS (
+        |  SELECT c.vec_id, b.bench_id,
+        |         round(list_cosine_similarity(c.embedding::DOUBLE[], b.b_emb::DOUBLE[]), 6) AS sim
+        |  FROM c CROSS JOIN b
+        |  WHERE round(list_cosine_similarity(c.embedding::DOUBLE[], b.b_emb::DOUBLE[]), 6) >= 0.30),
+        |best AS (SELECT vec_id, max(sim) AS sim FROM hits GROUP BY 1)
+        |SELECT h.vec_id, min(h.bench_id) AS bench_id, h.sim
+        |FROM hits h JOIN best USING (vec_id, sim)
+        |GROUP BY h.vec_id, h.sim""".stripMargin,
+    // q119's assignment replayed for store and batch; drop rule (a) any
+    // same-cluster store vec >= tau, (b) smaller-id same-cluster batch vec
+    "q149_incremental_semdedup" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16
+        |), batch AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+        |store AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |bscored AS (
+        |  SELECT e.vec_id, c.cid,
+        |         list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        |  FROM batch e CROSS JOIN cents c),
+        |bassigned AS (
+        |  SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+        |    FROM bscored)
+        |  WHERE rn = 1),
+        |sscored AS (
+        |  SELECT e.vec_id, c.cid,
+        |         list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        |  FROM store e CROSS JOIN cents c),
+        |sassigned AS (
+        |  SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+        |    FROM sscored)
+        |  WHERE rn = 1),
+        |dup_store AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM bassigned b JOIN sassigned s ON b.cluster = s.cluster
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |  JOIN embeddings es ON es.vec_id = s.vec_id
+        |  WHERE round(list_cosine_similarity(eb.embedding::DOUBLE[], es.embedding::DOUBLE[]), 6) >= 0.35),
+        |dup_batch AS (
+        |  SELECT DISTINCT b2.vec_id
+        |  FROM bassigned b1 JOIN bassigned b2 ON b1.cluster = b2.cluster AND b1.vec_id < b2.vec_id
+        |  JOIN embeddings e1 ON e1.vec_id = b1.vec_id
+        |  JOIN embeddings e2 ON e2.vec_id = b2.vec_id
+        |  WHERE round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) >= 0.35)
+        |SELECT a.vec_id, a.cluster,
+        |       (d1.vec_id IS NULL AND d2.vec_id IS NULL) AS keep
+        |FROM bassigned a
+        |LEFT JOIN dup_store d1 ON a.vec_id = d1.vec_id
+        |LEFT JOIN dup_batch d2 ON a.vec_id = d2.vec_id""".stripMargin,
+    // same JSON documents, DuckDB's json path operators instead of variant
+    "q150_variant_ingest" ->
+      """WITH j AS (
+        |  SELECT '{"meta":' || props || ',"event":{"type":"' || event_type ||
+        |         '","id":' || event_id || ',"user":' || user_id || '}}' AS js
+        |  FROM events)
+        |SELECT js->>'$.event.type' AS event_type, count(*) AS n,
+        |       CAST(sum(CAST(js->>'$.meta.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(count(DISTINCT CAST(js->>'$.event.user' AS BIGINT)) AS BIGINT) AS n_users
+        |FROM j GROUP BY 1""".stripMargin,
+    // raw trigram strings (hash injective w.h.p., the q13d contract):
+    // first-occurrence = min doc_id per distinct shingle
+    "q151_ngram_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           generate_series(1, greatest(len(ws) - 2, 0)),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |), fs AS (SELECT s, min(doc_id) AS first_id FROM sh GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       round(CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM sh JOIN fs USING (s)
+        |GROUP BY 1""".stripMargin,
+    // the PNG generator's pixel formula replayed end to end: luminance,
+    // 2x2 floor-mean pool, 56-bit dHash, all-pairs hamming verify (the
+    // band join is a lossless candidate generator at this bucket load)
+    "q152_image_dhash" ->
+      """WITH px AS (
+        |  SELECT d.doc_id AS id, xs.x, ys.y,
+        |         CAST((d.doc_id * 131 + xs.x * 31 + ys.y * 17) & 255 AS BIGINT) AS v
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) ys
+        |), lum AS (
+        |  SELECT id, x, y,
+        |         (299 * v + 587 * ((v * 7) & 255) + 114 * ((v * 13) & 255)) // 1000 AS l
+        |  FROM px
+        |), grid AS (
+        |  SELECT id, y // 2 AS gy, x // 2 AS gx,
+        |         CAST(sum(l) AS BIGINT) // 4 AS g
+        |  FROM lum GROUP BY 1, 2, 3
+        |), bits AS (
+        |  SELECT a.id, a.gy AS r, a.gx AS c
+        |  FROM grid a JOIN grid b ON a.id = b.id AND a.gy = b.gy AND b.gx = a.gx + 1
+        |  WHERE a.g < b.g
+        |), hashes AS (
+        |  SELECT d.doc_id AS id,
+        |         coalesce(CAST(sum(1::BIGINT << CAST(r * 7 + c AS INTEGER)) AS BIGINT), 0) AS h
+        |  FROM documents d LEFT JOIN bits ON bits.id = d.doc_id
+        |  GROUP BY 1
+        |)
+        |SELECT a.id AS idA, b.id AS idB,
+        |       CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+        |FROM hashes a JOIN hashes b ON a.id < b.id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
+    // expected eTLD+1 derived closed-form from the URL generator — the
+    // parse_url-based extraction is checked against intent
+    "q153_domain_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         'site' || CAST(doc_id % 40 AS VARCHAR) || '.' ||
+        |         CASE CAST(doc_id % 5 AS INTEGER)
+        |           WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' WHEN 2 THEN 'github.io'
+        |           WHEN 3 THEN 'org' ELSE 'com.au' END AS domain
+        |  FROM documents)
+        |SELECT domain, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d
+        |WHERE domain NOT IN ('site3.com', 'site11.co.uk')
+        |GROUP BY 1""".stripMargin,
+    // q110's BM25 replay at k=50, then the dense rerank: exact cosine
+    // to vec 0, rounded before ranking, id tiebreak
+    "q154_hybrid_rerank" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |  FROM documents WHERE doc_id >= 1),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+        |f AS (SELECT
+        |        CAST((SELECT count(*) FROM d WHERE list_contains(ws, 'merge')) AS DOUBLE) AS df_merge,
+        |        CAST((SELECT count(*) FROM d WHERE list_contains(ws, 'spark')) AS DOUBLE) AS df_spark,
+        |        CAST((SELECT count(*) FROM d WHERE list_contains(ws, 'window')) AS DOUBLE) AS df_window),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ln((s.n - f.df_merge + 0.5) / (f.df_merge + 0.5) + 1.0) *
+        |      (CAST(len(list_filter(ws, w -> w = 'merge')) AS DOUBLE) * (1.2 + 1.0)) /
+        |      (CAST(len(list_filter(ws, w -> w = 'merge')) AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / s.avgdl)) +
+        |    ln((s.n - f.df_spark + 0.5) / (f.df_spark + 0.5) + 1.0) *
+        |      (CAST(len(list_filter(ws, w -> w = 'spark')) AS DOUBLE) * (1.2 + 1.0)) /
+        |      (CAST(len(list_filter(ws, w -> w = 'spark')) AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / s.avgdl)) +
+        |    ln((s.n - f.df_window + 0.5) / (f.df_window + 0.5) + 1.0) *
+        |      (CAST(len(list_filter(ws, w -> w = 'window')) AS DOUBLE) * (1.2 + 1.0)) /
+        |      (CAST(len(list_filter(ws, w -> w = 'window')) AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / s.avgdl)) AS sc
+        |  FROM d, s, f),
+        |cand AS (
+        |  SELECT doc_id, round(sc, 6) AS bm25 FROM scored
+        |  ORDER BY sc DESC, doc_id ASC LIMIT 50),
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |rr AS (
+        |  SELECT c.doc_id, c.bm25,
+        |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim
+        |  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id CROSS JOIN q
+        |  WHERE e.vec_id >= 1)
+        |SELECT doc_id, bm25, sim,
+        |       CAST(row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS BIGINT) AS rank
+        |FROM rr ORDER BY sim DESC, doc_id ASC LIMIT 10""".stripMargin,
   )
 }

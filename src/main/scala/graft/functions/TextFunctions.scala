@@ -256,6 +256,41 @@ object TextFunctions {
       when(sorted === "", lit("")).otherwise(concat(lit("?"), sorted)))
   }
 
+  /** Multi-label public suffixes the registrable-domain rule must treat
+    * as one TLD unit (a working subset of the public-suffix list — the
+    * full list is data, not code: load it the same way and union). Kept
+    * sorted so the generated IN-list is deterministic across builds.
+    */
+  val twoLevelSuffixes: Seq[String] = Seq(
+    "ac.uk", "co.il", "co.in", "co.jp", "co.kr", "co.nz", "co.uk",
+    "co.za", "com.ar", "com.au", "com.br", "com.cn", "com.mx",
+    "com.sg", "com.tr", "com.tw", "gov.uk", "github.io", "ne.jp",
+    "net.au", "or.jp", "org.uk").sorted
+
+  /** Registrable domain (eTLD+1) of a URL — the aggregation key for
+    * domain-level corpus curation (per-domain quotas, blocklists,
+    * crawl-politeness buckets all key on the SITE, and
+    * `a.cdn.example.co.uk` and `example.co.uk` are the same site while
+    * `example.co.uk` and `other.co.uk` are not — exactly what raw-host
+    * grouping gets wrong). Rule: host = lowercased authority minus
+    * port; if the last TWO labels form a listed multi-label suffix
+    * ([[twoLevelSuffixes]]), keep the last three labels, else the last
+    * two; a bare one-label host passes through. Pure codegen'd
+    * built-ins (`parse_url` + array slicing over a literal IN-list) —
+    * map-only at any scale, every rule replayable in ANSI SQL.
+    */
+  def registrableDomain(url: Column): Column = {
+    val host = regexp_replace(lower(parse_url(url, lit("AUTHORITY"))), ":[0-9]+$", "")
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    when(n <= 1, host)
+      .when(lastTwo.isin(twoLevelSuffixes: _*) && n >= 3,
+        concat_ws(".", element_at(labels, -3), element_at(labels, -2),
+          element_at(labels, -1)))
+      .otherwise(lastTwo)
+  }
+
   def portableSimhash48(hs: Column): Column =
     aggregate(sequence(lit(0), lit(47)), lit(0L), (acc, i) => {
       val vote = aggregate(hs, lit(0L), (v, h) =>

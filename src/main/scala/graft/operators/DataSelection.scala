@@ -250,4 +250,46 @@ object DataSelection {
             (col("n_tokens") * 1000L).cast("double"), 6)).as("score"),
         (col("score_int") > 0L).as("label"))
   }
+
+  /** Per-document n-gram NOVELTY against the corpus's own ingestion
+    * order: each distinct shingle is attributed to the smallest doc id
+    * containing it (first occurrence), and a doc's novelty is the
+    * fraction of its distinct shingles it introduced. The curation
+    * signal the dedup family cannot give: a doc can be far from every
+    * OTHER doc pairwise yet contribute nothing new (all its n-grams
+    * already first-seen elsewhere), and a near-dup report says nothing
+    * about which docs carry the corpus's fresh n-gram mass — the metric
+    * RefinedWeb-style pipelines use to track marginal data value across
+    * crawl snapshots (id order stands in for crawl date; pass a
+    * date-derived id to attribute by time).
+    *
+    * Scale shape: explode to (doc, shingle-hash) — distinct per doc by
+    * construction ([[TextFunctions.hashedShingles]]) — then (a) one
+    * (shingle)-keyed partial-agg `min(id)` (first-occurrence table),
+    * (b) one shingle-keyed join of the two, (c) one per-doc partial
+    * agg. Nothing wider than (8-byte hash, id) ever shuffles, and no
+    * stage is quadratic: this is the partial-agg economics of
+    * [[graft.operators.Dedup.byContentHash]] with an attribution join
+    * in the middle. Docs with fewer than `n` tokens have no shingles
+    * and are absent from the output (no 0/0 row).
+    *
+    * Returns (id, n_shingles, n_novel, novelty), novelty rounded to 6
+    * dp (one exact integer division per doc).
+    */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val sh = Parallelism.ensureCompute(docs)
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.hashedShingles(col(textCol), n)).as("s"))
+    val firstSeen = sh.groupBy(col("s")).agg(min(col("id")).as("first_id"))
+    sh.join(firstSeen, Seq("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") /
+          col("n_shingles").cast("double"), 6).as("novelty"))
+  }
 }

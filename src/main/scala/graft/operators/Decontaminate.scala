@@ -140,4 +140,61 @@ object Decontaminate {
     Parallelism.ensureCompute(corpus)
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
       .where(bloomMightContain(bloom, col("s")))
+
+  // ----------------------------------------------- semantic (embedding)
+
+  /** SEMANTIC decontamination: flag training docs whose EMBEDDING is
+    * within cosine `tau` of any benchmark embedding — the guard n-gram
+    * matching cannot give (paraphrased or translated test questions
+    * share no shingles with their source; their embeddings still
+    * collide). Same economics as [[contaminationHits]]: the corpus is
+    * the 100 TB side, the benchmark embeds to a few thousand vectors
+    * and BROADCASTS, so the whole operator is one map-side
+    * corpus scan + a per-doc partial max — zero corpus shuffle beyond
+    * the (id, partial-max) rows.
+    *
+    * Returns one row per CONTAMINATED doc: (id, bench_id, sim) where
+    * `bench_id` is the most-similar benchmark vector (ties broken by
+    * ascending bench id) and `sim >= tau`. Sims round to 6 dp before
+    * the threshold and the argmax so the decision — not just the score
+    * — is engine-portable (the [[Similarity.topKJoin]] discipline).
+    */
+  def semanticContaminationHits(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, bIdCol: String, bVecCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val c = Parallelism.ensureCompute(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val b = bench.select(col(bIdCol).as("bench_id"), col(bVecCol).as("b_vec"))
+    val hits = c.crossJoin(broadcast(b))
+      .withColumn("sim",
+        round(graft.plans.VectorExpressions.cosine(col("vec"), col("b_vec")), 6))
+      .where(col("sim") >= tau)
+      .select(col("id"), col("bench_id"), col("sim"))
+    // argmax in two portable partial aggs (max sim, then min bench_id at
+    // that sim) — no engine-specific arg_max/max_by tie semantics; `hits`
+    // is contamination-sized, so the self-join is over a sliver.
+    val best = hits.groupBy(col("id")).agg(max(col("sim")).as("sim"))
+    hits.join(best, Seq("id", "sim"))
+      .groupBy(col("id"), col("sim"))
+      .agg(min(col("bench_id")).as("bench_id"))
+      .select(col("id"), col("bench_id"), col("sim"))
+  }
+
+  /** Corpus rows surviving [[semanticContaminationHits]] (cosine to every
+    * benchmark vector stays below `tau`). Anti-join on a synthesized
+    * marker, corpus partitioning untouched — the [[clean]] shape.
+    */
+  def semanticClean(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, bIdCol: String, bVecCol: String,
+      tau: Double): DataFrame = {
+    require(!corpus.columns.contains("__contaminated"),
+      "corpus must not already contain a '__contaminated' column")
+    val flagged = semanticContaminationHits(
+        corpus, idCol, vecCol, bench, bIdCol, bVecCol, tau)
+      .select(col("id").as("__contaminated"))
+    corpus.join(flagged, col(idCol) === col("__contaminated"), "left_anti")
+  }
 }

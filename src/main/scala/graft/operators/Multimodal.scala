@@ -661,4 +661,90 @@ object Multimodal {
         }
       }(enc)
   }
+
+  // ------------------------------------------------- perceptual dedup
+
+  /** A perceptual-hash row ([[dhash56]]'s output schema). */
+  final case class MediaDhash(media_id: Long, dhash: Long)
+
+  /** 56-bit difference hash (dHash) of every image payload — the
+    * perceptual near-dup key for image corpora (LAION/DataComp-style
+    * pipelines dedup on exactly this class of hash: re-encodes, metadata
+    * edits and light crops keep the hash within a few bits while
+    * different images land ~28 bits apart). Pipeline per row, all
+    * INTEGER arithmetic so the value is engine-replayable:
+    *  1. decode the REAL payload bytes (`javax.imageio` — PNG/JPEG);
+    *  2. integer luminance per pixel: `(299 R + 587 G + 114 B) / 1000`;
+    *  3. mean-pool to an 8 x 8 grid (floor division by the block area —
+    *     width/height must be multiples of 8);
+    *  4. bit `r * 7 + c` (0-55) set iff `g[r][c] < g[r][c+1]` — 7
+    *     horizontal gradient signs per row, the dHash construction.
+    * 56 bits, not 64, so every value stays clear of BIGINT sign/overflow
+    * edges in ANSI engines (the [[graft.functions.TextFunctions
+    * .portableSimhash48]] discipline).
+    *
+    * Same mapPartitions seam as [[decodeFeatures]]: per-partition codec
+    * init, payloads never shuffle; output is 16 bytes/image.
+    */
+  def dhash56(media: DataFrame): DataFrame = {
+    implicit val enc: Encoder[MediaDhash] = Encoders.product[MediaDhash]
+    Parallelism.ensureCompute(media.select("media_id", "payload"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val id = row.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1)))
+          require(img != null, s"dhash56: payload $id is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          require(w % 8 == 0 && h % 8 == 0,
+            s"dhash56 pools to 8x8: dimensions must be multiples of 8, got ${w}x$h")
+          val (bw, bh) = (w / 8, h / 8)
+          val grid = Array.ofDim[Long](8, 8)
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 8) {
+              var sum = 0L
+              var y = gy * bh
+              while (y < (gy + 1) * bh) {
+                var x = gx * bw
+                while (x < (gx + 1) * bw) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (299L * ((rgb >> 16) & 0xff) +
+                    587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+                  x += 1
+                }
+                y += 1
+              }
+              grid(gy)(gx) = sum / (bw.toLong * bh)
+              gx += 1
+            }
+            gy += 1
+          }
+          var hash = 0L
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 7) {
+              if (grid(r)(c) < grid(r)(c + 1)) hash |= 1L << (r * 7 + c)
+              c += 1
+            }
+            r += 1
+          }
+          MediaDhash(id, hash)
+        }
+      }(enc).toDF()
+  }
+
+  /** Image near-duplicate pairs by dHash Hamming distance — [[dhash56]]
+    * into [[SimHashDedup.hammingPairs]] (the shared pigeonhole
+    * candidate-then-verify kernel: band join, `bit_count(xor)` verify,
+    * `maxBucketSize` ceiling against degenerate corpora — e.g. millions
+    * of monochrome thumbnails hashing to 0). Returns
+    * (idA, idB, hamming), idA < idB.
+    */
+  def dhashNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame =
+    SimHashDedup.hammingPairs(dhash56(media), "media_id", "dhash",
+      maxHamming, maxBucketSize)
 }

@@ -177,4 +177,45 @@ object Retrieval {
         round(log((col("c_xy") * lit(nU) * lit(nU)).cast("double") /
           (lit(nB) * col("c_a") * col("c_b")).cast("double")), 6).as("pmi"))
   }
+
+  /** Dense RERANK of a lexical candidate list — the standard two-stage
+    * retrieval pipeline (BM25 recall, embedding precision): join the
+    * candidate ids to their vectors, score each against a literal query
+    * vector by exact cosine, keep the top `k`. Complements [[rrfFuse]]:
+    * fusion merges two FULL rankings rank-wise; rerank REPLACES the
+    * lexical order inside the candidate set with the dense order —
+    * candidates outside stage 1 are unreachable by construction, which
+    * is what caps the dense cost.
+    *
+    * Scale shape: `candidates` is top-k-sized (the output of
+    * [[bm25TopK]] / an ANN probe), so it BROADCASTS to the vector
+    * table and the join degenerates to a map-side probe of the
+    * partition-pruned vector store; cosine is the codegen'd native
+    * expression against a literal query vector; final top-k is
+    * TakeOrderedAndProject. The corpus-sized vector table never
+    * shuffles and is scanned at most once.
+    *
+    * Sims round to 6 dp BEFORE ranking (rank boundaries
+    * engine-stable); ties break by ascending id. Returns
+    * (id, <scoreCol>, sim, rank).
+    */
+  def rerankByCosine(candidates: DataFrame, idCol: String, scoreCol: String,
+      vectors: DataFrame, vIdCol: String, vecCol: String,
+      queryVec: Array[Float], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(queryVec != null && queryVec.nonEmpty, "queryVec required")
+    val qv = array(queryVec.map(x => lit(x)): _*).cast("array<float>")
+    val cand = candidates.select(col(idCol).as("id"),
+      col(scoreCol).as(scoreCol))
+    val vecs = Parallelism.ensureCompute(vectors)
+      .select(col(vIdCol).as("id"), col(vecCol).as("__vec"))
+    vecs.join(broadcast(cand), Seq("id"))
+      .withColumn("sim",
+        round(graft.plans.VectorExpressions.cosine(col("__vec"), qv), 6))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("id").asc)).cast("long"))
+      .select(col("id"), col(scoreCol), col("sim"), col("rank"))
+  }
 }

@@ -96,35 +96,48 @@ object SimHashDedup {
     * identical chunk. `-1L` is the all-ones mask for a 64-bit chunk
     * (maxHamming = 0), where `(1L << 64) - 1` would be 0 (shift mod 64).
     */
-  def nearDupPairs(df: DataFrame, idCol: String, textCol: String, cfg: Config = Config()): DataFrame = {
-    require(cfg.maxHamming >= 0 && cfg.maxHamming < 64, "maxHamming must be in [0, 64)")
-    val chunks = cfg.maxHamming + 1
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String, cfg: Config = Config()): DataFrame =
+    hammingPairs(fingerprints(df, idCol, textCol, cfg), "id", "simhash",
+      cfg.maxHamming, cfg.maxBucketSize)
+
+  /** The pigeonhole Hamming-pair kernel over ANY 64-bit fingerprint
+    * column (simhash, image dHash, audio fingerprint …): chunk the bits
+    * into `maxHamming + 1` disjoint bands, join on band equality, verify
+    * with `bit_count(xor)`. Exposed so every fingerprint family shares
+    * one audited candidate-then-verify implementation instead of
+    * re-deriving the band arithmetic.
+    */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, maxBucketSize: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
+    val chunks = maxHamming + 1
     val baseW = 64 / chunks
     val rem = 64 % chunks
     val widths = (0 until chunks).map(c => baseW + (if (c < rem) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
     def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
-    val fps = fingerprints(df, idCol, textCol, cfg)
+    val fps = hashes.select(col(idCol).as("id"), col(hashCol).as("__fp"))
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
-        call_function("shiftright", col("simhash"), lit(starts(c)))
+        call_function("shiftright", col("__fp"), lit(starts(c)))
           .bitwiseAND(lit(mask(widths(c)))).as("key"))
     }
     val chunked = fps.select(
-      col("id"), col("simhash"), explode(array(chunkCols: _*)).as("ck"))
-      .select(col("id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+      col("id"), col("__fp"), explode(array(chunkCols: _*)).as("ck"))
+      .select(col("id"), col("__fp"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
     val sized = chunked
       .withColumn("bs", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"), col("key"))))
-      .where(col("bs") <= cfg.maxBucketSize)
+      .where(col("bs") <= maxBucketSize)
       .drop("bs")
-    val l = sized.select(col("chunk"), col("key"), col("id").as("idA"), col("simhash").as("shA"))
-    val r = sized.select(col("chunk"), col("key"), col("id").as("idB"), col("simhash").as("shB"))
+    val l = sized.select(col("chunk"), col("key"), col("id").as("idA"), col("__fp").as("shA"))
+    val r = sized.select(col("chunk"), col("key"), col("id").as("idB"), col("__fp").as("shB"))
     l.join(r, Seq("chunk", "key"))
       .where(col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
         bit_count(col("shA").bitwiseXOR(col("shB"))).as("hamming"))
-      .where(col("hamming") <= cfg.maxHamming)
+      .where(col("hamming") <= maxHamming)
       .distinct()
   }
 

@@ -491,4 +491,81 @@ object Similarity {
         lit(marginNum.toLong) * (col("fa_sum") + col("fb_sum")))
       .select(col("src_id"), col("tgt_id"), col("sim"))
   }
+
+  /** INCREMENTAL [[semanticDedup]]: screen a NEW batch against a
+    * persisted store of previously-kept vectors, without ever
+    * re-comparing the store to itself — the daily-ingest loop
+    * ([[graft.operators.MinHashDedup]]'s incremental economics applied
+    * to the embedding tier). A batch vector is dropped when
+    *  (a) any same-cluster STORE vector is >= `tau` similar, or
+    *  (b) a smaller-id same-cluster BATCH vector is (the
+    *      [[semanticDedup]] within-batch rule; the keeper of every new
+    *      duplicate set is its lowest id).
+    * Returns one row per batch vector: (id, cluster, keep).
+    *
+    * Scale shape: centroids are FROZEN (the store's assignment is never
+    * recomputed — train once, reuse per batch, the replayable deployed
+    * path); only the batch pays assignment, and both pairwise stages
+    * key on `cluster`, so daily work is
+    * O(|batch| · avg-cluster-occupancy), never corpus². The
+    * `maxClusterSize` ceiling applies to BOTH seams: an oversized store
+    * cluster is hash sub-sharded and each batch row probes only its own
+    * shard (store-side pairs O(|batch| · cap)); the within-batch stage
+    * reuses [[shardedAssignment]] unchanged. Store rows carry their
+    * persisted cluster — pass a store WITH a `cluster` column (written
+    * by a previous run) to skip even the store's argmax.
+    */
+  def incrementalSemanticDedup(
+      batch: DataFrame, idCol: String, vecCol: String,
+      store: DataFrame, sIdCol: String, sVecCol: String,
+      tau: Double, centroids: Array[Array[Float]],
+      maxClusterSize: Int = 1 << 13, shardSeed: Long = 7L): DataFrame = {
+    require(centroids != null && centroids.nonEmpty, "centroids required")
+    require(maxClusterSize >= 1,
+      s"maxClusterSize must be >= 1, got $maxClusterSize")
+    val b0 = Parallelism.ensureCompute(batch)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val s0raw = store.select(col(sIdCol).as("sid"), col(sVecCol).as("svec"))
+    // store assignment: reuse a persisted cluster column when present
+    val s0 =
+      if (store.columns.contains("cluster"))
+        store.select(col(sIdCol).as("sid"), col(sVecCol).as("svec"),
+          col("cluster"))
+      else s0raw.withColumn("cluster",
+        nearestLists(col("svec"), centroids, 1).getItem(0).getField("list"))
+    val bAssigned = b0.withColumn("cluster",
+      nearestLists(col("vec"), centroids, 1).getItem(0).getField("list"))
+    // store-side shard ceiling: nShards from STORE cluster sizes; the
+    // batch row probes the shard its own id hashes to (1-of-nShards
+    // recall in an oversized cluster — the documented cap tradeoff)
+    val sSizes = s0.groupBy(col("cluster")).agg(count(lit(1)).as("__ssz"))
+    val nShards = greatest(
+      floor((col("__ssz") + lit(maxClusterSize.toLong - 1)) /
+        lit(maxClusterSize.toDouble)).cast("long"), lit(1L))
+    val sSharded = s0.join(broadcast(sSizes), Seq("cluster"))
+      .withColumn("shard", pmod(xxhash64(col("sid"), lit(shardSeed)), nShards))
+      .select(col("cluster"), col("shard"), col("svec"))
+    val bProbe = bAssigned.join(broadcast(sSizes), Seq("cluster"), "left_outer")
+      .withColumn("shard",
+        when(col("__ssz").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col("id"), lit(shardSeed)), nShards)))
+      .select(col("cluster"), col("shard"), col("id"), col("vec"))
+    val dupVsStore = bProbe.join(sSharded, Seq("cluster", "shard"))
+      .where(round(VectorExpressions.cosine(col("vec"), col("svec")), 6) >= tau)
+      .select(col("id")).distinct()
+    val bSharded = shardedAssignment(b0, centroids, maxClusterSize, shardSeed)
+    val l = bSharded.select(col("cluster"), col("shard"),
+      col("id").as("ia"), col("vec").as("va"))
+    val r = bSharded.select(col("cluster"), col("shard"),
+      col("id").as("ib"), col("vec").as("vb"))
+    val dupInBatch = l.join(r, Seq("cluster", "shard"))
+      .where(col("ia") < col("ib"))
+      .where(round(VectorExpressions.cosine(col("va"), col("vb")), 6) >= tau)
+      .select(col("ib").as("id")).distinct()
+    val dups = dupVsStore.union(dupInBatch).distinct()
+    bAssigned
+      .join(dups.withColumn("__dup", lit(true)), Seq("id"), "left_outer")
+      .select(col("id"), col("cluster"),
+        not(coalesce(col("__dup"), lit(false))).as("keep"))
+  }
 }

@@ -154,4 +154,16 @@ class TextFunctionsSpec extends SparkSuite {
     assert(overlap("a b c", "d e f") == 0L)
     assert(overlap("single", "single word here") == 0L)
   }
+
+  test("registrableDomain: eTLD+1 under one- and two-level suffixes") {
+    def dom(url: String): String =
+      one[String](TextFunctions.registrableDomain($"text"), url)
+    assert(dom("https://www.example.co.uk/p?x=1") == "example.co.uk")
+    assert(dom("https://a.b.example.com/deep/path") == "example.com")
+    assert(dom("http://example.com") == "example.com")
+    assert(dom("https://deep.sub.project.github.io/page") == "project.github.io")
+    assert(dom("https://Example.COM:8080/x") == "example.com", "port + case folded")
+    assert(dom("http://localhost/health") == "localhost", "bare host passes through")
+    assert(dom("https://co.uk/") == "co.uk", "a bare suffix has no +1 label")
+  }
 }

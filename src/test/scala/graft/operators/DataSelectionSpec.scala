@@ -157,4 +157,22 @@ class DataSelectionSpec extends SparkSuite {
     assert(out(1L) == w("alpha"), s"got ${out(1L)}, want ${w("alpha")}")
     assert(out(2L) == w("zebra"))
   }
+
+  test("noveltyScores: first-occurrence attribution by min doc id") {
+    val docs = Seq(
+      (1L, "a b c d"),      // trigrams "a b c", "b c d" -> both novel
+      (2L, "a b c x"),      // "a b c" seen (doc 1), "b c x" novel -> 0.5
+      (3L, "a b c d"),      // exact repeat -> nothing novel
+      (4L, "q r"),          // < 3 tokens -> no shingles, absent
+      (5L, "z z z z z")     // one distinct trigram "z z z", novel
+    ).toDF("doc_id", "text")
+    val out = DataSelection.noveltyScores(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L), s"doc 4 has no trigrams: ${out.keySet}")
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+    assert(out(5L) == ((1L, 1L, 1.0)), "repeated trigram counts once (distinct)")
+  }
 }

@@ -134,4 +134,47 @@ class DecontaminateSpec extends SparkSuite {
       .where($"id" === 1L).select($"n_hits").as[Long].head()
     assert(hits == own.toLong, s"verbatim: expected $own hits, got $hits")
   }
+
+  // ------------------------------------------------- semantic (embedding)
+
+  private def vbench = Seq(
+    (100L, Array(1.0f, 0.0f, 0.0f)),
+    (101L, Array(0.0f, 1.0f, 0.0f))).toDF("bid", "vec")
+
+  private def vcorpus = Seq(
+    (1L, Array(0.99f, 0.1f, 0.0f)),   // near bench 100
+    (2L, Array(0.0f, 0.97f, 0.2f)),   // near bench 101
+    (3L, Array(0.0f, 0.0f, 1.0f)),    // near neither
+    (4L, Array(0.7f, 0.7f, 0.0f))     // equidistant from both (tie)
+  ).toDF("vid", "vec")
+
+  test("semantic hits: cosine threshold flags the right docs with argmax bench id") {
+    val hits = Decontaminate.semanticContaminationHits(
+        vcorpus, "vid", "vec", vbench, "bid", "vec", tau = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(hits.keySet == Set(1L, 2L), s"wrong contaminated set: ${hits.keySet}")
+    assert(hits(1L)._1 == 100L && hits(2L)._1 == 101L)
+    assert(hits(1L)._2 > 0.9 && hits(2L)._2 > 0.9)
+  }
+
+  test("semantic hits: equal-sim tie resolves to the smallest bench id") {
+    val hits = Decontaminate.semanticContaminationHits(
+        vcorpus.where($"vid" === 4L), "vid", "vec",
+        vbench, "bid", "vec", tau = 0.5)
+      .collect()
+    assert(hits.length == 1 && hits.head.getLong(1) == 100L,
+      "tie must break to min bench_id")
+  }
+
+  test("semanticClean drops exactly the flagged rows, keeps the rest intact") {
+    val kept = Decontaminate.semanticClean(
+        vcorpus, "vid", "vec", vbench, "bid", "vec", tau = 0.9)
+      .select($"vid").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+    intercept[IllegalArgumentException] {
+      Decontaminate.semanticClean(
+        vcorpus.withColumn("__contaminated", lit(1)),
+        "vid", "vec", vbench, "bid", "vec", tau = 0.9)
+    }
+  }
 }

@@ -209,4 +209,63 @@ class MultimodalSpec extends SparkSuite {
     assert(frames.map(_.frame_payload.toSeq).toSeq == again.map(_.frame_payload.toSeq).toSeq,
       "frame extraction must be deterministic")
   }
+
+  // ------------------------------------------------- perceptual dedup
+
+  /** Independent recompute of the 56-bit dHash straight from the PNG
+    * generator's pixel formula — never touches the operator's code path.
+    */
+  private def expectedDhash(id: Long, w: Int, h: Int): Long = {
+    val grid = Array.ofDim[Long](8, 8)
+    val (bw, bh) = (w / 8, h / 8)
+    for (gy <- 0 until 8; gx <- 0 until 8) {
+      var sum = 0L
+      for (y <- gy * bh until (gy + 1) * bh; x <- gx * bw until (gx + 1) * bw) {
+        val v = (id * 131 + x * 31 + y * 17) & 0xff
+        sum += (299L * v + 587L * ((v * 7) & 0xff) + 114L * ((v * 13) & 0xff)) / 1000L
+      }
+      grid(gy)(gx) = sum / (bw * bh)
+    }
+    var hash = 0L
+    for (r <- 0 until 8; c <- 0 until 7)
+      if (grid(r)(c) < grid(r)(c + 1)) hash |= 1L << (r * 7 + c)
+    hash
+  }
+
+  test("dhash56: decode of the real PNG reproduces the formula-level hash") {
+    val ids = Seq(0L, 7L, 123L, 300L)
+    val media = Multimodal.attachPngPayload(ids.toDF("id"), "id", lit(16), lit(16))
+    val got = Multimodal.dhash56(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      assert(got(id) == expectedDhash(id, 16, 16),
+        s"id $id: got ${got(id).toBinaryString}")
+    }
+    assert(got.values.forall(h => (h >> 56) == 0L), "56-bit hash, top 8 bits clear")
+  }
+
+  test("dhash56: identical pixel patterns collide, dims must be multiples of 8") {
+    // v = (id*131 + ...) & 255 and 131 is odd: ids 256 apart render the
+    // SAME image -> same hash; nearby ids differ
+    val media = Multimodal.attachPngPayload(
+      Seq(3L, 259L, 4L).toDF("id"), "id", lit(16), lit(16))
+    val h = Multimodal.dhash56(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(3L) == h(259L), "ids 256 apart share the pixel pattern")
+    assert(h(3L) != h(4L), "adjacent ids must differ")
+    val bad = Multimodal.attachPngPayload(Seq(1L).toDF("id"), "id", lit(12), lit(12))
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.dhash56(bad).collect()
+    }
+  }
+
+  test("dhashNearDupPairs: exact clones pair at hamming 0 through the band kernel") {
+    val media = Multimodal.attachPngPayload(
+      Seq(3L, 259L, 515L, 40L).toDF("id"), "id", lit(16), lit(16))
+    val pairs = Multimodal.dhashNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // 3, 259, 515 are clones (256 apart) -> all three pairs at hamming 0
+    assert(pairs.filter(_._3 == 0).map(p => (p._1, p._2)) ==
+      Set((3L, 259L), (3L, 515L), (259L, 515L)), s"got $pairs")
+  }
 }

@@ -106,4 +106,33 @@ class RetrievalSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(banded == Set(("new", "york")), s"got $banded")
   }
+
+  test("rerankByCosine: dense order replaces lexical order inside the candidate set") {
+    val cands = Seq((1L, 9.0), (2L, 5.0), (3L, 1.0)).toDF("id", "score")
+    val vecs = Seq(
+      (1L, Array(0.0f, 1.0f)),   // lexical best, orthogonal to the query
+      (2L, Array(0.7f, 0.7f)),
+      (3L, Array(1.0f, 0.0f)),   // lexical worst, dense best
+      (4L, Array(1.0f, 0.0f))    // perfect match but NOT a candidate
+    ).toDF("vid", "vec")
+    val out = Retrieval.rerankByCosine(cands, "id", "score",
+        vecs, "vid", "vec", queryVec = Array(1.0f, 0.0f), k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(3L, 2L),
+      "dense order must invert the lexical order; non-candidates unreachable")
+    assert(out.head._3 == 1.0 && out.head._4 == 1L)
+    assert(out(1)._2 == 5.0, "stage-1 score rides along")
+  }
+
+  test("rerankByCosine: equal-sim ties break by ascending id, rank is dense order") {
+    val cands = Seq((10L, 1.0), (7L, 2.0), (5L, 3.0)).toDF("id", "score")
+    val vecs = Seq(
+      (5L, Array(0.0f, 1.0f)),
+      (7L, Array(1.0f, 0.0f)),
+      (10L, Array(1.0f, 0.0f))).toDF("vid", "vec")
+    val out = Retrieval.rerankByCosine(cands, "id", "score",
+        vecs, "vid", "vec", queryVec = Array(1.0f, 0.0f), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(out == Seq((7L, 1L), (10L, 2L), (5L, 3L)), s"got $out")
+  }
 }

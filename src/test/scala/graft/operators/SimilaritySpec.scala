@@ -331,4 +331,86 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((0L, 1L)), s"got $out")
   }
+
+  // ------------------------------------- incremental semantic dedup
+
+  private val isdCents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+
+  test("incrementalSemanticDedup: store rule, batch rule, cluster isolation") {
+    // store holds one kept representative near centroid 0
+    val store = Seq((100L, Array(1.0f, 0.0f))).toDF("sid", "svec")
+    val batch = Seq(
+      (1L, Array(0.99f, 0.05f)),  // ~store 100 -> dropped (rule a)
+      (2L, Array(0.98f, 0.08f)),  // ~batch 1  -> dropped (rule b; also a)
+      (3L, Array(0.05f, 0.99f)),  // cluster 1, nothing near -> kept
+      (4L, Array(0.08f, 0.98f))   // ~batch 3 (smaller id, kept) -> dropped (rule b)
+    ).toDF("vid", "vec")
+    val out = Similarity.incrementalSemanticDedup(
+        batch, "vid", "vec", store, "sid", "svec",
+        tau = 0.95, centroids = isdCents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "every batch row judged once")
+    assert(out(1L) == (0L, false) && out(2L) == (0L, false))
+    assert(out(3L) == (1L, true) && out(4L) == (1L, false))
+    // store rows in a DIFFERENT cluster are never compared: a batch vec
+    // similar to a store vec across the cluster boundary survives (the
+    // documented SemDeDup approximation)
+    val crossStore = Seq((200L, Array(0.72f, 0.69f))).toDF("sid", "svec") // cluster 0
+    val crossBatch = Seq((5L, Array(0.69f, 0.72f))).toDF("vid", "vec")    // cluster 1
+    val cross = Similarity.incrementalSemanticDedup(
+        crossBatch, "vid", "vec", crossStore, "sid", "svec",
+        tau = 0.9, centroids = isdCents)
+      .collect().head
+    assert(cross.getBoolean(2), "cross-cluster store vec must not drop the batch vec")
+  }
+
+  test("incrementalSemanticDedup: empty store degenerates to the batch-only rule") {
+    val batch = Seq(
+      (1L, Array(0.99f, 0.05f)),
+      (2L, Array(0.98f, 0.08f)),
+      (3L, Array(0.05f, 0.99f))).toDF("vid", "vec")
+    val store = Seq.empty[(Long, Array[Float])].toDF("sid", "svec")
+    val inc = Similarity.incrementalSemanticDedup(
+        batch, "vid", "vec", store, "sid", "svec",
+        tau = 0.95, centroids = isdCents)
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val full = Similarity.semanticDedup(batch, "vid", "vec",
+        tau = 0.95, centroids = isdCents)
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(inc == full, s"empty-store incremental must equal semanticDedup: $inc vs $full")
+  }
+
+  test("incrementalSemanticDedup: a persisted cluster column skips the store argmax") {
+    val store = Seq((100L, Array(1.0f, 0.0f), 0L)).toDF("sid", "svec", "cluster")
+    val batch = Seq((1L, Array(0.99f, 0.05f)), (2L, Array(0.05f, 0.99f)))
+      .toDF("vid", "vec")
+    val out = Similarity.incrementalSemanticDedup(
+        batch, "vid", "vec", store, "sid", "svec",
+        tau = 0.95, centroids = isdCents)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> false, 2L -> true))
+  }
+
+  test("incrementalSemanticDedup: oversized store cluster is sharded, capped drops are sound") {
+    // 200 store vecs all in cluster 0; cap 20 -> 10 shards; every batch
+    // probe compares against ~cap store rows, and capping only FORFEITS
+    // drops (subset of the uncapped drop set)
+    val store = (0 until 200).map { i =>
+      (100L + i, Array(1.0f, (math.sin(i) * 0.01).toFloat))
+    }.toDF("sid", "svec")
+    val batch = (0 until 40).map { i =>
+      (i.toLong, Array(1.0f, (math.cos(i) * 0.01).toFloat))
+    }.toDF("vid", "vec")
+    val capped = Similarity.incrementalSemanticDedup(
+      batch, "vid", "vec", store, "sid", "svec",
+      tau = 0.9999, centroids = isdCents, maxClusterSize = 20)
+    val uncapped = Similarity.incrementalSemanticDedup(
+      batch, "vid", "vec", store, "sid", "svec",
+      tau = 0.9999, centroids = isdCents, maxClusterSize = Int.MaxValue)
+    val dc = capped.where(!$"keep").select($"id").as[Long].collect().toSet
+    val du = uncapped.where(!$"keep").select($"id").as[Long].collect().toSet
+    assert(dc.subsetOf(du), s"cap introduced false drops: ${dc -- du}")
+    assert(capped.count() == 40L, "every batch row judged")
+    assert(du.nonEmpty, "fixture must actually produce store-rule drops")
+  }
 }
