@@ -3237,4 +3237,58 @@ object Queries {
       .select(col("id").as("doc_id"), col("score").as("bm25"),
         col("sim"), col("rank"))
   }
+
+  // ---------------------------------------------------------------- Q155
+  /** INCREMENTAL perceptual image dedup ([[graft.operators.SimHashDedup
+    * .incrementalHammingPairs]]): even-id dHashes are yesterday's
+    * fingerprint store — persisted through a real parquet round-trip —
+    * and odd ids arrive as today's batch. Candidates are band collisions
+    * touching the batch only (store×store pairs were found when those
+    * images arrived); the fingerprint IS the payload, so the verify is
+    * inline `bit_count(xor)` — no second table. The q106 daily-loop
+    * economics one tier down. Oracle replays the full hash pipeline and
+    * keeps exactly the pairs with >= 1 odd endpoint.
+    */
+  def q155IncrementalImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.attachPngPayload(
+      t(spark, dir, "documents"), "doc_id", lit(16), lit(16))
+    val hashes = Multimodal.dhash56(media)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_q155").toString
+    hashes.where(col("media_id") % 2 === 0)
+      .write.mode("overwrite").parquet(storeDir)
+    val store = spark.read.parquet(storeDir)
+    val batch = hashes.where(col("media_id") % 2 === 1)
+    SimHashDedup.incrementalHammingPairs(store, batch,
+      "media_id", "dhash", maxHamming = 3)
+  }
+
+  // ---------------------------------------------------------------- Q156
+  /** Vocabulary-growth curve ([[graft.operators.DataSelection
+    * .vocabGrowth]]): distinct trigrams attributed to the id-bucket of
+    * their first-containing doc; per-bucket new-shingle counts + running
+    * vocabulary size — the Heaps-law "is more crawl still buying new
+    * content" readout. First-occurrence is q151's partial-agg min; the
+    * curve is 10 rows, so its running sum windows over 10 rows, never
+    * the corpus. The oracle replays bucketing with the same exact
+    * integer division.
+    */
+  def q156VocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    DataSelection.vocabGrowth(tp(spark, dir, "documents"),
+      "doc_id", "text", n = 3, buckets = 10)
+
+  // ---------------------------------------------------------------- Q157
+  /** Audio fingerprinting over REAL decoded WAVs ([[graft.operators
+    * .Multimodal.audioFingerprint56]]): deterministic 570-frame mono PCM
+    * payloads are encoded per doc (`javax.sound.sampled`), decoded back,
+    * and fingerprinted by 57-segment mean-pool gradient signs — all
+    * integer arithmetic, so the oracle recomputes every segment mean and
+    * hash bit from the generator's closed-form sample formula; the
+    * decode path must reproduce them bit-for-bit (the q18d contract,
+    * extended from properties to a full fingerprint).
+    */
+  def q157AudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.attachWavPayload(
+      t(spark, dir, "documents"), "doc_id", lit(8000), lit(1), lit(570))
+    Multimodal.audioFingerprint56(media)
+  }
 }

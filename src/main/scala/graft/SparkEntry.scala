@@ -191,6 +191,9 @@ object SparkEntry {
     "q152_image_dhash" -> (Queries.q152ImageDhash _),
     "q153_domain_stats" -> (Queries.q153DomainStats _),
     "q154_hybrid_rerank" -> (Queries.q154HybridRerank _),
+    "q155_incremental_image_dedup" -> (Queries.q155IncrementalImageDedup _),
+    "q156_vocab_growth" -> (Queries.q156VocabGrowth _),
+    "q157_audio_fingerprint" -> (Queries.q157AudioFingerprint _),
   )
 
   private val mergeOracle: String = {
@@ -2844,5 +2847,76 @@ object SparkEntry {
         |SELECT doc_id, bm25, sim,
         |       CAST(row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS BIGINT) AS rank
         |FROM rr ORDER BY sim DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // q152's hash pipeline + the incremental gate: keep pairs with >= 1
+    // odd (batch) endpoint — store-internal pairs never re-emit
+    "q155_incremental_image_dedup" ->
+      """WITH px AS (
+        |  SELECT d.doc_id AS id, xs.x, ys.y,
+        |         CAST((d.doc_id * 131 + xs.x * 31 + ys.y * 17) & 255 AS BIGINT) AS v
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) ys
+        |), lum AS (
+        |  SELECT id, x, y,
+        |         (299 * v + 587 * ((v * 7) & 255) + 114 * ((v * 13) & 255)) // 1000 AS l
+        |  FROM px
+        |), grid AS (
+        |  SELECT id, y // 2 AS gy, x // 2 AS gx,
+        |         CAST(sum(l) AS BIGINT) // 4 AS g
+        |  FROM lum GROUP BY 1, 2, 3
+        |), bits AS (
+        |  SELECT a.id, a.gy AS r, a.gx AS c
+        |  FROM grid a JOIN grid b ON a.id = b.id AND a.gy = b.gy AND b.gx = a.gx + 1
+        |  WHERE a.g < b.g
+        |), hashes AS (
+        |  SELECT d.doc_id AS id,
+        |         coalesce(CAST(sum(1::BIGINT << CAST(r * 7 + c AS INTEGER)) AS BIGINT), 0) AS h
+        |  FROM documents d LEFT JOIN bits ON bits.id = d.doc_id
+        |  GROUP BY 1
+        |)
+        |SELECT a.id AS idA, b.id AS idB,
+        |       CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+        |FROM hashes a JOIN hashes b ON a.id < b.id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |  AND (a.id % 2 = 1 OR b.id % 2 = 1)""".stripMargin,
+    // q151's first-occurrence table bucketed by exact integer division;
+    // running sum over the 10-row curve
+    "q156_vocab_growth" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           generate_series(1, greatest(len(ws) - 2, 0)),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |), fs AS (SELECT s, min(doc_id) AS first_id FROM sh GROUP BY 1),
+        |rng AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        |pb AS (
+        |  SELECT least(9, ((first_id - rng.lo) * 10) // (rng.hi - rng.lo + 1)) AS bucket,
+        |         count(*) AS n_new
+        |  FROM fs, rng GROUP BY 1)
+        |SELECT b.bucket, coalesce(pb.n_new, 0) AS n_new,
+        |       CAST(sum(coalesce(pb.n_new, 0))
+        |              OVER (ORDER BY b.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+        |FROM (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bucket) b
+        |LEFT JOIN pb ON pb.bucket = b.bucket""".stripMargin,
+    // the WAV generator's sample formula replayed: 57 segment means by
+    // truncating division, gradient-sign bits, 56-bit hash
+    "q157_audio_fingerprint" ->
+      """WITH f AS (
+        |  SELECT d.doc_id AS id, fs.f,
+        |         (d.doc_id * 131 + fs.f * 17) % 32768 - 16384 AS v
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 569)) AS f) fs
+        |), seg AS (
+        |  SELECT id, f // 10 AS s, CAST(sum(v) AS BIGINT) // 10 AS m
+        |  FROM f GROUP BY 1, 2
+        |), bits AS (
+        |  SELECT a.id, a.s
+        |  FROM seg a JOIN seg b ON a.id = b.id AND b.s = a.s + 1
+        |  WHERE a.m < b.m
+        |)
+        |SELECT d.doc_id AS media_id,
+        |       coalesce(CAST(sum(1::BIGINT << CAST(s AS INTEGER)) AS BIGINT), 0) AS ahash
+        |FROM documents d LEFT JOIN bits ON bits.id = d.doc_id
+        |GROUP BY 1""".stripMargin,
   )
 }

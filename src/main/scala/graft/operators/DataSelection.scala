@@ -292,4 +292,50 @@ object DataSelection {
         round(col("n_novel").cast("double") /
           col("n_shingles").cast("double"), 6).as("novelty"))
   }
+
+  /** VOCABULARY-GROWTH curve (the Heaps-law corpus diagnostic): docs are
+    * laid on the id axis in `buckets` equal-width ranges, every distinct
+    * shingle is attributed to the bucket of its FIRST-containing doc, and
+    * the curve reports per-bucket new-shingle counts plus the running
+    * vocabulary size. The "is more crawl still buying new content"
+    * readout: a healthy corpus grows ~n^β (β≈0.5-0.7); a flattened curve
+    * says the marginal crawl is re-collecting what the corpus already
+    * holds (id order stands in for ingestion time, as in
+    * [[noveltyScores]]).
+    *
+    * Scale shape: the first-occurrence table is the [[noveltyScores]]
+    * partial-agg min; bucketing is closed-form from two driver scalars
+    * (min/max id — one agg); the curve itself is `buckets` rows, so its
+    * running sum is a window over a bucket-count-sized frame, never the
+    * corpus. Returns (bucket, n_new, vocab_size) for buckets 0..buckets-1
+    * (empty buckets present with n_new = 0).
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, buckets: Int = 10): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = docs.sparkSession
+    val sh = Parallelism.ensureCompute(docs)
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.hashedShingles(col(textCol), n)).as("s"))
+    val firstSeen = sh.groupBy(col("s")).agg(min(col("id")).as("first_id"))
+    val Array(rng) = docs.agg(
+      min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).collect()
+    val (lo, hi) = (rng.getLong(0), rng.getLong(1))
+    val span = hi - lo + 1
+    // SQL `div` = exact integer division (Spark's `/` is double);
+    // nonneg operands, so div == floor on both engines
+    val bucketOf = least(lit(buckets.toLong - 1),
+      expr(s"((first_id - $lo) * ${buckets}L) div ${span}L"))
+    val perBucket = firstSeen
+      .select(bucketOf.cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+    val axis = spark.range(buckets).select(col("id").as("bucket"))
+    axis.join(perBucket, Seq("bucket"), "left_outer")
+      .select(col("bucket"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("vocab_size", sum(col("n_new")).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+  }
 }

@@ -182,22 +182,47 @@ object MinHashDedup {
   def candidatePairs(sigs: DataFrame, cfg: Config): DataFrame =
     capAndPair(bandBuckets(sigs, cfg), cfg.maxBucketSize)
 
+  /** Broadcast ceiling for the verify stage's candidate key set: two
+    * BIGINTs per row, so 2^21 pairs ≈ 32 MB on the driver — comfortably
+    * broadcastable; above it the probes pin shuffle-hash instead. The
+    * sf1 scale run is the evidence this bound must exist: a dup-heavy
+    * corpus (10 near-identical variants per doc) made `cands`
+    * match-count-sized in the worst way and a FORCED broadcast OOM'd
+    * the driver.
+    */
+  private[graft] val VerifyBroadcastMaxPairs: Long = 1L << 21
+
   /** True-Jaccard verification of candidate pairs against the shingle table.
     *
-    * Broadcast discipline: `cands` is the bare (idA, idB) key set — the only
-    * thing small by construction — and is broadcast into BOTH probe joins.
-    * Each probe side therefore carries exactly ONE shingle array per row,
-    * and the final pair-up joins the two |cands|-sized sides on the full
-    * pair key as a pinned shuffle-hash join. No array column ever sits on a
-    * broadcast side (left to AQE, the array side's bad size estimates
-    * caused multi-hundred-MB broadcasts and 4-10x run variance).
+    * Broadcast discipline: `cands` is the bare (idA, idB) key set — far
+    * smaller than anything carrying shingles, but MATCH-COUNT-SIZED and
+    * therefore data-dependent (a dup-heavy corpus can grow it
+    * quadratically in the duplication factor). It broadcasts into both
+    * probe joins only under [[VerifyBroadcastMaxPairs]] (callers pass
+    * the count they already materialized); beyond the bound the probes
+    * run as shuffle-hash joins on the id key — the shingle side shuffles
+    * once per probe, linear and never driver-bound. No array column ever
+    * sits on a broadcast side in either regime (left to AQE, the array
+    * side's bad size estimates caused multi-hundred-MB broadcasts and
+    * 4-10x run variance).
     */
-  private def verifyJaccard(base: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
+  private def verifyJaccard(base: DataFrame, cands: DataFrame, threshold: Double,
+      candCount: Long): DataFrame = {
+    // Two regimes. Small candidate set: broadcast the bare keys, pin the
+    // final pair-up shuffle-hash (build side = cands-sized, fits). Large
+    // candidate set (dup-heavy corpus): every join goes SORT-MERGE — the
+    // only spillable strategy; a pinned shuffle-hash build of millions of
+    // shingle-carrying rows OOMs a task exactly like the broadcast OOMs
+    // the driver (both observed on the sf1 dup-heavy corpus).
+    val small = candCount <= VerifyBroadcastMaxPairs
+    val probe: DataFrame => DataFrame =
+      if (small) c => broadcast(c) else c => c.hint("merge")
     val aSide = base.select(col("id").as("idA"), col("shingles").as("shA"))
-      .join(broadcast(cands), Seq("idA"))
+      .join(probe(cands), Seq("idA"))
     val bSide = base.select(col("id").as("idB"), col("shingles").as("shB"))
-      .join(broadcast(cands), Seq("idB"))
-    aSide.join(bSide.hint("shuffle_hash"), Seq("idA", "idB"))
+      .join(probe(cands), Seq("idB"))
+    aSide.join(bSide.hint(if (small) "shuffle_hash" else "merge"),
+        Seq("idA", "idB"))
       .withColumn("jaccard",
         size(array_intersect(col("shA"), col("shB"))).cast("double") /
           size(array_union(col("shA"), col("shB"))).cast("double"))
@@ -209,7 +234,10 @@ object MinHashDedup {
   private[graft] def verifiedPairsPlan(
       df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
     val base = shingleTable(df, idCol, textCol, cfg)
-    verifyJaccard(base, candidatePairs(sigTable(base, cfg), cfg), cfg.jaccardThreshold)
+    // lazy plan: no candidate count exists yet — assume the broadcast
+    // regime (what the plan-inspection tests pin for clean corpora)
+    verifyJaccard(base, candidatePairs(sigTable(base, cfg), cfg),
+      cfg.jaccardThreshold, candCount = 0L)
   }
 
   /** Candidate pairs verified by true shingle Jaccard >= threshold.
@@ -237,8 +265,8 @@ object MinHashDedup {
     sigs.count()
     val cands = candidatePairs(sigs, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cands.count()
-    val out = verifyJaccard(base, cands, cfg.jaccardThreshold)
+    val nCands = cands.count()
+    val out = verifyJaccard(base, cands, cfg.jaccardThreshold, nCands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize the tiny pair set so the upstream caches can go
     cands.unpersist()
@@ -305,13 +333,13 @@ object MinHashDedup {
         greatest(col("l"), col("r")).as("idB"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cands.count()
+    val nCands = cands.count()
     val base = storeSigs.select(col("id"), col("shingles"))
       .unionByName(newSigs.select(col("id"), col("shingles")))
     // same discipline as verifiedPairs: the verify reads cands from BOTH
-    // broadcast probes, so it stays cached until the pair-sized result is
+    // probes, so it stays cached until the pair-sized result is
     // materialized; only that result stays pinned for the caller
-    val out = verifyJaccard(base, cands, threshold)
+    val out = verifyJaccard(base, cands, threshold, nCands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     cands.unpersist()
@@ -409,7 +437,8 @@ object MinHashDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.count() // materialize before fan-out (see verifiedPairs)
     val cands = prefixCandidates(base, threshold)
-    val out = verifyJaccard(base, cands, threshold)
+    val nCands = cands.count() // cached by prefixCandidates — O(partitions)
+    val out = verifyJaccard(base, cands, threshold, nCands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     cands.unpersist()
@@ -500,12 +529,18 @@ object MinHashDedup {
       .select("idA", "idB")
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cands.count()
+    val nCands = cands.count()
+    // same conditional probe as verifyJaccard: broadcast only under the
+    // pair bound, shuffle-hash beyond it (cands is match-count-sized)
+    val smallC = nCands <= VerifyBroadcastMaxPairs
+    val probeC: DataFrame => DataFrame =
+      if (smallC) c => broadcast(c) else c => c.hint("merge")
     val aSide = baseA.select(col("id").as("idA"), col("shingles").as("shA"))
-      .join(broadcast(cands), Seq("idA"))
+      .join(probeC(cands), Seq("idA"))
     val bSide = baseB.select(col("id").as("idB"), col("shingles").as("shB"))
-      .join(broadcast(cands), Seq("idB"))
-    val out = aSide.join(bSide.hint("shuffle_hash"), Seq("idA", "idB"))
+      .join(probeC(cands), Seq("idB"))
+    val out = aSide.join(bSide.hint(if (smallC) "shuffle_hash" else "merge"),
+        Seq("idA", "idB"))
       .withColumn("jaccard",
         size(array_intersect(col("shA"), col("shB"))).cast("double") /
           size(array_union(col("shA"), col("shB"))).cast("double"))
@@ -561,12 +596,16 @@ object MinHashDedup {
       .select("idA", "idB")
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cands.count() // both verify broadcasts read this — materialize once
+    val nCands = cands.count() // both verify probes read this — materialize once
+    val smallC = nCands <= VerifyBroadcastMaxPairs
+    val probeC: DataFrame => DataFrame =
+      if (smallC) c => broadcast(c) else c => c.hint("merge")
     val aSide = base.select(col("id").as("idA"), col("shingles").as("shA"))
-      .join(broadcast(cands), Seq("idA"))
+      .join(probeC(cands), Seq("idA"))
     val bSide = base.select(col("id").as("idB"), col("shingles").as("shB"))
-      .join(broadcast(cands), Seq("idB"))
-    val out = aSide.join(bSide.hint("shuffle_hash"), Seq("idA", "idB"))
+      .join(probeC(cands), Seq("idB"))
+    val out = aSide.join(bSide.hint(if (smallC) "shuffle_hash" else "merge"),
+        Seq("idA", "idB"))
       .withColumn("containment",
         size(array_intersect(col("shA"), col("shB"))).cast("double") /
           size(col("shA")).cast("double"))
@@ -621,8 +660,8 @@ object MinHashDedup {
     sigs.count()
     val cands = capAndPair(portableBandBuckets(sigs, bands, r), maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cands.count()
-    val out = verifyJaccard(base, cands, threshold)
+    val nCands = cands.count()
+    val out = verifyJaccard(base, cands, threshold, nCands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     cands.unpersist()

@@ -747,4 +747,67 @@ object Multimodal {
       maxBucketSize: Int = 1000): DataFrame =
     SimHashDedup.hammingPairs(dhash56(media), "media_id", "dhash",
       maxHamming, maxBucketSize)
+
+  /** A decoded-audio fingerprint row ([[audioFingerprint56]]'s schema). */
+  final case class MediaAhash(media_id: Long, ahash: Long)
+
+  /** 56-bit audio fingerprint over REAL decoded WAV payloads — the
+    * waveform sibling of [[dhash56]] (the same temporal-gradient-sign
+    * construction Shazam-class fingerprints build per frequency band;
+    * here over the time axis, which the JDK can decode without native
+    * FFT libraries): channel-0 PCM samples are mean-pooled into 57 equal
+    * segments and bit `s` (0-55) is set iff `mean[s] < mean[s+1]` — a
+    * re-encoded or amplitude-shifted copy keeps its envelope shape and
+    * lands within a few bits. All INTEGER arithmetic (segment means by
+    * truncating division), so every bit replays in an ANSI oracle; 56
+    * bits for the same BIGINT-edge discipline as [[dhash56]]. Pairs via
+    * [[SimHashDedup.hammingPairs]] / [[SimHashDedup
+    * .incrementalHammingPairs]] — one shared kernel for every
+    * fingerprint family.
+    *
+    * Frame count must divide into 57 segments exactly; same
+    * mapPartitions codec seam (payloads never shuffle, 16 bytes/row out).
+    */
+  def audioFingerprint56(media: DataFrame): DataFrame = {
+    implicit val enc: Encoder[MediaAhash] = Encoders.product[MediaAhash]
+    Parallelism.ensureCompute(media.select("media_id", "payload"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val id = row.getLong(0)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1)))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"audioFingerprint56 decodes 16-bit LE PCM, got $fmt")
+          val ch = fmt.getChannels
+          val frames = ais.getFrameLength.toInt
+          require(frames % 57 == 0,
+            s"audioFingerprint56 pools 57 segments: frame count must be a " +
+              s"multiple of 57, got $frames")
+          val bytes = ais.readAllBytes()
+          val segLen = frames / 57
+          val means = new Array[Long](57)
+          var s = 0
+          while (s < 57) {
+            var sum = 0L
+            var f = s * segLen
+            while (f < (s + 1) * segLen) {
+              val off = (f * ch) * 2 // channel 0 of frame f
+              sum += ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort
+              f += 1
+            }
+            means(s) = sum / segLen // truncating div — matches ANSI engines
+            s += 1
+          }
+          var hash = 0L
+          var i = 0
+          while (i < 56) {
+            if (means(i) < means(i + 1)) hash |= 1L << i
+            i += 1
+          }
+          MediaAhash(id, hash)
+        }
+      }(enc).toDF()
+  }
 }

@@ -109,6 +109,22 @@ object SimHashDedup {
     */
   def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int, maxBucketSize: Int): DataFrame = {
+    val sized = bandedChunks(hashes, idCol, hashCol, maxHamming, maxBucketSize)
+    val l = sized.select(col("chunk"), col("key"), col("id").as("idA"), col("__fp").as("shA"))
+    val r = sized.select(col("chunk"), col("key"), col("id").as("idB"), col("__fp").as("shB"))
+    l.join(r, Seq("chunk", "key"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        bit_count(col("shA").bitwiseXOR(col("shB"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Shared banding stage: (chunk, key, id, __fp) rows for `maxHamming+1`
+    * disjoint bit-bands, oversized (chunk, key) buckets dropped whole.
+    */
+  private def bandedChunks(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, maxBucketSize: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
     val chunks = maxHamming + 1
@@ -126,17 +142,44 @@ object SimHashDedup {
     val chunked = fps.select(
       col("id"), col("__fp"), explode(array(chunkCols: _*)).as("ck"))
       .select(col("id"), col("__fp"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    val sized = chunked
+    chunked
       .withColumn("bs", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"), col("key"))))
       .where(col("bs") <= maxBucketSize)
       .drop("bs")
-    val l = sized.select(col("chunk"), col("key"), col("id").as("idA"), col("__fp").as("shA"))
-    val r = sized.select(col("chunk"), col("key"), col("id").as("idB"), col("__fp").as("shB"))
+  }
+
+  /** INCREMENTAL Hamming pairs against a persisted fingerprint store —
+    * the daily-ingest loop for hash-fingerprinted corpora (image dHash,
+    * simhash): candidates are band collisions that TOUCH the new batch
+    * (new×store and new×new; store×store pairs were found when those
+    * rows arrived), so daily work is O(|batch| × collision rate) and the
+    * store contributes only its 8-byte fingerprints — the
+    * [[MinHashDedup.incrementalVerifiedPairs]] economics one tier down
+    * (the verify needs no second table: the fingerprint IS the payload,
+    * so candidates verify inline with `bit_count(xor)`).
+    *
+    * The bucket ceiling applies over the FULL store∪batch band table (an
+    * oversized bucket is oversized regardless of which side filled it —
+    * the [[MinHashDedup]] incremental contract). Ids must be disjoint
+    * across store and batch. Returns (idA, idB, hamming), idA < idB, at
+    * least one endpoint in the batch.
+    */
+  def incrementalHammingPairs(store: DataFrame, batch: DataFrame,
+      idCol: String, hashCol: String,
+      maxHamming: Int, maxBucketSize: Int = 1000): DataFrame = {
+    val all = store.select(col(idCol), col(hashCol))
+      .unionByName(batch.select(col(idCol), col(hashCol)))
+    val sized = bandedChunks(all, idCol, hashCol, maxHamming, maxBucketSize)
+    val newSide = sized.join(
+      batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    val l = newSide.select(col("chunk"), col("key"), col("id").as("idL"), col("__fp").as("fpL"))
+    val r = sized.select(col("chunk"), col("key"), col("id").as("idR"), col("__fp").as("fpR"))
     l.join(r, Seq("chunk", "key"))
-      .where(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"),
-        bit_count(col("shA").bitwiseXOR(col("shB"))).as("hamming"))
+      .where(col("idL") =!= col("idR"))
+      .select(least(col("idL"), col("idR")).as("idA"),
+        greatest(col("idL"), col("idR")).as("idB"),
+        bit_count(col("fpL").bitwiseXOR(col("fpR"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -175,4 +175,32 @@ class DataSelectionSpec extends SparkSuite {
     assert(out(3L) == ((2L, 0L, 0.0)))
     assert(out(5L) == ((1L, 1L, 1.0)), "repeated trigram counts once (distinct)")
   }
+
+  test("noveltyScores plan: partial aggs + one shingle join, never a window") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c x")).toDF("doc_id", "text")
+    val plan = DataSelection.noveltyScores(docs, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"first-occurrence attribution must be a partial-agg min, not a window:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
+  }
+
+  test("vocabGrowth: bucketed first occurrences, running vocab, empty buckets present") {
+    // ids 0..9, 5 buckets of 2 docs each; doc 2k repeats doc 0's text
+    val docs = (0L to 9L).map { i =>
+      val text = if (i % 2 == 0) "a b c d" else s"u$i v$i w$i x$i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = DataSelection.vocabGrowth(docs, "doc_id", "text", n = 3, buckets = 5)
+      .orderBy($"bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // evens contribute "a b c"/"b c d" once (bucket 0); each odd doc adds 2
+    assert(out.map(_._1) == (0L to 4L).toSeq, "every bucket present")
+    assert(out.head._2 == 4L, s"bucket 0: 2 shared + doc1's 2 novel: ${out.head}")
+    assert(out.tail.forall(_._2 == 2L), s"later buckets: odd docs only: $out")
+    assert(out.last._3 == 12L, "running vocab = total distinct shingles")
+    val increments = out.map(_._3).zip(out.map(_._2)).scanLeft(0L) {
+      case (acc, (_, n)) => acc + n }.tail
+    assert(out.map(_._3) == increments, "vocab_size is the running sum of n_new")
+  }
 }

@@ -166,6 +166,16 @@ class DecontaminateSpec extends SparkSuite {
       "tie must break to min bench_id")
   }
 
+  test("semantic hits plan: bench broadcasts, corpus never shuffles before the agg") {
+    val plan = Decontaminate.semanticContaminationHits(
+        vcorpus, "vid", "vec", vbench, "bid", "vec", tau = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"benchmark side must ride a broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle into the score stage:\n$plan")
+  }
+
   test("semanticClean drops exactly the flagged rows, keeps the rest intact") {
     val kept = Decontaminate.semanticClean(
         vcorpus, "vid", "vec", vbench, "bid", "vec", tau = 0.9)

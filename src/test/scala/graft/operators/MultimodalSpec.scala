@@ -268,4 +268,62 @@ class MultimodalSpec extends SparkSuite {
     assert(pairs.filter(_._3 == 0).map(p => (p._1, p._2)) ==
       Set((3L, 259L), (3L, 515L), (259L, 515L)), s"got $pairs")
   }
+
+  test("incrementalHammingPairs: batch-touching pairs only, equals full minus store-internal") {
+    val ids = Seq(3L, 259L, 515L, 40L, 296L) // 3~259~515 clones; 40~296 clones
+    val media = Multimodal.attachPngPayload(ids.toDF("id"), "id", lit(16), lit(16))
+    val hashes = Multimodal.dhash56(media).persist()
+    hashes.count()
+    // store = {3, 259, 40}; batch = {515, 296}
+    val store = hashes.where($"media_id".isin(3L, 259L, 40L))
+    val batch = hashes.where($"media_id".isin(515L, 296L))
+    val inc = SimHashDedup.incrementalHammingPairs(store, batch,
+        "media_id", "dhash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = SimHashDedup.hammingPairs(hashes, "media_id", "dhash",
+        maxHamming = 3, maxBucketSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val storeInternal = full.filter { case (a, b) =>
+      Set(3L, 259L, 40L)(a) && Set(3L, 259L, 40L)(b) }
+    assert(inc == full -- storeInternal,
+      s"incremental must equal full minus store-internal: $inc vs ${full -- storeInternal}")
+    assert(inc.contains((3L, 515L)) && inc.contains((40L, 296L)),
+      "store-batch clone pairs must emit")
+    assert(!inc.contains((3L, 259L)), "store-internal pair must not re-emit")
+    hashes.unpersist()
+  }
+
+  test("audioFingerprint56: decode of the real WAV reproduces the formula-level hash") {
+    // independent recompute from the generator's sample formula
+    def expectedAhash(id: Long, frames: Int): Long = {
+      val segLen = frames / 57
+      val means = (0 until 57).map { s =>
+        (s * segLen until (s + 1) * segLen)
+          .map(f => (id * 131 + f * 17) % 32768 - 16384).sum / segLen
+      }
+      (0 until 56).foldLeft(0L)((h, i) =>
+        if (means(i) < means(i + 1)) h | (1L << i) else h)
+    }
+    val ids = Seq(0L, 150L, 321L, 499L)
+    val media = Multimodal.attachWavPayload(
+      ids.toDF("id"), "id", lit(8000), lit(1), lit(570))
+    val got = Multimodal.audioFingerprint56(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      assert(got(id) == expectedAhash(id, 570), s"id $id mismatch")
+    }
+    assert(got.values.forall(h => (h >> 56) == 0L), "56-bit hash")
+    // stereo payloads fingerprint channel 0 only: adding a second channel
+    // with different content must not change the hash
+    val stereo = Multimodal.attachWavPayload(
+      Seq(321L).toDF("id"), "id", lit(8000), lit(2), lit(570))
+    val hs = Multimodal.audioFingerprint56(stereo).collect().head.getLong(1)
+    assert(hs == expectedAhash(321L, 570), "channel-0-only pooling")
+    // frame count not divisible by 57 is rejected
+    val bad = Multimodal.attachWavPayload(
+      Seq(1L).toDF("id"), "id", lit(8000), lit(1), lit(100))
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.audioFingerprint56(bad).collect()
+    }
+  }
 }

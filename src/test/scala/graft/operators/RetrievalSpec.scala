@@ -124,6 +124,21 @@ class RetrievalSpec extends SparkSuite {
     assert(out(1)._2 == 5.0, "stage-1 score rides along")
   }
 
+  test("rerankByCosine plan: candidates broadcast, top-k never global-sorts the vectors") {
+    val cands = Seq((1L, 9.0), (2L, 5.0)).toDF("id", "score")
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vid", "vec")
+    val plan = Retrieval.rerankByCosine(cands, "id", "score",
+      vecs, "vid", "vec", queryVec = Array(1.0f, 0.0f), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate set must broadcast to the vector table:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the vector table must never shuffle for the join:\n$plan")
+  }
+
   test("rerankByCosine: equal-sim ties break by ascending id, rank is dense order") {
     val cands = Seq((10L, 1.0), (7L, 2.0), (5L, 3.0)).toDF("id", "score")
     val vecs = Seq(
