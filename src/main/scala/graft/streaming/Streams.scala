@@ -194,6 +194,64 @@ object Streams {
         ParquetUpsertSink.mergeInto(spark, destPath, batch, pk, orderCols)
       }
       .start()
+
+  /** STREAMING near-dup suppression against a PERSISTED fingerprint
+    * store — the "suppress at the door" loop for hash-fingerprinted
+    * corpora (image dHash, simhash, audio fingerprints), with the
+    * Hamming tolerance [[streamingNearDupDrop]]'s exact-code
+    * `dropDuplicates` cannot give: each micro-batch of
+    * (id, fingerprint, payload…) rows is screened with
+    * [[graft.operators.SimHashDedup.incrementalHammingPairs]] (band
+    * collisions touching the batch only), survivors append to `outDir`,
+    * and ALL batch fingerprints append to `storeDir` — so later
+    * micro-batches match against everything previously SEEN (greedy
+    * keep-first: a row is dropped iff some earlier row is within
+    * `maxHamming`; the batch-equivalent comparator is
+    * `hammingPairs(...)` keep-ids-never-appearing-as-idB, which the
+    * spec asserts).
+    *
+    * Contract: ids must be assigned in arrival order (monotone across
+    * micro-batches — the usual ingest sequence), so "earlier" and
+    * "smaller id" coincide. State is the store itself — 16 bytes/row of
+    * parquet, NOT driver or executor memory, which is what lets the
+    * horizon be "everything ever seen" where watermark-state operators
+    * must expire. foreachBatch replays (at-least-once) may append a
+    * fingerprint twice; duplicate store rows cannot change any
+    * dedup decision (same hash, same collisions) — route the store
+    * through [[graft.operators.ManifestTable.streamInto]] when
+    * exactly-once bookkeeping matters.
+    */
+  def streamingFingerprintDedup(
+      stream: DataFrame, idCol: String, hashCol: String,
+      storeDir: String, outDir: String, checkpoint: String,
+      maxHamming: Int, maxBucketSize: Int = 1000,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        b.count()
+        val store =
+          if (fs.exists(new org.apache.hadoop.fs.Path(storeDir)))
+            spark.read.parquet(storeDir)
+          else b.select(col(idCol), col(hashCol)).limit(0)
+        val dropped = graft.operators.SimHashDedup
+          .incrementalHammingPairs(store, b, idCol, hashCol,
+            maxHamming, maxBucketSize)
+          .select(col("idB").as("__dropped")).distinct()
+        b.join(dropped, col(idCol) === col("__dropped"), "left_anti")
+          .write.mode("append").parquet(outDir)
+        b.select(col(idCol), col(hashCol))
+          .write.mode("append").parquet(storeDir)
+        b.unpersist()
+        ()
+      }
+      .start()
 }
 
 /** Merge-into-parquet sink with write-new-then-swap atomicity (SURVEY §7

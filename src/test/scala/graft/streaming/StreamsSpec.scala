@@ -513,6 +513,46 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamingFingerprintDedup: greedy keep-first vs a persisted store, stream==batch") {
+    import graft.operators.{Multimodal, SimHashDedup}
+    val srcDir = tmpDir("fpdedup-src")
+    val storeDir = tmpDir("fpdedup-store") + "/store"
+    val outDir = tmpDir("fpdedup-out") + "/out"
+    val ckpt = tmpDir("fpdedup-ckpt")
+    // ids 256 apart render identical PNGs -> dhash clones; three arrival
+    // waves, each written as its own file (maxFilesPerTrigger=1 -> three
+    // micro-batches): 3 arrives first, its clones 259/515 later, plus
+    // independents
+    val waves = Seq(Seq(3L, 40L), Seq(259L, 77L), Seq(515L, 296L))
+    waves.foreach { ids =>
+      val hashes = Multimodal.dhash56(Multimodal.attachPngPayload(
+        ids.toDF("id"), "id", lit(16), lit(16)))
+      hashes.coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val streamIn = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = Streams.streamingFingerprintDedup(streamIn, "media_id", "dhash",
+      storeDir, outDir, ckpt, maxHamming = 3)
+    try q.awaitTermination() finally q.stop()
+    val kept = spark.read.parquet(outDir)
+      .select($"media_id").as[Long].collect().toSet
+    // batch comparator: greedy keep-first = ids never appearing as idB
+    val all = spark.read.parquet(srcDir)
+    val dropped = SimHashDedup.hammingPairs(all, "media_id", "dhash",
+        maxHamming = 3, maxBucketSize = 1000)
+      .select($"idB").as[Long].collect().toSet
+    val expect = all.select($"media_id").as[Long].collect().toSet -- dropped
+    assert(kept == expect, s"stream $kept vs batch $expect")
+    // 40 ~ 296 are clones too: 296 must be dropped by the STORE rule
+    // (different micro-batches), 259/515 by store+chain
+    assert(Set(259L, 515L, 296L).forall(!kept(_)), s"clones survived: $kept")
+    assert(kept(3L) && kept(40L) && kept(77L), "first arrivals survive")
+    // the store now holds every seen fingerprint
+    assert(spark.read.parquet(storeDir).count() == 6L)
+  }
+
   test("session windows merge events within the gap") {
     val df = Seq(
       ("2024-01-01 00:00:00", 1L), ("2024-01-01 00:10:00", 1L), // one session
