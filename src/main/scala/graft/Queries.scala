@@ -3291,4 +3291,34 @@ object Queries {
       t(spark, dir, "documents"), "doc_id", lit(8000), lit(1), lit(570))
     Multimodal.audioFingerprint56(media)
   }
+
+  // ---------------------------------------------------------------- Q158
+  /** Manifest-table RESTORE ([[graft.operators.ManifestTable.restore]]):
+    * a good snapshot (v1), a bad append (v2), then a metadata-only
+    * restore (v3) that re-points the head at v1's files — zero data
+    * rewritten, history intact (v2 stays readable between the bad
+    * commit and the restore point). The operational undo every table
+    * format needs: a poisoned ingest batch is backed out in O(1) IO at
+    * any table size. Output proves all three: the restored head equals
+    * v1, v2 still time-travels, and the restore added a version instead
+    * of rewriting one.
+    */
+  def q158ManifestRestore(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q158").resolve("t").toString
+    val o = t(spark, dir, "orders")
+    val good = o.where(col("o_orderkey") % 3 === 0)
+    val bad = o.where(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+    ManifestTable.commit(spark, root, good, Seq("o_orderkey"))
+    ManifestTable.commit(spark, root, bad, Seq("o_orderkey"), append = true)
+    ManifestTable.restore(spark, root, 1L)
+    val restored = ManifestTable.read(spark, root)
+      .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+    val v2 = ManifestTable.read(spark, root, Some(2L))
+      .agg(count(lit(1)).as("n_rows_v2"))
+    restored.crossJoin(v2)
+      .withColumn("n_versions",
+        lit(ManifestTable.listVersions(spark, root).size.toLong))
+  }
 }

@@ -194,6 +194,7 @@ object SparkEntry {
     "q155_incremental_image_dedup" -> (Queries.q155IncrementalImageDedup _),
     "q156_vocab_growth" -> (Queries.q156VocabGrowth _),
     "q157_audio_fingerprint" -> (Queries.q157AudioFingerprint _),
+    "q158_manifest_restore" -> (Queries.q158ManifestRestore _),
   )
 
   private val mergeOracle: String = {
@@ -2918,5 +2919,14 @@ object SparkEntry {
         |       coalesce(CAST(sum(1::BIGINT << CAST(s AS INTEGER)) AS BIGINT), 0) AS ahash
         |FROM documents d LEFT JOIN bits ON bits.id = d.doc_id
         |GROUP BY 1""".stripMargin,
+    // restored head == the good v1 slice; v2 still time-travels (good +
+    // bad rows); restore appends a version (3 total), rewrites nothing
+    "q158_manifest_restore" ->
+      """WITH good AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+        |bad AS (SELECT -o_orderkey AS o_orderkey FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT (SELECT count(*) FROM good) AS n_rows,
+        |       (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM good) AS key_sum,
+        |       (SELECT count(*) FROM good) + (SELECT count(*) FROM bad) AS n_rows_v2,
+        |       CAST(3 AS BIGINT) AS n_versions""".stripMargin,
   )
 }

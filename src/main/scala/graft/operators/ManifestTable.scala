@@ -775,6 +775,29 @@ object ManifestTable {
     dfFor(spark, root, to, to.files.filterNot(fe => base(fe.path)))
   }
 
+  /** RESTORE the table to snapshot `version` (the Delta RESTORE /
+    * Iceberg rollback shape): publish a NEW commit whose file list,
+    * tombstones and schema are the target snapshot's — a metadata-only
+    * operation that writes zero data files (shared immutable files
+    * carry by reference, the same economics as time travel), while
+    * HISTORY stays intact: the bad commits remain readable between the
+    * target and the restore point, and [[vacuum]] keeps every file the
+    * new head references. Rejects versions outside retention (their
+    * manifest — and possibly their files — are gone). The restore
+    * commit is mode "restore", so [[changes]] refuses to diff across it
+    * exactly like a merge/delete (rows "reappearing" are not appends).
+    */
+  def restore(spark: SparkSession, tableRoot: String, version: Long): Long = {
+    val f = fs(spark)
+    val root = new Path(tableRoot)
+    val target = resolve(f, root, Some(version))
+    publish(f, root, "restore", target.statsCols, None, 5,
+      expectParent = None) { parent =>
+      require(parent.nonEmpty, "restore requires an existing table")
+      (target.schemaDdl, target.files, target.tombstones)
+    }
+  }
+
   // ------------------------------------------------------------- vacuum
 
   /** Retention: keep the newest `keepVersions` manifests, delete older

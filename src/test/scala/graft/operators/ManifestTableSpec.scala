@@ -479,6 +479,38 @@ class ManifestTableSpec extends SparkSuite {
     assert(ManifestTable.read(spark, root).count() == 109)
   }
 
+  test("restore re-points the head metadata-only: history intact, vacuum-safe, changes refuses") {
+    val root = freshRoot()
+    ManifestTable.commit(spark, root, docs(100), Seq("id"))          // v1 good
+    ManifestTable.commit(spark, root, docs(50, from = 1000), Seq("id"),
+      append = true)                                                 // v2 bad
+    val dataFilesBefore = ManifestTable.listFiles(spark, root).size
+    val v3 = ManifestTable.restore(spark, root, 1L)
+    assert(v3 == 3L, "restore publishes a NEW version")
+    // head == v1, metadata-only (no new data files written anywhere)
+    assert(ManifestTable.read(spark, root).orderBy("id").collect().toSeq ==
+      ManifestTable.read(spark, root, Some(1L)).orderBy("id").collect().toSeq)
+    assert(ManifestTable.listFiles(spark, root).size <= dataFilesBefore)
+    // history intact: the bad snapshot still time-travels
+    assert(ManifestTable.read(spark, root, Some(2L)).count() == 150)
+    // appends continue from the restored head
+    ManifestTable.commit(spark, root, docs(10, from = 5000), Seq("id"), append = true)
+    assert(ManifestTable.read(spark, root).count() == 110)
+    // changes() refuses to cross the restore commit (rows "reappearing"
+    // are not appends), but diffs cleanly after it
+    intercept[IllegalArgumentException] {
+      ManifestTable.changes(spark, root, 1L, 4L).collect()
+    }
+    assert(ManifestTable.changes(spark, root, 3L, 4L).count() == 10)
+    // vacuum keeps every file the restored head chain references
+    ManifestTable.vacuum(spark, root, keepVersions = 2)
+    assert(ManifestTable.read(spark, root).count() == 110)
+    // a vacuumed-away version cannot be restored
+    intercept[IllegalArgumentException] {
+      ManifestTable.restore(spark, root, 2L)
+    }
+  }
+
   test("manifest stats carry portable timestamp min/max that prune date ranges") {
     val root = freshRoot()
     val ts = (0 until 365).map { d =>
