@@ -3321,4 +3321,83 @@ object Queries {
       .withColumn("n_versions",
         lit(ManifestTable.listVersions(spark, root).size.toLong))
   }
+
+  // ---------------------------------------------------------------- Q159
+  /** Hashed-linear-probe TRAINING ([[graft.operators.DataSelection
+    * .trainHashedLinearProbe]]): 3 full-batch GD epochs of a
+    * least-squares probe over 64-bucket token-hash counts, labels
+    * distilled from the q142 function-weight teacher — the training
+    * half of the q142 serving story, with the Lloyd's-iteration
+    * economics (per epoch: one doc-keyed agg, one doc-keyed join, one
+    * bucket-keyed partial agg; driver state = 64 scalars). All
+    * accumulation is exact DECIMAL; the only IEEE ops are one division
+    * and one `w − lr·g` per bucket per epoch, each rounded to 6 dp, so
+    * the oracle replays the whole weight trajectory bit-for-bit.
+    */
+  def q159TrainLinearProbe(spark: SparkSession, dir: String): DataFrame =
+    DataSelection.trainHashedLinearProbe(tp(spark, dir, "documents"),
+      "doc_id", "text", buckets = 64, iters = 3, lr = 1e-4)
+
+  // ---------------------------------------------------------------- Q160
+  /** Differentially-private histogram release ([[graft.operators.Privacy
+    * .laplaceNoisyCounts]]): orders counted per (priority, year), each
+    * count perturbed by Laplace(1/ε) noise from the seeded portable
+    * uniform — the release gate that pairs with q134's k-anonymity
+    * (structure) and q60's redaction (content): counts leave, exact
+    * counts don't. One partial-agg count + map-only noise; the oracle
+    * replays the uniform fold, the inverse-CDF ln, and the 6-dp
+    * round + clamp post-processing exactly.
+    */
+  def q160DpHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = tp(spark, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+    Privacy.laplaceNoisyCounts(o, Seq("priority", "yr"),
+      epsilon = 1.0, salt = "rel2026")
+  }
+
+  // ---------------------------------------------------------------- Q161
+  /** Sweep-line peak concurrency ([[graft.operators.TimeSeries
+    * .peakConcurrency]]): per order priority, the maximum number of
+    * orders simultaneously open, with each order's interval derived
+    * closed-form from its key (`[o_orderdate, o_orderdate + (key%30+1)
+    * days)`, the q153 generator-style contract). Deltas aggregate per
+    * (key, ts) before the running sum — simultaneous opens/closes net
+    * out deterministically — and the running sum is a per-key streamed
+    * window, never global. The oracle replays the same event-diff
+    * sweep.
+    */
+  def q161PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val o = tp(spark, dir, "orders").select(
+      col("o_orderpriority").as("priority"),
+      col("o_orderdate").as("start_ts"),
+      expr("o_orderdate + make_dt_interval(cast(o_orderkey % 30 + 1 as int))")
+        .as("end_ts"))
+    TimeSeries.peakConcurrency(o, Seq("priority"), "start_ts", "end_ts")
+  }
+
+  // ---------------------------------------------------------------- Q162
+  /** OHLC resampling ([[graft.operators.TimeSeries.resampleOhlc]]):
+    * events downsampled to per-(type, hour) bars — open/high/low/close
+    * + count — in ONE bar-keyed partial-agg pass (`min_by`/`max_by`
+    * over the unique (ts, event_id) order key; no window, no per-bar
+    * sort). Values are selected, never summed, so raw doubles compare
+    * exactly; the oracle picks the same rows via row_number.
+    */
+  def q162OhlcResample(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.resampleOhlc(tp(spark, dir, "events"), Seq("event_type"),
+      "ts", "event_id", "value", bucket = "hour")
+
+  // ---------------------------------------------------------------- Q163
+  /** Winsorized robust statistics ([[graft.operators.RobustStats
+    * .winsorizedStats]]): per order priority, exact interpolated
+    * P05/P95 bounds (== `quantile_cont`, the q39 agreement), median,
+    * MAD, and the clamped vs raw means through the VARCHAR→DECIMAL
+    * exact-sum route. Two group-keyed aggregation passes, a broadcast
+    * bounds table, no window.
+    */
+  def q163WinsorizedStats(spark: SparkSession, dir: String): DataFrame =
+    RobustStats.winsorizedStats(tp(spark, dir, "orders"),
+        Seq("o_orderpriority"), "o_totalprice", lo = 0.05, hi = 0.95)
+      .withColumnRenamed("o_orderpriority", "priority")
 }

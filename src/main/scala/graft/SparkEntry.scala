@@ -195,6 +195,11 @@ object SparkEntry {
     "q156_vocab_growth" -> (Queries.q156VocabGrowth _),
     "q157_audio_fingerprint" -> (Queries.q157AudioFingerprint _),
     "q158_manifest_restore" -> (Queries.q158ManifestRestore _),
+    "q159_train_linear_probe" -> (Queries.q159TrainLinearProbe _),
+    "q160_dp_histogram" -> (Queries.q160DpHistogram _),
+    "q161_peak_concurrency" -> (Queries.q161PeakConcurrency _),
+    "q162_ohlc_resample" -> (Queries.q162OhlcResample _),
+    "q163_winsorized_stats" -> (Queries.q163WinsorizedStats _),
   )
 
   private val mergeOracle: String = {
@@ -2928,5 +2933,144 @@ object SparkEntry {
         |       (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM good) AS key_sum,
         |       (SELECT count(*) FROM good) + (SELECT count(*) FROM bad) AS n_rows_v2,
         |       CAST(3 AS BIGINT) AS n_versions""".stripMargin,
+    // the q142 hash/bucket pipeline feeds a 3-epoch least-squares GD
+    // replay: exact-decimal feature/gradient sums, 6-dp-rounded scalar
+    // updates — the full weight trajectory must match bit-for-bit
+    "q159_train_linear_probe" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '), t ->
+        |           list_reduce(
+        |             list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |             (a, x) -> (a * 131 + x) % 281474976710656)) AS hs
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id AS id, hv % 64 AS bucket,
+        |         CAST(count(*) AS DECIMAL(12,0)) AS x
+        |  FROM (SELECT doc_id, unnest(hs) AS hv FROM h)
+        |  GROUP BY 1, 2),
+        |lab AS (
+        |  SELECT id, CASE WHEN sum(CAST(x AS BIGINT) * ((bucket * 2654435761) % 1997 - 998)) > 0
+        |                  THEN CAST(1 AS DECIMAL(12,6)) ELSE CAST(0 AS DECIMAL(12,6)) END AS y
+        |  FROM f GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+        |ax AS (SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT) AS bucket),
+        |g1 AS (
+        |  SELECT f.bucket, CAST(sum(CAST(0 - lab.y AS DECIMAL(18,6)) * f.x) AS DECIMAL(38,6)) AS gs
+        |  FROM f JOIN lab ON lab.id = f.id GROUP BY 1),
+        |w1 AS (
+        |  SELECT ax.bucket,
+        |         round(0 - 0.0001 * round(CAST(coalesce(g1.gs, 0) AS DOUBLE) / nn.n, 6), 6) AS w
+        |  FROM ax LEFT JOIN g1 ON g1.bucket = ax.bucket, nn),
+        |r2 AS (
+        |  SELECT lab.id, CAST(p.pred - lab.y AS DECIMAL(18,6)) AS r
+        |  FROM (SELECT f.id, sum(f.x * CAST(w1.w AS DECIMAL(18,6))) AS pred
+        |        FROM f JOIN w1 ON w1.bucket = f.bucket GROUP BY 1) p
+        |  JOIN lab ON lab.id = p.id),
+        |g2 AS (
+        |  SELECT f.bucket, CAST(sum(r2.r * f.x) AS DECIMAL(38,6)) AS gs
+        |  FROM f JOIN r2 ON r2.id = f.id GROUP BY 1),
+        |w2 AS (
+        |  SELECT w1.bucket,
+        |         round(w1.w - 0.0001 * round(CAST(coalesce(g2.gs, 0) AS DOUBLE) / nn.n, 6), 6) AS w
+        |  FROM w1 LEFT JOIN g2 ON g2.bucket = w1.bucket, nn),
+        |r3 AS (
+        |  SELECT lab.id, CAST(p.pred - lab.y AS DECIMAL(18,6)) AS r
+        |  FROM (SELECT f.id, sum(f.x * CAST(w2.w AS DECIMAL(18,6))) AS pred
+        |        FROM f JOIN w2 ON w2.bucket = f.bucket GROUP BY 1) p
+        |  JOIN lab ON lab.id = p.id),
+        |g3 AS (
+        |  SELECT f.bucket, CAST(sum(r3.r * f.x) AS DECIMAL(38,6)) AS gs
+        |  FROM f JOIN r3 ON r3.id = f.id GROUP BY 1),
+        |w3 AS (
+        |  SELECT w2.bucket,
+        |         round(w2.w - 0.0001 * round(CAST(coalesce(g3.gs, 0) AS DOUBLE) / nn.n, 6), 6) AS w
+        |  FROM w2 LEFT JOIN g3 ON g3.bucket = w2.bucket, nn)
+        |SELECT CAST(1 AS INTEGER) AS iter, bucket, w FROM w1
+        |UNION ALL SELECT 2, bucket, w FROM w2
+        |UNION ALL SELECT 3, bucket, w FROM w3""".stripMargin,
+    // per-group counts + the portable-uniform fold over salt|group key,
+    // inverse-CDF Laplace noise, 6-dp round + clamp-at-0 post-processing
+    "q160_dp_histogram" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |k AS (
+        |  SELECT priority, yr, n,
+        |         (((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(string_split(
+        |                'rel2026|' || priority || '|' || CAST(yr AS VARCHAR), ''),
+        |                c -> CAST(ascii(c) AS BIGINT))),
+        |              (a, x) -> (a * 131 + x) % 281474976710656)
+        |            % 2147483647) * 1103515245 + 12345) % 2147483647 + 0.5)
+        |          / 2147483647.0 AS u
+        |  FROM g)
+        |SELECT priority, yr,
+        |       greatest(0.0, round(n +
+        |         (CASE WHEN u - 0.5 >= 0 THEN -1.0 ELSE 1.0 END / 1.0)
+        |           * ln(1.0 - 2.0 * abs(u - 0.5)), 6)) AS n_noisy
+        |FROM k""".stripMargin,
+    // the same event-diff sweep: +1/-1 deltas netted per (key, ts),
+    // per-key running sum, per-key max
+    "q161_peak_concurrency" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority AS priority, o_orderdate AS ts, 1 AS dd
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderpriority,
+        |         o_orderdate + INTERVAL 1 DAY * (o_orderkey % 30 + 1), -1
+        |  FROM orders),
+        |a AS (SELECT priority, ts, CAST(sum(dd) AS BIGINT) AS step
+        |      FROM d GROUP BY 1, 2),
+        |r AS (SELECT priority,
+        |             sum(step) OVER (PARTITION BY priority ORDER BY ts
+        |                             ROWS UNBOUNDED PRECEDING) AS open
+        |      FROM a)
+        |SELECT priority, CAST(max(open) AS BIGINT) AS peak
+        |FROM r GROUP BY 1""".stripMargin,
+    // open/close picked by row_number over the same unique (ts, id)
+    // order key; high/low/n are plain aggregates
+    "q162_ohlc_resample" ->
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         ts, event_id, value
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY event_type, bucket
+        |                            ORDER BY ts, event_id) AS rn_a,
+        |         row_number() OVER (PARTITION BY event_type, bucket
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM b)
+        |SELECT event_type, bucket,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       count(*) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    // quantile_cont == Spark percentile (q39); clamp against the 6-dp
+    // rounded bounds; means through the VARCHAR->DECIMAL exact-sum route
+    "q163_winsorized_stats" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS priority,
+        |         round(quantile_cont(o_totalprice, 0.05), 6) AS p_lo,
+        |         round(quantile_cont(o_totalprice, 0.95), 6) AS p_hi,
+        |         round(quantile_cont(o_totalprice, 0.5), 6) AS med
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT o.o_orderpriority AS priority, o.o_totalprice AS x,
+        |         b.p_lo, b.p_hi, b.med
+        |  FROM orders o JOIN b ON b.priority = o.o_orderpriority)
+        |SELECT priority, count(*) AS n,
+        |       min(p_lo) AS p_lo, min(p_hi) AS p_hi, min(med) AS med,
+        |       round(quantile_cont(abs(x - med), 0.5), 6) AS mad,
+        |       round(CAST(CAST(sum(CAST(CAST(round(x, 2) AS VARCHAR)
+        |                 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS mean_raw,
+        |       round(CAST(CAST(sum(CAST(CAST(round(least(greatest(x, p_lo), p_hi), 2)
+        |                 AS VARCHAR) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS mean_wins
+        |FROM j GROUP BY 1""".stripMargin,
   )
 }

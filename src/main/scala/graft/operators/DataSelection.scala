@@ -293,6 +293,93 @@ object DataSelection {
           col("n_shingles").cast("double"), 6).as("novelty"))
   }
 
+  /** TRAIN a hashed linear probe by full-batch gradient descent — the
+    * missing half of the [[hashedLinearScore]] serving story: that
+    * operator runs a trained filter over 100 TB; this one TRAINS it
+    * with the same distributed economics (the fastText/quality-filter
+    * training shape: hash features into `buckets` counts, least-squares
+    * linear probe, a few full-batch GD epochs). Labels come from the
+    * function-weight teacher [[hashedLinearScore]] thresholds — the
+    * distillation framing keeps every stage closed-form; training
+    * against human labels means swapping the label column at the same
+    * seam.
+    *
+    * Model: minimize `Σ_d (w·x_d − y_d)²/2N` over docs with ≥1 token,
+    * where `x_d` = per-bucket token counts, `y_d ∈ {0,1}`. Updates:
+    * `g_b = round(Σ_d r_d·x_db / N, 6)`; `w_b ← round(w_b − lr·g_b, 6)`.
+    *
+    * Exactness/portability: weights live as DECIMAL(18,6); predictions
+    * and gradient sums are exact decimal products of 6-dp weights and
+    * integer counts, summed as DECIMAL (order-independent across any
+    * partitioning — no float accumulation anywhere); the only IEEE ops
+    * are one division by N and one `w − lr·g` per bucket per epoch,
+    * each immediately rounded to 6 dp. An oracle replays the whole
+    * trajectory bit-for-bit.
+    *
+    * Scale shape: the feature table `(doc, bucket, count)` is built
+    * once (one explode + one partial-agg shuffle) and persisted; each
+    * epoch is one doc-keyed agg (pred+label), one doc-keyed join, one
+    * bucket-keyed partial agg whose map-side combine caps output at
+    * `buckets` rows per partition. Driver state = `buckets` scalars —
+    * the Lloyd's-training discipline (q71): iterate with a tiny model,
+    * never collect data.
+    *
+    * Returns `(iter, bucket, w)` — the full weight trajectory,
+    * `iters × buckets` rows.
+    */
+  def trainHashedLinearProbe(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 64, iters: Int = 3,
+      lr: Double = 0.5): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    require(iters >= 1 && iters <= 32, s"iters must be in [1, 32], got $iters")
+    require(lr > 0.0 && lr.isFinite, s"lr must be positive, got $lr")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = Parallelism.ensureCompute(docs)
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.portableTokenHashes(col(textCol))).as("h"))
+      .select(col("id"), (col("h") % buckets).cast("long").as("bucket"))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // teacher label: the q142 function-weight score is a pure function
+    // of the SAME bucket counts (weights depend only on bucket id)
+    val teacherW = col("bucket") * 2654435761L % 1997L - 998L
+    val yCol = when(sum(col("x") * teacherW) > 0L,
+      lit(java.math.BigDecimal.ONE).cast("decimal(18,6)"))
+      .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)"))
+    val n = feats.select(col("id")).distinct().count()
+    require(n > 0, "training corpus has no tokenized documents")
+    val round6 = (v: Double) =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var w = Array.fill(buckets)(0.0) // each value always 6-dp-rounded
+    val trajectory = Array.newBuilder[(Int, Long, Double)]
+    for (it <- 1 to iters) {
+      val wDf = broadcast(w.toIndexedSeq.zipWithIndex.map { case (wv, b) =>
+        // valueOf = Double.toString route: a 6-dp-rounded double prints
+        // as its 6-dp decimal (spacing 1e-6 >> ulp), so setScale is exact
+        (b.toLong, java.math.BigDecimal.valueOf(wv).setScale(6))
+      }.toDF("bucket", "w")
+        .select(col("bucket"), col("w").cast("decimal(18,6)").as("w")))
+      val resid = feats.join(wDf, Seq("bucket"))
+        .groupBy(col("id"))
+        .agg((sum(col("x") * col("w")) - yCol)
+          .cast("decimal(38,6)").as("r"))
+      val gsums = feats.join(resid, Seq("id"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("r") * col("x")).cast("decimal(38,6)").as("gs"))
+        .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      w = w.zipWithIndex.map { case (wv, b) =>
+        val gs = gsums.get(b.toLong).map(_.doubleValue).getOrElse(0.0)
+        val g = round6(gs / n)
+        round6(wv - lr * g)
+      }
+      w.zipWithIndex.foreach { case (wv, b) => trajectory += ((it, b.toLong, wv)) }
+    }
+    feats.unpersist()
+    trajectory.result().toIndexedSeq.toDF("iter", "bucket", "w")
+  }
+
   /** VOCABULARY-GROWTH curve (the Heaps-law corpus diagnostic): docs are
     * laid on the id axis in `buckets` equal-width ranges, every distinct
     * shingle is attributed to the bucket of its FIRST-containing doc, and

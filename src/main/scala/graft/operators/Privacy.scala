@@ -42,6 +42,44 @@ object Privacy {
     * semantics) — an all-NULL combination of size >= k is already
     * anonymous by construction.
     */
+  /** Differentially-private histogram RELEASE via the Laplace mechanism
+    * (Dwork/McSherry/Nissim/Smith 2006): per-group counts perturbed by
+    * Laplace(Δ/ε) noise, Δ = 1 because the groups are disjoint (one row
+    * changes exactly one count). Noise comes from the inverse CDF —
+    * `u ∈ (0,1)`, `noise = −(Δ/ε)·sign(u−0.5)·ln(1 − 2|u−0.5|)` — with
+    * `u` drawn by [[graft.functions.TextFunctions.portableUniform]] over
+    * `salt || groupKey`: a SEEDED portable PRNG, the [[DataSelection
+    * .gumbelTopK]] contract. Re-running the release reproduces the same
+    * noise (resumable pipelines; a privacy-accountant ledger can bind a
+    * salt to a spent ε), and rotating the salt per release is the
+    * deployment's entropy decision — the operator's contract is the
+    * mechanism ARITHMETIC, which an oracle can replay exactly.
+    *
+    * Post-processing (rounding to 6 dp, clamping at 0) preserves DP.
+    * Released columns: the group key and `n_noisy` ONLY — the exact
+    * count must not ride along.
+    *
+    * Scale shape: one partial-agg count (group-table-sized after
+    * map-side combine) + map-only noise over the group table. A 100 TB
+    * histogram release costs one shuffle of the group-key bytes.
+    */
+  def laplaceNoisyCounts(df: DataFrame, groupCols: Seq[String],
+      epsilon: Double, salt: String = "dp1"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(epsilon > 0.0 && epsilon.isFinite,
+      s"epsilon must be positive, got $epsilon")
+    val key = concat((lit(salt) +: groupCols.flatMap(c =>
+      Seq(lit("|"), col(c).cast("string")))).toIndexedSeq: _*)
+    val u = graft.functions.TextFunctions.portableUniform(key)
+    val centered = u - lit(0.5)
+    val noise = (when(centered >= 0, lit(-1.0)).otherwise(lit(1.0)) / epsilon) *
+      log(lit(1.0) - lit(2.0) * abs(centered))
+    df.groupBy(groupCols.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(groupCols.map(col) :+
+        greatest(lit(0.0), round(col("__n") + noise, 6)).as("n_noisy"): _*)
+  }
+
   def suppressBelowK(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
     require(quasiCols.forall(df.columns.contains),
       s"quasi columns ${quasiCols.filterNot(df.columns.contains)} not in ${df.columns.toSeq}")

@@ -141,4 +141,66 @@ object TimeSeries {
           dev * dev * (n - lit(1L)) > lit(z.toLong * z) * n * (n * s2 - s1 * s1))
       .drop("__v", "__s1", "__s2")
   }
+
+  /** SWEEP-LINE interval aggregation: per-key PEAK CONCURRENCY — the
+    * maximum number of intervals `[start, end)` simultaneously open
+    * (end EXCLUSIVE; pass `end + 1 unit` for inclusive semantics). The
+    * interval-stabbing readout joins can't give without a quadratic
+    * self-join: concurrent sessions, open orders, in-flight shipments,
+    * overlapping GPU reservations.
+    *
+    * Algorithm: each interval explodes to two delta events (+1 at
+    * start, −1 at end); deltas AGGREGATE per (key, ts) first — so
+    * simultaneous opens/closes collapse into one net step and the
+    * running sum is deterministic regardless of row order — then one
+    * per-key ordered running sum, then a per-key max.
+    *
+    * Scale shape: the delta table is 2 rows × (key, ts, ±1) per
+    * interval; one (key, ts)-keyed partial agg, one per-key window
+    * (WindowExec streams the running frame with O(1) state), one
+    * per-key partial-agg max. Never a global window, nothing quadratic;
+    * a hot key costs its own timeline length, not its pairings.
+    */
+  def peakConcurrency(df: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "peakConcurrency needs at least one key column")
+    val keys = keyCols.map(col)
+    val deltas = df.select(keys :+ col(startCol).as("__ts") :+
+        lit(1L).as("__d"): _*)
+      .unionAll(df.select(keys :+ col(endCol).as("__ts") :+
+        lit(-1L).as("__d"): _*))
+    val stepped = deltas
+      .groupBy(keys :+ col("__ts"): _*)
+      .agg(sum(col("__d")).as("__step"))
+      .withColumn("__open", sum(col("__step")).over(
+        Window.partitionBy(keys: _*).orderBy(col("__ts").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    stepped.groupBy(keys: _*).agg(max(col("__open")).as("peak"))
+  }
+
+  /** OHLC RESAMPLING (downsampling to bars): per key and time bucket,
+    * the first/max/min/last values — open/high/low/close — plus the bar
+    * row count. First/last are exact `min_by`/`max_by` over the unique
+    * `(ts, tieBreak)` order key (no window, no per-bar sort): ONE
+    * partial-agg pass whose map-side combine reduces every partition to
+    * bar-count rows, so a 100 TB tick table resamples in a single
+    * bar-keyed shuffle. Values are selected, never arithmetically
+    * combined — no float-summation order hazard.
+    */
+  def resampleOhlc(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieBreakCol: String, valueCol: String,
+      bucket: String = "hour"): DataFrame = {
+    require(keyCols.nonEmpty, "resampleOhlc needs at least one key column")
+    require(Seq("year", "quarter", "month", "week", "day", "hour", "minute")
+      .contains(bucket), s"unsupported bucket '$bucket'")
+    val ord = struct(col(tsCol), col(tieBreakCol))
+    df.groupBy(keyCols.map(col) :+
+        date_trunc(bucket, col(tsCol)).as("bucket"): _*)
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n"))
+  }
 }

@@ -158,6 +158,71 @@ class DataSelectionSpec extends SparkSuite {
     assert(out(2L) == w("zebra"))
   }
 
+  test("trainHashedLinearProbe: trajectory equals a plain-Scala GD replay; SSE shrinks") {
+    val texts = Map(
+      1L -> "aa bb aa", 2L -> "bb cc", 3L -> "aa aa aa aa",
+      4L -> "dd ee ff", 5L -> "cc cc dd")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val buckets = 8; val iters = 4; val lr = 0.01
+    val out = DataSelection
+      .trainHashedLinearProbe(docs, "doc_id", "text", buckets, iters, lr)
+      .as[(Int, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.size == iters * buckets, s"expected ${iters * buckets} rows")
+
+    // plain-Scala replay of the documented arithmetic
+    def hash(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % (1L << 48))
+    val feats: Map[(Long, Long), Long] = texts.toSeq
+      .flatMap { case (id, s) => s.split(" ").map(t => (id, hash(t) % buckets)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ids = texts.keys.toList.sorted
+    val y: Map[Long, BigDecimal] = ids.map { id =>
+      val sc = feats.collect { case ((d, b), x) if d == id =>
+        x * ((b * 2654435761L) % 1997L - 998L) }.sum
+      id -> (if (sc > 0) BigDecimal(1) else BigDecimal(0))
+    }.toMap
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dec6(v: Double) =
+      BigDecimal(java.math.BigDecimal.valueOf(v).setScale(6))
+    var w = Array.fill(buckets)(0.0)
+    def sse(ws: Array[Double]): Double = ids.map { id =>
+      val p = feats.collect { case ((d, b), x) if d == id =>
+        dec6(ws(b.toInt)) * x }.sum
+      val r = p - y(id); (r * r).toDouble
+    }.sum
+    val sse0 = sse(w)
+    for (it <- 1 to iters) {
+      val resid: Map[Long, BigDecimal] = ids.map { id =>
+        val p = feats.collect { case ((d, b), x) if d == id =>
+          dec6(w(b.toInt)) * x }.sum
+        id -> (p - y(id))
+      }.toMap
+      w = Array.tabulate(buckets) { b =>
+        val gs = feats.collect { case ((d, bb), x) if bb == b =>
+          resid(d) * x }.sum
+        r6(w(b) - lr * r6(gs.toDouble / ids.size))
+      }
+      for (b <- 0 until buckets)
+        assert(out((it, b.toLong)) == w(b),
+          s"iter $it bucket $b: got ${out((it, b.toLong))}, replay ${w(b)}")
+    }
+    assert(sse(w) < sse0, s"SSE must shrink: ${sse(w)} vs $sse0")
+  }
+
+  test("trainHashedLinearProbe: argument guards") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      DataSelection.trainHashedLinearProbe(docs, "doc_id", "text", buckets = 1)
+    }
+    intercept[IllegalArgumentException] {
+      DataSelection.trainHashedLinearProbe(docs, "doc_id", "text", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      DataSelection.trainHashedLinearProbe(docs, "doc_id", "text", lr = 0.0)
+    }
+  }
+
   test("noveltyScores: first-occurrence attribution by min doc id") {
     val docs = Seq(
       (1L, "a b c d"),      // trigrams "a b c", "b c d" -> both novel

@@ -13,6 +13,44 @@ class PrivacySpec extends SparkSuite {
     (4L, "US", "B", 13.0), (5L, "CA", "A", 14.0)
   ).toDF("id", "country", "segment", "score")
 
+  test("laplaceNoisyCounts: deterministic per salt, exact count never released") {
+    val out1 = Privacy.laplaceNoisyCounts(people, Seq("country"), epsilon = 1.0)
+    assert(out1.columns.toSeq == Seq("country", "n_noisy"),
+      "only the group key and the noisy count may leave")
+    val a = out1.as[(String, Double)].collect().toMap
+    val b = Privacy.laplaceNoisyCounts(people, Seq("country"), epsilon = 1.0)
+      .as[(String, Double)].collect().toMap
+    assert(a == b, "same salt must reproduce the same release")
+    val c = Privacy.laplaceNoisyCounts(people, Seq("country"),
+      epsilon = 1.0, salt = "other").as[(String, Double)].collect().toMap
+    assert(a != c, "a rotated salt must re-draw the noise")
+    // noise is real: at least one group must not equal its exact count
+    assert(a("US") != 4.0 || a("CA") != 1.0, s"no noise applied: $a")
+    assert(a.values.forall(v => v >= 0.0 && v.isFinite), s"clamp failed: $a")
+  }
+
+  test("laplaceNoisyCounts: tighter epsilon means larger expected noise") {
+    // with the same uniforms, noise magnitude scales exactly 1/epsilon
+    val wide = Privacy.laplaceNoisyCounts(people, Seq("country"), epsilon = 0.1)
+      .as[(String, Double)].collect().toMap
+    val narrow = Privacy.laplaceNoisyCounts(people, Seq("country"), epsilon = 10.0)
+      .as[(String, Double)].collect().toMap
+    val exact = Map("US" -> 4.0, "CA" -> 1.0)
+    val devWide = exact.keys.map(k => math.abs(wide(k) - exact(k))).sum
+    val devNarrow = exact.keys.map(k => math.abs(narrow(k) - exact(k))).sum
+    assert(devWide > devNarrow,
+      s"eps=0.1 must perturb more than eps=10: $devWide vs $devNarrow")
+  }
+
+  test("laplaceNoisyCounts: argument guards") {
+    intercept[IllegalArgumentException] {
+      Privacy.laplaceNoisyCounts(people, Seq.empty, epsilon = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.laplaceNoisyCounts(people, Seq("country"), epsilon = 0.0)
+    }
+  }
+
   test("kAnonymityAudit counts each quasi combination and flags those below k") {
     val audit = Privacy.kAnonymityAudit(people, Seq("country", "segment"), 3)
       .orderBy("country", "segment").collect()

@@ -11,6 +11,68 @@ class TimeSeriesSpec extends SparkSuite {
 
   private def d(s: String) = Date.valueOf(s)
 
+  test("peakConcurrency: overlap counting, simultaneous netting, per-key isolation") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val iv = Seq(
+      // k1: three intervals, max overlap 2 (the 3rd starts exactly as
+      // the 1st ends — end-exclusive, so they never stack to 3)
+      ("k1", ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")),
+      ("k1", ts("2024-01-02 00:00:00"), ts("2024-01-05 00:00:00")),
+      ("k1", ts("2024-01-03 00:00:00"), ts("2024-01-04 00:00:00")),
+      // k2: one closes exactly when two open -> net +1 at that instant,
+      // peak 2 (end-exclusive semantics), never 3
+      ("k2", ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")),
+      ("k2", ts("2024-01-02 00:00:00"), ts("2024-01-03 00:00:00")),
+      ("k2", ts("2024-01-02 00:00:00"), ts("2024-01-03 00:00:00")),
+      // k3: disjoint intervals, peak 1
+      ("k3", ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")),
+      ("k3", ts("2024-01-03 00:00:00"), ts("2024-01-04 00:00:00"))
+    ).toDF("k", "s", "e")
+    val got = TimeSeries.peakConcurrency(iv, Seq("k"), "s", "e")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("k1" -> 2L, "k2" -> 2L, "k3" -> 1L), s"got $got")
+  }
+
+  test("peakConcurrency: end-exclusive — back-to-back intervals never stack") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val iv = (1 to 5).map(i =>
+      ("k", ts(f"2024-01-0$i 00:00:00"), ts(f"2024-01-0${i + 1} 00:00:00")))
+      .toDF("k", "s", "e")
+    val got = TimeSeries.peakConcurrency(iv, Seq("k"), "s", "e")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("k" -> 1L), s"got $got")
+  }
+
+  test("resampleOhlc: open/close picked by (ts, tie) order, high/low/n exact") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ticks = Seq(
+      // one 10:00 bar; two rows share the opening timestamp -> the
+      // smaller tie id must win open, the larger the close at 10:59
+      ("a", ts("2024-01-01 10:00:00"), 1L, 5.0),
+      ("a", ts("2024-01-01 10:00:00"), 2L, 9.0),
+      ("a", ts("2024-01-01 10:30:00"), 3L, 1.0),
+      ("a", ts("2024-01-01 10:59:00"), 4L, 7.0),
+      ("a", ts("2024-01-01 11:00:00"), 5L, 100.0), // next bar
+      ("b", ts("2024-01-01 10:15:00"), 6L, 42.0)
+    ).toDF("k", "ts", "id", "v")
+    val got = TimeSeries.resampleOhlc(ticks, Seq("k"), "ts", "id", "v")
+      .select($"k", date_format($"bucket", "HH:mm").as("b"),
+        $"open", $"high", $"low", $"close", $"n")
+      .as[(String, String, Double, Double, Double, Double, Long)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got(("a", "10:00")) == ((5.0, 9.0, 1.0, 7.0, 4L)), s"got $got")
+    assert(got(("a", "11:00")) == ((100.0, 100.0, 100.0, 100.0, 1L)))
+    assert(got(("b", "10:00")) == ((42.0, 42.0, 42.0, 42.0, 1L)))
+  }
+
+  test("resampleOhlc: unsupported bucket rejected") {
+    val df = Seq(("k", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1.0))
+      .toDF("k", "ts", "id", "v")
+    intercept[IllegalArgumentException] {
+      TimeSeries.resampleOhlc(df, Seq("k"), "ts", "id", "v", bucket = "fortnight")
+    }
+  }
+
   test("densifyDaily: gaps filled with LOCF, observed flags real days") {
     val daily = Seq(
       ("u1", d("2024-01-01"), 10.0),
