@@ -3400,4 +3400,58 @@ object Queries {
     RobustStats.winsorizedStats(tp(spark, dir, "orders"),
         Seq("o_orderpriority"), "o_totalprice", lo = 0.05, hi = 0.95)
       .withColumnRenamed("o_orderpriority", "priority")
+
+  // ---------------------------------------------------------------- Q164
+  /** Manifest-table OPTIMIZE ZORDER ([[graft.operators.ManifestTable
+    * .optimizeZOrder]]): lineitem committed 1-D-clustered on orderkey
+    * (partkey/suppkey scattered across every file), then re-laid-out as
+    * a NEW commit on the (partkey, suppkey) Morton interleave; the box
+    * query reads through the stats-pruned [[graft.operators
+    * .ManifestTable.scanBox]] and applies the exact predicate. Layout
+    * maintenance must be answer-invisible — the oracle is the plain box
+    * aggregate (q63's layout-independence discipline); both-dim pruning
+    * evidence and history intactness are pinned in ManifestTableSpec.
+    */
+  def q164ManifestZorder(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q164").resolve("t").toString
+    val l = t(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_extendedprice"))
+    ManifestTable.commit(spark, root,
+      l.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    ManifestTable.optimizeZOrder(spark, root, "l_partkey", "l_suppkey", 8)
+    val scan = ManifestTable.scanBox(spark, root,
+      "l_partkey", Some("1"), Some("50"), "l_suppkey", Some("1"), Some("5"))
+    scan.df
+      .where(col("l_partkey").between(1L, 50L) &&
+        col("l_suppkey").between(1L, 5L))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_partkey")).as("key_sum"),
+        round(sum(col("l_extendedprice").cast("string")
+            .cast("decimal(18,6)")).cast("decimal(38,6)").cast("double"), 6)
+          .as("revenue"))
+      .withColumn("n_versions",
+        lit(ManifestTable.listVersions(spark, root).size.toLong))
+  }
+
+  // ---------------------------------------------------------------- Q165
+  /** Degree-ordered triangle enumeration ([[graft.operators.Graph
+    * .triangles]]) over a synthetic link graph derived closed-form from
+    * doc ids (`u = id % 29`, `v = id div 29` — the q153
+    * generator-contract style; the two coordinates are independent, so
+    * the 500-doc corpus fills a dense ~340-edge graph with ~2300
+    * triangles). The π = (degree, id) orientation caps
+    * every vertex's out-degree at O(√m), so wedge volume is O(m^1.5)
+    * even at a hub — the scalable exact formulation. The oracle is the
+    * orientation-free 3-way edge join (result-invariant to the
+    * algorithm), emitting the same id-sorted triples.
+    */
+  def q165Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tp(spark, dir, "documents").select(
+      (col("doc_id") % 29).as("u"), expr("doc_id div 29").as("v"))
+    Graph.triangles(edges, "u", "v")
+  }
 }

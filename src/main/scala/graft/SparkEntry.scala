@@ -200,6 +200,8 @@ object SparkEntry {
     "q161_peak_concurrency" -> (Queries.q161PeakConcurrency _),
     "q162_ohlc_resample" -> (Queries.q162OhlcResample _),
     "q163_winsorized_stats" -> (Queries.q163WinsorizedStats _),
+    "q164_manifest_zorder" -> (Queries.q164ManifestZorder _),
+    "q165_triangles" -> (Queries.q165Triangles _),
   )
 
   private val mergeOracle: String = {
@@ -3072,5 +3074,28 @@ object SparkEntry {
         |                 AS VARCHAR) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
         |             / CAST(count(*) AS DOUBLE), 6) AS mean_wins
         |FROM j GROUP BY 1""".stripMargin,
+    // layout maintenance is answer-invisible: the oracle is the plain
+    // box aggregate over the raw table (q63's discipline); version
+    // count pins that OPTIMIZE committed instead of rewriting history
+    "q164_manifest_zorder" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(l_partkey) AS BIGINT) AS key_sum,
+        |       round(CAST(CAST(sum(CAST(CAST(l_extendedprice AS VARCHAR)
+        |                 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS revenue,
+        |       CAST(2 AS BIGINT) AS n_versions
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 1 AND 50 AND l_suppkey BETWEEN 1 AND 5""".stripMargin,
+    // the orientation-free formulation: canonical undirected edges,
+    // 3-way join a<b<c — must enumerate exactly the operator's triples
+    "q165_triangles" ->
+      """WITH raw AS (
+        |  SELECT doc_id % 29 AS u, doc_id // 29 AS v FROM documents),
+        |e AS (
+        |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        |  FROM raw WHERE u <> v)
+        |SELECT e1.a AS va, e1.b AS vb, e2.b AS vc
+        |FROM e e1
+        |JOIN e e2 ON e2.a = e1.b
+        |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
   )
 }

@@ -121,4 +121,56 @@ object Graph {
     }
     s.select(col("node"), col("anc").as("root"), col("depth"))
   }
+
+  /** EXACT triangle enumeration by DEGREE ORDERING (Schank 2007; the
+    * node-iterator++ / MapReduce formulation of Suri & Vassilvitskii
+    * 2011): impose the total order π = (degree, id) over vertices,
+    * orient every undirected edge π-ascending, form wedges only at each
+    * edge's π-LOWER endpoint, and close a wedge (u→v, u→w), π(v)<π(w),
+    * iff the oriented edge (v→w) exists. Triangle/clustering metrics are
+    * the standard link-graph quality signals (spam farms are
+    * triangle-dense, crawl frontiers triangle-sparse).
+    *
+    * Why the ordering is the scale story: a naive wedge join explodes at
+    * a hub vertex (a 10⁶-degree node yields 10¹² wedges). Orienting by
+    * degree caps every vertex's OUT-degree at O(√m), so total wedge
+    * count is O(m^1.5) — the hub's wedges are charged to its (low-degree)
+    * neighbors. All three stages are equi-joins on vertex keys (the
+    * π-comparison rides the wedge join as a post-filter, never a
+    * cartesian); degrees are one partial-agg pass.
+    *
+    * Input edges may be duplicated, reversed, or self-looped — they
+    * canonicalize first. Output: one row per triangle as the id-sorted
+    * triple (va < vb < vc).
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    val asc = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = withDeg.select(
+      when(asc, col("a")).otherwise(col("b")).as("lo"),
+      when(asc, col("b")).otherwise(col("a")).as("hi"),
+      when(asc, col("db")).otherwise(col("da")).as("dhi"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+      col("x.lo") === col("y.lo") &&
+        struct(col("x.dhi"), col("x.hi")) < struct(col("y.dhi"), col("y.hi")))
+    val closing = oriented.select(col("lo").as("cv"), col("hi").as("cw"))
+    wedges.join(closing,
+        col("x.hi") === col("cv") && col("y.hi") === col("cw"))
+      .select(col("x.lo").as("u"), col("x.hi").as("v"), col("y.hi").as("w"))
+      .select(least(col("u"), col("v"), col("w")).as("va"),
+        (col("u") + col("v") + col("w") -
+          least(col("u"), col("v"), col("w")) -
+          greatest(col("u"), col("v"), col("w"))).as("vb"),
+        greatest(col("u"), col("v"), col("w")).as("vc"))
+  }
 }

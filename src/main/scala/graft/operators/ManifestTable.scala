@@ -866,6 +866,79 @@ object ManifestTable {
     commit(spark, tableRoot, clustered, m.statsCols)
   }
 
+  /** OPTIMIZE ZORDER as a new overwrite commit: reads the current
+    * snapshot (materializing outstanding MOR tombstones, like
+    * [[compact]]), re-clusters it on the Morton interleave of two
+    * numeric columns ([[Layout.zValue]], both dims min/max-normalized
+    * to 16 bits), and commits — so manifest min/max stats become
+    * selective on BOTH dimensions at once and [[scanBox]] prunes files
+    * on either. The Delta OPTIMIZE ZORDER / Iceberg
+    * rewrite-with-sort-order shape: layout maintenance is a COMMIT,
+    * never an in-place rewrite — the pre-optimize snapshot stays
+    * readable (and its exactly-once `txn` ledger carries) until
+    * [[vacuum]] retires it. Returns the new version.
+    */
+  def optimizeZOrder(spark: SparkSession, tableRoot: String,
+      c1: String, c2: String, numFiles: Int): Long = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(c1 != c2, s"need two distinct columns, got '$c1' twice")
+    val f = fs(spark)
+    val root = new Path(tableRoot)
+    val m = resolve(f, root, None)
+    val df = subtractTombstones(spark, root, m, dfFor(spark, root, m, m.files))
+    val r = df.agg(
+      min(col(c1)).cast("long"), max(col(c1)).cast("long"),
+      min(col(c2)).cast("long"), max(col(c2)).cast("long")).head()
+    val statsCols = (m.statsCols ++ Seq(c1, c2)).distinct
+    val clustered =
+      if (r.isNullAt(0) || r.isNullAt(2)) df // a dim is all-null/empty
+      else {
+        def norm(c: String, lo: Long, hi: Long) =
+          if (hi <= lo) lit(0L)
+          else floor((col(c).cast("long") - lit(lo)) * lit(65536.0) /
+            lit((hi - lo + 1).toDouble)).cast("long")
+        df.withColumn("__z", Layout.zValue(
+            norm(c1, r.getLong(0), r.getLong(1)),
+            norm(c2, r.getLong(2), r.getLong(3))))
+          .repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      }
+    commit(spark, tableRoot, clustered, statsCols)
+  }
+
+  /** Two-dimensional file-skipping scan: [[scanRange]] on a BOX — a
+    * file survives only when its manifest [min, max] intersects BOTH
+    * column ranges, decided on the driver from stats alone. On a
+    * [[optimizeZOrder]]-laid-out table either predicate alone prunes;
+    * on a 1-D-clustered table only the cluster column does. Returns the
+    * SUPERSET DataFrame (callers apply the exact predicate) plus skip
+    * evidence.
+    */
+  def scanBox(spark: SparkSession, tableRoot: String,
+      c1: String, lower1: Option[String], upper1: Option[String],
+      c2: String, lower2: Option[String], upper2: Option[String],
+      version: Option[Long] = None): PrunedScan = {
+    val f = fs(spark)
+    val root = new Path(tableRoot)
+    val m = resolve(f, root, version)
+    Seq(c1, c2).foreach(c => require(m.statsCols.contains(c),
+      s"no stats collected for $c (have: ${m.statsCols.mkString(", ")})"))
+    val schema = StructType.fromDDL(m.schemaDdl)
+    def intersects(fe: FileEntry, c: String,
+        lower: Option[String], upper: Option[String]): Boolean =
+      fe.stats.get(c) match {
+        case Some(ColStats(Some(mn), Some(mx), _)) =>
+          lower.forall(lo => cmp(schema(c).dataType, mx, lo) >= 0) &&
+            upper.forall(up => cmp(schema(c).dataType, mn, up) <= 0)
+        case _ => false // all-null/statless: a range predicate can't match
+      }
+    val kept = m.files.filter(fe =>
+      intersects(fe, c1, lower1, upper1) && intersects(fe, c2, lower2, upper2))
+    PrunedScan(subtractTombstones(spark, root, m, dfFor(spark, root, m, kept)),
+      kept.size, m.files.size)
+  }
+
   /** Metadata-only snapshot comparison — the pipeline-health check that
     * costs ZERO table IO: per stats column, row/null counts and min/max
     * of two snapshots, straight from their manifests. A nightly load

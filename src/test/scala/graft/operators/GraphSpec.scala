@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, greatest, least}
+
 import graft.SparkSuite
 
 class GraphSpec extends SparkSuite {
@@ -83,6 +85,46 @@ class GraphSpec extends SparkSuite {
       "cadence 2 over 4 iters must persist the midpoint state")
     assert(!new java.io.File(s"$dir/round_4").exists(),
       "the final iteration is returned lazily, never checkpointed")
+  }
+
+  test("triangles: K4 yields its 4 canonical triples") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s", "d")
+    val got = Graph.triangles(e, "s", "d")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("triangles: cycles without chords and stars have none") {
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    assert(Graph.triangles(square, "s", "d").count() == 0)
+    val star = (2L to 9L).map(i => (1L, i)).toDF("s", "d")
+    assert(Graph.triangles(star, "s", "d").count() == 0)
+  }
+
+  test("triangles: duplicate, reversed and self-loop edges canonicalize first") {
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 3L), (1L, 3L), (1L, 3L))
+      .toDF("s", "d")
+    val got = Graph.triangles(messy, "s", "d")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L)), s"got $got")
+  }
+
+  test("triangles: degree-ordered result equals the orientation-free 3-way join") {
+    val raw = (0L until 400L).map(i => (i % 23, i % 19)).toDF("s", "d")
+    val got = Graph.triangles(raw, "s", "d")
+      .as[(Long, Long, Long)].collect().toSet
+    val e = raw.where($"s" =!= $"d")
+      .select(least($"s", $"d").as("a"), greatest($"s", $"d").as("b"))
+      .distinct()
+    val brute = e.as("e1")
+      .join(e.as("e2"), col("e2.a") === col("e1.b"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a"), col("e1.b"), col("e2.b"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute, s"diff: ${got.diff(brute)} / ${brute.diff(got)}")
+    assert(got.nonEmpty, "generator must actually produce triangles")
   }
 
   test("flattenForest: a forest keeps trees separate, extra rounds harmless") {

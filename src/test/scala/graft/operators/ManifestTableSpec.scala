@@ -16,6 +16,63 @@ class ManifestTableSpec extends SparkSuite {
   private def docs(n: Int, from: Int = 0) =
     (from until from + n).map(i => (i.toLong, s"doc_$i", i * 10.0)).toDF("id", "name", "score")
 
+  test("optimizeZOrder: both-dim pruning appears, rows and history intact") {
+    val root = freshRoot()
+    // two independent 64x64 dims, committed range-clustered on id so
+    // both x and y are scattered across every file
+    val in = (0 until 4096).map { i =>
+      (i.toLong, (i % 64).toLong, (i * 7919 % 64).toLong)
+    }.toDF("id", "x", "y")
+    ManifestTable.commit(spark, root,
+      in.repartitionByRange(16, col("id")).sortWithinPartitions("id"),
+      Seq("id", "x", "y"))
+    def boxFiles(): (Int, Int) = {
+      val sx = ManifestTable.scanBox(spark, root,
+        "x", Some("0"), Some("7"), "y", None, None)
+      val sy = ManifestTable.scanBox(spark, root,
+        "y", Some("0"), Some("7"), "x", None, None)
+      (sx.filesScanned, sy.filesScanned)
+    }
+    val (preX, preY) = boxFiles()
+    assert(preX == 16 && preY == 16,
+      s"pre-optimize, both dims must be scattered over all files: $preX, $preY")
+    val v2 = ManifestTable.optimizeZOrder(spark, root, "x", "y", 16)
+    assert(v2 == 2L)
+    val (postX, postY) = boxFiles()
+    assert(postX < 16 && postY < 16,
+      s"z-order must make BOTH single-dim boxes prune: $postX, $postY")
+    // answer-invisible: full content identical, box content identical
+    assert(ManifestTable.read(spark, root).orderBy("id").collect().toSeq ==
+      in.orderBy("id").collect().toSeq)
+    val box = ManifestTable.scanBox(spark, root,
+        "x", Some("0"), Some("7"), "y", Some("0"), Some("7"))
+      .df.where(col("x") <= 7 && col("y") <= 7)
+    assert(box.count() == in.where(col("x") <= 7 && col("y") <= 7).count())
+    // history intact: v1 still time-travels with the full row set
+    assert(ManifestTable.read(spark, root, Some(1L)).count() == 4096L)
+  }
+
+  test("scanBox: all-null-stats file skipped; argument guards") {
+    val root = freshRoot()
+    val withNulls = Seq((1L, Some(5L)), (2L, None: Option[Long]))
+      .toDF("id", "x").withColumn("y", col("id"))
+    ManifestTable.commit(spark, root,
+      withNulls.where(col("x").isNotNull).coalesce(1), Seq("x", "y"))
+    ManifestTable.commit(spark, root,
+      withNulls.where(col("x").isNull).coalesce(1), Seq("x", "y"),
+      append = true)
+    val s = ManifestTable.scanBox(spark, root,
+      "x", Some("0"), Some("10"), "y", None, None)
+    assert(s.filesScanned == 1 && s.filesTotal == 2,
+      "the all-null-x file cannot match a range predicate")
+    intercept[IllegalArgumentException] {
+      ManifestTable.scanBox(spark, root, "id", Some("0"), None, "x", None, None)
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.optimizeZOrder(spark, root, "x", "x", 4)
+    }
+  }
+
   test("commit + read round-trips the batch exactly") {
     val root = freshRoot()
     val in = docs(500)
