@@ -3454,4 +3454,20 @@ object Queries {
       (col("doc_id") % 29).as("u"), expr("doc_id div 29").as("v"))
     Graph.triangles(edges, "u", "v")
   }
+
+  // ---------------------------------------------------------------- Q166
+  /** BPE merge-rule training ([[graft.operators.Bpe.trainMerges]]):
+    * three iterations of Sennrich-style byte-pair encoding over the
+    * documents corpus — corpus read ONCE into the (word, count)
+    * vocabulary, then every iteration is vocabulary-sized (one
+    * pair-count partial agg + a map-only greedy merge fold). The
+    * ordered merge table is the trained tokenizer artifact. The oracle
+    * replays all three iterations in SQL: pair counts, the
+    * (count DESC, pair ASC) argmax, and the greedy left-to-right
+    * fusion via the islands construction (consecutive match positions
+    * keep odd ranks) — validated against a reference BPE
+    * implementation.
+    */
+  def q166BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    Bpe.trainMerges(tp(spark, dir, "documents"), "text", iters = 3)
 }

@@ -202,7 +202,60 @@ object SparkEntry {
     "q163_winsorized_stats" -> (Queries.q163WinsorizedStats _),
     "q164_manifest_zorder" -> (Queries.q164ManifestZorder _),
     "q165_triangles" -> (Queries.q165Triangles _),
+    "q166_bpe_merges" -> (Queries.q166BpeMerges _),
   )
+
+  /** One BPE iteration as oracle CTEs (see `Bpe.trainMerges`): pair
+    * counts over the previous symbol table, the (n DESC, l, r) argmax,
+    * greedy left-to-right fusion replayed via islands — consecutive
+    * match positions keep odd ranks (a merge at i consumes i+1, so the
+    * next legal match in an identical-symbol run is i+2).
+    */
+  private def bpeIter(k: Int): String = {
+    val j = k - 1
+    s"""p$k AS (
+       |  SELECT s$j.syms[t.i] AS l, s$j.syms[t.i+1] AS r, CAST(sum(c) AS BIGINT) AS n
+       |  FROM s$j, unnest(generate_series(1, len(s$j.syms) - 1)) AS t(i)
+       |  GROUP BY 1, 2),
+       |b$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+       |m$k AS (
+       |  SELECT s$j.w, t.i,
+       |         t.i - row_number() OVER (PARTITION BY s$j.w ORDER BY t.i) AS g
+       |  FROM s$j CROSS JOIN b$k, unnest(generate_series(1, len(s$j.syms) - 1)) AS t(i)
+       |  WHERE s$j.syms[t.i] = b$k.l AND s$j.syms[t.i+1] = b$k.r),
+       |k$k AS (
+       |  SELECT w, i FROM (
+       |    SELECT w, i, row_number() OVER (PARTITION BY w, g ORDER BY i) AS rn
+       |    FROM m$k)
+       |  WHERE rn % 2 = 1),
+       |x$k AS (
+       |  SELECT s$j.w, s$j.c, t.i, s$j.syms[t.i] AS sym
+       |  FROM s$j, unnest(generate_series(1, len(s$j.syms))) AS t(i)),
+       |s$k AS (
+       |  SELECT x.w, x.c,
+       |         list(CASE WHEN ka.i IS NOT NULL THEN b$k.l || b$k.r ELSE x.sym END
+       |              ORDER BY x.i) FILTER (WHERE kb.i IS NULL) AS syms
+       |  FROM x$k x CROSS JOIN b$k
+       |  LEFT JOIN k$k ka ON ka.w = x.w AND ka.i = x.i
+       |  LEFT JOIN k$k kb ON kb.w = x.w AND kb.i = x.i - 1
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val bpeOracle: String =
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |s0 AS (
+       |  SELECT w, c,
+       |         list_append(list_filter(string_split(w, ''), x -> x <> ''), '</w>') AS syms
+       |  FROM words),
+       |${bpeIter(1)},
+       |${bpeIter(2)},
+       |${bpeIter(3)}
+       |SELECT CAST(1 AS INTEGER) AS iter, l AS lhs, r AS rhs, n AS pair_count, l || r AS token FROM b1
+       |UNION ALL SELECT 2, l, r, n, l || r FROM b2
+       |UNION ALL SELECT 3, l, r, n, l || r FROM b3""".stripMargin
 
   private val mergeOracle: String = {
     val deltaStamp = "TIMESTAMP '2024-02-01 00:00:00'"
@@ -3097,5 +3150,7 @@ object SparkEntry {
         |FROM e e1
         |JOIN e e2 ON e2.a = e1.b
         |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+    // three BPE iterations replayed end to end (see bpeIter scaladoc)
+    "q166_bpe_merges" -> bpeOracle,
   )
 }
