@@ -3470,4 +3470,36 @@ object Queries {
     */
   def q166BpeMerges(spark: SparkSession, dir: String): DataFrame =
     Bpe.trainMerges(tp(spark, dir, "documents"), "text", iters = 3)
+
+  // ---------------------------------------------------------------- Q167
+  /** BPE tokenizer APPLY ([[graft.operators.Bpe.tokenFrequencies]]):
+    * q166's trained merges replayed over the corpus as chained map-only
+    * folds, then corpus token frequencies — the end-to-end
+    * train-then-tokenize loop (the q142/q159 serve-train pairing, for
+    * tokenizers). Everything after the one vocab build is
+    * vocabulary-sized. The oracle tokenizes through the same three
+    * replayed iterations and counts from the final symbol table.
+    */
+  def q167BpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val merges = Bpe.trainMerges(docs, "text", iters = 3)
+      .orderBy(col("iter")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Bpe.tokenFrequencies(docs, "text", merges)
+  }
+
+  // ---------------------------------------------------------------- Q168
+  /** k-center coreset selection ([[graft.operators.Similarity
+    * .kCenters]]): farthest-first traversal under cosine distance over
+    * the embeddings table — the diversity sampler (annotation batches,
+    * eval seeding) that coverage-optimizes where quota/temperature
+    * sampling proportionality-optimizes. Each round is one map over the
+    * corpus with the chosen centers as literals + one TakeOrdered(1)
+    * argmin; similarities round to 6 dp before every comparison (the
+    * q14 cross-engine cosine agreement), ties break by id, so the
+    * whole selection trajectory replays in SQL.
+    */
+  def q168KCenters(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kCenters(tp(spark, dir, "embeddings"),
+      "vec_id", "embedding", k = 4)
 }

@@ -203,6 +203,8 @@ object SparkEntry {
     "q164_manifest_zorder" -> (Queries.q164ManifestZorder _),
     "q165_triangles" -> (Queries.q165Triangles _),
     "q166_bpe_merges" -> (Queries.q166BpeMerges _),
+    "q167_bpe_tokenize" -> (Queries.q167BpeTokenize _),
+    "q168_k_centers" -> (Queries.q168KCenters _),
   )
 
   /** One BPE iteration as oracle CTEs (see `Bpe.trainMerges`): pair
@@ -241,7 +243,7 @@ object SparkEntry {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
-  private val bpeOracle: String =
+  private val bpeCtes: String =
     s"""WITH words AS (
        |  SELECT w, count(*) AS c FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -252,10 +254,19 @@ object SparkEntry {
        |  FROM words),
        |${bpeIter(1)},
        |${bpeIter(2)},
-       |${bpeIter(3)}
+       |${bpeIter(3)}""".stripMargin
+
+  private val bpeOracle: String =
+    s"""$bpeCtes
        |SELECT CAST(1 AS INTEGER) AS iter, l AS lhs, r AS rhs, n AS pair_count, l || r AS token FROM b1
        |UNION ALL SELECT 2, l, r, n, l || r FROM b2
        |UNION ALL SELECT 3, l, r, n, l || r FROM b3""".stripMargin
+
+  private val bpeTokenizeOracle: String =
+    s"""$bpeCtes
+       |SELECT token, CAST(sum(c) AS BIGINT) AS n
+       |FROM (SELECT unnest(syms) AS token, c FROM s3)
+       |GROUP BY 1""".stripMargin
 
   private val mergeOracle: String = {
     val deltaStamp = "TIMESTAMP '2024-02-01 00:00:00'"
@@ -3152,5 +3163,38 @@ object SparkEntry {
         |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
     // three BPE iterations replayed end to end (see bpeIter scaladoc)
     "q166_bpe_merges" -> bpeOracle,
+    // the same three iterations, then token frequencies from the final
+    // symbol table — the tokenizer-apply readout
+    "q167_bpe_tokenize" -> bpeTokenizeOracle,
+    // farthest-first replay: seed = min id; each round the argmin of the
+    // 6-dp-rounded max cosine to the chosen set, ties by id
+    "q168_k_centers" ->
+      """WITH c1 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 1),
+        |d1 AS (
+        |  SELECT e.vec_id,
+        |         round(list_cosine_similarity(e.embedding::DOUBLE[], c1.embedding::DOUBLE[]), 6) AS ms
+        |  FROM embeddings e, c1 WHERE e.vec_id <> c1.vec_id),
+        |c2 AS (SELECT vec_id, ms FROM d1 ORDER BY ms ASC, vec_id ASC LIMIT 1),
+        |v2 AS (SELECT e.embedding FROM embeddings e JOIN c2 ON c2.vec_id = e.vec_id),
+        |d2 AS (
+        |  SELECT d1.vec_id,
+        |         greatest(d1.ms,
+        |           round(list_cosine_similarity(e.embedding::DOUBLE[], v2.embedding::DOUBLE[]), 6)) AS ms
+        |  FROM d1 JOIN embeddings e ON e.vec_id = d1.vec_id CROSS JOIN v2
+        |  WHERE d1.vec_id NOT IN (SELECT vec_id FROM c2)),
+        |c3 AS (SELECT vec_id, ms FROM d2 ORDER BY ms ASC, vec_id ASC LIMIT 1),
+        |v3 AS (SELECT e.embedding FROM embeddings e JOIN c3 ON c3.vec_id = e.vec_id),
+        |d3 AS (
+        |  SELECT d2.vec_id,
+        |         greatest(d2.ms,
+        |           round(list_cosine_similarity(e.embedding::DOUBLE[], v3.embedding::DOUBLE[]), 6)) AS ms
+        |  FROM d2 JOIN embeddings e ON e.vec_id = d2.vec_id CROSS JOIN v3
+        |  WHERE d2.vec_id NOT IN (SELECT vec_id FROM c3)),
+        |c4 AS (SELECT vec_id, ms FROM d3 ORDER BY ms ASC, vec_id ASC LIMIT 1)
+        |SELECT CAST(1 AS INTEGER) AS "rank", (SELECT vec_id FROM c1) AS vec_id,
+        |       CAST(NULL AS DOUBLE) AS max_sim
+        |UNION ALL SELECT 2, vec_id, ms FROM c2
+        |UNION ALL SELECT 3, vec_id, ms FROM c3
+        |UNION ALL SELECT 4, vec_id, ms FROM c4""".stripMargin,
   )
 }

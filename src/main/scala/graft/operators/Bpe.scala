@@ -35,20 +35,45 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  def trainMerges(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
-    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val init = Parallelism.ensureCompute(docs)
+  /** The corpus collapsed to its `(word, count, symbols)` vocabulary:
+    * one explode + one partial-agg shuffle; symbols start as characters
+    * plus the `</w>` end-of-word marker.
+    */
+  private def initVocab(docs: DataFrame, textCol: String): DataFrame =
+    Parallelism.ensureCompute(docs)
       .select(explode(split(col(textCol), " ")).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .select(col("w"), col("c"),
         concat(filter(split(col("w"), ""), ch => ch =!= ""),
           array(lit("</w>"))).as("syms"))
-    var cur = init.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private val esc = (s: String) => s.replace("'", "''")
+
+  /** Greedy left-to-right fusion of one pair over `syms` as a map-only
+    * array fold; `skip` marks a position consumed by a merge at its
+    * left neighbor.
+    */
+  private def fuseExpr(l: String, r: String): String =
+    s"""aggregate(sequence(1, size(syms)),
+        named_struct('out', cast(array() as array<string>), 'skip', false),
+        (acc, i) -> if(acc.skip,
+          named_struct('out', acc.out, 'skip', false),
+          if(i < size(syms) and element_at(syms, i) = '${esc(l)}'
+               and element_at(syms, i + 1) = '${esc(r)}',
+             named_struct('out', concat(acc.out, array('${esc(l + r)}')),
+               'skip', true),
+             named_struct('out', concat(acc.out, array(element_at(syms, i))),
+               'skip', false))),
+        acc -> acc.out)"""
+
+  def trainMerges(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = initVocab(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = Seq.newBuilder[(Int, String, String, Long, String)]
-    val esc = (s: String) => s.replace("'", "''")
     var exhausted = false
     for (it <- 1 to iters if !exhausted) {
       // guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) — a fully-fused
@@ -66,20 +91,8 @@ object Bpe {
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((it, l, r, n, l + r))
-        // greedy left-to-right fusion: one array fold, map-only; `skip`
-        // marks that position i was consumed by a merge at i-1
-        val next = cur.select(col("w"), col("c"), expr(
-          s"""aggregate(sequence(1, size(syms)),
-              named_struct('out', cast(array() as array<string>), 'skip', false),
-              (acc, i) -> if(acc.skip,
-                named_struct('out', acc.out, 'skip', false),
-                if(i < size(syms) and element_at(syms, i) = '${esc(l)}'
-                     and element_at(syms, i + 1) = '${esc(r)}',
-                   named_struct('out', concat(acc.out, array('${esc(l + r)}')),
-                     'skip', true),
-                   named_struct('out', concat(acc.out, array(element_at(syms, i))),
-                     'skip', false))),
-              acc -> acc.out)""").as("syms"))
+        val next = cur
+          .select(col("w"), col("c"), expr(fuseExpr(l, r)).as("syms"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize before releasing the parent iteration
         cur.unpersist()
@@ -89,4 +102,31 @@ object Bpe {
     cur.unpersist()
     merges.result().toDF("iter", "lhs", "rhs", "pair_count", "token")
   }
+
+  /** APPLY an ordered merge list — the tokenizer SERVING path pairing
+    * with [[trainMerges]] the way q142 serves what q159 trains: the
+    * vocabulary decomposes to characters + marker and the merges replay
+    * IN ORDER as chained map-only folds (each pair rides its fold as
+    * literals; no join, no shuffle after the one vocab build). Returns
+    * the tokenized vocabulary `(w, c, syms)`; tokenizing raw docs means
+    * joining them to it on the word — or baking the same folds directly
+    * over a doc-side array at the identical seam.
+    */
+  def applyMerges(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(initVocab(docs, textCol)) { case (df, (l, r)) =>
+      df.select(col("w"), col("c"), expr(fuseExpr(l, r)).as("syms"))
+    }
+
+  /** Corpus token frequencies under a trained merge list: the
+    * vocabulary-health readout (which merged tokens carry mass, how
+    * much tail stays at character level). One explode + one partial agg
+    * over the tokenized vocabulary — everything stays
+    * vocabulary-sized.
+    */
+  def tokenFrequencies(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    applyMerges(docs, textCol, merges)
+      .select(explode(col("syms")).as("token"), col("c"))
+      .groupBy(col("token")).agg(sum(col("c")).as("n"))
 }

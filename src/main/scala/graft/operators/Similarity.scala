@@ -568,4 +568,61 @@ object Similarity {
       .select(col("id"), col("cluster"),
         not(coalesce(col("__dup"), lit(false))).as("keep"))
   }
+
+  /** k-CENTER coreset selection by farthest-first traversal (Gonzalez
+    * 1985; a 2-approximation of the k-center optimum): the first center
+    * is the smallest id; each next center is the vector whose MAXIMUM
+    * cosine similarity to the chosen set is smallest — i.e. the most
+    * novel remaining vector. The diversity-sampling picker (annotation
+    * batches, eval-set seeding, cluster initialization) that
+    * quota/temperature sampling cannot express: it optimizes COVERAGE
+    * of embedding space, not proportionality.
+    *
+    * Determinism/portability: similarities are the native
+    * `cosine_similarity` rounded to 6 dp BEFORE the min/argmin (the
+    * q14 agreement with `list_cosine_similarity`); ties break by
+    * ascending id — the full selection trajectory replays on any
+    * engine.
+    *
+    * Scale shape: each of the k rounds is ONE map over the corpus
+    * (chosen centers ride the plan as `k × dim` float literals — the
+    * q71 frozen-centroid discipline) + one TakeOrdered(1) argmin. No
+    * shuffle of the vector table, ever; driver state = the chosen
+    * centers. k rounds = k corpus scans off a persisted projection.
+    *
+    * Returns `(rank, vec_id, max_sim)` — `max_sim` NULL for the seed
+    * row, else the similarity that made the pick (descending novelty).
+    */
+  def kCenters(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val vecs = Parallelism.ensureCompute(vectors)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed = vecs.orderBy(col("id").asc).limit(1).collect()
+      require(seed.nonEmpty, "kCenters needs a non-empty vector table")
+      var chosen = Vector((seed(0).getLong(0), seed(0).getSeq[Float](1).toArray))
+      val out = Seq.newBuilder[(Int, Long, Option[Double])]
+      out += ((1, chosen.head._1, None))
+      for (rank <- 2 to k) {
+        val sims = chosen.map { case (_, cv) =>
+          round(VectorExpressions.cosine(col("v"),
+            array(cv.toIndexedSeq.map(x => lit(x)): _*).cast("array<float>")), 6)
+        }
+        val maxSim = if (sims.size == 1) sims.head else greatest(sims: _*)
+        val pick = vecs.where(!col("id").isin(chosen.map(_._1): _*))
+          .select(col("id"), col("v"), maxSim.as("ms"))
+          .orderBy(col("ms").asc, col("id").asc)
+          .limit(1).collect()
+        if (pick.nonEmpty) {
+          chosen = chosen :+ ((pick(0).getLong(0), pick(0).getSeq[Float](1).toArray))
+          out += ((rank, pick(0).getLong(0), Some(pick(0).getAs[Double]("ms"))))
+        }
+      }
+      out.result().toDF("rank", "vec_id", "max_sim")
+    } finally vecs.unpersist()
+  }
 }

@@ -74,6 +74,35 @@ class BpeSpec extends SparkSuite {
     assert(got == referenceBpe(texts, 6), s"got $got")
   }
 
+  test("applyMerges/tokenFrequencies: trained merges tokenize like the reference") {
+    val texts = Seq("the quick brown fox", "the lazy dog the dog",
+      "quick quick brown", "fox dog lazy the")
+    val merges = referenceBpe(texts, 4).map(m => (m._2, m._3))
+    val got = Bpe.tokenFrequencies(texts.toDF("text"), "text", merges)
+      .as[(String, Long)].collect().toMap
+    // reference tokenization with the same merges
+    val words = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.split(" ").filter(_.nonEmpty)
+      .foreach(w => words(w) = words.getOrElse(w, 0L) + 1L))
+    val want = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, c) =>
+      var syms = w.map(_.toString).toVector :+ "</w>"
+      merges.foreach { case (l, r) =>
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.foreach(t => want(t) = want.getOrElse(t, 0L) + c)
+    }
+    assert(got == want.toMap, s"got $got, want $want")
+    assert(got.keys.exists(t => t.length > 1 && t != "</w>"),
+      "at least one merged token must carry mass")
+  }
+
   test("trainMerges: argument guards") {
     intercept[IllegalArgumentException] {
       Bpe.trainMerges(Seq("a").toDF("text"), "text", iters = 0)

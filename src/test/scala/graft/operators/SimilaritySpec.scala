@@ -413,4 +413,42 @@ class SimilaritySpec extends SparkSuite {
     assert(capped.count() == 40L, "every batch row judged")
     assert(du.nonEmpty, "fixture must actually produce store-rule drops")
   }
+
+  test("kCenters: farthest-first picks directions before near-duplicates") {
+    // three tight directional clusters + clones; axes are mutually
+    // orthogonal so the first three picks must cover all three
+    // directions, never two clones of one
+    val vecs = Seq(
+      1L -> Array(1f, 0f, 0f), 2L -> Array(0.99f, 0.01f, 0f),
+      10L -> Array(0f, 1f, 0f), 11L -> Array(0.01f, 0.99f, 0f),
+      20L -> Array(0f, 0f, 1f), 21L -> Array(0f, 0.01f, 0.99f)
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenters(vecs, "vec_id", "embedding", k = 3)
+      .as[(Int, Long, Option[Double])].collect().sortBy(_._1)
+    assert(got(0) == ((1, 1L, None)), "seed is the smallest id")
+    val dirs = got.map(_._2 / 10L).toSet
+    assert(dirs == Set(0L, 1L, 2L),
+      s"3 centers must cover all 3 directions: ${got.toSeq}")
+    assert(got.forall { case (r, _, ms) => r == 1 || ms.exists(_ < 0.5) },
+      s"chosen novelty must be low-similarity: ${got.toSeq}")
+  }
+
+  test("kCenters: k beyond the table returns one row per vector; guards hold") {
+    val vecs = Seq(1L -> Array(1f, 0f), 2L -> Array(0f, 1f))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.kCenters(vecs, "vec_id", "embedding", k = 5).count() == 2L)
+    intercept[IllegalArgumentException] {
+      Similarity.kCenters(vecs, "vec_id", "embedding", k = 0)
+    }
+  }
+
+  test("kCenters: deterministic trajectory on the real embeddings slice") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(100)
+    val a = Similarity.kCenters(emb, "vec_id", "embedding", k = 4)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    val b = Similarity.kCenters(emb.repartition(7), "vec_id", "embedding", k = 4)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    assert(a.sortBy(_._1) == b.sortBy(_._1),
+      "selection must be partitioning-independent")
+  }
 }
