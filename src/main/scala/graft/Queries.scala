@@ -3502,4 +3502,61 @@ object Queries {
   def q168KCenters(spark: SparkSession, dir: String): DataFrame =
     Similarity.kCenters(tp(spark, dir, "embeddings"),
       "vec_id", "embedding", k = 4)
+
+  // ---------------------------------------------------------------- Q169
+  /** Dominant embedding direction by power iteration ([[graft.operators
+    * .Spectral.powerIteration]]): three Krylov steps over the raw
+    * embedding matrix — the anisotropy/collapse diagnostic (a corpus
+    * leaning into one direction has less usable capacity than its
+    * dimension suggests). Each step is one corpus map (v as 64
+    * literals) + one dim-keyed partial agg; fixed-order dot folds,
+    * 6-dp rounding, exact-decimal per-dim sums make the whole
+    * trajectory — direction AND growth factor — replay in SQL.
+    */
+  def q169PowerIteration(spark: SparkSession, dir: String): DataFrame =
+    Spectral.powerIteration(tp(spark, dir, "embeddings"),
+      "embedding", dim = 64, iters = 3)
+
+  // ---------------------------------------------------------------- Q170
+  /** MULTI-TOUCH attribution (linear credit): each purchase splits one
+    * conversion equally across the user's clicks in the preceding 7
+    * days; purchases with no qualifying click land whole in an
+    * `unattributed` channel (−1). Complements q93's last-touch: that
+    * picks ONE winner via the as-of join; this distributes fractional
+    * credit — the other standard marketing-analytics model. Channel is
+    * derived closed-form from the click's props (`k mod 4`, the q153
+    * generator contract).
+    *
+    * Shape: one user-keyed equi-join with a time-range post-filter
+    * (per-user event counts bound the pairing; a bot-scale user costs
+    * its own pairings, flagged by the q82 salting seam if it ever
+    * dominates), one per-purchase count window, one channel partial
+    * agg. Credits are `round(1/n, 6)` DECIMAL sums — order-independent.
+    */
+  def q170MultiTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tp(spark, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"),
+        (get_json_object(col("props"), "$.k").cast("long") % 4).as("channel"))
+    val joined = purchases.join(clicks,
+      purchases("user_id") === clicks("user_id") &&
+        col("cts") <= col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 7 DAYS"),
+      "left_outer")
+    val n = count(col("cts")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("pid")))
+    joined.select(col("pid"), col("channel"), col("cts"), n.as("n"))
+      .select(
+        when(col("n") === 0L, lit(-1L)).otherwise(col("channel")).as("channel"),
+        when(col("n") === 0L, lit(1.0))
+          .otherwise(round(lit(1.0) / col("n"), 6))
+          .cast("decimal(18,6)").as("credit"))
+      .groupBy(col("channel"))
+      .agg(
+        round(sum(col("credit")).cast("decimal(38,6)").cast("double"), 6)
+          .as("conversions"),
+        count(lit(1)).as("n_touches"))
+  }
 }

@@ -205,7 +205,33 @@ object SparkEntry {
     "q166_bpe_merges" -> (Queries.q166BpeMerges _),
     "q167_bpe_tokenize" -> (Queries.q167BpeTokenize _),
     "q168_k_centers" -> (Queries.q168KCenters _),
+    "q169_power_iteration" -> (Queries.q169PowerIteration _),
+    "q170_multi_touch" -> (Queries.q170MultiTouchAttribution _),
   )
+
+  /** One power-iteration step as oracle CTEs (see `Spectral
+    * .powerIteration`): fixed-order dot fold rounded 6 dp, per-dim
+    * decimal sums of 6-dp contributions, exact-decimal norm, one
+    * division per dim.
+    */
+  private def powIter(k: Int): String = {
+    val j = k - 1
+    s"""vl$j AS (SELECT list(v ORDER BY j) AS vl FROM vt$j),
+       |d$k AS (
+       |  SELECT vec_id,
+       |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(generate_series(1, 64),
+       |             i -> embedding[i]::DOUBLE * vl[i])), (a, b) -> a + b), 6) AS d
+       |  FROM embeddings, vl$j),
+       |w$k AS (
+       |  SELECT CAST(u.i AS BIGINT) AS j,
+       |         CAST(sum(CAST(round(e.embedding[u.i]::DOUBLE * d$k.d, 6) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS ws
+       |  FROM embeddings e JOIN d$k ON d$k.vec_id = e.vec_id,
+       |       unnest(generate_series(1, 64)) AS u(i)
+       |  GROUP BY 1),
+       |n$k AS (SELECT sqrt(CAST(sum(CAST(ws AS DECIMAL(18,6)) * CAST(ws AS DECIMAL(18,6))) AS DOUBLE)) AS nrm FROM w$k),
+       |vt$k AS (SELECT w$k.j, round(CAST(ws AS DOUBLE) / n$k.nrm, 6) AS v FROM w$k, n$k)""".stripMargin
+  }
 
   /** One BPE iteration as oracle CTEs (see `Bpe.trainMerges`): pair
     * counts over the previous symbol table, the (n DESC, l, r) argmax,
@@ -3196,5 +3222,42 @@ object SparkEntry {
         |UNION ALL SELECT 2, vec_id, ms FROM c2
         |UNION ALL SELECT 3, vec_id, ms FROM c3
         |UNION ALL SELECT 4, vec_id, ms FROM c4""".stripMargin,
+    // three power-iteration steps replayed (see powIter scaladoc);
+    // lambda = the final iterate's growth factor, rounded like the
+    // operator's driver-side update
+    "q169_power_iteration" ->
+      s"""WITH vt0 AS (
+         |  SELECT CAST(t.i AS BIGINT) AS j,
+         |         CASE WHEN t.i = 1 THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS v
+         |  FROM unnest(generate_series(1, 64)) AS t(i)),
+         |${powIter(1)},
+         |${powIter(2)},
+         |${powIter(3)}
+         |SELECT vt3.j, vt3.v, (SELECT round(nrm, 6) FROM n3) AS lambda
+         |FROM vt3""".stripMargin,
+    // linear credit replay: same 7-day window join, same per-purchase
+    // count, same round(1/n, 6) decimal sums; no-click purchases -> -1
+    "q170_multi_touch" ->
+      """WITH p AS (
+        |  SELECT event_id AS pid, user_id, ts AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS cts,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS channel
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.pid, c.cts, c.channel
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |    AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 7 DAY),
+        |w AS (
+        |  SELECT pid, channel, cts,
+        |         count(cts) OVER (PARTITION BY pid) AS n
+        |  FROM j)
+        |SELECT CASE WHEN n = 0 THEN -1 ELSE channel END AS channel,
+        |       round(CAST(CAST(sum(CAST(CASE WHEN n = 0 THEN 1.0
+        |                 ELSE round(CAST(1.0 AS DOUBLE) / n, 6) END
+        |               AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS conversions,
+        |       count(*) AS n_touches
+        |FROM w GROUP BY 1""".stripMargin,
   )
 }

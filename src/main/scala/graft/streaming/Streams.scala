@@ -252,6 +252,33 @@ object Streams {
         ()
       }
       .start()
+
+  /** STREAMING count-min maintenance: each micro-batch collapses to its
+    * own sketch ([[graft.operators.CountMin.build]] — depth×width rows,
+    * input-batch-sized work, sketch-sized output) and APPENDS into a
+    * [[graft.operators.ManifestTable]] through the exactly-once txn
+    * ledger. Counter addition is NOT idempotent — a naive foreachBatch
+    * "add into a store" double-counts on at-least-once replays — which
+    * is precisely what the manifest's per-app batchId high-water mark
+    * rules out: the replayed batch's commit is a no-op. The live corpus
+    * sketch is the counter sum over every appended row
+    * ([[currentCountMin]], q143's additivity theorem); history collapses
+    * in the maintenance window via `ManifestTable.compact` (the txn
+    * ledger survives compaction, so restarts still dedup).
+    */
+  def streamingCountMinSink(tableRoot: String, queryName: String,
+      keyCol: String, depth: Int, width: Int)(
+      batch: DataFrame, batchId: Long): Unit =
+    graft.operators.ManifestTable.streamInto(tableRoot, queryName)(
+      graft.operators.CountMin.build(batch, keyCol, depth, width), batchId)
+
+  /** The maintained sketch as of the table's current snapshot: one
+    * counter per (d, bucket), identical to a from-scratch build over
+    * everything the stream has delivered.
+    */
+  def currentCountMin(spark: SparkSession, tableRoot: String): DataFrame =
+    graft.operators.CountMin.merge(
+      graft.operators.ManifestTable.read(spark, tableRoot))
 }
 
 /** Merge-into-parquet sink with write-new-then-swap atomicity (SURVEY §7

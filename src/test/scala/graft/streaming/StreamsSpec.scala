@@ -553,6 +553,26 @@ class StreamsSpec extends SparkSuite {
     assert(spark.read.parquet(storeDir).count() == 6L)
   }
 
+  test("streaming count-min maintenance: replay-safe, equals the one-shot build") {
+    import graft.operators.CountMin
+    val root = Files.createTempDirectory("graft_stream_cms").resolve("t").toString
+    val sink = Streams.streamingCountMinSink(root, "cms", "k", 4, 64) _
+    def keys(lo: Long, hi: Long) = (lo to hi).map(i => i % 17).toDF("k")
+    sink(keys(1, 30), 0L)
+    sink(keys(31, 60), 1L)
+    sink(keys(31, 60), 1L) // at-least-once replay: must be a no-op
+    sink(keys(61, 90), 2L)
+    val maintained = Streams.currentCountMin(spark, root)
+    val oneShot = CountMin.build(keys(1, 90), "k", 4, 64)
+    assert(maintained.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(maintained).isEmpty,
+      "maintained sketch must equal the from-scratch build bit-for-bit")
+    // a double-add would inflate the replayed batch's counters: total
+    // counter mass must be exactly depth * 90 rows
+    val mass = maintained.agg(sum($"cnt")).as[Long].head()
+    assert(mass == 4L * 90, s"counter mass $mass != 360")
+  }
+
   test("session windows merge events within the gap") {
     val df = Seq(
       ("2024-01-01 00:00:00", 1L), ("2024-01-01 00:10:00", 1L), // one session
