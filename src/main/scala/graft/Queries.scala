@@ -3559,4 +3559,81 @@ object Queries {
           .as("conversions"),
         count(lit(1)).as("n_touches"))
   }
+
+  // ---------------------------------------------------------------- Q171
+  /** Local clustering coefficients ([[graft.operators.Graph
+    * .clusteringCoefficients]]) on q165's link graph: per-vertex
+    * triangle density `2T/(d(d−1))` — the community-tightness signal
+    * a spam/quality pass reads per site. Costs the degree-ordered
+    * triangle enumeration plus one explode + vertex partial agg. The
+    * oracle recomputes from the orientation-free triangle join.
+    */
+  def q171ClusteringCoefficients(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tp(spark, dir, "documents").select(
+      (col("doc_id") % 29).as("u"), expr("doc_id div 29").as("v"))
+    Graph.clusteringCoefficients(edges, "u", "v")
+  }
+
+  // ---------------------------------------------------------------- Q172
+  /** nDCG@10 ranking evaluation ([[graft.operators.Retrieval
+    * .ndcgAtK]]): a deterministic ranking (longest docs first) scored
+    * against graded relevance (`doc_id mod 4` — the q153 generator
+    * contract), normalized by the corpus-wide ideal prefix. The
+    * operator composes identically with the q110/q136/q154 rankers;
+    * this query pins the METRIC arithmetic — per-rank gains, decimal
+    * sums, the final ratio — bit-for-bit.
+    */
+  def q172NdcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val ranked = docs.orderBy(col("n_chars").desc, col("doc_id").asc)
+      .limit(10)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_chars").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("rank"))
+    val rels = docs.select(col("doc_id"), (col("doc_id") % 4).as("rel"))
+    Retrieval.ndcgAtK(ranked, "doc_id", "rank", rels, "doc_id", "rel", k = 10)
+  }
+
+  // ---------------------------------------------------------------- Q173
+  /** kNN label-agreement audit ([[graft.operators.Similarity
+    * .labelAgreement]]): for every embedding, the fraction of its 5
+    * nearest neighbors sharing its label — the mislabel shortlist a
+    * label-cleaning pass reviews first (exact all-pairs tier, the q30b
+    * ground-truth discipline; the IVF/LSH candidate seam is the 100 TB
+    * path). Full per-vector frame against the oracle.
+    */
+  def q173LabelAgreement(spark: SparkSession, dir: String): DataFrame =
+    Similarity.labelAgreement(tp(spark, dir, "embeddings"),
+      "vec_id", "embedding", "label", k = 5)
+
+  // ---------------------------------------------------------------- Q174
+  /** Probe calibration curve (reliability diagram): q142's classifier
+    * scores cut into exact deciles by [[graft.operators.TrainingPrep
+    * .distributedNtile]] (unique order key = 6-dp score scaled to an
+    * integer, doc id as tiebreak — never a global window), then
+    * per-decile mean score vs positive fraction. The eval member of
+    * the train/serve loop (q159 trains, q142 serves, this reads the
+    * calibration). Decimal-exact sums; the oracle uses plain `ntile`
+    * (the q94 bit-equality).
+    */
+  def q174ProbeCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = DataSelection
+      .hashedLinearScore(tp(spark, dir, "documents"), "doc_id", "text")
+      .where(col("n_tokens") > 0)
+      .withColumn("__key",
+        round(col("score") * 1000000).cast("long") * 10000000000L +
+          col("doc_id"))
+    TrainingPrep.distributedNtile(scored, "__key", 10)
+      .groupBy(col("ntile"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("score").cast("decimal(18,6)")).cast("decimal(38,6)")
+          .as("__s"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("__p"))
+      .select(col("ntile"), col("n"),
+        round(col("__s").cast("double") / col("n").cast("double"), 6)
+          .as("mean_score"),
+        round(col("__p").cast("double") / col("n").cast("double"), 6)
+          .as("frac_pos"))
+  }
 }

@@ -207,6 +207,10 @@ object SparkEntry {
     "q168_k_centers" -> (Queries.q168KCenters _),
     "q169_power_iteration" -> (Queries.q169PowerIteration _),
     "q170_multi_touch" -> (Queries.q170MultiTouchAttribution _),
+    "q171_clustering_coeff" -> (Queries.q171ClusteringCoefficients _),
+    "q172_ndcg_eval" -> (Queries.q172NdcgEval _),
+    "q173_label_agreement" -> (Queries.q173LabelAgreement _),
+    "q174_probe_calibration" -> (Queries.q174ProbeCalibration _),
   )
 
   /** One power-iteration step as oracle CTEs (see `Spectral
@@ -3259,5 +3263,97 @@ object SparkEntry {
         |               AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS conversions,
         |       count(*) AS n_touches
         |FROM w GROUP BY 1""".stripMargin,
+    // q165's edge generator + the orientation-free triangle join, then
+    // per-vertex triangle counts over degrees
+    "q171_clustering_coeff" ->
+      """WITH raw AS (
+        |  SELECT doc_id % 29 AS u, doc_id // 29 AS v FROM documents),
+        |e AS (
+        |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        |  FROM raw WHERE u <> v),
+        |deg AS (
+        |  SELECT v, count(*) AS d
+        |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tc AS (
+        |  SELECT v, count(*) AS t
+        |  FROM (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+        |        UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT deg.v, deg.d, coalesce(tc.t, 0) AS t,
+        |       CASE WHEN deg.d < 2 THEN CAST(0.0 AS DOUBLE)
+        |            ELSE round(CAST(2.0 AS DOUBLE) * coalesce(tc.t, 0)
+        |                       / (deg.d * (deg.d - 1)), 6) END AS cc
+        |FROM deg LEFT JOIN tc ON tc.v = deg.v""".stripMargin,
+    // per-rank graded gains, decimal sums, corpus-wide ideal prefix
+    "q172_ndcg_eval" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank
+        |  FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10),
+        |rels AS (SELECT doc_id, doc_id % 4 AS rel FROM documents),
+        |terms AS (
+        |  SELECT round((pow(2.0, CAST(coalesce(r.rel, 0) AS DOUBLE)) - 1.0)
+        |               / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2)), 6) AS t
+        |  FROM ranked LEFT JOIN rels r USING (doc_id)),
+        |dcg AS (SELECT CAST(sum(CAST(t AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS d FROM terms),
+        |ideal AS (
+        |  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS rank
+        |  FROM rels ORDER BY rel DESC, doc_id ASC LIMIT 10),
+        |iterms AS (
+        |  SELECT round((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+        |               / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2)), 6) AS t
+        |  FROM ideal),
+        |idcg AS (SELECT CAST(sum(CAST(t AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS i FROM iterms)
+        |SELECT round(CAST(d AS DOUBLE), 6) AS dcg,
+        |       round(CAST(i AS DOUBLE), 6) AS idcg,
+        |       round(CAST(d AS DOUBLE) / CAST(i AS DOUBLE), 6) AS ndcg
+        |FROM dcg, idcg""".stripMargin,
+    // exact all-pairs cosine, per-anchor top-5 by (sim DESC, id ASC),
+    // same-label fraction
+    "q173_label_agreement" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS id, a.label, b.vec_id AS nid, b.label AS nlabel,
+        |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        |  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, nid ASC) AS rn
+        |  FROM s)
+        |SELECT id, label,
+        |       CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+        |       round(CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS agreement
+        |FROM w WHERE rn <= 5 GROUP BY 1, 2""".stripMargin,
+    // q142's score pipeline -> unique integer order key -> plain ntile
+    // (the q94 bit-equality with distributedNtile) -> per-decile stats
+    "q174_probe_calibration" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         list_transform(string_split(text, ' '), t ->
+        |           list_reduce(
+        |             list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |             (a, x) -> (a * 131 + x) % 281474976710656)) AS hs
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tokens,
+        |        CAST(coalesce(list_sum(list_transform(hs, hv ->
+        |          ((hv % 64) * 2654435761) % 1997 - 998)), 0) AS BIGINT) AS score_int
+        |      FROM h),
+        |sc AS (
+        |  SELECT doc_id,
+        |         round(CAST(score_int AS DOUBLE) / CAST(n_tokens * 1000 AS DOUBLE), 6) AS score,
+        |         (score_int > 0) AS label
+        |  FROM s WHERE n_tokens > 0),
+        |kk AS (
+        |  SELECT *, CAST(round(score * 1000000) AS BIGINT) * 10000000000 + doc_id AS key
+        |  FROM sc),
+        |nt AS (SELECT *, ntile(10) OVER (ORDER BY key) AS ntile FROM kk)
+        |SELECT ntile, count(*) AS n,
+        |       round(CAST(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS mean_score,
+        |       round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS frac_pos
+        |FROM nt GROUP BY 1""".stripMargin,
   )
 }

@@ -143,15 +143,26 @@ object Graph {
     * canonicalize first. Output: one row per triangle as the id-sorted
     * triple (va < vb < vc).
     */
-  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges
+  /** Canonical undirected simple edges: (a < b), self-loops dropped,
+    * duplicates and reversals collapsed.
+    */
+  private def canonicalEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges
       .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .distinct()
-    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+
+  /** Vertex degrees of a canonical edge set: one partial-agg pass. */
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
+
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val deg = degreesOf(e)
     val withDeg = e
       .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
@@ -172,5 +183,29 @@ object Graph {
           least(col("u"), col("v"), col("w")) -
           greatest(col("u"), col("v"), col("w"))).as("vb"),
         greatest(col("u"), col("v"), col("w")).as("vc"))
+  }
+
+  /** LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998):
+    * `cc(v) = 2·T(v) / (d(v)·(d(v)−1))` — the fraction of a vertex's
+    * neighbor pairs that are themselves connected. The per-node
+    * community-density signal on a link graph (spam farms cluster
+    * tight; organic link neighborhoods don't); degree-1/0 vertices
+    * score 0 by convention. Costs [[triangles]] plus one explode +
+    * vertex-keyed partial agg + a degree join — the O(m^1.5) wedge
+    * bound carries over. Returns `(v, d, t, cc)` for every vertex,
+    * cc rounded 6 dp.
+    */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val tCounts = triangles(edges, srcCol, dstCol)
+      .select(explode(array(col("va"), col("vb"), col("vc"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("t"))
+    degreesOf(e).join(tCounts, Seq("v"), "left_outer")
+      .select(col("v"), col("d"), coalesce(col("t"), lit(0L)).as("t"))
+      .withColumn("cc",
+        when(col("d") < 2, lit(0.0))
+          .otherwise(round(lit(2.0) * col("t") /
+            (col("d") * (col("d") - 1L)), 6)))
   }
 }

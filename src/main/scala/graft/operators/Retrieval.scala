@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -217,5 +217,50 @@ object Retrieval {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("sim").desc, col("id").asc)).cast("long"))
       .select(col("id"), col(scoreCol), col("sim"), col("rank"))
+  }
+
+  /** nDCG@k ranking evaluation (Järvelin & Kekäläinen 2002): graded
+    * gains `(2^rel − 1) / log₂(rank + 1)`, normalized by the ideal DCG
+    * over the CORPUS-wide relevance table (rel DESC, id ASC — a ranker
+    * is penalized for missing relevant docs entirely, not just for
+    * ordering its hits badly). The eval readout for the retrieval
+    * family (q110 BM25, q136 RRF, q154 rerank) — "measure, don't
+    * guess" applied to ranking quality, as q133 applies it to LSH
+    * recall.
+    *
+    * Exactness: each rank's term is one fixed chain of IEEE ops
+    * (pow, ln, two divisions) rounded 6 dp; the k-term sums run
+    * through DECIMAL (order-independent); the final ratio is one
+    * division. Missing relevance joins as 0 gain.
+    *
+    * Scale shape: `ranked` is top-k-sized by construction; the ideal
+    * prefix is one TakeOrdered(k) over the relevance table; the join
+    * broadcasts the k-row side. One row out.
+    */
+  def ndcgAtK(ranked: DataFrame, idCol: String, rankCol: String,
+      rels: DataFrame, relIdCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val ln2 = math.log(2.0)
+    val term = (rel: Column, rank: Column) =>
+      round((pow(lit(2.0), rel.cast("double")) - lit(1.0)) /
+        (log(rank.cast("double") + lit(1.0)) / lit(ln2)), 6)
+        .cast("decimal(18,6)")
+    val r = Parallelism.ensureCompute(rels)
+      .select(col(relIdCol).as("rid"), col(relCol).as("rel"))
+    val dcg = ranked.where(col(rankCol) <= k)
+      .select(col(idCol).as("id"), col(rankCol).as("rank"))
+      .join(broadcast(r).withColumnRenamed("rid", "id"), Seq("id"), "left_outer")
+      .agg(sum(term(coalesce(col("rel"), lit(0L)), col("rank")))
+        .cast("decimal(38,6)").as("dcg_d"))
+    val ideal = r.orderBy(col("rel").desc, col("rid").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rel").desc, col("rid").asc)).cast("long"))
+      .agg(sum(term(col("rel"), col("rank")))
+        .cast("decimal(38,6)").as("idcg_d"))
+    dcg.crossJoin(ideal).select(
+      round(col("dcg_d").cast("double"), 6).as("dcg"),
+      round(col("idcg_d").cast("double"), 6).as("idcg"),
+      round(col("dcg_d").cast("double") / col("idcg_d").cast("double"), 6)
+        .as("ndcg"))
   }
 }

@@ -593,6 +593,49 @@ object Similarity {
     * Returns `(rank, vec_id, max_sim)` — `max_sim` NULL for the seed
     * row, else the similarity that made the pick (descending novelty).
     */
+  /** kNN LABEL-AGREEMENT audit (the confident-learning-style mislabel
+    * signal, Northcutt et al. shape): for every vector, the fraction of
+    * its k nearest neighbors (cosine, 6-dp pre-rank rounding, id
+    * tiebreak) that share its label. A low-agreement row sits inside a
+    * differently-labeled neighborhood — the first list a label-cleaning
+    * pass reviews; the embedding-space sibling of the q147 labeler
+    * agreement audit.
+    *
+    * This is the EXACT (all-pairs) tier, the q30b ground-truth
+    * discipline: at corpus scale the pairing seam swaps to the IVF
+    * ([[ivfTopKJoin]]) or LSH ([[lshTopKJoin]]) candidate generators —
+    * agreement is computed on candidates exactly the same way.
+    * Per-anchor top-k runs as a WindowGroupLimit (per-task heaps),
+    * never a full sort.
+    *
+    * Returns `(id, label, n_same, agreement)` — agreement over the
+    * neighbors actually found (min(k, n−1)), rounded 6 dp.
+    */
+  def labelAgreement(vectors: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"k must be in [1, 100], got $k")
+    val v = Parallelism.ensureCompute(vectors)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        col(labelCol).as("label"))
+    val a = v.select(col("id"), col("v"), col("label"))
+    val b = v.select(col("id").as("nid"), col("v").as("nv"),
+      col("label").as("nlabel"))
+    val scored = a.crossJoin(b).where(col("id") =!= col("nid"))
+      .withColumn("sim",
+        round(VectorExpressions.cosine(col("v"), col("nv")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("sim").desc, col("nid").asc)))
+      .where(col("rn") <= k)
+    scored.groupBy(col("id"), col("label"))
+      .agg(sum(when(col("nlabel") === col("label"), 1L).otherwise(0L))
+          .as("n_same"),
+        count(lit(1)).as("__n"))
+      .select(col("id"), col("label"), col("n_same"),
+        round(col("n_same").cast("double") / col("__n").cast("double"), 6)
+          .as("agreement"))
+  }
+
   def kCenters(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")

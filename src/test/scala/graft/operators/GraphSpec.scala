@@ -127,6 +127,31 @@ class GraphSpec extends SparkSuite {
     assert(got.nonEmpty, "generator must actually produce triangles")
   }
 
+  test("clusteringCoefficients: hand-computed values on a kite graph") {
+    // triangle {1,2,3} + pendant 4 attached to 3
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d")
+    val got = Graph.clusteringCoefficients(e, "s", "d")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      // v3: degree 3, 1 triangle of C(3,2)=3 neighbor pairs -> 1/3
+      3L -> ((3L, 1L, 0.333333)),
+      4L -> ((1L, 0L, 0.0))), s"got $got")
+  }
+
+  test("clusteringCoefficients: complete graph all-1, star all-0") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s", "d")
+    val ccK4 = Graph.clusteringCoefficients(k4, "s", "d")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(ccK4.forall(_._4 == 1.0), s"K4 must be all-1: ${ccK4.toSeq}")
+    val star = (2L to 6L).map(i => (1L, i)).toDF("s", "d")
+    val ccStar = Graph.clusteringCoefficients(star, "s", "d")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(ccStar.forall(_._4 == 0.0), s"star must be all-0: ${ccStar.toSeq}")
+  }
+
   test("flattenForest: a forest keeps trees separate, extra rounds harmless") {
     val parentOf = Seq(
       (10L, None), (11L, Some(10L)), (12L, Some(11L)),   // tree rooted at 10

@@ -150,4 +150,37 @@ class RetrievalSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
     assert(out == Seq((7L, 1L), (10L, 2L), (5L, 3L)), s"got $out")
   }
+
+  test("ndcgAtK: perfect ranking scores 1, reversed ranking scores less") {
+    import spark.implicits._
+    val rels = Seq((1L, 3L), (2L, 2L), (3L, 1L), (4L, 0L)).toDF("id", "rel")
+    val perfect = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val p = Retrieval.ndcgAtK(perfect, "id", "rank", rels, "id", "rel", k = 3)
+      .as[(Double, Double, Double)].head()
+    assert(p._3 == 1.0, s"perfect ranking must hit nDCG 1: $p")
+    // hand DCG: (2^3-1)/log2(2) + (2^2-1)/log2(3) + (2^1-1)/log2(4)
+    val r6 = (v: Double) =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = BigDecimal(r6(7.0 / 1.0)) +
+      BigDecimal(r6(3.0 / (math.log(3.0) / math.log(2.0)))) +
+      BigDecimal(r6(1.0 / 2.0))
+    assert(p._1 == r6(want.toDouble), s"hand DCG mismatch: ${p._1} vs $want")
+    val reversed = Seq((3L, 1L), (2L, 2L), (1L, 3L)).toDF("id", "rank")
+    val r = Retrieval.ndcgAtK(reversed, "id", "rank", rels, "id", "rel", k = 3)
+      .as[(Double, Double, Double)].head()
+    assert(r._3 < p._3, s"reversed must score lower: $r")
+    assert(r._2 == p._2, "ideal DCG is ranking-independent")
+  }
+
+  test("ndcgAtK: unjudged docs gain zero; ranker penalized for missing relevant docs") {
+    import spark.implicits._
+    val rels = Seq((1L, 3L), (2L, 3L)).toDF("id", "rel")
+    // ranking retrieves one relevant + one unjudged doc
+    val ranked = Seq((1L, 1L), (99L, 2L)).toDF("id", "rank")
+    val out = Retrieval.ndcgAtK(ranked, "id", "rank", rels, "id", "rel", k = 2)
+      .as[(Double, Double, Double)].head()
+    // dcg = 7/log2(2) = 7; idcg = 7 + 7/log2(3)
+    assert(out._1 == 7.0, s"got $out")
+    assert(out._3 < 1.0, "missing the second relevant doc must cost nDCG")
+  }
 }

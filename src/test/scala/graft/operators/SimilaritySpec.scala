@@ -414,6 +414,36 @@ class SimilaritySpec extends SparkSuite {
     assert(du.nonEmpty, "fixture must actually produce store-rule drops")
   }
 
+  test("labelAgreement: planted mislabel scores lowest in its neighborhood") {
+    // cluster A (label 0) with one mislabeled member, cluster B (label 1)
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0.0f), 0), (2L, Array(0.99f, 0.1f, 0f), 0),
+      (3L, Array(0.98f, -0.1f, 0f), 0), (4L, Array(0.97f, 0.05f, 0f), 1), // mislabel
+      (10L, Array(0f, 0f, 1f), 1), (11L, Array(0.05f, 0f, 0.99f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelAgreement(vecs, "vec_id", "embedding", "label", k = 3)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // vec 4's 3 nearest are all label-0 cluster-A members -> agreement 0
+    assert(got(4L) == ((1, 0L, 0.0)), s"got $got")
+    // clean A members: neighbors {other As, the mislabeled 4}
+    assert(got(1L)._3 > 0.5 && got(2L)._3 > 0.5, s"got $got")
+    assert(got.size == 6, "one row per vector")
+  }
+
+  test("labelAgreement: k beyond n-1 divides by neighbors actually found") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.9f, 0.1f), 0), (3L, Array(0f, 1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelAgreement(vecs, "vec_id", "embedding", "label", k = 10)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got(1L) == 0.5 && got(2L) == 0.5, s"got $got")
+    intercept[IllegalArgumentException] {
+      Similarity.labelAgreement(vecs, "vec_id", "embedding", "label", k = 0)
+    }
+  }
+
   test("kCenters: farthest-first picks directions before near-duplicates") {
     // three tight directional clusters + clones; axes are mutually
     // orthogonal so the first three picks must cover all three
