@@ -3636,4 +3636,69 @@ object Queries {
         round(col("__p").cast("double") / col("n").cast("double"), 6)
           .as("frac_pos"))
   }
+
+  // ---------------------------------------------------------------- Q175
+  /** Manifest VERSION DIFF: two committed snapshots of a manifest table
+    * read back through time travel and reconciled row-level with
+    * [[graft.operators.Diff.diffSummary]] — "what changed between
+    * yesterday's snapshot and today's" as added/removed/changed/
+    * unchanged counts, the audit companion to the `changes` file feed
+    * (which reports appended FILES; this reports row semantics across
+    * any overwrite). v2 is derived closed-form from v1 (drops
+    * `k≡0 (mod 15)`, re-prices `k≡0 (mod 6)`, adds `k≡1 (mod 5)` keys
+    * outside v1), so the oracle states every count directly.
+    */
+  def q175ManifestDiff(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q175").resolve("t").toString
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val v1 = o.where(col("o_orderkey") % 3 === 0)
+    val v2 = v1.where(col("o_orderkey") % 15 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 6 === 0, col("o_totalprice") + 100.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(o.where(col("o_orderkey") % 5 === 1 &&
+        col("o_orderkey") % 3 =!= 0))
+    ManifestTable.commit(spark, root, v1, Seq("o_orderkey"))
+    ManifestTable.commit(spark, root, v2, Seq("o_orderkey")) // overwrite
+    Diff.diffSummary(
+      ManifestTable.read(spark, root, Some(1L)),
+      ManifestTable.read(spark, root, Some(2L)),
+      Seq("o_orderkey"))
+  }
+
+  // ---------------------------------------------------------------- Q176
+  /** Manifest BLOOM-INDEX point lookup ([[graft.operators.ManifestTable
+    * .buildBloomIndex]] / `scanKeys`): lineitem range-clustered on
+    * orderkey, then a needle lookup on `rid` — a synthetic row key
+    * SCATTERED relative to the clustering (partkey-dominated), exactly
+    * where min/max stats prune nothing. The index build is one scan +
+    * a metadata-only commit; the lookup prunes files from manifest
+    * bytes on the driver. Pruning must be answer-invisible — the
+    * oracle is the plain lookup over the raw table; skip evidence is
+    * pinned in ManifestTableSpec.
+    */
+  def q176BloomPointLookup(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q176").resolve("t").toString
+    val l = t(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_extendedprice"),
+      (col("l_partkey") * 1000003L + col("l_orderkey")).as("rid"))
+    ManifestTable.commit(spark, root,
+      l.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"),
+      Seq("l_orderkey"))
+    ManifestTable.buildBloomIndex(spark, root, "rid", numBits = 1 << 17)
+    val probes = l.orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(3).collect().map(_.getAs[Long]("rid")).toSeq
+    val scan = ManifestTable.scanKeys(spark, root, "rid", probes)
+    scan.df.where(col("rid").isin(probes: _*))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("rid")).as("rid_sum"),
+        round(sum(col("l_extendedprice").cast("string")
+            .cast("decimal(18,6)")).cast("decimal(38,6)").cast("double"), 6)
+          .as("revenue"))
+  }
 }

@@ -211,6 +211,8 @@ object SparkEntry {
     "q172_ndcg_eval" -> (Queries.q172NdcgEval _),
     "q173_label_agreement" -> (Queries.q173LabelAgreement _),
     "q174_probe_calibration" -> (Queries.q174ProbeCalibration _),
+    "q175_manifest_diff" -> (Queries.q175ManifestDiff _),
+    "q176_bloom_point_lookup" -> (Queries.q176BloomPointLookup _),
   )
 
   /** One power-iteration step as oracle CTEs (see `Spectral
@@ -3355,5 +3357,35 @@ object SparkEntry {
         |       round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
         |             / CAST(count(*) AS DOUBLE), 6) AS frac_pos
         |FROM nt GROUP BY 1""".stripMargin,
+    // the v1->v2 derivation is closed-form in the key, so every diff
+    // bucket is a direct count; removed⊂v1, changed excludes removed
+    "q175_manifest_diff" ->
+      """SELECT 'added' AS diff_status, count(*) AS n FROM orders
+        |WHERE o_orderkey % 5 = 1 AND o_orderkey % 3 <> 0
+        |UNION ALL
+        |SELECT 'removed', count(*) FROM orders WHERE o_orderkey % 15 = 0
+        |UNION ALL
+        |SELECT 'changed', count(*) FROM orders
+        |WHERE o_orderkey % 6 = 0 AND o_orderkey % 15 <> 0
+        |UNION ALL
+        |SELECT 'unchanged', count(*) FROM orders
+        |WHERE o_orderkey % 3 = 0 AND o_orderkey % 15 <> 0 AND o_orderkey % 6 <> 0""".stripMargin,
+    // the index is answer-invisible: plain lookup over the raw table,
+    // probes = the rid values of the first three (orderkey, linenumber)
+    "q176_bloom_point_lookup" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |         l_partkey * 1000003 + l_orderkey AS rid
+        |  FROM lineitem),
+        |probe AS (
+        |  SELECT rid FROM (
+        |    SELECT rid, row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        |    FROM l)
+        |  WHERE rn <= 3)
+        |SELECT count(*) AS n_rows,
+        |       CAST(sum(rid) AS BIGINT) AS rid_sum,
+        |       round(CAST(CAST(sum(CAST(CAST(l_extendedprice AS VARCHAR)
+        |                 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS revenue
+        |FROM l WHERE rid IN (SELECT rid FROM probe)""".stripMargin,
   )
 }

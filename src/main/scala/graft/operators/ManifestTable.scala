@@ -52,8 +52,15 @@ import org.apache.spark.sql.types._
 object ManifestTable {
 
   final case class ColStats(min: Option[String], max: Option[String], nulls: Long)
+
+  /** `blooms`: optional per-file bloom filters (column → base64 bitset,
+    * built by [[buildBloomIndex]]) — the point-lookup skipping index
+    * min/max stats cannot provide on unclustered columns. Absence means
+    * "no index", never "not present" — [[scanKeys]] keeps unindexed
+    * files.
+    */
   final case class FileEntry(path: String, rows: Long, bytes: Long,
-      stats: Map[String, ColStats])
+      stats: Map[String, ColStats], blooms: Map[String, String] = Map.empty)
 
   /** Merge-on-read deletion vector: a parquet directory of deleted keys
     * plus the EXPLICIT file scope it applies to (the candidate files at
@@ -768,7 +775,9 @@ object ManifestTable {
     committedVersions(f, root).filter(v => v > fromVersion && v <= toVersion)
       .foreach { v =>
         val mode = loadManifest(f, root, v).mode
-        require(mode == "append",
+        // "index" commits carry the same data files with metadata-only
+        // bloom additions — row-faithful, safe to cross
+        require(mode == "append" || mode == "index",
           s"changes($fromVersion, $toVersion) crosses a non-append commit at v$v ($mode)")
       }
     val base = from.files.map(_.path).toSet
@@ -939,6 +948,113 @@ object ManifestTable {
       kept.size, m.files.size)
   }
 
+  private val BloomHashes = 5
+
+  /** BLOOM INDEX build — `CREATE INDEX` as a commit (the Delta
+    * bloom-filter-index shape): one scan of the current snapshot
+    * grouped by `input_file_name` aggregates an m-bit bloom of
+    * `xxhash64(col)` per data file (distributed `bit_or` per 64-bit
+    * word — the [[BloomJoin.buildBits]] scheme, per file), then a
+    * METADATA-ONLY commit republished with the SAME files plus the
+    * base64 bitsets. [[scanRange]]/[[scanBox]] prune RANGES from
+    * min/max stats, which are useless for a point key on an
+    * UNCLUSTERED column (every file's range covers it); [[scanKeys]]
+    * prunes those from this index instead. History intact; the index
+    * rides every later restore of this snapshot.
+    *
+    * Sizing: `numBits` per file (default 2^13 = 1 KiB base64 per file;
+    * ≈1% false-positive at ~850 distinct keys/file — size up for
+    * denser files). Conservative under MOR tombstones (a deleted key
+    * may still probe true — false positives only, never false skips).
+    * Returns the new version.
+    */
+  def buildBloomIndex(spark: SparkSession, tableRoot: String,
+      colName: String, numBits: Int = 1 << 13): Long = {
+    require(numBits >= 64 && numBits % 64 == 0 && numBits <= (1 << 20),
+      s"numBits must be a multiple of 64 in [64, 2^20], got $numBits")
+    val f = fs(spark)
+    val root = new Path(tableRoot)
+    val m = resolve(f, root, None)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    require(schema.fieldNames.contains(colName), s"no column $colName")
+    require(schema(colName).dataType.isInstanceOf[NumericType],
+      s"bloom index needs a numeric key column, got ${schema(colName).dataType}")
+    // input_file_name() yields scheme-qualified URIs; part-file names are
+    // UUID-unique, so basename is the join key (the collectFileStats rule)
+    val byName = m.files.map(fe => new Path(fe.path).getName -> fe.path).toMap
+    val positions = (0 until BloomHashes).map(i =>
+      pmod(xxhash64(col(colName).cast("long"), lit(i)), lit(numBits.toLong)))
+    val words =
+      if (m.files.isEmpty) Array.empty[Row]
+      else spark.read.schema(schema)
+        .parquet(m.files.map(fe => new Path(root, fe.path).toString): _*)
+        .where(col(colName).isNotNull)
+        .select(input_file_name().as("__f"),
+          explode(array(positions: _*)).as("pos"))
+        .groupBy(col("__f"), expr("CAST(pos DIV 64 AS INT)").as("word"))
+        .agg(bit_or(expr("SHIFTLEFT(1L, CAST(pos % 64 AS INT))")).as("mask"))
+        .collect() // bounded: files * numBits/64 rows
+    val perFile = words.groupBy(r =>
+      byName.getOrElse(new Path(r.getString(0)).getName, r.getString(0)))
+    def b64Of(rows: Array[Row]): String = {
+      val bits = new Array[Long](numBits / 64)
+      rows.foreach(r => bits(r.getInt(1)) = r.getLong(2))
+      val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+      bits.foreach(bb.putLong)
+      java.util.Base64.getEncoder.encodeToString(bb.array())
+    }
+    val emptyB64 = b64Of(Array.empty)
+    val indexed = m.files.map { fe =>
+      fe.copy(blooms = fe.blooms +
+        (colName -> perFile.get(fe.path).map(b64Of).getOrElse(emptyB64)))
+    }
+    publish(f, root, "index", m.statsCols, None, 5,
+      expectParent = Some(m.version)) { _ =>
+      (m.schemaDdl, indexed, m.tombstones)
+    }
+  }
+
+  /** Point-lookup file-skipping scan: keep only files whose bloom for
+    * `colName` might contain AT LEAST ONE probe key; files without an
+    * index entry are always kept (an index is an optimization, never a
+    * correctness gate — the [[scanRange]] contract). Decided on the
+    * driver from manifest bytes alone; callers apply the exact
+    * predicate to the returned superset.
+    */
+  def scanKeys(spark: SparkSession, tableRoot: String, colName: String,
+      keys: Seq[Long], version: Option[Long] = None): PrunedScan = {
+    require(keys.nonEmpty, "scanKeys needs at least one probe key")
+    val f = fs(spark)
+    val root = new Path(tableRoot)
+    val m = resolve(f, root, version)
+    // RAW xxhash64 values computed once through the engine expression the
+    // build used (the hash must agree bit-for-bit with itself, nothing
+    // else); the pmod-to-numBits residue is taken per FILE below, since
+    // bitset width can differ across index builds
+    import spark.implicits._
+    val hashRows = keys.toDF("k").select(
+      (0 until BloomHashes).map(i =>
+        xxhash64(col("k").cast("long"), lit(i)).as(s"h$i")): _*)
+      .collect()
+    def mightContain(b64: String): Boolean = {
+      val bytes = java.util.Base64.getDecoder.decode(b64)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val bits = Array.fill(bytes.length / 8)(bb.getLong)
+      val numBits = bits.length * 64L
+      hashRows.exists { r =>
+        (0 until BloomHashes).forall { i =>
+          // Spark's pmod(a, b) = ((a % b) + b) % b — replicated exactly
+          val pos = ((r.getLong(i) % numBits) + numBits) % numBits
+          (bits((pos / 64).toInt) & (1L << (pos % 64).toInt)) != 0L
+        }
+      }
+    }
+    val kept = m.files.filter(fe =>
+      fe.blooms.get(colName).forall(mightContain))
+    PrunedScan(subtractTombstones(spark, root, m, dfFor(spark, root, m, kept)),
+      kept.size, m.files.size)
+  }
+
   /** Metadata-only snapshot comparison — the pipeline-health check that
     * costs ZERO table IO: per stats column, row/null counts and min/max
     * of two snapshots, straight from their manifests. A nightly load
@@ -999,6 +1115,10 @@ object ManifestTable {
         s.max.fold[Unit] { co.putNull("max"); () } { v => co.put("max", v); () }
         co.put("nulls", s.nulls)
       }
+      if (fe.blooms.nonEmpty) {
+        val bo = fo.putObject("blooms")
+        fe.blooms.toSeq.sortBy(_._1).foreach { case (c, b64) => bo.put(c, b64) }
+      }
     }
     if (m.tombstones.nonEmpty) {
       val ta = o.putArray("tombstones")
@@ -1051,8 +1171,13 @@ object ManifestTable {
           }
           b.result()
         }
+        val blooms = Option(fn.get("blooms")).fold(Map.empty[String, String]) { bn =>
+          val b = Map.newBuilder[String, String]
+          bn.fieldNames().forEachRemaining(c => b += c -> bn.get(c).asText())
+          b.result()
+        }
         FileEntry(fn.get("path").asText(), fn.get("rows").asLong(),
-          fn.get("bytes").asLong(), stats)
+          fn.get("bytes").asLong(), stats, blooms)
       }, txn, tombstones)
   }
 }

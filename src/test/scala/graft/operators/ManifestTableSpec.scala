@@ -73,6 +73,45 @@ class ManifestTableSpec extends SparkSuite {
     }
   }
 
+  test("buildBloomIndex + scanKeys: needle pruning, no false skips, unindexed kept") {
+    val root = freshRoot()
+    // u = odd-multiplier permutation of 0..4095: perfectly scattered
+    // relative to the id clustering, so min/max stats prune NOTHING
+    val in = (0 until 4096).map(i => (i.toLong, (i.toLong * 7919) % 4096))
+      .toDF("id", "u")
+    ManifestTable.commit(spark, root,
+      in.repartitionByRange(16, col("id")).sortWithinPartitions("id"),
+      Seq("id"))
+    val v2 = ManifestTable.buildBloomIndex(spark, root, "u", numBits = 1 << 14)
+    assert(v2 == 2L)
+    val s = ManifestTable.scanKeys(spark, root, "u", Seq(5L))
+    assert(s.filesTotal == 16 && s.filesScanned < 8,
+      s"a 1-of-4096 needle must prune most files: $s")
+    assert(s.df.where(col("u") === 5L).count() == 1L, "no false skip")
+    // a column without an index keeps every file
+    val noIdx = ManifestTable.scanKeys(spark, root, "id", Seq(5L))
+    assert(noIdx.filesScanned == 16, "unindexed column must not prune")
+    // an append AFTER the index has no bloom: its file is always kept
+    ManifestTable.commit(spark, root,
+      Seq((90001L, 90001L)).toDF("id", "u").coalesce(1), Seq("id"),
+      append = true)
+    val s3 = ManifestTable.scanKeys(spark, root, "u", Seq(-12345L))
+    assert(s3.filesTotal == 17 && s3.filesScanned >= 1 && s3.filesScanned < 17,
+      s"absent key: indexed files prune, the unindexed appendee stays: $s3")
+    assert(s3.df.where(col("id") === 90001L).count() == 1L,
+      "the unindexed file's rows must remain reachable")
+    // the index commit is row-faithful: changes() may cross it
+    assert(ManifestTable.changes(spark, root, 1L, v2).count() == 0L)
+    // time travel BEFORE the index still reads clean
+    assert(ManifestTable.read(spark, root, Some(1L)).count() == 4096L)
+    intercept[IllegalArgumentException] {
+      ManifestTable.buildBloomIndex(spark, root, "u", numBits = 100)
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.buildBloomIndex(spark, root, "missing")
+    }
+  }
+
   test("commit + read round-trips the batch exactly") {
     val root = freshRoot()
     val in = docs(500)
