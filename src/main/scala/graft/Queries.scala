@@ -3701,4 +3701,37 @@ object Queries {
             .cast("decimal(18,6)")).cast("decimal(38,6)").cast("double"), 6)
           .as("revenue"))
   }
+
+  // ---------------------------------------------------------------- Q177
+  /** Per-group OLS trend ([[graft.operators.TimeSeries.trendOls]]):
+    * slope/intercept/r² of order value over order day (days since
+    * 1992-01-01) per priority class — "is this segment drifting up",
+    * from ONE moment pass with exact integer/decimal accumulators and
+    * three final rounded divisions. The oracle replays the same five
+    * moments and the same division chains.
+    */
+  def q177TrendOls(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.trendOls(
+      tp(spark, dir, "orders").select(
+        col("o_orderpriority").as("priority"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).as("day"),
+        col("o_totalprice")),
+      Seq("priority"), "day", "o_totalprice")
+
+  // ---------------------------------------------------------------- Q178
+  /** Grid-bucketed spatial near-neighbor join ([[graft.operators
+    * .Spatial.nearbyPairs]]): synthetic integer points derived
+    * closed-form from doc ids (`x = id·7919 mod 1000`,
+    * `y = id·104729 mod 1000`), all pairs within radius 25 — the
+    * fixed-grid spatial join (2-D LSH-bucket discipline, exact integer
+    * verify, no trig anywhere). The oracle is the brute-force all-pairs
+    * replay, which the 9-cell candidate join must reproduce exactly.
+    */
+  def q178SpatialPairs(spark: SparkSession, dir: String): DataFrame = {
+    val pts = tp(spark, dir, "documents").select(
+      col("doc_id").as("pid"),
+      (col("doc_id") * 7919 % 1000).as("x"),
+      (col("doc_id") * 104729 % 1000).as("y"))
+    Spatial.nearbyPairs(pts, "pid", "x", "y", radius = 25L)
+  }
 }

@@ -213,6 +213,8 @@ object SparkEntry {
     "q174_probe_calibration" -> (Queries.q174ProbeCalibration _),
     "q175_manifest_diff" -> (Queries.q175ManifestDiff _),
     "q176_bloom_point_lookup" -> (Queries.q176BloomPointLookup _),
+    "q177_trend_ols" -> (Queries.q177TrendOls _),
+    "q178_spatial_pairs" -> (Queries.q178SpatialPairs _),
   )
 
   /** One power-iteration step as oracle CTEs (see `Spectral
@@ -3387,5 +3389,59 @@ object SparkEntry {
         |       round(CAST(CAST(sum(CAST(CAST(l_extendedprice AS VARCHAR)
         |                 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS revenue
         |FROM l WHERE rid IN (SELECT rid FROM probe)""".stripMargin,
+    // the same five exact moments, the same three rounded divisions;
+    // intercept uses the ROUNDED slope (self-consistent published pair)
+    "q177_trend_ols" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS x,
+        |         CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,6)) AS y
+        |  FROM orders),
+        |m AS (
+        |  SELECT priority, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS DECIMAL(38,6)) AS sy,
+        |         CAST(sum(CAST(y AS DECIMAL(28,6)) * x) AS DECIMAL(38,6)) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(CAST(y AS DECIMAL(28,6)) * y) AS DECIMAL(38,12)) AS syy
+        |  FROM base GROUP BY 1),
+        |d AS (
+        |  SELECT priority, n,
+        |         CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(28,6))
+        |              - CAST(sx AS DECIMAL(10,0)) * CAST(sy AS DECIMAL(28,6))
+        |              AS DECIMAL(38,6)) AS num,
+        |         n * sxx - sx * sx AS denx,
+        |         CAST(CAST(n AS DECIMAL(10,0)) * CAST(syy AS DECIMAL(28,12))
+        |              - CAST(sy AS DECIMAL(19,6)) * CAST(sy AS DECIMAL(19,6))
+        |              AS DECIMAL(38,12)) AS deny,
+        |         sx, sy
+        |  FROM m),
+        |s AS (
+        |  SELECT priority, n, num, denx, deny, sx, sy,
+        |         CASE WHEN denx <> 0
+        |              THEN round(CAST(num AS DOUBLE) / CAST(denx AS DOUBLE), 6)
+        |         END AS slope
+        |  FROM d)
+        |SELECT priority, n, slope,
+        |       CASE WHEN slope IS NOT NULL
+        |            THEN round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |                       / CAST(n AS DOUBLE), 6)
+        |       END AS intercept,
+        |       CASE WHEN denx <> 0 AND deny <> 0
+        |            THEN round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |                       / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 6)
+        |       END AS r2
+        |FROM s""".stripMargin,
+    // brute-force all-pairs replay on the same closed-form points —
+    // the 9-cell candidate join must reproduce it exactly
+    "q178_spatial_pairs" ->
+      """WITH p AS (
+        |  SELECT doc_id AS pid, (doc_id * 7919) % 1000 AS x,
+        |         (doc_id * 104729) % 1000 AS y
+        |  FROM documents)
+        |SELECT a.pid AS idA, b.pid AS idB,
+        |       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        |FROM p a JOIN p b ON a.pid < b.pid
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625""".stripMargin,
   )
 }

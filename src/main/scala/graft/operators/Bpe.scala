@@ -111,11 +111,22 @@ object Bpe {
     * the tokenized vocabulary `(w, c, syms)`; tokenizing raw docs means
     * joining them to it on the word — or baking the same folds directly
     * over a doc-side array at the identical seam.
+    *
+    * Each fold materializes behind a `localCheckpoint` barrier before
+    * the next references it: without one, CollapseProject inlines fold
+    * k's whole expression into EVERY `element_at` reference inside fold
+    * k+1, and the plan tree grows ~6^merges — measured as a 100 s
+    * optimizer/codegen stall at 3 merges over a 31-word vocabulary (the
+    * [[graft.functions.TextFunctions.portableTokenHashes]] multi-
+    * reference hazard, one tier up). The barrier costs one vocab-sized
+    * materialization per merge; swap to the durable
+    * [[Sinks.handoff]] seam on a cluster where executor loss matters.
     */
   def applyMerges(docs: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame =
     merges.foldLeft(initVocab(docs, textCol)) { case (df, (l, r)) =>
-      df.select(col("w"), col("c"), expr(fuseExpr(l, r)).as("syms"))
+      df.localCheckpoint(true)
+        .select(col("w"), col("c"), expr(fuseExpr(l, r)).as("syms"))
     }
 
   /** Corpus token frequencies under a trained merge list: the

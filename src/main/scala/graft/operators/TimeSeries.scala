@@ -178,6 +178,64 @@ object TimeSeries {
     stepped.groupBy(keys: _*).agg(max(col("__open")).as("peak"))
   }
 
+  /** Per-group OLS TREND (simple linear regression y on x) from ONE
+    * partial-agg moment pass — the "is this metric drifting up" readout
+    * per key: slope, intercept and r² from the five classic moments
+    * `(n, Σx, Σy, Σxy, Σx²[, Σy²])`. The same moments DuckDB's
+    * `regr_*` family uses, computed here with EXACT arithmetic so the
+    * result is partitioning-independent and replayable: x must be an
+    * integer column (days since an epoch, not raw seconds — keeps
+    * products in decimal range), y routes through the VARCHAR→DECIMAL
+    * exact-sum path (q116); every numerator/denominator is an exact
+    * integer/decimal, with three final IEEE divisions rounded 6 dp.
+    *
+    * `slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`;
+    * `intercept = (Σy − slope·Σx) / n` (using the ROUNDED slope — the
+    * published pair stays self-consistent);
+    * `r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))`, computed
+    * in doubles from the exact moments (squares would overflow
+    * decimal). Degenerate groups (all-same x, or zero y variance)
+    * return NULL slope/intercept/r² via the same guards both engines
+    * evaluate.
+    *
+    * Scale shape: ONE group-keyed partial-agg shuffle of six scalar
+    * accumulators; output is group-table-sized. A 100 TB trend scan is
+    * one pass.
+    */
+  def trendOls(df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "trendOls needs at least one key column")
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("string").cast("decimal(18,6)")
+    val agg = df.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"),
+      sum(y).cast("decimal(38,6)").as("sy"),
+      sum(y * x).cast("decimal(38,6)").as("sxy"),
+      sum(x * x).as("sxx"),
+      sum(y * y).cast("decimal(38,12)").as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("decimal(38,6)")
+    val denx = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = (col("n") * col("syy") - col("sy") * col("sy"))
+      .cast("decimal(38,12)")
+    val slope = when(denx =!= 0L,
+      round(num.cast("double") / denx.cast("double"), 6))
+    agg
+      .withColumn("slope", slope)
+      .withColumn("intercept",
+        when(col("slope").isNotNull,
+          round((col("sy").cast("double") -
+            col("slope") * col("sx").cast("double")) /
+            col("n").cast("double"), 6)))
+      .withColumn("r2",
+        when(denx =!= 0L && deny =!= lit(0).cast("decimal(38,12)"),
+          round(num.cast("double") * num.cast("double") /
+            (denx.cast("double") * deny.cast("double")), 6)))
+      .select(keyCols.map(col) ++
+        Seq(col("n"), col("slope"), col("intercept"), col("r2")): _*)
+  }
+
   /** OHLC RESAMPLING (downsampling to bars): per key and time bucket,
     * the first/max/min/last values — open/high/low/close — plus the bar
     * row count. First/last are exact `min_by`/`max_by` over the unique

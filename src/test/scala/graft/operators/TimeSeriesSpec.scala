@@ -11,6 +11,36 @@ class TimeSeriesSpec extends SparkSuite {
 
   private def d(s: String) = Date.valueOf(s)
 
+  test("trendOls: hand-computed slope/intercept/r2, degenerate groups NULL") {
+    val df = Seq(
+      // perfect line y = 2x + 1 -> slope 2, intercept 1, r2 = 1
+      ("lin", 0L, 1.0), ("lin", 1L, 3.0), ("lin", 2L, 5.0), ("lin", 3L, 7.0),
+      // flat y -> slope 0, r2 NULL (zero y variance)
+      ("flat", 0L, 4.0), ("flat", 1L, 4.0), ("flat", 2L, 4.0),
+      // all-same x -> everything NULL
+      ("degx", 5L, 1.0), ("degx", 5L, 9.0)
+    ).toDF("k", "x", "y")
+    val got = TimeSeries.trendOls(df, Seq("k"), "x", "y").collect()
+      .map(r => (r.getString(0), (Option(r.get(2)), Option(r.get(3)),
+        Option(r.get(4))))).toMap
+    assert(got("lin") == ((Some(2.0), Some(1.0), Some(1.0))), s"got $got")
+    assert(got("flat") == ((Some(0.0), Some(4.0), None)), s"got $got")
+    assert(got("degx") == ((None, None, None)), s"got $got")
+  }
+
+  test("trendOls: noisy positive trend detected, partitioning-independent") {
+    val rows = (0 until 200).map { i =>
+      ("k", i.toLong, 10.0 + 0.5 * i + (if (i % 2 == 0) 1.0 else -1.0))
+    }
+    val a = TimeSeries.trendOls(rows.toDF("k", "x", "y"), Seq("k"), "x", "y")
+      .collect().head
+    val b = TimeSeries.trendOls(rows.toDF("k", "x", "y").repartition(7),
+      Seq("k"), "x", "y").collect().head
+    assert(a == b, "decimal moments must make the fit exact under any partitioning")
+    assert(a.getDouble(2) > 0.45 && a.getDouble(2) < 0.55, s"slope off: $a")
+    assert(a.getDouble(4) > 0.99, s"r2 off: $a")
+  }
+
   test("peakConcurrency: overlap counting, simultaneous netting, per-key isolation") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val iv = Seq(
