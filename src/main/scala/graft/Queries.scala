@@ -3734,4 +3734,46 @@ object Queries {
       (col("doc_id") * 104729 % 1000).as("y"))
     Spatial.nearbyPairs(pts, "pid", "x", "y", radius = 25L)
   }
+
+  // ---------------------------------------------------------------- Q179
+  /** INCREMENTAL trend maintenance ([[graft.operators.TimeSeries
+    * .trendMoments]] / `mergeTrendMoments`): regression moments are
+    * ADDITIVE across disjoint slices, so per-slice moment rows merged
+    * by counter addition equal the full-history fit bit-for-bit —
+    * history never rescanned (the q91/q143 incremental discipline for
+    * regression). Events split into even/odd-day slices, moments per
+    * slice, merged, fitted; the oracle computes the fit FROM SCRATCH —
+    * green IS the additivity theorem.
+    */
+  def q179IncrementalTrend(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tp(spark, dir, "events").select(col("event_type"),
+      datediff(col("ts"), lit("2024-01-01")).as("day"), col("value"))
+    val even = TimeSeries.trendMoments(
+      ev.where(col("day") % 2 === 0), Seq("event_type"), "day", "value")
+    val odd = TimeSeries.trendMoments(
+      ev.where(col("day") % 2 === 1), Seq("event_type"), "day", "value")
+    TimeSeries.mergeTrendMoments(even.unionByName(odd), Seq("event_type"))
+  }
+
+  // ---------------------------------------------------------------- Q180
+  /** Monthly revenue with YEAR-OVER-YEAR growth: per-month exact
+    * decimal revenue, then `lag(12)` over the month axis and one
+    * rounded division — the period-over-period readout every BI layer
+    * ships. The month table is tiny after one partial-agg shuffle, so
+    * the ordered window runs over dozens of rows, never the data.
+    */
+  def q180YoyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = tp(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(col("o_totalprice").cast("string").cast("decimal(18,6)"))
+        .cast("decimal(38,6)").as("__rev"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("month"))
+    monthly
+      .withColumn("__prev", lag(col("__rev"), 12).over(w))
+      .select(col("month"),
+        round(col("__rev").cast("double"), 6).as("revenue"),
+        when(col("__prev").isNotNull,
+          round((col("__rev").cast("double") - col("__prev").cast("double")) /
+            col("__prev").cast("double") * 100.0, 6)).as("yoy_pct"))
+  }
 }

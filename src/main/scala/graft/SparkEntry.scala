@@ -215,6 +215,8 @@ object SparkEntry {
     "q176_bloom_point_lookup" -> (Queries.q176BloomPointLookup _),
     "q177_trend_ols" -> (Queries.q177TrendOls _),
     "q178_spatial_pairs" -> (Queries.q178SpatialPairs _),
+    "q179_incremental_trend" -> (Queries.q179IncrementalTrend _),
+    "q180_yoy_revenue" -> (Queries.q180YoyRevenue _),
   )
 
   /** One power-iteration step as oracle CTEs (see `Spectral
@@ -3443,5 +3445,65 @@ object SparkEntry {
         |       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
         |FROM p a JOIN p b ON a.pid < b.pid
         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625""".stripMargin,
+    // the fit computed FROM SCRATCH over all events — equality with the
+    // merged per-slice moments IS the additivity theorem (q177 chains)
+    "q179_incremental_trend" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |         CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT) AS x,
+        |         CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS DECIMAL(38,6)) AS sy,
+        |         CAST(sum(CAST(y AS DECIMAL(28,6)) * x) AS DECIMAL(38,6)) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(CAST(y AS DECIMAL(28,6)) * y) AS DECIMAL(38,12)) AS syy
+        |  FROM base GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n,
+        |         CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(28,6))
+        |              - CAST(sx AS DECIMAL(10,0)) * CAST(sy AS DECIMAL(28,6))
+        |              AS DECIMAL(38,6)) AS num,
+        |         n * sxx - sx * sx AS denx,
+        |         CAST(CAST(n AS DECIMAL(10,0)) * CAST(syy AS DECIMAL(28,12))
+        |              - CAST(sy AS DECIMAL(19,6)) * CAST(sy AS DECIMAL(19,6))
+        |              AS DECIMAL(38,12)) AS deny,
+        |         sx, sy
+        |  FROM m),
+        |s AS (
+        |  SELECT event_type, n, num, denx, deny, sx, sy,
+        |         CASE WHEN denx <> 0
+        |              THEN round(CAST(num AS DOUBLE) / CAST(denx AS DOUBLE), 6)
+        |         END AS slope
+        |  FROM d)
+        |SELECT event_type, n, slope,
+        |       CASE WHEN slope IS NOT NULL
+        |            THEN round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |                       / CAST(n AS DOUBLE), 6)
+        |       END AS intercept,
+        |       CASE WHEN denx <> 0 AND deny <> 0
+        |            THEN round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |                       / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 6)
+        |       END AS r2
+        |FROM s""".stripMargin,
+    // month-keyed decimal revenue, lag(12) on the tiny month axis, one
+    // rounded growth division
+    "q180_yoy_revenue" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |         CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,6)))
+        |              AS DECIMAL(38,6)) AS rev
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT month, rev, lag(rev, 12) OVER (ORDER BY month) AS prev
+        |  FROM m)
+        |SELECT month, round(CAST(rev AS DOUBLE), 6) AS revenue,
+        |       CASE WHEN prev IS NOT NULL
+        |            THEN round((CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE))
+        |                       / CAST(prev AS DOUBLE) * 100.0, 6)
+        |       END AS yoy_pct
+        |FROM w""".stripMargin,
   )
 }

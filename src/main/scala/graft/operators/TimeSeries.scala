@@ -203,17 +203,51 @@ object TimeSeries {
     * one pass.
     */
   def trendOls(df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String): DataFrame =
+    finishFit(trendMoments(df, keyCols, xCol, yCol), keyCols)
+
+  /** The raw regression moments behind [[trendOls]], exposed for
+    * INCREMENTAL maintenance: moments are ADDITIVE across disjoint
+    * slices (days, shards, ingest batches), so yesterday's moment rows
+    * plus today's delta equal the full-history fit bit-for-bit with
+    * history never rescanned — the q91/q143 incremental discipline for
+    * regression. Persist these per (key, slice); [[mergeTrendMoments]]
+    * collapses them and finishes the fit.
+    */
+  def trendMoments(df: DataFrame, keyCols: Seq[String], xCol: String,
       yCol: String): DataFrame = {
-    require(keyCols.nonEmpty, "trendOls needs at least one key column")
+    require(keyCols.nonEmpty, "trendMoments needs at least one key column")
     val x = col(xCol).cast("long")
     val y = col(yCol).cast("string").cast("decimal(18,6)")
-    val agg = df.groupBy(keyCols.map(col): _*).agg(
+    df.groupBy(keyCols.map(col): _*).agg(
       count(lit(1)).as("n"),
       sum(x).as("sx"),
       sum(y).cast("decimal(38,6)").as("sy"),
       sum(y * x).cast("decimal(38,6)").as("sxy"),
       sum(x * x).as("sxx"),
       sum(y * y).cast("decimal(38,12)").as("syy"))
+  }
+
+  /** Merge per-slice moment rows (counter addition — exact decimals, so
+    * merged == from-scratch) and finish the [[trendOls]] fit with the
+    * identical final arithmetic. `keyCols` are the fit keys; any extra
+    * slice column (day, shard) is simply absent from the group-by and
+    * folds away.
+    */
+  def mergeTrendMoments(moments: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "mergeTrendMoments needs at least one key column")
+    val agg = moments.groupBy(keyCols.map(col): _*).agg(
+      sum(col("n")).as("n"),
+      sum(col("sx")).as("sx"),
+      sum(col("sy")).cast("decimal(38,6)").as("sy"),
+      sum(col("sxy")).cast("decimal(38,6)").as("sxy"),
+      sum(col("sxx")).as("sxx"),
+      sum(col("syy")).cast("decimal(38,12)").as("syy"))
+    finishFit(agg, keyCols)
+  }
+
+  /** The shared final arithmetic of [[trendOls]]/[[mergeTrendMoments]]. */
+  private def finishFit(agg: DataFrame, keyCols: Seq[String]): DataFrame = {
     val num = (col("n") * col("sxy") - col("sx") * col("sy"))
       .cast("decimal(38,6)")
     val denx = col("n") * col("sxx") - col("sx") * col("sx")

@@ -553,6 +553,37 @@ class StreamsSpec extends SparkSuite {
     assert(spark.read.parquet(storeDir).count() == 6L)
   }
 
+  test("streaming OHLC resampling equals the batch bars") {
+    import graft.operators.TimeSeries
+    val dir = tmpDir("ohlc-in")
+    val ticks = Seq(
+      ("2024-01-01 10:00:00", 1L, "a", 5.0),
+      ("2024-01-01 10:00:00", 2L, "a", 9.0),
+      ("2024-01-01 10:30:00", 3L, "a", 1.0),
+      ("2024-01-01 10:59:00", 4L, "a", 7.0),
+      ("2024-01-01 11:00:00", 5L, "a", 100.0),
+      ("2024-01-01 10:15:00", 6L, "b", 42.0)
+    ).toDF("ts_s", "id", "k", "v")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    ticks.write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+      .withWatermark("ts", "2 hours")
+    val q = TimeSeries.resampleOhlc(streamIn, Seq("k"), "ts", "id", "v")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ohlc_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ohlc_out")
+      val batch = TimeSeries.resampleOhlc(
+        spark.read.parquet(dir), Seq("k"), "ts", "id", "v")
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "streamed bars must equal the batch bars (same code path)")
+      assert(streamed.count() == 3)
+    } finally q.stop()
+  }
+
   test("streaming count-min maintenance: replay-safe, equals the one-shot build") {
     import graft.operators.CountMin
     val root = Files.createTempDirectory("graft_stream_cms").resolve("t").toString
