@@ -3776,4 +3776,33 @@ object Queries {
           round((col("__rev").cast("double") - col("__prev").cast("double")) /
             col("__prev").cast("double") * 100.0, 6)).as("yoy_pct"))
   }
+
+  // ---------------------------------------------------------------- Q181
+  /** Exact distributed ROC-AUC ([[graft.operators.Metrics.rocAuc]]):
+    * the q142 classifier score ranked against a `lang == 'en'` label —
+    * Mann–Whitney U with MIDRANKS over the distinct-score table, the
+    * rank axis one range-partitioned prefix sum (never a global
+    * window/sort), the statistic folded in exact integers with ONE
+    * final division. Completes the filter-eval battery: q174 reads
+    * calibration, this reads ranking power.
+    */
+  def q181RocAuc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val scored = DataSelection.hashedLinearScore(docs, "doc_id", "text")
+      .where(col("n_tokens") > 0)
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+        Seq("doc_id"))
+    Metrics.rocAuc(scored, "score", "is_en")
+  }
+
+  // ---------------------------------------------------------------- Q182
+  /** Mutual information + NMI between corpus facets ([[graft.operators
+    * .Metrics.mutualInformation]]): does `source` determine `lang`? —
+    * the dependence/leakage readout a raw crosstab can't give. One
+    * cell partial agg, marginals from the CELL table, per-cell
+    * `c·ln((c·n)/(c_a·c_b))` terms on exact integers summed as
+    * DECIMAL, three divisions out.
+    */
+  def q182MutualInfo(spark: SparkSession, dir: String): DataFrame =
+    Metrics.mutualInformation(tp(spark, dir, "documents"), "lang", "source")
 }

@@ -217,6 +217,8 @@ object SparkEntry {
     "q178_spatial_pairs" -> (Queries.q178SpatialPairs _),
     "q179_incremental_trend" -> (Queries.q179IncrementalTrend _),
     "q180_yoy_revenue" -> (Queries.q180YoyRevenue _),
+    "q181_roc_auc" -> (Queries.q181RocAuc _),
+    "q182_mutual_info" -> (Queries.q182MutualInfo _),
   )
 
   /** One power-iteration step as oracle CTEs (see `Spectral
@@ -3505,5 +3507,77 @@ object SparkEntry {
         |                       / CAST(prev AS DOUBLE) * 100.0, 6)
         |       END AS yoy_pct
         |FROM w""".stripMargin,
+    // q142's scores + lang labels -> distinct-score midrank fold: the
+    // window cumsum replay must equal the distributed prefix sum, and
+    // the exact-integer U must match bit-for-bit
+    "q181_roc_auc" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         list_transform(string_split(text, ' '), t ->
+        |           list_reduce(
+        |             list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |             (a, x) -> (a * 131 + x) % 281474976710656)) AS hs
+        |  FROM documents),
+        |sc AS (
+        |  SELECT round(CAST(CAST(coalesce(list_sum(list_transform(hs, hv ->
+        |             ((hv % 64) * 2654435761) % 1997 - 998)), 0) AS BIGINT) AS DOUBLE)
+        |           / CAST(n_tokens * 1000 AS DOUBLE), 6) AS s,
+        |         (lang = 'en') AS y
+        |  FROM h WHERE n_tokens > 0),
+        |g AS (
+        |  SELECT s, count(*) AS cnt,
+        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM sc GROUP BY 1),
+        |w AS (
+        |  SELECT *, coalesce(CAST(sum(cnt) OVER (ORDER BY s
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(sum(pos) AS BIGINT) AS p,
+        |         CAST(sum(cnt - pos) AS BIGINT) AS n,
+        |         CAST(sum(pos * (2 * cb + cnt + 1)) AS DECIMAL(38,0)) AS r2
+        |  FROM w)
+        |SELECT p, n,
+        |       CASE WHEN p > 0 AND n > 0
+        |            THEN round((CAST(r2 AS DOUBLE)
+        |                        - CAST(p AS DOUBLE) * CAST(p + 1 AS DOUBLE))
+        |                       / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+        |       END AS auc
+        |FROM a""".stripMargin,
+    // exact-count MI/entropy terms (one ln + one division per cell),
+    // decimal sums, three divisions; NMI from the published triple
+    "q182_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cells GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        |mi AS (
+        |  SELECT CAST(sum(CAST(round(CAST(c AS DOUBLE)
+        |           * ln(CAST(c * n AS DOUBLE) / CAST(ca * cb AS DOUBLE)), 6)
+        |           AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS minum
+        |  FROM cells JOIN ma USING (a) JOIN mb USING (b), tot),
+        |ha AS (
+        |  SELECT CAST(sum(CAST(round(CAST(ca AS DOUBLE)
+        |           * ln(CAST(ca AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |           AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS hna
+        |  FROM ma, tot),
+        |hb AS (
+        |  SELECT CAST(sum(CAST(round(CAST(cb AS DOUBLE)
+        |           * ln(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |           AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS hnb
+        |  FROM mb, tot),
+        |f AS (
+        |  SELECT n,
+        |         round(CAST(minum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mi,
+        |         round(-CAST(hna AS DOUBLE) / CAST(n AS DOUBLE), 6) AS h_a,
+        |         round(-CAST(hnb AS DOUBLE) / CAST(n AS DOUBLE), 6) AS h_b
+        |  FROM tot, mi, ha, hb)
+        |SELECT n, mi, h_a, h_b,
+        |       CASE WHEN h_a > 0 AND h_b > 0
+        |            THEN round(mi / sqrt(h_a * h_b), 6) END AS nmi
+        |FROM f""".stripMargin,
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
 
 /** Zero-cost stage observability: named metrics computed INSIDE an
   * already-running action (`Dataset.observe`), not by a second scan. The
@@ -61,5 +62,94 @@ object Metrics {
     agg.select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
       round(po, 6).as("p_o"), round(pe, 6).as("p_e"),
       when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
+  /** EXACT distributed ROC-AUC via the Mann–Whitney U statistic with
+    * MIDRANKS (the tie-correct formulation: AUC = P(score⁺ > score⁻) +
+    * ½P(tie)) — the ranking-quality readout for a trained filter
+    * (q142/q159's family), next to the calibration curve (q174).
+    * Sorting 100 TB of scores to rank them is exactly what this does
+    * NOT do: scores collapse to a distinct-score table first (one
+    * partial agg), the rank axis is one range-partitioned prefix sum
+    * over that table ([[TrainingPrep.globalPrefixSum]] — never a
+    * global window), and the U statistic folds in EXACT integers:
+    * `2·ΣR⁺ = Σ_s pos_s·(2·cumBefore_s + cnt_s + 1)`, then
+    * `AUC = (2ΣR⁺ − P(P+1)) / (2PN)` — one division, 6-dp rounded.
+    * Degenerate single-class inputs yield NULL.
+    *
+    * Accumulators run as DECIMAL(38,0): exact past the 2⁶³ rank-product
+    * range (row counts to ~10¹⁸). Returns one row `(p, n, auc)`.
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val base = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+    val grouped = base.groupBy(col("__s")).agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("pos"))
+    val cum = TrainingPrep.globalPrefixSum(grouped, "__s", "cnt", "cum")
+    val agg = cum.agg(
+      sum(col("pos")).as("p"),
+      sum(col("cnt") - col("pos")).as("nn"),
+      sum((col("pos") * (lit(2L) * (col("cum") - col("cnt")) +
+        col("cnt") + 1L)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("r2"))
+    agg.select(col("p"), col("nn").as("n"),
+      when(col("p") > 0L && col("nn") > 0L,
+        round((col("r2").cast("double") -
+          col("p").cast("double") * (col("p") + 1L).cast("double")) /
+          (lit(2.0) * col("p").cast("double") * col("nn").cast("double")), 6))
+        .as("auc"))
+  }
+
+  /** MUTUAL INFORMATION (and NMI) between two categorical columns —
+    * the dependence readout for corpus composition ("does source
+    * determine language?"), feature selection, and leakage checks;
+    * chance-free where a raw crosstab is not. `MI = Σ p_ab·ln(p_ab /
+    * (p_a·p_b))` in nats, `NMI = MI / √(H_a·H_b)` (the published MI
+    * and entropies feed NMI, so the triple stays self-consistent).
+    *
+    * Exactness: every term is `round(c·ln((c·n)/(c_a·c_b)), 6)` on
+    * EXACT integer counts — one division and one ln per cell (the
+    * q121/q141 discipline) — summed as DECIMAL, then one division by
+    * n. Scale shape: one (a, b) partial agg (crosstab-sized after
+    * map-side combine), marginals re-aggregated from the CELL table
+    * (never a second data scan), broadcast joins on the marginal axes.
+    * Returns one row `(n, mi, h_a, h_b, nmi)`.
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val cells = base.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("c"))
+    val ma = cells.groupBy(col("__a")).agg(sum(col("c")).as("ca"))
+    val mb = cells.groupBy(col("__b")).agg(sum(col("c")).as("cb"))
+    val tot = cells.agg(sum(col("c")).as("n"))
+    def entropyNum(m: DataFrame, cCol: String): DataFrame =
+      m.crossJoin(tot).agg(
+        sum(round(col(cCol).cast("double") *
+          log(col(cCol).cast("double") / col("n").cast("double")), 6)
+          .cast("decimal(28,6)")).cast("decimal(38,6)").as("hnum"))
+    val miNum = cells
+      .join(broadcast(ma), Seq("__a")).join(broadcast(mb), Seq("__b"))
+      .crossJoin(tot)
+      .agg(sum(round(col("c").cast("double") *
+        log((col("c") * col("n")).cast("double") /
+          (col("ca") * col("cb")).cast("double")), 6)
+        .cast("decimal(28,6)")).cast("decimal(38,6)").as("minum"))
+    val out = tot.crossJoin(miNum)
+      .crossJoin(entropyNum(ma, "ca").withColumnRenamed("hnum", "hna"))
+      .crossJoin(entropyNum(mb, "cb").withColumnRenamed("hnum", "hnb"))
+      .select(col("n"),
+        round(col("minum").cast("double") / col("n").cast("double"), 6)
+          .as("mi"),
+        round(-col("hna").cast("double") / col("n").cast("double"), 6)
+          .as("h_a"),
+        round(-col("hnb").cast("double") / col("n").cast("double"), 6)
+          .as("h_b"))
+    out.withColumn("nmi",
+      when(col("h_a") > 0.0 && col("h_b") > 0.0,
+        round(col("mi") / sqrt(col("h_a") * col("h_b")), 6)))
   }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
@@ -78,5 +79,44 @@ class QualitySpec extends SparkSuite {
     val const = Metrics.agreement(
       lab(Seq((true, true), (true, true))), $"a", $"b").head()
     assert(const.isNullAt(7), s"got $const")
+  }
+
+  test("Metrics.rocAuc: perfect=1, reversed=0, all-ties=0.5, midranks, one-class NULL") {
+    def auc(rows: Seq[(Double, Boolean)]): Row =
+      Metrics.rocAuc(rows.toDF("score", "y"), "score", "y").head()
+    val perfect = auc(Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false)))
+    assert(perfect.getLong(0) == 2L && perfect.getLong(1) == 2L &&
+      perfect.getDouble(2) == 1.0, s"got $perfect")
+    val reversed = auc(Seq((0.9, false), (0.8, false), (0.2, true), (0.1, true)))
+    assert(reversed.getDouble(2) == 0.0, s"got $reversed")
+    val ties = auc(Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false)))
+    assert(ties.getDouble(2) == 0.5, s"all-tied must midrank to 0.5: $ties")
+    // hand case with a tie straddling the classes: scores
+    // pos {0.7, 0.5}, neg {0.5, 0.2}: U = 1 + 0.5 + 1 + 1? per-pair:
+    // (0.7 beats both) 2 + (0.5 vs 0.5 tie) 0.5 + (0.5 vs 0.2) 1 = 3.5
+    // AUC = 3.5 / 4 = 0.875
+    val mixed = auc(Seq((0.7, true), (0.5, true), (0.5, false), (0.2, false)))
+    assert(mixed.getDouble(2) == 0.875, s"got $mixed")
+    val oneClass = auc(Seq((0.9, true), (0.1, true)))
+    assert(oneClass.isNullAt(2), s"got $oneClass")
+  }
+
+  test("Metrics.mutualInformation: independence=0, determinism=entropy, nmi=1") {
+    val indep = (for (a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 25)
+      yield (a, b)).toDF("a", "b")
+    val i = Metrics.mutualInformation(indep, "a", "b").head()
+    assert(i.getDouble(1) == 0.0, s"independent facets must score 0: $i")
+    assert(i.isNullAt(4) == false && i.getDouble(4) == 0.0, s"nmi 0: $i")
+    // b determined by a -> MI = H(a) = H(b), NMI = 1
+    val det = (Seq.fill(30)(("x", "u")) ++ Seq.fill(70)(("y", "v")))
+      .toDF("a", "b")
+    val d = Metrics.mutualInformation(det, "a", "b").head()
+    assert(d.getDouble(1) == d.getDouble(2) && d.getDouble(1) == d.getDouble(3),
+      s"deterministic pair: MI == both entropies: $d")
+    assert(d.getDouble(4) == 1.0, s"nmi must be 1: $d")
+    // hand value: H = -(0.3 ln 0.3 + 0.7 ln 0.7)
+    val want = BigDecimal(-(0.3 * math.log(0.3) + 0.7 * math.log(0.7)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(d.getDouble(2) - want) < 2e-6, s"H(a) off: $d vs $want")
   }
 }
