@@ -3805,4 +3805,16 @@ object Queries {
     */
   def q182MutualInfo(spark: SparkSession, dir: String): DataFrame =
     Metrics.mutualInformation(tp(spark, dir, "documents"), "lang", "source")
+
+  // ---------------------------------------------------------------- Q183
+  /** Key-skew diagnosis ([[graft.operators.Scale.skewReport]]): the
+    * pre-shuffle readout for lineitem's part key — exact Gini over the
+    * key-count Lorenz axis via one range-partitioned prefix sum (the
+    * key TABLE, never the data), hottest-key and top-10 shares from
+    * one TakeOrdered. Pairs with the salting operators (q82/q83) the
+    * way the KMV probe (q146) pairs with broadcast planning: measure,
+    * then pick the shuffle strategy.
+    */
+  def q183SkewReport(spark: SparkSession, dir: String): DataFrame =
+    Scale.skewReport(tp(spark, dir, "lineitem"), Seq("l_partkey"))
 }

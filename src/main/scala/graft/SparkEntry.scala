@@ -219,6 +219,7 @@ object SparkEntry {
     "q180_yoy_revenue" -> (Queries.q180YoyRevenue _),
     "q181_roc_auc" -> (Queries.q181RocAuc _),
     "q182_mutual_info" -> (Queries.q182MutualInfo _),
+    "q183_skew_report" -> (Queries.q183SkewReport _),
   )
 
   /** One power-iteration step as oracle CTEs (see `Spectral
@@ -3579,5 +3580,30 @@ object SparkEntry {
         |       CASE WHEN h_a > 0 AND h_b > 0
         |            THEN round(mi / sqrt(h_a * h_b), 6) END AS nmi
         |FROM f""".stripMargin,
+    // Lorenz-rank Gini over the key-count table: rank ties carry equal
+    // counts, so the window replay is permutation-invariant and must
+    // equal the distributed prefix sum's Σ i·c exactly
+    "q183_skew_report" ->
+      """WITH c AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |bv AS (SELECT c, count(*) AS kc FROM c GROUP BY 1),
+        |w AS (SELECT *, coalesce(CAST(sum(kc) OVER (ORDER BY c
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+        |      FROM bv),
+        |t AS (SELECT CAST(sum(CAST(c * kc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tot,
+        |             CAST(sum(kc) AS BIGINT) AS kk,
+        |             CAST(sum(CAST(c * kc * (2 * cb + kc + 1) AS DECIMAL(38,0)))
+        |                  AS DECIMAL(38,0)) AS two_sic
+        |      FROM w),
+        |tp AS (SELECT CAST(max(c) AS BIGINT) AS mx,
+        |              (SELECT CAST(sum(c) AS BIGINT)
+        |               FROM (SELECT c FROM c ORDER BY c DESC LIMIT 10)) AS t10
+        |       FROM c)
+        |SELECT CAST(tot AS BIGINT) AS n_rows, kk AS n_keys,
+        |       round(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS max_share,
+        |       round(CAST(t10 AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS top10_share,
+        |       round((CAST(two_sic AS DOUBLE)
+        |              - CAST(kk + 1 AS DOUBLE) * CAST(tot AS DOUBLE))
+        |             / (CAST(kk AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini
+        |FROM t, tp""".stripMargin,
   )
 }

@@ -184,4 +184,59 @@ object Scale {
       .select(col("k"), col("rho"), col("theta48"), col("est_union"),
         col("est_intersection"), col("exact_union"), col("exact_intersection"))
   }
+
+  /** KEY-SKEW DIAGNOSIS report — the "should this key be salted /
+    * AQE-skew-joined" readout BEFORE a 100 TB shuffle spills on it:
+    * one row of `(n_rows, n_keys, max_share, top10_share, gini)` for a
+    * prospective shuffle key. Gini ∈ [0, 1): 0 = perfectly uniform
+    * keys, →1 = one key owns everything; `max_share` is the single
+    * hottest key's row fraction (the straggler-task bound under hash
+    * partitioning). Pairs with [[saltedAgg]]/[[saltedJoin]] (the cure)
+    * and AQE skew handling the way [[kmvOverlapEstimate]] pairs with
+    * broadcast planning.
+    *
+    * Exact Gini without a global sort: key counts ascending form the
+    * Lorenz axis; `G = (2·Σ i·cᵢ − (K+1)·Σc) / (K·Σc)` with i the
+    * ascending rank. Tied counts make per-row ranks ill-defined, so the
+    * fold runs over the DISTINCT-COUNT-VALUE table instead (the q181
+    * midrank block identity): a block of `k_c` keys sharing count `c`
+    * after `cb` smaller keys contributes
+    * `2·Σ i·c = c·k_c·(2·cb + k_c + 1)` — exact integers, rank-order
+    * invariant. One range-partitioned prefix sum over that tiny table
+    * ([[graft.operators.TrainingPrep.globalPrefixSum]] on the UNIQUE
+    * count value), DECIMAL(38,0) accumulators past 2⁶³; top-shares from
+    * one TakeOrdered(10).
+    *
+    * Scale shape: one key partial-agg shuffle (key-table-sized after
+    * map-side combine), one prefix sum over the key table, one
+    * 10-row collect. One row out; `gini`/shares rounded 6 dp.
+    */
+  def skewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "skewReport needs at least one key column")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .select(col("c"))
+    val byVal = counts.groupBy(col("c")).agg(count(lit(1)).as("kc"))
+    val cum = graft.operators.TrainingPrep
+      .globalPrefixSum(byVal, "c", "kc", "cumk")
+    val top = counts.orderBy(col("c").desc).limit(10)
+      .collect().map(_.getLong(0))
+    val agg = cum.agg(
+      sum((col("c") * col("kc")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("tot"),
+      sum(col("kc")).as("k"),
+      sum((col("c") * col("kc") *
+        (lit(2L) * (col("cumk") - col("kc")) + col("kc") + 1L))
+        .cast("decimal(38,0)")).cast("decimal(38,0)").as("two_sic"))
+    agg.select(
+      col("tot").cast("long").as("n_rows"),
+      col("k").as("n_keys"),
+      round(lit(top.headOption.getOrElse(0L)).cast("double") /
+        col("tot").cast("double"), 6).as("max_share"),
+      round(lit(top.sum).cast("double") / col("tot").cast("double"), 6)
+        .as("top10_share"),
+      round((col("two_sic").cast("double") -
+        (col("k") + 1L).cast("double") * col("tot").cast("double")) /
+        (col("k").cast("double") * col("tot").cast("double")), 6).as("gini"))
+  }
 }

@@ -123,4 +123,31 @@ class ScaleSpec extends SparkSuite {
     assert(e.getMessage != null && e.getMessage.contains("fewer than k"),
       s"got: ${e.getMessage}")
   }
+
+  test("skewReport: uniform keys gini 0, hot key dominates, hand shares") {
+    import spark.implicits._
+    // 10 keys x 10 rows each: perfectly uniform
+    val uniform = (0 until 100).map(i => (i % 10).toLong).toDF("k")
+    val u = Scale.skewReport(uniform, Seq("k")).head()
+    assert(u.getLong(0) == 100L && u.getLong(1) == 10L, s"got $u")
+    assert(u.getDouble(4) == 0.0, s"uniform keys must gini 0: $u")
+    assert(u.getDouble(2) == 0.1 && u.getDouble(3) == 1.0, s"got $u")
+    // one key owns 91 of 100 rows
+    val hot = ((0 until 91).map(_ => 0L) ++ (1 to 9).map(_.toLong)).toDF("k")
+    val h = Scale.skewReport(hot, Seq("k")).head()
+    assert(h.getDouble(2) == 0.91, s"max_share: $h")
+    assert(h.getDouble(4) > 0.8, s"hot key must push gini high: $h")
+  }
+
+  test("skewReport: deterministic under repartitioning; guards") {
+    import spark.implicits._
+    val keys = (0 until 500).map(i => (i.toLong % 37) * (i.toLong % 5 + 1))
+      .toDF("k")
+    val a = Scale.skewReport(keys, Seq("k")).head()
+    val b = Scale.skewReport(keys.repartition(13), Seq("k")).head()
+    assert(a == b, "rank-tie blocks must make the report partitioning-proof")
+    intercept[IllegalArgumentException] {
+      Scale.skewReport(keys, Seq.empty)
+    }
+  }
 }
