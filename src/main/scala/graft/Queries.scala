@@ -3817,4 +3817,21 @@ object Queries {
     */
   def q183SkewReport(spark: SparkSession, dir: String): DataFrame =
     Scale.skewReport(tp(spark, dir, "lineitem"), Seq("l_partkey"))
+
+  // ---------------------------------------------------------------- Q184
+  /** Market-basket affinity ([[graft.operators.Affinity
+    * .coPurchaseLift]]): top item-class pairs by lift over order
+    * baskets (item = `l_partkey mod 50`, the q153 generator-contract
+    * coarsening that makes co-occurrence dense enough to band). The
+    * Apriori-1 pairs pass: basket-keyed self-join bounded by
+    * `maxBasketSize`, the support band BEFORE the item-count joins,
+    * exact integer supports, one rounded division per surviving pair,
+    * TakeOrderedAndProject top-k.
+    */
+  def q184BasketAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = tp(spark, dir, "lineitem").select(
+      col("l_orderkey").as("basket"), (col("l_partkey") % 50).as("item"))
+    Affinity.coPurchaseLift(baskets, "basket", "item",
+      minSupport = 3L, k = 20)
+  }
 }

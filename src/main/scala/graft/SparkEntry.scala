@@ -220,6 +220,7 @@ object SparkEntry {
     "q181_roc_auc" -> (Queries.q181RocAuc _),
     "q182_mutual_info" -> (Queries.q182MutualInfo _),
     "q183_skew_report" -> (Queries.q183SkewReport _),
+    "q184_basket_affinity" -> (Queries.q184BasketAffinity _),
   )
 
   /** One power-iteration step as oracle CTEs (see `Spectral
@@ -3605,5 +3606,24 @@ object SparkEntry {
         |              - CAST(kk + 1 AS DOUBLE) * CAST(tot AS DOUBLE))
         |             / (CAST(kk AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini
         |FROM t, tp""".stripMargin,
+    // the same distinct-(basket,item) pairs, support band, item-count
+    // joins and integer-product lift; rank (lift DESC, ia, ib) top 20
+    "q184_basket_affinity" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i FROM lineitem),
+        |n AS (SELECT count(DISTINCT b) AS n FROM items),
+        |ic AS (SELECT i, count(*) AS n_i FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.i AS ia, y.i AS ib, count(*) AS n_ab
+        |  FROM items x JOIN items y ON y.b = x.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |scored AS (
+        |  SELECT p.ia, p.ib, p.n_ab, a.n_i AS n_a, bb.n_i AS n_b,
+        |         round(CAST(p.n_ab * n.n AS DOUBLE)
+        |               / CAST(a.n_i * bb.n_i AS DOUBLE), 6) AS lift
+        |  FROM pairs p
+        |  JOIN ic a ON a.i = p.ia JOIN ic bb ON bb.i = p.ib, n)
+        |SELECT ia, ib, n_ab, n_a, n_b, lift
+        |FROM scored ORDER BY lift DESC, ia ASC, ib ASC LIMIT 20""".stripMargin,
   )
 }
