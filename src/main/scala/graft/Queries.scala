@@ -3834,4 +3834,40 @@ object Queries {
     Affinity.coPurchaseLift(baskets, "basket", "item",
       minSupport = 3L, k = 20)
   }
+
+  // ---------------------------------------------------------------- Q185
+  /** RFM customer segmentation (the CRM staple): per customer recency
+    * (days to the corpus's last order date), frequency, exact-decimal
+    * monetary — each cut into EXACT quintiles by [[graft.operators
+    * .TrainingPrep.distributedNtile]] over a unique composite order key
+    * (metric-scaled + custkey tiebreak, the q174 discipline — never a
+    * global window), recency inverted so 5 = most recent. `rfm_code =
+    * 100r + 10f + m`. Three prefix sums over the customer table, which
+    * is orders-of-magnitude smaller than the fact data.
+    */
+  def q185RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = tp(spark, dir, "orders")
+    val refDate = o.agg(max(col("o_orderdate"))).head().getTimestamp(0)
+    val base = o.groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit(refDate), max(col("o_orderdate"))).cast("long")
+          .as("recency"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("string").cast("decimal(18,6)"))
+          .cast("decimal(38,6)").as("__mon"))
+      .withColumn("__cents", (col("__mon") * 100).cast("long"))
+      .withColumn("__kr", -col("recency") * 10000000L + col("o_custkey"))
+      .withColumn("__kf", col("frequency") * 10000000L + col("o_custkey"))
+      .withColumn("__km", col("__cents") * 10000000L + col("o_custkey"))
+    val r = TrainingPrep.distributedNtile(base, "__kr", 5)
+      .withColumnRenamed("ntile", "r")
+    val f = TrainingPrep.distributedNtile(r, "__kf", 5)
+      .withColumnRenamed("ntile", "f")
+    val m = TrainingPrep.distributedNtile(f, "__km", 5)
+      .withColumnRenamed("ntile", "m")
+    m.select(col("o_custkey"), col("recency"), col("frequency"),
+      round(col("__mon").cast("double"), 6).as("monetary"),
+      col("r"), col("f"), col("m"),
+      (col("r") * 100L + col("f") * 10L + col("m")).as("rfm_code"))
+  }
 }

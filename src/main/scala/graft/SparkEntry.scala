@@ -221,6 +221,7 @@ object SparkEntry {
     "q182_mutual_info" -> (Queries.q182MutualInfo _),
     "q183_skew_report" -> (Queries.q183SkewReport _),
     "q184_basket_affinity" -> (Queries.q184BasketAffinity _),
+    "q185_rfm_segments" -> (Queries.q185RfmSegments _),
   )
 
   /** One power-iteration step as oracle CTEs (see `Spectral
@@ -3625,5 +3626,30 @@ object SparkEntry {
         |  JOIN ic a ON a.i = p.ia JOIN ic bb ON bb.i = p.ib, n)
         |SELECT ia, ib, n_ab, n_a, n_b, lift
         |FROM scored ORDER BY lift DESC, ia ASC, ib ASC LIMIT 20""".stripMargin,
+    // plain ntile over the same unique composite keys (the q94/q174
+    // bit-equality with distributedNtile), recency inverted so 5 = recent
+    "q185_rfm_segments" ->
+      """WITH ref AS (SELECT max(o_orderdate) AS rd FROM orders),
+        |base AS (
+        |  SELECT o_custkey,
+        |         CAST(datediff('day', max(o_orderdate), (SELECT rd FROM ref)) AS BIGINT) AS recency,
+        |         count(*) AS frequency,
+        |         CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,6)))
+        |              AS DECIMAL(38,6)) AS mon
+        |  FROM orders GROUP BY 1),
+        |k AS (
+        |  SELECT *, -recency * 10000000 + o_custkey AS kr,
+        |         frequency * 10000000 + o_custkey AS kf,
+        |         CAST(mon * 100 AS BIGINT) * 10000000 + o_custkey AS km
+        |  FROM base),
+        |nt AS (
+        |  SELECT *, CAST(ntile(5) OVER (ORDER BY kr) AS BIGINT) AS r,
+        |         CAST(ntile(5) OVER (ORDER BY kf) AS BIGINT) AS f,
+        |         CAST(ntile(5) OVER (ORDER BY km) AS BIGINT) AS m
+        |  FROM k)
+        |SELECT o_custkey, recency, frequency,
+        |       round(CAST(mon AS DOUBLE), 6) AS monetary,
+        |       r, f, m, r * 100 + f * 10 + m AS rfm_code
+        |FROM nt""".stripMargin,
   )
 }

@@ -279,6 +279,30 @@ object Streams {
   def currentCountMin(spark: SparkSession, tableRoot: String): DataFrame =
     graft.operators.CountMin.merge(
       graft.operators.ManifestTable.read(spark, tableRoot))
+
+  /** STREAMING regression-trend maintenance: each micro-batch collapses
+    * to its [[graft.operators.TimeSeries.trendMoments]] rows (exact
+    * additive accumulators, group-table-sized) and appends through the
+    * manifest's exactly-once txn ledger — the [[streamingCountMinSink]]
+    * pattern for OLS: moment addition is not idempotent, the batchId
+    * high-water mark makes replays no-ops. [[currentTrend]] merges
+    * everything delivered into the identical full-history fit.
+    */
+  def streamingTrendSink(tableRoot: String, queryName: String,
+      keyCols: Seq[String], xCol: String, yCol: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    graft.operators.ManifestTable.streamInto(tableRoot, queryName)(
+      graft.operators.TimeSeries.trendMoments(batch, keyCols, xCol, yCol),
+      batchId)
+
+  /** The maintained fit as of the table's current snapshot — equal to
+    * [[graft.operators.TimeSeries.trendOls]] over everything the
+    * stream has delivered, bit-for-bit.
+    */
+  def currentTrend(spark: SparkSession, tableRoot: String,
+      keyCols: Seq[String]): DataFrame =
+    graft.operators.TimeSeries.mergeTrendMoments(
+      graft.operators.ManifestTable.read(spark, tableRoot), keyCols)
 }
 
 /** Merge-into-parquet sink with write-new-then-swap atomicity (SURVEY §7

@@ -604,6 +604,24 @@ class StreamsSpec extends SparkSuite {
     assert(mass == 4L * 90, s"counter mass $mass != 360")
   }
 
+  test("streaming trend maintenance: replay-safe, equals the one-shot fit") {
+    import graft.operators.TimeSeries
+    val root = Files.createTempDirectory("graft_stream_ols").resolve("t").toString
+    val sink = Streams.streamingTrendSink(root, "ols", Seq("k"), "x", "y") _
+    def slice(lo: Int, hi: Int) = (lo until hi)
+      .map(i => ("g", i.toLong, 10.0 + 0.5 * i + (if (i % 2 == 0) 1.0 else -1.0)))
+      .toDF("k", "x", "y")
+    sink(slice(0, 40), 0L)
+    sink(slice(40, 80), 1L)
+    sink(slice(40, 80), 1L) // at-least-once replay: must be a no-op
+    sink(slice(80, 120), 2L)
+    val maintained = Streams.currentTrend(spark, root, Seq("k")).collect().toSeq
+    val oneShot = TimeSeries.trendOls(slice(0, 120), Seq("k"), "x", "y")
+      .collect().toSeq
+    assert(maintained == oneShot,
+      s"maintained fit must equal the from-scratch fit: $maintained vs $oneShot")
+  }
+
   test("session windows merge events within the gap") {
     val df = Seq(
       ("2024-01-01 00:00:00", 1L), ("2024-01-01 00:10:00", 1L), // one session
