@@ -73,8 +73,16 @@ object TrainingPrep {
     * IVF centroid head), and the result is a pure function of the data:
     * partition boundaries cancel out of the sum.
     *
-    * `orderCol` must be unique (range partitioning keeps equal keys
-    * together, but tie order within a key would be nondeterministic).
+    * `orderCol` must be unique — and not only for tie-order
+    * determinism: the per-partition window's default frame is RANGE,
+    * so PEER rows (equal keys) would each receive the whole tie
+    * block's cumulative, silently inflating every downstream rank
+    * (measured: a uniform-key Gini read 0.9 instead of 0 before
+    * [[graft.operators.Scale.skewReport]] switched to its
+    * distinct-value block fold). Callers with tied metrics must either
+    * append a tiebreak to the key (q174/q185's `metric·B + id`
+    * composites) or fold over the distinct-value table with the
+    * midrank block identity (q181/q183).
     *
     * Cache contract: the returned DataFrame is persisted and MATERIALIZED,
     * and the caller owns it — unpersist when done. The persist is
