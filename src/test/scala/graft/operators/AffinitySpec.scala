@@ -38,6 +38,13 @@ class AffinitySpec extends SparkSuite {
     assert(banded.head._6 == 1.0, s"got ${banded.toSeq}")
   }
 
+  test("coPurchaseLift plan: top-k is TakeOrderedAndProject, never a global sort") {
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b")).toDF("b", "i")
+    val plan = Affinity.coPurchaseLift(rows, "b", "i", minSupport = 1L, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
   test("coPurchaseLift: argument guards") {
     val rows = Seq((1L, "a")).toDF("b", "i")
     intercept[IllegalArgumentException] {

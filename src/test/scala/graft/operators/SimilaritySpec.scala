@@ -431,6 +431,15 @@ class SimilaritySpec extends SparkSuite {
     assert(got.size == 6, "one row per vector")
   }
 
+  test("labelAgreement plan: per-anchor top-k runs as WindowGroupLimit heaps") {
+    val vecs = (1L to 8L).map(i => (i, Array(i.toFloat, 1f), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val plan = Similarity.labelAgreement(vecs, "vec_id", "embedding", "label", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rn <= k must push per-task top-k heaps, not full per-anchor sorts:\n$plan")
+  }
+
   test("labelAgreement: k beyond n-1 divides by neighbors actually found") {
     val vecs = Seq(
       (1L, Array(1f, 0f), 0), (2L, Array(0.9f, 0.1f), 0), (3L, Array(0f, 1f), 1)

@@ -95,6 +95,22 @@ class TimeSeriesSpec extends SparkSuite {
     assert(got(("b", "10:00")) == ((42.0, 42.0, 42.0, 42.0, 1L)))
   }
 
+  test("resampleOhlc plan: one hash aggregation, no window operator") {
+    val ticks = Seq(("k", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 5.0))
+      .toDF("k", "ts", "id", "v")
+    val plan = TimeSeries.resampleOhlc(ticks, Seq("k"), "ts", "id", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"bars must come from min_by/max_by " +
+      s"partial aggs, never a per-bar window sort:\n$plan")
+    // min_by over a struct ordering key plans as SortAggregate — the
+    // load-bearing property is the MAP-SIDE partial combine before the
+    // one bar-keyed exchange, not the aggregate's physical flavor
+    assert(plan.contains("partial_min_by"),
+      s"expected a map-side partial aggregate:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected exactly one bar-keyed shuffle:\n$plan")
+  }
+
   test("resampleOhlc: unsupported bucket rejected") {
     val df = Seq(("k", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1.0))
       .toDF("k", "ts", "id", "v")
