@@ -3870,4 +3870,38 @@ object Queries {
       col("r"), col("f"), col("m"),
       (col("r") * 100L + col("f") * 10L + col("m")).as("rfm_code"))
   }
+
+  // ---------------------------------------------------------------- Q186
+  /** Copy-on-write MERGE with SCHEMA EVOLUTION on the manifest table
+    * ([[graft.operators.ManifestTable.merge]] `mergeSchema = true` —
+    * the Delta automerge contract): the update batch re-prices a key
+    * slice AND introduces a new `score` column plus inserts; only
+    * key-matching files rewrite, untouched files carry physically
+    * NARROW and read NULL through the evolved snapshot schema, retypes
+    * stay rejected. The oracle states the final table closed-form from
+    * the key algebra.
+    */
+  def q186MergeEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q186").resolve("t").toString
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    ManifestTable.commit(spark, root,
+      o.where(col("o_orderkey") % 3 === 0)
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      Seq("o_orderkey"))
+    val updates = o.where(col("o_orderkey") % 30 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(o.where(col("o_orderkey") % 5 === 1 &&
+        col("o_orderkey") % 3 =!= 0))
+      .withColumn("score", col("o_orderkey") % 7)
+    ManifestTable.merge(spark, root, updates, "o_orderkey", mergeSchema = true)
+    ManifestTable.read(spark, root).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("o_orderkey")).as("key_sum"),
+      round(sum(col("o_totalprice").cast("string").cast("decimal(18,6)"))
+        .cast("decimal(38,6)").cast("double"), 6).as("revenue"),
+      count(col("score")).as("n_scored"),
+      sum(col("score")).as("score_sum"))
+  }
 }

@@ -222,6 +222,7 @@ object SparkEntry {
     "q183_skew_report" -> (Queries.q183SkewReport _),
     "q184_basket_affinity" -> (Queries.q184BasketAffinity _),
     "q185_rfm_segments" -> (Queries.q185RfmSegments _),
+    "q186_merge_evolve" -> (Queries.q186MergeEvolve _),
   )
 
   /** One power-iteration step as oracle CTEs (see `Spectral
@@ -3651,5 +3652,29 @@ object SparkEntry {
         |       round(CAST(mon AS DOUBLE), 6) AS monetary,
         |       r, f, m, r * 100 + f * 10 + m AS rfm_code
         |FROM nt""".stripMargin,
+    // the evolved upsert replayed as key set algebra: base minus updated
+    // keys (NULL score), re-priced updates, inserts — all closed-form
+    "q186_merge_evolve" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        |  WHERE o_orderkey % 3 = 0),
+        |u AS (
+        |  SELECT o_orderkey AS k, o_totalprice + 1000.0 AS p,
+        |         o_orderkey % 7 AS s
+        |  FROM orders WHERE o_orderkey % 30 = 0),
+        |i AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderkey % 7 AS s
+        |  FROM orders WHERE o_orderkey % 5 = 1 AND o_orderkey % 3 <> 0),
+        |fin AS (
+        |  SELECT k, p, CAST(NULL AS BIGINT) AS s FROM b WHERE k % 30 <> 0
+        |  UNION ALL SELECT k, p, s FROM u
+        |  UNION ALL SELECT k, p, s FROM i)
+        |SELECT count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS key_sum,
+        |       round(CAST(CAST(sum(CAST(CAST(p AS VARCHAR) AS DECIMAL(18,6)))
+        |                 AS DECIMAL(38,6)) AS DOUBLE), 6) AS revenue,
+        |       CAST(count(s) AS BIGINT) AS n_scored,
+        |       CAST(sum(s) AS BIGINT) AS score_sum
+        |FROM fin""".stripMargin,
   )
 }

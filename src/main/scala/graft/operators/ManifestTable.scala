@@ -430,7 +430,8 @@ object ManifestTable {
     * would be stale) — re-run on a fresh snapshot.
     */
   def merge(spark: SparkSession, tableRoot: String, updates: DataFrame,
-      keyCol: String, maxRetries: Int = 5): CowStats = {
+      keyCol: String, maxRetries: Int = 5,
+      mergeSchema: Boolean = false): CowStats = {
     val f = fs(spark)
     val root = new Path(tableRoot)
     val m = resolve(f, root, None)
@@ -438,8 +439,29 @@ object ManifestTable {
       "merge over outstanding merge-on-read deletes would resurrect deleted rows " +
         "in rewritten files; run rewriteDeletes or compact first")
     val updDdl = StructType(updates.schema.fields.map(_.copy(nullable = true))).toDDL
-    require(m.schemaDdl == updDdl,
-      s"merge schema mismatch: table is <${m.schemaDdl}>, updates is <$updDdl>")
+    // mergeSchema follows the append-evolution contract (additive union,
+    // retypes rejected by unionDdl): survivors of rewritten files and the
+    // updates both project to the union schema (absent columns NULL);
+    // untouched files carry physically narrow and read NULL through the
+    // snapshot schema, exactly like pre-evolution appends
+    val targetDdl =
+      if (mergeSchema)
+        unionDdl(m.schemaDdl,
+          StructType(updates.schema.fields.map(_.copy(nullable = true))))
+      else {
+        require(m.schemaDdl == updDdl,
+          s"merge schema mismatch: table is <${m.schemaDdl}>, updates is <$updDdl> " +
+            "(pass mergeSchema = true for additive evolution)")
+        m.schemaDdl
+      }
+    require(updates.columns.contains(keyCol),
+      s"updates must carry the merge key '$keyCol'")
+    val target = StructType.fromDDL(targetDdl)
+    def align(df: DataFrame): DataFrame =
+      df.select(target.fields.toIndexedSeq.map { fld =>
+        if (df.columns.contains(fld.name)) col(fld.name)
+        else lit(null).cast(fld.dataType).as(fld.name)
+      }: _*)
     val dt = StructType.fromDDL(m.schemaDdl)(keyCol).dataType
 
     val bounds = updates.agg(
@@ -470,11 +492,11 @@ object ManifestTable {
       val survivors =
         if (rewrite.isEmpty) updates.limit(0)
         else dfFor(spark, root, m, rewrite).join(keys, Seq(keyCol), "left_anti")
-      val (newEntries, _) =
-        writeBatch(spark, f, root, survivors.unionByName(updates), m.statsCols)
+      val (newEntries, _) = writeBatch(spark, f, root,
+        align(survivors).unionByName(align(updates)), m.statsCols)
       val v = publish(f, root, "merge", m.statsCols, None,
         maxRetries, expectParent = Some(m.version)) { _ =>
-        (m.schemaDdl, pruned ++ untouchedCand ++ newEntries, Seq.empty)
+        (targetDdl, pruned ++ untouchedCand ++ newEntries, Seq.empty)
       }
       CowStats(v, pruned.size + untouchedCand.size, 0, rewrite.size)
     }

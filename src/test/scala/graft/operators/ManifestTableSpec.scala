@@ -386,6 +386,39 @@ class ManifestTableSpec extends SparkSuite {
     assert(e.getMessage.contains("schema mismatch"))
   }
 
+  test("merge with mergeSchema: additive evolution, untouched files read NULL") {
+    val root = freshRoot()
+    val in = docs(4000).repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    ManifestTable.commit(spark, root, in, Seq("id"))
+    // updates hit one narrow key range and carry a NEW column; inserts too
+    val updates = docs(50, from = 1000)
+      .withColumn("score", col("score") + 1)
+      .withColumn("grade", col("id") % 3)
+      .unionByName(docs(10, from = 9000).withColumn("grade", col("id") % 3))
+    val cow = ManifestTable.merge(spark, root, updates, "id", mergeSchema = true)
+    assert(cow.filesRewritten <= 2 && cow.filesKept >= 6, s"$cow")
+    val t = ManifestTable.read(spark, root)
+    assert(t.columns.contains("grade"), "snapshot schema must gain the column")
+    assert(t.count() == 4010)
+    // untouched files AND rewritten survivors read NULL for the new column
+    assert(t.where(col("grade").isNotNull).count() == 60)
+    assert(t.where(col("id") === 5L).select(col("grade")).head().isNullAt(0))
+    // updated rows carry both the new value and the new column
+    val u = t.where(col("id") === 1000L).head()
+    assert(u.getAs[Double]("score") == 10001.0 &&
+      u.getAs[Long]("grade") == 1000L % 3, s"got $u")
+    // retypes still rejected even under mergeSchema
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root,
+        docs(5).withColumn("score", lit("oops")).withColumn("grade", col("id") % 3),
+        "id", mergeSchema = true)
+    }
+    assert(e.getMessage.toLowerCase.contains("retyp") ||
+      e.getMessage.toLowerCase.contains("type"), s"got ${e.getMessage}")
+    // pre-evolution snapshot still time-travels with the narrow schema
+    assert(!ManifestTable.read(spark, root, Some(1L)).columns.contains("grade"))
+  }
+
   test("deleteRange drops fully-covered files from metadata alone and keeps NULLs") {
     val root = freshRoot()
     // 8 disjoint id-range files over 0..3999 plus NULL-score rows
