@@ -126,6 +126,33 @@ object ManifestTable {
   def listVersions(spark: SparkSession, tableRoot: String): Seq[Long] =
     committedVersions(fs(spark), new Path(tableRoot)).sorted
 
+  /** TIMESTAMP AS OF resolution (the Delta/Iceberg time-travel-by-time
+    * contract): the newest version whose manifest was PUBLISHED at or
+    * before `tsMillis`. Publish time is the manifest file's own
+    * modification time — the rename that makes a commit visible is
+    * what stamps it, so no format change and no clock the writer could
+    * forget to set; readers resolve from a directory listing alone.
+    * Fails if the table has no version that old (it may have been
+    * vacuumed — same contract as a GC'd version number).
+    */
+  def versionAsOf(spark: SparkSession, tableRoot: String,
+      tsMillis: Long): Long = {
+    val f = fs(spark)
+    val root = new Path(tableRoot)
+    val vs = committedVersions(f, root)
+      .filter(v => f.getFileStatus(manifestPath(root, v))
+        .getModificationTime <= tsMillis)
+    require(vs.nonEmpty,
+      s"no snapshot under $tableRoot published at or before $tsMillis " +
+        "(older versions may have been vacuumed)")
+    vs.max
+  }
+
+  /** [[read]] at the snapshot current as of `tsMillis` ([[versionAsOf]]). */
+  def readAsOf(spark: SparkSession, tableRoot: String,
+      tsMillis: Long): DataFrame =
+    read(spark, tableRoot, Some(versionAsOf(spark, tableRoot, tsMillis)))
+
   /** A snapshot's data file paths, table-relative — the audit surface
     * for copy-on-write evidence (which files a [[merge]]/[[deleteRange]]
     * carried by reference vs rewrote).

@@ -377,6 +377,23 @@ class ManifestTableSpec extends SparkSuite {
     assert(noop.version == cow.version && noop.filesRewritten == 0)
   }
 
+  test("versionAsOf/readAsOf: publish-time travel from manifest mtimes") {
+    val root = freshRoot()
+    ManifestTable.commit(spark, root, docs(100), Seq("id"))
+    Thread.sleep(1100) // mtime granularity can be 1 s on some filesystems
+    val betweenCommits = System.currentTimeMillis()
+    Thread.sleep(1100)
+    ManifestTable.commit(spark, root, docs(50, from = 100), Seq("id"),
+      append = true)
+    assert(ManifestTable.versionAsOf(spark, root, betweenCommits) == 1L)
+    assert(ManifestTable.readAsOf(spark, root, betweenCommits).count() == 100L)
+    assert(ManifestTable.versionAsOf(spark, root,
+      System.currentTimeMillis()) == 2L)
+    intercept[IllegalArgumentException] {
+      ManifestTable.versionAsOf(spark, root, 1000L) // before any commit
+    }
+  }
+
   test("merge with a drifted schema fails fast") {
     val root = freshRoot()
     ManifestTable.commit(spark, root, docs(10), Seq("id"))
