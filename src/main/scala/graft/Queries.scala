@@ -3904,4 +3904,16 @@ object Queries {
       count(col("score")).as("n_scored"),
       sum(col("score")).as("score_sum"))
   }
+
+  // ---------------------------------------------------------------- Q187
+  /** Bayesian-bootstrap mean CI ([[graft.operators.RobustStats
+    * .bootstrapMeanCi]]): the order-value mean with a 16-replicate
+    * Rubin-weight uncertainty band — one extra scan, no resampling
+    * shuffle; exponential weights from the seeded portable uniform, so
+    * the whole band replays in SQL (uniform fold, −ln, 6-dp
+    * contributions, decimal sums, one division per replicate).
+    */
+  def q187BootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    RobustStats.bootstrapMeanCi(tp(spark, dir, "orders"),
+      "o_orderkey", "o_totalprice", replicates = 16, salt = "bs1")
 }

@@ -223,6 +223,7 @@ object SparkEntry {
     "q184_basket_affinity" -> (Queries.q184BasketAffinity _),
     "q185_rfm_segments" -> (Queries.q185RfmSegments _),
     "q186_merge_evolve" -> (Queries.q186MergeEvolve _),
+    "q187_bootstrap_ci" -> (Queries.q187BootstrapCi _),
   )
 
   /** One power-iteration step as oracle CTEs (see `Spectral
@@ -3676,5 +3677,41 @@ object SparkEntry {
         |       CAST(count(s) AS BIGINT) AS n_scored,
         |       CAST(sum(s) AS BIGINT) AS score_sum
         |FROM fin""".stripMargin,
+    // the q130 uniform fold per (salt, replicate, id), -ln weights,
+    // 6-dp decimal contribution sums, one division per replicate,
+    // min/max band over the 16 replicate means
+    "q187_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS id, o_totalprice AS x
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |ex AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,6)))
+        |              AS DECIMAL(38,6)) AS s
+        |  FROM base),
+        |uu AS (
+        |  SELECT t.x, t.r,
+        |         (((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(string_split('bs1|' || t.r || '|' || t.id, ''),
+        |                c -> CAST(ascii(c) AS BIGINT))),
+        |              (a, q) -> (a * 131 + q) % 281474976710656)
+        |            % 2147483647) * 1103515245 + 12345) % 2147483647 + 0.5)
+        |          / 2147483647.0 AS u
+        |  FROM (SELECT b.id, b.x, g.r
+        |        FROM base b CROSS JOIN
+        |          (SELECT CAST(unnest(generate_series(0, 15)) AS VARCHAR) AS r) g) t),
+        |rep AS (
+        |  SELECT r, round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS m
+        |  FROM (
+        |    SELECT r,
+        |           CAST(sum(CAST(round(-ln(u), 6) AS DECIMAL(18,6)))
+        |                AS DECIMAL(38,6)) AS sw,
+        |           CAST(sum(CAST(round((-ln(u)) * x, 6) AS DECIMAL(28,6)))
+        |                AS DECIMAL(38,6)) AS swx
+        |    FROM uu GROUP BY 1))
+        |SELECT ex.n, round(CAST(ex.s AS DOUBLE) / CAST(ex.n AS DOUBLE), 6) AS mean,
+        |       (SELECT min(m) FROM rep) AS boot_lo,
+        |       (SELECT max(m) FROM rep) AS boot_hi
+        |FROM ex""".stripMargin,
   )
 }

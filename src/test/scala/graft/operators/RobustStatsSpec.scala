@@ -50,6 +50,29 @@ class RobustStatsSpec extends SparkSuite {
     assert(got == Map("g" -> 10L, "h" -> 5L))
   }
 
+  test("bootstrapMeanCi: band brackets the mean, shrinks with n, salt re-draws") {
+    def fixture(n: Int) = (1 to n).map(i => (i.toLong, 100.0 + (i % 7)))
+      .toDF("id", "x")
+    val small = RobustStats.bootstrapMeanCi(fixture(60), "id", "x").head()
+    val (n1, m1, lo1, hi1) = (small.getLong(0), small.getDouble(1),
+      small.getDouble(2), small.getDouble(3))
+    assert(n1 == 60L)
+    assert(lo1 <= m1 && m1 <= hi1, s"band must bracket the mean: $small")
+    assert(hi1 > lo1, "band must have width")
+    val big = RobustStats.bootstrapMeanCi(fixture(6000), "id", "x").head()
+    assert(big.getDouble(3) - big.getDouble(2) < (hi1 - lo1),
+      s"100x rows must shrink the band: $big vs $small")
+    val again = RobustStats.bootstrapMeanCi(fixture(60), "id", "x").head()
+    assert(again == small, "same salt must reproduce the same band")
+    val other = RobustStats
+      .bootstrapMeanCi(fixture(60), "id", "x", salt = "bs2").head()
+    assert(other.getDouble(2) != lo1 || other.getDouble(3) != hi1,
+      "a rotated salt must re-draw the weights")
+    intercept[IllegalArgumentException] {
+      RobustStats.bootstrapMeanCi(fixture(5), "id", "x", replicates = 1)
+    }
+  }
+
   test("winsorizedStats: argument guards") {
     intercept[IllegalArgumentException] {
       RobustStats.winsorizedStats(data, Seq.empty, "x")
