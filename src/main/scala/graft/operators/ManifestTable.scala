@@ -153,6 +153,40 @@ object ManifestTable {
       tsMillis: Long): DataFrame =
     read(spark, tableRoot, Some(versionAsOf(spark, tableRoot, tsMillis)))
 
+  /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE` shape):
+    * a NEW table whose v1 manifest references the SOURCE's current data
+    * files BY ABSOLUTE PATH — zero data copied at any table size; the
+    * dev/test/experiment fork primitive. The clone then lives its own
+    * life: its appends/merges land as clone-local relative files and
+    * never touch the source; source commits after the clone are
+    * invisible to it (it pinned a snapshot). Outstanding MOR tombstones
+    * are forbidden (their scopes are source-relative) — materialize
+    * first, like [[merge]].
+    *
+    * The shared-file hazard is the same one Delta documents: `vacuum`
+    * on the SOURCE can retire files the clone still references (the
+    * clone's own vacuum is safe — it only deletes under the clone's
+    * root). Run source vacuums with clone lifetimes in mind.
+    */
+  def shallowClone(spark: SparkSession, srcRoot: String,
+      destRoot: String): Long = {
+    val f = fs(spark)
+    val src = new Path(srcRoot)
+    val m = resolve(f, src, None)
+    require(m.tombstones.isEmpty,
+      "shallow-clone over outstanding merge-on-read deletes would mis-scope " +
+        "their source-relative file lists; run rewriteDeletes or compact first")
+    val dest = new Path(destRoot)
+    require(!f.exists(dest) || committedVersions(f, dest).isEmpty,
+      s"destination $destRoot already holds a table")
+    val qualified = f.makeQualified(src)
+    val absolute = m.files.map(fe =>
+      fe.copy(path = new Path(qualified, fe.path).toString))
+    publish(f, dest, "clone", m.statsCols, None, 5, expectParent = None) { _ =>
+      (m.schemaDdl, absolute, Seq.empty)
+    }
+  }
+
   /** A snapshot's data file paths, table-relative — the audit surface
     * for copy-on-write evidence (which files a [[merge]]/[[deleteRange]]
     * carried by reference vs rewrote).
@@ -513,9 +547,12 @@ object ManifestTable {
           .withColumn("__file", input_file_name())
           .join(keys, Seq(keyCol), "left_semi")
           .select(col("__file")).distinct().collect()
-          .map { r => val p = new Path(r.getString(0))
-            s"data/${p.getParent.getName}/${p.getName}" }.toSet
-      val (rewrite, untouchedCand) = candidates.partition(fe => touched(fe.path))
+          // basename is the join key: part-file names are UUID-unique,
+          // and a shallow clone's entries carry ABSOLUTE paths that a
+          // relative "data/<dir>/<name>" reconstruction would never match
+          .map(r => new Path(r.getString(0)).getName).toSet
+      val (rewrite, untouchedCand) =
+        candidates.partition(fe => touched(new Path(fe.path).getName))
       val survivors =
         if (rewrite.isEmpty) updates.limit(0)
         else dfFor(spark, root, m, rewrite).join(keys, Seq(keyCol), "left_anti")
@@ -675,15 +712,18 @@ object ManifestTable {
     if (m.tombstones.isEmpty) CowStats(m.version, m.files.size, 0, 0)
     else {
       val keyCol = m.tombstones.head.keyCol
-      val inScope = m.tombstones.flatMap(_.appliesTo).toSet
-      val (candidates, outside) = m.files.partition(fe => inScope(fe.path))
+      val inScope =
+        m.tombstones.flatMap(_.appliesTo).map(p => new Path(p).getName).toSet
+      val (candidates, outside) =
+        m.files.partition(fe => inScope(new Path(fe.path).getName))
       val pairs = tombstonePairs(spark, root, m)
       val touched: Set[String] =
         if (candidates.isEmpty) Set.empty
         else withRelPath(dfFor(spark, root, m, candidates))
           .join(pairs, Seq(keyCol, RelCol), "left_semi")
           .select(col(RelCol)).distinct().collect().map(_.getString(0)).toSet
-      val (rewrite, untouchedCand) = candidates.partition(fe => touched(fe.path))
+      val (rewrite, untouchedCand) =
+        candidates.partition(fe => touched(new Path(fe.path).getName))
       val newEntries = if (rewrite.isEmpty) Seq.empty else {
         val survivors = withRelPath(dfFor(spark, root, m, rewrite))
           .join(pairs, Seq(keyCol, RelCol), "left_anti").drop(RelCol)
@@ -697,14 +737,17 @@ object ManifestTable {
     }
   }
 
-  /** The per-row table-relative path, matching [[FileEntry.path]] /
-    * [[Tombstone.appliesTo]] form (`data/b-…/part-….parquet`).
+  /** The per-row source-file BASENAME. Part-file names carry writer
+    * UUIDs (globally unique), so basename is the file identity that
+    * survives both table-relative entries and a shallow clone's
+    * absolute ones — [[Tombstone.appliesTo]] keeps storing full paths
+    * for auditability, every match normalizes to basename.
     */
-  private val RelCol = "__graft_rel_path"
+  private val RelCol = "__graft_file_name"
 
   private def withRelPath(df: DataFrame): DataFrame =
     df.withColumn(RelCol,
-      regexp_extract(input_file_name(), "(data/[^/]+/[^/]+)$", 1))
+      regexp_extract(input_file_name(), "([^/]+)$", 1))
 
   /** The outstanding deletes as a broadcast (key, file) frame: each
     * tombstone's keys exploded across its `appliesTo` scope. Size is
@@ -715,7 +758,9 @@ object ManifestTable {
     val keyCol = m.tombstones.head.keyCol
     broadcast(m.tombstones.map { tb =>
       spark.read.parquet(new Path(root, tb.path).toString)
-        .select(col(keyCol), explode(typedLit(tb.appliesTo)).as(RelCol))
+        .select(col(keyCol),
+          explode(typedLit(tb.appliesTo.map(p => new Path(p).getName)))
+            .as(RelCol))
     }.reduce(_ unionByName _))
   }
 

@@ -394,6 +394,48 @@ class ManifestTableSpec extends SparkSuite {
     }
   }
 
+  test("shallowClone: zero-copy fork, then independent lives") {
+    val src = freshRoot()
+    val cloneRoot = freshRoot()
+    ManifestTable.commit(spark, src, docs(1000), Seq("id"))
+    val v = ManifestTable.shallowClone(spark, src, cloneRoot)
+    assert(v == 1L)
+    // clone reads the source snapshot without copying a byte
+    assert(ManifestTable.read(spark, cloneRoot).count() == 1000L)
+    assert(!new java.io.File(s"$cloneRoot/data").exists ||
+      new java.io.File(s"$cloneRoot/data").listFiles.isEmpty,
+      "a shallow clone must not copy data files")
+    // clone-side append: clone grows, source does not
+    ManifestTable.commit(spark, cloneRoot, docs(10, from = 5000), Seq("id"),
+      append = true)
+    assert(ManifestTable.read(spark, cloneRoot).count() == 1010L)
+    assert(ManifestTable.read(spark, src).count() == 1000L)
+    // source-side append AFTER the clone: invisible to the clone
+    ManifestTable.commit(spark, src, docs(10, from = 9000), Seq("id"),
+      append = true)
+    assert(ManifestTable.read(spark, cloneRoot).count() == 1010L)
+    // clone-side COW merge rewrites only shared files it touches; the
+    // source still reads its own (untouched) originals
+    val cow = ManifestTable.merge(spark, cloneRoot,
+      docs(5, from = 100).withColumn("score", col("score") + 1), "id")
+    assert(cow.filesRewritten >= 1)
+    assert(ManifestTable.read(spark, cloneRoot)
+      .where(col("id") === 100L).head().getAs[Double]("score") == 1001.0)
+    assert(ManifestTable.read(spark, src)
+      .where(col("id") === 100L).head().getAs[Double]("score") == 1000.0)
+    // clone-side MOR delete on a pre-clone (absolute-path) row subtracts
+    ManifestTable.deleteKeysMor(spark, cloneRoot,
+      Seq(200L).toDF("id"), "id")
+    assert(ManifestTable.read(spark, cloneRoot)
+      .where(col("id") === 200L).count() == 0L)
+    assert(ManifestTable.read(spark, src)
+      .where(col("id") === 200L).count() == 1L)
+    // refuses to clobber an existing table
+    intercept[IllegalArgumentException] {
+      ManifestTable.shallowClone(spark, src, cloneRoot)
+    }
+  }
+
   test("merge with a drifted schema fails fast") {
     val root = freshRoot()
     ManifestTable.commit(spark, root, docs(10), Seq("id"))
