@@ -190,8 +190,16 @@ object TextFunctions {
     * DuckDB oracles (q13f's permutation arithmetic class).
     */
   def portableUniform(key: Column): Column =
-    (((portableTokenHash(key) % lit(2147483647L)) * lit(1103515245L)
+    (((graft.plans.PolyHashExpressions.polyStringHash(key) % lit(2147483647L))
+      * lit(1103515245L)
       + lit(12345L)) % lit(2147483647L) + lit(0.5)) / lit(2147483647.0)
+
+  /** HOF twin of the native whole-string fold — the executable spec
+    * TextFunctionsSpec pins [[graft.plans.PolyHashExpressions
+    * .polyStringHash]] against.
+    */
+  private[graft] def portableStringHashHof(key: Column): Column =
+    portableTokenHash(key)
 
   /** HOF composition of [[portableTokenHash]] — the executable spec for
     * the native expression (asserted equal in TextFunctionsSpec).

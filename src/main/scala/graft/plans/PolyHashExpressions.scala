@@ -43,6 +43,57 @@ object PolyHashOps {
     out(k) = acc
     new GenericArrayData(out)
   }
+
+  /** Whole-string 48-bit code-point fold — the unit hash behind
+    * `portableUniform` (sampling, splits, DP noise, bootstrap weights).
+    * Semantics are EXACTLY the HOF chain it replaces
+    * (`aggregate(filter(split(key, ""), c != ""), 0L,
+    * (a, c) -> (a*131 + ascii(c)) % 2^48)`): every code point including
+    * spaces participates, empty string folds to 0.
+    */
+  def stringHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 131L + cp) % M
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** Native whole-string 48-bit polynomial hash (see
+  * [[PolyHashOps.stringHash]]): one codegen'd pass where the HOF chain
+  * runs an interpreted lambda per character — on the hot seeded-uniform
+  * paths (group splits, temperature sampling, DP release, bootstrap
+  * replicates at B× the corpus) this is the per-row inner loop.
+  * Custom-operator tier (b); the DuckDB oracle replays are unaffected
+  * because the values are identical (TextFunctionsSpec pins native ==
+  * HOF).
+  */
+case class PolyStringHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "poly_string_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHashOps.stringHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.PolyHashOps.stringHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Single-pass loop behind [[HashedShingles]]. Semantics are EXACTLY the
@@ -240,4 +291,8 @@ object PolyHashExpressions {
   /** Column-API surface for the one-pass hashed shingles. */
   def hashedShingles(text: Column, n: Int): Column =
     ColumnBridge.column(HashedShingles(ColumnBridge.expression(text), n))
+
+  /** Column-API surface for the native whole-string fold. */
+  def polyStringHash(text: Column): Column =
+    ColumnBridge.column(PolyStringHash(ColumnBridge.expression(text)))
 }

@@ -347,6 +347,14 @@ object GraftExtensions {
         PolyTokenHashes(args.head)
       }))
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("poly_string_hash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PolyStringHash].getName, "poly_string_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "poly_string_hash(text) takes 1 argument")
+        PolyStringHash(args.head)
+      }))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("bottom_k"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[BottomKSketch].getName, "bottom_k"),

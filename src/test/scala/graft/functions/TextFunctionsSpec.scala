@@ -74,6 +74,28 @@ class TextFunctionsSpec extends SparkSuite {
     assert(fp >= 0 && fp < (1L << 48))
   }
 
+  test("native poly_string_hash equals the HOF executable spec; SQL-registered") {
+    // whole-string fold INCLUDING spaces (the uniform's key strings are
+    // 'salt|...|id' composites), empty string -> 0, non-ASCII code points
+    val edge = Seq("", " ", "bs1|0|42", "a b  c", "héllo|你好", "x" * 200)
+      .toDF("text")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select($"text")
+    for (df <- Seq(edge, docs)) {
+      val mismatch = df.select(
+          graft.plans.PolyHashExpressions.polyStringHash($"text").as("native"),
+          TextFunctions.portableStringHashHof($"text").as("hof"))
+        .where(not($"native" <=> $"hof"))
+      assert(mismatch.count() == 0, "native string hash diverged from HOF spec")
+    }
+    edge.createOrReplaceTempView("tf_keys")
+    val viaSql = spark.sql("SELECT poly_string_hash(text) AS h FROM tf_keys")
+      .as[Long].collect().toSeq
+    val viaApi = edge.select(
+        graft.plans.PolyHashExpressions.polyStringHash($"text"))
+      .as[Long].collect().toSeq
+    assert(viaSql == viaApi, "SQL registration must match the Column API")
+  }
+
   test("SQL surface: hashed_shingles and poly_token_hashes registered") {
     spark.read.parquet(s"$sf/documents.parquet").limit(20)
       .createOrReplaceTempView("tf_docs")
