@@ -1061,9 +1061,17 @@ object ManifestTable {
     * denser files). Conservative under MOR tombstones (a deleted key
     * may still probe true — false positives only, never false skips).
     * Returns the new version.
+    *
+    * `incremental = true` is the daily-loop mode (the q106/q143
+    * economics): ONLY files missing a bloom for `colName` — i.e. those
+    * appended since the last build — are scanned; every existing bloom
+    * carries byte-identical. An index refresh after a day's appends
+    * costs the day's data, never the table. No-op (current version,
+    * no commit) when every file is already indexed.
     */
   def buildBloomIndex(spark: SparkSession, tableRoot: String,
-      colName: String, numBits: Int = 1 << 13): Long = {
+      colName: String, numBits: Int = 1 << 13,
+      incremental: Boolean = false): Long = {
     require(numBits >= 64 && numBits % 64 == 0 && numBits <= (1 << 20),
       s"numBits must be a multiple of 64 in [64, 2^20], got $numBits")
     val f = fs(spark)
@@ -1073,38 +1081,45 @@ object ManifestTable {
     require(schema.fieldNames.contains(colName), s"no column $colName")
     require(schema(colName).dataType.isInstanceOf[NumericType],
       s"bloom index needs a numeric key column, got ${schema(colName).dataType}")
-    // input_file_name() yields scheme-qualified URIs; part-file names are
-    // UUID-unique, so basename is the join key (the collectFileStats rule)
-    val byName = m.files.map(fe => new Path(fe.path).getName -> fe.path).toMap
-    val positions = (0 until BloomHashes).map(i =>
-      pmod(xxhash64(col(colName).cast("long"), lit(i)), lit(numBits.toLong)))
-    val words =
-      if (m.files.isEmpty) Array.empty[Row]
-      else spark.read.schema(schema)
-        .parquet(m.files.map(fe => new Path(root, fe.path).toString): _*)
+    val toIndex =
+      if (incremental) m.files.filterNot(_.blooms.contains(colName))
+      else m.files
+    if (toIndex.isEmpty) m.version
+    else {
+      // input_file_name() yields scheme-qualified URIs; part-file names
+      // are UUID-unique, so basename is the join key (collectFileStats rule)
+      val byName = toIndex.map(fe => new Path(fe.path).getName -> fe.path).toMap
+      val positions = (0 until BloomHashes).map(i =>
+        pmod(xxhash64(col(colName).cast("long"), lit(i)), lit(numBits.toLong)))
+      val words = spark.read.schema(schema)
+        .parquet(toIndex.map(fe => new Path(root, fe.path).toString): _*)
         .where(col(colName).isNotNull)
         .select(input_file_name().as("__f"),
           explode(array(positions: _*)).as("pos"))
         .groupBy(col("__f"), expr("CAST(pos DIV 64 AS INT)").as("word"))
         .agg(bit_or(expr("SHIFTLEFT(1L, CAST(pos % 64 AS INT))")).as("mask"))
         .collect() // bounded: files * numBits/64 rows
-    val perFile = words.groupBy(r =>
-      byName.getOrElse(new Path(r.getString(0)).getName, r.getString(0)))
-    def b64Of(rows: Array[Row]): String = {
-      val bits = new Array[Long](numBits / 64)
-      rows.foreach(r => bits(r.getInt(1)) = r.getLong(2))
-      val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
-      bits.foreach(bb.putLong)
-      java.util.Base64.getEncoder.encodeToString(bb.array())
-    }
-    val emptyB64 = b64Of(Array.empty)
-    val indexed = m.files.map { fe =>
-      fe.copy(blooms = fe.blooms +
-        (colName -> perFile.get(fe.path).map(b64Of).getOrElse(emptyB64)))
-    }
-    publish(f, root, "index", m.statsCols, None, 5,
-      expectParent = Some(m.version)) { _ =>
-      (m.schemaDdl, indexed, m.tombstones)
+      val perFile = words.groupBy(r =>
+        byName.getOrElse(new Path(r.getString(0)).getName, r.getString(0)))
+      def b64Of(rows: Array[Row]): String = {
+        val bits = new Array[Long](numBits / 64)
+        rows.foreach(r => bits(r.getInt(1)) = r.getLong(2))
+        val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+        bits.foreach(bb.putLong)
+        java.util.Base64.getEncoder.encodeToString(bb.array())
+      }
+      val emptyB64 = b64Of(Array.empty)
+      val fresh = byName.values.toSet
+      val indexed = m.files.map { fe =>
+        if (fresh(fe.path))
+          fe.copy(blooms = fe.blooms +
+            (colName -> perFile.get(fe.path).map(b64Of).getOrElse(emptyB64)))
+        else fe // incremental mode: existing blooms carry byte-identical
+      }
+      publish(f, root, "index", m.statsCols, None, 5,
+        expectParent = Some(m.version)) { _ =>
+        (m.schemaDdl, indexed, m.tombstones)
+      }
     }
   }
 

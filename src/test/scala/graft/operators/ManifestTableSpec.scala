@@ -100,6 +100,20 @@ class ManifestTableSpec extends SparkSuite {
       s"absent key: indexed files prune, the unindexed appendee stays: $s3")
     assert(s3.df.where(col("id") === 90001L).count() == 1L,
       "the unindexed file's rows must remain reachable")
+    // INCREMENTAL refresh: only the unindexed appendee is scanned; the
+    // absent-key probe then prunes every file, and the appended key's
+    // needle reads exactly its one file
+    val v4 = ManifestTable.buildBloomIndex(spark, root, "u",
+      numBits = 1 << 14, incremental = true)
+    val s4 = ManifestTable.scanKeys(spark, root, "u", Seq(-12345L))
+    assert(s4.filesScanned == 0, s"all 17 files now indexed and prunable: $s4")
+    val s5 = ManifestTable.scanKeys(spark, root, "u", Seq(90001L))
+    assert(s5.filesScanned < 5 &&
+      s5.df.where(col("id") === 90001L).count() == 1L,
+      s"the appendee's key must resolve through its fresh bloom: $s5")
+    // already-complete index: incremental build is a no-op, no commit
+    assert(ManifestTable.buildBloomIndex(spark, root, "u",
+      numBits = 1 << 14, incremental = true) == v4)
     // the index commit is row-faithful: changes() may cross it
     assert(ManifestTable.changes(spark, root, 1L, v2).count() == 0L)
     // time travel BEFORE the index still reads clean
