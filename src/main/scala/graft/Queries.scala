@@ -3916,4 +3916,22 @@ object Queries {
   def q187BootstrapCi(spark: SparkSession, dir: String): DataFrame =
     RobustStats.bootstrapMeanCi(tp(spark, dir, "orders"),
       "o_orderkey", "o_totalprice", replicates = 16, salt = "bs1")
+
+  // ---------------------------------------------------------------- Q188
+  /** Average precision / PR-AUC ([[graft.operators.Metrics
+    * .averagePrecision]]): q181's score-vs-`lang='en'` setup scored by
+    * the threshold-formulation AP — the rare-positive eval ROC
+    * flatters; one packed-lane prefix sum over the distinct-score
+    * table, per-threshold rounded precision, exact decimal term sums.
+    * With q181 (ROC) and q174 (calibration) this completes the
+    * filter-eval battery.
+    */
+  def q188AveragePrecision(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val scored = DataSelection.hashedLinearScore(docs, "doc_id", "text")
+      .where(col("n_tokens") > 0)
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+        Seq("doc_id"))
+    Metrics.averagePrecision(scored, "score", "is_en")
+  }
 }

@@ -224,6 +224,7 @@ object SparkEntry {
     "q185_rfm_segments" -> (Queries.q185RfmSegments _),
     "q186_merge_evolve" -> (Queries.q186MergeEvolve _),
     "q187_bootstrap_ci" -> (Queries.q187BootstrapCi _),
+    "q188_average_precision" -> (Queries.q188AveragePrecision _),
   )
 
   /** One power-iteration step as oracle CTEs (see `Spectral
@@ -3713,5 +3714,43 @@ object SparkEntry {
         |       (SELECT min(m) FROM rep) AS boot_lo,
         |       (SELECT max(m) FROM rep) AS boot_hi
         |FROM ex""".stripMargin,
+    // q181's score/label setup, then the threshold-formulation AP:
+    // descending-inclusive counts from totals minus ascending cumsum,
+    // rounded precision per distinct score, decimal term sums
+    "q188_average_precision" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         list_transform(string_split(text, ' '), t ->
+        |           list_reduce(
+        |             list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |             (a, x) -> (a * 131 + x) % 281474976710656)) AS hs
+        |  FROM documents),
+        |sc AS (
+        |  SELECT round(CAST(CAST(coalesce(list_sum(list_transform(hs, hv ->
+        |             ((hv % 64) * 2654435761) % 1997 - 998)), 0) AS BIGINT) AS DOUBLE)
+        |           / CAST(n_tokens * 1000 AS DOUBLE), 6) AS s,
+        |         (lang = 'en') AS y
+        |  FROM h WHERE n_tokens > 0),
+        |g AS (
+        |  SELECT s, count(*) AS cnt,
+        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM sc GROUP BY 1),
+        |w AS (
+        |  SELECT *, CAST(sum(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccnt,
+        |         CAST(sum(pos) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cpos
+        |  FROM g),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS nt, CAST(sum(pos) AS BIGINT) AS pt FROM g),
+        |terms AS (
+        |  SELECT w.pos, t.pt, t.nt,
+        |         round(CAST(t.pt - w.cpos + w.pos AS DOUBLE)
+        |               / CAST(t.nt - w.ccnt + w.cnt AS DOUBLE), 6) AS prec
+        |  FROM w, t)
+        |SELECT pt AS p, nt - pt AS n,
+        |       CASE WHEN pt > 0 AND nt > pt
+        |            THEN round(CAST(CAST(sum(pos * CAST(prec AS DECIMAL(12,6)))
+        |                      AS DECIMAL(38,6)) AS DOUBLE) / CAST(pt AS DOUBLE), 6)
+        |       END AS ap
+        |FROM terms GROUP BY pt, nt""".stripMargin,
   )
 }

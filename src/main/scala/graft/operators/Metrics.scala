@@ -103,6 +103,55 @@ object Metrics {
         .as("auc"))
   }
 
+  /** AVERAGE PRECISION (PR-AUC by the threshold formulation —
+    * sklearn's `average_precision_score` identity, tie-correct by
+    * construction since thresholds are DISTINCT scores):
+    * `AP = Σ_s (pos_s / P) · precision(≥ s)` summed over distinct
+    * scores descending. The precision-recall companion to [[rocAuc]] —
+    * the readout that matters when positives are rare (ROC flatters a
+    * filter on a 0.1%-positive corpus; AP does not).
+    *
+    * Same economics as rocAuc: scores collapse to a distinct-score
+    * table, ONE range-partitioned prefix sum over it with BOTH
+    * cumulative counts packed into a single lane (`cnt·2³² + pos`, the
+    * q144 carry-free packing; each sample < 2³¹ rows), cumulative-above
+    * derived from totals minus the ascending cumulative. Per threshold:
+    * one rounded division (precision), one exact decimal product; one
+    * final division. Single-class inputs yield NULL.
+    *
+    * Returns one row `(p, n, ap)`.
+    */
+  def averagePrecision(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val base = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+    val grouped = base.groupBy(col("__s")).agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("pos"))
+      .withColumn("__lane", col("cnt") * lit(4294967296L) + col("pos"))
+    val cum = TrainingPrep.globalPrefixSum(grouped, "__s", "__lane", "cum")
+    val totals = cum.agg(sum(col("cnt")).as("nt"), sum(col("pos")).as("pt"))
+    val joined = cum.crossJoin(broadcast(totals))
+    val cumCnt = expr("cum div 4294967296L")
+    val cumPos = col("cum") % lit(4294967296L)
+    // inclusive-descending = total - inclusive-ascending + own row
+    val tp = col("pt") - cumPos + col("pos")
+    val nd = col("nt") - cumCnt + col("cnt")
+    val precision = round(tp.cast("double") / nd.cast("double"), 6)
+    joined
+      .select(col("pt"), col("nt"),
+        (col("pos") * precision.cast("decimal(12,6)"))
+          .cast("decimal(28,6)").as("__term"))
+      .groupBy(col("pt"), col("nt"))
+      .agg(sum(col("__term")).cast("decimal(38,6)").as("__ap_num"))
+      .select(col("pt").as("p"), (col("nt") - col("pt")).as("n"),
+        when(col("pt") > 0L && col("nt") > col("pt"),
+          round(col("__ap_num").cast("double") / col("pt").cast("double"), 6))
+          .as("ap"))
+  }
+
   /** MUTUAL INFORMATION (and NMI) between two categorical columns —
     * the dependence readout for corpus composition ("does source
     * determine language?"), feature selection, and leakage checks;

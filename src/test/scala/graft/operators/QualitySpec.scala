@@ -101,6 +101,23 @@ class QualitySpec extends SparkSuite {
     assert(oneClass.isNullAt(2), s"got $oneClass")
   }
 
+  test("Metrics.averagePrecision: perfect=1, reversed hand value, ties, one-class NULL") {
+    def ap(rows: Seq[(Double, Boolean)]): Row =
+      Metrics.averagePrecision(rows.toDF("score", "y"), "score", "y").head()
+    val perfect = ap(Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false)))
+    assert(perfect.getLong(0) == 2L && perfect.getLong(1) == 2L &&
+      perfect.getDouble(2) == 1.0, s"got $perfect")
+    // reversed: thresholds desc — precisions 0/1, 0/2, 1/3, 2/4; AP =
+    // (round(1/3,6) + 0.5) / 2 = 0.416667 (rounded)
+    val reversed = ap(Seq((0.9, false), (0.8, false), (0.2, true), (0.1, true)))
+    assert(reversed.getDouble(2) == 0.416667, s"got $reversed")
+    // a tied threshold mixes the classes: single threshold, precision 1/2
+    val tied = ap(Seq((0.5, true), (0.5, false)))
+    assert(tied.getDouble(2) == 0.5, s"got $tied")
+    val oneClass = ap(Seq((0.9, true), (0.1, true)))
+    assert(oneClass.isNullAt(2), s"got $oneClass")
+  }
+
   test("Metrics.mutualInformation: independence=0, determinism=entropy, nmi=1") {
     val indep = (for (a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 25)
       yield (a, b)).toDF("a", "b")
