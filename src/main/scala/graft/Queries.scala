@@ -3934,4 +3934,25 @@ object Queries {
         Seq("doc_id"))
     Metrics.averagePrecision(scored, "score", "is_en")
   }
+
+  // ---------------------------------------------------------------- Q189
+  /** k-core membership ([[graft.operators.Graph.kCore]]): iterative
+    * peeling on a closed-form core-plus-periphery graph (ids < 150 wire
+    * a dense 13-vertex core; the rest attach sparse periphery vertices)
+    * — the densely-embedded backbone a spam/community gate keeps where
+    * triangles alone over-admit. Six peel rounds (convergent for this
+    * graph; the output is round-replayed by the oracle either way),
+    * each one degree partial-agg + two vertex semi-joins behind a
+    * lineage checkpoint. Output: surviving vertices with their
+    * core-subgraph degree.
+    */
+  def q189KCore(spark: SparkSession, dir: String): DataFrame = {
+    val d = tp(spark, dir, "documents").select(col("doc_id").as("id"))
+    val u = when(col("id") < 150, col("id") % 13)
+      .otherwise(lit(13) + col("id") % 60)
+    val v = when(col("id") < 150, expr("id div 13") % 13)
+      .when(col("id") % 3 === 0, col("id") % 13)
+      .otherwise(lit(13) + (col("id") * 7) % 60)
+    Graph.kCore(d.select(u.as("u"), v.as("v")), "u", "v", k = 6, rounds = 6)
+  }
 }

@@ -225,7 +225,25 @@ object SparkEntry {
     "q186_merge_evolve" -> (Queries.q186MergeEvolve _),
     "q187_bootstrap_ci" -> (Queries.q187BootstrapCi _),
     "q188_average_precision" -> (Queries.q188AveragePrecision _),
+    "q189_k_core" -> (Queries.q189KCore _),
   )
+
+  /** One k-core peel round as oracle CTEs (see `Graph.kCore`): degrees
+    * of the surviving edge set, keep-set at degree >= 6, edges filtered
+    * to kept endpoints.
+    */
+  private def kcoreIter(i: Int): String = {
+    val j = i - 1
+    // AS MATERIALIZED: each round references its predecessor three
+    // times; inlined CTEs would re-evaluate 3^rounds source scans
+    s"""d$i AS MATERIALIZED (
+       |  SELECT v, count(*) AS d FROM (
+       |    SELECT a AS v FROM e$j UNION ALL SELECT b FROM e$j) GROUP BY 1),
+       |k$i AS MATERIALIZED (SELECT v FROM d$i WHERE d >= 6),
+       |e$i AS MATERIALIZED (
+       |  SELECT e.a, e.b FROM e$j e
+       |  JOIN k$i ka ON ka.v = e.a JOIN k$i kb ON kb.v = e.b)""".stripMargin
+  }
 
   /** One power-iteration step as oracle CTEs (see `Spectral
     * .powerIteration`): fixed-order dot fold rounded 6 dp, per-dim
@@ -3752,5 +3770,28 @@ object SparkEntry {
         |                      AS DECIMAL(38,6)) AS DOUBLE) / CAST(pt AS DOUBLE), 6)
         |       END AS ap
         |FROM terms GROUP BY pt, nt""".stripMargin,
+    // the same closed-form generator, canonical edges, six replayed
+    // peel rounds, final degrees of the surviving core
+    "q189_k_core" ->
+      s"""WITH raw AS (
+         |  SELECT CASE WHEN doc_id < 150 THEN doc_id % 13
+         |              ELSE 13 + doc_id % 60 END AS u,
+         |         CASE WHEN doc_id < 150 THEN (doc_id // 13) % 13
+         |              WHEN doc_id % 3 = 0 THEN doc_id % 13
+         |              ELSE 13 + (doc_id * 7) % 60 END AS v
+         |  FROM documents),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+         |  FROM raw WHERE u <> v),
+         |${kcoreIter(1)},
+         |${kcoreIter(2)},
+         |${kcoreIter(3)},
+         |${kcoreIter(4)},
+         |${kcoreIter(5)},
+         |${kcoreIter(6)}
+         |SELECT v, CAST(d AS BIGINT) AS core_deg FROM (
+         |  SELECT v, count(*) AS d FROM (
+         |    SELECT a AS v FROM e6 UNION ALL SELECT b FROM e6) GROUP BY 1)
+         |WHERE d >= 6""".stripMargin,
   )
 }

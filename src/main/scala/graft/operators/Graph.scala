@@ -185,6 +185,43 @@ object Graph {
         greatest(col("u"), col("v"), col("w")).as("vc"))
   }
 
+  /** k-CORE MEMBERSHIP by iterative peeling (Seidman 1983; the
+    * degeneracy-ordering building block): repeatedly delete every
+    * vertex whose degree in the SURVIVING subgraph is below `k` until
+    * none remains — what survives is the k-core, the densely-embedded
+    * backbone. The link-graph curation gate one step past triangles:
+    * spam rings and real communities both have triangles; only
+    * structures with sustained mutual embedding survive a k-core.
+    *
+    * Each round is one degree partial-agg + two semi-joins on vertex
+    * keys (edges drop when EITHER endpoint peels), with a
+    * [[IterCheckpoint]] per round to keep the plan linear — the
+    * [[flattenForest]] discipline. Peeling converges in at most
+    * |V| rounds but in practice a handful; `rounds` is the fixed
+    * budget (spec-asserted convergent for its fixtures), and the
+    * result after convergence is round-count-invariant — which is what
+    * makes it oracle-replayable as chained CTEs.
+    *
+    * Returns `(v, core_deg)` — surviving vertices with their degree
+    * inside the core subgraph (≥ k by construction on convergence).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int = 8,
+      checkpointer: IterCheckpoint = LocalCheckpoint): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 30, "rounds must be in [1, 30]")
+    var e = checkpointer(canonicalEdges(edges, srcCol, dstCol), 0)
+    for (i <- 1 to rounds) {
+      val keep = degreesOf(e).where(col("d") >= k).select(col("v"))
+      e = checkpointer(
+        e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b")), i)
+    }
+    degreesOf(e).where(col("d") >= k)
+      .select(col("v"), col("d").as("core_deg"))
+  }
+
   /** LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998):
     * `cc(v) = 2·T(v) / (d(v)·(d(v)−1))` — the fraction of a vertex's
     * neighbor pairs that are themselves connected. The per-node

@@ -152,6 +152,28 @@ class GraphSpec extends SparkSuite {
     assert(ccStar.forall(_._4 == 0.0), s"star must be all-0: ${ccStar.toSeq}")
   }
 
+  test("kCore: lollipop cascade peels the tail round by round, core survives") {
+    // K5 on 1..5 plus pendant path 5-6-7-8-9: at k=2 the path peels one
+    // vertex per round from the free end (the cascade), K5 survives
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val path = Seq((5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L))
+    val e = (k5 ++ path).toDF("s", "d")
+    val converged = Graph.kCore(e, "s", "d", k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(converged == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L),
+      s"got $converged")
+    // extra rounds after convergence change nothing
+    val more = Graph.kCore(e, "s", "d", k = 2, rounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(more == converged)
+    // a star has no 2-core at all: leaves peel, the center isolates
+    val star = (2L to 9L).map(i => (1L, i)).toDF("s", "d")
+    assert(Graph.kCore(star, "s", "d", k = 2, rounds = 8).count() == 0)
+    intercept[IllegalArgumentException] {
+      Graph.kCore(e, "s", "d", k = 0)
+    }
+  }
+
   test("flattenForest: a forest keeps trees separate, extra rounds harmless") {
     val parentOf = Seq(
       (10L, None), (11L, Some(10L)), (12L, Some(11L)),   // tree rooted at 10
