@@ -3955,4 +3955,14 @@ object Queries {
       .otherwise(lit(13) + (col("id") * 7) % 60)
     Graph.kCore(d.select(u.as("u"), v.as("v")), "u", "v", k = 6, rounds = 6)
   }
+
+  // ---------------------------------------------------------------- Q190
+  /** Contingency drill-down ([[graft.operators.Metrics
+    * .pearsonResiduals]]): per-(lang, source) Pearson residuals — WHERE
+    * the q182 dependence lives, including expected-but-absent cells at
+    * o = 0. One cell partial agg + a crosstab-sized marginal cross;
+    * exact counts, one rounded division for e, one IEEE chain per cell.
+    */
+  def q190PearsonResiduals(spark: SparkSession, dir: String): DataFrame =
+    Metrics.pearsonResiduals(tp(spark, dir, "documents"), "lang", "source")
 }

@@ -226,6 +226,7 @@ object SparkEntry {
     "q187_bootstrap_ci" -> (Queries.q187BootstrapCi _),
     "q188_average_precision" -> (Queries.q188AveragePrecision _),
     "q189_k_core" -> (Queries.q189KCore _),
+    "q190_pearson_residuals" -> (Queries.q190PearsonResiduals _),
   )
 
   /** One k-core peel round as oracle CTEs (see `Graph.kCore`): degrees
@@ -3793,5 +3794,24 @@ object SparkEntry {
          |  SELECT v, count(*) AS d FROM (
          |    SELECT a AS v FROM e6 UNION ALL SELECT b FROM e6) GROUP BY 1)
          |WHERE d >= 6""".stripMargin,
+    // marginal-axes cross with o = 0 fill, the same rounded e and the
+    // same residual chain on the PUBLISHED e
+    "q190_pearson_residuals" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(o) AS BIGINT) AS ca FROM cells GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |grid AS (
+        |  SELECT ma.a, mb.b, ma.ca, mb.cb, tot.n,
+        |         CAST(coalesce(c.o, 0) AS BIGINT) AS o,
+        |         round(CAST(ma.ca * mb.cb AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS e
+        |  FROM ma CROSS JOIN mb CROSS JOIN tot
+        |  LEFT JOIN cells c ON c.a = ma.a AND c.b = mb.b)
+        |SELECT a AS lang, b AS source, o, e,
+        |       CASE WHEN e > 0
+        |            THEN round((CAST(o AS DOUBLE) - e) / sqrt(e), 6) END AS residual
+        |FROM grid""".stripMargin,
   )
 }

@@ -152,6 +152,43 @@ object Metrics {
           .as("ap"))
   }
 
+  /** PER-CELL PEARSON RESIDUALS of a contingency table:
+    * `(o − e)/√e` with `e = n_a·n_b/n` — the drill-down companion to
+    * [[mutualInformation]]: MI says the facets are dependent, the
+    * residual matrix says WHERE (which (a,b) combination is over- or
+    * under-represented vs independence; |r| ≳ 2 is the classic flag).
+    * Absent combinations appear with o = 0 — an expected-but-missing
+    * cell is usually the finding.
+    *
+    * Exactness: o and the marginals are exact counts; `e` is one
+    * rounded division of integer products; the residual is one fixed
+    * IEEE chain on the published (rounded) `e`. Scale shape: one
+    * (a, b) partial agg + marginals from the cell table + a
+    * marginal-axes cross join (|A|·|B| rows — crosstab-sized, never
+    * data-sized).
+    */
+  def pearsonResiduals(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val cells = base.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("o"))
+    val ma = cells.groupBy(col("__a")).agg(sum(col("o")).as("ca"))
+    val mb = cells.groupBy(col("__b")).agg(sum(col("o")).as("cb"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val axes = ma.crossJoin(mb).crossJoin(broadcast(tot))
+    val full = axes.join(cells, Seq("__a", "__b"), "left_outer")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val e = round((col("ca") * col("cb")).cast("double") /
+      col("n").cast("double"), 6)
+    full
+      .withColumn("e", e)
+      .withColumn("residual",
+        when(col("e") > 0.0,
+          round((col("o").cast("double") - col("e")) / sqrt(col("e")), 6)))
+      .select(col("__a").as(aCol), col("__b").as(bCol),
+        col("o"), col("e"), col("residual"))
+  }
+
   /** MUTUAL INFORMATION (and NMI) between two categorical columns —
     * the dependence readout for corpus composition ("does source
     * determine language?"), feature selection, and leakage checks;

@@ -118,6 +118,24 @@ class QualitySpec extends SparkSuite {
     assert(oneClass.isNullAt(2), s"got $oneClass")
   }
 
+  test("Metrics.pearsonResiduals: signs localize the dependence, absent cell surfaces") {
+    // a=x goes with b=u (20), a=y with b=v (20); one crossover (x,v) x 10;
+    // (y,u) never occurs — the absent cell must appear with o=0
+    val rows = (Seq.fill(20)(("x", "u")) ++ Seq.fill(20)(("y", "v")) ++
+      Seq.fill(10)(("x", "v"))).toDF("a", "b")
+    val got = Metrics.pearsonResiduals(rows, "a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.size == 4, s"full axes cross expected: $got")
+    // n=50; ca: x=30, y=20; cb: u=20, v=30
+    val (oXU, eXU, rXU) = got(("x", "u"))
+    assert(oXU == 20L && eXU == 12.0 && rXU > 2.0, s"got $got")
+    val (oYU, eYU, rYU) = got(("y", "u"))
+    assert(oYU == 0L && eYU == 8.0 && rYU < -2.0,
+      s"the absent cell must surface with a strong negative residual: $got")
+    assert(got(("x", "v"))._3 < 0 && got(("y", "v"))._3 > 0, s"got $got")
+  }
+
   test("Metrics.mutualInformation: independence=0, determinism=entropy, nmi=1") {
     val indep = (for (a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 25)
       yield (a, b)).toDF("a", "b")
