@@ -328,18 +328,27 @@ object ManifestTable {
     var committed = -1L
     while (committed < 0) {
       attempt += 1
+      // Same-JVM racers (local[n], tests, one driver hosting many
+      // streaming queries) are serialized outright by a per-root
+      // monitor: the local/checksum FileSystem implements
+      // create(overwrite = false) as check-then-create, so the claim
+      // file alone cannot fence two threads of one process there.
+      lockFor(root).synchronized {
       // allocate over PUBLISHED and CLAIMED versions: a crashed writer's
       // claim burns its number (readers never see it — no manifest), and
       // live racers are fenced by the claim itself
       val next = math.max(committedVersions(f, root).maxOption.getOrElse(0L),
         claimedVersions(f, root).maxOption.getOrElse(0L)) + 1L
 
-      // Version CLAIM: a zero-byte create(overwrite = false) — the one
-      // primitive that is atomic-exclusive on local, HDFS and object-store
-      // FileSystems alike (bare rename clobbers on POSIX, so it cannot be
-      // the fence). The claim winner owns the version number; the rename
-      // below then targets a name no live writer competes for, and a
-      // reader sees the manifest only complete (rename is atomic).
+      // Version CLAIM: a zero-byte create(overwrite = false). On HDFS
+      // and ABFS that call is atomic-exclusive and fences writers in
+      // DIFFERENT processes; on the local/checksum FileSystem it is
+      // only best-effort (check-then-create) — in-process racers are
+      // covered by the monitor above, and cross-PROCESS writers on a
+      // raw local filesystem remain best-effort, the same caveat Delta
+      // Lake documents for S3 without a coordinating LogStore. A lost
+      // rename below is therefore handled as a lost race, never
+      // assumed impossible.
       val won =
         try { f.create(claimPath(root, next), false).close(); true }
         catch { case _: java.io.IOException => false }
@@ -391,13 +400,38 @@ object ManifestTable {
             out.write(renderManifest(m).getBytes(StandardCharsets.UTF_8))
             out.close()
             val dest = manifestPath(root, next)
-            require(f.rename(tmp, dest), s"claimed version $next but failed to publish $dest")
-            committed = next
+            if (f.rename(tmp, dest)) {
+              committed = next
+            } else {
+              // rename-to-existing is how a bare FileSystem reports
+              // "someone else owns this version": a racer that also won
+              // the (best-effort on local FS) claim published first.
+              // That is one more lost race — clean up and re-enter the
+              // retry loop against the new parent, never crash: the
+              // batch data is already durable and the next attempt
+              // re-plans on top of the winner's snapshot.
+              f.delete(tmp, false)
+              if (!f.exists(dest)) f.delete(claimPath(root, next), false)
+              require(attempt <= maxRetries,
+                s"commit lost the publish race $maxRetries times under $root - " +
+                  "persistent writer contention; coordinate writers or raise maxRetries")
+            }
         }
       }
+      } // lockFor(root).synchronized
     }
     committed
   }
+
+  /** In-process serialization of the claim→publish window, striped by
+    * table root. Cross-process fencing still rides the claim file
+    * (atomic-exclusive on HDFS/ABFS); this monitor closes the hole the
+    * local filesystem leaves for threads of one JVM.
+    */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: Path): Object =
+    rootLocks.computeIfAbsent(root.toString, _ => new Object)
 
   /** How long a claim winner waits for its predecessor claimant to
     * publish before declaring the number burned (crashed writer).

@@ -303,6 +303,28 @@ class ManifestTableSpec extends SparkSuite {
     }
   }
 
+  test("concurrent commit stress: 50 iterations of 4 racers, no crash, no lost batch") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // tiny batches keep each iteration cheap; the contention pattern
+    // (4 same-JVM writers racing the claim->publish window) is what
+    // the monitor + lost-rename retry path must survive every time
+    (0 until 50).foreach { iter =>
+      val root = freshRoot()
+      val racers = (0 until 4).map { i =>
+        Future {
+          ManifestTable.commit(spark, root, docs(2, from = i * 2),
+            Seq("id"), append = true, maxRetries = 50)
+        }
+      }
+      val versions = Await.result(Future.sequence(racers), 120.seconds)
+      assert(versions.toSet.size == 4, s"iter $iter: distinct versions, got $versions")
+      assert(ManifestTable.read(spark, root).select("id").distinct().count() == 8,
+        s"iter $iter: every batch in the final snapshot, none duplicated")
+    }
+  }
+
   test("txn-stamped commit is idempotent: replayed batchIds are skipped") {
     val root = freshRoot()
     val v0 = ManifestTable.commit(spark, root, docs(10), Seq("id"),
