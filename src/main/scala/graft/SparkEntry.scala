@@ -3129,7 +3129,9 @@ object SparkEntry {
         |  SELECT priority, yr, n,
         |         (((list_reduce(list_prepend(CAST(0 AS BIGINT),
         |              list_transform(string_split(
-        |                'rel2026|' || priority || '|' || CAST(yr AS VARCHAR), ''),
+        |                'rel2026|' || CAST(length(priority) AS VARCHAR) || ':' || priority
+        |                  || '|' || CAST(length(CAST(yr AS VARCHAR)) AS VARCHAR) || ':'
+        |                  || CAST(yr AS VARCHAR), ''),
         |                c -> CAST(ascii(c) AS BIGINT))),
         |              (a, x) -> (a * 131 + x) % 281474976710656)
         |            % 2147483647) * 1103515245 + 12345) % 2147483647 + 0.5)

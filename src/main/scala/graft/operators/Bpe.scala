@@ -48,7 +48,13 @@ object Bpe {
         concat(filter(split(col("w"), ""), ch => ch =!= ""),
           array(lit("</w>"))).as("syms"))
 
-  private val esc = (s: String) => s.replace("'", "''")
+  /** Escapes a symbol for splicing into a Spark SQL single-quoted
+    * literal: backslash FIRST (the default parser treats it as an
+    * escape — a corpus word carrying `\t` or a trailing `\` would
+    * otherwise corrupt the literal), then quote doubling.
+    */
+  private val esc = (s: String) =>
+    s.replace("\\", "\\\\").replace("'", "''")
 
   /** Greedy left-to-right fusion of one pair over `syms` as a map-only
     * array fold; `skip` marks a position consumed by a merge at its

@@ -92,8 +92,11 @@ object Metrics {
     val agg = cum.agg(
       sum(col("pos")).as("p"),
       sum(col("cnt") - col("pos")).as("nn"),
-      sum((col("pos") * (lit(2L) * (col("cum") - col("cnt")) +
-        col("cnt") + 1L)).cast("decimal(38,0)"))
+      // pos is widened to decimal BEFORE the multiply: at ~1e10 rows
+      // with heavy ties the Long product pos·(2·cumBefore+cnt+1) passes
+      // 2^63 and a post-hoc cast would only bless the wraparound
+      sum(col("pos").cast("decimal(38,0)") *
+        (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L))
         .cast("decimal(38,0)").as("r2"))
     agg.select(col("p"), col("nn").as("n"),
       when(col("p") > 0L && col("nn") > 0L,

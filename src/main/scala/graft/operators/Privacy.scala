@@ -68,8 +68,17 @@ object Privacy {
     require(groupCols.nonEmpty, "need at least one group column")
     require(epsilon > 0.0 && epsilon.isFinite,
       s"epsilon must be positive, got $epsilon")
-    val key = concat((lit(salt) +: groupCols.flatMap(c =>
-      Seq(lit("|"), col(c).cast("string")))).toIndexedSeq: _*)
+    // Seed-key encoding is NULL-safe and collision-free: a NULL group
+    // value encodes as the bare token `n` (a raw NULL would NULL the
+    // whole key, and `greatest` would then release a noiseless 0.0),
+    // and non-null values ride a LENGTH PREFIX (`<len>:<value>`), so a
+    // `|` inside a value can never make two distinct groups share a
+    // seed and thus a noise draw.
+    val key = concat((lit(salt) +: groupCols.flatMap { c =>
+      val s = col(c).cast("string")
+      Seq(lit("|"),
+        coalesce(concat(length(s).cast("string"), lit(":"), s), lit("n")))
+    }).toIndexedSeq: _*)
     val u = graft.functions.TextFunctions.portableUniform(key)
     val centered = u - lit(0.5)
     val noise = (when(centered >= 0, lit(-1.0)).otherwise(lit(1.0)) / epsilon) *

@@ -222,12 +222,15 @@ object Scale {
     val top = counts.orderBy(col("c").desc).limit(10)
       .collect().map(_.getLong(0))
     val agg = cum.agg(
-      sum((col("c") * col("kc")).cast("decimal(38,0)"))
+      // widen BEFORE multiplying: c·kc·(2·cumBefore+kc+1) in LongType
+      // wraps past 2^63 on ~1e10-key tables; the decimal cast must hit
+      // an operand, not the already-overflowed product
+      sum(col("c").cast("decimal(38,0)") * col("kc"))
         .cast("decimal(38,0)").as("tot"),
       sum(col("kc")).as("k"),
-      sum((col("c") * col("kc") *
+      sum(col("c").cast("decimal(38,0)") * col("kc") *
         (lit(2L) * (col("cumk") - col("kc")) + col("kc") + 1L))
-        .cast("decimal(38,0)")).cast("decimal(38,0)").as("two_sic"))
+        .cast("decimal(38,0)").as("two_sic"))
     agg.select(
       col("tot").cast("long").as("n_rows"),
       col("k").as("n_keys"),

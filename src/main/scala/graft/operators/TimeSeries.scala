@@ -219,12 +219,16 @@ object TimeSeries {
     require(keyCols.nonEmpty, "trendMoments needs at least one key column")
     val x = col(xCol).cast("long")
     val y = col(yCol).cast("string").cast("decimal(18,6)")
+    // x moments ride DECIMAL(38,0) end to end: epoch-scale x already
+    // overflows the Long x·x product, and a 1e11-row Σx passes 2^63 —
+    // the operand is widened BEFORE the multiply, not after
+    val xd = x.cast("decimal(38,0)")
     df.groupBy(keyCols.map(col): _*).agg(
       count(lit(1)).as("n"),
-      sum(x).as("sx"),
+      sum(xd).cast("decimal(38,0)").as("sx"),
       sum(y).cast("decimal(38,6)").as("sy"),
       sum(y * x).cast("decimal(38,6)").as("sxy"),
-      sum(x * x).as("sxx"),
+      sum(xd * x).cast("decimal(38,0)").as("sxx"),
       sum(y * y).cast("decimal(38,12)").as("syy"))
   }
 
@@ -238,10 +242,10 @@ object TimeSeries {
     require(keyCols.nonEmpty, "mergeTrendMoments needs at least one key column")
     val agg = moments.groupBy(keyCols.map(col): _*).agg(
       sum(col("n")).as("n"),
-      sum(col("sx")).as("sx"),
+      sum(col("sx")).cast("decimal(38,0)").as("sx"),
       sum(col("sy")).cast("decimal(38,6)").as("sy"),
       sum(col("sxy")).cast("decimal(38,6)").as("sxy"),
-      sum(col("sxx")).as("sxx"),
+      sum(col("sxx")).cast("decimal(38,0)").as("sxx"),
       sum(col("syy")).cast("decimal(38,12)").as("syy"))
     finishFit(agg, keyCols)
   }

@@ -103,6 +103,36 @@ class BpeSpec extends SparkSuite {
       "at least one merged token must carry mass")
   }
 
+  test("trainMerges/tokenFrequencies survive backslashes and quotes in the corpus") {
+    // '\' is an escape char to Spark's SQL parser and ''' ends a literal:
+    // both must round-trip the literal splice in fuseExpr unharmed
+    val texts = Seq("""a\tb a\tb c\\ it's""", """a\tb it's \ \""")
+    val got = Bpe.trainMerges(texts.toDF("text"), "text", iters = 5)
+      .as[(Int, String, String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == referenceBpe(texts, 5), s"got $got")
+    val merges = referenceBpe(texts, 3).map(m => (m._2, m._3))
+    val freq = Bpe.tokenFrequencies(texts.toDF("text"), "text", merges)
+      .as[(String, Long)].collect().toMap
+    val words = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.split(" ").filter(_.nonEmpty)
+      .foreach(w => words(w) = words.getOrElse(w, 0L) + 1L))
+    val want = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, c) =>
+      var syms = w.map(_.toString).toVector :+ "</w>"
+      merges.foreach { case (l, r) =>
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.foreach(t => want(t) = want.getOrElse(t, 0L) + c)
+    }
+    assert(freq == want.toMap, s"got $freq, want $want")
+  }
+
   test("trainMerges: argument guards") {
     intercept[IllegalArgumentException] {
       Bpe.trainMerges(Seq("a").toDF("text"), "text", iters = 0)

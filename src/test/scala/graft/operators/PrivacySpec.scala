@@ -42,6 +42,23 @@ class PrivacySpec extends SparkSuite {
       s"eps=0.1 must perturb more than eps=10: $devWide vs $devNarrow")
   }
 
+  test("laplaceNoisyCounts: NULL groups get real noise; delimiter values cannot share a seed") {
+    val withNull = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "US")).toDF("id", "country")
+    val rel = Privacy.laplaceNoisyCounts(withNull, Seq("country"), epsilon = 1.0)
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(rel.keySet == Set(None, Some("US")))
+    // the NULL group's release must be noised, not a silent noiseless 0.0
+    assert(rel(None) != 2.0 && rel(None) != 0.0, s"NULL group released un-noised: $rel")
+    // ("a|", "b") and ("a", "|b") concatenate identically without the
+    // length-prefix encoding — they must draw DIFFERENT noise
+    val tricky = Seq((1L, "a|", "b"), (2L, "a", "|b")).toDF("id", "g1", "g2")
+    val draws = Privacy.laplaceNoisyCounts(tricky, Seq("g1", "g2"), epsilon = 1.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(draws(("a|", "b")) != draws(("a", "|b")),
+      s"seed collision across distinct groups: $draws")
+  }
+
   test("laplaceNoisyCounts: argument guards") {
     intercept[IllegalArgumentException] {
       Privacy.laplaceNoisyCounts(people, Seq.empty, epsilon = 1.0)
