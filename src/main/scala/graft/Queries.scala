@@ -2660,7 +2660,31 @@ object Queries {
       blockers = Seq(
         s => substring(s, 1, 16),
         s => concat(substring(s, 1, 14), substring(s, 17, 2))),
-      maxDist = 1)
+      maxDist = 1,
+      // price the blocked join before running it: the planned pair mass
+      // is logged per pass and the job refuses past the budget (blocked
+      // joins cost pair mass, not rows — the sf1 23×-at-10×-data lesson)
+      pairBudget = Some(100000000L))
+
+  // ---------------------------------------------------------------- Q126b
+  /** The pair-mass TELEMETRY behind q126 ([[graft.operators
+    * .EntityResolution.pairMassReport]]): per blocking pass, the block
+    * count and the planned/dropped candidate-pair mass from the
+    * counts-only agg the cap already runs. This is the number that
+    * prices a blocked join — time follows Σ bs·(bs−1)/2, not input
+    * rows — surfaced as a first-class result so a skew blowup is
+    * visible BEFORE the Levenshtein verify spends it.
+    */
+  def q126bPairMass(spark: SparkSession, dir: String): DataFrame =
+    EntityResolution.pairMassReport(t(spark, dir, "customer"), "c_custkey",
+      "c_name", blockers = Seq(
+        s => substring(s, 1, 16),
+        s => concat(substring(s, 1, 14), substring(s, 17, 2))))
+      // report stays DECIMAL-exact internally; the released counts ride
+      // BIGINT (the cross-engine compare type for exact integers)
+      .select(col("pass"), col("blocks"), col("blocks_dropped"),
+        col("pairs_planned").cast("long").as("pairs_planned"),
+        col("pairs_dropped").cast("long").as("pairs_dropped"))
 
   // ---------------------------------------------------------------- Q127
   /** q123 APPLIED ([[graft.operators.SubstringDedup.stripDuplicatedSpans]]):

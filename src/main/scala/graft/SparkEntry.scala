@@ -163,6 +163,7 @@ object SparkEntry {
     "q124_hard_negatives" -> (Queries.q124HardNegatives _),
     "q125_dsir_resample" -> (Queries.q125DsirResample _),
     "q126_fuzzy_match" -> (Queries.q126FuzzyMatch _),
+    "q126b_pair_mass" -> (Queries.q126bPairMass _),
     "q127_strip_spans" -> (Queries.q127StripSpans _),
     "q128_temperature_resample" -> (Queries.q128TemperatureResample _),
     "q129_adaptive_cutoff" -> (Queries.q129AdaptiveCutoff _),
@@ -2324,6 +2325,30 @@ object SparkEntry {
         |  FROM c2 a JOIN c2 b ON a.bk = b.bk AND a.id < b.id)
         |SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(s_a, s_b) <= 1""".stripMargin,
+    // the pair-mass telemetry behind q126: per-pass block counts and
+    // planned/dropped candidate-pair mass from the counts-only agg
+    "q126b_pair_mass" ->
+      """WITH c AS (SELECT c_name AS s FROM customer),
+        |b0 AS (SELECT substr(s, 1, 16) AS bk, count(*) AS bs FROM c GROUP BY 1),
+        |b1 AS (SELECT substr(s, 1, 14) || substr(s, 17, 2) AS bk, count(*) AS bs
+        |       FROM c GROUP BY 1),
+        |s0 AS (SELECT CAST(0 AS BIGINT) AS pass, count(*) AS blocks,
+        |         CAST(coalesce(sum(CASE WHEN bs > 10000 THEN 1 END), 0) AS BIGINT)
+        |           AS blocks_dropped,
+        |         CAST(coalesce(sum(CASE WHEN bs <= 10000 THEN bs * (bs - 1) // 2 END), 0)
+        |           AS BIGINT) AS pairs_planned,
+        |         CAST(coalesce(sum(CASE WHEN bs > 10000 THEN bs * (bs - 1) // 2 END), 0)
+        |           AS BIGINT) AS pairs_dropped
+        |       FROM b0),
+        |s1 AS (SELECT CAST(1 AS BIGINT) AS pass, count(*) AS blocks,
+        |         CAST(coalesce(sum(CASE WHEN bs > 10000 THEN 1 END), 0) AS BIGINT)
+        |           AS blocks_dropped,
+        |         CAST(coalesce(sum(CASE WHEN bs <= 10000 THEN bs * (bs - 1) // 2 END), 0)
+        |           AS BIGINT) AS pairs_planned,
+        |         CAST(coalesce(sum(CASE WHEN bs > 10000 THEN bs * (bs - 1) // 2 END), 0)
+        |           AS BIGINT) AS pairs_dropped
+        |       FROM b1)
+        |SELECT * FROM s0 UNION ALL SELECT * FROM s1""".stripMargin,
     // q123's duplicate set expanded to covered positions, kept tokens
     // reassembled with string_agg ORDER BY (q105's discipline) — the
     // cleaned text compares verbatim

@@ -22,16 +22,73 @@ import org.apache.spark.sql.functions._
   */
 object EntityResolution {
 
+  /** PAIR-MASS TELEMETRY: the planned candidate-pair count per blocking
+    * pass, from the SAME counts-only partial agg the block cap runs —
+    * `Σ bs·(bs−1)/2` over kept blocks plus what the cap drops. Blocked
+    * joins are pair-mass-proportional (time follows Σ bs², not rows),
+    * so a corpus whose hot block keys multiply makes a 10× input cost
+    * 100× SILENTLY unless the mass is surfaced; this report makes the
+    * blowup visible at plan time, before the expensive verify runs.
+    * When a pass drops mass, the recall fix is a FINER second blocker
+    * (e.g. mask fewer characters, or append a length bucket) — the cap
+    * keeps cost bounded, extra passes restore the lost pairs.
+    * One row per pass: `(pass, blocks, blocks_dropped, pairs_planned,
+    * pairs_dropped)`; products ride DECIMAL(38,0) (a near-2³¹ block's
+    * bs·(bs−1) passes 2⁶³ in LongType).
+    */
+  def pairMassReport(df: DataFrame, idCol: String, strCol: String,
+      blockers: Seq[Column => Column], maxBlockSize: Int = 10000): DataFrame = {
+    require(blockers.nonEmpty, "at least one blocking pass required")
+    val base = Parallelism.ensureCompute(df)
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+    blockers.zipWithIndex.map { case (blocker, i) =>
+      val mass = (col("bs").cast("decimal(38,0)") * (col("bs") - 1L) /
+        lit(2)).cast("decimal(38,0)")
+      base.select(blocker(col("s")).as("bk"))
+        .groupBy(col("bk")).agg(count(lit(1)).as("bs"))
+        .agg(
+          count(lit(1)).as("blocks"),
+          sum(when(col("bs") > maxBlockSize, 1L).otherwise(0L)).as("blocks_dropped"),
+          coalesce(sum(when(col("bs") <= maxBlockSize, mass)),
+            lit(0).cast("decimal(38,0)")).cast("decimal(38,0)").as("pairs_planned"),
+          coalesce(sum(when(col("bs") > maxBlockSize, mass)),
+            lit(0).cast("decimal(38,0)")).cast("decimal(38,0)").as("pairs_dropped"))
+        .select(lit(i).cast("long").as("pass"), col("blocks"),
+          col("blocks_dropped"), col("pairs_planned"), col("pairs_dropped"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Candidate pairs `(id_a, id_b, dist)` with `id_a < id_b` and
     * `levenshtein <= maxDist`, proposed by co-membership in any
     * blocking pass. `blockers` map the string column to a block key
     * (e.g. mask trailing characters, phonetic code, length bucket).
+    *
+    * `pairBudget`, when set, prices the join before running it: the
+    * per-pass [[pairMassReport]] is computed (one counts-only agg per
+    * pass, key-table-sized), logged, and the job FAILS FAST if the
+    * total planned mass exceeds the budget — the q126 lesson: blocked
+    * joins cost pair mass, not rows, and a silent 100× is worse than
+    * an explicit refusal naming the mass and the cure (finer blockers).
     */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
       blockers: Seq[Column => Column], maxDist: Int,
-      maxBlockSize: Int = 10000): DataFrame = {
+      maxBlockSize: Int = 10000, pairBudget: Option[Long] = None): DataFrame = {
     require(blockers.nonEmpty, "at least one blocking pass required")
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    pairBudget.foreach { budget =>
+      val rows = pairMassReport(df, idCol, strCol, blockers, maxBlockSize)
+        .collect() // bounded: one row per blocking pass
+      rows.foreach { r =>
+        System.err.println(s"[graft] fuzzyPairs pass ${r.getLong(0)}: " +
+          s"${r.getLong(1)} blocks (${r.getLong(2)} dropped by cap $maxBlockSize), " +
+          s"pairs planned ${r.getDecimal(3)}, dropped ${r.getDecimal(4)}")
+      }
+      val planned = rows.map(r => BigDecimal(r.getDecimal(3))).sum
+      require(planned <= BigDecimal(budget),
+        s"planned candidate-pair mass $planned exceeds pairBudget $budget " +
+          s"(cap $maxBlockSize kept it from the unbounded case); use finer " +
+          "blocking keys or raise the budget")
+    }
     val base = Parallelism.ensureCompute(df)
       .select(col(idCol).as("id"), col(strCol).as("s"))
     val candidates = blockers.zipWithIndex.map { case (blocker, i) =>

@@ -69,4 +69,36 @@ class EntityResolutionSpec extends SparkSuite {
       prefix4, maxDist = 2, maxBlockSize = 1000)
     assert(uncapped.count() == 190L, "20 choose 2 when the cap is lifted")
   }
+
+  test("pairMassReport: hand-checked mass per pass, cap split exact") {
+    // pass 0 (prefix 4): block "aaaa"×10 (45 pairs), "bbbb"×5 (10 pairs)
+    // pass 1 (prefix 1): blocks "a"×10 and "b"×5 — same masses
+    val recs = ((1L to 10L).map(i => (i, "aaaa" + i)) ++
+      (11L to 15L).map(i => (i, "bbbb" + i))).toDF("id", "name")
+    val passes: Seq[Column => Column] =
+      Seq(s => substring(s, 1, 4), s => substring(s, 1, 1))
+    val rep = EntityResolution.pairMassReport(recs, "id", "name", passes,
+        maxBlockSize = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), BigDecimal(r.getDecimal(3)),
+          BigDecimal(r.getDecimal(4))))).toMap
+    // pass 0: aaaa block has 10 > cap 8 -> dropped (45 pairs); bbbb kept (10)
+    assert(rep(0L) == ((2L, 1L, BigDecimal(10), BigDecimal(45))), s"got ${rep(0L)}")
+    // pass 1: blocks a(10) dropped, b(5) kept
+    assert(rep(1L) == ((2L, 1L, BigDecimal(10), BigDecimal(45))), s"got ${rep(1L)}")
+  }
+
+  test("fuzzyPairs: pairBudget fails fast naming the planned mass, and admits under budget") {
+    val recs = (1L to 30L).map(i => (i, s"blk${i % 3}_$i")).toDF("id", "name")
+    // prefix-4 keys "blk0"/"blk1"/"blk2": 3 blocks of 10 -> 3 * 45 = 135 pairs
+    val e = intercept[IllegalArgumentException] {
+      EntityResolution.fuzzyPairs(recs, "id", "name", prefix4, maxDist = 2,
+        pairBudget = Some(100L))
+    }
+    assert(e.getMessage.contains("135") && e.getMessage.contains("100"),
+      s"budget refusal must name mass and budget: ${e.getMessage}")
+    val ok = EntityResolution.fuzzyPairs(recs, "id", "name", prefix4,
+      maxDist = 2, pairBudget = Some(135L))
+    assert(ok.count() > 0, "at or under budget must run")
+  }
 }
