@@ -2771,6 +2771,42 @@ object Queries {
           .cast("double").as("total_price"))
   }
 
+  // ---------------------------------------------------------------- Q131b
+  /** TYPE-WIDENING schema evolution on the manifest table: pre-1995
+    * orders land with `o_custkey` BIGINT; the 1995+ tail arrives with
+    * the column drifted to STRING and `mergeSchema = true` routes it
+    * into the `o_custkey_string` SIDECAR ([[graft.operators
+    * .ManifestTable.commit]] — the [[graft.operators.SchemaDrift]]
+    * `{name}_{type}` discipline, reference semantics etl.py:263-276).
+    * The original column keeps its type and reads NULL for drifted
+    * rows; pre-drift files read NULL for the sidecar — no file
+    * rewritten. The per-era sums over BOTH columns make any row landing
+    * in the wrong column arithmetically visible; the oracle replays the
+    * union with explicit NULL fills.
+    */
+  def q131bTypeDrift(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q131b").resolve("t").toString
+    val o = t(spark, dir, "orders")
+    val cut = lit("1998-01-01").cast("timestamp")
+    ManifestTable.commit(spark, root,
+      o.where(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_totalprice", "o_custkey"),
+      Seq("o_orderkey"))
+    ManifestTable.commit(spark, root,
+      o.where(col("o_orderdate") >= cut)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_custkey").cast("string").as("o_custkey")),
+      Seq("o_orderkey"), append = true, mergeSchema = true)
+    ManifestTable.read(spark, root)
+      .groupBy(when(col("o_custkey").isNotNull, lit("pre_drift"))
+        .otherwise(lit("drifted")).as("era"))
+      .agg(count(lit(1)).as("n_orders"),
+        coalesce(sum(col("o_custkey")), lit(0L)).as("custkey_sum"),
+        coalesce(sum(col("o_custkey_string").cast("long")), lit(0L)).as("sidecar_sum"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("total_price"))
+  }
+
   // ---------------------------------------------------------------- Q132
   /** MERGE-ON-READ delete (deletion vectors): orders lands
     * key-clustered; every 13th key is deleted by writing a TOMBSTONE —

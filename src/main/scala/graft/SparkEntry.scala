@@ -169,6 +169,7 @@ object SparkEntry {
     "q129_adaptive_cutoff" -> (Queries.q129AdaptiveCutoff _),
     "q130_group_split" -> (Queries.q130GroupSplit _),
     "q131_schema_evolution" -> (Queries.q131SchemaEvolution _),
+    "q131b_type_drift" -> (Queries.q131bTypeDrift _),
     "q132_mor_delete" -> (Queries.q132MorDelete _),
     "q133_lsh_eval" -> (Queries.q133LshEval _),
     "q134_k_anonymity" -> (Queries.q134KAnonymity _),
@@ -2463,6 +2464,28 @@ object SparkEntry {
         |)
         |SELECT coalesce(o_orderpriority, 'LEGACY') AS priority,
         |       count(*) AS n_orders,
+        |       CAST(round(sum(CAST(CAST(o_totalprice AS VARCHAR)
+        |                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+        |FROM unioned GROUP BY 1""".stripMargin,
+    // type-widening evolution replayed as a union with explicit NULL
+    // fills: drifted rows carry only the sidecar, pre-drift rows only
+    // the original column — the per-era sums check both routings
+    "q131b_type_drift" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey, o_totalprice, o_custkey,
+        |         CAST(NULL AS VARCHAR) AS o_custkey_string
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, NULL,
+        |         CAST(o_custkey AS VARCHAR)
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |)
+        |SELECT CASE WHEN o_custkey IS NOT NULL THEN 'pre_drift'
+        |            ELSE 'drifted' END AS era,
+        |       count(*) AS n_orders,
+        |       CAST(coalesce(sum(o_custkey), 0) AS BIGINT) AS custkey_sum,
+        |       CAST(coalesce(sum(CAST(o_custkey_string AS BIGINT)), 0) AS BIGINT)
+        |         AS sidecar_sum,
         |       CAST(round(sum(CAST(CAST(o_totalprice AS VARCHAR)
         |                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
         |FROM unioned GROUP BY 1""".stripMargin,

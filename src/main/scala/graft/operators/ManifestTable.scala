@@ -213,12 +213,16 @@ object ManifestTable {
     * drift-tolerant path is [[Sinks.appendInto]]; a transactional table's
     * schema evolves by explicit DDL, not silently per batch) unless
     * `mergeSchema = true`, which allows ADDITIVE evolution: the batch may
-    * add new columns (and may omit existing ones); common columns must
-    * keep their types. The snapshot's schema becomes the union, and the
-    * read path projects every file through it — files written before a
-    * column existed yield NULL for it, exactly the Delta
-    * `mergeSchema`/Iceberg add-column contract. Dropping or retyping a
-    * column stays an explicit rewrite, never a silent per-batch drift.
+    * add new columns (and may omit existing ones). The snapshot's schema
+    * becomes the union, and the read path projects every file through
+    * it — files written before a column existed yield NULL for it,
+    * exactly the Delta `mergeSchema`/Iceberg add-column contract. A
+    * TYPE-drifted column evolves by SIDECAR (the [[SchemaDrift]]
+    * `{name}_{type}` discipline): the batch's drifted column is renamed
+    * to the sidecar before its data is written, the original column
+    * keeps its type (drifted rows read NULL there), and pre-drift files
+    * read NULL for the sidecar. In-place retyping of a column stays an
+    * explicit rewrite, never a silent per-batch drift.
     *
     * CONCURRENT writers are safe: version allocation retries on a lost
     * manifest rename (appends re-base onto the winner; see the publish
@@ -240,15 +244,38 @@ object ManifestTable {
     // data write at all (the post-claim re-check in publish closes the
     // race against a concurrent replay of the same batch)
     txnAppliedIn(latest(f, root), txn) getOrElse {
+      // TYPE-WIDENING evolution (mergeSchema): a column whose type
+      // drifted against the snapshot lands in a `{name}_{type}` SIDECAR
+      // (the [[SchemaDrift]] discipline — reference semantics,
+      // etl.py:263-276): the batch's drifted columns are RENAMED to
+      // their sidecar names BEFORE the data write, so every file on
+      // disk agrees with the snapshot schema for the columns it
+      // carries; pre-drift files simply lack the sidecar and project
+      // NULL, and the original column reads NULL for drifted rows.
+      // The union DDL in the publish step then stays purely additive.
+      val conformed =
+        if (!(append && mergeSchema)) batch
+        else latest(f, root) match {
+          case None => batch
+          case Some(p) =>
+            val dest = StructType.fromDDL(p.schemaDdl)
+            val changes = SchemaDrift.diff(dest,
+              StructType(batch.schema.fields.map(_.copy(nullable = true)))).typeChanges
+            changes.foldLeft(batch)((b, tc) =>
+              b.withColumnRenamed(tc.name, tc.sidecarName))
+        }
       // nullability normalized away: parquet does not round-trip NOT
       // NULL, so identical batches can disagree on it spuriously
-      val schemaDdl = StructType(batch.schema.fields.map(_.copy(nullable = true))).toDDL
+      val schemaDdl = StructType(conformed.schema.fields.map(_.copy(nullable = true))).toDDL
       statsCols.foreach { c =>
-        val dt = batch.schema(c).dataType
+        require(conformed.columns.contains(c),
+          s"stats column $c absent from the batch (a type-drifted stats column " +
+            "rides its sidecar name; track the sidecar or rewrite the table)")
+        val dt = conformed.schema(c).dataType
         require(statsComparable(dt), s"stats column $c has unsupported type $dt " +
           "(numeric, string, date and timestamp min/max order is portable; others are not)")
       }
-      val (newEntries, _) = writeBatch(spark, f, root, batch, statsCols)
+      val (newEntries, _) = writeBatch(spark, f, root, conformed, statsCols)
       publish(f, root, if (append) "append" else "overwrite",
         statsCols, txn, maxRetries, expectParent = None) { parent =>
         parent.filter(_ => append).foreach { p =>
@@ -259,7 +286,7 @@ object ManifestTable {
             s"append stats columns mismatch: table tracks ${p.statsCols}, batch asked for $statsCols")
         }
         val snapshotDdl = parent match {
-          case Some(p) if append && mergeSchema => unionDdl(p.schemaDdl, batch.schema)
+          case Some(p) if append && mergeSchema => unionDdl(p.schemaDdl, conformed.schema)
           case _ => schemaDdl
         }
         (snapshotDdl,

@@ -577,16 +577,35 @@ class ManifestTableSpec extends SparkSuite {
     assert(back.where(col("score").isNotNull).count() == 10)
   }
 
-  test("mergeSchema rejects a retyped column; strict append still rejects new columns") {
+  test("mergeSchema evolves a retyped column into its sidecar; strict append still rejects new columns") {
     val root = freshRoot()
     ManifestTable.commit(spark, root, docs(10), Seq("id"))
+    // int->string drift on score: the drifted batch lands in score_string,
+    // the original double column keeps its type and reads NULL for the
+    // drifted rows; pre-drift files read NULL for the sidecar
     val retyped = docs(5, from = 10).withColumn("score", col("score").cast("string"))
-    val e = intercept[IllegalArgumentException] {
-      ManifestTable.commit(spark, root, retyped, Seq("id"),
-        append = true, mergeSchema = true)
-    }
-    assert(e.getMessage.contains("type changed"))
-    val widened = docs(5, from = 10).withColumn("extra", lit(1))
+    val v2 = ManifestTable.commit(spark, root, retyped, Seq("id"),
+      append = true, mergeSchema = true)
+    val out = ManifestTable.read(spark, root)
+    assert(out.columns.toSeq == Seq("id", "name", "score", "score_string"))
+    assert(out.count() == 15)
+    assert(out.where(col("score").isNotNull).count() == 10,
+      "original column carries only pre-drift rows")
+    assert(out.where(col("score_string").isNotNull).count() == 5,
+      "sidecar carries exactly the drifted rows")
+    assert(out.where(col("id") === 12L).select("score_string").head.getString(0) == "120.0")
+    // time travel: the pre-drift snapshot is untouched
+    assert(ManifestTable.read(spark, root, Some(1L)).columns.toSeq ==
+      Seq("id", "name", "score"))
+    // a second drifted append reuses the SAME sidecar (no new column)
+    ManifestTable.commit(spark, root,
+      docs(3, from = 20).withColumn("score", col("score").cast("string")),
+      Seq("id"), append = true, mergeSchema = true)
+    val out2 = ManifestTable.read(spark, root)
+    assert(out2.columns.toSeq == Seq("id", "name", "score", "score_string"))
+    assert(out2.where(col("score_string").isNotNull).count() == 8)
+    assert(v2 == 2L)
+    val widened = docs(5, from = 30).withColumn("extra", lit(1))
     val e2 = intercept[IllegalArgumentException] {
       ManifestTable.commit(spark, root, widened, Seq("id"), append = true)
     }
