@@ -3497,6 +3497,46 @@ object Queries {
         lit(ManifestTable.listVersions(spark, root).size.toLong))
   }
 
+  // ---------------------------------------------------------------- Q164b
+  /** THREE-dimensional OPTIMIZE ZORDER ([[graft.operators.ManifestTable
+    * .optimizeZOrder]] over `Seq(part, supp, order)` —
+    * [[graft.operators.Layout.zValueN]]'s k-dim Morton interleave with
+    * min/max normalization per dimension): the snapshot is rewritten so
+    * file-level min/max stats prune on EACH of the three keys, and
+    * [[graft.operators.ManifestTable.scanBoxN]] intersects all three
+    * ranges on the driver before a file is opened. Pruning returns a
+    * SUPERSET; the exact triple predicate then reproduces the plain
+    * filtered aggregate — which is precisely what the oracle checks.
+    */
+  def q164bZorder3d(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q164b").resolve("t").toString
+    val l = t(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_extendedprice"))
+    ManifestTable.commit(spark, root,
+      l.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    ManifestTable.optimizeZOrder(spark, root,
+      Seq("l_partkey", "l_suppkey", "l_orderkey"), 16)
+    val scan = ManifestTable.scanBoxN(spark, root, Seq(
+      ("l_partkey", Some("1"), Some("100")),
+      ("l_suppkey", Some("1"), Some("5")),
+      ("l_orderkey", Some("1"), Some("30000"))))
+    scan.df
+      .where(col("l_partkey").between(1L, 100L) &&
+        col("l_suppkey").between(1L, 5L) &&
+        col("l_orderkey").between(1L, 30000L))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_partkey")).as("key_sum"),
+        round(sum(col("l_extendedprice").cast("string")
+            .cast("decimal(18,6)")).cast("decimal(38,6)").cast("double"), 6)
+          .as("revenue"))
+      .withColumn("n_versions",
+        lit(ManifestTable.listVersions(spark, root).size.toLong))
+  }
+
   // ---------------------------------------------------------------- Q165
   /** Degree-ordered triangle enumeration ([[graft.operators.Graph
     * .triangles]]) over a synthetic link graph derived closed-form from

@@ -203,6 +203,7 @@ object SparkEntry {
     "q162_ohlc_resample" -> (Queries.q162OhlcResample _),
     "q163_winsorized_stats" -> (Queries.q163WinsorizedStats _),
     "q164_manifest_zorder" -> (Queries.q164ManifestZorder _),
+    "q164b_zorder_3d" -> (Queries.q164bZorder3d _),
     "q165_triangles" -> (Queries.q165Triangles _),
     "q166_bpe_merges" -> (Queries.q166BpeMerges _),
     "q167_bpe_tokenize" -> (Queries.q167BpeTokenize _),
@@ -3262,6 +3263,17 @@ object SparkEntry {
         |       CAST(2 AS BIGINT) AS n_versions
         |FROM lineitem
         |WHERE l_partkey BETWEEN 1 AND 50 AND l_suppkey BETWEEN 1 AND 5""".stripMargin,
+    // 3-dim z-order + box scan: pruning is a superset, the exact triple
+    // predicate reproduces the plain filtered aggregate
+    "q164b_zorder_3d" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(l_partkey) AS BIGINT) AS key_sum,
+        |       round(CAST(CAST(sum(CAST(CAST(l_extendedprice AS VARCHAR)
+        |                 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS revenue,
+        |       CAST(2 AS BIGINT) AS n_versions
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 1 AND 100 AND l_suppkey BETWEEN 1 AND 5
+        |  AND l_orderkey BETWEEN 1 AND 30000""".stripMargin,
     // the orientation-free formulation: canonical undirected edges,
     // 3-way join a<b<c — must enumerate exactly the operator's triples
     "q165_triangles" ->

@@ -48,15 +48,31 @@ object Layout {
     * arithmetic (the `sequence` fold is the same portable shape as the
     * simhash vote loop) — engine-portable, no UDF.
     */
-  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    zValueN(Seq(x, y))
+
+  /** N-dimensional Morton interleave (k in [2, 4]): bit i of dimension d
+    * lands at position `i·k + d`, so the z-sort clusters ALL k dimensions
+    * at once. Each dimension contributes [[zBitsPerDim]] low bits —
+    * 16 for k=2/3, 15 for k=4 — keeping every interleaved position
+    * under bit 62 (bit 63 is the sign; letting a dimension reach it
+    * would flip the range ordering the file split relies on).
+    */
+  def zValueN(dims: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, i) =>
-      acc +
-        call_function("shiftleft",
-          call_function("shiftright", x.cast("long"), i).bitwiseAND(lit(1L)), i * 2) +
-        call_function("shiftleft",
-          call_function("shiftright", y.cast("long"), i).bitwiseAND(lit(1L)), i * 2 + 1))
+    val k = dims.size
+    require(k >= 2 && k <= 4, s"zValueN interleaves 2 to 4 dimensions, got $k")
+    val bits = zBitsPerDim(k)
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, i) =>
+      dims.zipWithIndex.foldLeft(acc) { case (a, (d, di)) =>
+        a + call_function("shiftleft",
+          call_function("shiftright", d.cast("long"), i).bitwiseAND(lit(1L)),
+          i * k + di)
+      })
   }
+
+  /** Low bits each dimension keeps in the k-dim interleave: min(16, 62/k). */
+  def zBitsPerDim(k: Int): Int = math.min(16, 62 / k)
 
   /** Z-ordered write: range-repartition + sort on the interleaved key, so
     * each file covers a compact rectangle-ish region of (c1, c2) space —
@@ -72,24 +88,52 @@ object Layout {
     * beyond that swap in rank-based bucketing.
     */
   def writeZOrdered(
-      df: DataFrame, path: String, c1: String, c2: String, numFiles: Int): Unit = {
-    import org.apache.spark.sql.functions._
-    val r = df.agg(
-      min(col(c1)).cast("long"), max(col(c1)).cast("long"),
-      min(col(c2)).cast("long"), max(col(c2)).cast("long")).head()
-    if (r.isNullAt(0) || r.isNullAt(2)) { // empty input: nothing to z-order
-      df.write.mode("overwrite").parquet(path)
-      return
+      df: DataFrame, path: String, c1: String, c2: String, numFiles: Int): Unit =
+    writeZOrderedN(df, path, Seq(c1, c2), numFiles)
+
+  /** K-dimensional z-ordered write (k in [2, 4]) — see [[writeZOrdered]];
+    * every clustering column's min/max footer stats stay selective.
+    */
+  def writeZOrderedN(
+      df: DataFrame, path: String, cols: Seq[String], numFiles: Int): Unit =
+    withNormalizedZ(df, cols) match {
+      case None => df.write.mode("overwrite").parquet(path)
+      case Some(z) =>
+        z.repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+          .write.mode("overwrite").parquet(path)
     }
-    def norm(c: String, lo: Long, hi: Long) =
-      if (hi <= lo) lit(0L)
-      else floor((col(c).cast("long") - lit(lo)) * lit(65536.0) / lit((hi - lo + 1).toDouble)).cast("long")
-    df.withColumn("__z",
-        zValue(norm(c1, r.getLong(0), r.getLong(1)), norm(c2, r.getLong(2), r.getLong(3))))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
+
+  /** `df` plus a `__z` column: each dimension min/max-normalized to
+    * [[zBitsPerDim]] bits (one bounded agg of 2k driver scalars — WITHOUT
+    * normalization the widest-range dimension owns every high z-bit and
+    * the split degenerates to 1-D clustering), then Morton-interleaved.
+    * Normalization is exact while (range × 2^bits) < 2^53; beyond that
+    * swap in rank-based bucketing. None when any dimension is
+    * all-null/empty (nothing to z-order — callers write as-is).
+    */
+  def withNormalizedZ(df: DataFrame, cols: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    require(cols.distinct.size == cols.size,
+      s"z-order columns must be distinct, got $cols")
+    val bits = zBitsPerDim(cols.size)
+    val r = df.agg(
+      cols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+        .head,
+      cols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+        .tail: _*).head()
+    if (cols.indices.exists(i => r.isNullAt(2 * i))) None
+    else {
+      val scale = math.pow(2.0, bits)
+      val dims = cols.zipWithIndex.map { case (c, i) =>
+        val (lo, hi) = (r.getLong(2 * i), r.getLong(2 * i + 1))
+        if (hi <= lo) lit(0L)
+        else floor((col(c).cast("long") - lit(lo)) * lit(scale) /
+          lit((hi - lo + 1).toDouble)).cast("long")
+      }
+      Some(df.withColumn("__z", zValueN(dims)))
+    }
   }
 
   /** Per-file (min, max) of an int column, from the files' own contents —

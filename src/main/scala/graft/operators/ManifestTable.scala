@@ -1043,31 +1043,30 @@ object ManifestTable {
     * [[vacuum]] retires it. Returns the new version.
     */
   def optimizeZOrder(spark: SparkSession, tableRoot: String,
-      c1: String, c2: String, numFiles: Int): Long = {
+      c1: String, c2: String, numFiles: Int): Long =
+    optimizeZOrder(spark, tableRoot, Seq(c1, c2), numFiles)
+
+  /** K-dimensional OPTIMIZE ZORDER (k in [2, 4]): rewrite the snapshot
+    * z-clustered on `cols` ([[Layout.withNormalizedZ]] — min/max-
+    * normalized Morton interleave), committing the new layout with
+    * stats on every clustering column so [[scanBox]]/[[scanBoxN]]
+    * prunes files on EACH of them.
+    */
+  def optimizeZOrder(spark: SparkSession, tableRoot: String,
+      cols: Seq[String], numFiles: Int): Long = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    require(c1 != c2, s"need two distinct columns, got '$c1' twice")
     val f = fs(spark)
     val root = new Path(tableRoot)
     val m = resolve(f, root, None)
     val df = subtractTombstones(spark, root, m, dfFor(spark, root, m, m.files))
-    val r = df.agg(
-      min(col(c1)).cast("long"), max(col(c1)).cast("long"),
-      min(col(c2)).cast("long"), max(col(c2)).cast("long")).head()
-    val statsCols = (m.statsCols ++ Seq(c1, c2)).distinct
-    val clustered =
-      if (r.isNullAt(0) || r.isNullAt(2)) df // a dim is all-null/empty
-      else {
-        def norm(c: String, lo: Long, hi: Long) =
-          if (hi <= lo) lit(0L)
-          else floor((col(c).cast("long") - lit(lo)) * lit(65536.0) /
-            lit((hi - lo + 1).toDouble)).cast("long")
-        df.withColumn("__z", Layout.zValue(
-            norm(c1, r.getLong(0), r.getLong(1)),
-            norm(c2, r.getLong(2), r.getLong(3))))
-          .repartitionByRange(numFiles, col("__z"))
+    val statsCols = (m.statsCols ++ cols).distinct
+    val clustered = Layout.withNormalizedZ(df, cols) match {
+      case None => df // a dim is all-null/empty
+      case Some(z) =>
+        z.repartitionByRange(numFiles, col("__z"))
           .sortWithinPartitions(col("__z"))
           .drop("__z")
-      }
+    }
     commit(spark, tableRoot, clustered, statsCols)
   }
 
@@ -1082,12 +1081,24 @@ object ManifestTable {
   def scanBox(spark: SparkSession, tableRoot: String,
       c1: String, lower1: Option[String], upper1: Option[String],
       c2: String, lower2: Option[String], upper2: Option[String],
+      version: Option[Long] = None): PrunedScan =
+    scanBoxN(spark, tableRoot,
+      Seq((c1, lower1, upper1), (c2, lower2, upper2)), version)
+
+  /** K-dimensional box scan: a file survives only when its manifest
+    * [min, max] intersects EVERY `(col, lower, upper)` range, decided on
+    * the driver from stats alone — the read-side pair of the k-dim
+    * [[optimizeZOrder]] layout.
+    */
+  def scanBoxN(spark: SparkSession, tableRoot: String,
+      preds: Seq[(String, Option[String], Option[String])],
       version: Option[Long] = None): PrunedScan = {
+    require(preds.nonEmpty, "scanBoxN needs at least one column range")
     val f = fs(spark)
     val root = new Path(tableRoot)
     val m = resolve(f, root, version)
-    Seq(c1, c2).foreach(c => require(m.statsCols.contains(c),
-      s"no stats collected for $c (have: ${m.statsCols.mkString(", ")})"))
+    preds.foreach { case (c, _, _) => require(m.statsCols.contains(c),
+      s"no stats collected for $c (have: ${m.statsCols.mkString(", ")})") }
     val schema = StructType.fromDDL(m.schemaDdl)
     def intersects(fe: FileEntry, c: String,
         lower: Option[String], upper: Option[String]): Boolean =
@@ -1098,7 +1109,7 @@ object ManifestTable {
         case _ => false // all-null/statless: a range predicate can't match
       }
     val kept = m.files.filter(fe =>
-      intersects(fe, c1, lower1, upper1) && intersects(fe, c2, lower2, upper2))
+      preds.forall { case (c, lo, up) => intersects(fe, c, lo, up) })
     PrunedScan(subtractTombstones(spark, root, m, dfFor(spark, root, m, kept)),
       kept.size, m.files.size)
   }

@@ -110,6 +110,30 @@ class LayoutSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(spark.read.parquet(zDir).count() === src.count())
   }
 
+  test("writeZOrderedN: 3-dim layout prunes on EACH of the three dimensions") {
+    import spark.implicits._
+    // three independent 64-valued dims scattered against row order
+    val src = (0 until 8192).map { i =>
+      (i.toLong, (i % 64).toLong, (i * 7919 % 64).toLong, (i * 104729 % 64).toLong)
+    }.toDF("id", "x", "y", "z3")
+    val n = 16
+    val dir = Files.createTempDirectory("graft_z3").toString
+    Layout.writeZOrderedN(src, dir, Seq("x", "y", "z3"), numFiles = n)
+    def touching(c: String): Int =
+      Layout.fileRanges(spark, dir, c).count { case (mn, mx) => mx >= 0L && mn <= 7L }
+    val total = Layout.fileRanges(spark, dir, "x").size
+    assert(total > 4, s"layout degenerated to $total files")
+    Seq("x", "y", "z3").foreach { c =>
+      assert(touching(c) < total, s"3-dim z-order: no file skipped on $c ($total files)")
+    }
+    assert(spark.read.parquet(dir).count() === 8192L)
+    // zValueN guards: dims out of range
+    intercept[IllegalArgumentException] { Layout.zValueN(Seq(col("x"))) }
+    intercept[IllegalArgumentException] {
+      Layout.zValueN(Seq(col("a"), col("b"), col("c"), col("d"), col("e")))
+    }
+  }
+
   test("compact: bin-packs small files, data unchanged") {
     val dir = Files.createTempDirectory("graft_compact").toString
     // Simulate an append-sink aftermath: 24 tiny files.

@@ -279,6 +279,30 @@ class ManifestTableSpec extends SparkSuite {
     assert(BigDecimal(i.getString(8)) == BigDecimal(149), s"max id advanced: $i")
   }
 
+  test("optimizeZOrder 3-dim: every dimension prunes files via scanBoxN") {
+    val root = freshRoot()
+    val in = (0 until 4096).map { i =>
+      (i.toLong, (i % 64).toLong, (i * 7919 % 64).toLong, (i * 104729 % 64).toLong)
+    }.toDF("id", "x", "y", "w")
+    ManifestTable.commit(spark, root,
+      in.repartitionByRange(16, col("id")).sortWithinPartitions("id"),
+      Seq("id", "x", "y", "w"))
+    ManifestTable.optimizeZOrder(spark, root, Seq("x", "y", "w"), 16)
+    Seq("x", "y", "w").foreach { c =>
+      val s = ManifestTable.scanBoxN(spark, root,
+        Seq((c, Some("0"), Some("7"))))
+      assert(s.filesScanned < s.filesTotal,
+        s"no file pruned on $c: ${s.filesScanned}/${s.filesTotal}")
+    }
+    // triple-range scan returns the superset; exact predicate intact
+    val box = ManifestTable.scanBoxN(spark, root, Seq(
+      ("x", Some("0"), Some("7")), ("y", Some("0"), Some("7")),
+      ("w", Some("0"), Some("7"))))
+    val exact = box.df.where(col("x") <= 7 && col("y") <= 7 && col("w") <= 7).count()
+    val want = in.where(col("x") <= 7 && col("y") <= 7 && col("w") <= 7).count()
+    assert(exact == want, s"3-dim box scan dropped rows: $exact vs $want")
+  }
+
   test("concurrent append commits: distinct versions, no batch lost, no row duplicated") {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
