@@ -1976,6 +1976,31 @@ object Queries {
     }.reduce(_ unionByName _)
   }
 
+  // ---------------------------------------------------------------- Q96b
+  /** AVRO round-trip WITHOUT the spark-avro connector
+    * ([[graft.sources.AvroIO]] — the Avro library rides the classpath,
+    * the DataSource does not, so the container IO runs on the
+    * mapPartitions seam: one writer task per partition, one reader task
+    * per file). Same double-sensitivity battery as q96 plus the
+    * timestamp column exercising the `timestamp-micros` logical type;
+    * any mangled low digit or shifted micro breaks the string-compared
+    * decimal sums.
+    */
+  def q96bAvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val slice = t(spark, dir, "orders")
+      .where(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+    val base = java.nio.file.Files.createTempDirectory("graft_q96b").toString
+    graft.sources.AvroIO.write(slice, s"$base/avro")
+    val back = graft.sources.AvroIO.read(spark, s"$base/avro")
+    back.agg(lit("avro").as("format"), count(lit(1)).as("n_rows"),
+      sum(col("o_orderkey")).as("sum_key"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+      sum(col("o_totalprice").cast("decimal(18,12)")).cast("string").as("price_fp"),
+      sum(col("o_orderdate").cast("long")).as("ts_sum"))
+  }
+
   // ---------------------------------------------------------------- Q97
   /** Hierarchy flattening ([[Graph.flattenForest]]): chains over the
     * order-key residue space (`parent = node - 1` where present, gaps

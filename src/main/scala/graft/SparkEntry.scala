@@ -132,6 +132,7 @@ object SparkEntry {
     "q94_quantile_bins" -> (Queries.q94QuantileBins _),
     "q95_dynamic_pruning" -> (Queries.q95DynamicPruning _),
     "q96_format_roundtrip" -> (Queries.q96FormatRoundtrip _),
+    "q96b_avro_roundtrip" -> (Queries.q96bAvroRoundtrip _),
     "q97_flatten_hierarchy" -> (Queries.q97FlattenHierarchy _),
     "q98_web_prep" -> (Queries.q98WebPrep _),
     "q14c_portable_lsh" -> (Queries.q14cPortableLsh _),
@@ -2561,6 +2562,20 @@ object SparkEntry {
     // (BigDecimal.valueOf), DuckDB via the true binary expansion — at 12 dp
     // those differ by half an ulp per row, so the oracle routes through the
     // shortest rendering to match Spark's cast semantics exactly
+    // the Avro container round-trip (AvroIO, no spark-avro connector):
+    // same double battery as q96 + epoch-seconds sum for the
+    // timestamp-micros logical type
+    "q96b_avro_roundtrip" ->
+      """WITH s AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderdate,
+        |         CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,12)) AS fp
+        |  FROM orders WHERE o_orderkey % 20 = 0)
+        |SELECT 'avro' AS format, count(*) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       CAST(sum(fp) AS VARCHAR) AS price_fp,
+        |       CAST(sum(CAST(extract(epoch FROM o_orderdate) AS BIGINT)) AS BIGINT) AS ts_sum
+        |FROM s""".stripMargin,
     "q96_format_roundtrip" ->
       """WITH s AS (
         |  SELECT o_orderkey, o_totalprice,
