@@ -1188,6 +1188,29 @@ object Queries {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
   }
 
+  // ---------------------------------------------------------------- Q63b
+  /** HILBERT-clustered write + scan ([[graft.operators.Layout
+    * .writeHilbert]] — [[graft.plans.HilbertOps]]'s Skilling transpose,
+    * codegen'd): q63's layout exercise on the curve with strictly
+    * better locality than Morton (no power-of-two seam jumps, so
+    * per-file boxes are tighter — HilbertSpec measures the pruning
+    * advantage). Pruning only drops files a box predicate cannot
+    * match; the exact predicate then reproduces the plain filtered
+    * aggregate the oracle computes.
+    */
+  def q63bHilbertScan(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q63b").toString
+    Layout.writeHilbert(
+      t(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") / 1000).cast("int").as("price_kb"),
+        col("o_totalprice")),
+      tmp, Seq("o_custkey", "price_kb"), numFiles = 16)
+    spark.read.parquet(tmp)
+      .where(col("o_custkey") < 500 && col("price_kb") < 100)
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
   // ---------------------------------------------------------------- Q62
   /** Deterministic mixture sampling: per-language keep rates (en 1/2,
     * de 3/4, fr 1/4, es 1/8, zh all) selected by md5 nibble — the
@@ -2710,6 +2733,66 @@ object Queries {
       .select(col("pass"), col("blocks"), col("blocks_dropped"),
         col("pairs_planned").cast("long").as("pairs_planned"),
         col("pairs_dropped").cast("long").as("pairs_dropped"))
+
+  /** q191's comparison fields and their (m, u) — P(agree | match) /
+    * P(agree | non-match) — as a shared static so the oracle splices
+    * the SAME driver-computed log-weight literals
+    * ([[graft.operators.EntityResolution.linkageConstants]]).
+    */
+  val Q191Fields: Seq[(String, Double, Double)] = Seq(
+    ("name_agree", 0.95, 0.05), ("nat_agree", 0.95, 0.04),
+    ("seg_agree", 0.90, 0.20), ("bal_agree", 0.90, 0.05))
+
+  // ---------------------------------------------------------------- Q191
+  /** FELLEGI–SUNTER probabilistic linkage ([[graft.operators
+    * .EntityResolution.linkageWeights]]): blocked candidate pairs over
+    * customers (prefix-16 block, the q126 shape) scored by four
+    * agreement fields — fuzzy name, nation, segment, balance band —
+    * each contributing its log2(m/u) / log2((1−m)/(1−u)) evidence;
+    * the pair weight is the EXACT decimal sum of driver-rounded
+    * constants, so the oracle replays it from the same literals.
+    * `is_match` thresholds the weight the way a linkage pipeline
+    * gates its merge step.
+    */
+  def q191LinkageWeights(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") / 1000).as("bal_kb"))
+    val keyed = c.withColumn("bk", substring(col("name"), 1, 16))
+    val pairs = keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (levenshtein(col("a.name"), col("b.name")) <= 2).as("name_agree"),
+        (col("a.nat") === col("b.nat")).as("nat_agree"),
+        (col("a.seg") === col("b.seg")).as("seg_agree"),
+        (col("a.bal_kb") === col("b.bal_kb")).as("bal_agree"))
+    EntityResolution.linkageWeights(pairs, Q191Fields)
+      .withColumn("is_match", col("link_weight") >= 4.0)
+  }
+
+  // ---------------------------------------------------------------- Q192
+  /** DDSketch quantiles with the INCREMENTAL contract proved in-query
+    * ([[graft.operators.QuantileSketch]]): the corpus is sketched in
+    * two disjoint slices (even/odd orderkeys), the sketches MERGE by
+    * counter addition, and p50/p95/p99 read out of the merged table —
+    * which equals the from-scratch sketch exactly (bucket of a value
+    * is a pure function of the value, so partitioning and merge order
+    * cannot move it; the oracle replays from scratch and must match
+    * bit-for-bit). The sketch table is group × ~hundreds of buckets
+    * regardless of input rows — the 100 TB percentile-maintenance
+    * shape GK (rank-error, merge-order-sensitive) cannot give.
+    */
+  def q192SketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val even = QuantileSketch.sketch(l.where(col("l_orderkey") % 2 === 0),
+      "l_extendedprice", Seq("l_returnflag"), alpha = 0.01)
+    val odd = QuantileSketch.sketch(l.where(col("l_orderkey") % 2 === 1),
+      "l_extendedprice", Seq("l_returnflag"), alpha = 0.01)
+    val merged = QuantileSketch.merge(even.unionByName(odd), Seq("l_returnflag"))
+    QuantileSketch.quantiles(merged, Seq("l_returnflag"),
+      Seq(0.5, 0.95, 0.99), alpha = 0.01)
+  }
 
   // ---------------------------------------------------------------- Q127
   /** q123 APPLIED ([[graft.operators.SubstringDedup.stripDuplicatedSpans]]):

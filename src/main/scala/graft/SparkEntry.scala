@@ -96,6 +96,7 @@ object SparkEntry {
     "q61_curation_funnel" -> (Queries.q61CurationFunnel _),
     "q62_mixture_sample" -> (Queries.q62MixtureSample _),
     "q63_zorder_scan" -> (Queries.q63ZOrderScan _),
+    "q63b_hilbert_scan" -> (Queries.q63bHilbertScan _),
     "q64_quantize" -> (Queries.q64Quantize _),
     "q65_decontaminate" -> (Queries.q65Decontaminate _),
     "q66_scd2" -> (Queries.q66Scd2 _),
@@ -231,6 +232,8 @@ object SparkEntry {
     "q188_average_precision" -> (Queries.q188AveragePrecision _),
     "q189_k_core" -> (Queries.q189KCore _),
     "q190_pearson_residuals" -> (Queries.q190PearsonResiduals _),
+    "q191_linkage_weights" -> (Queries.q191LinkageWeights _),
+    "q192_sketch_quantiles" -> (Queries.q192SketchQuantiles _),
   )
 
   /** One k-core peel round as oracle CTEs (see `Graph.kCore`): degrees
@@ -1592,6 +1595,11 @@ object SparkEntry {
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS revenue
         |FROM orders
         |WHERE o_custkey < 500 AND floor(o_totalprice / 1000) < 100""".stripMargin,
+    // same superset-scan contract on the Hilbert layout
+    "q63b_hilbert_scan" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE o_custkey < 500 AND floor(o_totalprice / 1000) < 100""".stripMargin,
     // hash-gated mixture: keep when first md5 nibble sorts below the
     // group's threshold char ('g' > every hex digit = keep all)
     "q62_mixture_sample" ->
@@ -2328,6 +2336,61 @@ object SparkEntry {
         |  FROM c2 a JOIN c2 b ON a.bk = b.bk AND a.id < b.id)
         |SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(s_a, s_b) <= 1""".stripMargin,
+    // DDSketch replayed from scratch: bucket = ceil(ln(v)/ln(gamma)) is
+    // a pure function of the value, so the oracle's one-pass sketch
+    // equals the engine's merged even/odd sketches bit-for-bit; the
+    // gamma constants are interpolated from the SAME Scala doubles
+    "q192_sketch_quantiles" -> {
+      val alpha = 0.01
+      val gamma = (1 + alpha) / (1 - alpha)
+      val lnG = math.log(gamma)
+      s"""WITH b AS (
+         |  SELECT l_returnflag,
+         |         CASE WHEN l_extendedprice > 0
+         |              THEN CAST(ceil(ln(l_extendedprice) / $lnG) AS BIGINT) END AS bucket,
+         |         count(*) AS cnt
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+         |  GROUP BY 1, 2),
+         |c AS (
+         |  SELECT *,
+         |         sum(cnt) OVER (PARTITION BY l_returnflag
+         |                        ORDER BY bucket ASC NULLS FIRST) AS cum,
+         |         sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM b),
+         |qs AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q)
+         |SELECT l_returnflag, q,
+         |       round(CASE WHEN bucket IS NULL THEN 0.0
+         |                  ELSE 2.0 * pow($gamma, CAST(bucket AS DOUBLE)) / ${gamma + 1.0}
+         |             END, 6) AS est
+         |FROM c, qs
+         |WHERE cum - cnt <= floor(q * (n - 1)) AND floor(q * (n - 1)) < cum""".stripMargin
+    },
+    // Fellegi–Sunter weights: the SAME driver-rounded log2(m/u)
+    // decimal literals (linkageConstants) summed exactly per pair
+    "q191_linkage_weights" -> {
+      val cs = graft.operators.EntityResolution.linkageConstants(Queries.Q191Fields)
+      val weightExpr = cs.map { case (c, agree, disagree) =>
+        s"(CASE WHEN $c THEN CAST('$agree' AS DECIMAL(18,6)) " +
+          s"ELSE CAST('$disagree' AS DECIMAL(18,6)) END)"
+      }.mkString(" + ")
+      s"""WITH c AS (
+         |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+         |         c_mktsegment AS seg, floor(c_acctbal / 1000) AS bal_kb,
+         |         substr(c_name, 1, 16) AS bk
+         |  FROM customer),
+         |p AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |         levenshtein(a.name, b.name) <= 2 AS name_agree,
+         |         a.nat = b.nat AS nat_agree,
+         |         a.seg = b.seg AS seg_agree,
+         |         a.bal_kb = b.bal_kb AS bal_agree
+         |  FROM c a JOIN c b ON a.bk = b.bk AND a.id < b.id),
+         |w AS (
+         |  SELECT *, CAST($weightExpr AS DOUBLE) AS link_weight FROM p)
+         |SELECT id_a, id_b, name_agree, nat_agree, seg_agree, bal_agree,
+         |       link_weight, link_weight >= 4.0 AS is_match
+         |FROM w""".stripMargin
+    },
     // the pair-mass telemetry behind q126: per-pass block counts and
     // planned/dropped candidate-pair mass from the counts-only agg
     "q126b_pair_mass" ->

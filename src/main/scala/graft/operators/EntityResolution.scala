@@ -22,6 +22,60 @@ import org.apache.spark.sql.functions._
   */
 object EntityResolution {
 
+  /** FELLEGI–SUNTER probabilistic linkage scoring (Fellegi & Sunter
+    * 1969, the model behind Splink/RecordLinkage): each comparison
+    * field contributes `log2(m/u)` on agreement and
+    * `log2((1−m)/(1−u))` on disagreement — m = P(agree | match),
+    * u = P(agree | non-match) — and the pair's match weight is the
+    * sum. `fields` maps an agreement BOOLEAN column (built by the
+    * caller: exact equality, prefix match, phonetic code — anything)
+    * to its (m, u). A NULL agreement contributes 0 (the standard
+    * missing-comparison convention).
+    *
+    * Exactness: the per-field log weights are computed ONCE on the
+    * driver, rounded to 6 dp, and ride as DECIMAL(18,6) literals; the
+    * pair weight is their EXACT decimal sum (order-independent, so an
+    * oracle replays it bit-for-bit from the same constants). Map-only
+    * over the candidate pairs — u-estimation pairs with the blocked
+    * candidate generators above; at 100 TB the weights cost one
+    * projection.
+    */
+  def linkageWeights(pairs: DataFrame,
+      fields: Seq[(String, Double, Double)]): DataFrame = {
+    require(fields.nonEmpty, "at least one comparison field required")
+    fields.foreach { case (c, m, u) =>
+      require(m > 0 && m < 1 && u > 0 && u < 1,
+        s"m and u must be in (0,1) for $c, got m=$m u=$u")
+      require(m > u, s"agreement must be evidence FOR a match: m > u for $c " +
+        s"(got m=$m u=$u); flip the comparison if agreement implies non-match")
+    }
+    val terms = fields.map { case (c, m, u) =>
+      val agree = BigDecimal(math.log(m / u) / math.log(2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val disagree = BigDecimal(math.log((1 - m) / (1 - u)) / math.log(2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      when(col(c).isNull, lit("0").cast("decimal(18,6)"))
+        .when(col(c), lit(agree.toString).cast("decimal(18,6)"))
+        .otherwise(lit(disagree.toString).cast("decimal(18,6)"))
+    }
+    pairs.withColumn("link_weight",
+      terms.reduce(_ + _).cast("decimal(28,6)").cast("double"))
+  }
+
+  /** The driver-side per-field weight constants [[linkageWeights]]
+    * splices, exposed so an oracle (or a reviewer) reads the SAME
+    * literals — the shared-literal discipline.
+    */
+  def linkageConstants(fields: Seq[(String, Double, Double)])
+      : Seq[(String, String, String)] =
+    fields.map { case (c, m, u) =>
+      (c,
+        BigDecimal(math.log(m / u) / math.log(2.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString,
+        BigDecimal(math.log((1 - m) / (1 - u)) / math.log(2.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString)
+    }
+
   /** PAIR-MASS TELEMETRY: the planned candidate-pair count per blocking
     * pass, from the SAME counts-only partial agg the block cap runs —
     * `Σ bs·(bs−1)/2` over kept blocks plus what the cap drops. Blocked

@@ -105,36 +105,68 @@ object Layout {
           .write.mode("overwrite").parquet(path)
     }
 
-  /** `df` plus a `__z` column: each dimension min/max-normalized to
-    * [[zBitsPerDim]] bits (one bounded agg of 2k driver scalars — WITHOUT
-    * normalization the widest-range dimension owns every high z-bit and
-    * the split degenerates to 1-D clustering), then Morton-interleaved.
-    * Normalization is exact while (range × 2^bits) < 2^53; beyond that
-    * swap in rank-based bucketing. None when any dimension is
-    * all-null/empty (nothing to z-order — callers write as-is).
+  /** Each dimension min/max-normalized to `bits` bits (one bounded agg
+    * of 2k driver scalars — WITHOUT normalization the widest-range
+    * dimension owns every high curve bit and the split degenerates to
+    * 1-D clustering). Normalization is exact while (range × 2^bits)
+    * < 2^53; beyond that swap in rank-based bucketing. None when any
+    * dimension is all-null/empty (nothing to curve-order — callers
+    * write as-is).
     */
-  def withNormalizedZ(df: DataFrame, cols: Seq[String]): Option[DataFrame] = {
+  private def normalizedDims(df: DataFrame, cols: Seq[String],
+      bits: Int): Option[Seq[org.apache.spark.sql.Column]] = {
     import org.apache.spark.sql.functions._
     require(cols.distinct.size == cols.size,
-      s"z-order columns must be distinct, got $cols")
-    val bits = zBitsPerDim(cols.size)
-    val r = df.agg(
-      cols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
-        .head,
-      cols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
-        .tail: _*).head()
+      s"curve columns must be distinct, got $cols")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
     if (cols.indices.exists(i => r.isNullAt(2 * i))) None
     else {
       val scale = math.pow(2.0, bits)
-      val dims = cols.zipWithIndex.map { case (c, i) =>
+      Some(cols.zipWithIndex.map { case (c, i) =>
         val (lo, hi) = (r.getLong(2 * i), r.getLong(2 * i + 1))
         if (hi <= lo) lit(0L)
         else floor((col(c).cast("long") - lit(lo)) * lit(scale) /
           lit((hi - lo + 1).toDouble)).cast("long")
-      }
-      Some(df.withColumn("__z", zValueN(dims)))
+      })
     }
   }
+
+  /** `df` plus a `__z` Morton key over the normalized dimensions. */
+  def withNormalizedZ(df: DataFrame, cols: Seq[String]): Option[DataFrame] =
+    normalizedDims(df, cols, zBitsPerDim(cols.size))
+      .map(dims => df.withColumn("__z", zValueN(dims)))
+
+  /** `df` plus a `__h` HILBERT key over the normalized dimensions
+    * ([[graft.plans.HilbertOps]] — better locality than the z-curve:
+    * no power-of-two seam jumps, so per-file boxes are tighter and
+    * min/max pruning skips more). NULL coordinates land at the curve
+    * origin (coalesced to 0 — a null cannot ride the codegen'd long
+    * array).
+    */
+  def withHilbertKey(df: DataFrame, cols: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val bits = zBitsPerDim(cols.size)
+    normalizedDims(df, cols, bits).map { dims =>
+      df.withColumn("__h", graft.plans.HilbertExpressions.hilbert(bits,
+        array(dims.map(coalesce(_, lit(0L))): _*)))
+    }
+  }
+
+  /** Hilbert-clustered write — the drop-in upgrade of
+    * [[writeZOrderedN]]; same normalization, tighter file boxes.
+    */
+  def writeHilbert(
+      df: DataFrame, path: String, cols: Seq[String], numFiles: Int): Unit =
+    withHilbertKey(df, cols) match {
+      case None => df.write.mode("overwrite").parquet(path)
+      case Some(h) =>
+        h.repartitionByRange(numFiles, col("__h"))
+          .sortWithinPartitions(col("__h"))
+          .drop("__h")
+          .write.mode("overwrite").parquet(path)
+    }
 
   /** Per-file (min, max) of an int column, from the files' own contents —
     * the spec-side stand-in for parquet footer stats in pruning tests.

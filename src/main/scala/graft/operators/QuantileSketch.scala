@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DDSketch — relative-error quantiles with a MERGEABLE, DETERMINISTIC
+  * sketch (Masson, Rim & Lee, "DDSketch: a fast and fully-mergeable
+  * quantile sketch with relative-error guarantees", VLDB 2019).
+  *
+  * Positive values land in logarithmic buckets
+  * `idx = ceil(ln(v) / ln(gamma))`, `gamma = (1+alpha)/(1-alpha)`; the
+  * bucket's representative `2·gamma^idx / (gamma+1)` is within relative
+  * error `alpha` of every value it holds. Zeros get the reserved bucket
+  * NULL-index 0-count path (`__zeros`), negatives are rejected (mirror
+  * them in caller space — the standard DDSketch deployment).
+  *
+  * Why THIS sketch completes the family: unlike GK (rank error, merge
+  * order sensitive) and t-digest (centroid placement depends on input
+  * order), the DDSketch bucket of a value is a PURE FUNCTION of the
+  * value — so the sketch of a union is exactly the counter-sum of the
+  * sketches (the q101/q143 incremental discipline), partitioning cannot
+  * change it, and a DuckDB oracle replays every bucket and every
+  * quantile readout bit-for-bit. At 100 TB: one partial-agg shuffle of
+  * (group, bucket) rows — bucket count is ~log-range/alpha (hundreds),
+  * so the sketch table is group-count × hundreds regardless of input
+  * rows, and yesterday's sketch plus today's delta IS the full-history
+  * sketch with history never rescanned.
+  */
+object QuantileSketch {
+
+  private def gammaOf(alpha: Double): Double = (1 + alpha) / (1 - alpha)
+
+  /** Per-group DDSketch: `(groupCols..., bucket, cnt)` rows plus the
+    * zero-bucket as `bucket = NULL` (log has no zero bucket). One
+    * map-side-combined shuffle; NULL/negative values fail fast rather
+    * than silently skew a percentile.
+    */
+  def sketch(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      alpha: Double = 0.01): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val gamma = gammaOf(alpha)
+    val v = col(valueCol).cast("double")
+    val bucket =
+      when(v < 0.0, raise_error(lit(
+        s"ddsketch: negative value in $valueCol; mirror negatives before sketching"))
+        .cast("long"))
+      .when(v > 0.0, ceil(log(v) / lit(math.log(gamma))).cast("long"))
+      .otherwise(lit(null).cast("long")) // v == 0: the reserved zero bucket
+    df.where(v.isNotNull)
+      .select((groupCols.map(col) :+ bucket.as("bucket")): _*)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketch tables (counter addition — merged == from-scratch,
+    * exactly; the q91/q143 incremental contract for percentiles).
+    */
+  def merge(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile readout: for each q, the representative of the bucket
+    * holding rank `floor(q·(n−1))` in bucket order (zeros first — the
+    * NULL bucket sorts lowest, matching value order since every other
+    * bucket holds positives). Returns one row per (group, q):
+    * `(groupCols..., q, est)` with `est` rounded 6 dp — the whole
+    * readout is a prefix sum over the sketch TABLE (hundreds of rows
+    * per group), never over the data.
+    */
+  def quantiles(sketchDf: DataFrame, groupCols: Seq[String],
+      qs: Seq[Double], alpha: Double = 0.01): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be in [0,1], got $qs")
+    val gamma = gammaOf(alpha)
+    // bucket order: NULL (zeros) first == smallest values first
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("bucket").asc_nulls_first)
+    val cum = sketchDf
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)))
+    val spark = sketchDf.sparkSession
+    import spark.implicits._
+    val qDf = qs.toDF("q")
+    // rank of quantile q in 0-based order: floor(q * (n - 1)); the
+    // covering bucket is the first with cum > rank. The cross join is a
+    // bounded broadcast: |qs| rows against the sketch table.
+    cum.crossJoin(broadcast(qDf))
+      .where(col("cum") - col("cnt") <= floor(col("q") * (col("n") - 1)) &&
+        floor(col("q") * (col("n") - 1)) < col("cum"))
+      .select((groupCols.map(col) :+ col("q") :+
+        round(when(col("bucket").isNull, lit(0.0))
+          .otherwise(lit(2.0) * pow(lit(gamma), col("bucket").cast("double")) /
+            lit(gamma + 1.0)), 6).as("est")): _*)
+  }
+}

@@ -367,6 +367,19 @@ object GraftExtensions {
         }
         BottomKSketch(args.head, k)
       }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("hilbert_index"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HilbertIndex].getName, "hilbert_index"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "hilbert_index(coords, bits) takes 2 arguments")
+        val bits = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hilbert_index bits must be an integer literal, got $other")
+        }
+        HilbertIndex(args.head, bits)
+      }))
   }
 }
 

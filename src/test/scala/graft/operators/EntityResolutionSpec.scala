@@ -70,6 +70,33 @@ class EntityResolutionSpec extends SparkSuite {
     assert(uncapped.count() == 190L, "20 choose 2 when the cap is lifted")
   }
 
+  test("linkageWeights: hand-computed Fellegi-Sunter sums, nulls contribute zero, guards") {
+    val pairs = Seq(
+      (1L, 2L, Some(true), Some(true)),   // both agree
+      (3L, 4L, Some(true), Some(false)),  // mixed
+      (5L, 6L, None, Some(false))         // missing first comparison
+    ).toDF("id_a", "id_b", "f1", "f2")
+    val fields = Seq(("f1", 0.9, 0.1), ("f2", 0.8, 0.2))
+    val got = EntityResolution.linkageWeights(pairs, fields)
+      .select("id_a", "link_weight")
+      .as[(Long, Double)].collect().toMap
+    def w(m: Double, u: Double, agree: Boolean): BigDecimal = {
+      val x = if (agree) m / u else (1 - m) / (1 - u)
+      BigDecimal(math.log(x) / math.log(2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    assert(got(1L) == (w(0.9, 0.1, true) + w(0.8, 0.2, true)).toDouble)
+    assert(got(3L) == (w(0.9, 0.1, true) + w(0.8, 0.2, false)).toDouble)
+    assert(got(5L) == w(0.8, 0.2, false).toDouble,
+      "a NULL comparison must contribute exactly zero")
+    intercept[IllegalArgumentException] {
+      EntityResolution.linkageWeights(pairs, Seq(("f1", 0.1, 0.9)))
+    }
+    intercept[IllegalArgumentException] {
+      EntityResolution.linkageWeights(pairs, Seq.empty)
+    }
+  }
+
   test("pairMassReport: hand-checked mass per pass, cap split exact") {
     // pass 0 (prefix 4): block "aaaa"×10 (45 pairs), "bbbb"×5 (10 pairs)
     // pass 1 (prefix 1): blocks "a"×10 and "b"×5 — same masses
