@@ -3524,6 +3524,23 @@ object Queries {
       epsilon = 1.0, salt = "rel2026")
   }
 
+  // ---------------------------------------------------------------- Q193
+  /** Differentially-private MEAN release ([[graft.operators.Privacy
+    * .laplaceNoisyMean]]): per-priority average order value, clamped to
+    * [0, 200000] (the sensitivity bound), released as noisy-sum /
+    * noisy-count with ε split across the two queries — the numeric
+    * companion to q160's histogram: aggregates leave, exact aggregates
+    * don't. The clamped sum rides the 6-dp + DECIMAL discipline so the
+    * oracle replays the whole mechanism (uniform fold, inverse-CDF ln,
+    * composition arithmetic) bit-for-bit.
+    */
+  def q193DpMean(spark: SparkSession, dir: String): DataFrame =
+    Privacy.laplaceNoisyMean(
+      t(spark, dir, "orders").select(
+        col("o_orderpriority").as("priority"), col("o_totalprice")),
+      Seq("priority"), "o_totalprice",
+      lo = 0.0, hi = 200000.0, epsilon = 1.0, salt = "rel2026m")
+
   // ---------------------------------------------------------------- Q161
   /** Sweep-line peak concurrency ([[graft.operators.TimeSeries
     * .peakConcurrency]]): per order priority, the maximum number of
@@ -3627,6 +3644,44 @@ object Queries {
         .sortWithinPartitions("l_orderkey"),
       Seq("l_orderkey", "l_partkey", "l_suppkey"))
     ManifestTable.optimizeZOrder(spark, root,
+      Seq("l_partkey", "l_suppkey", "l_orderkey"), 16)
+    val scan = ManifestTable.scanBoxN(spark, root, Seq(
+      ("l_partkey", Some("1"), Some("100")),
+      ("l_suppkey", Some("1"), Some("5")),
+      ("l_orderkey", Some("1"), Some("30000"))))
+    scan.df
+      .where(col("l_partkey").between(1L, 100L) &&
+        col("l_suppkey").between(1L, 5L) &&
+        col("l_orderkey").between(1L, 30000L))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_partkey")).as("key_sum"),
+        round(sum(col("l_extendedprice").cast("string")
+            .cast("decimal(18,6)")).cast("decimal(38,6)").cast("double"), 6)
+          .as("revenue"))
+      .withColumn("n_versions",
+        lit(ManifestTable.listVersions(spark, root).size.toLong))
+  }
+
+  // ---------------------------------------------------------------- Q164c
+  /** Manifest OPTIMIZE on the HILBERT curve ([[graft.operators
+    * .ManifestTable.optimizeHilbert]]): q164b's 3-dim exercise with the
+    * tighter-locality curve — same commit/stats/scan contract, same
+    * superset-scan oracle (pruning only drops files the box cannot
+    * match, so the exact triple predicate reproduces the plain filtered
+    * aggregate). HilbertSpec holds the pruning-vs-z-order measurement;
+    * this entry pins the manifest path end-to-end.
+    */
+  def q164cHilbertManifest(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q164c").resolve("t").toString
+    val l = t(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_extendedprice"))
+    ManifestTable.commit(spark, root,
+      l.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    ManifestTable.optimizeHilbert(spark, root,
       Seq("l_partkey", "l_suppkey", "l_orderkey"), 16)
     val scan = ManifestTable.scanBoxN(spark, root, Seq(
       ("l_partkey", Some("1"), Some("100")),

@@ -206,6 +206,7 @@ object SparkEntry {
     "q163_winsorized_stats" -> (Queries.q163WinsorizedStats _),
     "q164_manifest_zorder" -> (Queries.q164ManifestZorder _),
     "q164b_zorder_3d" -> (Queries.q164bZorder3d _),
+    "q164c_hilbert_manifest" -> (Queries.q164cHilbertManifest _),
     "q165_triangles" -> (Queries.q165Triangles _),
     "q166_bpe_merges" -> (Queries.q166BpeMerges _),
     "q167_bpe_tokenize" -> (Queries.q167BpeTokenize _),
@@ -234,6 +235,7 @@ object SparkEntry {
     "q190_pearson_residuals" -> (Queries.q190PearsonResiduals _),
     "q191_linkage_weights" -> (Queries.q191LinkageWeights _),
     "q192_sketch_quantiles" -> (Queries.q192SketchQuantiles _),
+    "q193_dp_mean" -> (Queries.q193DpMean _),
   )
 
   /** One k-core peel round as oracle CTEs (see `Graph.kCore`): degrees
@@ -2336,6 +2338,43 @@ object SparkEntry {
         |  FROM c2 a JOIN c2 b ON a.bk = b.bk AND a.id < b.id)
         |SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(s_a, s_b) <= 1""".stripMargin,
+    // the DP mean: clamped 6dp+DECIMAL sum, two seeded Laplace draws
+    // (role-suffixed keys), noisy-sum / max(1, noisy-count); scales are
+    // sumScale = 200000/(eps/2) = 400000, cntScale = 1/(eps/2) = 2
+    "q193_dp_mean" -> {
+      def u(suffix: String) =
+        // kept clear of line-leading '||': the OUTER stripMargin would
+        // strip the first bar of the operator and corrupt the SQL
+        s"""(((list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(
+           |        'rel2026m|' || CAST(length(priority) AS VARCHAR) || ':' || priority || '|$suffix', ''),
+           |        c -> CAST(ascii(c) AS BIGINT))),
+           |      (a, x) -> (a * 131 + x) % 281474976710656)
+           |    % 2147483647) * 1103515245 + 12345) % 2147483647 + 0.5)
+           |  / 2147483647.0""".stripMargin
+      s"""WITH g AS (
+         |  SELECT o_orderpriority AS priority, count(*) AS n,
+         |         CAST(sum(CAST(round(least(greatest(o_totalprice, 0.0), 200000.0), 6)
+         |                       AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s
+         |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+         |k AS (
+         |  SELECT priority, n, s,
+         |         ${u("sum")} AS us,
+         |         ${u("cnt")} AS uc
+         |  FROM g),
+         |nz AS (
+         |  SELECT priority, n, s,
+         |         (CASE WHEN us - 0.5 >= 0 THEN -400000.0 ELSE 400000.0 END)
+         |           * ln(1.0 - 2.0 * abs(us - 0.5)) AS sum_noise,
+         |         (CASE WHEN uc - 0.5 >= 0 THEN -2.0 ELSE 2.0 END)
+         |           * ln(1.0 - 2.0 * abs(uc - 0.5)) AS cnt_noise
+         |  FROM k)
+         |SELECT priority,
+         |       greatest(0.0, round(n + cnt_noise, 6)) AS n_noisy,
+         |       round((CAST(s AS DOUBLE) + sum_noise)
+         |             / greatest(1.0, n + cnt_noise), 6) AS mean_noisy
+         |FROM nz""".stripMargin
+    },
     // DDSketch replayed from scratch: bucket = ceil(ln(v)/ln(gamma)) is
     // a pure function of the value, so the oracle's one-pass sketch
     // equals the engine's merged even/odd sketches bit-for-bit; the
@@ -3341,6 +3380,16 @@ object SparkEntry {
         |       CAST(2 AS BIGINT) AS n_versions
         |FROM lineitem
         |WHERE l_partkey BETWEEN 1 AND 50 AND l_suppkey BETWEEN 1 AND 5""".stripMargin,
+    // same superset-scan contract, Hilbert curve
+    "q164c_hilbert_manifest" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(l_partkey) AS BIGINT) AS key_sum,
+        |       round(CAST(CAST(sum(CAST(CAST(l_extendedprice AS VARCHAR)
+        |                 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS revenue,
+        |       CAST(2 AS BIGINT) AS n_versions
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 1 AND 100 AND l_suppkey BETWEEN 1 AND 5
+        |  AND l_orderkey BETWEEN 1 AND 30000""".stripMargin,
     // 3-dim z-order + box scan: pruning is a superset, the exact triple
     // predicate reproduces the plain filtered aggregate
     "q164b_zorder_3d" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** k-anonymity auditing and enforcement over quasi-identifier columns
@@ -68,25 +68,76 @@ object Privacy {
     require(groupCols.nonEmpty, "need at least one group column")
     require(epsilon > 0.0 && epsilon.isFinite,
       s"epsilon must be positive, got $epsilon")
-    // Seed-key encoding is NULL-safe and collision-free: a NULL group
-    // value encodes as the bare token `n` (a raw NULL would NULL the
-    // whole key, and `greatest` would then release a noiseless 0.0),
-    // and non-null values ride a LENGTH PREFIX (`<len>:<value>`), so a
-    // `|` inside a value can never make two distinct groups share a
-    // seed and thus a noise draw.
-    val key = concat((lit(salt) +: groupCols.flatMap { c =>
-      val s = col(c).cast("string")
-      Seq(lit("|"),
-        coalesce(concat(length(s).cast("string"), lit(":"), s), lit("n")))
-    }).toIndexedSeq: _*)
-    val u = graft.functions.TextFunctions.portableUniform(key)
-    val centered = u - lit(0.5)
-    val noise = (when(centered >= 0, lit(-1.0)).otherwise(lit(1.0)) / epsilon) *
-      log(lit(1.0) - lit(2.0) * abs(centered))
+    val noise = laplaceNoise(seedKey(salt, groupCols), 1.0 / epsilon)
     df.groupBy(groupCols.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("__n"))
       .select(groupCols.map(col) :+
         greatest(lit(0.0), round(col("__n") + noise, 6)).as("n_noisy"): _*)
+  }
+
+  /** Seed-key encoding shared by every release: NULL-safe and
+    * collision-free — a NULL group value encodes as the bare token `n`
+    * (a raw NULL would NULL the whole key and the clamp would then
+    * release a noiseless constant), and non-null values ride a LENGTH
+    * PREFIX (`<len>:<value>`), so a delimiter inside a value can never
+    * make two distinct groups share a seed and thus a noise draw.
+    */
+  private def seedKey(salt: String, groupCols: Seq[String]): Column =
+    concat((lit(salt) +: groupCols.flatMap { c =>
+      val s = col(c).cast("string")
+      Seq(lit("|"),
+        coalesce(concat(length(s).cast("string"), lit(":"), s), lit("n")))
+    }).toIndexedSeq: _*)
+
+  /** Laplace(scale) draw from the seeded portable uniform over `key` —
+    * inverse CDF, replayable (the q160 mechanism arithmetic).
+    */
+  private def laplaceNoise(key: Column, scale: Double): Column = {
+    val centered = graft.functions.TextFunctions.portableUniform(key) - lit(0.5)
+    (when(centered >= 0, lit(-scale)).otherwise(lit(scale))) *
+      log(lit(1.0) - lit(2.0) * abs(centered))
+  }
+
+  /** Differentially-private MEAN release: values CLAMPED to `[lo, hi]`
+    * (the clamp bounds the sensitivity — the caller's domain knowledge,
+    * not data-derived), then the standard two-query composition: a
+    * noisy SUM (Laplace, sensitivity `max(|lo|, |hi|)`, ε/2) over a
+    * noisy COUNT (sensitivity 1, ε/2), denominator floored at 1. Both
+    * draws come from the seeded portable uniform with DISTINCT role
+    * suffixes on the group key, so re-running the release reproduces
+    * it and the two draws can never coincide by key collision.
+    *
+    * Exactness: the clamped sum rides the repo's order-independent
+    * discipline — per-row clamp rounded 6 dp, summed as DECIMAL — so
+    * the oracle replays the release bit-for-bit. Post-processing
+    * (rounding, the max(1, ·) floor) preserves DP. Released columns:
+    * group key, `n_noisy`, `mean_noisy` ONLY.
+    *
+    * Scale shape: one partial-agg shuffle (two scalar accumulators per
+    * group) + map-only noise over the group table.
+    */
+  def laplaceNoisyMean(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, lo: Double, hi: Double, epsilon: Double,
+      salt: String = "dp1"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(hi > lo && lo.isFinite && hi.isFinite,
+      s"need a finite clamp range, got [$lo, $hi]")
+    require(epsilon > 0.0 && epsilon.isFinite,
+      s"epsilon must be positive, got $epsilon")
+    val sumScale = math.max(math.abs(lo), math.abs(hi)) / (epsilon / 2.0)
+    val cntScale = 1.0 / (epsilon / 2.0)
+    val clamped = least(greatest(col(valueCol).cast("double"), lit(lo)), lit(hi))
+    val sumNoise = laplaceNoise(concat(seedKey(salt, groupCols), lit("|sum")), sumScale)
+    val cntNoise = laplaceNoise(concat(seedKey(salt, groupCols), lit("|cnt")), cntScale)
+    df.where(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col).toIndexedSeq: _*)
+      .agg(sum(round(clamped, 6).cast("decimal(18,6)"))
+          .cast("decimal(38,6)").as("__s"),
+        count(lit(1)).as("__n"))
+      .select(groupCols.map(col) :+
+        greatest(lit(0.0), round(col("__n") + cntNoise, 6)).as("n_noisy") :+
+        round((col("__s").cast("double") + sumNoise) /
+          greatest(lit(1.0), col("__n") + cntNoise), 6).as("mean_noisy"): _*)
   }
 
   def suppressBelowK(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {

@@ -59,6 +59,29 @@ class PrivacySpec extends SparkSuite {
       s"seed collision across distinct groups: $draws")
   }
 
+  test("laplaceNoisyMean: deterministic, clamp bounds the release, exact stats never leave") {
+    val scores = Seq((1L, "US", 10.0), (2L, "US", 12.0), (3L, "US", 1e9),
+      (4L, "CA", -50.0)).toDF("id", "country", "v")
+    val rel = Privacy.laplaceNoisyMean(scores, Seq("country"), "v",
+      lo = 0.0, hi = 100.0, epsilon = 1.0)
+    assert(rel.columns.toSeq == Seq("country", "n_noisy", "mean_noisy"),
+      "only the key and noisy aggregates may leave")
+    val a = rel.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val b = Privacy.laplaceNoisyMean(scores, Seq("country"), "v",
+      lo = 0.0, hi = 100.0, epsilon = 1.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(a == b, "same salt must reproduce the release")
+    // the 1e9 outlier is clamped to 100: even with noise the US mean
+    // cannot be dragged anywhere near the unclamped mean (~3.3e8)
+    assert(math.abs(a("US")._2) < 1e6, s"clamp failed to bound the outlier: $a")
+    intercept[IllegalArgumentException] {
+      Privacy.laplaceNoisyMean(scores, Seq("country"), "v", 10.0, 10.0, 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.laplaceNoisyMean(scores, Seq("country"), "v", 0.0, 100.0, 0.0)
+    }
+  }
+
   test("laplaceNoisyCounts: argument guards") {
     intercept[IllegalArgumentException] {
       Privacy.laplaceNoisyCounts(people, Seq.empty, epsilon = 1.0)
