@@ -3541,6 +3541,20 @@ object Queries {
       Seq("priority"), "o_totalprice",
       lo = 0.0, hi = 200000.0, epsilon = 1.0, salt = "rel2026m")
 
+  // ---------------------------------------------------------------- Q194
+  /** One-pass table profile ([[graft.operators.Profile.tableProfile]]):
+    * orders profiled on a key (KMV-estimated distinct — the column
+    * passes k), a low-cardinality status (exact — the sketch holds all
+    * values), a double, and a priority, in ONE aggregate pass. Every
+    * number — including the distinct ESTIMATES — is md5-portable, so
+    * the oracle replays the sketch readout itself, not a tolerance
+    * band.
+    */
+  def q194TableProfile(spark: SparkSession, dir: String): DataFrame =
+    Profile.tableProfile(t(spark, dir, "orders"),
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
+      k = 256)
+
   // ---------------------------------------------------------------- Q161
   /** Sweep-line peak concurrency ([[graft.operators.TimeSeries
     * .peakConcurrency]]): per order priority, the maximum number of

@@ -236,6 +236,7 @@ object SparkEntry {
     "q191_linkage_weights" -> (Queries.q191LinkageWeights _),
     "q192_sketch_quantiles" -> (Queries.q192SketchQuantiles _),
     "q193_dp_mean" -> (Queries.q193DpMean _),
+    "q194_table_profile" -> (Queries.q194TableProfile _),
   )
 
   /** One k-core peel round as oracle CTEs (see `Graph.kCore`): degrees
@@ -2338,6 +2339,38 @@ object SparkEntry {
         |  FROM c2 a JOIN c2 b ON a.bk = b.bk AND a.id < b.id)
         |SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
         |FROM cand WHERE levenshtein(s_a, s_b) <= 1""".stripMargin,
+    // the one-pass profile: per-column stats plus the md5-portable KMV
+    // distinct readout — exact under k=256 distinct, (k-1)*2^48/theta
+    // beyond, with theta the 256th-smallest 48-bit md5 prefix
+    "q194_table_profile" -> {
+      def one(c: String): String =
+        s"""(WITH hh AS (
+           |  SELECT md5(CAST($c AS VARCHAR)) AS h FROM orders
+           |  WHERE $c IS NOT NULL GROUP BY 1),
+           |th AS (
+           |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |           list_transform(string_split(substr(h, 1, 12), ''),
+           |             ch -> CAST(instr('0123456789abcdef', ch) - 1 AS BIGINT))),
+           |           (a, x) -> a * 16 + x) AS theta
+           |  FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hh)
+           |  WHERE rn = 256),
+           |sz AS (SELECT count(*) AS sz FROM hh)
+           |SELECT '$c' AS col_name, count(*) AS n_rows,
+           |       CAST(coalesce(sum(CASE WHEN $c IS NULL THEN 1 END), 0) AS BIGINT)
+           |         AS n_nulls,
+           |       round(CAST(coalesce(sum(CASE WHEN $c IS NULL THEN 1 END), 0) AS DOUBLE)
+           |             / greatest(1, count(*)), 6) AS null_rate,
+           |       CAST(min($c) AS VARCHAR) AS min_value,
+           |       CAST(max($c) AS VARCHAR) AS max_value,
+           |       CASE WHEN (SELECT sz FROM sz) < 256
+           |            THEN CAST((SELECT sz FROM sz) AS DOUBLE)
+           |            ELSE round(CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) /
+           |                       CAST((SELECT theta FROM th) AS DOUBLE), 4) END
+           |         AS distinct_est
+           |FROM orders)""".stripMargin
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .map(one).mkString("\nUNION ALL\n")
+    },
     // the DP mean: clamped 6dp+DECIMAL sum, two seeded Laplace draws
     // (role-suffixed keys), noisy-sum / max(1, noisy-count); scales are
     // sumScale = 200000/(eps/2) = 400000, cntScale = 1/(eps/2) = 2
