@@ -303,6 +303,33 @@ object Streams {
       keyCols: Seq[String]): DataFrame =
     graft.operators.TimeSeries.mergeTrendMoments(
       graft.operators.ManifestTable.read(spark, tableRoot), keyCols)
+
+  /** STREAMING quantile maintenance ([[streamingCountMinSink]]'s
+    * pattern for DDSketch): each micro-batch collapses to its own
+    * bucket table ([[graft.operators.QuantileSketch.sketch]] — a pure
+    * function of the values, group × ~hundreds of rows) and appends
+    * through the manifest's exactly-once txn ledger; bucket-count
+    * addition is not idempotent, the batchId high-water mark makes
+    * replays no-ops. Live percentiles read from
+    * [[currentQuantiles]] equal a from-scratch sketch over everything
+    * delivered — bit-for-bit, the DDSketch mergeability theorem q192
+    * proves in batch.
+    */
+  def streamingQuantileSink(tableRoot: String, queryName: String,
+      valueCol: String, groupCols: Seq[String], alpha: Double = 0.01)(
+      batch: DataFrame, batchId: Long): Unit =
+    graft.operators.ManifestTable.streamInto(tableRoot, queryName)(
+      graft.operators.QuantileSketch.sketch(batch, valueCol, groupCols, alpha),
+      batchId)
+
+  /** The maintained quantiles as of the table's current snapshot. */
+  def currentQuantiles(spark: SparkSession, tableRoot: String,
+      groupCols: Seq[String], qs: Seq[Double],
+      alpha: Double = 0.01): DataFrame =
+    graft.operators.QuantileSketch.quantiles(
+      graft.operators.QuantileSketch.merge(
+        graft.operators.ManifestTable.read(spark, tableRoot), groupCols),
+      groupCols, qs, alpha)
 }
 
 /** Merge-into-parquet sink with write-new-then-swap atomicity (SURVEY §7

@@ -622,6 +622,28 @@ class StreamsSpec extends SparkSuite {
       s"maintained fit must equal the from-scratch fit: $maintained vs $oneShot")
   }
 
+  test("streaming quantile maintenance: replay-safe, equals the one-shot sketch readout") {
+    import graft.operators.QuantileSketch
+    val root = Files.createTempDirectory("graft_stream_dds").resolve("t").toString
+    val sink = Streams.streamingQuantileSink(root, "dds", "v", Seq("k")) _
+    def slice(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (if (i % 2 == 0) "a" else "b", 1.0 + i * 3.7)).toDF("k", "v")
+    sink(slice(0, 50), 0L)
+    sink(slice(50, 100), 1L)
+    sink(slice(50, 100), 1L) // at-least-once replay: must be a no-op
+    sink(slice(100, 150), 2L)
+    val maintained = Streams.currentQuantiles(spark, root, Seq("k"),
+      Seq(0.5, 0.95)).collect().map(r =>
+      (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val oneShot = QuantileSketch.quantiles(
+      QuantileSketch.sketch(slice(0, 150), "v", Seq("k")), Seq("k"),
+      Seq(0.5, 0.95)).collect().map(r =>
+      (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(maintained == oneShot,
+      s"maintained quantiles must equal from-scratch: $maintained vs $oneShot")
+    assert(maintained.size == 4)
+  }
+
   test("session windows merge events within the gap") {
     val df = Seq(
       ("2024-01-01 00:00:00", 1L), ("2024-01-01 00:10:00", 1L), // one session
