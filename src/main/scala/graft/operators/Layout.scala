@@ -56,19 +56,19 @@ object Layout {
     * at once. Each dimension contributes [[zBitsPerDim]] low bits —
     * 16 for k=2/3, 15 for k=4 — keeping every interleaved position
     * under bit 62 (bit 63 is the sign; letting a dimension reach it
-    * would flip the range ordering the file split relies on).
+    * would flip the range ordering the file split relies on). Runs the
+    * codegen'd [[graft.plans.MortonOps]] native expression — the HOF
+    * `aggregate(sequence(...))` formulation it replaces interpreted a
+    * lambda per bit level per row (measured 5× slower on the q164b
+    * rewrite). NULL coordinates land at the curve origin, matching
+    * [[withHilbertKey]].
     */
   def zValueN(dims: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val k = dims.size
     require(k >= 2 && k <= 4, s"zValueN interleaves 2 to 4 dimensions, got $k")
-    val bits = zBitsPerDim(k)
-    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, i) =>
-      dims.zipWithIndex.foldLeft(acc) { case (a, (d, di)) =>
-        a + call_function("shiftleft",
-          call_function("shiftright", d.cast("long"), i).bitwiseAND(lit(1L)),
-          i * k + di)
-      })
+    graft.plans.HilbertExpressions.morton(zBitsPerDim(k),
+      array(dims.map(d => coalesce(d.cast("long"), lit(0L))): _*))
   }
 
   /** Low bits each dimension keeps in the k-dim interleave: min(16, 62/k). */

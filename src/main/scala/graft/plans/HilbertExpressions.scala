@@ -113,8 +113,72 @@ case class HilbertIndex(child: Expression, bitsPerDim: Int)
     copy(child = newChild)
 }
 
+/** The Morton (z-curve) companion: bit i of dimension d lands at
+  * position `i·k + d`. Exists natively for the same reason as
+  * [[HilbertOps]] — the HOF `aggregate(sequence(...))` formulation runs
+  * an interpreted lambda per bit level per row (measured 5× slower on
+  * the q164b layout rewrite); the semantics are identical.
+  */
+object MortonOps {
+  def index(bits: Int, coords: Array[Long]): Long = {
+    val n = coords.length
+    require(n >= 2 && n <= 4, s"morton_index interleaves 2..4 dims, got $n")
+    require(bits >= 1 && bits * n <= 62,
+      s"morton_index needs bits >= 1 and k*bits <= 62, got $n x $bits")
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val x = coords(i)
+      var j = 0
+      while (j < bits) {
+        h |= ((x >>> j) & 1L) << (j * n + i)
+        j += 1
+      }
+      i += 1
+    }
+    h
+  }
+
+  def indexOf(bits: Int, coords: ArrayData): Long =
+    index(bits, coords.toLongArray())
+}
+
+/** `morton_index(array(c0, c1[, c2[, c3]]), bits)` — the codegen'd
+  * z-curve key; same contract as [[HilbertIndex]].
+  */
+case class MortonIndex(child: Expression, bitsPerDim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) =>
+      if (bitsPerDim >= 1 && bitsPerDim <= 31) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName bits must be in [1, 31], got $bitsPerDim")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> coordinates, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "morton_index"
+
+  override def nullSafeEval(input: Any): Any =
+    MortonOps.indexOf(bitsPerDim, input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.MortonOps.indexOf($bitsPerDim, $c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HilbertExpressions {
   /** Column surface: Hilbert index of already-normalized long coords. */
   def hilbert(bitsPerDim: Int, coords: Column): Column =
     ColumnBridge.column(HilbertIndex(ColumnBridge.expression(coords), bitsPerDim))
+
+  /** Column surface: Morton index of already-normalized long coords. */
+  def morton(bitsPerDim: Int, coords: Column): Column =
+    ColumnBridge.column(MortonIndex(ColumnBridge.expression(coords), bitsPerDim))
 }

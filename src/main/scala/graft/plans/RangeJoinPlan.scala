@@ -380,6 +380,19 @@ object GraftExtensions {
         }
         HilbertIndex(args.head, bits)
       }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("morton_index"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MortonIndex].getName, "morton_index"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "morton_index(coords, bits) takes 2 arguments")
+        val bits = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"morton_index bits must be an integer literal, got $other")
+        }
+        MortonIndex(args.head, bits)
+      }))
   }
 }
 

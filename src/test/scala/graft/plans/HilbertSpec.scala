@@ -51,6 +51,31 @@ class HilbertSpec extends SparkSuite {
     intercept[IllegalArgumentException] { HilbertOps.index(40, Array(1L, 2L)) }
   }
 
+  test("morton expression: interleave positions match the reference fold, 2 and 3 dims") {
+    // reference: bit i of dim d -> position i*k + d
+    def ref(bits: Int, coords: Seq[Long]): Long = {
+      val k = coords.size
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        coords.zipWithIndex.foldLeft(acc) { case (a, (x, d)) =>
+          a | (((x >>> i) & 1L) << (i * k + d))
+        }
+      }
+    }
+    val samples2 = Seq(Seq(0L, 0L), Seq(5L, 3L), Seq(65535L, 1L), Seq(40000L, 7L))
+    samples2.foreach { c =>
+      assert(MortonOps.index(16, c.toArray) == ref(16, c), s"2-dim $c")
+    }
+    val samples3 = Seq(Seq(1L, 2L, 3L), Seq(7L, 0L, 65535L))
+    samples3.foreach { c =>
+      assert(MortonOps.index(16, c.toArray) == ref(16, c), s"3-dim $c")
+    }
+    // column surface
+    val got = Seq((5L, 3L)).toDF("x", "y")
+      .select(HilbertExpressions.morton(16, array(col("x"), col("y"))))
+      .head.getLong(0)
+    assert(got == ref(16, Seq(5L, 3L)))
+  }
+
   test("layout: Hilbert file boxes prune at least as well as the z-curve on both dims") {
     import java.nio.file.Files
     val src = (0 until 8192).map { i =>
