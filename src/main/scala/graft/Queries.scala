@@ -2771,6 +2771,17 @@ object Queries {
       .withColumn("is_match", col("link_weight") >= 4.0)
   }
 
+  // ---------------------------------------------------------------- Q195
+  /** Interpolated bigram LM gate ([[graft.operators.DataSelection
+    * .bigramCrossEntropy]], λ = 0.75 Jelinek–Mercer): per-document
+    * nats/bigram under the corpus's own bigram model with unigram
+    * back-off — the quality signal that catches plausible-words-in-
+    * implausible-ORDER boilerplate q121's unigram gate cannot see.
+    */
+  def q195BigramLm(spark: SparkSession, dir: String): DataFrame =
+    DataSelection.bigramCrossEntropy(tp(spark, dir, "documents"),
+      "doc_id", "text")
+
   // ---------------------------------------------------------------- Q192
   /** DDSketch quantiles with the INCREMENTAL contract proved in-query
     * ([[graft.operators.QuantileSketch]]): the corpus is sketched in

@@ -237,6 +237,7 @@ object SparkEntry {
     "q192_sketch_quantiles" -> (Queries.q192SketchQuantiles _),
     "q193_dp_mean" -> (Queries.q193DpMean _),
     "q194_table_profile" -> (Queries.q194TableProfile _),
+    "q195_bigram_lm" -> (Queries.q195BigramLm _),
   )
 
   /** One k-core peel round as oracle CTEs (see `Graph.kCore`): degrees
@@ -2191,6 +2192,30 @@ object SparkEntry {
         |FROM ws w LEFT JOIN ts2 t ON w.doc_id = t.doc_id""".stripMargin,
     // corpus unigram LM: ln is pinned bit-identical (q110), per-doc sums
     // run through DECIMAL(25,10) on both engines before one exact division
+    // the q121 replay one key wider: JM interpolation with the exact
+    // doubles and operation order of the engine side
+    "q195_bigram_lm" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, ws[t.i - 1] AS p, ws[t.i] AS w
+        |  FROM ws, unnest(generate_series(2, len(ws))) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |big AS (SELECT p, w, count(*) AS cb FROM pairs GROUP BY 1, 2),
+        |uni AS (SELECT w, count(*) AS cu
+        |        FROM (SELECT unnest(ws) AS w FROM ws) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS nn FROM uni),
+        |model AS (
+        |  SELECT b.p, b.w,
+        |         ln(0.75 * (CAST(b.cb AS DOUBLE) / CAST(cp.cu AS DOUBLE))
+        |            + 0.25 * (CAST(u.cu AS DOUBLE) / (SELECT nn FROM tot))) AS lnp
+        |  FROM big b JOIN uni cp ON cp.w = b.p JOIN uni u ON u.w = b.w),
+        |dt AS (SELECT doc_id, p, w, count(*) AS c FROM pairs GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |       round(CAST(sum(CAST(c * -lnp AS DECIMAL(25,10))) AS DOUBLE)
+        |             / CAST(sum(c) AS BIGINT), 6) AS cross_entropy
+        |FROM dt JOIN model USING (p, w) GROUP BY 1""".stripMargin,
     "q121_unigram_cross_entropy" ->
       """WITH t2 AS (
         |  SELECT doc_id, w

@@ -64,6 +64,58 @@ object DataSelection {
           .as("cross_entropy"))
   }
 
+  /** Interpolated BIGRAM cross-entropy (nats/bigram) — the step up
+    * from [[unigramCrossEntropy]] a CCNet-style gate actually wants:
+    * `p(wᵢ | wᵢ₋₁) = λ·c(wᵢ₋₁,wᵢ)/c(wᵢ₋₁) + (1−λ)·c(wᵢ)/N`
+    * (Jelinek–Mercer interpolation; the unigram back-off keeps unseen
+    * continuations finite without add-k distortion). Boilerplate made
+    * of plausible words in implausible ORDER — the tail a unigram gate
+    * cannot see — now scores high. Documents under 2 tokens have no
+    * bigram and are absent from the output.
+    *
+    * Scale shape: the model is two (term)- and (pair)-keyed partial-agg
+    * passes; the bigram table is corpus-sublinear (pair vocabulary) and
+    * joins on its key — never a corpus broadcast. Scoring is the q121
+    * shape one key wider. Portability: identical operand doubles and
+    * operation order on both engines, per-contribution DECIMAL(25,10)
+    * capture, exact decimal sum, one division — the oracle replays
+    * every step.
+    */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val toks = Parallelism.ensureCompute(docs)
+      .select(col(idCol).as("doc_id"),
+        filter(TextFunctions.tokens(col(textCol)), w => w =!= "").as("ws"))
+    // adjacency AFTER empty-token removal; sequence(2, 1) DESCENDS in
+    // Spark, so short docs take the empty-array branch explicitly
+    val pairs = toks
+      .select(col("doc_id"), explode(when(size(col("ws")) >= 2,
+        transform(sequence(lit(2), size(col("ws"))),
+          i => struct(element_at(col("ws"), i - 1).as("p"),
+            element_at(col("ws"), i).as("w"))))
+        .otherwise(array().cast("array<struct<p:string,w:string>>"))).as("bg"))
+      .select(col("doc_id"), col("bg.p").as("p"), col("bg.w").as("w"))
+    val big = pairs.groupBy(col("p"), col("w")).agg(count(lit(1)).as("cb"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val nTotal = uni.agg(sum(col("cu"))).collect()(0).getLong(0).toDouble
+    val prev = uni.select(col("w").as("p"), col("cu").as("cp"))
+    val model = big.join(prev, Seq("p")).join(uni, Seq("w"))
+      .select(col("p"), col("w"),
+        log(lit(lambda) * (col("cb").cast("double") / col("cp").cast("double")) +
+          lit(1 - lambda) * (col("cu").cast("double") / lit(nTotal))).as("lnp"))
+    pairs.groupBy(col("doc_id"), col("p"), col("w")).agg(count(lit(1)).as("c"))
+      .join(model, Seq("p", "w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum((col("c").cast("double") * -col("lnp"))
+          .cast("decimal(25,10)")).as("h_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("h_sum").cast("double") / col("n_bigrams"), 6)
+          .as("cross_entropy"))
+  }
+
   /** DSIR log importance weights: hash every token into `nBuckets`
     * portable buckets (the 48-bit char fold mod B — engine-replayable),
     * estimate smoothed bucket distributions over a TARGET slice (the

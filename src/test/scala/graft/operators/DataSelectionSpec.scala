@@ -27,6 +27,27 @@ class DataSelectionSpec extends SparkSuite {
     assert(out(3L)._2 > out(1L)._2, "hapax doc must be more surprising")
   }
 
+  test("bigramCrossEntropy: hand-computed interpolation; word ORDER is the signal") {
+    // corpus bigrams: "a b" x3 (docs 1,2,3), "b a" x1 (doc 4)
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a b"),
+      (4L, "b a"),   // same words, flipped order — rarer continuation
+      (5L, "a")      // no bigram: absent from output
+    ).toDF("doc_id", "text")
+    val out = DataSelection.bigramCrossEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!out.contains(5L), "a 1-token doc has no bigram")
+    // unigrams: a x5, b x4, N = 9
+    val n = 9.0
+    def h(cb: Double, cp: Double, cu: Double): Double =
+      BigDecimal(-math.log(0.75 * (cb / cp) + 0.25 * (cu / n)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((1L, h(3, 5, 4))), s"got $out")  // p(b|a): cb=3 cp=5 cu(b)=4
+    assert(out(4L) == ((1L, h(1, 4, 5))), s"got $out")  // p(a|b): cb=1 cp=4 cu(a)=5
+    assert(out(4L)._2 > out(1L)._2,
+      "the flipped-order doc must be more surprising than the common order")
+  }
+
   test("unigramCrossEntropy: identical docs score identically on the real corpus") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = DataSelection.unigramCrossEntropy(docs, "doc_id", "text")
