@@ -4244,6 +4244,24 @@ object Queries {
     Graph.kCore(d.select(u.as("u"), v.as("v")), "u", "v", k = 6, rounds = 6)
   }
 
+  // ---------------------------------------------------------------- Q196
+  /** Deterministic label-propagation communities ([[graft.operators
+    * .Graph.labelPropagation]]) on q189's synthetic two-block link
+    * graph (a dense 13-vertex core plus a sparse 60-vertex fringe):
+    * synchronous updates with the smallest-label tie-break make the
+    * published randomized algorithm replayable — the oracle chains the
+    * vote/argmax rounds as CTEs, the kCore discipline.
+    */
+  def q196LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val d = tp(spark, dir, "documents").select(col("doc_id").as("id"))
+    val u = when(col("id") < 150, col("id") % 13)
+      .otherwise(lit(13) + col("id") % 60)
+    val v = when(col("id") < 150, expr("id div 13") % 13)
+      .when(col("id") % 3 === 0, col("id") % 13)
+      .otherwise(lit(13) + (col("id") * 7) % 60)
+    Graph.labelPropagation(d.select(u.as("u"), v.as("v")), "u", "v", rounds = 4)
+  }
+
   // ---------------------------------------------------------------- Q190
   /** Contingency drill-down ([[graft.operators.Metrics
     * .pearsonResiduals]]): per-(lang, source) Pearson residuals — WHERE

@@ -238,7 +238,26 @@ object SparkEntry {
     "q193_dp_mean" -> (Queries.q193DpMean _),
     "q194_table_profile" -> (Queries.q194TableProfile _),
     "q195_bigram_lm" -> (Queries.q195BigramLm _),
+    "q196_label_prop" -> (Queries.q196LabelProp _),
   )
+
+  /** One synchronous label-propagation round as oracle CTEs (see
+    * `Graph.labelPropagation`): neighbor votes plus the vertex's own
+    * label, argmax by (count DESC, label ASC).
+    */
+  private def lpIter(i: Int): String = {
+    val j = i - 1
+    s"""t$i AS MATERIALIZED (
+       |  SELECT n.v, l.label FROM nbr n JOIN l$j l ON l.v = n.u
+       |  UNION ALL SELECT v, label FROM l$j),
+       |c$i AS MATERIALIZED (SELECT v, label, count(*) AS n FROM t$i GROUP BY 1, 2),
+       |l$i AS MATERIALIZED (
+       |  SELECT v, label FROM (
+       |    SELECT v, label,
+       |           row_number() OVER (PARTITION BY v ORDER BY n DESC, label ASC) AS rn
+       |    FROM c$i)
+       |  WHERE rn = 1)""".stripMargin
+  }
 
   /** One k-core peel round as oracle CTEs (see `Graph.kCore`): degrees
     * of the surviving edge set, keep-set at degree >= 6, edges filtered
@@ -4041,6 +4060,30 @@ object SparkEntry {
          |  SELECT v, count(*) AS d FROM (
          |    SELECT a AS v FROM e6 UNION ALL SELECT b FROM e6) GROUP BY 1)
          |WHERE d >= 6""".stripMargin,
+    // synchronous label propagation replayed round by round: neighbor
+    // votes + own label, argmax (count DESC, label ASC)
+    "q196_label_prop" ->
+      s"""WITH raw AS (
+         |  SELECT CASE WHEN doc_id < 150 THEN doc_id % 13
+         |              ELSE 13 + doc_id % 60 END AS u,
+         |         CASE WHEN doc_id < 150 THEN (doc_id // 13) % 13
+         |              WHEN doc_id % 3 = 0 THEN doc_id % 13
+         |              ELSE 13 + (doc_id * 7) % 60 END AS v
+         |  FROM documents),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(least(u, v) AS BIGINT) AS a,
+         |         CAST(greatest(u, v) AS BIGINT) AS b
+         |  FROM raw WHERE u <> v),
+         |nbr AS MATERIALIZED (
+         |  SELECT a AS v, b AS u FROM e0 UNION ALL SELECT b, a FROM e0),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT v, v AS label FROM (
+         |    SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)),
+         |${lpIter(1)},
+         |${lpIter(2)},
+         |${lpIter(3)},
+         |${lpIter(4)}
+         |SELECT v, label FROM l4""".stripMargin,
     // marginal-axes cross with o = 0 fill, the same rounded e and the
     // same residual chain on the PUBLISHED e
     "q190_pearson_residuals" ->

@@ -222,6 +222,53 @@ object Graph {
       .select(col("v"), col("d").as("core_deg"))
   }
 
+  /** SYNCHRONOUS LABEL PROPAGATION community detection (Raghavan,
+    * Albert & Kumara 2007, made DETERMINISTIC): every vertex starts as
+    * its own label; each round, every vertex adopts the most frequent
+    * label among its neighbors, ties broken by SMALLEST label, and a
+    * vertex keeps its current label only by winning that vote like any
+    * other candidate (its own label is included with its neighbor
+    * count). Synchronous update + total tie order removes the
+    * randomness of the published algorithm — same input, same
+    * communities, any partitioning — which is what makes it
+    * oracle-replayable as chained CTEs (the kCore discipline).
+    *
+    * Scale shape per round: one explode of the edge list + a
+    * (vertex, label)-keyed partial agg + one `min_by` argmax per
+    * vertex — label state is vertex-table-sized, edges are never
+    * re-shuffled beyond the join on the endpoint key; rounds are
+    * checkpointed ([[IterCheckpoint]]) so the plan cannot stack.
+    * Returns `(v, label)`; communities are the label's final fixpoint
+    * groups (budget `rounds`, convergent on the spec fixtures).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 5,
+      checkpointer: IterCheckpoint = LocalCheckpoint): DataFrame = {
+    require(rounds >= 1 && rounds <= 30, "rounds must be in [1, 30]")
+    val e = canonicalEdges(edges, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val both = e.select(col("a").as("v"), col("b").as("u"))
+      .unionByName(e.select(col("b").as("v"), col("a").as("u")))
+    var labels = checkpointer(
+      both.select(col("v")).distinct().withColumn("label", col("v")), 0)
+    for (i <- 1 to rounds) {
+      // neighbor votes + the vertex's own current label as one more vote
+      val votes = both
+        .join(labels.select(col("v").as("u"), col("label")), Seq("u"))
+        .select(col("v"), col("label"))
+        .unionByName(labels.select(col("v"), col("label")))
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("n"))
+      // argmax by (count DESC, label ASC) — min_by on the packed order
+      // key keeps it a partial agg, never a window sort
+      labels = checkpointer(votes
+        .groupBy(col("v"))
+        .agg(min_by(col("label"),
+          struct((-col("n")).as("negn"), col("label").as("l"))).as("label")), i)
+    }
+    e.unpersist()
+    labels
+  }
+
   /** LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998):
     * `cc(v) = 2·T(v) / (d(v)·(d(v)−1))` — the fraction of a vertex's
     * neighbor pairs that are themselves connected. The per-node

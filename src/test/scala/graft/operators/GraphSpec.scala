@@ -186,4 +186,27 @@ class GraphSpec extends SparkSuite {
       10L -> ((10L, 0L)), 11L -> ((10L, 1L)), 12L -> ((10L, 2L)),
       20L -> ((20L, 0L)), 21L -> ((20L, 1L))))
   }
+
+  test("labelPropagation: two triangles joined by a bridge split into min-label communities") {
+    // triangle {1,2,3} - bridge 3-4 - triangle {4,5,6}
+    val e = Seq((1L,2L),(2L,3L),(1L,3L),(3L,4L),(4L,5L),(5L,6L),(4L,6L)).toDF("u","v")
+    val got = Graph.labelPropagation(e, "u", "v", rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L,2L,3L,4L,5L,6L))
+    assert(got(1L) == got(2L) && got(2L) == got(3L), s"left triangle split: $got")
+    assert(got(4L) == got(5L) && got(5L) == got(6L), s"right triangle split: $got")
+    assert(got(1L) == 1L, s"community label must be its smallest member: $got")
+  }
+
+  test("labelPropagation: deterministic under repartitioning; guards") {
+    val e = (1L to 60L).map(i => (i % 12, (i * 7) % 12)).toDF("u", "v")
+    val a = Graph.labelPropagation(e, "u", "v", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.labelPropagation(e.repartition(13), "u", "v", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, "partitioning changed the communities")
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(e, "u", "v", rounds = 0)
+    }
+  }
 }
