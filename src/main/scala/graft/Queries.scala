@@ -4244,6 +4244,20 @@ object Queries {
     Graph.kCore(d.select(u.as("u"), v.as("v")), "u", "v", k = 6, rounds = 6)
   }
 
+  // ---------------------------------------------------------------- Q197
+  /** Content-defined chunk dedup ledger ([[graft.operators.ChunkDedup
+    * .duplicatedChunks]] — Gear rolling hash, boundaries at
+    * `h % 64 == 0`): every chunk the corpus stores more than once, with
+    * reference counts and reclaimable symbols. The planted near-dup
+    * documents share most of their chunks (an edit only reshapes the
+    * chunks it touches — the CDC property), so the ledger is non-empty
+    * by construction; the oracle replays gear values, the windowed
+    * rolling hash, boundary predicate, per-chunk fold and packing.
+    */
+  def q197ChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    ChunkDedup.duplicatedChunks(tp(spark, dir, "documents"),
+      "doc_id", "text", modulus = 64L)
+
   // ---------------------------------------------------------------- Q196
   /** Deterministic label-propagation communities ([[graft.operators
     * .Graph.labelPropagation]]) on q189's synthetic two-block link

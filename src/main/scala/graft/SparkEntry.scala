@@ -239,6 +239,7 @@ object SparkEntry {
     "q194_table_profile" -> (Queries.q194TableProfile _),
     "q195_bigram_lm" -> (Queries.q195BigramLm _),
     "q196_label_prop" -> (Queries.q196LabelProp _),
+    "q197_chunk_dedup" -> (Queries.q197ChunkDedup _),
   )
 
   /** One synchronous label-propagation round as oracle CTEs (see
@@ -4060,6 +4061,47 @@ object SparkEntry {
          |  SELECT v, count(*) AS d FROM (
          |    SELECT a AS v FROM e6 UNION ALL SELECT b FROM e6) GROUP BY 1)
          |WHERE d >= 6""".stripMargin,
+    // gear CDC replayed: windowed rolling hash (mod 2^48 drops symbols
+    // older than 48 exactly), boundary at h%64=0, per-chunk 131-fold +
+    // length packing, then the ledger
+    "q197_chunk_dedup" ->
+      """WITH cps AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split(text, ''),
+        |           c -> CAST(ascii(c) AS BIGINT)) AS cp
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, cp,
+        |         list_transform(cp,
+        |           c -> ((c + 1) * 2654435761) % 281474976710656) AS gs
+        |  FROM cps),
+        |pos AS (
+        |  SELECT doc_id, t.i AS i, cp[t.i] AS c,
+        |         (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            gs[greatest(1, t.i - 47):t.i]),
+        |            (a, x) -> (a * 2 + x) % 281474976710656) % 64 = 0) AS boundary
+        |  FROM g, unnest(generate_series(1, len(cp))) AS t(i)),
+        |chunked AS (
+        |  SELECT doc_id, i, c,
+        |         coalesce(sum(CASE WHEN boundary THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+        |  FROM pos),
+        |chunks AS (
+        |  SELECT doc_id, cid, list(c ORDER BY i) AS cs, count(*) AS clen
+        |  FROM chunked GROUP BY 1, 2),
+        |keys AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+        |           (a, x) -> (a * 131 + x) % 281474976710656)
+        |           + (clen % 16384) * 281474976710656 AS chunk_key,
+        |         clen
+        |  FROM chunks)
+        |SELECT chunk_key, CAST(clen AS BIGINT) AS chunk_len,
+        |       count(*) AS n_refs,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST((count(*) - 1) * clen AS BIGINT) AS reclaimable
+        |FROM keys GROUP BY chunk_key, clen HAVING count(*) >= 2""".stripMargin,
     // synchronous label propagation replayed round by round: neighbor
     // votes + own label, argmax (count DESC, label ASC)
     "q196_label_prop" ->
