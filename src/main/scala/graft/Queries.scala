@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -4242,6 +4242,43 @@ object Queries {
       .when(col("id") % 3 === 0, col("id") % 13)
       .otherwise(lit(13) + (col("id") * 7) % 60)
     Graph.kCore(d.select(u.as("u"), v.as("v")), "u", "v", k = 6, rounds = 6)
+  }
+
+  // ---------------------------------------------------------------- Q198
+  /** TOKEN-WEIGHTED document-length percentiles ([[graft.operators
+    * .QuantileSketch.sketchWeighted]]): per language, the p50/p90
+    * document length BY TOKEN MASS — "the median token lives in a
+    * document of length X", the statistic a training-mix designer
+    * wants where the row-median flatters the short-document tail.
+    * Same DDSketch purity as q192: weights don't move buckets, so the
+    * oracle replays the weighted counts and readout bit-for-bit.
+    */
+  def q198WeightedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val d = tp(spark, dir, "documents").select(col("lang"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
+    QuantileSketch.quantiles(
+      QuantileSketch.sketchWeighted(d, "nt", "nt", Seq("lang"), alpha = 0.01),
+      Seq("lang"), Seq(0.5, 0.9), alpha = 0.01)
+  }
+
+  // ---------------------------------------------------------------- Q199
+  /** Splink-style u-estimation ([[graft.operators.EntityResolution
+    * .estimateU]]) for q191's four comparisons: agreement rates over
+    * deterministic cross-slice record pairs (id%97 slices — a random
+    * cross pair is a non-match at realistic match rates), the
+    * measured side of the (m, u) evidence q191 consumes as priors.
+    */
+  def q199LinkageU(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") / 1000).as("bal_kb"))
+    EntityResolution.estimateU(c, "id", Seq(
+      ("name_agree", "name",
+        (a: Column, b: Column) => levenshtein(a, b) <= 2),
+      ("nat_agree", "nat", (a: Column, b: Column) => a === b),
+      ("seg_agree", "seg", (a: Column, b: Column) => a === b),
+      ("bal_agree", "bal_kb", (a: Column, b: Column) => a === b)), cells = 97)
   }
 
   // ---------------------------------------------------------------- Q197

@@ -240,6 +240,8 @@ object SparkEntry {
     "q195_bigram_lm" -> (Queries.q195BigramLm _),
     "q196_label_prop" -> (Queries.q196LabelProp _),
     "q197_chunk_dedup" -> (Queries.q197ChunkDedup _),
+    "q198_weighted_quantiles" -> (Queries.q198WeightedQuantiles _),
+    "q199_linkage_u" -> (Queries.q199LinkageU _),
   )
 
   /** One synchronous label-propagation round as oracle CTEs (see
@@ -4061,6 +4063,70 @@ object SparkEntry {
          |  SELECT v, count(*) AS d FROM (
          |    SELECT a AS v FROM e6 UNION ALL SELECT b FROM e6) GROUP BY 1)
          |WHERE d >= 6""".stripMargin,
+    // the weighted DDSketch replay: weights ride the bucket counts,
+    // buckets stay a pure function of the value
+    "q198_weighted_quantiles" -> {
+      val alpha = 0.01
+      val gamma = (1 + alpha) / (1 - alpha)
+      val lnG = math.log(gamma)
+      s"""WITH d AS (
+         |  SELECT lang, len(string_split(text, ' ')) AS nt FROM documents),
+         |b AS (
+         |  SELECT lang,
+         |         CASE WHEN nt > 0
+         |              THEN CAST(ceil(ln(CAST(nt AS DOUBLE)) / $lnG) AS BIGINT) END AS bucket,
+         |         CAST(sum(nt) AS BIGINT) AS cnt
+         |  FROM d WHERE nt IS NOT NULL AND nt <> 0
+         |  GROUP BY 1, 2),
+         |c AS (
+         |  SELECT *,
+         |         sum(cnt) OVER (PARTITION BY lang
+         |                        ORDER BY bucket ASC NULLS FIRST) AS cum,
+         |         sum(cnt) OVER (PARTITION BY lang) AS n
+         |  FROM b),
+         |qs AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q)
+         |SELECT lang, q,
+         |       round(CASE WHEN bucket IS NULL THEN 0.0
+         |                  ELSE 2.0 * pow($gamma, CAST(bucket AS DOUBLE)) / ${gamma + 1.0}
+         |             END, 6) AS est
+         |FROM c, qs
+         |WHERE cum - cnt <= floor(q * (n - 1)) AND floor(q * (n - 1)) < cum""".stripMargin
+    },
+    // agreement rates over the deterministic id%97 cross-slice pairs
+    "q199_linkage_u" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+        |         c_mktsegment AS seg, floor(c_acctbal / 1000) AS bal_kb
+        |  FROM customer),
+        |sa AS (SELECT * FROM c WHERE id % 97 = 0),
+        |sb AS (SELECT * FROM c WHERE id % 97 = 1),
+        |p AS (
+        |  SELECT sa.name AS an, sb.name AS bn, sa.nat AS anat, sb.nat AS bnat,
+        |         sa.seg AS aseg, sb.seg AS bseg, sa.bal_kb AS ab, sb.bal_kb AS bb
+        |  FROM sa, sb)
+        |SELECT 'name_agree' AS field, count(*) AS n_pairs,
+        |       CAST(coalesce(sum(CASE WHEN levenshtein(an, bn) <= 2 THEN 1 END), 0) AS BIGINT) AS n_agree,
+        |       round(CAST(coalesce(sum(CASE WHEN levenshtein(an, bn) <= 2 THEN 1 END), 0) AS DOUBLE)
+        |             / greatest(1, count(*)), 6) AS u
+        |FROM p
+        |UNION ALL
+        |SELECT 'nat_agree', count(*),
+        |       CAST(coalesce(sum(CASE WHEN anat = bnat THEN 1 END), 0) AS BIGINT),
+        |       round(CAST(coalesce(sum(CASE WHEN anat = bnat THEN 1 END), 0) AS DOUBLE)
+        |             / greatest(1, count(*)), 6)
+        |FROM p
+        |UNION ALL
+        |SELECT 'seg_agree', count(*),
+        |       CAST(coalesce(sum(CASE WHEN aseg = bseg THEN 1 END), 0) AS BIGINT),
+        |       round(CAST(coalesce(sum(CASE WHEN aseg = bseg THEN 1 END), 0) AS DOUBLE)
+        |             / greatest(1, count(*)), 6)
+        |FROM p
+        |UNION ALL
+        |SELECT 'bal_agree', count(*),
+        |       CAST(coalesce(sum(CASE WHEN ab = bb THEN 1 END), 0) AS BIGINT),
+        |       round(CAST(coalesce(sum(CASE WHEN ab = bb THEN 1 END), 0) AS DOUBLE)
+        |             / greatest(1, count(*)), 6)
+        |FROM p""".stripMargin,
     // gear CDC replayed: windowed rolling hash (mod 2^48 drops symbols
     // older than 48 exactly), boundary at h%64=0, per-chunk 131-fold +
     // length packing, then the ledger

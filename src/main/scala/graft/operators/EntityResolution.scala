@@ -62,6 +62,49 @@ object EntityResolution {
       terms.reduce(_ + _).cast("decimal(28,6)").cast("double"))
   }
 
+  /** Splink-style u-ESTIMATION: `u = P(agree | non-match)` measured on
+    * pseudo-random record pairs — two disjoint deterministic slices of
+    * the table (`id % cells == 0` crossed with `== 1`; at realistic
+    * match rates a random cross-slice pair is a non-match with
+    * overwhelming probability, the standard estimator assumption).
+    * `fields` rows are `(fieldName, sourceColumn, comparison)` — the
+    * comparison receives the left and right side's column, the SAME
+    * predicates the caller feeds [[linkageWeights]]. Returns one row
+    * per field:
+    * `(field, n_pairs, n_agree, u)` with `u` rounded 6 dp; m stays the
+    * caller's prior or labeled-pair estimate (EM is a training-time
+    * concern, not an engine one).
+    *
+    * Scale shape: slice sizes are |df|/cells, so the cross is
+    * (|df|/cells)² pairs — `cells` prices the estimate exactly like a
+    * pair budget; slices broadcast when small. Deterministic slices
+    * make the estimate replayable (and the oracle can).
+    */
+  def estimateU(df: DataFrame, idCol: String,
+      fields: Seq[(String, String, (Column, Column) => Column)],
+      cells: Int = 97): DataFrame = {
+    require(fields.nonEmpty, "at least one comparison field required")
+    require(cells >= 2, s"cells must be >= 2, got $cells")
+    val a = df.where(pmod(col(idCol).cast("long"), lit(cells)) === 0)
+      .select(df.columns.map(c => col(c).as(s"a_$c")).toIndexedSeq: _*)
+    val b = df.where(pmod(col(idCol).cast("long"), lit(cells)) === 1)
+      .select(df.columns.map(c => col(c).as(s"b_$c")).toIndexedSeq: _*)
+    val pairs = a.crossJoin(b)
+    val aggs = fields.flatMap { case (name, srcCol, cmp) =>
+      val agree = cmp(col(s"a_$srcCol"), col(s"b_$srcCol"))
+      Seq(count(lit(1)).as(s"__n_$name"),
+        sum(when(agree, 1L).otherwise(0L)).as(s"__ag_$name"))
+    }
+    val one = pairs.agg(aggs.head, aggs.tail: _*)
+    fields.map { case (name, _, _) =>
+      one.select(lit(name).as("field"),
+        col(s"__n_$name").as("n_pairs"),
+        col(s"__ag_$name").as("n_agree"),
+        round(col(s"__ag_$name").cast("double") /
+          greatest(lit(1L), col(s"__n_$name")), 6).as("u"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The driver-side per-field weight constants [[linkageWeights]]
     * splices, exposed so an oracle (or a reviewer) reads the SAME
     * literals — the shared-literal discipline.

@@ -52,6 +52,37 @@ object QuantileSketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** WEIGHTED sketch: each row contributes `weightCol` (a non-negative
+    * integer — token counts, byte sizes, replication factors) instead
+    * of 1, so [[quantiles]] reads out WEIGHT-MASS percentiles — "the
+    * median TOKEN lives in a document of length X", the statistic a
+    * training-mix designer actually wants (row-median flatters the
+    * short-document tail). Same purity: the bucket of a value ignores
+    * the weight, so merge == from-scratch and the oracle replays
+    * weighted counts exactly.
+    */
+  def sketchWeighted(df: DataFrame, valueCol: String, weightCol: String,
+      groupCols: Seq[String], alpha: Double = 0.01): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val gamma = gammaOf(alpha)
+    val v = col(valueCol).cast("double")
+    val w = col(weightCol).cast("long")
+    val bucket =
+      when(v < 0.0, raise_error(lit(
+        s"ddsketch: negative value in $valueCol; mirror negatives before sketching"))
+        .cast("long"))
+      .when(v > 0.0, ceil(log(v) / lit(math.log(gamma))).cast("long"))
+      .otherwise(lit(null).cast("long"))
+    val wGuard =
+      when(w < 0L, raise_error(lit(
+        s"ddsketch: negative weight in $weightCol")).cast("long")).otherwise(w)
+    df.where(v.isNotNull && w.isNotNull && w =!= 0L)
+      .select((groupCols.map(col) :+ bucket.as("bucket") :+
+        wGuard.as("__w")): _*)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
   /** Merge sketch tables (counter addition — merged == from-scratch,
     * exactly; the q91/q143 incremental contract for percentiles).
     */

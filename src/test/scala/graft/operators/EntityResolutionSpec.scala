@@ -97,6 +97,28 @@ class EntityResolutionSpec extends SparkSuite {
     }
   }
 
+  test("estimateU: hand-checked agreement rates over the cross-slice pairs") {
+    // ids 0,4 land in slice A (id%4==0); 1,5 in slice B (id%4==1)
+    val recs = Seq(
+      (0L, "x", 1L), (4L, "y", 2L),
+      (1L, "x", 1L), (5L, "z", 2L),
+      (2L, "q", 9L), (3L, "q", 9L) // other cells: not sampled
+    ).toDF("id", "s", "g")
+    val got = EntityResolution.estimateU(recs, "id", Seq(
+        ("s_eq", "s", (a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) => a === b),
+        ("g_eq", "g", (a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) => a === b)), cells = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // pairs: (0,1)(0,5)(4,1)(4,5) -> s agrees only (0,1); g agrees (0,1),(4,5)
+    assert(got("s_eq") == ((4L, 1L, 0.25)), s"got $got")
+    assert(got("g_eq") == ((4L, 2L, 0.5)), s"got $got")
+    intercept[IllegalArgumentException] {
+      EntityResolution.estimateU(recs, "id", Seq.empty)
+    }
+  }
+
   test("pairMassReport: hand-checked mass per pass, cap split exact") {
     // pass 0 (prefix 4): block "aaaa"×10 (45 pairs), "bbbb"×5 (10 pairs)
     // pass 1 (prefix 1): blocks "a"×10 and "b"×5 — same masses

@@ -38,6 +38,35 @@ class QuantileSketchSpec extends SparkSuite {
     assert(repart == w, "bucket of a value is a pure function of the value")
   }
 
+  test("sketchWeighted: weight mass moves the percentile; buckets stay value-pure") {
+    // 100 short docs (len 10) each weighing 10 tokens vs 5 long docs
+    // (len 1000) each weighing 1000: by rows the median is short, by
+    // token mass it is long
+    val df = ((1 to 100).map(i => (i.toLong, 10.0, 10L)) ++
+      (101 to 105).map(i => (i.toLong, 1000.0, 1000L))).toDF("id", "v", "w")
+    val rowP50 = QuantileSketch.quantiles(
+      QuantileSketch.sketch(df, "v", Seq.empty, alpha), Seq.empty, Seq(0.5), alpha)
+      .select("est").head.getDouble(0)
+    val massP50 = QuantileSketch.quantiles(
+      QuantileSketch.sketchWeighted(df, "v", "w", Seq.empty, alpha),
+      Seq.empty, Seq(0.5), alpha)
+      .select("est").head.getDouble(0)
+    assert(math.abs(rowP50 - 10.0) / 10.0 <= alpha + 1e-9, s"row median $rowP50")
+    assert(math.abs(massP50 - 1000.0) / 1000.0 <= alpha + 1e-9,
+      s"token-mass median must sit in the long docs: $massP50")
+    // weighted sketch with unit weights == unweighted sketch exactly
+    val unit = QuantileSketch.sketchWeighted(
+      df.withColumn("one", lit(1L)), "v", "one", Seq.empty, alpha)
+      .collect().map(r => Option(r.get(0)) -> r.getLong(1)).toMap
+    val plain = QuantileSketch.sketch(df, "v", Seq.empty, alpha)
+      .collect().map(r => Option(r.get(0)) -> r.getLong(1)).toMap
+    assert(unit == plain)
+    intercept[Exception] {
+      QuantileSketch.sketchWeighted(Seq((1.0, -1L)).toDF("v", "w"),
+        "v", "w", Seq.empty, alpha).collect()
+    }
+  }
+
   test("zeros ride the reserved bucket; negatives fail fast; guards") {
     val df = Seq(0.0, 0.0, 1.0, 10.0).toDF("v")
     val sk = QuantileSketch.sketch(df, "v", Seq.empty, alpha)
