@@ -4244,6 +4244,50 @@ object Queries {
     Graph.kCore(d.select(u.as("u"), v.as("v")), "u", "v", k = 6, rounds = 6)
   }
 
+  // ---------------------------------------------------------------- Q200
+  /** The round-7 curation dashboard: per language, document count,
+    * token-WEIGHTED median length ([[graft.operators.QuantileSketch
+    * .sketchWeighted]]), mean bigram cross-entropy ([[graft.operators
+    * .DataSelection.bigramCrossEntropy]] — 6-dp contributions, exact
+    * decimal mean) and the duplicated-chunk share of the CDC storage
+    * ledger ([[graft.operators.ChunkDedup]]) — one row per language,
+    * four operators, one plan. Every component is independently
+    * oracle-green; this entry pins their COMPOSITION.
+    */
+  def q200CurationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val lang = docs.select(col("doc_id"), col("lang"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
+    val p50 = QuantileSketch.quantiles(
+      QuantileSketch.sketchWeighted(lang, "nt", "nt", Seq("lang"), alpha = 0.01),
+      Seq("lang"), Seq(0.5), alpha = 0.01)
+      .select(col("lang"), col("est").as("p50_len_by_token"))
+    val ceLang = DataSelection.bigramCrossEntropy(docs, "doc_id", "text")
+      .join(lang.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("cross_entropy").cast("decimal(18,6)"))
+          .cast("decimal(38,6)").as("ce_sum"))
+      .select(col("lang"),
+        round(col("ce_sum").cast("double") / col("n_scored"), 6)
+          .as("mean_bigram_ce"))
+    val chunks = ChunkDedup.chunkTable(docs, "doc_id", "text", 64L)
+    val dupKeys = chunks.groupBy(col("chunk_key")).agg(count(lit(1)).as("nrefs"))
+    val chunkShare = chunks
+      .join(lang.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .join(dupKeys, Seq("chunk_key"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nrefs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("lang"),
+        round(col("n_dup").cast("double") / col("n_chunks"), 6)
+          .as("dup_chunk_share"))
+    lang.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(p50, Seq("lang"))
+      .join(ceLang, Seq("lang"))
+      .join(chunkShare, Seq("lang"))
+  }
+
   // ---------------------------------------------------------------- Q198
   /** TOKEN-WEIGHTED document-length percentiles ([[graft.operators
     * .QuantileSketch.sketchWeighted]]): per language, the p50/p90

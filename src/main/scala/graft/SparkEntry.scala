@@ -242,6 +242,7 @@ object SparkEntry {
     "q197_chunk_dedup" -> (Queries.q197ChunkDedup _),
     "q198_weighted_quantiles" -> (Queries.q198WeightedQuantiles _),
     "q199_linkage_u" -> (Queries.q199LinkageU _),
+    "q200_curation_report" -> (Queries.q200CurationReport _),
   )
 
   /** One synchronous label-propagation round as oracle CTEs (see
@@ -4063,6 +4064,103 @@ object SparkEntry {
          |  SELECT v, count(*) AS d FROM (
          |    SELECT a AS v FROM e6 UNION ALL SELECT b FROM e6) GROUP BY 1)
          |WHERE d >= 6""".stripMargin,
+    // the capstone composition: weighted-sketch p50 + per-lang mean of
+    // the q195 bigram chain + the q197 chunk ledger's duplicated share,
+    // each sub-chain verbatim from its own green oracle
+    "q200_curation_report" -> {
+      val alpha = 0.01
+      val gamma = (1 + alpha) / (1 - alpha)
+      val lnG = math.log(gamma)
+      s"""WITH lang AS (
+         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS nt FROM documents),
+         |b AS (
+         |  SELECT lang,
+         |         CASE WHEN nt > 0
+         |              THEN CAST(ceil(ln(CAST(nt AS DOUBLE)) / $lnG) AS BIGINT) END AS bucket,
+         |         CAST(sum(nt) AS BIGINT) AS cnt
+         |  FROM lang WHERE nt IS NOT NULL AND nt <> 0 GROUP BY 1, 2),
+         |cq AS (
+         |  SELECT *,
+         |         sum(cnt) OVER (PARTITION BY lang ORDER BY bucket ASC NULLS FIRST) AS cum,
+         |         sum(cnt) OVER (PARTITION BY lang) AS n
+         |  FROM b),
+         |p50 AS (
+         |  SELECT lang,
+         |         round(CASE WHEN bucket IS NULL THEN 0.0
+         |                    ELSE 2.0 * pow($gamma, CAST(bucket AS DOUBLE)) / ${gamma + 1.0}
+         |               END, 6) AS p50_len_by_token
+         |  FROM cq
+         |  WHERE cum - cnt <= floor(0.5 * (n - 1)) AND floor(0.5 * (n - 1)) < cum),
+         |ws AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |bp AS (
+         |  SELECT doc_id, ws[t.i - 1] AS p, ws[t.i] AS w
+         |  FROM ws, unnest(generate_series(2, len(ws))) AS t(i)
+         |  WHERE len(ws) >= 2),
+         |big AS (SELECT p, w, count(*) AS cb FROM bp GROUP BY 1, 2),
+         |uni AS (SELECT w, count(*) AS cu
+         |        FROM (SELECT unnest(ws) AS w FROM ws) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS nn FROM uni),
+         |model AS (
+         |  SELECT bg.p, bg.w,
+         |         ln(0.75 * (CAST(bg.cb AS DOUBLE) / CAST(cp2.cu AS DOUBLE))
+         |            + 0.25 * (CAST(u2.cu AS DOUBLE) / (SELECT nn FROM tot))) AS lnp
+         |  FROM big bg JOIN uni cp2 ON cp2.w = bg.p JOIN uni u2 ON u2.w = bg.w),
+         |dt AS (SELECT doc_id, p, w, count(*) AS c FROM bp GROUP BY 1, 2, 3),
+         |ce AS (
+         |  SELECT doc_id,
+         |         round(CAST(sum(CAST(c * -lnp AS DECIMAL(25,10))) AS DOUBLE)
+         |               / CAST(sum(c) AS BIGINT), 6) AS cross_entropy
+         |  FROM dt JOIN model USING (p, w) GROUP BY 1),
+         |celang AS (
+         |  SELECT l.lang,
+         |         round(CAST(sum(CAST(ce.cross_entropy AS DECIMAL(18,6))) AS DOUBLE)
+         |               / count(*), 6) AS mean_bigram_ce
+         |  FROM ce JOIN lang l USING (doc_id) GROUP BY 1),
+         |cc AS (
+         |  SELECT doc_id,
+         |         list_transform(string_split(text, ''),
+         |           c -> CAST(ascii(c) AS BIGINT)) AS cp
+         |  FROM documents),
+         |gg AS (
+         |  SELECT doc_id, cp,
+         |         list_transform(cp,
+         |           c -> ((c + 1) * 2654435761) % 281474976710656) AS gs
+         |  FROM cc),
+         |pp AS (
+         |  SELECT doc_id, t.i AS i, cp[t.i] AS c,
+         |         (list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            gs[greatest(1, t.i - 47):t.i]),
+         |            (a, x) -> (a * 2 + x) % 281474976710656) % 64 = 0) AS boundary
+         |  FROM gg, unnest(generate_series(1, len(cp))) AS t(i)),
+         |ch AS (
+         |  SELECT doc_id, i, c,
+         |         coalesce(sum(CASE WHEN boundary THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY i
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+         |  FROM pp),
+         |ck AS (
+         |  SELECT doc_id, cid, list(c ORDER BY i) AS cs, count(*) AS clen
+         |  FROM ch GROUP BY 1, 2),
+         |ky AS (
+         |  SELECT doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+         |           (a, x) -> (a * 131 + x) % 281474976710656)
+         |           + (clen % 16384) * 281474976710656 AS chunk_key
+         |  FROM ck),
+         |dup AS (SELECT chunk_key, count(*) AS nrefs FROM ky GROUP BY 1),
+         |share AS (
+         |  SELECT l.lang,
+         |         round(CAST(coalesce(sum(CASE WHEN d.nrefs >= 2 THEN 1 END), 0) AS DOUBLE)
+         |               / count(*), 6) AS dup_chunk_share
+         |  FROM ky k JOIN dup d USING (chunk_key)
+         |  JOIN lang l USING (doc_id) GROUP BY 1)
+         |SELECT nl.lang, nl.n_docs, p50.p50_len_by_token,
+         |       celang.mean_bigram_ce, share.dup_chunk_share
+         |FROM (SELECT lang, count(*) AS n_docs FROM lang GROUP BY 1) nl
+         |JOIN p50 USING (lang) JOIN celang USING (lang) JOIN share USING (lang)""".stripMargin
+    },
     // the weighted DDSketch replay: weights ride the bucket counts,
     // buckets stay a pure function of the value
     "q198_weighted_quantiles" -> {
