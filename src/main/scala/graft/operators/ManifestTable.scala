@@ -519,9 +519,10 @@ object ManifestTable {
     * distinct streams are fine — commits claim-fence like any writer.
     */
   def streamInto(tableRoot: String, queryName: String,
-      statsCols: Seq[String] = Seq.empty)(batch: DataFrame, batchId: Long): Unit = {
+      statsCols: Seq[String] = Seq.empty, mergeSchema: Boolean = false)(
+      batch: DataFrame, batchId: Long): Unit = {
     commit(batch.sparkSession, tableRoot, batch, statsCols, append = true,
-      txn = Some(queryName -> batchId))
+      txn = Some(queryName -> batchId), mergeSchema = mergeSchema)
     ()
   }
 

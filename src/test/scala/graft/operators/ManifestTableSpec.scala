@@ -396,6 +396,27 @@ class ManifestTableSpec extends SparkSuite {
     assert(t.select("id").distinct().count() == 30)
   }
 
+  test("streamInto with mergeSchema: a drifting stream evolves instead of failing") {
+    val root = freshRoot()
+    val sink = ManifestTable.streamInto(root, "ingest", Seq("id"),
+      mergeSchema = true) _
+    sink(docs(10), 0L)
+    // batch 1 adds a column; batch 2 retypes score -> sidecar
+    sink(docs(10, from = 10).withColumn("extra", lit(7L)), 1L)
+    sink(docs(10, from = 20).withColumn("score", col("score").cast("string")), 2L)
+    val t = ManifestTable.read(spark, root)
+    assert(t.columns.toSeq == Seq("id", "name", "score", "extra", "score_string"))
+    assert(t.count() == 30)
+    assert(t.where(col("extra").isNotNull).count() == 10)
+    assert(t.where(col("score_string").isNotNull).count() == 10)
+    assert(t.where(col("score").isNotNull).count() == 20)
+    // strict default still fails fast on drift
+    val strict = ManifestTable.streamInto(root, "ingest2", Seq("id")) _
+    intercept[IllegalArgumentException] {
+      strict(docs(5, from = 40).withColumn("another", lit(1)), 3L)
+    }
+  }
+
   test("merge rewrites only files that hold a matching key; untouched files carry by reference") {
     val root = freshRoot()
     val in = docs(4000).repartitionByRange(8, col("id")).sortWithinPartitions("id")
