@@ -4288,6 +4288,31 @@ object Queries {
       .join(chunkShare, Seq("lang"))
   }
 
+  // ---------------------------------------------------------------- Q201
+  /** Scene-change detection ([[graft.operators.Multimodal
+    * .frameDhashes]] → [[graft.operators.Multimodal.sceneChanges]]):
+    * 8 synthetic frames per document whose pixel seed jumps every 3
+    * frames (shot cuts at f = 3 and 6), each frame a REAL PNG decoded
+    * through `javax.imageio` and dHashed by the q152 integer kernel;
+    * the boundary detector flags frames whose hash moves versus the
+    * predecessor. The oracle replays the generator → luminance → grid
+    * → gradient-bit chain per SCENE seed and the per-media lag, so the
+    * detected cuts compare exactly.
+    */
+  def q201SceneChanges(spark: SparkSession, dir: String): DataFrame = {
+    val frames = tp(spark, dir, "documents").select(col("doc_id"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("f"))
+      .withColumn("seed", col("doc_id") * lit(1000L) + expr("f div 3"))
+    val payloads = Multimodal.attachPngPayload(
+      frames.select(col("seed")).distinct(), "seed", lit(16), lit(16))
+    val framePayloads = frames
+      .join(payloads.withColumnRenamed("media_id", "seed"), Seq("seed"))
+      .select(col("doc_id").as("media_id"),
+        col("f").cast("long").as("frame_idx"), col("payload"))
+    Multimodal.sceneChanges(Multimodal.frameDhashes(framePayloads),
+      threshold = 0)
+  }
+
   // ---------------------------------------------------------------- Q198
   /** TOKEN-WEIGHTED document-length percentiles ([[graft.operators
     * .QuantileSketch.sketchWeighted]]): per language, the p50/p90

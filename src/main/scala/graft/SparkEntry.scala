@@ -243,6 +243,7 @@ object SparkEntry {
     "q198_weighted_quantiles" -> (Queries.q198WeightedQuantiles _),
     "q199_linkage_u" -> (Queries.q199LinkageU _),
     "q200_curation_report" -> (Queries.q200CurationReport _),
+    "q201_scene_changes" -> (Queries.q201SceneChanges _),
   )
 
   /** One synchronous label-propagation round as oracle CTEs (see
@@ -3150,6 +3151,47 @@ object SparkEntry {
     // the PNG generator's pixel formula replayed end to end: luminance,
     // 2x2 floor-mean pool, 56-bit dHash, all-pairs hamming verify (the
     // band join is a lossless candidate generator at this bucket load)
+    // per-SCENE-seed replay of the q152 hash chain + the per-media lag:
+    // detected cuts (hash moved vs predecessor) compare exactly
+    "q201_scene_changes" ->
+      """WITH fr AS (
+        |  SELECT doc_id, t.f, doc_id * 1000 + t.f // 3 AS seed
+        |  FROM documents, unnest(generate_series(0, 7)) AS t(f)),
+        |sd AS (SELECT DISTINCT seed FROM fr),
+        |px AS (
+        |  SELECT s.seed, xs.x, ys.y,
+        |         CAST((s.seed * 131 + xs.x * 31 + ys.y * 17) & 255 AS BIGINT) AS v
+        |  FROM sd s
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) ys),
+        |lum AS (
+        |  SELECT seed, x, y,
+        |         (299 * v + 587 * ((v * 7) & 255) + 114 * ((v * 13) & 255)) // 1000 AS l
+        |  FROM px),
+        |grid AS (
+        |  SELECT seed, y // 2 AS gy, x // 2 AS gx,
+        |         CAST(sum(l) AS BIGINT) // 4 AS g
+        |  FROM lum GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.seed, a.gy AS r, a.gx AS c
+        |  FROM grid a JOIN grid b ON a.seed = b.seed AND a.gy = b.gy AND b.gx = a.gx + 1
+        |  WHERE a.g < b.g),
+        |hashes AS (
+        |  SELECT s.seed,
+        |         coalesce(CAST(sum(1::BIGINT << CAST(r * 7 + c AS INTEGER)) AS BIGINT), 0) AS h
+        |  FROM sd s LEFT JOIN bits ON bits.seed = s.seed
+        |  GROUP BY 1),
+        |fh AS (
+        |  SELECT fr.doc_id AS media_id, fr.f AS frame_idx, h.h AS dhash
+        |  FROM fr JOIN hashes h USING (seed)),
+        |lagd AS (
+        |  SELECT media_id, frame_idx, dhash,
+        |         lag(dhash) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+        |  FROM fh)
+        |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(bit_count(xor(prev, dhash)) AS INTEGER) AS hamming
+        |FROM lagd
+        |WHERE prev IS NOT NULL AND bit_count(xor(prev, dhash)) > 0""".stripMargin,
     "q152_image_dhash" ->
       """WITH px AS (
         |  SELECT d.doc_id AS id, xs.x, ys.y,

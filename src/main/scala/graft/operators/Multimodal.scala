@@ -691,49 +691,95 @@ object Multimodal {
     Parallelism.ensureCompute(media.select("media_id", "payload"))
       .mapPartitions { rows =>
         rows.map { row =>
-          val id = row.getLong(0)
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1)))
-          require(img != null, s"dhash56: payload $id is not a decodable image")
-          val (w, h) = (img.getWidth, img.getHeight)
-          require(w % 8 == 0 && h % 8 == 0,
-            s"dhash56 pools to 8x8: dimensions must be multiples of 8, got ${w}x$h")
-          val (bw, bh) = (w / 8, h / 8)
-          val grid = Array.ofDim[Long](8, 8)
-          var gy = 0
-          while (gy < 8) {
-            var gx = 0
-            while (gx < 8) {
-              var sum = 0L
-              var y = gy * bh
-              while (y < (gy + 1) * bh) {
-                var x = gx * bw
-                while (x < (gx + 1) * bw) {
-                  val rgb = img.getRGB(x, y)
-                  sum += (299L * ((rgb >> 16) & 0xff) +
-                    587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
-                  x += 1
-                }
-                y += 1
-              }
-              grid(gy)(gx) = sum / (bw.toLong * bh)
-              gx += 1
-            }
-            gy += 1
-          }
-          var hash = 0L
-          var r = 0
-          while (r < 8) {
-            var c = 0
-            while (c < 7) {
-              if (grid(r)(c) < grid(r)(c + 1)) hash |= 1L << (r * 7 + c)
-              c += 1
-            }
-            r += 1
-          }
-          MediaDhash(id, hash)
+          MediaDhash(row.getLong(0),
+            dhashOfPayload(row.getLong(0), row.getAs[Array[Byte]](1)))
         }
       }(enc).toDF()
+  }
+
+  /** The dHash pixel kernel shared by [[dhash56]] and [[frameDhashes]]. */
+  private def dhashOfPayload(id: Long, payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"dhash56: payload $id is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w % 8 == 0 && h % 8 == 0,
+      s"dhash56 pools to 8x8: dimensions must be multiples of 8, got ${w}x$h")
+    val (bw, bh) = (w / 8, h / 8)
+    val grid = Array.ofDim[Long](8, 8)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        var sum = 0L
+        var y = gy * bh
+        while (y < (gy + 1) * bh) {
+          var x = gx * bw
+          while (x < (gx + 1) * bw) {
+            val rgb = img.getRGB(x, y)
+            sum += (299L * ((rgb >> 16) & 0xff) +
+              587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        grid(gy)(gx) = sum / (bw.toLong * bh)
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 7) {
+        if (grid(r)(c) < grid(r)(c + 1)) hash |= 1L << (r * 7 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** A per-frame perceptual-hash row ([[frameDhashes]]'s schema). */
+  final case class FrameDhash(media_id: Long, frame_idx: Long, dhash: Long)
+
+  /** [[dhash56]] over a FRAME table `(media_id, frame_idx, payload)` —
+    * each frame is a still (what [[sampleFrames]]/`extractFrame`
+    * emit), hashed by the same integer kernel; the temporal input to
+    * [[sceneChanges]]. Same mapPartitions seam, 24 bytes/frame out.
+    */
+  def frameDhashes(frames: DataFrame): DataFrame = {
+    implicit val enc: Encoder[FrameDhash] = Encoders.product[FrameDhash]
+    Parallelism.ensureCompute(frames.select("media_id", "frame_idx", "payload"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          FrameDhash(row.getLong(0), row.getLong(1),
+            dhashOfPayload(row.getLong(0), row.getAs[Array[Byte]](2)))
+        }
+      }(enc).toDF()
+  }
+
+  /** SCENE-CHANGE detection over a frame-hash table: a boundary is a
+    * frame whose dHash sits more than `threshold` Hamming bits from its
+    * predecessor — the shot-cut detector every video-corpus pipeline
+    * runs before per-scene sampling (within a shot, consecutive frames
+    * hash within a few bits; a cut jumps). Returns
+    * `(media_id, frame_idx, hamming)` for each boundary frame.
+    * One per-media window over FRAME ROWS (video-length-bounded, never
+    * corpus-wide); payloads were already reduced to 8-byte hashes.
+    */
+  def sceneChanges(frameHashes: DataFrame, threshold: Int = 10): DataFrame = {
+    require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frameHashes
+      .withColumn("__prev", lag(col("dhash"), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .withColumn("hamming",
+        bit_count(col("__prev").bitwiseXOR(col("dhash"))).cast("int"))
+      .where(col("hamming") > threshold)
+      .select(col("media_id"), col("frame_idx"), col("hamming"))
   }
 
   /** Image near-duplicate pairs by dHash Hamming distance — [[dhash56]]

@@ -259,6 +259,28 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("sceneChanges: cuts flagged exactly where the frame seed jumps; steady shots silent") {
+    // 2 media x 9 frames; scene seed jumps at f = 3 and 6 (f div 3)
+    val frames = Seq(5L, 9L).toDF("m")
+      .select(col("m"), explode(sequence(lit(0), lit(8))).as("f"))
+      .withColumn("seed", col("m") * 1000L + expr("f div 3"))
+    val payloads = Multimodal.attachPngPayload(
+      frames.select("seed").distinct(), "seed", lit(16), lit(16))
+    val fp = frames.join(payloads.withColumnRenamed("media_id", "seed"), Seq("seed"))
+      .select(col("m").as("media_id"), col("f").cast("long").as("frame_idx"),
+        col("payload"))
+    val hashes = Multimodal.frameDhashes(fp)
+    val cuts = Multimodal.sceneChanges(hashes, threshold = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cuts == Set((5L, 3L), (5L, 6L), (9L, 3L), (9L, 6L)),
+      s"cuts must sit exactly at the seed jumps: $cuts")
+    // a high threshold suppresses everything; guard fires
+    assert(Multimodal.sceneChanges(hashes, threshold = 56).count() == 0)
+    intercept[IllegalArgumentException] {
+      Multimodal.sceneChanges(hashes, threshold = -1)
+    }
+  }
+
   test("dhashNearDupPairs: exact clones pair at hamming 0 through the band kernel") {
     val media = Multimodal.attachPngPayload(
       Seq(3L, 259L, 515L, 40L).toDF("id"), "id", lit(16), lit(16))
