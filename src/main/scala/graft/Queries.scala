@@ -4288,6 +4288,22 @@ object Queries {
       .join(chunkShare, Seq("lang"))
   }
 
+  // ---------------------------------------------------------------- Q202
+  /** LSH bucket-mass telemetry ([[graft.operators.MinHashDedup
+    * .portableBucketMassReport]] — the q126b pricing discipline on the
+    * near-dup pipeline's own candidate generator): per band, bucket
+    * counts and planned / cap-dropped pair mass from the counts-only
+    * agg the bucket cap already runs. The q13f portable chain priced
+    * instead of joined; the oracle replays signatures, band folds and
+    * the Σ bs·(bs−1)/2 arithmetic.
+    */
+  def q202BucketMass(spark: SparkSession, dir: String): DataFrame =
+    MinHashDedup.portableBucketMassReport(tp(spark, dir, "documents"),
+      "doc_id", "text")
+      .select(col("band"), col("buckets"), col("buckets_dropped"),
+        col("pairs_planned").cast("long").as("pairs_planned"),
+        col("pairs_dropped").cast("long").as("pairs_dropped"))
+
   // ---------------------------------------------------------------- Q201
   /** Scene-change detection ([[graft.operators.Multimodal
     * .frameDhashes]] → [[graft.operators.Multimodal.sceneChanges]]):

@@ -244,6 +244,7 @@ object SparkEntry {
     "q199_linkage_u" -> (Queries.q199LinkageU _),
     "q200_curation_report" -> (Queries.q200CurationReport _),
     "q201_scene_changes" -> (Queries.q201SceneChanges _),
+    "q202_bucket_mass" -> (Queries.q202BucketMass _),
   )
 
   /** One synchronous label-propagation round as oracle CTEs (see
@@ -508,6 +509,21 @@ object SparkEntry {
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** q202: the portable chain priced — per-band bucket sizes and the
+    * planned/dropped pair mass under the cap.
+    */
+  private val portableBucketMassOracle: String =
+    portableMinhashCandCtes + ",\n" +
+      """bsz AS (SELECT band, bucket, count(*) AS bs FROM bk GROUP BY 1, 2)
+        |SELECT CAST(band AS BIGINT) AS band, count(*) AS buckets,
+        |       CAST(coalesce(sum(CASE WHEN bs > 1000 THEN 1 END), 0) AS BIGINT)
+        |         AS buckets_dropped,
+        |       CAST(coalesce(sum(CASE WHEN bs <= 1000 THEN bs * (bs - 1) // 2 END), 0)
+        |         AS BIGINT) AS pairs_planned,
+        |       CAST(coalesce(sum(CASE WHEN bs > 1000 THEN bs * (bs - 1) // 2 END), 0)
+        |         AS BIGINT) AS pairs_dropped
+        |FROM bsz GROUP BY band""".stripMargin
+
   private val portableMinhashOracle: String =
     portableMinhashCandCtes + "\n" +
       """SELECT idA, idB, round(jac, 6) AS jaccard FROM (
@@ -639,6 +655,7 @@ object SparkEntry {
       |WHERE rn <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q202_bucket_mass" -> portableBucketMassOracle,
     "q14c_portable_lsh" -> portableLshOracle,
     "q1_dedup_full" -> "SELECT DISTINCT * FROM lineitem",
     "q2_latest_by_key" ->

@@ -182,6 +182,53 @@ object MinHashDedup {
   def candidatePairs(sigs: DataFrame, cfg: Config): DataFrame =
     capAndPair(bandBuckets(sigs, cfg), cfg.maxBucketSize)
 
+  /** PAIR-MASS TELEMETRY for the LSH bucket join — the
+    * [[EntityResolution.pairMassReport]] discipline on this operator's
+    * own candidate generator: per band, bucket counts and the planned /
+    * cap-dropped candidate-pair mass `Σ bs·(bs−1)/2` from the SAME
+    * counts-only agg the cap runs. Blocked joins cost pair mass, not
+    * rows; this prices an LSH run (and exposes a boilerplate-heavy
+    * corpus) BEFORE signatures ever verify. One row per band:
+    * `(band, buckets, buckets_dropped, pairs_planned, pairs_dropped)`,
+    * mass in DECIMAL(38,0).
+    */
+  def bucketMassReport(sigs: DataFrame, cfg: Config): DataFrame =
+    bucketMassOf(bandBuckets(sigs, cfg), cfg.maxBucketSize)
+
+  /** [[bucketMassReport]] on the PORTABLE hash space, so an oracle
+    * replays the priced mass itself (signatures, band folds, bucket
+    * sizes and the Σ bs·(bs−1)/2 arithmetic are all 48-bit integer
+    * folds — the q13f chain priced instead of joined).
+    */
+  def portableBucketMassReport(docs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 16, bands: Int = 8,
+      shingleN: Int = 3, maxBucketSize: Int = 1000,
+      seed: Long = 7L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    bucketMassOf(
+      portableBandBuckets(
+        portableSignatures(docs, idCol, textCol, numHashes, shingleN, seed),
+        bands, numHashes / bands),
+      maxBucketSize)
+  }
+
+  private def bucketMassOf(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
+    val mass = (col("bs").cast("decimal(38,0)") * (col("bs") - 1L) /
+      lit(2)).cast("decimal(38,0)")
+    buckets
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("bs"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("buckets"),
+        sum(when(col("bs") > maxBucketSize, 1L).otherwise(0L))
+          .as("buckets_dropped"),
+        coalesce(sum(when(col("bs") <= maxBucketSize, mass)),
+          lit(0).cast("decimal(38,0)")).cast("decimal(38,0)").as("pairs_planned"),
+        coalesce(sum(when(col("bs") > maxBucketSize, mass)),
+          lit(0).cast("decimal(38,0)")).cast("decimal(38,0)").as("pairs_dropped"))
+      .select(col("band").cast("long").as("band"), col("buckets"),
+        col("buckets_dropped"), col("pairs_planned"), col("pairs_dropped"))
+  }
+
   /** Broadcast ceiling for the verify stage's candidate key set: two
     * BIGINTs per row, so 2^21 pairs ≈ 32 MB on the driver — comfortably
     * broadcastable; above it the probes pin shuffle-hash instead. The
