@@ -554,10 +554,17 @@ object ManifestTable {
     */
   def merge(spark: SparkSession, tableRoot: String, updates: DataFrame,
       keyCol: String, maxRetries: Int = 5,
-      mergeSchema: Boolean = false): CowStats = {
+      mergeSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): CowStats = {
     val f = fs(spark)
     val root = new Path(tableRoot)
     val m = resolve(f, root, None)
+    // replay fast path (the commit() contract for upserts): a batchId at
+    // or below this app's high-water mark already merged — no data work,
+    // no new version; publish re-checks post-claim against racers
+    txnAppliedIn(Some(m), txn).foreach { v =>
+      return CowStats(v, loadManifest(f, root, v).files.size, 0, 0)
+    }
     require(m.tombstones.isEmpty,
       "merge over outstanding merge-on-read deletes would resurrect deleted rows " +
         "in rewritten files; run rewriteDeletes or compact first")
@@ -620,7 +627,7 @@ object ManifestTable {
         else dfFor(spark, root, m, rewrite).join(keys, Seq(keyCol), "left_anti")
       val (newEntries, _) = writeBatch(spark, f, root,
         align(survivors).unionByName(align(updates)), m.statsCols)
-      val v = publish(f, root, "merge", m.statsCols, None,
+      val v = publish(f, root, "merge", m.statsCols, txn,
         maxRetries, expectParent = Some(m.version)) { _ =>
         (targetDdl, pruned ++ untouchedCand ++ newEntries, Seq.empty)
       }

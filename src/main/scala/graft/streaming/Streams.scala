@@ -322,6 +322,23 @@ object Streams {
       graft.operators.QuantileSketch.sketch(batch, valueCol, groupCols, alpha),
       batchId)
 
+  /** STREAMING UPSERT into a manifest table — foreachBatch MERGE with
+    * the exactly-once txn ledger: each micro-batch COW-merges on
+    * `keyCol` (same-key rows replaced, new keys inserted, only files
+    * holding a matching key rewritten) stamped `(queryName, batchId)`,
+    * so an at-least-once replay of the last batch is a no-op instead
+    * of a double-apply — the CDC-into-lakehouse sink shape
+    * ([[streamingCountMinSink]]'s idempotence for MERGE semantics,
+    * where [[graft.operators.ManifestTable.streamInto]] is append-only).
+    */
+  def streamMergeInto(tableRoot: String, queryName: String, keyCol: String,
+      mergeSchema: Boolean = false)(batch: DataFrame, batchId: Long): Unit = {
+    graft.operators.ManifestTable.merge(batch.sparkSession, tableRoot,
+      batch, keyCol, mergeSchema = mergeSchema,
+      txn = Some(queryName -> batchId))
+    ()
+  }
+
   /** The maintained quantiles as of the table's current snapshot. */
   def currentQuantiles(spark: SparkSession, tableRoot: String,
       groupCols: Seq[String], qs: Seq[Double],

@@ -644,6 +644,28 @@ class StreamsSpec extends SparkSuite {
     assert(maintained.size == 4)
   }
 
+  test("streamMergeInto: upsert stream is exactly-once under replay; keys converge") {
+    import graft.operators.ManifestTable
+    val root = Files.createTempDirectory("graft_stream_merge").resolve("t").toString
+    ManifestTable.commit(spark, root,
+      (0L until 20L).map(i => (i, s"v0_$i")).toDF("k", "v"), Seq("k"))
+    val sink = Streams.streamMergeInto(root, "cdc", "k") _
+    // batch 0 updates keys 0-4; batch 1 updates 3-7 + inserts 100-102
+    sink((0L to 4L).map(i => (i, s"b0_$i")).toDF("k", "v"), 0L)
+    val vAfterB1 = { sink(((3L to 7L).map(i => (i, s"b1_$i")) ++
+      (100L to 102L).map(i => (i, s"b1_$i"))).toDF("k", "v"), 1L)
+      ManifestTable.currentVersion(spark, root) }
+    sink(((3L to 7L).map(i => (i, s"b1_$i")) ++
+      (100L to 102L).map(i => (i, s"b1_$i"))).toDF("k", "v"), 1L) // replay
+    assert(ManifestTable.currentVersion(spark, root) == vAfterB1,
+      "a replayed merge batch must not advance the log")
+    val t = ManifestTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(t.size == 23)
+    assert(t(0L) == "b0_0" && t(4L) == "b1_4" && t(7L) == "b1_7")
+    assert(t(10L) == "v0_10" && t(101L) == "b1_101")
+  }
+
   test("session windows merge events within the gap") {
     val df = Seq(
       ("2024-01-01 00:00:00", 1L), ("2024-01-01 00:10:00", 1L), // one session
