@@ -4407,4 +4407,89 @@ object Queries {
     */
   def q190PearsonResiduals(spark: SparkSession, dir: String): DataFrame =
     Metrics.pearsonResiduals(tp(spark, dir, "documents"), "lang", "source")
+
+  // --------------------------------------------------------- Q203-Q205
+  /** Shared PQ shape for q203/q204/q205: the 64-dim embeddings split
+    * into 8 subspaces of 8 dims, 4 centroids each, 2 Lloyd iterations
+    * from the portable-uniform init. Small enough that the full
+    * train → encode → probe chain replays as oracle CTEs; the
+    * production shape (m=96, ksub=256) changes only these constants.
+    */
+  private val PqM = 8
+  private val PqK = 4
+  private val PqDim = 64
+  private def pqBooks(spark: SparkSession, dir: String): ProductQuantizer.Codebooks =
+    ProductQuantizer.train(tp(spark, dir, "embeddings"), "vec_id", "embedding",
+      m = PqM, ksub = PqK, dim = PqDim, iters = 2)
+
+  /** PQ codebook training ([[graft.operators.ProductQuantizer.train]]):
+    * the final (sub, code, pos, val) codebook after 2 distributed Lloyd
+    * iterations — per iteration one codegen'd assignment projection and
+    * one 256-cell partial agg, driver state = the codebook scalars. The
+    * oracle replays init selection, both assignment/update rounds and
+    * the empty-code carry-through as chained CTEs.
+    */
+  def q203PqCodebooks(spark: SparkSession, dir: String): DataFrame =
+    ProductQuantizer.codebookDf(spark, pqBooks(spark, dir))
+      .orderBy(col("sub"), col("code"), col("pos"))
+
+  /** PQ encoding ([[graft.operators.ProductQuantizer.encode]]): every
+    * embedding compressed to its 8 subspace codes — map-only argmin
+    * against the trained literal centroids, exploded to (vec_id, sub,
+    * code) for the hash compare. 64 floats → 8 codes is the 100 TB
+    * residence story.
+    */
+  def q204PqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val books = pqBooks(spark, dir)
+    ProductQuantizer.encode(tp(spark, dir, "embeddings"), "vec_id", "embedding",
+      books, dim = PqDim)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+  }
+
+  /** PQ ADC top-k probe ([[graft.operators.ProductQuantizer.adcTopK]]):
+    * every 97th vector queries the encoded corpus; approximate distance
+    * = sum of per-subspace LUT entries, the scan touching only
+    * (vec_id, codes). The oracle replays the LUT join and the rounded
+    * ranking.
+    */
+  def q205PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val books = pqBooks(spark, dir)
+    val codes = ProductQuantizer.encode(emb, "vec_id", "embedding",
+      books, dim = PqDim)
+    ProductQuantizer.adcTopK(
+      emb.where(col("vec_id") % 97 === 0), "vec_id", "embedding",
+      codes, "vec_id", books, dim = PqDim, k = 5)
+  }
+
+  // ---------------------------------------------------------------- Q206
+  /** 1-Wasserstein drift ([[graft.operators.Drift.wasserstein1]]):
+    * earth-mover's distance between BUILDING-segment order prices and
+    * everyone else's — the "how far did the mass move" readout next to
+    * q144's KS sup. One count shuffle + one range-partitioned pass
+    * carrying both packed cumulatives and the next-value gap; the
+    * oracle replays the staircase integral with a window lead.
+    */
+  def q206Wasserstein(spark: SparkSession, dir: String): DataFrame = {
+    val j = tp(spark, dir, "orders")
+      .join(tp(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+    Drift.wasserstein1(
+      j.where(col("c_mktsegment") === "BUILDING"),
+      j.where(col("c_mktsegment") =!= "BUILDING"),
+      "o_totalprice")
+  }
+
+  // ---------------------------------------------------------------- Q207
+  /** Join-cardinality estimation ([[graft.operators.CountMin
+    * .joinSizeEstimate]]): the CM inner-product upper bound on
+    * |orders ⋈ customer| from two 4×256 sketches — what a planner
+    * consults before picking a shuffle strategy, priced without
+    * touching a row of the join. `withExact` runs the real join too so
+    * the estimation gap is part of the checked result.
+    */
+  def q207JoinSize(spark: SparkSession, dir: String): DataFrame =
+    CountMin.joinSizeEstimate(
+      tp(spark, dir, "orders"), "o_custkey",
+      tp(spark, dir, "customer"), "c_custkey",
+      depth = 4, width = 256, withExact = true)
 }

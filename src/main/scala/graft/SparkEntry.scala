@@ -245,7 +245,87 @@ object SparkEntry {
     "q200_curation_report" -> (Queries.q200CurationReport _),
     "q201_scene_changes" -> (Queries.q201SceneChanges _),
     "q202_bucket_mass" -> (Queries.q202BucketMass _),
+    "q203_pq_codebooks" -> (Queries.q203PqCodebooks _),
+    "q204_pq_encode" -> (Queries.q204PqEncode _),
+    "q205_pq_adc" -> (Queries.q205PqAdc _),
+    "q206_wasserstein" -> (Queries.q206Wasserstein _),
+    "q207_join_size" -> (Queries.q207JoinSize _),
   )
+
+  /** One PQ Lloyd iteration as oracle CTEs (see
+    * `ProductQuantizer.train`): decimal-summed rounded squared-L2
+    * assignment against the previous codebook `prev`, then the
+    * 6-dp-rounded per-cell mean update with empty-code carry-through.
+    */
+  private def pqIter(i: Int, prev: String): String =
+    s"""d$i AS MATERIALIZED (
+       |  SELECT sv.vec_id, sv.sub, cb.code,
+       |         sum(CAST(round((sv.val - cb.val) * (sv.val - cb.val), 6)
+       |                  AS DECIMAL(18,6))) AS d
+       |  FROM sv JOIN $prev cb ON cb.sub = sv.sub AND cb.pos = sv.pos
+       |  GROUP BY 1, 2, 3),
+       |a$i AS MATERIALIZED (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |           row_number() OVER (PARTITION BY vec_id, sub
+       |                              ORDER BY d ASC, code ASC) AS rn
+       |    FROM d$i) WHERE rn = 1),
+       |c$i AS MATERIALIZED (
+       |  SELECT g.sub, g.code, g.pos, coalesce(u.val, g.val) AS val
+       |  FROM $prev g LEFT JOIN (
+       |    SELECT a.sub, a.code, sv.pos,
+       |           round(CAST(sum(CAST(round(sv.val, 6) AS DECIMAL(18,6)))
+       |                      AS DOUBLE) / count(*), 6) AS val
+       |    FROM a$i a JOIN sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub
+       |    GROUP BY 1, 2, 3) u
+       |  ON u.sub = g.sub AND u.code = g.code AND u.pos = g.pos)""".stripMargin
+
+  /** The q203/q204/q205 shared training replay: 8 subspaces x 8 dims x
+    * 4 codes over the 64-dim embeddings, portable-uniform init, two
+    * Lloyd iterations (c2 = final codebook), final assignment a3 =
+    * encode. `finalSelect` consumes c2 / a3 / sv.
+    */
+  private def pqOracle(finalSelect: String): String =
+    s"""WITH subs AS (SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER) AS sub),
+       |ps AS (SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER) AS pos),
+       |sv AS MATERIALIZED (
+       |  SELECT vec_id, s.sub, p.pos,
+       |         CAST(embedding[s.sub * 8 + p.pos + 1] AS DOUBLE) AS val
+       |  FROM embeddings, subs s, ps p),
+       |iu AS (
+       |  SELECT e.vec_id, s.sub,
+       |         (((list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |              list_transform(string_split('pq|' || s.sub || '|' || e.vec_id, ''),
+       |                c -> CAST(ascii(c) AS BIGINT))),
+       |              (a, q) -> (a * 131 + q) % 281474976710656)
+       |            % 2147483647) * 1103515245 + 12345) % 2147483647 + 0.5)
+       |          / 2147483647.0 AS u
+       |  FROM embeddings e, subs s),
+       |sel AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub,
+       |           CAST(row_number() OVER (PARTITION BY sub
+       |                                   ORDER BY u ASC, vec_id ASC) - 1
+       |                AS INTEGER) AS code
+       |    FROM iu) WHERE code < 4),
+       |c0 AS MATERIALIZED (
+       |  SELECT sel.sub, sel.code, sv.pos, round(sv.val, 6) AS val
+       |  FROM sel JOIN sv ON sv.vec_id = sel.vec_id AND sv.sub = sel.sub),
+       |${pqIter(1, "c0")},
+       |${pqIter(2, "c1")},
+       |d3 AS MATERIALIZED (
+       |  SELECT sv.vec_id, sv.sub, cb.code,
+       |         sum(CAST(round((sv.val - cb.val) * (sv.val - cb.val), 6)
+       |                  AS DECIMAL(18,6))) AS d
+       |  FROM sv JOIN c2 cb ON cb.sub = sv.sub AND cb.pos = sv.pos
+       |  GROUP BY 1, 2, 3),
+       |a3 AS MATERIALIZED (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |           row_number() OVER (PARTITION BY vec_id, sub
+       |                              ORDER BY d ASC, code ASC) AS rn
+       |    FROM d3) WHERE rn = 1)
+       |$finalSelect""".stripMargin
 
   /** One synchronous label-propagation round as oracle CTEs (see
     * `Graph.labelPropagation`): neighbor votes plus the vertex's own
@@ -656,6 +736,82 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q202_bucket_mass" -> portableBucketMassOracle,
+    "q203_pq_codebooks" -> pqOracle(
+      "SELECT sub, code, pos, val FROM c2"),
+    "q204_pq_encode" -> pqOracle(
+      "SELECT vec_id, sub, code FROM a3"),
+    "q205_pq_adc" -> pqOracle(
+      """, adc AS (
+        |  SELECT l.vec_id AS q_id, a.vec_id,
+        |         round(CAST(sum(l.d) AS DOUBLE), 6) AS dist
+        |  FROM a3 a JOIN d3 l ON l.sub = a.sub AND l.code = a.code
+        |  WHERE l.vec_id % 97 = 0 AND a.vec_id <> l.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT q_id, vec_id, dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY dist ASC, vec_id ASC) AS rn
+        |  FROM adc)
+        |WHERE rn <= 5""".stripMargin),
+    // staircase integral between the two ECDFs: cross-scaled integer
+    // gaps (exact), one IEEE product per distinct value, decimal term
+    // sum, one final division — Drift.wasserstein1's replay
+    "q206_wasserstein" ->
+      """WITH j AS (
+        |  SELECT o_totalprice AS v, c_mktsegment = 'BUILDING' AS isa
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_totalprice IS NOT NULL),
+        |t AS (
+        |  SELECT v, sum(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+        |         sum(CASE WHEN isa THEN 0 ELSE 1 END) AS cb
+        |  FROM j GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |               CAST(sum(cb) AS BIGINT) AS nb FROM t),
+        |c AS (
+        |  SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+        |         sum(cb) OVER (ORDER BY v) AS cumb,
+        |         lead(v) OVER (ORDER BY v) AS nextv
+        |  FROM t),
+        |terms AS (
+        |  SELECT CAST(round((c.nextv - c.v) *
+        |                CAST(abs(c.cuma * tot.nb - c.cumb * tot.na) AS DOUBLE), 6)
+        |              AS DECIMAL(28,6)) AS term
+        |  FROM c, tot WHERE c.nextv IS NOT NULL)
+        |SELECT tot.na AS n_a, tot.nb AS n_b,
+        |       round(CAST(coalesce((SELECT sum(term) FROM terms), 0) AS DOUBLE)
+        |             / CAST(tot.na * tot.nb AS DOUBLE), 6) AS w1
+        |FROM tot""".stripMargin,
+    // both sketches replayed with the q137 portable bucket arithmetic,
+    // then the AMS dot-product upper bound next to the real join count
+    "q207_join_size" ->
+      """WITH ds AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(d)),
+        |ba AS (
+        |  SELECT ((o_custkey % 2147483647) + 2147483647) % 2147483647 AS km
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |ea AS (
+        |  SELECT d, (((km * ((CAST(1103515245 AS BIGINT) * (d + 1) + 12345) % 2147483647))
+        |              + ((CAST(2654435761 AS BIGINT) * (d + 1) + 1013904223) % 2147483647))
+        |             % 2147483647) % 256 AS bucket
+        |  FROM ba, ds),
+        |cma AS (SELECT d, bucket, count(*) AS cnt FROM ea GROUP BY 1, 2),
+        |bb AS (
+        |  SELECT ((c_custkey % 2147483647) + 2147483647) % 2147483647 AS km
+        |  FROM customer WHERE c_custkey IS NOT NULL),
+        |eb AS (
+        |  SELECT d, (((km * ((CAST(1103515245 AS BIGINT) * (d + 1) + 12345) % 2147483647))
+        |              + ((CAST(2654435761 AS BIGINT) * (d + 1) + 1013904223) % 2147483647))
+        |             % 2147483647) % 256 AS bucket
+        |  FROM bb, ds),
+        |cmb AS (SELECT d, bucket, count(*) AS cnt FROM eb GROUP BY 1, 2),
+        |dot AS (
+        |  SELECT a.d, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dp
+        |  FROM cma a JOIN cmb b ON a.d = b.d AND a.bucket = b.bucket
+        |  GROUP BY 1),
+        |ex AS (
+        |  SELECT count(*) AS exact_rows
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT CAST(4 AS INTEGER) AS depth, CAST(256 AS INTEGER) AS width,
+        |       (SELECT min(dp) FROM dot) AS est, ex.exact_rows
+        |FROM ex""".stripMargin,
     "q14c_portable_lsh" -> portableLshOracle,
     "q1_dedup_full" -> "SELECT DISTINCT * FROM lineitem",
     "q2_latest_by_key" ->

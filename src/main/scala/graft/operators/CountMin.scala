@@ -67,6 +67,38 @@ object CountMin {
       .agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** Sketch-based equi-join CARDINALITY estimate (the AMS/CM
+    * inner-product identity, Cormode & Muthukrishnan 2005 §4.2):
+    * `|A ⋈_k B| ≤ min_d Σ_w cntA[d][w]·cntB[d][w]`, an upper bound
+    * within `ε·|A|·|B|` of truth at width = ⌈e/ε⌉. This is what a
+    * planner consults before committing to a shuffle strategy at
+    * 100 TB: both sides reduce to ≤ depth·width counters (one
+    * sketch-sized partial-agg shuffle each — map-side combine caps every
+    * partition's contribution), the dot product is a join of two tiny
+    * tables, and the estimate never touches a row of the actual join.
+    * Returns one row (depth, width, est, exact_hint_rows) where
+    * `exact_hint_rows` is NULL unless `withExact` (the verification
+    * mode, which runs the real join to expose the estimation gap).
+    */
+  def joinSizeEstimate(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      depth: Int, width: Int, withExact: Boolean = false): DataFrame = {
+    val cmA = build(a.where(col(aKey).isNotNull), aKey, depth, width)
+    val cmB = build(b.where(col(bKey).isNotNull), bKey, depth, width)
+    val est = cmA.join(cmB.withColumnRenamed("cnt", "cntb"), Seq("d", "bucket"))
+      .groupBy(col("d"))
+      .agg(sum(col("cnt") * col("cntb")).as("dp"))
+      .agg(min(col("dp")).as("est"))
+    val withMeta = est.select(lit(depth).as("depth"), lit(width).as("width"),
+      col("est"))
+    if (!withExact) withMeta.withColumn("exact_rows", lit(null).cast("long"))
+    else {
+      val exact = a.where(col(aKey).isNotNull).select(col(aKey).as("__k"))
+        .join(b.where(col(bKey).isNotNull).select(col(bKey).as("__k")), Seq("__k"))
+        .agg(count(lit(1)).as("exact_rows"))
+      withMeta.crossJoin(exact)
+    }
+  }
+
   /** Point-query the sketch for every distinct key of `probes[keyCol]`:
     * `est = min_d cnt[d][h_d(key)]` (an untouched counter reads 0). The
     * sketch side is broadcast — it is ≤ depth·width rows by construction.

@@ -78,6 +78,96 @@ object Drift {
           (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
   }
 
+  /** Exact two-sample 1-Wasserstein (earth-mover's) distance, one output
+    * row (n_a, n_b, w1): `W1 = ∫ |F_a(v) − F_b(v)| dv`, the
+    * area between the two ECDFs — the drift score that, unlike
+    * [[ksStatistic]]'s sup, weighs HOW FAR the mass moved, which is what
+    * a feature-scale regression actually costs downstream. Computed on
+    * the distinct-value staircase: `Σ_v |cumA(v)·n_b − cumB(v)·n_a| ·
+    * (next_v − v) / (n_a·n_b)` — the cross-scaled integer gap again, so
+    * the only IEEE steps are one value-gap subtraction, one product and
+    * the final division, each written identically in the oracle.
+    *
+    * Scale shape: one partial-agg shuffle to per-distinct-value counts,
+    * then ONE repartitionByRange pass that carries BOTH running
+    * cumulatives (packed, as in [[ksStatistic]]) and the next-value gap:
+    * within a range partition `lead(v)` is a local window; each
+    * partition's LAST row takes the NEXT partition's minimum from a
+    * driver-collected boundary array (numPartitions scalars — the
+    * [[TrainingPrep.globalPrefixSum]] discipline, never a global
+    * window). Per-term products stay exact while each sample holds
+    * < 2³¹ rows and cum·n products < 2⁵³ (bit-portability bound;
+    * values beyond still compute, the last bits of the double product
+    * may differ cross-engine).
+    */
+  def wasserstein1(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val spark = a.sparkSession
+    val tagged = a.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("v"),
+        lit(1L).as("ia"), lit(0L).as("ib"))
+      .unionByName(b.where(col(valueCol).isNotNull)
+        .select(col(valueCol).cast("double").as("v"),
+          lit(0L).as("ia"), lit(1L).as("ib")))
+    val perV = Parallelism.ensureCompute(tagged)
+      .groupBy(col("v"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+      .withColumn("packed", col("ca") * Pack + col("cb"))
+    val parts = TrainingPrep.derivePrefixSumParts(perV)
+    val ranged = perV.repartitionByRange(parts, col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // driver state: per-partition packed totals and minimum value —
+    // 2·parts scalars, turned into (offset, next-partition-first-value)
+    val stats = ranged.groupBy(col("__pid"))
+      .agg(sum(col("packed")).as("t"), min(col("v")).as("mn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offRows = stats.zipWithIndex.map { case ((pid, tot, _), i) =>
+      val off = acc; acc += tot
+      val nextMin: java.lang.Double =
+        if (i + 1 < stats.length) stats(i + 1)._3 else null
+      Row(pid, off, nextMin)
+    }
+    val offDf = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*),
+      StructType(Seq(
+        StructField("__pid", org.apache.spark.sql.types.IntegerType),
+        StructField("__off", LongType),
+        StructField("__nextmin", org.apache.spark.sql.types.DoubleType))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("v"))
+    val Array(totals) = tagged.agg(sum(col("ia")), sum(col("ib"))).collect()
+    val (na, nb) = (totals.getLong(0), totals.getLong(1))
+    require(na > 0 && nb > 0, s"both samples must be non-empty, got ($na, $nb)")
+    require(na < Pack / 2 && nb < Pack / 2,
+      s"packed-count W1 supports < 2^31 rows per sample, got ($na, $nb)")
+    val termSum = ranged
+      .withColumn("cumpack", sum(col("packed")).over(w))
+      .withColumn("nextv", lead(col("v"), 1).over(w))
+      .join(broadcast(offDf), Seq("__pid"))
+      .select(
+        (expr(s"(cumpack + __off) DIV $Pack") * nb -
+          pmod(col("cumpack") + col("__off"), lit(Pack)) * na).as("num"),
+        coalesce(col("nextv"), col("__nextmin")).as("nv"), col("v"))
+      .where(col("nv").isNotNull)
+      .agg(coalesce(
+        sum(round((col("nv") - col("v")) * abs(col("num")).cast("double"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6))),
+        lit(0).cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("s"))
+      .head().getDecimal(0)
+    ranged.unpersist()
+    spark.createDataFrame(
+      java.util.List.of(Row(na, nb, termSum.toString)),
+      StructType(Seq(
+        StructField("n_a", LongType, nullable = false),
+        StructField("n_b", LongType, nullable = false),
+        StructField("s", org.apache.spark.sql.types.StringType, nullable = false))))
+      .select(col("n_a"), col("n_b"),
+        round(col("s").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("w1"))
+  }
+
   /** Per-bin population stability index terms over fixed-width value
     * bins: (bin, c_a, c_b, psi_term) for every bin BOTH samples touch
     * (the standard smoothing-free form; a bin one side never hits has an

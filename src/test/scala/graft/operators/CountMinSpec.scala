@@ -111,4 +111,29 @@ class CountMinSpec extends SparkSuite {
     assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty,
       "stream-maintained sketch must equal the one-pass batch build")
   }
+
+  test("joinSizeEstimate: upper bound always; EXACT when width kills collisions") {
+    val a = spark.range(0, 600).selectExpr("id % 37 AS k")
+    val b = spark.range(0, 200).selectExpr("id % 23 AS k")
+    val exact = a.join(b, "k").count()
+    // collision-free regime: every surviving key pair is a real key ->
+    // the dot product IS sum_k cntA(k)*cntB(k) = the true join size
+    val wide = CountMin.joinSizeEstimate(a, "k", b, "k",
+      depth = 2, width = 1 << 16, withExact = true).head()
+    assert(wide.getLong(2) == exact && wide.getLong(3) == exact, s"got $wide")
+    // tight width: collisions only ADD phantom mass - never undercount
+    val tight = CountMin.joinSizeEstimate(a, "k", b, "k",
+      depth = 4, width = 8, withExact = false).head()
+    assert(tight.getLong(2) >= exact)
+    assert(tight.isNullAt(3), "withExact=false must not run the join")
+  }
+
+  test("joinSizeEstimate: nulls carry no join mass on either side") {
+    import spark.implicits._
+    val a = Seq[java.lang.Long](1L, 1L, null, 2L).toDF("k")
+    val b = Seq[java.lang.Long](1L, null, null, 3L).toDF("k")
+    val r = CountMin.joinSizeEstimate(a, "k", b, "k",
+      depth = 3, width = 1 << 12, withExact = true).head()
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L, s"got $r")
+  }
 }

@@ -53,6 +53,33 @@ class DriftSpec extends SparkSuite {
     assert(math.abs(terms(0L) - 0.2 * math.log(1.5)) < 1e-6, s"got ${terms(0L)}")
   }
 
+  test("wasserstein1: hand value on a staircase, zero on identical, symmetric") {
+    // a = {0, 0, 4, 4}, b = {2, 2, 2, 2}: |F_a - F_b| is 1/2 on [0,2)
+    // and 1/2 on [2,4) -> W1 = 2.0
+    val a = Seq(0.0, 0.0, 4.0, 4.0).toDF("v")
+    val b = Seq(2.0, 2.0, 2.0, 2.0).toDF("v")
+    val r = Drift.wasserstein1(a, b, "v").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L && r.getDouble(2) == 2.0, s"got $r")
+    assert(Drift.wasserstein1(b, a, "v").head().getDouble(2) == 2.0)
+    assert(Drift.wasserstein1(a, a, "v").head().getDouble(2) == 0.0)
+  }
+
+  test("wasserstein1: pure location shift of a point mass = the shift distance") {
+    val a = Seq.fill(7)(10.0).toDF("v")
+    val b = Seq.fill(3)(13.5).toDF("v")
+    // F_a jumps to 1 at 10, F_b at 13.5: gap 1 over [10, 13.5) -> 3.5
+    assert(Drift.wasserstein1(a, b, "v").head().getDouble(2) == 3.5)
+  }
+
+  test("wasserstein1 survives a range-partition boundary (many distinct values)") {
+    // 5000 distinct values forced through 32+ range partitions: the
+    // cross-partition lead and offset stitching must reproduce the
+    // closed form W1(U{0..n-1}, U{0..n-1}+c) = c
+    val a = spark.range(5000).selectExpr("CAST(id AS DOUBLE) AS v")
+    val b = spark.range(5000).selectExpr("CAST(id AS DOUBLE) + 0.25 AS v")
+    assert(Drift.wasserstein1(a, b, "v").head().getDouble(2) == 0.25)
+  }
+
   test("ksStatistic guards: empty side and oversize contract") {
     val a = Seq(1.0).toDF("v")
     val e = intercept[IllegalArgumentException] {

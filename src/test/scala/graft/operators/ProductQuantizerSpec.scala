@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class ProductQuantizerSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Synthetic corpus of 4 well-separated 8-dim clusters: cluster g
+    * lives at 10·g on dims (2g, 2g+1) plus a small deterministic wobble
+    * — separable in EVERY subspace split, so PQ at ksub=4 should
+    * reconstruct cluster membership exactly.
+    */
+  private def clustered(n: Int) = {
+    spark.range(n).select(
+      col("id"),
+      (col("id") % 4).cast("int").as("g"),
+      transform(sequence(lit(0), lit(7)), i =>
+        when(i === (col("id") % 4).cast("int") * 2, lit(10.0) + (col("id") % 7).cast("double") / 10.0)
+          .when(i === (col("id") % 4).cast("int") * 2 + 1, lit(5.0))
+          .otherwise((col("id") % 3).cast("double") / 100.0)).as("vec"))
+  }
+
+  test("train: shape, finiteness, 6dp rounding, codes span [0, ksub)") {
+    val df = clustered(64)
+    val books = ProductQuantizer.train(df, "id", "vec", m = 2, ksub = 4, dim = 8, iters = 2)
+    assert(books.length == 2 && books.forall(_.length == 4) &&
+      books.forall(_.forall(_.length == 4)))
+    for (s <- books; c <- s; x <- c) {
+      assert(!x.isNaN && !x.isInfinite)
+      assert(math.abs(x * 1e6 - math.rint(x * 1e6)) < 1e-4, s"not 6dp-rounded: $x")
+    }
+    val codes = ProductQuantizer.encode(df, "id", "vec", books, dim = 8)
+      .select(explode(col("codes")).as("c")).distinct().as[Int].collect()
+    assert(codes.forall(c => c >= 0 && c < 4))
+  }
+
+  test("encode is the true argmin: matches a brute-force squared-L2 assignment") {
+    val df = clustered(40)
+    val books = ProductQuantizer.train(df, "id", "vec", m = 2, ksub = 4, dim = 8, iters = 1)
+    val got = ProductQuantizer.encode(df, "id", "vec", books, dim = 8)
+      .select(col("id"), col("codes")).as[(Long, Seq[Int])].collect().toMap
+    val rows = df.select(col("id"), col("vec")).as[(Long, Seq[Double])].collect()
+    rows.foreach { case (id, vec) =>
+      for (s <- 0 until 2) {
+        val sv = vec.slice(s * 4, s * 4 + 4)
+        // same rounded-term distance the operator prices with
+        def dist(c: Array[Double]): BigDecimal =
+          sv.zip(c).map { case (a, b) =>
+            BigDecimal((a - b) * (a - b)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          }.sum
+        val want = books(s).zipWithIndex.map { case (c, i) => (dist(c), i) }.min._2
+        assert(got(id)(s) == want, s"id=$id sub=$s")
+      }
+    }
+  }
+
+  test("ADC top-1 recovers cluster neighbors on separated clusters") {
+    val df = clustered(80)
+    val books = ProductQuantizer.train(df, "id", "vec", m = 2, ksub = 4, dim = 8, iters = 2)
+    val codes = ProductQuantizer.encode(df, "id", "vec", books, dim = 8)
+    val top = ProductQuantizer.adcTopK(
+      df.where(col("id") < 8), "id", "vec", codes, "id", books, dim = 8, k = 3)
+      .collect()
+    assert(top.length == 8 * 3)
+    // every retrieved neighbor shares the query's cluster: PQ distance
+    // across separated clusters dwarfs the within-cluster wobble
+    top.foreach { r =>
+      assert(r.getLong(0) % 4 == r.getLong(1) % 4,
+        s"query ${r.getLong(0)} retrieved cross-cluster ${r.getLong(1)}")
+    }
+  }
+
+  test("empty codes carry their previous centroid through an update") {
+    // 8 identical vectors: after init, one centroid wins everything;
+    // the other ksub-1 codes must survive verbatim (rounded), not NaN
+    val df = spark.range(8).select(col("id"),
+      typedLit(Seq(1.0, 2.0, 3.0, 4.0)).as("vec"))
+    val books = ProductQuantizer.train(df, "id", "vec", m = 1, ksub = 3, dim = 4, iters = 2)
+    assert(books(0).length == 3)
+    books(0).foreach(c => c.foreach(x => assert(!x.isNaN)))
+    // the winning centroid converged to the point itself
+    assert(books(0).exists(_.sameElements(Array(1.0, 2.0, 3.0, 4.0))))
+  }
+
+  test("adcTopK plan: corpus side reads only (id, codes) — no vector column") {
+    val df = clustered(64)
+    val books = ProductQuantizer.train(df, "id", "vec", m = 2, ksub = 4, dim = 8, iters = 1)
+    val codesPath = java.nio.file.Files.createTempDirectory("pq_codes").toString
+    ProductQuantizer.encode(df, "id", "vec", books, dim = 8)
+      .write.mode("overwrite").parquet(codesPath)
+    val codes = spark.read.parquet(codesPath)
+    val plan = ProductQuantizer.adcTopK(
+      df.where(col("id") < 4), "id", "vec", codes, "id", books, dim = 8, k = 2)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("codes")).getOrElse("")
+    assert(scanLine.contains("ReadSchema"), s"no parquet scan found:\n$plan")
+    assert(!scanLine.contains("vec"), s"ADC scan read a vector column:\n$scanLine")
+  }
+}
