@@ -4462,6 +4462,74 @@ object Queries {
       codes, "vec_id", books, dim = PqDim, k = 5)
   }
 
+  /** Closed-form coarse quantizer for q208: list = the quarter of the
+    * 64-dim vector with the largest leading element (ties to the lower
+    * index) — a frozen 4-way router, the q71b frozen-centroid
+    * discipline applied to PQ composition.
+    */
+  private def pqListOf(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    -array_max(array((0 until 4).map(j =>
+      struct(element_at(vec, j * 16 + 1).cast("double").as("v"),
+        lit(-j).as("nj"))): _*)).getField("nj")
+
+  /** IVF-PQ composed probe ([[graft.operators.ProductQuantizer.adcTopK]]
+    * `withinCol`): corpus codes routed by the frozen coarse quantizer,
+    * each query scoring ONLY its own list's codes — the production ANN
+    * layout where IVF prunes which files are read and PQ shrinks what
+    * is read (ProductQuantizerSpec pins the 1-of-N partition-pruned
+    * scan on the hive-partitioned code table).
+    */
+  def q208IvfPqProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val books = pqBooks(spark, dir)
+    val codes = ProductQuantizer.encode(emb, "vec_id", "embedding",
+      books, dim = PqDim)
+      .join(emb.select(col("vec_id"),
+        pqListOf(col("embedding")).as("list")), Seq("vec_id"))
+    ProductQuantizer.adcTopK(
+      emb.where(col("vec_id") % 97 === 0)
+        .withColumn("list", pqListOf(col("embedding"))),
+      "vec_id", "embedding",
+      codes, "vec_id", books, dim = PqDim, k = 5, withinCol = "list")
+  }
+
+  /** PQ recall@5 ([[graft.plans.VectorExpressions.l2Squared]] exact
+    * brute force vs the q205 ADC top-5): per query, how many of the 5
+    * compressed-domain neighbors are true L2 top-5 neighbors — the
+    * recall audit that prices the 32x compression (the q133 LSH-recall
+    * discipline on the PQ path). Exact side is one broadcast probe with
+    * the fused native kernel; both rankings replay in the oracle.
+    * Expected readout on THIS corpus: low single digits of hits — the
+    * oracle-sized code is 8 subspaces x 2 bits = 16 bits against
+    * isotropic synthetic embeddings, precisely the regime where the
+    * audit must say "spend more bits" (production: ksub=256 = 8
+    * bits/subspace, where PQ recall on real, clusterable embeddings is
+    * the published 0.9+). The number being unflattering is the feature.
+    */
+  def q209PqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val books = pqBooks(spark, dir)
+    val codes = ProductQuantizer.encode(emb, "vec_id", "embedding",
+      books, dim = PqDim)
+    val queries = emb.where(col("vec_id") % 97 === 0)
+    val approx = ProductQuantizer.adcTopK(queries, "vec_id", "embedding",
+      codes, "vec_id", books, dim = PqDim, k = 5)
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exactW = Window.partitionBy(col("q_id"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+    val exact = emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.plans.VectorExpressions.l2Squared(
+          col("q_vec"), col("embedding")), 6).as("d"))
+      .withColumn("rn", row_number().over(exactW))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    approx.join(exact, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+  }
+
   // ---------------------------------------------------------------- Q206
   /** 1-Wasserstein drift ([[graft.operators.Drift.wasserstein1]]):
     * earth-mover's distance between BUILDING-segment order prices and

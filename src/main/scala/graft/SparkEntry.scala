@@ -250,6 +250,8 @@ object SparkEntry {
     "q205_pq_adc" -> (Queries.q205PqAdc _),
     "q206_wasserstein" -> (Queries.q206Wasserstein _),
     "q207_join_size" -> (Queries.q207JoinSize _),
+    "q208_ivfpq_probe" -> (Queries.q208IvfPqProbe _),
+    "q209_pq_recall" -> (Queries.q209PqRecall _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -752,6 +754,61 @@ object SparkEntry {
         |                               ORDER BY dist ASC, vec_id ASC) AS rn
         |  FROM adc)
         |WHERE rn <= 5""".stripMargin),
+    // the q205 ADC ranking restricted to the query's own coarse list
+    // (frozen 4-way router: argmax of the quarter-leading elements)
+    "q208_ivfpq_probe" -> pqOracle(
+      """, lst AS (
+        |  SELECT vec_id, list FROM (
+        |    SELECT e.vec_id, j.j AS list,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY CAST(e.embedding[j.j * 16 + 1] AS DOUBLE) DESC,
+        |                                       j.j ASC) AS rn
+        |    FROM embeddings e,
+        |         (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS j) j)
+        |  WHERE rn = 1),
+        |adc AS (
+        |  SELECT l.vec_id AS q_id, a.vec_id,
+        |         round(CAST(sum(l.d) AS DOUBLE), 6) AS dist
+        |  FROM a3 a JOIN d3 l ON l.sub = a.sub AND l.code = a.code
+        |  JOIN lst ql ON ql.vec_id = l.vec_id
+        |  JOIN lst cl ON cl.vec_id = a.vec_id AND cl.list = ql.list
+        |  WHERE l.vec_id % 97 = 0 AND a.vec_id <> l.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT q_id, vec_id, dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY dist ASC, vec_id ASC) AS rn
+        |  FROM adc)
+        |WHERE rn <= 5""".stripMargin),
+    // exact brute-force L2 top-5 (left-to-right fold from a 0.0 seed,
+    // the native kernel's bit contract) vs the q205 ADC top-5
+    "q209_pq_recall" -> pqOracle(
+      """, ex AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(generate_series(1, 64), i ->
+        |                 (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+        |                 * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))),
+        |               (x, y) -> x + y), 6) ASC, c.vec_id ASC) AS rn
+        |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |    WHERE q.vec_id % 97 = 0)
+        |  WHERE rn <= 5),
+        |adc AS (
+        |  SELECT l.vec_id AS q_id, a.vec_id,
+        |         round(CAST(sum(l.d) AS DOUBLE), 6) AS dist
+        |  FROM a3 a JOIN d3 l ON l.sub = a.sub AND l.code = a.code
+        |  WHERE l.vec_id % 97 = 0 AND a.vec_id <> l.vec_id
+        |  GROUP BY 1, 2),
+        |apx AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY dist ASC, vec_id ASC) AS rn
+        |    FROM adc)
+        |  WHERE rn <= 5)
+        |SELECT a.q_id, CAST(count(e.vec_id) AS BIGINT) AS hits
+        |FROM apx a LEFT JOIN ex e ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+        |GROUP BY 1""".stripMargin),
     // staircase integral between the two ECDFs: cross-scaled integer
     // gaps (exact), one IEEE product per distinct value, decimal term
     // sum, one final division — Drift.wasserstein1's replay

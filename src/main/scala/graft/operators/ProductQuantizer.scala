@@ -176,21 +176,37 @@ object ProductQuantizer {
     * `(q_id, vec_id, dist)`, ascending approximate squared-L2, ties by
     * vec_id; `dist` is the 6-dp-rounded double and the ranking key, so
     * the readout is engine-portable.
+    *
+    * `withinCol` composes the IVF half: when set, BOTH `queries` and
+    * `codes` must carry that column (a coarse-quantizer list id) and a
+    * query scores only code rows of ITS list — with the code table
+    * written hive-partitioned by the list column, the probe is a
+    * partition-pruned scan of compressed codes, the full IVF-PQ layout.
     */
   def adcTopK(queries: DataFrame, qId: String, qVec: String,
       codes: DataFrame, cId: String,
-      books: Codebooks, dim: Int, k: Int): DataFrame = {
+      books: Codebooks, dim: Int, k: Int,
+      withinCol: String = null): DataFrame = {
     val m = books.length
     val dsub = dim / m
-    val q = prepared(queries, qId, qVec, dim)
-      .select(col("__id").as("q_id"), col("__vec").as("q_vec"))
+    val within = Option(withinCol)
+    val q = Parallelism.ensureCompute(queries)
+      .select(col(qId).as("q_id") +:
+        col(qVec).cast("array<double>").as("q_vec") +:
+        within.map(c => col(c).as("__q_within")).toSeq: _*)
+      .where(size(col("q_vec")) === dim)
     val total = (0 until m).map { s =>
       val lut = array(books(s).map(cv =>
         distToCentroid(col("q_vec"), s, dsub, cv)): _*)
       element_at(lut, element_at(col("codes"), s + 1) + 1)
     }.reduce(_ + _)
-    val scored = codes.select(col(cId).as("vec_id"), col("codes"))
-      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+    val cond = within
+      .map(c => col("vec_id") =!= col("q_id") && col(c) === col("__q_within"))
+      .getOrElse(col("vec_id") =!= col("q_id"))
+    val scored = codes
+      .select(col(cId).as("vec_id") +: col("codes") +:
+        within.map(col(_)).toSeq: _*)
+      .join(broadcast(q), cond)
       .select(col("q_id"), col("vec_id"),
         round(total.cast("double"), 6).as("dist"))
     val w = Window.partitionBy(col("q_id"))

@@ -85,6 +85,28 @@ class ProductQuantizerSpec extends SparkSuite {
     assert(books(0).exists(_.sameElements(Array(1.0, 2.0, 3.0, 4.0))))
   }
 
+  test("adcTopK withinCol: probe == per-list brute restriction, never crosses lists") {
+    val df = clustered(96).withColumn("list", (col("id") % 3).cast("int"))
+    val books = ProductQuantizer.train(df, "id", "vec", m = 2, ksub = 4, dim = 8, iters = 1)
+    val codes = ProductQuantizer.encode(df, "id", "vec", books, dim = 8)
+      .join(df.select(col("id"), col("list")), Seq("id"))
+    val queries = df.where(col("id") < 9)
+    val within = ProductQuantizer.adcTopK(queries, "id", "vec",
+      codes, "id", books, dim = 8, k = 3, withinCol = "list").collect()
+    assert(within.length == 9 * 3)
+    // reference: run the unrestricted probe per list over a pre-filtered corpus
+    val ref = (0 until 3).flatMap { l =>
+      ProductQuantizer.adcTopK(queries.where(col("list") === l), "id", "vec",
+        codes.where(col("list") === l).drop("list"), "id",
+        books, dim = 8, k = 3).collect()
+    }
+    val lists = df.select(col("id"), col("list")).as[(Long, Int)].collect().toMap
+    within.foreach(r => assert(lists(r.getLong(0)) == lists(r.getLong(1)),
+      s"crossed lists: $r"))
+    assert(within.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+      ref.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
+
   test("adcTopK plan: corpus side reads only (id, codes) — no vector column") {
     val df = clustered(64)
     val books = ProductQuantizer.train(df, "id", "vec", m = 2, ksub = 4, dim = 8, iters = 1)

@@ -48,6 +48,34 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(out(0) == 0.0 && out(1) == 0.0 && out(2) == null)
   }
 
+  test("native l2_squared is bit-equal to the HOF fold (same accumulation order)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = emb.select($"vec_id".as("ida"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("idb"), $"embedding".as("vb"))
+    val pairs = a.join(b, $"ida" < $"idb").limit(2000)
+    // executable spec: left-to-right fold from a 0.0 seed over
+    // (va_i - vb_i)^2, each operand widened to double first
+    val hof = aggregate(
+      zip_with($"va".cast("array<double>"), $"vb".cast("array<double>"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, t) => acc + t)
+    val mismatches = pairs.select(
+      VectorExpressions.l2Squared($"va", $"vb").as("native"), hof.as("spec"))
+      .where($"native" =!= $"spec").count()
+    assert(mismatches == 0, "fold order / widening contract broken")
+  }
+
+  test("l2_squared: empty arrays -> 0.0, nulls propagate, identical vectors -> 0.0") {
+    val df = Seq(
+      (Some(Array(1f, 2f)), Some(Array(1f, 2f))),
+      (Some(Array.empty[Float]), Some(Array.empty[Float])),
+      (None, Some(Array(1f, 1f)))
+    ).toDF("a", "b")
+    val out = df.select(VectorExpressions.l2Squared($"a", $"b").as("d"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(out(0) == 0.0 && out(1) == 0.0 && out(2) == null)
+  }
+
   test("registered SQL function works and survives codegen + interpreted paths") {
     VectorExpressions.register(spark)
     spark.read.parquet(s"$sf/embeddings.parquet").createOrReplaceTempView("emb")
