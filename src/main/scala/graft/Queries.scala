@@ -4547,6 +4547,26 @@ object Queries {
       "o_totalprice")
   }
 
+  // ---------------------------------------------------------------- Q210
+  /** Sketch-space W1 ([[graft.operators.QuantileSketch.sketchW1]]):
+    * the q206 drift distance recomputed from two DDSketches over the
+    * same BUILDING split — the monitor that runs from fixed-size
+    * mergeable state (streaming-maintainable via the q192 sink) while
+    * the exact staircase stays the investigation tool. Same alpha as
+    * q192; the oracle replays buckets, representatives and the
+    * staircase.
+    */
+  def q210SketchW1(spark: SparkSession, dir: String): DataFrame = {
+    val j = tp(spark, dir, "orders")
+      .join(tp(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+    QuantileSketch.sketchW1(
+      QuantileSketch.sketch(j.where(col("c_mktsegment") === "BUILDING"),
+        "o_totalprice", Nil, alpha = 0.01),
+      QuantileSketch.sketch(j.where(col("c_mktsegment") =!= "BUILDING"),
+        "o_totalprice", Nil, alpha = 0.01),
+      alpha = 0.01)
+  }
+
   // ---------------------------------------------------------------- Q207
   /** Join-cardinality estimation ([[graft.operators.CountMin
     * .joinSizeEstimate]]): the CM inner-product upper bound on

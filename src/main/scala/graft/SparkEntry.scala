@@ -252,6 +252,7 @@ object SparkEntry {
     "q207_join_size" -> (Queries.q207JoinSize _),
     "q208_ivfpq_probe" -> (Queries.q208IvfPqProbe _),
     "q209_pq_recall" -> (Queries.q209PqRecall _),
+    "q210_sketch_w1" -> (Queries.q210SketchW1 _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -809,6 +810,46 @@ object SparkEntry {
         |SELECT a.q_id, CAST(count(e.vec_id) AS BIGINT) AS hits
         |FROM apx a LEFT JOIN ex e ON e.q_id = a.q_id AND e.vec_id = a.vec_id
         |GROUP BY 1""".stripMargin),
+    // q192's bucket/representative replay feeding the q206 staircase:
+    // sub-resolution reps that round together merge their mass first
+    "q210_sketch_w1" -> {
+      val alpha = 0.01
+      val gamma = (1 + alpha) / (1 - alpha)
+      val lnG = math.log(gamma)
+      def side(pred: String) =
+        s"""SELECT CASE WHEN p > 0 THEN CAST(ceil(ln(p) / $lnG) AS BIGINT) END AS bucket,
+           |         count(*) AS cnt
+           |  FROM j WHERE $pred GROUP BY 1""".stripMargin
+      def rep =
+        s"round(CASE WHEN bucket IS NULL THEN 0.0 ELSE 2.0 * pow($gamma, CAST(bucket AS DOUBLE)) / ${gamma + 1.0} END, 6)"
+      s"""WITH j AS (
+         |  SELECT o_totalprice AS p, c_mktsegment = 'BUILDING' AS isa
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE o_totalprice IS NOT NULL),
+         |ba AS (${side("isa")}),
+         |bb AS (${side("NOT isa")}),
+         |t AS (
+         |  SELECT v, sum(ca) AS ca, sum(cb) AS cb FROM (
+         |    SELECT $rep AS v, cnt AS ca, 0 AS cb FROM ba
+         |    UNION ALL
+         |    SELECT $rep AS v, 0 AS ca, cnt AS cb FROM bb) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |               CAST(sum(cb) AS BIGINT) AS nb FROM t),
+         |c AS (
+         |  SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+         |         sum(cb) OVER (ORDER BY v) AS cumb,
+         |         lead(v) OVER (ORDER BY v) AS nextv
+         |  FROM t),
+         |terms AS (
+         |  SELECT CAST(round((c.nextv - c.v) *
+         |                CAST(abs(c.cuma * tot.nb - c.cumb * tot.na) AS DOUBLE), 6)
+         |              AS DECIMAL(28,6)) AS term
+         |  FROM c, tot WHERE c.nextv IS NOT NULL)
+         |SELECT tot.na AS n_a, tot.nb AS n_b,
+         |       round(CAST(coalesce((SELECT sum(term) FROM terms), 0) AS DOUBLE)
+         |             / CAST(tot.na * tot.nb AS DOUBLE), 6) AS w1
+         |FROM tot""".stripMargin
+    },
     // staircase integral between the two ECDFs: cross-scaled integer
     // gaps (exact), one IEEE product per distinct value, decimal term
     // sum, one final division — Drift.wasserstein1's replay

@@ -90,6 +90,64 @@ object QuantileSketch {
     sketches.groupBy((groupCols.map(col) :+ col("bucket")): _*)
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Sketch-space 1-Wasserstein: W1 between the two discrete
+    * distributions that place each DDSketch bucket's mass at its
+    * representative value — [[graft.operators.Drift.wasserstein1]]'s
+    * mergeable/streaming sibling. Within the sketch's `alpha` relative
+    * error of the exact W1, but computed from two FIXED-SIZE tables:
+    * at 100 TB each side is a streaming-maintained (or merged
+    * per-shard) sketch and the distance costs nothing — the drift
+    * monitor you leave running, with the exact staircase reserved for
+    * investigation. Inputs are ungrouped sketch tables
+    * ((bucket, cnt) as [[sketch]] emits with `groupCols = Nil`);
+    * returns one row (n_a, n_b, w1).
+    *
+    * The staircase here IS a single-partition window — over the
+    * sketch table, whose size is bounded by log-range/alpha (hundreds
+    * of rows) BY CONSTRUCTION, never by the corpus. Representatives
+    * are rounded to 6 dp first (two sub-resolution buckets that round
+    * together merge their mass — value-identical staircase steps),
+    * then the q206 exact-integer gap arithmetic replays unchanged.
+    */
+  def sketchW1(a: DataFrame, b: DataFrame, alpha: Double = 0.01): DataFrame = {
+    val gamma = gammaOf(alpha)
+    def repped(df: DataFrame, ca: String, cb: String) = df.select(
+      round(when(col("bucket").isNull, lit(0.0))
+        .otherwise(lit(2.0) * pow(lit(gamma), col("bucket").cast("double")) /
+          lit(gamma + 1.0)), 6).as("v"),
+      col("cnt").as(ca), (col("cnt") * 0L).as(cb))
+    val perV = repped(a, "ca", "cb").unionByName(repped(b, "cb", "ca"))
+      .groupBy(col("v")).agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val spark = a.sparkSession
+    val Array(tot) = perV.agg(sum(col("ca")), sum(col("cb"))).collect()
+    val (na, nb) = (tot.getLong(0), tot.getLong(1))
+    require(na > 0 && nb > 0, s"both sketches must carry mass, got ($na, $nb)")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+    val termSum = perV
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .withColumn("nextv", lead(col("v"), 1).over(w))
+      .where(col("nextv").isNotNull)
+      .agg(coalesce(
+        sum(round((col("nextv") - col("v")) *
+          abs(col("cuma") * nb - col("cumb") * na).cast("double"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6))),
+        lit(0).cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("s"))
+      .head().getDecimal(0)
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(na, nb, termSum.toString)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_a",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_b",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+      .select(col("n_a"), col("n_b"),
+        round(col("s").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("w1"))
+  }
+
   /** Quantile readout: for each q, the representative of the bucket
     * holding rank `floor(q·(n−1))` in bucket order (zeros first — the
     * NULL bucket sorts lowest, matching value order since every other

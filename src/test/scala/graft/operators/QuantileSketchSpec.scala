@@ -88,4 +88,45 @@ class QuantileSketchSpec extends SparkSuite {
       QuantileSketch.quantiles(sk, Seq.empty, Seq(1.5), alpha)
     }
   }
+
+  test("sketchW1: zero on self, point-mass shift recovered within alpha") {
+    val a = Seq.fill(7)(10.0).toDF("v")
+    val b = Seq.fill(3)(13.5).toDF("v")
+    val ska = QuantileSketch.sketch(a, "v", Nil, alpha = 0.01)
+    val skb = QuantileSketch.sketch(b, "v", Nil, alpha = 0.01)
+    assert(QuantileSketch.sketchW1(ska, ska, alpha = 0.01)
+      .head().getDouble(2) == 0.0)
+    val r = QuantileSketch.sketchW1(ska, skb, alpha = 0.01).head()
+    assert(r.getLong(0) == 7L && r.getLong(1) == 3L)
+    // representatives displace each point by <= alpha relative error,
+    // so the sketch W1 of a 3.5 shift at scale ~13.5 is within ~0.3
+    assert(math.abs(r.getDouble(2) - 3.5) < 0.3, s"got ${r.getDouble(2)}")
+  }
+
+  test("sketchW1 tracks the exact W1 within the alpha displacement bound") {
+    // spread distribution across many buckets
+    val a = spark.range(1, 2000).selectExpr("CAST(id AS DOUBLE) AS v")
+    val b = spark.range(1, 2000).selectExpr("CAST(id AS DOUBLE) * 1.2 AS v")
+    val exact = Drift.wasserstein1(a, b, "v").head().getDouble(2)
+    val sk = QuantileSketch.sketchW1(
+      QuantileSketch.sketch(a, "v", Nil, alpha = 0.01),
+      QuantileSketch.sketch(b, "v", Nil, alpha = 0.01), alpha = 0.01).head().getDouble(2)
+    // |W1_sketch - W1_exact| <= alpha * (E|X_a| + E|X_b|) ~ 0.01 * 2200
+    assert(math.abs(sk - exact) <= 0.01 * 2300,
+      s"sketch $sk vs exact $exact")
+    assert(sk > 0.8 * exact && sk < 1.2 * exact, s"sketch $sk vs exact $exact")
+  }
+
+  test("sketchW1 is merge-invariant: per-shard merged sketches == one-pass") {
+    val full = spark.range(1, 500).selectExpr("CAST(id AS DOUBLE) * 3.7 AS v")
+    val s1 = QuantileSketch.sketch(full.where($"v" < 600), "v", Nil, alpha = 0.02)
+    val s2 = QuantileSketch.sketch(full.where($"v" >= 600), "v", Nil, alpha = 0.02)
+    val b = QuantileSketch.sketch(
+      spark.range(1, 300).selectExpr("CAST(id AS DOUBLE) * 5.1 AS v"), "v", Nil, alpha = 0.02)
+    val merged = QuantileSketch.merge(s1.unionByName(s2), Nil)
+    val onePass = QuantileSketch.sketch(full, "v", Nil, alpha = 0.02)
+    val w1m = QuantileSketch.sketchW1(merged, b, alpha = 0.02).head().getDouble(2)
+    val w1o = QuantileSketch.sketchW1(onePass, b, alpha = 0.02).head().getDouble(2)
+    assert(w1m == w1o, s"merged $w1m != one-pass $w1o")
+  }
 }
