@@ -4547,6 +4547,34 @@ object Queries {
       "o_totalprice")
   }
 
+  // ---------------------------------------------------------------- Q211
+  /** JL-projection recall audit ([[graft.operators.Similarity
+    * .jlProject]] 64→8 dims, then the q14 exact top-k machinery in
+    * PROJECTED space): per query, how many of the projected-space
+    * cosine top-5 are true full-space top-5 — the audit for the third
+    * ANN leg (JL shrinks the arithmetic; IVF prunes reads, PQ shrinks
+    * bytes). 8 of 64 dims is a deliberately brutal 12.5% budget on
+    * isotropic vectors; like q209 the low readout is the point — the
+    * auditor tells you what a dimension budget costs BEFORE you commit
+    * the fleet to it.
+    */
+  def q211JlRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val proj = Similarity.jlProject(emb, "vec_id", "embedding",
+      dim = PqDim, targetDim = 8)
+    val approx = Similarity.topKJoin(
+      proj.where(col("vec_id") % 97 === 0), "vec_id", "proj",
+      proj, "vec_id", "proj", k = 5)
+    val exact = Similarity.topKJoin(
+      emb.where(col("vec_id") % 97 === 0), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5)
+    approx.select(col("q_id"), col("vec_id"))
+      .join(exact.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+  }
+
   // ---------------------------------------------------------------- Q210
   /** Sketch-space W1 ([[graft.operators.QuantileSketch.sketchW1]]):
     * the q206 drift distance recomputed from two DDSketches over the

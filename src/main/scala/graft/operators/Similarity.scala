@@ -47,6 +47,49 @@ object Similarity {
       .select(col("q_id"), col("c_id").as("vec_id"), col("sim"))
   }
 
+  /** Sparse Johnson–Lindenstrauss random projection (Achlioptas 2003,
+    * "Database-friendly random projections"): each of the `targetDim`
+    * output coordinates is `Σ_i vec[i]·s(i,j)` with `s(i,j)` drawn
+    * uniformly from {−1, 0, +1} by the portable 48-bit char fold of
+    * `"salt|i|j"` — sparse (⅔ of terms survive), integer-signed, and
+    * engine-replayable, with no RNG state to ship. Cosine ranking is
+    * scale-invariant, so the usual √(3/k) normalization is omitted.
+    *
+    * This is the third leg of the ANN scale triad: IVF prunes WHICH
+    * vectors are read, PQ shrinks WHAT is read, JL shrinks the
+    * ARITHMETIC — a 768→64 projection cuts exact-rescoring FLOPs 12×
+    * while JL preserves pairwise geometry to within the usual
+    * O(√(log n / k)) distortion. Map-only, codegen'd against literal
+    * signs; the projected column is `array<float>` so it feeds
+    * [[topKJoin]] / [[lshTopKJoin]] unchanged. Per-term 6-dp rounding +
+    * decimal summation keeps the projection bit-portable (the oracle
+    * replays the same fold, signs and sums).
+    */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, targetDim: Int, salt: String = "jl",
+      outCol: String = "proj"): DataFrame = {
+    require(dim > 0 && targetDim > 0, s"dim=$dim, targetDim=$targetDim")
+    import org.apache.spark.sql.types.DecimalType
+    val v = col(vecCol).cast("array<double>")
+    val projCols = (0 until targetDim).map { j =>
+      val terms = (0 until dim).flatMap { i =>
+        val s = (graft.plans.PolyHashOps.stringHash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$salt|$i|$j"))
+          % 3L).toInt - 1
+        if (s == 0) None
+        else Some(round(element_at(v, i + 1) * lit(s), 6)
+          .cast(DecimalType(18, 6)))
+      }
+      val summed =
+        if (terms.isEmpty) lit(0).cast(DecimalType(18, 6))
+        else terms.reduce(_ + _)
+      summed.cast("double").cast("float")
+    }
+    Parallelism.ensureCompute(df)
+      .where(size(col(vecCol)) === dim)
+      .select(col(idCol), array(projCols: _*).as(outCol))
+  }
+
   /** LSH-bucketed approximate top-k: hyperplane signatures on both sides,
     * candidates = same bucket under any of the single-bit-flip probes
     * (multi-probe: probes=0 -> exact bucket only). Recall < 1 by design;

@@ -490,4 +490,41 @@ class SimilaritySpec extends SparkSuite {
     assert(a.sortBy(_._1) == b.sortBy(_._1),
       "selection must be partitioning-independent")
   }
+
+  test("jlProject matches a driver-side reference (signs, rounding, decimal sums)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").where($"vec_id" < 5)
+    val got = Similarity.jlProject(emb, "vec_id", "embedding", dim = 64, targetDim = 4)
+      .as[(Long, Seq[Float])].collect().toMap
+    val raw = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def sign(i: Int, j: Int): Int =
+      (graft.plans.PolyHashOps.stringHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"jl|$i|$j")) % 3L).toInt - 1
+    raw.foreach { case (id, vec) =>
+      for (j <- 0 until 4) {
+        val want = (0 until 64).map { i =>
+          BigDecimal((vec(i).toDouble * sign(i, j)) * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP) / 1e6
+        }.sum.toDouble.toFloat
+        assert(got(id)(j) == want, s"id=$id j=$j: got ${got(id)(j)}, want $want")
+      }
+    }
+    // sanity: the sign grid actually uses all three values
+    val signs = (for (i <- 0 until 64; j <- 0 until 4) yield sign(i, j)).groupBy(identity)
+    assert(signs.keySet == Set(-1, 0, 1), s"degenerate sign grid: ${signs.keySet}")
+  }
+
+  test("jlProject preserves separated clusters: projected top-k recall is high") {
+    // 4 clusters at distance >> wobble, structure spread over all 64 dims
+    val df = spark.range(200).select($"id",
+      transform(sequence(lit(0), lit(63)), i =>
+        (when(pmod(i, lit(4)) === ($"id" % 4).cast("int"), lit(50.0))
+          .otherwise(lit(0.0)) + pmod($"id" * (i + 1L), lit(7)).cast("double") / 10.0)
+          .cast("float")).as("vec"))
+    val proj = Similarity.jlProject(df, "id", "vec", dim = 64, targetDim = 16)
+    val top = Similarity.topKJoin(proj.where($"id" < 12), "id", "proj",
+      proj, "id", "proj", k = 5).collect()
+    val sameCluster = top.count(r => r.getLong(0) % 4 == r.getLong(1) % 4)
+    assert(sameCluster >= (top.length * 9) / 10,
+      s"projected space lost cluster structure: $sameCluster/${top.length}")
+  }
 }
