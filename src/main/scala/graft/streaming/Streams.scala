@@ -347,6 +347,21 @@ object Streams {
       graft.operators.QuantileSketch.merge(
         graft.operators.ManifestTable.read(spark, tableRoot), groupCols),
       groupCols, qs, alpha)
+
+  /** LIVE drift: sketch-space Wasserstein-1 of the stream-maintained
+    * distribution ([[streamingQuantileSink]]'s snapshot, merged) against
+    * a frozen reference sketch — q210's monitor as a standing readout
+    * over fixed-size state. Because the maintained sketch equals the
+    * from-scratch sketch bit-for-bit (the sink's exactly-once + merge
+    * purity), this W1 equals the batch answer over everything delivered
+    * — no approximation is introduced by streaming itself.
+    */
+  def currentDriftW1(spark: SparkSession, tableRoot: String,
+      referenceSketch: DataFrame, alpha: Double = 0.01): DataFrame =
+    graft.operators.QuantileSketch.sketchW1(
+      graft.operators.QuantileSketch.merge(
+        graft.operators.ManifestTable.read(spark, tableRoot), Nil),
+      referenceSketch, alpha)
 }
 
 /** Merge-into-parquet sink with write-new-then-swap atomicity (SURVEY §7

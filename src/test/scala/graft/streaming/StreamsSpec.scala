@@ -644,6 +644,27 @@ class StreamsSpec extends SparkSuite {
     assert(maintained.size == 4)
   }
 
+  test("streaming drift monitor: live sketch-W1 equals the batch answer, replay-stable") {
+    import graft.operators.QuantileSketch
+    val root = Files.createTempDirectory("graft_stream_w1").resolve("t").toString
+    val sink = Streams.streamingQuantileSink(root, "w1m", "v", Nil) _
+    def slice(lo: Int, hi: Int) = (lo until hi)
+      .map(i => 1.0 + i * 2.3).toDF("v")
+    val reference = QuantileSketch.sketch(
+      (0 until 150).map(i => 5.0 + i * 1.9).toDF("v"), "v", Nil)
+    sink(slice(0, 60), 0L)
+    sink(slice(60, 120), 1L)
+    val live1 = Streams.currentDriftW1(spark, root, reference).head()
+    sink(slice(60, 120), 1L) // at-least-once replay: W1 must not move
+    val live2 = Streams.currentDriftW1(spark, root, reference).head()
+    assert(live1 == live2, s"replay moved the monitor: $live1 vs $live2")
+    val batch = QuantileSketch.sketchW1(
+      QuantileSketch.sketch(slice(0, 120), "v", Nil), reference).head()
+    assert(live2 == batch,
+      s"live drift must equal the from-scratch answer: $live2 vs $batch")
+    assert(live2.getDouble(2) > 0.0)
+  }
+
   test("streamMergeInto: upsert stream is exactly-once under replay; keys converge") {
     import graft.operators.ManifestTable
     val root = Files.createTempDirectory("graft_stream_merge").resolve("t").toString
