@@ -66,6 +66,46 @@ class SketchPropertiesSpec extends SparkSuite {
     }
   }
 
+  test("property: joinSizeEstimate >= exact always; == exact at collision-free width") {
+    for (i <- 0 until Trials) {
+      val a = df(sample(i + 400))
+      val b = df(sample(i + 500))
+      val exact = a.join(b, Seq("key")).count()
+      val tight = CountMin.joinSizeEstimate(a, "key", b, "key",
+        depth = 3, width = 8).head().getLong(2)
+      assert(tight >= exact, s"trial $i: tight $tight < exact $exact")
+      val wide = CountMin.joinSizeEstimate(a, "key", b, "key",
+        depth = 2, width = 1 << 16, withExact = true).head()
+      assert(wide.getLong(2) == exact && wide.getLong(3) == exact,
+        s"trial $i: wide ${wide.getLong(2)} != exact $exact")
+    }
+  }
+
+  test("property: W1 is a metric on samples — symmetric, 0 iff same multiset shape, triangle") {
+    def vdf(rows: List[Long]): DataFrame =
+      rows.map(k => (k % 37).toDouble + 40.0).toDF("v") // positive, DDSketch-safe
+    for (i <- 0 until Trials) {
+      val (a, b, c) = (vdf(sample(i + 600)), vdf(sample(i + 700)), vdf(sample(i + 800)))
+      val ab = Drift.wasserstein1(a, b, "v").head().getDouble(2)
+      val ba = Drift.wasserstein1(b, a, "v").head().getDouble(2)
+      val ac = Drift.wasserstein1(a, c, "v").head().getDouble(2)
+      val cb = Drift.wasserstein1(c, b, "v").head().getDouble(2)
+      assert(ab == ba, s"trial $i: W1 not symmetric: $ab vs $ba")
+      assert(ab >= 0.0 && Drift.wasserstein1(a, a, "v").head().getDouble(2) == 0.0)
+      // triangle inequality, slack 1e-5 for the 6dp term rounding
+      assert(ab <= ac + cb + 1e-5, s"trial $i: triangle broken: $ab > $ac + $cb")
+      // the sketch-space W1 obeys the same symmetry on sketched sides
+      val ska = QuantileSketch.sketch(a, "v", Nil)
+      val skb = QuantileSketch.sketch(b, "v", Nil)
+      val sab = QuantileSketch.sketchW1(ska, skb).head().getDouble(2)
+      val sba = QuantileSketch.sketchW1(skb, ska).head().getDouble(2)
+      assert(sab == sba, s"trial $i: sketch W1 not symmetric")
+      // sketch displaces each value by <= alpha relative: values ~<77
+      assert(math.abs(sab - ab) <= 0.01 * 2 * 77 + 1e-6,
+        s"trial $i: sketch W1 $sab too far from exact $ab")
+    }
+  }
+
   test("property: KS statistic is in [0,1], symmetric, 0 on identical samples") {
     for (i <- 0 until Trials) {
       val a = df(sample(i + 400)).select($"key".cast("double").as("v"))
