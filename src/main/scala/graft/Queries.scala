@@ -4597,6 +4597,24 @@ object Queries {
       .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
   }
 
+  // ---------------------------------------------------------------- Q212
+  /** Per-group drift monitor ([[graft.operators.QuantileSketch
+    * .sketchW1Grouped]]): for every language, the sketch-space W1
+    * between the document-length distributions of the first and second
+    * source halves — the per-segment standing monitor (q210's shape,
+    * but one row per segment and nothing on the driver). The oracle
+    * replays per-lang buckets, representatives and staircases.
+    */
+  def q212GroupedDriftW1(spark: SparkSession, dir: String): DataFrame = {
+    val d = tp(spark, dir, "documents")
+    QuantileSketch.sketchW1Grouped(
+      QuantileSketch.sketch(d.where(col("source") < "src4"),
+        "n_chars", Seq("lang")),
+      QuantileSketch.sketch(d.where(col("source") >= "src4"),
+        "n_chars", Seq("lang")),
+      Seq("lang"))
+  }
+
   // ---------------------------------------------------------------- Q210
   /** Sketch-space W1 ([[graft.operators.QuantileSketch.sketchW1]]):
     * the q206 drift distance recomputed from two DDSketches over the

@@ -254,6 +254,7 @@ object SparkEntry {
     "q209_pq_recall" -> (Queries.q209PqRecall _),
     "q210_sketch_w1" -> (Queries.q210SketchW1 _),
     "q211_jl_recall" -> (Queries.q211JlRecall _),
+    "q212_grouped_drift_w1" -> (Queries.q212GroupedDriftW1 _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -852,6 +853,51 @@ object SparkEntry {
         |SELECT a.q_id, CAST(count(e.vec_id) AS BIGINT) AS hits
         |FROM apx a LEFT JOIN ex e ON e.q_id = a.q_id AND e.vec_id = a.vec_id
         |GROUP BY 1""".stripMargin,
+    // per-lang q210: grouped buckets/representatives, per-group
+    // staircase windows, totals-left-join for stepless groups
+    "q212_grouped_drift_w1" -> {
+      val alpha = 0.01
+      val gamma = (1 + alpha) / (1 - alpha)
+      val lnG = math.log(gamma)
+      def rep =
+        s"round(CASE WHEN bucket IS NULL THEN 0.0 ELSE 2.0 * pow($gamma, CAST(bucket AS DOUBLE)) / ${gamma + 1.0} END, 6)"
+      s"""WITH d AS (
+         |  SELECT lang, CAST(n_chars AS DOUBLE) AS p, source < 'src4' AS isa
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |ba AS (
+         |  SELECT lang, CASE WHEN p > 0 THEN CAST(ceil(ln(p) / $lnG) AS BIGINT) END AS bucket,
+         |         count(*) AS cnt
+         |  FROM d WHERE isa GROUP BY 1, 2),
+         |bb AS (
+         |  SELECT lang, CASE WHEN p > 0 THEN CAST(ceil(ln(p) / $lnG) AS BIGINT) END AS bucket,
+         |         count(*) AS cnt
+         |  FROM d WHERE NOT isa GROUP BY 1, 2),
+         |t AS (
+         |  SELECT lang, v, sum(ca) AS ca, sum(cb) AS cb FROM (
+         |    SELECT lang, $rep AS v, cnt AS ca, 0 AS cb FROM ba
+         |    UNION ALL
+         |    SELECT lang, $rep AS v, 0 AS ca, cnt AS cb FROM bb) GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT lang, CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+         |  FROM t GROUP BY 1 HAVING sum(ca) > 0 AND sum(cb) > 0),
+         |c AS (
+         |  SELECT lang, v,
+         |         sum(ca) OVER (PARTITION BY lang ORDER BY v) AS cuma,
+         |         sum(cb) OVER (PARTITION BY lang ORDER BY v) AS cumb,
+         |         lead(v) OVER (PARTITION BY lang ORDER BY v) AS nextv
+         |  FROM t),
+         |terms AS (
+         |  SELECT c.lang,
+         |         CAST(round((c.nextv - c.v) *
+         |                CAST(abs(c.cuma * tot.n_b - c.cumb * tot.n_a) AS DOUBLE), 6)
+         |              AS DECIMAL(28,6)) AS term
+         |  FROM c JOIN tot ON tot.lang = c.lang WHERE c.nextv IS NOT NULL),
+         |s AS (SELECT lang, sum(term) AS s FROM terms GROUP BY 1)
+         |SELECT tot.lang, tot.n_a, tot.n_b,
+         |       round(CAST(coalesce(s.s, 0) AS DOUBLE)
+         |             / CAST(tot.n_a * tot.n_b AS DOUBLE), 6) AS w1
+         |FROM tot LEFT JOIN s ON s.lang = tot.lang""".stripMargin
+    },
     // q192's bucket/representative replay feeding the q206 staircase:
     // sub-resolution reps that round together merge their mass first
     "q210_sketch_w1" -> {

@@ -148,6 +148,54 @@ object QuantileSketch {
           (col("n_a") * col("n_b")).cast("double"), 6).as("w1"))
   }
 
+  /** Per-GROUP sketch-space W1 — [[sketchW1]] over grouped sketch
+    * tables ((groupCols..., bucket, cnt) as [[sketch]] emits): one row
+    * `(groupCols..., n_a, n_b, w1)` per group present on BOTH sides
+    * (a one-sided group has no defined transport distance — surface
+    * those by anti-joining the inputs). This is the standing fleet
+    * monitor shape: per-segment drift from per-segment fixed-size
+    * state, fully distributed — the staircase windows partition BY
+    * GROUP over sketch-sized rows, totals are a second tiny agg, and
+    * nothing ever touches the driver.
+    */
+  def sketchW1Grouped(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      alpha: Double = 0.01): DataFrame = {
+    require(groupCols.nonEmpty, "use sketchW1 for the ungrouped case")
+    val gamma = gammaOf(alpha)
+    val g = groupCols.map(col)
+    def repped(df: DataFrame, ca: String, cb: String) = df.select(
+      g :+
+        round(when(col("bucket").isNull, lit(0.0))
+          .otherwise(lit(2.0) * pow(lit(gamma), col("bucket").cast("double")) /
+            lit(gamma + 1.0)), 6).as("v") :+
+        col("cnt").as(ca) :+ (col("cnt") * 0L).as(cb): _*)
+    val perV = repped(a, "ca", "cb").unionByName(repped(b, "cb", "ca"))
+      .groupBy(g :+ col("v"): _*)
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val tot = perV.groupBy(g: _*)
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+      .where(col("n_a") > 0 && col("n_b") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("v"))
+    val terms = perV
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .withColumn("nextv", lead(col("v"), 1).over(w))
+      .where(col("nextv").isNotNull)
+      .join(tot, groupCols)
+      .groupBy(g: _*)
+      .agg(sum(round((col("nextv") - col("v")) *
+        abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")).cast("double"), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("s"))
+    // left join from totals: a group whose staircase has no interior
+    // steps (all mass on one value) still reports, with w1 = 0
+    tot.join(terms, groupCols, "left")
+      .select(g :+ col("n_a") :+ col("n_b") :+
+        round(coalesce(col("s"),
+          lit(0).cast(org.apache.spark.sql.types.DecimalType(28, 6))).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("w1"): _*)
+  }
+
   /** Quantile readout: for each q, the representative of the bucket
     * holding rank `floor(q·(n−1))` in bucket order (zeros first — the
     * NULL bucket sorts lowest, matching value order since every other
