@@ -4597,6 +4597,20 @@ object Queries {
       .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
   }
 
+  // ---------------------------------------------------------------- Q213
+  /** IVF-PQ probe pricing ([[graft.operators.ProductQuantizer
+    * .probeMassReport]]): the q208 probe's per-list ADC pair mass from
+    * two counts-only aggs — the q126b/q202 pricing discipline on the
+    * compressed probe, run at plan time before any scoring. The oracle
+    * replays the coarse router and the count arithmetic.
+    */
+  def q213ProbeMass(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val lists = emb.select(col("vec_id"), pqListOf(col("embedding")).as("list"))
+    ProductQuantizer.probeMassReport(
+      lists.where(col("vec_id") % 97 === 0), lists, "list")
+  }
+
   // ---------------------------------------------------------------- Q212
   /** Per-group drift monitor ([[graft.operators.QuantileSketch
     * .sketchW1Grouped]]): for every language, the sketch-space W1

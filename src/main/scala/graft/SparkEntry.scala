@@ -255,6 +255,7 @@ object SparkEntry {
     "q210_sketch_w1" -> (Queries.q210SketchW1 _),
     "q211_jl_recall" -> (Queries.q211JlRecall _),
     "q212_grouped_drift_w1" -> (Queries.q212GroupedDriftW1 _),
+    "q213_probe_mass" -> (Queries.q213ProbeMass _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -853,6 +854,25 @@ object SparkEntry {
         |SELECT a.q_id, CAST(count(e.vec_id) AS BIGINT) AS hits
         |FROM apx a LEFT JOIN ex e ON e.q_id = a.q_id AND e.vec_id = a.vec_id
         |GROUP BY 1""".stripMargin,
+    // the frozen coarse router replayed, then pure count arithmetic
+    "q213_probe_mass" ->
+      """WITH lst AS (
+        |  SELECT vec_id, list FROM (
+        |    SELECT e.vec_id, j.j AS list,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY CAST(e.embedding[j.j * 16 + 1] AS DOUBLE) DESC,
+        |                                       j.j ASC) AS rn
+        |    FROM embeddings e,
+        |         (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS j) j)
+        |  WHERE rn = 1),
+        |qn AS (SELECT list, count(*) AS n_queries FROM lst
+        |       WHERE vec_id % 97 = 0 GROUP BY 1),
+        |cn AS (SELECT list, count(*) AS n_codes FROM lst GROUP BY 1)
+        |SELECT coalesce(qn.list, cn.list) AS list,
+        |       coalesce(qn.n_queries, 0) AS n_queries,
+        |       coalesce(cn.n_codes, 0) AS n_codes,
+        |       coalesce(qn.n_queries, 0) * coalesce(cn.n_codes, 0) AS pairs
+        |FROM qn FULL OUTER JOIN cn ON cn.list = qn.list""".stripMargin,
     // per-lang q210: grouped buckets/representatives, per-group
     // staircase windows, totals-left-join for stepless groups
     "q212_grouped_drift_w1" -> {

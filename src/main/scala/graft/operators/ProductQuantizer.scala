@@ -167,6 +167,32 @@ object ProductQuantizer {
         codesArray(col("__vec"), books, dsub).as("codes"))
   }
 
+  /** Price an [[adcTopK]] `withinCol` probe BEFORE running it: per
+    * coarse list, query count × code count = the ADC pair mass that
+    * list will generate (each pair costs m LUT lookups). The q126b/q202
+    * pair-mass pricing discipline applied to the IVF-PQ probe: a
+    * degenerate coarse quantizer (everything in one list) shows up here
+    * as one list carrying ~all the mass — visible at PLAN time from two
+    * counts-only partial aggs, before any scoring work is spent.
+    * Returns one row per list with a query or codes presence:
+    * (list, n_queries, n_codes, pairs), pairs = n_queries·n_codes
+    * (0 when either side is absent).
+    */
+  def probeMassReport(queries: DataFrame, codes: DataFrame,
+      withinCol: String): DataFrame = {
+    val qn = Parallelism.ensureCompute(queries)
+      .groupBy(col(withinCol).as("list"))
+      .agg(count(lit(1)).as("n_queries"))
+    val cn = Parallelism.ensureCompute(codes)
+      .groupBy(col(withinCol).as("list"))
+      .agg(count(lit(1)).as("n_codes"))
+    qn.join(cn, Seq("list"), "full_outer")
+      .select(col("list"),
+        coalesce(col("n_queries"), lit(0L)).as("n_queries"),
+        coalesce(col("n_codes"), lit(0L)).as("n_codes"))
+      .withColumn("pairs", col("n_queries") * col("n_codes"))
+  }
+
   /** ADC approximate top-k: every query row scores every code row by
     * summing, per subspace, the exact query-to-centroid distance of the
     * centroid the corpus row's code names. The per-subspace LUT is an

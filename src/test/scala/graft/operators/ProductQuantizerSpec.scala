@@ -107,6 +107,20 @@ class ProductQuantizerSpec extends SparkSuite {
       ref.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
   }
 
+  test("probeMassReport prices the probe: degenerate list shows full brute mass") {
+    import spark.implicits._
+    val codes = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1)).toDF("id", "list")
+    val queries = Seq((10L, 0), (11L, 0), (12L, 2)).toDF("id", "list")
+    val r = ProductQuantizer.probeMassReport(queries, codes, "list")
+      .collect().map(x => x.getInt(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // list 0 carries 2x3=6 of the 6 total scored pairs; list 1 has no
+    // queries (0 pairs); list 2 has no codes (0 pairs) - both visible
+    assert(r(0) == ((2L, 3L, 6L)) && r(1) == ((0L, 1L, 0L)) && r(2) == ((1L, 0L, 0L)), s"$r")
+    // the priced mass equals what adcTopK-within would actually score
+    val scored = codes.as("c").join(queries.as("q"), $"c.list" === $"q.list").count()
+    assert(r.values.map(_._3).sum == scored)
+  }
+
   test("adcTopK plan: corpus side reads only (id, codes) — no vector column") {
     val df = clustered(64)
     val books = ProductQuantizer.train(df, "id", "vec", m = 2, ksub = 4, dim = 8, iters = 1)
