@@ -80,6 +80,52 @@ class DriftSpec extends SparkSuite {
     assert(Drift.wasserstein1(a, b, "v").head().getDouble(2) == 0.25)
   }
 
+  test("wasserstein1 plan pin: every Window partitions by __pid — no global window") {
+    val a = spark.range(2000).selectExpr("CAST(id AS DOUBLE) AS v")
+    val b = spark.range(2000).selectExpr("CAST(id AS DOUBLE) + 0.5 AS v")
+    // capture Window nodes from the per-partition pass: analyze the
+    // staircase stage lazily via the plan the operator builds (the
+    // operator materializes internally, so probe the plan by running
+    // and inspecting the recorded physical plans of the session)
+    val tracker = new org.apache.spark.sql.util.QueryExecutionListener {
+      @volatile var globalWindows = 0
+      @volatile var partitionedWindows = 0
+      private def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          p +: flatten(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: flatten(s.plan)
+        case _ => p +: p.children.flatMap(flatten)
+      }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+        flatten(qe.executedPlan).foreach {
+          case w: org.apache.spark.sql.execution.window.WindowExec =>
+            if (w.partitionSpec.isEmpty) globalWindows += 1
+            else partitionedWindows += 1
+          case _ =>
+        }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(tracker)
+    try {
+      val r = Drift.wasserstein1(a, b, "v").head()
+      assert(r.getDouble(2) == 0.5)
+      // the listener is async: wait until the staircase pass (the
+      // __pid-partitioned windows) has been observed, then judge
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (tracker.partitionedWindows == 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(tracker.partitionedWindows > 0,
+        "listener never saw the __pid-partitioned staircase windows")
+      assert(tracker.globalWindows == 0,
+        s"wasserstein1 ran ${tracker.globalWindows} single-partition global Window(s)")
+    } finally spark.listenerManager.unregister(tracker)
+  }
+
   test("ksStatistic guards: empty side and oversize contract") {
     val a = Seq(1.0).toDF("v")
     val e = intercept[IllegalArgumentException] {

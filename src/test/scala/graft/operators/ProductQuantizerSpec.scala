@@ -107,6 +107,21 @@ class ProductQuantizerSpec extends SparkSuite {
       ref.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
   }
 
+  test("plan pins: encode is map-only (no Exchange); probe mass partial-aggs before shuffle") {
+    val df = clustered(64)
+    val books = ProductQuantizer.train(df, "id", "vec", m = 2, ksub = 4, dim = 8, iters = 1)
+    val encodePlan = ProductQuantizer.encode(df, "id", "vec", books, dim = 8)
+      .queryExecution.executedPlan.toString
+    assert(!encodePlan.contains("Exchange"),
+      s"encode must be a map-only projection:\n$encodePlan")
+    import spark.implicits._
+    val lists = Seq((1L, 0), (2L, 1)).toDF("id", "list")
+    val massPlan = ProductQuantizer.probeMassReport(lists, lists, "list")
+      .queryExecution.executedPlan.toString
+    assert(massPlan.contains("partial_count"),
+      s"probe pricing must map-side combine before its shuffle:\n$massPlan")
+  }
+
   test("probeMassReport prices the probe: degenerate list shows full brute mass") {
     import spark.implicits._
     val codes = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1)).toDF("id", "list")
