@@ -4597,6 +4597,42 @@ object Queries {
       .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
   }
 
+  // ---------------------------------------------------------------- Q214
+  /** Two-stage ANN retrieval ([[graft.operators.ProductQuantizer
+    * .adcTopK]] within-list candidates → exact [[graft.plans
+    * .VectorExpressions.l2Squared]] rerank): the production pipeline —
+    * the compressed partition-pruned probe nominates 20 candidates per
+    * query, then ONLY those ~20 rows read their full vectors for the
+    * exact top-5. At 100 TB the stage-2 vector fetch is a semi-join
+    * against a candidate set thousands of times smaller than the
+    * corpus — the reason PQ's lossy distances are acceptable: they
+    * only have to get the right 20, not the right 5.
+    */
+  def q214AnnRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val books = pqBooks(spark, dir)
+    val codes = ProductQuantizer.encode(emb, "vec_id", "embedding",
+      books, dim = PqDim)
+      .join(emb.select(col("vec_id"),
+        pqListOf(col("embedding")).as("list")), Seq("vec_id"))
+    val queries = emb.where(col("vec_id") % 97 === 0)
+      .withColumn("list", pqListOf(col("embedding")))
+    val cand = ProductQuantizer.adcTopK(queries, "vec_id", "embedding",
+      codes, "vec_id", books, dim = PqDim, k = 20, withinCol = "list")
+    val rerankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("l2").asc, col("vec_id").asc)
+    cand.select(col("q_id"), col("vec_id"))
+      .join(emb.select(col("vec_id"), col("embedding").as("c_vec")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.plans.VectorExpressions.l2Squared(
+          col("q_vec"), col("c_vec")), 6).as("l2"))
+      .withColumn("rn", row_number().over(rerankW))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"), col("l2"))
+  }
+
   // ---------------------------------------------------------------- Q213
   /** IVF-PQ probe pricing ([[graft.operators.ProductQuantizer
     * .probeMassReport]]): the q208 probe's per-list ADC pair mass from

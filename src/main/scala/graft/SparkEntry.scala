@@ -256,6 +256,7 @@ object SparkEntry {
     "q211_jl_recall" -> (Queries.q211JlRecall _),
     "q212_grouped_drift_w1" -> (Queries.q212GroupedDriftW1 _),
     "q213_probe_mass" -> (Queries.q213ProbeMass _),
+    "q214_ann_rerank" -> (Queries.q214AnnRerank _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -854,6 +855,47 @@ object SparkEntry {
         |SELECT a.q_id, CAST(count(e.vec_id) AS BIGINT) AS hits
         |FROM apx a LEFT JOIN ex e ON e.q_id = a.q_id AND e.vec_id = a.vec_id
         |GROUP BY 1""".stripMargin,
+    // q208's within-list ADC top-20 nominates; the exact left-to-right
+    // L2 fold reranks only those candidate rows to the final top-5
+    "q214_ann_rerank" -> pqOracle(
+      """, lst AS (
+        |  SELECT vec_id, list FROM (
+        |    SELECT e.vec_id, j.j AS list,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY CAST(e.embedding[j.j * 16 + 1] AS DOUBLE) DESC,
+        |                                       j.j ASC) AS rn
+        |    FROM embeddings e,
+        |         (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS j) j)
+        |  WHERE rn = 1),
+        |adc AS (
+        |  SELECT l.vec_id AS q_id, a.vec_id,
+        |         round(CAST(sum(l.d) AS DOUBLE), 6) AS dist
+        |  FROM a3 a JOIN d3 l ON l.sub = a.sub AND l.code = a.code
+        |  JOIN lst ql ON ql.vec_id = l.vec_id
+        |  JOIN lst cl ON cl.vec_id = a.vec_id AND cl.list = ql.list
+        |  WHERE l.vec_id % 97 = 0 AND a.vec_id <> l.vec_id
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY dist ASC, vec_id ASC) AS rn
+        |    FROM adc)
+        |  WHERE rn <= 20),
+        |rr AS (
+        |  SELECT c.q_id, c.vec_id,
+        |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(generate_series(1, 64), i ->
+        |             (CAST(q.embedding[i] AS DOUBLE) - CAST(x.embedding[i] AS DOUBLE))
+        |             * (CAST(q.embedding[i] AS DOUBLE) - CAST(x.embedding[i] AS DOUBLE)))),
+        |           (u, w) -> u + w), 6) AS l2
+        |  FROM cand c
+        |  JOIN embeddings q ON q.vec_id = c.q_id
+        |  JOIN embeddings x ON x.vec_id = c.vec_id)
+        |SELECT q_id, vec_id, l2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY l2 ASC, vec_id ASC) AS rn
+        |  FROM rr)
+        |WHERE rn <= 5""".stripMargin),
     // the frozen coarse router replayed, then pure count arithmetic
     "q213_probe_mass" ->
       """WITH lst AS (
