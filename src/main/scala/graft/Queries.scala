@@ -4649,7 +4649,7 @@ object Queries {
 
   // ---------------------------------------------------------------- Q212
   /** Per-group drift monitor ([[graft.operators.QuantileSketch
-    * .sketchW1Grouped]]): for every language, the sketch-space W1
+    * .sketchDriftReport]]): for every language, the sketch-space W1 + KS
     * between the document-length distributions of the first and second
     * source halves — the per-segment standing monitor (q210's shape,
     * but one row per segment and nothing on the driver). The oracle
@@ -4657,7 +4657,7 @@ object Queries {
     */
   def q212GroupedDriftW1(spark: SparkSession, dir: String): DataFrame = {
     val d = tp(spark, dir, "documents")
-    QuantileSketch.sketchW1Grouped(
+    QuantileSketch.sketchDriftReport(
       QuantileSketch.sketch(d.where(col("source") < "src4"),
         "n_chars", Seq("lang")),
       QuantileSketch.sketch(d.where(col("source") >= "src4"),

@@ -954,10 +954,18 @@ object SparkEntry {
          |                CAST(abs(c.cuma * tot.n_b - c.cumb * tot.n_a) AS DOUBLE), 6)
          |              AS DECIMAL(28,6)) AS term
          |  FROM c JOIN tot ON tot.lang = c.lang WHERE c.nextv IS NOT NULL),
-         |s AS (SELECT lang, sum(term) AS s FROM terms GROUP BY 1)
+         |s AS (
+         |  SELECT c.lang, sum(CAST(round((c.nextv - c.v) *
+         |             CAST(abs(c.cuma * tot.n_b - c.cumb * tot.n_a) AS DOUBLE), 6)
+         |           AS DECIMAL(28,6))) AS s,
+         |         max(abs(c.cuma * tot.n_b - c.cumb * tot.n_a)) AS ksn
+         |  FROM c JOIN tot ON tot.lang = c.lang WHERE c.nextv IS NOT NULL
+         |  GROUP BY 1)
          |SELECT tot.lang, tot.n_a, tot.n_b,
          |       round(CAST(coalesce(s.s, 0) AS DOUBLE)
-         |             / CAST(tot.n_a * tot.n_b AS DOUBLE), 6) AS w1
+         |             / CAST(tot.n_a * tot.n_b AS DOUBLE), 6) AS w1,
+         |       round(CAST(coalesce(s.ksn, 0) AS DOUBLE)
+         |             / CAST(tot.n_a * tot.n_b AS DOUBLE), 6) AS ks
          |FROM tot LEFT JOIN s ON s.lang = tot.lang""".stripMargin
     },
     // q192's bucket/representative replay feeding the q206 staircase:

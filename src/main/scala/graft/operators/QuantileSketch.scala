@@ -148,17 +148,22 @@ object QuantileSketch {
           (col("n_a") * col("n_b")).cast("double"), 6).as("w1"))
   }
 
-  /** Per-GROUP sketch-space W1 — [[sketchW1]] over grouped sketch
-    * tables ((groupCols..., bucket, cnt) as [[sketch]] emits): one row
-    * `(groupCols..., n_a, n_b, w1)` per group present on BOTH sides
-    * (a one-sided group has no defined transport distance — surface
-    * those by anti-joining the inputs). This is the standing fleet
-    * monitor shape: per-segment drift from per-segment fixed-size
-    * state, fully distributed — the staircase windows partition BY
-    * GROUP over sketch-sized rows, totals are a second tiny agg, and
-    * nothing ever touches the driver.
+  /** Per-GROUP sketch-space drift report — [[sketchW1]]'s staircase
+    * over grouped sketch tables ((groupCols..., bucket, cnt) as
+    * [[sketch]] emits), emitting BOTH readouts the one pass already
+    * prices: one row `(groupCols..., n_a, n_b, w1, ks)` per group
+    * present on BOTH sides (a one-sided group has no defined transport
+    * distance — surface those by anti-joining the inputs). `w1` is the
+    * transport distance (how FAR the mass moved); `ks` is the sup ECDF
+    * gap at bucket resolution (the LARGEST displaced fraction) — the
+    * exact KS of the quantized distributions, within one bucket's mass
+    * of the true KS. This is the standing fleet monitor shape:
+    * per-segment drift from per-segment fixed-size state, fully
+    * distributed — the staircase windows partition BY GROUP over
+    * sketch-sized rows, totals are a second tiny agg, and nothing ever
+    * touches the driver.
     */
-  def sketchW1Grouped(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+  def sketchDriftReport(a: DataFrame, b: DataFrame, groupCols: Seq[String],
       alpha: Double = 0.01): DataFrame = {
     require(groupCols.nonEmpty, "use sketchW1 for the ungrouped case")
     val gamma = gammaOf(alpha)
@@ -184,16 +189,21 @@ object QuantileSketch {
       .where(col("nextv").isNotNull)
       .join(tot, groupCols)
       .groupBy(g: _*)
-      .agg(sum(round((col("nextv") - col("v")) *
-        abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")).cast("double"), 6)
-        .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("s"))
+      .agg(
+        sum(round((col("nextv") - col("v")) *
+          abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")).cast("double"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("s"),
+        max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a"))).as("ksn"))
     // left join from totals: a group whose staircase has no interior
-    // steps (all mass on one value) still reports, with w1 = 0
+    // steps (all mass on one value) still reports, with w1 = 0 (and
+    // ks = 0: identical quantized mass placement)
     tot.join(terms, groupCols, "left")
       .select(g :+ col("n_a") :+ col("n_b") :+
         round(coalesce(col("s"),
           lit(0).cast(org.apache.spark.sql.types.DecimalType(28, 6))).cast("double") /
-          (col("n_a") * col("n_b")).cast("double"), 6).as("w1"): _*)
+          (col("n_a") * col("n_b")).cast("double"), 6).as("w1") :+
+        round(coalesce(col("ksn"), lit(0L)).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("ks"): _*)
   }
 
   /** Quantile readout: for each q, the representative of the bucket

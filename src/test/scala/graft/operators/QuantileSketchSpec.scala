@@ -117,19 +117,23 @@ class QuantileSketchSpec extends SparkSuite {
     assert(sk > 0.8 * exact && sk < 1.2 * exact, s"sketch $sk vs exact $exact")
   }
 
-  test("sketchW1Grouped: per-group == ungrouped per slice; stepless and one-sided groups") {
+  test("sketchDriftReport: per-group == ungrouped per slice; stepless and one-sided groups") {
     val a = (Seq.fill(20)(("g1", 5.0)) ++ Seq.fill(10)(("g2", 50.0)) ++
       Seq.fill(4)(("g3", 7.0)) ++ Seq.fill(3)(("only_a", 9.0))).toDF("k", "v")
     val b = (Seq.fill(15)(("g1", 8.0)) ++ Seq.fill(12)(("g2", 50.0)) ++
       Seq.fill(6)(("g3", 7.0))).toDF("k", "v")
     val ska = QuantileSketch.sketch(a, "v", Seq("k"))
     val skb = QuantileSketch.sketch(b, "v", Seq("k"))
-    val grouped = QuantileSketch.sketchW1Grouped(ska, skb, Seq("k"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val rows = QuantileSketch.sketchDriftReport(ska, skb, Seq("k")).collect()
+    val grouped = rows.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val ks = rows.map(r => r.getString(0) -> r.getDouble(4)).toMap
     // one-sided group dropped; both-sided groups present
     assert(grouped.keySet == Set("g1", "g2", "g3"), s"got ${grouped.keySet}")
     // g2/g3: identical single-bucket mass on both sides -> 0, row kept
     assert(grouped("g2") == ((10L, 12L, 0.0)) && grouped("g3") == ((4L, 6L, 0.0)))
+    // ks readout: completely separated buckets -> 1.0; identical -> 0.0
+    assert(ks("g1") == 1.0 && ks("g2") == 0.0 && ks("g3") == 0.0, s"$ks")
     // per-group value equals the ungrouped computation on that slice
     for (g <- Seq("g1", "g2", "g3")) {
       val solo = QuantileSketch.sketchW1(
