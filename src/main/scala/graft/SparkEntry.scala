@@ -960,13 +960,25 @@ object SparkEntry {
          |           AS DECIMAL(28,6))) AS s,
          |         max(abs(c.cuma * tot.n_b - c.cumb * tot.n_a)) AS ksn
          |  FROM c JOIN tot ON tot.lang = c.lang WHERE c.nextv IS NOT NULL
+         |  GROUP BY 1),
+         |ps AS (
+         |  SELECT t.lang,
+         |         sum(CAST(round((CAST(t.ca AS DOUBLE) / tot.n_a
+         |                         - CAST(t.cb AS DOUBLE) / tot.n_b) *
+         |               ln(CAST(t.ca * tot.n_b AS DOUBLE)
+         |                  / CAST(t.cb * tot.n_a AS DOUBLE)), 6)
+         |             AS DECIMAL(28,6))) AS psum
+         |  FROM t JOIN tot ON tot.lang = t.lang
+         |  WHERE t.ca > 0 AND t.cb > 0
          |  GROUP BY 1)
          |SELECT tot.lang, tot.n_a, tot.n_b,
          |       round(CAST(coalesce(s.s, 0) AS DOUBLE)
          |             / CAST(tot.n_a * tot.n_b AS DOUBLE), 6) AS w1,
          |       round(CAST(coalesce(s.ksn, 0) AS DOUBLE)
-         |             / CAST(tot.n_a * tot.n_b AS DOUBLE), 6) AS ks
-         |FROM tot LEFT JOIN s ON s.lang = tot.lang""".stripMargin
+         |             / CAST(tot.n_a * tot.n_b AS DOUBLE), 6) AS ks,
+         |       round(CAST(ps.psum AS DOUBLE), 6) AS psi
+         |FROM tot LEFT JOIN s ON s.lang = tot.lang
+         |LEFT JOIN ps ON ps.lang = tot.lang""".stripMargin
     },
     // q192's bucket/representative replay feeding the q206 staircase:
     // sub-resolution reps that round together merge their mass first

@@ -157,7 +157,11 @@ object QuantileSketch {
     * transport distance (how FAR the mass moved); `ks` is the sup ECDF
     * gap at bucket resolution (the LARGEST displaced fraction) — the
     * exact KS of the quantized distributions, within one bucket's mass
-    * of the true KS. This is the standing fleet monitor shape:
+    * of the true KS; `psi` is the population stability index over the
+    * SHARED buckets ([[Drift.psiBins]]'s smoothing-free form on the
+    * sketch's log-spaced bins) — NULL when the two sides share no
+    * bucket at all, because the true PSI is then infinite and a 0
+    * would lie. This is the standing fleet monitor shape:
     * per-segment drift from per-segment fixed-size state, fully
     * distributed — the staircase windows partition BY GROUP over
     * sketch-sized rows, totals are a second tiny agg, and nothing ever
@@ -194,16 +198,28 @@ object QuantileSketch {
           abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")).cast("double"), 6)
           .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("s"),
         max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a"))).as("ksn"))
+    val psi = perV.where(col("ca") > 0 && col("cb") > 0)
+      .join(tot, groupCols)
+      .groupBy(g: _*)
+      .agg(sum(round(
+        (col("ca").cast("double") / col("n_a") -
+          col("cb").cast("double") / col("n_b")) *
+          log((col("ca") * col("n_b")).cast("double") /
+            (col("cb") * col("n_a")).cast("double")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("psum"))
     // left join from totals: a group whose staircase has no interior
     // steps (all mass on one value) still reports, with w1 = 0 (and
-    // ks = 0: identical quantized mass placement)
+    // ks = 0: identical quantized mass placement); psi stays NULL when
+    // no bucket is shared
     tot.join(terms, groupCols, "left")
+      .join(psi, groupCols, "left")
       .select(g :+ col("n_a") :+ col("n_b") :+
         round(coalesce(col("s"),
           lit(0).cast(org.apache.spark.sql.types.DecimalType(28, 6))).cast("double") /
           (col("n_a") * col("n_b")).cast("double"), 6).as("w1") :+
         round(coalesce(col("ksn"), lit(0L)).cast("double") /
-          (col("n_a") * col("n_b")).cast("double"), 6).as("ks"): _*)
+          (col("n_a") * col("n_b")).cast("double"), 6).as("ks") :+
+        round(col("psum").cast("double"), 6).as("psi"): _*)
   }
 
   /** Quantile readout: for each q, the representative of the bucket

@@ -362,6 +362,20 @@ object Streams {
       graft.operators.QuantileSketch.merge(
         graft.operators.ManifestTable.read(spark, tableRoot), Nil),
       referenceSketch, alpha)
+
+  /** PER-SEGMENT live drift: [[graft.operators.QuantileSketch
+    * .sketchDriftReport]] (W1 + bucket-KS + shared-bucket PSI) of the
+    * grouped maintained stream against a grouped frozen reference —
+    * one monitor row per segment, all from fixed-size state, same
+    * bit-equality-with-batch guarantee as [[currentDriftW1]].
+    */
+  def currentDriftReport(spark: SparkSession, tableRoot: String,
+      referenceSketch: DataFrame, groupCols: Seq[String],
+      alpha: Double = 0.01): DataFrame =
+    graft.operators.QuantileSketch.sketchDriftReport(
+      graft.operators.QuantileSketch.merge(
+        graft.operators.ManifestTable.read(spark, tableRoot), groupCols),
+      referenceSketch, groupCols, alpha)
 }
 
 /** Merge-into-parquet sink with write-new-then-swap atomicity (SURVEY §7

@@ -134,6 +134,12 @@ class QuantileSketchSpec extends SparkSuite {
     assert(grouped("g2") == ((10L, 12L, 0.0)) && grouped("g3") == ((4L, 6L, 0.0)))
     // ks readout: completely separated buckets -> 1.0; identical -> 0.0
     assert(ks("g1") == 1.0 && ks("g2") == 0.0 && ks("g3") == 0.0, s"$ks")
+    // psi: no shared bucket -> NULL (infinite PSI must not read as 0);
+    // identical placement -> 0.0
+    val psi = rows.map(r =>
+      r.getString(0) -> (if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(psi("g1").isEmpty, s"disjoint supports must report NULL psi: $psi")
+    assert(psi("g2").contains(0.0) && psi("g3").contains(0.0), s"$psi")
     // per-group value equals the ungrouped computation on that slice
     for (g <- Seq("g1", "g2", "g3")) {
       val solo = QuantileSketch.sketchW1(

@@ -665,6 +665,26 @@ class StreamsSpec extends SparkSuite {
     assert(live2.getDouble(2) > 0.0)
   }
 
+  test("streaming per-segment drift report equals the batch report") {
+    import graft.operators.QuantileSketch
+    val root = Files.createTempDirectory("graft_stream_w1g").resolve("t").toString
+    val sink = Streams.streamingQuantileSink(root, "w1g", "v", Seq("k")) _
+    def slice(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (if (i % 2 == 0) "a" else "b", 1.0 + i * 2.3)).toDF("k", "v")
+    val reference = QuantileSketch.sketch(
+      (0 until 100).map(i => (if (i % 2 == 0) "a" else "b", 5.0 + i * 1.9))
+        .toDF("k", "v"), "v", Seq("k"))
+    sink(slice(0, 60), 0L)
+    sink(slice(60, 120), 1L)
+    val live = Streams.currentDriftReport(spark, root, reference, Seq("k"))
+      .collect().sortBy(_.getString(0)).toSeq
+    val batch = QuantileSketch.sketchDriftReport(
+      QuantileSketch.sketch(slice(0, 120), "v", Seq("k")), reference, Seq("k"))
+      .collect().sortBy(_.getString(0)).toSeq
+    assert(live == batch, s"live $live vs batch $batch")
+    assert(live.size == 2 && live.forall(_.getDouble(3) > 0.0))
+  }
+
   test("streamMergeInto: upsert stream is exactly-once under replay; keys converge") {
     import graft.operators.ManifestTable
     val root = Files.createTempDirectory("graft_stream_merge").resolve("t").toString
