@@ -948,16 +948,10 @@ object SparkEntry {
          |         sum(cb) OVER (PARTITION BY lang ORDER BY v) AS cumb,
          |         lead(v) OVER (PARTITION BY lang ORDER BY v) AS nextv
          |  FROM t),
-         |terms AS (
-         |  SELECT c.lang,
-         |         CAST(round((c.nextv - c.v) *
-         |                CAST(abs(c.cuma * tot.n_b - c.cumb * tot.n_a) AS DOUBLE), 6)
-         |              AS DECIMAL(28,6)) AS term
-         |  FROM c JOIN tot ON tot.lang = c.lang WHERE c.nextv IS NOT NULL),
          |s AS (
          |  SELECT c.lang, sum(CAST(round((c.nextv - c.v) *
          |             CAST(abs(c.cuma * tot.n_b - c.cumb * tot.n_a) AS DOUBLE), 6)
-         |           AS DECIMAL(28,6))) AS s,
+         |           AS DECIMAL(38,6))) AS s,
          |         max(abs(c.cuma * tot.n_b - c.cumb * tot.n_a)) AS ksn
          |  FROM c JOIN tot ON tot.lang = c.lang WHERE c.nextv IS NOT NULL
          |  GROUP BY 1),
@@ -967,7 +961,7 @@ object SparkEntry {
          |                         - CAST(t.cb AS DOUBLE) / tot.n_b) *
          |               ln(CAST(t.ca * tot.n_b AS DOUBLE)
          |                  / CAST(t.cb * tot.n_a AS DOUBLE)), 6)
-         |             AS DECIMAL(28,6))) AS psum
+         |             AS DECIMAL(38,6))) AS psum
          |  FROM t JOIN tot ON tot.lang = t.lang
          |  WHERE t.ca > 0 AND t.cb > 0
          |  GROUP BY 1)
@@ -1013,7 +1007,7 @@ object SparkEntry {
          |terms AS (
          |  SELECT CAST(round((c.nextv - c.v) *
          |                CAST(abs(c.cuma * tot.nb - c.cumb * tot.na) AS DOUBLE), 6)
-         |              AS DECIMAL(28,6)) AS term
+         |              AS DECIMAL(38,6)) AS term
          |  FROM c, tot WHERE c.nextv IS NOT NULL)
          |SELECT tot.na AS n_a, tot.nb AS n_b,
          |       round(CAST(coalesce((SELECT sum(term) FROM terms), 0) AS DOUBLE)
@@ -1042,7 +1036,7 @@ object SparkEntry {
         |terms AS (
         |  SELECT CAST(round((c.nextv - c.v) *
         |                CAST(abs(c.cuma * tot.nb - c.cumb * tot.na) AS DOUBLE), 6)
-        |              AS DECIMAL(28,6)) AS term
+        |              AS DECIMAL(38,6)) AS term
         |  FROM c, tot WHERE c.nextv IS NOT NULL)
         |SELECT tot.na AS n_a, tot.nb AS n_b,
         |       round(CAST(coalesce((SELECT sum(term) FROM terms), 0) AS DOUBLE)
@@ -1078,7 +1072,9 @@ object SparkEntry {
         |  SELECT count(*) AS exact_rows
         |  FROM orders JOIN customer ON o_custkey = c_custkey)
         |SELECT CAST(4 AS INTEGER) AS depth, CAST(256 AS INTEGER) AS width,
-        |       (SELECT min(dp) FROM dot) AS est, ex.exact_rows
+        |       (SELECT min(coalesce(dot.dp, 0))
+        |        FROM ds LEFT JOIN dot ON dot.d = ds.d) AS est,
+        |       ex.exact_rows
         |FROM ex""".stripMargin,
     "q14c_portable_lsh" -> portableLshOracle,
     "q1_dedup_full" -> "SELECT DISTINCT * FROM lineitem",

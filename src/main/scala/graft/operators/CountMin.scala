@@ -84,10 +84,17 @@ object CountMin {
       depth: Int, width: Int, withExact: Boolean = false): DataFrame = {
     val cmA = build(a.where(col(aKey).isNotNull), aKey, depth, width)
     val cmB = build(b.where(col(bKey).isNotNull), bKey, depth, width)
+    // a depth whose sketches share NO bucket has dot product exactly 0
+    // (the join is provably empty) — it must participate in the min as
+    // 0, not drop out: right-join every depth in and coalesce, so
+    // disjoint key sets report est = 0 instead of NULL/phantom mass
+    val spark = a.sparkSession
+    val depths = spark.range(depth).select(col("id").cast("int").as("d"))
     val est = cmA.join(cmB.withColumnRenamed("cnt", "cntb"), Seq("d", "bucket"))
       .groupBy(col("d"))
       .agg(sum(col("cnt") * col("cntb")).as("dp"))
-      .agg(min(col("dp")).as("est"))
+      .join(depths, Seq("d"), "right")
+      .agg(min(coalesce(col("dp"), lit(0L))).as("est"))
     val withMeta = est.select(lit(depth).as("depth"), lit(width).as("width"),
       col("est"))
     if (!withExact) withMeta.withColumn("exact_rows", lit(null).cast("long"))

@@ -137,11 +137,19 @@ object Drift {
         StructField("__nextmin", org.apache.spark.sql.types.DoubleType))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(col("v"))
-    val Array(totals) = tagged.agg(sum(col("ia")), sum(col("ib"))).collect()
-    val (na, nb) = (totals.getLong(0), totals.getLong(1))
+    // (n_a, n_b) come free from the per-partition stats the boundary
+    // stitch already collected: Σ packed = n_a·2³² + n_b, exact while
+    // each sample holds < 2³¹ rows (the operator's contract below) —
+    // no second pass over the input lineage for a standing monitor
+    val (na, nb) = (acc / Pack, acc % Pack)
     require(na > 0 && nb > 0, s"both samples must be non-empty, got ($na, $nb)")
     require(na < Pack / 2 && nb < Pack / 2,
       s"packed-count W1 supports < 2^31 rows per sample, got ($na, $nb)")
+    // DECIMAL(38,6) headroom: |num| < n_a·n_b < 2⁶², so a term stays
+    // representable while gap · num < 10³², i.e. adjacent-value gaps up
+    // to ~10¹³ even at the full row-count contract — wide enough for
+    // price-like and long-tailed columns (documented bound; beyond it
+    // the cast fails fast under ANSI rather than silently dropping)
     val termSum = ranged
       .withColumn("cumpack", sum(col("packed")).over(w))
       .withColumn("nextv", lead(col("v"), 1).over(w))
@@ -153,8 +161,8 @@ object Drift {
       .where(col("nv").isNotNull)
       .agg(coalesce(
         sum(round((col("nv") - col("v")) * abs(col("num")).cast("double"), 6)
-          .cast(org.apache.spark.sql.types.DecimalType(28, 6))),
-        lit(0).cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("s"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6))),
+        lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("s"))
       .head().getDecimal(0)
     ranged.unpersist()
     spark.createDataFrame(

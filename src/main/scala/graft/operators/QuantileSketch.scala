@@ -120,8 +120,13 @@ object QuantileSketch {
       .groupBy(col("v")).agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
     val spark = a.sparkSession
     val Array(tot) = perV.agg(sum(col("ca")), sum(col("cb"))).collect()
+    require(!tot.isNullAt(0) && !tot.isNullAt(1),
+      "both sketches must carry mass, got empty input")
     val (na, nb) = (tot.getLong(0), tot.getLong(1))
     require(na > 0 && nb > 0, s"both sketches must carry mass, got ($na, $nb)")
+    require(na < (1L << 31) && nb < (1L << 31),
+      s"sketch W1's exact integer gaps need < 2^31 rows per side, got ($na, $nb) — " +
+        "pre-scale counts (divide both sides' cnt by a common factor) beyond that")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
     val termSum = perV
       .withColumn("cuma", sum(col("ca")).over(w))
@@ -131,8 +136,8 @@ object QuantileSketch {
       .agg(coalesce(
         sum(round((col("nextv") - col("v")) *
           abs(col("cuma") * nb - col("cumb") * na).cast("double"), 6)
-          .cast(org.apache.spark.sql.types.DecimalType(28, 6))),
-        lit(0).cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("s"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6))),
+        lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("s"))
       .head().getDecimal(0)
     spark.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(na, nb, termSum.toString)),
@@ -165,7 +170,10 @@ object QuantileSketch {
     * per-segment drift from per-segment fixed-size state, fully
     * distributed — the staircase windows partition BY GROUP over
     * sketch-sized rows, totals are a second tiny agg, and nothing ever
-    * touches the driver.
+    * touches the driver. Same arithmetic contract as [[sketchW1]]:
+    * exact while every group holds < 2³¹ rows per side (beyond that,
+    * pre-scale counts by a common factor — the distances are
+    * ratio-invariant).
     */
   def sketchDriftReport(a: DataFrame, b: DataFrame, groupCols: Seq[String],
       alpha: Double = 0.01): DataFrame = {
@@ -196,7 +204,7 @@ object QuantileSketch {
       .agg(
         sum(round((col("nextv") - col("v")) *
           abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")).cast("double"), 6)
-          .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("s"),
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("s"),
         max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a"))).as("ksn"))
     val psi = perV.where(col("ca") > 0 && col("cb") > 0)
       .join(tot, groupCols)
@@ -206,7 +214,7 @@ object QuantileSketch {
           col("cb").cast("double") / col("n_b")) *
           log((col("ca") * col("n_b")).cast("double") /
             (col("cb") * col("n_a")).cast("double")), 6)
-        .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("psum"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("psum"))
     // left join from totals: a group whose staircase has no interior
     // steps (all mass on one value) still reports, with w1 = 0 (and
     // ks = 0: identical quantized mass placement); psi stays NULL when
@@ -215,7 +223,7 @@ object QuantileSketch {
       .join(psi, groupCols, "left")
       .select(g :+ col("n_a") :+ col("n_b") :+
         round(coalesce(col("s"),
-          lit(0).cast(org.apache.spark.sql.types.DecimalType(28, 6))).cast("double") /
+          lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 6))).cast("double") /
           (col("n_a") * col("n_b")).cast("double"), 6).as("w1") :+
         round(coalesce(col("ksn"), lit(0L)).cast("double") /
           (col("n_a") * col("n_b")).cast("double"), 6).as("ks") :+

@@ -128,6 +128,22 @@ class CountMinSpec extends SparkSuite {
     assert(tight.isNullAt(3), "withExact=false must not run the join")
   }
 
+  test("joinSizeEstimate: disjoint key sets report 0, never NULL or phantom mass") {
+    val a = spark.range(0, 100).selectExpr("id AS k")
+    val b = spark.range(100000, 100100).selectExpr("id AS k")
+    // wide sketch: no bucket collides -> every depth's dot product is a
+    // provable 0 and must participate in the min as 0
+    val wide = CountMin.joinSizeEstimate(a, "k", b, "k",
+      depth = 2, width = 1 << 16, withExact = true).head()
+    assert(!wide.isNullAt(2) && wide.getLong(2) == 0L && wide.getLong(3) == 0L,
+      s"got $wide")
+    // even if SOME depth collides under a tight width, a single
+    // collision-free depth pins the estimate to the true 0
+    val tight = CountMin.joinSizeEstimate(a, "k", b, "k",
+      depth = 6, width = 512, withExact = false).head()
+    assert(tight.getLong(2) >= 0L)
+  }
+
   test("joinSizeEstimate: nulls carry no join mass on either side") {
     import spark.implicits._
     val a = Seq[java.lang.Long](1L, 1L, null, 2L).toDF("k")

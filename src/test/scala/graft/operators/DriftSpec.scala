@@ -133,4 +133,17 @@ class DriftSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("non-empty"))
   }
+
+  test("wasserstein1 guards: empty input raises the contract error, not an NPE") {
+    val a = Seq(1.0).toDF("v")
+    val none = a.where(lit(false))
+    val e = intercept[IllegalArgumentException] {
+      Drift.wasserstein1(a, none, "v")
+    }
+    assert(e.getMessage.contains("non-empty"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Drift.wasserstein1(none, none, "v")
+    }
+    assert(e2.getMessage.contains("non-empty"), e2.getMessage)
+  }
 }

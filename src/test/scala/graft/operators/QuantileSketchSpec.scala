@@ -150,6 +150,19 @@ class QuantileSketchSpec extends SparkSuite {
     }
   }
 
+  test("sketchW1 guards: empty sketch raises the contract error, not an NPE") {
+    val sk = QuantileSketch.sketch(Seq(1.0).toDF("v"), "v", Nil)
+    val empty = sk.where(lit(false))
+    val e = intercept[IllegalArgumentException] {
+      QuantileSketch.sketchW1(sk, empty)
+    }
+    assert(e.getMessage.contains("carry mass"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      QuantileSketch.sketchW1(empty, empty)
+    }
+    assert(e2.getMessage.contains("carry mass"), e2.getMessage)
+  }
+
   test("sketchW1 is merge-invariant: per-shard merged sketches == one-pass") {
     val full = spark.range(1, 500).selectExpr("CAST(id AS DOUBLE) * 3.7 AS v")
     val s1 = QuantileSketch.sketch(full.where($"v" < 600), "v", Nil, alpha = 0.02)
