@@ -4626,7 +4626,7 @@ object SparkEntry {
          |  SELECT doc_id,
          |         list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
          |           (a, x) -> (a * 131 + x) % 281474976710656)
-         |           + (clen % 16384) * 281474976710656 AS chunk_key
+         |           + least(clen, 16383) * 281474976710656 AS chunk_key
          |  FROM ck),
          |dup AS (SELECT chunk_key, count(*) AS nrefs FROM ky GROUP BY 1),
          |share AS (
@@ -4737,13 +4737,13 @@ object SparkEntry {
         |  SELECT doc_id,
         |         list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
         |           (a, x) -> (a * 131 + x) % 281474976710656)
-        |           + (clen % 16384) * 281474976710656 AS chunk_key,
+        |           + least(clen, 16383) * 281474976710656 AS chunk_key,
         |         clen
         |  FROM chunks)
-        |SELECT chunk_key, CAST(clen AS BIGINT) AS chunk_len,
+        |SELECT chunk_key, CAST(least(clen, 16383) AS BIGINT) AS chunk_len,
         |       count(*) AS n_refs,
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |       CAST((count(*) - 1) * clen AS BIGINT) AS reclaimable
+        |       CAST((count(*) - 1) * least(clen, 16383) AS BIGINT) AS reclaimable
         |FROM keys GROUP BY chunk_key, clen HAVING count(*) >= 2""".stripMargin,
     // synchronous label propagation replayed round by round: neighbor
     // votes + own label, argmax (count DESC, label ASC)

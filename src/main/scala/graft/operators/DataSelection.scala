@@ -99,7 +99,10 @@ object DataSelection {
     val big = pairs.groupBy(col("p"), col("w")).agg(count(lit(1)).as("cb"))
     val uni = toks.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cu"))
-    val nTotal = uni.agg(sum(col("cu"))).collect()(0).getLong(0).toDouble
+    // sum() over an empty unigram table is NULL — a tokenless corpus
+    // must yield the documented empty result, not an NPE
+    val nTotal = Option(uni.agg(sum(col("cu"))).collect()(0).get(0))
+      .map(_.asInstanceOf[Long].toDouble).getOrElse(1.0)
     val prev = uni.select(col("w").as("p"), col("cu").as("cp"))
     val model = big.join(prev, Seq("p")).join(uni, Seq("w"))
       .select(col("p"), col("w"),

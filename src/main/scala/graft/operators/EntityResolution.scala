@@ -92,8 +92,11 @@ object EntityResolution {
     val pairs = a.crossJoin(b)
     val aggs = fields.flatMap { case (name, srcCol, cmp) =>
       val agree = cmp(col(s"a_$srcCol"), col(s"b_$srcCol"))
+      // coalesce: sum() over ZERO pairs (an empty id%cells slice) is
+      // NULL — a count column must read 0, matching the oracle's
+      // coalesce(sum(...), 0)
       Seq(count(lit(1)).as(s"__n_$name"),
-        sum(when(agree, 1L).otherwise(0L)).as(s"__ag_$name"))
+        coalesce(sum(when(agree, 1L).otherwise(0L)), lit(0L)).as(s"__ag_$name"))
     }
     val one = pairs.agg(aggs.head, aggs.tail: _*)
     fields.map { case (name, _, _) =>

@@ -240,10 +240,14 @@ object ManifestTable {
       "mergeSchema only applies to appends; an overwrite already replaces the schema")
     val f = fs(spark)
     val root = new Path(tableRoot)
+    // ONE pre-claim snapshot read serves both the replay fast path and
+    // the mergeSchema conformance below (publish re-reads post-claim
+    // anyway — that one is load-bearing, these two were duplicates)
+    val snap0 = latest(f, root)
     // replay fast path: already applied per the latest snapshot → no
     // data write at all (the post-claim re-check in publish closes the
     // race against a concurrent replay of the same batch)
-    txnAppliedIn(latest(f, root), txn) getOrElse {
+    txnAppliedIn(snap0, txn) getOrElse {
       // TYPE-WIDENING evolution (mergeSchema): a column whose type
       // drifted against the snapshot lands in a `{name}_{type}` SIDECAR
       // (the [[SchemaDrift]] discipline — reference semantics,
@@ -255,7 +259,7 @@ object ManifestTable {
       // The union DDL in the publish step then stays purely additive.
       val conformed =
         if (!(append && mergeSchema)) batch
-        else latest(f, root) match {
+        else snap0 match {
           case None => batch
           case Some(p) =>
             val dest = StructType.fromDDL(p.schemaDdl)
@@ -276,7 +280,7 @@ object ManifestTable {
           "(numeric, string, date and timestamp min/max order is portable; others are not)")
       }
       val (newEntries, _) = writeBatch(spark, f, root, conformed, statsCols)
-      publish(f, root, if (append) "append" else "overwrite",
+      try publish(f, root, if (append) "append" else "overwrite",
         statsCols, txn, maxRetries, expectParent = None) { parent =>
         parent.filter(_ => append).foreach { p =>
           if (!mergeSchema) require(p.schemaDdl == schemaDdl,
@@ -292,9 +296,29 @@ object ManifestTable {
         (snapshotDdl,
           (if (append) parent.map(_.files).getOrElse(Seq.empty) else Seq.empty) ++ newEntries,
           if (append) parent.map(_.tombstones).getOrElse(Seq.empty) else Seq.empty)
+      } catch {
+        // the sidecar conformance above was computed against snap0; a
+        // CONCURRENT writer changing a column's type between that read
+        // and publish's post-claim parent surfaces here (a batch's own
+        // type drift can't — conformance already sidecarred it). The
+        // written batch dir carries the stale column names and cannot
+        // be re-labeled, so retry the WHOLE commit: re-conform against
+        // the fresh snapshot and rewrite (the abandoned dir is
+        // unreferenced — vacuum's job, the same orphan class a crashed
+        // writer leaves).
+        case _: ConcurrentTypeConflict if mergeSchema && maxRetries > 0 =>
+          commit(spark, tableRoot, batch, statsCols, append,
+            maxRetries - 1, txn, mergeSchema)
       }
     }
   }
+
+  /** A mergeSchema append discovered at publish time that the snapshot's
+    * column types moved under it (concurrent writer) — retryable by
+    * re-conforming; see the catch in [[commit]].
+    */
+  private final class ConcurrentTypeConflict(msg: String)
+    extends IllegalArgumentException(msg)
 
   /** Additive schema union: every batch column already in the table must
     * keep its type; batch-only columns append after the table's, so the
@@ -305,9 +329,11 @@ object ManifestTable {
     val b = StructType(batchSchema.fields.map(_.copy(nullable = true)))
     b.fields.foreach { bf =>
       p.fields.find(_.name == bf.name).foreach { pf =>
-        require(pf.dataType == bf.dataType,
-          s"column ${bf.name} type changed: table has ${pf.dataType}, batch has " +
-            s"${bf.dataType} — mergeSchema is additive only; retype via an explicit rewrite")
+        if (pf.dataType != bf.dataType)
+          throw new ConcurrentTypeConflict(
+            s"column ${bf.name} type changed: table has ${pf.dataType}, batch has " +
+              s"${bf.dataType} — the snapshot's types moved after sidecar " +
+              "conformance (concurrent writer); the commit retries with a fresh snapshot")
       }
     }
     StructType(p.fields ++ b.fields.filterNot(bf => p.fieldNames.contains(bf.name))).toDDL
@@ -419,13 +445,31 @@ object ManifestTable {
               }
             }
             val txnMap = parent.map(_.txn).getOrElse(Map.empty) ++ txn
-            val (schemaDdl, files, tombs) = build(parent)
+            // build() enforces the append contracts (schema equality,
+            // stats columns, additive union) and can throw — release
+            // the claim first, or every failed commit stalls the next
+            // writer for the full parent-wait window on a claim that
+            // will never publish
+            val (schemaDdl, files, tombs) =
+              try build(parent)
+              catch {
+                case t: Throwable =>
+                  f.delete(claimPath(root, next), false)
+                  throw t
+              }
             val m = Manifest(next, mode, schemaDdl, statsCols, files, txnMap, tombs)
             val tmp = new Path(root,
               s"${ManifestPrefix}tmp-${java.util.UUID.randomUUID.toString.take(12)}.json.tmp")
-            val out = f.create(tmp, true)
-            out.write(renderManifest(m).getBytes(StandardCharsets.UTF_8))
-            out.close()
+            try {
+              val out = f.create(tmp, true)
+              out.write(renderManifest(m).getBytes(StandardCharsets.UTF_8))
+              out.close()
+            } catch {
+              case t: Throwable => // same claim-release rule as build()
+                f.delete(tmp, false)
+                f.delete(claimPath(root, next), false)
+                throw t
+            }
             val dest = manifestPath(root, next)
             if (f.rename(tmp, dest)) {
               committed = next

@@ -32,8 +32,10 @@ object QuantileSketch {
 
   /** Per-group DDSketch: `(groupCols..., bucket, cnt)` rows plus the
     * zero-bucket as `bucket = NULL` (log has no zero bucket). One
-    * map-side-combined shuffle; NULL/negative values fail fast rather
-    * than silently skew a percentile.
+    * map-side-combined shuffle. NULL values carry no distribution mass
+    * and are dropped (the [[graft.operators.Drift.ksStatistic]] ECDF
+    * convention); NEGATIVE values fail fast rather than silently skew
+    * a percentile — mirror them in caller space first.
     */
   def sketch(df: DataFrame, valueCol: String, groupCols: Seq[String],
       alpha: Double = 0.01): DataFrame = {

@@ -23,10 +23,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * older than 48 positions fall out of the window EXACTLY — the shift
   * pushes them past the modulus), and each chunk's identity is the
   * standard 48-bit polynomial fold of its code points packed with its
-  * length (`poly + (len mod 16384) · 2^48`, sign-safe). Every number
-  * is integer arithmetic a DuckDB oracle replays; no min-size clamp,
-  * so boundaries are position-independent predicates (the clamped
-  * variant is sequential and would break SQL replay).
+  * length (`poly + min(len, 16383) · 2^48`, sign-safe — the length
+  * SATURATES at the 14-bit pack budget rather than wrapping, so a
+  * pathological over-long chunk under-reports its reclaimable bytes by
+  * a bounded amount instead of reading ~0; the oracle mirrors it as
+  * `least(len, 16383)`). Every number is integer arithmetic a DuckDB
+  * oracle replays; no min-size clamp, so boundaries are
+  * position-independent predicates (the clamped variant is sequential
+  * and would break SQL replay). `modulus` is capped at 2^12: expected
+  * chunk length ≈ modulus, so the cap keeps saturation astronomically
+  * rare (P ≈ e^{-16384/modulus} ≤ e^{-4} only past it).
   */
 object CdcOps {
   private final val M = 281474976710656L // 2^48
@@ -47,13 +53,13 @@ object CdcOps {
       chunkLen += 1L
       h = (h * 2L + ((cp + 1L) * 2654435761L) % M) % M
       if (h % modulus == 0L) {
-        out += chunkHash + (chunkLen % 16384L) * M
+        out += chunkHash + math.min(chunkLen, 16383L) * M
         chunkHash = 0L
         chunkLen = 0L
       }
       i += Character.charCount(cp)
     }
-    if (chunkLen > 0L) out += chunkHash + (chunkLen % 16384L) * M
+    if (chunkLen > 0L) out += chunkHash + math.min(chunkLen, 16383L) * M
     new GenericArrayData(out.toArray)
   }
 }
@@ -66,9 +72,10 @@ case class CdcChunks(child: Expression, modulus: Long)
     if (child.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a string input, got ${child.dataType.simpleString}")
-    else if (modulus < 2 || modulus > (1L << 30))
+    else if (modulus < 2 || modulus > (1L << 12))
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName modulus must be in [2, 2^30], got $modulus")
+        s"$prettyName modulus must be in [2, 2^12], got $modulus — expected " +
+          "chunk length tracks modulus and the packed length budget is 14 bits")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -207,19 +207,25 @@ object AvroIO {
         paths.flatMap { file =>
           val st = new DataFileStream(fs.open(new Path(file)),
             new GenericDatumReader[GenericRecord]())
-          // DataFileStream is an iterator of records; drain eagerly per
-          // file (container files are block-compressed and must close)
-          val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-          try {
-            while (st.hasNext) {
+          // STREAM records — a multi-GB container must not materialize
+          // in one task's heap. The stream closes on exhaustion; an
+          // abandoned task leaks at most one stream until executor
+          // teardown (the trade every lazy file iterator makes).
+          new Iterator[Row] {
+            private var open = true
+            override def hasNext: Boolean = {
+              if (open && !st.hasNext) { st.close(); open = false }
+              open
+            }
+            override def next(): Row = {
+              if (!hasNext) throw new NoSuchElementException(file)
               val rec = st.next()
-              buf += Row.fromSeq(fieldTypes.toIndexedSeq.map { case (n, dt) =>
+              Row.fromSeq(fieldTypes.toIndexedSeq.map { case (n, dt) =>
                 val v = rec.get(n)
                 if (v == null) null else toSparkValue(dt, v)
               })
             }
-          } finally st.close()
-          buf.iterator
+          }
         }
       }
     spark.createDataFrame(rows, sparkSchema)

@@ -57,4 +57,41 @@ class ChunkDedupSpec extends SparkSuite {
     }
     assert(bad.getMessage.contains("modulus"))
   }
+
+  test("packed chunk length SATURATES at 16383 — never wraps (executable spec)") {
+    val M = 281474976710656L
+    // plain-Scala reference of the documented contract, tracking TRUE lengths
+    def ref(str: String, modulus: Long): Seq[(Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var h = 0L; var ch = 0L; var len = 0L
+      str.foreach { c =>
+        val cp = c.toLong
+        ch = (ch * 131L + cp) % M
+        len += 1L
+        h = (h * 2L + ((cp + 1L) * 2654435761L) % M) % M
+        if (h % modulus == 0L) { out += ((ch + math.min(len, 16383L) * M, len)); ch = 0L; len = 0L }
+      }
+      if (len > 0L) out += ((ch + math.min(len, 16383L) * M, len))
+      out.toSeq
+    }
+    // a constant character stops cutting after ~12 symbols under a
+    // power-of-two modulus (h mod 2^12 becomes the constant -g), so
+    // this string is GUARANTEED to end in one giant >16383-symbol chunk
+    val s = "a" * 20000
+    val expect = ref(s, 4096L)
+    assert(expect.exists(_._2 > 16383L),
+      "test corpus failed to exercise saturation — adjust the generator")
+    val got = Seq((1L, s)).toDF("doc_id", "text")
+    val t = ChunkDedup.chunkTable(got, "doc_id", "text", modulus = 4096L)
+      .orderBy(col("chunk_idx"))
+      .select(col("chunk_key"), col("chunk_len")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(t.length == expect.length)
+    t.zip(expect).foreach { case ((key, declen), (refKey, trueLen)) =>
+      assert(key == refKey, "packed key must match the executable spec")
+      assert(declen == math.min(trueLen, 16383L),
+        s"decoded length $declen must saturate, not wrap (true $trueLen)")
+      assert(declen >= 1L && declen <= 16383L)
+    }
+  }
 }

@@ -813,4 +813,25 @@ class ManifestTableSpec extends SparkSuite {
     assert(pruned.filesScanned < pruned.filesTotal)
     assert(pruned.df.where(col("ts") >= "2024-06-01" && col("ts") < "2024-07-01").count() == 30)
   }
+
+  test("a failed append releases its version claim: the next commit never stalls") {
+    val root = freshRoot()
+    ManifestTable.commit(spark, root,
+      Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    // strict append with a mismatched schema: the contract error fires
+    // inside publish's build closure AFTER a claim was taken
+    intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, root,
+        Seq((2L, 3.5)).toDF("k", "other"), Seq("k"), append = true)
+    }
+    // without claim cleanup the next writer waits the full 30 s
+    // parent-wait window on the dead claim; with it, this is instant
+    val t0 = System.nanoTime()
+    val v = ManifestTable.commit(spark, root,
+      Seq((2L, "b")).toDF("k", "v"), Seq("k"), append = true)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(elapsedMs < 15000, s"commit stalled ${elapsedMs} ms on a leaked claim")
+    assert(ManifestTable.read(spark, root).count() == 2)
+    assert(v > 1L)
+  }
 }
