@@ -363,6 +363,33 @@ object Streams {
         graft.operators.ManifestTable.read(spark, tableRoot), Nil),
       referenceSketch, alpha)
 
+  /** STREAMING ANN ingest — the production lifecycle's arrival half:
+    * each micro-batch of new embeddings is PQ-encoded against the
+    * FROZEN codebooks (map-only, no shuffle — the train-once/deploy
+    * discipline) and appended exactly-once into the manifest-backed
+    * codes table via the txn ledger, so replays are no-ops and a probe
+    * ([[graft.operators.ProductQuantizer.adcTopK]] over
+    * `ManifestTable.read`) always sees a consistent snapshot. Pass a
+    * `listOf` router to land the coarse list id alongside the codes
+    * (the IVF-PQ layout q208 probes).
+    */
+  def streamingPqIngest(tableRoot: String, queryName: String,
+      idCol: String, vecCol: String,
+      books: graft.operators.ProductQuantizer.Codebooks, dim: Int,
+      listOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = null)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val codes = graft.operators.ProductQuantizer.encode(
+      batch, idCol, vecCol, books, dim)
+    val withList =
+      if (listOf == null) codes
+      else codes.join(
+        batch.select(org.apache.spark.sql.functions.col(idCol),
+          listOf(org.apache.spark.sql.functions.col(vecCol)).as("list")),
+        Seq(idCol))
+    graft.operators.ManifestTable.streamInto(tableRoot, queryName)(
+      withList, batchId)
+  }
+
   /** PER-SEGMENT live drift: [[graft.operators.QuantileSketch
     * .sketchDriftReport]] (W1 + bucket-KS + shared-bucket PSI) of the
     * grouped maintained stream against a grouped frozen reference —

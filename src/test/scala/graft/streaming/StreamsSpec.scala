@@ -685,6 +685,36 @@ class StreamsSpec extends SparkSuite {
     assert(live.size == 2 && live.forall(_.getDouble(3) > 0.0))
   }
 
+  test("streaming PQ ingest: replay-safe, snapshot probe == batch encode-then-probe") {
+    import graft.operators.{ManifestTable, ProductQuantizer}
+    val root = Files.createTempDirectory("graft_stream_pq").resolve("t").toString
+    def vecs(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j == (i % 4) * 2) 10.0 else 0.0) + (i % 7) / 10.0))
+    }.toDF("id", "vec")
+    val books = ProductQuantizer.train(vecs(0, 64), "id", "vec",
+      m = 2, ksub = 4, dim = 8, iters = 2)
+    val sink = Streams.streamingPqIngest(root, "pq_ingest", "id", "vec",
+      books, dim = 8) _
+    sink(vecs(0, 40), 0L)
+    sink(vecs(40, 80), 1L)
+    sink(vecs(40, 80), 1L) // at-least-once replay: must be a no-op
+    sink(vecs(80, 120), 2L)
+    val streamed = ManifestTable.read(spark, root)
+    val direct = ProductQuantizer.encode(vecs(0, 120), "id", "vec", books, dim = 8)
+    assert(streamed.count() == 120,
+      s"replayed batch must not double-ingest: ${streamed.count()}")
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty,
+      "stream-ingested codes must equal the one-shot batch encode")
+    // a probe over the live snapshot equals the probe over the batch codes
+    val q = vecs(0, 4)
+    val live = ProductQuantizer.adcTopK(q, "id", "vec",
+      streamed, "id", books, dim = 8, k = 3).collect().toSet
+    val batchProbe = ProductQuantizer.adcTopK(q, "id", "vec",
+      direct, "id", books, dim = 8, k = 3).collect().toSet
+    assert(live == batchProbe)
+  }
+
   test("streamMergeInto: upsert stream is exactly-once under replay; keys converge") {
     import graft.operators.ManifestTable
     val root = Files.createTempDirectory("graft_stream_merge").resolve("t").toString
