@@ -216,15 +216,24 @@ object ProductQuantizer {
     val m = books.length
     val dsub = dim / m
     val within = Option(withinCol)
+    // the m×ksub LUT of exact query-to-centroid distances is computed
+    // ON THE QUERY SIDE, once per query row — inlined into the join
+    // projection it would re-evaluate all m·ksub·dsub terms per
+    // (query, code) PAIR. localCheckpoint is the CollapseProject
+    // barrier (the repo's fold-re-inlining discipline); the side is
+    // broadcast-small by contract, so the checkpoint is a few rows.
     val q = Parallelism.ensureCompute(queries)
       .select(col(qId).as("q_id") +:
         col(qVec).cast("array<double>").as("q_vec") +:
         within.map(c => col(c).as("__q_within")).toSeq: _*)
       .where(size(col("q_vec")) === dim)
+      .withColumn("__lut", array((0 until m).map(s =>
+        array(books(s).map(cv =>
+          distToCentroid(col("q_vec"), s, dsub, cv)): _*)): _*))
+      .localCheckpoint()
     val total = (0 until m).map { s =>
-      val lut = array(books(s).map(cv =>
-        distToCentroid(col("q_vec"), s, dsub, cv)): _*)
-      element_at(lut, element_at(col("codes"), s + 1) + 1)
+      element_at(element_at(col("__lut"), s + 1),
+        element_at(col("codes"), s + 1) + 1)
     }.reduce(_ + _)
     val cond = within
       .map(c => col("vec_id") =!= col("q_id") && col(c) === col("__q_within"))
