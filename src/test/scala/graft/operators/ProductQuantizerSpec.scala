@@ -122,6 +122,37 @@ class ProductQuantizerSpec extends SparkSuite {
       s"probe pricing must map-side combine before its shuffle:\n$massPlan")
   }
 
+  test("IVF-PQ layout: codes hive-partitioned by list; a one-list probe reads 1 of N dirs") {
+    val df = clustered(96).withColumn("list", (col("id") % 3).cast("int"))
+    val books = ProductQuantizer.train(df, "id", "vec", m = 2, ksub = 4, dim = 8, iters = 1)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_codes").toString
+    ProductQuantizer.encode(df, "id", "vec", books, dim = 8)
+      .join(df.select(col("id"), col("list")), Seq("id"))
+      .write.mode("overwrite").partitionBy("list").parquet(path)
+    val codes = spark.read.parquet(path)
+    val oneList = codes.where(col("list") === 1)
+    val scan = oneList.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("list"),
+      s"the list predicate must reach the scan as a partition filter:\n$scan")
+    // the physical read touches exactly one of the three list dirs
+    val scanned = oneList.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(scanned.nonEmpty && scanned.forall(_.contains("list=1")),
+      s"probe read outside its list partition: $scanned")
+    // and the within-list ADC probe over the partitioned table matches
+    // the in-memory path
+    val queries = df.where(col("id") < 6)
+    val onDisk = ProductQuantizer.adcTopK(queries, "id", "vec",
+      codes, "id", books, dim = 8, k = 3, withinCol = "list")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inMem = ProductQuantizer.adcTopK(queries, "id", "vec",
+      ProductQuantizer.encode(df, "id", "vec", books, dim = 8)
+        .join(df.select(col("id"), col("list")), Seq("id")),
+      "id", books, dim = 8, k = 3, withinCol = "list")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(onDisk == inMem)
+  }
+
   test("probeMassReport prices the probe: degenerate list shows full brute mass") {
     import spark.implicits._
     val codes = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1)).toDF("id", "list")
