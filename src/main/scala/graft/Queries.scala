@@ -4633,6 +4633,56 @@ object Queries {
       .select(col("q_id"), col("vec_id"), col("l2"))
   }
 
+  // ---------------------------------------------------------------- Q215
+  /** Rerank GAIN audit: recall@5 of the pure ADC ranking vs the
+    * two-stage rerank (q214's pipeline), per query, against the exact
+    * l2 top-5 — the number that justifies stage 2's existence. The
+    * rerank picks the exact-closest 5 of the ADC top-20, so it
+    * recovers EVERY exact-top-5 member the candidate set contains:
+    * rerank_hits ≥ adc_hits always (spec-pinned), and the gap is
+    * precisely what reranking buys at 20× candidate overfetch.
+    */
+  def q215RerankGain(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val books = pqBooks(spark, dir)
+    val codes = ProductQuantizer.encode(emb, "vec_id", "embedding",
+      books, dim = PqDim)
+    val queries = emb.where(col("vec_id") % 97 === 0)
+    val cand = ProductQuantizer.adcTopK(queries, "vec_id", "embedding",
+      codes, "vec_id", books, dim = PqDim, k = 20)
+    val w5 = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    val adc5 = cand.withColumn("rn", row_number().over(w5))
+      .where(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+    val rw = Window.partitionBy(col("q_id"))
+      .orderBy(col("l2").asc, col("vec_id").asc)
+    val rerank5 = cand.select(col("q_id"), col("vec_id"))
+      .join(emb.select(col("vec_id"), col("embedding").as("c_vec")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.plans.VectorExpressions.l2Squared(
+          col("q_vec"), col("c_vec")), 6).as("l2"))
+      .withColumn("rn", row_number().over(rw))
+      .where(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+    val exW = Window.partitionBy(col("q_id"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+    val exact5 = emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"))), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.plans.VectorExpressions.l2Squared(
+          col("q_vec"), col("embedding")), 6).as("d"))
+      .withColumn("rn", row_number().over(exW))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    def hits(top: DataFrame, name: String): DataFrame =
+      top.join(exact5, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as(name))
+    hits(adc5, "adc_hits").join(hits(rerank5, "rerank_hits"), Seq("q_id"))
+  }
+
   // ---------------------------------------------------------------- Q213
   /** IVF-PQ probe pricing ([[graft.operators.ProductQuantizer
     * .probeMassReport]]): the q208 probe's per-list ADC pair mass from

@@ -257,6 +257,7 @@ object SparkEntry {
     "q212_grouped_drift_w1" -> (Queries.q212GroupedDriftW1 _),
     "q213_probe_mass" -> (Queries.q213ProbeMass _),
     "q214_ann_rerank" -> (Queries.q214AnnRerank _),
+    "q215_rerank_gain" -> (Queries.q215RerankGain _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -855,6 +856,61 @@ object SparkEntry {
         |SELECT a.q_id, CAST(count(e.vec_id) AS BIGINT) AS hits
         |FROM apx a LEFT JOIN ex e ON e.q_id = a.q_id AND e.vec_id = a.vec_id
         |GROUP BY 1""".stripMargin,
+    // recall@5 of pure ADC vs the two-stage rerank against the exact
+    // top-5 — the rerank recovers every exact-top-5 member inside the
+    // candidate set, so rerank_hits >= adc_hits by construction
+    "q215_rerank_gain" -> pqOracle(
+      """, adc AS (
+        |  SELECT l.vec_id AS q_id, a.vec_id,
+        |         round(CAST(sum(l.d) AS DOUBLE), 6) AS dist
+        |  FROM a3 a JOIN d3 l ON l.sub = a.sub AND l.code = a.code
+        |  WHERE l.vec_id % 97 = 0 AND a.vec_id <> l.vec_id
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT q_id, vec_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY dist ASC, vec_id ASC) AS rn
+        |  FROM adc),
+        |cand AS (SELECT q_id, vec_id FROM rk WHERE rn <= 20),
+        |adc5 AS (SELECT q_id, vec_id FROM rk WHERE rn <= 5),
+        |rr AS (
+        |  SELECT c.q_id, c.vec_id,
+        |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(generate_series(1, 64), i ->
+        |             (CAST(q.embedding[i] AS DOUBLE) - CAST(x.embedding[i] AS DOUBLE))
+        |             * (CAST(q.embedding[i] AS DOUBLE) - CAST(x.embedding[i] AS DOUBLE)))),
+        |           (u, w) -> u + w), 6) AS l2
+        |  FROM cand c
+        |  JOIN embeddings q ON q.vec_id = c.q_id
+        |  JOIN embeddings x ON x.vec_id = c.vec_id),
+        |rerank5 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY l2 ASC, vec_id ASC) AS rn
+        |    FROM rr)
+        |  WHERE rn <= 5),
+        |ex AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(generate_series(1, 64), i ->
+        |                 (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+        |                 * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))),
+        |               (x, y) -> x + y), 6) ASC, c.vec_id ASC) AS rn
+        |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |    WHERE q.vec_id % 97 = 0)
+        |  WHERE rn <= 5),
+        |ah AS (
+        |  SELECT a.q_id, CAST(count(e.vec_id) AS BIGINT) AS adc_hits
+        |  FROM adc5 a LEFT JOIN ex e ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+        |  GROUP BY 1),
+        |rh AS (
+        |  SELECT r.q_id, CAST(count(e.vec_id) AS BIGINT) AS rerank_hits
+        |  FROM rerank5 r LEFT JOIN ex e ON e.q_id = r.q_id AND e.vec_id = r.vec_id
+        |  GROUP BY 1)
+        |SELECT ah.q_id, ah.adc_hits, rh.rerank_hits
+        |FROM ah JOIN rh ON rh.q_id = ah.q_id""".stripMargin),
     // q208's within-list ADC top-20 nominates; the exact left-to-right
     // L2 fold reranks only those candidate rows to the final top-5
     "q214_ann_rerank" -> pqOracle(

@@ -153,6 +153,18 @@ class ProductQuantizerSpec extends SparkSuite {
     assert(onDisk == inMem)
   }
 
+  test("rerank dominates pure ADC per query: rerank_hits >= adc_hits (q215 invariant)") {
+    // the rerank returns the exact-closest 5 of the ADC top-20, so it
+    // contains EVERY exact-top-5 member the candidate set holds — per
+    // query, never fewer hits than the ADC ordering's 5
+    val rows = graft.Queries.q215RerankGain(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"q ${r.getLong(0)}: rerank ${r.getLong(2)} < adc ${r.getLong(1)}")
+    }
+  }
+
   test("probeMassReport prices the probe: degenerate list shows full brute mass") {
     import spark.implicits._
     val codes = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1)).toDF("id", "list")
