@@ -4633,6 +4633,31 @@ object Queries {
       .select(col("q_id"), col("vec_id"), col("l2"))
   }
 
+  // ---------------------------------------------------------------- Q216
+  /** Binary-signature recall audit ([[graft.operators.Similarity
+    * .srpSignatures]] 64 dims → 16 bits, [[graft.operators.Similarity
+    * .hammingTopK]]): per query, how many Hamming top-5 neighbors are
+    * true cosine top-5 — the audit for the quartet's cheapest filter
+    * (one XOR + popcount per pair). Like q209/q211: 16 bits on
+    * isotropic vectors reads low by design; the audit prices the bit
+    * budget before a fleet commits to it.
+    */
+  def q216HammingRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val sigs = Similarity.srpSignatures(emb, "vec_id", "embedding",
+      dim = PqDim, bits = 16)
+    val approx = Similarity.hammingTopK(
+      sigs.where(col("vec_id") % 97 === 0), "vec_id", sigs, "vec_id", k = 5)
+    val exact = Similarity.topKJoin(
+      emb.where(col("vec_id") % 97 === 0), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5)
+    approx.select(col("q_id"), col("vec_id"))
+      .join(exact.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+  }
+
   // ---------------------------------------------------------------- Q215
   /** Rerank GAIN audit: recall@5 of the pure ADC ranking vs the
     * two-stage rerank (q214's pipeline), per query, against the exact

@@ -258,6 +258,7 @@ object SparkEntry {
     "q213_probe_mass" -> (Queries.q213ProbeMass _),
     "q214_ann_rerank" -> (Queries.q214AnnRerank _),
     "q215_rerank_gain" -> (Queries.q215RerankGain _),
+    "q216_hamming_recall" -> (Queries.q216HammingRecall _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -815,6 +816,49 @@ object SparkEntry {
         |SELECT a.q_id, CAST(count(e.vec_id) AS BIGINT) AS hits
         |FROM apx a LEFT JOIN ex e ON e.q_id = a.q_id AND e.vec_id = a.vec_id
         |GROUP BY 1""".stripMargin),
+    // q211's projection chain at 16 coordinates, signs packed to one
+    // BIGINT, Hamming ranking via xor+bit_count vs the exact cosine
+    "q216_hamming_recall" ->
+      """WITH ij AS (
+        |  SELECT i.i, j.j,
+        |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(string_split('jl|' || i.i || '|' || j.j, ''),
+        |              c -> CAST(ascii(c) AS BIGINT))),
+        |            (a, q) -> (a * 131 + q) % 281474976710656) % 3 - 1
+        |           AS INTEGER) AS s
+        |  FROM (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS i) i,
+        |       (SELECT CAST(unnest(generate_series(0, 15)) AS INTEGER) AS j) j),
+        |pv AS (
+        |  SELECT e.vec_id, ij.j,
+        |         CAST(CAST(sum(CAST(round(CAST(e.embedding[ij.i + 1] AS DOUBLE) * ij.s, 6)
+        |                            AS DECIMAL(18,6))) AS DOUBLE) AS FLOAT) AS p
+        |  FROM embeddings e, ij
+        |  GROUP BY 1, 2),
+        |sg AS (
+        |  SELECT vec_id,
+        |         CAST(sum(CASE WHEN p > 0 THEN CAST(1 AS BIGINT) << j
+        |                       ELSE 0 END) AS BIGINT) AS sig
+        |  FROM pv GROUP BY 1),
+        |apx AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             bit_count(xor(q.sig, c.sig)) ASC, c.vec_id ASC) AS rn
+        |    FROM sg q JOIN sg c ON c.vec_id <> q.vec_id
+        |    WHERE q.vec_id % 97 = 0)
+        |  WHERE rn <= 5),
+        |ex AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+        |             c.vec_id ASC) AS rn
+        |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |    WHERE q.vec_id % 97 = 0)
+        |  WHERE rn <= 5)
+        |SELECT a.q_id, CAST(count(e.vec_id) AS BIGINT) AS hits
+        |FROM apx a LEFT JOIN ex e ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+        |GROUP BY 1""".stripMargin,
     // the sign grid from the portable char fold mod 3, per-term rounded
     // decimal sums per projected coordinate, then both cosine rankings
     "q211_jl_recall" ->

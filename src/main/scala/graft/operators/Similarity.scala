@@ -90,6 +90,47 @@ object Similarity {
       .select(col(idCol), array(projCols: _*).as(outCol))
   }
 
+  /** Sign-random-projection BINARY signatures (Charikar 2002 SimHash
+    * for real vectors): bit j of the signature is the SIGN of the j-th
+    * [[jlProject]] coordinate — `bits` sparse signed projections packed
+    * into one long. 64 float dims → 2 bytes at bits=16; Hamming
+    * distance between signatures estimates the angle
+    * (`P[bit differs] = θ/π`), so [[hammingTopK]] is the cheapest
+    * possible candidate filter of the ANN quartet: IVF prunes reads,
+    * PQ shrinks bytes, JL shrinks arithmetic, SRP reduces scoring to
+    * one XOR + popcount per pair. Map-only, engine-replayable
+    * (signatures are a pure function of the portable sign grid).
+    */
+  def srpSignatures(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bits: Int, salt: String = "jl"): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1,63], got $bits")
+    jlProject(df, idCol, vecCol, dim, bits, salt)
+      .select(col(idCol),
+        (0 until bits).map(j =>
+          when(element_at(col("proj"), j + 1) > 0f, lit(1L << j))
+            .otherwise(lit(0L))).reduce(_ + _).as("sig"))
+  }
+
+  /** Exact Hamming top-k over packed [[srpSignatures]]: one codegen'd
+    * XOR + popcount per (query, signature) pair, ranked ascending with
+    * id ties — the brute scan that stays affordable because a pair
+    * costs two ALU ops. `queries` must be broadcast-small.
+    */
+  def hammingTopK(queries: DataFrame, qId: String,
+      corpus: DataFrame, cId: String, k: Int): DataFrame = {
+    val q = queries.select(col(qId).as("q_id"), col("sig").as("q_sig"))
+    val scored = Parallelism.ensureCompute(corpus)
+      .select(col(cId).as("vec_id"), col("sig"))
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        bit_count(col("sig").bitwiseXOR(col("q_sig"))).as("hd"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hd").asc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("hd"))
+  }
+
   /** LSH-bucketed approximate top-k: hyperplane signatures on both sides,
     * candidates = same bucket under any of the single-bit-flip probes
     * (multi-probe: probes=0 -> exact bucket only). Recall < 1 by design;

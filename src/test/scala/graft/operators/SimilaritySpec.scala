@@ -513,6 +513,33 @@ class SimilaritySpec extends SparkSuite {
     assert(signs.keySet == Set(-1, 0, 1), s"degenerate sign grid: ${signs.keySet}")
   }
 
+  test("srpSignatures: sign-packed bits match the projection; Hamming respects clusters") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").where($"vec_id" < 8)
+    val sigs = Similarity.srpSignatures(emb, "vec_id", "embedding", dim = 64, bits = 16)
+      .as[(Long, Long)].collect().toMap
+    val proj = Similarity.jlProject(emb, "vec_id", "embedding", dim = 64, targetDim = 16)
+      .as[(Long, Seq[Float])].collect().toMap
+    proj.foreach { case (id, ps) =>
+      val want = ps.zipWithIndex.collect { case (p, j) if p > 0f => 1L << j }.sum
+      assert(sigs(id) == want, s"id=$id: sig ${sigs(id)} != signs-of-projection $want")
+      assert(sigs(id) >= 0L && sigs(id) < (1L << 16))
+    }
+    // clustered corpus: Hamming neighbors stay within the cluster
+    val df = spark.range(120).select($"id",
+      transform(sequence(lit(0), lit(63)), i =>
+        (when(pmod(i, lit(4)) === ($"id" % 4).cast("int"), lit(50.0))
+          .otherwise(lit(0.0)) + pmod($"id" * (i + 1L), lit(7)).cast("double") / 10.0)
+          .cast("float")).as("vec"))
+    val s2 = Similarity.srpSignatures(df, "id", "vec", dim = 64, bits = 16)
+    val top = Similarity.hammingTopK(s2.where($"id" < 8), "id", s2, "id", k = 5)
+      .collect()
+    assert(top.length == 8 * 5)
+    top.foreach(r => assert(r.getInt(2) >= 0 && r.getInt(2) <= 16))
+    val same = top.count(r => r.getLong(0) % 4 == r.getLong(1) % 4)
+    assert(same >= (top.length * 9) / 10,
+      s"Hamming space lost cluster structure: $same/${top.length}")
+  }
+
   test("jlProject preserves separated clusters: projected top-k recall is high") {
     // 4 clusters at distance >> wobble, structure spread over all 64 dims
     val df = spark.range(200).select($"id",
