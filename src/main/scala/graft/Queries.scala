@@ -2752,21 +2752,27 @@ object Queries {
     * the pair weight is the EXACT decimal sum of driver-rounded
     * constants, so the oracle replays it from the same literals.
     * `is_match` thresholds the weight the way a linkage pipeline
-    * gates its merge step.
+    * gates its merge step. Candidates ride the budget-gated
+    * [[graft.operators.EntityResolution.blockedPairs]] generator, so
+    * the pair mass is PRICED (counts-only agg) and fail-fast-bounded
+    * before any scoring work — closing the bypass where a caller
+    * wiring its own blocking skipped every budget this engine builds
+    * (the budget is generous here: blocks are structurally ≤100
+    * members, ~50 pairs/customer; EntityResolutionSpec pins the
+    * refusal at a tight budget).
     */
   def q191LinkageWeights(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer").select(
       col("c_custkey").as("id"), col("c_name").as("name"),
       col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
       floor(col("c_acctbal") / 1000).as("bal_kb"))
-    val keyed = c.withColumn("bk", substring(col("name"), 1, 16))
-    val pairs = keyed.as("a").join(keyed.as("b"),
-        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (levenshtein(col("a.name"), col("b.name")) <= 2).as("name_agree"),
-        (col("a.nat") === col("b.nat")).as("nat_agree"),
-        (col("a.seg") === col("b.seg")).as("seg_agree"),
-        (col("a.bal_kb") === col("b.bal_kb")).as("bal_agree"))
+    val pairs = EntityResolution.blockedPairs(c, "id",
+        substring(col("name"), 1, 16), pairBudget = Some(2000000000L))
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
+        (levenshtein(col("a_name"), col("b_name")) <= 2).as("name_agree"),
+        (col("a_nat") === col("b_nat")).as("nat_agree"),
+        (col("a_seg") === col("b_seg")).as("seg_agree"),
+        (col("a_bal_kb") === col("b_bal_kb")).as("bal_agree"))
     EntityResolution.linkageWeights(pairs, Q191Fields)
       .withColumn("is_match", col("link_weight") >= 4.0)
   }

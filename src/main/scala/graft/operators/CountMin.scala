@@ -90,11 +90,18 @@ object CountMin {
     // disjoint key sets report est = 0 instead of NULL/phantom mass
     val spark = a.sparkSession
     val depths = spark.range(depth).select(col("id").cast("int").as("d"))
+    // per-bucket products approach (n/width)^2 at planner scale (~1e15
+    // each at 1e10-row sides) and their sum can pass 2^63 — widen one
+    // operand to DECIMAL(38,0) before the multiply; the released BIGINT
+    // hint saturates at Long.MaxValue rather than wrapping
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val est = cmA.join(cmB.withColumnRenamed("cnt", "cntb"), Seq("d", "bucket"))
       .groupBy(col("d"))
-      .agg(sum(col("cnt") * col("cntb")).as("dp"))
+      .agg(sum(col("cnt").cast(dec38) * col("cntb")).as("dp"))
       .join(depths, Seq("d"), "right")
-      .agg(min(coalesce(col("dp"), lit(0L))).as("est"))
+      .agg(min(coalesce(col("dp"), lit(0L).cast(dec38))).as("estd"))
+      .select(least(col("estd"), lit(Long.MaxValue).cast(dec38))
+        .cast("long").as("est"))
     val withMeta = est.select(lit(depth).as("depth"), lit(width).as("width"),
       col("est"))
     if (!withExact) withMeta.withColumn("exact_rows", lit(null).cast("long"))

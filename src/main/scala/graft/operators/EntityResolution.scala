@@ -142,20 +142,74 @@ object EntityResolution {
     val base = Parallelism.ensureCompute(df)
       .select(col(idCol).as("id"), col(strCol).as("s"))
     blockers.zipWithIndex.map { case (blocker, i) =>
-      val mass = (col("bs").cast("decimal(38,0)") * (col("bs") - 1L) /
-        lit(2)).cast("decimal(38,0)")
-      base.select(blocker(col("s")).as("bk"))
-        .groupBy(col("bk")).agg(count(lit(1)).as("bs"))
-        .agg(
-          count(lit(1)).as("blocks"),
-          sum(when(col("bs") > maxBlockSize, 1L).otherwise(0L)).as("blocks_dropped"),
-          coalesce(sum(when(col("bs") <= maxBlockSize, mass)),
-            lit(0).cast("decimal(38,0)")).cast("decimal(38,0)").as("pairs_planned"),
-          coalesce(sum(when(col("bs") > maxBlockSize, mass)),
-            lit(0).cast("decimal(38,0)")).cast("decimal(38,0)").as("pairs_dropped"))
-        .select(lit(i).cast("long").as("pass"), col("blocks"),
-          col("blocks_dropped"), col("pairs_planned"), col("pairs_dropped"))
+      massReport(base.select(blocker(col("s")).as("bk")), maxBlockSize, i)
     }.reduce(_ unionByName _)
+  }
+
+  /** [[pairMassReport]] for ONE arbitrary pre-computed block-key column
+    * — the pricing surface for [[blockedPairs]]-style callers whose key
+    * is not a function of a single string column.
+    */
+  def pairMassReportKeyed(df: DataFrame, blockKey: Column,
+      maxBlockSize: Int = 10000): DataFrame =
+    massReport(Parallelism.ensureCompute(df).select(blockKey.as("bk")),
+      maxBlockSize, 0)
+
+  private def massReport(keyed: DataFrame, maxBlockSize: Int,
+      pass: Int): DataFrame = {
+    val mass = (col("bs").cast("decimal(38,0)") * (col("bs") - 1L) /
+      lit(2)).cast("decimal(38,0)")
+    keyed
+      .groupBy(col("bk")).agg(count(lit(1)).as("bs"))
+      .agg(
+        count(lit(1)).as("blocks"),
+        sum(when(col("bs") > maxBlockSize, 1L).otherwise(0L)).as("blocks_dropped"),
+        coalesce(sum(when(col("bs") <= maxBlockSize, mass)),
+          lit(0).cast("decimal(38,0)")).cast("decimal(38,0)").as("pairs_planned"),
+        coalesce(sum(when(col("bs") > maxBlockSize, mass)),
+          lit(0).cast("decimal(38,0)")).cast("decimal(38,0)").as("pairs_dropped"))
+      .select(lit(pass).cast("long").as("pass"), col("blocks"),
+        col("blocks_dropped"), col("pairs_planned"), col("pairs_dropped"))
+  }
+
+  /** Budget-gated GENERIC blocked self-join: candidate pairs by
+    * co-membership in `blockKey`'s block, every payload column of `df`
+    * carried with `a_` / `b_` prefixes and `a_<idCol> < b_<idCol>` —
+    * the candidate stage for callers that score pairs themselves (e.g.
+    * [[linkageWeights]], whose pair input otherwise bypasses every
+    * fail-fast this file builds). Same contract as [[fuzzyPairs]]:
+    * oversized blocks are dropped whole (`maxBlockSize`, so a
+    * degenerate key cannot go quadratic), and `pairBudget` prices the
+    * planned mass from a counts-only agg ([[pairMassReportKeyed]]) and
+    * REFUSES over-budget before a single pair materializes. Blocked
+    * joins cost pair mass, not rows — the q126/q191 lesson priced at
+    * plan time.
+    */
+  def blockedPairs(df: DataFrame, idCol: String, blockKey: Column,
+      maxBlockSize: Int = 10000, pairBudget: Option[Long] = None): DataFrame = {
+    val base = Parallelism.ensureCompute(df)
+    pairBudget.foreach { budget =>
+      val r = pairMassReportKeyed(base, blockKey, maxBlockSize).collect()(0)
+      System.err.println(s"[graft] blockedPairs: ${r.getLong(1)} blocks " +
+        s"(${r.getLong(2)} dropped by cap $maxBlockSize), " +
+        s"pairs planned ${r.getDecimal(3)}, dropped ${r.getDecimal(4)}")
+      require(BigDecimal(r.getDecimal(3)) <= BigDecimal(budget),
+        s"planned candidate-pair mass ${r.getDecimal(3)} exceeds pairBudget " +
+          s"$budget (cap $maxBlockSize kept it from the unbounded case); " +
+          "use a finer blocking key or raise the budget")
+    }
+    val keyed = base.withColumn("__bk", blockKey)
+    val okKeys = keyed.groupBy(col("__bk")).agg(count(lit(1)).as("bs"))
+      .where(col("bs") <= maxBlockSize)
+      .select(col("__bk"))
+    val capped = keyed.join(okKeys, Seq("__bk"), "left_semi")
+    val a = capped.select(col("__bk") +:
+      df.columns.toIndexedSeq.map(c => col(c).as(s"a_$c")): _*)
+    val b = capped.select(col("__bk") +:
+      df.columns.toIndexedSeq.map(c => col(c).as(s"b_$c")): _*)
+    a.join(b, Seq("__bk"))
+      .where(col(s"a_$idCol") < col(s"b_$idCol"))
+      .drop("__bk")
   }
 
   /** Candidate pairs `(id_a, id_b, dist)` with `id_a < id_b` and

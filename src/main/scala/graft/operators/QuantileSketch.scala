@@ -52,7 +52,23 @@ object QuantileSketch {
       .select((groupCols.map(col) :+ bucket.as("bucket")): _*)
       .groupBy((groupCols.map(col) :+ col("bucket")): _*)
       .agg(count(lit(1)).as("cnt"))
+      .withColumn("__alpha", lit(alpha))
   }
+
+  /** Every readout must run at the alpha the sketch was BUILT with —
+    * a mismatched alpha changes `gamma` and yields plausible-looking
+    * but wrong representative values with no error. The sketch table
+    * carries its alpha as the `__alpha` column; this guard (folded into
+    * each readout's `cnt` so every row evaluates it) fails fast on a
+    * mismatch instead of silently lying.
+    */
+  private def guardedCnt(alpha: Double) =
+    when(col("__alpha") =!= lit(alpha), raise_error(concat(
+      lit("ddsketch: readout alpha "), lit(alpha),
+      lit(" != sketch alpha "), col("__alpha"),
+      lit(" — pass the alpha the sketch was built with")))
+      .cast("long"))
+      .otherwise(col("cnt"))
 
   /** WEIGHTED sketch: each row contributes `weightCol` (a non-negative
     * integer — token counts, byte sizes, replication factors) instead
@@ -83,6 +99,7 @@ object QuantileSketch {
         wGuard.as("__w")): _*)
       .groupBy((groupCols.map(col) :+ col("bucket")): _*)
       .agg(sum(col("__w")).as("cnt"))
+      .withColumn("__alpha", lit(alpha))
   }
 
   /** Merge sketch tables (counter addition — merged == from-scratch,
@@ -90,7 +107,16 @@ object QuantileSketch {
     */
   def merge(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
     sketches.groupBy((groupCols.map(col) :+ col("bucket")): _*)
-      .agg(sum(col("cnt")).as("cnt"))
+      .agg(sum(col("cnt")).as("cnt"),
+        min(col("__alpha")).as("__amin"), max(col("__alpha")).as("__amax"))
+      // sketches built at different alphas have incompatible bucket
+      // meanings — counter addition across them is nonsense; fail fast
+      .withColumn("__alpha",
+        when(col("__amin") =!= col("__amax"), raise_error(lit(
+          "ddsketch merge: sketches built with different alphas"))
+          .cast("double"))
+        .otherwise(col("__amax")))
+      .drop("__amin", "__amax")
 
   /** Sketch-space 1-Wasserstein: W1 between the two discrete
     * distributions that place each DDSketch bucket's mass at its
@@ -117,7 +143,7 @@ object QuantileSketch {
       round(when(col("bucket").isNull, lit(0.0))
         .otherwise(lit(2.0) * pow(lit(gamma), col("bucket").cast("double")) /
           lit(gamma + 1.0)), 6).as("v"),
-      col("cnt").as(ca), (col("cnt") * 0L).as(cb))
+      guardedCnt(alpha).as(ca), (col("cnt") * 0L).as(cb))
     val perV = repped(a, "ca", "cb").unionByName(repped(b, "cb", "ca"))
       .groupBy(col("v")).agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
     val spark = a.sparkSession
@@ -187,7 +213,7 @@ object QuantileSketch {
         round(when(col("bucket").isNull, lit(0.0))
           .otherwise(lit(2.0) * pow(lit(gamma), col("bucket").cast("double")) /
             lit(gamma + 1.0)), 6).as("v") :+
-        col("cnt").as(ca) :+ (col("cnt") * 0L).as(cb): _*)
+        guardedCnt(alpha).as(ca) :+ (col("cnt") * 0L).as(cb): _*)
     val perV = repped(a, "ca", "cb").unionByName(repped(b, "cb", "ca"))
       .groupBy(g :+ col("v"): _*)
       .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
@@ -250,6 +276,7 @@ object QuantileSketch {
       .partitionBy(groupCols.map(col): _*)
       .orderBy(col("bucket").asc_nulls_first)
     val cum = sketchDf
+      .withColumn("cnt", guardedCnt(alpha))
       .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("n", sum(col("cnt")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)))

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -117,6 +117,13 @@ object AvroIO {
   /** Write `df` as Avro container files, one per partition (empty
     * partitions still emit a schema-only file, so a later read never
     * loses the schema). Overwrites `path`.
+    *
+    * Each task streams to a per-ATTEMPT hidden temp file and renames the
+    * complete container into place — a speculative or zombie attempt
+    * overlapping a retry of the same partition can therefore never
+    * interleave bytes into a committed file; the last complete rename
+    * wins. Filesystems resolve from the target path's own scheme, so a
+    * `file://` or `s3a://` destination works under any `fs.defaultFS`.
     */
   def write(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
@@ -124,17 +131,20 @@ object AvroIO {
       spark.sparkContext.hadoopConfiguration)
     val avroJson = toAvroSchema(df.schema).toString
     val sparkSchema = df.schema
-    val f = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(path)
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (f.exists(dir)) f.delete(dir, true)
     f.mkdirs(dir)
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val schema = new Schema.Parser().parse(avroJson)
-      val fs = FileSystem.get(conf.value)
-      val out = fs.create(new Path(path, f"part-$pid%05d.avro"), true)
+      val dest = new Path(path, f"part-$pid%05d.avro")
+      val fs = dest.getFileSystem(conf.value)
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val tmp = new Path(path, f".part-$pid%05d-$attempt%d.avro.tmp")
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
-      w.create(schema, out)
+      w.create(schema, fs.create(tmp, true))
       rows.foreach { row =>
         val rec = new GenericData.Record(schema)
         sparkSchema.fields.zipWithIndex.foreach { case (fld, i) =>
@@ -144,6 +154,11 @@ object AvroIO {
         w.append(rec)
       }
       w.close()
+      // commit: replace any prior attempt's complete file atomically-ish
+      // (rename of an intact container; never an in-place stream)
+      if (fs.exists(dest)) fs.delete(dest, false)
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(s"AvroIO: rename $tmp -> $dest failed")
       Iterator.single(1)
     }.count()
     // a fully-empty input plans zero partitions and writes zero files;
@@ -185,8 +200,8 @@ object AvroIO {
     */
   def read(spark: SparkSession, path: String,
       schema: Option[StructType] = None): DataFrame = {
-    val f = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val p = new Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files =
       (if (f.getFileStatus(p).isDirectory) f.listStatus(p).toSeq.map(_.getPath)
        else Seq(p))
@@ -203,9 +218,9 @@ object AvroIO {
     val rows = spark.sparkContext
       .parallelize(files, files.size)
       .mapPartitions { paths =>
-        val fs = FileSystem.get(conf.value)
         paths.flatMap { file =>
-          val st = new DataFileStream(fs.open(new Path(file)),
+          val fp = new Path(file)
+          val st = new DataFileStream(fp.getFileSystem(conf.value).open(fp),
             new GenericDatumReader[GenericRecord]())
           // STREAM records — a multi-GB container must not materialize
           // in one task's heap. The stream closes on exhaustion; an

@@ -150,4 +150,37 @@ class EntityResolutionSpec extends SparkSuite {
       maxDist = 2, pairBudget = Some(135L))
     assert(ok.count() > 0, "at or under budget must run")
   }
+
+  test("blockedPairs: co-blocked pairs with full a_/b_ payload, a_id < b_id") {
+    val recs = Seq(
+      (1L, "blkA", 10), (2L, "blkA", 20), (3L, "blkB", 30), (4L, "blkB", 40),
+      (5L, "solo", 50)).toDF("id", "grp", "v")
+    val got = EntityResolution.blockedPairs(recs, "id", col("grp"))
+      .select("a_id", "b_id", "a_v", "b_v")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 10, 20), (3L, 4L, 30, 40)), s"got $got")
+  }
+
+  test("blockedPairs: pairBudget fails fast naming mass and budget (the q191 gate)") {
+    // one block of 10 -> 45 planned pairs
+    val recs = (1L to 10L).map(i => (i, "same")).toDF("id", "grp")
+    val e = intercept[IllegalArgumentException] {
+      EntityResolution.blockedPairs(recs, "id", col("grp"),
+        pairBudget = Some(40L))
+    }
+    assert(e.getMessage.contains("45") && e.getMessage.contains("40"),
+      s"refusal must name mass and budget: ${e.getMessage}")
+    val ok = EntityResolution.blockedPairs(recs, "id", col("grp"),
+      pairBudget = Some(45L))
+    assert(ok.count() == 45L, "at budget must run")
+  }
+
+  test("blockedPairs: oversized blocks drop whole under maxBlockSize") {
+    val recs = ((1L to 9L).map(i => (i, "big")) ++ Seq((10L, "ok"), (11L, "ok")))
+      .toDF("id", "grp")
+    val got = EntityResolution.blockedPairs(recs, "id", col("grp"),
+        maxBlockSize = 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 11L)), s"got $got")
+  }
 }
