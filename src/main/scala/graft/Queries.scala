@@ -4542,20 +4542,7 @@ object Queries {
     val queries = emb.where(col("vec_id") % 97 === 0)
     val approx = ProductQuantizer.adcTopK(queries, "vec_id", "embedding",
       codes, "vec_id", books, dim = PqDim, k = 5)
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val exactW = Window.partitionBy(col("q_id"))
-      .orderBy(col("d").asc, col("vec_id").asc)
-    val exact = emb.select(col("vec_id"), col("embedding"))
-      .join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(graft.plans.VectorExpressions.l2Squared(
-          col("q_vec"), col("embedding")), 6).as("d"))
-      .withColumn("rn", row_number().over(exactW))
-      .where(col("rn") <= 5)
-      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
-    approx.join(exact, Seq("q_id", "vec_id"), "left")
-      .groupBy(col("q_id"))
-      .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+    gtHits(approx, exactL2Top5(spark, dir), "hits")
   }
 
   // ---------------------------------------------------------------- Q206
@@ -4593,14 +4580,7 @@ object Queries {
     val approx = Similarity.topKJoin(
       proj.where(col("vec_id") % 97 === 0), "vec_id", "proj",
       proj, "vec_id", "proj", k = 5)
-    val exact = Similarity.topKJoin(
-      emb.where(col("vec_id") % 97 === 0), "vec_id", "embedding",
-      emb, "vec_id", "embedding", k = 5)
-    approx.select(col("q_id"), col("vec_id"))
-      .join(exact.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
-        Seq("q_id", "vec_id"), "left")
-      .groupBy(col("q_id"))
-      .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+    gtHits(approx, exactCosTop5(spark, dir), "hits")
   }
 
   // ---------------------------------------------------------------- Q214
@@ -4654,14 +4634,7 @@ object Queries {
       dim = PqDim, bits = 16)
     val approx = Similarity.hammingTopK(
       sigs.where(col("vec_id") % 97 === 0), "vec_id", sigs, "vec_id", k = 5)
-    val exact = Similarity.topKJoin(
-      emb.where(col("vec_id") % 97 === 0), "vec_id", "embedding",
-      emb, "vec_id", "embedding", k = 5)
-    approx.select(col("q_id"), col("vec_id"))
-      .join(exact.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
-        Seq("q_id", "vec_id"), "left")
-      .groupBy(col("q_id"))
-      .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+    gtHits(approx, exactCosTop5(spark, dir), "hits")
   }
 
   // ---------------------------------------------------------------- Q215
@@ -4696,22 +4669,9 @@ object Queries {
           col("q_vec"), col("c_vec")), 6).as("l2"))
       .withColumn("rn", row_number().over(rw))
       .where(col("rn") <= 5).select(col("q_id"), col("vec_id"))
-    val exW = Window.partitionBy(col("q_id"))
-      .orderBy(col("d").asc, col("vec_id").asc)
-    val exact5 = emb.select(col("vec_id"), col("embedding"))
-      .join(broadcast(queries.select(col("vec_id").as("q_id"),
-        col("embedding").as("q_vec"))), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(graft.plans.VectorExpressions.l2Squared(
-          col("q_vec"), col("embedding")), 6).as("d"))
-      .withColumn("rn", row_number().over(exW))
-      .where(col("rn") <= 5)
-      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
-    def hits(top: DataFrame, name: String): DataFrame =
-      top.join(exact5, Seq("q_id", "vec_id"), "left")
-        .groupBy(col("q_id"))
-        .agg(sum(coalesce(col("hit"), lit(0))).as(name))
-    hits(adc5, "adc_hits").join(hits(rerank5, "rerank_hits"), Seq("q_id"))
+    val exact = exactL2Top5(spark, dir)
+    gtHits(adc5, exact, "adc_hits")
+      .join(gtHits(rerank5, exact, "rerank_hits"), Seq("q_id"))
   }
 
   // ---------------------------------------------------------------- Q213
@@ -4779,4 +4739,213 @@ object Queries {
       tp(spark, dir, "orders"), "o_custkey",
       tp(spark, dir, "customer"), "c_custkey",
       depth = 4, width = 256, withExact = true)
+
+  // --------------------------------------------------------- Q217-Q220
+  /** Residual-quantizer state for q217–q220 ([[graft.operators
+    * .ProductQuantizer.coarseCentroids]] / [[graft.operators
+    * .ProductQuantizer.residuals]]): the canonical IVFADC composition —
+    * coarse lists from the frozen q208 router, per-list mean centroids,
+    * product codebooks trained on the RESIDUALS `x − c(list)` (salt
+    * `pqr`, same m/ksub/dim bit budget as the raw q203 quantizer).
+    * Same train-once/freeze cache discipline as [[pqBooks]].
+    */
+  private val pqrCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[Int, Array[Double]], ProductQuantizer.Codebooks)]()
+  private def pqrParts(spark: SparkSession, dir: String)
+      : (Map[Int, Array[Double]], ProductQuantizer.Codebooks) = {
+    val cached = pqrCache.get(dir)
+    if (cached != null) cached else {
+      val routed = tp(spark, dir, "embeddings")
+        .withColumn("list", pqListOf(col("embedding")))
+      val cents = ProductQuantizer.coarseCentroids(
+        routed, "embedding", "list", PqDim)
+      val resid = ProductQuantizer.residuals(routed, "embedding", "list", cents)
+      val books = ProductQuantizer.train(resid, "vec_id", "resid",
+        m = PqM, ksub = PqK, dim = PqDim, iters = 2, saltPrefix = "pqr")
+      val parts = (cents, books)
+      pqrCache.put(dir, parts) // lost race retrains identical state
+      parts
+    }
+  }
+  /** The residual-encoded corpus codes with their coarse list carried
+    * ([[graft.operators.ProductQuantizer.encode]] `carryCols`) — the
+    * compressed IVFADC residence.
+    */
+  private def pqrCodes(spark: SparkSession, dir: String,
+      cents: Map[Int, Array[Double]],
+      books: ProductQuantizer.Codebooks): DataFrame = {
+    val routed = tp(spark, dir, "embeddings")
+      .withColumn("list", pqListOf(col("embedding")))
+    ProductQuantizer.encode(
+      ProductQuantizer.residuals(routed, "embedding", "list", cents),
+      "vec_id", "resid", books, dim = PqDim, carryCols = Seq("list"))
+  }
+
+  /** Exact ground truth for the recall-audit family, computed ONCE per
+    * corpus dir and cached as driver rows (the [[pqBookCache]] pattern
+    * — bounded: n_queries × 5 id pairs): brute-force L2 top-5
+    * ([[graft.plans.VectorExpressions.l2Squared]], round-6 ranking, the
+    * q209 exact side) and cosine top-5 ([[Similarity.topKJoin]], the
+    * q211/q216 exact side). Audits q209/q211/q215/q216/q218/q219 share
+    * these instead of each recomputing the full brute-force probe.
+    */
+  private val exactL2Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
+  private val exactCosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
+  private def gtDf(spark: SparkSession, pairs: Array[(Long, Long)]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(pairs.map(p =>
+        org.apache.spark.sql.Row(p._1, p._2)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  private def exactL2Top5(spark: SparkSession, dir: String): DataFrame = {
+    val cached = exactL2Cache.get(dir)
+    val pairs = if (cached != null) cached else {
+      val emb = tp(spark, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("d").asc, col("vec_id").asc)
+      val computed = emb.select(col("vec_id"), col("embedding"))
+        .join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(graft.plans.VectorExpressions.l2Squared(
+            col("q_vec"), col("embedding")), 6).as("d"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      exactL2Cache.put(dir, computed)
+      computed
+    }
+    gtDf(spark, pairs)
+  }
+  private def exactCosTop5(spark: SparkSession, dir: String): DataFrame = {
+    val cached = exactCosCache.get(dir)
+    val pairs = if (cached != null) cached else {
+      val emb = tp(spark, dir, "embeddings")
+      val computed = Similarity.topKJoin(
+        emb.where(col("vec_id") % 97 === 0), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      exactCosCache.put(dir, computed)
+      computed
+    }
+    gtDf(spark, pairs)
+  }
+  /** recall hits of `top`'s (q_id, vec_id) rows against a cached exact
+    * ground-truth table, as one `(q_id, <name>)` row per query.
+    */
+  private def gtHits(top: DataFrame, exact: DataFrame, name: String): DataFrame =
+    top.select(col("q_id"), col("vec_id"))
+      .join(exact.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as(name))
+
+  // ---------------------------------------------------------------- Q217
+  /** IVFADC residual probe ([[graft.operators.ProductQuantizer
+    * .residuals]] + [[graft.operators.ProductQuantizer.adcTopK]]
+    * `withinCol`): the q208 within-list probe with codes and LUTs in
+    * RESIDUAL space — `x − c(list)` quantized instead of the raw
+    * vector, the canonical IVFADC (Jégou et al. 2011 §III-C). Same
+    * partition-pruned compressed scan; the codebooks now spend their
+    * bit budget on the local displacement.
+    */
+  def q217IvfpqResidualProbe(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, books) = pqrParts(spark, dir)
+    val codes = pqrCodes(spark, dir, cents, books)
+    val queries = tp(spark, dir, "embeddings")
+      .where(col("vec_id") % 97 === 0)
+      .withColumn("list", pqListOf(col("embedding")))
+    val qResid = ProductQuantizer.residuals(queries, "embedding", "list", cents)
+    ProductQuantizer.adcTopK(qResid, "vec_id", "resid",
+      codes, "vec_id", books, dim = PqDim, k = 5, withinCol = "list")
+  }
+
+  // ---------------------------------------------------------------- Q218
+  /** Residual-vs-raw recall audit at the SAME bit budget: per query,
+    * recall@5 against the exact L2 top-5 of (a) the raw-vector
+    * within-list probe (q208's pipeline) and (b) the residual
+    * within-list probe (q217's) — the committed evidence for what
+    * residual encoding buys. Same candidate lists, same m/ksub, only
+    * the encoding differs; ground truth rides the cached exact table.
+    */
+  def q218ResidualRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = exactL2Top5(spark, dir)
+    val raw = q208IvfPqProbe(spark, dir)
+    val resid = q217IvfpqResidualProbe(spark, dir)
+    gtHits(raw, exact, "raw_hits")
+      .join(gtHits(resid, exact, "resid_hits"), Seq("q_id"))
+  }
+
+  // ---------------------------------------------------------------- Q219
+  /** Multi-probe IVFADC audit ([[graft.operators.ProductQuantizer
+    * .probeLists]]): per query, the residual probe at nProbe=1 vs
+    * nProbe=2 — query rows replicated to their nearest coarse lists by
+    * exact centroid distance, residuals taken vs EACH probed list's
+    * centroid, the per-query window taking the global top-5 across
+    * probed lists. TWO readouts per probe width, because they answer
+    * different questions: `p*_reach` counts exact-top-5 members whose
+    * list IS probed — the coarse-pruning loss multi-probe provably
+    * fixes (probed lists at nProbe=2 are a superset of nProbe=1, so
+    * p2_reach ≥ p1_reach per query ALWAYS; spec-pinned) — while
+    * `p*_hits` is the end-to-end ADC recall@5, which extra probes
+    * usually raise but CAN lower at a starved bit budget (a spurious
+    * low quantized distance from the second list can displace a true
+    * neighbor from the top-5 — the audit exposing that is the point;
+    * production pairs multi-probe with the q214 rerank, which re-scores
+    * candidates exactly).
+    */
+  def q219MultiprobeRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, books) = pqrParts(spark, dir)
+    val codes = pqrCodes(spark, dir, cents, books)
+    val emb = tp(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id") % 97 === 0)
+    def probeTop5(nProbe: Int): DataFrame = {
+      val rep = ProductQuantizer.probeLists(
+        queries, "embedding", cents, PqDim, nProbe)
+      val qResid = ProductQuantizer.residuals(rep, "embedding", "list", cents)
+      ProductQuantizer.adcTopK(qResid, "vec_id", "resid",
+        codes, "vec_id", books, dim = PqDim, k = 5, withinCol = "list")
+    }
+    val exact = exactL2Top5(spark, dir)
+    val xLists = emb.select(col("vec_id"), pqListOf(col("embedding")).as("x_list"))
+    def reachHits(nProbe: Int, name: String): DataFrame = {
+      val probed = ProductQuantizer.probeLists(
+        queries, "embedding", cents, PqDim, nProbe)
+        .select(col("vec_id").as("q_id"), col("list").as("x_list"),
+          lit(1).as("r"))
+      exact.join(xLists, Seq("vec_id"))
+        .join(probed, Seq("q_id", "x_list"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("r"), lit(0))).as(name))
+    }
+    gtHits(probeTop5(1), exact, "p1_hits")
+      .join(gtHits(probeTop5(2), exact, "p2_hits"), Seq("q_id"))
+      .join(reachHits(1, "p1_reach"), Seq("q_id"))
+      .join(reachHits(2, "p2_reach"), Seq("q_id"))
+  }
+
+  // ---------------------------------------------------------------- Q220
+  /** Multi-probe pair-mass pricing ([[graft.operators.ProductQuantizer
+    * .probeMassReport]] over the nProbe=2 replicated query side): the
+    * q213 pricing discipline on the multiplied probe mass — the cost
+    * of the recall lever is visible at plan time, per list, before any
+    * scoring work.
+    */
+  def q220MultiprobeMass(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, _) = pqrParts(spark, dir)
+    val emb = tp(spark, dir, "embeddings")
+    val lists = emb.select(col("vec_id"), pqListOf(col("embedding")).as("list"))
+    val rep = ProductQuantizer.probeLists(
+      emb.where(col("vec_id") % 97 === 0), "embedding", cents, PqDim,
+      nProbe = 2)
+      .select(col("vec_id"), col("list"))
+    ProductQuantizer.probeMassReport(rep, lists, "list")
+  }
 }

@@ -259,6 +259,10 @@ object SparkEntry {
     "q214_ann_rerank" -> (Queries.q214AnnRerank _),
     "q215_rerank_gain" -> (Queries.q215RerankGain _),
     "q216_hamming_recall" -> (Queries.q216HammingRecall _),
+    "q217_ivfpq_residual_probe" -> (Queries.q217IvfpqResidualProbe _),
+    "q218_residual_recall" -> (Queries.q218ResidualRecall _),
+    "q219_multiprobe_recall" -> (Queries.q219MultiprobeRecall _),
+    "q220_multiprobe_mass" -> (Queries.q220MultiprobeMass _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -266,28 +270,80 @@ object SparkEntry {
     * assignment against the previous codebook `prev`, then the
     * 6-dp-rounded per-cell mean update with empty-code carry-through.
     */
-  private def pqIter(i: Int, prev: String): String =
-    s"""d$i AS MATERIALIZED (
+  private def pqIter(i: Int, prev: String, sv: String, sfx: String): String =
+    s"""d$i$sfx AS MATERIALIZED (
        |  SELECT sv.vec_id, sv.sub, cb.code,
        |         sum(CAST(round((sv.val - cb.val) * (sv.val - cb.val), 6)
        |                  AS DECIMAL(18,6))) AS d
-       |  FROM sv JOIN $prev cb ON cb.sub = sv.sub AND cb.pos = sv.pos
+       |  FROM $sv sv JOIN $prev cb ON cb.sub = sv.sub AND cb.pos = sv.pos
        |  GROUP BY 1, 2, 3),
-       |a$i AS MATERIALIZED (
+       |a$i$sfx AS MATERIALIZED (
        |  SELECT vec_id, sub, code FROM (
        |    SELECT vec_id, sub, code,
        |           row_number() OVER (PARTITION BY vec_id, sub
        |                              ORDER BY d ASC, code ASC) AS rn
-       |    FROM d$i) WHERE rn = 1),
-       |c$i AS MATERIALIZED (
+       |    FROM d$i$sfx) WHERE rn = 1),
+       |c$i$sfx AS MATERIALIZED (
        |  SELECT g.sub, g.code, g.pos, coalesce(u.val, g.val) AS val
        |  FROM $prev g LEFT JOIN (
        |    SELECT a.sub, a.code, sv.pos,
        |           round(CAST(sum(CAST(round(sv.val, 6) AS DECIMAL(18,6)))
        |                      AS DOUBLE) / count(*), 6) AS val
-       |    FROM a$i a JOIN sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub
+       |    FROM a$i$sfx a JOIN $sv sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub
        |    GROUP BY 1, 2, 3) u
        |  ON u.sub = g.sub AND u.code = g.code AND u.pos = g.pos)""".stripMargin
+
+  /** The full two-Lloyd-iteration training replay over sub-vector table
+    * `sv` ((vec_id, sub, pos, val) rows) with init salt `salt`, every
+    * CTE name suffixed `sfx` so the raw (`sv`/`pq`/"") and residual
+    * (`rv`/`pqr`/"r") chains can coexist in one oracle. Emits
+    * iu/sel/c0..c2/d1..d3/a1..a3 (suffixed); c2$sfx = final codebook,
+    * a3$sfx = final assignment (encode), d3$sfx = the ADC LUT.
+    */
+  private def pqTrainCtes(sv: String, salt: String, sfx: String): String =
+    s"""iu$sfx AS (
+       |  SELECT e.vec_id, s.sub,
+       |         (((list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |              list_transform(string_split('$salt|' || s.sub || '|' || e.vec_id, ''),
+       |                c -> CAST(ascii(c) AS BIGINT))),
+       |              (a, q) -> (a * 131 + q) % 281474976710656)
+       |            % 2147483647) * 1103515245 + 12345) % 2147483647 + 0.5)
+       |          / 2147483647.0 AS u
+       |  FROM embeddings e, subs s),
+       |sel$sfx AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub,
+       |           CAST(row_number() OVER (PARTITION BY sub
+       |                                   ORDER BY u ASC, vec_id ASC) - 1
+       |                AS INTEGER) AS code
+       |    FROM iu$sfx) WHERE code < 4),
+       |c0$sfx AS MATERIALIZED (
+       |  SELECT sel.sub, sel.code, sv.pos, round(sv.val, 6) AS val
+       |  FROM sel$sfx sel JOIN $sv sv ON sv.vec_id = sel.vec_id AND sv.sub = sel.sub),
+       |${pqIter(1, s"c0$sfx", sv, sfx)},
+       |${pqIter(2, s"c1$sfx", sv, sfx)},
+       |d3$sfx AS MATERIALIZED (
+       |  SELECT sv.vec_id, sv.sub, cb.code,
+       |         sum(CAST(round((sv.val - cb.val) * (sv.val - cb.val), 6)
+       |                  AS DECIMAL(18,6))) AS d
+       |  FROM $sv sv JOIN c2$sfx cb ON cb.sub = sv.sub AND cb.pos = sv.pos
+       |  GROUP BY 1, 2, 3),
+       |a3$sfx AS MATERIALIZED (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |           row_number() OVER (PARTITION BY vec_id, sub
+       |                              ORDER BY d ASC, code ASC) AS rn
+       |    FROM d3$sfx) WHERE rn = 1)""".stripMargin
+
+  private val pqSubsPs =
+    """subs AS (SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER) AS sub),
+      |ps AS (SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER) AS pos)""".stripMargin
+
+  private val pqSv =
+    """sv AS MATERIALIZED (
+      |  SELECT vec_id, s.sub, p.pos,
+      |         CAST(embedding[s.sub * 8 + p.pos + 1] AS DOUBLE) AS val
+      |  FROM embeddings, subs s, ps p)""".stripMargin
 
   /** The q203/q204/q205 shared training replay: 8 subspaces x 8 dims x
     * 4 codes over the 64-dim embeddings, portable-uniform init, two
@@ -295,45 +351,61 @@ object SparkEntry {
     * encode. `finalSelect` consumes c2 / a3 / sv.
     */
   private def pqOracle(finalSelect: String): String =
-    s"""WITH subs AS (SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER) AS sub),
-       |ps AS (SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER) AS pos),
-       |sv AS MATERIALIZED (
-       |  SELECT vec_id, s.sub, p.pos,
-       |         CAST(embedding[s.sub * 8 + p.pos + 1] AS DOUBLE) AS val
-       |  FROM embeddings, subs s, ps p),
-       |iu AS (
-       |  SELECT e.vec_id, s.sub,
-       |         (((list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |              list_transform(string_split('pq|' || s.sub || '|' || e.vec_id, ''),
-       |                c -> CAST(ascii(c) AS BIGINT))),
-       |              (a, q) -> (a * 131 + q) % 281474976710656)
-       |            % 2147483647) * 1103515245 + 12345) % 2147483647 + 0.5)
-       |          / 2147483647.0 AS u
-       |  FROM embeddings e, subs s),
-       |sel AS (
-       |  SELECT vec_id, sub, code FROM (
-       |    SELECT vec_id, sub,
-       |           CAST(row_number() OVER (PARTITION BY sub
-       |                                   ORDER BY u ASC, vec_id ASC) - 1
-       |                AS INTEGER) AS code
-       |    FROM iu) WHERE code < 4),
-       |c0 AS MATERIALIZED (
-       |  SELECT sel.sub, sel.code, sv.pos, round(sv.val, 6) AS val
-       |  FROM sel JOIN sv ON sv.vec_id = sel.vec_id AND sv.sub = sel.sub),
-       |${pqIter(1, "c0")},
-       |${pqIter(2, "c1")},
-       |d3 AS MATERIALIZED (
-       |  SELECT sv.vec_id, sv.sub, cb.code,
-       |         sum(CAST(round((sv.val - cb.val) * (sv.val - cb.val), 6)
-       |                  AS DECIMAL(18,6))) AS d
-       |  FROM sv JOIN c2 cb ON cb.sub = sv.sub AND cb.pos = sv.pos
-       |  GROUP BY 1, 2, 3),
-       |a3 AS MATERIALIZED (
-       |  SELECT vec_id, sub, code FROM (
-       |    SELECT vec_id, sub, code,
-       |           row_number() OVER (PARTITION BY vec_id, sub
-       |                              ORDER BY d ASC, code ASC) AS rn
-       |    FROM d3) WHERE rn = 1)
+    s"""WITH $pqSubsPs,
+       |$pqSv,
+       |${pqTrainCtes("sv", "pq", "")}
+       |$finalSelect""".stripMargin
+
+  /** The residual (IVFADC) base: the frozen 4-way router (`lst`), full
+    * vector components (`fv`), per-list mean coarse centroids (`cc`,
+    * 6-dp — `ProductQuantizer.coarseCentroids`), and the residual
+    * sub-vector table `rv` with val = raw − centroid (exact IEEE
+    * subtraction — `ProductQuantizer.residuals`).
+    */
+  private val pqResidBase =
+    """lst AS MATERIALIZED (
+      |  SELECT vec_id, list FROM (
+      |    SELECT e.vec_id, j.j AS list,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |                              ORDER BY CAST(e.embedding[j.j * 16 + 1] AS DOUBLE) DESC,
+      |                                       j.j ASC) AS rn
+      |    FROM embeddings e,
+      |         (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS j) j)
+      |  WHERE rn = 1),
+      |fv AS MATERIALIZED (
+      |  SELECT e.vec_id, p.p AS fpos, CAST(e.embedding[p.p + 1] AS DOUBLE) AS val
+      |  FROM embeddings e,
+      |       (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS p) p),
+      |cc AS MATERIALIZED (
+      |  SELECT l.list, f.fpos,
+      |         round(CAST(sum(CAST(round(f.val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |               / count(*), 6) AS val
+      |  FROM fv f JOIN lst l ON l.vec_id = f.vec_id
+      |  GROUP BY 1, 2),
+      |rv AS MATERIALIZED (
+      |  SELECT f.vec_id, CAST(f.fpos // 8 AS INTEGER) AS sub,
+      |         CAST(f.fpos % 8 AS INTEGER) AS pos, f.val - cc.val AS val
+      |  FROM fv f JOIN lst l ON l.vec_id = f.vec_id
+      |  JOIN cc ON cc.list = l.list AND cc.fpos = f.fpos)""".stripMargin
+
+  /** q217/q219/q220 shared replay: residual chain only (suffixed `r`:
+    * c2r/a3r/d3r over `rv`, salt `pqr`), plus `lst`/`fv`/`cc`.
+    */
+  private def pqResidualOracle(finalSelect: String): String =
+    s"""WITH $pqSubsPs,
+       |$pqResidBase,
+       |${pqTrainCtes("rv", "pqr", "r")}
+       |$finalSelect""".stripMargin
+
+  /** q218's replay: BOTH chains — raw (unsuffixed, over `sv`) and
+    * residual (`r`-suffixed, over `rv`) — at the same bit budget.
+    */
+  private def pqBothOracle(finalSelect: String): String =
+    s"""WITH $pqSubsPs,
+       |$pqSv,
+       |${pqTrainCtes("sv", "pq", "")},
+       |$pqResidBase,
+       |${pqTrainCtes("rv", "pqr", "r")}
        |$finalSelect""".stripMargin
 
   /** One synchronous label-propagation round as oracle CTEs (see
@@ -1009,6 +1081,199 @@ object SparkEntry {
         |  WHERE rn = 1),
         |qn AS (SELECT list, count(*) AS n_queries FROM lst
         |       WHERE vec_id % 97 = 0 GROUP BY 1),
+        |cn AS (SELECT list, count(*) AS n_codes FROM lst GROUP BY 1)
+        |SELECT coalesce(qn.list, cn.list) AS list,
+        |       coalesce(qn.n_queries, 0) AS n_queries,
+        |       coalesce(cn.n_codes, 0) AS n_codes,
+        |       coalesce(qn.n_queries, 0) * coalesce(cn.n_codes, 0) AS pairs
+        |FROM qn FULL OUTER JOIN cn ON cn.list = qn.list""".stripMargin,
+    // q208's within-list ADC probe with codes and LUT in RESIDUAL space
+    // (the canonical IVFADC): d3r/a3r are the residual-chain twins of
+    // d3/a3, residuals taken vs each vector's own-list mean centroid
+    "q217_ivfpq_residual_probe" -> pqResidualOracle(
+      """, adc AS (
+        |  SELECT l.vec_id AS q_id, a.vec_id,
+        |         round(CAST(sum(l.d) AS DOUBLE), 6) AS dist
+        |  FROM a3r a JOIN d3r l ON l.sub = a.sub AND l.code = a.code
+        |  JOIN lst ql ON ql.vec_id = l.vec_id
+        |  JOIN lst cl ON cl.vec_id = a.vec_id AND cl.list = ql.list
+        |  WHERE l.vec_id % 97 = 0 AND a.vec_id <> l.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT q_id, vec_id, dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY dist ASC, vec_id ASC) AS rn
+        |  FROM adc)
+        |WHERE rn <= 5""".stripMargin),
+    // both chains at the same bit budget: within-list raw top-5 vs
+    // within-list residual top-5, each scored against the exact L2 top-5
+    "q218_residual_recall" -> pqBothOracle(
+      """, ex AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(generate_series(1, 64), i ->
+        |                 (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+        |                 * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))),
+        |               (x, y) -> x + y), 6) ASC, c.vec_id ASC) AS rn
+        |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |    WHERE q.vec_id % 97 = 0)
+        |  WHERE rn <= 5),
+        |rawadc AS (
+        |  SELECT l.vec_id AS q_id, a.vec_id,
+        |         round(CAST(sum(l.d) AS DOUBLE), 6) AS dist
+        |  FROM a3 a JOIN d3 l ON l.sub = a.sub AND l.code = a.code
+        |  JOIN lst ql ON ql.vec_id = l.vec_id
+        |  JOIN lst cl ON cl.vec_id = a.vec_id AND cl.list = ql.list
+        |  WHERE l.vec_id % 97 = 0 AND a.vec_id <> l.vec_id
+        |  GROUP BY 1, 2),
+        |raw5 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY dist ASC, vec_id ASC) AS rn
+        |    FROM rawadc)
+        |  WHERE rn <= 5),
+        |residadc AS (
+        |  SELECT l.vec_id AS q_id, a.vec_id,
+        |         round(CAST(sum(l.d) AS DOUBLE), 6) AS dist
+        |  FROM a3r a JOIN d3r l ON l.sub = a.sub AND l.code = a.code
+        |  JOIN lst ql ON ql.vec_id = l.vec_id
+        |  JOIN lst cl ON cl.vec_id = a.vec_id AND cl.list = ql.list
+        |  WHERE l.vec_id % 97 = 0 AND a.vec_id <> l.vec_id
+        |  GROUP BY 1, 2),
+        |res5 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY dist ASC, vec_id ASC) AS rn
+        |    FROM residadc)
+        |  WHERE rn <= 5),
+        |rh AS (
+        |  SELECT r.q_id, CAST(count(e.vec_id) AS BIGINT) AS raw_hits
+        |  FROM raw5 r LEFT JOIN ex e ON e.q_id = r.q_id AND e.vec_id = r.vec_id
+        |  GROUP BY 1),
+        |sh AS (
+        |  SELECT r.q_id, CAST(count(e.vec_id) AS BIGINT) AS resid_hits
+        |  FROM res5 r LEFT JOIN ex e ON e.q_id = r.q_id AND e.vec_id = r.vec_id
+        |  GROUP BY 1)
+        |SELECT rh.q_id, rh.raw_hits, sh.resid_hits
+        |FROM rh JOIN sh ON sh.q_id = rh.q_id""".stripMargin),
+    // multi-probe: queries replicated to their 2 nearest coarse
+    // centroids (exact decimal L2, ties to the lower list), residual
+    // LUTs per probed list, recall at nProbe=1 vs nProbe=2
+    "q219_multiprobe_recall" -> pqResidualOracle(
+      """, qd AS (
+        |  SELECT f.vec_id, cc.list,
+        |         sum(CAST(round((f.val - cc.val) * (f.val - cc.val), 6)
+        |                  AS DECIMAL(18,6))) AS d
+        |  FROM fv f JOIN cc ON cc.fpos = f.fpos
+        |  WHERE f.vec_id % 97 = 0
+        |  GROUP BY 1, 2),
+        |qp AS (
+        |  SELECT vec_id, list,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY d ASC, list ASC) AS pr
+        |  FROM qd),
+        |rq AS (
+        |  SELECT f.vec_id, qp.list, qp.pr, CAST(f.fpos // 8 AS INTEGER) AS sub,
+        |         CAST(f.fpos % 8 AS INTEGER) AS pos, f.val - cc.val AS val
+        |  FROM fv f JOIN qp ON qp.vec_id = f.vec_id AND qp.pr <= 2
+        |  JOIN cc ON cc.list = qp.list AND cc.fpos = f.fpos),
+        |dq AS (
+        |  SELECT rq.vec_id, rq.list, rq.pr, rq.sub, cb.code,
+        |         sum(CAST(round((rq.val - cb.val) * (rq.val - cb.val), 6)
+        |                  AS DECIMAL(18,6))) AS d
+        |  FROM rq JOIN c2r cb ON cb.sub = rq.sub AND cb.pos = rq.pos
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |am AS (
+        |  SELECT dq.vec_id AS q_id, a.vec_id, dq.pr,
+        |         round(CAST(sum(dq.d) AS DOUBLE), 6) AS dist
+        |  FROM a3r a JOIN lst cl ON cl.vec_id = a.vec_id
+        |  JOIN dq ON dq.list = cl.list AND dq.sub = a.sub AND dq.code = a.code
+        |  WHERE a.vec_id <> dq.vec_id
+        |  GROUP BY 1, 2, 3),
+        |p1 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY dist ASC, vec_id ASC) AS rn
+        |    FROM am WHERE pr = 1)
+        |  WHERE rn <= 5),
+        |p2 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY dist ASC, vec_id ASC) AS rn
+        |    FROM am)
+        |  WHERE rn <= 5),
+        |ex AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(generate_series(1, 64), i ->
+        |                 (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+        |                 * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))),
+        |               (x, y) -> x + y), 6) ASC, c.vec_id ASC) AS rn
+        |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |    WHERE q.vec_id % 97 = 0)
+        |  WHERE rn <= 5),
+        |h1 AS (
+        |  SELECT p.q_id, CAST(count(e.vec_id) AS BIGINT) AS p1_hits
+        |  FROM p1 p LEFT JOIN ex e ON e.q_id = p.q_id AND e.vec_id = p.vec_id
+        |  GROUP BY 1),
+        |h2 AS (
+        |  SELECT p.q_id, CAST(count(e.vec_id) AS BIGINT) AS p2_hits
+        |  FROM p2 p LEFT JOIN ex e ON e.q_id = p.q_id AND e.vec_id = p.vec_id
+        |  GROUP BY 1),
+        |r1 AS (
+        |  SELECT e.q_id, CAST(count(q1.vec_id) AS BIGINT) AS p1_reach
+        |  FROM ex e JOIN lst xl ON xl.vec_id = e.vec_id
+        |  LEFT JOIN qp q1 ON q1.vec_id = e.q_id AND q1.list = xl.list
+        |                 AND q1.pr <= 1
+        |  GROUP BY 1),
+        |r2 AS (
+        |  SELECT e.q_id, CAST(count(q2.vec_id) AS BIGINT) AS p2_reach
+        |  FROM ex e JOIN lst xl ON xl.vec_id = e.vec_id
+        |  LEFT JOIN qp q2 ON q2.vec_id = e.q_id AND q2.list = xl.list
+        |                 AND q2.pr <= 2
+        |  GROUP BY 1)
+        |SELECT h1.q_id, h1.p1_hits, h2.p2_hits, r1.p1_reach, r2.p2_reach
+        |FROM h1 JOIN h2 ON h2.q_id = h1.q_id
+        |JOIN r1 ON r1.q_id = h1.q_id JOIN r2 ON r2.q_id = h1.q_id""".stripMargin),
+    // the q213 pricing arithmetic over the nProbe=2 replicated query
+    // side: per-list query replicas × code rows
+    "q220_multiprobe_mass" ->
+      """WITH lst AS MATERIALIZED (
+        |  SELECT vec_id, list FROM (
+        |    SELECT e.vec_id, j.j AS list,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY CAST(e.embedding[j.j * 16 + 1] AS DOUBLE) DESC,
+        |                                       j.j ASC) AS rn
+        |    FROM embeddings e,
+        |         (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS j) j)
+        |  WHERE rn = 1),
+        |fv AS MATERIALIZED (
+        |  SELECT e.vec_id, p.p AS fpos, CAST(e.embedding[p.p + 1] AS DOUBLE) AS val
+        |  FROM embeddings e,
+        |       (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS p) p),
+        |cc AS MATERIALIZED (
+        |  SELECT l.list, f.fpos,
+        |         round(CAST(sum(CAST(round(f.val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(*), 6) AS val
+        |  FROM fv f JOIN lst l ON l.vec_id = f.vec_id
+        |  GROUP BY 1, 2),
+        |qd AS (
+        |  SELECT f.vec_id, cc.list,
+        |         sum(CAST(round((f.val - cc.val) * (f.val - cc.val), 6)
+        |                  AS DECIMAL(18,6))) AS d
+        |  FROM fv f JOIN cc ON cc.fpos = f.fpos
+        |  WHERE f.vec_id % 97 = 0
+        |  GROUP BY 1, 2),
+        |qp AS (
+        |  SELECT vec_id, list,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY d ASC, list ASC) AS pr
+        |  FROM qd),
+        |qn AS (SELECT list, count(*) AS n_queries FROM qp
+        |       WHERE pr <= 2 GROUP BY 1),
         |cn AS (SELECT list, count(*) AS n_codes FROM lst GROUP BY 1)
         |SELECT coalesce(qn.list, cn.list) AS list,
         |       coalesce(qn.n_queries, 0) AS n_queries,

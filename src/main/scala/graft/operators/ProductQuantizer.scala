@@ -155,16 +155,106 @@ object ProductQuantizer {
         StructField("val", DoubleType, nullable = false))))
   }
 
-  /** Map-only encode: `(idCol, codes array<int>)` — the compressed
-    * residence of the corpus. Codegen'd argmin against literal
-    * centroids; no shuffle.
+  /** Map-only encode: `(idCol, carryCols..., codes array<int>)` — the
+    * compressed residence of the corpus. Codegen'd argmin against
+    * literal centroids; no shuffle. `carryCols` ride along unchanged
+    * (e.g. the coarse list id of the IVF-PQ layout, so no re-join is
+    * needed to land codes hive-partitioned by list).
     */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
-      books: Codebooks, dim: Int): DataFrame = {
+      books: Codebooks, dim: Int, carryCols: Seq[String] = Nil): DataFrame = {
     val dsub = dim / books.length
-    prepared(corpus, idCol, vecCol, dim)
-      .select(col("__id").as(idCol),
-        codesArray(col("__vec"), books, dsub).as("codes"))
+    Parallelism.ensureCompute(corpus)
+      .select((col(idCol) +: carryCols.map(col)) :+
+        col(vecCol).cast("array<double>").as("__vec"): _*)
+      .where(size(col("__vec")) === dim)
+      .select((col(idCol) +: carryCols.map(col)) :+
+        codesArray(col("__vec"), books, dsub).as("codes"): _*)
+  }
+
+  // ------------------------------------------------- residual (IVFADC)
+
+  /** Per-list coarse centroids `c(list)`: the mean vector of each
+    * coarse list, every component `round(sumDecimal::DOUBLE/count, 6)`
+    * (the engine-portable centroid-update recipe). This is the `c(x)`
+    * of canonical IVFADC (Jégou, Douze, Schmid 2011 §III-C): instead
+    * of quantizing raw vectors, quantize the RESIDUAL `x − c(list(x))`
+    * — residuals concentrate around the origin regardless of where the
+    * list lives in space, so the product codebooks spend their dynamic
+    * range on the local displacement and recall at the same bit budget
+    * rises. Driver state = nLists × dim scalars (the codebook-scalar
+    * discipline); the input pass is one posexplode partial agg.
+    */
+  def coarseCentroids(corpus: DataFrame, vecCol: String, listCol: String,
+      dim: Int): Map[Int, Array[Double]] = {
+    val rows = Parallelism.ensureCompute(corpus)
+      .select(col(listCol).cast("int").as("__list"),
+        col(vecCol).cast("array<double>").as("__vec"))
+      .where(size(col("__vec")) === dim)
+      .select(col("__list"), posexplode(col("__vec")).as(Seq("pos", "x")))
+      .groupBy(col("__list"), col("pos"))
+      .agg(round(
+        sum(round(col("x"), 6).cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1)), 6).as("val"))
+      .collect() // bounded: nLists × dim scalars
+    rows.groupBy(_.getInt(0)).map { case (l, rs) =>
+      val arr = new Array[Double](dim)
+      rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+      l -> arr
+    }
+  }
+
+  /** Residual column: `vec − c(list)` per row (IEEE subtraction of the
+    * 6-dp centroid literal from the raw component — deterministic and
+    * engine-portable), appended as `residCol`; all other columns ride
+    * through. Map-only, codegen'd against a literal CASE over the
+    * centroid arrays (at thousands of lists, join a centroid table
+    * instead — here nLists is small by the coarse-quantizer contract).
+    * Train/encode/probe then compose UNCHANGED over the residual
+    * column: ADC on same-list residuals approximates
+    * `‖(q−c) − (x−c)‖² = ‖q−x‖²` exactly as raw ADC does, but with
+    * codebooks trained on the concentrated residual distribution.
+    */
+  def residuals(corpus: DataFrame, vecCol: String, listCol: String,
+      cents: Map[Int, Array[Double]], residCol: String = "resid"): DataFrame = {
+    require(cents.nonEmpty, "residuals: no coarse centroids")
+    val sorted = cents.toSeq.sortBy(_._1)
+    val chosen = sorted.tail.foldLeft(
+      when(col(listCol).cast("int") === sorted.head._1,
+        array(sorted.head._2.map(lit).toIndexedSeq: _*))) {
+      case (acc, (l, c)) =>
+        acc.when(col(listCol).cast("int") === l,
+          array(c.map(lit).toIndexedSeq: _*))
+    }
+    corpus.withColumn(residCol,
+      zip_with(col(vecCol).cast("array<double>"), chosen, (x, c) => x - c))
+  }
+
+  /** Multi-probe routing: each query row replicated to its `nProbe`
+    * NEAREST coarse lists (exact decimal L2 to the centroid literals,
+    * ties to the lower list id), the coarse-list analog of q71b's
+    * nProbe>1 — boundary-straddling neighbors live in the adjacent
+    * list, and probing the nearest few is the standard recall lever
+    * the own-list-only probe lacks. Output = `queries`' columns plus
+    * `listCol`; feed it to [[residuals]] (the residual is vs EACH
+    * probed list's centroid) and then [[adcTopK]] with
+    * `withinCol = listCol` — the per-query window takes the global
+    * top-k across its probed lists, and [[probeMassReport]] prices the
+    * multiplied pair mass before the probe runs. Map-only ×nProbe
+    * fan-out; no shuffle.
+    */
+  def probeLists(queries: DataFrame, vecCol: String,
+      cents: Map[Int, Array[Double]], dim: Int, nProbe: Int,
+      listCol: String = "list"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= cents.size,
+      s"nProbe=$nProbe must be in [1, ${cents.size}]")
+    val v = col(vecCol).cast("array<double>")
+    val ranked = array_sort(array(cents.toSeq.sortBy(_._1).map { case (l, c) =>
+      struct(distToCentroid(v, 0, dim, c).as("d"), lit(l).as("list"))
+    }: _*))
+    queries
+      .withColumn(listCol,
+        explode(transform(slice(ranked, 1, nProbe), s => s.getField("list"))))
   }
 
   /** Price an [[adcTopK]] `withinCol` probe BEFORE running it: per

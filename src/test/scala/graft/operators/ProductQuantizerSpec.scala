@@ -194,4 +194,51 @@ class ProductQuantizerSpec extends SparkSuite {
     assert(scanLine.contains("ReadSchema"), s"no parquet scan found:\n$plan")
     assert(!scanLine.contains("vec"), s"ADC scan read a vector column:\n$scanLine")
   }
+
+  test("coarseCentroids are exact 6dp per-list means; residuals subtract them") {
+    val df = Seq(
+      (1L, 0, Seq(1.0, 2.0)), (2L, 0, Seq(3.0, 4.0)),
+      (3L, 1, Seq(10.0, 20.0))).toDF("id", "list", "vec")
+    val cents = ProductQuantizer.coarseCentroids(df, "vec", "list", dim = 2)
+    assert(cents(0).toSeq == Seq(2.0, 3.0), s"got ${cents(0).toSeq}")
+    assert(cents(1).toSeq == Seq(10.0, 20.0))
+    val res = ProductQuantizer.residuals(df, "vec", "list", cents)
+      .select(col("id"), col("resid")).as[(Long, Seq[Double])].collect().toMap
+    assert(res(1L) == Seq(-1.0, -1.0) && res(2L) == Seq(1.0, 1.0) &&
+      res(3L) == Seq(0.0, 0.0), s"got $res")
+  }
+
+  test("probeLists: replicas are the nProbe nearest centroids and widths NEST (reach monotonicity)") {
+    val cents = Map(0 -> Array(0.0, 0.0), 1 -> Array(10.0, 0.0),
+      2 -> Array(20.0, 0.0))
+    val q = Seq((1L, Seq(4.0, 0.0)), (2L, Seq(16.0, 0.0))).toDF("id", "vec")
+    def probed(n: Int) = ProductQuantizer.probeLists(q, "vec", cents,
+        dim = 2, nProbe = n)
+      .select(col("id"), col("list")).as[(Long, Int)].collect().toSet
+    val p1 = probed(1)
+    val p2 = probed(2)
+    assert(p1 == Set((1L, 0), (2L, 2)), s"got $p1")
+    assert(p2 == Set((1L, 0), (1L, 1), (2L, 2), (2L, 1)), s"got $p2")
+    // probed lists at nProbe=2 are a superset per query — the invariant
+    // that makes q219's p2_reach >= p1_reach hold ALWAYS
+    assert(p1.subsetOf(p2))
+  }
+
+  test("residual IVFADC roundtrip: encode carries the list, within-list probe stays in-cluster") {
+    val df = clustered(96).withColumn("list", col("g"))
+    val cents = ProductQuantizer.coarseCentroids(df, "vec", "list", dim = 8)
+    val resid = ProductQuantizer.residuals(df, "vec", "list", cents)
+    val books = ProductQuantizer.train(resid, "id", "resid",
+      m = 2, ksub = 4, dim = 8, iters = 2, saltPrefix = "pqr")
+    val codes = ProductQuantizer.encode(resid, "id", "resid", books,
+      dim = 8, carryCols = Seq("list"))
+    assert(codes.columns.toSeq == Seq("id", "list", "codes"))
+    val queries = ProductQuantizer.residuals(
+      df.where(col("id") < 8), "vec", "list", cents)
+    val top = ProductQuantizer.adcTopK(queries, "id", "resid",
+      codes, "id", books, dim = 8, k = 3, withinCol = "list").collect()
+    assert(top.length == 8 * 3)
+    top.foreach(r => assert(r.getLong(0) % 4 == r.getLong(1) % 4,
+      s"crossed clusters: $r"))
+  }
 }
