@@ -4948,4 +4948,35 @@ object Queries {
       .select(col("vec_id"), col("list"))
     ProductQuantizer.probeMassReport(rep, lists, "list")
   }
+
+  // ---------------------------------------------------------------- Q221
+  /** Codebook-staleness gate ([[graft.operators.ProductQuantizer
+    * .quantizationError]] → DDSketch → [[graft.operators.QuantileSketch
+    * .sketchW1]]): the frozen q203 quantizer's reconstruction-error
+    * distribution on its OWN training corpus vs on a drifted synthetic
+    * batch (every component ×1.5 — a calibration/scale shift, the
+    * classic embedding-model-update drift), with the retrain flag at
+    * the threshold. This is the batch twin of the standing streaming
+    * monitor ([[graft.streaming.Streams.streamingPqErrorSink]] /
+    * `currentStaleness`, StreamsSpec pins live == batch): a
+    * train-once/ingest-many deployment needs a label-free signal that
+    * the codebooks no longer fit what's arriving, and rising
+    * quantization error IS that signal — priced here from two
+    * sketch-sized tables, no ground truth, no recall job.
+    */
+  def q221CodebookStaleness(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val books = pqBooks(spark, dir)
+    val refErr = ProductQuantizer.quantizationError(
+      emb, "vec_id", "embedding", books, dim = PqDim)
+    val drifted = emb.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => x * lit(1.5)).as("embedding"))
+    val batchErr = ProductQuantizer.quantizationError(
+      drifted, "vec_id", "embedding", books, dim = PqDim)
+    QuantileSketch.sketchW1(
+      QuantileSketch.sketch(batchErr, "err", Nil),
+      QuantileSketch.sketch(refErr, "err", Nil))
+      .withColumn("retrain", col("w1") > lit(0.5))
+  }
 }

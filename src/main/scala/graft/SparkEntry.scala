@@ -263,6 +263,7 @@ object SparkEntry {
     "q218_residual_recall" -> (Queries.q218ResidualRecall _),
     "q219_multiprobe_recall" -> (Queries.q219MultiprobeRecall _),
     "q220_multiprobe_mass" -> (Queries.q220MultiprobeMass _),
+    "q221_codebook_staleness" -> (Queries.q221CodebookStaleness _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -1238,6 +1239,60 @@ object SparkEntry {
         |SELECT h1.q_id, h1.p1_hits, h2.p2_hits, r1.p1_reach, r2.p2_reach
         |FROM h1 JOIN h2 ON h2.q_id = h1.q_id
         |JOIN r1 ON r1.q_id = h1.q_id JOIN r2 ON r2.q_id = h1.q_id""".stripMargin),
+    // the frozen quantizer's per-vector reconstruction error (per-sub
+    // min of d3, decimal-summed) on the raw corpus vs a 1.5x-scaled
+    // drifted batch, both DDSketched, then the q210 W1 staircase and
+    // the retrain threshold
+    "q221_codebook_staleness" -> {
+      val alpha = 0.01
+      val gamma = (1 + alpha) / (1 - alpha)
+      val lnG = math.log(gamma)
+      def rep =
+        s"round(CASE WHEN bucket IS NULL THEN 0.0 ELSE 2.0 * pow($gamma, CAST(bucket AS DOUBLE)) / ${gamma + 1.0} END, 6)"
+      def errCte(dsrc: String) =
+        s"""SELECT vec_id, round(CAST(sum(md) AS DOUBLE), 6) AS err FROM (
+           |    SELECT vec_id, sub, min(d) AS md FROM $dsrc GROUP BY 1, 2)
+           |  GROUP BY 1""".stripMargin
+      def bucketCte(esrc: String) =
+        s"""SELECT CASE WHEN err > 0 THEN CAST(ceil(ln(err) / $lnG) AS BIGINT) END AS bucket,
+           |         count(*) AS cnt
+           |  FROM $esrc GROUP BY 1""".stripMargin
+      pqOracle(
+        s""", qe AS (${errCte("d3")}),
+           |svd AS (SELECT vec_id, sub, pos, val * 1.5 AS val FROM sv),
+           |dd AS (
+           |  SELECT sv.vec_id, sv.sub, cb.code,
+           |         sum(CAST(round((sv.val - cb.val) * (sv.val - cb.val), 6)
+           |                  AS DECIMAL(18,6))) AS d
+           |  FROM svd sv JOIN c2 cb ON cb.sub = sv.sub AND cb.pos = sv.pos
+           |  GROUP BY 1, 2, 3),
+           |qed AS (${errCte("dd")}),
+           |ba AS (${bucketCte("qed")}),
+           |bb AS (${bucketCte("qe")}),
+           |t AS (
+           |  SELECT v, sum(ca) AS ca, sum(cb) AS cb FROM (
+           |    SELECT $rep AS v, cnt AS ca, 0 AS cb FROM ba
+           |    UNION ALL
+           |    SELECT $rep AS v, 0 AS ca, cnt AS cb FROM bb) GROUP BY 1),
+           |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+           |               CAST(sum(cb) AS BIGINT) AS nb FROM t),
+           |c AS (
+           |  SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+           |         sum(cb) OVER (ORDER BY v) AS cumb,
+           |         lead(v) OVER (ORDER BY v) AS nextv
+           |  FROM t),
+           |terms AS (
+           |  SELECT CAST(round((c.nextv - c.v) *
+           |                CAST(abs(c.cuma * tot.nb - c.cumb * tot.na) AS DOUBLE), 6)
+           |              AS DECIMAL(38,6)) AS term
+           |  FROM c, tot WHERE c.nextv IS NOT NULL),
+           |w AS (
+           |  SELECT tot.na AS n_a, tot.nb AS n_b,
+           |         round(CAST(coalesce((SELECT sum(term) FROM terms), 0) AS DOUBLE)
+           |               / CAST(tot.na * tot.nb AS DOUBLE), 6) AS w1
+           |  FROM tot)
+           |SELECT n_a, n_b, w1, w1 > 0.5 AS retrain FROM w""".stripMargin)
+    },
     // the q213 pricing arithmetic over the nProbe=2 replicated query
     // side: per-list query replicas × code rows
     "q220_multiprobe_mass" ->

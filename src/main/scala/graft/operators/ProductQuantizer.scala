@@ -172,6 +172,29 @@ object ProductQuantizer {
         codesArray(col("__vec"), books, dsub).as("codes"): _*)
   }
 
+  /** Per-row quantization error: the squared-L2 distance between the
+    * vector and its PQ reconstruction = Σ over subspaces of the
+    * assignment distance (the min over codes of the exact rounded-term
+    * decimal distance — the same quantity [[train]]'s argmin prices).
+    * `(idCol, err)` with err the 6-dp-rounded double. Map-only against
+    * literal centroids; no shuffle. This is the STALENESS signal of a
+    * frozen quantizer: as the arriving distribution drifts away from
+    * the training corpus, reconstruction error rises — long before a
+    * recall audit (which needs ground truth) can see it. Sketch it
+    * (DDSketch) per batch and W1-compare against the training-time
+    * error sketch to get a retrain gate from fixed-size state.
+    */
+  def quantizationError(corpus: DataFrame, idCol: String, vecCol: String,
+      books: Codebooks, dim: Int, errCol: String = "err"): DataFrame = {
+    val dsub = dim / books.length
+    val total = books.indices.map { s =>
+      array_min(array(books(s).map(cv =>
+        distToCentroid(col("__vec"), s, dsub, cv)): _*))
+    }.reduce(_ + _)
+    prepared(corpus, idCol, vecCol, dim)
+      .select(col("__id").as(idCol), round(total.cast("double"), 6).as(errCol))
+  }
+
   // ------------------------------------------------- residual (IVFADC)
 
   /** Per-list coarse centroids `c(list)`: the mean vector of each

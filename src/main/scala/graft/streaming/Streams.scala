@@ -390,6 +390,43 @@ object Streams {
       withList, batchId)
   }
 
+  /** STREAMING codebook-staleness monitor — the retrain gate a
+    * standing train-once/ingest-many ANN deployment needs: each
+    * micro-batch's ADC quantization error
+    * ([[graft.operators.ProductQuantizer.quantizationError]] against
+    * the FROZEN codebooks) collapses to its own DDSketch bucket table
+    * and appends through the manifest's exactly-once txn ledger (the
+    * [[streamingQuantileSink]] machinery), so the maintained error
+    * distribution equals the from-scratch one bit-for-bit and
+    * [[currentStaleness]] can price "how far has the corpus drifted
+    * from what the codebooks were trained on" at any moment, from
+    * fixed-size state, without ground-truth labels.
+    */
+  def streamingPqErrorSink(tableRoot: String, queryName: String,
+      idCol: String, vecCol: String,
+      books: graft.operators.ProductQuantizer.Codebooks, dim: Int,
+      alpha: Double = 0.01)(batch: DataFrame, batchId: Long): Unit =
+    graft.operators.ManifestTable.streamInto(tableRoot, queryName)(
+      graft.operators.QuantileSketch.sketch(
+        graft.operators.ProductQuantizer.quantizationError(
+          batch, idCol, vecCol, books, dim),
+        "err", Nil, alpha), batchId)
+
+  /** The retrain signal: sketch-space W1 between the stream-maintained
+    * quantization-error distribution ([[streamingPqErrorSink]]'s
+    * snapshot) and the frozen TRAINING-TIME error sketch, with
+    * `retrain = w1 > threshold` — distribution shift shows up as
+    * rising reconstruction error long before recall audits (which need
+    * exact ground truth) can see it. Same bit-equality-with-batch
+    * guarantee as [[currentDriftW1]]; q221 pins the batch twin against
+    * the oracle.
+    */
+  def currentStaleness(spark: SparkSession, tableRoot: String,
+      trainErrorSketch: DataFrame, threshold: Double,
+      alpha: Double = 0.01): DataFrame =
+    currentDriftW1(spark, tableRoot, trainErrorSketch, alpha)
+      .withColumn("retrain", col("w1") > lit(threshold))
+
   /** PER-SEGMENT live drift: [[graft.operators.QuantileSketch
     * .sketchDriftReport]] (W1 + bucket-KS + shared-bucket PSI) of the
     * grouped maintained stream against a grouped frozen reference —

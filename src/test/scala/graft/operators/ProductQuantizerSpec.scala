@@ -195,6 +195,23 @@ class ProductQuantizerSpec extends SparkSuite {
     assert(!scanLine.contains("vec"), s"ADC scan read a vector column:\n$scanLine")
   }
 
+  test("quantizationError equals the summed per-subspace assignment distance") {
+    val df = clustered(24)
+    val books = ProductQuantizer.train(df, "id", "vec", m = 2, ksub = 4, dim = 8, iters = 1)
+    val got = ProductQuantizer.quantizationError(df, "id", "vec", books, dim = 8)
+      .as[(Long, Double)].collect().toMap
+    val rows = df.select(col("id"), col("vec")).as[(Long, Seq[Double])].collect()
+    rows.foreach { case (id, vec) =>
+      val want = (0 until 2).map { s =>
+        val sv = vec.slice(s * 4, s * 4 + 4)
+        books(s).map(c => sv.zip(c).map { case (a, b) =>
+          BigDecimal((a - b) * (a - b)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }.sum).min
+      }.sum
+      assert(math.abs(got(id) - want.toDouble) < 1e-9, s"id=$id: ${got(id)} vs $want")
+    }
+  }
+
   test("coarseCentroids are exact 6dp per-list means; residuals subtract them") {
     val df = Seq(
       (1L, 0, Seq(1.0, 2.0)), (2L, 0, Seq(3.0, 4.0)),

@@ -715,6 +715,45 @@ class StreamsSpec extends SparkSuite {
     assert(live == batchProbe)
   }
 
+  test("codebook-staleness gate: live == batch, replay-stable, retrain flips on drift") {
+    import graft.operators.{ProductQuantizer, QuantileSketch}
+    val root = Files.createTempDirectory("graft_stream_stale").resolve("t").toString
+    def vecs(lo: Int, hi: Int, scale: Double) = (lo until hi).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        ((if (j == (i % 4) * 2) 10.0 else 0.0) + (i % 7) / 10.0) * scale))
+    }.toDF("id", "vec")
+    val train = vecs(0, 64, 1.0)
+    val books = ProductQuantizer.train(train, "id", "vec",
+      m = 2, ksub = 4, dim = 8, iters = 2)
+    val trainSketch = QuantileSketch.sketch(
+      ProductQuantizer.quantizationError(train, "id", "vec", books, dim = 8),
+      "err", Nil)
+    val sink = Streams.streamingPqErrorSink(root, "stale", "id", "vec",
+      books, dim = 8) _
+    // in-distribution batch (same generator, later ids): error dist
+    // matches training, W1 stays small
+    sink(vecs(64, 96, 1.0), 0L)
+    val calm = Streams.currentStaleness(spark, root, trainSketch,
+      threshold = Double.MaxValue).head()
+    // a 3x-scaled drifted batch: reconstruction error jumps
+    sink(vecs(96, 128, 3.0), 1L)
+    sink(vecs(96, 128, 3.0), 1L) // at-least-once replay: must be a no-op
+    val alarmed = Streams.currentStaleness(spark, root, trainSketch,
+      threshold = calm.getDouble(2)).head()
+    assert(alarmed.getDouble(2) > calm.getDouble(2),
+      s"drift must raise the error W1: calm $calm vs alarmed $alarmed")
+    assert(alarmed.getBoolean(3), s"retrain flag must fire: $alarmed")
+    // live readout equals the from-scratch batch answer bit-for-bit
+    val batch = QuantileSketch.sketchW1(
+      QuantileSketch.sketch(ProductQuantizer.quantizationError(
+        vecs(64, 96, 1.0).unionByName(vecs(96, 128, 3.0)),
+        "id", "vec", books, dim = 8), "err", Nil),
+      trainSketch).head()
+    assert((alarmed.getLong(0), alarmed.getLong(1), alarmed.getDouble(2)) ==
+      ((batch.getLong(0), batch.getLong(1), batch.getDouble(2))),
+      s"live staleness must equal batch: $alarmed vs $batch")
+  }
+
   test("streamMergeInto: upsert stream is exactly-once under replay; keys converge") {
     import graft.operators.ManifestTable
     val root = Files.createTempDirectory("graft_stream_merge").resolve("t").toString
