@@ -4979,4 +4979,41 @@ object Queries {
       QuantileSketch.sketch(refErr, "err", Nil))
       .withColumn("retrain", col("w1") > lit(0.5))
   }
+
+  // ---------------------------------------------------------------- Q222
+  /** The FULL production IVFADC retrieval stack in one plan — every
+    * round-7/8 ANN piece composed: multi-probe coarse pruning
+    * ([[graft.operators.ProductQuantizer.probeLists]], nProbe=2),
+    * residual compressed scoring ([[graft.operators.ProductQuantizer
+    * .residuals]] + adcTopK within probed lists, top-20 candidates),
+    * then the q214 exact-rerank of ONLY those ~20 rows per query. At
+    * 100 TB this is the deployed shape: the coarse router prunes which
+    * partitions are read, residual PQ shrinks what is read, multi-probe
+    * buys back boundary recall (priced by q220), and the exact stage
+    * touches a candidate set thousands of times smaller than the
+    * corpus.
+    */
+  def q222IvfpqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, books) = pqrParts(spark, dir)
+    val codes = pqrCodes(spark, dir, cents, books)
+    val emb = tp(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id") % 97 === 0)
+    val rep = ProductQuantizer.probeLists(
+      queries, "embedding", cents, PqDim, nProbe = 2)
+    val qResid = ProductQuantizer.residuals(rep, "embedding", "list", cents)
+    val cand = ProductQuantizer.adcTopK(qResid, "vec_id", "resid",
+      codes, "vec_id", books, dim = PqDim, k = 20, withinCol = "list")
+    val rerankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("l2").asc, col("vec_id").asc)
+    cand.select(col("q_id"), col("vec_id"))
+      .join(emb.select(col("vec_id"), col("embedding").as("c_vec")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.plans.VectorExpressions.l2Squared(
+          col("q_vec"), col("c_vec")), 6).as("l2"))
+      .withColumn("rn", row_number().over(rerankW))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"), col("l2"))
+  }
 }

@@ -264,6 +264,7 @@ object SparkEntry {
     "q219_multiprobe_recall" -> (Queries.q219MultiprobeRecall _),
     "q220_multiprobe_mass" -> (Queries.q220MultiprobeMass _),
     "q221_codebook_staleness" -> (Queries.q221CodebookStaleness _),
+    "q222_ivfpq_rerank" -> (Queries.q222IvfpqRerank _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -1293,6 +1294,60 @@ object SparkEntry {
            |  FROM tot)
            |SELECT n_a, n_b, w1, w1 > 0.5 AS retrain FROM w""".stripMargin)
     },
+    // the full stack: q219's multi-probe residual scoring nominates 20
+    // candidates per query, q214's exact fold reranks only those
+    "q222_ivfpq_rerank" -> pqResidualOracle(
+      """, qd AS (
+        |  SELECT f.vec_id, cc.list,
+        |         sum(CAST(round((f.val - cc.val) * (f.val - cc.val), 6)
+        |                  AS DECIMAL(18,6))) AS d
+        |  FROM fv f JOIN cc ON cc.fpos = f.fpos
+        |  WHERE f.vec_id % 97 = 0
+        |  GROUP BY 1, 2),
+        |qp AS (
+        |  SELECT vec_id, list,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY d ASC, list ASC) AS pr
+        |  FROM qd),
+        |rq AS (
+        |  SELECT f.vec_id, qp.list, CAST(f.fpos // 8 AS INTEGER) AS sub,
+        |         CAST(f.fpos % 8 AS INTEGER) AS pos, f.val - cc.val AS val
+        |  FROM fv f JOIN qp ON qp.vec_id = f.vec_id AND qp.pr <= 2
+        |  JOIN cc ON cc.list = qp.list AND cc.fpos = f.fpos),
+        |dq AS (
+        |  SELECT rq.vec_id, rq.list, rq.sub, cb.code,
+        |         sum(CAST(round((rq.val - cb.val) * (rq.val - cb.val), 6)
+        |                  AS DECIMAL(18,6))) AS d
+        |  FROM rq JOIN c2r cb ON cb.sub = rq.sub AND cb.pos = rq.pos
+        |  GROUP BY 1, 2, 3, 4),
+        |am AS (
+        |  SELECT dq.vec_id AS q_id, a.vec_id,
+        |         round(CAST(sum(dq.d) AS DOUBLE), 6) AS dist
+        |  FROM a3r a JOIN lst cl ON cl.vec_id = a.vec_id
+        |  JOIN dq ON dq.list = cl.list AND dq.sub = a.sub AND dq.code = a.code
+        |  WHERE a.vec_id <> dq.vec_id
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY dist ASC, vec_id ASC) AS rn
+        |    FROM am)
+        |  WHERE rn <= 20),
+        |rr AS (
+        |  SELECT c.q_id, c.vec_id,
+        |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(generate_series(1, 64), i ->
+        |             (CAST(q.embedding[i] AS DOUBLE) - CAST(x.embedding[i] AS DOUBLE))
+        |             * (CAST(q.embedding[i] AS DOUBLE) - CAST(x.embedding[i] AS DOUBLE)))),
+        |           (u, w) -> u + w), 6) AS l2
+        |  FROM cand c
+        |  JOIN embeddings q ON q.vec_id = c.q_id
+        |  JOIN embeddings x ON x.vec_id = c.vec_id)
+        |SELECT q_id, vec_id, l2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY l2 ASC, vec_id ASC) AS rn
+        |  FROM rr)
+        |WHERE rn <= 5""".stripMargin),
     // the q213 pricing arithmetic over the nProbe=2 replicated query
     // side: per-list query replicas × code rows
     "q220_multiprobe_mass" ->
