@@ -4903,7 +4903,10 @@ object Queries {
     */
   def q219MultiprobeRecall(spark: SparkSession, dir: String): DataFrame = {
     val (cents, books) = pqrParts(spark, dir)
-    val codes = pqrCodes(spark, dir, cents, books)
+    // this plan references the encoded corpus from BOTH probe widths:
+    // localCheckpoint materializes the map-only encode once instead of
+    // re-encoding the corpus per join branch
+    val codes = pqrCodes(spark, dir, cents, books).localCheckpoint()
     val emb = tp(spark, dir, "embeddings")
     val queries = emb.where(col("vec_id") % 97 === 0)
     def probeTop5(nProbe: Int): DataFrame = {

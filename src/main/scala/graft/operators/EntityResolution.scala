@@ -160,6 +160,11 @@ object EntityResolution {
     val mass = (col("bs").cast("decimal(38,0)") * (col("bs") - 1L) /
       lit(2)).cast("decimal(38,0)")
     keyed
+      // a NULL block key can never pair (equi-joins don't match NULLs),
+      // so it must not count as pair mass — a corpus of mostly-missing
+      // keys would otherwise price as one giant phantom block and trip
+      // the budget on work the join would never do
+      .where(col("bk").isNotNull)
       .groupBy(col("bk")).agg(count(lit(1)).as("bs"))
       .agg(
         count(lit(1)).as("blocks"),

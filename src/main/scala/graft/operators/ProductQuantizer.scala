@@ -74,10 +74,10 @@ object ProductQuantizer {
     array(books.indices.map(s => codeFor(vec, s, dsub, books(s))): _*)
 
   private def prepared(corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int): DataFrame =
+      dim: Int, carryCols: Seq[String] = Nil): DataFrame =
     Parallelism.ensureCompute(corpus)
-      .select(col(idCol).as("__id"),
-        col(vecCol).cast("array<double>").as("__vec"))
+      .select((col(idCol).as("__id") +: carryCols.map(col)) :+
+        col(vecCol).cast("array<double>").as("__vec"): _*)
       .where(size(col("__vec")) === dim)
 
   /** Train per-subspace Lloyd's codebooks. Per iteration: one map-side
@@ -164,11 +164,8 @@ object ProductQuantizer {
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
       books: Codebooks, dim: Int, carryCols: Seq[String] = Nil): DataFrame = {
     val dsub = dim / books.length
-    Parallelism.ensureCompute(corpus)
-      .select((col(idCol) +: carryCols.map(col)) :+
-        col(vecCol).cast("array<double>").as("__vec"): _*)
-      .where(size(col("__vec")) === dim)
-      .select((col(idCol) +: carryCols.map(col)) :+
+    prepared(corpus, idCol, vecCol, dim, carryCols)
+      .select((col("__id").as(idCol) +: carryCols.map(col)) :+
         codesArray(col("__vec"), books, dsub).as("codes"): _*)
   }
 
@@ -299,11 +296,18 @@ object ProductQuantizer {
     val cn = Parallelism.ensureCompute(codes)
       .groupBy(col(withinCol).as("list"))
       .agg(count(lit(1)).as("n_codes"))
+    // n_queries·n_codes can pass 2^63 at planner scale (a degenerate
+    // one-list router on a 1e10-code corpus with 1e9 query replicas is
+    // EXACTLY the case this report exists to expose) — widen one
+    // operand; the released BIGINT saturates rather than wrapping
+    val dec38 = DecimalType(38, 0)
     qn.join(cn, Seq("list"), "full_outer")
       .select(col("list"),
         coalesce(col("n_queries"), lit(0L)).as("n_queries"),
         coalesce(col("n_codes"), lit(0L)).as("n_codes"))
-      .withColumn("pairs", col("n_queries") * col("n_codes"))
+      .withColumn("pairs",
+        least(col("n_queries").cast(dec38) * col("n_codes"),
+          lit(Long.MaxValue).cast(dec38)).cast("long"))
   }
 
   /** ADC approximate top-k: every query row scores every code row by

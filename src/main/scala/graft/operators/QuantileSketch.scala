@@ -63,9 +63,13 @@ object QuantileSketch {
     * mismatch instead of silently lying.
     */
   private def guardedCnt(alpha: Double) =
-    when(col("__alpha") =!= lit(alpha), raise_error(concat(
+    // null-safe inequality: a NULL __alpha (e.g. rows merged in from a
+    // pre-alpha-column table via schema merge) must RAISE, not silently
+    // bypass the guard
+    when(!(col("__alpha") <=> lit(alpha)), raise_error(concat(
       lit("ddsketch: readout alpha "), lit(alpha),
-      lit(" != sketch alpha "), col("__alpha"),
+      lit(" != sketch alpha "), coalesce(col("__alpha").cast("string"),
+        lit("NULL")),
       lit(" — pass the alpha the sketch was built with")))
       .cast("long"))
       .otherwise(col("cnt"))

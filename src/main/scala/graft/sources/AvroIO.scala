@@ -139,9 +139,18 @@ object AvroIO {
       val schema = new Schema.Parser().parse(avroJson)
       val dest = new Path(path, f"part-$pid%05d.avro")
       val fs = dest.getFileSystem(conf.value)
-      val attempt = Option(org.apache.spark.TaskContext.get())
-        .map(_.taskAttemptId()).getOrElse(0L)
+      val ctx = Option(org.apache.spark.TaskContext.get())
+      val attempt = ctx.map(_.taskAttemptId()).getOrElse(0L)
       val tmp = new Path(path, f".part-$pid%05d-$attempt%d.avro.tmp")
+      // a failed/killed attempt must not leak its temp file: rename on
+      // success is the only other deletion path
+      ctx.foreach(_.addTaskFailureListener(
+        new org.apache.spark.util.TaskFailureListener {
+          override def onTaskFailure(c: org.apache.spark.TaskContext,
+              e: Throwable): Unit =
+            try { if (fs.exists(tmp)) fs.delete(tmp, false) }
+            catch { case _: Throwable => () }
+        }))
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
       w.create(schema, fs.create(tmp, true))
