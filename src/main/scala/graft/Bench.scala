@@ -64,7 +64,10 @@ object Bench {
       "q122_dsir_weights", "q58_pack_bins", "q126_fuzzy_match",
       "q71d_ivf_incremental", "q123_duplicated_spans", "q127_strip_spans",
       "q120_repetition_signals", "q121_unigram_cross_entropy",
-      "q73_set_ops_all", "q133_lsh_eval")
+      "q73_set_ops_all", "q133_lsh_eval",
+      // round-8 heavies: two error scans (q221) / multi-branch probes
+      "q221_codebook_staleness", "q219_multiprobe_recall",
+      "q218_residual_recall")
     // Local-iteration aids (the driver sets neither): SPARK_GRAFT_ONLY
     // filters to a comma-separated query subset; SPARK_GRAFT_ATTEMPTS
     // forces a fixed attempt count for every query (e.g. 3 for the sf1

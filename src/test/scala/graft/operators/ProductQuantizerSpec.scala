@@ -241,6 +241,65 @@ class ProductQuantizerSpec extends SparkSuite {
     assert(p1.subsetOf(p2))
   }
 
+  test("staleness gate closes the loop: retraining on the drifted batch collapses the error") {
+    import graft.operators.QuantileSketch
+    val train = clustered(64)
+    val books = ProductQuantizer.train(train, "id", "vec",
+      m = 2, ksub = 4, dim = 8, iters = 2)
+    // drifted arrivals: everything scaled 3x — frozen books misfit
+    val drifted = clustered(64).select(col("id"),
+      transform(col("vec"), x => x * lit(3.0)).as("vec"))
+    val trainSk = QuantileSketch.sketch(
+      ProductQuantizer.quantizationError(train, "id", "vec", books, dim = 8),
+      "err", Nil)
+    val staleW1 = QuantileSketch.sketchW1(
+      QuantileSketch.sketch(ProductQuantizer.quantizationError(
+        drifted, "id", "vec", books, dim = 8), "err", Nil),
+      trainSk).head().getDouble(2)
+    // act on the retrain signal: new books from the drifted batch
+    val retrained = ProductQuantizer.train(drifted, "id", "vec",
+      m = 2, ksub = 4, dim = 8, iters = 2)
+    val staleErr = ProductQuantizer.quantizationError(
+      drifted, "id", "vec", books, dim = 8)
+      .agg(sum(col("err"))).head().getDouble(0)
+    val freshErr = ProductQuantizer.quantizationError(
+      drifted, "id", "vec", retrained, dim = 8)
+      .agg(sum(col("err"))).head().getDouble(0)
+    assert(staleW1 > 0.0, s"drift must register: $staleW1")
+    assert(freshErr < staleErr / 2,
+      s"retrain must collapse reconstruction error: stale $staleErr fresh $freshErr")
+  }
+
+  test("residual encoding beats raw at the same bit budget on list-clustered data") {
+    import graft.operators.QuantileSketch
+    // lists with large, far-apart offsets and small local structure:
+    // raw codebooks spend their 2 bits/subspace straddling list
+    // offsets; residual codebooks see only the local displacement
+    val df = spark.range(96).select(
+      col("id"),
+      (col("id") % 3).cast("int").as("list"),
+      transform(sequence(lit(0), lit(7)), i =>
+        (col("id") % 3).cast("double") * 100.0 +
+          when(i === (col("id") % 4).cast("int") * 2, lit(4.0))
+            .otherwise(lit(0.0)) +
+          (col("id") % 5).cast("double") / 10.0).as("vec"))
+    val rawBooks = ProductQuantizer.train(df, "id", "vec",
+      m = 2, ksub = 4, dim = 8, iters = 2)
+    val cents = ProductQuantizer.coarseCentroids(df, "vec", "list", dim = 8)
+    val resid = ProductQuantizer.residuals(df, "vec", "list", cents)
+    val residBooks = ProductQuantizer.train(resid, "id", "resid",
+      m = 2, ksub = 4, dim = 8, iters = 2, saltPrefix = "pqr")
+    // reconstruction error at the SAME bit budget: residual must win
+    val rawErr = ProductQuantizer.quantizationError(
+      df, "id", "vec", rawBooks, dim = 8)
+      .agg(sum(col("err"))).head().getDouble(0)
+    val residErr = ProductQuantizer.quantizationError(
+      resid, "id", "resid", residBooks, dim = 8)
+      .agg(sum(col("err"))).head().getDouble(0)
+    assert(residErr < rawErr / 2,
+      s"residual books must fit list-clustered data far better: raw $rawErr resid $residErr")
+  }
+
   test("residual IVFADC roundtrip: encode carries the list, within-list probe stays in-cluster") {
     val df = clustered(96).withColumn("list", col("g"))
     val cents = ProductQuantizer.coarseCentroids(df, "vec", "list", dim = 8)
