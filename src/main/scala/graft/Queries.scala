@@ -4327,12 +4327,20 @@ object Queries {
       .withColumn("seed", col("doc_id") * lit(1000L) + expr("f div 3"))
     val payloads = Multimodal.attachPngPayload(
       frames.select(col("seed")).distinct(), "seed", lit(16), lit(16))
-    val framePayloads = frames
-      .join(payloads.withColumnRenamed("media_id", "seed"), Seq("seed"))
+    // decode + hash each DISTINCT payload once (a scene's seed repeats
+    // across its 3 frames) and join the 8-byte hash back to the frame
+    // timeline: decode work follows distinct scenes, not frame rows —
+    // the hash is a pure function of the payload, so results are
+    // unchanged (BENCH_sf1 round8: the frame-wise decode was the 13.8×
+    // scale term; this removes ~2.7× of it)
+    val seedHashes = Multimodal.frameDhashes(
+      payloads.select(col("media_id"), lit(0L).as("frame_idx"),
+        col("payload")))
+      .select(col("media_id").as("seed"), col("dhash"))
+    val frameHashes = frames.join(seedHashes, Seq("seed"))
       .select(col("doc_id").as("media_id"),
-        col("f").cast("long").as("frame_idx"), col("payload"))
-    Multimodal.sceneChanges(Multimodal.frameDhashes(framePayloads),
-      threshold = 0)
+        col("f").cast("long").as("frame_idx"), col("dhash"))
+    Multimodal.sceneChanges(frameHashes, threshold = 0)
   }
 
   // ---------------------------------------------------------------- Q198
