@@ -4991,6 +4991,43 @@ object Queries {
       .withColumn("retrain", col("w1") > lit(0.5))
   }
 
+  // ---------------------------------------------------------------- Q223
+  /** Variance-balanced subspace allocation ([[graft.operators
+    * .ProductQuantizer.dimVariances]] / `balancedSubspaces` — the
+    * rotation-free "structured ordering" half of OPQ, Ge et al. CVPR
+    * 2013 §4): total quantization error of the contiguous split vs the
+    * balanced allocation at the SAME bit budget. A contiguous split of
+    * a variance-skewed embedding concentrates information in a few
+    * subspaces (whose ksub codes underfit) while others spend bits on
+    * noise; balancing is a pure permutation, so the whole
+    * train/encode/probe stack composes unchanged. On this
+    * near-isotropic corpus the two read close — the honest audit
+    * (balancing is free insurance here); ProductQuantizerSpec pins the
+    * gain where skew exists.
+    */
+  def q223BalancedPq(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val emb = tp(spark, dir, "embeddings")
+    val books = pqBooks(spark, dir)
+    val contigErr = ProductQuantizer.quantizationError(
+      emb, "vec_id", "embedding", books, dim = PqDim)
+    val variances = ProductQuantizer.dimVariances(
+      emb, "vec_id", "embedding", PqDim)
+    val subDims = ProductQuantizer.balancedSubspaces(variances, PqM)
+    val perm = emb.select(col("vec_id"),
+      ProductQuantizer.permuted(
+        col("embedding").cast("array<double>"), subDims).as("pvec"))
+    val bBooks = ProductQuantizer.train(perm, "vec_id", "pvec",
+      m = PqM, ksub = PqK, dim = PqDim, iters = 2, saltPrefix = "pqb")
+    val balErr = ProductQuantizer.quantizationError(
+      perm, "vec_id", "pvec", bBooks, dim = PqDim)
+    def total(df: DataFrame, scheme: String) =
+      df.agg(count(lit(1)).as("n"),
+        sum(col("err").cast(dec)).cast("double").as("total_err"))
+        .select(lit(scheme).as("scheme"), col("n"), col("total_err"))
+    total(contigErr, "contiguous").unionByName(total(balErr, "balanced"))
+  }
+
   // ---------------------------------------------------------------- Q222
   /** The FULL production IVFADC retrieval stack in one plan — every
     * round-7/8 ANN piece composed: multi-probe coarse pruning

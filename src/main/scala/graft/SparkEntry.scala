@@ -265,6 +265,7 @@ object SparkEntry {
     "q220_multiprobe_mass" -> (Queries.q220MultiprobeMass _),
     "q221_codebook_staleness" -> (Queries.q221CodebookStaleness _),
     "q222_ivfpq_rerank" -> (Queries.q222IvfpqRerank _),
+    "q223_balanced_pq" -> (Queries.q223BalancedPq _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -1294,6 +1295,47 @@ object SparkEntry {
            |  FROM tot)
            |SELECT n_a, n_b, w1, w1 > 0.5 AS retrain FROM w""".stripMargin)
     },
+    // contiguous vs variance-balanced (OPQ structured-ordering)
+    // subspace allocation: per-dim variance ranks, round-robin rank
+    // assignment (sub = r % 8, slot = r // 8), the balanced training
+    // chain at salt pqb, then exact-decimal error totals per scheme
+    "q223_balanced_pq" -> pqOracle(
+      s""", qe AS (
+        |  SELECT vec_id, round(CAST(sum(md) AS DOUBLE), 6) AS err FROM (
+        |    SELECT vec_id, sub, min(d) AS md FROM d3 GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |fx AS MATERIALIZED (
+        |  SELECT e.vec_id, p.p AS fpos, CAST(e.embedding[p.p + 1] AS DOUBLE) AS val
+        |  FROM embeddings e,
+        |       (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS p) p),
+        |dv AS (
+        |  SELECT fpos,
+        |         round(CAST(sum(CAST(round(val * val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |                 / count(*)
+        |               - pow(CAST(sum(CAST(round(val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |                 / count(*), 2), 6) AS v
+        |  FROM fx GROUP BY 1),
+        |rk AS (
+        |  SELECT fpos,
+        |         CAST(row_number() OVER (ORDER BY v DESC, fpos ASC) - 1
+        |              AS INTEGER) AS r
+        |  FROM dv),
+        |bv AS MATERIALIZED (
+        |  SELECT f.vec_id, CAST(rk.r % 8 AS INTEGER) AS sub,
+        |         CAST(rk.r // 8 AS INTEGER) AS pos, f.val
+        |  FROM fx f JOIN rk ON rk.fpos = f.fpos),
+        |${pqTrainCtes("bv", "pqb", "b")},
+        |qeb AS (
+        |  SELECT vec_id, round(CAST(sum(md) AS DOUBLE), 6) AS err FROM (
+        |    SELECT vec_id, sub, min(d) AS md FROM d3b GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT 'contiguous' AS scheme, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(err AS DECIMAL(18,6))) AS DOUBLE) AS total_err
+        |FROM qe
+        |UNION ALL
+        |SELECT 'balanced', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CAST(err AS DECIMAL(18,6))) AS DOUBLE)
+        |FROM qeb""".stripMargin),
     // the full stack: q219's multi-probe residual scoring nominates 20
     // candidates per query, q214's exact fold reranks only those
     "q222_ivfpq_rerank" -> pqResidualOracle(

@@ -250,6 +250,59 @@ object ProductQuantizer {
       zip_with(col(vecCol).cast("array<double>"), chosen, (x, c) => x - c))
   }
 
+  // -------------------------------------- balanced subspaces (OPQ init)
+
+  /** Per-dimension variance `E[x²] − E[x]²` with exact-decimal moment
+    * sums (round-6 contributions — order-independent, engine-portable)
+    * and one 6-dp-rounded IEEE readout per dim. One posexplode partial
+    * agg; driver state = dim scalars.
+    */
+  def dimVariances(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int): Array[Double] = {
+    val rows = prepared(corpus, idCol, vecCol, dim)
+      .select(posexplode(col("__vec")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(round(
+        sum(round(col("x") * col("x"), 6).cast(DecimalType(18, 6)))
+          .cast("double") / count(lit(1)) -
+        pow(sum(round(col("x"), 6).cast(DecimalType(18, 6)))
+          .cast("double") / count(lit(1)), 2), 6).as("v"))
+      .collect()
+    val out = new Array[Double](dim)
+    rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    out
+  }
+
+  /** Variance-BALANCED subspace allocation — the "structured ordering"
+    * initialization of OPQ (Ge, He, Ke, Sun, "Optimized Product
+    * Quantization", CVPR 2013 §4): dimensions ranked by variance
+    * descending (ties to the lower index), rank r assigned to subspace
+    * `r mod m`, slot `r div m`, so every subspace receives an equal
+    * mix of hot and flat dimensions. A contiguous split concentrates a
+    * skewed embedding's information in a few subspaces (whose ksub
+    * codes then underfit) while other subspaces spend their bits on
+    * noise — balancing the allocation is the cheap, rotation-free half
+    * of OPQ's gain, and it is a PURE PERMUTATION: L2 distances are
+    * permutation-invariant, so train/encode/probe compose unchanged
+    * over [[permuted]] vectors. Returns `subDims[m][dim/m]` = original
+    * dim index of each slot.
+    */
+  def balancedSubspaces(variances: Array[Double], m: Int): Array[Array[Int]] = {
+    require(variances.nonEmpty && variances.length % m == 0,
+      s"dim=${variances.length} must split evenly into m=$m")
+    val dsub = variances.length / m
+    val ranked = variances.zipWithIndex
+      .sortBy { case (v, d) => (-v, d) }.map(_._2)
+    Array.tabulate(m)(s => Array.tabulate(dsub)(j => ranked(j * m + s)))
+  }
+
+  /** The permuted vector column laying `subDims`' slots out
+    * contiguously — subspace s occupies positions [s·dsub, (s+1)·dsub).
+    * Map-only; feeds [[train]]/[[encode]]/[[adcTopK]] verbatim.
+    */
+  def permuted(vec: Column, subDims: Array[Array[Int]]): Column =
+    array(subDims.flatten.toIndexedSeq.map(d => element_at(vec, d + 1)): _*)
+
   /** Multi-probe routing: each query row replicated to its `nProbe`
     * NEAREST coarse lists (exact decimal L2 to the centroid literals,
     * ties to the lower list id), the coarse-list analog of q71b's

@@ -300,6 +300,40 @@ class ProductQuantizerSpec extends SparkSuite {
       s"residual books must fit list-clustered data far better: raw $rawErr resid $residErr")
   }
 
+  test("balanced subspaces beat the contiguous split on variance-skewed dims") {
+    // dims 0-3 carry all the signal (big spread), dims 4-7 are ~flat:
+    // a contiguous m=2 split gives sub0 four hot dims (2 bits underfit)
+    // while sub1's bits quantize noise; round-robin ranks spread the
+    // hot dims 2-per-subspace
+    val df = spark.range(96).select(
+      col("id"),
+      transform(sequence(lit(0), lit(7)), i =>
+        when(i < 4, ((col("id") * 37 + i.cast("long") * 11) % 19).cast("double") * 5.0)
+          .otherwise((col("id") % 3).cast("double") / 100.0)).as("vec"))
+    val variances = ProductQuantizer.dimVariances(df, "id", "vec", dim = 8)
+    assert((0 until 4).forall(d => variances(d) > variances(4)),
+      s"skew setup broken: ${variances.toSeq}")
+    val subDims = ProductQuantizer.balancedSubspaces(variances, m = 2)
+    // each subspace must get exactly 2 hot (0-3) and 2 flat dims
+    subDims.foreach { dims =>
+      assert(dims.count(_ < 4) == 2, s"unbalanced: ${subDims.map(_.toSeq).toSeq}")
+    }
+    val contigBooks = ProductQuantizer.train(df, "id", "vec",
+      m = 2, ksub = 4, dim = 8, iters = 2)
+    val contigErr = ProductQuantizer.quantizationError(
+      df, "id", "vec", contigBooks, dim = 8)
+      .agg(sum(col("err"))).head().getDouble(0)
+    val perm = df.select(col("id"),
+      ProductQuantizer.permuted(col("vec"), subDims).as("pvec"))
+    val balBooks = ProductQuantizer.train(perm, "id", "pvec",
+      m = 2, ksub = 4, dim = 8, iters = 2, saltPrefix = "pqb")
+    val balErr = ProductQuantizer.quantizationError(
+      perm, "id", "pvec", balBooks, dim = 8)
+      .agg(sum(col("err"))).head().getDouble(0)
+    assert(balErr < contigErr,
+      s"balanced allocation must fit skewed dims better: contig $contigErr bal $balErr")
+  }
+
   test("residual IVFADC roundtrip: encode carries the list, within-list probe stays in-cluster") {
     val df = clustered(96).withColumn("list", col("g"))
     val cents = ProductQuantizer.coarseCentroids(df, "vec", "list", dim = 8)
