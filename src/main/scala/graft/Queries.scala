@@ -2761,21 +2761,38 @@ object Queries {
     * members, ~50 pairs/customer; EntityResolutionSpec pins the
     * refusal at a tight budget).
     */
-  def q191LinkageWeights(spark: SparkSession, dir: String): DataFrame = {
+  private def q191Pairs(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer").select(
       col("c_custkey").as("id"), col("c_name").as("name"),
       col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
       floor(col("c_acctbal") / 1000).as("bal_kb"))
-    val pairs = EntityResolution.blockedPairs(c, "id",
+    EntityResolution.blockedPairs(c, "id",
         substring(col("name"), 1, 16), pairBudget = Some(2000000000L))
       .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
         (levenshtein(col("a_name"), col("b_name")) <= 2).as("name_agree"),
         (col("a_nat") === col("b_nat")).as("nat_agree"),
         (col("a_seg") === col("b_seg")).as("seg_agree"),
         (col("a_bal_kb") === col("b_bal_kb")).as("bal_agree"))
-    EntityResolution.linkageWeights(pairs, Q191Fields)
-      .withColumn("is_match", col("link_weight") >= 4.0)
   }
+
+  def q191LinkageWeights(spark: SparkSession, dir: String): DataFrame =
+    EntityResolution.linkageWeights(q191Pairs(spark, dir), Q191Fields)
+      .withColumn("is_match", col("link_weight") >= 4.0)
+
+  // ---------------------------------------------------------------- Q224
+  /** One Fellegi–Sunter EM training round ([[graft.operators
+    * .EntityResolution.emIteration]]) over q191's budget-gated blocked
+    * pairs: posterior match probability per pair from the prior
+    * (m, u, λ), then re-estimated per-field m'/u' and λ' — the Splink
+    * parameter-training loop the q191/q199 surfaces previously left to
+    * the caller's prior. The oracle replays the E-step products from
+    * the SAME driver literals, the 6-dp posterior rounding, and the
+    * decimal M-step sums; iterating to convergence chains rounds (the
+    * CTE-replayed-iterations discipline).
+    */
+  def q224LinkageEm(spark: SparkSession, dir: String): DataFrame =
+    EntityResolution.emIteration(q191Pairs(spark, dir), Q191Fields,
+      lambda = 0.01)
 
   // ---------------------------------------------------------------- Q195
   /** Interpolated bigram LM gate ([[graft.operators.DataSelection

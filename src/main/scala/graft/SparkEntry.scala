@@ -266,6 +266,7 @@ object SparkEntry {
     "q221_codebook_staleness" -> (Queries.q221CodebookStaleness _),
     "q222_ivfpq_rerank" -> (Queries.q222IvfpqRerank _),
     "q223_balanced_pq" -> (Queries.q223BalancedPq _),
+    "q224_linkage_em" -> (Queries.q224LinkageEm _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -3465,6 +3466,48 @@ object SparkEntry {
          |SELECT id_a, id_b, name_agree, nat_agree, seg_agree, bal_agree,
          |       link_weight, link_weight >= 4.0 AS is_match
          |FROM w""".stripMargin
+    },
+    // q191's pairs, then one EM round: E-step posterior from the SAME
+    // driver literals (left-associated IEEE products, 6-dp rounding),
+    // decimal M-step sums, per-field m'/u' and the shared lambda'
+    "q224_linkage_em" -> {
+      val lambda = 0.01
+      def factor(c: String, agree: Double, disagree: Double) =
+        s"(CASE WHEN $c IS NULL THEN CAST('1.0' AS DOUBLE) " +
+          s"WHEN $c THEN CAST('$agree' AS DOUBLE) " +
+          s"ELSE CAST('$disagree' AS DOUBLE) END)"
+      val pm = Queries.Q191Fields
+        .map { case (c, m, _) => factor(c, m, 1.0 - m) }.mkString(" * ")
+      val pu = Queries.Q191Fields
+        .map { case (c, _, u) => factor(c, u, 1.0 - u) }.mkString(" * ")
+      val l = s"CAST('$lambda' AS DOUBLE)"
+      val lc = s"CAST('${1.0 - lambda}' AS DOUBLE)"
+      val branches = Queries.Q191Fields.map { case (c, _, _) =>
+        s"""SELECT '$c' AS field,
+           |  round(CAST(sum(CASE WHEN $c THEN CAST(w AS DECIMAL(28,6)) END) AS DOUBLE)
+           |        / CAST(sum(CASE WHEN $c IS NOT NULL THEN CAST(w AS DECIMAL(28,6)) END) AS DOUBLE), 6) AS m_new,
+           |  round(CAST(sum(CASE WHEN $c THEN CAST(v AS DECIMAL(28,6)) END) AS DOUBLE)
+           |        / CAST(sum(CASE WHEN $c IS NOT NULL THEN CAST(v AS DECIMAL(28,6)) END) AS DOUBLE), 6) AS u_new,
+           |  round(CAST(sum(CAST(w AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS lambda_new
+           |FROM sv""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH c AS (
+         |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+         |         c_mktsegment AS seg, floor(c_acctbal / 1000) AS bal_kb,
+         |         substr(c_name, 1, 16) AS bk
+         |  FROM customer),
+         |p AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |         levenshtein(a.name, b.name) <= 2 AS name_agree,
+         |         a.nat = b.nat AS nat_agree,
+         |         a.seg = b.seg AS seg_agree,
+         |         a.bal_kb = b.bal_kb AS bal_agree
+         |  FROM c a JOIN c b ON a.bk = b.bk AND a.id < b.id),
+         |sc AS (
+         |  SELECT *, round($l * ($pm) / ($l * ($pm) + $lc * ($pu)), 6) AS w
+         |  FROM p),
+         |sv AS (SELECT *, round(CAST('1.0' AS DOUBLE) - w, 6) AS v FROM sc)
+         |$branches""".stripMargin
     },
     // the pair-mass telemetry behind q126: per-pass block counts and
     // planned/dropped candidate-pair mass from the counts-only agg

@@ -108,6 +108,65 @@ object EntityResolution {
     }.reduce(_ unionByName _)
   }
 
+  /** One Fellegi–Sunter EM iteration (the Splink/RecordLinkage training
+    * loop, Dempster–Laird–Rubin EM on the latent match indicator):
+    * given candidate pairs with per-field agreement BOOLEANs, the
+    * current per-field (m, u) and match prior `lambda`, the E-step
+    * scores each pair's posterior match probability
+    * `w = λ·Π_f t_m(f) / (λ·Π_f t_m(f) + (1−λ)·Π_f t_u(f))` with
+    * `t_m = m` on agreement, `1−m` on disagreement, `1` on NULL (a
+    * missing comparison carries no evidence — the [[linkageWeights]]
+    * convention), and the M-step re-estimates
+    * `m' = Σ w·[agree] / Σ w·[non-null]`,
+    * `u' = Σ (1−w)·[agree] / Σ (1−w)·[non-null]`, `λ' = Σ w / n`.
+    *
+    * Exactness: the factors are driver literals, the products are
+    * written in `fields` order (left-associated IEEE — engine-
+    * portable), `w` and `1−w` are rounded 6 dp and every M-step sum
+    * rides DECIMAL, so the whole iteration replays as oracle CTEs;
+    * iterate-to-convergence chains calls with each round's 6-dp
+    * outputs (the CTE-replayed-iterations discipline). One projection
+    * + one agg over the pairs; at 100 TB the pairs come from a
+    * budget-gated candidate stage ([[blockedPairs]] / [[fuzzyPairs]]).
+    * Returns one row per field: (field, m_new, u_new, lambda_new).
+    */
+  def emIteration(pairs: DataFrame,
+      fields: Seq[(String, Double, Double)], lambda: Double): DataFrame = {
+    require(fields.nonEmpty, "at least one comparison field required")
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    fields.foreach { case (c, m, u) =>
+      require(m > 0 && m < 1 && u > 0 && u < 1,
+        s"m and u must be in (0,1) for $c, got m=$m u=$u")
+    }
+    val pm = fields.map { case (c, m, _) =>
+      when(col(c).isNull, lit(1.0)).when(col(c), lit(m)).otherwise(lit(1.0 - m))
+    }.reduce(_ * _)
+    val pu = fields.map { case (c, _, u) =>
+      when(col(c).isNull, lit(1.0)).when(col(c), lit(u)).otherwise(lit(1.0 - u))
+    }.reduce(_ * _)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val scored = Parallelism.ensureCompute(pairs)
+      .withColumn("__w", round(
+        lit(lambda) * pm / (lit(lambda) * pm + lit(1.0 - lambda) * pu), 6))
+      .withColumn("__v", round(lit(1.0) - col("__w"), 6))
+    val aggs = fields.flatMap { case (c, _, _) =>
+      Seq(
+        sum(when(col(c).isNotNull, col("__w").cast(dec))).as(s"__wn_$c"),
+        sum(when(col(c), col("__w").cast(dec))).as(s"__wa_$c"),
+        sum(when(col(c).isNotNull, col("__v").cast(dec))).as(s"__vn_$c"),
+        sum(when(col(c), col("__v").cast(dec))).as(s"__va_$c"))
+    } ++ Seq(sum(col("__w").cast(dec)).as("__wsum"), count(lit(1)).as("__n"))
+    val one = scored.agg(aggs.head, aggs.tail: _*)
+    fields.map { case (c, _, _) =>
+      one.select(lit(c).as("field"),
+        round(col(s"__wa_$c").cast("double") /
+          col(s"__wn_$c").cast("double"), 6).as("m_new"),
+        round(col(s"__va_$c").cast("double") /
+          col(s"__vn_$c").cast("double"), 6).as("u_new"),
+        round(col("__wsum").cast("double") / col("__n"), 6).as("lambda_new"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The driver-side per-field weight constants [[linkageWeights]]
     * splices, exposed so an oracle (or a reviewer) reads the SAME
     * literals — the shared-literal discipline.

@@ -175,6 +175,52 @@ class EntityResolutionSpec extends SparkSuite {
     assert(ok.count() == 45L, "at budget must run")
   }
 
+  test("emIteration: hand-computed E/M step on a two-pair corpus, NULL carries no evidence") {
+    // pair 1 agrees, pair 2 disagrees, pair 3 has a NULL comparison
+    val pairs = Seq(
+      (Some(true)), (Some(false)), (Option.empty[Boolean])
+    ).toDF("f")
+    val m = 0.9; val u = 0.1; val lam = 0.5
+    val got = EntityResolution.emIteration(pairs, Seq(("f", m, u)), lam)
+      .as[(String, Double, Double, Double)].head()
+    def w(tm: Double, tu: Double) =
+      BigDecimal(lam * tm / (lam * tm + (1 - lam) * tu))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w1 = w(m, u)          // agree: 0.9
+    val w2 = w(1 - m, 1 - u)  // disagree: 0.1
+    val w3 = w(1.0, 1.0)      // null: prior 0.5
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // m' = w·[agree] / w·[non-null]; the NULL pair is excluded from both
+    assert(got._2 == r6(w1 / (w1 + w2)), s"m_new: $got")
+    assert(got._3 == r6((1 - w1) / ((1 - w1) + (1 - w2))), s"u_new: $got")
+    assert(got._4 == r6((w1 + w2 + w3) / 3), s"lambda_new: $got")
+  }
+
+  test("emIteration converges: chained rounds find the planted match rate") {
+    // 10 match pairs agreeing on BOTH fields + 90 noise pairs
+    // disagreeing on both: with >=2 fields the posterior separates
+    // (one binary field is a known non-identifiable ridge) and chained
+    // rounds drive m up, u down, lambda to the planted 0.1. Feeding
+    // each round's 6-dp outputs back in is the CTE-replayed-iterations
+    // discipline in operator form.
+    val pairs = ((1 to 10).map(_ => (Some(true), Some(true))) ++
+      (1 to 90).map(_ => (Some(false), Some(false)))).toDF("f1", "f2")
+    var m1 = 0.9; var u1 = 0.1; var m2 = 0.9; var u2 = 0.1; var lam = 0.2
+    for (_ <- 1 to 8) {
+      val rows = EntityResolution.emIteration(pairs,
+        Seq(("f1", m1, u1), ("f2", m2, u2)), lam)
+        .as[(String, Double, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      def clamp(x: Double) = math.min(math.max(x, 1e-6), 0.999999)
+      m1 = clamp(rows("f1")._2); u1 = clamp(rows("f1")._3)
+      m2 = clamp(rows("f2")._2); u2 = clamp(rows("f2")._3)
+      lam = rows("f1")._4
+    }
+    assert(m1 > 0.95 && u1 < 0.05 && math.abs(lam - 0.1) < 0.02,
+      s"EM must converge to the planted mixture: m=$m1 u=$u1 lambda=$lam")
+  }
+
   test("blockedPairs: oversized blocks drop whole under maxBlockSize") {
     val recs = ((1L to 9L).map(i => (i, "big")) ++ Seq((10L, "ok"), (11L, "ok")))
       .toDF("id", "grp")
