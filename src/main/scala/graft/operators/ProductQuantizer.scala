@@ -250,6 +250,35 @@ object ProductQuantizer {
       zip_with(col(vecCol).cast("array<double>"), chosen, (x, c) => x - c))
   }
 
+  /** ACT on the staleness gate: retrain codebooks on `corpus`,
+    * re-encode it, and atomically SWAP the manifest-backed codes table
+    * to the new index — one overwrite commit version, so a concurrent
+    * [[adcTopK]] probe over `ManifestTable.read` sees the old index or
+    * the new one, never a mix, and time travel keeps the old version
+    * readable. This closes the frozen-quantizer lifecycle loop:
+    * [[graft.streaming.Streams.streamingPqIngest]] fills the table,
+    * `streamingPqErrorSink` + `currentStaleness` watch quantization
+    * error drift, and when the retrain flag fires this swap retrains —
+    * the cadence a 100 TB standing ingest needs (train-once is a
+    * regime, not a vow). Pass the same `listOf` router used at ingest
+    * to keep the IVF-PQ layout. Returns (new codebooks, committed
+    * version); the serving side swaps the returned books in for its
+    * query-side LUTs.
+    */
+  def reindex(spark: SparkSession, tableRoot: String, corpus: DataFrame,
+      idCol: String, vecCol: String, m: Int, ksub: Int, dim: Int,
+      iters: Int = 2, saltPrefix: String = "pq",
+      listOf: Column => Column = null): (Codebooks, Long) = {
+    val books = train(corpus, idCol, vecCol, m, ksub, dim, iters, saltPrefix)
+    val codes = encode(corpus, idCol, vecCol, books, dim)
+    val withList =
+      if (listOf == null) codes
+      else codes.join(
+        corpus.select(col(idCol), listOf(col(vecCol)).as("list")), Seq(idCol))
+    val version = ManifestTable.commit(spark, tableRoot, withList)
+    (books, version)
+  }
+
   // -------------------------------------- balanced subspaces (OPQ init)
 
   /** Per-dimension variance `E[x²] − E[x]²` with exact-decimal moment

@@ -754,6 +754,55 @@ class StreamsSpec extends SparkSuite {
       s"live staleness must equal batch: $alarmed vs $batch")
   }
 
+  test("full ANN lifecycle: ingest -> staleness fires -> reindex swaps atomically -> error recovers") {
+    import graft.operators.{ManifestTable, ProductQuantizer, QuantileSketch}
+    val codesRoot = Files.createTempDirectory("graft_pq_codes").resolve("t").toString
+    val errRoot = Files.createTempDirectory("graft_pq_err").resolve("t").toString
+    def vecs(lo: Int, hi: Int, scale: Double) = (lo until hi).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        ((if (j == (i % 4) * 2) 10.0 else 0.0) + (i % 7) / 10.0) * scale))
+    }.toDF("id", "vec")
+    val base = vecs(0, 64, 1.0)
+    val books = ProductQuantizer.train(base, "id", "vec",
+      m = 2, ksub = 4, dim = 8, iters = 2)
+    val trainSketch = QuantileSketch.sketch(
+      ProductQuantizer.quantizationError(base, "id", "vec", books, dim = 8),
+      "err", Nil)
+    val ingest = Streams.streamingPqIngest(codesRoot, "ing", "id", "vec",
+      books, dim = 8) _
+    val errSink = Streams.streamingPqErrorSink(errRoot, "err", "id", "vec",
+      books, dim = 8) _
+    ingest(base, 0L); errSink(base, 0L)
+    val calm = Streams.currentStaleness(spark, errRoot, trainSketch,
+      threshold = Double.MaxValue).head().getDouble(2)
+    // drifted arrivals land in the codes table AND trip the gate
+    val drifted = vecs(64, 128, 3.0)
+    ingest(drifted, 1L); errSink(drifted, 1L)
+    val alarmed = Streams.currentStaleness(spark, errRoot, trainSketch,
+      threshold = calm).head()
+    assert(alarmed.getBoolean(3), s"gate must fire: $alarmed")
+    // act: retrain on the full current corpus and swap the codes table
+    val corpus = base.unionByName(drifted)
+    val vBefore = ManifestTable.currentVersion(spark, codesRoot)
+    val (newBooks, vAfter) = ProductQuantizer.reindex(spark, codesRoot,
+      corpus, "id", "vec", m = 2, ksub = 4, dim = 8)
+    assert(vAfter > vBefore, "reindex must commit a new version")
+    // the swapped snapshot equals a from-scratch encode under new books
+    val snapshot = ManifestTable.read(spark, codesRoot)
+    val direct = ProductQuantizer.encode(corpus, "id", "vec", newBooks, dim = 8)
+    assert(snapshot.exceptAll(direct).isEmpty && direct.exceptAll(snapshot).isEmpty,
+      "swapped index must equal the fresh encode")
+    // the old version is still time-travel readable (probe-in-flight safety)
+    assert(ManifestTable.read(spark, codesRoot, Some(vBefore)).count() == 128)
+    // and the drifted rows' reconstruction error recovered
+    val staleErr = ProductQuantizer.quantizationError(
+      drifted, "id", "vec", books, dim = 8).agg(sum($"err")).head().getDouble(0)
+    val freshErr = ProductQuantizer.quantizationError(
+      drifted, "id", "vec", newBooks, dim = 8).agg(sum($"err")).head().getDouble(0)
+    assert(freshErr < staleErr / 2,
+      s"reindex must collapse drifted-row error: stale $staleErr fresh $freshErr")
+  }
+
   test("streamMergeInto: upsert stream is exactly-once under replay; keys converge") {
     import graft.operators.ManifestTable
     val root = Files.createTempDirectory("graft_stream_merge").resolve("t").toString
