@@ -4978,6 +4978,33 @@ object Queries {
   }
 
   // ---------------------------------------------------------------- Q221
+  /** The training-time error sketch is computed ONCE per corpus dir
+    * (in production it is materialized at train time and FROZEN — a
+    * standing monitor never rescans the training corpus); cached as
+    * driver rows PLUS the sketch's own output schema (captured, not
+    * hand-duplicated, so a future sketch-surface change cannot leave
+    * the replay schema silently out of sync). Sketch-sized by
+    * construction.
+    */
+  private val refErrSketchCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]()
+  private def refErrSketch(spark: SparkSession, dir: String,
+      books: ProductQuantizer.Codebooks): DataFrame = {
+    val cached = refErrSketchCache.get(dir)
+    val (rows, schema) = if (cached != null) cached else {
+      val df = QuantileSketch.sketch(
+        ProductQuantizer.quantizationError(
+          tp(spark, dir, "embeddings"), "vec_id", "embedding", books,
+          dim = PqDim),
+        "err", Nil)
+      val computed = (df.collect(), df.schema)
+      refErrSketchCache.put(dir, computed)
+      computed
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** Codebook-staleness gate ([[graft.operators.ProductQuantizer
     * .quantizationError]] → DDSketch → [[graft.operators.QuantileSketch
     * .sketchW1]]): the frozen q203 quantizer's reconstruction-error
@@ -4992,36 +5019,6 @@ object Queries {
     * quantization error IS that signal — priced here from two
     * sketch-sized tables, no ground truth, no recall job.
     */
-  /** The training-time error sketch is computed ONCE per corpus dir
-    * (in production it is materialized at train time and FROZEN — a
-    * standing monitor never rescans the training corpus); cached as
-    * driver rows, sketch-sized by construction.
-    */
-  private val refErrSketchCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
-  private def refErrSketch(spark: SparkSession, dir: String,
-      books: ProductQuantizer.Codebooks): DataFrame = {
-    val cached = refErrSketchCache.get(dir)
-    val rows = if (cached != null) cached else {
-      val computed = QuantileSketch.sketch(
-        ProductQuantizer.quantizationError(
-          tp(spark, dir, "embeddings"), "vec_id", "embedding", books,
-          dim = PqDim),
-        "err", Nil).collect()
-      refErrSketchCache.put(dir, computed)
-      computed
-    }
-    spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("bucket",
-          org.apache.spark.sql.types.LongType, nullable = true),
-        org.apache.spark.sql.types.StructField("cnt",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("__alpha",
-          org.apache.spark.sql.types.DoubleType, nullable = false))))
-  }
-
   def q221CodebookStaleness(spark: SparkSession, dir: String): DataFrame = {
     val emb = tp(spark, dir, "embeddings")
     val books = pqBooks(spark, dir)

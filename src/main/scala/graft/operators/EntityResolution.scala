@@ -157,14 +157,20 @@ object EntityResolution {
         sum(when(col(c), col("__v").cast(dec))).as(s"__va_$c"))
     } ++ Seq(sum(col("__w").cast(dec)).as("__wsum"), count(lit(1)).as("__n"))
     val one = scored.agg(aggs.head, aggs.tail: _*)
-    fields.map { case (c, _, _) =>
-      one.select(lit(c).as("field"),
+    // ONE evaluation of the heavy candidate scan: every per-field
+    // readout is a struct over the SAME single-row aggregate, exploded
+    // in `fields` order. A union of per-field selects would let column
+    // pruning specialize the Aggregate per branch, defeating exchange
+    // reuse and re-running the blocked join + edit-distance once per
+    // field.
+    one.select(explode(array(fields.map { case (c, _, _) =>
+      struct(lit(c).as("field"),
         round(col(s"__wa_$c").cast("double") /
           col(s"__wn_$c").cast("double"), 6).as("m_new"),
         round(col(s"__va_$c").cast("double") /
           col(s"__vn_$c").cast("double"), 6).as("u_new"),
         round(col("__wsum").cast("double") / col("__n"), 6).as("lambda_new"))
-    }.reduce(_ unionByName _)
+    }: _*)).as("__r")).select("__r.*")
   }
 
   /** The driver-side per-field weight constants [[linkageWeights]]

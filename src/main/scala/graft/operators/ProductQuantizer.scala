@@ -169,6 +169,23 @@ object ProductQuantizer {
         codesArray(col("__vec"), books, dsub).as("codes"): _*)
   }
 
+  /** [[encode]] plus the coarse-list id when a `listOf` router is
+    * given — the ONE codes-row shape both the streaming ingest
+    * ([[graft.streaming.Streams.streamingPqIngest]]) and [[reindex]]
+    * commit. Shared so the two writers cannot drift: a reindex
+    * overwrite that committed a different schema than subsequent
+    * stream appends would make every later append fail the manifest's
+    * schema check.
+    */
+  def codesWithList(corpus: DataFrame, idCol: String, vecCol: String,
+      books: Codebooks, dim: Int,
+      listOf: Column => Column = null): DataFrame = {
+    val codes = encode(corpus, idCol, vecCol, books, dim)
+    if (listOf == null) codes
+    else codes.join(
+      corpus.select(col(idCol), listOf(col(vecCol)).as("list")), Seq(idCol))
+  }
+
   /** Per-row quantization error: the squared-L2 distance between the
     * vector and its PQ reconstruction = Σ over subspaces of the
     * assignment distance (the min over codes of the exact rounded-term
@@ -270,11 +287,7 @@ object ProductQuantizer {
       iters: Int = 2, saltPrefix: String = "pq",
       listOf: Column => Column = null): (Codebooks, Long) = {
     val books = train(corpus, idCol, vecCol, m, ksub, dim, iters, saltPrefix)
-    val codes = encode(corpus, idCol, vecCol, books, dim)
-    val withList =
-      if (listOf == null) codes
-      else codes.join(
-        corpus.select(col(idCol), listOf(col(vecCol)).as("list")), Seq(idCol))
+    val withList = codesWithList(corpus, idCol, vecCol, books, dim, listOf)
     val version = ManifestTable.commit(spark, tableRoot, withList)
     (books, version)
   }
@@ -327,10 +340,15 @@ object ProductQuantizer {
 
   /** The permuted vector column laying `subDims`' slots out
     * contiguously — subspace s occupies positions [s·dsub, (s+1)·dsub).
-    * Map-only; feeds [[train]]/[[encode]]/[[adcTopK]] verbatim.
+    * Map-only; feeds [[train]]/[[encode]]/[[adcTopK]] verbatim. NULL
+    * for a vector whose length is not Σ|subDims| — `element_at` would
+    * otherwise null-pad a short vector to full length and slip it past
+    * the `size === dim` guard every PQ entry point enforces; the NULL
+    * makes wrong-size rows drop there exactly as un-permuted ones do.
     */
   def permuted(vec: Column, subDims: Array[Array[Int]]): Column =
-    array(subDims.flatten.toIndexedSeq.map(d => element_at(vec, d + 1)): _*)
+    when(size(vec) === subDims.map(_.length).sum,
+      array(subDims.flatten.toIndexedSeq.map(d => element_at(vec, d + 1)): _*))
 
   /** Multi-probe routing: each query row replicated to its `nProbe`
     * NEAREST coarse lists (exact decimal L2 to the centroid literals,

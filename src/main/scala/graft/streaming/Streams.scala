@@ -378,14 +378,8 @@ object Streams {
       books: graft.operators.ProductQuantizer.Codebooks, dim: Int,
       listOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = null)(
       batch: DataFrame, batchId: Long): Unit = {
-    val codes = graft.operators.ProductQuantizer.encode(
-      batch, idCol, vecCol, books, dim)
-    val withList =
-      if (listOf == null) codes
-      else codes.join(
-        batch.select(org.apache.spark.sql.functions.col(idCol),
-          listOf(org.apache.spark.sql.functions.col(vecCol)).as("list")),
-        Seq(idCol))
+    val withList = graft.operators.ProductQuantizer.codesWithList(
+      batch, idCol, vecCol, books, dim, listOf)
     graft.operators.ManifestTable.streamInto(tableRoot, queryName)(
       withList, batchId)
   }
