@@ -266,6 +266,7 @@ object SparkEntry {
     "q221_codebook_staleness" -> (Queries.q221CodebookStaleness _),
     "q222_ivfpq_rerank" -> (Queries.q222IvfpqRerank _),
     "q223_balanced_pq" -> (Queries.q223BalancedPq _),
+    "q225_opq_rotation" -> (Queries.q225OpqRotation _),
     "q224_linkage_em" -> (Queries.q224LinkageEm _),
   )
 
@@ -359,6 +360,75 @@ object SparkEntry {
        |$pqSv,
        |${pqTrainCtes("sv", "pq", "")}
        |$finalSelect""".stripMargin
+
+  /** fx (full components), dv/rk (exact-decimal variance ranks), bv
+    * (the balanced sub-vector table: rank r → sub r%8, slot r//8) —
+    * the balanced-allocation replay shared by q223/q225.
+    */
+  private val pqBalancedCtes =
+    """fx AS MATERIALIZED (
+      |  SELECT e.vec_id, p.p AS fpos, CAST(e.embedding[p.p + 1] AS DOUBLE) AS val
+      |  FROM embeddings e,
+      |       (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS p) p),
+      |dv AS (
+      |  SELECT fpos,
+      |         round(CAST(sum(CAST(round(val * val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |                 / count(*)
+      |               - pow(CAST(sum(CAST(round(val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |                 / count(*), 2), 6) AS v
+      |  FROM fx GROUP BY 1),
+      |rk AS (
+      |  SELECT fpos,
+      |         CAST(row_number() OVER (ORDER BY v DESC, fpos ASC) - 1
+      |              AS INTEGER) AS r
+      |  FROM dv),
+      |bv AS MATERIALIZED (
+      |  SELECT f.vec_id, CAST(rk.r % 8 AS INTEGER) AS sub,
+      |         CAST(rk.r // 8 AS INTEGER) AS pos, f.val
+      |  FROM fx f JOIN rk ON rk.fpos = f.fpos)""".stripMargin
+
+  /** q225's replay: balanced chain (`bv`, salt pqb) AND the learned-
+    * rotation chain — `rot` = R's 6-dp entries as a 4096-row VALUES
+    * literal (the shared literals `ProductQuantizer.trainRotation`
+    * produced), `ov` = the rotated sub-vector table (products rounded
+    * 9 dp, decimal-summed, 6-dp readout — bit-equal to
+    * `ProductQuantizer.rotated`), then the full training chain at salt
+    * pqo and exact-decimal error totals per scheme.
+    */
+  private def opqRotationOracle(r: Array[Array[Double]]): String = {
+    val values = (for { i <- r.indices; j <- r.indices } yield {
+      val v = BigDecimal(r(i)(j))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+      s"($i, $j, $v)"
+    }).mkString(", ")
+    s"""WITH $pqSubsPs,
+       |$pqBalancedCtes,
+       |${pqTrainCtes("bv", "pqb", "b")},
+       |rot(i, j, val) AS (VALUES $values),
+       |ov AS MATERIALIZED (
+       |  SELECT f.vec_id, CAST(r.i // 8 AS INTEGER) AS sub,
+       |         CAST(r.i % 8 AS INTEGER) AS pos,
+       |         round(CAST(sum(CAST(round(CAST(r.val AS DOUBLE) * f.val, 9)
+       |                              AS DECIMAL(20,9))) AS DOUBLE), 6) AS val
+       |  FROM fx f JOIN rot r ON r.j = f.fpos
+       |  GROUP BY f.vec_id, r.i),
+       |${pqTrainCtes("ov", "pqo", "o")},
+       |qeb AS (
+       |  SELECT vec_id, round(CAST(sum(md) AS DOUBLE), 6) AS err FROM (
+       |    SELECT vec_id, sub, min(d) AS md FROM d3b GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |qeo AS (
+       |  SELECT vec_id, round(CAST(sum(md) AS DOUBLE), 6) AS err FROM (
+       |    SELECT vec_id, sub, min(d) AS md FROM d3o GROUP BY 1, 2)
+       |  GROUP BY 1)
+       |SELECT 'balanced' AS scheme, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(CAST(err AS DECIMAL(18,6))) AS DOUBLE) AS total_err
+       |FROM qeb
+       |UNION ALL
+       |SELECT 'rotated', CAST(count(*) AS BIGINT),
+       |       CAST(sum(CAST(err AS DECIMAL(18,6))) AS DOUBLE)
+       |FROM qeo""".stripMargin
+  }
 
   /** The residual (IVFADC) base: the frozen 4-way router (`lst`), full
     * vector components (`fv`), per-list mean coarse centroids (`cc`,
@@ -1305,26 +1375,7 @@ object SparkEntry {
         |  SELECT vec_id, round(CAST(sum(md) AS DOUBLE), 6) AS err FROM (
         |    SELECT vec_id, sub, min(d) AS md FROM d3 GROUP BY 1, 2)
         |  GROUP BY 1),
-        |fx AS MATERIALIZED (
-        |  SELECT e.vec_id, p.p AS fpos, CAST(e.embedding[p.p + 1] AS DOUBLE) AS val
-        |  FROM embeddings e,
-        |       (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS p) p),
-        |dv AS (
-        |  SELECT fpos,
-        |         round(CAST(sum(CAST(round(val * val, 6) AS DECIMAL(18,6))) AS DOUBLE)
-        |                 / count(*)
-        |               - pow(CAST(sum(CAST(round(val, 6) AS DECIMAL(18,6))) AS DOUBLE)
-        |                 / count(*), 2), 6) AS v
-        |  FROM fx GROUP BY 1),
-        |rk AS (
-        |  SELECT fpos,
-        |         CAST(row_number() OVER (ORDER BY v DESC, fpos ASC) - 1
-        |              AS INTEGER) AS r
-        |  FROM dv),
-        |bv AS MATERIALIZED (
-        |  SELECT f.vec_id, CAST(rk.r % 8 AS INTEGER) AS sub,
-        |         CAST(rk.r // 8 AS INTEGER) AS pos, f.val
-        |  FROM fx f JOIN rk ON rk.fpos = f.fpos),
+        |$pqBalancedCtes,
         |${pqTrainCtes("bv", "pqb", "b")},
         |qeb AS (
         |  SELECT vec_id, round(CAST(sum(md) AS DOUBLE), 6) AS err FROM (
@@ -1337,6 +1388,14 @@ object SparkEntry {
         |SELECT 'balanced', CAST(count(*) AS BIGINT),
         |       CAST(sum(CAST(err AS DECIMAL(18,6))) AS DOUBLE)
         |FROM qeb""".stripMargin),
+    // the parametric OPQ half: the balanced chain (bv, salt pqb) vs the
+    // LEARNED-rotation chain (ov, salt pqo) at the same bit budget. R is
+    // driver-derived (Jacobi SVD — not SQL-replayable), so it enters as
+    // shared literals (the q191 discipline) and EVERYTHING downstream —
+    // rotation application, codebook training, encode, error totals —
+    // replays from them. graft.Verify dumps oracleSql AFTER the queries
+    // run, so lastOpqRotation() is this run's trained R for this dir.
+    "q225_opq_rotation" -> opqRotationOracle(Queries.lastOpqRotation()),
     // the full stack: q219's multi-probe residual scoring nominates 20
     // candidates per query, q214's exact fold reranks only those
     "q222_ivfpq_rerank" -> pqResidualOracle(

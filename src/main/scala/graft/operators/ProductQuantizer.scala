@@ -350,6 +350,183 @@ object ProductQuantizer {
     when(size(vec) === subDims.map(_.length).sum,
       array(subDims.flatten.toIndexedSeq.map(d => element_at(vec, d + 1)): _*))
 
+  // -------------------------------------- learned rotation (OPQ, parametric)
+
+  /** `subDims` as the orthogonal permutation matrix R₀ with
+    * R₀(p)(subDims.flatten(p)) = 1 — [[permuted]] expressed as a
+    * rotation, the "structured ordering" init of the parametric OPQ
+    * loop ([[trainRotation]]).
+    */
+  def permutationMatrix(subDims: Array[Array[Int]]): Array[Array[Double]] = {
+    val flat = subDims.flatten
+    Array.tabulate(flat.length, flat.length)((p, j) =>
+      if (flat(p) == j) 1.0 else 0.0)
+  }
+
+  /** `R·vec` as a map-only literal projection: out_i =
+    * `round(Σ_j dec9(round(R(i)(j)·vec_j, 9)), 6)` — products rounded
+    * 9 dp and summed as DECIMAL so the contraction is order-independent
+    * and replays bit-equal in an oracle that reads the SAME R literals
+    * (the q191 shared-literal discipline; R itself is driver-derived).
+    * dim² product terms, no shuffle. NULL for a wrong-length vector
+    * (the [[permuted]] guard), so bad rows drop at the next
+    * `size === dim` filter instead of null-contaminating the sums.
+    */
+  def rotated(vec: Column, r: Array[Array[Double]]): Column = {
+    val dim = r.length
+    // each R row rides as an ARRAY LITERAL folded by zip_with/aggregate
+    // HOFs — R is data, not code, so codegen stays O(1) per output dim
+    // (a dim²-term literal projection blows janino's 64 KB method cap)
+    // acc stays DECIMAL(30,9): the merge's (31,9) result is cast back
+    // losslessly (sums are ≪ 1e21), keeping the lambda type fixed
+    val acc9 = DecimalType(30, 9)
+    val zero = lit(new java.math.BigDecimal(0)).cast(acc9)
+    when(size(vec) === dim,
+      array((0 until dim).map { i =>
+        round(
+          aggregate(
+            zip_with(lit(r(i)), vec,
+              (a, x) => round(a * x, 9).cast(DecimalType(20, 9))),
+            zero, (acc, v) => (acc + v).cast(acc9)).cast("double"), 6)
+      }: _*))
+  }
+
+  /** Map-only PQ reconstruction `(idCol, __rec array<double>)`: each
+    * position's value is its assigned code's centroid component — a
+    * literal lookup over the encode result. The encode projection sits
+    * behind a localCheckpoint barrier so CollapseProject cannot
+    * re-inline each subspace's argmin into its dsub position
+    * references (the documented fold-re-inlining pitfall).
+    */
+  def reconstructed(corpus: DataFrame, idCol: String, vecCol: String,
+      books: Codebooks, dim: Int): DataFrame = {
+    val dsub = dim / books.length
+    val enc = prepared(corpus, idCol, vecCol, dim)
+      .select(col("__id"),
+        codesArray(col("__vec"), books, dsub).as("__codes"))
+      .localCheckpoint()
+    enc.select(col("__id").as(idCol), array((0 until dim).map { p =>
+      val s = p / dsub
+      val pin = p % dsub
+      element_at(array(books(s).map(c => lit(c(pin))): _*),
+        element_at(col("__codes"), s + 1) + 1)
+    }: _*).as("__rec"))
+  }
+
+  /** `M = Σ_rows x·ŷᵀ` (dim×dim): ONE partial-agg shuffle whose map
+    * side expands each row to dim² (i,j) product terms and combines
+    * them to ≤dim² cells per partition — the shuffle is dim²-sized at
+    * any corpus size; driver state = dim² scalars. Products rounded
+    * 9 dp and decimal-summed (order-independent).
+    */
+  private def correlation(x: DataFrame, y: DataFrame,
+      dim: Int): Array[Array[Double]] = {
+    val rows = x.join(y, "__id")
+      .select(posexplode(col("__vec")).as(Seq("i", "xv")), col("__rec"))
+      .select(col("i"), col("xv"),
+        posexplode(col("__rec")).as(Seq("j", "yv")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(round(col("xv") * col("yv"), 9).cast(DecimalType(30, 9)))
+        .cast("double").as("m"))
+      .collect()
+    val out = Array.fill(dim, dim)(0.0)
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    out
+  }
+
+  /** The orthogonal Procrustes maximizer of `tr(R·M)`: `R = V·Uᵀ` for
+    * `M = U·Σ·Vᵀ`, via deterministic one-sided Jacobi SVD (fixed 12
+    * cyclic sweeps — a pure function of M, so the whole rotation chain
+    * replays). Near-zero singular directions keep their accumulated
+    * Jacobi basis vector (U column = V column), which preserves
+    * orthogonality. Entries rounded 6 dp — the shared literals both
+    * the Spark plan and the oracle read; the rounded R is orthogonal
+    * to ~1e-6, which the audit tolerates (it only rotates, never
+    * inverts).
+    */
+  private[graft] def procrustesRotation(
+      m0: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = m0.length
+    // columns of a converge to U·Σ; v accumulates the right rotations
+    val a = Array.tabulate(n, n)((i, j) => m0(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 0 until 12; p <- 0 until n - 1; q <- p + 1 until n) {
+      var app = 0.0; var aqq = 0.0; var apq = 0.0
+      var k = 0
+      while (k < n) {
+        val xp = a(k)(p); val xq = a(k)(q)
+        app += xp * xp; aqq += xq * xq; apq += xp * xq
+        k += 1
+      }
+      if (math.abs(apq) > 1e-15) {
+        val tau = (aqq - app) / (2.0 * apq)
+        val t =
+          if (tau >= 0) 1.0 / (tau + math.sqrt(1.0 + tau * tau))
+          else 1.0 / (tau - math.sqrt(1.0 + tau * tau))
+        val c = 1.0 / math.sqrt(1.0 + t * t)
+        val s = t * c
+        k = 0
+        while (k < n) {
+          val xp = a(k)(p); val xq = a(k)(q)
+          a(k)(p) = c * xp - s * xq; a(k)(q) = s * xp + c * xq
+          val vp = v(k)(p); val vq = v(k)(q)
+          v(k)(p) = c * vp - s * vq; v(k)(q) = s * vp + c * vq
+          k += 1
+        }
+      }
+    }
+    val u = Array.tabulate(n, n) { (i, j) =>
+      var norm = 0.0
+      var k = 0
+      while (k < n) { norm += a(k)(j) * a(k)(j); k += 1 }
+      if (math.sqrt(norm) > 1e-12) a(i)(j) / math.sqrt(norm) else v(i)(j)
+    }
+    Array.tabulate(n, n) { (i, j) =>
+      var dot = 0.0
+      var k = 0
+      while (k < n) { dot += v(i)(k) * u(j)(k); k += 1 }
+      BigDecimal(dot).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
+  /** The PARAMETRIC half of OPQ (Ge, He, Ke, Sun, "Optimized Product
+    * Quantization", CVPR 2013 §5, non-parametric solution): alternate
+    * (a) train codebooks under `R·x` and (b) re-solve R as the
+    * orthogonal Procrustes fit of the raw vectors to their rotated-
+    * space reconstructions — each step does not increase the joint
+    * quantization objective in exact arithmetic. Init R₀ = the
+    * [[balancedSubspaces]] permutation (§4's structured ordering — the
+    * rotation-free half), so the learned rotation starts from, and is
+    * audited against, the free half. Per alternation: one codebook
+    * train (the q203 plan shape), one map-only reconstruction, and one
+    * dim²-cell correlation partial agg; driver state = two dim×dim
+    * matrices. Returns `(R, books)` with books trained under the FINAL
+    * R — R's 6-dp entries are the shared literals an oracle replays
+    * the downstream chain from.
+    */
+  def trainRotation(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, dim: Int, alternations: Int = 1,
+      lloydIters: Int = 2, saltPrefix: String = "pqo")
+      : (Array[Array[Double]], Codebooks) = {
+    require(alternations >= 1, s"alternations=$alternations must be >= 1")
+    val v = prepared(corpus, idCol, vecCol, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var r = permutationMatrix(
+      balancedSubspaces(dimVariances(v, "__id", "__vec", dim), m))
+    for (t <- 0 until alternations) {
+      val rot = v.select(col("__id"), rotated(col("__vec"), r).as("__rvec"))
+      val books = train(rot, "__id", "__rvec", m, ksub, dim, lloydIters,
+        s"$saltPrefix$t")
+      val recon = reconstructed(rot, "__id", "__rvec", books, dim)
+      r = procrustesRotation(correlation(v, recon, dim))
+    }
+    val rotF = v.select(col("__id"), rotated(col("__vec"), r).as("__rvec"))
+    val books = train(rotF, "__id", "__rvec", m, ksub, dim, lloydIters,
+      saltPrefix)
+    v.unpersist()
+    (r, books)
+  }
+
   /** Multi-probe routing: each query row replicated to its `nProbe`
     * NEAREST coarse lists (exact decimal L2 to the centroid literals,
     * ties to the lower list id), the coarse-list analog of q71b's

@@ -351,4 +351,82 @@ class ProductQuantizerSpec extends SparkSuite {
     top.foreach(r => assert(r.getLong(0) % 4 == r.getLong(1) % 4,
       s"crossed clusters: $r"))
   }
+
+  test("procrustesRotation recovers a known rotation and returns an orthogonal R") {
+    val n = 4
+    val theta = 0.6
+    // G = Givens rotation on dims (0,1); maximizing tr(R·Gᵀ) → R = G
+    val g = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    g(0)(0) = math.cos(theta); g(0)(1) = -math.sin(theta)
+    g(1)(0) = math.sin(theta); g(1)(1) = math.cos(theta)
+    val gt = Array.tabulate(n, n)((i, j) => g(j)(i))
+    val r = ProductQuantizer.procrustesRotation(gt)
+    for (i <- 0 until n; j <- 0 until n)
+      assert(math.abs(r(i)(j) - g(i)(j)) < 1e-5, s"R($i)($j)=${r(i)(j)} want ${g(i)(j)}")
+    // orthogonality on an arbitrary full-rank M (6-dp rounding tolerated)
+    val m0 = Array.tabulate(n, n)((i, j) => math.sin(i * 3 + j * 7 + 1.0) + (if (i == j) 2.0 else 0.0))
+    val r2 = ProductQuantizer.procrustesRotation(m0)
+    for (i <- 0 until n; j <- 0 until n) {
+      val dot = (0 until n).map(k => r2(k)(i) * r2(k)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-4, s"RᵀR($i)($j)=$dot")
+    }
+  }
+
+  test("rotated: wrong-length vectors become NULL (the permuted guard)") {
+    val id4 = Array.tabulate(4, 4)((i, j) => if (i == j) 1.0 else 0.0)
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0, 4.0)),
+      (2L, Seq(1.0, 2.0, 3.0))).toDF("id", "vec")
+    val out = df.select(col("id"),
+      ProductQuantizer.rotated(col("vec"), id4).as("rvec"))
+    assert(out.where(col("rvec").isNotNull).count() == 1)
+    // identity rotation reproduces the vector (6-dp)
+    val good = out.where(col("id") === 1).head().getSeq[Double](1)
+    assert(good == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  /** Cross-subspace-correlated corpus: x0 = t + s and x2 = t − s share
+    * the dominant factor t across the two subspaces, while s is binary
+    * structure a 45° rotation can isolate into a 2-code-perfect
+    * dimension — the gain a pure permutation cannot reach (within-
+    * subspace rotation never changes k-means error; only CROSS-subspace
+    * decorrelation does).
+    */
+  private def correlated(n: Int) = {
+    spark.range(n).select(
+      col("id"),
+      array(
+        (col("id") % 4).cast("double") * 10.0 +
+          when(col("id") % 2 === 0, 1.0).otherwise(-1.0),
+        (col("id") % 3).cast("double") / 100.0,
+        (col("id") % 4).cast("double") * 10.0 -
+          when(col("id") % 2 === 0, 1.0).otherwise(-1.0),
+        (col("id") % 5).cast("double") / 100.0).as("vec"))
+  }
+
+  test("trainRotation beats the balanced permutation on cross-subspace-correlated data") {
+    val df = correlated(64)
+    val variances = ProductQuantizer.dimVariances(df, "id", "vec", dim = 4)
+    val subDims = ProductQuantizer.balancedSubspaces(variances, 2)
+    val perm = df.select(col("id"),
+      ProductQuantizer.permuted(col("vec"), subDims).as("pvec"))
+    val balBooks = ProductQuantizer.train(perm, "id", "pvec",
+      m = 2, ksub = 2, dim = 4, iters = 2, saltPrefix = "pqb")
+    val balErr = ProductQuantizer.quantizationError(
+      perm, "id", "pvec", balBooks, dim = 4)
+      .agg(sum(col("err"))).head().getDouble(0)
+    val (r, oBooks) = ProductQuantizer.trainRotation(df, "id", "vec",
+      m = 2, ksub = 2, dim = 4, alternations = 2, lloydIters = 2)
+    val rot = df.select(col("id"),
+      ProductQuantizer.rotated(col("vec"), r).as("rvec"))
+    val rotErr = ProductQuantizer.quantizationError(
+      rot, "id", "rvec", oBooks, dim = 4)
+      .agg(sum(col("err"))).head().getDouble(0)
+    assert(rotErr < balErr,
+      s"learned rotation must beat the permutation here: bal $balErr rot $rotErr")
+    // determinism: the whole chain is a pure function of the corpus
+    val (r2, _) = ProductQuantizer.trainRotation(df, "id", "vec",
+      m = 2, ksub = 2, dim = 4, alternations = 2, lloydIters = 2)
+    assert(r.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+  }
 }
