@@ -2024,6 +2024,31 @@ object Queries {
       sum(col("o_orderdate").cast("long")).as("ts_sum"))
   }
 
+  // ---------------------------------------------------------------- Q96C
+  /** ORC round-trip through Spark's built-in columnar ORC source (the
+    * third big-data interchange format beside parquet and avro): write
+    * a typed slice, read it back, and prove losslessness with the same
+    * exact-sum fingerprints q96/q96b use (decimal revenue, 12-dp price
+    * fingerprint via the VARCHAR route, epoch sum for dates). The
+    * oracle computes the fingerprints straight from parquet — equality
+    * IS the roundtrip proof. Predicate pushdown / column pruning come
+    * free from the ORC datasource at scale.
+    */
+  def q96cOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val slice = t(spark, dir, "orders")
+      .where(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+    val base = java.nio.file.Files.createTempDirectory("graft_q96c").toString
+    slice.write.mode("overwrite").orc(s"$base/orc")
+    val back = spark.read.orc(s"$base/orc")
+    back.agg(lit("orc").as("format"), count(lit(1)).as("n_rows"),
+      sum(col("o_orderkey")).as("sum_key"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+      sum(col("o_totalprice").cast("decimal(18,12)")).cast("string").as("price_fp"),
+      sum(col("o_orderdate").cast("long")).as("ts_sum"))
+  }
+
   // ---------------------------------------------------------------- Q97
   /** Hierarchy flattening ([[Graph.flattenForest]]): chains over the
     * order-key residue space (`parent = node - 1` where present, gaps

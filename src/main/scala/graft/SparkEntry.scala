@@ -134,6 +134,7 @@ object SparkEntry {
     "q95_dynamic_pruning" -> (Queries.q95DynamicPruning _),
     "q96_format_roundtrip" -> (Queries.q96FormatRoundtrip _),
     "q96b_avro_roundtrip" -> (Queries.q96bAvroRoundtrip _),
+    "q96c_orc_roundtrip" -> (Queries.q96cOrcRoundtrip _),
     "q97_flatten_hierarchy" -> (Queries.q97FlattenHierarchy _),
     "q98_web_prep" -> (Queries.q98WebPrep _),
     "q14c_portable_lsh" -> (Queries.q14cPortableLsh _),
@@ -3811,6 +3812,17 @@ object SparkEntry {
         |         CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,12)) AS fp
         |  FROM orders WHERE o_orderkey % 20 = 0)
         |SELECT 'avro' AS format, count(*) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       CAST(sum(fp) AS VARCHAR) AS price_fp,
+        |       CAST(sum(CAST(extract(epoch FROM o_orderdate) AS BIGINT)) AS BIGINT) AS ts_sum
+        |FROM s""".stripMargin,
+    "q96c_orc_roundtrip" ->
+      """WITH s AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderdate,
+        |         CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,12)) AS fp
+        |  FROM orders WHERE o_orderkey % 20 = 0)
+        |SELECT 'orc' AS format, count(*) AS n_rows,
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |       CAST(sum(fp) AS VARCHAR) AS price_fp,
