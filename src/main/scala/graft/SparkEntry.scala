@@ -268,6 +268,7 @@ object SparkEntry {
     "q222_ivfpq_rerank" -> (Queries.q222IvfpqRerank _),
     "q223_balanced_pq" -> (Queries.q223BalancedPq _),
     "q225_opq_rotation" -> (Queries.q225OpqRotation _),
+    "q226_opq_ivfadc" -> (Queries.q226OpqIvfadc _),
     "q224_linkage_em" -> (Queries.q224LinkageEm _),
   )
 
@@ -362,16 +363,21 @@ object SparkEntry {
        |${pqTrainCtes("sv", "pq", "")}
        |$finalSelect""".stripMargin
 
-  /** fx (full components), dv/rk (exact-decimal variance ranks), bv
-    * (the balanced sub-vector table: rank r → sub r%8, slot r//8) —
-    * the balanced-allocation replay shared by q223/q225.
+  /** The raw full-component table (vec_id, fpos, val) every rotated /
+    * balanced chain starts from.
     */
-  private val pqBalancedCtes =
+  private val pqFxCte =
     """fx AS MATERIALIZED (
       |  SELECT e.vec_id, p.p AS fpos, CAST(e.embedding[p.p + 1] AS DOUBLE) AS val
       |  FROM embeddings e,
-      |       (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS p) p),
-      |dv AS (
+      |       (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS p) p)""".stripMargin
+
+  /** dv/rk (exact-decimal variance ranks), bv (the balanced sub-vector
+    * table: rank r → sub r%8, slot r//8) — the balanced-allocation
+    * replay shared by q223/q225 (prepend [[pqFxCte]]).
+    */
+  private val pqBalancedCtes =
+    """dv AS (
       |  SELECT fpos,
       |         round(CAST(sum(CAST(round(val * val, 6) AS DECIMAL(18,6))) AS DOUBLE)
       |                 / count(*)
@@ -396,23 +402,33 @@ object SparkEntry {
     * `ProductQuantizer.rotated`), then the full training chain at salt
     * pqo and exact-decimal error totals per scheme.
     */
-  private def opqRotationOracle(r: Array[Array[Double]]): String = {
+  /** The learned-rotation replay: `rot` = R's 6-dp entries as a
+    * 4096-row VALUES literal, `ov` = the rotated sub-vector table
+    * (products rounded 9 dp, decimal-summed, 6-dp readout — bit-equal
+    * to `ProductQuantizer.rotated`). Prepend [[pqFxCte]].
+    */
+  private def opqRotCtes(r: Array[Array[Double]]): String = {
     val values = (for { i <- r.indices; j <- r.indices } yield {
       val v = BigDecimal(r(i)(j))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
       s"($i, $j, $v)"
     }).mkString(", ")
-    s"""WITH $pqSubsPs,
-       |$pqBalancedCtes,
-       |${pqTrainCtes("bv", "pqb", "b")},
-       |rot(i, j, val) AS (VALUES $values),
+    s"""rot(i, j, val) AS (VALUES $values),
        |ov AS MATERIALIZED (
        |  SELECT f.vec_id, CAST(r.i // 8 AS INTEGER) AS sub,
        |         CAST(r.i % 8 AS INTEGER) AS pos,
        |         round(CAST(sum(CAST(round(CAST(r.val AS DOUBLE) * f.val, 9)
        |                              AS DECIMAL(20,9))) AS DOUBLE), 6) AS val
        |  FROM fx f JOIN rot r ON r.j = f.fpos
-       |  GROUP BY f.vec_id, r.i),
+       |  GROUP BY f.vec_id, r.i)""".stripMargin
+  }
+
+  private def opqRotationOracle(r: Array[Array[Double]]): String = {
+    s"""WITH $pqSubsPs,
+       |$pqFxCte,
+       |$pqBalancedCtes,
+       |${pqTrainCtes("bv", "pqb", "b")},
+       |${opqRotCtes(r)},
        |${pqTrainCtes("ov", "pqo", "o")},
        |qeb AS (
        |  SELECT vec_id, round(CAST(sum(md) AS DOUBLE), 6) AS err FROM (
@@ -430,6 +446,94 @@ object SparkEntry {
        |       CAST(sum(CAST(err AS DECIMAL(18,6))) AS DOUBLE)
        |FROM qeo""".stripMargin
   }
+
+  /** q226's replay — the FULL OPQ-IVFADC stack from R's shared
+    * literals: rotated components (`fvr` from `ov`), the coarse router
+    * on the ROTATED vectors (`lstr`, same argmax-of-dims-0/16/32/48
+    * rule as `lst`), per-list mean centroids (`ccr`), rotated
+    * residuals (`rvr`), the residual training chain at salt `pqro`,
+    * then q222's probe block (multi-probe nProbe=2, ADC top-20, exact
+    * rerank) entirely in rotated space.
+    */
+  private def opqIvfadcOracle(r: Array[Array[Double]]): String =
+    s"""WITH $pqSubsPs,
+       |$pqFxCte,
+       |${opqRotCtes(r)},
+       |fvr AS MATERIALIZED (
+       |  SELECT vec_id, sub * 8 + pos AS fpos, val FROM ov),
+       |lstr AS MATERIALIZED (
+       |  SELECT vec_id, list FROM (
+       |    SELECT f.vec_id, j.j AS list,
+       |           row_number() OVER (PARTITION BY f.vec_id
+       |                              ORDER BY f.val DESC, j.j ASC) AS rn
+       |    FROM fvr f
+       |    JOIN (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS j) j
+       |      ON f.fpos = j.j * 16)
+       |  WHERE rn = 1),
+       |ccr AS MATERIALIZED (
+       |  SELECT l.list, f.fpos,
+       |         round(CAST(sum(CAST(round(f.val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |               / count(*), 6) AS val
+       |  FROM fvr f JOIN lstr l ON l.vec_id = f.vec_id
+       |  GROUP BY 1, 2),
+       |rvr AS MATERIALIZED (
+       |  SELECT f.vec_id, CAST(f.fpos // 8 AS INTEGER) AS sub,
+       |         CAST(f.fpos % 8 AS INTEGER) AS pos, f.val - cc.val AS val
+       |  FROM fvr f JOIN lstr l ON l.vec_id = f.vec_id
+       |  JOIN ccr cc ON cc.list = l.list AND cc.fpos = f.fpos),
+       |${pqTrainCtes("rvr", "pqro", "ro")},
+       |qd AS (
+       |  SELECT f.vec_id, cc.list,
+       |         sum(CAST(round((f.val - cc.val) * (f.val - cc.val), 6)
+       |                  AS DECIMAL(18,6))) AS d
+       |  FROM fvr f JOIN ccr cc ON cc.fpos = f.fpos
+       |  WHERE f.vec_id % 97 = 0
+       |  GROUP BY 1, 2),
+       |qp AS (
+       |  SELECT vec_id, list,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY d ASC, list ASC) AS pr
+       |  FROM qd),
+       |rq AS (
+       |  SELECT f.vec_id, qp.list, CAST(f.fpos // 8 AS INTEGER) AS sub,
+       |         CAST(f.fpos % 8 AS INTEGER) AS pos, f.val - cc.val AS val
+       |  FROM fvr f JOIN qp ON qp.vec_id = f.vec_id AND qp.pr <= 2
+       |  JOIN ccr cc ON cc.list = qp.list AND cc.fpos = f.fpos),
+       |dq AS (
+       |  SELECT rq.vec_id, rq.list, rq.sub, cb.code,
+       |         sum(CAST(round((rq.val - cb.val) * (rq.val - cb.val), 6)
+       |                  AS DECIMAL(18,6))) AS d
+       |  FROM rq JOIN c2ro cb ON cb.sub = rq.sub AND cb.pos = rq.pos
+       |  GROUP BY 1, 2, 3, 4),
+       |am AS (
+       |  SELECT dq.vec_id AS q_id, a.vec_id,
+       |         round(CAST(sum(dq.d) AS DOUBLE), 6) AS dist
+       |  FROM a3ro a JOIN lstr cl ON cl.vec_id = a.vec_id
+       |  JOIN dq ON dq.list = cl.list AND dq.sub = a.sub AND dq.code = a.code
+       |  WHERE a.vec_id <> dq.vec_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY dist ASC, vec_id ASC) AS rn
+       |    FROM am)
+       |  WHERE rn <= 20),
+       |rva AS MATERIALIZED (
+       |  SELECT vec_id, list(val ORDER BY fpos) AS vec FROM fvr GROUP BY 1),
+       |rr AS (
+       |  SELECT c.q_id, c.vec_id,
+       |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(generate_series(1, 64), i ->
+       |             (q.vec[i] - x.vec[i]) * (q.vec[i] - x.vec[i]))),
+       |           (u, w) -> u + w), 6) AS l2
+       |  FROM cand c
+       |  JOIN rva q ON q.vec_id = c.q_id
+       |  JOIN rva x ON x.vec_id = c.vec_id)
+       |SELECT q_id, vec_id, l2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY l2 ASC, vec_id ASC) AS rn
+       |  FROM rr)
+       |WHERE rn <= 5""".stripMargin
 
   /** The residual (IVFADC) base: the frozen 4-way router (`lst`), full
     * vector components (`fv`), per-list mean coarse centroids (`cc`,
@@ -1376,6 +1480,7 @@ object SparkEntry {
         |  SELECT vec_id, round(CAST(sum(md) AS DOUBLE), 6) AS err FROM (
         |    SELECT vec_id, sub, min(d) AS md FROM d3 GROUP BY 1, 2)
         |  GROUP BY 1),
+        |$pqFxCte,
         |$pqBalancedCtes,
         |${pqTrainCtes("bv", "pqb", "b")},
         |qeb AS (
@@ -1397,6 +1502,10 @@ object SparkEntry {
     // replays from them. graft.Verify dumps oracleSql AFTER the queries
     // run, so lastOpqRotation() is this run's trained R for this dir.
     "q225_opq_rotation" -> opqRotationOracle(Queries.lastOpqRotation()),
+    // the full OPQ-IVFADC stack (rotate -> route -> residual-encode ->
+    // multi-probe -> ADC -> exact rerank) replayed end-to-end from the
+    // same shared R literals
+    "q226_opq_ivfadc" -> opqIvfadcOracle(Queries.lastOpqRotation()),
     // the full stack: q219's multi-probe residual scoring nominates 20
     // candidates per query, q214's exact fold reranks only those
     "q222_ivfpq_rerank" -> pqResidualOracle(
