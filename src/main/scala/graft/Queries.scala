@@ -4984,6 +4984,47 @@ object Queries {
       .join(reachHits(2, "p2_reach"), Seq("q_id"))
   }
 
+  // ---------------------------------------------------------------- Q227
+  /** END-TO-END recall audit of the learned rotation: recall@5 of the
+    * raw-residual IVFADC probe (q219's nProbe=2 configuration) vs the
+    * OPQ-IVFADC probe (q226's stack) against the SAME exact raw-space
+    * ground truth — both sides pay the same bit budget, the same
+    * coarse fan-out, the same probe width, so any delta is the
+    * rotation's. The honest-audit discipline: the per-query hit counts
+    * are REPORTED, not asserted (on a near-isotropic corpus the two
+    * read close; the decorrelation gain is spec-pinned where
+    * correlation exists). GT from the per-dir exact cache; both
+    * candidate stages are partition-pruned compressed probes.
+    */
+  def q227OpqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id") % 97 === 0)
+    val (cents, books) = pqrParts(spark, dir)
+    val rawCodes = pqrCodes(spark, dir, cents, books)
+    val rawRep = ProductQuantizer.probeLists(
+      queries, "embedding", cents, PqDim, nProbe = 2)
+    val rawTop5 = ProductQuantizer.adcTopK(
+      ProductQuantizer.residuals(rawRep, "embedding", "list", cents),
+      "vec_id", "resid", rawCodes, "vec_id", books,
+      dim = PqDim, k = 5, withinCol = "list")
+    val (ocents, obooks) = opqrParts(spark, dir)
+    val (_, _, rot) = opqParts(spark, dir)
+    val opqCodes = ProductQuantizer.encode(
+      ProductQuantizer.residuals(
+        rot.withColumn("list", pqListOf(col("ovec"))), "ovec", "list", ocents),
+      "vec_id", "resid", obooks, dim = PqDim, carryCols = Seq("list"))
+    val rotQueries = rot.where(col("vec_id") % 97 === 0)
+    val opqRep = ProductQuantizer.probeLists(
+      rotQueries, "ovec", ocents, PqDim, nProbe = 2)
+    val opqTop5 = ProductQuantizer.adcTopK(
+      ProductQuantizer.residuals(opqRep, "ovec", "list", ocents),
+      "vec_id", "resid", opqCodes, "vec_id", obooks,
+      dim = PqDim, k = 5, withinCol = "list")
+    val exact = exactL2Top5(spark, dir)
+    gtHits(rawTop5, exact, "raw_hits")
+      .join(gtHits(opqTop5, exact, "opq_hits"), Seq("q_id"))
+  }
+
   // ---------------------------------------------------------------- Q220
   /** Multi-probe pair-mass pricing ([[graft.operators.ProductQuantizer
     * .probeMassReport]] over the nProbe=2 replicated query side): the

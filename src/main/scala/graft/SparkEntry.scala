@@ -269,6 +269,7 @@ object SparkEntry {
     "q223_balanced_pq" -> (Queries.q223BalancedPq _),
     "q225_opq_rotation" -> (Queries.q225OpqRotation _),
     "q226_opq_ivfadc" -> (Queries.q226OpqIvfadc _),
+    "q227_opq_recall" -> (Queries.q227OpqRecall _),
     "q224_linkage_em" -> (Queries.q224LinkageEm _),
   )
 
@@ -455,32 +456,41 @@ object SparkEntry {
     * then q222's probe block (multi-probe nProbe=2, ADC top-20, exact
     * rerank) entirely in rotated space.
     */
+  /** The rotated residual-quantizer base (q226/q227): rotated full
+    * components (`fvr` from `ov`), the coarse router on ROTATED
+    * vectors (`lstr` — same argmax-of-dims-0/16/32/48 rule as `lst`),
+    * per-list mean centroids (`ccr`), rotated residual sub-vectors
+    * (`rvr`). Prepend [[pqFxCte]] + [[opqRotCtes]].
+    */
+  private val pqRotResidCtes =
+    """fvr AS MATERIALIZED (
+      |  SELECT vec_id, sub * 8 + pos AS fpos, val FROM ov),
+      |lstr AS MATERIALIZED (
+      |  SELECT vec_id, list FROM (
+      |    SELECT f.vec_id, j.j AS list,
+      |           row_number() OVER (PARTITION BY f.vec_id
+      |                              ORDER BY f.val DESC, j.j ASC) AS rn
+      |    FROM fvr f
+      |    JOIN (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS j) j
+      |      ON f.fpos = j.j * 16)
+      |  WHERE rn = 1),
+      |ccr AS MATERIALIZED (
+      |  SELECT l.list, f.fpos,
+      |         round(CAST(sum(CAST(round(f.val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |               / count(*), 6) AS val
+      |  FROM fvr f JOIN lstr l ON l.vec_id = f.vec_id
+      |  GROUP BY 1, 2),
+      |rvr AS MATERIALIZED (
+      |  SELECT f.vec_id, CAST(f.fpos // 8 AS INTEGER) AS sub,
+      |         CAST(f.fpos % 8 AS INTEGER) AS pos, f.val - cc.val AS val
+      |  FROM fvr f JOIN lstr l ON l.vec_id = f.vec_id
+      |  JOIN ccr cc ON cc.list = l.list AND cc.fpos = f.fpos)""".stripMargin
+
   private def opqIvfadcOracle(r: Array[Array[Double]]): String =
     s"""WITH $pqSubsPs,
        |$pqFxCte,
        |${opqRotCtes(r)},
-       |fvr AS MATERIALIZED (
-       |  SELECT vec_id, sub * 8 + pos AS fpos, val FROM ov),
-       |lstr AS MATERIALIZED (
-       |  SELECT vec_id, list FROM (
-       |    SELECT f.vec_id, j.j AS list,
-       |           row_number() OVER (PARTITION BY f.vec_id
-       |                              ORDER BY f.val DESC, j.j ASC) AS rn
-       |    FROM fvr f
-       |    JOIN (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS j) j
-       |      ON f.fpos = j.j * 16)
-       |  WHERE rn = 1),
-       |ccr AS MATERIALIZED (
-       |  SELECT l.list, f.fpos,
-       |         round(CAST(sum(CAST(round(f.val, 6) AS DECIMAL(18,6))) AS DOUBLE)
-       |               / count(*), 6) AS val
-       |  FROM fvr f JOIN lstr l ON l.vec_id = f.vec_id
-       |  GROUP BY 1, 2),
-       |rvr AS MATERIALIZED (
-       |  SELECT f.vec_id, CAST(f.fpos // 8 AS INTEGER) AS sub,
-       |         CAST(f.fpos % 8 AS INTEGER) AS pos, f.val - cc.val AS val
-       |  FROM fvr f JOIN lstr l ON l.vec_id = f.vec_id
-       |  JOIN ccr cc ON cc.list = l.list AND cc.fpos = f.fpos),
+       |$pqRotResidCtes,
        |${pqTrainCtes("rvr", "pqro", "ro")},
        |qd AS (
        |  SELECT f.vec_id, cc.list,
@@ -534,6 +544,114 @@ object SparkEntry {
        |                               ORDER BY l2 ASC, vec_id ASC) AS rn
        |  FROM rr)
        |WHERE rn <= 5""".stripMargin
+
+  /** q227's replay: BOTH compressed chains — raw residual (lst/fv/cc/
+    * rv, salt pqr) and rotated residual (fvr/lstr/ccr/rvr, salt pqro)
+    * — probed at nProbe=2 / top-5, hit-counted against ONE exact
+    * raw-space ground truth. Any delta is the rotation's.
+    */
+  private def opqRecallOracle(r: Array[Array[Double]]): String =
+    s"""WITH $pqSubsPs,
+       |$pqResidBase,
+       |${pqTrainCtes("rv", "pqr", "r")},
+       |$pqFxCte,
+       |${opqRotCtes(r)},
+       |$pqRotResidCtes,
+       |${pqTrainCtes("rvr", "pqro", "ro")},
+       |qd AS (
+       |  SELECT f.vec_id, cc.list,
+       |         sum(CAST(round((f.val - cc.val) * (f.val - cc.val), 6)
+       |                  AS DECIMAL(18,6))) AS d
+       |  FROM fv f JOIN cc ON cc.fpos = f.fpos
+       |  WHERE f.vec_id % 97 = 0
+       |  GROUP BY 1, 2),
+       |qp AS (
+       |  SELECT vec_id, list,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY d ASC, list ASC) AS pr
+       |  FROM qd),
+       |rq AS (
+       |  SELECT f.vec_id, qp.list, CAST(f.fpos // 8 AS INTEGER) AS sub,
+       |         CAST(f.fpos % 8 AS INTEGER) AS pos, f.val - cc.val AS val
+       |  FROM fv f JOIN qp ON qp.vec_id = f.vec_id AND qp.pr <= 2
+       |  JOIN cc ON cc.list = qp.list AND cc.fpos = f.fpos),
+       |dq AS (
+       |  SELECT rq.vec_id, rq.list, rq.sub, cb.code,
+       |         sum(CAST(round((rq.val - cb.val) * (rq.val - cb.val), 6)
+       |                  AS DECIMAL(18,6))) AS d
+       |  FROM rq JOIN c2r cb ON cb.sub = rq.sub AND cb.pos = rq.pos
+       |  GROUP BY 1, 2, 3, 4),
+       |am AS (
+       |  SELECT dq.vec_id AS q_id, a.vec_id,
+       |         round(CAST(sum(dq.d) AS DOUBLE), 6) AS dist
+       |  FROM a3r a JOIN lst cl ON cl.vec_id = a.vec_id
+       |  JOIN dq ON dq.list = cl.list AND dq.sub = a.sub AND dq.code = a.code
+       |  WHERE a.vec_id <> dq.vec_id
+       |  GROUP BY 1, 2),
+       |pa AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY dist ASC, vec_id ASC) AS rn
+       |    FROM am)
+       |  WHERE rn <= 5),
+       |qdr AS (
+       |  SELECT f.vec_id, cc.list,
+       |         sum(CAST(round((f.val - cc.val) * (f.val - cc.val), 6)
+       |                  AS DECIMAL(18,6))) AS d
+       |  FROM fvr f JOIN ccr cc ON cc.fpos = f.fpos
+       |  WHERE f.vec_id % 97 = 0
+       |  GROUP BY 1, 2),
+       |qpr AS (
+       |  SELECT vec_id, list,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY d ASC, list ASC) AS pr
+       |  FROM qdr),
+       |rqr AS (
+       |  SELECT f.vec_id, qp.list, CAST(f.fpos // 8 AS INTEGER) AS sub,
+       |         CAST(f.fpos % 8 AS INTEGER) AS pos, f.val - cc.val AS val
+       |  FROM fvr f JOIN qpr qp ON qp.vec_id = f.vec_id AND qp.pr <= 2
+       |  JOIN ccr cc ON cc.list = qp.list AND cc.fpos = f.fpos),
+       |dqr AS (
+       |  SELECT rq.vec_id, rq.list, rq.sub, cb.code,
+       |         sum(CAST(round((rq.val - cb.val) * (rq.val - cb.val), 6)
+       |                  AS DECIMAL(18,6))) AS d
+       |  FROM rqr rq JOIN c2ro cb ON cb.sub = rq.sub AND cb.pos = rq.pos
+       |  GROUP BY 1, 2, 3, 4),
+       |amr AS (
+       |  SELECT dq.vec_id AS q_id, a.vec_id,
+       |         round(CAST(sum(dq.d) AS DOUBLE), 6) AS dist
+       |  FROM a3ro a JOIN lstr cl ON cl.vec_id = a.vec_id
+       |  JOIN dqr dq ON dq.list = cl.list AND dq.sub = a.sub AND dq.code = a.code
+       |  WHERE a.vec_id <> dq.vec_id
+       |  GROUP BY 1, 2),
+       |pb AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY dist ASC, vec_id ASC) AS rn
+       |    FROM amr)
+       |  WHERE rn <= 5),
+       |ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |               list_transform(generate_series(1, 64), i ->
+       |                 (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+       |                 * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))),
+       |               (x, y) -> x + y), 6) ASC, c.vec_id ASC) AS rn
+       |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id % 97 = 0)
+       |  WHERE rn <= 5),
+       |h1 AS (
+       |  SELECT p.q_id, CAST(count(e.vec_id) AS BIGINT) AS raw_hits
+       |  FROM pa p LEFT JOIN ex e ON e.q_id = p.q_id AND e.vec_id = p.vec_id
+       |  GROUP BY 1),
+       |h2 AS (
+       |  SELECT p.q_id, CAST(count(e.vec_id) AS BIGINT) AS opq_hits
+       |  FROM pb p LEFT JOIN ex e ON e.q_id = p.q_id AND e.vec_id = p.vec_id
+       |  GROUP BY 1)
+       |SELECT h1.q_id, h1.raw_hits, h2.opq_hits
+       |FROM h1 JOIN h2 ON h2.q_id = h1.q_id""".stripMargin
 
   /** The residual (IVFADC) base: the frozen 4-way router (`lst`), full
     * vector components (`fv`), per-list mean coarse centroids (`cc`,
@@ -1506,6 +1624,9 @@ object SparkEntry {
     // multi-probe -> ADC -> exact rerank) replayed end-to-end from the
     // same shared R literals
     "q226_opq_ivfadc" -> opqIvfadcOracle(Queries.lastOpqRotation()),
+    // raw-residual vs OPQ-residual IVFADC recall@5 against one exact
+    // raw-space ground truth — the rotation's end-to-end delta
+    "q227_opq_recall" -> opqRecallOracle(Queries.lastOpqRotation()),
     // the full stack: q219's multi-probe residual scoring nominates 20
     // candidates per query, q214's exact fold reranks only those
     "q222_ivfpq_rerank" -> pqResidualOracle(
