@@ -292,6 +292,31 @@ object ProductQuantizer {
     (books, version)
   }
 
+  /** [[reindex]] for an OPQ index: when the staleness gate fires on a
+    * drifted corpus, the ROTATION is as stale as the codebooks (it was
+    * fit to the old correlation structure), so the retrain re-solves
+    * both — [[trainRotation]] from the fresh corpus, rotated re-encode,
+    * one atomic overwrite commit. The serving side swaps in BOTH
+    * returned artifacts: R for its query-side rotation (queries must be
+    * rotated with the index's own R) and the books for its LUTs; time
+    * travel keeps the previous (R-generation) codes readable for
+    * probes in flight. `listOf` routes on the ROTATED vector — the
+    * q226 layout.
+    */
+  def reindexOpq(spark: SparkSession, tableRoot: String, corpus: DataFrame,
+      idCol: String, vecCol: String, m: Int, ksub: Int, dim: Int,
+      iters: Int = 2, alternations: Int = 1, saltPrefix: String = "pqo",
+      listOf: Column => Column = null)
+      : (Array[Array[Double]], Codebooks, Long) = {
+    val (r, books) = trainRotation(corpus, idCol, vecCol, m, ksub, dim,
+      alternations, iters, saltPrefix)
+    val rotCorpus = prepared(corpus, idCol, vecCol, dim)
+      .select(col("__id").as(idCol), rotated(col("__vec"), r).as(vecCol))
+    val withList = codesWithList(rotCorpus, idCol, vecCol, books, dim, listOf)
+    val version = ManifestTable.commit(spark, tableRoot, withList)
+    (r, books, version)
+  }
+
   // -------------------------------------- balanced subspaces (OPQ init)
 
   /** Per-dimension variance `E[x²] − E[x]²` with exact-decimal moment

@@ -429,4 +429,37 @@ class ProductQuantizerSpec extends SparkSuite {
       m = 2, ksub = 2, dim = 4, alternations = 2, lloydIters = 2)
     assert(r.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
   }
+
+  test("reindexOpq: retrains rotation AND books, swaps atomically, error recovers on drift") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_opq_codes").resolve("t").toString
+    val base = correlated(64)
+    val (r0, b0, v0) = ProductQuantizer.reindexOpq(spark, root, base,
+      "id", "vec", m = 2, ksub = 2, dim = 4)
+    // the committed snapshot equals a fresh encode of the r0-rotated corpus
+    val rot0 = base.select(col("id"),
+      ProductQuantizer.rotated(col("vec"), r0).as("vec"))
+    val direct = ProductQuantizer.encode(rot0, "id", "vec", b0, dim = 4)
+    val snap = ManifestTable.read(spark, root)
+    assert(snap.exceptAll(direct).isEmpty && direct.exceptAll(snap).isEmpty,
+      "swapped OPQ index must equal the fresh rotated encode")
+    // drift (scale shift): the gate's ACT path retrains BOTH artifacts
+    val drifted = base.select(col("id"),
+      transform(col("vec"), x => x * 3.0).as("vec"))
+    val (r1, b1, v1) = ProductQuantizer.reindexOpq(spark, root, drifted,
+      "id", "vec", m = 2, ksub = 2, dim = 4)
+    assert(v1 > v0, "re-reindex must commit a new version")
+    val staleErr = ProductQuantizer.quantizationError(
+      drifted.select(col("id"),
+        ProductQuantizer.rotated(col("vec"), r0).as("vec")),
+      "id", "vec", b0, dim = 4).agg(sum(col("err"))).head().getDouble(0)
+    val freshErr = ProductQuantizer.quantizationError(
+      drifted.select(col("id"),
+        ProductQuantizer.rotated(col("vec"), r1).as("vec")),
+      "id", "vec", b1, dim = 4).agg(sum(col("err"))).head().getDouble(0)
+    assert(freshErr < staleErr,
+      s"retrained OPQ index must fit the drifted corpus better: stale $staleErr fresh $freshErr")
+    // probe-in-flight safety: the r0-generation codes stay readable
+    assert(ManifestTable.read(spark, root, Some(v0)).count() == 64)
+  }
 }
