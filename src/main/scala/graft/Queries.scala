@@ -2024,31 +2024,6 @@ object Queries {
       sum(col("o_orderdate").cast("long")).as("ts_sum"))
   }
 
-  // ---------------------------------------------------------------- Q96C
-  /** ORC round-trip through Spark's built-in columnar ORC source (the
-    * third big-data interchange format beside parquet and avro): write
-    * a typed slice, read it back, and prove losslessness with the same
-    * exact-sum fingerprints q96/q96b use (decimal revenue, 12-dp price
-    * fingerprint via the VARCHAR route, epoch sum for dates). The
-    * oracle computes the fingerprints straight from parquet — equality
-    * IS the roundtrip proof. Predicate pushdown / column pruning come
-    * free from the ORC datasource at scale.
-    */
-  def q96cOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val slice = t(spark, dir, "orders")
-      .where(col("o_orderkey") % 20 === 0)
-      .select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice"), col("o_orderdate"))
-    val base = java.nio.file.Files.createTempDirectory("graft_q96c").toString
-    slice.write.mode("overwrite").orc(s"$base/orc")
-    val back = spark.read.orc(s"$base/orc")
-    back.agg(lit("orc").as("format"), count(lit(1)).as("n_rows"),
-      sum(col("o_orderkey")).as("sum_key"),
-      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
-      sum(col("o_totalprice").cast("decimal(18,12)")).cast("string").as("price_fp"),
-      sum(col("o_orderdate").cast("long")).as("ts_sum"))
-  }
-
   // ---------------------------------------------------------------- Q97
   /** Hierarchy flattening ([[Graph.flattenForest]]): chains over the
     * order-key residue space (`parent = node - 1` where present, gaps
@@ -5009,10 +4984,7 @@ object Queries {
       dim = PqDim, k = 5, withinCol = "list")
     val (ocents, obooks) = opqrParts(spark, dir)
     val (_, _, rot) = opqParts(spark, dir)
-    val opqCodes = ProductQuantizer.encode(
-      ProductQuantizer.residuals(
-        rot.withColumn("list", pqListOf(col("ovec"))), "ovec", "list", ocents),
-      "vec_id", "resid", obooks, dim = PqDim, carryCols = Seq("list"))
+    val opqCodes = opqrCodes(spark, dir, ocents, obooks)
     val rotQueries = rot.where(col("vec_id") % 97 === 0)
     val opqRep = ProductQuantizer.probeLists(
       rotQueries, "ovec", ocents, PqDim, nProbe = 2)
@@ -5100,19 +5072,6 @@ object Queries {
   }
 
   // ---------------------------------------------------------------- Q223
-  /** Variance-balanced subspace allocation ([[graft.operators
-    * .ProductQuantizer.dimVariances]] / `balancedSubspaces` — the
-    * rotation-free "structured ordering" half of OPQ, Ge et al. CVPR
-    * 2013 §4): total quantization error of the contiguous split vs the
-    * balanced allocation at the SAME bit budget. A contiguous split of
-    * a variance-skewed embedding concentrates information in a few
-    * subspaces (whose ksub codes underfit) while others spend bits on
-    * noise; balancing is a pure permutation, so the whole
-    * train/encode/probe stack composes unchanged. On this
-    * near-isotropic corpus the two read close — the honest audit
-    * (balancing is free insurance here); ProductQuantizerSpec pins the
-    * gain where skew exists.
-    */
   /** Balanced-allocation training (variances → permutation → books) is
     * a TRAIN-TIME job: computed once per corpus dir and frozen (the
     * pqBookCache discipline). q223/q225's first run pays it; every
@@ -5142,6 +5101,19 @@ object Queries {
     }
   }
 
+  /** Variance-balanced subspace allocation ([[graft.operators
+    * .ProductQuantizer.dimVariances]] / `balancedSubspaces` — the
+    * rotation-free "structured ordering" half of OPQ, Ge et al. CVPR
+    * 2013 §4): total quantization error of the contiguous split vs the
+    * balanced allocation at the SAME bit budget. A contiguous split of
+    * a variance-skewed embedding concentrates information in a few
+    * subspaces (whose ksub codes underfit) while others spend bits on
+    * noise; balancing is a pure permutation, so the whole
+    * train/encode/probe stack composes unchanged. On this
+    * near-isotropic corpus the two read close — the honest audit
+    * (balancing is free insurance here); ProductQuantizerSpec pins the
+    * gain where skew exists.
+    */
   def q223BalancedPq(spark: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
     val emb = tp(spark, dir, "embeddings")
@@ -5174,30 +5146,45 @@ object Queries {
     */
   private val opqCache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      (Array[Array[Double]], ProductQuantizer.Codebooks, DataFrame)]()
+      (Array[Array[Double]], ProductQuantizer.Codebooks)]()
+  /** The checkpointed rotated table is SESSION-BOUND (its blocks live
+    * in one SparkContext), so unlike the driver-value caches it is
+    * keyed by session too and silently rebuilt for a fresh session —
+    * handing a stopped session's checkpoint back would fail the job.
+    */
+  private val opqRotTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (SparkSession, DataFrame)]()
   private val lastOpqDir =
     new java.util.concurrent.atomic.AtomicReference[String](null)
   private def opqParts(spark: SparkSession, dir: String)
       : (Array[Array[Double]], ProductQuantizer.Codebooks, DataFrame) = {
     lastOpqDir.set(dir)
     val cached = opqCache.get(dir)
-    if (cached != null) cached else {
-      val (r, books) = ProductQuantizer.trainRotation(
+    val (r, books) = if (cached != null) cached else {
+      val trained = ProductQuantizer.trainRotation(
         tp(spark, dir, "embeddings"), "vec_id", "embedding",
         m = PqM, ksub = PqK, dim = PqDim, alternations = 1,
         lloydIters = 2, saltPrefix = "pqo")
-      // in production the rotation is applied ONCE at ingest and the
-      // rotated vectors are what's stored — the checkpointed table IS
-      // that deployed artifact, so steady-state audits scan it instead
-      // of re-running the dim² contraction per run
-      val rot = tp(spark, dir, "embeddings").select(col("vec_id"),
+      opqCache.put(dir, trained)
+      trained
+    }
+    // in production the rotation is applied ONCE at ingest and the
+    // rotated vectors are what's stored — the checkpointed table IS
+    // that deployed artifact, so steady-state audits scan it instead
+    // of re-running the dim² contraction per run
+    val rotCached = opqRotTableCache.get(dir)
+    val rot = if (rotCached != null && (rotCached._1 eq spark) &&
+        !spark.sparkContext.isStopped) rotCached._2
+    else {
+      val fresh = tp(spark, dir, "embeddings").select(col("vec_id"),
         ProductQuantizer.rotated(
           col("embedding").cast("array<double>"), r).as("ovec"))
         .localCheckpoint()
-      val parts = (r, books, rot)
-      opqCache.put(dir, parts)
-      parts
+      opqRotTableCache.put(dir, (spark, fresh))
+      fresh
     }
+    (r, books, rot)
   }
   /** The R the q225 oracle splices (identity when q225 has not run —
     * the dumped entry is then never compared, since no q225 output
@@ -5304,6 +5291,20 @@ object Queries {
       parts
     }
   }
+  /** The rotated-residual-encoded corpus codes with the coarse list
+    * carried — the OPQ-IVFADC compressed residence, shared by q226 and
+    * q227 (the [[pqrCodes]] discipline: the index and its audit read
+    * ONE definition and cannot drift).
+    */
+  private def opqrCodes(spark: SparkSession, dir: String,
+      cents: Map[Int, Array[Double]],
+      books: ProductQuantizer.Codebooks): DataFrame = {
+    val (_, _, rot) = opqParts(spark, dir)
+    ProductQuantizer.encode(
+      ProductQuantizer.residuals(
+        rot.withColumn("list", pqListOf(col("ovec"))), "ovec", "list", cents),
+      "vec_id", "resid", books, dim = PqDim, carryCols = Seq("list"))
+  }
 
   /** The FULL OPQ-IVFADC retrieval stack in one plan — q222 with the
     * learned rotation in front: rotate (at-ingest artifact) → coarse
@@ -5318,10 +5319,7 @@ object Queries {
   def q226OpqIvfadc(spark: SparkSession, dir: String): DataFrame = {
     val (cents, books) = opqrParts(spark, dir)
     val (_, _, rot) = opqParts(spark, dir)
-    val codes = ProductQuantizer.encode(
-      ProductQuantizer.residuals(
-        rot.withColumn("list", pqListOf(col("ovec"))), "ovec", "list", cents),
-      "vec_id", "resid", books, dim = PqDim, carryCols = Seq("list"))
+    val codes = opqrCodes(spark, dir, cents, books)
     val queries = rot.where(col("vec_id") % 97 === 0)
     val rep = ProductQuantizer.probeLists(
       queries, "ovec", cents, PqDim, nProbe = 2)

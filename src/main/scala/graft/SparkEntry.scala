@@ -134,7 +134,6 @@ object SparkEntry {
     "q95_dynamic_pruning" -> (Queries.q95DynamicPruning _),
     "q96_format_roundtrip" -> (Queries.q96FormatRoundtrip _),
     "q96b_avro_roundtrip" -> (Queries.q96bAvroRoundtrip _),
-    "q96c_orc_roundtrip" -> (Queries.q96cOrcRoundtrip _),
     "q97_flatten_hierarchy" -> (Queries.q97FlattenHierarchy _),
     "q98_web_prep" -> (Queries.q98WebPrep _),
     "q14c_portable_lsh" -> (Queries.q14cPortableLsh _),
@@ -395,14 +394,6 @@ object SparkEntry {
       |         CAST(rk.r // 8 AS INTEGER) AS pos, f.val
       |  FROM fx f JOIN rk ON rk.fpos = f.fpos)""".stripMargin
 
-  /** q225's replay: balanced chain (`bv`, salt pqb) AND the learned-
-    * rotation chain — `rot` = R's 6-dp entries as a 4096-row VALUES
-    * literal (the shared literals `ProductQuantizer.trainRotation`
-    * produced), `ov` = the rotated sub-vector table (products rounded
-    * 9 dp, decimal-summed, 6-dp readout — bit-equal to
-    * `ProductQuantizer.rotated`), then the full training chain at salt
-    * pqo and exact-decimal error totals per scheme.
-    */
   /** The learned-rotation replay: `rot` = R's 6-dp entries as a
     * 4096-row VALUES literal, `ov` = the rotated sub-vector table
     * (products rounded 9 dp, decimal-summed, 6-dp readout — bit-equal
@@ -424,6 +415,10 @@ object SparkEntry {
        |  GROUP BY f.vec_id, r.i)""".stripMargin
   }
 
+  /** q225's replay: balanced chain (`bv`, salt pqb) AND the learned-
+    * rotation chain (`ov`, salt pqo) at the same bit budget, with
+    * exact-decimal error totals per scheme.
+    */
   private def opqRotationOracle(r: Array[Array[Double]]): String = {
     s"""WITH $pqSubsPs,
        |$pqFxCte,
@@ -448,14 +443,6 @@ object SparkEntry {
        |FROM qeo""".stripMargin
   }
 
-  /** q226's replay — the FULL OPQ-IVFADC stack from R's shared
-    * literals: rotated components (`fvr` from `ov`), the coarse router
-    * on the ROTATED vectors (`lstr`, same argmax-of-dims-0/16/32/48
-    * rule as `lst`), per-list mean centroids (`ccr`), rotated
-    * residuals (`rvr`), the residual training chain at salt `pqro`,
-    * then q222's probe block (multi-probe nProbe=2, ADC top-20, exact
-    * rerank) entirely in rotated space.
-    */
   /** The rotated residual-quantizer base (q226/q227): rotated full
     * components (`fvr` from `ov`), the coarse router on ROTATED
     * vectors (`lstr` — same argmax-of-dims-0/16/32/48 rule as `lst`),
@@ -486,6 +473,11 @@ object SparkEntry {
       |  FROM fvr f JOIN lstr l ON l.vec_id = f.vec_id
       |  JOIN ccr cc ON cc.list = l.list AND cc.fpos = f.fpos)""".stripMargin
 
+  /** q226's replay — the FULL OPQ-IVFADC stack from R's shared
+    * literals: the rotated residual base, the residual training chain
+    * at salt `pqro`, then q222's probe block (multi-probe nProbe=2,
+    * ADC top-20, exact rerank) entirely in rotated space.
+    */
   private def opqIvfadcOracle(r: Array[Array[Double]]): String =
     s"""WITH $pqSubsPs,
        |$pqFxCte,
@@ -4042,17 +4034,6 @@ object SparkEntry {
         |         CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,12)) AS fp
         |  FROM orders WHERE o_orderkey % 20 = 0)
         |SELECT 'avro' AS format, count(*) AS n_rows,
-        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        |       CAST(sum(fp) AS VARCHAR) AS price_fp,
-        |       CAST(sum(CAST(extract(epoch FROM o_orderdate) AS BIGINT)) AS BIGINT) AS ts_sum
-        |FROM s""".stripMargin,
-    "q96c_orc_roundtrip" ->
-      """WITH s AS (
-        |  SELECT o_orderkey, o_totalprice, o_orderdate,
-        |         CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,12)) AS fp
-        |  FROM orders WHERE o_orderkey % 20 = 0)
-        |SELECT 'orc' AS format, count(*) AS n_rows,
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |       CAST(sum(fp) AS VARCHAR) AS price_fp,

@@ -310,8 +310,13 @@ object ProductQuantizer {
       : (Array[Array[Double]], Codebooks, Long) = {
     val (r, books) = trainRotation(corpus, idCol, vecCol, m, ksub, dim,
       alternations, iters, saltPrefix)
+    // materialize the dim^2 rotation contraction ONCE: codesWithList
+    // reads the rotated corpus from both its encode branch and its
+    // listOf join branch, and without the barrier each branch re-runs
+    // the full contraction scan
     val rotCorpus = prepared(corpus, idCol, vecCol, dim)
       .select(col("__id").as(idCol), rotated(col("__vec"), r).as(vecCol))
+      .localCheckpoint()
     val withList = codesWithList(rotCorpus, idCol, vecCol, books, dim, listOf)
     val version = ManifestTable.commit(spark, tableRoot, withList)
     (r, books, version)
@@ -462,9 +467,12 @@ object ProductQuantizer {
   /** The orthogonal Procrustes maximizer of `tr(R·M)`: `R = V·Uᵀ` for
     * `M = U·Σ·Vᵀ`, via deterministic one-sided Jacobi SVD (fixed 12
     * cyclic sweeps — a pure function of M, so the whole rotation chain
-    * replays). Near-zero singular directions keep their accumulated
-    * Jacobi basis vector (U column = V column), which preserves
-    * orthogonality. Entries rounded 6 dp — the shared literals both
+    * replays). Near-zero singular directions are completed to an
+    * ORTHONORMAL basis by deterministic Gram–Schmidt over the standard
+    * basis (copying V's column there is NOT orthogonal to the
+    * surviving U columns when M is rank-deficient — e.g. a constant
+    * corpus dimension zeroes a column of M and would turn R into a
+    * projection). Entries rounded 6 dp — the shared literals both
     * the Spark plan and the oracle read; the rounded R is orthogonal
     * to ~1e-6, which the audit tolerates (it only rotates, never
     * inverts).
@@ -500,11 +508,42 @@ object ProductQuantizer {
         }
       }
     }
-    val u = Array.tabulate(n, n) { (i, j) =>
+    val u = Array.fill(n, n)(0.0)
+    val filled = Array.fill(n)(false)
+    for (j <- 0 until n) {
       var norm = 0.0
       var k = 0
       while (k < n) { norm += a(k)(j) * a(k)(j); k += 1 }
-      if (math.sqrt(norm) > 1e-12) a(i)(j) / math.sqrt(norm) else v(i)(j)
+      if (math.sqrt(norm) > 1e-12) {
+        k = 0
+        while (k < n) { u(k)(j) = a(k)(j) / math.sqrt(norm); k += 1 }
+        filled(j) = true
+      }
+    }
+    // orthonormal completion of the zero-sigma columns: Gram-Schmidt the
+    // standard basis vectors (deterministic order) against every column
+    // already placed
+    for (j <- 0 until n if !filled(j)) {
+      var placed = false
+      var cand = 0
+      while (!placed && cand < n) {
+        val w = Array.tabulate(n)(i => if (i == cand) 1.0 else 0.0)
+        for (c <- 0 until n if filled(c)) {
+          var dot = 0.0
+          var k = 0
+          while (k < n) { dot += w(k) * u(k)(c); k += 1 }
+          k = 0
+          while (k < n) { w(k) -= dot * u(k)(c); k += 1 }
+        }
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        if (nrm > 1e-6) {
+          for (k <- 0 until n) u(k)(j) = w(k) / nrm
+          filled(j) = true
+          placed = true
+        }
+        cand += 1
+      }
+      require(placed, "procrustesRotation: orthonormal completion failed")
     }
     Array.tabulate(n, n) { (i, j) =>
       var dot = 0.0

@@ -370,6 +370,20 @@ class ProductQuantizerSpec extends SparkSuite {
       val dot = (0 until n).map(k => r2(k)(i) * r2(k)(j)).sum
       assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-4, s"RᵀR($i)($j)=$dot")
     }
+    // RANK-DEFICIENT M (a constant corpus dimension zeroes a column of
+    // Σ x·ŷᵀ): the orthonormal completion must still return a rotation,
+    // never a projection
+    val mdef = Array(
+      Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 2.0, 0.0),
+      Array(0.0, 0.0, 0.0, 0.5))
+    val r3 = ProductQuantizer.procrustesRotation(mdef)
+    for (i <- 0 until n; j <- 0 until n) {
+      val dot = (0 until n).map(k => r3(k)(i) * r3(k)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-4,
+        s"rank-deficient RᵀR($i)($j)=$dot")
+    }
   }
 
   test("rotated: wrong-length vectors become NULL (the permuted guard)") {
