@@ -384,6 +384,29 @@ object Streams {
       withList, batchId)
   }
 
+  /** [[streamingPqIngest]] for an OPQ index — the arrival half of the
+    * q226 lifecycle: each micro-batch is ROTATED with the index's
+    * frozen R (map-only — arrivals must live in the same rotated space
+    * the codes and coarse router were trained in), then encoded and
+    * appended exactly-once like the raw path. `listOf` routes on the
+    * ROTATED vector, matching [[graft.operators.ProductQuantizer
+    * .reindexOpq]]'s layout; after a reindex swap the caller restarts
+    * the sink with the NEW (R, books) pair — both artifacts version
+    * together.
+    */
+  def streamingOpqIngest(tableRoot: String, queryName: String,
+      idCol: String, vecCol: String, r: Array[Array[Double]],
+      books: graft.operators.ProductQuantizer.Codebooks, dim: Int,
+      listOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = null)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rotBatch = batch.select(col(idCol),
+      graft.operators.ProductQuantizer.rotated(
+        col(vecCol).cast("array<double>"), r).as(vecCol))
+    streamingPqIngest(tableRoot, queryName, idCol, vecCol, books, dim,
+      listOf)(rotBatch, batchId)
+  }
+
   /** STREAMING codebook-staleness monitor — the retrain gate a
     * standing train-once/ingest-many ANN deployment needs: each
     * micro-batch's ADC quantization error

@@ -195,6 +195,29 @@ class ProductQuantizerSpec extends SparkSuite {
     assert(!scanLine.contains("vec"), s"ADC scan read a vector column:\n$scanLine")
   }
 
+  test("OPQ-IVFADC composed plan: no cartesian; the within-list probe is an equi-condition join") {
+    val df = correlated(64)
+    val (r, books) = ProductQuantizer.trainRotation(df, "id", "vec",
+      m = 2, ksub = 2, dim = 4, alternations = 1, lloydIters = 1)
+    val rot = df.select(col("id"),
+      ProductQuantizer.rotated(col("vec"), r).as("vec"))
+    val routed = rot.withColumn("list", (col("id") % 2).cast("int"))
+    val cents = ProductQuantizer.coarseCentroids(routed, "vec", "list", dim = 4)
+    val codes = ProductQuantizer.encode(
+      ProductQuantizer.residuals(routed, "vec", "list", cents),
+      "id", "resid", books, dim = 4, carryCols = Seq("list"))
+    val rep = ProductQuantizer.probeLists(
+      rot.where(col("id") < 4), "vec", cents, dim = 4, nProbe = 2)
+    val cand = ProductQuantizer.adcTopK(
+      ProductQuantizer.residuals(rep, "vec", "list", cents),
+      "id", "resid", codes, "id", books, dim = 4, k = 3, withinCol = "list")
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"composed OPQ-IVFADC plan degenerated to a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"within-list probe must be an equi-condition join:\n$plan")
+  }
+
   test("quantizationError equals the summed per-subspace assignment distance") {
     val df = clustered(24)
     val books = ProductQuantizer.train(df, "id", "vec", m = 2, ksub = 4, dim = 8, iters = 1)
@@ -383,6 +406,35 @@ class ProductQuantizerSpec extends SparkSuite {
       val dot = (0 until n).map(k => r3(k)(i) * r3(k)(j)).sum
       assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-4,
         s"rank-deficient RᵀR($i)($j)=$dot")
+    }
+  }
+
+  test("procrustesRotation is the trace MAXIMIZER: no sampled rotation beats it") {
+    val n = 4
+    def trace(a: Array[Array[Double]], m: Array[Array[Double]]): Double =
+      (0 until n).map(i => (0 until n).map(k => a(i)(k) * m(k)(i)).sum).sum
+    def givens(p: Int, q: Int, th: Double): Array[Array[Double]] = {
+      val g = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+      g(p)(p) = math.cos(th); g(p)(q) = -math.sin(th)
+      g(q)(p) = math.sin(th); g(q)(q) = math.cos(th)
+      g
+    }
+    def mul(a: Array[Array[Double]], b: Array[Array[Double]]) =
+      Array.tabulate(n, n)((i, j) => (0 until n).map(k => a(i)(k) * b(k)(j)).sum)
+    for (seed <- 1 to 3) {
+      val m0 = Array.tabulate(n, n)((i, j) =>
+        math.sin(seed * 5 + i * 3 + j * 7 + 1.0) + (if (i == j) 1.5 else 0.0))
+      val best = trace(ProductQuantizer.procrustesRotation(m0), m0)
+      // a battery of deterministic rotation comparators: single Givens
+      // and 2-fold products over all axis pairs and several angles
+      val pairs = for (p <- 0 until n - 1; q <- p + 1 until n) yield (p, q)
+      val angles = Seq(0.0, 0.3, 0.7, 1.2, 2.1, -0.5, -1.4, math.Pi / 2)
+      val singles = for ((p, q) <- pairs; th <- angles) yield givens(p, q, th)
+      val doubles = for (a <- singles.take(8); b <- singles.takeRight(8)) yield mul(a, b)
+      (singles ++ doubles).foreach { g =>
+        assert(best >= trace(g, m0) - 1e-4,
+          s"seed $seed: a sampled rotation beat Procrustes (${trace(g, m0)} > $best)")
+      }
     }
   }
 

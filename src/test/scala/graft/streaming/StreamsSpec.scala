@@ -715,6 +715,32 @@ class StreamsSpec extends SparkSuite {
     assert(live == batchProbe)
   }
 
+  test("streaming OPQ ingest: arrivals rotate with the index's frozen R; replay-safe; equals batch") {
+    import graft.operators.{ManifestTable, ProductQuantizer}
+    val root = Files.createTempDirectory("graft_stream_opq").resolve("t").toString
+    // cross-subspace-correlated corpus so the rotation is non-trivial
+    def vecs(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val t = (i % 4) * 10.0
+      val s = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, Array(t + s, (i % 3) / 100.0, t - s, (i % 5) / 100.0))
+    }.toDF("id", "vec")
+    val (r, books) = ProductQuantizer.trainRotation(vecs(0, 64), "id", "vec",
+      m = 2, ksub = 2, dim = 4, alternations = 1, lloydIters = 2)
+    val sink = Streams.streamingOpqIngest(root, "opq_ingest", "id", "vec",
+      r, books, dim = 4) _
+    sink(vecs(0, 40), 0L)
+    sink(vecs(40, 80), 1L)
+    sink(vecs(40, 80), 1L) // at-least-once replay: must be a no-op
+    val streamed = ManifestTable.read(spark, root)
+    val rotAll = vecs(0, 80).select(col("id"),
+      ProductQuantizer.rotated(col("vec"), r).as("vec"))
+    val direct = ProductQuantizer.encode(rotAll, "id", "vec", books, dim = 4)
+    assert(streamed.count() == 80,
+      s"replayed batch must not double-ingest: ${streamed.count()}")
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty,
+      "stream-ingested OPQ codes must equal the one-shot rotated batch encode")
+  }
+
   test("codebook-staleness gate: live == batch, replay-stable, retrain flips on drift") {
     import graft.operators.{ProductQuantizer, QuantileSketch}
     val root = Files.createTempDirectory("graft_stream_stale").resolve("t").toString
