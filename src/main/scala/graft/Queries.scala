@@ -5343,4 +5343,20 @@ object Queries {
       .where(col("rn") <= 5)
       .select(col("q_id"), col("vec_id"), col("l2"))
   }
+
+  // ---------------------------------------------------------------- Q228
+  /** Exact KNN-Shapley valuation ([[graft.operators.DataValuation
+    * .knnShapley]]) of every corpus embedding against the bounded eval
+    * set `vec_id < 8`, for the K=5 nearest-neighbor classifier on the
+    * `label` column — the data-curation question ("which rows help?")
+    * answered exactly in two shuffles via the Jia et al. 2019 closed
+    * form, with the |test|·|train| pair mass priced before the join.
+    */
+  def q228KnnShapley(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    DataValuation.knnShapley(
+      emb.where(col("vec_id") < 8), "vec_id", "embedding", "label",
+      emb.where(col("vec_id") >= 8), "vec_id", "embedding", "label",
+      k = 5, pairBudget = Some(100000000L))
+  }
 }

@@ -270,6 +270,7 @@ object SparkEntry {
     "q226_opq_ivfadc" -> (Queries.q226OpqIvfadc _),
     "q227_opq_recall" -> (Queries.q227OpqRecall _),
     "q224_linkage_em" -> (Queries.q224LinkageEm _),
+    "q228_knn_shapley" -> (Queries.q228KnnShapley _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -1619,6 +1620,42 @@ object SparkEntry {
     // raw-residual vs OPQ-residual IVFADC recall@5 against one exact
     // raw-space ground truth — the rotation's end-to-end delta
     "q227_opq_recall" -> opqRecallOracle(Queries.lastOpqRotation()),
+    // exact KNN-Shapley (Jia et al. 2019 closed form): q14's 6-dp cosine
+    // ranking, the telescoped recurrence as 12-dp decimal terms, suffix
+    // window sum per test point, one mean per train point
+    "q228_knn_shapley" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_lab
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS c_id, embedding AS c_emb, label AS c_lab
+        |      FROM embeddings WHERE vec_id >= 8),
+        |scored AS (
+        |  SELECT q_id, c_id, q_lab, c_lab,
+        |         round(list_cosine_similarity(q_emb::DOUBLE[], c_emb::DOUBLE[]), 6) AS sim
+        |  FROM c CROSS JOIN q),
+        |ranked AS (
+        |  SELECT q_id, c_id,
+        |         CASE WHEN c_lab IS NOT DISTINCT FROM q_lab THEN 1 ELSE 0 END AS ind,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS i,
+        |         count(*) OVER (PARTITION BY q_id) AS n
+        |  FROM scored),
+        |terms AS (
+        |  SELECT q_id, c_id, i,
+        |         CAST(round(CASE WHEN i = n
+        |                    THEN CAST(ind AS DOUBLE) / CAST(n AS DOUBLE)
+        |                    ELSE CAST((ind - lead(ind) OVER
+        |                                 (PARTITION BY q_id ORDER BY i ASC))
+        |                              * least(5, i) AS DOUBLE)
+        |                         / CAST(5 * i AS DOUBLE) END, 12)
+        |              AS DECIMAL(38,12)) AS term
+        |  FROM ranked),
+        |sfx AS (
+        |  SELECT q_id, c_id,
+        |         sum(term) OVER (PARTITION BY q_id ORDER BY i ASC
+        |                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s
+        |  FROM terms)
+        |SELECT c_id AS vec_id, CAST(count(*) AS BIGINT) AS n_test,
+        |       round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS shap
+        |FROM sfx GROUP BY c_id""".stripMargin,
     // the full stack: q219's multi-probe residual scoring nominates 20
     // candidates per query, q214's exact fold reranks only those
     "q222_ivfpq_rerank" -> pqResidualOracle(

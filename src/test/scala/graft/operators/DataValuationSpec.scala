@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class DataValuationSpec extends SparkSuite {
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("knnShapley: efficiency — per-test values sum to top-K agreement") {
+    // Shapley efficiency: Σ_i s_i(test) = u(full set) = (1/K)·Σ_{j<=K} ind(α_j).
+    // Re-derive both sides independently per test point and compare at 6 dp
+    // (the per-test sums are exact decimals; the mean step is the only
+    // place the operator rounds, so sum per-test values via the raw terms).
+    val k = 5
+    val test = emb.where(col("vec_id") < 8)
+    val train = emb.where(col("vec_id") >= 8)
+    val perTrain = DataValuation.knnShapley(
+      test, "vec_id", "embedding", "label",
+      train, "vec_id", "embedding", "label", k = k)
+    // Σ over train of the MEAN over tests == mean over tests of Σ over
+    // train == mean over tests of u(test). Left side from the operator:
+    val lhs = perTrain.agg(sum(col("shap"))).collect()(0).getDouble(0)
+    // Right side independently: top-K agreement fraction per test point.
+    val q = test.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+      col("label").as("q_lab"))
+    val scored = train.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_vec"), col("label").as("c_lab"))
+      .crossJoin(broadcast(q))
+      .withColumn("sim",
+        round(graft.plans.VectorExpressions.cosine(col("q_vec"), col("c_vec")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    val u = scored.withColumn("i", row_number().over(w))
+      .where(col("i") <= k)
+      .groupBy(col("q_id"))
+      .agg((sum(when(col("c_lab") <=> col("q_lab"), 1.0).otherwise(0.0)) / k)
+        .as("u"))
+      .agg(avg(col("u"))).collect()(0).getDouble(0)
+    // lhs sums 492 six-dp-rounded means -> tolerance covers the rounding
+    assert(math.abs(lhs - u) < 492 * 5e-7 + 1e-9,
+      s"efficiency violated: sum(shap)=$lhs vs mean top-K agreement=$u")
+  }
+
+  test("knnShapley: deterministic across runs and repartitionings") {
+    val test = emb.where(col("vec_id") < 8)
+    val a = DataValuation.knnShapley(
+      test, "vec_id", "embedding", "label",
+      emb.where(col("vec_id") >= 8), "vec_id", "embedding", "label", k = 5)
+      .orderBy("vec_id").collect().toSeq
+    val b = DataValuation.knnShapley(
+      test, "vec_id", "embedding", "label",
+      emb.where(col("vec_id") >= 8).repartition(17), "vec_id", "embedding",
+      "label", k = 5)
+      .orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("knnShapley: values are signed — harmful points exist in-corpus") {
+    val out = DataValuation.knnShapley(
+      emb.where(col("vec_id") < 8), "vec_id", "embedding", "label",
+      emb.where(col("vec_id") >= 8), "vec_id", "embedding", "label", k = 5)
+    val neg = out.where(col("shap") < 0).count()
+    val pos = out.where(col("shap") > 0).count()
+    assert(pos > 0, "no positively-valued training points")
+    assert(neg > 0, "no negatively-valued training points (synthetic labels " +
+      "disagree often enough that some neighbors must hurt)")
+  }
+
+  test("knnShapley: pairBudget refuses over-budget mass before the join") {
+    val e = intercept[IllegalArgumentException] {
+      DataValuation.knnShapley(
+        emb.where(col("vec_id") < 8), "vec_id", "embedding", "label",
+        emb.where(col("vec_id") >= 8), "vec_id", "embedding", "label",
+        k = 5, pairBudget = Some(100L))
+    }
+    assert(e.getMessage.contains("pairBudget"))
+  }
+}
