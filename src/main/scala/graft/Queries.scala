@@ -5359,4 +5359,22 @@ object Queries {
       emb.where(col("vec_id") >= 8), "vec_id", "embedding", "label",
       k = 5, pairBudget = Some(100000000L))
   }
+
+  // ---------------------------------------------------------------- Q229
+  /** Split-conformal quality gate ([[graft.operators.DataSelection
+    * .conformalGateReport]]): the keep-threshold calibrated at
+    * alpha=0.2 on a vetted-good sample (`doc_id % 5 = 1`), applied to
+    * the pool (`doc_id % 5 ∉ {1,3}`), realized retention measured on a
+    * disjoint good holdout (`doc_id % 5 = 3`) — the finite-sample
+    * "never drop more than 20% of good data" guarantee.
+    */
+  def q229ConformalGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("q", TextFunctions.qualityScore(col("text")))
+    DataSelection.conformalGateReport(
+      docs.where(col("doc_id") % 5 === 1),
+      docs.where(col("doc_id") % 5 =!= 1 && col("doc_id") % 5 =!= 3),
+      docs.where(col("doc_id") % 5 === 3),
+      "q", alpha = 0.2)
+  }
 }

@@ -271,6 +271,7 @@ object SparkEntry {
     "q227_opq_recall" -> (Queries.q227OpqRecall _),
     "q224_linkage_em" -> (Queries.q224LinkageEm _),
     "q228_knn_shapley" -> (Queries.q228KnnShapley _),
+    "q229_conformal_gate" -> (Queries.q229ConformalGate _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -1656,6 +1657,46 @@ object SparkEntry {
         |SELECT c_id AS vec_id, CAST(count(*) AS BIGINT) AS n_test,
         |       round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS shap
         |FROM sfx GROUP BY c_id""".stripMargin,
+    // split-conformal keep threshold: k = floor((n+1)*alpha)-th smallest
+    // calibration quality (q16's scorer), gate + holdout retention
+    "q229_conformal_gate" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) AS nt,
+        |         CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |                   / CAST(length(text) AS DOUBLE) END AS pr,
+        |         CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+        |              ELSE CAST(len(list_filter(string_split(text, ' '),
+        |                     tk -> list_contains(['the','and','of','to','in','is','that','it','a'], tk))) AS DOUBLE)
+        |                   / CAST(len(string_split(text, ' ')) AS DOUBLE) END AS sr
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |        round(0.4 * least(CAST(nt AS DOUBLE) / 100.0, 1.0)
+        |              + 0.3 * (1.0 - least(pr * 5.0, 1.0))
+        |              + 0.3 * least(sr * 4.0, 1.0), 6) AS score
+        |      FROM f),
+        |cal AS (SELECT score FROM q WHERE doc_id % 5 = 1),
+        |nk AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+        |              CAST(floor((count(*) + 1) * 0.2) AS BIGINT) AS k
+        |       FROM cal),
+        |thr AS (SELECT round(score, 6) AS threshold FROM (
+        |          SELECT score, row_number() OVER (ORDER BY score ASC) AS rn
+        |          FROM cal)
+        |        WHERE rn = (SELECT k FROM nk)),
+        |pool AS (SELECT CAST(count(*) AS BIGINT) AS n_pool,
+        |                CAST(sum(CASE WHEN score >= (SELECT threshold FROM thr)
+        |                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |         FROM q WHERE doc_id % 5 <> 1 AND doc_id % 5 <> 3),
+        |hold AS (SELECT CAST(count(*) AS BIGINT) AS n_holdout,
+        |                CAST(sum(CASE WHEN score >= (SELECT threshold FROM thr)
+        |                              THEN 1 ELSE 0 END) AS BIGINT) AS n_held_kept
+        |         FROM q WHERE doc_id % 5 = 3)
+        |SELECT nk.n_cal, nk.k, thr.threshold, pool.n_pool, pool.n_kept,
+        |       round(CAST(pool.n_kept AS DOUBLE) / CAST(pool.n_pool AS DOUBLE), 6) AS keep_rate,
+        |       hold.n_holdout,
+        |       round(CAST(hold.n_held_kept AS DOUBLE) / CAST(hold.n_holdout AS DOUBLE), 6) AS holdout_retention
+        |FROM nk, thr, pool, hold""".stripMargin,
     // the full stack: q219's multi-probe residual scoring nominates 20
     // candidates per query, q214's exact fold reranks only those
     "q222_ivfpq_rerank" -> pqResidualOracle(

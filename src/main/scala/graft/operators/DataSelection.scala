@@ -480,4 +480,68 @@ object DataSelection {
           .orderBy(col("bucket"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
   }
+
+  /** Split-conformal quality gate (Vovk et al.'s split/inductive
+    * conformal prediction, one-sided): calibrate a KEEP threshold on a
+    * vetted-GOOD sample so the gate provably discards at most `alpha`
+    * of good data in expectation. With `n` exchangeable calibration
+    * scores, the `k = floor((n+1)·alpha)`-th SMALLEST calibration score
+    * is a lower conformal bound: a fresh good document scores below it
+    * with probability ≤ alpha, so "keep `score >= threshold`" wrongly
+    * drops ≤ alpha of good data — a finite-sample guarantee that holds
+    * for ANY scorer, no model assumptions. This is the principled
+    * replacement for the hand-picked quality cutoffs every pretraining
+    * pipeline carries (the adaptive-cutoff operator picks a cutoff from
+    * the pool's own distribution; this one calibrates it against
+    * labeled-good data with a risk guarantee).
+    *
+    * Scale shape: the CALIBRATION set is the bounded side by design (a
+    * human-vetted sample — thousands, not billions), so its exact
+    * order statistic may ride a single-partition ranking window; the
+    * pool is touched by one broadcast-threshold map pass plus one
+    * partial agg for the report. Nothing pool-sized shuffles.
+    *
+    * Returns one report row: `(n_cal, k, threshold, n_pool, n_kept,
+    * keep_rate, n_holdout, holdout_retention)` — `holdout` is a second
+    * vetted-good sample measuring realized retention (should be
+    * ≈ 1−alpha or better). Threshold/rates rounded to 6 dp; counts
+    * BIGINT. Requires `k >= 1` (otherwise no finite threshold exists —
+    * grow the calibration set or raise alpha).
+    */
+  def conformalGateReport(calib: DataFrame, pool: DataFrame,
+      holdout: DataFrame, scoreCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    val s = col(scoreCol).cast("double")
+    val calS = Parallelism.ensureCompute(calib).select(s.as("score"))
+    // bounded by design: the vetted sample. One row of driver state.
+    val nCal = calS.count()
+    val k = math.floor((nCal + 1) * alpha).toLong
+    require(k >= 1, s"floor((n_cal+1)*alpha) = $k < 1: calibration set " +
+      s"too small for alpha=$alpha (n_cal=$nCal)")
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").asc)
+    val thr = calS.withColumn("rn", row_number().over(rankW))
+      .where(col("rn") === k)
+      .select(round(col("score"), 6).as("threshold"))
+    val poolAgg = Parallelism.ensureCompute(pool).select(s.as("score"))
+      .crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("n_pool"),
+        sum(when(col("score") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"),
+        first(col("threshold")).as("threshold"))
+    val holdAgg = Parallelism.ensureCompute(holdout).select(s.as("score"))
+      .crossJoin(broadcast(thr.select(col("threshold").as("h_thr"))))
+      .agg(count(lit(1)).as("n_holdout"),
+        sum(when(col("score") >= col("h_thr"), 1L).otherwise(0L))
+          .as("n_held_kept"))
+    poolAgg.crossJoin(holdAgg)
+      .select(
+        lit(nCal).as("n_cal"), lit(k).as("k"), col("threshold"),
+        col("n_pool"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_pool").cast("double"), 6)
+          .as("keep_rate"),
+        col("n_holdout"),
+        round(col("n_held_kept").cast("double")
+          / col("n_holdout").cast("double"), 6).as("holdout_retention"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
+import graft.functions.TextFunctions
 
 class DataSelectionSpec extends SparkSuite {
   import spark.implicits._
@@ -288,5 +289,42 @@ class DataSelectionSpec extends SparkSuite {
     val increments = out.map(_._3).zip(out.map(_._2)).scanLeft(0L) {
       case (acc, (_, n)) => acc + n }.tail
     assert(out.map(_._3) == increments, "vocab_size is the running sum of n_new")
+  }
+
+  test("conformalGateReport: threshold is the exact floor((n+1)a)-th smallest") {
+    // 9 calibration scores 10..90; alpha=0.25 -> k = floor(10*0.25) = 2
+    // -> threshold = 2nd smallest = 20.0
+    val cal = (1 to 9).map(i => i * 10.0).toDF("s")
+    val pool = Seq(5.0, 15.0, 20.0, 25.0, 100.0).toDF("s")
+    val hold = Seq(19.0, 20.0, 21.0, 90.0).toDF("s")
+    val r = DataSelection.conformalGateReport(cal, pool, hold, "s", 0.25)
+      .collect()(0)
+    assert(r.getAs[Long]("n_cal") == 9L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Double]("threshold") == 20.0)
+    assert(r.getAs[Long]("n_pool") == 5L && r.getAs[Long]("n_kept") == 3L,
+      s"keep score >= 20 (20 itself kept): $r")
+    assert(r.getAs[Long]("n_holdout") == 4L)
+    assert(r.getAs[Double]("holdout_retention") == 0.75)
+  }
+
+  test("conformalGateReport: exchangeable holdout retains >= 1 - alpha - slack") {
+    // scores from the portable LCG over 400 calibration + 400 holdout rows
+    // drawn from one distribution: the conformal guarantee (in expectation)
+    val all = spark.range(800).select($"id",
+      TextFunctions.portableUniform(concat(lit("conf|"), $"id")).as("s"))
+    val cal = all.where($"id" % 2 === 0)
+    val hold = all.where($"id" % 2 === 1)
+    val r = DataSelection.conformalGateReport(cal, hold, hold, "s", 0.2)
+      .collect()(0)
+    assert(r.getAs[Double]("holdout_retention") >= 0.7,
+      s"retention ${r.getAs[Double]("holdout_retention")} too far below 1-alpha")
+  }
+
+  test("conformalGateReport: refuses calibration too small for alpha") {
+    val cal = Seq(1.0, 2.0).toDF("s")
+    val e = intercept[IllegalArgumentException] {
+      DataSelection.conformalGateReport(cal, cal, cal, "s", 0.05)
+    }
+    assert(e.getMessage.contains("too small"))
   }
 }
