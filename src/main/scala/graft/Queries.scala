@@ -5377,4 +5377,26 @@ object Queries {
       docs.where(col("doc_id") % 5 === 3),
       "q", alpha = 0.2)
   }
+
+  // ---------------------------------------------------------------- Q230
+  /** DoReMi domain-reweighting trajectory ([[graft.operators
+    * .DataSelection.doremiTrajectory]]) over a deterministic 6-round
+    * proxy-training loss log: per-(round, doc) excess losses from the
+    * portable uniform plus a per-source shift (so domains genuinely
+    * separate), domains = `source`. The EG/Group-DRO update runs on
+    * rounds×domains scalars; the oracle replays every round as chained
+    * CTEs.
+    */
+  def q230DoremiWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val rounds = spark.range(1, 7).select(col("id").as("round"))
+    val log = docs.crossJoin(rounds).select(
+      col("round"), col("source"),
+      (TextFunctions.portableUniform(
+        concat(lit("doremi|"), col("round"), lit("|"), col("doc_id"))) * lit(0.5)
+        + TextFunctions.portableUniform(
+          concat(lit("dshift|"), col("source"))) * lit(0.5)).as("excess"))
+    DataSelection.doremiTrajectory(log, "round", "source", "excess",
+      eta = 0.5, smoothing = 0.1)
+  }
 }

@@ -272,6 +272,7 @@ object SparkEntry {
     "q224_linkage_em" -> (Queries.q224LinkageEm _),
     "q228_knn_shapley" -> (Queries.q228KnnShapley _),
     "q229_conformal_gate" -> (Queries.q229ConformalGate _),
+    "q230_doremi_weights" -> (Queries.q230DoremiWeights _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -309,6 +310,66 @@ object SparkEntry {
     * iu/sel/c0..c2/d1..d3/a1..a3 (suffixed); c2$sfx = final codebook,
     * a3$sfx = final assignment (encode), d3$sfx = the ADC LUT.
     */
+  /** One portable-uniform replay over a SQL string expression (the
+    * 48-bit char fold + LCG scramble `TextFunctions.portableUniform`
+    * computes natively).
+    */
+  private def puSql(key: String): String =
+    s"""(((list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split($key, ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, q) -> (a * 131 + q) % 281474976710656)
+       |    % 2147483647) * 1103515245 + 12345) % 2147483647 + 0.5)
+       |  / 2147483647.0""".stripMargin
+
+  /** DoReMi trajectory oracle: the deterministic loss log, the
+    * (round, domain) mean-excess cells, then `rounds` chained EG
+    * CTEs — e_t = round6(α_{t−1}·exp(η·λ)), decimal Z, smoothed
+    * renormalize — exactly the driver fold in
+    * `DataSelection.doremiTrajectory` (η=0.5, c=0.1).
+    */
+  private def doremiOracle(rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""e$i AS (
+         |  SELECT c.d AS domain, c.x AS excess,
+         |         round(a${i - 1}.alpha * exp(CAST(0.5 AS DOUBLE) * c.x), 6) AS e
+         |  FROM cells c JOIN a${i - 1} ON a${i - 1}.domain = c.d
+         |  WHERE c.r = $i),
+         |z$i AS (SELECT CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) AS z
+         |        FROM e$i),
+         |a$i AS (
+         |  SELECT domain, excess,
+         |         round((CAST(1 AS DOUBLE) - CAST(0.1 AS DOUBLE))
+         |                 * (e / (SELECT z FROM z$i))
+         |               + CAST(0.1 AS DOUBLE) / (SELECT k FROM kk), 6) AS alpha
+         |  FROM e$i)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS round, domain, excess, alpha FROM a$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH log AS (
+       |  SELECT t.r, d.source AS dm,
+       |         (${puSql("'doremi|' || t.r || '|' || d.doc_id")}
+       |            * CAST(0.5 AS DOUBLE)
+       |          + ${puSql("'dshift|' || d.source")}
+       |            * CAST(0.5 AS DOUBLE)) AS excess
+       |  FROM documents d, range(1, ${rounds + 1}) t(r)),
+       |cells AS MATERIALIZED (
+       |  SELECT r, dm AS d,
+       |         round(CAST(sum(CAST(greatest(round(excess, 6),
+       |                                      CAST(0 AS DOUBLE))
+       |                             AS DECIMAL(28,6))) AS DOUBLE)
+       |               / count(*), 6) AS x
+       |  FROM log GROUP BY 1, 2),
+       |doms AS (SELECT DISTINCT d AS domain FROM cells),
+       |kk AS (SELECT count(*) AS k FROM doms),
+       |a0 AS (SELECT domain,
+       |              round(CAST(1 AS DOUBLE) / (SELECT k FROM kk), 6) AS alpha
+       |       FROM doms),
+       |$iters
+       |$unions""".stripMargin
+  }
+
   private def pqTrainCtes(sv: String, salt: String, sfx: String): String =
     s"""iu$sfx AS (
        |  SELECT e.vec_id, s.sub,
@@ -1697,6 +1758,10 @@ object SparkEntry {
         |       hold.n_holdout,
         |       round(CAST(hold.n_held_kept AS DOUBLE) / CAST(hold.n_holdout AS DOUBLE), 6) AS holdout_retention
         |FROM nk, thr, pool, hold""".stripMargin,
+    // DoReMi EG trajectory: one (round, domain) mean-excess agg, then
+    // each round's exp-reweight/normalize/smooth replayed as chained
+    // CTEs (the GD-training discipline: 6-dp scalars between rounds)
+    "q230_doremi_weights" -> doremiOracle(rounds = 6),
     // the full stack: q219's multi-probe residual scoring nominates 20
     // candidates per query, q214's exact fold reranks only those
     "q222_ivfpq_rerank" -> pqResidualOracle(

@@ -508,6 +508,75 @@ object DataSelection {
     * BIGINT. Requires `k >= 1` (otherwise no finite threshold exists —
     * grow the calibration set or raise alpha).
     */
+  /** DoReMi domain-reweighting trajectory (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * Algorithm 1's Group-DRO exponentiated-gradient update): given a
+    * proxy-training LOSS LOG of per-example excess losses
+    * `(round, domain, excess)` — excess = proxy loss − reference loss,
+    * the signal "this domain is still learnable" — compute the
+    * domain-weight trajectory
+    *
+    *   λ_t(d) = mean over the round's examples of max(0, excess)
+    *   e_t(d) = α_{t−1}(d) · exp(η·λ_t(d))
+    *   α_t(d) = (1−c) · e_t(d)/Σ_d e_t(d) + c/k
+    *
+    * The tuned mixture ᾱ = mean_t α_t(d) is what the paper feeds the
+    * full-size model's sampler (this engine's mixture/temperature
+    * samplers take it directly).
+    *
+    * Scale shape: ONE corpus-sized pass — the (round, domain) partial
+    * agg; everything after is a driver fold over rounds×domains scalars
+    * (the Lloyd discipline: iterate with a tiny model, never collect
+    * data). Missing (round, domain) cells mean "no evidence" → λ = 0 →
+    * the weight only renormalizes.
+    *
+    * Exactness: per-example excess is 6-dp rounded then clipped and
+    * summed as DECIMAL (order-free); each λ, e, α is re-rounded to
+    * 6 dp after a fixed chain of single IEEE ops (`exp`/mult/divide
+    * replay bit-for-bit on identical operands), so a SQL oracle replays
+    * the entire trajectory as chained CTEs.
+    *
+    * Returns `(round, domain, excess, alpha)` — the full trajectory,
+    * rounds × domains rows.
+    */
+  def doremiTrajectory(lossLog: DataFrame, roundCol: String,
+      domainCol: String, lossCol: String, eta: Double = 0.5,
+      smoothing: Double = 0.1): DataFrame = {
+    require(eta > 0.0 && eta.isFinite, s"eta must be positive, got $eta")
+    require(smoothing >= 0.0 && smoothing < 1.0,
+      s"smoothing must be in [0,1), got $smoothing")
+    val spark = lossLog.sparkSession
+    val round6 = (v: Double) =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cells = Parallelism.ensureCompute(lossLog)
+      .groupBy(col(roundCol).cast("long").as("r"),
+        col(domainCol).cast("string").as("d"))
+      .agg(round(sum(greatest(round(col(lossCol).cast("double"), 6), lit(0.0))
+        .cast("decimal(28,6)")).cast("double") / count(lit(1)), 6).as("x"))
+      .collect() // bounded: rounds x domains scalars, the model itself
+      .map(row => (row.getLong(0), row.getString(1)) -> row.getDouble(2))
+      .toMap
+    val rounds = cells.keys.map(_._1).toSeq.distinct.sorted
+    val domains = cells.keys.map(_._2).toSeq.distinct.sorted
+    val k = domains.size
+    require(k >= 2, s"need >= 2 domains to reweight, got $k")
+    val keep = 1.0 - smoothing
+    val smooth = smoothing / k
+    var alpha: Map[String, Double] =
+      domains.map(_ -> round6(1.0 / k)).toMap
+    val traj = Seq.newBuilder[(Long, String, Double, Double)]
+    for (r <- rounds) {
+      val lam = domains.map(d => d -> cells.getOrElse((r, d), 0.0)).toMap
+      val e = domains.map(d => d -> round6(alpha(d) * math.exp(eta * lam(d)))).toMap
+      // 6-dp values sum exactly as decimals — order-free Z
+      val z = domains.map(d => BigDecimal(e(d)).setScale(6)).sum.toDouble
+      alpha = domains.map(d => d -> round6(keep * (e(d) / z) + smooth)).toMap
+      domains.foreach(d => traj += ((r, d, lam(d), alpha(d))))
+    }
+    import spark.implicits._
+    traj.result().toDF("round", "domain", "excess", "alpha")
+  }
+
   def conformalGateReport(calib: DataFrame, pool: DataFrame,
       holdout: DataFrame, scoreCol: String, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")

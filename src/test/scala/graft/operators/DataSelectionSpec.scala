@@ -327,4 +327,46 @@ class DataSelectionSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("too small"))
   }
+
+  test("doremiTrajectory: normalized, greedy toward high-excess, bounded") {
+    // 3 domains, 4 rounds; domain 'c' has persistently higher excess
+    val log = (1 to 4).flatMap { r =>
+      Seq(("a", r, 0.1), ("a", r, 0.2), ("b", r, 0.3), ("b", r, 0.2),
+        ("c", r, 0.8), ("c", r, 0.9))
+    }.toDF("domain", "round", "excess")
+    val t = DataSelection.doremiTrajectory(log, "round", "domain", "excess")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    val byRound = t.groupBy(_._1)
+    byRound.foreach { case (r, rows) =>
+      val s = rows.map(x => BigDecimal(x._3)).sum.toDouble
+      assert(math.abs(s - 1.0) < 1e-5, s"round $r weights sum to $s")
+      rows.foreach { case (_, d, a) =>
+        assert(a >= 0.1 / 3 - 1e-9 && a <= 0.9 + 0.1 / 3 + 1e-9,
+          s"alpha($d)=$a outside smoothing bounds")
+      }
+    }
+    // c's weight strictly grows and dominates by the last round
+    val cs = t.filter(_._2 == "c").sortBy(_._1).map(_._3)
+    assert(cs.zip(cs.tail).forall { case (x, y) => y > x },
+      s"c should gain weight every round: ${cs.toSeq}")
+    val last = t.filter(_._1 == 4L)
+    assert(last.maxBy(_._3)._2 == "c")
+  }
+
+  test("doremiTrajectory: missing (round, domain) cell means zero excess") {
+    // domain 'b' reports no examples in round 2
+    val log = Seq(("a", 1, 0.5), ("b", 1, 0.5), ("a", 2, 0.5))
+      .toDF("domain", "round", "excess")
+    val t = DataSelection.doremiTrajectory(log, "round", "domain", "excess")
+      .where($"round" === 2 && $"domain" === "b").collect()
+    assert(t.length == 1 && t(0).getDouble(2) == 0.0,
+      "missing cell must surface as excess 0, not a dropped row")
+  }
+
+  test("doremiTrajectory: negative excess clips to zero (Group-DRO)") {
+    val log = Seq(("a", 1, -3.0), ("b", 1, -1.0)).toDF("domain", "round", "excess")
+    val t = DataSelection.doremiTrajectory(log, "round", "domain", "excess")
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(t("a") == t("b"), s"clipped excess must leave weights uniform: $t")
+  }
 }
