@@ -5399,4 +5399,16 @@ object Queries {
     DataSelection.doremiTrajectory(log, "round", "source", "excess",
       eta = 0.5, smoothing = 0.1)
   }
+
+  // ---------------------------------------------------------------- Q231
+  /** One hard-EM unigram-LM tokenizer round ([[graft.operators
+    * .UnigramLm.emRound]], Kudo 2018 / SentencePiece): seed vocab =
+    * all characters + top-100 substrings (≤4 chars), integer-micro-nat
+    * Viterbi segmentation of every distinct word, M-step count
+    * renormalization. The model table: (piece, seed_freq, cost0,
+    * viterbi_cnt, logp1).
+    */
+  def q231UnigramLm(spark: SparkSession, dir: String): DataFrame =
+    UnigramLm.emRound(t(spark, dir, "documents"), "text",
+      maxPieceLen = 4, topMulti = 100, maxWordLen = 20)
 }

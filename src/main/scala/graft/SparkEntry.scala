@@ -273,6 +273,7 @@ object SparkEntry {
     "q228_knn_shapley" -> (Queries.q228KnnShapley _),
     "q229_conformal_gate" -> (Queries.q229ConformalGate _),
     "q230_doremi_weights" -> (Queries.q230DoremiWeights _),
+    "q231_unigram_lm" -> (Queries.q231UnigramLm _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -1762,6 +1763,95 @@ object SparkEntry {
     // each round's exp-reweight/normalize/smooth replayed as chained
     // CTEs (the GD-training discipline: 6-dp scalars between rounds)
     "q230_doremi_weights" -> doremiOracle(rounds = 6),
+    // unigram-LM hard-EM round: integer micro-nat Viterbi DP per distinct
+    // word (forward fold + longest-first backtrace, the packed-edge
+    // layout of UnigramLm), then M-step renormalization — fold for fold
+    "q231_unigram_lm" ->
+      """WITH wrds AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+        |         CAST(length(w) AS BIGINT) AS len
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) BETWEEN 1 AND 20
+        |  GROUP BY w),
+        |cand AS MATERIALIZED (
+        |  SELECT w, freq, len, sl >> 6 AS s, sl & 63 AS l,
+        |         substr(w, CAST((sl >> 6) + 1 AS INTEGER),
+        |                CAST(sl & 63 AS INTEGER)) AS piece
+        |  FROM (
+        |    SELECT w, freq, len,
+        |           unnest(flatten(list_transform(range(0, len),
+        |             s -> list_transform(range(1, least(4, len - s) + 1),
+        |                    l -> s * 64 + l)))) AS sl
+        |    FROM wrds)),
+        |pf AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS seed_freq
+        |       FROM cand GROUP BY 1),
+        |vocab0 AS (
+        |  SELECT piece, seed_freq FROM pf WHERE length(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, seed_freq FROM (
+        |    SELECT piece, seed_freq,
+        |           row_number() OVER (ORDER BY seed_freq DESC, piece ASC) AS rn
+        |    FROM pf WHERE length(piece) > 1)
+        |  WHERE rn <= 100),
+        |vt AS (SELECT CAST(sum(seed_freq) AS BIGINT) AS tot FROM vocab0),
+        |vocab AS MATERIALIZED (
+        |  SELECT piece, seed_freq,
+        |         CAST(round((ln(CAST((SELECT tot FROM vt) AS DOUBLE))
+        |                     - ln(CAST(seed_freq AS DOUBLE))) * 1000000.0)
+        |              AS BIGINT) AS icost
+        |  FROM vocab0),
+        |edges AS MATERIALIZED (
+        |  SELECT c.w, c.freq, c.len,
+        |         ((c.s * 64 + c.l) << 34) | v.icost AS e
+        |  FROM cand c JOIN vocab v USING (piece)),
+        |arr AS MATERIALIZED (
+        |  SELECT w, freq, len, list_sort(list(e)) AS es
+        |  FROM edges GROUP BY 1, 2, 3),
+        |fwd AS MATERIALIZED (
+        |  SELECT w, freq, len, es,
+        |    list_reduce(
+        |      list_prepend([CAST(0 AS BIGINT)],
+        |        list_transform(range(1, len + 1), p -> [p])),
+        |      (acc, x) -> list_append(acc,
+        |        coalesce(list_min(list_transform(
+        |          list_filter(es, e -> ((e >> 40) + ((e >> 34) & 63)) = x[1]),
+        |          e -> acc[CAST((e >> 40) + 1 AS INTEGER)]
+        |               + (e & 17179869183))),
+        |        1000000000000000))) AS best
+        |  FROM arr),
+        |bt AS MATERIALIZED (
+        |  SELECT w, freq, best, len,
+        |    list_reduce(
+        |      list_prepend([len], list_transform(range(1, len + 1), i -> [i])),
+        |      (acc, x) -> CASE
+        |        WHEN (CASE WHEN len(acc) = 1 THEN acc[1]
+        |                   ELSE acc[-1] >> 6 END) = 0 THEN acc
+        |        ELSE list_append(acc,
+        |          list_min(list_transform(list_filter(es,
+        |            e -> ((e >> 40) + ((e >> 34) & 63)) =
+        |                   (CASE WHEN len(acc) = 1 THEN acc[1]
+        |                         ELSE acc[-1] >> 6 END)
+        |             AND best[CAST((e >> 40) + 1 AS INTEGER)]
+        |                 + (e & 17179869183) =
+        |                 best[CAST((CASE WHEN len(acc) = 1 THEN acc[1]
+        |                            ELSE acc[-1] >> 6 END) + 1 AS INTEGER)]),
+        |            e -> e >> 34))) END) AS tr
+        |  FROM fwd),
+        |segs AS (
+        |  SELECT w, freq,
+        |         substr(w, CAST((pk >> 6) + 1 AS INTEGER),
+        |                CAST(pk & 63 AS INTEGER)) AS piece
+        |  FROM (SELECT w, freq, unnest(tr[2:]) AS pk FROM bt)),
+        |cnt AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS viterbi_cnt
+        |        FROM segs GROUP BY 1),
+        |tt AS (SELECT CAST(sum(viterbi_cnt) AS BIGINT) AS tot1 FROM cnt)
+        |SELECT v.piece, v.seed_freq, v.icost AS cost0,
+        |       coalesce(c.viterbi_cnt, 0) AS viterbi_cnt,
+        |       CASE WHEN c.viterbi_cnt IS NOT NULL THEN
+        |         round(ln(CAST(c.viterbi_cnt AS DOUBLE))
+        |               - ln(CAST((SELECT tot1 FROM tt) AS DOUBLE)), 6)
+        |       END AS logp1
+        |FROM vocab v LEFT JOIN cnt c USING (piece)""".stripMargin,
     // the full stack: q219's multi-probe residual scoring nominates 20
     // candidates per query, q214's exact fold reranks only those
     "q222_ivfpq_rerank" -> pqResidualOracle(

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer training (Kudo 2018, "Subword Regularization:
+  * Improving Neural Network Translation Models with Multiple Subword
+  * Candidates", §3 — the SentencePiece unigram model), hard-EM flavor:
+  * the OTHER major tokenizer family next to BPE ([[Bpe]]). Where BPE
+  * greedily fuses pairs, the unigram model keeps a piece vocabulary
+  * with probabilities and segments every word by VITERBI (min total
+  * −log p); training alternates Viterbi segmentation (E) with count
+  * renormalization (M).
+  *
+  * Distributed shape (100 TB): everything is keyed on DISTINCT WORDS —
+  * the corpus collapses to a (word, freq) table in one partial-agg
+  * pass (Zipf: millions of distinct words, not trillions of tokens),
+  * candidate pieces shuffle as strings once to build the seed vocab,
+  * and the per-word Viterbi DP is a per-ROW fold over ≤ `maxWordLen`
+  * positions with a word-local edge list — map-only after one
+  * vocab-keyed join. No driver state beyond nothing: even the M-step
+  * is a piece-keyed partial agg.
+  *
+  * Exactness/portability: piece costs are INTEGER micro-nats
+  * (`round((ln(totFreq) − ln(freq)) · 1e6)`), so the DP is pure
+  * integer arithmetic — no FP accumulation anywhere, min/tie semantics
+  * bit-identical in any engine. The backtrace tie-break is "longest
+  * piece first" (min packed `(start·64 + len)` among cost-optimal
+  * edges). A SQL oracle replays words → vocab → edges → forward DP →
+  * backtrace → M-step, fold for fold.
+  *
+  * Edges pack as one BIGINT `((s·64 + l) << 34) | icost` (s, l ≤ 63;
+  * icost < 2^34 — `ln(2^34/1e6) ≈ 17k` distinct-word mass, checked at
+  * runtime), so edge lists sort canonically and the DP lambdas stay
+  * integer-only.
+  */
+object UnigramLm {
+
+  private val Inf = 1000000000000000L // unreachable-position sentinel
+  private val CostMask = (1L << 34) - 1
+
+  /** Corpus → (word, freq, len): the distinct-word table every stage
+    * keys on. Words longer than `maxWordLen` are dropped (documented
+    * cap: the DP is O(len·maxPieceLen) per word; pathological
+    * "words" — URLs, base64 runs — belong to a cleaning pass, not the
+    * tokenizer).
+    */
+  def words(docs: DataFrame, textCol: String,
+      maxWordLen: Int = 20): DataFrame =
+    Parallelism.ensureCompute(docs)
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")).between(1, maxWordLen))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("len", length(col("w")).cast("long"))
+
+  /** Every (start, len) substring piece of `w` up to `maxPieceLen`,
+    * as (w, freq, len, s, l, piece) rows.
+    */
+  private def candidates(wrds: DataFrame, maxPieceLen: Int): DataFrame =
+    wrds.select(col("w"), col("freq"), col("len"),
+      explode(flatten(transform(
+        sequence(lit(0L), col("len") - 1),
+        s => transform(
+          sequence(lit(1L), least(lit(maxPieceLen.toLong), col("len") - s)),
+          l => struct(s.as("s"), l.as("l"),
+            col("w").substr((s + 1).cast("int"), l.cast("int")).as("piece"))))))
+        .as("c"))
+      .select(col("w"), col("freq"), col("len"),
+        col("c.s").as("s"), col("c.l").as("l"), col("c.piece").as("piece"))
+
+  /** Seed vocabulary: ALL single characters (coverage — every word must
+    * be segmentable) plus the `topMulti` most frequent multi-character
+    * substrings (frequency-weighted by word count, ties by piece).
+    * Costs are integer micro-nats of the relative frequency over the
+    * SELECTED vocab.
+    *
+    * Returns (piece, seed_freq, icost).
+    */
+  def seedVocab(docs: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, topMulti: Int = 100,
+      maxWordLen: Int = 20): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 63,
+      s"maxPieceLen must be in [1, 63], got $maxPieceLen")
+    require(topMulti >= 0, s"topMulti must be >= 0, got $topMulti")
+    val pf = candidates(words(docs, textCol, maxWordLen), maxPieceLen)
+      .groupBy(col("piece"))
+      .agg(sum(col("freq")).as("seed_freq"))
+    val singles = pf.where(length(col("piece")) === 1)
+    // total order (freq desc, piece asc) -> orderBy+limit plans as a
+    // distributed TakeOrderedAndProject, not a single-partition window
+    val multi = pf.where(length(col("piece")) > 1)
+      .orderBy(col("seed_freq").desc, col("piece").asc)
+      .limit(topMulti)
+    val vocab = singles.unionByName(multi)
+    val tot = vocab.agg(sum(col("seed_freq")).as("tot"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("piece"), col("seed_freq"),
+        round((log(col("tot").cast("double"))
+          - log(col("seed_freq").cast("double"))) * lit(1000000.0), 0)
+          .cast("long").as("icost"))
+  }
+
+  // packed-edge field extractors (see object doc for the layout)
+  private def eS(e: Column): Column = shiftright(e, 40)
+  private def eL(e: Column): Column = shiftright(e, 34).bitwiseAND(lit(63L))
+  private def eC(e: Column): Column = e.bitwiseAND(lit(CostMask))
+  private def eEnd(e: Column): Column = eS(e) + eL(e)
+
+  /** Viterbi-segment every distinct word of `docs` under `vocab`
+    * ((piece, icost) rows): returns one row per (word, piece-slot) —
+    * `(w, freq, cost, s, l, piece)` with `cost` the word's total
+    * min-cost in micro-nats. The DP is two integer folds per word
+    * (forward best-cost, backward argmin trace); a localCheckpoint
+    * barrier between them keeps CollapseProject from re-inlining the
+    * forward fold into every backtrace reference (the q205 lesson).
+    */
+  def segment(docs: DataFrame, textCol: String, vocab: DataFrame,
+      maxPieceLen: Int = 4, maxWordLen: Int = 20): DataFrame = {
+    val wrds = words(docs, textCol, maxWordLen)
+    val edges = candidates(wrds, maxPieceLen)
+      .join(vocab.select(col("piece"), col("icost")), Seq("piece"))
+      .select(col("w"), col("freq"), col("len"),
+        (shiftleft(col("s") * 64 + col("l"), 34)
+          .bitwiseOR(col("icost"))).as("e"))
+    val arr = edges.groupBy(col("w"), col("freq"), col("len"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+    val pos = (acc: Column) => when(size(acc) === 1, element_at(acc, 1))
+      .otherwise(shiftright(element_at(acc, -1), 6))
+    val fwd = arr.withColumn("best",
+      aggregate(sequence(lit(1L), col("len")), array(lit(0L)),
+        (acc, p) => concat(acc, array(coalesce(
+          array_min(transform(
+            filter(col("es"), e => eEnd(e) === p),
+            e => element_at(acc, (eS(e) + 1).cast("int")) + eC(e))),
+          lit(Inf))))))
+      .localCheckpoint() // barrier: keep the fwd fold out of the backtrace
+    val traced = fwd.withColumn("tr",
+      aggregate(sequence(lit(1L), col("len")), array(col("len")),
+        (acc, _) => when(pos(acc) === 0, acc)
+          .otherwise(concat(acc, array(
+            array_min(transform(
+              filter(col("es"), e => eEnd(e) === pos(acc)
+                && element_at(col("best"), (eS(e) + 1).cast("int")) + eC(e)
+                   === element_at(col("best"), (pos(acc) + 1).cast("int"))),
+              e => shiftright(e, 34))))))))
+    traced
+      .select(col("w"), col("freq"),
+        element_at(col("best"), -1).as("cost"),
+        explode(slice(col("tr"), 2, maxWordLen)).as("pk"))
+      .select(col("w"), col("freq"), col("cost"),
+        shiftright(col("pk"), 6).as("s"),
+        col("pk").bitwiseAND(lit(63L)).as("l"))
+      .withColumn("piece",
+        col("w").substr((col("s") + 1).cast("int"), col("l").cast("int")))
+  }
+
+  /** One hard-EM round: seed the vocab, Viterbi-segment the corpus (E),
+    * renormalize piece probabilities from the segmentation counts (M).
+    * Returns the model table `(piece, seed_freq, cost0, viterbi_cnt,
+    * logp1)`: `cost0` the seed micro-nat cost, `viterbi_cnt` the
+    * frequency-weighted count of the piece in optimal segmentations
+    * (0 = the prune candidate set), `logp1` the re-estimated 6-dp log
+    * probability (NULL for unused pieces — pruned, not smoothed).
+    */
+  def emRound(docs: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, topMulti: Int = 100,
+      maxWordLen: Int = 20): DataFrame = {
+    val vocab = seedVocab(docs, textCol, maxPieceLen, topMulti, maxWordLen)
+    val seg = segment(docs, textCol, vocab, maxPieceLen, maxWordLen)
+    val cnt = seg.groupBy(col("piece"))
+      .agg(sum(col("freq")).as("viterbi_cnt"))
+    val tot1 = cnt.agg(sum(col("viterbi_cnt")).as("tot1"))
+    vocab.join(cnt, Seq("piece"), "left_outer")
+      .crossJoin(broadcast(tot1))
+      .select(col("piece"), col("seed_freq"), col("icost").as("cost0"),
+        coalesce(col("viterbi_cnt"), lit(0L)).as("viterbi_cnt"),
+        when(col("viterbi_cnt").isNotNull,
+          round(log(col("viterbi_cnt").cast("double"))
+            - log(col("tot1").cast("double")), 6)).as("logp1"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class UnigramLmSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("segment: Viterbi picks the cheaper multi-char piece, longest-first ties") {
+    // vocab: chars cost 3 micro-nats each, 'ab' cost 4 -> 'aab' = a + ab (7)
+    val vocab = Seq(("a", 3L), ("b", 3L), ("ab", 4L)).toDF("piece", "icost")
+    val docs = Seq("aab").toDF("text")
+    val segs = UnigramLm.segment(docs, "text", vocab)
+      .orderBy($"s").collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cost")))
+    assert(segs.toSeq == Seq(("a", 7L), ("ab", 7L)),
+      s"expected a+ab at total cost 7: ${segs.toSeq}")
+  }
+
+  test("segment: backtrace tie-break prefers the longest piece") {
+    // 'ab' exactly as expensive as a+b: tie at the end position ->
+    // min packed (s*64+l) = smallest s = longest piece wins
+    val vocab = Seq(("a", 3L), ("b", 3L), ("ab", 6L)).toDF("piece", "icost")
+    val docs = Seq("ab").toDF("text")
+    val segs = UnigramLm.segment(docs, "text", vocab).collect()
+    assert(segs.length == 1 && segs(0).getAs[String]("piece") == "ab",
+      s"tie must resolve to the single 2-char piece: ${segs.toSeq}")
+  }
+
+  test("emRound: counts conserve corpus mass and re-estimated probs normalize") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val m = UnigramLm.emRound(docs, "text", maxPieceLen = 4, topMulti = 50)
+    val rows = m.collect()
+    assert(rows.nonEmpty)
+    // every used piece has a logp1; unused pieces have none (prune set)
+    rows.foreach { r =>
+      val cnt = r.getAs[Long]("viterbi_cnt")
+      assert((cnt > 0) == !r.isNullAt(r.fieldIndex("logp1")), r.toString)
+    }
+    // sum of exp(logp1) over used pieces ~ 1 (each rounded to 6 dp)
+    val probSum = rows.filter(!_.isNullAt(4))
+      .map(r => math.exp(r.getAs[Double]("logp1"))).sum
+    assert(math.abs(probSum - 1.0) < 1e-3, s"probs sum to $probSum")
+    // Viterbi piece mass = total characters of all segmented words:
+    // every word is exactly covered, so sum(cnt * len(piece)) ==
+    // sum over words of freq * len
+    val charMass = UnigramLm.words(docs, "text")
+      .agg(sum($"freq" * $"len")).collect()(0).getLong(0)
+    val pieceMass = m.where($"viterbi_cnt" > 0)
+      .agg(sum($"viterbi_cnt" * length($"piece"))).collect()(0).getLong(0)
+    assert(pieceMass == charMass,
+      s"segmentations must tile the corpus: $pieceMass vs $charMass")
+  }
+
+  test("emRound: EM round never increases corpus cost under the new model") {
+    // classic EM sanity: total Viterbi cost under seed costs >= the cost
+    // of the SAME segmentation re-priced at the re-estimated probs
+    // (counts are the argmax usage, so renormalizing toward them cannot
+    // make the chosen segmentation less likely)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val vocab = UnigramLm.seedVocab(docs, "text", 4, 50)
+    val seg = UnigramLm.segment(docs, "text", vocab)
+    val m = UnigramLm.emRound(docs, "text", 4, 50)
+    val priced = seg.join(m.select($"piece", $"logp1"), Seq("piece"))
+    val before = priced.join(vocab.select($"piece", $"icost"), Seq("piece"))
+      .agg(sum($"freq" * $"icost")).collect()(0).getLong(0).toDouble / 1e6
+    val after = priced
+      .agg(sum($"freq".cast("double") * -$"logp1")).collect()(0).getDouble(0)
+    assert(after <= before + 1e-6,
+      s"re-estimated model must not worsen the chosen segmentation: " +
+        s"$after > $before")
+  }
+}
