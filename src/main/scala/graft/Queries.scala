@@ -5411,4 +5411,48 @@ object Queries {
   def q231UnigramLm(spark: SparkSession, dir: String): DataFrame =
     UnigramLm.emRound(t(spark, dir, "documents"), "text",
       maxPieceLen = 4, topMulti = 100, maxWordLen = 20)
+
+  // ---------------------------------------------------------------- Q232
+  /** The DoReMi mixture DEPLOYED: q230's trajectory averaged into the
+    * tuned weights ᾱ, every document weighted by ln ᾱ(its domain), and
+    * a 100-doc corpus draw taken by the deterministic Gumbel-top-k
+    * sampler — the learned mixture actually resampling the corpus
+    * (composition, not coexistence: doremiTrajectory → gumbelTopK).
+    */
+  def q232DoremiMixtureDraw(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val abar = q230DoremiWeights(spark, dir)
+      .groupBy(col("domain"))
+      .agg(round(sum(col("alpha").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("abar"))
+    val weighted = docs.join(abar, docs("source") === abar("domain"))
+      .select(col("doc_id"), round(log(col("abar")), 6).as("lw"))
+    DataSelection.gumbelTopK(weighted, "doc_id", "lw", k = 100,
+      salt = "q232|")
+      .select(col("rank"), col("id").as("doc_id"), col("gumbel_key"))
+  }
+
+  // ---------------------------------------------------------------- Q233
+  /** The unigram tokenizer DEPLOYED: q231's Viterbi segmentation
+    * applied to every word occurrence, rolled up per language —
+    * token counts and chars-per-token compression under the trained
+    * model (the serving half of the tokenizer-training story; the
+    * distinct-word join is the whole trick: segmentation cost is paid
+    * per VOCABULARY word, applied per OCCURRENCE by an equi-join).
+    */
+  def q233UnigramTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val vocab = UnigramLm.seedVocab(docs, "text", 4, 100)
+    val np = UnigramLm.segment(docs, "text", vocab)
+      .groupBy(col("w")).agg(count(lit(1)).as("np"))
+    val occ = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")).between(1, 20))
+    occ.join(np, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(sum(col("np")).as("n_pieces"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .withColumn("chars_per_piece",
+        round(col("n_chars").cast("double") / col("n_pieces").cast("double"), 6))
+  }
 }

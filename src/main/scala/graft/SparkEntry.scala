@@ -274,6 +274,8 @@ object SparkEntry {
     "q229_conformal_gate" -> (Queries.q229ConformalGate _),
     "q230_doremi_weights" -> (Queries.q230DoremiWeights _),
     "q231_unigram_lm" -> (Queries.q231UnigramLm _),
+    "q232_doremi_mixture_draw" -> (Queries.q232DoremiMixtureDraw _),
+    "q233_unigram_tokenize" -> (Queries.q233UnigramTokenize _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -370,6 +372,85 @@ object SparkEntry {
        |$iters
        |$unions""".stripMargin
   }
+
+  /** The unigram-LM training chain (see `UnigramLm`) through the
+    * backtrace: words → candidate substrings → seed vocab (chars +
+    * top-100, integer micro-nat costs) → packed edges → forward
+    * Viterbi fold → longest-first argmin backtrace. `bt` carries
+    * `(w, freq, len, best, tr)`; q231 appends the M-step, q233 the
+    * per-occurrence tokenize rollup.
+    */
+  private val unigramCtes: String =
+    """wrds AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+      |         CAST(length(w) AS BIGINT) AS len
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) BETWEEN 1 AND 20
+      |  GROUP BY w),
+      |cand AS MATERIALIZED (
+      |  SELECT w, freq, len, sl >> 6 AS s, sl & 63 AS l,
+      |         substr(w, CAST((sl >> 6) + 1 AS INTEGER),
+      |                CAST(sl & 63 AS INTEGER)) AS piece
+      |  FROM (
+      |    SELECT w, freq, len,
+      |           unnest(flatten(list_transform(range(0, len),
+      |             s -> list_transform(range(1, least(4, len - s) + 1),
+      |                    l -> s * 64 + l)))) AS sl
+      |    FROM wrds)),
+      |pf AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS seed_freq
+      |       FROM cand GROUP BY 1),
+      |vocab0 AS (
+      |  SELECT piece, seed_freq FROM pf WHERE length(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, seed_freq FROM (
+      |    SELECT piece, seed_freq,
+      |           row_number() OVER (ORDER BY seed_freq DESC, piece ASC) AS rn
+      |    FROM pf WHERE length(piece) > 1)
+      |  WHERE rn <= 100),
+      |vt AS (SELECT CAST(sum(seed_freq) AS BIGINT) AS tot FROM vocab0),
+      |vocab AS MATERIALIZED (
+      |  SELECT piece, seed_freq,
+      |         CAST(round((ln(CAST((SELECT tot FROM vt) AS DOUBLE))
+      |                     - ln(CAST(seed_freq AS DOUBLE))) * 1000000.0)
+      |              AS BIGINT) AS icost
+      |  FROM vocab0),
+      |edges AS MATERIALIZED (
+      |  SELECT c.w, c.freq, c.len,
+      |         ((c.s * 64 + c.l) << 34) | v.icost AS e
+      |  FROM cand c JOIN vocab v USING (piece)),
+      |arr AS MATERIALIZED (
+      |  SELECT w, freq, len, list_sort(list(e)) AS es
+      |  FROM edges GROUP BY 1, 2, 3),
+      |fwd AS MATERIALIZED (
+      |  SELECT w, freq, len, es,
+      |    list_reduce(
+      |      list_prepend([CAST(0 AS BIGINT)],
+      |        list_transform(range(1, len + 1), p -> [p])),
+      |      (acc, x) -> list_append(acc,
+      |        coalesce(list_min(list_transform(
+      |          list_filter(es, e -> ((e >> 40) + ((e >> 34) & 63)) = x[1]),
+      |          e -> acc[CAST((e >> 40) + 1 AS INTEGER)]
+      |               + (e & 17179869183))),
+      |        1000000000000000))) AS best
+      |  FROM arr),
+      |bt AS MATERIALIZED (
+      |  SELECT w, freq, best, len,
+      |    list_reduce(
+      |      list_prepend([len], list_transform(range(1, len + 1), i -> [i])),
+      |      (acc, x) -> CASE
+      |        WHEN (CASE WHEN len(acc) = 1 THEN acc[1]
+      |                   ELSE acc[-1] >> 6 END) = 0 THEN acc
+      |        ELSE list_append(acc,
+      |          list_min(list_transform(list_filter(es,
+      |            e -> ((e >> 40) + ((e >> 34) & 63)) =
+      |                   (CASE WHEN len(acc) = 1 THEN acc[1]
+      |                         ELSE acc[-1] >> 6 END)
+      |             AND best[CAST((e >> 40) + 1 AS INTEGER)]
+      |                 + (e & 17179869183) =
+      |                 best[CAST((CASE WHEN len(acc) = 1 THEN acc[1]
+      |                            ELSE acc[-1] >> 6 END) + 1 AS INTEGER)]),
+      |            e -> e >> 34))) END) AS tr
+      |  FROM fwd)""".stripMargin
 
   private def pqTrainCtes(sv: String, salt: String, sfx: String): String =
     s"""iu$sfx AS (
@@ -1767,76 +1848,7 @@ object SparkEntry {
     // word (forward fold + longest-first backtrace, the packed-edge
     // layout of UnigramLm), then M-step renormalization — fold for fold
     "q231_unigram_lm" ->
-      """WITH wrds AS MATERIALIZED (
-        |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
-        |         CAST(length(w) AS BIGINT) AS len
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  WHERE length(w) BETWEEN 1 AND 20
-        |  GROUP BY w),
-        |cand AS MATERIALIZED (
-        |  SELECT w, freq, len, sl >> 6 AS s, sl & 63 AS l,
-        |         substr(w, CAST((sl >> 6) + 1 AS INTEGER),
-        |                CAST(sl & 63 AS INTEGER)) AS piece
-        |  FROM (
-        |    SELECT w, freq, len,
-        |           unnest(flatten(list_transform(range(0, len),
-        |             s -> list_transform(range(1, least(4, len - s) + 1),
-        |                    l -> s * 64 + l)))) AS sl
-        |    FROM wrds)),
-        |pf AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS seed_freq
-        |       FROM cand GROUP BY 1),
-        |vocab0 AS (
-        |  SELECT piece, seed_freq FROM pf WHERE length(piece) = 1
-        |  UNION ALL
-        |  SELECT piece, seed_freq FROM (
-        |    SELECT piece, seed_freq,
-        |           row_number() OVER (ORDER BY seed_freq DESC, piece ASC) AS rn
-        |    FROM pf WHERE length(piece) > 1)
-        |  WHERE rn <= 100),
-        |vt AS (SELECT CAST(sum(seed_freq) AS BIGINT) AS tot FROM vocab0),
-        |vocab AS MATERIALIZED (
-        |  SELECT piece, seed_freq,
-        |         CAST(round((ln(CAST((SELECT tot FROM vt) AS DOUBLE))
-        |                     - ln(CAST(seed_freq AS DOUBLE))) * 1000000.0)
-        |              AS BIGINT) AS icost
-        |  FROM vocab0),
-        |edges AS MATERIALIZED (
-        |  SELECT c.w, c.freq, c.len,
-        |         ((c.s * 64 + c.l) << 34) | v.icost AS e
-        |  FROM cand c JOIN vocab v USING (piece)),
-        |arr AS MATERIALIZED (
-        |  SELECT w, freq, len, list_sort(list(e)) AS es
-        |  FROM edges GROUP BY 1, 2, 3),
-        |fwd AS MATERIALIZED (
-        |  SELECT w, freq, len, es,
-        |    list_reduce(
-        |      list_prepend([CAST(0 AS BIGINT)],
-        |        list_transform(range(1, len + 1), p -> [p])),
-        |      (acc, x) -> list_append(acc,
-        |        coalesce(list_min(list_transform(
-        |          list_filter(es, e -> ((e >> 40) + ((e >> 34) & 63)) = x[1]),
-        |          e -> acc[CAST((e >> 40) + 1 AS INTEGER)]
-        |               + (e & 17179869183))),
-        |        1000000000000000))) AS best
-        |  FROM arr),
-        |bt AS MATERIALIZED (
-        |  SELECT w, freq, best, len,
-        |    list_reduce(
-        |      list_prepend([len], list_transform(range(1, len + 1), i -> [i])),
-        |      (acc, x) -> CASE
-        |        WHEN (CASE WHEN len(acc) = 1 THEN acc[1]
-        |                   ELSE acc[-1] >> 6 END) = 0 THEN acc
-        |        ELSE list_append(acc,
-        |          list_min(list_transform(list_filter(es,
-        |            e -> ((e >> 40) + ((e >> 34) & 63)) =
-        |                   (CASE WHEN len(acc) = 1 THEN acc[1]
-        |                         ELSE acc[-1] >> 6 END)
-        |             AND best[CAST((e >> 40) + 1 AS INTEGER)]
-        |                 + (e & 17179869183) =
-        |                 best[CAST((CASE WHEN len(acc) = 1 THEN acc[1]
-        |                            ELSE acc[-1] >> 6 END) + 1 AS INTEGER)]),
-        |            e -> e >> 34))) END) AS tr
-        |  FROM fwd),
+      s"""WITH $unigramCtes,
         |segs AS (
         |  SELECT w, freq,
         |         substr(w, CAST((pk >> 6) + 1 AS INTEGER),
@@ -1852,6 +1864,47 @@ object SparkEntry {
         |               - ln(CAST((SELECT tot1 FROM tt) AS DOUBLE)), 6)
         |       END AS logp1
         |FROM vocab v LEFT JOIN cnt c USING (piece)""".stripMargin,
+    // the learned DoReMi mixture resampling the corpus: trajectory ->
+    // averaged weights -> ln-weighted Gumbel-top-k draw (q122's trick)
+    "q232_doremi_mixture_draw" ->
+      s"""WITH traj AS (
+        |${doremiOracle(rounds = 6)}
+        |),
+        |abar AS (
+        |  SELECT domain,
+        |         round(CAST(sum(CAST(alpha AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(*), 6) AS abar
+        |  FROM traj GROUP BY 1),
+        |lw AS (
+        |  SELECT d.doc_id, round(ln(ab.abar), 6) AS lw
+        |  FROM documents d JOIN abar ab ON ab.domain = d.source),
+        |g AS (
+        |  SELECT doc_id,
+        |         round(lw - ln(-ln(${puSql("'q232|' || doc_id")})), 6)
+        |           AS gumbel_key
+        |  FROM lw)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, gumbel_key FROM (
+        |  SELECT doc_id, gumbel_key,
+        |         row_number() OVER (ORDER BY gumbel_key DESC, doc_id ASC)
+        |           AS rank
+        |  FROM g)
+        |WHERE rank <= 100""".stripMargin,
+    // the trained unigram model applied per word OCCURRENCE via the
+    // distinct-word equi-join; per-language compression rollup
+    "q233_unigram_tokenize" ->
+      s"""WITH $unigramCtes,
+        |wp AS (SELECT w, CAST(len(tr) - 1 AS BIGINT) AS np FROM bt),
+        |occ AS (
+        |  SELECT lang, w FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  WHERE length(w) BETWEEN 1 AND 20)
+        |SELECT lang, CAST(sum(np) AS BIGINT) AS n_pieces,
+        |       CAST(sum(length(w)) AS BIGINT) AS n_chars,
+        |       round(CAST(sum(length(w)) AS DOUBLE)
+        |             / CAST(sum(np) AS DOUBLE), 6) AS chars_per_piece
+        |FROM occ JOIN wp USING (w)
+        |GROUP BY lang""".stripMargin,
     // the full stack: q219's multi-probe residual scoring nominates 20
     // candidates per query, q214's exact fold reranks only those
     "q222_ivfpq_rerank" -> pqResidualOracle(
