@@ -5455,4 +5455,30 @@ object Queries {
       .withColumn("chars_per_piece",
         round(col("n_chars").cast("double") / col("n_pieces").cast("double"), 6))
   }
+
+  // ---------------------------------------------------------------- Q234
+  /** The valuation CURATING ([[graft.operators.DataValuation]]): drop
+    * the train points q228 values negatively, then measure the exact
+    * 5-NN majority-vote accuracy on the same eval set before and after
+    * — the "which rows help?" answer acted on and audited, two report
+    * rows (regime ∈ full/curated).
+    */
+  def q234ShapleyCuration(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val test = emb.where(col("vec_id") < 8)
+    val train = emb.where(col("vec_id") >= 8)
+    val shap = DataValuation.knnShapley(
+      test, "vec_id", "embedding", "label",
+      train, "vec_id", "embedding", "label", k = 5)
+    val kept = train.join(
+      shap.where(col("shap") >= 0).select(col("vec_id")),
+      Seq("vec_id"), "left_semi")
+    def acc(tr: DataFrame, regime: String): DataFrame =
+      DataValuation.knnAccuracy(
+        test, "vec_id", "embedding", "label",
+        tr, "vec_id", "embedding", "label", k = 5)
+        .select(lit(regime).as("regime"), col("n_train"), col("n_correct"),
+          col("n_test"), col("accuracy"))
+    acc(train, "full").unionByName(acc(kept, "curated"))
+  }
 }

@@ -276,6 +276,7 @@ object SparkEntry {
     "q231_unigram_lm" -> (Queries.q231UnigramLm _),
     "q232_doremi_mixture_draw" -> (Queries.q232DoremiMixtureDraw _),
     "q233_unigram_tokenize" -> (Queries.q233UnigramTokenize _),
+    "q234_shapley_curation" -> (Queries.q234ShapleyCuration _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -372,6 +373,48 @@ object SparkEntry {
        |$iters
        |$unions""".stripMargin
   }
+
+  /** The KNN-Shapley chain (see `DataValuation.knnShapley`): broadcast
+    * probe scoring, the telescoped recurrence as 12-dp decimal terms,
+    * the suffix window sum, the per-train-point mean. `scored`
+    * (q_id, c_id, q_lab, c_lab, sim) and `shap` (vec_id, n_test, shap)
+    * are the reusable surfaces; q228 reads `shap`, q234 adds the
+    * before/after vote accuracy.
+    */
+  private val knnShapCtes: String =
+    """q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_lab
+      |           FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS c_id, embedding AS c_emb, label AS c_lab
+      |      FROM embeddings WHERE vec_id >= 8),
+      |scored AS MATERIALIZED (
+      |  SELECT q_id, c_id, q_lab, c_lab,
+      |         round(list_cosine_similarity(q_emb::DOUBLE[], c_emb::DOUBLE[]), 6) AS sim
+      |  FROM c CROSS JOIN q),
+      |ranked AS (
+      |  SELECT q_id, c_id,
+      |         CASE WHEN c_lab IS NOT DISTINCT FROM q_lab THEN 1 ELSE 0 END AS ind,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS i,
+      |         count(*) OVER (PARTITION BY q_id) AS n
+      |  FROM scored),
+      |terms AS (
+      |  SELECT q_id, c_id, i,
+      |         CAST(round(CASE WHEN i = n
+      |                    THEN CAST(ind AS DOUBLE) / CAST(n AS DOUBLE)
+      |                    ELSE CAST((ind - lead(ind) OVER
+      |                                 (PARTITION BY q_id ORDER BY i ASC))
+      |                              * least(5, i) AS DOUBLE)
+      |                         / CAST(5 * i AS DOUBLE) END, 12)
+      |              AS DECIMAL(38,12)) AS term
+      |  FROM ranked),
+      |sfx AS (
+      |  SELECT q_id, c_id,
+      |         sum(term) OVER (PARTITION BY q_id ORDER BY i ASC
+      |                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s
+      |  FROM terms),
+      |shap AS MATERIALIZED (
+      |  SELECT c_id AS vec_id, CAST(count(*) AS BIGINT) AS n_test,
+      |         round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS shap
+      |  FROM sfx GROUP BY c_id)""".stripMargin
 
   /** The unigram-LM training chain (see `UnigramLm`) through the
     * backtrace: words → candidate substrings → seed vocab (chars +
@@ -1768,38 +1811,51 @@ object SparkEntry {
     // ranking, the telescoped recurrence as 12-dp decimal terms, suffix
     // window sum per test point, one mean per train point
     "q228_knn_shapley" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_lab
-        |           FROM embeddings WHERE vec_id < 8),
-        |c AS (SELECT vec_id AS c_id, embedding AS c_emb, label AS c_lab
-        |      FROM embeddings WHERE vec_id >= 8),
-        |scored AS (
-        |  SELECT q_id, c_id, q_lab, c_lab,
-        |         round(list_cosine_similarity(q_emb::DOUBLE[], c_emb::DOUBLE[]), 6) AS sim
-        |  FROM c CROSS JOIN q),
-        |ranked AS (
-        |  SELECT q_id, c_id,
-        |         CASE WHEN c_lab IS NOT DISTINCT FROM q_lab THEN 1 ELSE 0 END AS ind,
-        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS i,
-        |         count(*) OVER (PARTITION BY q_id) AS n
-        |  FROM scored),
-        |terms AS (
-        |  SELECT q_id, c_id, i,
-        |         CAST(round(CASE WHEN i = n
-        |                    THEN CAST(ind AS DOUBLE) / CAST(n AS DOUBLE)
-        |                    ELSE CAST((ind - lead(ind) OVER
-        |                                 (PARTITION BY q_id ORDER BY i ASC))
-        |                              * least(5, i) AS DOUBLE)
-        |                         / CAST(5 * i AS DOUBLE) END, 12)
-        |              AS DECIMAL(38,12)) AS term
-        |  FROM ranked),
-        |sfx AS (
-        |  SELECT q_id, c_id,
-        |         sum(term) OVER (PARTITION BY q_id ORDER BY i ASC
-        |                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s
-        |  FROM terms)
-        |SELECT c_id AS vec_id, CAST(count(*) AS BIGINT) AS n_test,
-        |       round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS shap
-        |FROM sfx GROUP BY c_id""".stripMargin,
+      s"""WITH $knnShapCtes
+        |SELECT vec_id, n_test, shap FROM shap""".stripMargin,
+    // the valuation CURATING: drop shap<0 train points, exact 5-NN
+    // majority-vote accuracy before/after against the same eval set
+    "q234_shapley_curation" ->
+      s"""WITH $knnShapCtes,
+        |kept AS (SELECT vec_id FROM shap WHERE shap >= 0),
+        |rf AS (SELECT q_id, q_lab, c_lab,
+        |              row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY sim DESC, c_id ASC) AS rn
+        |       FROM scored),
+        |vf AS (SELECT q_id, q_lab, c_lab, count(*) AS votes
+        |       FROM rf WHERE rn <= 5 GROUP BY 1, 2, 3),
+        |pf2 AS (SELECT q_id, q_lab, c_lab FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY q_id
+        |                      ORDER BY votes DESC, c_lab ASC) AS vr
+        |          FROM vf) WHERE vr = 1),
+        |af AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |              CAST(sum(CASE WHEN c_lab IS NOT DISTINCT FROM q_lab
+        |                            THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |       FROM pf2),
+        |sc2 AS (SELECT s.* FROM scored s JOIN kept k ON k.vec_id = s.c_id),
+        |rc AS (SELECT q_id, q_lab, c_lab,
+        |              row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY sim DESC, c_id ASC) AS rn
+        |       FROM sc2),
+        |vc AS (SELECT q_id, q_lab, c_lab, count(*) AS votes
+        |       FROM rc WHERE rn <= 5 GROUP BY 1, 2, 3),
+        |pc AS (SELECT q_id, q_lab, c_lab FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY q_id
+        |                     ORDER BY votes DESC, c_lab ASC) AS vr
+        |         FROM vc) WHERE vr = 1),
+        |ac AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |              CAST(sum(CASE WHEN c_lab IS NOT DISTINCT FROM q_lab
+        |                            THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |       FROM pc)
+        |SELECT 'full' AS regime, (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_train,
+        |       n_correct, n_test,
+        |       round(CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS accuracy
+        |FROM af
+        |UNION ALL
+        |SELECT 'curated' AS regime, (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_train,
+        |       n_correct, n_test,
+        |       round(CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS accuracy
+        |FROM ac""".stripMargin,
     // split-conformal keep threshold: k = floor((n+1)*alpha)-th smallest
     // calibration quality (q16's scorer), gate + holdout retention
     "q229_conformal_gate" ->

@@ -101,4 +101,43 @@ object DataValuation {
         round(sum(col("s")).cast("double") / count(lit(1)).cast("double"), 6)
           .as("shap"))
   }
+
+  /** Exact K-NN classification accuracy of `train` against the bounded
+    * `test` set — the utility u(S) the Shapley values decompose, as a
+    * one-row report `(n_train, n_correct, n_test, accuracy)`. Majority
+    * vote over the 6-dp-cosine top-k (ties by train id), vote ties
+    * broken toward the SMALLEST label — deterministic and
+    * SQL-replayable. Same scale shape as [[knnShapley]]: broadcast
+    * probe, one ranking window, bounded vote aggs.
+    */
+  def knnAccuracy(
+      test: DataFrame, tId: String, tVec: String, tLabel: String,
+      train: DataFrame, cId: String, cVec: String, cLabel: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = test.select(col(tId).as("q_id"), col(tVec).as("q_vec"),
+      col(tLabel).as("q_lab"))
+    val c = Parallelism.ensureCompute(train).select(col(cId).as("c_id"),
+      col(cVec).as("c_vec"), col(cLabel).as("c_lab"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    val voteW = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("c_lab").asc)
+    val nTrain = c.count()
+    c.crossJoin(broadcast(q))
+      .withColumn("sim",
+        round(VectorExpressions.cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rn", row_number().over(rankW))
+      .where(col("rn") <= k)
+      .groupBy(col("q_id"), col("q_lab"), col("c_lab"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(voteW))
+      .where(col("vr") === 1)
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("c_lab") <=> col("q_lab"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(lit(nTrain).as("n_train"), col("n_correct"), col("n_test"),
+        round(col("n_correct").cast("double") / col("n_test").cast("double"), 6)
+          .as("accuracy"))
+  }
 }

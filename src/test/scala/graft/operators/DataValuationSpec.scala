@@ -68,6 +68,23 @@ class DataValuationSpec extends SparkSuite {
       "disagree often enough that some neighbors must hurt)")
   }
 
+  test("knnAccuracy: hand case — k flips the majority, ties pick the smaller label") {
+    import spark.implicits._
+    val test = Seq((100L, Array(1.0f, 0.0f), 1)).toDF("id", "vec", "lab")
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f), 1),    // nearest, agrees
+      (2L, Array(0.9f, 0.1f), 0),    // second, disagrees
+      (3L, Array(0.8f, 0.2f), 0)     // third, disagrees
+    ).toDF("id", "vec", "lab")
+    def accAt(k: Int): Double = DataValuation.knnAccuracy(
+      test, "id", "vec", "lab", train, "id", "vec", "lab", k)
+      .collect()(0).getAs[Double]("accuracy")
+    assert(accAt(1) == 1.0, "1-NN: the agreeing nearest neighbor wins")
+    assert(accAt(3) == 0.0, "3-NN: the disagreeing majority wins")
+    // 2-NN: one vote each -> tie resolves to the SMALLEST label (0) -> wrong
+    assert(accAt(2) == 0.0, "vote tie must break toward the smaller label")
+  }
+
   test("knnShapley: pairBudget refuses over-budget mass before the join") {
     val e = intercept[IllegalArgumentException] {
       DataValuation.knnShapley(
