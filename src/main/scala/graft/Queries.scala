@@ -5481,4 +5481,40 @@ object Queries {
           col("n_test"), col("accuracy"))
     acc(train, "full").unionByName(acc(kept, "curated"))
   }
+
+  // ------------------------------------------------------------ Q235/Q236
+  /** Per-dir SQ8 grid cache ([[pqBookCache]] pattern — 2·dim driver
+    * doubles, portable across sessions).
+    */
+  private val sq8Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, ScalarQuantizer.Stats]()
+  private def sq8Stats(spark: SparkSession, dir: String): ScalarQuantizer.Stats = {
+    val cached = sq8Cache.get(dir)
+    if (cached != null) cached else {
+      val s = ScalarQuantizer.train(tp(spark, dir, "embeddings"), "embedding", PqDim)
+      sq8Cache.put(dir, s) // lost race retrains identical stats
+      s
+    }
+  }
+
+  /** SQ8 asymmetric top-5 ([[graft.operators.ScalarQuantizer]]): the
+    * 4×-compressed tier of the vector ladder — per-dim min/max grid,
+    * map-only byte encode, dequantized-distance probe. Same query set
+    * as the PQ family (`vec_id % 97 = 0`).
+    */
+  def q235Sq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val stats = sq8Stats(spark, dir)
+    val codes = ScalarQuantizer.encode(emb, "vec_id", "embedding", stats)
+    ScalarQuantizer.adcTopK(
+      emb.where(col("vec_id") % 97 === 0), "vec_id", "embedding",
+      codes, "vec_id", stats, k = 5)
+  }
+
+  /** SQ8 recall@5 against the cached exact L2 top-5: the committed
+    * evidence that the 4× tier is near-lossless (per-dim error ≤
+    * span/510) where PQ's 32× budget trades recall for space.
+    */
+  def q236Sq8Recall(spark: SparkSession, dir: String): DataFrame =
+    gtHits(q235Sq8TopK(spark, dir), exactL2Top5(spark, dir), "sq8_hits")
 }

@@ -277,6 +277,8 @@ object SparkEntry {
     "q232_doremi_mixture_draw" -> (Queries.q232DoremiMixtureDraw _),
     "q233_unigram_tokenize" -> (Queries.q233UnigramTokenize _),
     "q234_shapley_curation" -> (Queries.q234ShapleyCuration _),
+    "q235_sq8_topk" -> (Queries.q235Sq8TopK _),
+    "q236_sq8_recall" -> (Queries.q236Sq8Recall _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -415,6 +417,41 @@ object SparkEntry {
       |  SELECT c_id AS vec_id, CAST(count(*) AS BIGINT) AS n_test,
       |         round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS shap
       |  FROM sfx GROUP BY c_id)""".stripMargin
+
+  /** The SQ8 chain (see `ScalarQuantizer`): exact per-dim min/max grid,
+    * single-rounding byte codes, dequantized 6-dp-term decimal ADC,
+    * top-5. `sq8top` is the reusable surface.
+    */
+  private val sq8Ctes: String =
+    """fvq AS MATERIALIZED (
+      |  SELECT vec_id, t.p, CAST(embedding[t.p] AS DOUBLE) AS x
+      |  FROM embeddings, generate_series(1, 64) t(p)),
+      |sqst AS MATERIALIZED (
+      |  SELECT p, min(x) AS mn, max(x) AS mx FROM fvq GROUP BY 1),
+      |sqcodes AS MATERIALIZED (
+      |  SELECT f.vec_id, f.p,
+      |         CASE WHEN s.mx = s.mn THEN 0
+      |              ELSE least(greatest(CAST(round((f.x - s.mn) / (s.mx - s.mn)
+      |                                              * 255.0) AS BIGINT),
+      |                                  0), 255) END AS code
+      |  FROM fvq f JOIN sqst s USING (p)),
+      |sqdec AS (
+      |  SELECT c.vec_id, c.p,
+      |         s.mn + CAST(c.code AS DOUBLE) * (s.mx - s.mn) / 255.0 AS dx
+      |  FROM sqcodes c JOIN sqst s USING (p)),
+      |sqscored AS (
+      |  SELECT qf.vec_id AS q_id, dc.vec_id,
+      |         CAST(sum(CAST(round((qf.x - dc.dx) * (qf.x - dc.dx), 6)
+      |                       AS DECIMAL(18,6))) AS DOUBLE) AS d
+      |  FROM fvq qf JOIN sqdec dc ON dc.p = qf.p AND dc.vec_id <> qf.vec_id
+      |  WHERE qf.vec_id % 97 = 0
+      |  GROUP BY 1, 2),
+      |sq8top AS (
+      |  SELECT q_id, vec_id, d FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |                                 ORDER BY d ASC, vec_id ASC) AS rn
+      |    FROM sqscored)
+      |  WHERE rn <= 5)""".stripMargin
 
   /** The unigram-LM training chain (see `UnigramLm`) through the
     * backtrace: words → candidate substrings → seed vocab (chars +
@@ -1856,6 +1893,30 @@ object SparkEntry {
         |       n_correct, n_test,
         |       round(CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS accuracy
         |FROM ac""".stripMargin,
+    // SQ8 tier: exact min/max grid, byte codes, dequantized decimal ADC
+    "q235_sq8_topk" ->
+      s"""WITH $sq8Ctes
+        |SELECT q_id, vec_id, d FROM sq8top""".stripMargin,
+    // SQ8 recall@5 against the brute-force exact L2 top-5 (q218's ex)
+    "q236_sq8_recall" ->
+      s"""WITH $sq8Ctes,
+        |ex AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(generate_series(1, 64), i ->
+        |                 (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+        |                 * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))),
+        |               (x, y) -> x + y), 6) ASC, c.vec_id ASC) AS rn
+        |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |    WHERE q.vec_id % 97 = 0)
+        |  WHERE rn <= 5)
+        |SELECT t.q_id,
+        |       CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS sq8_hits
+        |FROM sq8top t LEFT JOIN ex e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+        |GROUP BY t.q_id""".stripMargin,
     // split-conformal keep threshold: k = floor((n+1)*alpha)-th smallest
     // calibration quality (q16's scorer), gate + holdout retention
     "q229_conformal_gate" ->

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class ScalarQuantizerSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("train/encode: codes in [0,255], dequantization error <= span/510") {
+    val stats = ScalarQuantizer.train(emb, "embedding", 64)
+    assert(stats.dim == 64 && stats.spans.forall(_ >= 0.0))
+    val codes = ScalarQuantizer.encode(emb, "vec_id", "embedding", stats)
+    val bad = codes.where(exists(col("codes"),
+      c => c < 0 || c > 255)).count()
+    assert(bad == 0, "codes must be bytes")
+    // reconstruct and bound the per-dim error by half a grid cell
+    val spansArr = array(stats.spans.toIndexedSeq.map(lit): _*)
+    val minsArr = array(stats.mins.toIndexedSeq.map(lit): _*)
+    val dec = zip_with(zip_with(col("codes"), spansArr,
+      (c, s) => c.cast("double") * s / lit(255.0)), minsArr, (v, m) => m + v)
+    val maxErr = codes.join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
+      .select(aggregate(
+        zip_with($"embedding".cast("array<double>"), dec,
+          (x, d) => abs(x - d)),
+        lit(0.0), (a, b) => greatest(a, b)).as("e"))
+      .agg(max($"e")).collect()(0).getDouble(0)
+    val bound = stats.spans.max / 510.0 + 1e-12
+    assert(maxErr <= bound, s"max dequant error $maxErr > half-cell $bound")
+  }
+
+  test("encode: zero-span dimension quantizes to code 0") {
+    val df = Seq((1L, Array(7.5f, 1.0f)), (2L, Array(7.5f, 3.0f)))
+      .toDF("id", "vec")
+    val stats = ScalarQuantizer.train(df, "vec", 2)
+    assert(stats.spans(0) == 0.0)
+    val codes = ScalarQuantizer.encode(df, "id", "vec", stats)
+      .select(element_at($"codes", 1)).collect().map(_.getLong(0))
+    assert(codes.forall(_ == 0L))
+  }
+
+  test("adcTopK: near-lossless vs exact ranking on the testdata corpus") {
+    val stats = ScalarQuantizer.train(emb, "embedding", 64)
+    val codes = ScalarQuantizer.encode(emb, "vec_id", "embedding", stats)
+    val q = emb.where($"vec_id" % 97 === 0)
+    val sq = ScalarQuantizer.adcTopK(q, "vec_id", "embedding",
+      codes, "vec_id", stats, k = 5)
+    // exact L2 top-5 with the same 6-dp-term decimal recipe
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"d".asc, $"vec_id".asc)
+    val exact = emb.select($"vec_id", $"embedding")
+      .crossJoin(broadcast(q.select($"vec_id".as("q_id"),
+        $"embedding".as("q_vec"))))
+      .where($"vec_id" =!= $"q_id")
+      .withColumn("d", aggregate(
+        zip_with($"q_vec".cast("array<double>"),
+          $"embedding".cast("array<double>"),
+          (a, b) => round((a - b) * (a - b), 6).cast("decimal(18,6)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)"),
+        (acc, t) => (acc + t).cast("decimal(28,6)")).cast("double"))
+      .withColumn("rn", row_number().over(w)).where($"rn" <= 5)
+      .select($"q_id", $"vec_id")
+    val hits = sq.select($"q_id", $"vec_id")
+      .join(exact, Seq("q_id", "vec_id"), "left_semi").count()
+    val total = exact.count()
+    assert(hits >= total - 1,
+      s"SQ8 should be near-lossless at 4x compression: $hits/$total")
+  }
+
+  test("adcTopK: deterministic across repartitionings") {
+    val stats = ScalarQuantizer.train(emb, "embedding", 64)
+    val codes = ScalarQuantizer.encode(emb, "vec_id", "embedding", stats)
+    val q = emb.where($"vec_id" % 97 === 0)
+    val a = ScalarQuantizer.adcTopK(q, "vec_id", "embedding",
+      codes, "vec_id", stats, 5).orderBy("q_id", "vec_id").collect().toSeq
+    val b = ScalarQuantizer.adcTopK(q, "vec_id", "embedding",
+      codes.repartition(13), "vec_id", stats, 5)
+      .orderBy("q_id", "vec_id").collect().toSeq
+    assert(a == b)
+  }
+}
