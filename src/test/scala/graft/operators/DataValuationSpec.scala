@@ -85,6 +85,17 @@ class DataValuationSpec extends SparkSuite {
     assert(accAt(2) == 0.0, "vote tie must break toward the smaller label")
   }
 
+  test("plan shape: broadcast probe, no cartesian, one test-keyed window chain") {
+    val out = DataValuation.knnShapley(
+      emb.where(col("vec_id") < 8), "vec_id", "embedding", "label",
+      emb.where(col("vec_id") >= 8), "vec_id", "embedding", "label", k = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the bounded eval set must ride a broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"valuation probe degenerated to a shuffled cartesian:\n$plan")
+  }
+
   test("knnShapley: pairBudget refuses over-budget mass before the join") {
     val e = intercept[IllegalArgumentException] {
       DataValuation.knnShapley(

@@ -69,6 +69,17 @@ class ScalarQuantizerSpec extends SparkSuite {
       s"SQ8 should be near-lossless at 4x compression: $hits/$total")
   }
 
+  test("plan shape: codes-only scan probes via broadcast, never a cartesian") {
+    val stats = ScalarQuantizer.train(emb, "embedding", 64)
+    val codes = ScalarQuantizer.encode(emb, "vec_id", "embedding", stats)
+    val out = ScalarQuantizer.adcTopK(emb.where($"vec_id" % 97 === 0),
+      "vec_id", "embedding", codes, "vec_id", stats, 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"SQ8 probe must broadcast the query side:\n$plan")
+  }
+
   test("adcTopK: deterministic across repartitionings") {
     val stats = ScalarQuantizer.train(emb, "embedding", 64)
     val codes = ScalarQuantizer.encode(emb, "vec_id", "embedding", stats)

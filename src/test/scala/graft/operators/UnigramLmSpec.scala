@@ -28,6 +28,20 @@ class UnigramLmSpec extends SparkSuite {
       s"tie must resolve to the single 2-char piece: ${segs.toSeq}")
   }
 
+  test("plan shape: vocab edge build is an equi-join, top-multi is TakeOrdered") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val vocabPlan = UnigramLm.seedVocab(docs, "text", 4, 50)
+      .queryExecution.executedPlan.toString
+    assert(vocabPlan.contains("TakeOrderedAndProject"),
+      s"top-multi selection must not be a single-partition window:\n$vocabPlan")
+    val segPlan = UnigramLm.segment(docs, "text",
+      UnigramLm.seedVocab(docs, "text", 4, 50))
+      .queryExecution.executedPlan.toString
+    assert(!segPlan.contains("CartesianProduct") &&
+      !segPlan.contains("BroadcastNestedLoopJoin"),
+      s"piece lookup must stay an equi-join:\n$segPlan")
+  }
+
   test("emRound: counts conserve corpus mass and re-estimated probs normalize") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
     val m = UnigramLm.emRound(docs, "text", maxPieceLen = 4, topMulti = 50)
