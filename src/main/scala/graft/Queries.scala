@@ -5442,8 +5442,7 @@ object Queries {
     */
   def q233UnigramTokenize(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val vocab = UnigramLm.seedVocab(docs, "text", 4, 100)
-    val np = UnigramLm.segment(docs, "text", vocab)
+    val np = UnigramLm.tokenize(docs, "text", 4, 100)
       .groupBy(col("w")).agg(count(lit(1)).as("np"))
     val occ = docs
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
@@ -5465,21 +5464,22 @@ object Queries {
     */
   def q234ShapleyCuration(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val test = emb.where(col("vec_id") < 8)
-    val train = emb.where(col("vec_id") >= 8)
-    val shap = DataValuation.knnShapley(
-      test, "vec_id", "embedding", "label",
-      train, "vec_id", "embedding", "label", k = 5)
-    val kept = train.join(
-      shap.where(col("shap") >= 0).select(col("vec_id")),
-      Seq("vec_id"), "left_semi")
-    def acc(tr: DataFrame, regime: String): DataFrame =
-      DataValuation.knnAccuracy(
-        test, "vec_id", "embedding", "label",
-        tr, "vec_id", "embedding", "label", k = 5)
+    // score the |test|x|train| pairs ONCE behind a barrier; the Shapley
+    // pass and both accuracy readouts rank the same relation (the q222
+    // shared-scoring discipline — scoring three times cost 3x wall time)
+    val scored = DataValuation.scorePairs(
+      emb.where(col("vec_id") < 8), "vec_id", "embedding", "label",
+      emb.where(col("vec_id") >= 8), "vec_id", "embedding", "label")
+      .localCheckpoint()
+    val kept = DataValuation.knnShapleyScored(scored, k = 5)
+      .where(col("shap") >= 0).select(col("vec_id"))
+    val scoredCur = scored.join(kept,
+      scored("c_id") === kept("vec_id"), "left_semi")
+    def acc(s: DataFrame, regime: String): DataFrame =
+      DataValuation.knnAccuracyScored(s, k = 5)
         .select(lit(regime).as("regime"), col("n_train"), col("n_correct"),
           col("n_test"), col("accuracy"))
-    acc(train, "full").unionByName(acc(kept, "curated"))
+    acc(scored, "full").unionByName(acc(scoredCur, "curated"))
   }
 
   // ------------------------------------------------------------ Q235/Q236

@@ -309,13 +309,6 @@ object SparkEntry {
        |    GROUP BY 1, 2, 3) u
        |  ON u.sub = g.sub AND u.code = g.code AND u.pos = g.pos)""".stripMargin
 
-  /** The full two-Lloyd-iteration training replay over sub-vector table
-    * `sv` ((vec_id, sub, pos, val) rows) with init salt `salt`, every
-    * CTE name suffixed `sfx` so the raw (`sv`/`pq`/"") and residual
-    * (`rv`/`pqr`/"r") chains can coexist in one oracle. Emits
-    * iu/sel/c0..c2/d1..d3/a1..a3 (suffixed); c2$sfx = final codebook,
-    * a3$sfx = final assignment (encode), d3$sfx = the ADC LUT.
-    */
   /** One portable-uniform replay over a SQL string expression (the
     * 48-bit char fold + LCG scramble `TextFunctions.portableUniform`
     * computes natively).
@@ -532,6 +525,13 @@ object SparkEntry {
       |            e -> e >> 34))) END) AS tr
       |  FROM fwd)""".stripMargin
 
+  /** The full two-Lloyd-iteration training replay over sub-vector table
+    * `sv` ((vec_id, sub, pos, val) rows) with init salt `salt`, every
+    * CTE name suffixed `sfx` so the raw (`sv`/`pq`/"") and residual
+    * (`rv`/`pqr`/"r") chains can coexist in one oracle. Emits
+    * iu/sel/c0..c2/d1..d3/a1..a3 (suffixed); c2$sfx = final codebook,
+    * a3$sfx = final assignment (encode), d3$sfx = the ADC LUT.
+    */
   private def pqTrainCtes(sv: String, salt: String, sfx: String): String =
     s"""iu$sfx AS (
        |  SELECT e.vec_id, s.sub,

@@ -481,33 +481,6 @@ object DataSelection {
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
   }
 
-  /** Split-conformal quality gate (Vovk et al.'s split/inductive
-    * conformal prediction, one-sided): calibrate a KEEP threshold on a
-    * vetted-GOOD sample so the gate provably discards at most `alpha`
-    * of good data in expectation. With `n` exchangeable calibration
-    * scores, the `k = floor((n+1)·alpha)`-th SMALLEST calibration score
-    * is a lower conformal bound: a fresh good document scores below it
-    * with probability ≤ alpha, so "keep `score >= threshold`" wrongly
-    * drops ≤ alpha of good data — a finite-sample guarantee that holds
-    * for ANY scorer, no model assumptions. This is the principled
-    * replacement for the hand-picked quality cutoffs every pretraining
-    * pipeline carries (the adaptive-cutoff operator picks a cutoff from
-    * the pool's own distribution; this one calibrates it against
-    * labeled-good data with a risk guarantee).
-    *
-    * Scale shape: the CALIBRATION set is the bounded side by design (a
-    * human-vetted sample — thousands, not billions), so its exact
-    * order statistic may ride a single-partition ranking window; the
-    * pool is touched by one broadcast-threshold map pass plus one
-    * partial agg for the report. Nothing pool-sized shuffles.
-    *
-    * Returns one report row: `(n_cal, k, threshold, n_pool, n_kept,
-    * keep_rate, n_holdout, holdout_retention)` — `holdout` is a second
-    * vetted-good sample measuring realized retention (should be
-    * ≈ 1−alpha or better). Threshold/rates rounded to 6 dp; counts
-    * BIGINT. Requires `k >= 1` (otherwise no finite threshold exists —
-    * grow the calibration set or raise alpha).
-    */
   /** DoReMi domain-reweighting trajectory (Xie et al. 2023, "DoReMi:
     * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
     * Algorithm 1's Group-DRO exponentiated-gradient update): given a
@@ -577,13 +550,50 @@ object DataSelection {
     traj.result().toDF("round", "domain", "excess", "alpha")
   }
 
+  /** Split-conformal quality gate (Vovk et al.'s split/inductive
+    * conformal prediction, one-sided): calibrate a KEEP threshold on a
+    * vetted-GOOD sample so the gate provably discards at most `alpha`
+    * of good data in expectation. With `n` exchangeable calibration
+    * scores, the `k = floor((n+1)·alpha)`-th SMALLEST calibration score
+    * is a lower conformal bound: a fresh good document scores below it
+    * with probability ≤ alpha, so "keep `score >= threshold`" wrongly
+    * drops ≤ alpha of good data — a finite-sample guarantee that holds
+    * for ANY scorer, no model assumptions. This is the principled
+    * replacement for the hand-picked quality cutoffs every pretraining
+    * pipeline carries (the adaptive-cutoff operator picks a cutoff from
+    * the pool's own distribution; this one calibrates it against
+    * labeled-good data with a risk guarantee).
+    *
+    * Scale shape: the CALIBRATION set is the bounded side by design (a
+    * human-vetted sample — thousands, not billions), so its exact
+    * order statistic may ride a single-partition ranking window; the
+    * pool is touched by one broadcast-threshold map pass plus one
+    * partial agg for the report. Nothing pool-sized shuffles.
+    *
+    * Returns one report row: `(n_cal, k, threshold, n_pool, n_kept,
+    * keep_rate, n_holdout, holdout_retention)` — `holdout` is a second
+    * vetted-good sample measuring realized retention (should be
+    * ≈ 1−alpha or better). Threshold/rates rounded to 6 dp; counts
+    * BIGINT. Requires `k >= 1` (otherwise no finite threshold exists —
+    * grow the calibration set or raise alpha).
+    */
   def conformalGateReport(calib: DataFrame, pool: DataFrame,
       holdout: DataFrame, scoreCol: String, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
     val s = col(scoreCol).cast("double")
     val calS = Parallelism.ensureCompute(calib).select(s.as("score"))
     // bounded by design: the vetted sample. One row of driver state.
-    val nCal = calS.count()
+    // A null calibration score (e.g. a failed cast) would occupy the
+    // smallest ranks and silently shift the order statistic — the
+    // guarantee dies quietly. Refuse instead.
+    val calCounts = calS
+      .agg(count(lit(1)).as("n"), count(col("score")).as("nonNull"))
+      .collect()(0)
+    val nCal = calCounts.getLong(0)
+    require(calCounts.getLong(1) == nCal,
+      s"calibration has ${nCal - calCounts.getLong(1)} null scores of " +
+        s"$nCal; the conformal order statistic requires every " +
+        "calibration row scored")
     val k = math.floor((nCal + 1) * alpha).toLong
     require(k >= 1, s"floor((n_cal+1)*alpha) = $k < 1: calibration set " +
       s"too small for alpha=$alpha (n_cal=$nCal)")

@@ -72,12 +72,44 @@ object DataValuation {
         s"planned valuation pair mass $mass exceeds pairBudget $budget; " +
           "shrink the eval set (the bounded side) or raise the budget")
     }
-    val scored = c.crossJoin(broadcast(q))
-      .withColumn("sim", round(VectorExpressions.cosine(col("q_vec"), col("c_vec")), 6))
+    knnShapleyScored(scorePairs(test, tId, tVec, tLabel,
+      train, cId, cVec, cLabel), k)
+  }
+
+  /** The shared pair-scoring surface: the bounded test side broadcast
+    * against the corpus, 6-dp cosine per pair — `(q_id, c_id, q_lab,
+    * c_lab, sim)`. [[knnShapley]] and [[knnAccuracy]] both rank THIS
+    * relation, so a caller comparing several readouts (q234's
+    * before/after audit) scores the pairs ONCE (localCheckpoint it)
+    * instead of once per readout.
+    */
+  def scorePairs(
+      test: DataFrame, tId: String, tVec: String, tLabel: String,
+      train: DataFrame, cId: String, cVec: String, cLabel: String): DataFrame = {
+    val q = test.select(col(tId).as("q_id"), col(tVec).as("q_vec"),
+      col(tLabel).as("q_lab"))
+    val c = Parallelism.ensureCompute(train).select(col(cId).as("c_id"),
+      col(cVec).as("c_vec"), col(cLabel).as("c_lab"))
+    c.crossJoin(broadcast(q))
+      .withColumn("sim",
+        round(VectorExpressions.cosine(col("q_vec"), col("c_vec")), 6))
+      .select(col("q_id"), col("c_id"), col("q_lab"), col("c_lab"), col("sim"))
+  }
+
+  /** [[knnShapley]] over a prebuilt [[scorePairs]] relation. */
+  def knnShapleyScored(scored: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val byQ = Window.partitionBy(col("q_id"))
     val rankW = byQ.orderBy(col("sim").desc, col("c_id").asc)
     val iW = byQ.orderBy(col("i").asc)
-    val suffixW = iW.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // the suffix sum MUST be phrased as a RUNNING frame over descending
+    // rank: Spark executes (currentRow, unboundedFollowing) frames by
+    // re-aggregating the remainder per row — O(n²) per test partition,
+    // measured 46x at 10x data — while (unboundedPreceding, currentRow)
+    // is incremental. Decimal terms sum order-free, so the value is
+    // identical to the oracle's suffix formulation.
+    val suffixW = byQ.orderBy(col("i").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val kL = lit(k.toLong)
     scored
       .withColumn("ind",
@@ -113,20 +145,24 @@ object DataValuation {
   def knnAccuracy(
       test: DataFrame, tId: String, tVec: String, tLabel: String,
       train: DataFrame, cId: String, cVec: String, cLabel: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    knnAccuracyScored(scorePairs(test, tId, tVec, tLabel,
+      train, cId, cVec, cLabel), k)
+
+  /** [[knnAccuracy]] over a prebuilt [[scorePairs]] relation (`n_train`
+    * re-derived as the relation's distinct train ids).
+    */
+  def knnAccuracyScored(scored: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val q = test.select(col(tId).as("q_id"), col(tVec).as("q_vec"),
-      col(tLabel).as("q_lab"))
-    val c = Parallelism.ensureCompute(train).select(col(cId).as("c_id"),
-      col(cVec).as("c_vec"), col(cLabel).as("c_lab"))
     val rankW = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("c_id").asc)
+    // nulls LAST to match ANSI/DuckDB default ASC ordering (Spark's
+    // default asc puts nulls first — a null-labeled vote tie would
+    // silently flip the winner between engines)
     val voteW = Window.partitionBy(col("q_id"))
-      .orderBy(col("votes").desc, col("c_lab").asc)
-    val nTrain = c.count()
-    c.crossJoin(broadcast(q))
-      .withColumn("sim",
-        round(VectorExpressions.cosine(col("q_vec"), col("c_vec")), 6))
+      .orderBy(col("votes").desc, col("c_lab").asc_nulls_last)
+    val nTrain = scored.select(col("c_id")).distinct().count()
+    scored
       .withColumn("rn", row_number().over(rankW))
       .where(col("rn") <= k)
       .groupBy(col("q_id"), col("q_lab"), col("c_lab"))

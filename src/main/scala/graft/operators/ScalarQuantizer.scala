@@ -61,6 +61,17 @@ object ScalarQuantizer {
   private def spansArr(stats: Stats): Column =
     array(stats.spans.toIndexedSeq.map(lit): _*)
 
+  /** A ragged vector must RAISE, not encode: zip_with pads short arrays
+    * with nulls, which would silently quantize a missing coordinate to
+    * the grid floor (or null a query's whole distance and rank it
+    * first under nulls-first asc). The QuantileSketch alpha-guard
+    * pattern.
+    */
+  private def sizeGuarded(vec: Column, dim: Int, out: Column): Column =
+    when(size(vec) =!= dim, raise_error(concat(
+      lit("sq8: vector size "), size(vec).cast("string"),
+      lit(s" != dim $dim")))).otherwise(out)
+
   /** Map-only encode: `codes` = array of 0..255 ints (stored long), a
     * constant dimension keeps zero-span columns at code 0. Carries
     * `idCol` plus `carryCols`.
@@ -74,7 +85,8 @@ object ScalarQuantizer {
         least(greatest(round(v / s * lit(255.0), 0).cast("long"), lit(0L)),
           lit(255L))))
     Parallelism.ensureCompute(df).select(
-      (col(idCol) +: carryCols.map(col)) :+ codes.as("codes"): _*)
+      (col(idCol) +: carryCols.map(col))
+        :+ sizeGuarded(xd, stats.dim, codes).as("codes"): _*)
   }
 
   /** Asymmetric top-k: full-precision (broadcast) queries against the
@@ -89,11 +101,16 @@ object ScalarQuantizer {
       zip_with(col("codes"), spansArr(stats),
         (c, s) => c.cast("double") * s / lit(255.0)),
       minsArr(stats), (v, m) => m + v)
-    val terms = zip_with(col("q_vec").cast("array<double>"), dec,
+    val terms = zip_with(
+      sizeGuarded(col("q_vec").cast("array<double>"), stats.dim,
+        col("q_vec").cast("array<double>")), col("dec"),
       (a, b) => round((a - b) * (a - b), 6).cast("decimal(18,6)"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("d").asc, col("vec_id").asc)
-    codes.select(col(cId).as("vec_id"), col("codes"))
+    // dequantize BELOW the join: the projection runs once per corpus
+    // row on the stream side, not once per (query, corpus) pair — the
+    // q205 hoist-per-small-row-table lesson applied to the big side
+    codes.select(col(cId).as("vec_id"), dec.as("dec"))
       .crossJoin(broadcast(
         queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))))
       .where(col("vec_id") =!= col("q_id"))

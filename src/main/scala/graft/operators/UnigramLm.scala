@@ -29,10 +29,11 @@ import org.apache.spark.sql.functions._
   * edges). A SQL oracle replays words → vocab → edges → forward DP →
   * backtrace → M-step, fold for fold.
   *
-  * Edges pack as one BIGINT `((s·64 + l) << 34) | icost` (s, l ≤ 63;
-  * icost < 2^34 — `ln(2^34/1e6) ≈ 17k` distinct-word mass, checked at
-  * runtime), so edge lists sort canonically and the DP lambdas stay
-  * integer-only.
+  * Edges pack as one BIGINT `((s·64 + l) << 34) | icost` (s, l ≤ 63 —
+  * `require`d; icost < 2^34 — raise_error-guarded in the edge build,
+  * though unreachable from [[seedVocab]]: `ln(tot)·1e6 ≥ 2^34` needs a
+  * piece mass over `e^17179`), so edge lists sort canonically and the
+  * DP lambdas stay integer-only.
   */
 object UnigramLm {
 
@@ -82,8 +83,18 @@ object UnigramLm {
       maxWordLen: Int = 20): DataFrame = {
     require(maxPieceLen >= 1 && maxPieceLen <= 63,
       s"maxPieceLen must be in [1, 63], got $maxPieceLen")
+    seedVocabFrom(candidates(words(docs, textCol, maxWordLen), maxPieceLen),
+      topMulti)
+  }
+
+  /** [[seedVocab]] over a prebuilt candidate table — the shared-scan
+    * seam: [[emRound]]/[[tokenize]] build `cand` ONCE and feed both the
+    * vocab construction and the edge build (the corpus's most expensive
+    * explode must not run twice).
+    */
+  private def seedVocabFrom(cand: DataFrame, topMulti: Int): DataFrame = {
     require(topMulti >= 0, s"topMulti must be >= 0, got $topMulti")
-    val pf = candidates(words(docs, textCol, maxWordLen), maxPieceLen)
+    val pf = cand
       .groupBy(col("piece"))
       .agg(sum(col("freq")).as("seed_freq"))
     val singles = pf.where(length(col("piece")) === 1)
@@ -117,12 +128,32 @@ object UnigramLm {
     */
   def segment(docs: DataFrame, textCol: String, vocab: DataFrame,
       maxPieceLen: Int = 4, maxWordLen: Int = 20): DataFrame = {
-    val wrds = words(docs, textCol, maxWordLen)
-    val edges = candidates(wrds, maxPieceLen)
+    require(maxPieceLen >= 1 && maxPieceLen <= 63,
+      s"maxPieceLen must be in [1, 63] (the 6-bit l field), got $maxPieceLen")
+    require(maxWordLen >= 1 && maxWordLen <= 63,
+      s"maxWordLen must be in [1, 63] (the packed s field), got $maxWordLen")
+    segmentFrom(candidates(words(docs, textCol, maxWordLen), maxPieceLen),
+      vocab, maxWordLen)
+  }
+
+  /** [[segment]] over a prebuilt candidate table (the shared-scan seam;
+    * see [[seedVocabFrom]]).
+    */
+  private def segmentFrom(cand: DataFrame, vocab: DataFrame,
+      maxWordLen: Int): DataFrame = {
+    // a cost outside [0, 2^34) would bleed into the (s, l) fields and
+    // the DP would read garbage positions — refuse corrupt vocabs
+    // (unreachable from seedVocab: ln(tot)·1e6 < 2^34 needs tot > e^17179)
+    val safeCost = when(
+      col("icost") < 0 || col("icost") >= lit(CostMask + 1),
+      raise_error(concat(lit("unigram: icost "), col("icost").cast("string"),
+        lit(" outside [0, 2^34) — packed-edge layout would corrupt"))))
+      .otherwise(col("icost"))
+    val edges = cand
       .join(vocab.select(col("piece"), col("icost")), Seq("piece"))
       .select(col("w"), col("freq"), col("len"),
         (shiftleft(col("s") * 64 + col("l"), 34)
-          .bitwiseOR(col("icost"))).as("e"))
+          .bitwiseOR(safeCost)).as("e"))
     val arr = edges.groupBy(col("w"), col("freq"), col("len"))
       .agg(sort_array(collect_list(col("e"))).as("es"))
     val pos = (acc: Column) => when(size(acc) === 1, element_at(acc, 1))
@@ -166,8 +197,8 @@ object UnigramLm {
   def emRound(docs: DataFrame, textCol: String,
       maxPieceLen: Int = 4, topMulti: Int = 100,
       maxWordLen: Int = 20): DataFrame = {
-    val vocab = seedVocab(docs, textCol, maxPieceLen, topMulti, maxWordLen)
-    val seg = segment(docs, textCol, vocab, maxPieceLen, maxWordLen)
+    val (vocab, seg) = trainAndSegment(docs, textCol, maxPieceLen,
+      topMulti, maxWordLen)
     val cnt = seg.groupBy(col("piece"))
       .agg(sum(col("freq")).as("viterbi_cnt"))
     val tot1 = cnt.agg(sum(col("viterbi_cnt")).as("tot1"))
@@ -178,5 +209,28 @@ object UnigramLm {
         when(col("viterbi_cnt").isNotNull,
           round(log(col("viterbi_cnt").cast("double"))
             - log(col("tot1").cast("double")), 6)).as("logp1"))
+  }
+
+  /** Train-and-apply in ONE candidate scan: the words table and the
+    * substring explosion are built once and persisted, the seed vocab
+    * and the Viterbi edge build both read them. Returns the segment
+    * rows (the serving surface q233 rolls up).
+    */
+  def tokenize(docs: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, topMulti: Int = 100,
+      maxWordLen: Int = 20): DataFrame =
+    trainAndSegment(docs, textCol, maxPieceLen, topMulti, maxWordLen)._2
+
+  private def trainAndSegment(docs: DataFrame, textCol: String,
+      maxPieceLen: Int, topMulti: Int, maxWordLen: Int)
+      : (DataFrame, DataFrame) = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 63,
+      s"maxPieceLen must be in [1, 63] (the 6-bit l field), got $maxPieceLen")
+    require(maxWordLen >= 1 && maxWordLen <= 63,
+      s"maxWordLen must be in [1, 63] (the packed s field), got $maxWordLen")
+    val cand = candidates(words(docs, textCol, maxWordLen), maxPieceLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = seedVocabFrom(cand, topMulti)
+    (vocab, segmentFrom(cand, vocab, maxWordLen))
   }
 }
