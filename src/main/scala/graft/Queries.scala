@@ -5482,6 +5482,17 @@ object Queries {
     acc(scored, "full").unionByName(acc(scoredCur, "curated"))
   }
 
+  // ---------------------------------------------------------------- Q237
+  /** Chained unigram EM ([[graft.operators.UnigramLm.emTrajectory]]):
+    * two Viterbi+renormalize rounds — vocabulary narrows to the pieces
+    * the optimal segmentations use, total corpus micro-nats
+    * monotonically descend (the textbook EM bound, exact under the
+    * integer DP). One row per round.
+    */
+  def q237UnigramEmTrajectory(spark: SparkSession, dir: String): DataFrame =
+    UnigramLm.emTrajectory(t(spark, dir, "documents"), "text",
+      rounds = 2, maxPieceLen = 4, topMulti = 100, maxWordLen = 20)
+
   // ------------------------------------------------------------ Q235/Q236
   /** Per-dir SQ8 grid cache ([[pqBookCache]] pattern — 2·dim driver
     * doubles, portable across sessions).

@@ -279,6 +279,7 @@ object SparkEntry {
     "q234_shapley_curation" -> (Queries.q234ShapleyCuration _),
     "q235_sq8_topk" -> (Queries.q235Sq8TopK _),
     "q236_sq8_recall" -> (Queries.q236Sq8Recall _),
+    "q237_unigram_em" -> (Queries.q237UnigramEmTrajectory _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -487,14 +488,22 @@ object SparkEntry {
       |                     - ln(CAST(seed_freq AS DOUBLE))) * 1000000.0)
       |              AS BIGINT) AS icost
       |  FROM vocab0),
-      |edges AS MATERIALIZED (
+      |""".stripMargin + unigramDp("vocab", "")
+
+  /** One Viterbi pass as oracle CTEs (see `UnigramLm.segmentFrom`):
+    * packed edges from `cand` x `$vocab`, the forward integer fold, the
+    * longest-first backtrace — every CTE suffixed `$sfx` so chained EM
+    * rounds coexist (the pqTrainCtes discipline).
+    */
+  private def unigramDp(vocab: String, sfx: String): String =
+    s"""edges$sfx AS MATERIALIZED (
       |  SELECT c.w, c.freq, c.len,
       |         ((c.s * 64 + c.l) << 34) | v.icost AS e
-      |  FROM cand c JOIN vocab v USING (piece)),
-      |arr AS MATERIALIZED (
+      |  FROM cand c JOIN $vocab v USING (piece)),
+      |arr$sfx AS MATERIALIZED (
       |  SELECT w, freq, len, list_sort(list(e)) AS es
-      |  FROM edges GROUP BY 1, 2, 3),
-      |fwd AS MATERIALIZED (
+      |  FROM edges$sfx GROUP BY 1, 2, 3),
+      |fwd$sfx AS MATERIALIZED (
       |  SELECT w, freq, len, es,
       |    list_reduce(
       |      list_prepend([CAST(0 AS BIGINT)],
@@ -505,8 +514,8 @@ object SparkEntry {
       |          e -> acc[CAST((e >> 40) + 1 AS INTEGER)]
       |               + (e & 17179869183))),
       |        1000000000000000))) AS best
-      |  FROM arr),
-      |bt AS MATERIALIZED (
+      |  FROM arr$sfx),
+      |bt$sfx AS MATERIALIZED (
       |  SELECT w, freq, best, len,
       |    list_reduce(
       |      list_prepend([len], list_transform(range(1, len + 1), i -> [i])),
@@ -523,7 +532,7 @@ object SparkEntry {
       |                 best[CAST((CASE WHEN len(acc) = 1 THEN acc[1]
       |                            ELSE acc[-1] >> 6 END) + 1 AS INTEGER)]),
       |            e -> e >> 34))) END) AS tr
-      |  FROM fwd)""".stripMargin
+      |  FROM fwd$sfx)""".stripMargin
 
   /** The full two-Lloyd-iteration training replay over sub-vector table
     * `sv` ((vec_id, sub, pos, val) rows) with init salt `salt`, every
@@ -2006,6 +2015,40 @@ object SparkEntry {
         |           AS rank
         |  FROM g)
         |WHERE rank <= 100""".stripMargin,
+    // chained EM: round-1 piece counts renormalize into vocab2, the
+    // suffixed DP re-segments, per-round corpus micro-nats reported
+    "q237_unigram_em" ->
+      s"""WITH $unigramCtes,
+        |segs AS (
+        |  SELECT w, freq,
+        |         substr(w, CAST((pk >> 6) + 1 AS INTEGER),
+        |                CAST(pk & 63 AS INTEGER)) AS piece
+        |  FROM (SELECT w, freq, unnest(tr[2:]) AS pk FROM bt)),
+        |cnt AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+        |        FROM segs GROUP BY 1),
+        |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot1 FROM cnt),
+        |vocab2 AS MATERIALIZED (
+        |  SELECT piece,
+        |         CAST(round((ln(CAST((SELECT tot1 FROM tt) AS DOUBLE))
+        |                     - ln(CAST(cnt AS DOUBLE))) * 1000000.0)
+        |              AS BIGINT) AS icost
+        |  FROM cnt),
+        |${unigramDp("vocab2", "2")},
+        |segs2 AS (
+        |  SELECT w, freq,
+        |         substr(w, CAST((pk >> 6) + 1 AS INTEGER),
+        |                CAST(pk & 63 AS INTEGER)) AS piece
+        |  FROM (SELECT w, freq, unnest(tr[2:]) AS pk FROM bt2))
+        |SELECT CAST(1 AS BIGINT) AS round,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM cnt) AS n_pieces_used,
+        |       (SELECT CAST(sum(freq * best[CAST(len + 1 AS INTEGER)]) AS BIGINT)
+        |        FROM fwd) AS corpus_cost
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS round,
+        |       (SELECT CAST(count(DISTINCT piece) AS BIGINT) FROM segs2)
+        |         AS n_pieces_used,
+        |       (SELECT CAST(sum(freq * best[CAST(len + 1 AS INTEGER)]) AS BIGINT)
+        |        FROM fwd2) AS corpus_cost""".stripMargin,
     // the trained unigram model applied per word OCCURRENCE via the
     // distinct-word equi-join; per-language compression rollup
     "q233_unigram_tokenize" ->

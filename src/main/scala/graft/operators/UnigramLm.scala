@@ -221,6 +221,52 @@ object UnigramLm {
       maxWordLen: Int = 20): DataFrame =
     trainAndSegment(docs, textCol, maxPieceLen, topMulti, maxWordLen)._2
 
+  /** CHAINED hard-EM rounds — the convergence story [[emRound]] opens:
+    * each round Viterbi-segments under the current model and
+    * renormalizes; the next round's vocabulary is exactly the pieces
+    * the optimal segmentations USED (coverage is guaranteed by
+    * construction: every word's round-t pieces survive to round t+1),
+    * with costs `round((ln tot − ln cnt)·1e6)`. Total corpus cost in
+    * micro-nats is monotonically non-increasing across rounds — the
+    * textbook EM bound, here exact because the DP is integer
+    * (spec-pinned). Driver state per round: two scalars plus the
+    * model-sized count table's cardinality (the Lloyd discipline).
+    *
+    * Returns one row per round: `(round, n_pieces_used, corpus_cost)`.
+    */
+  def emTrajectory(docs: DataFrame, textCol: String, rounds: Int = 2,
+      maxPieceLen: Int = 4, topMulti: Int = 100,
+      maxWordLen: Int = 20): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds must be in [1, 8], got $rounds")
+    require(maxPieceLen >= 1 && maxPieceLen <= 63,
+      s"maxPieceLen must be in [1, 63], got $maxPieceLen")
+    require(maxWordLen >= 1 && maxWordLen <= 63,
+      s"maxWordLen must be in [1, 63], got $maxWordLen")
+    val spark = docs.sparkSession
+    val cand = candidates(words(docs, textCol, maxWordLen), maxPieceLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var vocab = seedVocabFrom(cand, topMulti)
+      .select(col("piece"), col("icost"))
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    for (t <- 1 to rounds) {
+      val seg = segmentFrom(cand, vocab, maxWordLen)
+      val cost = seg.groupBy(col("w"), col("freq"), col("cost"))
+        .agg(count(lit(1)).as("np"))
+        .agg(sum(col("freq") * col("cost"))).collect()(0).getLong(0)
+      val counts = seg.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out += ((t.toLong, counts.count(), cost))
+      val tot = counts.agg(sum(col("cnt")).as("tot"))
+      vocab = counts.crossJoin(broadcast(tot))
+        .select(col("piece"),
+          round((log(col("tot").cast("double"))
+            - log(col("cnt").cast("double"))) * lit(1000000.0), 0)
+            .cast("long").as("icost"))
+    }
+    import spark.implicits._
+    out.result().toDF("round", "n_pieces_used", "corpus_cost")
+  }
+
   private def trainAndSegment(docs: DataFrame, textCol: String,
       maxPieceLen: Int, topMulti: Int, maxWordLen: Int)
       : (DataFrame, DataFrame) = {

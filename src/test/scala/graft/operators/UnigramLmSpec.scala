@@ -67,6 +67,24 @@ class UnigramLmSpec extends SparkSuite {
       s"segmentations must tile the corpus: $pieceMass vs $charMass")
   }
 
+  test("emTrajectory: corpus cost descends monotonically, coverage never breaks") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(120)
+    val t = UnigramLm.emTrajectory(docs, "text", rounds = 4,
+      maxPieceLen = 4, topMulti = 60)
+      .orderBy($"round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    val costs = t.map(_._3)
+    assert(costs.zip(costs.tail).forall { case (a, b) => b <= a },
+      s"EM corpus cost must be non-increasing: ${costs.toSeq}")
+    // vocab narrows (or holds) and never empties — coverage survives
+    // because every word's previous-round pieces survive to the next
+    val sizes = t.map(_._2)
+    assert(sizes.forall(_ > 0))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => b <= a },
+      s"used-piece counts cannot grow: ${sizes.toSeq}")
+  }
+
   test("emRound: EM round never increases corpus cost under the new model") {
     // classic EM sanity: total Viterbi cost under seed costs >= the cost
     // of the SAME segmentation re-priced at the re-estimated probs
