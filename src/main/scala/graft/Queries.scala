@@ -5493,6 +5493,33 @@ object Queries {
     UnigramLm.emTrajectory(t(spark, dir, "documents"), "text",
       rounds = 2, maxPieceLen = 4, topMulti = 100, maxWordLen = 20)
 
+  // ---------------------------------------------------------------- Q238
+  /** IVF-SQ8 composed probe: the q208 shape with SQ8 codes — the coarse
+    * router prunes WHICH rows are scored (the answer to q235's
+    * pair-mass proportionality), the byte grid shrinks WHAT is read.
+    * Queries score only their own list via the equi-condition broadcast
+    * join.
+    */
+  def q238IvfSq8Probe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val stats = sq8Stats(spark, dir)
+    val routed = emb.withColumn("list", pqListOf(col("embedding")))
+    val codes = ScalarQuantizer.encode(routed, "vec_id", "embedding",
+      stats, carryCols = Seq("list"))
+    ScalarQuantizer.adcTopK(
+      routed.where(col("vec_id") % 97 === 0), "vec_id", "embedding",
+      codes, "vec_id", stats, k = 5, withinCol = Some("list"))
+  }
+
+  /** IVF-SQ8 recall@5 vs the exact ground truth: what the coarse
+    * restriction costs on top of the near-lossless byte grid (compare
+    * q236's unrestricted 29/30 — the delta is pure routing loss, the
+    * nProbe lever's justification).
+    */
+  def q239IvfSq8Recall(spark: SparkSession, dir: String): DataFrame =
+    gtHits(q238IvfSq8Probe(spark, dir), exactL2Top5(spark, dir),
+      "ivf_sq8_hits")
+
   // ------------------------------------------------------------ Q235/Q236
   /** Per-dir SQ8 grid cache ([[pqBookCache]] pattern — 2·dim driver
     * doubles, portable across sessions).

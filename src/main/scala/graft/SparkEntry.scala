@@ -280,6 +280,8 @@ object SparkEntry {
     "q235_sq8_topk" -> (Queries.q235Sq8TopK _),
     "q236_sq8_recall" -> (Queries.q236Sq8Recall _),
     "q237_unigram_em" -> (Queries.q237UnigramEmTrajectory _),
+    "q238_ivf_sq8_probe" -> (Queries.q238IvfSq8Probe _),
+    "q239_ivf_sq8_recall" -> (Queries.q239IvfSq8Recall _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -416,8 +418,23 @@ object SparkEntry {
     * single-rounding byte codes, dequantized 6-dp-term decimal ADC,
     * top-5. `sq8top` is the reusable surface.
     */
-  private val sq8Ctes: String =
-    """fvq AS MATERIALIZED (
+  private def sq8Ctes(within: Boolean = false): String = {
+    val lstCte = if (!within) "" else
+      """lst AS MATERIALIZED (
+        |  SELECT vec_id, list FROM (
+        |    SELECT e.vec_id, j.j AS list,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY CAST(e.embedding[j.j * 16 + 1] AS DOUBLE) DESC,
+        |                                       j.j ASC) AS rn
+        |    FROM embeddings e,
+        |         (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS j) j)
+        |  WHERE rn = 1),
+        |""".stripMargin
+    val withinJoin = if (!within) "" else
+      """
+        |    JOIN lst ql ON ql.vec_id = qf.vec_id
+        |    JOIN lst cl ON cl.vec_id = dc.vec_id AND cl.list = ql.list""".stripMargin
+    s"""${lstCte}fvq AS MATERIALIZED (
       |  SELECT vec_id, t.p, CAST(embedding[t.p] AS DOUBLE) AS x
       |  FROM embeddings, generate_series(1, 64) t(p)),
       |sqst AS MATERIALIZED (
@@ -437,7 +454,7 @@ object SparkEntry {
       |  SELECT qf.vec_id AS q_id, dc.vec_id,
       |         CAST(sum(CAST(round((qf.x - dc.dx) * (qf.x - dc.dx), 6)
       |                       AS DECIMAL(18,6))) AS DOUBLE) AS d
-      |  FROM fvq qf JOIN sqdec dc ON dc.p = qf.p AND dc.vec_id <> qf.vec_id
+      |  FROM fvq qf JOIN sqdec dc ON dc.p = qf.p AND dc.vec_id <> qf.vec_id$withinJoin
       |  WHERE qf.vec_id % 97 = 0
       |  GROUP BY 1, 2),
       |sq8top AS (
@@ -446,6 +463,7 @@ object SparkEntry {
       |                                 ORDER BY d ASC, vec_id ASC) AS rn
       |    FROM sqscored)
       |  WHERE rn <= 5)""".stripMargin
+  }
 
   /** The unigram-LM training chain (see `UnigramLm`) through the
     * backtrace: words → candidate substrings → seed vocab (chars +
@@ -1902,13 +1920,36 @@ object SparkEntry {
         |       n_correct, n_test,
         |       round(CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS accuracy
         |FROM ac""".stripMargin,
+    // IVF-SQ8: the same chain with the coarse-list equi-restriction
+    "q238_ivf_sq8_probe" ->
+      s"""WITH ${sq8Ctes(within = true)}
+        |SELECT q_id, vec_id, d FROM sq8top""".stripMargin,
+    "q239_ivf_sq8_recall" ->
+      s"""WITH ${sq8Ctes(within = true)},
+        |ex AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(generate_series(1, 64), i ->
+        |                 (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+        |                 * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))),
+        |               (x, y) -> x + y), 6) ASC, c.vec_id ASC) AS rn
+        |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |    WHERE q.vec_id % 97 = 0)
+        |  WHERE rn <= 5)
+        |SELECT t.q_id,
+        |       CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS ivf_sq8_hits
+        |FROM sq8top t LEFT JOIN ex e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+        |GROUP BY t.q_id""".stripMargin,
     // SQ8 tier: exact min/max grid, byte codes, dequantized decimal ADC
     "q235_sq8_topk" ->
-      s"""WITH $sq8Ctes
+      s"""WITH ${sq8Ctes()}
         |SELECT q_id, vec_id, d FROM sq8top""".stripMargin,
     // SQ8 recall@5 against the brute-force exact L2 top-5 (q218's ex)
     "q236_sq8_recall" ->
-      s"""WITH $sq8Ctes,
+      s"""WITH ${sq8Ctes()},
         |ex AS (
         |  SELECT q_id, vec_id FROM (
         |    SELECT q.vec_id AS q_id, c.vec_id,

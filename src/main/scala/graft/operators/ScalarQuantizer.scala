@@ -93,9 +93,18 @@ object ScalarQuantizer {
     * SQ8-compressed corpus — one codes-only scan, per-pair distance a
     * dim-length fold against the dequantized grid, per-query ranking
     * window. Self-pairs excluded. Returns `(q_id, vec_id, d)`.
+    *
+    * `withinCol`: the IVF composition seam — when set, `codes` must
+    * carry that column (encode with `carryCols`) and `queries` too;
+    * each query scores ONLY same-valued corpus rows via an
+    * equi-condition broadcast join, so the coarse router prunes the
+    * pair mass exactly as it does for PQ (the q208 shape). The 100 TB
+    * path: SQ8's brute scan is pair-mass-proportional by design;
+    * production fronts it with IVF.
     */
   def adcTopK(queries: DataFrame, qId: String, qVec: String,
-      codes: DataFrame, cId: String, stats: Stats, k: Int): DataFrame = {
+      codes: DataFrame, cId: String, stats: Stats, k: Int,
+      withinCol: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val dec = zip_with(
       zip_with(col("codes"), spansArr(stats),
@@ -110,9 +119,11 @@ object ScalarQuantizer {
     // dequantize BELOW the join: the projection runs once per corpus
     // row on the stream side, not once per (query, corpus) pair — the
     // q205 hoist-per-small-row-table lesson applied to the big side
-    codes.select(col(cId).as("vec_id"), dec.as("dec"))
-      .crossJoin(broadcast(
-        queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))))
+    val corpus = codes.select(
+      col(cId).as("vec_id") +: withinCol.map(col).toSeq :+ dec.as("dec"): _*)
+    val probe = broadcast(queries.select(
+      col(qId).as("q_id") +: withinCol.map(col).toSeq :+ col(qVec).as("q_vec"): _*))
+    withinCol.fold(corpus.crossJoin(probe))(w => corpus.join(probe, Seq(w)))
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("d",
         aggregate(terms,

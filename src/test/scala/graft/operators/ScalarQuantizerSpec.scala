@@ -80,6 +80,26 @@ class ScalarQuantizerSpec extends SparkSuite {
       s"SQ8 probe must broadcast the query side:\n$plan")
   }
 
+  test("adcTopK withinCol: only same-list pairs scored, equi-join plan") {
+    val stats = ScalarQuantizer.train(emb, "embedding", 64)
+    val routed = emb.withColumn("list", ($"vec_id" % 3).cast("int"))
+    val codes = ScalarQuantizer.encode(routed, "vec_id", "embedding",
+      stats, carryCols = Seq("list"))
+    val q = routed.where($"vec_id" % 97 === 0)
+    val out = ScalarQuantizer.adcTopK(q, "vec_id", "embedding",
+      codes, "vec_id", stats, k = 50, withinCol = Some("list"))
+    // every returned neighbor shares the query's list
+    val cross = out
+      .join(routed.select($"vec_id".as("q_id"), $"list".as("ql")), Seq("q_id"))
+      .join(routed.select($"vec_id", $"list".as("cl")), Seq("vec_id"))
+      .where($"ql" =!= $"cl").count()
+    assert(cross == 0, "withinCol must restrict scoring to the query's list")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"within-list probe must be an equi-condition broadcast join:\n$plan")
+  }
+
   test("adcTopK: deterministic across repartitionings") {
     val stats = ScalarQuantizer.train(emb, "embedding", 64)
     val codes = ScalarQuantizer.encode(emb, "vec_id", "embedding", stats)
