@@ -5520,6 +5520,33 @@ object Queries {
     gtHits(q238IvfSq8Probe(spark, dir), exactL2Top5(spark, dir),
       "ivf_sq8_hits")
 
+  // ---------------------------------------------------------------- Q240
+  /** Multi-probe IVF-SQ8 recall (the q219 lever on the byte grid):
+    * queries replicated to their TOP-2 coarse lists — the same
+    * (value desc, j asc) ordering [[pqListOf]] argmaxes — the per-query
+    * window taking the global top-5 across probed lists. Compare
+    * q239's nProbe=1: the recall recovered is what the second probe
+    * buys, at exactly 2× the priced pair mass.
+    */
+  def q240Sq8Multiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val stats = sq8Stats(spark, dir)
+    val routed = emb.withColumn("list", pqListOf(col("embedding")))
+    val codes = ScalarQuantizer.encode(routed, "vec_id", "embedding",
+      stats, carryCols = Seq("list"))
+    val sorted = sort_array(array((0 until 4).map(j =>
+      struct(element_at(col("embedding"), j * 16 + 1).cast("double").as("v"),
+        lit(-j).as("nj"))): _*))
+    val top2 = array(
+      (-element_at(sorted, -1).getField("nj")).cast("int"),
+      (-element_at(sorted, -2).getField("nj")).cast("int"))
+    val q2 = emb.where(col("vec_id") % 97 === 0)
+      .select(col("vec_id"), col("embedding"), explode(top2).as("list"))
+    val top = ScalarQuantizer.adcTopK(q2, "vec_id", "embedding",
+      codes, "vec_id", stats, k = 5, withinCol = Some("list"))
+    gtHits(top, exactL2Top5(spark, dir), "p2_hits")
+  }
+
   // ------------------------------------------------------------ Q235/Q236
   /** Per-dir SQ8 grid cache ([[pqBookCache]] pattern — 2·dim driver
     * doubles, portable across sessions).

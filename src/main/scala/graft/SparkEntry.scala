@@ -282,6 +282,7 @@ object SparkEntry {
     "q237_unigram_em" -> (Queries.q237UnigramEmTrajectory _),
     "q238_ivf_sq8_probe" -> (Queries.q238IvfSq8Probe _),
     "q239_ivf_sq8_recall" -> (Queries.q239IvfSq8Recall _),
+    "q240_sq8_multiprobe" -> (Queries.q240Sq8Multiprobe _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -418,21 +419,21 @@ object SparkEntry {
     * single-rounding byte codes, dequantized 6-dp-term decimal ADC,
     * top-5. `sq8top` is the reusable surface.
     */
-  private def sq8Ctes(within: Boolean = false): String = {
+  private def sq8Ctes(within: Boolean = false, nProbe: Int = 1): String = {
     val lstCte = if (!within) "" else
-      """lst AS MATERIALIZED (
-        |  SELECT vec_id, list FROM (
-        |    SELECT e.vec_id, j.j AS list,
-        |           row_number() OVER (PARTITION BY e.vec_id
-        |                              ORDER BY CAST(e.embedding[j.j * 16 + 1] AS DOUBLE) DESC,
-        |                                       j.j ASC) AS rn
-        |    FROM embeddings e,
-        |         (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS j) j)
-        |  WHERE rn = 1),
+      s"""lstr AS MATERIALIZED (
+        |  SELECT e.vec_id, j.j AS list,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY CAST(e.embedding[j.j * 16 + 1] AS DOUBLE) DESC,
+        |                                     j.j ASC) AS rn
+        |  FROM embeddings e,
+        |       (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS j) j),
+        |lst AS (SELECT vec_id, list FROM lstr WHERE rn = 1),
+        |qlst AS (SELECT vec_id, list FROM lstr WHERE rn <= $nProbe),
         |""".stripMargin
     val withinJoin = if (!within) "" else
       """
-        |    JOIN lst ql ON ql.vec_id = qf.vec_id
+        |    JOIN qlst ql ON ql.vec_id = qf.vec_id
         |    JOIN lst cl ON cl.vec_id = dc.vec_id AND cl.list = ql.list""".stripMargin
     s"""${lstCte}fvq AS MATERIALIZED (
       |  SELECT vec_id, t.p, CAST(embedding[t.p] AS DOUBLE) AS x
@@ -1941,6 +1942,26 @@ object SparkEntry {
         |SELECT t.q_id,
         |       CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
         |            AS BIGINT) AS ivf_sq8_hits
+        |FROM sq8top t LEFT JOIN ex e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+        |GROUP BY t.q_id""".stripMargin,
+    // multi-probe: the query side reaches its top-2 coarse lists
+    "q240_sq8_multiprobe" ->
+      s"""WITH ${sq8Ctes(within = true, nProbe = 2)},
+        |ex AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(generate_series(1, 64), i ->
+        |                 (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+        |                 * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))),
+        |               (x, y) -> x + y), 6) ASC, c.vec_id ASC) AS rn
+        |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |    WHERE q.vec_id % 97 = 0)
+        |  WHERE rn <= 5)
+        |SELECT t.q_id,
+        |       CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS p2_hits
         |FROM sq8top t LEFT JOIN ex e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
         |GROUP BY t.q_id""".stripMargin,
     // SQ8 tier: exact min/max grid, byte codes, dequantized decimal ADC
