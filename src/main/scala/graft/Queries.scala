@@ -5547,6 +5547,29 @@ object Queries {
     gtHits(top, exactL2Top5(spark, dir), "p2_hits")
   }
 
+  // ---------------------------------------------------------------- Q241
+  /** SQ8 grid-staleness monitor ([[graft.operators.ScalarQuantizer
+    * .clipReport]]): clip rate of the training corpus (0 by
+    * construction — the grid is its own min/max) vs a drifted batch
+    * (coordinates scaled ×1.25), two report rows. The frozen-grid
+    * regime's retrain gate — a clipped coordinate saturates and its
+    * error is unbounded.
+    */
+  def q241Sq8ClipMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val stats = sq8Stats(spark, dir)
+    val drifted = emb.select(
+      transform(col("embedding"), x => x.cast("double") * lit(1.25))
+        .as("embedding"))
+    ScalarQuantizer.clipReport(emb, "embedding", stats)
+      .select(lit("train").as("batch"), col("n_vecs"), col("n_coords"),
+        col("n_clipped"), col("clip_rate"))
+      .unionByName(
+        ScalarQuantizer.clipReport(drifted, "embedding", stats)
+          .select(lit("drifted").as("batch"), col("n_vecs"), col("n_coords"),
+            col("n_clipped"), col("clip_rate")))
+  }
+
   // ------------------------------------------------------------ Q235/Q236
   /** Per-dir SQ8 grid cache ([[pqBookCache]] pattern — 2·dim driver
     * doubles, portable across sessions).

@@ -283,6 +283,7 @@ object SparkEntry {
     "q238_ivf_sq8_probe" -> (Queries.q238IvfSq8Probe _),
     "q239_ivf_sq8_recall" -> (Queries.q239IvfSq8Recall _),
     "q240_sq8_multiprobe" -> (Queries.q240Sq8Multiprobe _),
+    "q241_sq8_clip_monitor" -> (Queries.q241Sq8ClipMonitor _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -1944,6 +1945,36 @@ object SparkEntry {
         |            AS BIGINT) AS ivf_sq8_hits
         |FROM sq8top t LEFT JOIN ex e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
         |GROUP BY t.q_id""".stripMargin,
+    // the frozen-grid staleness gate: clip rate on train (0 by
+    // construction) vs a x1.25-drifted batch
+    "q241_sq8_clip_monitor" ->
+      """WITH fvq AS MATERIALIZED (
+        |  SELECT vec_id, t.p, CAST(embedding[t.p] AS DOUBLE) AS x
+        |  FROM embeddings, generate_series(1, 64) t(p)),
+        |sqst AS MATERIALIZED (
+        |  SELECT p, min(x) AS mn, max(x) AS mx FROM fvq GROUP BY 1),
+        |tr AS (
+        |  SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+        |         CAST(count(*) AS BIGINT) AS n_coords,
+        |         CAST(sum(CASE WHEN f.x < s.mn OR f.x > s.mx
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        |  FROM fvq f JOIN sqst s USING (p)),
+        |dr AS (
+        |  SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+        |         CAST(count(*) AS BIGINT) AS n_coords,
+        |         CAST(sum(CASE WHEN f.x * CAST(1.25 AS DOUBLE) < s.mn
+        |                         OR f.x * CAST(1.25 AS DOUBLE) > s.mx
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        |  FROM fvq f JOIN sqst s USING (p))
+        |SELECT 'train' AS batch, n_vecs, n_coords, n_clipped,
+        |       round(CAST(n_clipped AS DOUBLE) / CAST(n_coords AS DOUBLE), 6)
+        |         AS clip_rate
+        |FROM tr
+        |UNION ALL
+        |SELECT 'drifted' AS batch, n_vecs, n_coords, n_clipped,
+        |       round(CAST(n_clipped AS DOUBLE) / CAST(n_coords AS DOUBLE), 6)
+        |         AS clip_rate
+        |FROM dr""".stripMargin,
     // multi-probe: the query side reaches its top-2 coarse lists
     "q240_sq8_multiprobe" ->
       s"""WITH ${sq8Ctes(within = true, nProbe = 2)},

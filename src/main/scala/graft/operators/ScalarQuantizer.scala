@@ -89,6 +89,35 @@ object ScalarQuantizer {
         :+ sizeGuarded(xd, stats.dim, codes).as("codes"): _*)
   }
 
+  /** The frozen-grid STALENESS signal: fraction of coordinates falling
+    * outside the training-time [min, max] box. A fresh batch clips
+    * where the corpus distribution has moved — every clipped
+    * coordinate saturates to code 0/255 and its quantization error is
+    * unbounded, so a rising clip rate is the "retrain the grid" gate
+    * (the DDSketch-W1 codebook-staleness pattern, one IEEE compare per
+    * coordinate instead of a sketch). Map-only; returns one row
+    * `(n_vecs, n_coords, n_clipped, clip_rate)`.
+    */
+  def clipReport(df: DataFrame, vecCol: String, stats: Stats): DataFrame = {
+    val maxs = stats.mins.zip(stats.spans).map { case (m, s) => m + s }
+    val maxArr = array(maxs.toIndexedSeq.map(lit): _*)
+    val xd = col(vecCol).cast("array<double>")
+    val below = aggregate(
+      zip_with(xd, minsArr(stats), (x, m) => when(x < m, 1L).otherwise(0L)),
+      lit(0L), (a, b) => a + b)
+    val above = aggregate(
+      zip_with(xd, maxArr, (x, m) => when(x > m, 1L).otherwise(0L)),
+      lit(0L), (a, b) => a + b)
+    Parallelism.ensureCompute(df)
+      .select(sizeGuarded(xd, stats.dim, below + above).as("nc"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (count(lit(1)) * stats.dim).as("n_coords"),
+        sum(col("nc")).as("n_clipped"))
+      .select(col("n_vecs"), col("n_coords"), col("n_clipped"),
+        round(col("n_clipped").cast("double") / col("n_coords").cast("double"), 6)
+          .as("clip_rate"))
+  }
+
   /** Asymmetric top-k: full-precision (broadcast) queries against the
     * SQ8-compressed corpus — one codes-only scan, per-pair distance a
     * dim-length fold against the dequantized grid, per-query ranking

@@ -100,6 +100,19 @@ class ScalarQuantizerSpec extends SparkSuite {
       s"within-list probe must be an equi-condition broadcast join:\n$plan")
   }
 
+  test("clipReport: train batch never clips, out-of-box coordinates counted") {
+    val stats = ScalarQuantizer.train(emb, "embedding", 64)
+    val r0 = ScalarQuantizer.clipReport(emb, "embedding", stats).collect()(0)
+    assert(r0.getAs[Long]("n_clipped") == 0L,
+      "the grid is the training corpus's own min/max")
+    assert(r0.getAs[Long]("n_coords") == r0.getAs[Long]("n_vecs") * 64)
+    val drifted = emb.select(transform($"embedding",
+      x => x.cast("double") * lit(3.0)).as("embedding"))
+    val r1 = ScalarQuantizer.clipReport(drifted, "embedding", stats).collect()(0)
+    assert(r1.getAs[Long]("n_clipped") > 0L && r1.getAs[Double]("clip_rate") > 0.0,
+      s"a 3x-scaled batch must clip: $r1")
+  }
+
   test("adcTopK: deterministic across repartitionings") {
     val stats = ScalarQuantizer.train(emb, "embedding", 64)
     val codes = ScalarQuantizer.encode(emb, "vec_id", "embedding", stats)
