@@ -118,6 +118,27 @@ object ScalarQuantizer {
           .as("clip_rate"))
   }
 
+  /** ACT on the clip gate: retrain the grid on `corpus`, re-encode,
+    * and atomically SWAP the manifest-backed codes table (one
+    * overwrite commit — concurrent [[adcTopK]] probes over
+    * `ManifestTable.read` see the old index or the new one, never a
+    * mix; time travel keeps the old version readable). The SQ8 leg of
+    * the frozen-quantizer lifecycle: `streamingSq8Ingest` fills the
+    * table, `streamingSq8ClipSink` + `currentClipRate` watch the
+    * out-of-box rate, this swap retrains when the gate fires. Pass the
+    * ingest-time `listOf` router to keep an IVF-SQ8 layout.
+    */
+  def reindex(spark: org.apache.spark.sql.SparkSession, tableRoot: String,
+      corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      listOf: Column => Column = null): (Stats, Long) = {
+    val stats = train(corpus, vecCol, dim)
+    val routed = if (listOf == null) corpus
+      else corpus.withColumn("list", listOf(col(vecCol)))
+    val codes = encode(routed, idCol, vecCol, stats,
+      carryCols = if (listOf == null) Nil else Seq("list"))
+    (stats, ManifestTable.commit(spark, tableRoot, codes))
+  }
+
   /** Asymmetric top-k: full-precision (broadcast) queries against the
     * SQ8-compressed corpus — one codes-only scan, per-pair distance a
     * dim-length fold against the dequantized grid, per-query ranking

@@ -429,6 +429,59 @@ object Streams {
           batch, idCol, vecCol, books, dim),
         "err", Nil, alpha), batchId)
 
+  /** [[streamingPqIngest]] for an SQ8 index: map-only byte encode with
+    * the frozen grid, exactly-once append through the txn ledger.
+    * After a [[graft.operators.ScalarQuantizer.reindex]] swap the
+    * caller restarts the sink with the new Stats — grid and codes
+    * version together.
+    */
+  def streamingSq8Ingest(tableRoot: String, queryName: String,
+      idCol: String, vecCol: String,
+      stats: graft.operators.ScalarQuantizer.Stats,
+      listOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = null)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val routed = if (listOf == null) batch
+      else batch.withColumn("list", listOf(col(vecCol)))
+    graft.operators.ManifestTable.streamInto(tableRoot, queryName)(
+      graft.operators.ScalarQuantizer.encode(routed, idCol, vecCol, stats,
+        carryCols = if (listOf == null) Nil else Seq("list")),
+      batchId)
+  }
+
+  /** STREAMING grid-staleness monitor for a frozen SQ8 index: each
+    * micro-batch's [[graft.operators.ScalarQuantizer.clipReport]] row
+    * (out-of-box coordinate counts against the FROZEN grid) appends
+    * exactly-once; the maintained totals equal the from-scratch batch
+    * report bit-for-bit (integer counts — no sketch needed), so
+    * [[currentClipRate]] prices grid staleness at any moment from
+    * one row per batch of state.
+    */
+  def streamingSq8ClipSink(tableRoot: String, queryName: String,
+      vecCol: String, stats: graft.operators.ScalarQuantizer.Stats)(
+      batch: DataFrame, batchId: Long): Unit =
+    graft.operators.ManifestTable.streamInto(tableRoot, queryName)(
+      graft.operators.ScalarQuantizer.clipReport(batch, vecCol, stats),
+      batchId)
+
+  /** The SQ8 retrain signal: aggregate the stream-maintained per-batch
+    * clip reports and flag `retrain = clip_rate > threshold`. Integer
+    * sums — bit-equal to running [[graft.operators.ScalarQuantizer
+    * .clipReport]] over the concatenated batches.
+    */
+  def currentClipRate(spark: org.apache.spark.sql.SparkSession,
+      tableRoot: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.operators.ManifestTable.read(spark, tableRoot)
+      .agg(sum(col("n_vecs")).as("n_vecs"),
+        sum(col("n_coords")).as("n_coords"),
+        sum(col("n_clipped")).as("n_clipped"))
+      .select(col("n_vecs"), col("n_coords"), col("n_clipped"),
+        round(col("n_clipped").cast("double") / col("n_coords").cast("double"), 6)
+          .as("clip_rate"))
+      .withColumn("retrain", col("clip_rate") > lit(threshold))
+  }
+
   /** The retrain signal: sketch-space W1 between the stream-maintained
     * quantization-error distribution ([[streamingPqErrorSink]]'s
     * snapshot) and the frozen TRAINING-TIME error sketch, with

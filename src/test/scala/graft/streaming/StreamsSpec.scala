@@ -829,6 +829,54 @@ class StreamsSpec extends SparkSuite {
       s"reindex must collapse drifted-row error: stale $staleErr fresh $freshErr")
   }
 
+  test("SQ8 lifecycle: ingest -> clip gate fires -> reindex swaps -> clipping stops") {
+    import graft.operators.{ManifestTable, ScalarQuantizer}
+    val codesRoot = Files.createTempDirectory("graft_sq8_codes").resolve("t").toString
+    val clipRoot = Files.createTempDirectory("graft_sq8_clip").resolve("t").toString
+    def vecs(lo: Int, hi: Int, scale: Double) = (lo until hi).map { i =>
+      (i.toLong, Array.tabulate(8)(j => ((i % 5) + j * 0.25) * scale))
+    }.toDF("id", "vec")
+    val base = vecs(0, 64, 1.0)
+    val stats = ScalarQuantizer.train(base, "vec", 8)
+    val ingest = Streams.streamingSq8Ingest(codesRoot, "ing", "id", "vec", stats) _
+    val clipSink = Streams.streamingSq8ClipSink(clipRoot, "clip", "vec", stats) _
+    ingest(base, 0L); clipSink(base, 0L)
+    val calm = Streams.currentClipRate(spark, clipRoot, threshold = 0.01).head()
+    assert(!calm.getBoolean(4) && calm.getAs[Long]("n_clipped") == 0L,
+      s"training-range batches must not clip: $calm")
+    // replayed batch is a no-op (exactly-once through the txn ledger)
+    val vReplay = ManifestTable.currentVersion(spark, clipRoot)
+    clipSink(base, 0L)
+    assert(ManifestTable.currentVersion(spark, clipRoot) == vReplay)
+    // drifted arrivals clip and trip the gate
+    val drifted = vecs(64, 128, 2.5)
+    ingest(drifted, 1L); clipSink(drifted, 1L)
+    val alarmed = Streams.currentClipRate(spark, clipRoot, threshold = 0.01).head()
+    assert(alarmed.getBoolean(4), s"clip gate must fire on drift: $alarmed")
+    // maintained totals equal the from-scratch batch report
+    val batchReport = ScalarQuantizer.clipReport(
+      base.unionByName(drifted), "vec", stats).head()
+    assert(alarmed.getAs[Long]("n_clipped") == batchReport.getAs[Long]("n_clipped")
+      && alarmed.getAs[Long]("n_coords") == batchReport.getAs[Long]("n_coords"),
+      "stream-maintained clip totals must equal the batch report")
+    // act: retrain the grid on the full corpus, atomic swap
+    val corpus = base.unionByName(drifted)
+    val vBefore = ManifestTable.currentVersion(spark, codesRoot)
+    val (newStats, vAfter) = ScalarQuantizer.reindex(spark, codesRoot,
+      corpus, "id", "vec", dim = 8)
+    assert(vAfter > vBefore)
+    val snapshot = ManifestTable.read(spark, codesRoot)
+    val direct = ScalarQuantizer.encode(corpus, "id", "vec", newStats)
+    assert(snapshot.exceptAll(direct).isEmpty && direct.exceptAll(snapshot).isEmpty,
+      "swapped index must equal the fresh encode")
+    assert(ManifestTable.read(spark, codesRoot, Some(vBefore)).count() == 128,
+      "old version stays time-travel readable")
+    // the new grid covers the drifted batch: zero clipping
+    val recovered = ScalarQuantizer.clipReport(drifted, "vec", newStats).head()
+    assert(recovered.getAs[Long]("n_clipped") == 0L,
+      s"retrained grid must cover the drifted range: $recovered")
+  }
+
   test("streamMergeInto: upsert stream is exactly-once under replay; keys converge") {
     import graft.operators.ManifestTable
     val root = Files.createTempDirectory("graft_stream_merge").resolve("t").toString
