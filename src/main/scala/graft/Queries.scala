@@ -4520,10 +4520,21 @@ object Queries {
     * index) — a frozen 4-way router, the q71b frozen-centroid
     * discipline applied to PQ composition.
     */
-  private def pqListOf(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    -array_max(array((0 until 4).map(j =>
+  /** The frozen router's n nearest coarse lists, by (probe value desc,
+    * list asc) — ONE ordering definition shared by the argmax router
+    * ([[pqListOf]] = its n=1 head) and every multi-probe query side,
+    * so a router change cannot silently diverge probes from codes.
+    */
+  private def pqTopLists(vec: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column = {
+    val sorted = sort_array(array((0 until 4).map(j =>
       struct(element_at(vec, j * 16 + 1).cast("double").as("v"),
-        lit(-j).as("nj"))): _*)).getField("nj")
+        lit(-j).as("nj"))): _*))
+    array((1 to n).map(i =>
+      (-element_at(sorted, -i).getField("nj")).cast("int")): _*)
+  }
+  private def pqListOf(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(pqTopLists(vec, 1), 1)
 
   /** IVF-PQ composed probe ([[graft.operators.ProductQuantizer.adcTopK]]
     * `withinCol`): corpus codes routed by the frozen coarse quantizer,
@@ -5534,14 +5545,9 @@ object Queries {
     val routed = emb.withColumn("list", pqListOf(col("embedding")))
     val codes = ScalarQuantizer.encode(routed, "vec_id", "embedding",
       stats, carryCols = Seq("list"))
-    val sorted = sort_array(array((0 until 4).map(j =>
-      struct(element_at(col("embedding"), j * 16 + 1).cast("double").as("v"),
-        lit(-j).as("nj"))): _*))
-    val top2 = array(
-      (-element_at(sorted, -1).getField("nj")).cast("int"),
-      (-element_at(sorted, -2).getField("nj")).cast("int"))
     val q2 = emb.where(col("vec_id") % 97 === 0)
-      .select(col("vec_id"), col("embedding"), explode(top2).as("list"))
+      .select(col("vec_id"), col("embedding"),
+        explode(pqTopLists(col("embedding"), 2)).as("list"))
     val top = ScalarQuantizer.adcTopK(q2, "vec_id", "embedding",
       codes, "vec_id", stats, k = 5, withinCol = Some("list"))
     gtHits(top, exactL2Top5(spark, dir), "p2_hits")

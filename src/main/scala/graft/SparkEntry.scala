@@ -420,6 +420,25 @@ object SparkEntry {
     * single-rounding byte codes, dequantized 6-dp-term decimal ADC,
     * top-5. `sq8top` is the reusable surface.
     */
+  /** The exact brute-force L2 top-5 ground truth as one oracle CTE —
+    * the ONE definition the SQ8/IVF-SQ8 recall oracles join against
+    * (a rounding/tiebreak change must not be appliable in one place
+    * and missed in another).
+    */
+  private val exactL2Top5Sql: String =
+    """ex AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q.vec_id AS q_id, c.vec_id,
+      |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |               list_transform(generate_series(1, 64), i ->
+      |                 (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+      |                 * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))),
+      |               (x, y) -> x + y), 6) ASC, c.vec_id ASC) AS rn
+      |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id % 97 = 0)
+      |  WHERE rn <= 5)""".stripMargin
+
   private def sq8Ctes(within: Boolean = false, nProbe: Int = 1): String = {
     val lstCte = if (!within) "" else
       s"""lstr AS MATERIALIZED (
@@ -1928,18 +1947,7 @@ object SparkEntry {
         |SELECT q_id, vec_id, d FROM sq8top""".stripMargin,
     "q239_ivf_sq8_recall" ->
       s"""WITH ${sq8Ctes(within = true)},
-        |ex AS (
-        |  SELECT q_id, vec_id FROM (
-        |    SELECT q.vec_id AS q_id, c.vec_id,
-        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |               list_transform(generate_series(1, 64), i ->
-        |                 (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
-        |                 * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))),
-        |               (x, y) -> x + y), 6) ASC, c.vec_id ASC) AS rn
-        |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-        |    WHERE q.vec_id % 97 = 0)
-        |  WHERE rn <= 5)
+        |${exactL2Top5Sql}
         |SELECT t.q_id,
         |       CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
         |            AS BIGINT) AS ivf_sq8_hits
@@ -1978,18 +1986,7 @@ object SparkEntry {
     // multi-probe: the query side reaches its top-2 coarse lists
     "q240_sq8_multiprobe" ->
       s"""WITH ${sq8Ctes(within = true, nProbe = 2)},
-        |ex AS (
-        |  SELECT q_id, vec_id FROM (
-        |    SELECT q.vec_id AS q_id, c.vec_id,
-        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |               list_transform(generate_series(1, 64), i ->
-        |                 (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
-        |                 * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))),
-        |               (x, y) -> x + y), 6) ASC, c.vec_id ASC) AS rn
-        |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-        |    WHERE q.vec_id % 97 = 0)
-        |  WHERE rn <= 5)
+        |${exactL2Top5Sql}
         |SELECT t.q_id,
         |       CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
         |            AS BIGINT) AS p2_hits
@@ -2002,18 +1999,7 @@ object SparkEntry {
     // SQ8 recall@5 against the brute-force exact L2 top-5 (q218's ex)
     "q236_sq8_recall" ->
       s"""WITH ${sq8Ctes()},
-        |ex AS (
-        |  SELECT q_id, vec_id FROM (
-        |    SELECT q.vec_id AS q_id, c.vec_id,
-        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |               list_transform(generate_series(1, 64), i ->
-        |                 (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
-        |                 * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))),
-        |               (x, y) -> x + y), 6) ASC, c.vec_id ASC) AS rn
-        |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-        |    WHERE q.vec_id % 97 = 0)
-        |  WHERE rn <= 5)
+        |${exactL2Top5Sql}
         |SELECT t.q_id,
         |       CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
         |            AS BIGINT) AS sq8_hits

@@ -112,10 +112,13 @@ object ScalarQuantizer {
       .select(sizeGuarded(xd, stats.dim, below + above).as("nc"))
       .agg(count(lit(1)).as("n_vecs"),
         (count(lit(1)) * stats.dim).as("n_coords"),
-        sum(col("nc")).as("n_clipped"))
+        // an empty batch must report 0, not NULL — a streaming monitor
+        // summing these rows would otherwise yield a NULL retrain flag
+        coalesce(sum(col("nc")), lit(0L)).as("n_clipped"))
       .select(col("n_vecs"), col("n_coords"), col("n_clipped"),
-        round(col("n_clipped").cast("double") / col("n_coords").cast("double"), 6)
-          .as("clip_rate"))
+        when(col("n_coords") > 0,
+          round(col("n_clipped").cast("double") / col("n_coords").cast("double"), 6))
+          .otherwise(lit(0.0)).as("clip_rate"))
   }
 
   /** ACT on the clip gate: retrain the grid on `corpus`, re-encode,

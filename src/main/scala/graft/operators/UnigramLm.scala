@@ -227,10 +227,16 @@ object UnigramLm {
     * the optimal segmentations USED (coverage is guaranteed by
     * construction: every word's round-t pieces survive to round t+1),
     * with costs `round((ln tot − ln cnt)·1e6)`. Total corpus cost in
-    * micro-nats is monotonically non-increasing across rounds — the
-    * textbook EM bound, here exact because the DP is integer
-    * (spec-pinned). Driver state per round: two scalars plus the
-    * model-sized count table's cardinality (the Lloyd discipline).
+    * micro-nats is non-increasing across rounds up to cost ROUNDING:
+    * the textbook EM bound holds for the unrounded costs, and each
+    * piece cost carries ≤ 0.5 micro-nat rounding error, so a round
+    * whose true improvement is below ~1e-6 nats per occurrence can
+    * report a rise bounded by the corpus's piece-occurrence mass in
+    * micro-nats (the fixed point — counts unchanged — is exactly
+    * stable, since identical counts reproduce identical rounded
+    * costs). The spec pins descent with that rounding slack. Driver
+    * state per round: two scalars plus the model-sized count table's
+    * cardinality (the Lloyd discipline).
     *
     * Returns one row per round: `(round, n_pieces_used, corpus_cost)`.
     */
@@ -248,14 +254,19 @@ object UnigramLm {
     var vocab = seedVocabFrom(cand, topMulti)
       .select(col("piece"), col("icost"))
     val out = Seq.newBuilder[(Long, Long, Long)]
+    var prevCounts: DataFrame = null
     for (t <- 1 to rounds) {
       val seg = segmentFrom(cand, vocab, maxWordLen)
-      val cost = seg.groupBy(col("w"), col("freq"), col("cost"))
-        .agg(count(lit(1)).as("np"))
-        .agg(sum(col("freq") * col("cost"))).collect()(0).getLong(0)
+      val costRow = seg.select(col("w"), col("freq"), col("cost")).distinct()
+        .agg(sum(col("freq") * col("cost"))).collect()(0)
+      require(!costRow.isNullAt(0),
+        "emTrajectory: no segmentable words — the corpus has no " +
+          s"whitespace tokens within maxWordLen=$maxWordLen")
       val counts = seg.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out += ((t.toLong, counts.count(), cost))
+      out += ((t.toLong, counts.count(), costRow.getLong(0)))
+      if (prevCounts != null) prevCounts.unpersist()
+      prevCounts = counts
       val tot = counts.agg(sum(col("cnt")).as("tot"))
       vocab = counts.crossJoin(broadcast(tot))
         .select(col("piece"),
@@ -263,6 +274,10 @@ object UnigramLm {
             - log(col("cnt").cast("double"))) * lit(1000000.0), 0)
             .cast("long").as("icost"))
     }
+    // the LAST counts table backs the returned rows only through the
+    // already-collected scalars; the candidate explosion is done too
+    if (prevCounts != null) prevCounts.unpersist()
+    cand.unpersist()
     import spark.implicits._
     out.result().toDF("round", "n_pieces_used", "corpus_cost")
   }

@@ -473,12 +473,13 @@ object Streams {
       tableRoot: String, threshold: Double): DataFrame = {
     import org.apache.spark.sql.functions._
     graft.operators.ManifestTable.read(spark, tableRoot)
-      .agg(sum(col("n_vecs")).as("n_vecs"),
-        sum(col("n_coords")).as("n_coords"),
-        sum(col("n_clipped")).as("n_clipped"))
+      .agg(coalesce(sum(col("n_vecs")), lit(0L)).as("n_vecs"),
+        coalesce(sum(col("n_coords")), lit(0L)).as("n_coords"),
+        coalesce(sum(col("n_clipped")), lit(0L)).as("n_clipped"))
       .select(col("n_vecs"), col("n_coords"), col("n_clipped"),
-        round(col("n_clipped").cast("double") / col("n_coords").cast("double"), 6)
-          .as("clip_rate"))
+        when(col("n_coords") > 0,
+          round(col("n_clipped").cast("double") / col("n_coords").cast("double"), 6))
+          .otherwise(lit(0.0)).as("clip_rate"))
       .withColumn("retrain", col("clip_rate") > lit(threshold))
   }
 

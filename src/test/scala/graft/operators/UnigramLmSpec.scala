@@ -74,9 +74,14 @@ class UnigramLmSpec extends SparkSuite {
       .orderBy($"round").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(t.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // the EM bound holds for unrounded costs; each piece cost carries
+    // <= 0.5 micro-nat rounding error, so allow slack of the corpus's
+    // piece-occurrence mass in micro-nats (cost/typical-piece-cost
+    // overestimates it comfortably)
     val costs = t.map(_._3)
-    assert(costs.zip(costs.tail).forall { case (a, b) => b <= a },
-      s"EM corpus cost must be non-increasing: ${costs.toSeq}")
+    val slack = costs.head / 1000000L + 1L
+    assert(costs.zip(costs.tail).forall { case (a, b) => b <= a + slack },
+      s"EM corpus cost must be non-increasing up to rounding: ${costs.toSeq}")
     // vocab narrows (or holds) and never empties — coverage survives
     // because every word's previous-round pieces survive to the next
     val sizes = t.map(_._2)
