@@ -5553,6 +5553,53 @@ object Queries {
     gtHits(top, exactL2Top5(spark, dir), "p2_hits")
   }
 
+  // ---------------------------------------------------------------- Q242
+  /** The wave-3 curation pipeline END-TO-END in one plan: the
+    * split-conformal threshold (α=0.2, vetted sample `doc_id % 5 = 1`)
+    * gates the corpus, the DoReMi-learned mixture draws 100 documents
+    * from the kept pool (ln ᾱ-weighted portable Gumbel), and the
+    * corpus-trained unigram tokenizer prices the sample — guarantee-
+    * calibrated filtering, learned mixing, and trained tokenization
+    * composing, with every stage replayed in one oracle. One report
+    * row.
+    */
+  def q242CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("q", TextFunctions.qualityScore(col("text")))
+    // stage 1: conformal keep-threshold from the vetted-good sample
+    val calib = docs.where(col("doc_id") % 5 === 1)
+    val gate = DataSelection.conformalGateReport(
+      calib, docs, docs.where(col("doc_id") % 5 === 3), "q", alpha = 0.2)
+      .select(col("threshold"), col("n_pool"), col("n_kept"))
+    val kept = docs.crossJoin(broadcast(gate.select(col("threshold"))))
+      .where(col("q") >= col("threshold"))
+    // stage 2: the learned mixture draws from the KEPT pool
+    val abar = q230DoremiWeights(spark, dir)
+      .groupBy(col("domain"))
+      .agg(round(sum(col("alpha").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("abar"))
+    val weighted = kept.join(abar, kept("source") === abar("domain"))
+      .select(col("doc_id"), round(log(col("abar")), 6).as("lw"))
+    val sample = DataSelection.gumbelTopK(weighted, "doc_id", "lw",
+      k = 100, salt = "q242|").select(col("id").as("doc_id"))
+    // stage 3: the corpus-trained tokenizer prices the sample
+    val np = UnigramLm.tokenize(t(spark, dir, "documents"), "text", 4, 100)
+      .groupBy(col("w")).agg(count(lit(1)).as("np"))
+    val occ = t(spark, dir, "documents")
+      .join(sample, Seq("doc_id"), "left_semi")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")).between(1, 20))
+    occ.join(np, Seq("w"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .crossJoin(broadcast(gate))
+      .select(col("threshold"), col("n_pool"), col("n_kept"),
+        lit(100L).as("n_sampled"), col("n_words"), col("n_pieces"),
+        col("n_chars"),
+        round(col("n_chars").cast("double") / col("n_pieces").cast("double"), 6)
+          .as("chars_per_piece"))
+  }
+
   // ---------------------------------------------------------------- Q241
   /** SQ8 grid-staleness monitor ([[graft.operators.ScalarQuantizer
     * .clipReport]]): clip rate of the training corpus (0 by

@@ -284,6 +284,7 @@ object SparkEntry {
     "q239_ivf_sq8_recall" -> (Queries.q239IvfSq8Recall _),
     "q240_sq8_multiprobe" -> (Queries.q240Sq8Multiprobe _),
     "q241_sq8_clip_monitor" -> (Queries.q241Sq8ClipMonitor _),
+    "q242_curation_pipeline" -> (Queries.q242CurationPipeline _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -1953,6 +1954,80 @@ object SparkEntry {
         |            AS BIGINT) AS ivf_sq8_hits
         |FROM sq8top t LEFT JOIN ex e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
         |GROUP BY t.q_id""".stripMargin,
+    // the wave-3 pipeline end-to-end: conformal threshold -> kept pool
+    // -> DoReMi-weighted Gumbel draw -> corpus-trained tokenizer stats
+    "q242_curation_pipeline" ->
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) AS nt,
+        |         CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+        |                   / CAST(length(text) AS DOUBLE) END AS pr,
+        |         CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+        |              ELSE CAST(len(list_filter(string_split(text, ' '),
+        |                     tk -> list_contains(['the','and','of','to','in','is','that','it','a'], tk))) AS DOUBLE)
+        |                   / CAST(len(string_split(text, ' ')) AS DOUBLE) END AS sr
+        |  FROM documents),
+        |qs AS (SELECT doc_id,
+        |         round(0.4 * least(CAST(nt AS DOUBLE) / 100.0, 1.0)
+        |               + 0.3 * (1.0 - least(pr * 5.0, 1.0))
+        |               + 0.3 * least(sr * 4.0, 1.0), 6) AS score
+        |       FROM f),
+        |cal AS (SELECT score FROM qs WHERE doc_id % 5 = 1),
+        |nk AS (SELECT CAST(floor((count(*) + 1) * 0.2) AS BIGINT) AS k
+        |       FROM cal),
+        |thr AS (SELECT round(score, 6) AS threshold FROM (
+        |          SELECT score, row_number() OVER (ORDER BY score ASC) AS rn
+        |          FROM cal)
+        |        WHERE rn = (SELECT k FROM nk)),
+        |gate AS (SELECT (SELECT threshold FROM thr) AS threshold,
+        |                CAST(count(*) AS BIGINT) AS n_pool,
+        |                CAST(sum(CASE WHEN score >= (SELECT threshold FROM thr)
+        |                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |         FROM qs),
+        |keptd AS (SELECT doc_id FROM qs
+        |          WHERE score >= (SELECT threshold FROM thr)),
+        |traj AS (
+        |${doremiOracle(rounds = 6)}
+        |),
+        |abar AS (
+        |  SELECT domain,
+        |         round(CAST(sum(CAST(alpha AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(*), 6) AS abar
+        |  FROM traj GROUP BY 1),
+        |lw AS (
+        |  SELECT d.doc_id, round(ln(ab.abar), 6) AS lw
+        |  FROM documents d
+        |  JOIN abar ab ON ab.domain = d.source
+        |  JOIN keptd kd ON kd.doc_id = d.doc_id),
+        |g AS (
+        |  SELECT doc_id,
+        |         round(lw - ln(-ln(${puSql("'q242|' || doc_id")})), 6)
+        |           AS gumbel_key
+        |  FROM lw),
+        |samp AS (SELECT doc_id FROM (
+        |           SELECT doc_id,
+        |                  row_number() OVER (ORDER BY gumbel_key DESC,
+        |                                     doc_id ASC) AS rank
+        |           FROM g)
+        |         WHERE rank <= 100),
+        |$unigramCtes,
+        |wp AS (SELECT w, CAST(len(tr) - 1 AS BIGINT) AS np FROM bt),
+        |occ AS (
+        |  SELECT w FROM (
+        |    SELECT unnest(string_split(d.text, ' ')) AS w
+        |    FROM documents d JOIN samp s ON s.doc_id = d.doc_id)
+        |  WHERE length(w) BETWEEN 1 AND 20),
+        |tok AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+        |               CAST(sum(np) AS BIGINT) AS n_pieces,
+        |               CAST(sum(length(w)) AS BIGINT) AS n_chars
+        |        FROM occ JOIN wp USING (w))
+        |SELECT gate.threshold, gate.n_pool, gate.n_kept,
+        |       CAST(100 AS BIGINT) AS n_sampled,
+        |       tok.n_words, tok.n_pieces, tok.n_chars,
+        |       round(CAST(tok.n_chars AS DOUBLE) / CAST(tok.n_pieces AS DOUBLE), 6)
+        |         AS chars_per_piece
+        |FROM gate, tok""".stripMargin,
     // the frozen-grid staleness gate: clip rate on train (0 by
     // construction) vs a x1.25-drifted batch
     "q241_sq8_clip_monitor" ->
