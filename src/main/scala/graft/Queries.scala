@@ -5553,6 +5553,34 @@ object Queries {
     gtHits(top, exactL2Top5(spark, dir), "p2_hits")
   }
 
+  // ---------------------------------------------------------------- Q243
+  /** Label-noise detection by valuation: PLANT deterministic label
+    * noise (train points with `vec_id % 13 = 0` get `(label+1) % 10`),
+    * value everything with KNN-Shapley, and report per cohort — the
+    * mislabeled points should value strictly lower, the practical
+    * "find the bad annotations" use of [[graft.operators
+    * .DataValuation]]. Output: one row per cohort (flipped/clean) with
+    * mean shap and the share valued negative.
+    */
+  def q243LabelNoiseAudit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val train = emb.where(col("vec_id") >= 8)
+      .withColumn("label",
+        when(col("vec_id") % 13 === 0, (col("label") + 1) % 10)
+          .otherwise(col("label")))
+    DataValuation.knnShapley(
+      emb.where(col("vec_id") < 8), "vec_id", "embedding", "label",
+      train, "vec_id", "embedding", "label", k = 5)
+      .withColumn("cohort",
+        when(col("vec_id") % 13 === 0, "flipped").otherwise("clean"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("shap").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_shap"),
+        round(sum(when(col("shap") < 0, 1.0).otherwise(0.0))
+          / count(lit(1)), 6).as("frac_negative"))
+  }
+
   // ---------------------------------------------------------------- Q242
   /** The wave-3 curation pipeline END-TO-END in one plan: the
     * split-conformal threshold (α=0.2, vetted sample `doc_id % 5 = 1`)

@@ -285,6 +285,7 @@ object SparkEntry {
     "q240_sq8_multiprobe" -> (Queries.q240Sq8Multiprobe _),
     "q241_sq8_clip_monitor" -> (Queries.q241Sq8ClipMonitor _),
     "q242_curation_pipeline" -> (Queries.q242CurationPipeline _),
+    "q243_label_noise_audit" -> (Queries.q243LabelNoiseAudit _),
   )
 
   /** One PQ Lloyd iteration as oracle CTEs (see
@@ -382,10 +383,10 @@ object SparkEntry {
     * are the reusable surfaces; q228 reads `shap`, q234 adds the
     * before/after vote accuracy.
     */
-  private val knnShapCtes: String =
-    """q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_lab
+  private def knnShapCtes(cLab: String = "label"): String =
+    s"""q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_lab
       |           FROM embeddings WHERE vec_id < 8),
-      |c AS (SELECT vec_id AS c_id, embedding AS c_emb, label AS c_lab
+      |c AS (SELECT vec_id AS c_id, embedding AS c_emb, $cLab AS c_lab
       |      FROM embeddings WHERE vec_id >= 8),
       |scored AS MATERIALIZED (
       |  SELECT q_id, c_id, q_lab, c_lab,
@@ -1897,12 +1898,25 @@ object SparkEntry {
     // ranking, the telescoped recurrence as 12-dp decimal terms, suffix
     // window sum per test point, one mean per train point
     "q228_knn_shapley" ->
-      s"""WITH $knnShapCtes
+      s"""WITH ${knnShapCtes()}
         |SELECT vec_id, n_test, shap FROM shap""".stripMargin,
+    // planted label noise valued lower: the same Shapley chain with the
+    // flip spliced into the train-label expression, per-cohort rollup
+    "q243_label_noise_audit" ->
+      s"""WITH ${knnShapCtes(
+          "CASE WHEN vec_id % 13 = 0 THEN (label + 1) % 10 ELSE label END")}
+        |SELECT CASE WHEN vec_id % 13 = 0 THEN 'flipped' ELSE 'clean' END
+        |         AS cohort,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(sum(CAST(shap AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*), 6) AS mean_shap,
+        |       round(CAST(sum(CASE WHEN shap < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS frac_negative
+        |FROM shap GROUP BY 1""".stripMargin,
     // the valuation CURATING: drop shap<0 train points, exact 5-NN
     // majority-vote accuracy before/after against the same eval set
     "q234_shapley_curation" ->
-      s"""WITH $knnShapCtes,
+      s"""WITH ${knnShapCtes()},
         |kept AS (SELECT vec_id FROM shap WHERE shap >= 0),
         |rf AS (SELECT q_id, q_lab, c_lab,
         |              row_number() OVER (PARTITION BY q_id

@@ -96,6 +96,28 @@ class DataValuationSpec extends SparkSuite {
       s"valuation probe degenerated to a shuffled cartesian:\n$plan")
   }
 
+  test("knnShapley: planted label noise values strictly lower on clustered data") {
+    import spark.implicits._
+    // 4 tight clusters, label = cluster; flip every 8th train point's label
+    def vec(c: Int, i: Int): Array[Float] =
+      Array.tabulate(8)(j => (if (j == c * 2) 10f else 0f) + (i % 3) * 0.01f)
+    val train = (0 until 40).map { i =>
+      val c = i % 4
+      val lab = if (i % 8 == 0) (c + 1) % 4 else c
+      (i.toLong, vec(c, i), lab)
+    }.toDF("id", "v", "lab")
+    val test = (0 until 4).map(c => (100L + c, vec(c, 0), c))
+      .toDF("id", "v", "lab")
+    val shap = DataValuation.knnShapley(
+      test, "id", "v", "lab", train, "id", "v", "lab", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val (flipped, clean) = (0 until 40).partition(_ % 8 == 0)
+    val mf = flipped.map(i => shap(i.toLong)).sum / flipped.size
+    val mc = clean.map(i => shap(i.toLong)).sum / clean.size
+    assert(mf < mc && mf < 0,
+      s"mislabeled cluster members must value lower: flipped=$mf clean=$mc")
+  }
+
   test("knnShapley: pairBudget refuses over-budget mass before the join") {
     val e = intercept[IllegalArgumentException] {
       DataValuation.knnShapley(
