@@ -521,12 +521,24 @@ object DataSelection {
     val spark = lossLog.sparkSession
     val round6 = (v: Double) =>
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val cells = Parallelism.ensureCompute(lossLog)
+    // a NULL per-example loss must REFUSE, not deflate: greatest()
+    // skips NULLs, so greatest(round(NULL,6), 0.0) = 0.0 and the row
+    // would still count in the per-cell mean denominator — lambda
+    // silently shrinks and the oracle-replayability contract breaks
+    // (engines differ on NULL-greatest). The conformal null-refusal
+    // discipline, priced inside the same single pass.
+    val cellRows = Parallelism.ensureCompute(lossLog)
       .groupBy(col(roundCol).cast("long").as("r"),
         col(domainCol).cast("string").as("d"))
       .agg(round(sum(greatest(round(col(lossCol).cast("double"), 6), lit(0.0))
-        .cast("decimal(28,6)")).cast("double") / count(lit(1)), 6).as("x"))
+        .cast("decimal(28,6)")).cast("double") / count(lit(1)), 6).as("x"),
+        (count(lit(1)) - count(col(lossCol).cast("double"))).as("n_null"))
       .collect() // bounded: rounds x domains scalars, the model itself
+    val nNull = cellRows.map(_.getLong(3)).sum
+    require(nNull == 0,
+      s"doremi: $nNull null per-example losses in the loss log; every " +
+        "row must carry a finite excess loss (filter or impute upstream)")
+    val cells = cellRows
       .map(row => (row.getLong(0), row.getString(1)) -> row.getDouble(2))
       .toMap
     val rounds = cells.keys.map(_._1).toSeq.distinct.sorted
@@ -613,14 +625,23 @@ object DataSelection {
       .agg(count(lit(1)).as("n_holdout"),
         sum(when(col("score") >= col("h_thr"), 1L).otherwise(0L))
           .as("n_held_kept"))
+    // an empty pool or holdout would make first(threshold) NULL and the
+    // rates NULL via 0/0 — a plausible-looking report row with NULL
+    // guarantees. The operator's contract is refuse-instead-of-silently-
+    // lie: raise at readout (zero extra passes).
     poolAgg.crossJoin(holdAgg)
       .select(
         lit(nCal).as("n_cal"), lit(k).as("k"), col("threshold"),
         col("n_pool"), col("n_kept"),
-        round(col("n_kept").cast("double") / col("n_pool").cast("double"), 6)
-          .as("keep_rate"),
+        when(col("n_pool") === 0, raise_error(lit(
+          "conformal: empty pool — nothing to gate, the report would " +
+            "carry NULL keep_rate")))
+          .otherwise(round(col("n_kept").cast("double")
+            / col("n_pool").cast("double"), 6)).as("keep_rate"),
         col("n_holdout"),
-        round(col("n_held_kept").cast("double")
-          / col("n_holdout").cast("double"), 6).as("holdout_retention"))
+        when(col("n_holdout") === 0, raise_error(lit(
+          "conformal: empty holdout — realized retention is unmeasurable")))
+          .otherwise(round(col("n_held_kept").cast("double")
+            / col("n_holdout").cast("double"), 6)).as("holdout_retention"))
   }
 }

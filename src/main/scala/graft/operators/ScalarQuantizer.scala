@@ -39,8 +39,13 @@ object ScalarQuantizer {
   /** One dim-keyed partial-agg pass: exact per-dimension min/max. */
   def train(df: DataFrame, vecCol: String, dim: Int): Stats = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
+    // a ragged vector must RAISE here too: a short vector still
+    // posexplodes into leading positions and would silently shape the
+    // grid while failing sizeGuarded only later, at encode time — train
+    // on exactly the rows encode will accept
+    val xd = col(vecCol).cast("array<double>")
     val rows = Parallelism.ensureCompute(df)
-      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("p", "x")))
+      .select(posexplode(sizeGuarded(xd, dim, xd)).as(Seq("p", "x")))
       .groupBy(col("p"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .collect() // bounded: dim rows, the model itself
@@ -154,10 +159,17 @@ object ScalarQuantizer {
     * pair mass exactly as it does for PQ (the q208 shape). The 100 TB
     * path: SQ8's brute scan is pair-mass-proportional by design;
     * production fronts it with IVF.
+    *
+    * `pairBudget`: the unrestricted (no `withinCol`) path is a full
+    * `queries × codes` scan — at scale a caller must opt into that
+    * quadratic mass explicitly. When set, a counts-only pre-pass prices
+    * the scan and refuses over-budget before a single pair
+    * materializes (the [[DataValuation.knnShapley]] gate).
     */
   def adcTopK(queries: DataFrame, qId: String, qVec: String,
       codes: DataFrame, cId: String, stats: Stats, k: Int,
-      withinCol: Option[String] = None): DataFrame = {
+      withinCol: Option[String] = None,
+      pairBudget: Option[Long] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val dec = zip_with(
       zip_with(col("codes"), spansArr(stats),
@@ -176,6 +188,16 @@ object ScalarQuantizer {
       col(cId).as("vec_id") +: withinCol.map(col).toSeq :+ dec.as("dec"): _*)
     val probe = broadcast(queries.select(
       col(qId).as("q_id") +: withinCol.map(col).toSeq :+ col(qVec).as("q_vec"): _*))
+    if (withinCol.isEmpty) pairBudget.foreach { budget =>
+      val nq = probe.count(); val nc = codes.count()
+      val mass = BigInt(nq) * BigInt(nc)
+      System.err.println(s"[graft] sq8 adcTopK: $nq queries x $nc codes " +
+        s"= $mass scored pairs (budget $budget)")
+      require(mass <= BigInt(budget),
+        s"planned SQ8 brute-scan pair mass $mass exceeds pairBudget " +
+          s"$budget; front the scan with an IVF router (withinCol) or " +
+          "raise the budget")
+    }
     withinCol.fold(corpus.crossJoin(probe))(w => corpus.join(probe, Seq(w)))
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("d",

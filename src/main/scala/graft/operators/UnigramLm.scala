@@ -177,7 +177,16 @@ object UnigramLm {
               e => shiftright(e, 34))))))))
     traced
       .select(col("w"), col("freq"),
-        element_at(col("best"), -1).as("cost"),
+        // a caller-supplied vocab may not cover some word: the DP then
+        // lands at (or above — Inf accumulates) the sentinel, and the
+        // backtrace's empty edge sets would emit null-piece rows with
+        // Inf-as-cost. Refuse before exploding (seedVocab-derived
+        // vocabularies always cover via single chars; only external
+        // vocabs can reach this).
+        when(element_at(col("best"), -1) >= lit(Inf),
+          raise_error(concat(lit("unigram: word '"), col("w"),
+            lit("' is unsegmentable under the supplied vocabulary"))))
+          .otherwise(element_at(col("best"), -1)).as("cost"),
         explode(slice(col("tr"), 2, maxWordLen)).as("pk"))
       .select(col("w"), col("freq"), col("cost"),
         shiftright(col("pk"), 6).as("s"),

@@ -164,10 +164,23 @@ object AvroIO {
       }
       w.close()
       // commit: replace any prior attempt's complete file atomically-ish
-      // (rename of an intact container; never an in-place stream)
+      // (rename of an intact container; never an in-place stream).
+      // delete-then-rename is NOT atomic: two overlapping attempts of
+      // the same partition can interleave (A deletes dest, B renames
+      // its tmp in, A's rename fails on the now-existing dest). Any
+      // dest present after a failed rename is a sibling attempt's
+      // COMPLETE container (renamed-in, never streamed) — ours is a
+      // benign duplicate, so drop the temp and succeed rather than
+      // paying a spurious task retry.
       if (fs.exists(dest)) fs.delete(dest, false)
-      if (!fs.rename(tmp, dest))
-        throw new java.io.IOException(s"AvroIO: rename $tmp -> $dest failed")
+      if (!fs.rename(tmp, dest)) {
+        if (fs.exists(dest)) {
+          try { if (fs.exists(tmp)) fs.delete(tmp, false) }
+          catch { case _: Throwable => () }
+        } else {
+          throw new java.io.IOException(s"AvroIO: rename $tmp -> $dest failed")
+        }
+      }
       Iterator.single(1)
     }.count()
     // a fully-empty input plans zero partitions and writes zero files;

@@ -369,4 +369,32 @@ class DataSelectionSpec extends SparkSuite {
       .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
     assert(t("a") == t("b"), s"clipped excess must leave weights uniform: $t")
   }
+
+  test("doremiTrajectory: a NULL per-example loss refuses, never deflates") {
+    // greatest() skips NULLs — without the guard the null row would
+    // count in the denominator and silently shrink lambda
+    val log = Seq(("a", 1, Some(0.5)), ("a", 1, None), ("b", 1, Some(0.5)))
+      .toDF("domain", "round", "excess")
+    val e = intercept[IllegalArgumentException] {
+      DataSelection.doremiTrajectory(log, "round", "domain", "excess")
+    }
+    assert(e.getMessage.contains("1 null per-example losses"),
+      s"expected the null refusal, got: ${e.getMessage}")
+  }
+
+  test("conformalGateReport: empty pool or holdout refuses at readout") {
+    val cal = (1 to 9).map(i => i * 10.0).toDF("s")
+    val some = Seq(25.0, 100.0).toDF("s")
+    val none = some.where($"s" < 0)
+    val poolErr = intercept[Exception] {
+      DataSelection.conformalGateReport(cal, none, some, "s", 0.25).collect()
+    }
+    assert(poolErr.getMessage.contains("empty pool"),
+      s"expected the empty-pool raise, got: ${poolErr.getMessage}")
+    val holdErr = intercept[Exception] {
+      DataSelection.conformalGateReport(cal, some, none, "s", 0.25).collect()
+    }
+    assert(holdErr.getMessage.contains("empty holdout"),
+      s"expected the empty-holdout raise, got: ${holdErr.getMessage}")
+  }
 }

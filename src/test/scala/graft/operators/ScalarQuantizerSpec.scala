@@ -113,6 +113,38 @@ class ScalarQuantizerSpec extends SparkSuite {
       s"a 3x-scaled batch must clip: $r1")
   }
 
+  test("train: a ragged vector raises instead of shaping the grid") {
+    // a short vector posexplodes into leading positions — without the
+    // guard it silently trains the grid yet fails at encode time
+    val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f)))
+      .toDF("id", "vec")
+    val e = intercept[Exception] {
+      ScalarQuantizer.train(df, "vec", 2)
+    }
+    assert(e.getMessage.contains("sq8: vector size 1 != dim 2"),
+      s"expected the sizeGuarded raise, got: ${e.getMessage}")
+  }
+
+  test("adcTopK: pairBudget refuses an over-budget brute scan") {
+    val stats = ScalarQuantizer.train(emb, "embedding", 64)
+    val codes = ScalarQuantizer.encode(emb, "vec_id", "embedding", stats)
+    val q = emb.where($"vec_id" % 97 === 0)
+    val e = intercept[IllegalArgumentException] {
+      ScalarQuantizer.adcTopK(q, "vec_id", "embedding",
+        codes, "vec_id", stats, 5, pairBudget = Some(10L))
+    }
+    assert(e.getMessage.contains("exceeds pairBudget 10") &&
+      e.getMessage.contains("IVF router"),
+      s"expected the counts-only refusal, got: ${e.getMessage}")
+    // an in-budget gate passes through to the same result
+    val gated = ScalarQuantizer.adcTopK(q, "vec_id", "embedding",
+      codes, "vec_id", stats, 5, pairBudget = Some(Long.MaxValue))
+      .orderBy("q_id", "vec_id").collect().toSeq
+    val free = ScalarQuantizer.adcTopK(q, "vec_id", "embedding",
+      codes, "vec_id", stats, 5).orderBy("q_id", "vec_id").collect().toSeq
+    assert(gated == free)
+  }
+
   test("adcTopK: deterministic across repartitionings") {
     val stats = ScalarQuantizer.train(emb, "embedding", 64)
     val codes = ScalarQuantizer.encode(emb, "vec_id", "embedding", stats)

@@ -28,6 +28,19 @@ class UnigramLmSpec extends SparkSuite {
       s"tie must resolve to the single 2-char piece: ${segs.toSeq}")
   }
 
+  test("segment: a word the vocab cannot cover raises, never null pieces") {
+    // 'c' has no vocab entry: the DP lands at the Inf sentinel and the
+    // backtrace edge sets are empty — refuse instead of emitting
+    // null-piece rows costed at the sentinel
+    val vocab = Seq(("a", 3L), ("b", 3L)).toDF("piece", "icost")
+    val docs = Seq("abc").toDF("text")
+    val e = intercept[Exception] {
+      UnigramLm.segment(docs, "text", vocab).collect()
+    }
+    assert(e.getMessage.contains("unsegmentable under the supplied vocabulary"),
+      s"expected the coverage raise, got: ${e.getMessage}")
+  }
+
   test("plan shape: vocab edge build is an equi-join, top-multi is TakeOrdered") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
     val vocabPlan = UnigramLm.seedVocab(docs, "text", 4, 50)
