@@ -5686,4 +5686,109 @@ object Queries {
     */
   def q236Sq8Recall(spark: SparkSession, dir: String): DataFrame =
     gtHits(q235Sq8TopK(spark, dir), exactL2Top5(spark, dir), "sq8_hits")
+
+  // ------------------------------------------------------------ Q244/Q245
+  /** Per-dir residual-SQ8 state ([[graft.operators.ScalarQuantizer
+    * .trainResidual]]): per-list 6-dp mean centroids from the frozen
+    * q208 router plus ONE shared per-dim min/max grid trained on the
+    * residuals `x − c(list)` — the q217 IVFADC lesson applied to the
+    * byte tier. Bounded driver state (nLists×dim + 2·dim doubles),
+    * the [[sq8Cache]] discipline.
+    */
+  private val sq8rCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[Int, Array[Double]], ScalarQuantizer.Stats)]()
+  private def sq8rParts(spark: SparkSession, dir: String)
+      : (Map[Int, Array[Double]], ScalarQuantizer.Stats) = {
+    val cached = sq8rCache.get(dir)
+    if (cached != null) cached else {
+      val routed = tp(spark, dir, "embeddings")
+        .withColumn("list", pqListOf(col("embedding")))
+      val parts = ScalarQuantizer.trainResidual(
+        routed, "embedding", "list", PqDim)
+      sq8rCache.put(dir, parts) // lost race retrains identical state
+      parts
+    }
+  }
+
+  /** Residual IVF-SQ8 composed probe (the q238 shape with the codes AND
+    * the query side in RESIDUAL space): corpus residuals `x − c(list)`
+    * byte-encoded on the shared residual grid, each query's residual
+    * taken against ITS probed list's centroid, within-list ADC —
+    * `‖(q−c)−(x−c)‖² = ‖q−x‖²` so the ranking semantics are unchanged
+    * while the grid spends its 256 levels on the local displacement.
+    */
+  def q244IvfSq8ResidualProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val (cents, rStats) = sq8rParts(spark, dir)
+    val routed = emb.withColumn("list", pqListOf(col("embedding")))
+    val rCodes = ScalarQuantizer.encode(
+      ProductQuantizer.residuals(routed, "embedding", "list", cents),
+      "vec_id", "resid", rStats, carryCols = Seq("list"))
+    val q1 = ProductQuantizer.residuals(
+      routed.where(col("vec_id") % 97 === 0), "embedding", "list", cents)
+    ScalarQuantizer.adcTopK(q1, "vec_id", "resid",
+      rCodes, "vec_id", rStats, k = 5, withinCol = Some("list"))
+  }
+
+  /** The routed-recall AUDIT the residual grid demanded (committed
+    * finding): recall@5 for the raw and residual grids at nProbe ∈
+    * {1, 2} against the coarse-REACHABILITY ceiling at the same probe
+    * width — the share of exact top-5 neighbors living in ANY probed
+    * list, the provable upper bound on routed recall (probe-width
+    * nesting makes it monotone). On the test corpus both grids sit
+    * EXACTLY on the ceiling at both widths: at 8 bits/dim in-list
+    * ranking is effectively exact, so 100% of IVF-SQ8's recall loss is
+    * routing reachability and the recovery lever is nProbe (2× priced
+    * mass per step), not grid residualization — the residual grid's
+    * payoff at this tier is the tighter grid, not recall. One row per
+    * (probe width × regime): `(regime, hits, n_gt, recall)`.
+    */
+  def q245Sq8ResidualRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val stats = sq8Stats(spark, dir)
+    val (cents, rStats) = sq8rParts(spark, dir)
+    val routed = emb.withColumn("list", pqListOf(col("embedding")))
+    val codes = ScalarQuantizer.encode(routed, "vec_id", "embedding",
+      stats, carryCols = Seq("list"))
+    val rCodes = ScalarQuantizer.encode(
+      ProductQuantizer.residuals(routed, "embedding", "list", cents),
+      "vec_id", "resid", rStats, carryCols = Seq("list"))
+    val ex = exactL2Top5(spark, dir)
+    val nGt = ex.count() // bounded: n_queries x 5 driver rows
+    def hits(top: DataFrame): Long = top.select(col("q_id"), col("vec_id"))
+      .join(ex, Seq("q_id", "vec_id"), "left_semi").count()
+    // probe sides: nProbe=1 is the routed query set, nProbe=2 the
+    // top-2-list replication (the q240 shape) — ONE ordering definition
+    // (pqTopLists) shared with the router so probes cannot diverge
+    def qSide(np: Int): DataFrame =
+      if (np == 1) routed.where(col("vec_id") % 97 === 0)
+      else emb.where(col("vec_id") % 97 === 0)
+        .select(col("vec_id"), col("embedding"),
+          explode(pqTopLists(col("embedding"), np)).as("list"))
+    def rawHits(np: Int): Long = hits(ScalarQuantizer.adcTopK(
+      qSide(np), "vec_id", "embedding", codes, "vec_id", stats,
+      k = 5, withinCol = Some("list")))
+    def residHits(np: Int): Long = hits(ScalarQuantizer.adcTopK(
+      ProductQuantizer.residuals(qSide(np), "embedding", "list", cents),
+      "vec_id", "resid", rCodes, "vec_id", rStats,
+      k = 5, withinCol = Some("list")))
+    // reachability ceiling: exact-GT pairs whose corpus vector lives in
+    // one of the query's np nearest coarse lists
+    val qLists = emb.where(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"),
+        posexplode(pqTopLists(col("embedding"), 2)).as(Seq("pi", "list")))
+    def reachHits(np: Int): Long = ex
+      .join(routed.select(col("vec_id"), col("list")), Seq("vec_id"))
+      .join(qLists.where(col("pi") < np), Seq("q_id", "list"), "left_semi")
+      .count()
+    import spark.implicits._
+    Seq(1, 2).flatMap(np => Seq(
+      (s"p${np}_raw", rawHits(np)),
+      (s"p${np}_resid", residHits(np)),
+      (s"p${np}_reach", reachHits(np))))
+      .toDF("regime", "hits")
+      .select(col("regime"), col("hits"), lit(nGt).as("n_gt"),
+        round(col("hits").cast("double") / lit(nGt).cast("double"), 6)
+          .as("recall"))
+  }
 }

@@ -283,6 +283,8 @@ object SparkEntry {
     "q238_ivf_sq8_probe" -> (Queries.q238IvfSq8Probe _),
     "q239_ivf_sq8_recall" -> (Queries.q239IvfSq8Recall _),
     "q240_sq8_multiprobe" -> (Queries.q240Sq8Multiprobe _),
+    "q244_ivf_sq8_residual" -> (Queries.q244IvfSq8ResidualProbe _),
+    "q245_sq8_residual_audit" -> (Queries.q245Sq8ResidualRecallAudit _),
     "q241_sq8_clip_monitor" -> (Queries.q241Sq8ClipMonitor _),
     "q242_curation_pipeline" -> (Queries.q242CurationPipeline _),
     "q243_label_noise_audit" -> (Queries.q243LabelNoiseAudit _),
@@ -441,25 +443,64 @@ object SparkEntry {
       |    WHERE q.vec_id % 97 = 0)
       |  WHERE rn <= 5)""".stripMargin
 
+  /** The frozen 4-way coarse router as CTEs — `lstr` (every (vec,
+    * list) candidate ranked by the shared (value desc, list asc)
+    * ordering) and `lst` (the argmax assignment). The ONE definition
+    * every IVF-composed SQ8 oracle derives probes from.
+    */
+  private val sq8LstrSql: String =
+    """lstr AS MATERIALIZED (
+      |  SELECT e.vec_id, j.j AS list,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |                            ORDER BY CAST(e.embedding[j.j * 16 + 1] AS DOUBLE) DESC,
+      |                                     j.j ASC) AS rn
+      |  FROM embeddings e,
+      |       (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS j) j),
+      |lst AS (SELECT vec_id, list FROM lstr WHERE rn = 1)""".stripMargin
+  private val sq8FvqSql: String =
+    """fvq AS MATERIALIZED (
+      |  SELECT vec_id, t.p, CAST(embedding[t.p] AS DOUBLE) AS x
+      |  FROM embeddings, generate_series(1, 64) t(p))""".stripMargin
+
+  /** The RESIDUAL-space SQ8 chain (see `ScalarQuantizer.trainResidual`):
+    * per-list 6-dp mean centroids, residual coordinates `x − c(list)`,
+    * one shared per-dim min/max grid over residuals, byte codes,
+    * dequantized residual coordinates. Requires `lst` and `fvq`.
+    */
+  private val sq8ResidSql: String =
+    """cent AS MATERIALIZED (
+      |  SELECT l.list, f.p,
+      |         round(CAST(sum(CAST(round(f.x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |               / count(*), 6) AS cv
+      |  FROM fvq f JOIN lst l USING (vec_id) GROUP BY 1, 2),
+      |rvq AS MATERIALIZED (
+      |  SELECT f.vec_id, l.list, f.p, f.x - c.cv AS x
+      |  FROM fvq f JOIN lst l USING (vec_id)
+      |       JOIN cent c ON c.list = l.list AND c.p = f.p),
+      |rst AS MATERIALIZED (
+      |  SELECT p, min(x) AS mn, max(x) AS mx FROM rvq GROUP BY 1),
+      |rcodes AS MATERIALIZED (
+      |  SELECT r.vec_id, r.list, r.p,
+      |         CASE WHEN s.mx = s.mn THEN 0
+      |              ELSE least(greatest(CAST(round((r.x - s.mn) / (s.mx - s.mn)
+      |                                              * 255.0) AS BIGINT),
+      |                                  0), 255) END AS code
+      |  FROM rvq r JOIN rst s USING (p)),
+      |rdec AS (
+      |  SELECT c.vec_id, c.list, c.p,
+      |         s.mn + CAST(c.code AS DOUBLE) * (s.mx - s.mn) / 255.0 AS dx
+      |  FROM rcodes c JOIN rst s USING (p))""".stripMargin
+
   private def sq8Ctes(within: Boolean = false, nProbe: Int = 1): String = {
     val lstCte = if (!within) "" else
-      s"""lstr AS MATERIALIZED (
-        |  SELECT e.vec_id, j.j AS list,
-        |         row_number() OVER (PARTITION BY e.vec_id
-        |                            ORDER BY CAST(e.embedding[j.j * 16 + 1] AS DOUBLE) DESC,
-        |                                     j.j ASC) AS rn
-        |  FROM embeddings e,
-        |       (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS j) j),
-        |lst AS (SELECT vec_id, list FROM lstr WHERE rn = 1),
+      s"""$sq8LstrSql,
         |qlst AS (SELECT vec_id, list FROM lstr WHERE rn <= $nProbe),
         |""".stripMargin
     val withinJoin = if (!within) "" else
       """
         |    JOIN qlst ql ON ql.vec_id = qf.vec_id
         |    JOIN lst cl ON cl.vec_id = dc.vec_id AND cl.list = ql.list""".stripMargin
-    s"""${lstCte}fvq AS MATERIALIZED (
-      |  SELECT vec_id, t.p, CAST(embedding[t.p] AS DOUBLE) AS x
-      |  FROM embeddings, generate_series(1, 64) t(p)),
+    s"""$lstCte$sq8FvqSql,
       |sqst AS MATERIALIZED (
       |  SELECT p, min(x) AS mn, max(x) AS mx FROM fvq GROUP BY 1),
       |sqcodes AS MATERIALIZED (
@@ -487,6 +528,35 @@ object SparkEntry {
       |    FROM sqscored)
       |  WHERE rn <= 5)""".stripMargin
   }
+
+  /** The residual IVF-SQ8 probe chain (q244): query residuals taken
+    * against each PROBED list's centroid, within-list decimal ADC on
+    * the dequantized residual grid, top-5. `sq8rtop` is the surface.
+    */
+  private def sq8rCtes(nProbe: Int = 1): String =
+    s"""$sq8LstrSql,
+      |qlst AS (SELECT vec_id, list FROM lstr
+      |         WHERE rn <= $nProbe AND vec_id % 97 = 0),
+      |$sq8FvqSql,
+      |$sq8ResidSql,
+      |qrv AS (
+      |  SELECT qf.vec_id, ql.list, qf.p, qf.x - c.cv AS x
+      |  FROM fvq qf
+      |       JOIN qlst ql ON ql.vec_id = qf.vec_id
+      |       JOIN cent c ON c.list = ql.list AND c.p = qf.p),
+      |rscored AS (
+      |  SELECT q.vec_id AS q_id, dc.vec_id,
+      |         CAST(sum(CAST(round((q.x - dc.dx) * (q.x - dc.dx), 6)
+      |                       AS DECIMAL(18,6))) AS DOUBLE) AS d
+      |  FROM qrv q JOIN rdec dc ON dc.p = q.p AND dc.list = q.list
+      |                         AND dc.vec_id <> q.vec_id
+      |  GROUP BY 1, 2),
+      |sq8rtop AS (
+      |  SELECT q_id, vec_id, d FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |                                 ORDER BY d ASC, vec_id ASC) AS rn
+      |    FROM rscored)
+      |  WHERE rn <= 5)""".stripMargin
 
   /** The unigram-LM training chain (see `UnigramLm`) through the
     * backtrace: words → candidate substrings → seed vocab (chars +
@@ -2081,6 +2151,94 @@ object SparkEntry {
         |            AS BIGINT) AS p2_hits
         |FROM sq8top t LEFT JOIN ex e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
         |GROUP BY t.q_id""".stripMargin,
+    // residual IVF-SQ8: codes AND query side in residual space
+    "q244_ivf_sq8_residual" ->
+      s"""WITH ${sq8rCtes(nProbe = 1)}
+        |SELECT q_id, vec_id, d FROM sq8rtop""".stripMargin,
+    // the routed-recall audit: raw vs residual grid vs the coarse-
+    // reachability ceiling at nProbe 1 and 2 — recall is reachability-
+    // capped at both widths, the committed finding
+    "q245_sq8_residual_audit" ->
+      s"""WITH $sq8LstrSql,
+        |qlst2 AS (SELECT vec_id, list, rn FROM lstr
+        |          WHERE rn <= 2 AND vec_id % 97 = 0),
+        |$sq8FvqSql,
+        |sqst AS MATERIALIZED (
+        |  SELECT p, min(x) AS mn, max(x) AS mx FROM fvq GROUP BY 1),
+        |sqcodes AS MATERIALIZED (
+        |  SELECT f.vec_id, f.p,
+        |         CASE WHEN s.mx = s.mn THEN 0
+        |              ELSE least(greatest(CAST(round((f.x - s.mn) / (s.mx - s.mn)
+        |                                              * 255.0) AS BIGINT),
+        |                                  0), 255) END AS code
+        |  FROM fvq f JOIN sqst s USING (p)),
+        |sqdec AS (
+        |  SELECT c.vec_id, c.p,
+        |         s.mn + CAST(c.code AS DOUBLE) * (s.mx - s.mn) / 255.0 AS dx
+        |  FROM sqcodes c JOIN sqst s USING (p)),
+        |$sq8ResidSql,
+        |rs AS MATERIALIZED (
+        |  SELECT qf.vec_id AS q_id, dc.vec_id, ql.rn AS qrn,
+        |         CAST(sum(CAST(round((qf.x - dc.dx) * (qf.x - dc.dx), 6)
+        |                       AS DECIMAL(18,6))) AS DOUBLE) AS d
+        |  FROM fvq qf
+        |       JOIN qlst2 ql ON ql.vec_id = qf.vec_id
+        |       JOIN lst cl ON cl.list = ql.list
+        |       JOIN sqdec dc ON dc.vec_id = cl.vec_id AND dc.p = qf.p
+        |                    AND dc.vec_id <> qf.vec_id
+        |  GROUP BY 1, 2, 3),
+        |qrv2 AS (
+        |  SELECT qf.vec_id, ql.list, ql.rn, qf.p, qf.x - c.cv AS x
+        |  FROM fvq qf
+        |       JOIN qlst2 ql ON ql.vec_id = qf.vec_id
+        |       JOIN cent c ON c.list = ql.list AND c.p = qf.p),
+        |rrs AS MATERIALIZED (
+        |  SELECT q.vec_id AS q_id, dc.vec_id, q.rn AS qrn,
+        |         CAST(sum(CAST(round((q.x - dc.dx) * (q.x - dc.dx), 6)
+        |                       AS DECIMAL(18,6))) AS DOUBLE) AS d
+        |  FROM qrv2 q JOIN rdec dc ON dc.p = q.p AND dc.list = q.list
+        |                          AND dc.vec_id <> q.vec_id
+        |  GROUP BY 1, 2, 3),
+        |$exactL2Top5Sql,
+        |ngt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ex),
+        |widths AS (SELECT CAST(unnest([1, 2]) AS INTEGER) AS np),
+        |rawtop AS (
+        |  SELECT np, q_id, vec_id FROM (
+        |    SELECT w.np, s.q_id, s.vec_id,
+        |           row_number() OVER (PARTITION BY w.np, s.q_id
+        |                              ORDER BY s.d ASC, s.vec_id ASC) AS rnk
+        |    FROM widths w JOIN rs s ON s.qrn <= w.np)
+        |  WHERE rnk <= 5),
+        |restop AS (
+        |  SELECT np, q_id, vec_id FROM (
+        |    SELECT w.np, s.q_id, s.vec_id,
+        |           row_number() OVER (PARTITION BY w.np, s.q_id
+        |                              ORDER BY s.d ASC, s.vec_id ASC) AS rnk
+        |    FROM widths w JOIN rrs s ON s.qrn <= w.np)
+        |  WHERE rnk <= 5),
+        |allr AS (
+        |  SELECT 'p' || CAST(w.np AS VARCHAR) || '_raw' AS regime,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM rawtop t
+        |          JOIN ex e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+        |          WHERE t.np = w.np) AS hits
+        |  FROM widths w
+        |  UNION ALL
+        |  SELECT 'p' || CAST(w.np AS VARCHAR) || '_resid' AS regime,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM restop t
+        |          JOIN ex e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+        |          WHERE t.np = w.np) AS hits
+        |  FROM widths w
+        |  UNION ALL
+        |  SELECT 'p' || CAST(w.np AS VARCHAR) || '_reach' AS regime,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM ex e
+        |          JOIN lst cl ON cl.vec_id = e.vec_id
+        |          JOIN qlst2 ql ON ql.vec_id = e.q_id AND ql.list = cl.list
+        |          WHERE ql.rn <= w.np) AS hits
+        |  FROM widths w)
+        |SELECT regime, hits, (SELECT n FROM ngt) AS n_gt,
+        |       round(CAST(hits AS DOUBLE)
+        |             / CAST((SELECT n FROM ngt) AS DOUBLE), 6) AS recall
+        |FROM allr""".stripMargin,
     // SQ8 tier: exact min/max grid, byte codes, dequantized decimal ADC
     "q235_sq8_topk" ->
       s"""WITH ${sq8Ctes()}

@@ -94,6 +94,36 @@ object ScalarQuantizer {
         :+ sizeGuarded(xd, stats.dim, codes).as("codes"): _*)
   }
 
+  /** RESIDUAL grid for the IVF-SQ8 tier (the IVFADC lesson — Jégou et
+    * al. 2011 §III-C — applied to the scalar quantizer): per-list mean
+    * centroids from the coarse router's assignments, then ONE shared
+    * per-dim min/max grid trained on the residuals `x − c(list)`
+    * instead of the raw vectors. Still 2·dim scalars — the residual
+    * projection concentrates each dimension's dynamic range around 0,
+    * so the byte grid spends its 256 levels on the local displacement.
+    * Encode/probe compose UNCHANGED: [[ProductQuantizer.residuals]] the
+    * corpus and the query side with the returned centroids, then
+    * [[encode]]/[[adcTopK]] on the residual column (`withinCol` =
+    * the list) — within-list `‖(q−c)−(x−c)‖² = ‖q−x‖²` exactly.
+    *
+    * Honest audit note (committed, q245): at 8 bits/dim the RAW grid's
+    * in-list ranking is already at the coarse-REACHABILITY ceiling on
+    * the test corpus — routed recall is capped by which lists the
+    * probe reaches, not by quantization error — so the residual grid's
+    * value here is the tighter grid (lower per-coordinate error bound)
+    * and the PQ-side symmetry, while the recall lever is probe width.
+    * At starved bit budgets (PQ's 4 bits/subvector, q217/q218) the
+    * same residual projection is worth real recall.
+    */
+  def trainResidual(corpus: DataFrame, vecCol: String, listCol: String,
+      dim: Int, residCol: String = "resid")
+      : (Map[Int, Array[Double]], Stats) = {
+    val cents = ProductQuantizer.coarseCentroids(corpus, vecCol, listCol, dim)
+    val resid = ProductQuantizer.residuals(corpus, vecCol, listCol, cents,
+      residCol)
+    (cents, train(resid, residCol, dim))
+  }
+
   /** The frozen-grid STALENESS signal: fraction of coordinates falling
     * outside the training-time [min, max] box. A fresh batch clips
     * where the corpus distribution has moved — every clipped

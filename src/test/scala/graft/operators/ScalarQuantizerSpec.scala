@@ -100,6 +100,55 @@ class ScalarQuantizerSpec extends SparkSuite {
       s"within-list probe must be an equi-condition broadcast join:\n$plan")
   }
 
+  test("trainResidual: residual grid tight, within-list ranking at the exact ceiling") {
+    val routed = emb.withColumn("list", ($"vec_id" % 4).cast("int"))
+    val (cents, rStats) = ScalarQuantizer.trainResidual(
+      routed, "embedding", "list", 64)
+    assert(cents.keySet == Set(0, 1, 2, 3) && rStats.dim == 64)
+    // residual codes dequantize within half a residual grid cell
+    val resid = ProductQuantizer.residuals(routed, "embedding", "list", cents)
+    val rCodes = ScalarQuantizer.encode(resid, "vec_id", "resid", rStats,
+      carryCols = Seq("list"))
+    val spansArr = array(rStats.spans.toIndexedSeq.map(lit): _*)
+    val minsArr = array(rStats.mins.toIndexedSeq.map(lit): _*)
+    val dec = zip_with(zip_with($"codes", spansArr,
+      (c, s) => c.cast("double") * s / lit(255.0)), minsArr, (v, m) => m + v)
+    val maxErr = rCodes.join(resid.select($"vec_id", $"resid"), Seq("vec_id"))
+      .select(aggregate(
+        zip_with($"resid".cast("array<double>"), dec, (x, d) => abs(x - d)),
+        lit(0.0), (a, b) => greatest(a, b)).as("e"))
+      .agg(max($"e")).collect()(0).getDouble(0)
+    val bound = rStats.spans.max / 510.0 + 1e-12
+    assert(maxErr <= bound, s"residual dequant error $maxErr > half-cell $bound")
+    // within-list residual ADC top-5 == within-list EXACT L2 top-5: at
+    // 8 bits/dim the in-list ranking sits on the ceiling (the q245
+    // finding — residual composition loses nothing to quantization)
+    val qr = ProductQuantizer.residuals(
+      routed.where($"vec_id" % 97 === 0), "embedding", "list", cents)
+    val top = ScalarQuantizer.adcTopK(qr, "vec_id", "resid",
+      rCodes, "vec_id", rStats, k = 5, withinCol = Some("list"))
+      .select($"q_id", $"vec_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"d".asc, $"vec_id".asc)
+    val exact = routed.select($"vec_id", $"list", $"embedding")
+      .join(broadcast(routed.where($"vec_id" % 97 === 0)
+        .select($"vec_id".as("q_id"), $"list", $"embedding".as("q_vec"))),
+        Seq("list"))
+      .where($"vec_id" =!= $"q_id")
+      .withColumn("d", aggregate(
+        zip_with($"q_vec".cast("array<double>"),
+          $"embedding".cast("array<double>"),
+          (a, b) => round((a - b) * (a - b), 6).cast("decimal(18,6)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)"),
+        (acc, t) => (acc + t).cast("decimal(28,6)")).cast("double"))
+      .withColumn("rn", row_number().over(w)).where($"rn" <= 5)
+      .select($"q_id", $"vec_id")
+    val total = exact.count()
+    val hits = top.join(exact, Seq("q_id", "vec_id"), "left_semi").count()
+    assert(hits >= total - 1,
+      s"residual SQ8 within-list ranking should match exact: $hits/$total")
+  }
+
   test("clipReport: train batch never clips, out-of-box coordinates counted") {
     val stats = ScalarQuantizer.train(emb, "embedding", 64)
     val r0 = ScalarQuantizer.clipReport(emb, "embedding", stats).collect()(0)
