@@ -5517,6 +5517,73 @@ object Queries {
     UnigramLm.emTrajectory(t(spark, dir, "documents"), "text",
       rounds = 2, maxPieceLen = 4, topMulti = 100, maxWordLen = 20)
 
+  // ---------------------------------------------------------------- Q246
+  /** One SOFT-EM unigram round ([[graft.operators.UnigramLm
+    * .softEmRound]], Kudo 2018 §3.2 proper): forward-backward expected
+    * piece counts over every word's full segmentation lattice instead
+    * of q231's winner-take-all Viterbi counts. The oracle replays the
+    * α/β folds edge for edge (identical IEEE chains over the
+    * canonically-sorted packed-edge lists), so the 6-dp expected
+    * counts compare exactly.
+    */
+  def q246UnigramSoftEm(spark: SparkSession, dir: String): DataFrame =
+    UnigramLm.softEmRound(t(spark, dir, "documents"), "text",
+      maxPieceLen = 4, topMulti = 100, maxWordLen = 20)
+
+  // ---------------------------------------------------------------- Q247
+  /** Chained soft-EM ([[graft.operators.UnigramLm.softEmTrajectory]]):
+    * two forward-backward E-steps with count renormalization between,
+    * reporting the corpus log-likelihood Σ freq·ln Z — the quantity
+    * true EM monotonically ascends (spec pins the ascent with the
+    * micro-nat rounding slack). One row per round.
+    */
+  def q247SoftEmTrajectory(spark: SparkSession, dir: String): DataFrame =
+    UnigramLm.softEmTrajectory(t(spark, dir, "documents"), "text",
+      rounds = 2, maxPieceLen = 4, topMulti = 100, maxWordLen = 20)
+
+  // ---------------------------------------------------------------- Q248
+  /** Hard-vs-soft EM COMPARISON on equal footing: one E+M round each
+    * from the same seed, both re-estimated models then Viterbi-segment
+    * the same corpus — `(regime, n_vocab, corpus_cost,
+    * chars_per_piece)`. Soft's expected counts keep every piece with
+    * measurable posterior mass (n_vocab larger), hard prunes to the
+    * single optimal path per word; the committed numbers quantify what
+    * that buys in corpus micro-nats and compression.
+    */
+  def q248HardVsSoftTokenizer(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val hard = UnigramLm.emRound(docs, "text", 4, 100, 20)
+      .where(col("viterbi_cnt") > 0)
+      .select(col("piece"), col("viterbi_cnt").as("cnt"))
+    val htot = hard.agg(sum(col("cnt")).as("tot"))
+    val hv = hard.crossJoin(broadcast(htot)).select(col("piece"),
+      round((log(col("tot").cast("double")) - log(col("cnt").cast("double")))
+        * lit(1000000.0), 0).cast("long").as("icost"))
+    val soft = UnigramLm.softEmRound(docs, "text", 4, 100, 20)
+      .where(col("soft_cnt") > 0)
+      .select(col("piece"), col("soft_cnt").cast("decimal(28,6)").as("cnt"))
+    val stot = soft.agg(sum(col("cnt")).as("tot"))
+    val sv = soft.crossJoin(broadcast(stot)).select(col("piece"),
+      round((log(col("tot").cast("double")) - log(col("cnt").cast("double")))
+        * lit(1000000.0), 0).cast("long").as("icost"))
+    def metrics(vocab: DataFrame, regime: String): DataFrame = {
+      val seg = UnigramLm.segment(docs, "text", vocab, 4, 20)
+      // pieces tile the word, so sum(l) per word = len — char mass
+      // needs no second words scan
+      val perWord = seg.groupBy(col("w"), col("freq"), col("cost"))
+        .agg(count(lit(1)).as("np"), sum(col("l")).as("chars"))
+      perWord.agg(
+        sum(col("freq") * col("cost")).as("corpus_cost"),
+        sum(col("freq") * col("np")).as("piece_mass"),
+        sum(col("freq") * col("chars")).as("char_mass"))
+        .crossJoin(broadcast(vocab.agg(count(lit(1)).as("n_vocab"))))
+        .select(lit(regime).as("regime"), col("n_vocab"), col("corpus_cost"),
+          round(col("char_mass").cast("double")
+            / col("piece_mass").cast("double"), 6).as("chars_per_piece"))
+    }
+    metrics(hv, "hard").unionByName(metrics(sv, "soft"))
+  }
+
   // ---------------------------------------------------------------- Q238
   /** IVF-SQ8 composed probe: the q208 shape with SQ8 codes — the coarse
     * router prunes WHICH rows are scored (the answer to q235's

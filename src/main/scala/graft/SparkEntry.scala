@@ -285,6 +285,9 @@ object SparkEntry {
     "q240_sq8_multiprobe" -> (Queries.q240Sq8Multiprobe _),
     "q244_ivf_sq8_residual" -> (Queries.q244IvfSq8ResidualProbe _),
     "q245_sq8_residual_audit" -> (Queries.q245Sq8ResidualRecallAudit _),
+    "q246_unigram_soft_em" -> (Queries.q246UnigramSoftEm _),
+    "q247_soft_em_trajectory" -> (Queries.q247SoftEmTrajectory _),
+    "q248_hard_vs_soft_tokenizer" -> (Queries.q248HardVsSoftTokenizer _),
     "q241_sq8_clip_monitor" -> (Queries.q241Sq8ClipMonitor _),
     "q242_curation_pipeline" -> (Queries.q242CurationPipeline _),
     "q243_label_noise_audit" -> (Queries.q243LabelNoiseAudit _),
@@ -565,7 +568,7 @@ object SparkEntry {
     * `(w, freq, len, best, tr)`; q231 appends the M-step, q233 the
     * per-occurrence tokenize rollup.
     */
-  private val unigramCtes: String =
+  private val unigramVocabCtes: String =
     """wrds AS MATERIALIZED (
       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
       |         CAST(length(w) AS BIGINT) AS len
@@ -598,8 +601,10 @@ object SparkEntry {
       |         CAST(round((ln(CAST((SELECT tot FROM vt) AS DOUBLE))
       |                     - ln(CAST(seed_freq AS DOUBLE))) * 1000000.0)
       |              AS BIGINT) AS icost
-      |  FROM vocab0),
-      |""".stripMargin + unigramDp("vocab", "")
+      |  FROM vocab0)""".stripMargin
+
+  private def unigramCtes: String =
+    unigramVocabCtes + ",\n" + unigramDp("vocab", "")
 
   /** One Viterbi pass as oracle CTEs (see `UnigramLm.segmentFrom`):
     * packed edges from `cand` x `$vocab`, the forward integer fold, the
@@ -644,6 +649,69 @@ object SparkEntry {
       |                            ELSE acc[-1] >> 6 END) + 1 AS INTEGER)]),
       |            e -> e >> 34))) END) AS tr
       |  FROM fwd$sfx)""".stripMargin
+
+  /** One forward-backward E-step as oracle CTEs (see
+    * `UnigramLm.softLattice`/`softCountsFrom`): packed edges from
+    * `cand` × `$vocab`, the α fold (path mass reaching each position),
+    * the reversed β fold (mass to the end), per-edge posteriors
+    * γ = α(s)·p·β(end)/Z rounded to 6 dp per edge, piece-keyed decimal
+    * sums. Every float op replays the Spark chain in the same order
+    * over the same sorted edge list. CTEs suffixed `$sfx`; `scnt$sfx`
+    * is the surface.
+    */
+  private def unigramSoftDp(vocab: String, sfx: String): String =
+    s"""sedges$sfx AS MATERIALIZED (
+      |  SELECT c.w, c.freq, c.len,
+      |         ((c.s * 64 + c.l) << 34) | v.icost AS e
+      |  FROM cand c JOIN $vocab v USING (piece)),
+      |sarr$sfx AS MATERIALIZED (
+      |  SELECT w, freq, len, list_sort(list(e)) AS es
+      |  FROM sedges$sfx GROUP BY 1, 2, 3),
+      |salph$sfx AS MATERIALIZED (
+      |  SELECT w, freq, len, es,
+      |    list_reduce(
+      |      list_prepend([CAST(1.0 AS DOUBLE)],
+      |        list_transform(range(1, len + 1), p -> [CAST(p AS DOUBLE)])),
+      |      (acc, x) -> list_append(acc,
+      |        list_reduce(
+      |          list_prepend(CAST(0.0 AS DOUBLE),
+      |            list_transform(
+      |              list_filter(es, e -> ((e >> 40) + ((e >> 34) & 63))
+      |                                   = CAST(x[1] AS BIGINT)),
+      |              e -> acc[CAST((e >> 40) + 1 AS INTEGER)]
+      |                   * exp(-(CAST((e & 17179869183) AS DOUBLE)
+      |                           / 1000000.0)))),
+      |          (a, t) -> a + t))) AS alpha
+      |  FROM sarr$sfx),
+      |sbeta$sfx AS MATERIALIZED (
+      |  SELECT w, freq, len, es, alpha,
+      |    list_reduce(
+      |      list_prepend([CAST(1.0 AS DOUBLE)],
+      |        list_transform(range(1, len + 1), i -> [CAST(i AS DOUBLE)])),
+      |      (acc, x) -> list_append(acc,
+      |        list_reduce(
+      |          list_prepend(CAST(0.0 AS DOUBLE),
+      |            list_transform(
+      |              list_filter(es, e -> (e >> 40) = len - CAST(x[1] AS BIGINT)),
+      |              e -> exp(-(CAST((e & 17179869183) AS DOUBLE) / 1000000.0))
+      |                   * acc[CAST(len - ((e >> 40) + ((e >> 34) & 63)) + 1
+      |                              AS INTEGER)])),
+      |          (a, t) -> a + t))) AS beta
+      |  FROM salph$sfx),
+      |sgam$sfx AS (
+      |  SELECT substr(w, CAST((e >> 40) + 1 AS INTEGER),
+      |                CAST((e >> 34) & 63 AS INTEGER)) AS piece,
+      |         CAST(round(CAST(freq AS DOUBLE)
+      |           * (alpha[CAST((e >> 40) + 1 AS INTEGER)]
+      |              * exp(-(CAST((e & 17179869183) AS DOUBLE) / 1000000.0))
+      |              * beta[CAST(len - ((e >> 40) + ((e >> 34) & 63)) + 1
+      |                          AS INTEGER)]
+      |              / alpha[CAST(len + 1 AS INTEGER)]), 6)
+      |         AS DECIMAL(28,6)) AS contrib
+      |  FROM (SELECT w, freq, len, alpha, beta, unnest(es) AS e
+      |        FROM sbeta$sfx)),
+      |scnt$sfx AS MATERIALIZED (
+      |  SELECT piece, sum(contrib) AS scnt FROM sgam$sfx GROUP BY 1)""".stripMargin
 
   /** The full two-Lloyd-iteration training replay over sub-vector table
     * `sv` ((vec_id, sub, pos, val) rows) with init salt `salt`, every
@@ -2375,6 +2443,102 @@ object SparkEntry {
         |         AS n_pieces_used,
         |       (SELECT CAST(sum(freq * best[CAST(len + 1 AS INTEGER)]) AS BIGINT)
         |        FROM fwd2) AS corpus_cost""".stripMargin,
+    // soft-EM E-step: forward-backward expected counts over the full
+    // segmentation lattice (vs q231's winner-take-all Viterbi counts)
+    "q246_unigram_soft_em" ->
+      s"""WITH $unigramVocabCtes,
+        |${unigramSoftDp("vocab", "")},
+        |stot AS (SELECT sum(scnt) AS tot FROM scnt)
+        |SELECT v.piece, v.seed_freq, v.icost AS cost0,
+        |       round(CAST(coalesce(s.scnt, 0) AS DOUBLE), 6) AS soft_cnt,
+        |       CASE WHEN s.scnt IS NOT NULL AND s.scnt > 0
+        |            THEN round(ln(CAST(s.scnt AS DOUBLE))
+        |                       - ln(CAST((SELECT tot FROM stot) AS DOUBLE)), 6)
+        |       END AS logp1
+        |FROM vocab v LEFT JOIN scnt s USING (piece)""".stripMargin,
+    // chained soft EM: two E+M rounds, corpus log-likelihood per round
+    "q247_soft_em_trajectory" ->
+      s"""WITH $unigramVocabCtes,
+        |${unigramSoftDp("vocab", "")},
+        |ll1 AS (SELECT round(CAST(sum(
+        |          CAST(round(ln(alpha[CAST(len + 1 AS INTEGER)]), 6)
+        |               AS DECIMAL(18,6)) * freq) AS DOUBLE), 6) AS ll
+        |        FROM salph),
+        |kept1 AS (SELECT piece, scnt FROM scnt WHERE scnt > 0),
+        |st1 AS (SELECT sum(scnt) AS tot FROM kept1),
+        |svocab2 AS MATERIALIZED (
+        |  SELECT piece,
+        |         CAST(round((ln(CAST((SELECT tot FROM st1) AS DOUBLE))
+        |                     - ln(CAST(scnt AS DOUBLE))) * 1000000.0)
+        |              AS BIGINT) AS icost
+        |  FROM kept1),
+        |${unigramSoftDp("svocab2", "2")},
+        |ll2 AS (SELECT round(CAST(sum(
+        |          CAST(round(ln(alpha[CAST(len + 1 AS INTEGER)]), 6)
+        |               AS DECIMAL(18,6)) * freq) AS DOUBLE), 6) AS ll
+        |        FROM salph2),
+        |kept2 AS (SELECT piece FROM scnt2 WHERE scnt > 0)
+        |SELECT CAST(1 AS BIGINT) AS round,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM kept1) AS n_pieces_used,
+        |       (SELECT ll FROM ll1) AS corpus_ll
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS round,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM kept2) AS n_pieces_used,
+        |       (SELECT ll FROM ll2) AS corpus_ll""".stripMargin,
+    // hard vs soft on equal footing: one E+M round each from the same
+    // seed, both re-estimated models Viterbi-segment the same corpus
+    "q248_hard_vs_soft_tokenizer" ->
+      s"""WITH $unigramCtes,
+        |segs AS (
+        |  SELECT w, freq,
+        |         substr(w, CAST((pk >> 6) + 1 AS INTEGER),
+        |                CAST(pk & 63 AS INTEGER)) AS piece
+        |  FROM (SELECT w, freq, unnest(tr[2:]) AS pk FROM bt)),
+        |cnt AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+        |        FROM segs GROUP BY 1),
+        |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot1 FROM cnt),
+        |vocab2 AS MATERIALIZED (
+        |  SELECT piece,
+        |         CAST(round((ln(CAST((SELECT tot1 FROM tt) AS DOUBLE))
+        |                     - ln(CAST(cnt AS DOUBLE))) * 1000000.0)
+        |              AS BIGINT) AS icost
+        |  FROM cnt),
+        |${unigramDp("vocab2", "2")},
+        |${unigramSoftDp("vocab", "s")},
+        |keptS AS (SELECT piece, round(CAST(scnt AS DOUBLE), 6) AS sc
+        |          FROM scnts WHERE round(CAST(scnt AS DOUBLE), 6) > 0),
+        |stS AS (SELECT sum(CAST(sc AS DECIMAL(28,6))) AS tot FROM keptS),
+        |svocab3 AS MATERIALIZED (
+        |  SELECT piece,
+        |         CAST(round((ln(CAST((SELECT tot FROM stS) AS DOUBLE))
+        |                     - ln(sc)) * 1000000.0) AS BIGINT) AS icost
+        |  FROM keptS),
+        |${unigramDp("svocab3", "3")},
+        |hm AS (
+        |  SELECT CAST(sum(freq * best[CAST(len + 1 AS INTEGER)]) AS BIGINT)
+        |           AS corpus_cost,
+        |         CAST(sum(freq * (len(tr) - 1)) AS BIGINT) AS piece_mass,
+        |         CAST(sum(freq * len) AS BIGINT) AS char_mass
+        |  FROM bt2),
+        |sm AS (
+        |  SELECT CAST(sum(freq * best[CAST(len + 1 AS INTEGER)]) AS BIGINT)
+        |           AS corpus_cost,
+        |         CAST(sum(freq * (len(tr) - 1)) AS BIGINT) AS piece_mass,
+        |         CAST(sum(freq * len) AS BIGINT) AS char_mass
+        |  FROM bt3)
+        |SELECT 'hard' AS regime,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM vocab2) AS n_vocab,
+        |       corpus_cost,
+        |       round(CAST(char_mass AS DOUBLE) / CAST(piece_mass AS DOUBLE), 6)
+        |         AS chars_per_piece
+        |FROM hm
+        |UNION ALL
+        |SELECT 'soft' AS regime,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM svocab3) AS n_vocab,
+        |       corpus_cost,
+        |       round(CAST(char_mass AS DOUBLE) / CAST(piece_mass AS DOUBLE), 6)
+        |         AS chars_per_piece
+        |FROM sm""".stripMargin,
     // the trained unigram model applied per word OCCURRENCE via the
     // distinct-word equi-join; per-language compression rollup
     "q233_unigram_tokenize" ->

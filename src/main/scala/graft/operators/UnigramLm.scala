@@ -136,11 +136,12 @@ object UnigramLm {
       vocab, maxWordLen)
   }
 
-  /** [[segment]] over a prebuilt candidate table (the shared-scan seam;
-    * see [[seedVocabFrom]]).
+  /** Packed-edge lists per word: `(w, freq, len, es)` with `es` the
+    * canonically-sorted `((s·64+l) << 34) | icost` BIGINTs — the ONE
+    * lattice representation the Viterbi DP ([[segmentFrom]]) and the
+    * forward-backward marginals ([[softLattice]]) both fold over.
     */
-  private def segmentFrom(cand: DataFrame, vocab: DataFrame,
-      maxWordLen: Int): DataFrame = {
+  private def edgeArrays(cand: DataFrame, vocab: DataFrame): DataFrame = {
     // a cost outside [0, 2^34) would bleed into the (s, l) fields and
     // the DP would read garbage positions — refuse corrupt vocabs
     // (unreachable from seedVocab: ln(tot)·1e6 < 2^34 needs tot > e^17179)
@@ -149,13 +150,21 @@ object UnigramLm {
       raise_error(concat(lit("unigram: icost "), col("icost").cast("string"),
         lit(" outside [0, 2^34) — packed-edge layout would corrupt"))))
       .otherwise(col("icost"))
-    val edges = cand
+    cand
       .join(vocab.select(col("piece"), col("icost")), Seq("piece"))
       .select(col("w"), col("freq"), col("len"),
         (shiftleft(col("s") * 64 + col("l"), 34)
           .bitwiseOR(safeCost)).as("e"))
-    val arr = edges.groupBy(col("w"), col("freq"), col("len"))
+      .groupBy(col("w"), col("freq"), col("len"))
       .agg(sort_array(collect_list(col("e"))).as("es"))
+  }
+
+  /** [[segment]] over a prebuilt candidate table (the shared-scan seam;
+    * see [[seedVocabFrom]]).
+    */
+  private def segmentFrom(cand: DataFrame, vocab: DataFrame,
+      maxWordLen: Int): DataFrame = {
+    val arr = edgeArrays(cand, vocab)
     val pos = (acc: Column) => when(size(acc) === 1, element_at(acc, 1))
       .otherwise(shiftright(element_at(acc, -1), 6))
     val fwd = arr.withColumn("best",
@@ -218,6 +227,175 @@ object UnigramLm {
         when(col("viterbi_cnt").isNotNull,
           round(log(col("viterbi_cnt").cast("double"))
             - log(col("tot1").cast("double")), 6)).as("logp1"))
+  }
+
+  // ------------------------------------------------------------ soft EM
+
+  /** Per-edge probability `exp(−icost/1e6)` — the single IEEE chain
+    * (divide, negate, exp) both engines replay bit-for-bit on the
+    * identical packed cost.
+    */
+  private def pe(e: Column): Column =
+    exp(-(eC(e).cast("double") / lit(1000000.0)))
+
+  /** Forward-backward lattice marginals over the packed-edge lists —
+    * Kudo 2018's ACTUAL E-step (§3.2: expected piece counts over ALL
+    * segmentations, not just the Viterbi one). Appends to each word row:
+    * `alpha` (α(0..len): total probability mass of paths reaching each
+    * position), `beta` (stored reversed: β(len..0) — mass from each
+    * position to the end), `z` (= α(len), the word's partition
+    * function). Two per-row HOF folds, a localCheckpoint barrier
+    * between them and before the consumer (CollapseProject would
+    * re-inline each fold into every downstream `element_at` — the
+    * plan-size blowup the Viterbi path already guards against).
+    *
+    * Exactness/portability: edge probabilities are the fixed chain
+    * [[pe]]; each position's sum folds the FILTERED edge list in its
+    * canonical sorted order with a 0.0 init, so every α/β/z double is
+    * reproduced bit-for-bit by a DuckDB `list_reduce` replay of the
+    * same sorted list. No scaling pass: α(p) ≥ exp(−viterbiCost(p)),
+    * so underflow to 0 needs a best path beyond ~708 nats — refused
+    * via the `z` guard rather than silently renormalized.
+    */
+  private def softLattice(arr: DataFrame): DataFrame = {
+    val withAlpha = arr.withColumn("alpha",
+      aggregate(sequence(lit(1L), col("len")), array(lit(1.0)),
+        (acc, p) => concat(acc, array(
+          aggregate(filter(col("es"), e => eEnd(e) === p), lit(0.0),
+            (a, e) => a + element_at(acc, (eS(e) + 1).cast("int")) * pe(e))))))
+      .localCheckpoint()
+    // beta fold appends β(len−i) at index i+1: β(q) lives at len−q+1
+    val withBeta = withAlpha.withColumn("beta",
+      aggregate(sequence(lit(1L), col("len")), array(lit(1.0)),
+        (acc, i) => concat(acc, array(
+          aggregate(filter(col("es"), e => eS(e) === col("len") - i), lit(0.0),
+            (a, e) => a + pe(e) * element_at(acc,
+              (col("len") - eEnd(e) + 1).cast("int")))))))
+      .localCheckpoint()
+    withBeta.withColumn("z",
+      when(element_at(col("alpha"), (col("len") + 1).cast("int")) <= 0.0,
+        raise_error(concat(
+          lit("unigram soft-EM: zero lattice mass for word '"), col("w"),
+          lit("' (uncovered under this vocab, or best path beyond ~708 " +
+            "nats underflowed)"))))
+        .otherwise(element_at(col("alpha"), (col("len") + 1).cast("int"))))
+  }
+
+  /** Expected piece counts from a [[softLattice]] table: each edge's
+    * posterior γ(e) = α(s)·p(e)·β(end)/Z, weighted by word frequency,
+    * rounded to 6 dp PER EDGE and summed as DECIMAL — order-free across
+    * words, so the piece-keyed partial agg shuffles only 6-dp decimals.
+    * Returns `(piece, scnt)` with `scnt` DECIMAL(28,6).
+    */
+  private def softCountsFrom(lat: DataFrame): DataFrame =
+    lat.select(col("w"), col("freq"), col("len"), col("alpha"), col("beta"),
+        col("z"), explode(col("es")).as("e"))
+      .select(
+        col("w").substr((eS(col("e")) + 1).cast("int"),
+          eL(col("e")).cast("int")).as("piece"),
+        round(col("freq").cast("double")
+          * (element_at(col("alpha"), (eS(col("e")) + 1).cast("int"))
+            * pe(col("e"))
+            * element_at(col("beta"),
+                (col("len") - eEnd(col("e")) + 1).cast("int"))
+            / col("z")), 6).cast("decimal(28,6)").as("contrib"))
+      .groupBy(col("piece"))
+      .agg(sum(col("contrib")).as("scnt"))
+
+  /** One SOFT-EM round (Kudo 2018 §3.2 proper, vs [[emRound]]'s
+    * hard/Viterbi approximation): seed vocab, forward-backward expected
+    * counts over every word's full segmentation lattice (E), count
+    * renormalization (M). Returns `(piece, seed_freq, cost0, soft_cnt,
+    * logp1)` — `soft_cnt` the 6-dp expected frequency-weighted count
+    * (vs `viterbi_cnt`'s winner-take-all), `logp1` the re-estimated
+    * log probability (NULL where the expected mass rounded to zero —
+    * the soft prune set; hard-EM prunes everything outside the single
+    * optimal path, soft-EM only what carries no measurable posterior).
+    */
+  def softEmRound(docs: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, topMulti: Int = 100,
+      maxWordLen: Int = 20): DataFrame = {
+    val (vocab, cnt) = trainSoftCounts(docs, textCol, maxPieceLen,
+      topMulti, maxWordLen)
+    val tot = cnt.agg(sum(col("scnt")).as("stot"))
+    vocab.join(cnt, Seq("piece"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("piece"), col("seed_freq"), col("icost").as("cost0"),
+        round(coalesce(col("scnt"), lit(0).cast("decimal(28,6)"))
+          .cast("double"), 6).as("soft_cnt"),
+        when(col("scnt").isNotNull && col("scnt") > 0,
+          round(log(col("scnt").cast("double"))
+            - log(col("stot").cast("double")), 6)).as("logp1"))
+  }
+
+  private def trainSoftCounts(docs: DataFrame, textCol: String,
+      maxPieceLen: Int, topMulti: Int, maxWordLen: Int)
+      : (DataFrame, DataFrame) = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 63,
+      s"maxPieceLen must be in [1, 63], got $maxPieceLen")
+    require(maxWordLen >= 1 && maxWordLen <= 63,
+      s"maxWordLen must be in [1, 63], got $maxWordLen")
+    val cand = candidates(words(docs, textCol, maxWordLen), maxPieceLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cand stays persisted: the returned vocab still reads it lazily
+    // (the trainAndSegment discipline — session-scoped cache, bounded)
+    val vocab = seedVocabFrom(cand, topMulti)
+    val lat = softLattice(edgeArrays(cand, vocab))
+    (vocab, softCountsFrom(lat))
+  }
+
+  /** CHAINED soft-EM rounds — the forward-backward analog of
+    * [[emTrajectory]]: each round takes expected counts under the
+    * current model and renormalizes; the next vocabulary keeps every
+    * piece whose 6-dp expected mass is positive (Kudo's
+    * negligible-mass prune; hard-EM's used-pieces prune is the
+    * degenerate temperature-0 case). Reports the corpus LOG-LIKELIHOOD
+    * `Σ_w freq·ln Z(w)` — the quantity true EM monotonically
+    * non-decreases (ascent holds up to the ≤0.5 micro-nat piece-cost
+    * rounding, the same slack bound the hard path documents).
+    *
+    * Returns one row per round: `(round, n_pieces_used, corpus_ll)`.
+    */
+  def softEmTrajectory(docs: DataFrame, textCol: String, rounds: Int = 2,
+      maxPieceLen: Int = 4, topMulti: Int = 100,
+      maxWordLen: Int = 20): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds must be in [1, 8], got $rounds")
+    require(maxPieceLen >= 1 && maxPieceLen <= 63,
+      s"maxPieceLen must be in [1, 63], got $maxPieceLen")
+    require(maxWordLen >= 1 && maxWordLen <= 63,
+      s"maxWordLen must be in [1, 63], got $maxWordLen")
+    val spark = docs.sparkSession
+    val cand = candidates(words(docs, textCol, maxWordLen), maxPieceLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var vocab = seedVocabFrom(cand, topMulti)
+      .select(col("piece"), col("icost"))
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    var prevCounts: DataFrame = null
+    for (t <- 1 to rounds) {
+      val lat = softLattice(edgeArrays(cand, vocab))
+      // per-word ln Z rounded to 6 dp, frequency-weighted, decimal-summed
+      val llRow = lat.agg(round(sum(
+        round(log(col("z")), 6).cast("decimal(18,6)") * col("freq"))
+          .cast("double"), 6)).collect()(0)
+      require(!llRow.isNullAt(0),
+        "softEmTrajectory: no segmentable words — the corpus has no " +
+          s"whitespace tokens within maxWordLen=$maxWordLen")
+      val counts = softCountsFrom(lat).where(col("scnt") > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out += ((t.toLong, counts.count(), llRow.getDouble(0)))
+      if (prevCounts != null) prevCounts.unpersist()
+      prevCounts = counts
+      val tot = counts.agg(sum(col("scnt")).as("stot"))
+      vocab = counts.crossJoin(broadcast(tot))
+        .select(col("piece"),
+          round((log(col("stot").cast("double"))
+            - log(col("scnt").cast("double"))) * lit(1000000.0), 0)
+            .cast("long").as("icost"))
+    }
+    if (prevCounts != null) prevCounts.unpersist()
+    cand.unpersist()
+    import spark.implicits._
+    out.result().toDF("round", "n_pieces_used", "corpus_ll")
   }
 
   /** Train-and-apply in ONE candidate scan: the words table and the

@@ -121,4 +121,69 @@ class UnigramLmSpec extends SparkSuite {
       s"re-estimated model must not worsen the chosen segmentation: " +
         s"$after > $before")
   }
+
+  test("softEmRound: expected counts match the hand-computed two-path lattice") {
+    // corpus = one word "ab". Seed vocab: singles a, b + multi ab, each
+    // with seed_freq 1 -> tot 3, icost = round(ln(3)*1e6) = 1098612 for
+    // all three. Two segmentations: [a,b] mass p^2, [ab] mass p where
+    // p = exp(-1.098612). Posteriors: P(two) = p^2/(p^2+p) = p/(p+1),
+    // P(one) = 1/(p+1). Expected counts: c(a) = c(b) = P(two), c(ab) =
+    // P(one) -- soft EM credits BOTH paths where Viterbi picks only [ab].
+    val docs = Seq("ab").toDF("text")
+    val m = UnigramLm.softEmRound(docs, "text", maxPieceLen = 2,
+      topMulti = 10).collect()
+      .map(r => r.getAs[String]("piece") -> r.getAs[Double]("soft_cnt")).toMap
+    val p = math.exp(-1098612.0 / 1e6)
+    val pTwo = BigDecimal(p * p / (p * p + p))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pOne = BigDecimal(p / (p * p + p))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m("a") == pTwo && m("b") == pTwo && m("ab") == pOne,
+      s"expected a=b=$pTwo, ab=$pOne, got $m")
+    // Viterbi (hard) on the same corpus keeps ONLY the single-piece path
+    val hard = UnigramLm.emRound(docs, "text", maxPieceLen = 2,
+      topMulti = 10).collect()
+      .map(r => r.getAs[String]("piece") -> r.getAs[Long]("viterbi_cnt")).toMap
+    assert(hard("ab") == 1L && hard("a") == 0L,
+      s"hard EM must be winner-take-all here: $hard")
+  }
+
+  test("softEmRound: expected mass conserves per-word piece-count bounds") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val m = UnigramLm.softEmRound(docs, "text", maxPieceLen = 4, topMulti = 50)
+    val rows = m.collect()
+    // probabilities renormalize over positive-mass pieces
+    val probSum = rows.filter(!_.isNullAt(4))
+      .map(r => math.exp(r.getAs[Double]("logp1"))).sum
+    assert(math.abs(probSum - 1.0) < 1e-3, s"probs sum to $probSum")
+    // soft mass >= hard mass support: every Viterbi-used piece carries
+    // positive expected mass (the optimal path is one lattice path)
+    val hard = UnigramLm.emRound(docs, "text", maxPieceLen = 4, topMulti = 50)
+      .where(col("viterbi_cnt") > 0).select("piece").collect()
+      .map(_.getString(0)).toSet
+    val soft = rows.filter(r => r.getAs[Double]("soft_cnt") > 0)
+      .map(_.getAs[String]("piece")).toSet
+    assert(hard.subsetOf(soft),
+      s"Viterbi-used pieces missing soft mass: ${hard -- soft}")
+    assert(soft.size >= hard.size,
+      "soft support must be at least the hard support")
+  }
+
+  test("softEmTrajectory: corpus log-likelihood ascends monotonically") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(120)
+    val t = UnigramLm.softEmTrajectory(docs, "text", rounds = 3,
+      maxPieceLen = 4, topMulti = 50)
+      .orderBy("round").collect()
+    assert(t.length == 3)
+    val lls = t.map(_.getAs[Double]("corpus_ll"))
+    // EM ascends the true LL; integer cost rounding adds <= 0.5
+    // micro-nat per piece occurrence, and occurrences <= characters --
+    // the same slack bound the hard path documents
+    val charMass = UnigramLm.words(docs, "text")
+      .agg(sum(col("freq") * col("len"))).collect()(0).getLong(0)
+    val slack = 1e-6 * charMass
+    for (i <- 1 until lls.length)
+      assert(lls(i) >= lls(i - 1) - slack,
+        s"LL fell round ${i} -> ${i + 1}: ${lls.toSeq}")
+  }
 }
