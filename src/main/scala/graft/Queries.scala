@@ -2582,6 +2582,45 @@ object Queries {
         sum(col("o_orderkey")).as("key_sum"))
   }
 
+  // ---------------------------------------------------------------- Q249
+  /** Merge-on-read UPDATE VECTORS under the oracle ([[graft.operators
+    * .ManifestTable.updateKeysMor]]): q117's exact changelog (updates +
+    * inserts) applied as ONE atomic mor-update commit — replacement
+    * rows in a new data file, displaced keys as a stats-scoped
+    * equality tombstone, ZERO files rewritten at ingest. The query
+    * reads the overlay, runs [[graft.operators.ManifestTable
+    * .rewriteDeletes]] (the one materializer clears update vectors and
+    * delete vectors alike), and reads again: both rollups must equal
+    * the COW-merge oracle — MOR == materialized == COW, bit for bit.
+    */
+  def q249MorUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q249").resolve("t").toString
+    val o = t(spark, dir, "orders")
+    ManifestTable.commit(spark, root,
+      o.repartitionByRange(16, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+      Seq("o_orderkey"))
+    val upd = o.where(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + 100000.0)
+    // key 0 negates to itself and would collide with its own update row
+    val ins = o.where(col("o_orderkey") % 101 === 0 && col("o_orderkey") =!= 0)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+    ManifestTable.updateKeysMor(spark, root, upd.unionByName(ins), "o_orderkey")
+    // read() pins its manifest at construction, so the overlay rollup
+    // stays the mor-update snapshot even after maintenance commits
+    def roll(regime: String): DataFrame = ManifestTable.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("total_price"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .select(lit(regime).as("regime"), col("o_orderstatus"),
+        col("n_orders"), col("total_price"), col("key_sum"))
+    val mor = roll("mor")
+    ManifestTable.rewriteDeletes(spark, root)
+    mor.unionByName(roll("materialized"))
+  }
+
   // ---------------------------------------------------------------- Q118
   /** Copy-on-write range DELETE: lineitem lands ship-date-clustered;
     * retiring the 1995 slice classifies every file from manifest stats

@@ -286,6 +286,7 @@ object SparkEntry {
     "q244_ivf_sq8_residual" -> (Queries.q244IvfSq8ResidualProbe _),
     "q245_sq8_residual_audit" -> (Queries.q245Sq8ResidualRecallAudit _),
     "q246_unigram_soft_em" -> (Queries.q246UnigramSoftEm _),
+    "q249_mor_update" -> (Queries.q249MorUpdate _),
     "q247_soft_em_trajectory" -> (Queries.q247SoftEmTrajectory _),
     "q248_hard_vs_soft_tokenizer" -> (Queries.q248HardVsSoftTokenizer _),
     "q241_sq8_clip_monitor" -> (Queries.q241Sq8ClipMonitor _),
@@ -4325,6 +4326,34 @@ object SparkEntry {
         |                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
         |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM merged GROUP BY 1""".stripMargin,
+    // MOR update vectors: the q117 changelog applied merge-on-read,
+    // read as the overlay AND after materialization — both must equal
+    // the COW merge, so the oracle emits the same rollup per regime
+    "q249_mor_update" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 100000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |), ins AS (
+        |  SELECT -o_orderkey AS o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey <> 0
+        |), merged AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins
+        |), roll AS (
+        |  SELECT o_orderstatus, count(*) AS n_orders,
+        |         CAST(round(sum(CAST(CAST(o_totalprice AS VARCHAR)
+        |                             AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
+        |         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |  FROM merged GROUP BY 1)
+        |SELECT 'mor' AS regime, o_orderstatus, n_orders, total_price, key_sum
+        |FROM roll
+        |UNION ALL
+        |SELECT 'materialized' AS regime, o_orderstatus, n_orders, total_price,
+        |       key_sum
+        |FROM roll""".stripMargin,
     // the oracle is the raw table under the complement predicate; the
     // engine got there by dropping interior files from metadata alone
     "q118_manifest_delete" ->

@@ -809,13 +809,100 @@ object ManifestTable {
     }
   }
 
+  /** Merge-on-read key UPSERT — the update-vector complement to
+    * [[deleteKeysMor]], for the update-heavy changelog a 100 TB stream
+    * applies where a COW [[merge]] would pay a full file rewrite per
+    * touched file AT INGEST TIME. One atomic commit carries BOTH halves
+    * of the overlay: the update rows land as a regular data file (new —
+    * outside every tombstone's scope by construction) and their keys
+    * land as an equality tombstone scoped to the stats-pruned candidate
+    * files (the Iceberg equality-delete + data-file MOR shape; Hudi's
+    * MOR upsert log is the same algebra). Reads compose through the
+    * EXISTING subtract-then-union machinery untouched: the tombstone
+    * anti-join removes each displaced base row, the appended file
+    * supplies its replacement — so `read` after `updateKeysMor` equals
+    * `read` after the COW `merge` of the same changelog, row for row
+    * (spec + oracle pin the bit-equality). Keys absent from the base
+    * insert (upsert semantics, same as merge).
+    *
+    * Maintenance IS [[rewriteDeletes]]: the update path reduces to
+    * tombstones + ordinary files, so the one materializer clears update
+    * vectors and delete vectors alike (run at compaction cadence) —
+    * one mechanism, audited once, instead of a parallel rewriteUpdates
+    * codepath that could drift.
+    *
+    * Contract mirrors [[deleteKeysMor]]: outstanding tombstones must
+    * share `keyCol`; update keys must be non-NULL and UNIQUE in the
+    * batch (two updates of one key in one batch have no defined winner
+    * — pre-dedup with latest-wins upstream); commits mode "mor-update"
+    * (refused by [[changes]]); returns [[CowStats]] with
+    * `filesRewritten = 0` — the point of MOR.
+    */
+  def updateKeysMor(spark: SparkSession, tableRoot: String,
+      updates: DataFrame, keyCol: String, maxRetries: Int = 5): CowStats = {
+    val f = fs(spark)
+    val root = new Path(tableRoot)
+    val m = resolve(f, root, None)
+    m.tombstones.headOption.foreach { tb =>
+      require(tb.keyCol == keyCol,
+        s"outstanding tombstones key on ${tb.keyCol}, this update keys on $keyCol; " +
+          "materialize with rewriteDeletes/compact before changing the key")
+    }
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val aligned = updates.select(schema.fields.map(fd =>
+      col(fd.name).cast(fd.dataType).as(fd.name)).toIndexedSeq: _*)
+    val chk = aligned.agg(count(lit(1)).as("n"),
+      count(col(keyCol)).as("nk"),
+      countDistinct(col(keyCol)).as("nd")).head()
+    val (n, nk, nd) = (chk.getLong(0), chk.getLong(1), chk.getLong(2))
+    require(nk == n, s"updateKeysMor: ${n - nk} NULL $keyCol keys of $n — " +
+      "a NULL key cannot tombstone its base row")
+    require(nd == nk, s"updateKeysMor: batch has ${nk - nd} duplicate " +
+      s"$keyCol keys — no defined winner; dedup latest-wins upstream")
+    if (n == 0) CowStats(m.version, m.files.size, 0, 0)
+    else {
+      val bounds = aligned.agg(min(col(keyCol)).cast("string").as("lo"),
+        max(col(keyCol)).cast("string").as("hi")).head()
+      val (lo, hi) = (bounds.getString(0), bounds.getString(1))
+      val dt = schema(keyCol).dataType
+      val applies = m.files.filter { fe =>
+        fe.stats.get(keyCol) match {
+          case Some(ColStats(Some(mn), Some(mx), _)) =>
+            cmp(dt, mx, lo) >= 0 && cmp(dt, mn, hi) <= 0
+          case Some(ColStats(None, None, _)) => false // all-NULL file
+          case _ => true // key stats not tracked: scope conservatively
+        }
+      }.map(_.path)
+      // the replacement rows: an ordinary data file with full stats
+      val (newEntries, _) = writeBatch(spark, f, root, aligned, m.statsCols)
+      // the displacement keys: a tombstone scoped to the PRE-update
+      // files only — the new file is never inside its own overlay
+      val tombOpt = if (applies.isEmpty) Seq.empty else {
+        val tombRel = s"data/b-${java.util.UUID.randomUUID.toString.take(12)}"
+        val tombDir = new Path(root, tombRel)
+        aligned.select(col(keyCol)).write.mode("overwrite")
+          .parquet(tombDir.toString)
+        val bytes = f.listStatus(tombDir).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+        Seq(Tombstone(tombRel, n, bytes, keyCol, applies))
+      }
+      val v = publish(f, root, "mor-update", m.statsCols, None,
+        maxRetries, expectParent = Some(m.version)) { _ =>
+        (m.schemaDdl, m.files ++ newEntries, m.tombstones ++ tombOpt)
+      }
+      CowStats(v, m.files.size, 0, 0)
+    }
+  }
+
   /** Materialize outstanding merge-on-read deletes: among the files any
     * tombstone applies to, probe which REALLY contain a tombstoned
     * (key, file) pair (one semi-join; the collect is distinct file
     * names, bounded by the manifest's own cardinality), rewrite only
     * those without their deleted rows, and commit a tombstone-free
     * snapshot — every other file carries by reference. The maintenance
-    * half of the MOR bargain, run at compaction cadence.
+    * half of the MOR bargain, run at compaction cadence: update-vector
+    * tombstones ([[updateKeysMor]]) clear through this same pass —
+    * their replacement rows are ordinary files that carry by reference.
     */
   def rewriteDeletes(spark: SparkSession, tableRoot: String,
       maxRetries: Int = 5): CowStats = {

@@ -834,4 +834,81 @@ class ManifestTableSpec extends SparkSuite {
     assert(ManifestTable.read(spark, root).count() == 2)
     assert(v > 1L)
   }
+
+  test("updateKeysMor: read equals the COW merge of the same changelog, zero rewrites") {
+    val in = docs(400).repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    val changelog = docs(30, from = 390) // 10 updates (390-399) + 20 inserts
+      .select(col("id"), concat(lit("v2_"), col("name")).as("name"),
+        (col("score") + 1000.0).as("score"))
+    // MOR path
+    val morRoot = freshRoot()
+    ManifestTable.commit(spark, morRoot, in, Seq("id"))
+    val filesBefore = ManifestTable.listFiles(spark, morRoot)
+    val st = ManifestTable.updateKeysMor(spark, morRoot, changelog, "id")
+    assert(st.filesRewritten == 0 && st.filesDropped == 0,
+      "a MOR update must not rewrite or drop data files")
+    assert(ManifestTable.listFiles(spark, morRoot).toSet
+      .intersect(filesBefore.toSet) == filesBefore.toSet,
+      "every pre-update file carries by reference")
+    // COW path on the same base
+    val cowRoot = freshRoot()
+    ManifestTable.commit(spark, cowRoot, in, Seq("id"))
+    ManifestTable.merge(spark, cowRoot, changelog, "id")
+    val mor = ManifestTable.read(spark, morRoot).orderBy("id").collect().toSeq
+    val cow = ManifestTable.read(spark, cowRoot).orderBy("id").collect().toSeq
+    assert(mor == cow, "MOR overlay must equal the COW merge bit-for-bit")
+    assert(mor.size == 420)
+    // time travel still sees the pre-update snapshot
+    assert(ManifestTable.read(spark, morRoot, Some(1L)).count() == 400)
+  }
+
+  test("updateKeysMor: rewriteDeletes materializes update vectors; guards refuse bad batches") {
+    val root = freshRoot()
+    ManifestTable.commit(spark, root,
+      docs(200).repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      Seq("id"))
+    ManifestTable.updateKeysMor(spark, root,
+      docs(5, from = 10).withColumn("score", col("score") * 2), "id")
+    val logical = ManifestTable.read(spark, root).orderBy("id").collect().toSeq
+    val st = ManifestTable.rewriteDeletes(spark, root)
+    assert(st.filesRewritten >= 1, "the displaced file must rewrite")
+    val materialized = ManifestTable.read(spark, root).orderBy("id").collect().toSeq
+    assert(materialized == logical,
+      "materializing the update vector must not change the table")
+    // second maintenance pass is a no-op
+    assert(ManifestTable.rewriteDeletes(spark, root).filesRewritten == 0)
+    // duplicate update keys refuse (no defined winner)
+    val dup = intercept[IllegalArgumentException] {
+      ManifestTable.updateKeysMor(spark, root,
+        docs(2).unionByName(docs(2)), "id")
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    // NULL keys refuse
+    val nul = intercept[IllegalArgumentException] {
+      ManifestTable.updateKeysMor(spark, root,
+        docs(2).withColumn("id",
+          when(col("id") === 0L, lit(null)).otherwise(col("id"))), "id")
+    }
+    assert(nul.getMessage.contains("NULL"))
+    // a different-key MOR delete outstanding refuses the update
+    ManifestTable.deleteKeysMor(spark, root, Seq("doc_42").toDF("name"), "name")
+    val mix = intercept[IllegalArgumentException] {
+      ManifestTable.updateKeysMor(spark, root, docs(1), "id")
+    }
+    assert(mix.getMessage.contains("outstanding tombstones"))
+  }
+
+  test("updateKeysMor: updates after an update win (tombstone scope grows with files)") {
+    val root = freshRoot()
+    ManifestTable.commit(spark, root, docs(50), Seq("id"))
+    ManifestTable.updateKeysMor(spark, root,
+      docs(1, from = 7).withColumn("name", lit("first")), "id")
+    ManifestTable.updateKeysMor(spark, root,
+      docs(1, from = 7).withColumn("name", lit("second")), "id")
+    val rows = ManifestTable.read(spark, root)
+      .where(col("id") === 7L).collect()
+    assert(rows.length == 1 && rows(0).getString(1) == "second",
+      s"the later update vector must displace the earlier one: ${rows.toSeq}")
+    assert(ManifestTable.read(spark, root).count() == 50)
+  }
 }
