@@ -5260,6 +5260,41 @@ object Queries {
     else Array.tabulate(PqDim, PqDim)((i, j) => if (i == j) 1.0 else 0.0)
   }
 
+  /** Block-diagonal OPQ state ([[graft.operators.ProductQuantizer
+    * .trainBlockRotation]]): nBlocks=4 sub-rotations of 16 dims each —
+    * the dim²/4 cost-capped variant for production embedding dims,
+    * trained once per corpus dir and frozen (the [[opqCache]]
+    * discipline; `lastBlockOpqDir` feeds the oracle's literal splice).
+    */
+  private val blockOpqCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Array[Array[Array[Double]]], ProductQuantizer.Codebooks)]()
+  private val lastBlockOpqDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private def blockOpqParts(spark: SparkSession, dir: String)
+      : (Array[Array[Array[Double]]], ProductQuantizer.Codebooks) = {
+    lastBlockOpqDir.set(dir)
+    val cached = blockOpqCache.get(dir)
+    if (cached != null) cached else {
+      val trained = ProductQuantizer.trainBlockRotation(
+        tp(spark, dir, "embeddings"), "vec_id", "embedding",
+        m = PqM, ksub = PqK, dim = PqDim, nBlocks = 4, alternations = 1,
+        lloydIters = 2, saltPrefix = "pqk")
+      blockOpqCache.put(dir, trained)
+      trained
+    }
+  }
+  /** The blocks the q250 oracle splices (identity when q250 has not
+    * run — the dumped entry is then never compared).
+    */
+  private[graft] def lastBlockOpqRotation(): Array[Array[Array[Double]]] = {
+    val dir = lastBlockOpqDir.get()
+    val cached = if (dir == null) null else blockOpqCache.get(dir)
+    if (cached != null) cached._1
+    else Array.fill(4)(
+      Array.tabulate(PqDim / 4, PqDim / 4)((i, j) => if (i == j) 1.0 else 0.0))
+  }
+
   /** The PARAMETRIC half of OPQ ([[graft.operators.ProductQuantizer
     * .trainRotation]] — Ge et al. CVPR 2013 §5): total quantization
     * error of the variance-balanced permutation (the rotation-free
@@ -5289,6 +5324,36 @@ object Queries {
         sum(col("err").cast(dec)).cast("double").as("total_err"))
         .select(lit(scheme).as("scheme"), col("n"), col("total_err"))
     total(balErr, "balanced").unionByName(total(rotErr, "rotated"))
+  }
+
+  // ---------------------------------------------------------------- Q250
+  /** Block-diagonal OPQ vs the full learned rotation at the same bit
+    * budget ([[graft.operators.ProductQuantizer.trainBlockRotation]]):
+    * dim=64 in 4 blocks of 16 — per-row projection cost dim²/4, model
+    * dim²/4 cells, the shape production dims (768–4096) need where the
+    * dense dim² contraction is the ceiling (SCALE.md carries the
+    * measured dense-vs-block ratio at dim 512). What the constraint
+    * gives up is cross-BLOCK decorrelation only; the committed totals
+    * quantify how much of the full rotation's gain the capped variant
+    * keeps on this corpus.
+    */
+  def q250BlockOpq(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val emb = tp(spark, dir, "embeddings")
+    val (_, oBooks, rot) = opqParts(spark, dir)
+    val fullErr = ProductQuantizer.quantizationError(
+      rot, "vec_id", "ovec", oBooks, dim = PqDim)
+    val (blocks, kBooks) = blockOpqParts(spark, dir)
+    val brot = emb.select(col("vec_id"),
+      ProductQuantizer.rotatedBlocks(
+        col("embedding").cast("array<double>"), blocks).as("kvec"))
+    val blockErr = ProductQuantizer.quantizationError(
+      brot, "vec_id", "kvec", kBooks, dim = PqDim)
+    def total(df: DataFrame, scheme: String) =
+      df.agg(count(lit(1)).as("n"),
+        sum(col("err").cast(dec)).cast("double").as("total_err"))
+        .select(lit(scheme).as("scheme"), col("n"), col("total_err"))
+    total(fullErr, "full_rotation").unionByName(total(blockErr, "block_rotation"))
   }
 
   // ---------------------------------------------------------------- Q222

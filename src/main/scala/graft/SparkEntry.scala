@@ -287,6 +287,7 @@ object SparkEntry {
     "q245_sq8_residual_audit" -> (Queries.q245Sq8ResidualRecallAudit _),
     "q246_unigram_soft_em" -> (Queries.q246UnigramSoftEm _),
     "q249_mor_update" -> (Queries.q249MorUpdate _),
+    "q250_block_opq" -> (Queries.q250BlockOpq _),
     "q247_soft_em_trajectory" -> (Queries.q247SoftEmTrajectory _),
     "q248_hard_vs_soft_tokenizer" -> (Queries.q248HardVsSoftTokenizer _),
     "q241_sq8_clip_monitor" -> (Queries.q241Sq8ClipMonitor _),
@@ -826,6 +827,31 @@ object SparkEntry {
        |         round(CAST(sum(CAST(round(CAST(r.val AS DOUBLE) * f.val, 9)
        |                              AS DECIMAL(20,9))) AS DOUBLE), 6) AS val
        |  FROM fx f JOIN rot r ON r.j = f.fpos
+       |  GROUP BY f.vec_id, r.i)""".stripMargin
+  }
+
+  /** The block-diagonal rotation as oracle CTEs: only INTRA-block
+    * (i, j) cells enter the VALUES, so the projection join sums exactly
+    * the bs terms per output dim the Spark `rotatedBlocks` fold sums —
+    * same 9-dp-product decimal recipe, `kv` is the rotated sub-vector
+    * surface.
+    */
+  private def blockRotCtes(blocks: Array[Array[Array[Double]]]): String = {
+    val bs = blocks(0).length
+    val values = (for {
+      b <- blocks.indices; i <- 0 until bs; j <- 0 until bs
+    } yield {
+      val v = BigDecimal(blocks(b)(i)(j))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+      s"(${b * bs + i}, ${b * bs + j}, $v)"
+    }).mkString(", ")
+    s"""krot(i, j, val) AS (VALUES $values),
+       |kv AS MATERIALIZED (
+       |  SELECT f.vec_id, CAST(r.i // 8 AS INTEGER) AS sub,
+       |         CAST(r.i % 8 AS INTEGER) AS pos,
+       |         round(CAST(sum(CAST(round(CAST(r.val AS DOUBLE) * f.val, 9)
+       |                              AS DECIMAL(20,9))) AS DOUBLE), 6) AS val
+       |  FROM fx f JOIN krot r ON r.j = f.fpos
        |  GROUP BY f.vec_id, r.i)""".stripMargin
   }
 
@@ -2026,6 +2052,30 @@ object SparkEntry {
     // replays from them. graft.Verify dumps oracleSql AFTER the queries
     // run, so lastOpqRotation() is this run's trained R for this dir.
     "q225_opq_rotation" -> opqRotationOracle(Queries.lastOpqRotation()),
+    // block-diagonal OPQ vs the full learned rotation, both replayed
+    // from their shared 6-dp literals at the same bit budget
+    "q250_block_opq" ->
+      s"""WITH $pqSubsPs,
+        |$pqFxCte,
+        |${opqRotCtes(Queries.lastOpqRotation())},
+        |${pqTrainCtes("ov", "pqo", "o")},
+        |${blockRotCtes(Queries.lastBlockOpqRotation())},
+        |${pqTrainCtes("kv", "pqk", "k")},
+        |qeo AS (
+        |  SELECT vec_id, round(CAST(sum(md) AS DOUBLE), 6) AS err FROM (
+        |    SELECT vec_id, sub, min(d) AS md FROM d3o GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |qek AS (
+        |  SELECT vec_id, round(CAST(sum(md) AS DOUBLE), 6) AS err FROM (
+        |    SELECT vec_id, sub, min(d) AS md FROM d3k GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT 'full_rotation' AS scheme, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(err AS DECIMAL(18,6))) AS DOUBLE) AS total_err
+        |FROM qeo
+        |UNION ALL
+        |SELECT 'block_rotation', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CAST(err AS DECIMAL(18,6))) AS DOUBLE)
+        |FROM qek""".stripMargin,
     // the full OPQ-IVFADC stack (rotate -> route -> residual-encode ->
     // multi-probe -> ADC -> exact rerank) replayed end-to-end from the
     // same shared R literals

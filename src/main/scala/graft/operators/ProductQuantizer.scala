@@ -591,6 +591,106 @@ object ProductQuantizer {
     (r, books)
   }
 
+  // ------------------------------ block-diagonal rotation (high-dim OPQ)
+
+  /** `diag(B₁..B_n)·vec` as a map-only literal projection — the
+    * block-diagonal variant of [[rotated]] for production embedding
+    * dims: a full rotation costs dim² products per row AND dim² literal
+    * cells (768–4096-dim embeddings multiply both by 144–4096× over the
+    * dim=64 audit), while per-block sub-rotations cap the row cost at
+    * `nBlocks·bs² = dim²/nBlocks` and the model at the same — FAISS's
+    * OPQ block shape. Each block's output folds ONLY its own slice
+    * (same 9-dp-product / decimal-sum / 6-dp-readout recipe as
+    * [[rotated]], so an oracle replays it from the block literals).
+    * NULL for a wrong-length vector (the [[permuted]] guard).
+    */
+  def rotatedBlocks(vec: Column,
+      blocks: Array[Array[Array[Double]]]): Column = {
+    require(blocks.nonEmpty && blocks.forall(_.length == blocks(0).length),
+      "rotatedBlocks: blocks must be non-empty and same-sized")
+    val bs = blocks(0).length
+    val dim = blocks.length * bs
+    val acc9 = DecimalType(30, 9)
+    val zero = lit(new java.math.BigDecimal(0)).cast(acc9)
+    when(size(vec) === dim,
+      concat(blocks.indices.map { b =>
+        val seg = slice(vec, b * bs + 1, bs)
+        array((0 until bs).map { i =>
+          round(
+            aggregate(
+              zip_with(lit(blocks(b)(i)), seg,
+                (a, x) => round(a * x, 9).cast(DecimalType(20, 9))),
+              zero, (acc, v) => (acc + v).cast(acc9)).cast("double"), 6)
+        }: _*)
+      }: _*))
+  }
+
+  /** [[correlation]] restricted to intra-block (i, j) cells — the only
+    * cells a block-diagonal Procrustes reads, so the shuffle carries
+    * `dim²/nBlocks` cells instead of dim² (the same factor the
+    * projection saves).
+    */
+  private def blockCorrelation(x: DataFrame, y: DataFrame,
+      dim: Int, bs: Int): Array[Array[Double]] = {
+    val rows = x.join(y, "__id")
+      .select(posexplode(col("__vec")).as(Seq("i", "xv")), col("__rec"))
+      .select(col("i"), col("xv"),
+        posexplode(col("__rec")).as(Seq("j", "yv")))
+      .where((col("i") / lit(bs)).cast("int")
+        === (col("j") / lit(bs)).cast("int"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(round(col("xv") * col("yv"), 9).cast(DecimalType(30, 9)))
+        .cast("double").as("m"))
+      .collect()
+    val out = Array.fill(dim, dim)(0.0)
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    out
+  }
+
+  /** [[trainRotation]] under a BLOCK-DIAGONAL constraint: the joint
+    * objective still alternates codebook training with a Procrustes
+    * re-solve, but R = diag(B₁..B_n) — the trace objective decomposes,
+    * so each block solves its own bs×bs Procrustes over its diagonal
+    * correlation block. Init = identity per block (a cross-block
+    * variance-balancing permutation is not block-diagonal; what the
+    * constraint gives up is exactly cross-block decorrelation, which is
+    * the documented trade for the dim²/nBlocks cost cap). Returns
+    * `(blocks, books)` with books trained under the final blocks; every
+    * block entry is 6-dp (the [[procrustesRotation]] contract), the
+    * shared literals an oracle replays from.
+    */
+  def trainBlockRotation(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, dim: Int, nBlocks: Int, alternations: Int = 1,
+      lloydIters: Int = 2, saltPrefix: String = "pqk")
+      : (Array[Array[Array[Double]]], Codebooks) = {
+    require(alternations >= 1, s"alternations=$alternations must be >= 1")
+    require(nBlocks >= 1 && dim % nBlocks == 0,
+      s"nBlocks=$nBlocks must divide dim=$dim")
+    val bs = dim / nBlocks
+    val v = prepared(corpus, idCol, vecCol, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var blocks = Array.fill(nBlocks)(
+      Array.tabulate(bs, bs)((i, j) => if (i == j) 1.0 else 0.0))
+    for (t <- 0 until alternations) {
+      val rot = v.select(col("__id"),
+        rotatedBlocks(col("__vec"), blocks).as("__rvec"))
+      val books = train(rot, "__id", "__rvec", m, ksub, dim, lloydIters,
+        s"$saltPrefix$t")
+      val recon = reconstructed(rot, "__id", "__rvec", books, dim)
+      val mFull = blockCorrelation(v, recon, dim, bs)
+      blocks = Array.tabulate(nBlocks) { b =>
+        procrustesRotation(
+          Array.tabulate(bs, bs)((i, j) => mFull(b * bs + i)(b * bs + j)))
+      }
+    }
+    val rotF = v.select(col("__id"),
+      rotatedBlocks(col("__vec"), blocks).as("__rvec"))
+    val books = train(rotF, "__id", "__rvec", m, ksub, dim, lloydIters,
+      saltPrefix)
+    v.unpersist()
+    (blocks, books)
+  }
+
   /** Multi-probe routing: each query row replicated to its `nProbe`
     * NEAREST coarse lists (exact decimal L2 to the centroid literals,
     * ties to the lower list id), the coarse-list analog of q71b's

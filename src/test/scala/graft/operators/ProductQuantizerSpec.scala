@@ -496,6 +496,67 @@ class ProductQuantizerSpec extends SparkSuite {
     assert(r.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
   }
 
+  test("trainBlockRotation: orthogonal blocks, within-block decorrelation beats plain PQ, deterministic") {
+    // dim 8, m=4 (dsub=2), nBlocks=2 (bs=4): block 0 spans subspaces 0-1.
+    // dims 0 and 2 carry the shared factor t (cross-SUBSPACE but
+    // within-BLOCK) -- the correlation a block rotation CAN remove,
+    // where a plain PQ at the same budget cannot
+    val df = spark.range(64).select(
+      col("id"),
+      array(
+        (col("id") % 4).cast("double") * 10.0 +
+          when(col("id") % 2 === 0, 1.0).otherwise(-1.0),
+        (col("id") % 3).cast("double") / 100.0,
+        (col("id") % 4).cast("double") * 10.0 -
+          when(col("id") % 2 === 0, 1.0).otherwise(-1.0),
+        (col("id") % 5).cast("double") / 100.0,
+        (col("id") % 7).cast("double") / 100.0,
+        (col("id") % 2).cast("double") / 100.0,
+        (col("id") % 3).cast("double") / 50.0,
+        (col("id") % 5).cast("double") / 50.0).as("vec"))
+    val plainBooks = ProductQuantizer.train(df, "id", "vec",
+      m = 4, ksub = 2, dim = 8, iters = 2, saltPrefix = "pqp")
+    val plainErr = ProductQuantizer.quantizationError(
+      df, "id", "vec", plainBooks, dim = 8)
+      .agg(sum(col("err"))).head().getDouble(0)
+    val (blocks, kBooks) = ProductQuantizer.trainBlockRotation(df, "id", "vec",
+      m = 4, ksub = 2, dim = 8, nBlocks = 2, alternations = 2)
+    assert(blocks.length == 2 && blocks.forall(_.length == 4))
+    // every learned block is orthogonal (columns orthonormal to ~1e-5,
+    // the 6-dp literal rounding tolerance)
+    blocks.foreach { bm =>
+      for (i <- 0 until 4; j <- 0 until 4) {
+        val dot = (0 until 4).map(k => bm(k)(i) * bm(k)(j)).sum
+        val want = if (i == j) 1.0 else 0.0
+        assert(math.abs(dot - want) < 2e-5, s"block not orthogonal: $dot")
+      }
+    }
+    val rot = df.select(col("id"),
+      ProductQuantizer.rotatedBlocks(col("vec"), blocks).as("kvec"))
+    val kErr = ProductQuantizer.quantizationError(
+      rot, "id", "kvec", kBooks, dim = 8)
+      .agg(sum(col("err"))).head().getDouble(0)
+    assert(kErr < plainErr,
+      s"block rotation must beat plain PQ here: plain $plainErr block $kErr")
+    // determinism: pure function of the corpus
+    val (blocks2, _) = ProductQuantizer.trainBlockRotation(df, "id", "vec",
+      m = 4, ksub = 2, dim = 8, nBlocks = 2, alternations = 2)
+    assert(blocks.map(_.map(_.toSeq).toSeq).toSeq
+      == blocks2.map(_.map(_.toSeq).toSeq).toSeq)
+    // identity blocks reduce to the 6-dp projection; ragged input -> NULL
+    val ident = Array.fill(2)(
+      Array.tabulate(4, 4)((i, j) => if (i == j) 1.0 else 0.0))
+    val idRows = df.limit(1).select(
+      ProductQuantizer.rotatedBlocks(col("vec"), ident).as("v"),
+      col("vec")).collect()(0)
+    assert(idRows.getSeq[Double](0) == idRows.getSeq[Double](1).map(x =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    val ragged = spark.range(1).select(array(lit(1.0), lit(2.0)).as("vec"))
+      .select(ProductQuantizer.rotatedBlocks(col("vec"), ident).as("v"))
+      .collect()(0)
+    assert(ragged.isNullAt(0), "wrong-length vectors must be NULL")
+  }
+
   test("reindexOpq: retrains rotation AND books, swaps atomically, error recovers on drift") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_opq_codes").resolve("t").toString
