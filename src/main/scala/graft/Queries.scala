@@ -5654,39 +5654,9 @@ object Queries {
     * single optimal path per word; the committed numbers quantify what
     * that buys in corpus micro-nats and compression.
     */
-  def q248HardVsSoftTokenizer(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val hard = UnigramLm.emRound(docs, "text", 4, 100, 20)
-      .where(col("viterbi_cnt") > 0)
-      .select(col("piece"), col("viterbi_cnt").as("cnt"))
-    val htot = hard.agg(sum(col("cnt")).as("tot"))
-    val hv = hard.crossJoin(broadcast(htot)).select(col("piece"),
-      round((log(col("tot").cast("double")) - log(col("cnt").cast("double")))
-        * lit(1000000.0), 0).cast("long").as("icost"))
-    val soft = UnigramLm.softEmRound(docs, "text", 4, 100, 20)
-      .where(col("soft_cnt") > 0)
-      .select(col("piece"), col("soft_cnt").cast("decimal(28,6)").as("cnt"))
-    val stot = soft.agg(sum(col("cnt")).as("tot"))
-    val sv = soft.crossJoin(broadcast(stot)).select(col("piece"),
-      round((log(col("tot").cast("double")) - log(col("cnt").cast("double")))
-        * lit(1000000.0), 0).cast("long").as("icost"))
-    def metrics(vocab: DataFrame, regime: String): DataFrame = {
-      val seg = UnigramLm.segment(docs, "text", vocab, 4, 20)
-      // pieces tile the word, so sum(l) per word = len — char mass
-      // needs no second words scan
-      val perWord = seg.groupBy(col("w"), col("freq"), col("cost"))
-        .agg(count(lit(1)).as("np"), sum(col("l")).as("chars"))
-      perWord.agg(
-        sum(col("freq") * col("cost")).as("corpus_cost"),
-        sum(col("freq") * col("np")).as("piece_mass"),
-        sum(col("freq") * col("chars")).as("char_mass"))
-        .crossJoin(broadcast(vocab.agg(count(lit(1)).as("n_vocab"))))
-        .select(lit(regime).as("regime"), col("n_vocab"), col("corpus_cost"),
-          round(col("char_mass").cast("double")
-            / col("piece_mass").cast("double"), 6).as("chars_per_piece"))
-    }
-    metrics(hv, "hard").unionByName(metrics(sv, "soft"))
-  }
+  def q248HardVsSoftTokenizer(spark: SparkSession, dir: String): DataFrame =
+    UnigramLm.hardVsSoftReport(t(spark, dir, "documents"), "text",
+      maxPieceLen = 4, topMulti = 100, maxWordLen = 20)
 
   // ---------------------------------------------------------------- Q238
   /** IVF-SQ8 composed probe: the q208 shape with SQ8 codes — the coarse
@@ -5931,12 +5901,16 @@ object Queries {
     val emb = tp(spark, dir, "embeddings")
     val stats = sq8Stats(spark, dir)
     val (cents, rStats) = sq8rParts(spark, dir)
+    // the audit fires 7 driver actions over these three plans — pin one
+    // evaluation of the router and each full-corpus encode instead of
+    // re-running them per count (session-local checkpoints, not cached)
     val routed = emb.withColumn("list", pqListOf(col("embedding")))
+      .localCheckpoint()
     val codes = ScalarQuantizer.encode(routed, "vec_id", "embedding",
-      stats, carryCols = Seq("list"))
+      stats, carryCols = Seq("list")).localCheckpoint()
     val rCodes = ScalarQuantizer.encode(
       ProductQuantizer.residuals(routed, "embedding", "list", cents),
-      "vec_id", "resid", rStats, carryCols = Seq("list"))
+      "vec_id", "resid", rStats, carryCols = Seq("list")).localCheckpoint()
     val ex = exactL2Top5(spark, dir)
     val nGt = ex.count() // bounded: n_queries x 5 driver rows
     def hits(top: DataFrame): Long = top.select(col("q_id"), col("vec_id"))

@@ -521,23 +521,27 @@ object DataSelection {
     val spark = lossLog.sparkSession
     val round6 = (v: Double) =>
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // a NULL per-example loss must REFUSE, not deflate: greatest()
-    // skips NULLs, so greatest(round(NULL,6), 0.0) = 0.0 and the row
-    // would still count in the per-cell mean denominator — lambda
-    // silently shrinks and the oracle-replayability contract breaks
-    // (engines differ on NULL-greatest). The conformal null-refusal
+    // a NULL/NaN/Infinite per-example loss must REFUSE, not deflate:
+    // greatest() skips NULLs (and NaN casts to a NULL decimal that
+    // sum() skips), so the row would still count in the per-cell mean
+    // denominator — lambda silently shrinks and the oracle-
+    // replayability contract breaks. The conformal null-refusal
     // discipline, priced inside the same single pass.
+    val d = col(lossCol).cast("double")
+    val nonFinite = d.isNull || isnan(d) ||
+      d === Double.PositiveInfinity || d === Double.NegativeInfinity
     val cellRows = Parallelism.ensureCompute(lossLog)
       .groupBy(col(roundCol).cast("long").as("r"),
         col(domainCol).cast("string").as("d"))
       .agg(round(sum(greatest(round(col(lossCol).cast("double"), 6), lit(0.0))
         .cast("decimal(28,6)")).cast("double") / count(lit(1)), 6).as("x"),
-        (count(lit(1)) - count(col(lossCol).cast("double"))).as("n_null"))
+        sum(when(nonFinite, 1L).otherwise(0L)).as("n_bad"))
       .collect() // bounded: rounds x domains scalars, the model itself
-    val nNull = cellRows.map(_.getLong(3)).sum
-    require(nNull == 0,
-      s"doremi: $nNull null per-example losses in the loss log; every " +
-        "row must carry a finite excess loss (filter or impute upstream)")
+    val nBad = cellRows.map(_.getLong(3)).sum
+    require(nBad == 0,
+      s"doremi: $nBad null/NaN/Infinite per-example losses in the loss " +
+        "log; every row must carry a finite excess loss (filter or " +
+        "impute upstream)")
     val cells = cellRows
       .map(row => (row.getLong(0), row.getString(1)) -> row.getDouble(2))
       .toMap

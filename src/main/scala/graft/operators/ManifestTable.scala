@@ -849,8 +849,14 @@ object ManifestTable {
           "materialize with rewriteDeletes/compact before changing the key")
     }
     val schema = StructType.fromDDL(m.schemaDdl)
+    // pin ONE evaluation of the changelog: the uniqueness check, the
+    // bounds, the data file and the tombstone keys below must all see
+    // the same rows — a nondeterministic source re-evaluated per action
+    // could otherwise tombstone a key whose replacement row was never
+    // written (silent row loss inside one "atomic" commit)
     val aligned = updates.select(schema.fields.map(fd =>
       col(fd.name).cast(fd.dataType).as(fd.name)).toIndexedSeq: _*)
+      .localCheckpoint()
     val chk = aligned.agg(count(lit(1)).as("n"),
       count(col(keyCol)).as("nk"),
       countDistinct(col(keyCol)).as("nd")).head()

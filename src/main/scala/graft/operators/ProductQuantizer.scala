@@ -255,6 +255,9 @@ object ProductQuantizer {
   def residuals(corpus: DataFrame, vecCol: String, listCol: String,
       cents: Map[Int, Array[Double]], residCol: String = "resid"): DataFrame = {
     require(cents.nonEmpty, "residuals: no coarse centroids")
+    require(cents.values.map(_.length).toSet.size == 1,
+      "residuals: centroid dims disagree")
+    val dim = cents.head._2.length
     val sorted = cents.toSeq.sortBy(_._1)
     val chosen = sorted.tail.foldLeft(
       when(col(listCol).cast("int") === sorted.head._1,
@@ -263,8 +266,18 @@ object ProductQuantizer {
         acc.when(col(listCol).cast("int") === l,
           array(c.map(lit).toIndexedSeq: _*))
     }
+    // a SHORT vector must RAISE here, not pad: zip_with against the
+    // dim-long centroid literal pads with NULLs to exactly dim length,
+    // which would defeat every downstream size === dim guard (the
+    // ScalarQuantizer/prepared filters) and let a NULL-bearing residual
+    // encode to codes that rank first under nulls-first asc. A NULL
+    // vector stays NULL (the usual drop-at-the-next-filter contract).
+    val xd = col(vecCol).cast("array<double>")
     corpus.withColumn(residCol,
-      zip_with(col(vecCol).cast("array<double>"), chosen, (x, c) => x - c))
+      when(xd.isNotNull && size(xd) =!= dim,
+        raise_error(concat(lit("residuals: vector size "),
+          size(xd).cast("string"), lit(s" != dim $dim"))))
+        .otherwise(zip_with(xd, chosen, (x, c) => x - c)))
   }
 
   /** ACT on the staleness gate: retrain codebooks on `corpus`,
@@ -450,11 +463,18 @@ object ProductQuantizer {
     * 9 dp and decimal-summed (order-independent).
     */
   private def correlation(x: DataFrame, y: DataFrame,
-      dim: Int): Array[Array[Double]] = {
-    val rows = x.join(y, "__id")
+      dim: Int, blockSize: Option[Int] = None): Array[Array[Double]] = {
+    val cells = x.join(y, "__id")
       .select(posexplode(col("__vec")).as(Seq("i", "xv")), col("__rec"))
       .select(col("i"), col("xv"),
         posexplode(col("__rec")).as(Seq("j", "yv")))
+    // block-diagonal callers only read intra-block cells: pruning them
+    // BEFORE the partial agg shrinks the shuffle by the same
+    // dim²/nBlocks factor the block projection saves
+    val scoped = blockSize.fold(cells)(bs =>
+      cells.where((col("i") / lit(bs)).cast("int")
+        === (col("j") / lit(bs)).cast("int")))
+    val rows = scoped
       .groupBy(col("i"), col("j"))
       .agg(sum(round(col("xv") * col("yv"), 9).cast(DecimalType(30, 9)))
         .cast("double").as("m"))
@@ -625,28 +645,6 @@ object ProductQuantizer {
       }: _*))
   }
 
-  /** [[correlation]] restricted to intra-block (i, j) cells — the only
-    * cells a block-diagonal Procrustes reads, so the shuffle carries
-    * `dim²/nBlocks` cells instead of dim² (the same factor the
-    * projection saves).
-    */
-  private def blockCorrelation(x: DataFrame, y: DataFrame,
-      dim: Int, bs: Int): Array[Array[Double]] = {
-    val rows = x.join(y, "__id")
-      .select(posexplode(col("__vec")).as(Seq("i", "xv")), col("__rec"))
-      .select(col("i"), col("xv"),
-        posexplode(col("__rec")).as(Seq("j", "yv")))
-      .where((col("i") / lit(bs)).cast("int")
-        === (col("j") / lit(bs)).cast("int"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(round(col("xv") * col("yv"), 9).cast(DecimalType(30, 9)))
-        .cast("double").as("m"))
-      .collect()
-    val out = Array.fill(dim, dim)(0.0)
-    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-    out
-  }
-
   /** [[trainRotation]] under a BLOCK-DIAGONAL constraint: the joint
     * objective still alternates codebook training with a Procrustes
     * re-solve, but R = diag(B₁..B_n) — the trace objective decomposes,
@@ -677,7 +675,7 @@ object ProductQuantizer {
       val books = train(rot, "__id", "__rvec", m, ksub, dim, lloydIters,
         s"$saltPrefix$t")
       val recon = reconstructed(rot, "__id", "__rvec", books, dim)
-      val mFull = blockCorrelation(v, recon, dim, bs)
+      val mFull = correlation(v, recon, dim, blockSize = Some(bs))
       blocks = Array.tabulate(nBlocks) { b =>
         procrustesRotation(
           Array.tabulate(bs, bs)((i, j) => mFull(b * bs + i)(b * bs + j)))

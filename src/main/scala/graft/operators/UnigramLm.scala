@@ -398,6 +398,57 @@ object UnigramLm {
     out.result().toDF("round", "n_pieces_used", "corpus_ll")
   }
 
+  /** Hard-vs-soft EM on EQUAL footing and ONE candidate scan: both
+    * E-steps run from the same seed over the same persisted candidate
+    * table (a naive composition of [[emRound]] + [[softEmRound]] + two
+    * [[segment]] calls re-derives the corpus's most expensive explode
+    * four times), both re-estimated models then Viterbi-segment the
+    * corpus. Hard counts come from the optimal path only; soft counts
+    * are the 6-dp expected masses with the zero-mass prune. Returns one
+    * row per regime: `(regime, n_vocab, corpus_cost, chars_per_piece)`
+    * — micro-nat Viterbi corpus cost and occurrence-weighted
+    * compression under each model.
+    */
+  def hardVsSoftReport(docs: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, topMulti: Int = 100,
+      maxWordLen: Int = 20): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 63,
+      s"maxPieceLen must be in [1, 63], got $maxPieceLen")
+    require(maxWordLen >= 1 && maxWordLen <= 63,
+      s"maxWordLen must be in [1, 63], got $maxWordLen")
+    val cand = candidates(words(docs, textCol, maxWordLen), maxPieceLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = seedVocabFrom(cand, topMulti)
+    def reEstimated(cnt: DataFrame): DataFrame = {
+      val tot = cnt.agg(sum(col("cnt")).as("tot"))
+      cnt.crossJoin(broadcast(tot)).select(col("piece"),
+        round((log(col("tot").cast("double")) - log(col("cnt").cast("double")))
+          * lit(1000000.0), 0).cast("long").as("icost"))
+    }
+    val hv = reEstimated(segmentFrom(cand, vocab, maxWordLen)
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt")))
+    val sv = reEstimated(softCountsFrom(softLattice(edgeArrays(cand, vocab)))
+      .select(col("piece"), round(col("scnt").cast("double"), 6).as("sc"))
+      .where(col("sc") > 0)
+      .select(col("piece"), col("sc").cast("decimal(28,6)").as("cnt")))
+    def metrics(vocabX: DataFrame, regime: String): DataFrame = {
+      // pieces tile the word: sum(l) per word = len, so char mass needs
+      // no second words scan
+      val perWord = segmentFrom(cand, vocabX, maxWordLen)
+        .groupBy(col("w"), col("freq"), col("cost"))
+        .agg(count(lit(1)).as("np"), sum(col("l")).as("chars"))
+      perWord.agg(
+        sum(col("freq") * col("cost")).as("corpus_cost"),
+        sum(col("freq") * col("np")).as("piece_mass"),
+        sum(col("freq") * col("chars")).as("char_mass"))
+        .crossJoin(broadcast(vocabX.agg(count(lit(1)).as("n_vocab"))))
+        .select(lit(regime).as("regime"), col("n_vocab"), col("corpus_cost"),
+          round(col("char_mass").cast("double")
+            / col("piece_mass").cast("double"), 6).as("chars_per_piece"))
+    }
+    metrics(hv, "hard").unionByName(metrics(sv, "soft"))
+  }
+
   /** Train-and-apply in ONE candidate scan: the words table and the
     * substring explosion are built once and persisted, the seed vocab
     * and the Viterbi edge build both read them. Returns the segment

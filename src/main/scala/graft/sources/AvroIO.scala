@@ -163,16 +163,15 @@ object AvroIO {
         w.append(rec)
       }
       w.close()
-      // commit: replace any prior attempt's complete file atomically-ish
-      // (rename of an intact container; never an in-place stream).
-      // delete-then-rename is NOT atomic: two overlapping attempts of
-      // the same partition can interleave (A deletes dest, B renames
-      // its tmp in, A's rename fails on the now-existing dest). Any
-      // dest present after a failed rename is a sibling attempt's
-      // COMPLETE container (renamed-in, never streamed) — ours is a
-      // benign duplicate, so drop the temp and succeed rather than
-      // paying a spurious task retry.
-      if (fs.exists(dest)) fs.delete(dest, false)
+      // commit: rename the intact container in — never an in-place
+      // stream, and never delete-then-rename: a dest can ONLY exist
+      // because a sibling attempt already renamed ITS complete
+      // container in (rename is the sole path to dest, and the whole
+      // dir was cleared before the job), so pre-deleting it opens a
+      // window where this attempt dies after the delete and the
+      // partition's output is silently lost even though the sibling
+      // already reported success. If our rename fails on an existing
+      // dest, ours is the benign duplicate — drop the temp and succeed.
       if (!fs.rename(tmp, dest)) {
         if (fs.exists(dest)) {
           try { if (fs.exists(tmp)) fs.delete(tmp, false) }

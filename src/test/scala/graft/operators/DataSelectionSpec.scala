@@ -378,8 +378,24 @@ class DataSelectionSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException] {
       DataSelection.doremiTrajectory(log, "round", "domain", "excess")
     }
-    assert(e.getMessage.contains("1 null per-example losses"),
+    assert(e.getMessage.contains("1 null/NaN/Infinite per-example losses"),
       s"expected the null refusal, got: ${e.getMessage}")
+    // NaN would cast to a NULL decimal that sum() skips while the row
+    // still counts in the denominator — must refuse, not deflate
+    val nanLog = Seq(("a", 1, 0.5), ("a", 1, Double.NaN), ("b", 1, 0.5))
+      .toDF("domain", "round", "excess")
+    val e2 = intercept[IllegalArgumentException] {
+      DataSelection.doremiTrajectory(nanLog, "round", "domain", "excess")
+    }
+    assert(e2.getMessage.contains("null/NaN/Infinite"),
+      s"expected the NaN refusal, got: ${e2.getMessage}")
+    val infLog = Seq(("a", 1, 0.5), ("b", 1, Double.PositiveInfinity))
+      .toDF("domain", "round", "excess")
+    val e3 = intercept[IllegalArgumentException] {
+      DataSelection.doremiTrajectory(infLog, "round", "domain", "excess")
+    }
+    assert(e3.getMessage.contains("null/NaN/Infinite"),
+      s"expected the Infinity refusal, got: ${e3.getMessage}")
   }
 
   test("conformalGateReport: empty pool or holdout refuses at readout") {
