@@ -5645,6 +5645,21 @@ object Queries {
     UnigramLm.softEmTrajectory(t(spark, dir, "documents"), "text",
       rounds = 2, maxPieceLen = 4, topMulti = 100, maxWordLen = 20)
 
+  // ---------------------------------------------------------------- Q251
+  /** The PRUNE half of Kudo's loop deployed ([[graft.operators
+    * .UnigramLm.trainVocabulary]]): two rounds of forward-backward
+    * expected counts, each pruning to a 60-piece vocabulary (all
+    * singles + top multis by expected mass) and re-estimating costs
+    * from the kept counts. The oracle replays both lattices AND both
+    * prunes (the rank is over released 6-dp masses, ties by piece, so
+    * the kept sets match exactly). One row per round:
+    * `(round, n_vocab, corpus_ll)`.
+    */
+  def q251VocabPrune(spark: SparkSession, dir: String): DataFrame =
+    UnigramLm.trainVocabulary(t(spark, dir, "documents"), "text",
+      targetVocab = 60, rounds = 2, maxPieceLen = 4, topMulti = 100,
+      maxWordLen = 20)
+
   // ---------------------------------------------------------------- Q248
   /** Hard-vs-soft EM COMPARISON on equal footing: one E+M round each
     * from the same seed, both re-estimated models then Viterbi-segment

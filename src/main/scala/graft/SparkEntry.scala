@@ -290,6 +290,7 @@ object SparkEntry {
     "q250_block_opq" -> (Queries.q250BlockOpq _),
     "q247_soft_em_trajectory" -> (Queries.q247SoftEmTrajectory _),
     "q248_hard_vs_soft_tokenizer" -> (Queries.q248HardVsSoftTokenizer _),
+    "q251_vocab_prune" -> (Queries.q251VocabPrune _),
     "q241_sq8_clip_monitor" -> (Queries.q241Sq8ClipMonitor _),
     "q242_curation_pipeline" -> (Queries.q242CurationPipeline _),
     "q243_label_noise_audit" -> (Queries.q243LabelNoiseAudit _),
@@ -2535,6 +2536,66 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT) AS round,
         |       (SELECT CAST(count(*) AS BIGINT) FROM kept2) AS n_pieces_used,
+        |       (SELECT ll FROM ll2) AS corpus_ll""".stripMargin,
+    // Kudo's prune loop: two soft-EM rounds each pruning to 60 pieces
+    // (all singles + top multis by released 6-dp expected mass) with
+    // costs re-estimated from the kept counts
+    "q251_vocab_prune" ->
+      s"""WITH $unigramVocabCtes,
+        |${unigramSoftDp("vocab", "")},
+        |ll1 AS (SELECT round(CAST(sum(
+        |          CAST(round(ln(alpha[CAST(len + 1 AS INTEGER)]), 6)
+        |               AS DECIMAL(18,6)) * freq) AS DOUBLE), 6) AS ll
+        |        FROM salph),
+        |sng1 AS (
+        |  SELECT v.piece,
+        |         greatest(coalesce(round(CAST(s.scnt AS DOUBLE), 6),
+        |                           CAST(0.0 AS DOUBLE)),
+        |                  CAST(0.000001 AS DOUBLE)) AS cnt
+        |  FROM vocab v LEFT JOIN scnt s USING (piece)
+        |  WHERE length(v.piece) = 1),
+        |mul1 AS (
+        |  SELECT piece, sc AS cnt FROM (
+        |    SELECT piece, round(CAST(scnt AS DOUBLE), 6) AS sc,
+        |           row_number() OVER (ORDER BY round(CAST(scnt AS DOUBLE), 6)
+        |                              DESC, piece ASC) AS rn
+        |    FROM scnt
+        |    WHERE length(piece) > 1 AND round(CAST(scnt AS DOUBLE), 6) > 0)
+        |  WHERE rn <= 60 - (SELECT count(*) FROM sng1)),
+        |kept1 AS (SELECT * FROM sng1 UNION ALL SELECT * FROM mul1),
+        |kt1 AS (SELECT sum(CAST(cnt AS DECIMAL(28,6))) AS tot FROM kept1),
+        |pv2 AS MATERIALIZED (
+        |  SELECT piece,
+        |         CAST(round((ln(CAST((SELECT tot FROM kt1) AS DOUBLE))
+        |                     - ln(cnt)) * 1000000.0) AS BIGINT) AS icost
+        |  FROM kept1),
+        |${unigramSoftDp("pv2", "2")},
+        |ll2 AS (SELECT round(CAST(sum(
+        |          CAST(round(ln(alpha[CAST(len + 1 AS INTEGER)]), 6)
+        |               AS DECIMAL(18,6)) * freq) AS DOUBLE), 6) AS ll
+        |        FROM salph2),
+        |sng2 AS (
+        |  SELECT v.piece,
+        |         greatest(coalesce(round(CAST(s.scnt AS DOUBLE), 6),
+        |                           CAST(0.0 AS DOUBLE)),
+        |                  CAST(0.000001 AS DOUBLE)) AS cnt
+        |  FROM pv2 v LEFT JOIN scnt2 s USING (piece)
+        |  WHERE length(v.piece) = 1),
+        |mul2 AS (
+        |  SELECT piece, sc AS cnt FROM (
+        |    SELECT piece, round(CAST(scnt AS DOUBLE), 6) AS sc,
+        |           row_number() OVER (ORDER BY round(CAST(scnt AS DOUBLE), 6)
+        |                              DESC, piece ASC) AS rn
+        |    FROM scnt2
+        |    WHERE length(piece) > 1 AND round(CAST(scnt AS DOUBLE), 6) > 0)
+        |  WHERE rn <= 60 - (SELECT count(*) FROM sng2)),
+        |kept2 AS (SELECT * FROM sng2 UNION ALL SELECT * FROM mul2)
+        |SELECT CAST(1 AS BIGINT) AS round,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM kept1) AS n_vocab,
+        |       (SELECT ll FROM ll1) AS corpus_ll
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS round,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM kept2) AS n_vocab,
         |       (SELECT ll FROM ll2) AS corpus_ll""".stripMargin,
     // hard vs soft on equal footing: one E+M round each from the same
     // seed, both re-estimated models Viterbi-segment the same corpus

@@ -398,6 +398,79 @@ object UnigramLm {
     out.result().toDF("round", "n_pieces_used", "corpus_ll")
   }
 
+  /** The PRUNE half of Kudo 2018's training loop (§3.2 step 3): each
+    * round takes forward-backward expected counts under the current
+    * model, then prunes the vocabulary toward `targetVocab` — ALL
+    * single characters stay (the coverage invariant), multi-char
+    * pieces keep the top `targetVocab − nSingles` slots by expected
+    * mass (6-dp, ties by piece — the probability-based approximation
+    * of the per-piece likelihood loss; the exact leave-one-out ranking
+    * is a re-DP per piece) — and costs re-estimate from the kept
+    * counts. A zero-mass single (kept only for coverage) takes a
+    * deterministic 1e-6 count floor so its cost stays finite. Reports
+    * per round: `(round, n_vocab, corpus_ll)` — `n_vocab` AFTER the
+    * round's prune, `corpus_ll` under the round's INCOMING model, so
+    * consecutive rows price exactly what the previous prune cost in
+    * likelihood.
+    */
+  def trainVocabulary(docs: DataFrame, textCol: String, targetVocab: Int,
+      rounds: Int = 2, maxPieceLen: Int = 4, topMulti: Int = 100,
+      maxWordLen: Int = 20): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds must be in [1, 8], got $rounds")
+    require(targetVocab >= 1, s"targetVocab must be >= 1, got $targetVocab")
+    require(maxPieceLen >= 1 && maxPieceLen <= 63,
+      s"maxPieceLen must be in [1, 63], got $maxPieceLen")
+    require(maxWordLen >= 1 && maxWordLen <= 63,
+      s"maxWordLen must be in [1, 63], got $maxWordLen")
+    val spark = docs.sparkSession
+    val cand = candidates(words(docs, textCol, maxWordLen), maxPieceLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var vocab = seedVocabFrom(cand, topMulti)
+      .select(col("piece"), col("icost"))
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    var prevKept: DataFrame = null
+    for (t <- 1 to rounds) {
+      val lat = softLattice(edgeArrays(cand, vocab))
+      val llRow = lat.agg(round(sum(
+        round(log(col("z")), 6).cast("decimal(18,6)") * col("freq"))
+          .cast("double"), 6)).collect()(0)
+      require(!llRow.isNullAt(0),
+        "trainVocabulary: no segmentable words — the corpus has no " +
+          s"whitespace tokens within maxWordLen=$maxWordLen")
+      // released 6-dp masses rank the prune (both engines rank the
+      // same values) — the raw decimals stay internal
+      val sc = softCountsFrom(lat)
+        .select(col("piece"),
+          round(col("scnt").cast("double"), 6).as("sc"))
+      val singles = vocab.where(length(col("piece")) === 1)
+        .join(sc, Seq("piece"), "left_outer")
+        .select(col("piece"),
+          greatest(coalesce(col("sc"), lit(0.0)), lit(1e-6)).as("cnt"))
+      val nSingles = singles.count() // bounded: the alphabet
+      require(targetVocab > nSingles,
+        s"targetVocab=$targetVocab <= $nSingles single characters; " +
+          "coverage needs every single, so the target must exceed them")
+      val multis = sc.where(length(col("piece")) > 1 && col("sc") > 0)
+        .orderBy(col("sc").desc, col("piece").asc)
+        .limit((targetVocab - nSingles).toInt)
+        .select(col("piece"), col("sc").as("cnt"))
+      val kept = singles.unionByName(multis)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out += ((t.toLong, kept.count(), llRow.getDouble(0)))
+      if (prevKept != null) prevKept.unpersist()
+      prevKept = kept
+      val tot = kept.agg(sum(col("cnt").cast("decimal(28,6)")).as("tot"))
+      vocab = kept.crossJoin(broadcast(tot))
+        .select(col("piece"),
+          round((log(col("tot").cast("double")) - log(col("cnt"))) * lit(1000000.0), 0)
+            .cast("long").as("icost"))
+    }
+    if (prevKept != null) prevKept.unpersist()
+    cand.unpersist()
+    import spark.implicits._
+    out.result().toDF("round", "n_vocab", "corpus_ll")
+  }
+
   /** Hard-vs-soft EM on EQUAL footing and ONE candidate scan: both
     * E-steps run from the same seed over the same persisted candidate
     * table (a naive composition of [[emRound]] + [[softEmRound]] + two

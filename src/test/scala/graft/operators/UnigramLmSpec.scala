@@ -169,6 +169,44 @@ class UnigramLmSpec extends SparkSuite {
       "soft support must be at least the hard support")
   }
 
+  test("trainVocabulary: prunes to target, keeps singles, post-prune lattice covers") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(120)
+    val t = UnigramLm.trainVocabulary(docs, "text", targetVocab = 60,
+      rounds = 2, maxPieceLen = 4, topMulti = 100)
+      .orderBy("round").collect()
+    assert(t.length == 2)
+    // the prune lands AT the target when enough positive-mass multis
+    // exist (seed had 100 multis; 60 - |alphabet| slots remain)
+    t.foreach(r => assert(r.getAs[Long]("n_vocab") <= 60,
+      s"vocab must not exceed the target: $r"))
+    assert(t(0).getAs[Long]("n_vocab") == 60,
+      s"first prune should fill the target from 100 seed multis: ${t.toSeq}")
+    // round 2 ran a full lattice under the PRUNED vocab without the
+    // Z=0 coverage raise -- the all-singles-kept invariant at work.
+    // No LL direction is provable vs the unpruned model: dropping
+    // low-mass pieces REDISTRIBUTES their probability to survivors
+    // (renormalization), which can raise LL more than the lost paths
+    // cost (it does here). The meaningful invariant is that the prune
+    // is CHEAP: the 60-piece model stays within 10% of the 124-piece
+    // model's round-2 likelihood (deterministic chains, stable bound).
+    val unpruned = UnigramLm.softEmTrajectory(docs, "text", rounds = 2,
+      maxPieceLen = 4, topMulti = 100).orderBy("round").collect()
+    val pll = t(1).getAs[Double]("corpus_ll")
+    val ull = unpruned(1).getAs[Double]("corpus_ll")
+    assert(pll >= ull - 0.10 * math.abs(ull),
+      s"pruning to 60 pieces should cost little likelihood: $pll vs $ull")
+    // a target at or below the alphabet refuses (coverage)
+    val e = intercept[IllegalArgumentException] {
+      UnigramLm.trainVocabulary(docs, "text", targetVocab = 2, rounds = 1)
+    }
+    assert(e.getMessage.contains("single characters"))
+    // determinism
+    val t2 = UnigramLm.trainVocabulary(docs, "text", targetVocab = 60,
+      rounds = 2, maxPieceLen = 4, topMulti = 100)
+      .orderBy("round").collect()
+    assert(t.map(_.toSeq).toSeq == t2.map(_.toSeq).toSeq)
+  }
+
   test("softEmTrajectory: corpus log-likelihood ascends monotonically") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(120)
     val t = UnigramLm.softEmTrajectory(docs, "text", rounds = 3,
