@@ -30,10 +30,20 @@ object ScalarQuantizer {
 
   /** Per-dimension quantization grid: `mins(d)` and `spans(d) =
     * max(d) − min(d)` — 2·dim driver scalars, the whole "model".
+    * `maxs` carries the EXACT training-time upper edge when available:
+    * the `mins + spans` reconstruction can land one ulp BELOW the true
+    * max in IEEE, which would flag genuine training coordinates as
+    * clipped (a false staleness signal — observed on residual-space
+    * grids, whose magnitudes expose the rounding).
     */
-  final case class Stats(mins: Array[Double], spans: Array[Double]) {
+  final case class Stats(mins: Array[Double], spans: Array[Double],
+      maxs: Array[Double] = null) {
     require(mins.length == spans.length, "mins/spans length mismatch")
+    require(maxs == null || maxs.length == mins.length,
+      "maxs length mismatch")
     def dim: Int = mins.length
+    def maxAt(p: Int): Double =
+      if (maxs == null) mins(p) + spans(p) else maxs(p)
   }
 
   /** One dim-keyed partial-agg pass: exact per-dimension min/max. */
@@ -53,12 +63,14 @@ object ScalarQuantizer {
       s"expected $dim dimensions, saw ${rows.length} (ragged vectors?)")
     val mins = new Array[Double](dim)
     val spans = new Array[Double](dim)
+    val maxs = new Array[Double](dim)
     rows.foreach { r =>
       val p = r.getInt(0)
       mins(p) = r.getDouble(1)
+      maxs(p) = r.getDouble(2)
       spans(p) = r.getDouble(2) - r.getDouble(1)
     }
-    Stats(mins, spans)
+    Stats(mins, spans, maxs)
   }
 
   private def minsArr(stats: Stats): Column =
@@ -134,8 +146,7 @@ object ScalarQuantizer {
     * `(n_vecs, n_coords, n_clipped, clip_rate)`.
     */
   def clipReport(df: DataFrame, vecCol: String, stats: Stats): DataFrame = {
-    val maxs = stats.mins.zip(stats.spans).map { case (m, s) => m + s }
-    val maxArr = array(maxs.toIndexedSeq.map(lit): _*)
+    val maxArr = array((0 until stats.dim).map(p => lit(stats.maxAt(p))): _*)
     val xd = col(vecCol).cast("array<double>")
     val below = aggregate(
       zip_with(xd, minsArr(stats), (x, m) => when(x < m, 1L).otherwise(0L)),
@@ -175,6 +186,32 @@ object ScalarQuantizer {
     val codes = encode(routed, idCol, vecCol, stats,
       carryCols = if (listOf == null) Nil else Seq("list"))
     (stats, ManifestTable.commit(spark, tableRoot, codes))
+  }
+
+  /** [[reindex]] for the RESIDUAL tier ([[trainResidual]]): when the
+    * clip gate fires on a drifted corpus the per-list centroids are as
+    * stale as the grid (they were the old corpus's means), so the
+    * retrain re-solves BOTH — fresh coarse centroids from the router's
+    * new assignments, a fresh shared residual grid, residual re-encode,
+    * ONE atomic overwrite commit. The serving side swaps in all three
+    * returned artifacts: centroids for its query-side residual
+    * projection, stats for the dequantized ADC, the committed version
+    * for time travel. The staleness signal for this tier is
+    * [[clipReport]] over the RESIDUAL column of a fresh routed batch —
+    * the same one-compare-per-coordinate gate, in residual space.
+    */
+  def reindexResidual(spark: org.apache.spark.sql.SparkSession,
+      tableRoot: String, corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, listOf: Column => Column)
+      : (Map[Int, Array[Double]], Stats, Long) = {
+    require(listOf != null, "reindexResidual: the coarse router is the " +
+      "point of the residual tier — pass the ingest-time listOf")
+    val routed = corpus.withColumn("list", listOf(col(vecCol)))
+    val (cents, stats) = trainResidual(routed, vecCol, "list", dim)
+    val codes = encode(
+      ProductQuantizer.residuals(routed, vecCol, "list", cents),
+      idCol, "resid", stats, carryCols = Seq("list"))
+    (cents, stats, ManifestTable.commit(spark, tableRoot, codes))
   }
 
   /** Asymmetric top-k: full-precision (broadcast) queries against the
