@@ -5269,13 +5269,16 @@ object Queries {
   private val blockOpqCache =
     new java.util.concurrent.ConcurrentHashMap[String,
       (Array[Array[Array[Double]]], ProductQuantizer.Codebooks)]()
+  private val blockOpqRotTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (SparkSession, DataFrame)]()
   private val lastBlockOpqDir =
     new java.util.concurrent.atomic.AtomicReference[String](null)
   private def blockOpqParts(spark: SparkSession, dir: String)
-      : (Array[Array[Array[Double]]], ProductQuantizer.Codebooks) = {
+      : (Array[Array[Array[Double]]], ProductQuantizer.Codebooks, DataFrame) = {
     lastBlockOpqDir.set(dir)
     val cached = blockOpqCache.get(dir)
-    if (cached != null) cached else {
+    val (blocks, books) = if (cached != null) cached else {
       val trained = ProductQuantizer.trainBlockRotation(
         tp(spark, dir, "embeddings"), "vec_id", "embedding",
         m = PqM, ksub = PqK, dim = PqDim, nBlocks = 4, alternations = 1,
@@ -5283,6 +5286,21 @@ object Queries {
       blockOpqCache.put(dir, trained)
       trained
     }
+    // the deployed artifact is the block-rotated table (the opq
+    // discipline): checkpoint it per (dir, session) so steady-state
+    // audits scan it instead of re-running the dim²/4 contraction
+    val rotCached = blockOpqRotTableCache.get(dir)
+    val rot = if (rotCached != null && (rotCached._1 eq spark) &&
+        !spark.sparkContext.isStopped) rotCached._2
+    else {
+      val fresh = tp(spark, dir, "embeddings").select(col("vec_id"),
+        ProductQuantizer.rotatedBlocks(
+          col("embedding").cast("array<double>"), blocks).as("kvec"))
+        .localCheckpoint()
+      blockOpqRotTableCache.put(dir, (spark, fresh))
+      fresh
+    }
+    (blocks, books, rot)
   }
   /** The blocks the q250 oracle splices (identity when q250 has not
     * run — the dumped entry is then never compared).
@@ -5339,14 +5357,10 @@ object Queries {
     */
   def q250BlockOpq(spark: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
-    val emb = tp(spark, dir, "embeddings")
     val (_, oBooks, rot) = opqParts(spark, dir)
     val fullErr = ProductQuantizer.quantizationError(
       rot, "vec_id", "ovec", oBooks, dim = PqDim)
-    val (blocks, kBooks) = blockOpqParts(spark, dir)
-    val brot = emb.select(col("vec_id"),
-      ProductQuantizer.rotatedBlocks(
-        col("embedding").cast("array<double>"), blocks).as("kvec"))
+    val (_, kBooks, brot) = blockOpqParts(spark, dir)
     val blockErr = ProductQuantizer.quantizationError(
       brot, "vec_id", "kvec", kBooks, dim = PqDim)
     def total(df: DataFrame, scheme: String) =
