@@ -5893,6 +5893,35 @@ object Queries {
     }
   }
 
+  /** The residual-tier STALENESS gate under the oracle (the q241
+    * monitor in residual space, [[graft.operators.ScalarQuantizer
+    * .clipReport]] over residual coordinates): the frozen residual
+    * grid's out-of-box rate on the training corpus (0 by construction
+    * — and exactly 0 only because `Stats` carries the true per-dim
+    * max; the `mins + spans` reconstruction is one ulp short) vs a
+    * 1.25×-drifted batch. Positive scaling preserves the argmax
+    * router, so the drifted batch keeps its lists and the drift shows
+    * up purely as residual displacement — the signal
+    * [[graft.operators.ScalarQuantizer.reindexResidual]] retrains on.
+    */
+  def q252ResidualClipMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val (cents, rStats) = sq8rParts(spark, dir)
+    def residOf(df: DataFrame): DataFrame = ProductQuantizer.residuals(
+      df.withColumn("list", pqListOf(col("embedding"))),
+      "embedding", "list", cents)
+    val drifted = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double") * lit(1.25))
+        .as("embedding"))
+    ScalarQuantizer.clipReport(residOf(emb), "resid", rStats)
+      .select(lit("train").as("batch"), col("n_vecs"), col("n_coords"),
+        col("n_clipped"), col("clip_rate"))
+      .unionByName(
+        ScalarQuantizer.clipReport(residOf(drifted), "resid", rStats)
+          .select(lit("drifted").as("batch"), col("n_vecs"),
+            col("n_coords"), col("n_clipped"), col("clip_rate")))
+  }
+
   /** Residual IVF-SQ8 composed probe (the q238 shape with the codes AND
     * the query side in RESIDUAL space): corpus residuals `x − c(list)`
     * byte-encoded on the shared residual grid, each query's residual

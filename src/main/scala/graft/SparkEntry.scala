@@ -288,6 +288,7 @@ object SparkEntry {
     "q246_unigram_soft_em" -> (Queries.q246UnigramSoftEm _),
     "q249_mor_update" -> (Queries.q249MorUpdate _),
     "q250_block_opq" -> (Queries.q250BlockOpq _),
+    "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
     "q247_soft_em_trajectory" -> (Queries.q247SoftEmTrajectory _),
     "q248_hard_vs_soft_tokenizer" -> (Queries.q248HardVsSoftTokenizer _),
     "q251_vocab_prune" -> (Queries.q251VocabPrune _),
@@ -2271,6 +2272,43 @@ object SparkEntry {
         |            AS BIGINT) AS p2_hits
         |FROM sq8top t LEFT JOIN ex e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
         |GROUP BY t.q_id""".stripMargin,
+    // the residual-tier staleness gate: frozen residual grid's clip
+    // rate on train (0 by construction) vs a 1.25x-drifted batch whose
+    // lists survive the scaling (argmax is scale-invariant)
+    "q252_residual_clip_monitor" ->
+      s"""WITH $sq8LstrSql,
+        |$sq8FvqSql,
+        |$sq8ResidSql,
+        |tr AS (
+        |  SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+        |         CAST(count(*) AS BIGINT) AS n_coords,
+        |         CAST(sum(CASE WHEN r.x < s.mn OR r.x > s.mx
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        |  FROM rvq r JOIN rst s USING (p)),
+        |dvq AS (
+        |  SELECT f.vec_id, f.p,
+        |         f.x * CAST(1.25 AS DOUBLE) - c.cv AS x
+        |  FROM fvq f JOIN lst l USING (vec_id)
+        |       JOIN cent c ON c.list = l.list AND c.p = f.p),
+        |dr AS (
+        |  SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+        |         CAST(count(*) AS BIGINT) AS n_coords,
+        |         CAST(sum(CASE WHEN d.x < s.mn OR d.x > s.mx
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        |  FROM dvq d JOIN rst s USING (p))
+        |SELECT 'train' AS batch, n_vecs, n_coords, n_clipped,
+        |       CASE WHEN n_coords > 0
+        |            THEN round(CAST(n_clipped AS DOUBLE)
+        |                       / CAST(n_coords AS DOUBLE), 6)
+        |            ELSE 0.0 END AS clip_rate
+        |FROM tr
+        |UNION ALL
+        |SELECT 'drifted' AS batch, n_vecs, n_coords, n_clipped,
+        |       CASE WHEN n_coords > 0
+        |            THEN round(CAST(n_clipped AS DOUBLE)
+        |                       / CAST(n_coords AS DOUBLE), 6)
+        |            ELSE 0.0 END AS clip_rate
+        |FROM dr""".stripMargin,
     // residual IVF-SQ8: codes AND query side in residual space
     "q244_ivf_sq8_residual" ->
       s"""WITH ${sq8rCtes(nProbe = 1)}
