@@ -5907,13 +5907,19 @@ object Queries {
   def q252ResidualClipMonitor(spark: SparkSession, dir: String): DataFrame = {
     val emb = tp(spark, dir, "embeddings")
     val (cents, rStats) = sq8rParts(spark, dir)
-    def residOf(df: DataFrame): DataFrame = ProductQuantizer.residuals(
-      df.withColumn("list", pqListOf(col("embedding"))),
-      "embedding", "list", cents)
-    val drifted = emb.select(col("vec_id"),
+    // route ONCE on the original embeddings and CARRY the list into the
+    // drifted frame: argmax is scale-invariant in exact arithmetic, but
+    // the oracle pins the training-time list per vec_id, and
+    // re-routing the scaled doubles would rest equivalence on IEEE
+    // products never flipping a near-tie (they can) — plus it skips a
+    // second router evaluation
+    val routed = emb.withColumn("list", pqListOf(col("embedding")))
+    def residOf(df: DataFrame): DataFrame =
+      ProductQuantizer.residuals(df, "embedding", "list", cents)
+    val drifted = routed.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double") * lit(1.25))
-        .as("embedding"))
-    ScalarQuantizer.clipReport(residOf(emb), "resid", rStats)
+        .as("embedding"), col("list"))
+    ScalarQuantizer.clipReport(residOf(routed), "resid", rStats)
       .select(lit("train").as("batch"), col("n_vecs"), col("n_coords"),
         col("n_clipped"), col("clip_rate"))
       .unionByName(

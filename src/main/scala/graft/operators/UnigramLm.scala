@@ -359,43 +359,70 @@ object UnigramLm {
   def softEmTrajectory(docs: DataFrame, textCol: String, rounds: Int = 2,
       maxPieceLen: Int = 4, topMulti: Int = 100,
       maxWordLen: Int = 20): DataFrame = {
+    import docs.sparkSession.implicits._
+    softRounds(docs, textCol, rounds, maxPieceLen, topMulti, maxWordLen)(
+      (_, sc) => sc.where(col("scnt") > 0)
+        .select(col("piece"), col("scnt").as("cnt")))
+      .toDF("round", "n_pieces_used", "corpus_ll")
+  }
+
+  /** The shared chained-soft-E-step loop behind [[softEmTrajectory]]
+    * and [[trainVocabulary]] — ONE candidate scan, per round: lattice,
+    * frequency-weighted corpus log-likelihood, expected counts (cached
+    * for the round — the M-step callback and the size readout both
+    * read them), the caller's `keep` M-step producing the kept
+    * `(piece, cnt)` table, cost re-estimation
+    * `round((ln Σcnt − ln cnt)·1e6)` from the kept counts. The
+    * persist/unpersist rotation and the exactness chain live HERE so
+    * the two oracle-matched trajectories cannot drift. Returns one
+    * `(round, n_kept, corpus_ll)` tuple per round; all caches are
+    * released on ANY exit, including a mid-loop refusal.
+    */
+  private def softRounds(docs: DataFrame, textCol: String, rounds: Int,
+      maxPieceLen: Int, topMulti: Int, maxWordLen: Int)
+      (keep: (DataFrame, DataFrame) => DataFrame)
+      : Seq[(Long, Long, Double)] = {
     require(rounds >= 1 && rounds <= 8, s"rounds must be in [1, 8], got $rounds")
     require(maxPieceLen >= 1 && maxPieceLen <= 63,
       s"maxPieceLen must be in [1, 63], got $maxPieceLen")
     require(maxWordLen >= 1 && maxWordLen <= 63,
       s"maxWordLen must be in [1, 63], got $maxWordLen")
-    val spark = docs.sparkSession
     val cand = candidates(words(docs, textCol, maxWordLen), maxPieceLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var vocab = seedVocabFrom(cand, topMulti)
-      .select(col("piece"), col("icost"))
-    val out = Seq.newBuilder[(Long, Long, Double)]
-    var prevCounts: DataFrame = null
-    for (t <- 1 to rounds) {
-      val lat = softLattice(edgeArrays(cand, vocab))
-      // per-word ln Z rounded to 6 dp, frequency-weighted, decimal-summed
-      val llRow = lat.agg(round(sum(
-        round(log(col("z")), 6).cast("decimal(18,6)") * col("freq"))
-          .cast("double"), 6)).collect()(0)
-      require(!llRow.isNullAt(0),
-        "softEmTrajectory: no segmentable words — the corpus has no " +
-          s"whitespace tokens within maxWordLen=$maxWordLen")
-      val counts = softCountsFrom(lat).where(col("scnt") > 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out += ((t.toLong, counts.count(), llRow.getDouble(0)))
-      if (prevCounts != null) prevCounts.unpersist()
-      prevCounts = counts
-      val tot = counts.agg(sum(col("scnt")).as("stot"))
-      vocab = counts.crossJoin(broadcast(tot))
-        .select(col("piece"),
-          round((log(col("stot").cast("double"))
-            - log(col("scnt").cast("double"))) * lit(1000000.0), 0)
-            .cast("long").as("icost"))
+    var prevKept: DataFrame = null
+    try {
+      var vocab = seedVocabFrom(cand, topMulti)
+        .select(col("piece"), col("icost"))
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      for (t <- 1 to rounds) {
+        val lat = softLattice(edgeArrays(cand, vocab))
+        // per-word ln Z rounded to 6 dp, frequency-weighted, decimal-summed
+        val llRow = lat.agg(round(sum(
+          round(log(col("z")), 6).cast("decimal(18,6)") * col("freq"))
+            .cast("double"), 6)).collect()(0)
+        require(!llRow.isNullAt(0),
+          "soft EM: no segmentable words — the corpus has no " +
+            s"whitespace tokens within maxWordLen=$maxWordLen")
+        val sc = softCountsFrom(lat)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val kept = keep(vocab, sc)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out += ((t.toLong, kept.count(), llRow.getDouble(0)))
+        sc.unpersist() // kept is materialized — the posterior agg is done
+        if (prevKept != null) prevKept.unpersist()
+        prevKept = kept
+        val tot = kept.agg(sum(col("cnt").cast("decimal(28,6)")).as("tot"))
+        vocab = kept.crossJoin(broadcast(tot))
+          .select(col("piece"),
+            round((log(col("tot").cast("double"))
+              - log(col("cnt").cast("double"))) * lit(1000000.0), 0)
+              .cast("long").as("icost"))
+      }
+      out.result()
+    } finally {
+      if (prevKept != null) prevKept.unpersist()
+      cand.unpersist()
     }
-    if (prevCounts != null) prevCounts.unpersist()
-    cand.unpersist()
-    import spark.implicits._
-    out.result().toDF("round", "n_pieces_used", "corpus_ll")
   }
 
   /** The PRUNE half of Kudo 2018's training loop (§3.2 step 3): each
@@ -416,59 +443,31 @@ object UnigramLm {
   def trainVocabulary(docs: DataFrame, textCol: String, targetVocab: Int,
       rounds: Int = 2, maxPieceLen: Int = 4, topMulti: Int = 100,
       maxWordLen: Int = 20): DataFrame = {
-    require(rounds >= 1 && rounds <= 8, s"rounds must be in [1, 8], got $rounds")
     require(targetVocab >= 1, s"targetVocab must be >= 1, got $targetVocab")
-    require(maxPieceLen >= 1 && maxPieceLen <= 63,
-      s"maxPieceLen must be in [1, 63], got $maxPieceLen")
-    require(maxWordLen >= 1 && maxWordLen <= 63,
-      s"maxWordLen must be in [1, 63], got $maxWordLen")
-    val spark = docs.sparkSession
-    val cand = candidates(words(docs, textCol, maxWordLen), maxPieceLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var vocab = seedVocabFrom(cand, topMulti)
-      .select(col("piece"), col("icost"))
-    val out = Seq.newBuilder[(Long, Long, Double)]
-    var prevKept: DataFrame = null
-    for (t <- 1 to rounds) {
-      val lat = softLattice(edgeArrays(cand, vocab))
-      val llRow = lat.agg(round(sum(
-        round(log(col("z")), 6).cast("decimal(18,6)") * col("freq"))
-          .cast("double"), 6)).collect()(0)
-      require(!llRow.isNullAt(0),
-        "trainVocabulary: no segmentable words — the corpus has no " +
-          s"whitespace tokens within maxWordLen=$maxWordLen")
-      // released 6-dp masses rank the prune (both engines rank the
-      // same values) — the raw decimals stay internal
-      val sc = softCountsFrom(lat)
-        .select(col("piece"),
+    import docs.sparkSession.implicits._
+    // the alphabet is invariant across rounds (every single survives
+    // each prune by construction) — count it once, on round 1
+    var nSingles = -1L
+    softRounds(docs, textCol, rounds, maxPieceLen, topMulti, maxWordLen) {
+      (vocab, scRaw) =>
+        // released 6-dp masses rank the prune (both engines rank the
+        // same values) — the raw decimals stay internal
+        val sc = scRaw.select(col("piece"),
           round(col("scnt").cast("double"), 6).as("sc"))
-      val singles = vocab.where(length(col("piece")) === 1)
-        .join(sc, Seq("piece"), "left_outer")
-        .select(col("piece"),
-          greatest(coalesce(col("sc"), lit(0.0)), lit(1e-6)).as("cnt"))
-      val nSingles = singles.count() // bounded: the alphabet
-      require(targetVocab > nSingles,
-        s"targetVocab=$targetVocab <= $nSingles single characters; " +
-          "coverage needs every single, so the target must exceed them")
-      val multis = sc.where(length(col("piece")) > 1 && col("sc") > 0)
-        .orderBy(col("sc").desc, col("piece").asc)
-        .limit((targetVocab - nSingles).toInt)
-        .select(col("piece"), col("sc").as("cnt"))
-      val kept = singles.unionByName(multis)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out += ((t.toLong, kept.count(), llRow.getDouble(0)))
-      if (prevKept != null) prevKept.unpersist()
-      prevKept = kept
-      val tot = kept.agg(sum(col("cnt").cast("decimal(28,6)")).as("tot"))
-      vocab = kept.crossJoin(broadcast(tot))
-        .select(col("piece"),
-          round((log(col("tot").cast("double")) - log(col("cnt"))) * lit(1000000.0), 0)
-            .cast("long").as("icost"))
-    }
-    if (prevKept != null) prevKept.unpersist()
-    cand.unpersist()
-    import spark.implicits._
-    out.result().toDF("round", "n_vocab", "corpus_ll")
+        val singles = vocab.where(length(col("piece")) === 1)
+          .join(sc, Seq("piece"), "left_outer")
+          .select(col("piece"),
+            greatest(coalesce(col("sc"), lit(0.0)), lit(1e-6)).as("cnt"))
+        if (nSingles < 0) nSingles = singles.count() // bounded: the alphabet
+        require(targetVocab > nSingles,
+          s"targetVocab=$targetVocab <= $nSingles single characters; " +
+            "coverage needs every single, so the target must exceed them")
+        val multis = sc.where(length(col("piece")) > 1 && col("sc") > 0)
+          .orderBy(col("sc").desc, col("piece").asc)
+          .limit((targetVocab - nSingles).toInt)
+          .select(col("piece"), col("sc").as("cnt"))
+        singles.unionByName(multis)
+    }.toDF("round", "n_vocab", "corpus_ll")
   }
 
   /** Hard-vs-soft EM on EQUAL footing and ONE candidate scan: both
