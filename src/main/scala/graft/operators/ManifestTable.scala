@@ -837,6 +837,12 @@ object ManifestTable {
     * — pre-dedup with latest-wins upstream); commits mode "mor-update"
     * (refused by [[changes]]); returns [[CowStats]] with
     * `filesRewritten = 0` — the point of MOR.
+    *
+    * The replacement data file and tombstone parquet are written BEFORE
+    * [[publish]]; on an expectParent conflict or exhausted claim retries
+    * they stay on disk unreferenced until [[vacuum]] — the same
+    * crashed-writer orphan class [[deleteKeysMor]] documents, just twice
+    * the bytes (data file + tombstone).
     */
   def updateKeysMor(spark: SparkSession, tableRoot: String,
       updates: DataFrame, keyCol: String, maxRetries: Int = 5): CowStats = {

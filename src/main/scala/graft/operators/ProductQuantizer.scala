@@ -628,6 +628,8 @@ object ProductQuantizer {
       blocks: Array[Array[Array[Double]]]): Column = {
     require(blocks.nonEmpty && blocks.forall(_.length == blocks(0).length),
       "rotatedBlocks: blocks must be non-empty and same-sized")
+    require(blocks.forall(_.forall(_.length == blocks(0).length)),
+      "rotatedBlocks: ragged block row (every row must span the block)")
     val bs = blocks(0).length
     val dim = blocks.length * bs
     val acc9 = DecimalType(30, 9)

@@ -121,8 +121,11 @@ object AvroIO {
     * Each task streams to a per-ATTEMPT hidden temp file and renames the
     * complete container into place — a speculative or zombie attempt
     * overlapping a retry of the same partition can therefore never
-    * interleave bytes into a committed file; the last complete rename
-    * wins. Filesystems resolve from the target path's own scheme, so a
+    * interleave bytes into a committed file; the FIRST complete rename
+    * wins and a later sibling's duplicate is dropped (on POSIX-overwrite
+    * local FS a later rename may still replace the file — either way any
+    * renamed container is complete). Filesystems resolve from the target
+    * path's own scheme, so a
     * `file://` or `s3a://` destination works under any `fs.defaultFS`.
     */
   def write(df: DataFrame, path: String): Unit = {
