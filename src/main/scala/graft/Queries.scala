@@ -5402,6 +5402,171 @@ object Queries {
     total(fullErr, "full_rotation").unionByName(total(blockErr, "block_rotation"))
   }
 
+  // ---------------------------------------------------------------- Q253
+  private val PqXDim = 512
+  private val PqXBlocks = 8 // bs = 64: the SCALE.md-measured 5.0 ms/row path
+
+  /** Deterministic ±1 sign for the dim-512 corpus expansion — a
+    * portable-hash parity computed once on the driver and spliced into
+    * BOTH the Spark construction literals and the oracle's VALUES, so
+    * the two engines build bit-identical 512-dim vectors.
+    */
+  private[graft] def x512Sign(salt: String, i: Int): Int =
+    if ((graft.plans.PolyHashOps.stringHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"$salt|$i"))
+      & 1L) == 0L) 1 else -1
+
+  /** The production-dim corpus: each 64-dim embedding expanded to 512
+    * dims as 8 tiles, coordinate i of tile t =
+    * `round(emb[c]·s1(i) + emb[(c + 7(t+1)) mod 64]·s2(i), 6)` with
+    * s1/s2 the portable ±1 signs — map-only, engine-replayable, and
+    * deliberately MIXED within each tile (two raw coordinates per
+    * output) so intra-block correlation exists for the block rotation
+    * to decorrelate. The synthetic stand-in for a real 512-dim
+    * embedding column; every downstream stage is the real one.
+    */
+  private def x512(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    // signs ride as two 512-long array literals and the expansion is ONE
+    // transform expression — 512 generated columns would blow janino's
+    // 64 KB cap (the rotatedBlocks production-dim discipline)
+    val s1 = typedLit((0 until PqXDim).map(x512Sign("x5a", _).toDouble))
+    val s2 = typedLit((0 until PqXDim).map(x512Sign("x5b", _).toDouble))
+    val xvec = transform(sequence(lit(0), lit(PqXDim - 1)), i => {
+      val c = pmod(i, lit(64))
+      val t = (i.cast("int") / 64).cast("int")
+      val c2 = pmod(c + (t + 1) * 7, lit(64))
+      round(element_at(v, c + 1) * element_at(s1, i + 1) +
+        element_at(v, c2 + 1) * element_at(s2, i + 1), 6)
+    })
+    // the construction + every downstream rotation fold is interpreted
+    // per-row work: spread the 1-partition parquet across the executors
+    Parallelism.ensureCompute(tp(spark, dir, "embeddings"))
+      .select(col("vec_id"), xvec.as("xvec"))
+  }
+
+  /** Coarse router at dim 512 — the frozen argmax-of-quarter-leads rule
+    * ([[pqListOf]]) at stride 128: list = the quarter whose leading
+    * ROTATED element is largest, ties to the lower index.
+    */
+  private def x512ListOf(vec: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val sorted = sort_array(array((0 until 4).map(j =>
+      struct(element_at(vec, j * 128 + 1).cast("double").as("v"),
+        lit(-j).as("nj"))): _*))
+    (-element_at(sorted, -1).getField("nj")).cast("int")
+  }
+
+  /** Dim-512 block-OPQ serving state, trained once per corpus dir and
+    * frozen (the [[opqCache]] discipline): 8 per-block 64×64
+    * sub-rotations from [[graft.operators.ProductQuantizer
+    * .trainBlockRotation]] (the joint books are a training byproduct —
+    * the SERVING codebooks are retrained on rotated residuals, salt
+    * `pqxr`, the canonical IVFADC bit spend), coarse centroids on the
+    * rotated vectors, and the residual codebooks. The rotated table is
+    * the at-ingest artifact — localCheckpointed per (dir, session) so
+    * steady-state serving never re-pays the dim²/8 projection.
+    */
+  private val x512Cache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Array[Double]]], Map[Int, Array[Double]],
+      ProductQuantizer.Codebooks)]()
+  private val x512RotCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, DataFrame)]()
+  private val lastX512Dir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private[graft] def lastX512Blocks(): Array[Array[Array[Double]]] = {
+    val dir = lastX512Dir.get()
+    val cached = if (dir == null) null else x512Cache.get(dir)
+    if (cached != null) cached._1
+    else Array.fill(PqXBlocks)(
+      Array.tabulate(PqXDim / PqXBlocks, PqXDim / PqXBlocks)(
+        (i, j) => if (i == j) 1.0 else 0.0))
+  }
+  private def x512Parts(spark: SparkSession, dir: String)
+      : (Map[Int, Array[Double]], ProductQuantizer.Codebooks, DataFrame) = {
+    lastX512Dir.set(dir)
+    val xdf = x512(spark, dir)
+    val cached = x512Cache.get(dir)
+    val (blocks, cents, books) = if (cached != null) cached else {
+      // lloydIters=1: the joint books exist only to give the Procrustes
+      // step a reconstruction — the SERVING codebooks are the residual
+      // ones below, and the oracle replays from the spliced blocks, so
+      // one Lloyd pass per alternation halves the dominant codegen cost
+      val (bl, _) = ProductQuantizer.trainBlockRotation(
+        xdf, "vec_id", "xvec", m = PqM, ksub = PqK, dim = PqXDim,
+        nBlocks = PqXBlocks, alternations = 1, lloydIters = 1,
+        saltPrefix = "pqxj")
+      val rot0 = xdf.select(col("vec_id"),
+        ProductQuantizer.rotatedBlocks(col("xvec"), bl).as("kvec"))
+        .localCheckpoint()
+      val routed = rot0.withColumn("list", x512ListOf(col("kvec")))
+      val cs = ProductQuantizer.coarseCentroids(routed, "kvec", "list",
+        PqXDim)
+      val resid = ProductQuantizer.residuals(routed, "kvec", "list", cs)
+      val bks = ProductQuantizer.train(resid, "vec_id", "resid",
+        m = PqM, ksub = PqK, dim = PqXDim, iters = 2, saltPrefix = "pqxr")
+      val parts = (bl, cs, bks)
+      x512Cache.put(dir, parts) // lost race retrains identical state
+      x512RotCache.put(dir, (spark, rot0)) // reuse the training pass
+      parts
+    }
+    val rc = x512RotCache.get(dir)
+    val rot = if (rc != null && (rc._1 eq spark) &&
+        !spark.sparkContext.isStopped) rc._2
+    else {
+      val fresh = xdf.select(col("vec_id"),
+        ProductQuantizer.rotatedBlocks(col("xvec"), blocks).as("kvec"))
+        .localCheckpoint()
+      x512RotCache.put(dir, (spark, fresh))
+      fresh
+    }
+    (cents, books, rot)
+  }
+
+  /** The q226 serving stack at PRODUCTION dim — 512-dim vectors,
+    * block-diagonal OPQ (8 × 64×64 sub-rotations, the
+    * [[graft.operators.ProductQuantizer.rotatedBlocks]] dim²/8 cost
+    * cap SCALE.md measures at 5.0 ms/row vs dense 37.6), composed
+    * end-to-end: rotate (at-ingest artifact) → coarse route → residual
+    * product codes (salt `pqxr`) → multi-probe nProbe=2 → residual ADC
+    * top-20 → exact rerank of ~20 rows/query IN ROTATED SPACE. This is
+    * the number a 100 TB embedding user lives with: the per-row
+    * rotation cost is capped at bs²·nBlocks, the probe reads 2 of 4
+    * lists, the ADC scan reads only (id, 8 codes), and the exact stage
+    * touches a candidate set thousands of times smaller than the
+    * corpus. Every stage replays in the oracle from the spliced block
+    * literals.
+    */
+  def q253Dim512Serving(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, books, rot) = x512Parts(spark, dir)
+    val codes = ProductQuantizer.encode(
+      ProductQuantizer.residuals(
+        rot.withColumn("list", x512ListOf(col("kvec"))),
+        "kvec", "list", cents),
+      "vec_id", "resid", books, dim = PqXDim, carryCols = Seq("list"))
+    val queries = rot.where(col("vec_id") % 97 === 0)
+    val rep = ProductQuantizer.probeLists(
+      queries, "kvec", cents, PqXDim, nProbe = 2)
+    val qResid = ProductQuantizer.residuals(rep, "kvec", "list", cents)
+    val cand = ProductQuantizer.adcTopK(qResid, "vec_id", "resid",
+      codes, "vec_id", books, dim = PqXDim, k = 20, withinCol = "list")
+    val rerankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("l2").asc, col("vec_id").asc)
+    cand.select(col("q_id"), col("vec_id"))
+      .join(rot.select(col("vec_id"), col("kvec").as("c_vec")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("kvec").as("q_vec"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        // rotation is orthogonal per block: rotated-space L2 ranks are
+        // the raw-space ranks up to 6-dp rounding; ~20 rows/query
+        round(aggregate(
+          zip_with(col("q_vec"), col("c_vec"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (u, w) => u + w), 6).as("l2"))
+      .withColumn("rn", row_number().over(rerankW))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"), col("l2"))
+  }
+
   // ---------------------------------------------------------------- Q222
   /** The FULL production IVFADC retrieval stack in one plan — every
     * round-7/8 ANN piece composed: multi-probe coarse pruning

@@ -288,6 +288,7 @@ object SparkEntry {
     "q246_unigram_soft_em" -> (Queries.q246UnigramSoftEm _),
     "q249_mor_update" -> (Queries.q249MorUpdate _),
     "q250_block_opq" -> (Queries.q250BlockOpq _),
+    "q253_dim512_serving" -> (Queries.q253Dim512Serving _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
     "q247_soft_em_trajectory" -> (Queries.q247SoftEmTrajectory _),
     "q248_hard_vs_soft_tokenizer" -> (Queries.q248HardVsSoftTokenizer _),
@@ -838,7 +839,9 @@ object SparkEntry {
     * same 9-dp-product decimal recipe, `kv` is the rotated sub-vector
     * surface.
     */
-  private def blockRotCtes(blocks: Array[Array[Array[Double]]]): String = {
+  private def blockRotCtes(blocks: Array[Array[Array[Double]]],
+      dsub: Int = 8, src: String = "fx",
+      rotName: String = "krot", outName: String = "kv"): String = {
     val bs = blocks(0).length
     val values = (for {
       b <- blocks.indices; i <- 0 until bs; j <- 0 until bs
@@ -847,14 +850,118 @@ object SparkEntry {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
       s"(${b * bs + i}, ${b * bs + j}, $v)"
     }).mkString(", ")
-    s"""krot(i, j, val) AS (VALUES $values),
-       |kv AS MATERIALIZED (
-       |  SELECT f.vec_id, CAST(r.i // 8 AS INTEGER) AS sub,
-       |         CAST(r.i % 8 AS INTEGER) AS pos,
+    s"""$rotName(i, j, val) AS (VALUES $values),
+       |$outName AS MATERIALIZED (
+       |  SELECT f.vec_id, CAST(r.i // $dsub AS INTEGER) AS sub,
+       |         CAST(r.i % $dsub AS INTEGER) AS pos,
        |         round(CAST(sum(CAST(round(CAST(r.val AS DOUBLE) * f.val, 9)
        |                              AS DECIMAL(20,9))) AS DOUBLE), 6) AS val
-       |  FROM fx f JOIN krot r ON r.j = f.fpos
+       |  FROM $src f JOIN $rotName r ON r.j = f.fpos
        |  GROUP BY f.vec_id, r.i)""".stripMargin
+  }
+
+  /** q253's replay — the full dim-512 block-OPQ serving stack from the
+    * spliced sign + per-block literals: corpus expansion (`fx5`, 8
+    * sign-mixed tiles of the 64-dim embedding), block rotation (`kvx`,
+    * intra-block cells only), the stride-128 router / per-list
+    * centroids / residual sub-vectors, the residual training chain at
+    * salt `pqxr`, then the q226 probe block (multi-probe nProbe=2, ADC
+    * top-20, exact rerank) entirely in rotated 512-dim space.
+    */
+  private def dim512ServingOracle(
+      blocks: Array[Array[Array[Double]]]): String = {
+    val signs = (0 until 512).map { i =>
+      s"($i, ${Queries.x512Sign("x5a", i)}, ${Queries.x512Sign("x5b", i)})"
+    }.mkString(", ")
+    s"""WITH $pqSubsPs,
+       |$pqFxCte,
+       |x5s(i, s1, s2) AS (VALUES $signs),
+       |fx5 AS MATERIALIZED (
+       |  SELECT f1.vec_id, s.i AS fpos,
+       |         round(f1.val * CAST(s.s1 AS DOUBLE)
+       |               + f2.val * CAST(s.s2 AS DOUBLE), 6) AS val
+       |  FROM x5s s
+       |  JOIN fx f1 ON f1.fpos = s.i % 64
+       |  JOIN fx f2 ON f2.vec_id = f1.vec_id
+       |            AND f2.fpos = ((s.i % 64) + 7 * ((s.i // 64) + 1)) % 64),
+       |${blockRotCtes(blocks, dsub = 64, src = "fx5",
+      rotName = "krx", outName = "kvx")},
+       |fvx AS MATERIALIZED (
+       |  SELECT vec_id, sub * 64 + pos AS fpos, val FROM kvx),
+       |lstx AS MATERIALIZED (
+       |  SELECT vec_id, list FROM (
+       |    SELECT f.vec_id, j.j AS list,
+       |           row_number() OVER (PARTITION BY f.vec_id
+       |                              ORDER BY f.val DESC, j.j ASC) AS rn
+       |    FROM fvx f
+       |    JOIN (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS j) j
+       |      ON f.fpos = j.j * 128)
+       |  WHERE rn = 1),
+       |ccx AS MATERIALIZED (
+       |  SELECT l.list, f.fpos,
+       |         round(CAST(sum(CAST(round(f.val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |               / count(*), 6) AS val
+       |  FROM fvx f JOIN lstx l ON l.vec_id = f.vec_id
+       |  GROUP BY 1, 2),
+       |rvx AS MATERIALIZED (
+       |  SELECT f.vec_id, CAST(f.fpos // 64 AS INTEGER) AS sub,
+       |         CAST(f.fpos % 64 AS INTEGER) AS pos, f.val - cc.val AS val
+       |  FROM fvx f JOIN lstx l ON l.vec_id = f.vec_id
+       |  JOIN ccx cc ON cc.list = l.list AND cc.fpos = f.fpos),
+       |${pqTrainCtes("rvx", "pqxr", "x")},
+       |qdx AS (
+       |  SELECT f.vec_id, cc.list,
+       |         sum(CAST(round((f.val - cc.val) * (f.val - cc.val), 6)
+       |                  AS DECIMAL(18,6))) AS d
+       |  FROM fvx f JOIN ccx cc ON cc.fpos = f.fpos
+       |  WHERE f.vec_id % 97 = 0
+       |  GROUP BY 1, 2),
+       |qpx AS (
+       |  SELECT vec_id, list,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY d ASC, list ASC) AS pr
+       |  FROM qdx),
+       |rqx AS (
+       |  SELECT f.vec_id, qp.list, CAST(f.fpos // 64 AS INTEGER) AS sub,
+       |         CAST(f.fpos % 64 AS INTEGER) AS pos, f.val - cc.val AS val
+       |  FROM fvx f JOIN qpx qp ON qp.vec_id = f.vec_id AND qp.pr <= 2
+       |  JOIN ccx cc ON cc.list = qp.list AND cc.fpos = f.fpos),
+       |dqx AS (
+       |  SELECT rq.vec_id, rq.list, rq.sub, cb.code,
+       |         sum(CAST(round((rq.val - cb.val) * (rq.val - cb.val), 6)
+       |                  AS DECIMAL(18,6))) AS d
+       |  FROM rqx rq JOIN c2x cb ON cb.sub = rq.sub AND cb.pos = rq.pos
+       |  GROUP BY 1, 2, 3, 4),
+       |amx AS (
+       |  SELECT dq.vec_id AS q_id, a.vec_id,
+       |         round(CAST(sum(dq.d) AS DOUBLE), 6) AS dist
+       |  FROM a3x a JOIN lstx cl ON cl.vec_id = a.vec_id
+       |  JOIN dqx dq ON dq.list = cl.list AND dq.sub = a.sub
+       |             AND dq.code = a.code
+       |  WHERE a.vec_id <> dq.vec_id
+       |  GROUP BY 1, 2),
+       |candx AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY dist ASC, vec_id ASC) AS rn
+       |    FROM amx)
+       |  WHERE rn <= 20),
+       |rvax AS MATERIALIZED (
+       |  SELECT vec_id, list(val ORDER BY fpos) AS vec FROM fvx GROUP BY 1),
+       |rrx AS (
+       |  SELECT c.q_id, c.vec_id,
+       |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(generate_series(1, 512), i ->
+       |             (q.vec[i] - x.vec[i]) * (q.vec[i] - x.vec[i]))),
+       |           (u, w) -> u + w), 6) AS l2
+       |  FROM candx c
+       |  JOIN rvax q ON q.vec_id = c.q_id
+       |  JOIN rvax x ON x.vec_id = c.vec_id)
+       |SELECT q_id, vec_id, l2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY l2 ASC, vec_id ASC) AS rn
+       |  FROM rrx)
+       |WHERE rn <= 5""".stripMargin
   }
 
   /** q225's replay: balanced chain (`bv`, salt pqb) AND the learned-
@@ -2082,6 +2189,10 @@ object SparkEntry {
     // multi-probe -> ADC -> exact rerank) replayed end-to-end from the
     // same shared R literals
     "q226_opq_ivfadc" -> opqIvfadcOracle(Queries.lastOpqRotation()),
+    // the dim-512 BLOCK-OPQ serving stack: sign-expanded corpus, 8
+    // per-block 64x64 sub-rotations as spliced literals, residual
+    // training chain, multi-probe ADC, exact rerank in rotated space
+    "q253_dim512_serving" -> dim512ServingOracle(Queries.lastX512Blocks()),
     // raw-residual vs OPQ-residual IVFADC recall@5 against one exact
     // raw-space ground truth — the rotation's end-to-end delta
     "q227_opq_recall" -> opqRecallOracle(Queries.lastOpqRotation()),

@@ -52,11 +52,26 @@ object ProductQuantizer {
     */
   private def distToCentroid(vec: Column, sub: Int, dsub: Int,
       cent: Array[Double]): Column =
-    (0 until dsub).map { p =>
-      val el = element_at(vec, sub * dsub + p + 1)
-      round((el - lit(cent(p))) * (el - lit(cent(p))), 6)
-        .cast(DecimalType(18, 6))
-    }.reduce(_ + _)
+    if (dsub <= 16)
+      (0 until dsub).map { p =>
+        val el = element_at(vec, sub * dsub + p + 1)
+        round((el - lit(cent(p))) * (el - lit(cent(p))), 6)
+          .cast(DecimalType(18, 6))
+      }.reduce(_ + _)
+    else {
+      // wide subspaces: the explicit dsub-term chain is CODE and blows
+      // janino's 64 KB method cap at production dims (each failed
+      // compile attempt costs seconds before the interpreted fallback)
+      // — fold the centroid as array DATA instead. Decimal addition is
+      // exact and order-free, so the fixed-accumulator fold equals the
+      // explicit reduce bit-for-bit.
+      val acc = DecimalType(28, 6)
+      aggregate(
+        zip_with(slice(vec, sub * dsub + 1, dsub), lit(cent),
+          (x, c) => round((x - c) * (x - c), 6).cast(DecimalType(18, 6))),
+        lit(new java.math.BigDecimal(0)).cast(acc),
+        (a, v) => (a + v).cast(acc))
+    }
 
   /** Argmin centroid code of subspace `sub` — an `array_min` over
     * `(distance, code)` structs (decimal distance first, so ties break
@@ -259,12 +274,13 @@ object ProductQuantizer {
       "residuals: centroid dims disagree")
     val dim = cents.head._2.length
     val sorted = cents.toSeq.sortBy(_._1)
+    // lit(arr) is ONE literal node (array data); array(map(lit)) is a
+    // dim-child CreateArray tree that bloats codegen at production dims
     val chosen = sorted.tail.foldLeft(
       when(col(listCol).cast("int") === sorted.head._1,
-        array(sorted.head._2.map(lit).toIndexedSeq: _*))) {
+        lit(sorted.head._2))) {
       case (acc, (l, c)) =>
-        acc.when(col(listCol).cast("int") === l,
-          array(c.map(lit).toIndexedSeq: _*))
+        acc.when(col(listCol).cast("int") === l, lit(c))
     }
     // a SHORT vector must RAISE here, not pad: zip_with against the
     // dim-long centroid literal pads with NULLs to exactly dim length,
@@ -448,12 +464,26 @@ object ProductQuantizer {
       .select(col("__id"),
         codesArray(col("__vec"), books, dsub).as("__codes"))
       .localCheckpoint()
-    enc.select(col("__id").as(idCol), array((0 until dim).map { p =>
-      val s = p / dsub
-      val pin = p % dsub
-      element_at(array(books(s).map(c => lit(c(pin))): _*),
-        element_at(col("__codes"), s + 1) + 1)
-    }: _*).as("__rec"))
+    if (dim > 128) {
+      // production dims: one nested-literal lookup expression instead of
+      // dim generated columns (the rotatedBlocks janino-cap discipline);
+      // same values — a pure reindexing of the same codebook scalars
+      val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+      enc.select(col("__id").as(idCol),
+        transform(sequence(lit(0), lit(dim - 1)), p => {
+          val s = (p.cast("int") / dsub).cast("int")
+          element_at(
+            element_at(element_at(booksLit, s + 1),
+              element_at(col("__codes"), s + 1) + 1),
+            pmod(p, lit(dsub)) + 1)
+        }).as("__rec"))
+    } else
+      enc.select(col("__id").as(idCol), array((0 until dim).map { p =>
+        val s = p / dsub
+        val pin = p % dsub
+        element_at(array(books(s).map(c => lit(c(pin))): _*),
+          element_at(col("__codes"), s + 1) + 1)
+      }: _*).as("__rec"))
   }
 
   /** `M = Σ_rows x·ŷᵀ` (dim×dim): ONE partial-agg shuffle whose map
@@ -464,16 +494,30 @@ object ProductQuantizer {
     */
   private def correlation(x: DataFrame, y: DataFrame,
       dim: Int, blockSize: Option[Int] = None): Array[Array[Double]] = {
-    val cells = x.join(y, "__id")
-      .select(posexplode(col("__vec")).as(Seq("i", "xv")), col("__rec"))
-      .select(col("i"), col("xv"),
-        posexplode(col("__rec")).as(Seq("j", "yv")))
-    // block-diagonal callers only read intra-block cells: pruning them
-    // BEFORE the partial agg shrinks the shuffle by the same
-    // dim²/nBlocks factor the block projection saves
-    val scoped = blockSize.fold(cells)(bs =>
-      cells.where((col("i") / lit(bs)).cast("int")
-        === (col("j") / lit(bs)).cast("int")))
+    val joined = x.join(y, "__id")
+    // block-diagonal callers only read intra-block cells: scoping the
+    // GENERATORS to the block (explode block index, slice both sides,
+    // cross within the slice) emits dim²/nBlocks rows per input row —
+    // a post-explode filter would still generate all dim² first
+    val scoped = blockSize match {
+      case Some(bs) =>
+        joined
+          .select(explode(sequence(lit(0), lit(dim / bs - 1))).as("b"),
+            col("__vec"), col("__rec"))
+          .select(col("b"),
+            posexplode(slice(col("__vec"), col("b") * bs + 1, lit(bs)))
+              .as(Seq("bi", "xv")),
+            slice(col("__rec"), col("b") * bs + 1, lit(bs)).as("ys"))
+          .select(col("b"), col("bi"), col("xv"),
+            posexplode(col("ys")).as(Seq("bj", "yv")))
+          .select((col("b") * bs + col("bi")).as("i"),
+            (col("b") * bs + col("bj")).as("j"), col("xv"), col("yv"))
+      case None =>
+        joined
+          .select(posexplode(col("__vec")).as(Seq("i", "xv")), col("__rec"))
+          .select(col("i"), col("xv"),
+            posexplode(col("__rec")).as(Seq("j", "yv")))
+    }
     val rows = scoped
       .groupBy(col("i"), col("j"))
       .agg(sum(round(col("xv") * col("yv"), 9).cast(DecimalType(30, 9)))
@@ -634,13 +678,47 @@ object ProductQuantizer {
     val dim = blocks.length * bs
     val acc9 = DecimalType(30, 9)
     val zero = lit(new java.math.BigDecimal(0)).cast(acc9)
+    if (dim > 128) {
+      // production dims: ANY per-output-column form is 512+ columns of
+      // generated code and blows janino's 64 KB method cap (each failed
+      // attempt costs seconds before the interpreted fallback). One
+      // nested-literal transform is DATA: the whole projection is a
+      // single expression over the row matrix, and the per-term
+      // round9-decimal / fixed-accumulator / round6 recipe is the same
+      // fold, so the output is bit-identical to the column form.
+      val rowsLit = typedLit(blocks.flatMap(_.map(_.toSeq)).toSeq)
+      return when(size(vec) === dim,
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          round(
+            aggregate(
+              zip_with(element_at(rowsLit, i + 1),
+                slice(vec, (i.cast("int") / bs).cast("int") * bs + 1, lit(bs)),
+                (a, x) => round(a * x, 9).cast(DecimalType(20, 9))),
+              zero, (acc, v) => (acc + v).cast(acc9)).cast("double"), 6)))
+    }
     when(size(vec) === dim,
       concat(blocks.indices.map { b =>
         val seg = slice(vec, b * bs + 1, bs)
         array((0 until bs).map { i =>
-          round(
+          val row = blocks(b)(i)
+          val nnz = row.count(_ != 0.0)
+          // sparse fast path: a zero coefficient contributes an EXACT
+          // decimal 0.000000000 to the fold, so dropping it leaves the
+          // exact-decimal sum unchanged — identity-init rows (the first
+          // trainBlockRotation alternation) go from bs terms to 1. Kept
+          // as explicit expressions only when few survive (the janino
+          // 64 KB lesson: dense rows stay a HOF fold over array DATA).
+          if (nnz <= 4) {
+            val terms = row.indices.filter(row(_) != 0.0).map(j =>
+              round(element_at(seg, j + 1) * lit(row(j)), 9)
+                .cast(DecimalType(20, 9)).cast(acc9))
+            val summed =
+              if (terms.isEmpty) zero
+              else terms.reduce((x, y) => (x + y).cast(acc9))
+            round(summed.cast("double"), 6)
+          } else round(
             aggregate(
-              zip_with(lit(blocks(b)(i)), seg,
+              zip_with(lit(row), seg,
                 (a, x) => round(a * x, 9).cast(DecimalType(20, 9))),
               zero, (acc, v) => (acc + v).cast(acc9)).cast("double"), 6)
         }: _*)
@@ -672,8 +750,14 @@ object ProductQuantizer {
     var blocks = Array.fill(nBlocks)(
       Array.tabulate(bs, bs)((i, j) => if (i == j) 1.0 else 0.0))
     for (t <- 0 until alternations) {
+      // materialize the rotated table once per alternation: the train
+      // init (m TakeOrdered jobs), the assignment passes, the
+      // reconstruction and the correlation each launch their own job,
+      // and an unmaterialized rotation re-pays the dim²/nBlocks fold in
+      // every one of them
       val rot = v.select(col("__id"),
         rotatedBlocks(col("__vec"), blocks).as("__rvec"))
+        .localCheckpoint()
       val books = train(rot, "__id", "__rvec", m, ksub, dim, lloydIters,
         s"$saltPrefix$t")
       val recon = reconstructed(rot, "__id", "__rvec", books, dim)
@@ -685,6 +769,7 @@ object ProductQuantizer {
     }
     val rotF = v.select(col("__id"),
       rotatedBlocks(col("__vec"), blocks).as("__rvec"))
+      .localCheckpoint()
     val books = train(rotF, "__id", "__rvec", m, ksub, dim, lloydIters,
       saltPrefix)
     v.unpersist()
