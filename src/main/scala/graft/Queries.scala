@@ -2621,6 +2621,46 @@ object Queries {
     mor.unionByName(roll("materialized"))
   }
 
+  // ---------------------------------------------------------------- Q254
+  /** MOR update vectors under SPARSE, CLUSTERED touch — the regime MOR
+    * exists for (q249's dense fixture touches every file and makes the
+    * maintenance rewrite a full COW; this one demonstrates the bounded
+    * path): orders land key-range-clustered in 16 files, the update
+    * batch touches ~2% of keys ALL inside the lowest 1/16 of the key
+    * range, so the tombstone's stats scope covers ~1 file. The
+    * mor-update commit rewrites ZERO files; [[graft.operators
+    * .ManifestTable.rewriteDeletes]] then materializes by rewriting
+    * ONLY the files that actually contain displaced keys, carrying the
+    * other ~15 byte-identical by reference (the file-carry pin lives in
+    * ManifestTableSpec — carried entries compare equal across the
+    * maintenance commit). Readout: the same rollup before (MOR overlay)
+    * and after (materialized) — bit-equal to the COW oracle both times.
+    */
+  def q254MorSparse(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q254").resolve("t").toString
+    val o = t(spark, dir, "orders")
+    ManifestTable.commit(spark, root,
+      o.repartitionByRange(16, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+      Seq("o_orderkey"))
+    val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val upd = o.where(col("o_orderkey") % 3 === 0 &&
+        col("o_orderkey") * 16 <= maxKey)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + 100000.0)
+    ManifestTable.updateKeysMor(spark, root, upd, "o_orderkey")
+    def roll(regime: String): DataFrame = ManifestTable.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("total_price"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .select(lit(regime).as("regime"), col("o_orderstatus"),
+        col("n_orders"), col("total_price"), col("key_sum"))
+    val mor = roll("mor")
+    ManifestTable.rewriteDeletes(spark, root)
+    mor.unionByName(roll("materialized"))
+  }
+
   // ---------------------------------------------------------------- Q118
   /** Copy-on-write range DELETE: lineitem lands ship-date-clustered;
     * retiring the 1995 slice classifies every file from manifest stats

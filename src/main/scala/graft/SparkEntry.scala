@@ -289,6 +289,7 @@ object SparkEntry {
     "q249_mor_update" -> (Queries.q249MorUpdate _),
     "q250_block_opq" -> (Queries.q250BlockOpq _),
     "q253_dim512_serving" -> (Queries.q253Dim512Serving _),
+    "q254_mor_sparse" -> (Queries.q254MorSparse _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
     "q247_soft_em_trajectory" -> (Queries.q247SoftEmTrajectory _),
     "q248_hard_vs_soft_tokenizer" -> (Queries.q248HardVsSoftTokenizer _),
@@ -4602,6 +4603,32 @@ object SparkEntry {
         |  SELECT * FROM orders WHERE o_orderkey % 97 <> 0
         |  UNION ALL SELECT * FROM upd
         |  UNION ALL SELECT * FROM ins
+        |), roll AS (
+        |  SELECT o_orderstatus, count(*) AS n_orders,
+        |         CAST(round(sum(CAST(CAST(o_totalprice AS VARCHAR)
+        |                             AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
+        |         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |  FROM merged GROUP BY 1)
+        |SELECT 'mor' AS regime, o_orderstatus, n_orders, total_price, key_sum
+        |FROM roll
+        |UNION ALL
+        |SELECT 'materialized' AS regime, o_orderstatus, n_orders, total_price,
+        |       key_sum
+        |FROM roll""".stripMargin,
+    // sparse clustered MOR: ~2% of keys, all in the lowest 1/16 key
+    // range; same merged-relation rollup for the overlay read and the
+    // materialized read (the bounded-rewrite claim is spec-pinned)
+    "q254_mor_sparse" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 100000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders, mx WHERE o_orderkey % 3 = 0 AND o_orderkey * 16 <= mk
+        |), merged AS (
+        |  SELECT * FROM orders o
+        |  WHERE NOT (o_orderkey % 3 = 0
+        |             AND o_orderkey * 16 <= (SELECT mk FROM mx))
+        |  UNION ALL SELECT * FROM upd
         |), roll AS (
         |  SELECT o_orderstatus, count(*) AS n_orders,
         |         CAST(round(sum(CAST(CAST(o_totalprice AS VARCHAR)

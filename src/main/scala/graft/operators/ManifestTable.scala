@@ -198,6 +198,18 @@ object ManifestTable {
     resolve(f, root, version).files.map(_.path)
   }
 
+  /** The manifest's full file ENTRIES (path, rows, bytes, stats) at
+    * `version` — the introspection surface file-carry audits compare
+    * across commits: a carried file's whole entry is equal, not just
+    * its path.
+    */
+  def listEntries(spark: SparkSession, tableRoot: String,
+      version: Option[Long] = None): Seq[FileEntry] = {
+    val f = fs(spark)
+    val root = new Path(tableRoot)
+    resolve(f, root, version).files
+  }
+
   def currentVersion(spark: SparkSession, tableRoot: String): Long = {
     val vs = committedVersions(fs(spark), new Path(tableRoot))
     require(vs.nonEmpty, s"no committed snapshot under $tableRoot")

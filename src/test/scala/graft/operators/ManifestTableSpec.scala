@@ -898,6 +898,39 @@ class ManifestTableSpec extends SparkSuite {
     assert(mix.getMessage.contains("outstanding tombstones"))
   }
 
+  test("updateKeysMor: sparse clustered touch — maintenance rewrites only displaced files, carries the rest byte-identical") {
+    val root = freshRoot()
+    // 16 key-range-clustered files of ~100 ids each
+    ManifestTable.commit(spark, root,
+      docs(1600).repartitionByRange(16, col("id")).sortWithinPartitions("id"),
+      Seq("id"))
+    val baseEntries = ManifestTable.listEntries(spark, root)
+    assert(baseEntries.size == 16)
+    // ~2% of keys, ALL inside the lowest file's key range
+    val upd = docs(100).where(col("id") % 3 === 0)
+      .withColumn("score", col("score") + 1000.0)
+    val stU = ManifestTable.updateKeysMor(spark, root, upd, "id")
+    assert(stU.filesRewritten == 0, "MOR update must rewrite nothing")
+    val st = ManifestTable.rewriteDeletes(spark, root)
+    assert(st.filesRewritten >= 1 && st.filesRewritten <= 2,
+      s"sparse clustered touch must bound the rewrite to the displaced " +
+        s"file(s), got ${st.filesRewritten} of 16")
+    // the file-carry pin: every non-displaced base file's manifest
+    // ENTRY (path, rows, bytes, stats) is byte-identical across both
+    // the mor-update and the maintenance commit
+    val after = ManifestTable.listEntries(spark, root).toSet
+    val carried = baseEntries.toSet.intersect(after)
+    assert(carried.size == 16 - st.filesRewritten,
+      s"expected ${16 - st.filesRewritten} base entries carried " +
+        s"byte-identical, got ${carried.size}")
+    // and the data is still the COW merge
+    val cowRoot = freshRoot()
+    ManifestTable.commit(spark, cowRoot, docs(1600), Seq("id"))
+    ManifestTable.merge(spark, cowRoot, upd, "id")
+    assert(ManifestTable.read(spark, root).orderBy("id").collect().toSeq ==
+      ManifestTable.read(spark, cowRoot).orderBy("id").collect().toSeq)
+  }
+
   test("updateKeysMor: updates after an update win (tombstone scope grows with files)") {
     val root = freshRoot()
     ManifestTable.commit(spark, root, docs(50), Seq("id"))
