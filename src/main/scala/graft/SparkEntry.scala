@@ -290,6 +290,8 @@ object SparkEntry {
     "q250_block_opq" -> (Queries.q250BlockOpq _),
     "q253_dim512_serving" -> (Queries.q253Dim512Serving _),
     "q254_mor_sparse" -> (Queries.q254MorSparse _),
+    "q255_adaptive_probe" -> (Queries.q255AdaptiveProbe _),
+    "q256_sq8_adaptive" -> (Queries.q256Sq8AdaptiveProbe _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
     "q247_soft_em_trajectory" -> (Queries.q247SoftEmTrajectory _),
     "q248_hard_vs_soft_tokenizer" -> (Queries.q248HardVsSoftTokenizer _),
@@ -860,6 +862,142 @@ object SparkEntry {
        |  FROM $src f JOIN $rotName r ON r.j = f.fpos
        |  GROUP BY f.vec_id, r.i)""".stripMargin
   }
+
+  /** Planted-cluster surface + three-scheme probe sets shared by the
+    * adaptive-probe audits (q255 PQ tier / q256 SQ8 tier): the
+    * construction (cluster k = vec_id mod 4 gets +1 on its quarter-lead
+    * and −1 on the others; every 7th vector straddles pair (k, k+1)
+    * with both leads at 0), the argmax router, per-list mean centroids,
+    * the per-query exact decimal list distances with fixed-1 / fixed-2
+    * / adaptive membership flags, corpus residuals, query residuals per
+    * selected probe, pair-mass source rows, and the exact L2 top-5
+    * ground truth over the same surface.
+    */
+  private val adaptiveClusterCtes: String =
+    """fvc AS MATERIALIZED (
+      |  SELECT e.vec_id, p.p AS fpos,
+      |         round(CAST(e.embedding[p.p + 1] AS DOUBLE) +
+      |           CASE WHEN p.p % 16 <> 0 THEN 0.0
+      |                WHEN e.vec_id % 7 = 0
+      |                     AND (p.p // 16 = e.vec_id % 4
+      |                          OR p.p // 16 = (e.vec_id % 4 + 1) % 4)
+      |                  THEN 0.0
+      |                WHEN e.vec_id % 7 <> 0 AND p.p // 16 = e.vec_id % 4
+      |                  THEN 1.0
+      |                ELSE -1.0 END, 6) AS val
+      |  FROM embeddings e,
+      |       (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS p) p),
+      |lstc AS MATERIALIZED (
+      |  SELECT vec_id, list FROM (
+      |    SELECT f.vec_id, j.j AS list,
+      |           row_number() OVER (PARTITION BY f.vec_id
+      |                              ORDER BY f.val DESC, j.j ASC) AS rn
+      |    FROM fvc f
+      |    JOIN (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS j) j
+      |      ON f.fpos = j.j * 16)
+      |  WHERE rn = 1),
+      |ccc AS MATERIALIZED (
+      |  SELECT l.list, f.fpos,
+      |         round(CAST(sum(CAST(round(f.val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |               / count(*), 6) AS val
+      |  FROM fvc f JOIN lstc l ON l.vec_id = f.vec_id
+      |  GROUP BY 1, 2),
+      |rvc AS MATERIALIZED (
+      |  SELECT f.vec_id, l.list, f.fpos, f.val - cc.val AS val
+      |  FROM fvc f JOIN lstc l ON l.vec_id = f.vec_id
+      |  JOIN ccc cc ON cc.list = l.list AND cc.fpos = f.fpos),
+      |qdc AS (
+      |  SELECT f.vec_id, cc.list,
+      |         sum(CAST(round((f.val - cc.val) * (f.val - cc.val), 6)
+      |                  AS DECIMAL(18,6))) AS d
+      |  FROM fvc f JOIN ccc cc ON cc.fpos = f.fpos
+      |  WHERE f.vec_id % 29 = 0
+      |  GROUP BY 1, 2),
+      |qpdc AS (
+      |  SELECT vec_id, list, d,
+      |         row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY d ASC, list ASC) AS pr
+      |  FROM qdc),
+      |qselc AS (
+      |  SELECT q.vec_id, q.list, (q.pr = 1) AS f1, (q.pr <= 2) AS f2,
+      |         (q.pr = 1 OR (q.pr <= 4
+      |            AND CAST(q.d AS DOUBLE) * 1.0
+      |                <= CAST(b.d1 AS DOUBLE) * 2.0)) AS fa
+      |  FROM qpdc q JOIN (SELECT vec_id, d AS d1 FROM qpdc WHERE pr = 1) b
+      |    ON b.vec_id = q.vec_id),
+      |qrvc AS MATERIALIZED (
+      |  SELECT f.vec_id, qs.list, qs.f1, qs.f2, qs.fa, f.fpos,
+      |         f.val - cc.val AS val
+      |  FROM fvc f JOIN qselc qs ON qs.vec_id = f.vec_id
+      |                          AND (qs.f2 OR qs.fa)
+      |  JOIN ccc cc ON cc.list = qs.list AND cc.fpos = f.fpos),
+      |pairsrcc AS (
+      |  SELECT qs.f1, qs.f2, qs.fa
+      |  FROM qselc qs JOIN lstc cl ON cl.list = qs.list
+      |                            AND cl.vec_id <> qs.vec_id),
+      |cva AS MATERIALIZED (
+      |  SELECT vec_id, list(val ORDER BY fpos) AS vec FROM fvc GROUP BY 1),
+      |exc AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q.vec_id AS q_id, c.vec_id,
+      |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |               list_transform(generate_series(1, 64), i ->
+      |                 (q.vec[i] - c.vec[i]) * (q.vec[i] - c.vec[i]))),
+      |               (x, y) -> x + y), 6) ASC, c.vec_id ASC) AS rn
+      |    FROM cva q JOIN cva c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id % 29 = 0)
+      |  WHERE rn <= 5)""".stripMargin
+
+  /** The per-scheme top-5 + final three-row readout shared by the
+    * adaptive-probe oracles: `am` is the scored (q_id, vec_id, flags,
+    * <distCol>) relation of the tier.
+    */
+  private def adaptiveTopsAndSelect(am: String, distCol: String): String =
+    s"""t1c AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY $distCol ASC, vec_id ASC) AS rn
+       |    FROM $am WHERE f1) WHERE rn <= 5),
+       |t2c AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY $distCol ASC, vec_id ASC) AS rn
+       |    FROM $am WHERE f2) WHERE rn <= 5),
+       |tac AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY $distCol ASC, vec_id ASC) AS rn
+       |    FROM $am WHERE fa) WHERE rn <= 5)
+       |SELECT 'fixed1' AS scheme,
+       |       (SELECT count(*) FROM qselc WHERE f1) AS probes,
+       |       (SELECT count(*) FROM pairsrcc WHERE f1) AS pairs,
+       |       (SELECT count(*) FROM t1c JOIN exc USING (q_id, vec_id)) AS hits,
+       |       (SELECT count(*) FROM exc) AS n_gt,
+       |       round(CAST((SELECT count(*) FROM t1c JOIN exc USING (q_id, vec_id))
+       |                  AS DOUBLE)
+       |             / CAST((SELECT count(*) FROM exc) AS DOUBLE), 6) AS recall
+       |UNION ALL
+       |SELECT 'fixed2',
+       |       (SELECT count(*) FROM qselc WHERE f2),
+       |       (SELECT count(*) FROM pairsrcc WHERE f2),
+       |       (SELECT count(*) FROM t2c JOIN exc USING (q_id, vec_id)),
+       |       (SELECT count(*) FROM exc),
+       |       round(CAST((SELECT count(*) FROM t2c JOIN exc USING (q_id, vec_id))
+       |                  AS DOUBLE)
+       |             / CAST((SELECT count(*) FROM exc) AS DOUBLE), 6)
+       |UNION ALL
+       |SELECT 'adaptive',
+       |       (SELECT count(*) FROM qselc WHERE fa),
+       |       (SELECT count(*) FROM pairsrcc WHERE fa),
+       |       (SELECT count(*) FROM tac JOIN exc USING (q_id, vec_id)),
+       |       (SELECT count(*) FROM exc),
+       |       round(CAST((SELECT count(*) FROM tac JOIN exc USING (q_id, vec_id))
+       |                  AS DOUBLE)
+       |             / CAST((SELECT count(*) FROM exc) AS DOUBLE), 6)""".stripMargin
 
   /** q253's replay — the full dim-512 block-OPQ serving stack from the
     * spliced sign + per-block literals: corpus expansion (`fx5`, 8
@@ -1999,6 +2137,57 @@ object SparkEntry {
     // multi-probe: queries replicated to their 2 nearest coarse
     // centroids (exact decimal L2, ties to the lower list), residual
     // LUTs per probed list, recall at nProbe=1 vs nProbe=2
+    // adaptive vs fixed probe width on the planted-cluster surface,
+    // IVF-PQ tier: residual codebooks trained in-SQL (salt pqc), probe
+    // sets from the exact decimal centroid distances (adaptive rule =
+    // double-cast 2.0 ratio test), per-scheme probe count / priced
+    // pair mass / recall@5 against the exact GT over the same surface
+    "q255_adaptive_probe" ->
+      s"""WITH $pqSubsPs,
+        |$adaptiveClusterCtes,
+        |rvcs AS MATERIALIZED (
+        |  SELECT vec_id, CAST(fpos // 8 AS INTEGER) AS sub,
+        |         CAST(fpos % 8 AS INTEGER) AS pos, val FROM rvc),
+        |${pqTrainCtes("rvcs", "pqc", "c")},
+        |dqc AS (
+        |  SELECT q.vec_id, q.list, q.f1, q.f2, q.fa,
+        |         CAST(q.fpos // 8 AS INTEGER) AS sub, cb.code,
+        |         sum(CAST(round((q.val - cb.val) * (q.val - cb.val), 6)
+        |                  AS DECIMAL(18,6))) AS d
+        |  FROM qrvc q JOIN c2c cb ON cb.sub = CAST(q.fpos // 8 AS INTEGER)
+        |                         AND cb.pos = CAST(q.fpos % 8 AS INTEGER)
+        |  GROUP BY 1, 2, 3, 4, 5, 6, 7),
+        |amc AS (
+        |  SELECT dq.vec_id AS q_id, a.vec_id, dq.f1, dq.f2, dq.fa,
+        |         round(CAST(sum(dq.d) AS DOUBLE), 6) AS dist
+        |  FROM a3c a JOIN lstc cl ON cl.vec_id = a.vec_id
+        |  JOIN dqc dq ON dq.list = cl.list AND dq.sub = a.sub
+        |             AND dq.code = a.code
+        |  WHERE a.vec_id <> dq.vec_id
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |${adaptiveTopsAndSelect("amc", "dist")}""".stripMargin,
+    // the same trade on the SQ8 tier: residual byte grid recomputed
+    // from the data (no splicing), dequantized ADC, shared probe rule
+    "q256_sq8_adaptive" ->
+      s"""WITH $adaptiveClusterCtes,
+        |sqstc AS MATERIALIZED (
+        |  SELECT fpos, min(val) AS mn, max(val) AS mx FROM rvc GROUP BY 1),
+        |sqdecc AS MATERIALIZED (
+        |  SELECT r.vec_id, r.list, r.fpos,
+        |         s.mn + CAST(CASE WHEN s.mx = s.mn THEN 0
+        |              ELSE least(greatest(CAST(round((r.val - s.mn)
+        |                                / (s.mx - s.mn) * 255.0) AS BIGINT),
+        |                                  0), 255) END AS DOUBLE)
+        |              * (s.mx - s.mn) / 255.0 AS dx
+        |  FROM rvc r JOIN sqstc s USING (fpos)),
+        |amc AS (
+        |  SELECT q.vec_id AS q_id, dc.vec_id, q.f1, q.f2, q.fa,
+        |         CAST(sum(CAST(round((q.val - dc.dx) * (q.val - dc.dx), 6)
+        |                       AS DECIMAL(18,6))) AS DOUBLE) AS d
+        |  FROM qrvc q JOIN sqdecc dc ON dc.list = q.list AND dc.fpos = q.fpos
+        |                            AND dc.vec_id <> q.vec_id
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |${adaptiveTopsAndSelect("amc", "d")}""".stripMargin,
     "q219_multiprobe_recall" -> pqResidualOracle(
       """, qd AS (
         |  SELECT f.vec_id, cc.list,

@@ -803,6 +803,45 @@ object ProductQuantizer {
         explode(transform(slice(ranked, 1, nProbe), s => s.getField("list"))))
   }
 
+  /** ADAPTIVE multi-probe routing — the per-query answer to the q245
+    * finding that IVF recall loss is 100% routing and "the lever is
+    * nProbe": instead of a fixed width, each query probes its nearest
+    * list plus every further list whose exact decimal centroid distance
+    * is within `ratioNum/ratioDen` of the nearest (capped at
+    * `maxProbe`). A confident query (clear nearest list) pays 1 probe;
+    * an ambiguous one (boundary-straddling, the exact case multi-probe
+    * exists for) pays up to `maxProbe` — recall is bought where it is
+    * lost instead of 2× mass on every query. The ratio test is
+    * `d·den ≤ d₁·num` over the DOUBLE casts of the exact decimal
+    * distances (both engines convert the same decimal to the same
+    * double and run the same two IEEE multiplies, so the probe set is
+    * engine-replayable; a decimal×int form would pass DuckDB's 38-digit
+    * width cap). It always CONTAINS the nProbe=1 set and is
+    * monotone in the ratio (a looser ratio only adds lists). Same
+    * output contract as [[probeLists]]; price with
+    * [[probeMassReport]] before running.
+    */
+  def probeListsAdaptive(queries: DataFrame, vecCol: String,
+      cents: Map[Int, Array[Double]], dim: Int,
+      maxProbe: Int, ratioNum: Int = 12, ratioDen: Int = 10,
+      listCol: String = "list"): DataFrame = {
+    require(maxProbe >= 1 && maxProbe <= cents.size,
+      s"maxProbe=$maxProbe must be in [1, ${cents.size}]")
+    require(ratioDen > 0 && ratioNum >= ratioDen,
+      s"ratio $ratioNum/$ratioDen must be >= 1")
+    val v = col(vecCol).cast("array<double>")
+    val ranked = array_sort(array(cents.toSeq.sortBy(_._1).map { case (l, c) =>
+      struct(distToCentroid(v, 0, dim, c).as("d"), lit(l).as("list"))
+    }: _*))
+    val d1 = element_at(ranked, 1).getField("d")
+    val kept = filter(slice(ranked, 1, maxProbe),
+      (s, i) => (i === 0) ||
+        (s.getField("d").cast("double") * lit(ratioDen.toDouble) <=
+          d1.cast("double") * lit(ratioNum.toDouble)))
+    queries.withColumn(listCol,
+      explode(transform(kept, s => s.getField("list"))))
+  }
+
   /** Price an [[adcTopK]] `withinCol` probe BEFORE running it: per
     * coarse list, query count × code count = the ADC pair mass that
     * list will generate (each pair costs m LUT lookups). The q126b/q202

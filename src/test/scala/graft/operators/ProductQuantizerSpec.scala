@@ -589,4 +589,99 @@ class ProductQuantizerSpec extends SparkSuite {
     // probe-in-flight safety: the r0-generation codes stay readable
     assert(ManifestTable.read(spark, root, Some(v0)).count() == 64)
   }
+
+  /** Planted-cluster corpus for the adaptive-probe pins: 16-dim, 4
+    * clusters keyed by the quarter-lead pattern (+2 on own lead, -2 on
+    * the others), every 7th row a boundary straddler of pair (k, k+1)
+    * with both leads at 0 — its routing is decided by the wobble and
+    * its true neighbors genuinely live in both lists.
+    */
+  private def straddlerCorpus(n: Int) = {
+    spark.range(n).select(
+      col("id"),
+      transform(sequence(lit(0), lit(15)), i => {
+        val k = (col("id") % 4).cast("int")
+        val k2 = ((col("id") % 4 + 1) % 4).cast("int")
+        val j = (i.cast("int") / 4).cast("int")
+        val strad = col("id") % 7 === 0
+        val base = when(pmod(i, lit(4)) =!= 0, lit(0.0))
+          .when(strad && (j === k || j === k2), lit(0.0))
+          .when(!strad && j === k, lit(2.0))
+          .otherwise(lit(-2.0))
+        round(base + (pmod(col("id") * (i + 3), lit(17)).cast("double")
+          - 8.0) / 40.0, 6)
+      }).as("vec"))
+  }
+  private def leadListOf(vec: org.apache.spark.sql.Column) = {
+    val sorted = sort_array(array((0 until 4).map(j =>
+      struct(element_at(vec, j * 4 + 1).cast("double").as("v"),
+        lit(-j).as("nj"))): _*))
+    (-element_at(sorted, -1).getField("nj")).cast("int")
+  }
+
+  test("probeListsAdaptive: contains fixed-1, ratio-monotone, capped; beats fixed-2 mass at equal recall on straddlers") {
+    val corpus = straddlerCorpus(280)
+    val routed = corpus.withColumn("list", leadListOf(col("vec")))
+      .localCheckpoint()
+    val cents = ProductQuantizer.coarseCentroids(routed, "vec", "list", 16)
+    val queries = corpus.where(col("id") % 5 === 0)
+    def probeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int)] =
+      df.select(col("id"), col("list")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val fixed1 = probeSet(ProductQuantizer.probeLists(
+      queries, "vec", cents, 16, nProbe = 1))
+    val fixed2 = probeSet(ProductQuantizer.probeLists(
+      queries, "vec", cents, 16, nProbe = 2))
+    val tight = probeSet(ProductQuantizer.probeListsAdaptive(
+      queries, "vec", cents, 16, maxProbe = 4, ratioNum = 11, ratioDen = 10))
+    val adaptive = probeSet(ProductQuantizer.probeListsAdaptive(
+      queries, "vec", cents, 16, maxProbe = 4, ratioNum = 2, ratioDen = 1))
+    val loose = probeSet(ProductQuantizer.probeListsAdaptive(
+      queries, "vec", cents, 16, maxProbe = 4, ratioNum = 10000, ratioDen = 1))
+    val capped = probeSet(ProductQuantizer.probeListsAdaptive(
+      queries, "vec", cents, 16, maxProbe = 2, ratioNum = 10000, ratioDen = 1))
+    // structural pins: nProbe=1 nesting, ratio monotonicity, the cap
+    assert(fixed1.subsetOf(tight) && tight.subsetOf(adaptive) &&
+      adaptive.subsetOf(loose))
+    assert(capped == fixed2, "maxProbe=2 at an include-all ratio IS fixed-2")
+    assert(loose.size == queries.count() * 4)
+    // the trade, on the near-exact SQ8 tier: equal recall to fixed-2
+    // at strictly lower priced mass (straddlers buy their pair list,
+    // regulars keep one probe)
+    val (centsR, rStats) = ScalarQuantizer.trainResidual(routed, "vec", "list", 16)
+    val rCodes = ScalarQuantizer.encode(
+      ProductQuantizer.residuals(routed, "vec", "list", centsR),
+      "id", "resid", rStats, carryCols = Seq("list")).localCheckpoint()
+    val exact = corpus.select(col("id").as("c_id"), col("vec").as("c_vec"))
+      .join(broadcast(queries.select(col("id").as("q_id"), col("vec").as("q_vec"))),
+        col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(aggregate(zip_with(col("q_vec"), col("c_vec"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (u, x) => u + x), 6).as("d"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("d").asc, col("c_id").asc)))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("c_id").as("vec_id")).localCheckpoint()
+    def run(probed: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val p = probed.localCheckpoint()
+      val top = ScalarQuantizer.adcTopK(
+        ProductQuantizer.residuals(p, "vec", "list", centsR),
+        "id", "resid", rCodes, "id", rStats, k = 5, withinCol = Some("list"))
+      val hits = top.select(col("q_id"), col("vec_id"))
+        .join(exact, Seq("q_id", "vec_id"), "left_semi").count()
+      val pairs = p.select(col("id").as("q_id"), col("list"))
+        .join(rCodes.select(col("id").as("c_id"), col("list")), Seq("list"))
+        .where(col("c_id") =!= col("q_id")).count()
+      (hits, pairs)
+    }
+    val (h2, m2) = run(ProductQuantizer.probeLists(queries, "vec", cents, 16, 2))
+    val (ha, ma) = run(ProductQuantizer.probeListsAdaptive(
+      queries, "vec", cents, 16, maxProbe = 4, ratioNum = 2, ratioDen = 1))
+    val (h1, m1) = run(ProductQuantizer.probeLists(queries, "vec", cents, 16, 1))
+    assert(ha >= h2, s"adaptive hits $ha must meet fixed-2 $h2")
+    assert(ma < m2, s"adaptive mass $ma must undercut fixed-2 $m2")
+    assert(ha > h1 && ma >= m1,
+      s"adaptive ($ha hits, $ma pairs) must beat fixed-1 ($h1, $m1) on recall")
+  }
 }
