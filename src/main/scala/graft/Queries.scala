@@ -6319,6 +6319,54 @@ object Queries {
             col("n_coords"), col("n_clipped"), col("clip_rate")))
   }
 
+  // ---------------------------------------------------------------- Q257
+  /** BATCH TWIN of the residual-tier STREAMING clip monitor
+    * ([[graft.streaming.Streams.streamingSq8ResidualClipSink]] +
+    * [[graft.streaming.Streams.currentClipRate]]) — the gate the
+    * serving IVF-SQ8 index actually uses (q241/q252 watch a single
+    * batch; the stream maintains one integer-count row per micro-batch
+    * and the gate aggregates them): three arrival batches split by
+    * `vec_id mod 3`, the third drifted 1.25×, each residual-projected
+    * against the FROZEN centroids and clip-reported against the FROZEN
+    * residual grid, plus the maintained TOTAL row — whose integer sums
+    * equal a from-scratch report over the concatenation by
+    * construction (the stream==batch bit-equality StreamsSpec pins) —
+    * with the `clip_rate > 0.01` retrain flag per row.
+    */
+  def q257ResidualClipStream(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val (cents, rStats) = sq8rParts(spark, dir)
+    // route once on the originals and carry the list (the q252 pin:
+    // the drifted frame keeps its training-time list per vec_id)
+    val routed = emb.withColumn("list", pqListOf(col("embedding")))
+    def residOf(df: DataFrame): DataFrame =
+      ProductQuantizer.residuals(df, "embedding", "list", cents)
+    def rep(name: String, df: DataFrame): DataFrame =
+      ScalarQuantizer.clipReport(residOf(df), "resid", rStats)
+        .select(lit(name).as("batch"), col("n_vecs"), col("n_coords"),
+          col("n_clipped"), col("clip_rate"))
+    val b2 = routed.where(col("vec_id") % 3 === 2)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") * lit(1.25))
+          .as("embedding"), col("list"))
+    val perBatch = rep("b0", routed.where(col("vec_id") % 3 === 0))
+      .unionByName(rep("b1", routed.where(col("vec_id") % 3 === 1)))
+      .unionByName(rep("b2_drifted", b2))
+      .localCheckpoint() // three reports + the total read one evaluation
+    val total = perBatch
+      .agg(sum(col("n_vecs")).as("n_vecs"),
+        sum(col("n_coords")).as("n_coords"),
+        sum(col("n_clipped")).as("n_clipped"))
+      .select(lit("total").as("batch"), col("n_vecs"), col("n_coords"),
+        col("n_clipped"),
+        when(col("n_coords") > 0,
+          round(col("n_clipped").cast("double")
+            / col("n_coords").cast("double"), 6))
+          .otherwise(lit(0.0)).as("clip_rate"))
+    perBatch.unionByName(total)
+      .withColumn("retrain", col("clip_rate") > lit(0.01))
+  }
+
   /** Residual IVF-SQ8 composed probe (the q238 shape with the codes AND
     * the query side in RESIDUAL space): corpus residuals `x − c(list)`
     * byte-encoded on the shared residual grid, each query's residual

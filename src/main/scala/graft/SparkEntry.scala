@@ -292,6 +292,7 @@ object SparkEntry {
     "q254_mor_sparse" -> (Queries.q254MorSparse _),
     "q255_adaptive_probe" -> (Queries.q255AdaptiveProbe _),
     "q256_sq8_adaptive" -> (Queries.q256Sq8AdaptiveProbe _),
+    "q257_residual_clip_stream" -> (Queries.q257ResidualClipStream _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
     "q247_soft_em_trajectory" -> (Queries.q247SoftEmTrajectory _),
     "q248_hard_vs_soft_tokenizer" -> (Queries.q248HardVsSoftTokenizer _),
@@ -2610,6 +2611,49 @@ object SparkEntry {
         |                       / CAST(n_coords AS DOUBLE), 6)
         |            ELSE 0.0 END AS clip_rate
         |FROM dr""".stripMargin,
+    // batch twin of the residual-tier STREAMING clip monitor: three
+    // arrival batches (third drifted 1.25x), per-batch residual clip
+    // counts against the frozen grid + the stream-maintained total,
+    // retrain flag at clip_rate > 0.01
+    "q257_residual_clip_stream" ->
+      s"""WITH $sq8LstrSql,
+        |$sq8FvqSql,
+        |$sq8ResidSql,
+        |dvq AS (
+        |  SELECT f.vec_id, f.p,
+        |         f.x * CAST(1.25 AS DOUBLE) - c.cv AS x
+        |  FROM fvq f JOIN lst l USING (vec_id)
+        |       JOIN cent c ON c.list = l.list AND c.p = f.p),
+        |perb AS (
+        |  SELECT CASE WHEN vec_id % 3 = 0 THEN 'b0' ELSE 'b1' END AS batch,
+        |         vec_id, p, x
+        |  FROM rvq WHERE vec_id % 3 <> 2
+        |  UNION ALL
+        |  SELECT 'b2_drifted', vec_id, p, x FROM dvq WHERE vec_id % 3 = 2),
+        |cnt AS (
+        |  SELECT batch, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+        |         CAST(count(*) AS BIGINT) AS n_coords,
+        |         CAST(sum(CASE WHEN c.x < s.mn OR c.x > s.mx
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        |  FROM perb c JOIN rst s USING (p)
+        |  GROUP BY 1),
+        |withtot AS (
+        |  SELECT batch, n_vecs, n_coords, n_clipped FROM cnt
+        |  UNION ALL
+        |  SELECT 'total', CAST(sum(n_vecs) AS BIGINT),
+        |         CAST(sum(n_coords) AS BIGINT),
+        |         CAST(sum(n_clipped) AS BIGINT)
+        |  FROM cnt)
+        |SELECT batch, n_vecs, n_coords, n_clipped,
+        |       CASE WHEN n_coords > 0
+        |            THEN round(CAST(n_clipped AS DOUBLE)
+        |                       / CAST(n_coords AS DOUBLE), 6)
+        |            ELSE 0.0 END AS clip_rate,
+        |       (CASE WHEN n_coords > 0
+        |             THEN round(CAST(n_clipped AS DOUBLE)
+        |                        / CAST(n_coords AS DOUBLE), 6)
+        |             ELSE 0.0 END) > 0.01 AS retrain
+        |FROM withtot""".stripMargin,
     // residual IVF-SQ8: codes AND query side in residual space
     "q244_ivf_sq8_residual" ->
       s"""WITH ${sq8rCtes(nProbe = 1)}

@@ -464,6 +464,37 @@ object Streams {
       graft.operators.ScalarQuantizer.clipReport(batch, vecCol, stats),
       batchId)
 
+  /** [[streamingSq8ClipSink]] for the RESIDUAL tier — the gate the
+    * serving IVF-SQ8 index actually uses: each micro-batch is routed
+    * with the frozen `listOf`, residual-projected against the FROZEN
+    * per-list centroids, and clip-reported against the FROZEN residual
+    * grid (the [[graft.operators.ScalarQuantizer.reindexResidual]]
+    * artifacts). A raw-tier monitor can stay calm while residual-space
+    * magnitudes drift out of the residual grid's box (centroid drift
+    * moves residuals even when raw coordinates stay in range), so the
+    * residual index must watch residual clips. Same exactly-once
+    * ledger + bit-equal-to-batch totals contract; read the gate with
+    * [[currentClipRate]]. After a reindexResidual swap, restart the
+    * sink with the new centroids AND grid — all three artifacts
+    * version together.
+    */
+  def streamingSq8ResidualClipSink(tableRoot: String, queryName: String,
+      vecCol: String,
+      cents: Map[Int, Array[Double]],
+      stats: graft.operators.ScalarQuantizer.Stats,
+      listOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(listOf != null, "streamingSq8ResidualClipSink: the coarse " +
+      "router is the point of the residual tier — pass the ingest-time listOf")
+    graft.operators.ManifestTable.streamInto(tableRoot, queryName)(
+      graft.operators.ScalarQuantizer.clipReport(
+        graft.operators.ProductQuantizer.residuals(
+          batch.withColumn("list", listOf(col(vecCol))), vecCol, "list", cents),
+        "resid", stats),
+      batchId)
+  }
+
   /** The SQ8 retrain signal: aggregate the stream-maintained per-batch
     * clip reports and flag `retrain = clip_rate > threshold`. Integer
     * sums — bit-equal to running [[graft.operators.ScalarQuantizer

@@ -877,6 +877,72 @@ class StreamsSpec extends SparkSuite {
       s"retrained grid must cover the drifted range: $recovered")
   }
 
+  test("residual-SQ8 lifecycle: residual clip gate fires -> reindexResidual swaps -> clipping stops") {
+    import graft.operators.{ManifestTable, ProductQuantizer, ScalarQuantizer}
+    import org.apache.spark.sql.Column
+    val codesRoot = Files.createTempDirectory("graft_sq8r_codes").resolve("t").toString
+    val clipRoot = Files.createTempDirectory("graft_sq8r_clip").resolve("t").toString
+    // two clusters on the lead dims so the router has real lists
+    def vecs(lo: Int, hi: Int, shift: Double) = (lo until hi).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j == (i % 2) * 4) 4.0 else 0.0) + shift + (i % 5) * 0.1 + j * 0.05))
+    }.toDF("id", "vec")
+    val listOf: Column => Column = v =>
+      when(element_at(v, 1) >= element_at(v, 5), 0).otherwise(1)
+    val base = vecs(0, 64, 0.0)
+    val routedBase = base.withColumn("list", listOf(col("vec")))
+    val (cents, rStats) = ScalarQuantizer.trainResidual(routedBase, "vec", "list", 8)
+    ScalarQuantizer.reindexResidual(spark, codesRoot, base, "id", "vec", 8, listOf)
+    val clipSink = Streams.streamingSq8ResidualClipSink(
+      clipRoot, "rclip", "vec", cents, rStats, listOf) _
+    clipSink(base, 0L)
+    val calm = Streams.currentClipRate(spark, clipRoot, threshold = 0.01).head()
+    assert(!calm.getBoolean(4) && calm.getAs[Long]("n_clipped") == 0L,
+      s"training-range batches must not clip in residual space: $calm")
+    // replayed batch is a no-op (exactly-once through the txn ledger)
+    val vReplay = ManifestTable.currentVersion(spark, clipRoot)
+    clipSink(base, 0L)
+    assert(ManifestTable.currentVersion(spark, clipRoot) == vReplay)
+    // a SHIFTED batch drifts every residual out of the residual box
+    // (the raw-tier blind spot: per-coordinate raw ranges move little,
+    // residual magnitudes move by the full shift)
+    val drifted = vecs(64, 128, 1.5)
+    clipSink(drifted, 1L)
+    val alarmed = Streams.currentClipRate(spark, clipRoot, threshold = 0.01).head()
+    assert(alarmed.getBoolean(4), s"residual clip gate must fire: $alarmed")
+    // stream-maintained totals equal the from-scratch batch report
+    val batchReport = ScalarQuantizer.clipReport(
+      ProductQuantizer.residuals(
+        base.unionByName(drifted).withColumn("list", listOf(col("vec"))),
+        "vec", "list", cents),
+      "resid", rStats).head()
+    assert(alarmed.getAs[Long]("n_clipped") == batchReport.getAs[Long]("n_clipped")
+      && alarmed.getAs[Long]("n_coords") == batchReport.getAs[Long]("n_coords"),
+      "stream-maintained residual clip totals must equal the batch report")
+    // act: reindexResidual re-solves centroids + grid + codes atomically
+    val corpus = base.unionByName(drifted)
+    val vBefore = ManifestTable.currentVersion(spark, codesRoot)
+    val (newCents, newStats, vAfter) = ScalarQuantizer.reindexResidual(
+      spark, codesRoot, corpus, "id", "vec", 8, listOf)
+    assert(vAfter > vBefore, "reindexResidual must commit a new version")
+    val snapshot = ManifestTable.read(spark, codesRoot)
+    val direct = ScalarQuantizer.encode(
+      ProductQuantizer.residuals(
+        corpus.withColumn("list", listOf(col("vec"))), "vec", "list", newCents),
+      "id", "resid", newStats, carryCols = Seq("list"))
+    assert(snapshot.exceptAll(direct).isEmpty && direct.exceptAll(snapshot).isEmpty,
+      "swapped residual index must equal the fresh residual encode")
+    assert(ManifestTable.read(spark, codesRoot, Some(vBefore)).count() == 64,
+      "old version stays time-travel readable")
+    // the new artifacts cover the drifted batch: zero residual clipping
+    val recovered = ScalarQuantizer.clipReport(
+      ProductQuantizer.residuals(
+        drifted.withColumn("list", listOf(col("vec"))), "vec", "list", newCents),
+      "resid", newStats).head()
+    assert(recovered.getAs[Long]("n_clipped") == 0L,
+      s"retrained residual grid must cover the drifted batch: $recovered")
+  }
+
   test("streamMergeInto: upsert stream is exactly-once under replay; keys converge") {
     import graft.operators.ManifestTable
     val root = Files.createTempDirectory("graft_stream_merge").resolve("t").toString
