@@ -466,6 +466,19 @@ object UnigramLm {
           .orderBy(col("sc").desc, col("piece").asc)
           .limit((targetVocab - nSingles).toInt)
           .select(col("piece"), col("sc").as("cnt"))
+        // a corpus (or a too-narrow topMulti seed) whose positive-mass
+        // piece inventory cannot FILL the target must refuse loudly: a
+        // silent underfill ships a "32k tokenizer" with 300 pieces and
+        // the gap only surfaces at embedding-matrix build time
+        // (discovered on the sf1 synthetic corpus: 40 distinct words =
+        // 276-piece ceiling)
+        val nMultis = multis.count() // bounded: <= targetVocab rows
+        require(nMultis == targetVocab - nSingles,
+          s"trainVocabulary: positive-mass piece inventory supports only " +
+            s"${nSingles + nMultis} pieces ($nSingles singles + $nMultis " +
+            s"multis from the topMulti=$topMulti seed) — " +
+            s"targetVocab=$targetVocab is unreachable on this corpus; " +
+            "shrink the target or widen topMulti/maxPieceLen")
         singles.unionByName(multis)
     }.toDF("round", "n_vocab", "corpus_ll")
   }
