@@ -912,7 +912,7 @@ object SparkEntry {
       |         sum(CAST(round((f.val - cc.val) * (f.val - cc.val), 6)
       |                  AS DECIMAL(18,6))) AS d
       |  FROM fvc f JOIN ccc cc ON cc.fpos = f.fpos
-      |  WHERE f.vec_id % 29 = 0
+      |  WHERE f.vec_id % 29 = 0 AND f.vec_id < 522
       |  GROUP BY 1, 2),
       |qpdc AS (
       |  SELECT vec_id, list, d,
@@ -947,7 +947,7 @@ object SparkEntry {
       |                 (q.vec[i] - c.vec[i]) * (q.vec[i] - c.vec[i]))),
       |               (x, y) -> x + y), 6) ASC, c.vec_id ASC) AS rn
       |    FROM cva q JOIN cva c ON c.vec_id <> q.vec_id
-      |    WHERE q.vec_id % 29 = 0)
+      |    WHERE q.vec_id % 29 = 0 AND q.vec_id < 522)
       |  WHERE rn <= 5)""".stripMargin
 
   /** The per-scheme top-5 + final three-row readout shared by the
