@@ -4617,10 +4617,10 @@ object Queries {
     * ([[pqListOf]] = its n=1 head) and every multi-probe query side,
     * so a router change cannot silently diverge probes from codes.
     */
-  private def pqTopLists(vec: org.apache.spark.sql.Column,
-      n: Int): org.apache.spark.sql.Column = {
+  private[graft] def pqTopLists(vec: org.apache.spark.sql.Column,
+      n: Int, stride: Int = 16): org.apache.spark.sql.Column = {
     val sorted = sort_array(array((0 until 4).map(j =>
-      struct(element_at(vec, j * 16 + 1).cast("double").as("v"),
+      struct(element_at(vec, j * stride + 1).cast("double").as("v"),
         lit(-j).as("nj"))): _*))
     array((1 to n).map(i =>
       (-element_at(sorted, -i).getField("nj")).cast("int")): _*)
@@ -5156,6 +5156,7 @@ object Queries {
       vecCol: String, cents: Map[Int, Array[Double]],
       corpusLists: DataFrame, ex: DataFrame,
       top5: DataFrame => DataFrame): DataFrame = {
+    val dim = cents.head._2.length // the residuals-operator discipline
     val nGt = ex.count() // bounded: n_queries x 5 driver rows
     def audit(scheme: String, probed0: DataFrame): (String, Long, Long, Long) = {
       // three actions read the probe set: pin one evaluation of the
@@ -5171,11 +5172,11 @@ object Queries {
     }
     val rows = Seq(
       audit("fixed1", ProductQuantizer.probeLists(
-        queries, vecCol, cents, PqDim, nProbe = 1)),
+        queries, vecCol, cents, dim, nProbe = 1)),
       audit("fixed2", ProductQuantizer.probeLists(
-        queries, vecCol, cents, PqDim, nProbe = 2)),
+        queries, vecCol, cents, dim, nProbe = 2)),
       audit("adaptive", ProductQuantizer.probeListsAdaptive(
-        queries, vecCol, cents, PqDim,
+        queries, vecCol, cents, dim,
         maxProbe = 4, ratioNum = 2, ratioDen = 1)))
     import spark.implicits._
     rows.toDF("scheme", "probes", "pairs", "hits")
@@ -5679,12 +5680,8 @@ object Queries {
     * ROTATED element is largest, ties to the lower index.
     */
   private def x512ListOf(vec: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = {
-    val sorted = sort_array(array((0 until 4).map(j =>
-      struct(element_at(vec, j * 128 + 1).cast("double").as("v"),
-        lit(-j).as("nj"))): _*))
-    (-element_at(sorted, -1).getField("nj")).cast("int")
-  }
+      : org.apache.spark.sql.Column =
+    element_at(pqTopLists(vec, 1, stride = 128), 1)
 
   /** Dim-512 block-OPQ serving state, trained once per corpus dir and
     * frozen (the [[opqCache]] discipline): 8 per-block 64×64

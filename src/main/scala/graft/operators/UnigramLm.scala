@@ -471,11 +471,14 @@ object UnigramLm {
         // silent underfill ships a "32k tokenizer" with 300 pieces and
         // the gap only surfaces at embedding-matrix build time
         // (discovered on the sf1 synthetic corpus: 40 distinct words =
-        // 276-piece ceiling)
-        val nMultis = multis.count() // bounded: <= targetVocab rows
-        require(nMultis == targetVocab - nSingles,
+        // 276-piece ceiling). Counting the WHERE — not the sort-limit
+        // prune itself — keeps this one cheap agg job instead of a
+        // duplicate TakeOrdered execution per round.
+        val nAvail = sc
+          .where(length(col("piece")) > 1 && col("sc") > 0).count()
+        require(nAvail >= targetVocab - nSingles,
           s"trainVocabulary: positive-mass piece inventory supports only " +
-            s"${nSingles + nMultis} pieces ($nSingles singles + $nMultis " +
+            s"${nSingles + nAvail} pieces ($nSingles singles + $nAvail " +
             s"multis from the topMulti=$topMulti seed) — " +
             s"targetVocab=$targetVocab is unreachable on this corpus; " +
             "shrink the target or widen topMulti/maxPieceLen")

@@ -612,12 +612,8 @@ class ProductQuantizerSpec extends SparkSuite {
           - 8.0) / 40.0, 6)
       }).as("vec"))
   }
-  private def leadListOf(vec: org.apache.spark.sql.Column) = {
-    val sorted = sort_array(array((0 until 4).map(j =>
-      struct(element_at(vec, j * 4 + 1).cast("double").as("v"),
-        lit(-j).as("nj"))): _*))
-    (-element_at(sorted, -1).getField("nj")).cast("int")
-  }
+  private def leadListOf(vec: org.apache.spark.sql.Column) =
+    element_at(graft.Queries.pqTopLists(vec, 1, stride = 4), 1)
 
   test("probeListsAdaptive: contains fixed-1, ratio-monotone, capped; beats fixed-2 mass at equal recall on straddlers") {
     val corpus = straddlerCorpus(280)

@@ -44,6 +44,7 @@ def main(paths):
     print("| canary | " + " | ".join(name for name, _ in cols) + " |")
     print("|---|" + "---|" * len(cols))
     tot = [0.0] * len(cols)
+    n = [0] * len(cols)
     for q in CANARIES:
         cells = []
         for i, (_, qs) in enumerate(cols):
@@ -51,8 +52,16 @@ def main(paths):
             cells.append("%.2f" % v if v is not None else "-")
             if v is not None:
                 tot[i] += v
+                n[i] += 1
         print(f"| {q} | " + " | ".join(cells) + " |")
-    print("| **sum** | " + " | ".join("%.2f" % t for t in tot) + " |")
+    # a sum over unlike subsets would skew the host-drift ratio the
+    # table exists to measure — only print sums for complete columns
+    print("| **sum** | " + " | ".join(
+        "%.2f" % t if k == len(CANARIES) else f"({k}/{len(CANARIES)} only)"
+        for t, k in zip(tot, n)) + " |")
+    if any(k != len(CANARIES) for k in n):
+        print("WARNING: columns with missing canaries are not summed "
+              "(unlike subsets are not comparable)")
 
 
 if __name__ == "__main__":
