@@ -640,24 +640,46 @@ object SparkEntry {
       |               + (e & 17179869183))),
       |        1000000000000000))) AS best
       |  FROM arr$sfx),
+      |ch$sfx AS MATERIALIZED (
+      |  -- the cost-optimal chosen edge per (word, end position), ties to
+      |  -- the min packed (s·64+l) — the original backtrace's list_min
+      |  -- tie-break computed RELATIONALLY (plain vectorized expressions;
+      |  -- see bt$sfx for why no lambda may touch these columns)
+      |  SELECT x.w, (x.e >> 40) + ((x.e >> 34) & 63) AS endp,
+      |         min(x.e >> 34) AS pk
+      |  FROM (SELECT w, best, unnest(es) AS e FROM fwd$sfx) x
+      |  WHERE x.best[CAST((x.e >> 40) + 1 AS INTEGER)] + (x.e & 17179869183)
+      |        = x.best[CAST((x.e >> 40) + ((x.e >> 34) & 63) + 1 AS INTEGER)]
+      |  GROUP BY 1, 2),
+      |wk$sfx AS (
+      |  -- the backtrace WALK as a recursive CTE — ZERO lambdas: DuckDB's
+      |  -- parallel lambda evaluation mis-pairs outer-column captures in
+      |  -- nested lambdas with the wrong row under threads>1 (round-10
+      |  -- gate flake: word 'customer' folded a 5-char word's seed; a
+      |  -- capture-free struct-fold rewrite then CRASHED outright under
+      |  -- threads>1), so the sequential walk is relational. Each step
+      |  -- follows the cost-optimal chosen edge from ch$sfx: next
+      |  -- position = pk >> 6 (= the edge's start), terminating at 0.
+      |  -- The RECURSIVE scope is nested INSIDE this CTE: a top-level
+      |  -- WITH RECURSIVE changes sibling-CTE binding for the whole
+      |  -- statement (it broke q242's a1 reference).
+      |  WITH RECURSIVE wkr$sfx AS (
+      |    SELECT w, CAST(len AS BIGINT) AS pos, CAST(NULL AS BIGINT) AS pk,
+      |           0 AS step
+      |    FROM fwd$sfx
+      |    UNION ALL
+      |    SELECT k.w, c.pk >> 6, c.pk, k.step + 1
+      |    FROM wkr$sfx k JOIN ch$sfx c ON c.w = k.w AND c.endp = k.pos
+      |    WHERE k.pos > 0)
+      |  SELECT * FROM wkr$sfx),
+      |trl$sfx AS (
+      |  SELECT w, list(pk ORDER BY step) AS pks FROM wk$sfx
+      |  WHERE pk IS NOT NULL GROUP BY w),
       |bt$sfx AS MATERIALIZED (
-      |  SELECT w, freq, best, len,
-      |    list_reduce(
-      |      list_prepend([len], list_transform(range(1, len + 1), i -> [i])),
-      |      (acc, x) -> CASE
-      |        WHEN (CASE WHEN len(acc) = 1 THEN acc[1]
-      |                   ELSE acc[-1] >> 6 END) = 0 THEN acc
-      |        ELSE list_append(acc,
-      |          list_min(list_transform(list_filter(es,
-      |            e -> ((e >> 40) + ((e >> 34) & 63)) =
-      |                   (CASE WHEN len(acc) = 1 THEN acc[1]
-      |                         ELSE acc[-1] >> 6 END)
-      |             AND best[CAST((e >> 40) + 1 AS INTEGER)]
-      |                 + (e & 17179869183) =
-      |                 best[CAST((CASE WHEN len(acc) = 1 THEN acc[1]
-      |                            ELSE acc[-1] >> 6 END) + 1 AS INTEGER)]),
-      |            e -> e >> 34))) END) AS tr
-      |  FROM fwd$sfx)""".stripMargin
+      |  SELECT f.w, f.freq, f.best, f.len,
+      |         list_prepend(f.len, coalesce(t.pks, CAST([] AS BIGINT[])))
+      |           AS tr
+      |  FROM fwd$sfx f LEFT JOIN trl$sfx t USING (w))""".stripMargin
 
   /** One forward-backward E-step as oracle CTEs (see
     * `UnigramLm.softLattice`/`softCountsFrom`): packed edges from
