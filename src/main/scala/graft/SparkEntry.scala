@@ -644,7 +644,7 @@ object SparkEntry {
       |  -- the cost-optimal chosen edge per (word, end position), ties to
       |  -- the min packed (s·64+l) — the original backtrace's list_min
       |  -- tie-break computed RELATIONALLY (plain vectorized expressions;
-      |  -- see bt$sfx for why no lambda may touch these columns)
+      |  -- see wk$sfx below for why no lambda may touch these columns)
       |  SELECT x.w, (x.e >> 40) + ((x.e >> 34) & 63) AS endp,
       |         min(x.e >> 34) AS pk
       |  FROM (SELECT w, best, unnest(es) AS e FROM fwd$sfx) x
