@@ -5261,6 +5261,47 @@ object Queries {
         dim = PqDim, k = 5, withinCol = "list"))
   }
 
+  /** The DEPLOYED retrieval pipeline under the ADAPTIVE router — q222's
+    * serving shape with q255's probe rule composed in: adaptive route
+    * (nearest coarse list always, any list within 2× by exact decimal
+    * centroid distance, cap 4) → residual product codes → within-list
+    * ADC top-20 → exact rerank of ~20 rows/query in full precision.
+    * Runs on the planted-cluster surface because that is the regime
+    * the adaptive router exists for (86% of queries pay 1 probe, the
+    * boundary straddlers buy their pair list). q253 proved the stack
+    * composes at production DIM; this proves it composes with the
+    * production ROUTER — the configuration a 100 TB embedding user
+    * would actually serve: fixed-2's recall at ~58% of its priced
+    * pair mass (q255's committed readout).
+    */
+  def q258AdaptiveServing(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, books, _, routed, _) = clusterParts(spark, dir)
+    val resid = ProductQuantizer.residuals(routed, "cvec", "list", cents)
+    val codes = ProductQuantizer.encode(resid, "vec_id", "resid",
+      books, dim = PqDim, carryCols = Seq("list")).localCheckpoint()
+    val queries = routed.where(col("vec_id") % 29 === 0 && col("vec_id") < 522)
+      .drop("list")
+    val rep = ProductQuantizer.probeListsAdaptive(
+      queries, "cvec", cents, PqDim, maxProbe = 4, ratioNum = 2, ratioDen = 1)
+    val qResid = ProductQuantizer.residuals(rep, "cvec", "list", cents)
+    val cand = ProductQuantizer.adcTopK(qResid, "vec_id", "resid",
+      codes, "vec_id", books, dim = PqDim, k = 20, withinCol = "list")
+    val rerankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("l2").asc, col("vec_id").asc)
+    cand.select(col("q_id"), col("vec_id"))
+      .join(routed.select(col("vec_id"), col("cvec").as("c_vec")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("cvec").as("q_vec"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        // ~20 rows/query: the q226 rerank fold (sequential IEEE sum)
+        round(aggregate(
+          zip_with(col("q_vec"), col("c_vec"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (u, x) => u + x), 6).as("l2"))
+      .withColumn("rn", row_number().over(rerankW))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"), col("l2"))
+  }
+
   /** q255's trade on the SQ8 tier — same planted-cluster surface, same
     * three probe schemes, the compressed residence now the q244
     * residual byte grid ([[graft.operators.ScalarQuantizer

@@ -293,6 +293,7 @@ object SparkEntry {
     "q255_adaptive_probe" -> (Queries.q255AdaptiveProbe _),
     "q256_sq8_adaptive" -> (Queries.q256Sq8AdaptiveProbe _),
     "q257_residual_clip_stream" -> (Queries.q257ResidualClipStream _),
+    "q258_adaptive_serving" -> (Queries.q258AdaptiveServing _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
     "q247_soft_em_trajectory" -> (Queries.q247SoftEmTrajectory _),
     "q248_hard_vs_soft_tokenizer" -> (Queries.q248HardVsSoftTokenizer _),
@@ -2189,6 +2190,55 @@ object SparkEntry {
         |  WHERE a.vec_id <> dq.vec_id
         |  GROUP BY 1, 2, 3, 4, 5),
         |${adaptiveTopsAndSelect("amc", "dist")}""".stripMargin,
+    // the deployed pipeline with the adaptive router composed in:
+    // adaptive probe -> residual PQ ADC top-20 -> exact rerank top-5,
+    // replayed end-to-end on the planted-cluster surface
+    "q258_adaptive_serving" ->
+      s"""WITH $pqSubsPs,
+        |$adaptiveClusterCtes,
+        |rvcs AS MATERIALIZED (
+        |  SELECT vec_id, CAST(fpos // 8 AS INTEGER) AS sub,
+        |         CAST(fpos % 8 AS INTEGER) AS pos, val FROM rvc),
+        |${pqTrainCtes("rvcs", "pqc", "c")},
+        |dqa AS (
+        |  SELECT q.vec_id, q.list,
+        |         CAST(q.fpos // 8 AS INTEGER) AS sub, cb.code,
+        |         sum(CAST(round((q.val - cb.val) * (q.val - cb.val), 6)
+        |                  AS DECIMAL(18,6))) AS d
+        |  FROM qrvc q JOIN c2c cb ON cb.sub = CAST(q.fpos // 8 AS INTEGER)
+        |                         AND cb.pos = CAST(q.fpos % 8 AS INTEGER)
+        |  WHERE q.fa
+        |  GROUP BY 1, 2, 3, 4),
+        |ama AS (
+        |  SELECT dq.vec_id AS q_id, a.vec_id,
+        |         round(CAST(sum(dq.d) AS DOUBLE), 6) AS dist
+        |  FROM a3c a JOIN lstc cl ON cl.vec_id = a.vec_id
+        |  JOIN dqa dq ON dq.list = cl.list AND dq.sub = a.sub
+        |             AND dq.code = a.code
+        |  WHERE a.vec_id <> dq.vec_id
+        |  GROUP BY 1, 2),
+        |canda AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id
+        |                              ORDER BY dist ASC, vec_id ASC) AS rn
+        |    FROM ama)
+        |  WHERE rn <= 20),
+        |rra AS (
+        |  SELECT c.q_id, c.vec_id,
+        |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(generate_series(1, 64), i ->
+        |             (q.vec[i] - x.vec[i]) * (q.vec[i] - x.vec[i]))),
+        |           (u, w) -> u + w), 6) AS l2
+        |  FROM canda c
+        |  JOIN cva q ON q.vec_id = c.q_id
+        |  JOIN cva x ON x.vec_id = c.vec_id)
+        |SELECT q_id, vec_id, l2 FROM (
+        |  SELECT q_id, vec_id, l2,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY l2 ASC, vec_id ASC) AS rn
+        |  FROM rra)
+        |WHERE rn <= 5""".stripMargin,
     // the same trade on the SQ8 tier: residual byte grid recomputed
     // from the data (no splicing), dequantized ADC, shared probe rule
     "q256_sq8_adaptive" ->
