@@ -1816,7 +1816,25 @@ object SparkEntry {
       |  FROM scored)
       |WHERE rn <= 5""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** Spliced-literal oracles are valid only after their query trained
+    * its state in THIS process (graft.Verify dumps oracleSql AFTER the
+    * queries run, so a full gate always passes every guard). On a
+    * query-subset run that skipped the query, the splice state is
+    * unset and the emitted SQL would replay IDENTITY rotations — wrong
+    * for any later replay — so those entries are omitted instead.
+    */
+  def oracleSql: Map[String, String] = {
+    val gates: Map[String, () => Boolean] = Map(
+      "q225_opq_rotation" -> (() => Queries.opqSpliceReady),
+      "q226_opq_ivfadc" -> (() => Queries.opqSpliceReady),
+      "q227_opq_recall" -> (() => Queries.opqSpliceReady),
+      "q250_block_opq" ->
+        (() => Queries.opqSpliceReady && Queries.blockOpqSpliceReady),
+      "q253_dim512_serving" -> (() => Queries.x512SpliceReady))
+    oracleSqlAll.filter { case (k, _) => gates.get(k).forall(_()) }
+  }
+
+  private def oracleSqlAll: Map[String, String] = Map(
     "q202_bucket_mass" -> portableBucketMassOracle,
     "q203_pq_codebooks" -> pqOracle(
       "SELECT sub, code, pos, val FROM c2"),

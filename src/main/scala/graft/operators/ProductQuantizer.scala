@@ -49,8 +49,21 @@ object ProductQuantizer {
   /** Exact squared-L2 between a sub-vector slice of `vec` (array<double>,
     * 1-based offset `sub*dsub`) and a literal centroid, as the
     * order-independent DECIMAL sum of per-dimension rounded terms.
+    * Two forms by width: dsub ≤ 16 emits the explicit term chain
+    * (whose result decimal precision GROWS with each `+` — the
+    * historical type of every 8/16-dim encode caller); wider subspaces
+    * fold the centroid as array data under a FIXED Decimal(28,6)
+    * accumulator. The two forms are bit-equal in VALUE (exact decimal
+    * addition of identical terms) but differ in result decimal TYPE —
+    * pinned by ProductQuantizerSpec ("fold and chain forms are
+    * value-equal"). The threshold cannot simply sit above 64: the
+    * dim-512 ENCODE path runs dsub = 512/8 = 64, where ksub·dsub
+    * explicit chains blow janino's 64 KB method cap (each failed
+    * compile costs seconds before the interpreted fallback), so
+    * dim-64 COARSE-routing callers (probeLists at dim=64) share the
+    * fold branch deliberately.
     */
-  private def distToCentroid(vec: Column, sub: Int, dsub: Int,
+  private[graft] def distToCentroid(vec: Column, sub: Int, dsub: Int,
       cent: Array[Double]): Column =
     if (dsub <= 16)
       (0 until dsub).map { p =>

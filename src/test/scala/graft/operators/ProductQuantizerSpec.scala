@@ -680,4 +680,33 @@ class ProductQuantizerSpec extends SparkSuite {
     assert(ha > h1 && ma >= m1,
       s"adaptive ($ha hits, $ma pairs) must beat fixed-1 ($h1, $m1) on recall")
   }
+
+  test("distToCentroid: fold and chain forms are value-equal on wide subspaces") {
+    // dsub=20 > 16 takes the fixed-accumulator FOLD branch; the spec
+    // replays the explicit chain (the dsub<=16 form, precision-growing
+    // decimal type) over the same slice and pins bit-equality of the
+    // VALUES — the documented contract that only the decimal TYPE
+    // differs between the two forms.
+    import org.apache.spark.sql.types.DecimalType
+    val dsub = 20
+    val cent = Array.tabulate(dsub)(p => math.rint((p * 0.37 - 1.9) * 1e6) / 1e6)
+    val df = spark.range(64).select(col("id"),
+      transform(sequence(lit(0), lit(dsub - 1)), i =>
+        round((col("id") % 11).cast("double") / 7.0 +
+          i.cast("double") * 0.013, 6)).as("vec"))
+    val v = col("vec").cast("array<double>")
+    val chain = (0 until dsub).map { p =>
+      val el = element_at(v, p + 1)
+      round((el - lit(cent(p))) * (el - lit(cent(p))), 6)
+        .cast(DecimalType(18, 6))
+    }.reduce(_ + _)
+    val rows = df.select(
+      ProductQuantizer.distToCentroid(v, 0, dsub, cent).cast("string").as("fold"),
+      chain.cast("string").as("chain")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"fold ${r.getString(0)} != chain ${r.getString(1)}")
+    }
+  }
 }
