@@ -294,6 +294,8 @@ object SparkEntry {
     "q256_sq8_adaptive" -> (Queries.q256Sq8AdaptiveProbe _),
     "q257_residual_clip_stream" -> (Queries.q257ResidualClipStream _),
     "q258_adaptive_serving" -> (Queries.q258AdaptiveServing _),
+    "q259_adaptive_dim512" -> (Queries.q259AdaptiveDim512 _),
+    "q259b_dim512_probe_mass" -> (Queries.q259bDim512ProbeMass _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
     "q247_soft_em_trajectory" -> (Queries.q247SoftEmTrajectory _),
     "q248_hard_vs_soft_tokenizer" -> (Queries.q248HardVsSoftTokenizer _),
@@ -1031,12 +1033,18 @@ object SparkEntry {
     * salt `pqxr`, then the q226 probe block (multi-probe nProbe=2, ADC
     * top-20, exact rerank) entirely in rotated 512-dim space.
     */
-  private def dim512ServingOracle(
-      blocks: Array[Array[Array[Double]]]): String = {
+  /** The shared dim-512 block-OPQ base (q253/q259/q259b): sign-expanded
+    * corpus (`fx5`), block rotation (`kvx` from the spliced per-block
+    * literals), rotated full components (`fvx`), the stride-128 router
+    * (`lstx`), per-list centroids (`ccx`), residual sub-vectors
+    * (`rvx`), the residual training chain at salt `pqxr`, and the
+    * per-vec ordered component lists (`rvax`, the exact-space side).
+    */
+  private def dim512BaseCtes(blocks: Array[Array[Array[Double]]]): String = {
     val signs = (0 until 512).map { i =>
       s"($i, ${Queries.x512Sign("x5a", i)}, ${Queries.x512Sign("x5b", i)})"
     }.mkString(", ")
-    s"""WITH $pqSubsPs,
+    s"""$pqSubsPs,
        |$pqFxCte,
        |x5s(i, s1, s2) AS (VALUES $signs),
        |fx5 AS MATERIALIZED (
@@ -1072,6 +1080,30 @@ object SparkEntry {
        |  FROM fvx f JOIN lstx l ON l.vec_id = f.vec_id
        |  JOIN ccx cc ON cc.list = l.list AND cc.fpos = f.fpos),
        |${pqTrainCtes("rvx", "pqxr", "x")},
+       |rvax AS MATERIALIZED (
+       |  SELECT vec_id, list(val ORDER BY fpos) AS vec FROM fvx GROUP BY 1)""".stripMargin
+  }
+
+  /** q253/q259's replay — the full dim-512 block-OPQ serving stack from
+    * the spliced literals; `adaptive=false` probes the fixed nProbe=2
+    * set (q253), `adaptive=true` the ratio-2/cap-4 rule's set over the
+    * DOUBLE casts of the exact decimal centroid distances (q259 — the
+    * qselc rule of the dim-64 audits at stride 128).
+    */
+  private def dim512ServingOracle(
+      blocks: Array[Array[Array[Double]]], adaptive: Boolean): String = {
+    val probeSel =
+      if (!adaptive)
+        """qsx AS (
+          |  SELECT vec_id, list FROM qpx WHERE pr <= 2)""".stripMargin
+      else
+        """qsx AS (
+          |  SELECT q.vec_id, q.list
+          |  FROM qpx q JOIN (SELECT vec_id, d AS d1 FROM qpx WHERE pr = 1) b
+          |    ON b.vec_id = q.vec_id
+          |  WHERE q.pr = 1 OR (q.pr <= 4
+          |    AND CAST(q.d AS DOUBLE) * 1.0 <= CAST(b.d1 AS DOUBLE) * 2.0))""".stripMargin
+    s"""WITH ${dim512BaseCtes(blocks)},
        |qdx AS (
        |  SELECT f.vec_id, cc.list,
        |         sum(CAST(round((f.val - cc.val) * (f.val - cc.val), 6)
@@ -1080,14 +1112,15 @@ object SparkEntry {
        |  WHERE f.vec_id % 97 = 0
        |  GROUP BY 1, 2),
        |qpx AS (
-       |  SELECT vec_id, list,
+       |  SELECT vec_id, list, d,
        |         row_number() OVER (PARTITION BY vec_id
        |                            ORDER BY d ASC, list ASC) AS pr
        |  FROM qdx),
+       |$probeSel,
        |rqx AS (
        |  SELECT f.vec_id, qp.list, CAST(f.fpos // 64 AS INTEGER) AS sub,
        |         CAST(f.fpos % 64 AS INTEGER) AS pos, f.val - cc.val AS val
-       |  FROM fvx f JOIN qpx qp ON qp.vec_id = f.vec_id AND qp.pr <= 2
+       |  FROM fvx f JOIN qsx qp ON qp.vec_id = f.vec_id
        |  JOIN ccx cc ON cc.list = qp.list AND cc.fpos = f.fpos),
        |dqx AS (
        |  SELECT rq.vec_id, rq.list, rq.sub, cb.code,
@@ -1109,8 +1142,6 @@ object SparkEntry {
        |                                 ORDER BY dist ASC, vec_id ASC) AS rn
        |    FROM amx)
        |  WHERE rn <= 20),
-       |rvax AS MATERIALIZED (
-       |  SELECT vec_id, list(val ORDER BY fpos) AS vec FROM fvx GROUP BY 1),
        |rrx AS (
        |  SELECT c.q_id, c.vec_id,
        |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1126,6 +1157,75 @@ object SparkEntry {
        |  FROM rrx)
        |WHERE rn <= 5""".stripMargin
   }
+
+  /** q259b's replay — the three-scheme probe audit AT DIM 512: the
+    * shared base, per-query exact decimal list distances over the
+    * FIXED sample (`% 97 = 0 AND < 2037`), fixed-1/fixed-2/adaptive
+    * membership flags (CTE names qselc/pairsrcc/exc so
+    * [[adaptiveTopsAndSelect]] applies unchanged), residual LUT
+    * distances per selected probe, ADC scoring within lists, and the
+    * exact rotated-space L2 top-5 ground truth from `rvax`.
+    */
+  private def dim512AuditOracle(
+      blocks: Array[Array[Array[Double]]]): String =
+    s"""WITH ${dim512BaseCtes(blocks)},
+       |qdx AS (
+       |  SELECT f.vec_id, cc.list,
+       |         sum(CAST(round((f.val - cc.val) * (f.val - cc.val), 6)
+       |                  AS DECIMAL(18,6))) AS d
+       |  FROM fvx f JOIN ccx cc ON cc.fpos = f.fpos
+       |  WHERE f.vec_id % 97 = 0 AND f.vec_id < 2037
+       |  GROUP BY 1, 2),
+       |qpx AS (
+       |  SELECT vec_id, list, d,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY d ASC, list ASC) AS pr
+       |  FROM qdx),
+       |qselc AS (
+       |  SELECT q.vec_id, q.list, (q.pr = 1) AS f1, (q.pr <= 2) AS f2,
+       |         (q.pr = 1 OR (q.pr <= 4
+       |            AND CAST(q.d AS DOUBLE) * 1.0
+       |                <= CAST(b.d1 AS DOUBLE) * 2.0)) AS fa
+       |  FROM qpx q JOIN (SELECT vec_id, d AS d1 FROM qpx WHERE pr = 1) b
+       |    ON b.vec_id = q.vec_id),
+       |qrvc AS MATERIALIZED (
+       |  SELECT f.vec_id, qs.list, qs.f1, qs.f2, qs.fa, f.fpos,
+       |         f.val - cc.val AS val
+       |  FROM fvx f JOIN qselc qs ON qs.vec_id = f.vec_id
+       |                          AND (qs.f2 OR qs.fa)
+       |  JOIN ccx cc ON cc.list = qs.list AND cc.fpos = f.fpos),
+       |pairsrcc AS (
+       |  SELECT qs.f1, qs.f2, qs.fa
+       |  FROM qselc qs JOIN lstx cl ON cl.list = qs.list
+       |                            AND cl.vec_id <> qs.vec_id),
+       |exc AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |               list_transform(generate_series(1, 512), i ->
+       |                 (q.vec[i] - c.vec[i]) * (q.vec[i] - c.vec[i]))),
+       |               (x, y) -> x + y), 6) ASC, c.vec_id ASC) AS rn
+       |    FROM rvax q JOIN rvax c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id % 97 = 0 AND q.vec_id < 2037)
+       |  WHERE rn <= 5),
+       |dqc AS (
+       |  SELECT q.vec_id, q.list, q.f1, q.f2, q.fa,
+       |         CAST(q.fpos // 64 AS INTEGER) AS sub, cb.code,
+       |         sum(CAST(round((q.val - cb.val) * (q.val - cb.val), 6)
+       |                  AS DECIMAL(18,6))) AS d
+       |  FROM qrvc q JOIN c2x cb ON cb.sub = CAST(q.fpos // 64 AS INTEGER)
+       |                         AND cb.pos = CAST(q.fpos % 64 AS INTEGER)
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7),
+       |amc AS (
+       |  SELECT dq.vec_id AS q_id, a.vec_id, dq.f1, dq.f2, dq.fa,
+       |         round(CAST(sum(dq.d) AS DOUBLE), 6) AS dist
+       |  FROM a3x a JOIN lstx cl ON cl.vec_id = a.vec_id
+       |  JOIN dqc dq ON dq.list = cl.list AND dq.sub = a.sub
+       |             AND dq.code = a.code
+       |  WHERE a.vec_id <> dq.vec_id
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |${adaptiveTopsAndSelect("amc", "dist")}""".stripMargin
 
   /** q225's replay: balanced chain (`bv`, salt pqb) AND the learned-
     * rotation chain (`ov`, salt pqo) at the same bit budget, with
@@ -1830,7 +1930,9 @@ object SparkEntry {
       "q227_opq_recall" -> (() => Queries.opqSpliceReady),
       "q250_block_opq" ->
         (() => Queries.opqSpliceReady && Queries.blockOpqSpliceReady),
-      "q253_dim512_serving" -> (() => Queries.x512SpliceReady))
+      "q253_dim512_serving" -> (() => Queries.x512SpliceReady),
+      "q259_adaptive_dim512" -> (() => Queries.x512SpliceReady),
+      "q259b_dim512_probe_mass" -> (() => Queries.x512SpliceReady))
     oracleSqlAll.filter { case (k, _) => gates.get(k).forall(_()) }
   }
 
@@ -2473,7 +2575,17 @@ object SparkEntry {
     // the dim-512 BLOCK-OPQ serving stack: sign-expanded corpus, 8
     // per-block 64x64 sub-rotations as spliced literals, residual
     // training chain, multi-probe ADC, exact rerank in rotated space
-    "q253_dim512_serving" -> dim512ServingOracle(Queries.lastX512Blocks()),
+    "q253_dim512_serving" ->
+      dim512ServingOracle(Queries.lastX512Blocks(), adaptive = false),
+    // the 100 TB serving configuration: the SAME dim-512 stack under
+    // the ADAPTIVE router (ratio 2, cap 4) — q253 x q258 composed
+    "q259_adaptive_dim512" ->
+      dim512ServingOracle(Queries.lastX512Blocks(), adaptive = true),
+    // the priced-mass readout at production dim: fixed-1 / fixed-2 /
+    // adaptive probe count, pair mass, recall@5 vs the exact
+    // rotated-space ground truth over the fixed query sample
+    "q259b_dim512_probe_mass" ->
+      dim512AuditOracle(Queries.lastX512Blocks()),
     // raw-residual vs OPQ-residual IVFADC recall@5 against one exact
     // raw-space ground truth — the rotation's end-to-end delta
     "q227_opq_recall" -> opqRecallOracle(Queries.lastOpqRotation()),
