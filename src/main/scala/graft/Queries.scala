@@ -5347,6 +5347,101 @@ object Queries {
         k = 5, withinCol = Some("list")))
   }
 
+  // ---------------------------------------------------------------- Q260
+  /** Zipf-skewed CONTINUOUS-MARGIN audit surface — the q255/q256
+    * planted surface answers "does the rule work where margins
+    * separate cleanly"; this one answers the verdict's open question:
+    * what does the ratio rule do under SKEWED list mass and a margin
+    * CONTINUUM (the shape of natural embedding corpora)? Construction
+    * (map-only, engine-replayable): cluster g has geometric (Zipf-ish)
+    * mass — `vec_id % 16`: 8/16 → g=0, 4/16 → 1, 2/16 → 2, 2/16 → 3 —
+    * and each row sits at a CONTINUOUS blend position
+    * `t = (vec_id·7919 mod 100)/200 ∈ [0, 0.495]` between its
+    * cluster's quarter-lead (+(1−t)) and the next cluster's (+t), with
+    * the embedding riding as noise. t near 0 = deep inside; t near
+    * 0.5 = genuinely ambiguous; every margin in between occurs, so
+    * the per-query centroid-distance ratios are a continuum instead of
+    * the planted surface's clean 1.2-vs-7 split.
+    */
+  private def zipfVecs(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val g = when(col("vec_id") % 16 < 8, 0)
+      .when(col("vec_id") % 16 < 12, 1)
+      .when(col("vec_id") % 16 < 14, 2)
+      .otherwise(3).cast("int")
+    val g2 = ((g + 1) % 4).cast("int")
+    val t = ((col("vec_id") * 7919) % 100).cast("double") / lit(200.0)
+    val zvec = transform(sequence(lit(0), lit(PqDim - 1)), i => {
+      val j = (i.cast("int") / 16).cast("int")
+      val base = when(pmod(i, lit(16)) =!= 0, lit(0.0))
+        .when(j === g, lit(1.0) - t)
+        .when(j === g2, t)
+        .otherwise(lit(-1.0))
+      round(element_at(v, i + 1) + base, 6)
+    })
+    Parallelism.ensureCompute(tp(spark, dir, "embeddings"))
+      .select(col("vec_id"), zvec.as("cvec"))
+  }
+  /** Per-dir cache of the Zipf-surface audit artifacts (the
+    * [[clusterParts]] discipline): coarse centroids, the residual SQ8
+    * grid, the exact ground-truth pairs; routed table session-bound.
+    */
+  private val zipfAuditCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[Int, Array[Double]], ScalarQuantizer.Stats,
+      Array[(Long, Long)])]()
+  private val zipfRoutedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, DataFrame)]()
+  private def zipfParts(spark: SparkSession, dir: String)
+      : (Map[Int, Array[Double]], ScalarQuantizer.Stats, DataFrame, DataFrame) = {
+    val rc = zipfRoutedCache.get(dir)
+    val routed = if (rc != null && (rc._1 eq spark) &&
+        !spark.sparkContext.isStopped) rc._2
+    else {
+      evictStopped(zipfRoutedCache)
+      val fresh = zipfVecs(spark, dir)
+        .withColumn("list", pqListOf(col("cvec"))).localCheckpoint()
+      zipfRoutedCache.put(dir, (spark, fresh))
+      fresh
+    }
+    val cached = zipfAuditCache.get(dir)
+    val (cents, rStats, gt) = if (cached != null) cached else {
+      val cs = ProductQuantizer.coarseCentroids(routed, "cvec", "list", PqDim)
+      val resid = ProductQuantizer.residuals(routed, "cvec", "list", cs)
+      val st = ScalarQuantizer.train(resid, "resid", PqDim)
+      val pairs = clusteredExactTop5(routed.drop("list"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parts = (cs, st, pairs)
+      zipfAuditCache.put(dir, parts) // lost race retrains identical
+      parts
+    }
+    (cents, rStats, routed, gtDf(spark, gt))
+  }
+
+  /** The adaptive-probe trade on the Zipf/continuous-margin surface,
+    * SQ8 tier (near-exact dequantized scoring isolates ROUTING — the
+    * variable this surface exists to stress): fixed-1 / fixed-2 /
+    * adaptive (ratio 2, cap 4), per scheme probe count, priced pair
+    * mass (now Zipf-skewed: the hot list carries half the corpus, so
+    * probing INTO it is expensive and probing OUT of it is cheap),
+    * and recall@5 against the exact ground truth. Whatever the
+    * numbers say is the deliverable — the q245/q259b honest-finding
+    * discipline.
+    */
+  def q260ZipfAdaptiveProbe(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, rStats, routed, ex) = zipfParts(spark, dir)
+    val rCodes = ScalarQuantizer.encode(
+      ProductQuantizer.residuals(routed, "cvec", "list", cents),
+      "vec_id", "resid", rStats, carryCols = Seq("list")).localCheckpoint()
+    val queries = routed.where(col("vec_id") % 29 === 0 && col("vec_id") < 522)
+      .drop("list")
+    probeSchemesAudit(spark, queries, "cvec", cents,
+      routed.select(col("vec_id"), col("list")), ex,
+      probed => ScalarQuantizer.adcTopK(
+        ProductQuantizer.residuals(probed, "cvec", "list", cents),
+        "vec_id", "resid", rCodes, "vec_id", rStats,
+        k = 5, withinCol = Some("list")))
+  }
+
   // ---------------------------------------------------------------- Q227
   /** END-TO-END recall audit of the learned rotation: recall@5 of the
     * raw-residual IVFADC probe (q219's nProbe=2 configuration) vs the

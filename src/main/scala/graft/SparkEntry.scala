@@ -296,6 +296,7 @@ object SparkEntry {
     "q258_adaptive_serving" -> (Queries.q258AdaptiveServing _),
     "q259_adaptive_dim512" -> (Queries.q259AdaptiveDim512 _),
     "q259b_dim512_probe_mass" -> (Queries.q259bDim512ProbeMass _),
+    "q260_zipf_adaptive" -> (Queries.q260ZipfAdaptiveProbe _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
     "q247_soft_em_trajectory" -> (Queries.q247SoftEmTrajectory _),
     "q248_hard_vs_soft_tokenizer" -> (Queries.q248HardVsSoftTokenizer _),
@@ -899,7 +900,7 @@ object SparkEntry {
     * selected probe, pair-mass source rows, and the exact L2 top-5
     * ground truth over the same surface.
     */
-  private val adaptiveClusterCtes: String =
+  private val adaptiveClusterCtes: String = adaptiveAuditCtes(
     """fvc AS MATERIALIZED (
       |  SELECT e.vec_id, p.p AS fpos,
       |         round(CAST(e.embedding[p.p + 1] AS DOUBLE) +
@@ -912,7 +913,42 @@ object SparkEntry {
       |                  THEN 1.0
       |                ELSE -1.0 END, 6) AS val
       |  FROM embeddings e,
-      |       (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS p) p),
+      |       (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS p) p)""".stripMargin)
+
+  /** The q260 construction: geometric (Zipf-ish) cluster mass via
+    * `vec_id % 16` thresholds and a continuous blend position
+    * t = (vec_id·7919 mod 100)/200 between the cluster's quarter-lead
+    * (+(1−t)) and the next cluster's (+t) — [[graft.Queries.zipfVecs]]
+    * replayed component-wise (identical long arithmetic, one double
+    * divide, one subtract).
+    */
+  private val zipfFvcCte: String =
+    """fvc AS MATERIALIZED (
+      |  SELECT e.vec_id, p.p AS fpos,
+      |         round(CAST(e.embedding[p.p + 1] AS DOUBLE) +
+      |           CASE WHEN p.p % 16 <> 0 THEN 0.0
+      |                WHEN p.p // 16 = (CASE WHEN e.vec_id % 16 < 8 THEN 0
+      |                                       WHEN e.vec_id % 16 < 12 THEN 1
+      |                                       WHEN e.vec_id % 16 < 14 THEN 2
+      |                                       ELSE 3 END)
+      |                  THEN 1.0 - CAST((e.vec_id * 7919) % 100 AS DOUBLE) / 200.0
+      |                WHEN p.p // 16 = ((CASE WHEN e.vec_id % 16 < 8 THEN 0
+      |                                        WHEN e.vec_id % 16 < 12 THEN 1
+      |                                        WHEN e.vec_id % 16 < 14 THEN 2
+      |                                        ELSE 3 END) + 1) % 4
+      |                  THEN CAST((e.vec_id * 7919) % 100 AS DOUBLE) / 200.0
+      |                ELSE -1.0 END, 6) AS val
+      |  FROM embeddings e,
+      |       (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS p) p)""".stripMargin
+
+  /** Everything downstream of the construction is fixture-independent:
+    * router, per-list centroids, residuals, per-query exact decimal
+    * list distances over the fixed 18-id sample, the three membership
+    * flags, query residuals per selected probe, pair-mass source rows,
+    * component lists, and the exact L2 top-5 ground truth.
+    */
+  private def adaptiveAuditCtes(fvcCte: String): String =
+    s"""$fvcCte,
       |lstc AS MATERIALIZED (
       |  SELECT vec_id, list FROM (
       |    SELECT f.vec_id, j.j AS list,
@@ -2361,6 +2397,29 @@ object SparkEntry {
         |WHERE rn <= 5""".stripMargin,
     // the same trade on the SQ8 tier: residual byte grid recomputed
     // from the data (no splicing), dequantized ADC, shared probe rule
+    // the adaptive trade under SKEWED list mass and CONTINUOUS margins
+    // (the q260 Zipf surface): same SQ8 tier, same probe rule, the
+    // fixture swapped under the shared audit chain
+    "q260_zipf_adaptive" ->
+      s"""WITH ${adaptiveAuditCtes(zipfFvcCte)},
+        |sqstc AS MATERIALIZED (
+        |  SELECT fpos, min(val) AS mn, max(val) AS mx FROM rvc GROUP BY 1),
+        |sqdecc AS MATERIALIZED (
+        |  SELECT r.vec_id, r.list, r.fpos,
+        |         s.mn + CAST(CASE WHEN s.mx = s.mn THEN 0
+        |              ELSE least(greatest(CAST(round((r.val - s.mn)
+        |                                / (s.mx - s.mn) * 255.0) AS BIGINT),
+        |                                  0), 255) END AS DOUBLE)
+        |              * (s.mx - s.mn) / 255.0 AS dx
+        |  FROM rvc r JOIN sqstc s USING (fpos)),
+        |amc AS (
+        |  SELECT q.vec_id AS q_id, dc.vec_id, q.f1, q.f2, q.fa,
+        |         CAST(sum(CAST(round((q.val - dc.dx) * (q.val - dc.dx), 6)
+        |                       AS DECIMAL(18,6))) AS DOUBLE) AS d
+        |  FROM qrvc q JOIN sqdecc dc ON dc.list = q.list AND dc.fpos = q.fpos
+        |                            AND dc.vec_id <> q.vec_id
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |${adaptiveTopsAndSelect("amc", "d")}""".stripMargin,
     "q256_sq8_adaptive" ->
       s"""WITH $adaptiveClusterCtes,
         |sqstc AS MATERIALIZED (
