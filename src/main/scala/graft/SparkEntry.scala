@@ -633,17 +633,30 @@ object SparkEntry {
       |  SELECT w, freq, len, list_sort(list(e)) AS es
       |  FROM edges$sfx GROUP BY 1, 2, 3),
       |fwd$sfx AS MATERIALIZED (
-      |  SELECT w, freq, len, es,
-      |    list_reduce(
-      |      list_prepend([CAST(0 AS BIGINT)],
-      |        list_transform(range(1, len + 1), p -> [p])),
-      |      (acc, x) -> list_append(acc,
-      |        coalesce(list_min(list_transform(
-      |          list_filter(es, e -> ((e >> 40) + ((e >> 34) & 63)) = x[1]),
-      |          e -> acc[CAST((e >> 40) + 1 AS INTEGER)]
-      |               + (e & 17179869183))),
-      |        1000000000000000))) AS best
-      |  FROM arr$sfx),
+      |  -- the forward Viterbi fold as a RECURSIVE CTE over positions —
+      |  -- zero lambdas: the former nested list_reduce/list_transform
+      |  -- fold captured `acc` inside nested lambdas, the exact
+      |  -- outer-column-capture class DuckDB's parallel lambda
+      |  -- evaluation mis-paired under threads>1 (the round-10 q248
+      |  -- gate flake). best(p) = min over edges ending at p of
+      |  -- best(start)+cost — integer min is order-free, so the
+      |  -- correlated relational aggregate is exact.
+      |  WITH RECURSIVE fr$sfx AS (
+      |    SELECT w, freq, len, 0 AS p, [CAST(0 AS BIGINT)] AS best
+      |    FROM arr$sfx
+      |    UNION ALL
+      |    SELECT f.w, f.freq, f.len, f.p + 1,
+      |      list_append(f.best,
+      |        coalesce((SELECT min(f.best[CAST((e.e >> 40) + 1 AS INTEGER)]
+      |                             + (e.e & 17179869183))
+      |                  FROM edges$sfx e
+      |                  WHERE e.w = f.w
+      |                    AND (e.e >> 40) + ((e.e >> 34) & 63) = f.p + 1),
+      |                 1000000000000000))
+      |    FROM fr$sfx f WHERE f.p < f.len)
+      |  SELECT r.w, r.freq, r.len, a.es, r.best
+      |  FROM fr$sfx r JOIN arr$sfx a USING (w)
+      |  WHERE r.p = r.len),
       |ch$sfx AS MATERIALIZED (
       |  -- the cost-optimal chosen edge per (word, end position), ties to
       |  -- the min packed (s·64+l) — the original backtrace's list_min
@@ -691,7 +704,10 @@ object SparkEntry {
     * the reversed β fold (mass to the end), per-edge posteriors
     * γ = α(s)·p·β(end)/Z rounded to 6 dp per edge, piece-keyed decimal
     * sums. Every float op replays the Spark chain in the same order
-    * over the same sorted edge list. CTEs suffixed `$sfx`; `scnt$sfx`
+    * over the same sorted edge list — the α/β folds walk positions as
+    * recursive CTEs with ordered term lists (zero nested-lambda
+    * outer-captures; the only lambda left is the capture-free
+    * `(a, t) -> a + t` left fold). CTEs suffixed `$sfx`; `scnt$sfx`
     * is the surface.
     */
   private def unigramSoftDp(vocab: String, sfx: String): String =
@@ -703,36 +719,60 @@ object SparkEntry {
       |  SELECT w, freq, len, list_sort(list(e)) AS es
       |  FROM sedges$sfx GROUP BY 1, 2, 3),
       |salph$sfx AS MATERIALIZED (
-      |  SELECT w, freq, len, es,
-      |    list_reduce(
-      |      list_prepend([CAST(1.0 AS DOUBLE)],
-      |        list_transform(range(1, len + 1), p -> [CAST(p AS DOUBLE)])),
-      |      (acc, x) -> list_append(acc,
+      |  -- the α fold as a RECURSIVE CTE over positions — the former
+      |  -- nested list_reduce captured `acc` inside nested lambdas (the
+      |  -- round-10 q248 outer-capture flake class). Float addition is
+      |  -- order-SENSITIVE, so each position's terms are collected in
+      |  -- the canonical sorted-edge order (ORDER BY e.e == the sorted
+      |  -- es order the Spark fold filters) and summed left-to-right
+      |  -- from a 0.0 init by the one remaining lambda — single-level,
+      |  -- capture-free (a, t) -> a + t, outside the flake class.
+      |  WITH RECURSIVE ar$sfx AS (
+      |    SELECT w, len, 0 AS p, [CAST(1.0 AS DOUBLE)] AS alpha
+      |    FROM sarr$sfx
+      |    UNION ALL
+      |    SELECT f.w, f.len, f.p + 1,
+      |      list_append(f.alpha,
       |        list_reduce(
       |          list_prepend(CAST(0.0 AS DOUBLE),
-      |            list_transform(
-      |              list_filter(es, e -> ((e >> 40) + ((e >> 34) & 63))
-      |                                   = CAST(x[1] AS BIGINT)),
-      |              e -> acc[CAST((e >> 40) + 1 AS INTEGER)]
-      |                   * exp(-(CAST((e & 17179869183) AS DOUBLE)
-      |                           / 1000000.0)))),
-      |          (a, t) -> a + t))) AS alpha
-      |  FROM sarr$sfx),
+      |            coalesce(
+      |              (SELECT list(f.alpha[CAST((e.e >> 40) + 1 AS INTEGER)]
+      |                           * exp(-(CAST((e.e & 17179869183) AS DOUBLE)
+      |                                   / 1000000.0)) ORDER BY e.e)
+      |               FROM sedges$sfx e
+      |               WHERE e.w = f.w
+      |                 AND (e.e >> 40) + ((e.e >> 34) & 63) = f.p + 1),
+      |              CAST([] AS DOUBLE[]))),
+      |          (a, t) -> a + t))
+      |    FROM ar$sfx f WHERE f.p < f.len)
+      |  SELECT r.w, s.freq, r.len, s.es, r.alpha
+      |  FROM ar$sfx r JOIN sarr$sfx s USING (w)
+      |  WHERE r.p = r.len),
       |sbeta$sfx AS MATERIALIZED (
-      |  SELECT w, freq, len, es, alpha,
-      |    list_reduce(
-      |      list_prepend([CAST(1.0 AS DOUBLE)],
-      |        list_transform(range(1, len + 1), i -> [CAST(i AS DOUBLE)])),
-      |      (acc, x) -> list_append(acc,
+      |  -- the reversed β fold, same discipline as salph$sfx: terms in
+      |  -- sorted-edge order, capture-free left fold from 0.0
+      |  WITH RECURSIVE br$sfx AS (
+      |    SELECT w, len, 0 AS i, [CAST(1.0 AS DOUBLE)] AS beta
+      |    FROM sarr$sfx
+      |    UNION ALL
+      |    SELECT f.w, f.len, f.i + 1,
+      |      list_append(f.beta,
       |        list_reduce(
       |          list_prepend(CAST(0.0 AS DOUBLE),
-      |            list_transform(
-      |              list_filter(es, e -> (e >> 40) = len - CAST(x[1] AS BIGINT)),
-      |              e -> exp(-(CAST((e & 17179869183) AS DOUBLE) / 1000000.0))
-      |                   * acc[CAST(len - ((e >> 40) + ((e >> 34) & 63)) + 1
-      |                              AS INTEGER)])),
-      |          (a, t) -> a + t))) AS beta
-      |  FROM salph$sfx),
+      |            coalesce(
+      |              (SELECT list(exp(-(CAST((e.e & 17179869183) AS DOUBLE)
+      |                                 / 1000000.0))
+      |                           * f.beta[CAST(f.len - ((e.e >> 40)
+      |                               + ((e.e >> 34) & 63)) + 1 AS INTEGER)]
+      |                           ORDER BY e.e)
+      |               FROM sedges$sfx e
+      |               WHERE e.w = f.w AND (e.e >> 40) = f.len - (f.i + 1)),
+      |              CAST([] AS DOUBLE[]))),
+      |          (a, t) -> a + t))
+      |    FROM br$sfx f WHERE f.i < f.len)
+      |  SELECT a.w, a.freq, a.len, a.es, a.alpha, r.beta
+      |  FROM br$sfx r JOIN salph$sfx a USING (w)
+      |  WHERE r.i = r.len),
       |sgam$sfx AS (
       |  SELECT substr(w, CAST((e >> 40) + 1 AS INTEGER),
       |                CAST((e >> 34) & 63 AS INTEGER)) AS piece,
@@ -4187,17 +4227,29 @@ object SparkEntry {
     // through an actual audio parser (44-byte canonical header in
     // byte_len; decoded-sample sum replayed per-sample by the oracle)
     "q18d_audio_decode" ->
-      """SELECT doc_id AS media_id,
-        |       CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
-        |       CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
-        |       CAST(doc_id % 100 + 20 AS INTEGER) AS n_frames,
-        |       CAST(44 + (doc_id % 100 + 20) * (doc_id % 2 + 1) * 2 AS BIGINT) AS byte_len,
-        |       CAST(list_sum(flatten(list_transform(
-        |         range(CAST(doc_id % 100 + 20 AS INTEGER)), i ->
-        |           list_transform(range(CAST(doc_id % 2 + 1 AS INTEGER)), c ->
-        |             (doc_id * 131 + i * 17 + c * 7) % 32768 - 16384)))) AS BIGINT)
-        |         AS sample_sum
-        |FROM documents""".stripMargin,
+      """WITH ss AS (
+        |  -- per-sample sum computed RELATIONALLY (unnest × unnest,
+        |  -- integer sum is order-free): the former nested
+        |  -- list_transform captured doc_id inside a depth-2 lambda —
+        |  -- the outer-column-capture class behind the round-10 q248
+        |  -- parallel-lambda flake
+        |  SELECT d.doc_id,
+        |         CAST(sum((d.doc_id * 131 + d.i * 17 + c.c * 7) % 32768
+        |                  - 16384) AS BIGINT) AS sample_sum
+        |  FROM (SELECT doc_id,
+        |               unnest(range(CAST(doc_id % 100 + 20 AS INTEGER))) AS i
+        |        FROM documents) d,
+        |       LATERAL (SELECT unnest(range(CAST(d.doc_id % 2 + 1
+        |                                         AS INTEGER))) AS c) c
+        |  GROUP BY 1)
+        |SELECT d.doc_id AS media_id,
+        |       CAST(8000 + (d.doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+        |       CAST(d.doc_id % 2 + 1 AS INTEGER) AS channels,
+        |       CAST(d.doc_id % 100 + 20 AS INTEGER) AS n_frames,
+        |       CAST(44 + (d.doc_id % 100 + 20) * (d.doc_id % 2 + 1) * 2
+        |            AS BIGINT) AS byte_len,
+        |       s.sample_sum
+        |FROM documents d JOIN ss s USING (doc_id)""".stripMargin,
     // REAL video decode path: executor-generated MJPEG-in-AVI containers
     // with closed-form properties, parsed back through the RIFF chunk
     // walker — green means actual AVI bytes round-tripped through an
