@@ -6398,6 +6398,57 @@ object Queries {
       targetVocab = 60, rounds = 2, maxPieceLen = 4, topMulti = 100,
       maxWordLen = 20)
 
+  // ---------------------------------------------------------------- Q261
+  /** The tokenizer-training corpus at realistic VOCABULARY width: the
+    * synthetic documents table collapses to 40 distinct words (276-
+    * piece inventory ceiling — SCALE.md round 10), so width entries
+    * draw from the key-rendering columns instead: customer names plus
+    * zero-padded order-key renderings, BOUNDED by fixed key caps
+    * (`c_custkey < 1500`, `o_orderkey < 1500`). The caps are the
+    * SentencePiece `input_sentence_size` discipline: tokenizer
+    * training at 100 TB runs over a bounded sample of the distinct-
+    * word table, so the training cost is capped by the sample — not
+    * the corpus — and the corpus is BYTE-IDENTICAL at every SF ≥ the
+    * cap (the fixed-audit-sample lesson from the q255 sf1 pathology).
+    */
+  private def vocabCorpus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").where(col("c_custkey") < 1500)
+      .select(col("c_name").as("text"))
+      .unionByName(
+        t(spark, dir, "orders").where(col("o_orderkey") < 1500)
+          .select(concat(lit("Order#"),
+            lpad(col("o_orderkey").cast("string"), 9, "0")).as("text")))
+
+  /** Soft-EM vocabulary training at a ≥2k-piece target (VERDICT r10
+    * gap 3: the oracle-checked unigram family ran at ~124 pieces; the
+    * 8k/32k behavior lived only in SCALE.md). One full
+    * [[graft.operators.UnigramLm.trainVocabulary]] round at
+    * targetVocab=2048 over a 4117-piece seed (21 singles + top-4096
+    * multis): the forward-backward lattice, the 6-dp expected-mass
+    * prune, and the packed-BIGINT edge layout all replayed by the
+    * DuckDB oracle at production width. rounds=1 because the corpus's
+    * re-estimated model structurally starves two mid-rank pieces
+    * ('usto', 'mer' — the Customer# tiling settles elsewhere), so any
+    * two-round ≥2k target hits the underfill refusal by DESIGN — the
+    * refusal firing there is itself spec-pinned ([[UnigramLmSpec]]).
+    */
+  def q261VocabWidth(spark: SparkSession, dir: String): DataFrame =
+    UnigramLm.trainVocabulary(vocabCorpus(spark, dir), "text",
+      targetVocab = 2048, rounds = 1, maxPieceLen = 4, topMulti = 4096,
+      maxWordLen = 20)
+
+  /** The trained MODEL at width, content-pinned: one hard-EM round
+    * over the same bounded corpus with a 2045-piece vocab (21 singles
+    * + top-2024 multis) — every piece, micro-nat seed cost, Viterbi
+    * count, and re-estimated log probability in the output, so the
+    * oracle pins WHICH 2k pieces the lattice chose, not just how many
+    * (q261 pins the soft lattice + prune count; this pins content
+    * through the integer Viterbi DP at the same width).
+    */
+  def q261bVocabWidthModel(spark: SparkSession, dir: String): DataFrame =
+    UnigramLm.emRound(vocabCorpus(spark, dir), "text",
+      maxPieceLen = 4, topMulti = 2024, maxWordLen = 20)
+
   // ---------------------------------------------------------------- Q248
   /** Hard-vs-soft EM COMPARISON on equal footing: one E+M round each
     * from the same seed, both re-estimated models then Viterbi-segment

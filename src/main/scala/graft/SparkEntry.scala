@@ -297,6 +297,8 @@ object SparkEntry {
     "q259_adaptive_dim512" -> (Queries.q259AdaptiveDim512 _),
     "q259b_dim512_probe_mass" -> (Queries.q259bDim512ProbeMass _),
     "q260_zipf_adaptive" -> (Queries.q260ZipfAdaptiveProbe _),
+    "q261_vocab_width" -> (Queries.q261VocabWidth _),
+    "q261b_vocab_width_model" -> (Queries.q261bVocabWidthModel _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
     "q247_soft_em_trajectory" -> (Queries.q247SoftEmTrajectory _),
     "q248_hard_vs_soft_tokenizer" -> (Queries.q248HardVsSoftTokenizer _),
@@ -618,6 +620,49 @@ object SparkEntry {
 
   private def unigramCtes: String =
     unigramVocabCtes + ",\n" + unigramDp("vocab", "")
+
+  /** The q261 bounded rich-lexicon corpus + seed vocab at WIDTH: same
+    * chain as [[unigramVocabCtes]] but over customer-name/order-key
+    * renderings under fixed key caps (see `Queries.vocabCorpus`) and a
+    * parameterized multi-piece seed width.
+    */
+  private def vocabWidthCtes(topMulti: Int): String =
+    s"""wrds AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+      |         CAST(length(w) AS BIGINT) AS len
+      |  FROM (SELECT c_name AS w FROM customer WHERE c_custkey < 1500
+      |        UNION ALL
+      |        SELECT 'Order#' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0')
+      |        FROM orders WHERE o_orderkey < 1500)
+      |  WHERE length(w) BETWEEN 1 AND 20
+      |  GROUP BY w),
+      |cand AS MATERIALIZED (
+      |  SELECT w, freq, len, sl >> 6 AS s, sl & 63 AS l,
+      |         substr(w, CAST((sl >> 6) + 1 AS INTEGER),
+      |                CAST(sl & 63 AS INTEGER)) AS piece
+      |  FROM (
+      |    SELECT w, freq, len,
+      |           unnest(flatten(list_transform(range(0, len),
+      |             s -> list_transform(range(1, least(4, len - s) + 1),
+      |                    l -> s * 64 + l)))) AS sl
+      |    FROM wrds)),
+      |pf AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS seed_freq
+      |       FROM cand GROUP BY 1),
+      |vocab0 AS (
+      |  SELECT piece, seed_freq FROM pf WHERE length(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, seed_freq FROM (
+      |    SELECT piece, seed_freq,
+      |           row_number() OVER (ORDER BY seed_freq DESC, piece ASC) AS rn
+      |    FROM pf WHERE length(piece) > 1)
+      |  WHERE rn <= $topMulti),
+      |vt AS (SELECT CAST(sum(seed_freq) AS BIGINT) AS tot FROM vocab0),
+      |vocab AS MATERIALIZED (
+      |  SELECT piece, seed_freq,
+      |         CAST(round((ln(CAST((SELECT tot FROM vt) AS DOUBLE))
+      |                     - ln(CAST(seed_freq AS DOUBLE))) * 1000000.0)
+      |              AS BIGINT) AS icost
+      |  FROM vocab0)""".stripMargin
 
   /** One Viterbi pass as oracle CTEs (see `UnigramLm.segmentFrom`):
     * packed edges from `cand` x `$vocab`, the forward integer fold, the
@@ -2460,6 +2505,55 @@ object SparkEntry {
         |                            AND dc.vec_id <> q.vec_id
         |  GROUP BY 1, 2, 3, 4, 5),
         |${adaptiveTopsAndSelect("amc", "d")}""".stripMargin,
+    // soft-EM training at REALISTIC vocab width: one trainVocabulary
+    // round at target 2048 over a 4117-piece seed on the bounded
+    // rich-lexicon corpus — lattice, prune, and ll replayed at width
+    "q261_vocab_width" ->
+      s"""WITH ${vocabWidthCtes(4096)},
+        |${unigramSoftDp("vocab", "")},
+        |ll1 AS (SELECT round(CAST(sum(
+        |          CAST(round(ln(alpha[CAST(len + 1 AS INTEGER)]), 6)
+        |               AS DECIMAL(18,6)) * freq) AS DOUBLE), 6) AS ll
+        |        FROM salph),
+        |sng1 AS (
+        |  SELECT v.piece,
+        |         greatest(coalesce(round(CAST(s.scnt AS DOUBLE), 6),
+        |                           CAST(0.0 AS DOUBLE)),
+        |                  CAST(0.000001 AS DOUBLE)) AS cnt
+        |  FROM vocab v LEFT JOIN scnt s USING (piece)
+        |  WHERE length(v.piece) = 1),
+        |mul1 AS (
+        |  SELECT piece, sc AS cnt FROM (
+        |    SELECT piece, round(CAST(scnt AS DOUBLE), 6) AS sc,
+        |           row_number() OVER (ORDER BY round(CAST(scnt AS DOUBLE), 6)
+        |                              DESC, piece ASC) AS rn
+        |    FROM scnt
+        |    WHERE length(piece) > 1 AND round(CAST(scnt AS DOUBLE), 6) > 0)
+        |  WHERE rn <= 2048 - (SELECT count(*) FROM sng1)),
+        |kept1 AS (SELECT * FROM sng1 UNION ALL SELECT * FROM mul1)
+        |SELECT CAST(1 AS BIGINT) AS round,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM kept1) AS n_vocab,
+        |       (SELECT ll FROM ll1) AS corpus_ll""".stripMargin,
+    // the trained model CONTENT-pinned at width: hard-EM round over the
+    // same corpus with a 2045-piece vocab, every piece/cost/count row
+    "q261b_vocab_width_model" ->
+      s"""WITH ${vocabWidthCtes(2024)},
+        |${unigramDp("vocab", "")},
+        |segs AS (
+        |  SELECT w, freq,
+        |         substr(w, CAST((pk >> 6) + 1 AS INTEGER),
+        |                CAST(pk & 63 AS INTEGER)) AS piece
+        |  FROM (SELECT w, freq, unnest(tr[2:]) AS pk FROM bt)),
+        |cnt AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS viterbi_cnt
+        |        FROM segs GROUP BY 1),
+        |tt AS (SELECT CAST(sum(viterbi_cnt) AS BIGINT) AS tot1 FROM cnt)
+        |SELECT v.piece, v.seed_freq, v.icost AS cost0,
+        |       coalesce(c.viterbi_cnt, 0) AS viterbi_cnt,
+        |       CASE WHEN c.viterbi_cnt IS NOT NULL THEN
+        |         round(ln(CAST(c.viterbi_cnt AS DOUBLE))
+        |               - ln(CAST((SELECT tot1 FROM tt) AS DOUBLE)), 6)
+        |       END AS logp1
+        |FROM vocab v LEFT JOIN cnt c USING (piece)""".stripMargin,
     "q256_sq8_adaptive" ->
       s"""WITH $adaptiveClusterCtes,
         |sqstc AS MATERIALIZED (

@@ -207,6 +207,41 @@ class UnigramLmSpec extends SparkSuite {
     assert(t.map(_.toSeq).toSeq == t2.map(_.toSeq).toSeq)
   }
 
+  test("trainVocabulary at width: 2048-target trains, two-round refusal is structural") {
+    // the q261 corpus: customer names + zero-padded order-key renderings
+    // under fixed key caps (byte-identical at every SF >= the caps)
+    val docs = spark.read.parquet(s"$sf/customer.parquet")
+      .where(col("c_custkey") < 1500).select(col("c_name").as("text"))
+      .unionByName(spark.read.parquet(s"$sf/orders.parquet")
+        .where(col("o_orderkey") < 1500)
+        .select(concat(lit("Order#"),
+          lpad(col("o_orderkey").cast("string"), 9, "0")).as("text")))
+    // one round at a >=2k target fills exactly: 21 singles + 2027 multis
+    val t = UnigramLm.trainVocabulary(docs, "text", targetVocab = 2048,
+      rounds = 1, maxPieceLen = 4, topMulti = 4096).collect()
+    assert(t.length == 1 && t(0).getAs[Long]("n_vocab") == 2048L,
+      s"width target must fill at round 1: ${t.toSeq}")
+    assert(t(0).getAs[Double]("corpus_ll") < 0.0)
+    // TWO rounds at the same target refuse BY DESIGN: the re-estimated
+    // model structurally starves mid-rank Customer#-tiling pieces
+    // ('usto', 'mer'), so round 2's positive-mass inventory lands under
+    // the target and the underfill guard must fire rather than ship a
+    // silently narrower vocabulary
+    val e = intercept[IllegalArgumentException] {
+      UnigramLm.trainVocabulary(docs, "text", targetVocab = 2048,
+        rounds = 2, maxPieceLen = 4, topMulti = 4096)
+    }
+    assert(e.getMessage.contains("positive-mass piece inventory"),
+      s"expected the underfill refusal at round 2, got: ${e.getMessage}")
+    // the hard-EM model at width: 21 singles + top-2024 multis, every
+    // single present (coverage), costs strictly positive micro-nats
+    val model = UnigramLm.emRound(docs, "text",
+      maxPieceLen = 4, topMulti = 2024)
+    assert(model.count() == 2045L)
+    assert(model.where(length(col("piece")) === 1).count() == 21L)
+    assert(model.where(col("cost0") <= 0).count() == 0L)
+  }
+
   test("softEmTrajectory: corpus log-likelihood ascends monotonically") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(120)
     val t = UnigramLm.softEmTrajectory(docs, "text", rounds = 3,
