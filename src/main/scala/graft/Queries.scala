@@ -2661,6 +2661,66 @@ object Queries {
     mor.unionByName(roll("materialized"))
   }
 
+  // ---------------------------------------------------------------- Q262
+  /** Sparse MOR under the STREAMING sink (VERDICT r10 #8): q254 proved
+    * bounded-rewrite MOR for one batch update; this runs the CDC shape a
+    * 100 TB table actually ingests — three key-disjoint micro-batches of
+    * sparse updates (each confined to the lowest of 16 key-range files)
+    * applied through [[graft.streaming.Streams.streamingMorUpdateSink]]
+    * (foreachBatch → `updateKeysMor` with the exactly-once txn ledger).
+    * In-query pins, failing the gate loudly if violated: (1) after EVERY
+    * micro-batch the full base file set is carried byte-identical
+    * (manifest entries intersected — zero ingest-time rewrites across
+    * batches, not just one); (2) replaying the last micro-batch (the
+    * foreachBatch restart case) is a version no-op; (3) the deferred
+    * `rewriteDeletes` materializes all three batches' tombstones in one
+    * pass bounded by DISPLACED files (≤2 of 16). The output compares
+    * the streamed MOR read and the post-maintenance read against the
+    * relational three-batch merge in DuckDB — stream == batch, row for
+    * row. (The same sink drives a live MemoryStream in StreamsSpec.)
+    */
+  def q262MorStreamSparse(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q262").resolve("t").toString
+    val o = t(spark, dir, "orders")
+    ManifestTable.commit(spark, root,
+      o.repartitionByRange(16, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+      Seq("o_orderkey"))
+    val base = ManifestTable.listEntries(spark, root).toSet
+    val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    def batch(i: Int): DataFrame = o
+      .where(col("o_orderkey") % 3 === i && col("o_orderkey") * 16 <= maxKey)
+      .withColumn("o_orderstatus", lit(s"U$i"))
+      .withColumn("o_totalprice",
+        col("o_totalprice") + lit(100000.0) * lit(i + 1))
+    val sink = Streams.streamingMorUpdateSink(root, "q262_cdc", "o_orderkey") _
+    (0 to 2).foreach { i =>
+      sink(batch(i), i.toLong)
+      val carried = ManifestTable.listEntries(spark, root).toSet.intersect(base)
+      require(carried == base,
+        s"micro-batch $i must carry every base file byte-identical " +
+          s"(MOR ingest rewrites nothing); dropped ${(base -- carried).size} of ${base.size}")
+    }
+    val vLive = ManifestTable.currentVersion(spark, root)
+    sink(batch(2), 2L) // foreachBatch restart replay: must be a no-op
+    require(ManifestTable.currentVersion(spark, root) == vLive,
+      "replaying the last micro-batch must not commit a new version " +
+        "(the exactly-once txn ledger)")
+    def roll(regime: String): DataFrame = ManifestTable.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("total_price"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .select(lit(regime).as("regime"), col("o_orderstatus"),
+        col("n_orders"), col("total_price"), col("key_sum"))
+    val streamed = roll("mor").localCheckpoint()
+    val st = ManifestTable.rewriteDeletes(spark, root)
+    require(st.filesRewritten >= 1 && st.filesRewritten <= 2,
+      s"three sparse micro-batches displace only the lowest key range — " +
+        s"maintenance must rewrite <= 2 of 16 files, rewrote ${st.filesRewritten}")
+    streamed.unionByName(roll("materialized"))
+  }
+
   // ---------------------------------------------------------------- Q118
   /** Copy-on-write range DELETE: lineitem lands ship-date-clustered;
     * retiring the 1995 slice classifies every file from manifest stats

@@ -290,6 +290,7 @@ object SparkEntry {
     "q250_block_opq" -> (Queries.q250BlockOpq _),
     "q253_dim512_serving" -> (Queries.q253Dim512Serving _),
     "q254_mor_sparse" -> (Queries.q254MorSparse _),
+    "q262_mor_stream_sparse" -> (Queries.q262MorStreamSparse _),
     "q255_adaptive_probe" -> (Queries.q255AdaptiveProbe _),
     "q256_sq8_adaptive" -> (Queries.q256Sq8AdaptiveProbe _),
     "q257_residual_clip_stream" -> (Queries.q257ResidualClipStream _),
@@ -5268,6 +5269,37 @@ object SparkEntry {
         |  SELECT * FROM orders o
         |  WHERE NOT (o_orderkey % 3 = 0
         |             AND o_orderkey * 16 <= (SELECT mk FROM mx))
+        |  UNION ALL SELECT * FROM upd
+        |), roll AS (
+        |  SELECT o_orderstatus, count(*) AS n_orders,
+        |         CAST(round(sum(CAST(CAST(o_totalprice AS VARCHAR)
+        |                             AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
+        |         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |  FROM merged GROUP BY 1)
+        |SELECT 'mor' AS regime, o_orderstatus, n_orders, total_price, key_sum
+        |FROM roll
+        |UNION ALL
+        |SELECT 'materialized' AS regime, o_orderstatus, n_orders, total_price,
+        |       key_sum
+        |FROM roll""".stripMargin,
+    // sparse MOR under the STREAMING sink: three key-disjoint CDC
+    // micro-batches through foreachBatch -> updateKeysMor (exactly-once
+    // txn ledger); together they update every key <= mk/16 with status
+    // U(key % 3) — the oracle is the relational three-batch merge, and
+    // the per-batch file-carry / replay-no-op / bounded-rewrite pins
+    // are in-query requires that fail the gate loudly
+    "q262_mor_stream_sparse" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         'U' || CAST(o_orderkey % 3 AS VARCHAR) AS o_orderstatus,
+        |         o_totalprice + 100000.0 * (o_orderkey % 3 + 1)
+        |           AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders, mx WHERE o_orderkey * 16 <= mk
+        |), merged AS (
+        |  SELECT * FROM orders o
+        |  WHERE NOT (o_orderkey * 16 <= (SELECT mk FROM mx))
         |  UNION ALL SELECT * FROM upd
         |), roll AS (
         |  SELECT o_orderstatus, count(*) AS n_orders,

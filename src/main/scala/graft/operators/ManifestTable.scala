@@ -848,7 +848,10 @@ object ManifestTable {
     * batch (two updates of one key in one batch have no defined winner
     * — pre-dedup with latest-wins upstream); commits mode "mor-update"
     * (refused by [[changes]]); returns [[CowStats]] with
-    * `filesRewritten = 0` — the point of MOR.
+    * `filesRewritten = 0` — the point of MOR. `txn = (app, batchId)`
+    * gives the same exactly-once replay contract as [[merge]]/
+    * [[commit]] — the streaming changelog seam
+    * ([[graft.streaming.Streams.streamingMorUpdateSink]]).
     *
     * The replacement data file and tombstone parquet are written BEFORE
     * [[publish]]; on an expectParent conflict or exhausted claim retries
@@ -857,10 +860,18 @@ object ManifestTable {
     * the bytes (data file + tombstone).
     */
   def updateKeysMor(spark: SparkSession, tableRoot: String,
-      updates: DataFrame, keyCol: String, maxRetries: Int = 5): CowStats = {
+      updates: DataFrame, keyCol: String, maxRetries: Int = 5,
+      txn: Option[(String, Long)] = None): CowStats = {
     val f = fs(spark)
     val root = new Path(tableRoot)
     val m = resolve(f, root, None)
+    // replay fast path (the merge()/commit() idempotent-sink contract):
+    // a batchId at or below this app's high-water mark already applied —
+    // no data work, no new version; foreachBatch restarts replay the
+    // last uncheckpointed batch, and this turns the replay into a no-op
+    txnAppliedIn(Some(m), txn).foreach { v =>
+      return CowStats(v, loadManifest(f, root, v).files.size, 0, 0)
+    }
     m.tombstones.headOption.foreach { tb =>
       require(tb.keyCol == keyCol,
         s"outstanding tombstones key on ${tb.keyCol}, this update keys on $keyCol; " +
@@ -910,7 +921,7 @@ object ManifestTable {
           .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
         Seq(Tombstone(tombRel, n, bytes, keyCol, applies))
       }
-      val v = publish(f, root, "mor-update", m.statsCols, None,
+      val v = publish(f, root, "mor-update", m.statsCols, txn,
         maxRetries, expectParent = Some(m.version)) { _ =>
         (m.schemaDdl, m.files ++ newEntries, m.tombstones ++ tombOpt)
       }

@@ -449,6 +449,30 @@ object Streams {
       batchId)
   }
 
+  /** SPARSE merge-on-read UPDATE sink — pass to `foreachBatch`: each
+    * micro-batch of key-unique changelog rows applies as ONE
+    * [[graft.operators.ManifestTable.updateKeysMor]] commit (replacement
+    * rows land as a data file, displaced keys as a stats-scoped
+    * equality tombstone — ZERO base files rewritten at ingest time),
+    * stamped `txn = (queryName, batchId)` so a foreachBatch replay
+    * after restart is a no-op: the exactly-once contract of
+    * [[graft.operators.ManifestTable.streamInto]], on the update path.
+    * This is the 100 TB changelog shape: a CDC stream upserting a
+    * key-clustered fact table pays O(|batch|) per micro-batch and
+    * defers file rewrites to [[graft.operators.ManifestTable
+    * .rewriteDeletes]] at compaction cadence, where cost is bounded by
+    * files that actually contain displaced keys. Batches must be
+    * key-unique (pre-dedup latest-wins upstream — the
+    * [[graft.operators.Dedup.byKeyLatest]] shape); the base table must
+    * be committed before the stream starts.
+    */
+  def streamingMorUpdateSink(tableRoot: String, queryName: String,
+      keyCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    graft.operators.ManifestTable.updateKeysMor(batch.sparkSession,
+      tableRoot, batch, keyCol, txn = Some(queryName -> batchId))
+    ()
+  }
+
   /** STREAMING grid-staleness monitor for a frozen SQ8 index: each
     * micro-batch's [[graft.operators.ScalarQuantizer.clipReport]] row
     * (out-of-box coordinate counts against the FROZEN grid) appends

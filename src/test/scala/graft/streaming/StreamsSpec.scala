@@ -975,4 +975,66 @@ class StreamsSpec extends SparkSuite {
     assert(out.count() == 3)
     assert(out.where($"user_id" === 1L && $"n_events" === 2).count() == 1)
   }
+
+  test("streamingMorUpdateSink: live CDC stream — zero ingest rewrites, " +
+      "stream == batch == COW, crash-window replay is a no-op") {
+    import graft.operators.ManifestTable
+    val in = tmpDir("morupd-in")
+    val ck = tmpDir("morupd-ck")
+    val root = tmpDir("morupd-tbl") + "/t"
+    val twin = tmpDir("morupd-twin") + "/t"
+    val cow = tmpDir("morupd-cow") + "/t"
+    // 16 key-range-clustered base files; the changelog touches ONLY the
+    // lowest file's key range [0, 100)
+    val base = (0 until 1600).map(i => (i.toLong, s"doc_$i", i * 10.0))
+      .toDF("id", "name", "score")
+      .repartitionByRange(16, $"id").sortWithinPartitions("id")
+    Seq(root, twin, cow).foreach(r => ManifestTable.commit(spark, r, base, Seq("id")))
+    val baseEntries = ManifestTable.listEntries(spark, root).toSet
+    assert(baseEntries.size == 16)
+    // three key-disjoint micro-batches (one parquet file each, replayed
+    // in order by maxFilesPerTrigger=1)
+    def upd(i: Int) = (0 until 100).filter(_ % 3 == i)
+      .map(k => (k.toLong, s"upd${i}_$k", k * 10.0 + 1000.0 * (i + 1)))
+      .toDF("id", "name", "score")
+    (0 to 2).foreach(i => upd(i).coalesce(1).write.mode("append").parquet(in))
+    def run() = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch(Streams.streamingMorUpdateSink(root, "morupd", "id") _)
+      .start()
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    // ingest-time pin: every base file carried byte-identical through
+    // all three mor-update commits
+    assert(ManifestTable.listEntries(spark, root).toSet
+      .intersect(baseEntries) == baseEntries,
+      "MOR CDC ingest must rewrite zero base files")
+    // crash window: drop the last commit marker, restart, replay no-ops
+    val vBefore = ManifestTable.currentVersion(spark, root)
+    val commits = new java.io.File(ck, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    new java.io.File(commits.last.getParentFile, s".${commits.last.getName}.crc").delete()
+    assert(commits.last.delete(), "failed to simulate the crash window")
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(ManifestTable.currentVersion(spark, root) == vBefore,
+      "a replayed mor-update batch must not commit a new version")
+    // stream == the same batches applied directly == the COW merge
+    val allUpd = upd(0).unionByName(upd(1)).unionByName(upd(2))
+    (0 to 2).foreach(i => ManifestTable.updateKeysMor(spark, twin, upd(i), "id"))
+    ManifestTable.merge(spark, cow, allUpd, "id")
+    val got = ManifestTable.read(spark, root).orderBy("id").collect().toSeq
+    assert(got == ManifestTable.read(spark, twin).orderBy("id").collect().toSeq,
+      "live stream must equal the batch-applied twin row for row")
+    assert(got == ManifestTable.read(spark, cow).orderBy("id").collect().toSeq,
+      "MOR overlay read must equal the COW merge row for row")
+    assert(got.size == 1600)
+    // deferred maintenance bounded by displaced files
+    val st = ManifestTable.rewriteDeletes(spark, root)
+    assert(st.filesRewritten >= 1 && st.filesRewritten <= 2,
+      s"three sparse batches displace <= 2 of 16 files, rewrote ${st.filesRewritten}")
+    assert(ManifestTable.read(spark, root).orderBy("id").collect().toSeq == got,
+      "maintenance must not change the read")
+  }
 }
