@@ -5238,6 +5238,24 @@ object Queries {
       corpusLists: DataFrame, ex: DataFrame,
       top5: DataFrame => DataFrame): DataFrame = {
     val dim = cents.head._2.length // the residuals-operator discipline
+    probeSchemesAuditOf(spark, corpusLists, ex, top5, Seq(
+      "fixed1" -> ProductQuantizer.probeLists(
+        queries, vecCol, cents, dim, nProbe = 1),
+      "fixed2" -> ProductQuantizer.probeLists(
+        queries, vecCol, cents, dim, nProbe = 2),
+      "adaptive" -> ProductQuantizer.probeListsAdaptive(
+        queries, vecCol, cents, dim,
+        maxProbe = 4, ratioNum = 2, ratioDen = 1)))
+  }
+
+  /** The scheme-parameterized core of [[probeSchemesAudit]]: one row
+    * per (scheme, probe set) with probe count, priced pair mass, and
+    * recall@5 against the exact ground truth.
+    */
+  private def probeSchemesAuditOf(spark: SparkSession,
+      corpusLists: DataFrame, ex: DataFrame,
+      top5: DataFrame => DataFrame,
+      schemes: Seq[(String, DataFrame)]): DataFrame = {
     val nGt = ex.count() // bounded: n_queries x 5 driver rows
     def audit(scheme: String, probed0: DataFrame): (String, Long, Long, Long) = {
       // three actions read the probe set: pin one evaluation of the
@@ -5251,14 +5269,7 @@ object Queries {
         .where(col("c_id") =!= col("q_id")).count()
       (scheme, probed.count(), pairs, hits)
     }
-    val rows = Seq(
-      audit("fixed1", ProductQuantizer.probeLists(
-        queries, vecCol, cents, dim, nProbe = 1)),
-      audit("fixed2", ProductQuantizer.probeLists(
-        queries, vecCol, cents, dim, nProbe = 2)),
-      audit("adaptive", ProductQuantizer.probeListsAdaptive(
-        queries, vecCol, cents, dim,
-        maxProbe = 4, ratioNum = 2, ratioDen = 1)))
+    val rows = schemes.map { case (name, probed) => audit(name, probed) }
     import spark.implicits._
     rows.toDF("scheme", "probes", "pairs", "hits")
       .select(col("scheme"), col("probes"), col("pairs"), col("hits"),
@@ -5500,6 +5511,47 @@ object Queries {
         ProductQuantizer.residuals(probed, "cvec", "list", cents),
         "vec_id", "resid", rCodes, "vec_id", rStats,
         k = 5, withinCol = Some("list")))
+  }
+
+  // ---------------------------------------------------------------- Q263
+  /** BUDGET-calibrated probing on the Zipf/continuous-margin surface —
+    * the operational CLOSE of the q255/q259b/q260 three-point finding
+    * (a fixed ratio threshold's value depends entirely on the corpus's
+    * margin distribution): [[graft.operators.ProductQuantizer
+    * .probeListsBudgeted]] states the SPEND instead of guessing the
+    * threshold, granting exactly B extra probes to the globally
+    * smallest margin ratios. Schemes: fixed-1, budget-9 (half of
+    * fixed-2's extra spend), budget-18 (exactly fixed-2's extra probe
+    * count, margin-targeted instead of uniform), fixed-2. SQ8 tier
+    * (near-exact scoring isolates routing). The committed readout is
+    * the deliverable either way — does margin-targeted spend beat
+    * uniform spend at EQUAL probe count, and what does half the spend
+    * keep?
+    */
+  def q263ZipfBudgetedProbe(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, rStats, routed, ex) = zipfParts(spark, dir)
+    val rCodes = ScalarQuantizer.encode(
+      ProductQuantizer.residuals(routed, "cvec", "list", cents),
+      "vec_id", "resid", rStats, carryCols = Seq("list")).localCheckpoint()
+    val queries = routed.where(col("vec_id") % 29 === 0 && col("vec_id") < 522)
+      .drop("list")
+    probeSchemesAuditOf(spark,
+      routed.select(col("vec_id"), col("list")), ex,
+      probed => ScalarQuantizer.adcTopK(
+        ProductQuantizer.residuals(probed, "cvec", "list", cents),
+        "vec_id", "resid", rCodes, "vec_id", rStats,
+        k = 5, withinCol = Some("list")),
+      Seq(
+        "fixed1" -> ProductQuantizer.probeLists(
+          queries, "cvec", cents, PqDim, nProbe = 1),
+        "budget9" -> ProductQuantizer.probeListsBudgeted(
+          queries, "vec_id", "cvec", cents, PqDim,
+          maxProbe = 4, extraBudget = 9),
+        "budget18" -> ProductQuantizer.probeListsBudgeted(
+          queries, "vec_id", "cvec", cents, PqDim,
+          maxProbe = 4, extraBudget = 18),
+        "fixed2" -> ProductQuantizer.probeLists(
+          queries, "cvec", cents, PqDim, nProbe = 2)))
   }
 
   // ---------------------------------------------------------------- Q227

@@ -298,6 +298,7 @@ object SparkEntry {
     "q259_adaptive_dim512" -> (Queries.q259AdaptiveDim512 _),
     "q259b_dim512_probe_mass" -> (Queries.q259bDim512ProbeMass _),
     "q260_zipf_adaptive" -> (Queries.q260ZipfAdaptiveProbe _),
+    "q263_zipf_budgeted" -> (Queries.q263ZipfBudgetedProbe _),
     "q261_vocab_width" -> (Queries.q261VocabWidth _),
     "q261b_vocab_width_model" -> (Queries.q261bVocabWidthModel _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
@@ -2506,6 +2507,113 @@ object SparkEntry {
         |                            AND dc.vec_id <> q.vec_id
         |  GROUP BY 1, 2, 3, 4, 5),
         |${adaptiveTopsAndSelect("amc", "d")}""".stripMargin,
+    // BUDGET-calibrated probing on the same Zipf surface: extra probes
+    // granted to the globally smallest 6-dp margin ratios (ties by
+    // vec_id, centroid rank), exactly 9 / 18 of them — the implied
+    // threshold is the budget-th order statistic, never an a-priori 2.0
+    "q263_zipf_budgeted" ->
+      s"""WITH ${adaptiveAuditCtes(zipfFvcCte)},
+        |grb AS (
+        |  SELECT vec_id, list,
+        |         row_number() OVER (ORDER BY ratio ASC, vec_id ASC, pr ASC)
+        |           AS grk
+        |  FROM (SELECT q.vec_id, q.list, q.pr,
+        |               round(CAST(q.d AS DOUBLE) / CAST(b.d1 AS DOUBLE), 6)
+        |                 AS ratio
+        |        FROM qpdc q
+        |        JOIN (SELECT vec_id, d AS d1 FROM qpdc WHERE pr = 1) b
+        |          ON b.vec_id = q.vec_id
+        |        WHERE q.pr BETWEEN 2 AND 4 AND CAST(b.d1 AS DOUBLE) > 0)),
+        |qselb AS (
+        |  SELECT q.vec_id, q.list, (q.pr = 1) AS f1, (q.pr <= 2) AS f2,
+        |         (q.pr = 1 OR coalesce(g.grk, 1000000) <= 9) AS b9,
+        |         (q.pr = 1 OR coalesce(g.grk, 1000000) <= 18) AS b18
+        |  FROM qpdc q LEFT JOIN grb g ON g.vec_id = q.vec_id
+        |                             AND g.list = q.list),
+        |qrvb AS MATERIALIZED (
+        |  SELECT f.vec_id, qs.list, qs.f1, qs.f2, qs.b9, qs.b18, f.fpos,
+        |         f.val - cc.val AS val
+        |  FROM fvc f JOIN qselb qs ON qs.vec_id = f.vec_id
+        |                          AND (qs.f2 OR qs.b18)
+        |  JOIN ccc cc ON cc.list = qs.list AND cc.fpos = f.fpos),
+        |pairsrcb AS (
+        |  SELECT qs.f1, qs.f2, qs.b9, qs.b18
+        |  FROM qselb qs JOIN lstc cl ON cl.list = qs.list
+        |                            AND cl.vec_id <> qs.vec_id),
+        |sqstc AS MATERIALIZED (
+        |  SELECT fpos, min(val) AS mn, max(val) AS mx FROM rvc GROUP BY 1),
+        |sqdecc AS MATERIALIZED (
+        |  SELECT r.vec_id, r.list, r.fpos,
+        |         s.mn + CAST(CASE WHEN s.mx = s.mn THEN 0
+        |              ELSE least(greatest(CAST(round((r.val - s.mn)
+        |                                / (s.mx - s.mn) * 255.0) AS BIGINT),
+        |                                  0), 255) END AS DOUBLE)
+        |              * (s.mx - s.mn) / 255.0 AS dx
+        |  FROM rvc r JOIN sqstc s USING (fpos)),
+        |amb AS (
+        |  SELECT q.vec_id AS q_id, dc.vec_id, q.f1, q.f2, q.b9, q.b18,
+        |         CAST(sum(CAST(round((q.val - dc.dx) * (q.val - dc.dx), 6)
+        |                       AS DECIMAL(18,6))) AS DOUBLE) AS d
+        |  FROM qrvb q JOIN sqdecc dc ON dc.list = q.list AND dc.fpos = q.fpos
+        |                            AND dc.vec_id <> q.vec_id
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |tb1 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id
+        |                              ORDER BY d ASC, vec_id ASC) AS rn
+        |    FROM amb WHERE f1) WHERE rn <= 5),
+        |tb2 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id
+        |                              ORDER BY d ASC, vec_id ASC) AS rn
+        |    FROM amb WHERE f2) WHERE rn <= 5),
+        |tb9 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id
+        |                              ORDER BY d ASC, vec_id ASC) AS rn
+        |    FROM amb WHERE b9) WHERE rn <= 5),
+        |tb18 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id
+        |                              ORDER BY d ASC, vec_id ASC) AS rn
+        |    FROM amb WHERE b18) WHERE rn <= 5),
+        |ngt AS (SELECT count(*) AS n FROM exc)
+        |SELECT 'fixed1' AS scheme,
+        |       (SELECT count(*) FROM qselb WHERE f1) AS probes,
+        |       (SELECT count(*) FROM pairsrcb WHERE f1) AS pairs,
+        |       (SELECT count(*) FROM tb1 JOIN exc USING (q_id, vec_id)) AS hits,
+        |       (SELECT n FROM ngt) AS n_gt,
+        |       round(CAST((SELECT count(*) FROM tb1 JOIN exc USING (q_id, vec_id))
+        |                  AS DOUBLE) / CAST((SELECT n FROM ngt) AS DOUBLE), 6)
+        |         AS recall
+        |UNION ALL
+        |SELECT 'budget9',
+        |       (SELECT count(*) FROM qselb WHERE b9),
+        |       (SELECT count(*) FROM pairsrcb WHERE b9),
+        |       (SELECT count(*) FROM tb9 JOIN exc USING (q_id, vec_id)),
+        |       (SELECT n FROM ngt),
+        |       round(CAST((SELECT count(*) FROM tb9 JOIN exc USING (q_id, vec_id))
+        |                  AS DOUBLE) / CAST((SELECT n FROM ngt) AS DOUBLE), 6)
+        |UNION ALL
+        |SELECT 'budget18',
+        |       (SELECT count(*) FROM qselb WHERE b18),
+        |       (SELECT count(*) FROM pairsrcb WHERE b18),
+        |       (SELECT count(*) FROM tb18 JOIN exc USING (q_id, vec_id)),
+        |       (SELECT n FROM ngt),
+        |       round(CAST((SELECT count(*) FROM tb18 JOIN exc USING (q_id, vec_id))
+        |                  AS DOUBLE) / CAST((SELECT n FROM ngt) AS DOUBLE), 6)
+        |UNION ALL
+        |SELECT 'fixed2',
+        |       (SELECT count(*) FROM qselb WHERE f2),
+        |       (SELECT count(*) FROM pairsrcb WHERE f2),
+        |       (SELECT count(*) FROM tb2 JOIN exc USING (q_id, vec_id)),
+        |       (SELECT n FROM ngt),
+        |       round(CAST((SELECT count(*) FROM tb2 JOIN exc USING (q_id, vec_id))
+        |                  AS DOUBLE) / CAST((SELECT n FROM ngt) AS DOUBLE), 6)""".stripMargin,
     // soft-EM training at REALISTIC vocab width: one trainVocabulary
     // round at target 2048 over a 4117-piece seed on the bounded
     // rich-lexicon corpus — lattice, prune, and ll replayed at width

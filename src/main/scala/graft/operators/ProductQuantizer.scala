@@ -855,6 +855,73 @@ object ProductQuantizer {
       explode(transform(kept, s => s.getField("list"))))
   }
 
+  /** BUDGET-calibrated multi-probe routing — the operational answer to
+    * the q259b/q260 findings that a FIXED ratio threshold's value is
+    * entirely governed by where the corpus's margin distribution sits
+    * (planted surface: 2.0 separates cleanly; isotropic: every ratio
+    * under 2 and the rule degenerates to the cap; skewed-continuous:
+    * none under 2 and it degenerates to fixed-1). Instead of a
+    * threshold chosen a priori, the caller states the PROBE BUDGET —
+    * exactly `extraBudget` probes beyond each query's nearest list —
+    * and the router grants them to the globally smallest margin ratios
+    * `d_k/d₁` (k ≤ maxProbe): the most routing-ambiguous (query, list)
+    * candidates corpus-wide. This IS threshold calibration from the
+    * measured margin distribution with the spend made exact — the
+    * implied threshold is the budget-th order statistic of the ratios,
+    * never a guess.
+    *
+    * Determinism/portability: ratios are the 6-dp rounded IEEE quotient
+    * of the DOUBLE casts of the exact decimal centroid distances (the
+    * [[probeListsAdaptive]] cast discipline), ties by (id, k). Grants
+    * NEST by construction: distances rank nondecreasing in k, so
+    * r_k ≥ r_{k−1}, and the (ratio, id, k) order places (q, k−1) before
+    * (q, k) at equal ratios — a granted k implies granted k−1, so every
+    * probe set is a prefix of the query's ranked lists (spec-pinned).
+    * A query sitting exactly ON its centroid (d₁ = 0) gets no extra
+    * probes — its routing is not ambiguous. The grant selection is
+    * orderBy+limit — a distributed TakeOrderedAndProject over
+    * |queries|·(maxProbe−1) candidate rows, never a single-partition
+    * window. Same output contract as [[probeLists]]; price with
+    * [[probeMassReport]] before running.
+    */
+  def probeListsBudgeted(queries: DataFrame, idCol: String, vecCol: String,
+      cents: Map[Int, Array[Double]], dim: Int,
+      maxProbe: Int, extraBudget: Int,
+      listCol: String = "list"): DataFrame = {
+    require(maxProbe >= 1 && maxProbe <= cents.size,
+      s"maxProbe=$maxProbe must be in [1, ${cents.size}]")
+    require(extraBudget >= 0, s"extraBudget must be >= 0, got $extraBudget")
+    val v = col(vecCol).cast("array<double>")
+    val ranked = array_sort(array(cents.toSeq.sortBy(_._1).map { case (l, c) =>
+      struct(distToCentroid(v, 0, dim, c).as("d"), lit(l).as("list"))
+    }: _*))
+    // one evaluation of the ranked centroid fold per query row: the
+    // base probe, the d1 guard, and the grant ranking all read it
+    val rk = Parallelism.ensureCompute(queries)
+      .select(col(idCol), ranked.as("__rk")).localCheckpoint()
+    val base = rk.select(col(idCol),
+      element_at(col("__rk"), 1).getField("list").as(listCol))
+    val probeSet =
+      if (maxProbe == 1 || extraBudget == 0) base
+      else {
+        val grants = rk
+          .select(col(idCol),
+            element_at(col("__rk"), 1).getField("d").cast("double")
+              .as("__d1"),
+            posexplode(slice(col("__rk"), 2, maxProbe - 1)))
+          .where(col("__d1") > 0.0)
+          .select(col(idCol), col("col").getField("list").as(listCol),
+            round(col("col").getField("d").cast("double") / col("__d1"), 6)
+              .as("__ratio"),
+            (col("pos") + 2).as("__k"))
+          .orderBy(col("__ratio").asc, col(idCol).asc, col("__k").asc)
+          .limit(extraBudget)
+          .select(col(idCol), col(listCol))
+        base.unionByName(grants)
+      }
+    queries.join(probeSet, Seq(idCol))
+  }
+
   /** Price an [[adcTopK]] `withinCol` probe BEFORE running it: per
     * coarse list, query count × code count = the ADC pair mass that
     * list will generate (each pair costs m LUT lookups). The q126b/q202

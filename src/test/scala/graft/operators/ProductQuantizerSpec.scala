@@ -681,6 +681,50 @@ class ProductQuantizerSpec extends SparkSuite {
       s"adaptive ($ha hits, $ma pairs) must beat fixed-1 ($h1, $m1) on recall")
   }
 
+  test("probeListsBudgeted: exact spend, budget-monotone nesting, " +
+      "per-query prefix, grants land on the straddlers") {
+    val corpus = straddlerCorpus(280)
+    val routed = corpus.withColumn("list", leadListOf(col("vec")))
+      .localCheckpoint()
+    val cents = ProductQuantizer.coarseCentroids(routed, "vec", "list", 16)
+    val queries = corpus.where(col("id") % 5 === 0)
+    val nQ = queries.count()
+    def probeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int)] =
+      df.select(col("id"), col("list")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    def budgeted(b: Int, cap: Int = 4) = probeSet(
+      ProductQuantizer.probeListsBudgeted(
+        queries, "id", "vec", cents, 16, maxProbe = cap, extraBudget = b))
+    val fixed1 = probeSet(ProductQuantizer.probeLists(
+      queries, "vec", cents, 16, nProbe = 1))
+    // budget 0 IS fixed-1; each extra unit of budget is exactly one probe
+    assert(budgeted(0) == fixed1)
+    val b5 = budgeted(5); val b12 = budgeted(12)
+    assert(b5.size == nQ + 5 && b12.size == nQ + 12,
+      s"the spend is exact: ${b5.size} vs ${nQ + 5}, ${b12.size} vs ${nQ + 12}")
+    // budget-monotone nesting: a bigger budget only adds probes
+    assert(fixed1.subsetOf(b5) && b5.subsetOf(b12))
+    // a budget covering every candidate == the full maxProbe fan-out
+    assert(budgeted((nQ * 3).toInt).size == nQ * 4)
+    // per-query PREFIX pin: a query with c probes holds exactly its c
+    // nearest lists (grants nest in centroid rank within each query)
+    val byRank = (1 to 4).map(k => k -> probeSet(
+      ProductQuantizer.probeLists(queries, "vec", cents, 16, nProbe = k))).toMap
+    b12.groupBy(_._1).foreach { case (q, ps) =>
+      val c = ps.size
+      assert(ps == byRank(c).filter(_._1 == q),
+        s"query $q with $c probes must hold its $c nearest lists")
+    }
+    // the calibration claim: with budget == the straddler-query count,
+    // every grant lands on a straddler (their second-list margins are
+    // the globally smallest ratios on this surface)
+    val straddlerQs = queries.where(col("id") % 7 === 0)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val grants = budgeted(straddlerQs.size) -- fixed1
+    assert(grants.map(_._1) == straddlerQs,
+      s"grants ${grants.map(_._1)} must be exactly the straddlers $straddlerQs")
+  }
+
   test("distToCentroid: fold and chain forms are value-equal on wide subspaces") {
     // dsub=20 > 16 takes the fixed-accumulator FOLD branch; the spec
     // replays the explicit chain (the dsub<=16 form, precision-growing
