@@ -5554,6 +5554,82 @@ object Queries {
           queries, "cvec", cents, PqDim, nProbe = 2)))
   }
 
+  // ---------------------------------------------------------------- Q264
+  /** FILTERED vector search — the predicate+vector query every
+    * production retrieval system serves ("nearest neighbors WHERE
+    * label = 3"): the filter composes as a plain predicate on the
+    * stored codes table BEFORE the ADC scan (at 100 TB the codes are a
+    * parquet sidecar and the predicate pushes to the scan — the filter
+    * costs a column read, never a post-ranking discard), and the exact
+    * ground truth is the top-5 within the FILTERED corpus. The audit
+    * prices the classic filtered-ANN hazard: a 10%-selective filter
+    * thins every probed list 10×, so fixed-1's probed lists may not
+    * contain 5 filtered survivors at all — recall@5 under filtering
+    * demands wider probes, which the filter itself has made cheap
+    * (ivf4 = exhaustive-within-codes still scans ~10% of the
+    * unfiltered fixed-1 mass). The `brute` row is the
+    * [[graft.operators.Similarity.filteredAnnPlan]] alternative: exact
+    * scoring over the filtered corpus — the RIGHT plan when the
+    * selectivity probe comes back under threshold (spec-pinned).
+    */
+  def q264FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val (cents, rStats) = sq8rParts(spark, dir)
+    val routed = emb.withColumn("list", pqListOf(col("embedding")))
+    val rCodes = ScalarQuantizer.encode(
+      ProductQuantizer.residuals(routed, "embedding", "list", cents),
+      "vec_id", "resid", rStats, carryCols = Seq("list", "label"))
+      .localCheckpoint()
+    val fCodes = rCodes.where(col("label") === 3).drop("label")
+    // fixed-cap query sample (the q255 sf1 lesson: an audit sample that
+    // grows with the corpus multiplies into the GT pair mass)
+    val queries = routed
+      .where(col("vec_id") % 97 === 0 && col("vec_id") < 2000).drop("list")
+    val nQ = queries.count()
+    // exact ground truth WITHIN the filtered corpus (6-dp decimal L2,
+    // ties by id — the exactL2Top5 discipline on the filtered slice)
+    val fCorpus = emb.where(col("label") === 3)
+    val ex = fCorpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"))))
+      .where(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        aggregate(zip_with(col("q_vec").cast("array<double>"),
+            col("c_vec").cast("array<double>"),
+            (a, b) => round((a - b) * (a - b), 6).cast("decimal(18,6)")),
+          lit(BigDecimal(0)).cast("decimal(28,6)"),
+          (u, x) => (u + x).cast("decimal(28,6)"))
+          .cast("double").as("d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("d").asc, col("c_id").asc)))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("c_id").as("vec_id"))
+      .localCheckpoint()
+    val nGt = ex.count()
+    val nF = fCorpus.count()
+    val audit = probeSchemesAuditOf(spark,
+      routed.where(col("label") === 3).select(col("vec_id"), col("list")), ex,
+      probed => ScalarQuantizer.adcTopK(
+        ProductQuantizer.residuals(probed, "embedding", "list", cents),
+        "vec_id", "resid", fCodes, "vec_id", rStats,
+        k = 5, withinCol = Some("list")),
+      Seq(
+        "ivf1" -> ProductQuantizer.probeLists(
+          queries, "embedding", cents, PqDim, nProbe = 1),
+        "ivf2" -> ProductQuantizer.probeLists(
+          queries, "embedding", cents, PqDim, nProbe = 2),
+        "ivf4" -> ProductQuantizer.probeLists(
+          queries, "embedding", cents, PqDim, nProbe = 4)))
+    // the brute alternative: exact scoring over the filtered corpus —
+    // recall 1.0 by construction, priced at |queries|·|filtered \ self|
+    val selfIn = queries.select(col("vec_id"))
+      .join(fCorpus.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+    import spark.implicits._
+    val brute = Seq(("brute", nQ, nQ * nF - selfIn, nGt, nGt, 1.0))
+      .toDF("scheme", "probes", "pairs", "hits", "n_gt", "recall")
+    audit.unionByName(brute)
+  }
+
   // ---------------------------------------------------------------- Q227
   /** END-TO-END recall audit of the learned rotation: recall@5 of the
     * raw-residual IVFADC probe (q219's nProbe=2 configuration) vs the

@@ -299,6 +299,7 @@ object SparkEntry {
     "q259b_dim512_probe_mass" -> (Queries.q259bDim512ProbeMass _),
     "q260_zipf_adaptive" -> (Queries.q260ZipfAdaptiveProbe _),
     "q263_zipf_budgeted" -> (Queries.q263ZipfBudgetedProbe _),
+    "q264_filtered_ann" -> (Queries.q264FilteredAnn _),
     "q261_vocab_width" -> (Queries.q261VocabWidth _),
     "q261b_vocab_width_model" -> (Queries.q261bVocabWidthModel _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
@@ -3162,6 +3163,116 @@ object SparkEntry {
     "q244_ivf_sq8_residual" ->
       s"""WITH ${sq8rCtes(nProbe = 1)}
         |SELECT q_id, vec_id, d FROM sq8rtop""".stripMargin,
+    // FILTERED vector search: the label predicate applied to the codes
+    // BEFORE the ADC scan, ground truth = exact top-5 within the
+    // filtered corpus; the brute row is the under-threshold plan
+    "q264_filtered_ann" ->
+      s"""WITH $sq8LstrSql,
+        |$sq8FvqSql,
+        |$sq8ResidSql,
+        |qdcf AS (
+        |  -- probeLists ranks by EXACT decimal centroid distance (ties
+        |  -- by list), not by the ingest-time lead-coordinate router
+        |  SELECT f.vec_id, c.list,
+        |         sum(CAST(round((f.x - c.cv) * (f.x - c.cv), 6)
+        |                  AS DECIMAL(18,6))) AS d
+        |  FROM fvq f JOIN cent c ON c.p = f.p
+        |  WHERE f.vec_id % 97 = 0 AND f.vec_id < 2000
+        |  GROUP BY 1, 2),
+        |qsel AS (
+        |  SELECT vec_id, list, (pr = 1) AS f1, (pr <= 2) AS f2,
+        |         (pr <= 4) AS f4
+        |  FROM (SELECT vec_id, list,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY d ASC, list ASC) AS pr
+        |        FROM qdcf)),
+        |qrvf AS (
+        |  SELECT qf.vec_id, qs.list, qs.f1, qs.f2, qs.f4, qf.p,
+        |         qf.x - c.cv AS x
+        |  FROM fvq qf JOIN qsel qs ON qs.vec_id = qf.vec_id
+        |  JOIN cent c ON c.list = qs.list AND c.p = qf.p),
+        |fsc AS (
+        |  SELECT q.vec_id AS q_id, dc.vec_id, q.f1, q.f2, q.f4,
+        |         CAST(sum(CAST(round((q.x - dc.dx) * (q.x - dc.dx), 6)
+        |                       AS DECIMAL(18,6))) AS DOUBLE) AS d
+        |  FROM qrvf q JOIN rdec dc ON dc.p = q.p AND dc.list = q.list
+        |                          AND dc.vec_id <> q.vec_id
+        |  JOIN embeddings e ON e.vec_id = dc.vec_id AND e.label = 3
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |ft1 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id
+        |                              ORDER BY d ASC, vec_id ASC) AS rn
+        |    FROM fsc WHERE f1) WHERE rn <= 5),
+        |ft2 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id
+        |                              ORDER BY d ASC, vec_id ASC) AS rn
+        |    FROM fsc WHERE f2) WHERE rn <= 5),
+        |ft4 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id
+        |                              ORDER BY d ASC, vec_id ASC) AS rn
+        |    FROM fsc WHERE f4) WHERE rn <= 5),
+        |flst AS (SELECT l.vec_id, l.list FROM lst l
+        |         JOIN embeddings e ON e.vec_id = l.vec_id AND e.label = 3),
+        |pairsf AS (
+        |  SELECT qs.f1, qs.f2, qs.f4
+        |  FROM qsel qs JOIN flst cl ON cl.list = qs.list
+        |                           AND cl.vec_id <> qs.vec_id),
+        |exd AS (
+        |  SELECT qf.vec_id AS q_id, cf.vec_id,
+        |         CAST(sum(CAST(round((qf.x - cf.x) * (qf.x - cf.x), 6)
+        |                       AS DECIMAL(18,6))) AS DOUBLE) AS d
+        |  FROM fvq qf JOIN fvq cf ON cf.p = qf.p AND cf.vec_id <> qf.vec_id
+        |  JOIN embeddings e ON e.vec_id = cf.vec_id AND e.label = 3
+        |  WHERE qf.vec_id % 97 = 0 AND qf.vec_id < 2000
+        |  GROUP BY 1, 2),
+        |exf AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id
+        |                              ORDER BY d ASC, vec_id ASC) AS rn
+        |    FROM exd) WHERE rn <= 5),
+        |ngt AS (SELECT count(*) AS n FROM exf),
+        |qn AS (SELECT count(DISTINCT vec_id) AS n FROM qsel),
+        |fn AS (SELECT count(*) AS n FROM embeddings WHERE label = 3),
+        |sfq AS (SELECT count(*) AS n FROM embeddings
+        |        WHERE label = 3 AND vec_id % 97 = 0 AND vec_id < 2000)
+        |SELECT 'ivf1' AS scheme,
+        |       (SELECT count(*) FROM qsel WHERE f1) AS probes,
+        |       (SELECT count(*) FROM pairsf WHERE f1) AS pairs,
+        |       (SELECT count(*) FROM ft1 JOIN exf USING (q_id, vec_id)) AS hits,
+        |       (SELECT n FROM ngt) AS n_gt,
+        |       round(CAST((SELECT count(*) FROM ft1 JOIN exf USING (q_id, vec_id))
+        |                  AS DOUBLE) / CAST((SELECT n FROM ngt) AS DOUBLE), 6)
+        |         AS recall
+        |UNION ALL
+        |SELECT 'ivf2',
+        |       (SELECT count(*) FROM qsel WHERE f2),
+        |       (SELECT count(*) FROM pairsf WHERE f2),
+        |       (SELECT count(*) FROM ft2 JOIN exf USING (q_id, vec_id)),
+        |       (SELECT n FROM ngt),
+        |       round(CAST((SELECT count(*) FROM ft2 JOIN exf USING (q_id, vec_id))
+        |                  AS DOUBLE) / CAST((SELECT n FROM ngt) AS DOUBLE), 6)
+        |UNION ALL
+        |SELECT 'ivf4',
+        |       (SELECT count(*) FROM qsel WHERE f4),
+        |       (SELECT count(*) FROM pairsf WHERE f4),
+        |       (SELECT count(*) FROM ft4 JOIN exf USING (q_id, vec_id)),
+        |       (SELECT n FROM ngt),
+        |       round(CAST((SELECT count(*) FROM ft4 JOIN exf USING (q_id, vec_id))
+        |                  AS DOUBLE) / CAST((SELECT n FROM ngt) AS DOUBLE), 6)
+        |UNION ALL
+        |SELECT 'brute',
+        |       (SELECT n FROM qn),
+        |       (SELECT n FROM qn) * (SELECT n FROM fn) - (SELECT n FROM sfq),
+        |       (SELECT n FROM ngt),
+        |       (SELECT n FROM ngt),
+        |       CAST(1.0 AS DOUBLE)""".stripMargin,
     // the routed-recall audit: raw vs residual grid vs the coarse-
     // reachability ceiling at nProbe 1 and 2 — recall is reachability-
     // capped at both widths, the committed finding
