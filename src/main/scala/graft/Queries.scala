@@ -5630,6 +5630,54 @@ object Queries {
     audit.unionByName(brute)
   }
 
+  // ---------------------------------------------------------------- Q265
+  /** ANN SERVING OVER THE LAKEHOUSE TABLE — the composition a 100 TB
+    * deployment actually runs: the SQ8 codes sidecar is not a loose
+    * parquet directory but a [[graft.operators.ManifestTable]] (the
+    * thing that can accept GDPR deletes), vectors are retired with a
+    * merge-on-read key DELETE (zero files rewritten at delete time),
+    * and the serving probe reads THROUGH the tombstone overlay — a
+    * deleted vector must never surface from the index, immediately,
+    * without waiting for compaction. Output: the full nProbe=2 ADC
+    * top-5 under the MOR overlay and again after `rewriteDeletes` —
+    * bit-equal rows (the maintenance pass must not change the read),
+    * both against the oracle's probe over the surviving corpus. In-
+    * query pins: the delete commit rewrites ZERO files; no deleted id
+    * appears in any top-5; post-maintenance tombstones are gone.
+    */
+  def q265MorAnnServe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val (cents, rStats) = sq8rParts(spark, dir)
+    val routed = emb.withColumn("list", pqListOf(col("embedding")))
+    val rCodes = ScalarQuantizer.encode(
+      ProductQuantizer.residuals(routed, "embedding", "list", cents),
+      "vec_id", "resid", rStats, carryCols = Seq("list"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q265").resolve("t").toString
+    ManifestTable.commit(spark, root,
+      rCodes.repartitionByRange(8, col("vec_id")).sortWithinPartitions("vec_id"),
+      Seq("vec_id"))
+    val del = rCodes.select(col("vec_id")).where(col("vec_id") % 7 === 1)
+    val st = ManifestTable.deleteKeysMor(spark, root, del, "vec_id")
+    require(st.filesRewritten == 0,
+      s"MOR delete must rewrite nothing at delete time, rewrote ${st.filesRewritten}")
+    val queries = ProductQuantizer.probeLists(
+      routed.where(col("vec_id") % 97 === 0 && col("vec_id") < 2000)
+        .drop("list"),
+      "embedding", cents, PqDim, nProbe = 2)
+    def top5(regime: String): DataFrame = ScalarQuantizer.adcTopK(
+      ProductQuantizer.residuals(queries, "embedding", "list", cents)
+        .select(col("vec_id"), col("list"), col("resid")),
+      "vec_id", "resid",
+      ManifestTable.read(spark, root), "vec_id", rStats,
+      k = 5, withinCol = Some("list"))
+      .select(lit(regime).as("regime"), col("q_id"), col("vec_id"), col("d"))
+    val mor = top5("mor").localCheckpoint()
+    require(mor.join(del, Seq("vec_id"), "left_semi").count() == 0,
+      "a MOR-deleted vector surfaced from the serving probe")
+    ManifestTable.rewriteDeletes(spark, root)
+    mor.unionByName(top5("materialized"))
+  }
+
   // ---------------------------------------------------------------- Q227
   /** END-TO-END recall audit of the learned rotation: recall@5 of the
     * raw-residual IVFADC probe (q219's nProbe=2 configuration) vs the

@@ -300,6 +300,7 @@ object SparkEntry {
     "q260_zipf_adaptive" -> (Queries.q260ZipfAdaptiveProbe _),
     "q263_zipf_budgeted" -> (Queries.q263ZipfBudgetedProbe _),
     "q264_filtered_ann" -> (Queries.q264FilteredAnn _),
+    "q265_mor_ann_serve" -> (Queries.q265MorAnnServe _),
     "q261_vocab_width" -> (Queries.q261VocabWidth _),
     "q261b_vocab_width_model" -> (Queries.q261bVocabWidthModel _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
@@ -3273,6 +3274,50 @@ object SparkEntry {
         |       (SELECT n FROM ngt),
         |       (SELECT n FROM ngt),
         |       CAST(1.0 AS DOUBLE)""".stripMargin,
+    // ANN serving over the manifest codes table with MOR deletes: the
+    // probe reads through the tombstone overlay, so the oracle is the
+    // nProbe=2 ADC top-5 over the SURVIVING corpus (vec_id % 7 <> 1),
+    // emitted under both regimes (maintenance must not change the read)
+    "q265_mor_ann_serve" ->
+      s"""WITH $sq8LstrSql,
+        |$sq8FvqSql,
+        |$sq8ResidSql,
+        |qdcm AS (
+        |  SELECT f.vec_id, c.list,
+        |         sum(CAST(round((f.x - c.cv) * (f.x - c.cv), 6)
+        |                  AS DECIMAL(18,6))) AS d
+        |  FROM fvq f JOIN cent c ON c.p = f.p
+        |  WHERE f.vec_id % 97 = 0 AND f.vec_id < 2000
+        |  GROUP BY 1, 2),
+        |qlstm AS (
+        |  SELECT vec_id, list FROM (
+        |    SELECT vec_id, list,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY d ASC, list ASC) AS pr
+        |    FROM qdcm)
+        |  WHERE pr <= 2),
+        |qrvm AS (
+        |  SELECT qf.vec_id, ql.list, qf.p, qf.x - c.cv AS x
+        |  FROM fvq qf
+        |       JOIN qlstm ql ON ql.vec_id = qf.vec_id
+        |       JOIN cent c ON c.list = ql.list AND c.p = qf.p),
+        |rscm AS (
+        |  SELECT q.vec_id AS q_id, dc.vec_id,
+        |         CAST(sum(CAST(round((q.x - dc.dx) * (q.x - dc.dx), 6)
+        |                       AS DECIMAL(18,6))) AS DOUBLE) AS d
+        |  FROM qrvm q JOIN rdec dc ON dc.p = q.p AND dc.list = q.list
+        |                          AND dc.vec_id <> q.vec_id
+        |  WHERE dc.vec_id % 7 <> 1
+        |  GROUP BY 1, 2),
+        |topm AS (
+        |  SELECT q_id, vec_id, d FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY d ASC, vec_id ASC) AS rn
+        |    FROM rscm)
+        |  WHERE rn <= 5)
+        |SELECT 'mor' AS regime, q_id, vec_id, d FROM topm
+        |UNION ALL
+        |SELECT 'materialized' AS regime, q_id, vec_id, d FROM topm""".stripMargin,
     // the routed-recall audit: raw vs residual grid vs the coarse-
     // reachability ceiling at nProbe 1 and 2 — recall is reachability-
     // capped at both widths, the committed finding
