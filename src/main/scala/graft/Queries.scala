@@ -5678,6 +5678,47 @@ object Queries {
     mor.unionByName(top5("materialized"))
   }
 
+  // ---------------------------------------------------------------- Q266
+  /** STREAMED vectors are immediately searchable — index FRESHNESS as a
+    * correctness claim: half the corpus is committed as the ingest-time
+    * codes snapshot, the other half ARRIVES as two raw-vector
+    * micro-batches through [[graft.streaming.Streams.streamingSq8Ingest]]
+    * (map-only byte encode with the FROZEN grid + FROZEN router,
+    * exactly-once txn ledger), and the q238 serving probe then reads
+    * the manifest-assembled table. The output must equal the
+    * from-scratch batch index bit-for-bit — the oracle IS q238's — so
+    * any drift between the streamed encode path and the batch encode
+    * path (grid mismatch, router mismatch, a dropped or doubled batch)
+    * is a gate failure. In-query pins: a foreachBatch restart replay of
+    * the last batch commits nothing; the assembled table holds exactly
+    * the corpus row count.
+    */
+  def q266StreamAnnFresh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val stats = sq8Stats(spark, dir)
+    val routed = emb.withColumn("list", pqListOf(col("embedding")))
+    val root = java.nio.file.Files.createTempDirectory("graft_q266").resolve("t").toString
+    ManifestTable.commit(spark, root,
+      ScalarQuantizer.encode(routed.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", stats, carryCols = Seq("list")),
+      Seq("vec_id"))
+    val sink = Streams.streamingSq8Ingest(root, "q266_ingest",
+      "vec_id", "embedding", stats, listOf = pqListOf(_),
+      statsCols = Seq("vec_id")) _
+    sink(emb.where(col("vec_id") % 4 === 1), 0L)
+    sink(emb.where(col("vec_id") % 4 === 3), 1L)
+    val vLive = ManifestTable.currentVersion(spark, root)
+    sink(emb.where(col("vec_id") % 4 === 3), 1L) // restart replay
+    require(ManifestTable.currentVersion(spark, root) == vLive,
+      "replaying the last ingest batch must not commit a new version")
+    require(ManifestTable.read(spark, root).count() == emb.count(),
+      "the assembled codes table must hold exactly the corpus")
+    ScalarQuantizer.adcTopK(
+      routed.where(col("vec_id") % 97 === 0), "vec_id", "embedding",
+      ManifestTable.read(spark, root), "vec_id", stats, k = 5,
+      withinCol = Some("list"))
+  }
+
   // ---------------------------------------------------------------- Q227
   /** END-TO-END recall audit of the learned rotation: recall@5 of the
     * raw-residual IVFADC probe (q219's nProbe=2 configuration) vs the

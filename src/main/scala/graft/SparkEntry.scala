@@ -301,6 +301,7 @@ object SparkEntry {
     "q263_zipf_budgeted" -> (Queries.q263ZipfBudgetedProbe _),
     "q264_filtered_ann" -> (Queries.q264FilteredAnn _),
     "q265_mor_ann_serve" -> (Queries.q265MorAnnServe _),
+    "q266_stream_ann_fresh" -> (Queries.q266StreamAnnFresh _),
     "q261_vocab_width" -> (Queries.q261VocabWidth _),
     "q261b_vocab_width_model" -> (Queries.q261bVocabWidthModel _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
@@ -2957,6 +2958,12 @@ object SparkEntry {
         |FROM ac""".stripMargin,
     // IVF-SQ8: the same chain with the coarse-list equi-restriction
     "q238_ivf_sq8_probe" ->
+      s"""WITH ${sq8Ctes(within = true)}
+        |SELECT q_id, vec_id, d FROM sq8top""".stripMargin,
+    // streamed-ingest freshness: base commit + two exactly-once
+    // streamed encode batches assemble the SAME index as the
+    // from-scratch batch build — the oracle IS q238's probe
+    "q266_stream_ann_fresh" ->
       s"""WITH ${sq8Ctes(within = true)}
         |SELECT q_id, vec_id, d FROM sq8top""".stripMargin,
     "q239_ivf_sq8_recall" ->

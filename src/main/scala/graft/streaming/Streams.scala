@@ -438,12 +438,13 @@ object Streams {
   def streamingSq8Ingest(tableRoot: String, queryName: String,
       idCol: String, vecCol: String,
       stats: graft.operators.ScalarQuantizer.Stats,
-      listOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = null)(
+      listOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = null,
+      statsCols: Seq[String] = Nil)(
       batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.col
     val routed = if (listOf == null) batch
       else batch.withColumn("list", listOf(col(vecCol)))
-    graft.operators.ManifestTable.streamInto(tableRoot, queryName)(
+    graft.operators.ManifestTable.streamInto(tableRoot, queryName, statsCols)(
       graft.operators.ScalarQuantizer.encode(routed, idCol, vecCol, stats,
         carryCols = if (listOf == null) Nil else Seq("list")),
       batchId)
