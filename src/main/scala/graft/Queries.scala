@@ -2437,9 +2437,16 @@ object Queries {
       q106StoreCache.put(dir, r) // lost race commits an identical store
       r
     }
+    // the store's band-bucket index is ALSO an ingest-time artifact
+    // (the storedSidecar discipline): each arriving batch pays only its
+    // own band fold + the bucket join, never an O(store) re-band
+    val bandIdx = storedSidecar(spark, dir, "q106bands") {
+      MinHashDedup.portableBandIndex(ManifestTable.read(spark, root))
+    }
     MinHashDedup.portableIncrementalVerifiedPairs(
         ManifestTable.read(spark, root),
-        docs.where(col("doc_id") % 2 === 1), "doc_id", "text", threshold = 0.5)
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text", threshold = 0.5,
+        storeIndex = bandIdx)
       .withColumn("jaccard", round(col("jaccard"), 6))
   }
   private val q106StoreCache =
@@ -5554,6 +5561,72 @@ object Queries {
           queries, "cvec", cents, PqDim, nProbe = 2)))
   }
 
+  // ---------------------------------------------------------------- Q268
+  /** SELF-CALIBRATING probe budget (VERDICT r11 gap 2 / directive 3):
+    * q263's budgets were hand-picked constants (9/18); here the budget
+    * is COMPUTED by [[graft.operators.ProductQuantizer
+    * .calibrateProbeBudget]] from the audit sample's measured margin
+    * distribution against a stated target — match fixed-2's list
+    * COVERAGE (the counts-only recall upper bound: # GT pairs whose
+    * true list ranks ≤ 2) — then spent through the same
+    * [[graft.operators.ProductQuantizer.probeListsBudgeted]] path.
+    * The readout carries the computed `budget` and `ratio_cap`
+    * columns, so the oracle pins the CALIBRATION (order statistics of
+    * the ratio distribution), not just the probe it produced. Run on
+    * the Zipf/continuous-margin surface (q260's — where the fixed
+    * ratio rule degenerates) and, same code path, on the planted
+    * surface (q268b). SQ8 tier: near-exact scoring isolates routing.
+    */
+  private def calibratedBudgetAudit(spark: SparkSession,
+      cents: Map[Int, Array[Double]], rStats: ScalarQuantizer.Stats,
+      routed: DataFrame, ex: DataFrame): DataFrame = {
+    val rCodes = ScalarQuantizer.encode(
+      ProductQuantizer.residuals(routed, "cvec", "list", cents),
+      "vec_id", "resid", rStats, carryCols = Seq("list")).localCheckpoint()
+    val queries = routed.where(col("vec_id") % 29 === 0 && col("vec_id") < 522)
+      .drop("list")
+    val (cap, budget) = ProductQuantizer.calibrateProbeBudget(
+      queries, "vec_id", "cvec", cents, PqDim, maxProbe = 4,
+      ex, routed.select(col("vec_id"), col("list")))
+    val nQ = queries.count()
+    probeSchemesAuditOf(spark,
+      routed.select(col("vec_id"), col("list")), ex,
+      probed => ScalarQuantizer.adcTopK(
+        ProductQuantizer.residuals(probed, "cvec", "list", cents),
+        "vec_id", "resid", rCodes, "vec_id", rStats,
+        k = 5, withinCol = Some("list")),
+      Seq(
+        "fixed1" -> ProductQuantizer.probeLists(
+          queries, "cvec", cents, PqDim, nProbe = 1),
+        "calibrated" -> ProductQuantizer.probeListsBudgeted(
+          queries, "vec_id", "cvec", cents, PqDim,
+          maxProbe = 4, extraBudget = budget),
+        "fixed2" -> ProductQuantizer.probeLists(
+          queries, "cvec", cents, PqDim, nProbe = 2)))
+      .withColumn("budget",
+        when(col("scheme") === "fixed1", lit(0L))
+          .when(col("scheme") === "calibrated", lit(budget.toLong))
+          .otherwise(lit(nQ)))
+      .withColumn("ratio_cap",
+        when(col("scheme") === "calibrated", lit(cap))
+          .otherwise(lit(null).cast("double")))
+  }
+
+  def q268CalibratedBudget(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, rStats, routed, ex) = zipfParts(spark, dir)
+    calibratedBudgetAudit(spark, cents, rStats, routed, ex)
+  }
+
+  /** [[q268CalibratedBudget]]'s code path on the PLANTED surface
+    * (q255's) — the same calibration must find the clean-margin
+    * regime's cheap budget: straddler ratios sit far below regular
+    * second-list ratios, so coverage is bought with few grants.
+    */
+  def q268bCalibratedPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, _, rStats, routed, ex) = clusterParts(spark, dir)
+    calibratedBudgetAudit(spark, cents, rStats, routed, ex)
+  }
+
   // ---------------------------------------------------------------- Q264
   /** FILTERED vector search — the predicate+vector query every
     * production retrieval system serves ("nearest neighbors WHERE
@@ -5628,6 +5701,122 @@ object Queries {
     val brute = Seq(("brute", nQ, nQ * nF - selfIn, nGt, nGt, 1.0))
       .toDF("scheme", "probes", "pairs", "hits", "n_gt", "recall")
     audit.unionByName(brute)
+  }
+
+  // ---------------------------------------------------------------- Q270
+  /** FILTERED search under the PLAN-TIME CHOOSER (VERDICT r11 gap /
+    * directive 6) — q264 priced the selectivity hazard; this entry
+    * makes the choice OPERATIONAL: before any scoring work, two
+    * counts-only partial aggregations per candidate plan (priced pair
+    * mass against the filtered corpus lists, and the MINIMUM per-query
+    * filtered candidate count in the probed lists) feed
+    * [[graft.operators.Similarity.choosePlans]] — a plan whose probed
+    * lists cannot give every query a 4×-top-5 candidate pool is
+    * ineligible (bare seating is not enough: q264 measures fixed-1
+    * recall collapsing to 0.17 under the filter long before the pool
+    * is literally too small), and among the eligible the cheapest
+    * priced mass wins; the [[graft.operators.Similarity
+    * .filteredAnnPlan]] brute alternative competes as just another
+    * plan (recall 1.0 by construction, pairs = |Q|·|F∖self|). All
+    * four plans EXECUTE so the readout shows what the chooser chose
+    * and what each alternative would have bought — (plan, probes,
+    * pairs, min_cands, eligible, chosen, hits, n_gt, recall), every
+    * column replayed by the oracle, so the CHOICE itself is
+    * oracle-pinned, not just the probes. At 100 TB the two chooser
+    * aggregations are metadata-scale (per-list filtered counts — at
+    * most nLists rows) and run before the fleet commits to a scan.
+    */
+  def q270FilteredRoutedAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tp(spark, dir, "embeddings")
+    val (cents, rStats) = sq8rParts(spark, dir)
+    val routed = emb.withColumn("list", pqListOf(col("embedding")))
+    val rCodes = ScalarQuantizer.encode(
+      ProductQuantizer.residuals(routed, "embedding", "list", cents),
+      "vec_id", "resid", rStats, carryCols = Seq("list", "label"))
+      .localCheckpoint()
+    val fCodes = rCodes.where(col("label") === 3).drop("label")
+    val queries = routed
+      .where(col("vec_id") % 97 === 0 && col("vec_id") < 2000).drop("list")
+    val nQ = queries.count()
+    val fCorpus = emb.where(col("label") === 3)
+    val fLists = routed.where(col("label") === 3)
+      .select(col("vec_id"), col("list")).localCheckpoint()
+    val fCnt = fLists.groupBy(col("list")).agg(count(lit(1)).as("nf"))
+      .localCheckpoint()
+    val ex = fCorpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"))))
+      .where(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"), {
+        val d18 = org.apache.spark.sql.types.DecimalType(18, 6)
+        val d28 = org.apache.spark.sql.types.DecimalType(28, 6)
+        aggregate(zip_with(col("q_vec").cast("array<double>"),
+            col("c_vec").cast("array<double>"),
+            (a, b) => round((a - b) * (a - b), 6).cast(d18)),
+          lit(BigDecimal(0)).cast(d28),
+          (u, x) => (u + x).cast(d28))
+          .cast("double").as("d")
+      })
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("d").asc, col("c_id").asc)))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("c_id").as("vec_id"))
+      .localCheckpoint()
+    val nGt = ex.count()
+    val nF = fCorpus.count()
+    // counts-only chooser inputs, per plan: priced pair mass and the
+    // minimum per-query filtered candidate count in the probed lists
+    def pairsOf(probed: DataFrame): Long =
+      probed.select(col("vec_id").as("q_id"), col("list"))
+        .join(fLists.select(col("vec_id").as("c_id"), col("list")), Seq("list"))
+        .where(col("c_id") =!= col("q_id")).count()
+    def minCands(probed: DataFrame): Long =
+      probed.select(col("vec_id"), col("list"))
+        .join(fCnt, Seq("list"), "left_outer")
+        .join(fLists.select(col("vec_id"), col("list"), lit(1).as("self")),
+          Seq("vec_id", "list"), "left_outer")
+        .groupBy(col("vec_id"))
+        .agg((sum(coalesce(col("nf"), lit(0L)))
+          - max(coalesce(col("self"), lit(0)))).as("c"))
+        .agg(min(col("c"))).head().getLong(0)
+    def hitsOf(probed: DataFrame): Long = ScalarQuantizer.adcTopK(
+        ProductQuantizer.residuals(probed, "embedding", "list", cents),
+        "vec_id", "resid", fCodes, "vec_id", rStats,
+        k = 5, withinCol = Some("list"))
+      .select(col("q_id"), col("vec_id"))
+      .join(ex, Seq("q_id", "vec_id"), "left_semi").count()
+    val widths = Seq("ivf1" -> 1, "ivf2" -> 2, "ivf4" -> 4).map {
+      case (name, w) =>
+        val probed = ProductQuantizer.probeLists(
+          queries, "embedding", cents, PqDim, nProbe = w).localCheckpoint()
+        (name, probed.count(), pairsOf(probed), minCands(probed),
+          hitsOf(probed))
+    }
+    val selfIn = queries.select(col("vec_id"))
+      .join(fCorpus.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+    // brute scans the whole filtered corpus: every query retains
+    // |F| − [query ∈ F] candidates; the per-query minimum subtracts the
+    // self only if SOME query is itself filtered-resident
+    val bruteMin = nF - (if (selfIn > 0) 1L else 0L)
+    // eligibility floor = 4x the answer size (headroom, not bare
+    // seating -- see Similarity.choosePlans)
+    val chosen = Similarity.choosePlans(
+      widths.map { case (n, _, pa, mc, _) => (n, pa, mc) } :+
+        (("brute", nQ * nF - selfIn, bruteMin)), minPool = 20)
+    import spark.implicits._
+    val rows = widths.zip(chosen.take(3)).map {
+      case ((n, probes, pairs, mc, hits), (_, _, _, elig, ch)) =>
+        (n, probes, pairs, mc, elig, ch, hits, nGt,
+          BigDecimal(hits) .toDouble / nGt)
+    } :+ {
+      val (_, pa, mc, elig, ch) = chosen.last
+      ("brute", nQ, pa, mc, elig, ch, nGt, nGt, 1.0)
+    }
+    rows.map { case (n, pr, pa, mc, e, c, h, g, r) =>
+      (n, pr, pa, mc, e, c, h, g,
+        BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("plan", "probes", "pairs", "min_cands", "eligible", "chosen",
+      "hits", "n_gt", "recall")
   }
 
   // ---------------------------------------------------------------- Q265
@@ -6366,6 +6555,116 @@ object Queries {
         dim = PqXDim, k = 5, withinCol = "list"))
   }
 
+  // ---------------------------------------------------------------- Q267
+  /** THE TWO SERVING CAPSTONES COMPOSED (VERDICT r11 gap 1) —
+    * production DIM on the lakehouse SUBSTRATE in one plan: the
+    * dim-512 block-OPQ residual codes are not a loose parquet sidecar
+    * but a [[graft.operators.ManifestTable]] — the thing that can
+    * accept streamed appends and GDPR deletes. Lifecycle exercised
+    * end-to-end: (1) half the corpus lands as the ingest-time batch
+    * snapshot from the SHARED encode definition ([[x512Codes]] — the
+    * snapshot and the stream cannot drift); (2) the other half ARRIVES
+    * as two raw-vector micro-batches through [[graft.streaming.Streams
+    * .streamingIvfPqResidualIngest]] (frozen blocks → frozen router →
+    * frozen centroids → frozen codebooks, exactly-once txn ledger), a
+    * restart replay of the last batch REQUIRED in-query to commit
+    * nothing; (3) vectors retire via merge-on-read key DELETE — ZERO
+    * files rewritten at delete time, REQUIRED in-query; (4) the q259
+    * serving stack probes THROUGH the tombstone overlay under the
+    * BUDGET-calibrated router ([[graft.operators.ProductQuantizer
+    * .probeListsBudgeted]], the q263 exact-spend rule at production
+    * dim): budgeted route → residual ADC top-20 within probed lists →
+    * exact rerank top-5 in rotated space — and a deleted vector must
+    * never surface, immediately, with no compaction wait; (5) after
+    * [[graft.operators.ManifestTable.rewriteDeletes]] the read must be
+    * bit-equal (REQUIRED in-query; both regimes also pinned by the
+    * oracle). This is the configuration a 100 TB embedding deployment
+    * actually runs — dim-512 rotated residual codes AS the manifest
+    * table, streamed ingest, MOR deletes, budgeted routing, one plan,
+    * one oracle.
+    */
+  def q267Dim512Lakehouse(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, books, rot) = x512Parts(spark, dir)
+    val blocks = x512Cache.get(dir)._1
+    val codes = x512Codes(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_q267")
+      .resolve("t").toString
+    ManifestTable.commit(spark, root,
+      codes.where(col("vec_id") % 2 === 0)
+        .repartitionByRange(8, col("vec_id")).sortWithinPartitions("vec_id"),
+      Seq("vec_id"))
+    val raw = x512(spark, dir)
+    val sink = Streams.streamingIvfPqResidualIngest(root, "q267_ingest",
+      "vec_id", "xvec", cents, books, PqXDim,
+      listOf = x512ListOf(_), blocks = blocks,
+      statsCols = Seq("vec_id")) _
+    sink(raw.where(col("vec_id") % 4 === 1), 0L)
+    sink(raw.where(col("vec_id") % 4 === 3), 1L)
+    val vLive = ManifestTable.currentVersion(spark, root)
+    sink(raw.where(col("vec_id") % 4 === 3), 1L) // restart replay
+    require(ManifestTable.currentVersion(spark, root) == vLive,
+      "replaying the last ingest batch must not commit a new version")
+    require(ManifestTable.read(spark, root).count() ==
+      tp(spark, dir, "embeddings").count(),
+      "the assembled codes table must hold exactly the corpus")
+    val del = rot.select(col("vec_id")).where(col("vec_id") % 7 === 1)
+    val st = ManifestTable.deleteKeysMor(spark, root, del, "vec_id")
+    require(st.filesRewritten == 0,
+      s"MOR delete must rewrite nothing at delete time, rewrote ${st.filesRewritten}")
+    val queries = rot.where(col("vec_id") % 97 === 0 && col("vec_id") < 2037)
+    def top5(regime: String): DataFrame = {
+      val rep = ProductQuantizer.probeListsBudgeted(
+        queries, "vec_id", "kvec", cents, PqXDim,
+        maxProbe = 4, extraBudget = 10)
+      val qResid = ProductQuantizer.residuals(rep, "kvec", "list", cents)
+      val cand = ProductQuantizer.adcTopK(qResid, "vec_id", "resid",
+        ManifestTable.read(spark, root), "vec_id", books,
+        dim = PqXDim, k = 20, withinCol = "list")
+      val rerankW = Window.partitionBy(col("q_id"))
+        .orderBy(col("l2").asc, col("vec_id").asc)
+      cand.select(col("q_id"), col("vec_id"))
+        .join(rot.select(col("vec_id"), col("kvec").as("c_vec")), Seq("vec_id"))
+        .join(broadcast(queries.select(col("vec_id").as("q_id"),
+          col("kvec").as("q_vec"))), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"), {
+          // rotation is orthogonal per block: rotated-space L2 ranks are
+          // the raw-space ranks up to 6-dp rounding; ~20 rows/query.
+          // FULLY-EXACT decimal rerank — the components are 6-dp values
+          // by construction, so diff/square/sum in decimal arithmetic is
+          // exact and engine-identical with NO round() anywhere (both
+          // the fold-then-round and the round-per-term forms hit
+          // half-way 7th-decimal cells on this query's candidate set)
+          val d126 = org.apache.spark.sql.types.DecimalType(12, 6)
+          // accumulator precision must keep (acc + term) inside Spark's
+          // 38-digit cap or the fold silently rounds at reduced scale
+          // (precision-loss): (30,12)+(27,12) -> 31 digits, exact
+          val acc = org.apache.spark.sql.types.DecimalType(30, 12)
+          aggregate(
+            zip_with(col("q_vec"), col("c_vec"), (a, b) =>
+              ((a.cast(d126) - b.cast(d126)) *
+                (a.cast(d126) - b.cast(d126))).cast(acc)),
+            lit(BigDecimal(0)).cast(acc),
+            (u, w) => (u + w).cast(acc))
+            .cast("double").as("l2")
+        })
+        .withColumn("rn", row_number().over(rerankW))
+        .where(col("rn") <= 5)
+        .select(lit(regime).as("regime"), col("q_id"), col("vec_id"),
+          col("l2"))
+    }
+    val mor = top5("mor").localCheckpoint()
+    require(mor.join(del, Seq("vec_id"), "left_semi").count() == 0,
+      "a MOR-deleted vector surfaced from the serving probe")
+    ManifestTable.rewriteDeletes(spark, root)
+    val mat = top5("materialized").localCheckpoint()
+    require(mat.count() == mor.count() &&
+      mat.select(col("q_id"), col("vec_id"), col("l2"))
+        .exceptAll(mor.select(col("q_id"), col("vec_id"), col("l2")))
+        .isEmpty,
+      "the delete-materialization pass changed the serving read")
+    mor.unionByName(mat)
+  }
+
   // ---------------------------------------------------------------- Q222
   /** The FULL production IVFADC retrieval stack in one plan — every
     * round-7/8 ANN piece composed: multi-probe coarse pruning
@@ -6725,6 +7024,52 @@ object Queries {
   def q261bVocabWidthModel(spark: SparkSession, dir: String): DataFrame =
     UnigramLm.emRound(vocabCorpus(spark, dir), "text",
       maxPieceLen = 4, topMulti = 2024, maxWordLen = 20)
+
+  // ---------------------------------------------------------------- Q269
+  /** MULTI-ROUND prune-loop training AT WIDTH (VERDICT r11 gap 3 /
+    * directive 5): q261 pinned ONE soft round at a 2048-piece target
+    * and documented why round 2 structurally starves on the templated
+    * Customer#/Order# corpus (the re-estimated model concentrates
+    * posterior on the dominant tiling and mid-rank pieces lose all
+    * 6-dp mass — SHARED STRUCTURE is the starvation mechanism). This
+    * fixture removes the mechanism: 4,200 distinct pseudo-random
+    * 10-char words (two multiplicative-hash limbs of 3·o_orderkey+v
+    * rendered as base-20 letters — injective, engine-replayable
+    * integer arithmetic, bounded at o_orderkey < 1400 so the corpus
+    * is IDENTICAL at every SF), where no tiling dominates, posteriors
+    * stay spread, and the kept 2,028 multis retain solid mass through
+    * re-estimation (simulated min kept mass 0.57 vs the 5e-7 rounding
+    * floor — six orders of margin). Three full
+    * [[graft.operators.UnigramLm.trainVocabulary]] rounds at
+    * targetVocab=2048 over a 4,116-piece seed: lattice → 6-dp
+    * expected-mass prune → cost re-estimation, three times, with the
+    * corpus log-likelihood REPORTED per round — monotone
+    * non-decreasing (EM ascent up to the documented ≤0.5-micro-nat
+    * piece-cost rounding slack), so consecutive rows price exactly
+    * what each prune cost. This is the regime real SentencePiece
+    * training occupies: many prune rounds at a width the corpus can
+    * sustain.
+    */
+  private def vocabHashCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val letters = lit("abcdefghijklmnopqrst")
+    def ch(h: org.apache.spark.sql.Column, p: Long): org.apache.spark.sql.Column =
+      letters.substr(
+        (pmod((h / lit(p.toDouble)).cast("long"), lit(20L)) + 1).cast("int"),
+        lit(1))
+    val k = (col("o_orderkey") * 3 + col("v")).cast("long")
+    val h1 = pmod(k * 48271L, lit(1048573L))
+    val h2 = pmod(k * 16807L + 7L, lit(1048573L))
+    val pows = Seq(1L, 20L, 400L, 8000L, 160000L)
+    t(spark, dir, "orders").where(col("o_orderkey") < 1400)
+      .select(col("o_orderkey"), explode(sequence(lit(0L), lit(2L))).as("v"))
+      .select(concat(
+        (pows.map(ch(h1, _)) ++ pows.map(ch(h2, _))): _*).as("text"))
+  }
+
+  def q269VocabMultiRound(spark: SparkSession, dir: String): DataFrame =
+    UnigramLm.trainVocabulary(vocabHashCorpus(spark, dir), "text",
+      targetVocab = 2048, rounds = 3, maxPieceLen = 4, topMulti = 4096,
+      maxWordLen = 20)
 
   // ---------------------------------------------------------------- Q248
   /** Hard-vs-soft EM COMPARISON on equal footing: one E+M round each

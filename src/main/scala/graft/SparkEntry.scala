@@ -302,6 +302,11 @@ object SparkEntry {
     "q264_filtered_ann" -> (Queries.q264FilteredAnn _),
     "q265_mor_ann_serve" -> (Queries.q265MorAnnServe _),
     "q266_stream_ann_fresh" -> (Queries.q266StreamAnnFresh _),
+    "q267_dim512_lakehouse" -> (Queries.q267Dim512Lakehouse _),
+    "q268_calibrated_budget" -> (Queries.q268CalibratedBudget _),
+    "q268b_calibrated_planted" -> (Queries.q268bCalibratedPlanted _),
+    "q269_vocab_multi_round" -> (Queries.q269VocabMultiRound _),
+    "q270_filtered_routed_ann" -> (Queries.q270FilteredRoutedAnn _),
     "q261_vocab_width" -> (Queries.q261VocabWidth _),
     "q261b_vocab_width_model" -> (Queries.q261bVocabWidthModel _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
@@ -631,8 +636,8 @@ object SparkEntry {
     * renderings under fixed key caps (see `Queries.vocabCorpus`) and a
     * parameterized multi-piece seed width.
     */
-  private def vocabWidthCtes(topMulti: Int): String =
-    s"""wrds AS MATERIALIZED (
+  private def vocabWidthCtes(topMulti: Int): String = vocabCtesOver(
+    """wrds AS MATERIALIZED (
       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
       |         CAST(length(w) AS BIGINT) AS len
       |  FROM (SELECT c_name AS w FROM customer WHERE c_custkey < 1500
@@ -640,7 +645,38 @@ object SparkEntry {
       |        SELECT 'Order#' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0')
       |        FROM orders WHERE o_orderkey < 1500)
       |  WHERE length(w) BETWEEN 1 AND 20
-      |  GROUP BY w),
+      |  GROUP BY w)""".stripMargin, topMulti)
+
+  /** q269's corpus: 4,200 distinct pseudo-random 10-char words — two
+    * multiplicative-hash limbs of k = 3·o_orderkey + v (v ∈ 0..2,
+    * o_orderkey < 1400 at every SF) rendered as base-20 letters.
+    * Injective integer arithmetic, so the words are unique and no
+    * tiling dominates (the anti-starvation construction —
+    * `Queries.vocabHashCorpus` replayed digit for digit).
+    */
+  private val hashWrdsCte: String = {
+    def limb(h: String): String =
+      (0 until 5).map { i =>
+        val p = Seq(1L, 20L, 400L, 8000L, 160000L)(i)
+        s"substr('abcdefghijklmnopqrst', CAST(($h // $p) % 20 + 1 AS INTEGER), 1)"
+      }.mkString(" || ")
+    s"""wrds AS MATERIALIZED (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+      |         CAST(length(w) AS BIGINT) AS len
+      |  FROM (SELECT ${limb("h1")} || ${limb("h2")} AS w
+      |        FROM (SELECT (o.o_orderkey * 3 + v.v) * 48271 % 1048573 AS h1,
+      |                     ((o.o_orderkey * 3 + v.v) * 16807 + 7)
+      |                       % 1048573 AS h2
+      |              FROM orders o
+      |              CROSS JOIN (SELECT CAST(unnest(generate_series(0, 2))
+      |                                      AS BIGINT) AS v) v
+      |              WHERE o.o_orderkey < 1400))
+      |  WHERE length(w) BETWEEN 1 AND 20
+      |  GROUP BY w)""".stripMargin
+  }
+
+  private def vocabCtesOver(wrdsCte: String, topMulti: Int): String =
+    s"""$wrdsCte,
       |cand AS MATERIALIZED (
       |  SELECT w, freq, len, sl >> 6 AS s, sl & 63 AS l,
       |         substr(w, CAST((sl >> 6) + 1 AS INTEGER),
@@ -974,8 +1010,15 @@ object SparkEntry {
        |$outName AS MATERIALIZED (
        |  SELECT f.vec_id, CAST(r.i // $dsub AS INTEGER) AS sub,
        |         CAST(r.i % $dsub AS INTEGER) AS pos,
-       |         round(CAST(sum(CAST(round(CAST(r.val AS DOUBLE) * f.val, 9)
-       |                              AS DECIMAL(20,9))) AS DOUBLE), 6) AS val
+       |         -- round the DECIMAL sum, not its double cast: the 9-dp
+       |         -- sum hits true half-way 7th decimals (~1/1000 of
+       |         -- components), where Spark's HALF_UP on the exact
+       |         -- decimal and DuckDB's scaled-binary double round
+       |         -- disagree by 1e-6 (caught by q267's exact rerank;
+       |         -- DuckDB decimal round = half away from zero = Spark
+       |         -- HALF_UP on both signs)
+       |         CAST(round(sum(CAST(round(CAST(r.val AS DOUBLE) * f.val, 9)
+       |                              AS DECIMAL(20,9))), 6) AS DOUBLE) AS val
        |  FROM $src f JOIN $rotName r ON r.j = f.fpos
        |  GROUP BY f.vec_id, r.i)""".stripMargin
   }
@@ -990,7 +1033,7 @@ object SparkEntry {
     * selected probe, pair-mass source rows, and the exact L2 top-5
     * ground truth over the same surface.
     */
-  private val adaptiveClusterCtes: String = adaptiveAuditCtes(
+  private val plantedFvcCte: String =
     """fvc AS MATERIALIZED (
       |  SELECT e.vec_id, p.p AS fpos,
       |         round(CAST(e.embedding[p.p + 1] AS DOUBLE) +
@@ -1003,7 +1046,8 @@ object SparkEntry {
       |                  THEN 1.0
       |                ELSE -1.0 END, 6) AS val
       |  FROM embeddings e,
-      |       (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS p) p)""".stripMargin)
+      |       (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS p) p)""".stripMargin
+  private val adaptiveClusterCtes: String = adaptiveAuditCtes(plantedFvcCte)
 
   /** The q260 construction: geometric (Zipf-ish) cluster mass via
     * `vec_id % 16` thresholds and a continuous blend position
@@ -1100,6 +1144,133 @@ object SparkEntry {
       |    FROM cva q JOIN cva c ON c.vec_id <> q.vec_id
       |    WHERE q.vec_id % 29 = 0 AND q.vec_id < 522)
       |  WHERE rn <= 5)""".stripMargin
+
+  /** q268/q268b's replay — the SELF-CALIBRATED budget: GT-pair list
+    * ranks + 6-dp margin ratios (`gtkc`), the fixed-2 list-coverage
+    * target, the needed-th order statistic of the GT ratios as the cap
+    * (`capc` — both engines take the VALUE at that rank), the budget as
+    * the count of ALL candidates at or under the cap (`budc`), then the
+    * q263 grant machinery spending exactly that budget, SQ8-tier ADC
+    * scoring, and the three-scheme readout carrying the COMPUTED
+    * `budget` / `ratio_cap` columns.
+    */
+  private def calibratedBudgetOracle(fvcCte: String): String =
+    s"""WITH ${adaptiveAuditCtes(fvcCte)},
+      |ratc AS (
+      |  SELECT q.vec_id, q.list, q.pr, CAST(b.d1 AS DOUBLE) AS d1,
+      |         CASE WHEN CAST(b.d1 AS DOUBLE) > 0
+      |              THEN round(CAST(q.d AS DOUBLE) / CAST(b.d1 AS DOUBLE), 6)
+      |         END AS ratio
+      |  FROM qpdc q JOIN (SELECT vec_id, d AS d1 FROM qpdc WHERE pr = 1) b
+      |    ON b.vec_id = q.vec_id
+      |  WHERE q.pr <= 4),
+      |gtkc AS (
+      |  SELECT e.q_id, e.vec_id, r.pr, r.ratio, r.d1
+      |  FROM exc e
+      |  JOIN lstc cl ON cl.vec_id = e.vec_id
+      |  JOIN ratc r ON r.vec_id = e.q_id AND r.list = cl.list),
+      |tgtc AS (SELECT count(*) AS t FROM gtkc WHERE pr <= 2),
+      |bsc AS (SELECT count(*) AS b FROM gtkc WHERE pr = 1),
+      |ndc AS (SELECT CASE WHEN (SELECT t FROM tgtc) > (SELECT b FROM bsc)
+      |                    THEN (SELECT t FROM tgtc) - (SELECT b FROM bsc)
+      |                    ELSE 0 END AS n),
+      |capc AS (
+      |  SELECT CASE WHEN (SELECT n FROM ndc) = 0 THEN CAST(1.0 AS DOUBLE)
+      |         ELSE (SELECT max(ratio) FROM (
+      |                 SELECT ratio,
+      |                        row_number() OVER (ORDER BY ratio ASC) AS rn
+      |                 FROM gtkc WHERE pr >= 2 AND d1 > 0)
+      |               WHERE rn <= (SELECT n FROM ndc)) END AS r),
+      |budc AS (
+      |  SELECT CASE WHEN (SELECT n FROM ndc) = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE (SELECT count(*) FROM ratc
+      |               WHERE pr >= 2 AND d1 > 0
+      |                 AND ratio <= (SELECT r FROM capc)) END AS b),
+      |grc AS (
+      |  SELECT vec_id, list,
+      |         row_number() OVER (ORDER BY ratio ASC, vec_id ASC, pr ASC)
+      |           AS grk
+      |  FROM ratc WHERE pr BETWEEN 2 AND 4 AND d1 > 0),
+      |qselk AS (
+      |  SELECT q.vec_id, q.list, (q.pr = 1) AS f1, (q.pr <= 2) AS f2,
+      |         (q.pr = 1 OR coalesce(g.grk, 1000000) <= (SELECT b FROM budc))
+      |           AS fc
+      |  FROM qpdc q LEFT JOIN grc g ON g.vec_id = q.vec_id
+      |                             AND g.list = q.list),
+      |qrvk AS MATERIALIZED (
+      |  SELECT f.vec_id, qs.list, qs.f1, qs.f2, qs.fc, f.fpos,
+      |         f.val - cc.val AS val
+      |  FROM fvc f JOIN qselk qs ON qs.vec_id = f.vec_id
+      |                          AND (qs.f2 OR qs.fc)
+      |  JOIN ccc cc ON cc.list = qs.list AND cc.fpos = f.fpos),
+      |pairsrck AS (
+      |  SELECT qs.f1, qs.f2, qs.fc
+      |  FROM qselk qs JOIN lstc cl ON cl.list = qs.list
+      |                            AND cl.vec_id <> qs.vec_id),
+      |sqstc AS MATERIALIZED (
+      |  SELECT fpos, min(val) AS mn, max(val) AS mx FROM rvc GROUP BY 1),
+      |sqdecc AS MATERIALIZED (
+      |  SELECT r.vec_id, r.list, r.fpos,
+      |         s.mn + CAST(CASE WHEN s.mx = s.mn THEN 0
+      |              ELSE least(greatest(CAST(round((r.val - s.mn)
+      |                                / (s.mx - s.mn) * 255.0) AS BIGINT),
+      |                                  0), 255) END AS DOUBLE)
+      |              * (s.mx - s.mn) / 255.0 AS dx
+      |  FROM rvc r JOIN sqstc s USING (fpos)),
+      |amk AS (
+      |  SELECT q.vec_id AS q_id, dc.vec_id, q.f1, q.f2, q.fc,
+      |         CAST(sum(CAST(round((q.val - dc.dx) * (q.val - dc.dx), 6)
+      |                       AS DECIMAL(18,6))) AS DOUBLE) AS d
+      |  FROM qrvk q JOIN sqdecc dc ON dc.list = q.list AND dc.fpos = q.fpos
+      |                            AND dc.vec_id <> q.vec_id
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |tk1 AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |           row_number() OVER (PARTITION BY q_id
+      |                              ORDER BY d ASC, vec_id ASC) AS rn
+      |    FROM amk WHERE f1) WHERE rn <= 5),
+      |tkc AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |           row_number() OVER (PARTITION BY q_id
+      |                              ORDER BY d ASC, vec_id ASC) AS rn
+      |    FROM amk WHERE fc) WHERE rn <= 5),
+      |tk2 AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |           row_number() OVER (PARTITION BY q_id
+      |                              ORDER BY d ASC, vec_id ASC) AS rn
+      |    FROM amk WHERE f2) WHERE rn <= 5),
+      |ngt AS (SELECT count(*) AS n FROM exc),
+      |nqc AS (SELECT count(DISTINCT vec_id) AS n FROM qpdc)
+      |SELECT 'fixed1' AS scheme,
+      |       (SELECT count(*) FROM qselk WHERE f1) AS probes,
+      |       (SELECT count(*) FROM pairsrck WHERE f1) AS pairs,
+      |       (SELECT count(*) FROM tk1 JOIN exc USING (q_id, vec_id)) AS hits,
+      |       (SELECT n FROM ngt) AS n_gt,
+      |       round(CAST((SELECT count(*) FROM tk1 JOIN exc USING (q_id, vec_id))
+      |                  AS DOUBLE) / CAST((SELECT n FROM ngt) AS DOUBLE), 6)
+      |         AS recall,
+      |       CAST(0 AS BIGINT) AS budget, CAST(NULL AS DOUBLE) AS ratio_cap
+      |UNION ALL
+      |SELECT 'calibrated',
+      |       (SELECT count(*) FROM qselk WHERE fc),
+      |       (SELECT count(*) FROM pairsrck WHERE fc),
+      |       (SELECT count(*) FROM tkc JOIN exc USING (q_id, vec_id)),
+      |       (SELECT n FROM ngt),
+      |       round(CAST((SELECT count(*) FROM tkc JOIN exc USING (q_id, vec_id))
+      |                  AS DOUBLE) / CAST((SELECT n FROM ngt) AS DOUBLE), 6),
+      |       (SELECT b FROM budc), (SELECT r FROM capc)
+      |UNION ALL
+      |SELECT 'fixed2',
+      |       (SELECT count(*) FROM qselk WHERE f2),
+      |       (SELECT count(*) FROM pairsrck WHERE f2),
+      |       (SELECT count(*) FROM tk2 JOIN exc USING (q_id, vec_id)),
+      |       (SELECT n FROM ngt),
+      |       round(CAST((SELECT count(*) FROM tk2 JOIN exc USING (q_id, vec_id))
+      |                  AS DOUBLE) / CAST((SELECT n FROM ngt) AS DOUBLE), 6),
+      |       (SELECT n FROM nqc), CAST(NULL AS DOUBLE)""".stripMargin
 
   /** The per-scheme top-5 + final three-row readout shared by the
     * adaptive-probe oracles: `am` is the scored (q_id, vec_id, flags,
@@ -1283,6 +1454,97 @@ object SparkEntry {
        |  FROM rrx)
        |WHERE rn <= 5""".stripMargin
   }
+
+  /** q267's replay — the dim-512 serving stack OVER the lakehouse
+    * table: the [[dim512ServingOracle]] chain with (a) the probe set
+    * chosen by the BUDGETED rule (extra probes to the globally
+    * smallest 6-dp margin ratios, exactly 10 of them — the q263 grant
+    * SQL at production dim), (b) the candidate side restricted to the
+    * SURVIVING corpus (`vec_id % 7 <> 1` — the MOR-deleted keys must
+    * never surface), and (c) the top-5 emitted under both regimes
+    * (`mor` / `materialized` — the delete-materialization pass must
+    * not change the read). The streamed-vs-batch encode identity needs
+    * no oracle clause: the oracle encodes the WHOLE corpus through one
+    * chain, so any drift between the manifest's snapshot half and its
+    * streamed half is a hash mismatch. The rerank is the FULLY-EXACT
+    * decimal fold (6-dp components cast to DECIMAL, diff/square/sum
+    * exact, one double cast at the end — no round() anywhere).
+    */
+  private def dim512LakehouseOracle(
+      blocks: Array[Array[Array[Double]]]): String =
+    s"""WITH ${dim512BaseCtes(blocks)},
+       |qdx AS (
+       |  SELECT f.vec_id, cc.list,
+       |         sum(CAST(round((f.val - cc.val) * (f.val - cc.val), 6)
+       |                  AS DECIMAL(18,6))) AS d
+       |  FROM fvx f JOIN ccx cc ON cc.fpos = f.fpos
+       |  WHERE f.vec_id % 97 = 0 AND f.vec_id < 2037
+       |  GROUP BY 1, 2),
+       |qpx AS (
+       |  SELECT vec_id, list, d,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY d ASC, list ASC) AS pr
+       |  FROM qdx),
+       |grx AS (
+       |  SELECT vec_id, list,
+       |         row_number() OVER (ORDER BY ratio ASC, vec_id ASC, pr ASC)
+       |           AS grk
+       |  FROM (SELECT q.vec_id, q.list, q.pr,
+       |               round(CAST(q.d AS DOUBLE) / CAST(b.d1 AS DOUBLE), 6)
+       |                 AS ratio
+       |        FROM qpx q
+       |        JOIN (SELECT vec_id, d AS d1 FROM qpx WHERE pr = 1) b
+       |          ON b.vec_id = q.vec_id
+       |        WHERE q.pr BETWEEN 2 AND 4 AND CAST(b.d1 AS DOUBLE) > 0)),
+       |qsx AS (
+       |  SELECT q.vec_id, q.list
+       |  FROM qpx q LEFT JOIN grx g ON g.vec_id = q.vec_id
+       |                            AND g.list = q.list
+       |  WHERE q.pr = 1 OR coalesce(g.grk, 1000000) <= 10),
+       |rqx AS (
+       |  SELECT f.vec_id, qp.list, CAST(f.fpos // 64 AS INTEGER) AS sub,
+       |         CAST(f.fpos % 64 AS INTEGER) AS pos, f.val - cc.val AS val
+       |  FROM fvx f JOIN qsx qp ON qp.vec_id = f.vec_id
+       |  JOIN ccx cc ON cc.list = qp.list AND cc.fpos = f.fpos),
+       |dqx AS (
+       |  SELECT rq.vec_id, rq.list, rq.sub, cb.code,
+       |         sum(CAST(round((rq.val - cb.val) * (rq.val - cb.val), 6)
+       |                  AS DECIMAL(18,6))) AS d
+       |  FROM rqx rq JOIN c2x cb ON cb.sub = rq.sub AND cb.pos = rq.pos
+       |  GROUP BY 1, 2, 3, 4),
+       |amx AS (
+       |  SELECT dq.vec_id AS q_id, a.vec_id,
+       |         round(CAST(sum(dq.d) AS DOUBLE), 6) AS dist
+       |  FROM a3x a JOIN lstx cl ON cl.vec_id = a.vec_id
+       |  JOIN dqx dq ON dq.list = cl.list AND dq.sub = a.sub
+       |             AND dq.code = a.code
+       |  WHERE a.vec_id <> dq.vec_id AND a.vec_id % 7 <> 1
+       |  GROUP BY 1, 2),
+       |candx AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY dist ASC, vec_id ASC) AS rn
+       |    FROM amx)
+       |  WHERE rn <= 20),
+       |rrx AS (
+       |  SELECT c.q_id, c.vec_id,
+       |         CAST(sum(CAST(
+       |           (CAST(q.val AS DECIMAL(12,6)) - CAST(x.val AS DECIMAL(12,6)))
+       |           * (CAST(q.val AS DECIMAL(12,6)) - CAST(x.val AS DECIMAL(12,6)))
+       |           AS DECIMAL(38,12))) AS DOUBLE) AS l2
+       |  FROM candx c
+       |  JOIN fvx q ON q.vec_id = c.q_id
+       |  JOIN fvx x ON x.vec_id = c.vec_id AND x.fpos = q.fpos
+       |  GROUP BY 1, 2),
+       |topx AS (
+       |  SELECT q_id, vec_id, l2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY l2 ASC, vec_id ASC) AS rn
+       |    FROM rrx)
+       |  WHERE rn <= 5)
+       |SELECT r.regime, t.q_id, t.vec_id, t.l2
+       |FROM topx t
+       |CROSS JOIN (VALUES ('mor'), ('materialized')) r(regime)""".stripMargin
 
   /** q259b's replay — the three-scheme probe audit AT DIM 512: the
     * shared base, per-query exact decimal list distances over the
@@ -2058,7 +2320,8 @@ object SparkEntry {
         (() => Queries.opqSpliceReady && Queries.blockOpqSpliceReady),
       "q253_dim512_serving" -> (() => Queries.x512SpliceReady),
       "q259_adaptive_dim512" -> (() => Queries.x512SpliceReady),
-      "q259b_dim512_probe_mass" -> (() => Queries.x512SpliceReady))
+      "q259b_dim512_probe_mass" -> (() => Queries.x512SpliceReady),
+      "q267_dim512_lakehouse" -> (() => Queries.x512SpliceReady))
     oracleSqlAll.filter { case (k, _) => gates.get(k).forall(_()) }
   }
 
@@ -2891,6 +3154,16 @@ object SparkEntry {
     // rotated-space ground truth over the fixed query sample
     "q259b_dim512_probe_mass" ->
       dim512AuditOracle(Queries.lastX512Blocks()),
+    // the two serving capstones composed: the dim-512 stack OVER the
+    // manifest lakehouse — budgeted probe (10 grants), MOR-deleted keys
+    // excluded from the candidate side, both maintenance regimes pinned
+    "q267_dim512_lakehouse" ->
+      dim512LakehouseOracle(Queries.lastX512Blocks()),
+    // SELF-CALIBRATING budget: the spend computed from the measured
+    // margin distribution vs the fixed-2 list-coverage target, on the
+    // Zipf/continuous-margin surface and the planted surface
+    "q268_calibrated_budget" -> calibratedBudgetOracle(zipfFvcCte),
+    "q268b_calibrated_planted" -> calibratedBudgetOracle(plantedFvcCte),
     // raw-residual vs OPQ-residual IVFADC recall@5 against one exact
     // raw-space ground truth — the rotation's end-to-end delta
     "q227_opq_recall" -> opqRecallOracle(Queries.lastOpqRotation()),
@@ -3281,6 +3554,136 @@ object SparkEntry {
         |       (SELECT n FROM ngt),
         |       (SELECT n FROM ngt),
         |       CAST(1.0 AS DOUBLE)""".stripMargin,
+    // q264's surface under the PLAN-TIME CHOOSER: two counts-only CTEs
+    // per plan (priced pairs, min per-query filtered candidates), the
+    // eligibility floor (min_cands >= 5), cheapest-eligible chosen —
+    // the CHOICE itself is replayed, not just the probes
+    "q270_filtered_routed_ann" ->
+      s"""WITH $sq8LstrSql,
+        |$sq8FvqSql,
+        |$sq8ResidSql,
+        |qdcf AS (
+        |  SELECT f.vec_id, c.list,
+        |         sum(CAST(round((f.x - c.cv) * (f.x - c.cv), 6)
+        |                  AS DECIMAL(18,6))) AS d
+        |  FROM fvq f JOIN cent c ON c.p = f.p
+        |  WHERE f.vec_id % 97 = 0 AND f.vec_id < 2000
+        |  GROUP BY 1, 2),
+        |qsel AS (
+        |  SELECT vec_id, list, (pr = 1) AS f1, (pr <= 2) AS f2,
+        |         (pr <= 4) AS f4
+        |  FROM (SELECT vec_id, list,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY d ASC, list ASC) AS pr
+        |        FROM qdcf)),
+        |qrvf AS (
+        |  SELECT qf.vec_id, qs.list, qs.f1, qs.f2, qs.f4, qf.p,
+        |         qf.x - c.cv AS x
+        |  FROM fvq qf JOIN qsel qs ON qs.vec_id = qf.vec_id
+        |  JOIN cent c ON c.list = qs.list AND c.p = qf.p),
+        |fsc AS (
+        |  SELECT q.vec_id AS q_id, dc.vec_id, q.f1, q.f2, q.f4,
+        |         CAST(sum(CAST(round((q.x - dc.dx) * (q.x - dc.dx), 6)
+        |                       AS DECIMAL(18,6))) AS DOUBLE) AS d
+        |  FROM qrvf q JOIN rdec dc ON dc.p = q.p AND dc.list = q.list
+        |                          AND dc.vec_id <> q.vec_id
+        |  JOIN embeddings e ON e.vec_id = dc.vec_id AND e.label = 3
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |ft1 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id
+        |                              ORDER BY d ASC, vec_id ASC) AS rn
+        |    FROM fsc WHERE f1) WHERE rn <= 5),
+        |ft2 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id
+        |                              ORDER BY d ASC, vec_id ASC) AS rn
+        |    FROM fsc WHERE f2) WHERE rn <= 5),
+        |ft4 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id
+        |                              ORDER BY d ASC, vec_id ASC) AS rn
+        |    FROM fsc WHERE f4) WHERE rn <= 5),
+        |flst AS (SELECT l.vec_id, l.list FROM lst l
+        |         JOIN embeddings e ON e.vec_id = l.vec_id AND e.label = 3),
+        |pairsf AS (
+        |  SELECT qs.f1, qs.f2, qs.f4
+        |  FROM qsel qs JOIN flst cl ON cl.list = qs.list
+        |                           AND cl.vec_id <> qs.vec_id),
+        |exd AS (
+        |  SELECT qf.vec_id AS q_id, cf.vec_id,
+        |         CAST(sum(CAST(round((qf.x - cf.x) * (qf.x - cf.x), 6)
+        |                       AS DECIMAL(18,6))) AS DOUBLE) AS d
+        |  FROM fvq qf JOIN fvq cf ON cf.p = qf.p AND cf.vec_id <> qf.vec_id
+        |  JOIN embeddings e ON e.vec_id = cf.vec_id AND e.label = 3
+        |  WHERE qf.vec_id % 97 = 0 AND qf.vec_id < 2000
+        |  GROUP BY 1, 2),
+        |exf AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id
+        |                              ORDER BY d ASC, vec_id ASC) AS rn
+        |    FROM exd) WHERE rn <= 5),
+        |ngt AS (SELECT count(*) AS n FROM exf),
+        |qn AS (SELECT count(DISTINCT vec_id) AS n FROM qsel),
+        |fn AS (SELECT count(*) AS n FROM embeddings WHERE label = 3),
+        |sfq AS (SELECT count(*) AS n FROM embeddings
+        |        WHERE label = 3 AND vec_id % 97 = 0 AND vec_id < 2000),
+        |fcnt AS (SELECT list, count(*) AS nf FROM flst GROUP BY 1),
+        |candqs AS (
+        |  SELECT qs.vec_id,
+        |         sum(CASE WHEN qs.f1 THEN coalesce(fc.nf, 0) ELSE 0 END)
+        |           - max(CASE WHEN qs.f1 AND fl.vec_id IS NOT NULL
+        |                 THEN 1 ELSE 0 END) AS c1,
+        |         sum(CASE WHEN qs.f2 THEN coalesce(fc.nf, 0) ELSE 0 END)
+        |           - max(CASE WHEN qs.f2 AND fl.vec_id IS NOT NULL
+        |                 THEN 1 ELSE 0 END) AS c2,
+        |         sum(CASE WHEN qs.f4 THEN coalesce(fc.nf, 0) ELSE 0 END)
+        |           - max(CASE WHEN qs.f4 AND fl.vec_id IS NOT NULL
+        |                 THEN 1 ELSE 0 END) AS c4
+        |  FROM qsel qs
+        |  LEFT JOIN fcnt fc ON fc.list = qs.list
+        |  LEFT JOIN flst fl ON fl.vec_id = qs.vec_id AND fl.list = qs.list
+        |  GROUP BY 1),
+        |minsq AS (SELECT CAST(min(c1) AS BIGINT) AS m1,
+        |                 CAST(min(c2) AS BIGINT) AS m2,
+        |                 CAST(min(c4) AS BIGINT) AS m4
+        |          FROM candqs),
+        |rowsq AS (
+        |  SELECT 'ivf1' AS plan,
+        |         (SELECT count(*) FROM qsel WHERE f1) AS probes,
+        |         (SELECT count(*) FROM pairsf WHERE f1) AS pairs,
+        |         (SELECT m1 FROM minsq) AS min_cands,
+        |         (SELECT count(*) FROM ft1 JOIN exf USING (q_id, vec_id))
+        |           AS hits
+        |  UNION ALL
+        |  SELECT 'ivf2', (SELECT count(*) FROM qsel WHERE f2),
+        |         (SELECT count(*) FROM pairsf WHERE f2),
+        |         (SELECT m2 FROM minsq),
+        |         (SELECT count(*) FROM ft2 JOIN exf USING (q_id, vec_id))
+        |  UNION ALL
+        |  SELECT 'ivf4', (SELECT count(*) FROM qsel WHERE f4),
+        |         (SELECT count(*) FROM pairsf WHERE f4),
+        |         (SELECT m4 FROM minsq),
+        |         (SELECT count(*) FROM ft4 JOIN exf USING (q_id, vec_id))
+        |  UNION ALL
+        |  SELECT 'brute', (SELECT n FROM qn),
+        |         (SELECT n FROM qn) * (SELECT n FROM fn) - (SELECT n FROM sfq),
+        |         (SELECT n FROM fn)
+        |           - CASE WHEN (SELECT n FROM sfq) > 0 THEN 1 ELSE 0 END,
+        |         (SELECT n FROM ngt))
+        |SELECT plan, probes, pairs, min_cands,
+        |       (min_cands >= 20) AS eligible,
+        |       (min_cands >= 20 AND pairs = coalesce(
+        |          (SELECT min(pairs) FROM rowsq WHERE min_cands >= 20),
+        |          -9223372036854775808)) AS chosen,
+        |       hits, (SELECT n FROM ngt) AS n_gt,
+        |       round(CAST(hits AS DOUBLE)
+        |             / CAST((SELECT n FROM ngt) AS DOUBLE), 6) AS recall
+        |FROM rowsq""".stripMargin,
     // ANN serving over the manifest codes table with MOR deletes: the
     // probe reads through the tombstone overlay, so the oracle is the
     // nProbe=2 ADC top-5 over the SURVIVING corpus (vec_id % 7 <> 1),
@@ -3647,6 +4050,98 @@ object SparkEntry {
         |SELECT CAST(2 AS BIGINT) AS round,
         |       (SELECT CAST(count(*) AS BIGINT) FROM kept2) AS n_vocab,
         |       (SELECT ll FROM ll2) AS corpus_ll""".stripMargin,
+    // THREE prune rounds at the 2048 target over the anti-starvation
+    // hash-word corpus: lattice -> 6-dp mass prune -> cost re-estimate,
+    // chained, corpus ll reported per round (the q251 prune machinery
+    // at q261's width, one more round)
+    "q269_vocab_multi_round" ->
+      s"""WITH ${vocabCtesOver(hashWrdsCte, 4096)},
+        |${unigramSoftDp("vocab", "")},
+        |ll1 AS (SELECT round(CAST(sum(
+        |          CAST(round(ln(alpha[CAST(len + 1 AS INTEGER)]), 6)
+        |               AS DECIMAL(18,6)) * freq) AS DOUBLE), 6) AS ll
+        |        FROM salph),
+        |sng1 AS (
+        |  SELECT v.piece,
+        |         greatest(coalesce(round(CAST(s.scnt AS DOUBLE), 6),
+        |                           CAST(0.0 AS DOUBLE)),
+        |                  CAST(0.000001 AS DOUBLE)) AS cnt
+        |  FROM vocab v LEFT JOIN scnt s USING (piece)
+        |  WHERE length(v.piece) = 1),
+        |mul1 AS (
+        |  SELECT piece, sc AS cnt FROM (
+        |    SELECT piece, round(CAST(scnt AS DOUBLE), 6) AS sc,
+        |           row_number() OVER (ORDER BY round(CAST(scnt AS DOUBLE), 6)
+        |                              DESC, piece ASC) AS rn
+        |    FROM scnt
+        |    WHERE length(piece) > 1 AND round(CAST(scnt AS DOUBLE), 6) > 0)
+        |  WHERE rn <= 2048 - (SELECT count(*) FROM sng1)),
+        |kept1 AS (SELECT * FROM sng1 UNION ALL SELECT * FROM mul1),
+        |kt1 AS (SELECT sum(CAST(cnt AS DECIMAL(28,6))) AS tot FROM kept1),
+        |pv2 AS MATERIALIZED (
+        |  SELECT piece,
+        |         CAST(round((ln(CAST((SELECT tot FROM kt1) AS DOUBLE))
+        |                     - ln(cnt)) * 1000000.0) AS BIGINT) AS icost
+        |  FROM kept1),
+        |${unigramSoftDp("pv2", "2")},
+        |ll2 AS (SELECT round(CAST(sum(
+        |          CAST(round(ln(alpha[CAST(len + 1 AS INTEGER)]), 6)
+        |               AS DECIMAL(18,6)) * freq) AS DOUBLE), 6) AS ll
+        |        FROM salph2),
+        |sng2 AS (
+        |  SELECT v.piece,
+        |         greatest(coalesce(round(CAST(s.scnt AS DOUBLE), 6),
+        |                           CAST(0.0 AS DOUBLE)),
+        |                  CAST(0.000001 AS DOUBLE)) AS cnt
+        |  FROM pv2 v LEFT JOIN scnt2 s USING (piece)
+        |  WHERE length(v.piece) = 1),
+        |mul2 AS (
+        |  SELECT piece, sc AS cnt FROM (
+        |    SELECT piece, round(CAST(scnt AS DOUBLE), 6) AS sc,
+        |           row_number() OVER (ORDER BY round(CAST(scnt AS DOUBLE), 6)
+        |                              DESC, piece ASC) AS rn
+        |    FROM scnt2
+        |    WHERE length(piece) > 1 AND round(CAST(scnt AS DOUBLE), 6) > 0)
+        |  WHERE rn <= 2048 - (SELECT count(*) FROM sng2)),
+        |kept2 AS (SELECT * FROM sng2 UNION ALL SELECT * FROM mul2),
+        |kt2 AS (SELECT sum(CAST(cnt AS DECIMAL(28,6))) AS tot FROM kept2),
+        |pv3 AS MATERIALIZED (
+        |  SELECT piece,
+        |         CAST(round((ln(CAST((SELECT tot FROM kt2) AS DOUBLE))
+        |                     - ln(cnt)) * 1000000.0) AS BIGINT) AS icost
+        |  FROM kept2),
+        |${unigramSoftDp("pv3", "3")},
+        |ll3 AS (SELECT round(CAST(sum(
+        |          CAST(round(ln(alpha[CAST(len + 1 AS INTEGER)]), 6)
+        |               AS DECIMAL(18,6)) * freq) AS DOUBLE), 6) AS ll
+        |        FROM salph3),
+        |sng3 AS (
+        |  SELECT v.piece,
+        |         greatest(coalesce(round(CAST(s.scnt AS DOUBLE), 6),
+        |                           CAST(0.0 AS DOUBLE)),
+        |                  CAST(0.000001 AS DOUBLE)) AS cnt
+        |  FROM pv3 v LEFT JOIN scnt3 s USING (piece)
+        |  WHERE length(v.piece) = 1),
+        |mul3 AS (
+        |  SELECT piece, sc AS cnt FROM (
+        |    SELECT piece, round(CAST(scnt AS DOUBLE), 6) AS sc,
+        |           row_number() OVER (ORDER BY round(CAST(scnt AS DOUBLE), 6)
+        |                              DESC, piece ASC) AS rn
+        |    FROM scnt3
+        |    WHERE length(piece) > 1 AND round(CAST(scnt AS DOUBLE), 6) > 0)
+        |  WHERE rn <= 2048 - (SELECT count(*) FROM sng3)),
+        |kept3 AS (SELECT * FROM sng3 UNION ALL SELECT * FROM mul3)
+        |SELECT CAST(1 AS BIGINT) AS round,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM kept1) AS n_vocab,
+        |       (SELECT ll FROM ll1) AS corpus_ll
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS round,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM kept2) AS n_vocab,
+        |       (SELECT ll FROM ll2) AS corpus_ll
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT) AS round,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM kept3) AS n_vocab,
+        |       (SELECT ll FROM ll3) AS corpus_ll""".stripMargin,
     // hard vs soft on equal footing: one E+M round each from the same
     // seed, both re-estimated models Viterbi-segment the same corpus
     "q248_hard_vs_soft_tokenizer" ->

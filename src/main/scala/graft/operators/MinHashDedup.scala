@@ -364,8 +364,14 @@ object MinHashDedup {
     */
   private def incrementalCore(storeSigs: DataFrame, newSigs: DataFrame,
       toBuckets: DataFrame => DataFrame,
-      threshold: Double, maxBucketSize: Int): DataFrame = {
-    val allBuckets = toBuckets(storeSigs).unionByName(toBuckets(newSigs))
+      threshold: Double, maxBucketSize: Int,
+      storeBuckets: DataFrame = null): DataFrame = {
+    // a deployed store keeps its band index MATERIALIZED at ingest (the
+    // stored-sidecar discipline) — re-folding the whole store's bands on
+    // every arriving batch is O(store) work the incremental pass exists
+    // to avoid; callers without a stored index still get the fold
+    val sb = if (storeBuckets != null) storeBuckets else toBuckets(storeSigs)
+    val allBuckets = sb.unionByName(toBuckets(newSigs))
     val oversized = allBuckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bs"))
       .where(col("bs") > maxBucketSize)
@@ -435,15 +441,31 @@ object MinHashDedup {
   def portableIncrementalVerifiedPairs(
       storeSigs: DataFrame, batch: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 16, bands: Int = 8, shingleN: Int = 3,
-      maxBucketSize: Int = 1000, seed: Long = 7L): DataFrame = {
+      maxBucketSize: Int = 1000, seed: Long = 7L,
+      storeIndex: DataFrame = null): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val newSigs = portableSignatures(batch, idCol, textCol, numHashes, shingleN, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     newSigs.count()
     val out = incrementalCore(storeSigs, newSigs,
-      portableBandBuckets(_, bands, numHashes / bands), threshold, maxBucketSize)
+      portableBandBuckets(_, bands, numHashes / bands), threshold, maxBucketSize,
+      storeBuckets = storeIndex)
     newSigs.unpersist() // out is materialized pair-sized by the core
     out
+  }
+
+  /** The signature store's band-bucket index `(id, band, bucket)` in the
+    * portable hash space — MATERIALIZE this at store-ingest time (one
+    * row per (doc, band)) so each arriving batch pays only ITS OWN band
+    * fold plus the bucket equi-join; re-deriving the store's bands per
+    * batch is O(store) work that defeats the incremental contract at
+    * 100 TB. Feed back via `storeIndex` on
+    * [[portableIncrementalVerifiedPairs]].
+    */
+  def portableBandIndex(storeSigs: DataFrame,
+      numHashes: Int = 16, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    portableBandBuckets(storeSigs, bands, numHashes / bands)
   }
 
   /** EXACT n-gram-Jaccard near-dup pairs via prefix-filtered inverted-index

@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal (image/audio/video) column plumbing.
   *
   * Media travels as an opaque `binary` payload column plus typed metadata —
-  * the schema/partitioning/batching is real and tested; the actual codec
-  * work is STUBBED (this container ships no image/audio libraries) behind
-  * [[MediaCodec]], with a deterministic fake so tests can assert the
-  * pipeline end to end.
+  * the schema/partitioning/batching is real and tested. Codec work runs on
+  * REAL JDK codecs behind [[MediaCodec]] (`javax.imageio` PNG decode,
+  * `javax.sound.sampled` WAV decode, a self-contained MJPEG-AVI frame
+  * splitter — see [[ImageIoCodec]]/[[WavCodec]]/[[AviCodec]] below); a
+  * deterministic synthetic fake remains available so specs can pin the
+  * pipeline shape without fixture files.
   *
   * Scale notes: payloads never pass through a shuffle here — metadata
   * extraction is a narrow projection; decode is `mapPartitions` so a real

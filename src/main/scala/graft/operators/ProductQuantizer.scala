@@ -922,6 +922,78 @@ object ProductQuantizer {
     queries.join(probeSet, Seq(idCol))
   }
 
+  /** SELF-CALIBRATING probe budget — closes the q255/q260/q263
+    * three-point finding (a fixed ratio threshold's value is governed
+    * entirely by where the corpus's margin distribution sits; a
+    * hand-picked budget is just the same guess moved one rung): derive
+    * [[probeListsBudgeted]]'s spend FROM the audit sample's measured
+    * margin distribution against a STATED coverage target, with
+    * counts-only aggregations.
+    *
+    * Target: match fixed-2's LIST COVERAGE on the audit sample — the
+    * number of exact-ground-truth pairs whose true neighbor's list is
+    * ranked 1 or 2 for its query. Coverage is the counts-only upper
+    * bound on any probe scheme's recall (a neighbor can only be found
+    * if its list is probed), so it is measurable from the audit's GT
+    * id pairs and the ranked centroid distances alone — no probe runs.
+    *
+    * Rule: a GT pair whose list ranks k ∈ [2, maxProbe] is covered at
+    * ratio cap r iff its 6-dp margin ratio d_k/d₁ ≤ r (rank-1 pairs
+    * are always covered; d₁ = 0 queries take no grants — their routing
+    * is not ambiguous). The cap is the smallest observed GT ratio
+    * whose coverage meets the target (the needed-th order statistic of
+    * the GT ratios — both engines take the VALUE at that rank, tie-
+    * stable), and the budget is the count of ALL (query, k) candidates
+    * at or under the cap — exactly the set [[probeListsBudgeted]]'s
+    * (ratio, id, k)-ordered limit grants. Note the calibrated router
+    * buys coverage by AMBIGUITY, not by rank: it may cover a
+    * different (deeper-ranked, tighter-margin) GT pair than the
+    * uniform fixed-2 rule while meeting the same count.
+    *
+    * Returns (ratioCap, extraBudget); driver state is three scalars.
+    * When the target is already met by the rank-1 lists alone, returns
+    * (1.0, 0) — spend nothing.
+    */
+  def calibrateProbeBudget(queries: DataFrame, idCol: String, vecCol: String,
+      cents: Map[Int, Array[Double]], dim: Int, maxProbe: Int,
+      gt: DataFrame, corpusLists: DataFrame): (Double, Int) = {
+    require(maxProbe >= 2 && maxProbe <= cents.size,
+      s"maxProbe=$maxProbe must be in [2, ${cents.size}]")
+    val v = col(vecCol).cast("array<double>")
+    val ranked = array_sort(array(cents.toSeq.sortBy(_._1).map { case (l, c) =>
+      struct(distToCentroid(v, 0, dim, c).as("d"), lit(l).as("list"))
+    }: _*))
+    // one evaluation of the ranked fold per query row; every count
+    // below reads this bounded (|sample| × maxProbe) table
+    val kr = Parallelism.ensureCompute(queries)
+      .select(col(idCol).as("q_id"), ranked.as("__rk"))
+      .select(col("q_id"),
+        element_at(col("__rk"), 1).getField("d").cast("double").as("__d1"),
+        posexplode(slice(col("__rk"), 1, maxProbe)))
+      .select(col("q_id"), col("__d1"), (col("pos") + 1).as("k"),
+        col("col").getField("list").as("list"),
+        round(col("col").getField("d").cast("double") /
+          when(col("__d1") > 0.0, col("__d1")), 6).as("ratio"))
+      .localCheckpoint()
+    val gtk = gt.select(col("q_id"), col("vec_id"))
+      .join(corpusLists.select(col("vec_id"), col("list")), Seq("vec_id"))
+      .join(kr, Seq("q_id", "list"))
+    val target = gtk.where(col("k") <= 2).count()
+    val base = gtk.where(col("k") === 1).count()
+    val needed = math.max(target - base, 0L)
+    if (needed == 0L) (1.0, 0)
+    else {
+      val cap = gtk
+        .where(col("k") >= 2 && col("__d1") > 0.0)
+        .orderBy(col("ratio").asc).limit(needed.toInt)
+        .agg(max(col("ratio"))).head().getDouble(0)
+      val budget = kr
+        .where(col("k") >= 2 && col("__d1") > 0.0 && col("ratio") <= cap)
+        .count()
+      (cap, budget.toInt)
+    }
+  }
+
   /** Price an [[adcTopK]] `withinCol` probe BEFORE running it: per
     * coarse list, query count × code count = the ADC pair mass that
     * list will generate (each pair costs m LUT lookups). The q126b/q202

@@ -68,6 +68,37 @@ object Similarity {
     (if (n <= bruteThreshold) "brute" else "ivf", n)
   }
 
+  /** COUNTS-ONLY plan chooser for filtered vector search — the
+    * [[filteredAnnPlan]] decision generalized to a widened-probe
+    * ladder: each candidate plan arrives as `(name, pricedPairs,
+    * minCandidatesPerQuery)`, both numbers measurable from partial
+    * aggregations BEFORE any scoring work (the probeMassReport
+    * discipline). A plan is ELIGIBLE iff every query retains at least
+    * `minPool` filtered candidates in its probed lists. The caller
+    * states `minPool` as a HEADROOM multiple of k (the q270 policy:
+    * 4·k): merely seating a top-k is not enough — a pool of exactly k
+    * would make the lossy-ranked ADC probe a coin-ordered copy of
+    * itself, and the q264 measurement shows recall collapsing (0.17 at
+    * fixed-1 under a 10% filter) long before the pool is literally too
+    * small to answer. CHOSEN = eligible with minimal priced pair mass;
+    * equal-minimal plans are ALL flagged (at few coarse lists the
+    * exhaustive-width probe and brute converge to the same mass — the
+    * rule is a pure function of the counts, so both engines make the
+    * same choice, no tie-break coin to flip). Returns
+    * `(name, pairs, minCands, eligible, chosen)` per plan.
+    */
+  def choosePlans(plans: Seq[(String, Long, Long)], minPool: Int)
+      : Seq[(String, Long, Long, Boolean, Boolean)] = {
+    require(plans.nonEmpty, "choosePlans: no candidate plans")
+    require(minPool >= 1, s"choosePlans: minPool must be >= 1, got $minPool")
+    val withElig = plans.map { case (n, pairs, minC) =>
+      (n, pairs, minC, minC >= minPool)
+    }
+    val eligPairs = withElig.collect { case (_, p, _, true) => p }
+    val minElig = if (eligPairs.isEmpty) Long.MinValue else eligPairs.min
+    withElig.map { case (n, p, m, e) => (n, p, m, e, e && p == minElig) }
+  }
+
   /** Sparse Johnson–Lindenstrauss random projection (Achlioptas 2003,
     * "Database-friendly random projections"): each of the `targetDim`
     * output coordinates is `Σ_i vec[i]·s(i,j)` with `s(i,j)` drawn

@@ -384,6 +384,50 @@ object Streams {
       withList, batchId)
   }
 
+  /** [[streamingPqIngest]] for a RESIDUAL (IVFADC) index over an
+    * optionally block-rotated space — the arrival half of the dim-512
+    * block-OPQ lakehouse lifecycle: each micro-batch of RAW vectors is
+    * rotated with the index's FROZEN per-block sub-rotations (map-only;
+    * arrivals must live in the rotated space the router, centroids, and
+    * codebooks were trained in), routed with the frozen `listOf`,
+    * residual-projected against the FROZEN per-list centroids, product-
+    * encoded with the FROZEN residual codebooks, and appended
+    * exactly-once (`txn = (queryName, batchId)` through the manifest
+    * ledger) — the streamed encode path IS the batch encode path by
+    * construction, so a streamed vector is probe-visible at commit with
+    * no compaction wait and no index drift. After a reindex swap the
+    * caller restarts the sink with the new (blocks, cents, books)
+    * triple — the three artifacts version together.
+    */
+  def streamingIvfPqResidualIngest(tableRoot: String, queryName: String,
+      idCol: String, vecCol: String,
+      cents: Map[Int, Array[Double]],
+      books: graft.operators.ProductQuantizer.Codebooks, dim: Int,
+      listOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      blocks: Array[Array[Array[Double]]] = null,
+      statsCols: Seq[String] = Nil)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val inSpace = if (blocks == null) batch.select(col(idCol),
+        col(vecCol).cast("array<double>").as(vecCol))
+      else batch.select(col(idCol),
+        graft.operators.ProductQuantizer.rotatedBlocks(
+          col(vecCol).cast("array<double>"), blocks).as(vecCol))
+    // batch-sized barrier BEFORE the encode (the adcTopK CollapseProject
+    // discipline): inlined into the m·ksub argmin projection, the dim²-
+    // term rotation fold would re-evaluate once per centroid reference —
+    // a 100× blow-up at production dim. A micro-batch is bounded by
+    // contract, so the checkpoint is batch-sized.
+    val routed = graft.operators.Parallelism.ensureCompute(
+      inSpace.withColumn("list", listOf(col(vecCol)))).localCheckpoint()
+    val resid = graft.operators.ProductQuantizer.residuals(
+      routed, vecCol, "list", cents)
+    graft.operators.ManifestTable.streamInto(tableRoot, queryName, statsCols)(
+      graft.operators.ProductQuantizer.encode(resid, idCol, "resid", books,
+        dim, carryCols = Seq("list")),
+      batchId)
+  }
+
   /** [[streamingPqIngest]] for an OPQ index — the arrival half of the
     * q226 lifecycle: each micro-batch is ROTATED with the index's
     * frozen R (map-only — arrivals must live in the same rotated space

@@ -67,6 +67,26 @@ class NearDupSpec extends SparkSuite {
     assert(ManifestTable.read(spark, root).count() == corpus.count())
   }
 
+  test("portable incremental pass with a stored band index == the store-refolding pass") {
+    // the 100 TB contract: the store's (id, band, bucket) index is an
+    // ingest-time artifact; feeding it back must change NOTHING about
+    // the pairs — same folds, same rows, just not re-derived per batch
+    val day1 = corpus.where($"doc_id".isin(1L, 4L))
+    val day2 = corpus.where(!$"doc_id".isin(1L, 4L))
+    val store = MinHashDedup.portableSignatures(day1, "doc_id", "text")
+      .localCheckpoint()
+    val idx = MinHashDedup.portableBandIndex(store).localCheckpoint()
+    def pairs(si: org.apache.spark.sql.DataFrame) =
+      MinHashDedup.portableIncrementalVerifiedPairs(
+          store, day2, "doc_id", "text", threshold = 0.5, storeIndex = si)
+        .select("idA", "idB").as[(Long, Long)].collect().toSet
+    val withIdx = pairs(idx)
+    val without = pairs(null)
+    assert(withIdx == without,
+      s"stored-index pass $withIdx must equal refolding pass $without")
+    assert(withIdx.nonEmpty, "fixture must surface at least one pair")
+  }
+
   test("streaming incremental dedup: per-batch incremental pairs accumulate to the one-shot set") {
     // the full daily loop, three arrivals: store seeded EMPTY (a 0-file
     // manifest commit — the cold-start edge), each batch finds its

@@ -725,6 +725,42 @@ class ProductQuantizerSpec extends SparkSuite {
       s"grants ${grants.map(_._1)} must be exactly the straddlers $straddlerQs")
   }
 
+  test("calibrateProbeBudget: cap is the needed-th GT ratio, budget counts all " +
+      "candidates under it, zero-needed spends nothing") {
+    // hand-built 1-D surface: three lists on a line, one confident query,
+    // one ambiguous toward list 1, one ambiguous toward list 0 but wider
+    val cents = Map(0 -> Array(0.0, 0.0), 1 -> Array(4.0, 0.0),
+      2 -> Array(8.0, 0.0))
+    val queries = Seq(
+      (1L, Seq(0.1, 0.0)), (2L, Seq(1.9, 0.0)), (3L, Seq(2.2, 0.0))
+    ).toDF("id", "vec")
+    val corpusLists = Seq((101L, 0), (102L, 1), (103L, 2))
+      .toDF("vec_id", "list")
+    val gt = Seq((1L, 101L), (2L, 102L), (3L, 103L)).toDF("q_id", "vec_id")
+    val (cap, budget) = ProductQuantizer.calibrateProbeBudget(
+      queries, "id", "vec", cents, dim = 2, maxProbe = 3, gt, corpusLists)
+    // target = GT with list rank <= 2 -> {q1 (rank 1), q2 (rank 2)} = 2;
+    // base = 1 (q1); needed = 1; GT k>=2 ratios: q2 4.41/3.61 = 1.221607,
+    // q3 (rank-3 list) 10.382716 -> cap is the 1st order statistic
+    assert(cap == 1.221607, s"cap $cap")
+    // candidates under the cap across ALL queries: exactly q2's second
+    // list (q3's smallest ratio is 4.84/3.24 = 1.493827 > cap)
+    assert(budget == 1, s"budget $budget")
+    // the granted probe set: q2 gains its pair list, nobody else pays
+    val probed = ProductQuantizer.probeListsBudgeted(
+      queries, "id", "vec", cents, dim = 2, maxProbe = 3, extraBudget = budget)
+      .select(col("id"), col("list")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(probed == Set((1L, 0), (2L, 0), (2L, 1), (3L, 1)), s"probed $probed")
+    // coverage target met: every GT pair fixed-2 would cover is covered
+    // (q1 via rank-1, q2 via the grant)
+    // zero-needed: GT all on rank-1 lists -> spend nothing, cap 1.0
+    val gt1 = Seq((1L, 101L), (2L, 101L), (3L, 102L)).toDF("q_id", "vec_id")
+    assert(ProductQuantizer.calibrateProbeBudget(
+      queries, "id", "vec", cents, dim = 2, maxProbe = 3, gt1, corpusLists)
+      == (1.0 -> 0))
+  }
+
   test("distToCentroid: fold and chain forms are value-equal on wide subspaces") {
     // dsub=20 > 16 takes the fixed-accumulator FOLD branch; the spec
     // replays the explicit chain (the dsub<=16 form, precision-growing

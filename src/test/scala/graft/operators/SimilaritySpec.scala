@@ -572,4 +572,28 @@ class SimilaritySpec extends SparkSuite {
       Similarity.filteredAnnPlan(emb, col("label") === 3, bruteThreshold = -1)
     }
   }
+
+  test("choosePlans: headroom floor gates eligibility, cheapest eligible wins, ties all flagged") {
+    // ivf1 cheap but starved; ivf2 eligible and cheapest; ivf4/brute tie
+    val plans = Seq(("ivf1", 50L, 8L), ("ivf2", 120L, 25L),
+      ("ivf4", 260L, 45L), ("brute", 260L, 45L))
+    val out = Similarity.choosePlans(plans, minPool = 20)
+    assert(out.map(p => p._1 -> p._4).toMap ==
+      Map("ivf1" -> false, "ivf2" -> true, "ivf4" -> true, "brute" -> true))
+    assert(out.map(p => p._1 -> p._5).toMap ==
+      Map("ivf1" -> false, "ivf2" -> true, "ivf4" -> false, "brute" -> false))
+    // equal-minimal eligible plans are ALL flagged (the deterministic tie)
+    val tied = Similarity.choosePlans(
+      Seq(("a", 100L, 30L), ("b", 100L, 40L), ("c", 200L, 50L)), minPool = 20)
+    assert(tied.filter(_._5).map(_._1) == Seq("a", "b"))
+    // nothing eligible: nothing chosen (never a fallback coin-flip)
+    val none = Similarity.choosePlans(Seq(("a", 1L, 3L)), minPool = 20)
+    assert(none.forall(p => !p._4 && !p._5))
+    intercept[IllegalArgumentException] {
+      Similarity.choosePlans(Seq.empty, minPool = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.choosePlans(plans, minPool = 0)
+    }
+  }
 }

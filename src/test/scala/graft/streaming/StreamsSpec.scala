@@ -741,6 +741,44 @@ class StreamsSpec extends SparkSuite {
       "stream-ingested OPQ codes must equal the one-shot rotated batch encode")
   }
 
+  test("streaming IVF-PQ residual ingest: frozen blocks/router/centroids/books; replay-safe; equals batch") {
+    import graft.operators.{ManifestTable, ProductQuantizer}
+    val root = Files.createTempDirectory("graft_stream_ivfpqr").resolve("t").toString
+    // cross-correlated within blocks so the block rotation is non-trivial
+    def vecs(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val t = (i % 4) * 10.0
+      val s = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, Array(t + s, (i % 3) / 100.0, t - s, (i % 5) / 100.0,
+        -t + s, (i % 7) / 100.0, -t - s, (i % 11) / 100.0))
+    }.toDF("id", "vec")
+    val (blocks, _) = ProductQuantizer.trainBlockRotation(vecs(0, 64), "id", "vec",
+      m = 2, ksub = 2, dim = 8, nBlocks = 2, alternations = 1, lloydIters = 1)
+    val rotAll = vecs(0, 80).select(col("id"),
+      ProductQuantizer.rotatedBlocks(col("vec"), blocks).as("vec"))
+      .localCheckpoint()
+    val listOf = (v: org.apache.spark.sql.Column) =>
+      when(element_at(v, 1) >= element_at(v, 5), 0).otherwise(1)
+    val routed = rotAll.withColumn("list", listOf(col("vec")))
+    val cents = ProductQuantizer.coarseCentroids(routed, "vec", "list", 8)
+    val resid = ProductQuantizer.residuals(routed, "vec", "list", cents)
+    val books = ProductQuantizer.train(resid, "id", "resid",
+      m = 2, ksub = 2, dim = 8, iters = 1, saltPrefix = "sr")
+    val sink = Streams.streamingIvfPqResidualIngest(root, "ivfpqr_ingest",
+      "id", "vec", cents, books, dim = 8, listOf = listOf, blocks = blocks,
+      statsCols = Seq("id")) _
+    sink(vecs(0, 40), 0L)
+    sink(vecs(40, 80), 1L)
+    sink(vecs(40, 80), 1L) // at-least-once replay: must be a no-op
+    val streamed = ManifestTable.read(spark, root)
+    val direct = ProductQuantizer.encode(resid, "id", "resid", books,
+      dim = 8, carryCols = Seq("list"))
+    assert(streamed.count() == 80,
+      s"replayed batch must not double-ingest: ${streamed.count()}")
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty,
+      "stream-ingested residual codes must equal the one-shot batch encode " +
+        "(frozen blocks -> router -> centroids -> codebooks)")
+  }
+
   test("codebook-staleness gate: live == batch, replay-stable, retrain flips on drift") {
     import graft.operators.{ProductQuantizer, QuantileSketch}
     val root = Files.createTempDirectory("graft_stream_stale").resolve("t").toString
