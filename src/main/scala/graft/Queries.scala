@@ -6679,6 +6679,54 @@ object Queries {
     mor.unionByName(mat)
   }
 
+  // ---------------------------------------------------------------- Q271
+  /** SELF-CALIBRATED budget AT PRODUCTION DIM — q268's calibration
+    * moved to where the capstone serves: the dim-512 block-OPQ
+    * residual tier. [[graft.operators.ProductQuantizer
+    * .calibrateProbeBudget]] derives the spend from the fixed audit
+    * sample's measured margin ratios against the fixed-2 list-coverage
+    * target (counts-only; GT from the per-dir exact rotated-space
+    * cache), then [[graft.operators.ProductQuantizer
+    * .probeListsBudgeted]] spends exactly that budget through the
+    * stride-128 router, residual ADC top-5 within probed lists. The
+    * q267 serving plan's budget stops being a literal: this entry
+    * pins the number the production router would compute, with
+    * `budget` and `ratio_cap` replayed by the oracle down to the
+    * order statistic that produced them.
+    */
+  def q271Dim512Calibrated(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, books, rot) = x512Parts(spark, dir)
+    val codes = x512Codes(spark, dir)
+    val queries = rot.where(col("vec_id") % 97 === 0 && col("vec_id") < 2037)
+    val corpusLists = rot.select(col("vec_id"),
+      x512ListOf(col("kvec")).as("list"))
+    val ex = x512ExactTop5(spark, dir)
+    val (cap, budget) = ProductQuantizer.calibrateProbeBudget(
+      queries, "vec_id", "kvec", cents, PqXDim, maxProbe = 4,
+      ex, corpusLists)
+    val nQ = queries.count()
+    probeSchemesAuditOf(spark, corpusLists, ex,
+      probed => ProductQuantizer.adcTopK(
+        ProductQuantizer.residuals(probed, "kvec", "list", cents),
+        "vec_id", "resid", codes, "vec_id", books,
+        dim = PqXDim, k = 5, withinCol = "list"),
+      Seq(
+        "fixed1" -> ProductQuantizer.probeLists(
+          queries, "kvec", cents, PqXDim, nProbe = 1),
+        "calibrated" -> ProductQuantizer.probeListsBudgeted(
+          queries, "vec_id", "kvec", cents, PqXDim,
+          maxProbe = 4, extraBudget = budget),
+        "fixed2" -> ProductQuantizer.probeLists(
+          queries, "kvec", cents, PqXDim, nProbe = 2)))
+      .withColumn("budget",
+        when(col("scheme") === "fixed1", lit(0L))
+          .when(col("scheme") === "calibrated", lit(budget.toLong))
+          .otherwise(lit(nQ)))
+      .withColumn("ratio_cap",
+        when(col("scheme") === "calibrated", lit(cap))
+          .otherwise(lit(null).cast("double")))
+  }
+
   // ---------------------------------------------------------------- Q222
   /** The FULL production IVFADC retrieval stack in one plan — every
     * round-7/8 ANN piece composed: multi-probe coarse pruning

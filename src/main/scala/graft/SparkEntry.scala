@@ -306,6 +306,7 @@ object SparkEntry {
     "q268_calibrated_budget" -> (Queries.q268CalibratedBudget _),
     "q268b_calibrated_planted" -> (Queries.q268bCalibratedPlanted _),
     "q269_vocab_multi_round" -> (Queries.q269VocabMultiRound _),
+    "q271_dim512_calibrated" -> (Queries.q271Dim512Calibrated _),
     "q270_filtered_routed_ann" -> (Queries.q270FilteredRoutedAnn _),
     "q261_vocab_width" -> (Queries.q261VocabWidth _),
     "q261b_vocab_width_model" -> (Queries.q261bVocabWidthModel _),
@@ -1546,6 +1547,154 @@ object SparkEntry {
        |FROM topx t
        |CROSS JOIN (VALUES ('mor'), ('materialized')) r(regime)""".stripMargin
 
+  /** q271's replay — the SELF-CALIBRATED budget at dim 512: the
+    * [[calibratedBudgetOracle]] machinery over the [[dim512BaseCtes]]
+    * chain (fixed sample's ranked list distances, GT-pair ratios from
+    * the exact rotated-space top-5, the needed-th order statistic as
+    * the cap, the budget as all candidates at or under it, grants by
+    * the q263 rule, residual ADC top-5 within the probed lists).
+    */
+  private def dim512CalibratedOracle(
+      blocks: Array[Array[Array[Double]]]): String =
+    s"""WITH ${dim512BaseCtes(blocks)},
+       |qdx AS (
+       |  SELECT f.vec_id, cc.list,
+       |         sum(CAST(round((f.val - cc.val) * (f.val - cc.val), 6)
+       |                  AS DECIMAL(18,6))) AS d
+       |  FROM fvx f JOIN ccx cc ON cc.fpos = f.fpos
+       |  WHERE f.vec_id % 97 = 0 AND f.vec_id < 2037
+       |  GROUP BY 1, 2),
+       |qpx AS (
+       |  SELECT vec_id, list, d,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY d ASC, list ASC) AS pr
+       |  FROM qdx),
+       |ratx AS (
+       |  SELECT q.vec_id, q.list, q.pr, CAST(b.d1 AS DOUBLE) AS d1,
+       |         CASE WHEN CAST(b.d1 AS DOUBLE) > 0
+       |              THEN round(CAST(q.d AS DOUBLE) / CAST(b.d1 AS DOUBLE), 6)
+       |         END AS ratio
+       |  FROM qpx q JOIN (SELECT vec_id, d AS d1 FROM qpx WHERE pr = 1) b
+       |    ON b.vec_id = q.vec_id
+       |  WHERE q.pr <= 4),
+       |exc AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |               list_transform(generate_series(1, 512), i ->
+       |                 (q.vec[i] - c.vec[i]) * (q.vec[i] - c.vec[i]))),
+       |               (x, y) -> x + y), 6) ASC, c.vec_id ASC) AS rn
+       |    FROM rvax q JOIN rvax c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id % 97 = 0 AND q.vec_id < 2037)
+       |  WHERE rn <= 5),
+       |gtkx AS (
+       |  SELECT e.q_id, e.vec_id, r.pr, r.ratio, r.d1
+       |  FROM exc e
+       |  JOIN lstx cl ON cl.vec_id = e.vec_id
+       |  JOIN ratx r ON r.vec_id = e.q_id AND r.list = cl.list),
+       |tgtx AS (SELECT count(*) AS t FROM gtkx WHERE pr <= 2),
+       |bsx AS (SELECT count(*) AS b FROM gtkx WHERE pr = 1),
+       |ndx AS (SELECT CASE WHEN (SELECT t FROM tgtx) > (SELECT b FROM bsx)
+       |                    THEN (SELECT t FROM tgtx) - (SELECT b FROM bsx)
+       |                    ELSE 0 END AS n),
+       |capx AS (
+       |  SELECT CASE WHEN (SELECT n FROM ndx) = 0 THEN CAST(1.0 AS DOUBLE)
+       |         ELSE (SELECT max(ratio) FROM (
+       |                 SELECT ratio,
+       |                        row_number() OVER (ORDER BY ratio ASC) AS rn
+       |                 FROM gtkx WHERE pr >= 2 AND d1 > 0)
+       |               WHERE rn <= (SELECT n FROM ndx)) END AS r),
+       |budx AS (
+       |  SELECT CASE WHEN (SELECT n FROM ndx) = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE (SELECT count(*) FROM ratx
+       |               WHERE pr >= 2 AND d1 > 0
+       |                 AND ratio <= (SELECT r FROM capx)) END AS b),
+       |grxx AS (
+       |  SELECT vec_id, list,
+       |         row_number() OVER (ORDER BY ratio ASC, vec_id ASC, pr ASC)
+       |           AS grk
+       |  FROM ratx WHERE pr BETWEEN 2 AND 4 AND d1 > 0),
+       |qselx AS (
+       |  SELECT q.vec_id, q.list, (q.pr = 1) AS f1, (q.pr <= 2) AS f2,
+       |         (q.pr = 1 OR coalesce(g.grk, 1000000)
+       |            <= (SELECT b FROM budx)) AS fc
+       |  FROM qpx q LEFT JOIN grxx g ON g.vec_id = q.vec_id
+       |                             AND g.list = q.list),
+       |qrvz AS MATERIALIZED (
+       |  SELECT f.vec_id, qs.list, qs.f1, qs.f2, qs.fc,
+       |         CAST(f.fpos // 64 AS INTEGER) AS sub,
+       |         CAST(f.fpos % 64 AS INTEGER) AS pos,
+       |         f.val - cc.val AS val
+       |  FROM fvx f JOIN qselx qs ON qs.vec_id = f.vec_id
+       |                          AND (qs.f2 OR qs.fc)
+       |  JOIN ccx cc ON cc.list = qs.list AND cc.fpos = f.fpos),
+       |dqz AS (
+       |  SELECT rq.vec_id, rq.list, rq.f1, rq.f2, rq.fc, rq.sub, cb.code,
+       |         sum(CAST(round((rq.val - cb.val) * (rq.val - cb.val), 6)
+       |                  AS DECIMAL(18,6))) AS d
+       |  FROM qrvz rq JOIN c2x cb ON cb.sub = rq.sub AND cb.pos = rq.pos
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7),
+       |amz AS (
+       |  SELECT dq.vec_id AS q_id, a.vec_id, dq.f1, dq.f2, dq.fc,
+       |         round(CAST(sum(dq.d) AS DOUBLE), 6) AS dist
+       |  FROM a3x a JOIN lstx cl ON cl.vec_id = a.vec_id
+       |  JOIN dqz dq ON dq.list = cl.list AND dq.sub = a.sub
+       |             AND dq.code = a.code
+       |  WHERE a.vec_id <> dq.vec_id
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |tz1 AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY dist ASC, vec_id ASC) AS rn
+       |    FROM amz WHERE f1) WHERE rn <= 5),
+       |tzc AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY dist ASC, vec_id ASC) AS rn
+       |    FROM amz WHERE fc) WHERE rn <= 5),
+       |tz2 AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY dist ASC, vec_id ASC) AS rn
+       |    FROM amz WHERE f2) WHERE rn <= 5),
+       |pairsz AS (
+       |  SELECT qs.f1, qs.f2, qs.fc
+       |  FROM qselx qs JOIN lstx cl ON cl.list = qs.list
+       |                            AND cl.vec_id <> qs.vec_id),
+       |ngt AS (SELECT count(*) AS n FROM exc),
+       |nqz AS (SELECT count(DISTINCT vec_id) AS n FROM qpx)
+       |SELECT 'fixed1' AS scheme,
+       |       (SELECT count(*) FROM qselx WHERE f1) AS probes,
+       |       (SELECT count(*) FROM pairsz WHERE f1) AS pairs,
+       |       (SELECT count(*) FROM tz1 JOIN exc USING (q_id, vec_id)) AS hits,
+       |       (SELECT n FROM ngt) AS n_gt,
+       |       round(CAST((SELECT count(*) FROM tz1 JOIN exc USING (q_id, vec_id))
+       |                  AS DOUBLE) / CAST((SELECT n FROM ngt) AS DOUBLE), 6)
+       |         AS recall,
+       |       CAST(0 AS BIGINT) AS budget, CAST(NULL AS DOUBLE) AS ratio_cap
+       |UNION ALL
+       |SELECT 'calibrated',
+       |       (SELECT count(*) FROM qselx WHERE fc),
+       |       (SELECT count(*) FROM pairsz WHERE fc),
+       |       (SELECT count(*) FROM tzc JOIN exc USING (q_id, vec_id)),
+       |       (SELECT n FROM ngt),
+       |       round(CAST((SELECT count(*) FROM tzc JOIN exc USING (q_id, vec_id))
+       |                  AS DOUBLE) / CAST((SELECT n FROM ngt) AS DOUBLE), 6),
+       |       (SELECT b FROM budx), (SELECT r FROM capx)
+       |UNION ALL
+       |SELECT 'fixed2',
+       |       (SELECT count(*) FROM qselx WHERE f2),
+       |       (SELECT count(*) FROM pairsz WHERE f2),
+       |       (SELECT count(*) FROM tz2 JOIN exc USING (q_id, vec_id)),
+       |       (SELECT n FROM ngt),
+       |       round(CAST((SELECT count(*) FROM tz2 JOIN exc USING (q_id, vec_id))
+       |                  AS DOUBLE) / CAST((SELECT n FROM ngt) AS DOUBLE), 6),
+       |       (SELECT n FROM nqz), CAST(NULL AS DOUBLE)""".stripMargin
+
   /** q259b's replay — the three-scheme probe audit AT DIM 512: the
     * shared base, per-query exact decimal list distances over the
     * FIXED sample (`% 97 = 0 AND < 2037`), fixed-1/fixed-2/adaptive
@@ -2321,7 +2470,8 @@ object SparkEntry {
       "q253_dim512_serving" -> (() => Queries.x512SpliceReady),
       "q259_adaptive_dim512" -> (() => Queries.x512SpliceReady),
       "q259b_dim512_probe_mass" -> (() => Queries.x512SpliceReady),
-      "q267_dim512_lakehouse" -> (() => Queries.x512SpliceReady))
+      "q267_dim512_lakehouse" -> (() => Queries.x512SpliceReady),
+      "q271_dim512_calibrated" -> (() => Queries.x512SpliceReady))
     oracleSqlAll.filter { case (k, _) => gates.get(k).forall(_()) }
   }
 
@@ -3164,6 +3314,11 @@ object SparkEntry {
     // Zipf/continuous-margin surface and the planted surface
     "q268_calibrated_budget" -> calibratedBudgetOracle(zipfFvcCte),
     "q268b_calibrated_planted" -> calibratedBudgetOracle(plantedFvcCte),
+    // the calibration AT PRODUCTION DIM: the q267 serving budget
+    // computed, not literal — cap and budget replayed to the order
+    // statistic that produced them
+    "q271_dim512_calibrated" ->
+      dim512CalibratedOracle(Queries.lastX512Blocks()),
     // raw-residual vs OPQ-residual IVFADC recall@5 against one exact
     // raw-space ground truth — the rotation's end-to-end delta
     "q227_opq_recall" -> opqRecallOracle(Queries.lastOpqRotation()),
