@@ -6574,7 +6574,8 @@ object Queries {
     * serving stack probes THROUGH the tombstone overlay under the
     * BUDGET-calibrated router ([[graft.operators.ProductQuantizer
     * .probeListsBudgeted]], the q263 exact-spend rule at production
-    * dim): budgeted route → residual ADC top-20 within probed lists →
+    * dim; [[q271Dim512Calibrated]] pins the computation that produces
+    * this budget on the same surface): budgeted route → residual ADC top-20 within probed lists →
     * exact rerank top-5 in rotated space — and a deleted vector must
     * never surface, immediately, with no compaction wait; (5) after
     * [[graft.operators.ManifestTable.rewriteDeletes]] the read must be
