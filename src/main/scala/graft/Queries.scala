@@ -6505,6 +6505,8 @@ object Queries {
     * mass with the corpus), cached as driver id pairs (bounded:
     * n_queries × 5).
     */
+  private val x512BudgetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private val x512GtCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
   private def x512ExactTop5(spark: SparkSession, dir: String): DataFrame = {
@@ -6574,8 +6576,10 @@ object Queries {
     * serving stack probes THROUGH the tombstone overlay under the
     * BUDGET-calibrated router ([[graft.operators.ProductQuantizer
     * .probeListsBudgeted]], the q263 exact-spend rule at production
-    * dim; [[q271Dim512Calibrated]] pins the computation that produces
-    * this budget on the same surface): budgeted route → residual ADC top-20 within probed lists →
+    * dim — and the budget is COMPUTED in-plan by
+    * [[graft.operators.ProductQuantizer.calibrateProbeBudget]] from
+    * the index-build-time audit ([[q271Dim512Calibrated]] pins the
+    * same computation as a standalone readout)): budgeted route → residual ADC top-20 within probed lists →
     * exact rerank top-5 in rotated space — and a deleted vector must
     * never surface, immediately, with no compaction wait; (5) after
     * [[graft.operators.ManifestTable.rewriteDeletes]] the read must be
@@ -6623,11 +6627,25 @@ object Queries {
     require(st.filesRewritten == 0,
       s"MOR delete must rewrite nothing at delete time, rewrote ${st.filesRewritten}")
     val queries = rot.where(col("vec_id") % 97 === 0 && col("vec_id") < 2037)
-    // the budgeted probe set and the query residuals are manifest-state
-    // independent: compute once, serve both regimes from the pinned set
+    // the serving budget is COMPUTED, not literal: calibrated against
+    // the index-build-time audit (GT over the pre-delete corpus —
+    // routers are tuned when the index is BUILT, so the number is a
+    // per-dir frozen artifact like the codebooks; q271 prices the
+    // computation itself as a standalone audit). The probe set and
+    // query residuals are manifest-state independent: compute once,
+    // serve both regimes.
+    val cachedB = x512BudgetCache.get(dir)
+    val budget = if (cachedB != null) cachedB.intValue else {
+      val (_, b) = ProductQuantizer.calibrateProbeBudget(
+        queries, "vec_id", "kvec", cents, PqXDim, maxProbe = 4,
+        x512ExactTop5(spark, dir),
+        rot.select(col("vec_id"), x512ListOf(col("kvec")).as("list")))
+      x512BudgetCache.put(dir, Integer.valueOf(b)) // lost race recomputes same
+      b
+    }
     val rep = ProductQuantizer.probeListsBudgeted(
       queries, "vec_id", "kvec", cents, PqXDim,
-      maxProbe = 4, extraBudget = 10)
+      maxProbe = 4, extraBudget = budget)
     val qResid = (Parallelism.ensureCompute(
       ProductQuantizer.residuals(rep, "kvec", "list", cents)
         .select(col("vec_id"), col("list"), col("resid"))).localCheckpoint())

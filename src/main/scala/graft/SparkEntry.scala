@@ -1458,9 +1458,11 @@ object SparkEntry {
 
   /** q267's replay — the dim-512 serving stack OVER the lakehouse
     * table: the [[dim512ServingOracle]] chain with (a) the probe set
-    * chosen by the BUDGETED rule (extra probes to the globally
-    * smallest 6-dp margin ratios, exactly 10 of them — the q263 grant
-    * SQL at production dim), (b) the candidate side restricted to the
+    * chosen by the BUDGETED rule with the spend itself CALIBRATED
+    * in-oracle (the q271 CTEs: GT-pair ratios from the exact
+    * rotated-space top-5, the needed-th order statistic as the cap,
+    * the budget as all candidates at or under it — the q263 grant SQL
+    * at production dim, spending a computed number), (b) the candidate side restricted to the
     * SURVIVING corpus (`vec_id % 7 <> 1` — the MOR-deleted keys must
     * never surface), and (c) the top-5 emitted under both regimes
     * (`mor` / `materialized` — the delete-materialization pass must
@@ -1486,22 +1488,58 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY vec_id
        |                            ORDER BY d ASC, list ASC) AS pr
        |  FROM qdx),
+       |ratx AS (
+       |  SELECT q.vec_id, q.list, q.pr, CAST(b.d1 AS DOUBLE) AS d1,
+       |         CASE WHEN CAST(b.d1 AS DOUBLE) > 0
+       |              THEN round(CAST(q.d AS DOUBLE) / CAST(b.d1 AS DOUBLE), 6)
+       |         END AS ratio
+       |  FROM qpx q JOIN (SELECT vec_id, d AS d1 FROM qpx WHERE pr = 1) b
+       |    ON b.vec_id = q.vec_id
+       |  WHERE q.pr <= 4),
+       |exg AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |               list_transform(generate_series(1, 512), i ->
+       |                 (q.vec[i] - c.vec[i]) * (q.vec[i] - c.vec[i]))),
+       |               (x, y) -> x + y), 6) ASC, c.vec_id ASC) AS rn
+       |    FROM rvax q JOIN rvax c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id % 97 = 0 AND q.vec_id < 2037)
+       |  WHERE rn <= 5),
+       |gtkg AS (
+       |  SELECT e.q_id, e.vec_id, r.pr, r.ratio, r.d1
+       |  FROM exg e
+       |  JOIN lstx cl ON cl.vec_id = e.vec_id
+       |  JOIN ratx r ON r.vec_id = e.q_id AND r.list = cl.list),
+       |tgtg AS (SELECT count(*) AS t FROM gtkg WHERE pr <= 2),
+       |bsg AS (SELECT count(*) AS b FROM gtkg WHERE pr = 1),
+       |ndg AS (SELECT CASE WHEN (SELECT t FROM tgtg) > (SELECT b FROM bsg)
+       |                    THEN (SELECT t FROM tgtg) - (SELECT b FROM bsg)
+       |                    ELSE 0 END AS n),
+       |capg AS (
+       |  SELECT CASE WHEN (SELECT n FROM ndg) = 0 THEN CAST(1.0 AS DOUBLE)
+       |         ELSE (SELECT max(ratio) FROM (
+       |                 SELECT ratio,
+       |                        row_number() OVER (ORDER BY ratio ASC) AS rn
+       |                 FROM gtkg WHERE pr >= 2 AND d1 > 0)
+       |               WHERE rn <= (SELECT n FROM ndg)) END AS r),
+       |budg AS (
+       |  SELECT CASE WHEN (SELECT n FROM ndg) = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE (SELECT count(*) FROM ratx
+       |               WHERE pr >= 2 AND d1 > 0
+       |                 AND ratio <= (SELECT r FROM capg)) END AS b),
        |grx AS (
        |  SELECT vec_id, list,
        |         row_number() OVER (ORDER BY ratio ASC, vec_id ASC, pr ASC)
        |           AS grk
-       |  FROM (SELECT q.vec_id, q.list, q.pr,
-       |               round(CAST(q.d AS DOUBLE) / CAST(b.d1 AS DOUBLE), 6)
-       |                 AS ratio
-       |        FROM qpx q
-       |        JOIN (SELECT vec_id, d AS d1 FROM qpx WHERE pr = 1) b
-       |          ON b.vec_id = q.vec_id
-       |        WHERE q.pr BETWEEN 2 AND 4 AND CAST(b.d1 AS DOUBLE) > 0)),
+       |  FROM ratx WHERE pr BETWEEN 2 AND 4 AND d1 > 0),
        |qsx AS (
        |  SELECT q.vec_id, q.list
        |  FROM qpx q LEFT JOIN grx g ON g.vec_id = q.vec_id
        |                            AND g.list = q.list
-       |  WHERE q.pr = 1 OR coalesce(g.grk, 1000000) <= 10),
+       |  WHERE q.pr = 1 OR coalesce(g.grk, 1000000)
+       |          <= (SELECT b FROM budg)),
        |rqx AS (
        |  SELECT f.vec_id, qp.list, CAST(f.fpos // 64 AS INTEGER) AS sub,
        |         CAST(f.fpos % 64 AS INTEGER) AS pos, f.val - cc.val AS val
