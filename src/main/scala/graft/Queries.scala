@@ -5717,8 +5717,11 @@ object Queries {
     * is literally too small), and among the eligible the cheapest
     * priced mass wins; the [[graft.operators.Similarity
     * .filteredAnnPlan]] brute alternative competes as just another
-    * plan (recall 1.0 by construction, pairs = |Q|·|F∖self|). All
-    * four plans EXECUTE so the readout shows what the chooser chose
+    * plan (recall 1.0 by construction, pairs = |Q|·|F∖self|). The
+    * three probe plans EXECUTE; brute contributes only its counts-only
+    * chooser inputs — its hits/recall row is definitional (n_gt/1.0 by
+    * construction, exactly as the oracle hardcodes it), never a scan.
+    * The readout shows what the chooser chose
     * and what each alternative would have bought — (plan, probes,
     * pairs, min_cands, eligible, chosen, hits, n_gt, recall), every
     * column replayed by the oracle, so the CHOICE itself is
@@ -5846,7 +5849,7 @@ object Queries {
       rCodes.repartitionByRange(8, col("vec_id")).sortWithinPartitions("vec_id"),
       Seq("vec_id"))
     val del = rCodes.select(col("vec_id")).where(col("vec_id") % 7 === 1)
-    val st = (ManifestTable.deleteKeysMor(spark, root, del, "vec_id"))
+    val st = ManifestTable.deleteKeysMor(spark, root, del, "vec_id")
     require(st.filesRewritten == 0,
       s"MOR delete must rewrite nothing at delete time, rewrote ${st.filesRewritten}")
     val queries = ProductQuantizer.probeLists(
@@ -5860,7 +5863,7 @@ object Queries {
       ManifestTable.read(spark, root), "vec_id", rStats,
       k = 5, withinCol = Some("list"))
       .select(lit(regime).as("regime"), col("q_id"), col("vec_id"), col("d"))
-    val mor = (top5("mor").localCheckpoint())
+    val mor = top5("mor").localCheckpoint()
     require(mor.join(del, Seq("vec_id"), "left_semi").count() == 0,
       "a MOR-deleted vector surfaced from the serving probe")
     ManifestTable.rewriteDeletes(spark, root)
@@ -6590,9 +6593,9 @@ object Queries {
     * one oracle.
     */
   def q267Dim512Lakehouse(spark: SparkSession, dir: String): DataFrame = {
-    val (cents, books, rot) = (x512Parts(spark, dir))
+    val (cents, books, rot) = x512Parts(spark, dir)
     val blocks = x512Cache.get(dir)._1
-    val codes = (x512Codes(spark, dir))
+    val codes = x512Codes(spark, dir)
     val root = java.nio.file.Files.createTempDirectory("graft_q267")
       .resolve("t").toString
     // snapshot 3/4 of the corpus; the other quarter ARRIVES as two
@@ -6601,29 +6604,29 @@ object Queries {
     // full frozen rotate→route→residual→encode chain; a quarter keeps
     // the per-attempt corpus-linear ingest term at production dim from
     // dominating the whole suite)
-    (ManifestTable.commit(spark, root,
+    ManifestTable.commit(spark, root,
       codes.where(!(col("vec_id") % 8).isin(1, 5))
         .repartitionByRange(8, col("vec_id")).sortWithinPartitions("vec_id"),
-      Seq("vec_id")))
+      Seq("vec_id"))
     // one materialization of the synthetic raw feed (the three sink
     // calls each filter from it; the 512-coord expansion is fixture
     // construction, not the measured ingest chain)
-    val raw = (Parallelism.ensureCompute(x512(spark, dir)).localCheckpoint())
+    val raw = Parallelism.ensureCompute(x512(spark, dir)).localCheckpoint()
     val sink = Streams.streamingIvfPqResidualIngest(root, "q267_ingest",
       "vec_id", "xvec", cents, books, PqXDim,
       listOf = x512ListOf(_), blocks = blocks,
       statsCols = Seq("vec_id")) _
-    (sink(raw.where(col("vec_id") % 8 === 1), 0L))
-    (sink(raw.where(col("vec_id") % 8 === 5), 1L))
+    sink(raw.where(col("vec_id") % 8 === 1), 0L)
+    sink(raw.where(col("vec_id") % 8 === 5), 1L)
     val vLive = ManifestTable.currentVersion(spark, root)
-    (sink(raw.where(col("vec_id") % 8 === 5), 1L)) // restart replay
+    sink(raw.where(col("vec_id") % 8 === 5), 1L) // restart replay
     require(ManifestTable.currentVersion(spark, root) == vLive,
       "replaying the last ingest batch must not commit a new version")
-    (require(ManifestTable.read(spark, root).count() ==
+    require(ManifestTable.read(spark, root).count() ==
       tp(spark, dir, "embeddings").count(),
-      "the assembled codes table must hold exactly the corpus"))
+      "the assembled codes table must hold exactly the corpus")
     val del = rot.select(col("vec_id")).where(col("vec_id") % 7 === 1)
-    val st = (ManifestTable.deleteKeysMor(spark, root, del, "vec_id"))
+    val st = ManifestTable.deleteKeysMor(spark, root, del, "vec_id")
     require(st.filesRewritten == 0,
       s"MOR delete must rewrite nothing at delete time, rewrote ${st.filesRewritten}")
     val queries = rot.where(col("vec_id") % 97 === 0 && col("vec_id") < 2037)
@@ -6646,9 +6649,9 @@ object Queries {
     val rep = ProductQuantizer.probeListsBudgeted(
       queries, "vec_id", "kvec", cents, PqXDim,
       maxProbe = 4, extraBudget = budget)
-    val qResid = (Parallelism.ensureCompute(
+    val qResid = Parallelism.ensureCompute(
       ProductQuantizer.residuals(rep, "kvec", "list", cents)
-        .select(col("vec_id"), col("list"), col("resid"))).localCheckpoint())
+        .select(col("vec_id"), col("list"), col("resid"))).localCheckpoint()
     def top5(regime: String): DataFrame = {
       val cand = ProductQuantizer.adcTopK(qResid, "vec_id", "resid",
         ManifestTable.read(spark, root), "vec_id", books,
@@ -6685,11 +6688,11 @@ object Queries {
         .select(lit(regime).as("regime"), col("q_id"), col("vec_id"),
           col("l2"))
     }
-    val mor = (top5("mor").localCheckpoint())
+    val mor = top5("mor").localCheckpoint()
     require(mor.join(del, Seq("vec_id"), "left_semi").count() == 0,
       "a MOR-deleted vector surfaced from the serving probe")
-    (ManifestTable.rewriteDeletes(spark, root))
-    val mat = (top5("materialized").localCheckpoint())
+    ManifestTable.rewriteDeletes(spark, root)
+    val mat = top5("materialized").localCheckpoint()
     require(mat.count() == mor.count() &&
       mat.select(col("q_id"), col("vec_id"), col("l2"))
         .exceptAll(mor.select(col("q_id"), col("vec_id"), col("l2")))

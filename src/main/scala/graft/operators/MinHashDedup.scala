@@ -444,6 +444,21 @@ object MinHashDedup {
       maxBucketSize: Int = 1000, seed: Long = 7L,
       storeIndex: DataFrame = null): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // a stale or mismatched materialized index (built with a different
+    // banding) would silently drop candidate buckets — false-negative
+    // dedup with no error. [[portableBandIndex]] stamps its banding into
+    // the `band` column metadata; validate it here at zero scan cost.
+    if (storeIndex != null) {
+      val md = storeIndex.schema("band").metadata
+      require(md.contains("numHashes") && md.contains("bands"),
+        "storeIndex must be built by portableBandIndex (banding metadata " +
+          "missing from the `band` column) — an index with unknown banding " +
+          "cannot be verified against this call's (numHashes, bands)")
+      require(md.getLong("numHashes") == numHashes && md.getLong("bands") == bands,
+        s"storeIndex banding (numHashes=${md.getLong("numHashes")}, " +
+          s"bands=${md.getLong("bands")}) does not match this call's " +
+          s"(numHashes=$numHashes, bands=$bands) — candidates would be dropped")
+    }
     val newSigs = portableSignatures(batch, idCol, textCol, numHashes, shingleN, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     newSigs.count()
@@ -465,7 +480,15 @@ object MinHashDedup {
   def portableBandIndex(storeSigs: DataFrame,
       numHashes: Int = 16, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // stamp the banding into column metadata so the consumer can reject
+    // a mismatched index without scanning it (schema-level, survives
+    // checkpoint/parquet round-trips)
+    val bandMd = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("numHashes", numHashes.toLong)
+      .putLong("bands", bands.toLong)
+      .build()
     portableBandBuckets(storeSigs, bands, numHashes / bands)
+      .withColumn("band", col("band").as("band", bandMd))
   }
 
   /** EXACT n-gram-Jaccard near-dup pairs via prefix-filtered inverted-index

@@ -983,14 +983,23 @@ object ProductQuantizer {
     val needed = math.max(target - base, 0L)
     if (needed == 0L) (1.0, 0)
     else {
-      val cap = gtk
+      // needed > 0 but zero coverable candidates (every ambiguous GT
+      // query sits exactly on its rank-1 centroid, d1 = 0) leaves the
+      // limit set empty and max(ratio) NULL; the oracle's SQL reads
+      // NULL cap → zero budget for the same input, so match it rather
+      // than NPE on a degenerate-but-legal audit sample.
+      val capRow = gtk
         .where(col("k") >= 2 && col("__d1") > 0.0)
         .orderBy(col("ratio").asc).limit(needed.toInt)
-        .agg(max(col("ratio"))).head().getDouble(0)
-      val budget = kr
-        .where(col("k") >= 2 && col("__d1") > 0.0 && col("ratio") <= cap)
-        .count()
-      (cap, budget.toInt)
+        .agg(max(col("ratio"))).head()
+      if (capRow.isNullAt(0)) (1.0, 0)
+      else {
+        val cap = capRow.getDouble(0)
+        val budget = kr
+          .where(col("k") >= 2 && col("__d1") > 0.0 && col("ratio") <= cap)
+          .count()
+        (cap, budget.toInt)
+      }
     }
   }
 

@@ -85,6 +85,31 @@ class NearDupSpec extends SparkSuite {
     assert(withIdx == without,
       s"stored-index pass $withIdx must equal refolding pass $without")
     assert(withIdx.nonEmpty, "fixture must surface at least one pair")
+    // banding-mismatch guard: an index built under a DIFFERENT banding
+    // (or one lacking the metadata stamp entirely) must be rejected —
+    // silently dropping candidate buckets is a false-negative dedup
+    val wrongBanding = MinHashDedup.portableBandIndex(store, bands = 4)
+    val eBand = intercept[IllegalArgumentException] {
+      MinHashDedup.portableIncrementalVerifiedPairs(
+        store, day2, "doc_id", "text", threshold = 0.5,
+        storeIndex = wrongBanding)
+    }
+    assert(eBand.getMessage.contains("does not match"), eBand.getMessage)
+    val unstamped = idx.select(col("id"), col("band").cast("int").as("band"),
+      col("bucket"))
+    val eMeta = intercept[IllegalArgumentException] {
+      MinHashDedup.portableIncrementalVerifiedPairs(
+        store, day2, "doc_id", "text", threshold = 0.5,
+        storeIndex = unstamped)
+    }
+    assert(eMeta.getMessage.contains("metadata"), eMeta.getMessage)
+    // and the stamp survives the artifact's disk round-trip (the store
+    // keeps its index as a parquet sidecar)
+    val pq = java.nio.file.Files.createTempDirectory("graft_bandidx")
+      .resolve("i").toString
+    idx.write.parquet(pq)
+    assert(pairs(spark.read.parquet(pq)) == without,
+      "parquet round-tripped index must still validate and match")
   }
 
   test("streaming incremental dedup: per-batch incremental pairs accumulate to the one-shot set") {

@@ -761,6 +761,23 @@ class ProductQuantizerSpec extends SparkSuite {
       == (1.0 -> 0))
   }
 
+  test("calibrateProbeBudget: needed > 0 with zero coverable candidates " +
+      "(every ambiguous query exactly on its rank-1 centroid, d1 = 0) " +
+      "returns (1.0, 0) like the oracle's NULL cap, not an NPE") {
+    val cents = Map(0 -> Array(0.0, 0.0), 1 -> Array(4.0, 0.0),
+      2 -> Array(8.0, 0.0))
+    // the single query sits EXACTLY on centroid 0 (d1 = 0 — routing is
+    // not ambiguous by the d1>0 rule) but its GT neighbor lives in
+    // list 1 (rank 2): target = 1, base = 0, needed = 1, yet no
+    // candidate has d1 > 0 — the degenerate-but-legal audit sample
+    val queries = Seq((1L, Seq(0.0, 0.0))).toDF("id", "vec")
+    val corpusLists = Seq((101L, 1)).toDF("vec_id", "list")
+    val gt = Seq((1L, 101L)).toDF("q_id", "vec_id")
+    assert(ProductQuantizer.calibrateProbeBudget(
+      queries, "id", "vec", cents, dim = 2, maxProbe = 3, gt, corpusLists)
+      == (1.0 -> 0))
+  }
+
   test("distToCentroid: fold and chain forms are value-equal on wide subspaces") {
     // dsub=20 > 16 takes the fixed-accumulator FOLD branch; the spec
     // replays the explicit chain (the dsub<=16 form, precision-growing
