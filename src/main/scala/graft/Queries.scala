@@ -5441,14 +5441,14 @@ object Queries {
     * the per-query centroid-distance ratios are a continuum instead of
     * the planted surface's clean 1.2-vs-7 split.
     */
-  private def zipfVecs(spark: SparkSession, dir: String): DataFrame = {
+  private def zipfVecsT(spark: SparkSession, dir: String,
+      t: org.apache.spark.sql.Column): DataFrame = {
     val v = col("embedding").cast("array<double>")
     val g = when(col("vec_id") % 16 < 8, 0)
       .when(col("vec_id") % 16 < 12, 1)
       .when(col("vec_id") % 16 < 14, 2)
       .otherwise(3).cast("int")
     val g2 = ((g + 1) % 4).cast("int")
-    val t = ((col("vec_id") * 7919) % 100).cast("double") / lit(200.0)
     val zvec = transform(sequence(lit(0), lit(PqDim - 1)), i => {
       val j = (i.cast("int") / 16).cast("int")
       val base = when(pmod(i, lit(16)) =!= 0, lit(0.0))
@@ -5460,6 +5460,19 @@ object Queries {
     Parallelism.ensureCompute(tp(spark, dir, "embeddings"))
       .select(col("vec_id"), zvec.as("cvec"))
   }
+  private def zipfVecs(spark: SparkSession, dir: String): DataFrame =
+    zipfVecsT(spark, dir,
+      ((col("vec_id") * 7919) % 100).cast("double") / lit(200.0))
+  /** The DRIFTED Zipf corpus: the ambiguity parameter t shifted from
+    * [0, 0.495] to [0.25, 0.4975] — every document pulled toward its
+    * cluster boundary, so the margin-ratio distribution the frozen
+    * calibration priced no longer holds (ratios shrink; the frozen
+    * cap grants far more). Deterministic and engine-replayable (the
+    * oracle rebuilds it from the same arithmetic).
+    */
+  private def zipfVecsDrifted(spark: SparkSession, dir: String): DataFrame =
+    zipfVecsT(spark, dir,
+      lit(0.25) + ((col("vec_id") * 7919) % 100).cast("double") / lit(400.0))
   /** Per-dir cache of the Zipf-surface audit artifacts (the
     * [[clusterParts]] discipline): coarse centroids, the residual SQ8
     * grid, the exact ground-truth pairs; routed table session-bound.
@@ -6510,6 +6523,26 @@ object Queries {
     */
   private val x512BudgetCache =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  /** The CALIBRATED probe budget at production dim — a per-dir frozen
+    * artifact like the codebooks (routers are tuned when the index is
+    * BUILT): [[graft.operators.ProductQuantizer.calibrateProbeBudget]]
+    * against the index-build-time audit (GT over the pre-delete
+    * corpus, the fixed `% 97 / < 2037` sample). q267 spends it, q271
+    * prices the computation itself, q272/q273 reuse it.
+    */
+  private def x512CalibratedBudget(spark: SparkSession, dir: String): Int = {
+    val cachedB = x512BudgetCache.get(dir)
+    if (cachedB != null) cachedB.intValue else {
+      val (cents, _, rot) = x512Parts(spark, dir)
+      val queries = rot.where(col("vec_id") % 97 === 0 && col("vec_id") < 2037)
+      val (_, b) = ProductQuantizer.calibrateProbeBudget(
+        queries, "vec_id", "kvec", cents, PqXDim, maxProbe = 4,
+        x512ExactTop5(spark, dir),
+        rot.select(col("vec_id"), x512ListOf(col("kvec")).as("list")))
+      x512BudgetCache.put(dir, Integer.valueOf(b)) // lost race recomputes same
+      b
+    }
+  }
   private val x512GtCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
   private def x512ExactTop5(spark: SparkSession, dir: String): DataFrame = {
@@ -6593,9 +6626,15 @@ object Queries {
     * one oracle.
     */
   def q267Dim512Lakehouse(spark: SparkSession, dir: String): DataFrame = {
-    val (cents, books, rot) = x512Parts(spark, dir)
+    val (cents, _, rot) = x512Parts(spark, dir)
     val blocks = x512Cache.get(dir)._1
-    val codes = x512Codes(spark, dir)
+    // the serving BIT BUDGET is computed, not literal (the q272 ladder:
+    // cheapest rung meeting the stated recall floor, a per-dir frozen
+    // artifact like the codebooks and the probe budget) — snapshot,
+    // streamed ingest, and ADC all encode at the chosen tier
+    val (tierM, tierK) = x512ChosenTier(spark, dir)
+    val books = x512BooksM(spark, dir, tierM, tierK)
+    val codes = x512CodesM(spark, dir, tierM, tierK)
     val root = java.nio.file.Files.createTempDirectory("graft_q267")
       .resolve("t").toString
     // snapshot 3/4 of the corpus; the other quarter ARRIVES as two
@@ -6637,15 +6676,7 @@ object Queries {
     // computation itself as a standalone audit). The probe set and
     // query residuals are manifest-state independent: compute once,
     // serve both regimes.
-    val cachedB = x512BudgetCache.get(dir)
-    val budget = if (cachedB != null) cachedB.intValue else {
-      val (_, b) = ProductQuantizer.calibrateProbeBudget(
-        queries, "vec_id", "kvec", cents, PqXDim, maxProbe = 4,
-        x512ExactTop5(spark, dir),
-        rot.select(col("vec_id"), x512ListOf(col("kvec")).as("list")))
-      x512BudgetCache.put(dir, Integer.valueOf(b)) // lost race recomputes same
-      b
-    }
+    val budget = x512CalibratedBudget(spark, dir)
     val rep = ProductQuantizer.probeListsBudgeted(
       queries, "vec_id", "kvec", cents, PqXDim,
       maxProbe = 4, extraBudget = budget)
@@ -6747,6 +6778,449 @@ object Queries {
       .withColumn("ratio_cap",
         when(col("scheme") === "calibrated", lit(cap))
           .otherwise(lit(null).cast("double")))
+  }
+
+  // ---------------------------------------------------------------- Q272
+  /** Residual codebooks on the BIT-BUDGET LADDER at production dim:
+    * the same train path as the serving tier ([[x512Parts]], salt
+    * `pqxr`) at m ∈ {8, 16, 32} subspaces (ksub 4 → 2 bits/code →
+    * 16/32/64-bit codes per vector), trained once per (dir, m) and
+    * frozen — the [[pqBookCache]] discipline widened by one axis.
+    */
+  private val x512LadderCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), ProductQuantizer.Codebooks]()
+  private def x512LadderSalt(m: Int, ksub: Int): String =
+    if (ksub == PqK) s"pqxr$m" else s"pqxr${m}k$ksub"
+  private def x512BooksM(spark: SparkSession, dir: String, m: Int,
+      ksub: Int = PqK): ProductQuantizer.Codebooks =
+    if (m == PqM && ksub == PqK) x512Parts(spark, dir)._2
+    else {
+      val k = (dir, m, ksub)
+      val cached = x512LadderCache.get(k)
+      if (cached != null) cached else {
+        val (cents, _, rot) = x512Parts(spark, dir)
+        val resid = ProductQuantizer.residuals(
+          rot.withColumn("list", x512ListOf(col("kvec"))),
+          "kvec", "list", cents)
+        val bks = ProductQuantizer.train(resid, "vec_id", "resid",
+          m = m, ksub = ksub, dim = PqXDim, iters = 2,
+          saltPrefix = x512LadderSalt(m, ksub))
+        x512LadderCache.put(k, bks) // lost race retrains identical state
+        bks
+      }
+    }
+  /** The tier's residual-encoded corpus codes as a stored sidecar (the
+    * [[x512Codes]] discipline per ladder rung — encoding is ingest-time
+    * work; (m=8, ksub=4) IS the existing serving sidecar).
+    */
+  private def x512CodesM(spark: SparkSession, dir: String, m: Int,
+      ksub: Int = PqK): DataFrame =
+    if (m == PqM && ksub == PqK) x512Codes(spark, dir)
+    else storedSidecar(spark, dir, s"x512codes_${x512LadderSalt(m, ksub)}") {
+      val (cents, _, rot) = x512Parts(spark, dir)
+      ProductQuantizer.encode(
+        ProductQuantizer.residuals(
+          rot.withColumn("list", x512ListOf(col("kvec"))),
+          "kvec", "list", cents),
+        "vec_id", "resid", x512BooksM(spark, dir, m, ksub), dim = PqXDim,
+        carryCols = Seq("list"))
+    }
+
+  /** The stated end-to-end recall@5 floor the serving tier must meet
+    * (the [[graft.operators.Similarity.chooseTiers]] eligibility rule)
+    * and the ladder walked to meet it: (m, ksub) = (8,4) → 16-bit,
+    * (8,16) → 32-bit, (16,16) → 64-bit codes per vector. A policy
+    * constant, not a measured value — the ENTRY measures whether each
+    * rung meets it.
+    */
+  private val X512RecallFloor = 0.4
+  private val X512Ladder = Seq((8, 4), (8, 16), (16, 16))
+
+  /** One ladder walk per dir: per-tier end-to-end serving recall@5
+    * under the SAME calibrated probe set, priced cost, eligibility,
+    * choice. The measured hits are |GT ∩ ADC top-20| — and because the
+    * serving shape reranks its ≤20 candidates EXACTLY, a GT member
+    * among the candidates can only be displaced by strictly-closer
+    * vectors, all of which are themselves GT (the true top-5) — so
+    * candidate hits@20 IS the serving chain's recall@5, measured
+    * without running the rerank per rung. Returns (rows, chosen
+    * (m, ksub)); rows are (tier, m, ksub, bits, probes, pairs, cost,
+    * hits, n_gt, recall, eligible, chosen).
+    */
+  private val x512TierCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  private def x512LadderAudit(spark: SparkSession, dir: String)
+      : (Seq[(String, Int, Int, Int, Long, Long, Long, Long, Long, Double,
+          Boolean, Boolean)], (Int, Int)) = {
+    val (cents, _, rot) = x512Parts(spark, dir)
+    val queries = rot.where(col("vec_id") % 97 === 0 && col("vec_id") < 2037)
+    val corpusLists = rot.select(col("vec_id"),
+      x512ListOf(col("kvec")).as("list"))
+    val ex = x512ExactTop5(spark, dir).localCheckpoint()
+    val nGt = ex.count()
+    val budget = x512CalibratedBudget(spark, dir)
+    // ONE probe set across the ladder: the tier changes how candidates
+    // are SCORED, not which lists are read — so pair mass is computed
+    // once and the per-tier cost difference is pure code width
+    val probed = ProductQuantizer.probeListsBudgeted(
+      queries, "vec_id", "kvec", cents, PqXDim,
+      maxProbe = 4, extraBudget = budget).localCheckpoint()
+    val nProbes = probed.count()
+    val pairs = probed.select(col("vec_id").as("q_id"), col("list"))
+      .join(corpusLists.select(col("vec_id").as("c_id"), col("list")),
+        Seq("list"))
+      .where(col("c_id") =!= col("q_id")).count()
+    val nCorpus = corpusLists.count()
+    val qResid = Parallelism.ensureCompute(
+      ProductQuantizer.residuals(probed, "kvec", "list", cents)
+        .select(col("vec_id"), col("list"), col("resid"))).localCheckpoint()
+    val measured = X512Ladder.map { case (m, ksub) =>
+      val hits = ProductQuantizer.adcTopK(qResid, "vec_id", "resid",
+        x512CodesM(spark, dir, m, ksub), "vec_id",
+        x512BooksM(spark, dir, m, ksub),
+        dim = PqXDim, k = 20, withinCol = "list")
+        .select(col("q_id"), col("vec_id"))
+        .join(ex, Seq("q_id", "vec_id"), "left_semi").count()
+      val recall = BigDecimal(hits.toDouble / nGt.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val bits = m * (31 - Integer.numberOfLeadingZeros(ksub))
+      // priced, counts-only: bits/8 bytes/vector of stored codes across
+      // the corpus + m LUT lookups per probed (query, code) pair
+      val cost = (bits / 8).toLong * nCorpus + m.toLong * pairs
+      (m, ksub, bits, cost, recall, hits)
+    }
+    val choice = graft.operators.Similarity.chooseTiers(
+      measured.map { case (_, _, bits, cost, recall, _) =>
+        (s"b$bits", cost, recall) },
+      X512RecallFloor)
+    val rows = measured.zip(choice).map {
+      case ((m, ksub, bits, cost, recall, hits),
+          (name, _, _, eligible, chosen)) =>
+        (name, m, ksub, bits, nProbes, pairs, cost, hits, nGt, recall,
+          eligible, chosen)
+    }
+    val chosenTier = rows.collectFirst { case r if r._12 => (r._2, r._3) }
+      .getOrElse(throw new IllegalStateException(
+        s"no ladder tier met recall@5 floor $X512RecallFloor — widen the " +
+          s"ladder: ${rows.map(r => s"${r._1}=${r._10}").mkString(", ")}"))
+    (rows, chosenTier)
+  }
+  /** The SERVING tier at production dim — the ladder's chosen rung,
+    * cached per dir like the budget (a frozen index-build artifact).
+    */
+  private def x512ChosenTier(spark: SparkSession, dir: String): (Int, Int) = {
+    val cached = x512TierCache.get(dir)
+    if (cached != null) cached else {
+      val (_, t) = x512LadderAudit(spark, dir)
+      x512TierCache.put(dir, t) // lost race recomputes same
+      t
+    }
+  }
+  private[graft] def lastX512ChosenTier(): (Int, Int) = {
+    val dir = lastX512Dir.get()
+    val cached = if (dir == null) null else x512TierCache.get(dir)
+    if (cached != null) cached else (PqM, PqK)
+  }
+
+  /** RECALL-TARGETED bit-budget selection at production dim (VERDICT
+    * r12 directive 2) — q271 measured recall FLAT across probe widths
+    * at the 16-bit tier: ADC ranking, not routing, binds. So the
+    * lever that buys recall is CODE WIDTH, and this entry walks it:
+    * residual codes at (m, ksub) ∈ {(8,4), (8,16), (16,16)} — 16, 32,
+    * 64-bit codes per vector — every tier trained by the production
+    * path and scored under the SAME calibrated probe set (budget from
+    * [[x512CalibratedBudget]] — the router artifact is tier-
+    * independent). The recall metric is the SERVING SHAPE's: |GT ∩
+    * ADC top-20| / |GT|, which equals the q267 chain's end recall@5
+    * because the exact rerank can only displace a candidate GT member
+    * with another GT member (see [[x512LadderAudit]]). Each tier is
+    * PRICED counts-only — `cost = (bits/8)·corpus + m·pairs`: stored
+    * bytes/vector across the corpus plus m LUT lookups per probed
+    * pair — and [[graft.operators.Similarity.chooseTiers]] CHOOSES
+    * the cheapest tier whose recall meets the stated floor (0.4),
+    * ties all-flagged, no tier silently served when the floor is
+    * unmet (structural refusal). The chosen rung is a per-dir frozen
+    * artifact ([[x512ChosenTier]]) and the q267 serving plan ENCODES
+    * AND SERVES at that tier — the capstone's bit budget stops being
+    * a literal, the same step q268/q271 took for the probe budget.
+    * Measured here: the floor moves the choice WITH CORPUS SIZE — at
+    * 500 vectors the 32-bit rung meets 0.4; at the sf0.1 2000-vector
+    * corpus only the 64-bit rung does (fixed k=20 candidates from
+    * longer lists demand more code resolution). At 100 TB the choice
+    * prices byte residence × corpus against recall BEFORE the fleet
+    * re-encodes anything; the audit inputs are a fixed sample and two
+    * counts.
+    */
+  def q272BitBudgetLadder(spark: SparkSession, dir: String): DataFrame = {
+    val (rows, chosenTier) = x512LadderAudit(spark, dir)
+    x512TierCache.put(dir, chosenTier)
+    import spark.implicits._
+    rows.toDF("tier", "m", "ksub", "bits", "probes", "pairs", "cost",
+        "hits", "n_gt", "recall", "eligible", "chosen")
+      .select(col("tier"), col("m").cast("int"), col("ksub").cast("int"),
+        col("bits").cast("int"), col("probes"), col("pairs"), col("cost"),
+        col("hits"), col("n_gt"), col("recall"), col("eligible"),
+        col("chosen"), lit(X512RecallFloor).as("recall_floor"))
+  }
+
+  // ---------------------------------------------------------------- Q274
+  /** CALIBRATION-ARTIFACT LIFECYCLE: drift-staleness for the probe
+    * budget (VERDICT r12 directive 6) — q267/q271 freeze `(cap,
+    * budget)` at index build; this entry applies the q221/q241
+    * staleness discipline to that artifact and closes the loop with
+    * the q226 atomic-swap/time-travel guarantee. On the Zipf
+    * continuous-margin surface (q268's — where calibration is
+    * load-bearing):
+    *
+    * 1. BUILD: calibrate against the build-time audit → `(cap₀, b₀)`,
+    *    committed as VERSION 1 of a manifest artifact table (the
+    *    codebook-scalar discipline, now with lineage).
+    * 2. FRESH GATE (negative control): the staleness input —
+    *    [[graft.operators.ProductQuantizer.grantsAtCap]], the number
+    *    of margin candidates the frozen cap would grant on the
+    *    CURRENT sample, counts-only, no GT — reads exactly b₀ on the
+    *    unchanged corpus: the gate does not false-fire.
+    * 3. STALE GATE: the corpus DRIFTS ([[zipfVecsDrifted]] — every
+    *    document pulled toward its cluster boundary; ratios shrink
+    *    under the FROZEN router and centroids), the frozen cap now
+    *    grants far more than b₀ — the gate fires, REQUIREd in-query.
+    * 4. RECALIBRATE on the drifted corpus (drifted GT, frozen
+    *    router/centroids — retraining the router is q226's job, not
+    *    the calibration's) → `(cap₁, b₁)`, REQUIRE b₁ ≠ b₀, committed
+    *    as VERSION 2 (atomic swap). TIME TRAVEL REQUIREd: version 1
+    *    still reads `(cap₀, b₀)` — the rollback path a production
+    *    router keeps.
+    * 5. SERVE with the artifact READ BACK from the swapped table (not
+    *    the in-memory number): the budgeted probe spends exactly
+    *    nQ + b₁ probes, pinned in the readout.
+    *
+    * At 100 TB the gate input costs one bounded-table count per
+    * arriving audit sample (the same (|sample| × maxProbe) table the
+    * calibration reads) — drift is detected from counts alone, GT is
+    * only re-collected when the gate fires, and the swap is a 1-row
+    * manifest commit with full version history.
+    */
+  def q274CalibrationStaleness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cents, _, routed, ex) = zipfParts(spark, dir)
+    val queries = routed.where(col("vec_id") % 29 === 0 && col("vec_id") < 522)
+      .drop("list")
+    val nQ = queries.count()
+    val (cap0, b0) = ProductQuantizer.calibrateProbeBudget(
+      queries, "vec_id", "cvec", cents, PqDim, maxProbe = 4,
+      ex, routed.select(col("vec_id"), col("list")))
+    val root = java.nio.file.Files.createTempDirectory("graft_q274")
+      .resolve("t").toString
+    ManifestTable.commit(spark, root,
+      Seq((1, cap0, b0.toLong)).toDF("artifact", "ratio_cap", "budget"),
+      Seq("artifact"))
+    val v1 = ManifestTable.currentVersion(spark, root)
+    // negative control: the frozen cap on the UNCHANGED sample grants
+    // exactly the frozen budget — counts-only, no GT
+    val freshGrants = ProductQuantizer.grantsAtCap(
+      queries, "vec_id", "cvec", cents, PqDim, maxProbe = 4, cap0)
+    require(freshGrants == b0.toLong,
+      s"staleness gate false-fired on the unchanged corpus: $freshGrants vs $b0")
+    // the corpus drifts; router and centroids stay FROZEN
+    val drifted = zipfVecsDrifted(spark, dir)
+      .withColumn("list", pqListOf(col("cvec"))).localCheckpoint()
+    val dQueries = drifted.where(col("vec_id") % 29 === 0 && col("vec_id") < 522)
+      .drop("list")
+    val staleGrants = ProductQuantizer.grantsAtCap(
+      dQueries, "vec_id", "cvec", cents, PqDim, maxProbe = 4, cap0)
+    require(staleGrants != b0.toLong,
+      "the drifted corpus must move the margin distribution (gate input unchanged)")
+    // recalibrate: drifted GT, frozen router/centroids
+    val exD = clusteredExactTop5(drifted.drop("list")).localCheckpoint()
+    val (cap1, b1) = ProductQuantizer.calibrateProbeBudget(
+      dQueries, "vec_id", "cvec", cents, PqDim, maxProbe = 4,
+      exD, drifted.select(col("vec_id"), col("list")))
+    require(b1 != b0,
+      s"recalibration on the drifted corpus must move the budget ($b0)")
+    ManifestTable.commit(spark, root,
+      Seq((1, cap1, b1.toLong)).toDF("artifact", "ratio_cap", "budget"),
+      Seq("artifact"))
+    // time travel: the pre-swap artifact is still readable at v1
+    val old = ManifestTable.read(spark, root, Some(v1))
+      .select(col("ratio_cap"), col("budget")).head()
+    require(old.getDouble(0) == cap0 && old.getLong(1) == b0.toLong,
+      "the swapped artifact table must keep version 1 readable unchanged")
+    // serve with the artifact read back from the swapped table
+    val served = ManifestTable.read(spark, root)
+      .select(col("ratio_cap"), col("budget")).head()
+    val probes = ProductQuantizer.probeListsBudgeted(
+      dQueries, "vec_id", "cvec", cents, PqDim,
+      maxProbe = 4, extraBudget = served.getLong(1).toInt).count()
+    require(probes == nQ + served.getLong(1),
+      s"the budgeted probe must spend exactly its budget: $probes vs $nQ+${served.getLong(1)}")
+    Seq(
+      ("build", cap0, b0.toLong, b0.toLong, false, Some(nQ + b0)),
+      ("fresh_gate", cap0, b0.toLong, freshGrants, false, None),
+      ("stale_gate", cap0, b0.toLong, staleGrants, true, None),
+      ("recalibrated", cap1, b1.toLong, b1.toLong, false, Some(probes)))
+      .toDF("stage", "ratio_cap", "budget", "grants_at_cap", "gate_fired",
+        "probes")
+  }
+
+  // ---------------------------------------------------------------- Q273
+  /** FILTERED SERVING OVER THE LAKEHOUSE (VERDICT r12 directive 3) —
+    * the round's three serving artifacts WELDED INTO ONE PLAN: q270's
+    * counts-only plan chooser, the calibrated probe budget
+    * ([[x512CalibratedBudget]] — the frozen router artifact), and
+    * q267's manifest/MOR substrate, serving a predicate+vector query
+    * ("top-5 WHERE label = 3") at the LADDER-CHOSEN tier
+    * ([[x512ChosenTier]] — bit budget computed, not literal).
+    *
+    * The composition order is the 100 TB shape: (1) codes+label live
+    * as a manifest table; GDPR keys are MOR-deleted — ZERO files
+    * rewritten, REQUIREd in-query. (2) The predicate restricts the
+    * SURVIVING corpus (tombstone overlay applied by the manifest
+    * read, label pushed to the codes scan — a column read, never a
+    * post-ranking discard). (3) BEFORE any scoring work, two
+    * counts-only aggregations per candidate plan (priced pair mass
+    * against the filtered lists; MIN per-query filtered pool) feed
+    * [[graft.operators.Similarity.choosePlans]] at the q270 headroom
+    * floor (4·k = 20); the brute row competes as just another plan
+    * (pairs = |Q|·|F∖self|, pool = |F|−self). The EXECUTED plan is
+    * the first chosen in the stated order (fixed1, calibrated,
+    * fixed2, brute — a pure function of the counts, both engines
+    * walk the same list). (4) The chosen plan serves: probed ADC
+    * top-20 over the manifest read → fully-exact decimal rerank →
+    * top-5 (or the exact filtered scan when brute wins). (5) recall
+    * is measured against the exact FILTERED ground truth (same
+    * decimal metric, top-5 within surviving label-3 rows; when brute
+    * is chosen serve == GT by construction and recall reads 1.0 —
+    * definitional, as in q270's brute row).
+    *
+    * In-query REQUIREs: zero rewrites at delete time; no MOR-deleted
+    * id surfaces; every served id satisfies the predicate. Measured
+    * here: the filter's selectivity FLIPS the plan — at the sf0.01
+    * 52-survivor pool no probe plan seats 4·k candidates and the
+    * chooser routes to brute (whose filtered scan is 52 rows, not the
+    * corpus); at sf0.1's 164-survivor pool the probe plans become
+    * eligible and the cheapest priced mass wins — exactly the q264
+    * hazard, now decided by the engine instead of reported.
+    */
+  def q273FilteredLakehouseServe(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, _, rot) = x512Parts(spark, dir)
+    val (tierM, tierK) = x512ChosenTier(spark, dir)
+    val books = x512BooksM(spark, dir, tierM, tierK)
+    val emb = tp(spark, dir, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft_q273")
+      .resolve("t").toString
+    ManifestTable.commit(spark, root,
+      x512CodesM(spark, dir, tierM, tierK)
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .repartitionByRange(8, col("vec_id")).sortWithinPartitions("vec_id"),
+      Seq("vec_id"))
+    val del = rot.select(col("vec_id")).where(col("vec_id") % 5 === 2)
+    val st = ManifestTable.deleteKeysMor(spark, root, del, "vec_id")
+    require(st.filesRewritten == 0,
+      s"MOR delete must rewrite nothing at delete time, rewrote ${st.filesRewritten}")
+    // the filtered SURVIVING corpus: tombstone overlay applied by the
+    // manifest read, predicate pushed to the codes scan
+    val fCodes = ManifestTable.read(spark, root)
+      .where(col("label") === 3).drop("label").localCheckpoint()
+    val fLists = fCodes.select(col("vec_id"), col("list"))
+    val nF = fCodes.count()
+    val queries = rot.where(col("vec_id") % 97 === 0 && col("vec_id") < 2037)
+    val nQ = queries.count()
+    val budget = x512CalibratedBudget(spark, dir)
+    val probePlans: Seq[(String, DataFrame)] = Seq(
+      "fixed1" -> ProductQuantizer.probeLists(
+        queries, "kvec", cents, PqXDim, nProbe = 1),
+      "calibrated" -> ProductQuantizer.probeListsBudgeted(
+        queries, "vec_id", "kvec", cents, PqXDim,
+        maxProbe = 4, extraBudget = budget),
+      "fixed2" -> ProductQuantizer.probeLists(
+        queries, "kvec", cents, PqXDim, nProbe = 2))
+    // counts-only chooser inputs: per plan, the priced pair mass and
+    // the MIN per-query filtered pool in its probed lists (a query
+    // with NO filtered candidate counts 0, not missing)
+    val measured = probePlans.map { case (nm, probed0) =>
+      val probed = probed0.localCheckpoint()
+      val per = probed.select(col("vec_id").as("q_id"), col("list"))
+        .join(fLists.withColumnRenamed("vec_id", "c_id"), Seq("list"))
+        .where(col("c_id") =!= col("q_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val pairs = per.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+      val minC = queries.select(col("vec_id").as("q_id"))
+        .join(per, Seq("q_id"), "left")
+        .agg(min(coalesce(col("n"), lit(0L)))).head().getLong(0)
+      (nm, pairs, minC, probed)
+    }
+    val selfIn = queries.select(col("vec_id"))
+      .join(fLists, Seq("vec_id"), "left_semi").count()
+    val bruteMin = nF - (if (selfIn > 0L) 1L else 0L)
+    val choice = graft.operators.Similarity.choosePlans(
+      measured.map { case (nm, pairs, minC, _) => (nm, pairs, minC) } :+
+        (("brute", nQ * nF - selfIn, bruteMin)),
+      minPool = 20)
+    val chosenName = choice.collectFirst { case (nm, _, _, _, true) => nm }
+      .getOrElse(throw new IllegalStateException(
+        "no plan eligible for the filtered serve — even brute is starved: " +
+          choice.map(c => s"${c._1}=${c._3}").mkString(", ")))
+    val (chosenPairs, chosenMin) = choice
+      .collectFirst { case (nm, p, mc, _, true) => (p, mc) }.get
+    // fully-exact decimal L2 in rotated space (the q267 rerank recipe:
+    // 6-dp components, exact decimal diff/square/sum, one double cast)
+    val d126 = org.apache.spark.sql.types.DecimalType(12, 6)
+    val acc = org.apache.spark.sql.types.DecimalType(30, 12)
+    def exactL2(qv: org.apache.spark.sql.Column,
+        cv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(
+        zip_with(qv, cv, (a, b) =>
+          ((a.cast(d126) - b.cast(d126)) *
+            (a.cast(d126) - b.cast(d126))).cast(acc)),
+        lit(BigDecimal(0)).cast(acc), (u, w) => (u + w).cast(acc))
+        .cast("double")
+    val qSide = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("kvec").as("q_vec")))
+    val rerankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("l2").asc, col("vec_id").asc)
+    def exactTop5(cand: DataFrame): DataFrame = cand
+      .join(rot.select(col("vec_id"), col("kvec").as("c_vec")), Seq("vec_id"))
+      .join(qSide, Seq("q_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        exactL2(col("q_vec"), col("c_vec")).as("l2"))
+      .withColumn("rn", row_number().over(rerankW))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"), col("l2"))
+    val serve = (if (chosenName == "brute") {
+      exactTop5(fLists.select(col("vec_id"))
+        .crossJoin(queries.select(col("vec_id").as("q_id"))))
+    } else {
+      val probed = measured.collectFirst {
+        case (nm, _, _, p) if nm == chosenName => p }.get
+      val qResid = ProductQuantizer.residuals(probed, "kvec", "list", cents)
+        .select(col("vec_id"), col("list"), col("resid"))
+      val cand = ProductQuantizer.adcTopK(qResid, "vec_id", "resid",
+        fCodes, "vec_id", books, dim = PqXDim, k = 20, withinCol = "list")
+      exactTop5(cand.select(col("q_id"), col("vec_id")))
+    }).localCheckpoint()
+    require(serve.join(del, Seq("vec_id"), "left_semi").count() == 0,
+      "a MOR-deleted vector surfaced from the filtered serve")
+    require(serve.join(emb.where(col("label") =!= 3)
+        .select(col("vec_id")), Seq("vec_id"), "left_semi").count() == 0,
+      "a served vector violates the predicate")
+    // exact FILTERED ground truth (same decimal metric) — recall
+    val gt = exactTop5(fLists.select(col("vec_id"))
+      .crossJoin(queries.select(col("vec_id").as("q_id"))))
+      .select(col("q_id"), col("vec_id")).localCheckpoint()
+    val nGt = gt.count()
+    val hits = serve.select(col("q_id"), col("vec_id"))
+      .join(gt, Seq("q_id", "vec_id"), "left_semi").count()
+    val recall = BigDecimal(hits.toDouble / nGt.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    serve
+      .withColumn("plan", lit(chosenName))
+      .withColumn("pairs", lit(chosenPairs))
+      .withColumn("min_cands", lit(chosenMin))
+      .withColumn("budget", lit(budget.toLong))
+      .withColumn("n_f", lit(nF))
+      .withColumn("recall", lit(recall))
   }
 
   // ---------------------------------------------------------------- Q222
@@ -7153,6 +7627,28 @@ object Queries {
   def q269VocabMultiRound(spark: SparkSession, dir: String): DataFrame =
     UnigramLm.trainVocabulary(vocabHashCorpus(spark, dir), "text",
       targetVocab = 2048, rounds = 3, maxPieceLen = 4, topMulti = 4096,
+      maxWordLen = 20)
+
+  // ---------------------------------------------------------------- Q275
+  /** MULTI-ROUND prune training on NATURAL TEXT (VERDICT r12
+    * directive 7) — q269's 3-round trajectory stood on an
+    * injective-hash corpus; this entry pins the same loop on the
+    * natural `documents.text` testdata, with the KEPT-MASS FLOOR
+    * reported per round ([[graft.operators.UnigramLm
+    * .trainVocabularyAudit]]). The natural corpus is NARROW — 31
+    * distinct words, 24 single characters, a 228-piece inventory
+    * ceiling — so a 2048-wide target genuinely starves here: that
+    * refusal is spec-pinned in UnigramLmSpec (the underfill guard
+    * fires with the measured inventory in the message), and THIS
+    * entry trains at the width the corpus does support (120), three
+    * full soft-EM prune rounds, monotone-improving corpus ll and the
+    * per-round kept-mass floor in the committed readout. At 100 TB
+    * the same guard is the difference between a refused misconfigured
+    * job and a silently underfilled "32k" tokenizer.
+    */
+  def q275NaturalVocabRounds(spark: SparkSession, dir: String): DataFrame =
+    UnigramLm.trainVocabularyAudit(t(spark, dir, "documents"), "text",
+      targetVocab = 120, rounds = 3, maxPieceLen = 4, topMulti = 4096,
       maxWordLen = 20)
 
   // ---------------------------------------------------------------- Q248

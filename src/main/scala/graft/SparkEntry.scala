@@ -308,6 +308,10 @@ object SparkEntry {
     "q269_vocab_multi_round" -> (Queries.q269VocabMultiRound _),
     "q271_dim512_calibrated" -> (Queries.q271Dim512Calibrated _),
     "q270_filtered_routed_ann" -> (Queries.q270FilteredRoutedAnn _),
+    "q272_bit_budget_ladder" -> (Queries.q272BitBudgetLadder _),
+    "q273_filtered_lakehouse" -> (Queries.q273FilteredLakehouseServe _),
+    "q274_calibration_staleness" -> (Queries.q274CalibrationStaleness _),
+    "q275_natural_vocab_rounds" -> (Queries.q275NaturalVocabRounds _),
     "q261_vocab_width" -> (Queries.q261VocabWidth _),
     "q261b_vocab_width_model" -> (Queries.q261bVocabWidthModel _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
@@ -655,6 +659,67 @@ object SparkEntry {
     * tiling dominates (the anti-starvation construction —
     * `Queries.vocabHashCorpus` replayed digit for digit).
     */
+  /** Generic multi-round prune-training replay with the KEPT-MASS
+    * audit (q275; q269's literal 3-round chain predates it): round r
+    * runs [[unigramSoftDp]] over the incoming vocab, takes the
+    * corpus ll under that model, keeps all singles (1e-6 floor) +
+    * top-(target − singles) positive multis, reports the kept/total
+    * positive multi mass, and re-estimates costs for round r+1.
+    */
+  private def vocabAuditRoundsOracle(wrdsCte: String, topMulti: Int,
+      target: Int, rounds: Int): String = {
+    val parts = (1 to rounds).map { r =>
+      val sfx = if (r == 1) "" else r.toString
+      val vocabName = if (r == 1) "vocab" else s"pv$r"
+      val next =
+        if (r == rounds) ""
+        else s""",
+          |kt$r AS (SELECT sum(CAST(cnt AS DECIMAL(28,6))) AS tot FROM kept$r),
+          |pv${r + 1} AS MATERIALIZED (
+          |  SELECT piece,
+          |         CAST(round((ln(CAST((SELECT tot FROM kt$r) AS DOUBLE))
+          |                     - ln(cnt)) * 1000000.0) AS BIGINT) AS icost
+          |  FROM kept$r)""".stripMargin
+      s"""${unigramSoftDp(vocabName, sfx)},
+        |ll$r AS (SELECT round(CAST(sum(
+        |          CAST(round(ln(alpha[CAST(len + 1 AS INTEGER)]), 6)
+        |               AS DECIMAL(18,6)) * freq) AS DOUBLE), 6) AS ll
+        |        FROM salph$sfx),
+        |sng$r AS (
+        |  SELECT v.piece,
+        |         greatest(coalesce(round(CAST(s.scnt AS DOUBLE), 6),
+        |                           CAST(0.0 AS DOUBLE)),
+        |                  CAST(0.000001 AS DOUBLE)) AS cnt
+        |  FROM $vocabName v LEFT JOIN scnt$sfx s USING (piece)
+        |  WHERE length(v.piece) = 1),
+        |posm$r AS (
+        |  SELECT piece, round(CAST(scnt AS DOUBLE), 6) AS sc
+        |  FROM scnt$sfx
+        |  WHERE length(piece) > 1 AND round(CAST(scnt AS DOUBLE), 6) > 0),
+        |mul$r AS (
+        |  SELECT piece, sc AS cnt FROM (
+        |    SELECT piece, sc,
+        |           row_number() OVER (ORDER BY sc DESC, piece ASC) AS rn
+        |    FROM posm$r)
+        |  WHERE rn <= $target - (SELECT count(*) FROM sng$r)),
+        |km$r AS (
+        |  SELECT round(
+        |    CAST((SELECT sum(CAST(cnt AS DECIMAL(28,6))) FROM mul$r) AS DOUBLE)
+        |    / CAST((SELECT sum(CAST(sc AS DECIMAL(28,6))) FROM posm$r)
+        |           AS DOUBLE), 6) AS m),
+        |kept$r AS (SELECT * FROM sng$r UNION ALL SELECT * FROM mul$r)$next""".stripMargin
+    }
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM kept$r) AS n_vocab,
+        |       (SELECT ll FROM ll$r) AS corpus_ll,
+        |       (SELECT m FROM km$r) AS kept_mass""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${vocabCtesOver(wrdsCte, topMulti)},
+      |${parts.mkString(",\n")}
+      |$rows""".stripMargin
+  }
+
   private val hashWrdsCte: String = {
     def limb(h: String): String =
       (0 until 5).map { i =>
@@ -882,7 +947,8 @@ object SparkEntry {
     * iu/sel/c0..c2/d1..d3/a1..a3 (suffixed); c2$sfx = final codebook,
     * a3$sfx = final assignment (encode), d3$sfx = the ADC LUT.
     */
-  private def pqTrainCtes(sv: String, salt: String, sfx: String): String =
+  private def pqTrainCtes(sv: String, salt: String, sfx: String,
+      subsName: String = "subs", ksub: Int = 4): String =
     s"""iu$sfx AS (
        |  SELECT e.vec_id, s.sub,
        |         (((list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -891,14 +957,14 @@ object SparkEntry {
        |              (a, q) -> (a * 131 + q) % 281474976710656)
        |            % 2147483647) * 1103515245 + 12345) % 2147483647 + 0.5)
        |          / 2147483647.0 AS u
-       |  FROM embeddings e, subs s),
+       |  FROM embeddings e, $subsName s),
        |sel$sfx AS (
        |  SELECT vec_id, sub, code FROM (
        |    SELECT vec_id, sub,
        |           CAST(row_number() OVER (PARTITION BY sub
        |                                   ORDER BY u ASC, vec_id ASC) - 1
        |                AS INTEGER) AS code
-       |    FROM iu$sfx) WHERE code < 4),
+       |    FROM iu$sfx) WHERE code < $ksub),
        |c0$sfx AS MATERIALIZED (
        |  SELECT sel.sub, sel.code, sv.pos, round(sv.val, 6) AS val
        |  FROM sel$sfx sel JOIN $sv sv ON sv.vec_id = sel.vec_id AND sv.sub = sel.sub),
@@ -1011,15 +1077,17 @@ object SparkEntry {
        |$outName AS MATERIALIZED (
        |  SELECT f.vec_id, CAST(r.i // $dsub AS INTEGER) AS sub,
        |         CAST(r.i % $dsub AS INTEGER) AS pos,
-       |         -- round the DECIMAL sum, not its double cast: the 9-dp
-       |         -- sum hits true half-way 7th decimals (~1/1000 of
-       |         -- components), where Spark's HALF_UP on the exact
-       |         -- decimal and DuckDB's scaled-binary double round
-       |         -- disagree by 1e-6 (caught by q267's exact rerank;
-       |         -- DuckDB decimal round = half away from zero = Spark
-       |         -- HALF_UP on both signs)
-       |         CAST(round(sum(CAST(round(CAST(r.val AS DOUBLE) * f.val, 9)
-       |                              AS DECIMAL(20,9))), 6) AS DOUBLE) AS val
+         -- FULLY-EXACT decimal projection (round-13 recipe, matching
+       |         -- rotatedBlocks): 6-dp × 6-dp factors multiply EXACTLY at
+       |         -- scale 12, the sum is exact, and the only rounding is
+       |         -- the final decimal HALF_UP at 6 — no double is rounded
+       |         -- through a decimal grid anywhere, so the two engines
+       |         -- cannot disagree at half-way cells (the r12 recipe still
+       |         -- rounded 9-dp DOUBLE products; observed flip: vec 404
+       |         -- fpos 418)
+       |         CAST(round(sum(CAST(r.val AS DECIMAL(12,6))
+       |                        * CAST(f.val AS DECIMAL(12,6))), 6)
+       |              AS DOUBLE) AS val
        |  FROM $src f JOIN $rotName r ON r.j = f.fpos
        |  GROUP BY f.vec_id, r.i)""".stripMargin
   }
@@ -1057,8 +1125,13 @@ object SparkEntry {
     * replayed component-wise (identical long arithmetic, one double
     * divide, one subtract).
     */
-  private val zipfFvcCte: String =
-    """fvc AS MATERIALIZED (
+  /** The Zipf fixture CTE with its ambiguity parameter t as a SQL
+    * expression — `zipfFvcCte` is the build-time corpus; q274's
+    * drifted replay shifts t toward the boundary (matching
+    * `Queries.zipfVecsDrifted`).
+    */
+  private def zipfFixtureCte(name: String, tExpr: String): String =
+    s"""$name AS MATERIALIZED (
       |  SELECT e.vec_id, p.p AS fpos,
       |         round(CAST(e.embedding[p.p + 1] AS DOUBLE) +
       |           CASE WHEN p.p % 16 <> 0 THEN 0.0
@@ -1066,15 +1139,18 @@ object SparkEntry {
       |                                       WHEN e.vec_id % 16 < 12 THEN 1
       |                                       WHEN e.vec_id % 16 < 14 THEN 2
       |                                       ELSE 3 END)
-      |                  THEN 1.0 - CAST((e.vec_id * 7919) % 100 AS DOUBLE) / 200.0
+      |                  THEN 1.0 - ($tExpr)
       |                WHEN p.p // 16 = ((CASE WHEN e.vec_id % 16 < 8 THEN 0
       |                                        WHEN e.vec_id % 16 < 12 THEN 1
       |                                        WHEN e.vec_id % 16 < 14 THEN 2
       |                                        ELSE 3 END) + 1) % 4
-      |                  THEN CAST((e.vec_id * 7919) % 100 AS DOUBLE) / 200.0
+      |                  THEN ($tExpr)
       |                ELSE -1.0 END, 6) AS val
       |  FROM embeddings e,
       |       (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS p) p)""".stripMargin
+
+  private val zipfFvcCte: String = zipfFixtureCte("fvc",
+    "CAST((e.vec_id * 7919) % 100 AS DOUBLE) / 200.0")
 
   /** Everything downstream of the construction is fixture-independent:
     * router, per-list centroids, residuals, per-query exact decimal
@@ -1155,6 +1231,136 @@ object SparkEntry {
     * scoring, and the three-scheme readout carrying the COMPUTED
     * `budget` / `ratio_cap` columns.
     */
+  /** q274's replay — the calibration-artifact LIFECYCLE: build-time
+    * calibration (capc/budc from the shared q268 CTEs), the DRIFTED
+    * corpus rebuilt from the same arithmetic (t shifted toward the
+    * boundary), frozen router/centroids throughout, the counts-only
+    * staleness input (grants the frozen cap hands out on the drifted
+    * sample), the drifted-GT recalibration (capd/budd), and the
+    * four-row lifecycle readout with the gate booleans computed from
+    * the same counts.
+    */
+  private def calibrationLifecycleOracle: String =
+    s"""WITH ${adaptiveAuditCtes(zipfFvcCte)},
+      |ratc AS MATERIALIZED (
+      |  SELECT q.vec_id, q.list, q.pr, CAST(b.d1 AS DOUBLE) AS d1,
+      |         CASE WHEN CAST(b.d1 AS DOUBLE) > 0
+      |              THEN round(CAST(q.d AS DOUBLE) / CAST(b.d1 AS DOUBLE), 6)
+      |         END AS ratio
+      |  FROM qpdc q JOIN (SELECT vec_id, d AS d1 FROM qpdc WHERE pr = 1) b
+      |    ON b.vec_id = q.vec_id
+      |  WHERE q.pr <= 4),
+      |gtkc AS MATERIALIZED (
+      |  SELECT e.q_id, e.vec_id, r.pr, r.ratio, r.d1
+      |  FROM exc e
+      |  JOIN lstc cl ON cl.vec_id = e.vec_id
+      |  JOIN ratc r ON r.vec_id = e.q_id AND r.list = cl.list),
+      |tgtc AS (SELECT count(*) AS t FROM gtkc WHERE pr <= 2),
+      |bsc AS (SELECT count(*) AS b FROM gtkc WHERE pr = 1),
+      |ndc AS (SELECT CASE WHEN (SELECT t FROM tgtc) > (SELECT b FROM bsc)
+      |                    THEN (SELECT t FROM tgtc) - (SELECT b FROM bsc)
+      |                    ELSE 0 END AS n),
+      |capc AS (
+      |  SELECT CASE WHEN (SELECT n FROM ndc) = 0 THEN CAST(1.0 AS DOUBLE)
+      |         ELSE (SELECT max(ratio) FROM (
+      |                 SELECT ratio,
+      |                        row_number() OVER (ORDER BY ratio ASC) AS rn
+      |                 FROM gtkc WHERE pr >= 2 AND d1 > 0)
+      |               WHERE rn <= (SELECT n FROM ndc)) END AS r),
+      |budc AS (
+      |  SELECT CASE WHEN (SELECT n FROM ndc) = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE (SELECT count(*) FROM ratc
+      |               WHERE pr >= 2 AND d1 > 0
+      |                 AND ratio <= (SELECT r FROM capc)) END AS b),
+      |${zipfFixtureCte("fvd",
+        "0.25 + CAST((e.vec_id * 7919) % 100 AS DOUBLE) / 400.0")},
+      |lstd AS MATERIALIZED (
+      |  SELECT vec_id, list FROM (
+      |    SELECT f.vec_id, j.j AS list,
+      |           row_number() OVER (PARTITION BY f.vec_id
+      |                              ORDER BY f.val DESC, j.j ASC) AS rn
+      |    FROM fvd f
+      |    JOIN (SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS j) j
+      |      ON f.fpos = j.j * 16)
+      |  WHERE rn = 1),
+      |qdd AS (
+      |  SELECT f.vec_id, cc.list,
+      |         sum(CAST(round((f.val - cc.val) * (f.val - cc.val), 6)
+      |                  AS DECIMAL(18,6))) AS d
+      |  FROM fvd f JOIN ccc cc ON cc.fpos = f.fpos
+      |  WHERE f.vec_id % 29 = 0 AND f.vec_id < 522
+      |  GROUP BY 1, 2),
+      |qpdd AS (
+      |  SELECT vec_id, list, d,
+      |         row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY d ASC, list ASC) AS pr
+      |  FROM qdd),
+      |ratd AS MATERIALIZED (
+      |  SELECT q.vec_id, q.list, q.pr, CAST(b.d1 AS DOUBLE) AS d1,
+      |         CASE WHEN CAST(b.d1 AS DOUBLE) > 0
+      |              THEN round(CAST(q.d AS DOUBLE) / CAST(b.d1 AS DOUBLE), 6)
+      |         END AS ratio
+      |  FROM qpdd q JOIN (SELECT vec_id, d AS d1 FROM qpdd WHERE pr = 1) b
+      |    ON b.vec_id = q.vec_id
+      |  WHERE q.pr <= 4),
+      |stg AS (SELECT count(*) AS g FROM ratd
+      |        WHERE pr >= 2 AND d1 > 0 AND ratio <= (SELECT r FROM capc)),
+      |cvd AS MATERIALIZED (
+      |  SELECT vec_id, list(val ORDER BY fpos) AS vec FROM fvd GROUP BY 1),
+      |exd AS MATERIALIZED (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q.vec_id AS q_id, c.vec_id,
+      |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |               list_transform(generate_series(1, 64), i ->
+      |                 (q.vec[i] - c.vec[i]) * (q.vec[i] - c.vec[i]))),
+      |               (x, y) -> x + y), 6) ASC, c.vec_id ASC) AS rn
+      |    FROM cvd q JOIN cvd c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id % 29 = 0 AND q.vec_id < 522)
+      |  WHERE rn <= 5),
+      |gtkd AS MATERIALIZED (
+      |  SELECT e.q_id, e.vec_id, r.pr, r.ratio, r.d1
+      |  FROM exd e
+      |  JOIN lstd cl ON cl.vec_id = e.vec_id
+      |  JOIN ratd r ON r.vec_id = e.q_id AND r.list = cl.list),
+      |tgtd AS (SELECT count(*) AS t FROM gtkd WHERE pr <= 2),
+      |bsd AS (SELECT count(*) AS b FROM gtkd WHERE pr = 1),
+      |ndd AS (SELECT CASE WHEN (SELECT t FROM tgtd) > (SELECT b FROM bsd)
+      |                    THEN (SELECT t FROM tgtd) - (SELECT b FROM bsd)
+      |                    ELSE 0 END AS n),
+      |capd AS (
+      |  SELECT CASE WHEN (SELECT n FROM ndd) = 0 THEN CAST(1.0 AS DOUBLE)
+      |         ELSE (SELECT max(ratio) FROM (
+      |                 SELECT ratio,
+      |                        row_number() OVER (ORDER BY ratio ASC) AS rn
+      |                 FROM gtkd WHERE pr >= 2 AND d1 > 0)
+      |               WHERE rn <= (SELECT n FROM ndd)) END AS r),
+      |budd AS (
+      |  SELECT CASE WHEN (SELECT n FROM ndd) = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE (SELECT count(*) FROM ratd
+      |               WHERE pr >= 2 AND d1 > 0
+      |                 AND ratio <= (SELECT r FROM capd)) END AS b),
+      |nqc AS (SELECT count(DISTINCT vec_id) AS n FROM qpdc)
+      |SELECT 'build' AS stage, (SELECT r FROM capc) AS ratio_cap,
+      |       (SELECT b FROM budc) AS budget,
+      |       (SELECT b FROM budc) AS grants_at_cap,
+      |       false AS gate_fired,
+      |       (SELECT n FROM nqc) + (SELECT b FROM budc) AS probes
+      |UNION ALL
+      |SELECT 'fresh_gate', (SELECT r FROM capc), (SELECT b FROM budc),
+      |       (SELECT b FROM budc),
+      |       ((SELECT b FROM budc) <> (SELECT b FROM budc)),
+      |       CAST(NULL AS BIGINT)
+      |UNION ALL
+      |SELECT 'stale_gate', (SELECT r FROM capc), (SELECT b FROM budc),
+      |       (SELECT g FROM stg),
+      |       ((SELECT g FROM stg) <> (SELECT b FROM budc)),
+      |       CAST(NULL AS BIGINT)
+      |UNION ALL
+      |SELECT 'recalibrated', (SELECT r FROM capd), (SELECT b FROM budd),
+      |       (SELECT b FROM budd), false,
+      |       (SELECT n FROM nqc) + (SELECT b FROM budd)""".stripMargin
+
   private def calibratedBudgetOracle(fvcCte: String): String =
     s"""WITH ${adaptiveAuditCtes(fvcCte)},
       |ratc AS (
@@ -1338,7 +1544,39 @@ object SparkEntry {
     * (`rvx`), the residual training chain at salt `pqxr`, and the
     * per-vec ordered component lists (`rvax`, the exact-space side).
     */
-  private def dim512BaseCtes(blocks: Array[Array[Array[Double]]]): String = {
+  /** The tier's training-init salt — MUST match
+    * `Queries.x512BooksM`'s: the base (8,4) tier is the original
+    * `pqxr` chain; ladder rungs carry their (m, ksub) in the salt.
+    */
+  private def x512TierSalt(m: Int, ksub: Int): String =
+    if (m == 8 && ksub == 4) "pqxr"
+    else if (ksub == 4) s"pqxr$m" else s"pqxr${m}k$ksub"
+
+  /** One ladder tier's residual training chain as CTEs, suffix `sfx`:
+    * the residual sub-vector split at the tier's dsub = 512/m (from
+    * `fvx`/`lstx`/`ccx` of [[dim512BaseCtes]]), a subs table when the
+    * tier's m isn't the base 8, and the full [[pqTrainCtes]] replay at
+    * the tier's ksub and salt. Emits `rv$sfx` + the train chain
+    * (c2$sfx, a3$sfx, …).
+    */
+  private def x512TierChain(m: Int, ksub: Int, sfx: String): String = {
+    val dsub = 512 / m
+    val subsName = if (m == 8) "subs" else s"subs$sfx"
+    val subsCte = if (m == 8) ""
+    else
+      s"""subs$sfx AS (SELECT CAST(unnest(generate_series(0, ${m - 1}))
+         |                         AS INTEGER) AS sub),
+         |""".stripMargin
+    s"""${subsCte}rv$sfx AS MATERIALIZED (
+       |  SELECT f.vec_id, CAST(f.fpos // $dsub AS INTEGER) AS sub,
+       |         CAST(f.fpos % $dsub AS INTEGER) AS pos, f.val - cc.val AS val
+       |  FROM fvx f JOIN lstx l ON l.vec_id = f.vec_id
+       |  JOIN ccx cc ON cc.list = l.list AND cc.fpos = f.fpos),
+       |${pqTrainCtes(s"rv$sfx", x512TierSalt(m, ksub), sfx, subsName, ksub)}""".stripMargin
+  }
+
+  private def dim512BaseCtes(blocks: Array[Array[Array[Double]]],
+      tier: (Int, Int) = (8, 4)): String = {
     val signs = (0 until 512).map { i =>
       s"($i, ${Queries.x512Sign("x5a", i)}, ${Queries.x512Sign("x5b", i)})"
     }.mkString(", ")
@@ -1372,12 +1610,7 @@ object SparkEntry {
        |               / count(*), 6) AS val
        |  FROM fvx f JOIN lstx l ON l.vec_id = f.vec_id
        |  GROUP BY 1, 2),
-       |rvx AS MATERIALIZED (
-       |  SELECT f.vec_id, CAST(f.fpos // 64 AS INTEGER) AS sub,
-       |         CAST(f.fpos % 64 AS INTEGER) AS pos, f.val - cc.val AS val
-       |  FROM fvx f JOIN lstx l ON l.vec_id = f.vec_id
-       |  JOIN ccx cc ON cc.list = l.list AND cc.fpos = f.fpos),
-       |${pqTrainCtes("rvx", "pqxr", "x")},
+       |${x512TierChain(tier._1, tier._2, "x")},
        |rvax AS MATERIALIZED (
        |  SELECT vec_id, list(val ORDER BY fpos) AS vec FROM fvx GROUP BY 1)""".stripMargin
   }
@@ -1474,8 +1707,9 @@ object SparkEntry {
     * exact, one double cast at the end — no round() anywhere).
     */
   private def dim512LakehouseOracle(
-      blocks: Array[Array[Array[Double]]]): String =
-    s"""WITH ${dim512BaseCtes(blocks)},
+      blocks: Array[Array[Array[Double]]],
+      tier: (Int, Int) = (8, 4)): String =
+    s"""WITH ${dim512BaseCtes(blocks, tier)},
        |qdx AS (
        |  SELECT f.vec_id, cc.list,
        |         sum(CAST(round((f.val - cc.val) * (f.val - cc.val), 6)
@@ -1488,7 +1722,7 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY vec_id
        |                            ORDER BY d ASC, list ASC) AS pr
        |  FROM qdx),
-       |ratx AS (
+       |ratx AS MATERIALIZED (
        |  SELECT q.vec_id, q.list, q.pr, CAST(b.d1 AS DOUBLE) AS d1,
        |         CASE WHEN CAST(b.d1 AS DOUBLE) > 0
        |              THEN round(CAST(q.d AS DOUBLE) / CAST(b.d1 AS DOUBLE), 6)
@@ -1541,8 +1775,10 @@ object SparkEntry {
        |  WHERE q.pr = 1 OR coalesce(g.grk, 1000000)
        |          <= (SELECT b FROM budg)),
        |rqx AS (
-       |  SELECT f.vec_id, qp.list, CAST(f.fpos // 64 AS INTEGER) AS sub,
-       |         CAST(f.fpos % 64 AS INTEGER) AS pos, f.val - cc.val AS val
+       |  SELECT f.vec_id, qp.list,
+       |         CAST(f.fpos // ${512 / tier._1} AS INTEGER) AS sub,
+       |         CAST(f.fpos % ${512 / tier._1} AS INTEGER) AS pos,
+       |         f.val - cc.val AS val
        |  FROM fvx f JOIN qsx qp ON qp.vec_id = f.vec_id
        |  JOIN ccx cc ON cc.list = qp.list AND cc.fpos = f.fpos),
        |dqx AS (
@@ -1592,10 +1828,14 @@ object SparkEntry {
     * the cap, the budget as all candidates at or under it, grants by
     * the q263 rule, residual ADC top-5 within the probed lists).
     */
-  private def dim512CalibratedOracle(
-      blocks: Array[Array[Array[Double]]]): String =
-    s"""WITH ${dim512BaseCtes(blocks)},
-       |qdx AS (
+  /** The dim-512 calibration chain (q271/q272 shared): fixed-sample
+    * ranked list distances, margin ratios, exact rotated-space top-5
+    * GT, coverage target, the needed-th order-statistic cap, the
+    * budget, and the grant ranks (`grxx`). Consumes
+    * [[dim512BaseCtes]]'s fvx/ccx/lstx/rvax.
+    */
+  private val x512CalibCtes: String =
+    s"""qdx AS (
        |  SELECT f.vec_id, cc.list,
        |         sum(CAST(round((f.val - cc.val) * (f.val - cc.val), 6)
        |                  AS DECIMAL(18,6))) AS d
@@ -1607,7 +1847,7 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY vec_id
        |                            ORDER BY d ASC, list ASC) AS pr
        |  FROM qdx),
-       |ratx AS (
+       |ratx AS MATERIALIZED (
        |  SELECT q.vec_id, q.list, q.pr, CAST(b.d1 AS DOUBLE) AS d1,
        |         CASE WHEN CAST(b.d1 AS DOUBLE) > 0
        |              THEN round(CAST(q.d AS DOUBLE) / CAST(b.d1 AS DOUBLE), 6)
@@ -1615,7 +1855,7 @@ object SparkEntry {
        |  FROM qpx q JOIN (SELECT vec_id, d AS d1 FROM qpx WHERE pr = 1) b
        |    ON b.vec_id = q.vec_id
        |  WHERE q.pr <= 4),
-       |exc AS (
+       |exc AS MATERIALIZED (
        |  SELECT q_id, vec_id FROM (
        |    SELECT q.vec_id AS q_id, c.vec_id,
        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -1626,7 +1866,7 @@ object SparkEntry {
        |    FROM rvax q JOIN rvax c ON c.vec_id <> q.vec_id
        |    WHERE q.vec_id % 97 = 0 AND q.vec_id < 2037)
        |  WHERE rn <= 5),
-       |gtkx AS (
+       |gtkx AS MATERIALIZED (
        |  SELECT e.q_id, e.vec_id, r.pr, r.ratio, r.d1
        |  FROM exc e
        |  JOIN lstx cl ON cl.vec_id = e.vec_id
@@ -1652,7 +1892,12 @@ object SparkEntry {
        |  SELECT vec_id, list,
        |         row_number() OVER (ORDER BY ratio ASC, vec_id ASC, pr ASC)
        |           AS grk
-       |  FROM ratx WHERE pr BETWEEN 2 AND 4 AND d1 > 0),
+       |  FROM ratx WHERE pr BETWEEN 2 AND 4 AND d1 > 0),""".stripMargin
+
+  private def dim512CalibratedOracle(
+      blocks: Array[Array[Array[Double]]]): String =
+    s"""WITH ${dim512BaseCtes(blocks)},
+       |$x512CalibCtes
        |qselx AS (
        |  SELECT q.vec_id, q.list, (q.pr = 1) AS f1, (q.pr <= 2) AS f2,
        |         (q.pr = 1 OR coalesce(g.grk, 1000000)
@@ -1741,6 +1986,238 @@ object SparkEntry {
     * distances per selected probe, ADC scoring within lists, and the
     * exact rotated-space L2 top-5 ground truth from `rvax`.
     */
+  /** q272's replay — the BIT-BUDGET LADDER at dim 512: the base (8,4)
+    * training chain (suffix `x`), the (8,16) chain (suffix `y`, same
+    * dsub-64 residual split, ksub 16) and the (16,16) chain (suffix
+    * `z`, dsub-32 split), the q271 calibration machinery for the
+    * probe set, one shared probes/pairs count, per-tier ADC top-20
+    * hits against the exact rotated-space GT, then the priced-cost /
+    * recall-floor / cheapest-eligible choice — every column of the
+    * chooser replayed down to the order statistic that set the
+    * budget.
+    */
+  private def dim512LadderOracle(
+      blocks: Array[Array[Array[Double]]]): String = {
+    def adcChain(sfx: String, rq: String): String =
+      s"""dq$sfx AS (
+         |  SELECT rq.vec_id, rq.list, rq.sub, cb.code,
+         |         sum(CAST(round((rq.val - cb.val) * (rq.val - cb.val), 6)
+         |                  AS DECIMAL(18,6))) AS d
+         |  FROM $rq rq JOIN c2$sfx cb ON cb.sub = rq.sub AND cb.pos = rq.pos
+         |  GROUP BY 1, 2, 3, 4),
+         |am$sfx AS (
+         |  SELECT dq.vec_id AS q_id, a.vec_id,
+         |         round(CAST(sum(dq.d) AS DOUBLE), 6) AS dist
+         |  FROM a3$sfx a JOIN lstx cl ON cl.vec_id = a.vec_id
+         |  JOIN dq$sfx dq ON dq.list = cl.list AND dq.sub = a.sub
+         |             AND dq.code = a.code
+         |  WHERE a.vec_id <> dq.vec_id
+         |  GROUP BY 1, 2),
+         |t20$sfx AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY dist ASC, vec_id ASC) AS rn
+         |    FROM am$sfx) WHERE rn <= 20),
+         |h$sfx AS (SELECT count(*) AS h
+         |          FROM t20$sfx JOIN exc USING (q_id, vec_id))""".stripMargin
+    s"""WITH ${dim512BaseCtes(blocks)},
+       |${x512TierChain(8, 16, "y")},
+       |${x512TierChain(16, 16, "z")},
+       |$x512CalibCtes
+       |qcal AS (
+       |  SELECT q.vec_id, q.list
+       |  FROM qpx q LEFT JOIN grxx g ON g.vec_id = q.vec_id
+       |                             AND g.list = q.list
+       |  WHERE q.pr = 1 OR coalesce(g.grk, 1000000)
+       |          <= (SELECT b FROM budx)),
+       |rq8 AS MATERIALIZED (
+       |  SELECT f.vec_id, qc.list, CAST(f.fpos // 64 AS INTEGER) AS sub,
+       |         CAST(f.fpos % 64 AS INTEGER) AS pos, f.val - cc.val AS val
+       |  FROM fvx f JOIN qcal qc ON qc.vec_id = f.vec_id
+       |  JOIN ccx cc ON cc.list = qc.list AND cc.fpos = f.fpos),
+       |rq16 AS MATERIALIZED (
+       |  SELECT f.vec_id, qc.list, CAST(f.fpos // 32 AS INTEGER) AS sub,
+       |         CAST(f.fpos % 32 AS INTEGER) AS pos, f.val - cc.val AS val
+       |  FROM fvx f JOIN qcal qc ON qc.vec_id = f.vec_id
+       |  JOIN ccx cc ON cc.list = qc.list AND cc.fpos = f.fpos),
+       |${adcChain("x", "rq8")},
+       |${adcChain("y", "rq8")},
+       |${adcChain("z", "rq16")},
+       |prq AS (SELECT count(*) AS n FROM qcal),
+       |prs AS (SELECT count(*) AS n
+       |        FROM qcal q JOIN lstx cl ON cl.list = q.list
+       |                                AND cl.vec_id <> q.vec_id),
+       |ncp AS (SELECT count(*) AS n FROM embeddings),
+       |ngt AS (SELECT count(*) AS n FROM exc),
+       |tm(tier, m, ksub, bits) AS (VALUES
+       |  ('b16', 8, 4, 16), ('b32', 8, 16, 32), ('b64', 16, 16, 64)),
+       |met AS (
+       |  SELECT tier, CAST(m AS INTEGER) AS m, CAST(ksub AS INTEGER) AS ksub,
+       |         CAST(bits AS INTEGER) AS bits,
+       |         (SELECT n FROM prq) AS probes,
+       |         (SELECT n FROM prs) AS pairs,
+       |         CAST(bits // 8 AS BIGINT) * (SELECT n FROM ncp)
+       |           + CAST(m AS BIGINT) * (SELECT n FROM prs) AS cost,
+       |         CASE tier WHEN 'b16' THEN (SELECT h FROM hx)
+       |                   WHEN 'b32' THEN (SELECT h FROM hy)
+       |                   ELSE (SELECT h FROM hz) END AS hits,
+       |         (SELECT n FROM ngt) AS n_gt
+       |  FROM tm),
+       |met2 AS (
+       |  SELECT *, round(CAST(hits AS DOUBLE) / CAST(n_gt AS DOUBLE), 6)
+       |              AS recall,
+       |         (round(CAST(hits AS DOUBLE) / CAST(n_gt AS DOUBLE), 6)
+       |            >= 0.4) AS eligible
+       |  FROM met)
+       |SELECT tier, m, ksub, bits, probes, pairs, cost, hits, n_gt, recall,
+       |       eligible,
+       |       (eligible AND cost = (SELECT min(cost) FROM met2
+       |                             WHERE eligible)) AS chosen,
+       |       CAST(0.4 AS DOUBLE) AS recall_floor
+       |FROM met2""".stripMargin
+  }
+
+  /** q273's replay — filtered serving over the lakehouse: the chosen
+    * tier's training chain, the calibration (budget) CTEs, the
+    * filtered SURVIVING corpus (`label = 3`, MOR-deleted `% 5 = 2`
+    * keys excluded), the per-plan counts-only chooser inputs (pair
+    * mass + min per-query pool), the q270 choice rule (headroom 20,
+    * cheapest eligible, first-in-order on ties), then the CHOSEN
+    * plan's serve — probed ADC top-20 + fully-exact decimal rerank, or
+    * the exact filtered scan when brute wins — with recall against the
+    * exact filtered ground truth.
+    */
+  private def dim512FilteredLakehouseOracle(
+      blocks: Array[Array[Array[Double]]],
+      tier: (Int, Int) = (8, 4)): String = {
+    val dsub = 512 / tier._1
+    s"""WITH ${dim512BaseCtes(blocks, tier)},
+       |$x512CalibCtes
+       |qselx AS MATERIALIZED (
+       |  SELECT q.vec_id, q.list, (q.pr = 1) AS f1, (q.pr <= 2) AS f2,
+       |         (q.pr = 1 OR coalesce(g.grk, 1000000)
+       |            <= (SELECT b FROM budx)) AS fc
+       |  FROM qpx q LEFT JOIN grxx g ON g.vec_id = q.vec_id
+       |                             AND g.list = q.list),
+       |flv AS MATERIALIZED (
+       |  SELECT l.vec_id, l.list
+       |  FROM lstx l JOIN embeddings e ON e.vec_id = l.vec_id
+       |  WHERE e.label = 3 AND l.vec_id % 5 <> 2),
+       |nfv AS (SELECT count(*) AS n FROM flv),
+       |nqv AS (SELECT count(DISTINCT vec_id) AS n FROM qpx),
+       |sfq AS (SELECT count(*) AS n FROM (SELECT DISTINCT vec_id FROM qpx) q
+       |        JOIN flv f ON f.vec_id = q.vec_id),
+       |pq1 AS (SELECT qs.vec_id AS q_id, count(c.vec_id) AS n
+       |        FROM qselx qs LEFT JOIN flv c ON c.list = qs.list
+       |                                     AND c.vec_id <> qs.vec_id
+       |        WHERE qs.f1 GROUP BY 1),
+       |pqc AS (SELECT qs.vec_id AS q_id, count(c.vec_id) AS n
+       |        FROM qselx qs LEFT JOIN flv c ON c.list = qs.list
+       |                                     AND c.vec_id <> qs.vec_id
+       |        WHERE qs.fc GROUP BY 1),
+       |pq2 AS (SELECT qs.vec_id AS q_id, count(c.vec_id) AS n
+       |        FROM qselx qs LEFT JOIN flv c ON c.list = qs.list
+       |                                     AND c.vec_id <> qs.vec_id
+       |        WHERE qs.f2 GROUP BY 1),
+       |pl(ord, plan, pairs, minc) AS (
+       |  SELECT 1, 'fixed1', (SELECT sum(n) FROM pq1), (SELECT min(n) FROM pq1)
+       |  UNION ALL
+       |  SELECT 2, 'calibrated', (SELECT sum(n) FROM pqc),
+       |         (SELECT min(n) FROM pqc)
+       |  UNION ALL
+       |  SELECT 3, 'fixed2', (SELECT sum(n) FROM pq2), (SELECT min(n) FROM pq2)
+       |  UNION ALL
+       |  SELECT 4, 'brute',
+       |         (SELECT n FROM nqv) * (SELECT n FROM nfv) - (SELECT n FROM sfq),
+       |         (SELECT n FROM nfv)
+       |           - CASE WHEN (SELECT n FROM sfq) > 0 THEN 1 ELSE 0 END),
+       |el AS (SELECT ord, plan, CAST(pairs AS BIGINT) AS pairs,
+       |              CAST(minc AS BIGINT) AS minc, (minc >= 20) AS elig
+       |       FROM pl),
+       |ch AS MATERIALIZED (
+       |  SELECT plan, pairs, minc FROM el
+       |  WHERE elig AND pairs = (SELECT min(pairs) FROM el WHERE elig)
+       |  ORDER BY ord LIMIT 1),
+       |rqf AS MATERIALIZED (
+       |  SELECT f.vec_id, qs.list, CAST(f.fpos // $dsub AS INTEGER) AS sub,
+       |         CAST(f.fpos % $dsub AS INTEGER) AS pos, f.val - cc.val AS val
+       |  FROM fvx f JOIN qselx qs ON qs.vec_id = f.vec_id
+       |    AND ((SELECT plan FROM ch) = 'fixed1' AND qs.f1
+       |      OR (SELECT plan FROM ch) = 'calibrated' AND qs.fc
+       |      OR (SELECT plan FROM ch) = 'fixed2' AND qs.f2)
+       |  JOIN ccx cc ON cc.list = qs.list AND cc.fpos = f.fpos),
+       |dqf AS (
+       |  SELECT rq.vec_id, rq.list, rq.sub, cb.code,
+       |         sum(CAST(round((rq.val - cb.val) * (rq.val - cb.val), 6)
+       |                  AS DECIMAL(18,6))) AS d
+       |  FROM rqf rq JOIN c2x cb ON cb.sub = rq.sub AND cb.pos = rq.pos
+       |  GROUP BY 1, 2, 3, 4),
+       |amf AS (
+       |  SELECT dq.vec_id AS q_id, a.vec_id,
+       |         round(CAST(sum(dq.d) AS DOUBLE), 6) AS dist
+       |  FROM a3x a JOIN flv cl ON cl.vec_id = a.vec_id
+       |  JOIN dqf dq ON dq.list = cl.list AND dq.sub = a.sub
+       |             AND dq.code = a.code
+       |  WHERE a.vec_id <> dq.vec_id
+       |  GROUP BY 1, 2),
+       |candf AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY dist ASC, vec_id ASC) AS rn
+       |    FROM amf) WHERE rn <= 20),
+       |rrf AS (
+       |  SELECT c.q_id, c.vec_id,
+       |         CAST(sum(CAST(
+       |           (CAST(q.val AS DECIMAL(12,6)) - CAST(x.val AS DECIMAL(12,6)))
+       |           * (CAST(q.val AS DECIMAL(12,6)) - CAST(x.val AS DECIMAL(12,6)))
+       |           AS DECIMAL(38,12))) AS DOUBLE) AS l2
+       |  FROM candf c
+       |  JOIN fvx q ON q.vec_id = c.q_id
+       |  JOIN fvx x ON x.vec_id = c.vec_id AND x.fpos = q.fpos
+       |  GROUP BY 1, 2),
+       |tadc AS MATERIALIZED (
+       |  SELECT q_id, vec_id, l2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY l2 ASC, vec_id ASC) AS rn
+       |    FROM rrf) WHERE rn <= 5),
+       |rbr AS (
+       |  SELECT qp.vec_id AS q_id, c.vec_id,
+       |         CAST(sum(CAST(
+       |           (CAST(q.val AS DECIMAL(12,6)) - CAST(x.val AS DECIMAL(12,6)))
+       |           * (CAST(q.val AS DECIMAL(12,6)) - CAST(x.val AS DECIMAL(12,6)))
+       |           AS DECIMAL(38,12))) AS DOUBLE) AS l2
+       |  FROM (SELECT DISTINCT vec_id FROM qpx) qp
+       |  JOIN flv c ON c.vec_id <> qp.vec_id
+       |  JOIN fvx q ON q.vec_id = qp.vec_id
+       |  JOIN fvx x ON x.vec_id = c.vec_id AND x.fpos = q.fpos
+       |  GROUP BY 1, 2),
+       |tbr AS MATERIALIZED (
+       |  SELECT q_id, vec_id, l2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY l2 ASC, vec_id ASC) AS rn
+       |    FROM rbr) WHERE rn <= 5),
+       |serve AS MATERIALIZED (
+       |  SELECT q_id, vec_id, l2 FROM tadc
+       |  WHERE (SELECT plan FROM ch) <> 'brute'
+       |  UNION ALL
+       |  SELECT q_id, vec_id, l2 FROM tbr
+       |  WHERE (SELECT plan FROM ch) = 'brute'),
+       |rec AS (
+       |  SELECT round(CAST((SELECT count(*) FROM serve s
+       |                     JOIN tbr g USING (q_id, vec_id)) AS DOUBLE)
+       |               / CAST((SELECT count(*) FROM tbr) AS DOUBLE), 6) AS r)
+       |SELECT s.q_id, s.vec_id, s.l2,
+       |       (SELECT plan FROM ch) AS plan,
+       |       (SELECT pairs FROM ch) AS pairs,
+       |       (SELECT minc FROM ch) AS min_cands,
+       |       (SELECT b FROM budx) AS budget,
+       |       (SELECT CAST(n AS BIGINT) FROM nfv) AS n_f,
+       |       (SELECT r FROM rec) AS recall
+       |FROM serve s""".stripMargin
+  }
+
   private def dim512AuditOracle(
       blocks: Array[Array[Array[Double]]]): String =
     s"""WITH ${dim512BaseCtes(blocks)},
@@ -2509,7 +2986,9 @@ object SparkEntry {
       "q259_adaptive_dim512" -> (() => Queries.x512SpliceReady),
       "q259b_dim512_probe_mass" -> (() => Queries.x512SpliceReady),
       "q267_dim512_lakehouse" -> (() => Queries.x512SpliceReady),
-      "q271_dim512_calibrated" -> (() => Queries.x512SpliceReady))
+      "q271_dim512_calibrated" -> (() => Queries.x512SpliceReady),
+      "q272_bit_budget_ladder" -> (() => Queries.x512SpliceReady),
+      "q273_filtered_lakehouse" -> (() => Queries.x512SpliceReady))
     oracleSqlAll.filter { case (k, _) => gates.get(k).forall(_()) }
   }
 
@@ -3346,17 +3825,43 @@ object SparkEntry {
     // manifest lakehouse — budgeted probe (10 grants), MOR-deleted keys
     // excluded from the candidate side, both maintenance regimes pinned
     "q267_dim512_lakehouse" ->
-      dim512LakehouseOracle(Queries.lastX512Blocks()),
+      dim512LakehouseOracle(Queries.lastX512Blocks(),
+        Queries.lastX512ChosenTier()),
     // SELF-CALIBRATING budget: the spend computed from the measured
     // margin distribution vs the fixed-2 list-coverage target, on the
     // Zipf/continuous-margin surface and the planted surface
     "q268_calibrated_budget" -> calibratedBudgetOracle(zipfFvcCte),
+    // the calibration artifact's LIFECYCLE: fresh gate silent, drifted
+    // gate fires, recalibrated budget differs, the swap's spend pinned
+    "q274_calibration_staleness" -> calibrationLifecycleOracle,
+    // multi-round prune training on the NATURAL corpus at its supported
+    // width, kept-mass floor per round
+    "q275_natural_vocab_rounds" -> vocabAuditRoundsOracle(
+      """wrds AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+        |         CAST(length(w) AS BIGINT) AS len
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) BETWEEN 1 AND 20
+        |  GROUP BY w)""".stripMargin, topMulti = 4096, target = 120,
+      rounds = 3),
     "q268b_calibrated_planted" -> calibratedBudgetOracle(plantedFvcCte),
     // the calibration AT PRODUCTION DIM: the q267 serving budget
     // computed, not literal — cap and budget replayed to the order
     // statistic that produced them
     "q271_dim512_calibrated" ->
       dim512CalibratedOracle(Queries.lastX512Blocks()),
+    // the BIT-BUDGET ladder at production dim: three training chains,
+    // one calibrated probe set, per-tier ADC top-20 hits, priced cost,
+    // recall-floor eligibility, cheapest-eligible choice — the q267
+    // serving tier computed, not literal
+    "q272_bit_budget_ladder" ->
+      dim512LadderOracle(Queries.lastX512Blocks()),
+    // filtered serving over the lakehouse: chooser + calibrated budget
+    // + manifest/MOR substrate in one plan, the choice and the serve
+    // both replayed
+    "q273_filtered_lakehouse" ->
+      dim512FilteredLakehouseOracle(Queries.lastX512Blocks(),
+        Queries.lastX512ChosenTier()),
     // raw-residual vs OPQ-residual IVFADC recall@5 against one exact
     // raw-space ground truth — the rotation's end-to-end delta
     "q227_opq_recall" -> opqRecallOracle(Queries.lastOpqRotation()),

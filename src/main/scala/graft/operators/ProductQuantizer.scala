@@ -689,25 +689,40 @@ object ProductQuantizer {
       "rotatedBlocks: ragged block row (every row must span the block)")
     val bs = blocks(0).length
     val dim = blocks.length * bs
-    val acc9 = DecimalType(30, 9)
-    val zero = lit(new java.math.BigDecimal(0)).cast(acc9)
+    // FULLY-EXACT decimal projection (the q267-rerank discipline, made
+    // the rotation recipe in round 13): both factors are 6-dp values —
+    // the block entries by the procrustesRotation contract, the input
+    // components by the fixture/ingest contract — so their decimal
+    // product at scale 12 is EXACT, the (30,12) fold is exact (add
+    // result 31 digits ≤ Spark's 38 cap), and the ONLY rounding is the
+    // final decimal HALF_UP at scale 6, which DuckDB's decimal round
+    // (half away from zero) matches on both signs. The previous recipe
+    // rounded 9-dp DOUBLE products and then the DOUBLE cast of the
+    // sum: both steps round a binary double through a decimal grid,
+    // where the two engines disagree at true half-way cells (~1/1000
+    // components; observed: vec 404 fpos 418, −0.005062 vs −0.005063 —
+    // caught by q273's exact rerank).
+    val d126 = DecimalType(12, 6)
+    val acc = DecimalType(30, 12)
+    val out6 = DecimalType(24, 6)
+    val zero = lit(new java.math.BigDecimal(0)).cast(acc)
     if (dim > 128) {
       // production dims: ANY per-output-column form is 512+ columns of
       // generated code and blows janino's 64 KB method cap (each failed
       // attempt costs seconds before the interpreted fallback). One
       // nested-literal transform is DATA: the whole projection is a
-      // single expression over the row matrix, and the per-term
-      // round9-decimal / fixed-accumulator / round6 recipe is the same
-      // fold, so the output is bit-identical to the column form.
+      // single expression over the row matrix, and the exact-decimal
+      // fold is the same fold, so the output is bit-identical to the
+      // column form.
       val rowsLit = typedLit(blocks.flatMap(_.map(_.toSeq)).toSeq)
       return when(size(vec) === dim,
         transform(sequence(lit(0), lit(dim - 1)), i =>
-          round(
-            aggregate(
-              zip_with(element_at(rowsLit, i + 1),
-                slice(vec, (i.cast("int") / bs).cast("int") * bs + 1, lit(bs)),
-                (a, x) => round(a * x, 9).cast(DecimalType(20, 9))),
-              zero, (acc, v) => (acc + v).cast(acc9)).cast("double"), 6)))
+          aggregate(
+            zip_with(element_at(rowsLit, i + 1),
+              slice(vec, (i.cast("int") / bs).cast("int") * bs + 1, lit(bs)),
+              (a, x) => (a.cast(d126) * x.cast(d126)).cast(acc)),
+            zero, (u, v) => (u + v).cast(acc))
+            .cast(out6).cast("double")))
     }
     when(size(vec) === dim,
       concat(blocks.indices.map { b =>
@@ -716,24 +731,24 @@ object ProductQuantizer {
           val row = blocks(b)(i)
           val nnz = row.count(_ != 0.0)
           // sparse fast path: a zero coefficient contributes an EXACT
-          // decimal 0.000000000 to the fold, so dropping it leaves the
-          // exact-decimal sum unchanged — identity-init rows (the first
+          // decimal zero to the fold, so dropping it leaves the exact
+          // sum unchanged — identity-init rows (the first
           // trainBlockRotation alternation) go from bs terms to 1. Kept
           // as explicit expressions only when few survive (the janino
           // 64 KB lesson: dense rows stay a HOF fold over array DATA).
           if (nnz <= 4) {
             val terms = row.indices.filter(row(_) != 0.0).map(j =>
-              round(element_at(seg, j + 1) * lit(row(j)), 9)
-                .cast(DecimalType(20, 9)).cast(acc9))
+              (element_at(seg, j + 1).cast(d126) *
+                lit(row(j)).cast(d126)).cast(acc))
             val summed =
               if (terms.isEmpty) zero
-              else terms.reduce((x, y) => (x + y).cast(acc9))
-            round(summed.cast("double"), 6)
-          } else round(
-            aggregate(
-              zip_with(lit(row), seg,
-                (a, x) => round(a * x, 9).cast(DecimalType(20, 9))),
-              zero, (acc, v) => (acc + v).cast(acc9)).cast("double"), 6)
+              else terms.reduce((x, y) => (x + y).cast(acc))
+            summed.cast(out6).cast("double")
+          } else aggregate(
+            zip_with(lit(row), seg,
+              (a, x) => (a.cast(d126) * x.cast(d126)).cast(acc)),
+            zero, (u, v) => (u + v).cast(acc))
+            .cast(out6).cast("double")
         }: _*)
       }: _*))
   }
@@ -954,18 +969,24 @@ object ProductQuantizer {
     * When the target is already met by the rank-1 lists alone, returns
     * (1.0, 0) — spend nothing.
     */
-  def calibrateProbeBudget(queries: DataFrame, idCol: String, vecCol: String,
-      cents: Map[Int, Array[Double]], dim: Int, maxProbe: Int,
-      gt: DataFrame, corpusLists: DataFrame): (Double, Int) = {
+  /** The bounded (|sample| × maxProbe) MARGIN-CANDIDATE table every
+    * calibration count reads: per query, its ranked centroid
+    * distances as `(q_id, __d1, k, list, ratio)` with `ratio` the
+    * 6-dp d_k/d₁ (NULL when d₁ = 0 — routing is not ambiguous at an
+    * exact centroid hit). One evaluation of the ranked fold per query
+    * row, localCheckpointed; [[calibrateProbeBudget]] derives the cap
+    * and budget from it, and a deployed router's STALENESS gate
+    * re-reads it on the current sample ([[grantsAtCap]]).
+    */
+  def marginCandidates(queries: DataFrame, idCol: String, vecCol: String,
+      cents: Map[Int, Array[Double]], dim: Int, maxProbe: Int): DataFrame = {
     require(maxProbe >= 2 && maxProbe <= cents.size,
       s"maxProbe=$maxProbe must be in [2, ${cents.size}]")
     val v = col(vecCol).cast("array<double>")
     val ranked = array_sort(array(cents.toSeq.sortBy(_._1).map { case (l, c) =>
       struct(distToCentroid(v, 0, dim, c).as("d"), lit(l).as("list"))
     }: _*))
-    // one evaluation of the ranked fold per query row; every count
-    // below reads this bounded (|sample| × maxProbe) table
-    val kr = Parallelism.ensureCompute(queries)
+    Parallelism.ensureCompute(queries)
       .select(col(idCol).as("q_id"), ranked.as("__rk"))
       .select(col("q_id"),
         element_at(col("__rk"), 1).getField("d").cast("double").as("__d1"),
@@ -975,6 +996,29 @@ object ProductQuantizer {
         round(col("col").getField("d").cast("double") /
           when(col("__d1") > 0.0, col("__d1")), 6).as("ratio"))
       .localCheckpoint()
+  }
+
+  /** Counts-only STALENESS input for a frozen calibration artifact:
+    * the number of (query, k) margin candidates the frozen `ratioCap`
+    * would grant on the CURRENT sample — by construction equal to the
+    * frozen budget when the margin distribution still matches the
+    * build-time audit, so a deployed router gates recalibration on
+    * `grantsAtCap(...) != frozenBudget` (production would band the
+    * compare; on the fixed audit sample the equality is exact). Same
+    * cost shape as the calibration itself: one bounded-table count,
+    * no GT, no probe runs.
+    */
+  def grantsAtCap(queries: DataFrame, idCol: String, vecCol: String,
+      cents: Map[Int, Array[Double]], dim: Int, maxProbe: Int,
+      ratioCap: Double): Long =
+    marginCandidates(queries, idCol, vecCol, cents, dim, maxProbe)
+      .where(col("k") >= 2 && col("__d1") > 0.0 && col("ratio") <= ratioCap)
+      .count()
+
+  def calibrateProbeBudget(queries: DataFrame, idCol: String, vecCol: String,
+      cents: Map[Int, Array[Double]], dim: Int, maxProbe: Int,
+      gt: DataFrame, corpusLists: DataFrame): (Double, Int) = {
+    val kr = marginCandidates(queries, idCol, vecCol, cents, dim, maxProbe)
     val gtk = gt.select(col("q_id"), col("vec_id"))
       .join(corpusLists.select(col("vec_id"), col("list")), Seq("vec_id"))
       .join(kr, Seq("q_id", "list"))

@@ -99,6 +99,36 @@ object Similarity {
     withElig.map { case (n, p, m, e) => (n, p, m, e, e && p == minElig) }
   }
 
+  /** Recall-targeted BIT-BUDGET chooser — the [[choosePlans]]
+    * discipline applied to the code-width ladder instead of the probe
+    * ladder: each candidate tier arrives as `(name, pricedCost,
+    * recall)` where cost is counts-only (bytes/vector × corpus + LUT
+    * lookups × probe pair mass — both measurable before any serving
+    * work once the audit has run) and recall is the measured recall@k
+    * against the exact ground truth on the FIXED audit sample, 6-dp
+    * rounded (the q271 discipline: the audit is bounded, never
+    * corpus-scaled). A tier is ELIGIBLE iff its recall meets the
+    * stated floor (exact comparison of 6-dp values — both engines
+    * replay the same rounding, no epsilon coin). CHOSEN = eligible
+    * with minimal priced cost; equal-minimal tiers are ALL flagged
+    * (same no-tie-break rule as [[choosePlans]]). When NO tier meets
+    * the floor, nothing is chosen — the caller must widen the ladder,
+    * not silently serve the best loser. Returns
+    * `(name, cost, recall, eligible, chosen)` per tier.
+    */
+  def chooseTiers(tiers: Seq[(String, Long, Double)], recallFloor: Double)
+      : Seq[(String, Long, Double, Boolean, Boolean)] = {
+    require(tiers.nonEmpty, "chooseTiers: no candidate tiers")
+    require(recallFloor > 0.0 && recallFloor <= 1.0,
+      s"chooseTiers: recallFloor must be in (0, 1], got $recallFloor")
+    val withElig = tiers.map { case (n, cost, r) =>
+      (n, cost, r, r >= recallFloor)
+    }
+    val eligCosts = withElig.collect { case (_, c, _, true) => c }
+    val minElig = if (eligCosts.isEmpty) Long.MinValue else eligCosts.min
+    withElig.map { case (n, c, r, e) => (n, c, r, e, e && c == minElig) }
+  }
+
   /** Sparse Johnson–Lindenstrauss random projection (Achlioptas 2003,
     * "Database-friendly random projections"): each of the `targetDim`
     * output coordinates is `Σ_i vec[i]·s(i,j)` with `s(i,j)` drawn

@@ -486,6 +486,62 @@ object UnigramLm {
     }.toDF("round", "n_vocab", "corpus_ll")
   }
 
+  /** [[trainVocabulary]] with the prune's KEPT-MASS audit: one extra
+    * column `kept_mass` per round — the 6-dp fraction of positive
+    * multi-piece expected mass the prune keeps (Σ kept multis' 6-dp
+    * counts / Σ all positive multis' 6-dp counts, decimal sums, one
+    * double division). This is the number the q261/q269 starvation
+    * diagnosis turns on: a healthy width keeps most of the mass
+    * (q269's hash corpus ≥ 0.57); a starving corpus concentrates
+    * posterior on a dominant tiling and the floor collapses toward the
+    * rounding noise. Kept separate from [[trainVocabulary]] so the
+    * committed 3-column readouts stay byte-stable; same prune, same
+    * guards, two extra bounded aggregations per round.
+    */
+  def trainVocabularyAudit(docs: DataFrame, textCol: String,
+      targetVocab: Int, rounds: Int = 2, maxPieceLen: Int = 4,
+      topMulti: Int = 100, maxWordLen: Int = 20): DataFrame = {
+    require(targetVocab >= 1, s"targetVocab must be >= 1, got $targetVocab")
+    import docs.sparkSession.implicits._
+    val dec286 = org.apache.spark.sql.types.DecimalType(28, 6)
+    var nSingles = -1L
+    val masses = scala.collection.mutable.ListBuffer.empty[Double]
+    val rows = softRounds(docs, textCol, rounds, maxPieceLen, topMulti,
+        maxWordLen) { (vocab, scRaw) =>
+      val sc = scRaw.select(col("piece"),
+        round(col("scnt").cast("double"), 6).as("sc"))
+      val singles = vocab.where(length(col("piece")) === 1)
+        .join(sc, Seq("piece"), "left_outer")
+        .select(col("piece"),
+          greatest(coalesce(col("sc"), lit(0.0)), lit(1e-6)).as("cnt"))
+      if (nSingles < 0) nSingles = singles.count()
+      require(targetVocab > nSingles,
+        s"targetVocab=$targetVocab <= $nSingles single characters; " +
+          "coverage needs every single, so the target must exceed them")
+      val posMultis = sc.where(length(col("piece")) > 1 && col("sc") > 0)
+      val multis = posMultis
+        .orderBy(col("sc").desc, col("piece").asc)
+        .limit((targetVocab - nSingles).toInt)
+        .select(col("piece"), col("sc").as("cnt"))
+      val nAvail = posMultis.count()
+      require(nAvail >= targetVocab - nSingles,
+        s"trainVocabulary: positive-mass piece inventory supports only " +
+          s"${nSingles + nAvail} pieces ($nSingles singles + $nAvail " +
+          s"multis from the topMulti=$topMulti seed) — " +
+          s"targetVocab=$targetVocab is unreachable on this corpus; " +
+          "shrink the target or widen topMulti/maxPieceLen")
+      val tot = posMultis.agg(sum(col("sc").cast(dec286)))
+        .head().getDecimal(0)
+      val kept = multis.agg(sum(col("cnt").cast(dec286)))
+        .head().getDecimal(0)
+      masses += BigDecimal(kept.doubleValue() / tot.doubleValue())
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      singles.unionByName(multis)
+    }
+    rows.zip(masses).map { case ((r, n, ll), km) => (r, n, ll, km) }
+      .toDF("round", "n_vocab", "corpus_ll", "kept_mass")
+  }
+
   /** Hard-vs-soft EM on EQUAL footing and ONE candidate scan: both
     * E-steps run from the same seed over the same persisted candidate
     * table (a naive composition of [[emRound]] + [[softEmRound]] + two

@@ -596,4 +596,34 @@ class SimilaritySpec extends SparkSuite {
       Similarity.choosePlans(plans, minPool = 0)
     }
   }
+
+  test("chooseTiers: recall floor gates eligibility, cheapest eligible wins, " +
+      "ties all flagged, exact 6-dp boundary is eligible") {
+    // b16 cheap but under the floor; b32 exactly AT the floor (eligible
+    // — the >= rule, no epsilon); b64 eligible but dearer
+    val tiers = Seq(("b16", 11000L, 0.3), ("b32", 12000L, 0.4),
+      ("b64", 24000L, 0.566667))
+    val out = Similarity.chooseTiers(tiers, recallFloor = 0.4)
+    assert(out.map(t => t._1 -> t._4).toMap ==
+      Map("b16" -> false, "b32" -> true, "b64" -> true))
+    assert(out.map(t => t._1 -> t._5).toMap ==
+      Map("b16" -> false, "b32" -> true, "b64" -> false))
+    // equal-minimal eligible tiers are ALL flagged
+    val tied = Similarity.chooseTiers(
+      Seq(("a", 100L, 0.5), ("b", 100L, 0.6), ("c", 200L, 0.7)), 0.45)
+    assert(tied.filter(_._5).map(_._1) == Seq("a", "b"))
+    // nothing eligible: nothing chosen — the caller must widen the
+    // ladder, never silently serve the best loser
+    val none = Similarity.chooseTiers(Seq(("a", 1L, 0.1)), 0.4)
+    assert(none.forall(t => !t._4 && !t._5))
+    intercept[IllegalArgumentException] {
+      Similarity.chooseTiers(Seq.empty, 0.4)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.chooseTiers(tiers, 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.chooseTiers(tiers, 1.1)
+    }
+  }
 }

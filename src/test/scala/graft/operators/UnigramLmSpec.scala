@@ -259,4 +259,44 @@ class UnigramLmSpec extends SparkSuite {
       assert(lls(i) >= lls(i - 1) - slack,
         s"LL fell round ${i} -> ${i + 1}: ${lls.toSeq}")
   }
+
+  test("natural documents corpus STARVES a 2048-wide target: the underfill " +
+      "guard refuses with the measured inventory (never a silent underfill)") {
+    // the q275 finding pinned structurally: 31 distinct words -> 24
+    // singles + ~204 multi-pieces, so a 2048 target is unreachable on
+    // natural text at any SF — the refusal is the correct behavior
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      UnigramLm.trainVocabulary(docs, "text", targetVocab = 2048,
+        rounds = 1, maxPieceLen = 4, topMulti = 4096, maxWordLen = 20)
+        .collect()
+    }
+    assert(e.getMessage.contains("unreachable"), e.getMessage)
+    assert(e.getMessage.contains("targetVocab=2048"), e.getMessage)
+    // and the audited variant enforces the same guard
+    val e2 = intercept[IllegalArgumentException] {
+      UnigramLm.trainVocabularyAudit(docs, "text", targetVocab = 2048,
+        rounds = 1, maxPieceLen = 4, topMulti = 4096, maxWordLen = 20)
+        .collect()
+    }
+    assert(e2.getMessage.contains("unreachable"), e2.getMessage)
+  }
+
+  test("trainVocabularyAudit == trainVocabulary on the shared columns, " +
+      "kept_mass in (0, 1]") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = UnigramLm.trainVocabulary(docs, "text", targetVocab = 120,
+      rounds = 2, maxPieceLen = 4, topMulti = 4096, maxWordLen = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val audit = UnigramLm.trainVocabularyAudit(docs, "text",
+      targetVocab = 120, rounds = 2, maxPieceLen = 4, topMulti = 4096,
+      maxWordLen = 20).collect()
+    assert(audit.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq == base.toSeq,
+      "audit variant must not change the training trajectory")
+    audit.foreach { r =>
+      val km = r.getDouble(3)
+      assert(km > 0.0 && km <= 1.0, s"kept_mass $km out of (0, 1]")
+    }
+  }
 }
