@@ -86,14 +86,37 @@ object ProductQuantizer {
         (a, v) => (a + v).cast(acc))
     }
 
+  /** [[distToCentroid]]'s FOLD form unconditionally: the centroid rides
+    * as array DATA and the generated code is a LOOP, not an unrolled
+    * dsub-term chain. Bit-equal in VALUE to the chain form (exact
+    * decimal addition of identical terms — the ProductQuantizerSpec
+    * "fold and chain forms are value-equal" contract); the TYPE is the
+    * fixed (28,6) accumulator. Used by the encode/M-step argmins where
+    * ksub of these land in ONE generated method — unrolled chains put
+    * m·ksub·dsub decimal terms into a single janino method body, which
+    * blows the 64 KB cap and costs a seconds-long failed compile before
+    * every interpreted fallback (the round-12 "codegen disabled" gate
+    * noise, root-caused round 13).
+    */
+  private def distToCentroidFold(vec: Column, sub: Int, dsub: Int,
+      cent: Array[Double]): Column = {
+    val acc = DecimalType(28, 6)
+    aggregate(
+      zip_with(slice(vec, sub * dsub + 1, dsub), lit(cent),
+        (x, c) => round((x - c) * (x - c), 6).cast(DecimalType(18, 6))),
+      lit(new java.math.BigDecimal(0)).cast(acc),
+      (a, v) => (a + v).cast(acc))
+  }
+
   /** Argmin centroid code of subspace `sub` — an `array_min` over
     * `(distance, code)` structs (decimal distance first, so ties break
-    * to the smaller code), fully codegen'd against literal centroids.
+    * to the smaller code), fully codegen'd against literal centroids;
+    * loop-form distances so ksub argmins fit one generated method.
     */
   private def codeFor(vec: Column, sub: Int, dsub: Int,
       cents: Array[Array[Double]]): Column =
     array_min(array(cents.zipWithIndex.map { case (cv, c) =>
-      struct(distToCentroid(vec, sub, dsub, cv).as("d"),
+      struct(distToCentroidFold(vec, sub, dsub, cv).as("d"),
         lit(c).as("code"))
     }: _*)).getField("code")
 
@@ -142,13 +165,30 @@ object ProductQuantizer {
     }
     var cur = books
     for (_ <- 0 until iters) {
+      // per-subspace code COLUMNS, not one codes ARRAY: the single
+      // array(argmin₀..argmin_{m−1}) literal-centroid expression is one
+      // un-splittable generated method — m·ksub·dsub decimal terms in
+      // one body blows janino's 64 KB method cap, and every M-step paid
+      // a seconds-long failed compile before the interpreted fallback
+      // (the round-12 "codegen disabled" gate noise). As m separate
+      // top-level expressions each argmin generates its own method and
+      // the whole M-step stays inside whole-stage codegen; the CASE
+      // sub→column mapping below is exactly element_at(codes, sub+1),
+      // so the update is bit-identical.
+      val codeCols = cur.indices.map(s =>
+        codeFor(col("__vec"), s, dsub, cur(s)).as(s"__c$s"))
+      val subCol = (col("pos") / dsub).cast("int")
       val updated = v
-        .withColumn("codes", codesArray(col("__vec"), cur, dsub))
-        .select(col("codes"), posexplode(col("__vec")).as(Seq("pos", "x")))
+        .select(col("__vec") +: codeCols: _*)
+        .select(cur.indices.map(s => col(s"__c$s")) :+
+          posexplode(col("__vec")).as(Seq("pos", "x")): _*)
         .select(
-          (col("pos") / dsub).cast("int").as("sub"),
+          subCol.as("sub"),
           pmod(col("pos"), lit(dsub)).as("posin"),
-          element_at(col("codes"), (col("pos") / dsub).cast("int") + 1).as("code"),
+          cur.indices.tail.foldLeft(
+              when(subCol === 0, col("__c0"))) { (acc, s) =>
+            acc.when(subCol === s, col(s"__c$s"))
+          }.as("code"),
           col("x"))
         .groupBy(col("sub"), col("code"), col("posin"))
         .agg(round(
@@ -231,7 +271,7 @@ object ProductQuantizer {
     val dsub = dim / books.length
     val total = books.indices.map { s =>
       array_min(array(books(s).map(cv =>
-        distToCentroid(col("__vec"), s, dsub, cv)): _*))
+        distToCentroidFold(col("__vec"), s, dsub, cv)): _*))
     }.reduce(_ + _)
     prepared(corpus, idCol, vecCol, dim)
       .select(col("__id").as(idCol), round(total.cast("double"), 6).as(errCol))
@@ -1116,7 +1156,7 @@ object ProductQuantizer {
       .where(size(col("q_vec")) === dim)
       .withColumn("__lut", array((0 until m).map(s =>
         array(books(s).map(cv =>
-          distToCentroid(col("q_vec"), s, dsub, cv)): _*)): _*))
+          distToCentroidFold(col("q_vec"), s, dsub, cv)): _*)): _*))
       .localCheckpoint()
     val total = (0 until m).map { s =>
       element_at(element_at(col("__lut"), s + 1),
