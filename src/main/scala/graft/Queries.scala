@@ -5464,7 +5464,7 @@ object Queries {
     zipfVecsT(spark, dir,
       ((col("vec_id") * 7919) % 100).cast("double") / lit(200.0))
   /** The DRIFTED Zipf corpus: the ambiguity parameter t shifted from
-    * [0, 0.495] to [0.25, 0.4975] — every document pulled toward its
+    * [0, 0.495] to [0.4, 0.4995] — every document pulled hard toward its
     * cluster boundary, so the margin-ratio distribution the frozen
     * calibration priced no longer holds (ratios shrink; the frozen
     * cap grants far more). Deterministic and engine-replayable (the
@@ -5472,7 +5472,7 @@ object Queries {
     */
   private def zipfVecsDrifted(spark: SparkSession, dir: String): DataFrame =
     zipfVecsT(spark, dir,
-      lit(0.25) + ((col("vec_id") * 7919) % 100).cast("double") / lit(400.0))
+      lit(0.4) + ((col("vec_id") * 7919) % 100).cast("double") / lit(1000.0))
   /** Per-dir cache of the Zipf-surface audit artifacts (the
     * [[clusterParts]] discipline): coarse centroids, the residual SQ8
     * grid, the exact ground-truth pairs; routed table session-bound.
@@ -6976,10 +6976,17 @@ object Queries {
     *    committed as VERSION 1 of a manifest artifact table (the
     *    codebook-scalar discipline, now with lineage).
     * 2. FRESH GATE (negative control): the staleness input —
-    *    [[graft.operators.ProductQuantizer.grantsAtCap]], the number
-    *    of margin candidates the frozen cap would grant on the
-    *    CURRENT sample, counts-only, no GT — reads exactly b₀ on the
-    *    unchanged corpus: the gate does not false-fire.
+    *    [[graft.operators.ProductQuantizer.rank2MarginMedian]], an
+    *    order statistic of the same bounded margin table, counts-only,
+    *    no GT; the artifact carries its build-time median as the gate
+    *    reference. (Two cheaper signals were MEASURED WRONG on this
+    *    fixture first: the frozen-cap grant count is blind when the
+    *    build is degenerate — sf0.1's cap-1.0/budget-0 grants nothing
+    *    at its own cap forever — and a fixed 1.05 band misses a drift
+    *    whose ratios land entirely above it. The median moves under
+    *    any wholesale shift: 4.90 → 3.51 at sf0.01, 5.11 → 3.86 at
+    *    sf0.1.) The unchanged corpus reads exactly the reference: no
+    *    false fire.
     * 3. STALE GATE: the corpus DRIFTS ([[zipfVecsDrifted]] — every
     *    document pulled toward its cluster boundary; ratios shrink
     *    under the FROZEN router and centroids), the frozen cap now
@@ -7009,26 +7016,37 @@ object Queries {
     val (cap0, b0) = ProductQuantizer.calibrateProbeBudget(
       queries, "vec_id", "cvec", cents, PqDim, maxProbe = 4,
       ex, routed.select(col("vec_id"), col("list")))
+    // the gate watches the rank-2 margin-ratio MEDIAN — an order
+    // statistic of the same bounded table the calibration reads: any
+    // wholesale distribution shift moves it, including the two shapes
+    // a cap-bounded count cannot see (a degenerate build's cap-1.0/
+    // budget-0 artifact grants nothing at its own cap forever, and a
+    // drift can land entirely above any fixed band — both MEASURED on
+    // this fixture's sf0.1 surface before this design was chosen).
+    // The artifact carries its build-time median as the gate reference.
+    val m0 = ProductQuantizer.rank2MarginMedian(
+      queries, "vec_id", "cvec", cents, PqDim, maxProbe = 4)
     val root = java.nio.file.Files.createTempDirectory("graft_q274")
       .resolve("t").toString
     ManifestTable.commit(spark, root,
-      Seq((1, cap0, b0.toLong)).toDF("artifact", "ratio_cap", "budget"),
+      Seq((1, cap0, b0.toLong, m0))
+        .toDF("artifact", "ratio_cap", "budget", "gate_median"),
       Seq("artifact"))
     val v1 = ManifestTable.currentVersion(spark, root)
-    // negative control: the frozen cap on the UNCHANGED sample grants
-    // exactly the frozen budget — counts-only, no GT
-    val freshGrants = ProductQuantizer.grantsAtCap(
-      queries, "vec_id", "cvec", cents, PqDim, maxProbe = 4, cap0)
-    require(freshGrants == b0.toLong,
-      s"staleness gate false-fired on the unchanged corpus: $freshGrants vs $b0")
+    // negative control: the median on the UNCHANGED sample equals the
+    // artifact's reference — counts-only, no GT
+    val mFresh = ProductQuantizer.rank2MarginMedian(
+      queries, "vec_id", "cvec", cents, PqDim, maxProbe = 4)
+    require(mFresh == m0,
+      s"staleness gate false-fired on the unchanged corpus: $mFresh vs $m0")
     // the corpus drifts; router and centroids stay FROZEN
     val drifted = zipfVecsDrifted(spark, dir)
       .withColumn("list", pqListOf(col("cvec"))).localCheckpoint()
     val dQueries = drifted.where(col("vec_id") % 29 === 0 && col("vec_id") < 522)
       .drop("list")
-    val staleGrants = ProductQuantizer.grantsAtCap(
-      dQueries, "vec_id", "cvec", cents, PqDim, maxProbe = 4, cap0)
-    require(staleGrants != b0.toLong,
+    val mDrift = ProductQuantizer.rank2MarginMedian(
+      dQueries, "vec_id", "cvec", cents, PqDim, maxProbe = 4)
+    require(mDrift != m0,
       "the drifted corpus must move the margin distribution (gate input unchanged)")
     // recalibrate: drifted GT, frozen router/centroids
     val exD = clusteredExactTop5(drifted.drop("list")).localCheckpoint()
@@ -7038,7 +7056,8 @@ object Queries {
     require(b1 != b0,
       s"recalibration on the drifted corpus must move the budget ($b0)")
     ManifestTable.commit(spark, root,
-      Seq((1, cap1, b1.toLong)).toDF("artifact", "ratio_cap", "budget"),
+      Seq((1, cap1, b1.toLong, mDrift))
+        .toDF("artifact", "ratio_cap", "budget", "gate_median"),
       Seq("artifact"))
     // time travel: the pre-swap artifact is still readable at v1
     val old = ManifestTable.read(spark, root, Some(v1))
@@ -7054,12 +7073,12 @@ object Queries {
     require(probes == nQ + served.getLong(1),
       s"the budgeted probe must spend exactly its budget: $probes vs $nQ+${served.getLong(1)}")
     Seq(
-      ("build", cap0, b0.toLong, b0.toLong, false, Some(nQ + b0)),
-      ("fresh_gate", cap0, b0.toLong, freshGrants, false, None),
-      ("stale_gate", cap0, b0.toLong, staleGrants, true, None),
-      ("recalibrated", cap1, b1.toLong, b1.toLong, false, Some(probes)))
-      .toDF("stage", "ratio_cap", "budget", "grants_at_cap", "gate_fired",
-        "probes")
+      ("build", cap0, b0.toLong, m0, false, Some(nQ + b0)),
+      ("fresh_gate", cap0, b0.toLong, mFresh, false, None),
+      ("stale_gate", cap0, b0.toLong, mDrift, true, None),
+      ("recalibrated", cap1, b1.toLong, mDrift, false, Some(probes)))
+      .toDF("stage", "ratio_cap", "budget", "gate_median",
+        "gate_fired", "probes")
   }
 
   // ---------------------------------------------------------------- Q273

@@ -1273,7 +1273,7 @@ object SparkEntry {
       |               WHERE pr >= 2 AND d1 > 0
       |                 AND ratio <= (SELECT r FROM capc)) END AS b),
       |${zipfFixtureCte("fvd",
-        "0.25 + CAST((e.vec_id * 7919) % 100 AS DOUBLE) / 400.0")},
+        "0.4 + CAST((e.vec_id * 7919) % 100 AS DOUBLE) / 1000.0")},
       |lstd AS MATERIALIZED (
       |  SELECT vec_id, list FROM (
       |    SELECT f.vec_id, j.j AS list,
@@ -1303,8 +1303,16 @@ object SparkEntry {
       |  FROM qpdd q JOIN (SELECT vec_id, d AS d1 FROM qpdd WHERE pr = 1) b
       |    ON b.vec_id = q.vec_id
       |  WHERE q.pr <= 4),
-      |stg AS (SELECT count(*) AS g FROM ratd
-      |        WHERE pr >= 2 AND d1 > 0 AND ratio <= (SELECT r FROM capc)),
+      |mfr AS (SELECT ratio,
+      |               row_number() OVER (ORDER BY ratio ASC, vec_id ASC) AS rn,
+      |               count(*) OVER () AS n
+      |        FROM ratc WHERE pr = 2 AND d1 > 0),
+      |m0c AS (SELECT ratio AS m FROM mfr WHERE rn = (n + 1) // 2),
+      |mdr AS (SELECT ratio,
+      |               row_number() OVER (ORDER BY ratio ASC, vec_id ASC) AS rn,
+      |               count(*) OVER () AS n
+      |        FROM ratd WHERE pr = 2 AND d1 > 0),
+      |m1c AS (SELECT ratio AS m FROM mdr WHERE rn = (n + 1) // 2),
       |cvd AS MATERIALIZED (
       |  SELECT vec_id, list(val ORDER BY fpos) AS vec FROM fvd GROUP BY 1),
       |exd AS MATERIALIZED (
@@ -1343,22 +1351,22 @@ object SparkEntry {
       |nqc AS (SELECT count(DISTINCT vec_id) AS n FROM qpdc)
       |SELECT 'build' AS stage, (SELECT r FROM capc) AS ratio_cap,
       |       (SELECT b FROM budc) AS budget,
-      |       (SELECT b FROM budc) AS grants_at_cap,
+      |       (SELECT m FROM m0c) AS gate_median,
       |       false AS gate_fired,
       |       (SELECT n FROM nqc) + (SELECT b FROM budc) AS probes
       |UNION ALL
       |SELECT 'fresh_gate', (SELECT r FROM capc), (SELECT b FROM budc),
-      |       (SELECT b FROM budc),
-      |       ((SELECT b FROM budc) <> (SELECT b FROM budc)),
+      |       (SELECT m FROM m0c),
+      |       ((SELECT m FROM m0c) <> (SELECT m FROM m0c)),
       |       CAST(NULL AS BIGINT)
       |UNION ALL
       |SELECT 'stale_gate', (SELECT r FROM capc), (SELECT b FROM budc),
-      |       (SELECT g FROM stg),
-      |       ((SELECT g FROM stg) <> (SELECT b FROM budc)),
+      |       (SELECT m FROM m1c),
+      |       ((SELECT m FROM m1c) <> (SELECT m FROM m0c)),
       |       CAST(NULL AS BIGINT)
       |UNION ALL
       |SELECT 'recalibrated', (SELECT r FROM capd), (SELECT b FROM budd),
-      |       (SELECT b FROM budd), false,
+      |       (SELECT m FROM m1c), false,
       |       (SELECT n FROM nqc) + (SELECT b FROM budd)""".stripMargin
 
   private def calibratedBudgetOracle(fvcCte: String): String =

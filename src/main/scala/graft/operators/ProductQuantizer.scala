@@ -1055,6 +1055,32 @@ object ProductQuantizer {
       .where(col("k") >= 2 && col("__d1") > 0.0 && col("ratio") <= ratioCap)
       .count()
 
+  /** The rank-2 margin-ratio MEDIAN of the sample — the staleness
+    * signal a frozen calibration artifact is gated on (q274). An order
+    * statistic of the same bounded margin table the calibration reads
+    * (counts-only, no GT, no probe runs): any wholesale shift of the
+    * margin distribution moves it — including shifts a cap-bounded
+    * count like [[grantsAtCap]] cannot see when the build was
+    * degenerate (cap 1.0 / budget 0 grants nothing at its own cap
+    * forever, and drifted ratios can land entirely above any fixed
+    * band). Median = the ⌈n/2⌉-th smallest 6-dp ratio of the rank-2
+    * candidates with d₁ > 0, ties by query id — tie-stable,
+    * engine-replayable (a TakeOrderedAndProject of ⌈n/2⌉ rows, the
+    * calibrateProbeBudget order-statistic discipline).
+    */
+  def rank2MarginMedian(queries: DataFrame, idCol: String, vecCol: String,
+      cents: Map[Int, Array[Double]], dim: Int, maxProbe: Int): Double = {
+    val r2 = marginCandidates(queries, idCol, vecCol, cents, dim, maxProbe)
+      .where(col("k") === 2 && col("__d1") > 0.0)
+      .localCheckpoint()
+    val n = r2.count()
+    require(n > 0, "rank2MarginMedian: no rank-2 candidates with d1 > 0 " +
+      "in the sample — the margin distribution is unobservable")
+    val idx = ((n + 1) / 2).toInt
+    r2.orderBy(col("ratio").asc, col("q_id").asc).limit(idx)
+      .agg(max(col("ratio"))).head().getDouble(0)
+  }
+
   def calibrateProbeBudget(queries: DataFrame, idCol: String, vecCol: String,
       cents: Map[Int, Array[Double]], dim: Int, maxProbe: Int,
       gt: DataFrame, corpusLists: DataFrame): (Double, Int) = {

@@ -761,6 +761,27 @@ class ProductQuantizerSpec extends SparkSuite {
       == (1.0 -> 0))
   }
 
+  test("rank2MarginMedian: the ceil(n/2)-th smallest rank-2 ratio, tie-stable") {
+    // same 1-D fixture as the calibration spec: rank-2 ratios are
+    // q1 1521.0 (0.01 vs 15.21), q2 1.221607, q3 1.493827 -> n=3,
+    // idx=2, median = 1.493827
+    val cents = Map(0 -> Array(0.0, 0.0), 1 -> Array(4.0, 0.0),
+      2 -> Array(8.0, 0.0))
+    val queries = Seq(
+      (1L, Seq(0.1, 0.0)), (2L, Seq(1.9, 0.0)), (3L, Seq(2.2, 0.0))
+    ).toDF("id", "vec")
+    assert(ProductQuantizer.rank2MarginMedian(
+      queries, "id", "vec", cents, dim = 2, maxProbe = 3) == 1.493827)
+    // a sample with no observable margin (every query exactly on a
+    // centroid) must refuse, not return a silent sentinel
+    val onCent = Seq((1L, Seq(0.0, 0.0))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      ProductQuantizer.rank2MarginMedian(
+        onCent, "id", "vec", cents, dim = 2, maxProbe = 3)
+    }
+    assert(e.getMessage.contains("unobservable"), e.getMessage)
+  }
+
   test("calibrateProbeBudget: needed > 0 with zero coverable candidates " +
       "(every ambiguous query exactly on its rank-1 centroid, d1 = 0) " +
       "returns (1.0, 0) like the oracle's NULL cap, not an NPE") {
