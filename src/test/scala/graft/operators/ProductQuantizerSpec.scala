@@ -780,6 +780,14 @@ class ProductQuantizerSpec extends SparkSuite {
         onCent, "id", "vec", cents, dim = 2, maxProbe = 3)
     }
     assert(e.getMessage.contains("unobservable"), e.getMessage)
+    // grantsAtCap is calibrateProbeBudget's budget by construction when
+    // handed the calibrated cap — the two APIs share one margin table
+    assert(ProductQuantizer.grantsAtCap(
+      queries, "id", "vec", cents, dim = 2, maxProbe = 3,
+      ratioCap = 1.221607) == 1L)
+    assert(ProductQuantizer.grantsAtCap(
+      queries, "id", "vec", cents, dim = 2, maxProbe = 3,
+      ratioCap = 1.493827) == 2L)
   }
 
   test("calibrateProbeBudget: needed > 0 with zero coverable candidates " +
