@@ -8057,4 +8057,88 @@ object Queries {
         round(col("hits").cast("double") / lit(nGt).cast("double"), 6)
           .as("recall"))
   }
+
+  // ---------------------------------------------------------------- Q276
+  /** Bradley–Terry preference-strength fit ([[graft.operators
+    * .Preference.btStrengths]]): each user's consecutive events duel
+    * (higher value wins, ties to the smaller type), 5 MM iterations
+    * from the flat start recover a per-event-type strength scale —
+    * the batch, order-independent analog of Elo and the first readout
+    * over any RLHF preference log ("which policy actually wins").
+    * Corpus-sized work is one per-user window + two partial aggs; the
+    * MM fixed point runs on the K=5-item matrix (the codebook
+    * discipline). The oracle replays all 5 iterations with the same
+    * per-term DECIMAL(25,10) capture.
+    */
+  def q276BtStrengths(spark: SparkSession, dir: String): DataFrame =
+    Preference.btStrengths(
+      Preference.adjacentComparisons(tp(spark, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", "value"),
+      iters = 5)
+
+  // ---------------------------------------------------------------- Q277
+  /** Wilson lower-bound win-rate ranking ([[graft.operators.Preference
+    * .wilsonLowerBound]]) over the q276 comparison log: per item,
+    * wins/games, the raw rate, the z=1.96 pessimistic rate, and both
+    * rank orders side by side — the ranking key that keeps a 2-0
+    * newcomer below a 180-20 incumbent (the small-sample inversion is
+    * spec-pinned; at this fixture's thousands of games the two orders
+    * agree, which is itself the "enough data" readout). sqrt is IEEE
+    * correctly-rounded, so the bound is bit-portable unrounded; ranks
+    * window over the K-item table only.
+    */
+  def q277WilsonWinrate(spark: SparkSession, dir: String): DataFrame = {
+    val comps = Preference.adjacentComparisons(tp(spark, dir, "events"),
+      "user_id", "ts", "event_id", "event_type", "value")
+    val wins = comps.groupBy(col("winner").as("item"))
+      .agg(count(lit(1)).as("wins"))
+    val games = comps
+      .select(explode(array(col("winner"), col("loser"))).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("games"))
+    val scored = games.join(wins, Seq("item"), "left_outer")
+      .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"),
+        col("games"))
+      .select(col("item"), col("wins"), col("games"),
+        round(col("wins").cast("double") / col("games").cast("double"), 6)
+          .as("p_hat"),
+        round(Preference.wilsonLowerBound(col("wins"), col("games")), 6)
+          .as("wilson_lb"))
+    scored
+      .withColumn("rank_raw", rank().over(
+        Window.orderBy(col("p_hat").desc, col("item"))))
+      .withColumn("rank_wilson", rank().over(
+        Window.orderBy(col("wilson_lb").desc, col("item"))))
+  }
+
+  // ---------------------------------------------------------------- Q278
+  /** Fleiss' kappa over three language raters ([[graft.operators
+    * .Metrics.fleissKappa]]): the stored gold `lang`, the q17 stopword
+    * langid on the full text, and the same heuristic on the first 12
+    * tokens (the cheap-rater budget variant — token-sliced, never
+    * char-sliced, so multibyte text replays portably). One row:
+    * chance-corrected multi-rater agreement, the QA gate an annotation
+    * campaign runs before trusting its labels. The m-rater
+    * generalization of q147's Cohen gate.
+    */
+  def q278FleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val head12 = array_join(slice(split(col("text"), " "), 1, 12), " ")
+    val rated = tp(spark, dir, "documents").select(
+      col("doc_id"), col("lang").as("r_gold"),
+      TextFunctions.langId(col("text")).as("r_full"),
+      TextFunctions.langId(head12).as("r_head"))
+    Metrics.fleissKappa(rated, "doc_id", Seq("r_gold", "r_full", "r_head"))
+  }
+
+  // ---------------------------------------------------------------- Q279
+  /** Chao2 unseen-vocabulary estimate + Good–Turing coverage
+    * ([[graft.operators.DataSelection.vocabRichness]]): from the
+    * per-doc trigram incidence counts, how many distinct trigrams the
+    * FULL population likely holds (q156's growth curve, extrapolated)
+    * and what fraction of the incidence mass is already-seen — the
+    * "is more crawl still buying new content" scalar pair that prices
+    * the next crawl before it runs.
+    */
+  def q279VocabRichness(spark: SparkSession, dir: String): DataFrame =
+    DataSelection.vocabRichness(t(spark, dir, "documents"),
+      "doc_id", "text", n = 3)
 }

@@ -312,6 +312,10 @@ object SparkEntry {
     "q273_filtered_lakehouse" -> (Queries.q273FilteredLakehouseServe _),
     "q274_calibration_staleness" -> (Queries.q274CalibrationStaleness _),
     "q275_natural_vocab_rounds" -> (Queries.q275NaturalVocabRounds _),
+    "q276_bt_strengths" -> (Queries.q276BtStrengths _),
+    "q277_wilson_winrate" -> (Queries.q277WilsonWinrate _),
+    "q278_fleiss_kappa" -> (Queries.q278FleissKappa _),
+    "q279_vocab_richness" -> (Queries.q279VocabRichness _),
     "q261_vocab_width" -> (Queries.q261VocabWidth _),
     "q261b_vocab_width_model" -> (Queries.q261bVocabWidthModel _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
@@ -2976,6 +2980,195 @@ object SparkEntry {
       |  FROM scored)
       |WHERE rn <= 5""".stripMargin
 
+  /** q276/q277's comparison log as oracle CTEs: each user's
+    * consecutive events duel (higher value wins, ties to the smaller
+    * type, same-type pairs dropped) — the same window and CASE ladder
+    * as `Preference.adjacentComparisons`.
+    */
+  private val comparisonCtes: String =
+    """ord AS (
+      |  SELECT event_type AS item, value AS v,
+      |         lead(event_type) OVER w AS nt, lead(value) OVER w AS nv
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |comp AS (
+      |  SELECT CASE WHEN v > nv THEN item
+      |              WHEN nv > v THEN nt
+      |              WHEN item < nt THEN item ELSE nt END AS winner,
+      |         CASE WHEN v > nv THEN nt
+      |              WHEN nv > v THEN item
+      |              WHEN item < nt THEN nt ELSE item END AS loser
+      |  FROM ord WHERE nt IS NOT NULL AND item <> nt)""".stripMargin
+
+  /** Bradley–Terry MM replay: the (winner, loser) count matrix, then 5
+    * chained iterations with the engine's exact arithmetic — per-term
+    * division of identical operand doubles captured to DECIMAL(25,10),
+    * exact decimal sums, one captured division per item per iteration.
+    */
+  private def btStrengthsOracle: String = {
+    val iters = (1 to 5).map { k =>
+      val prev = s"p${k - 1}"
+      s"""p$k AS (
+         |  SELECT w.item,
+         |         CAST(CAST(w.wins AS DOUBLE) / CAST(sum(CAST(CAST(g2.n AS DOUBLE)
+         |             / CAST(pi_i.pi + pi_j.pi AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE)
+         |           AS DECIMAL(20,10)) AS pi
+         |  FROM w JOIN g2 ON g2.i = w.item
+         |  JOIN $prev pi_i ON pi_i.item = g2.i
+         |  JOIN $prev pi_j ON pi_j.item = g2.j
+         |  GROUP BY w.item, w.wins)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $comparisonCtes,
+       |dp AS (SELECT winner, loser, count(*) AS n FROM comp GROUP BY 1, 2),
+       |wins0 AS (SELECT winner AS item, CAST(sum(n) AS BIGINT) AS wins
+       |          FROM dp GROUP BY 1),
+       |g2 AS (
+       |  SELECT i, j, CAST(sum(n) AS BIGINT) AS n FROM (
+       |    SELECT winner AS i, loser AS j, n FROM dp
+       |    UNION ALL SELECT loser, winner, n FROM dp) GROUP BY 1, 2),
+       |items AS (SELECT DISTINCT i AS item FROM g2),
+       |w AS (SELECT items.item, coalesce(wins0.wins, 0) AS wins
+       |      FROM items LEFT JOIN wins0 ON wins0.item = items.item),
+       |g AS (SELECT i AS item, CAST(sum(n) AS BIGINT) AS games FROM g2 GROUP BY 1),
+       |p0 AS (SELECT item, CAST(1 AS DECIMAL(20,10)) AS pi FROM w),
+       |$iters,
+       |tot AS (SELECT sum(pi) AS pi_sum FROM p5)
+       |SELECT w.item, w.wins, g.games,
+       |       CAST(CAST(CAST(p5.pi AS DOUBLE) / CAST(tot.pi_sum AS DOUBLE)
+       |         AS DECIMAL(18,6)) AS DOUBLE) AS strength
+       |FROM w JOIN p5 ON p5.item = w.item
+       |JOIN g ON g.item = w.item CROSS JOIN tot""".stripMargin
+  }
+
+  /** Wilson lower bound replay: the identical IEEE expression tree
+    * (sqrt is correctly-rounded per IEEE 754, so no capture is needed
+    * before the final 6-dp round); 1.96 is cast to DOUBLE explicitly —
+    * DuckDB would otherwise square it as an exact DECIMAL, one ulp off
+    * the engine's double product.
+    */
+  private def wilsonWinrateOracle: String = {
+    val z = "CAST(1.96 AS DOUBLE)"
+    val z2 = s"($z * $z)"
+    s"""WITH $comparisonCtes,
+       |wins0 AS (SELECT winner AS item, count(*) AS wins FROM comp GROUP BY 1),
+       |wg AS (SELECT item, count(*) AS games FROM (
+       |    SELECT winner AS item FROM comp
+       |    UNION ALL SELECT loser FROM comp) GROUP BY 1),
+       |sc AS (
+       |  SELECT wg.item, coalesce(wins0.wins, 0) AS wins, wg.games,
+       |         CAST(coalesce(wins0.wins, 0) AS DOUBLE) AS wd,
+       |         CAST(wg.games AS DOUBLE) AS nd
+       |  FROM wg LEFT JOIN wins0 ON wins0.item = wg.item),
+       |sc2 AS (
+       |  SELECT item, wins, games,
+       |         round(wd / nd, 6) AS p_hat,
+       |         round((wd / nd + $z2 / (CAST(2.0 AS DOUBLE) * nd)
+       |             - $z * sqrt(((wd / nd) * (CAST(1.0 AS DOUBLE) - wd / nd)
+       |                 + $z2 / (CAST(4.0 AS DOUBLE) * nd)) / nd))
+       |           / (CAST(1.0 AS DOUBLE) + $z2 / nd), 6) AS wilson_lb
+       |  FROM sc)
+       |SELECT item, wins, games, p_hat, wilson_lb,
+       |       CAST(rank() OVER (ORDER BY p_hat DESC, item) AS INTEGER) AS rank_raw,
+       |       CAST(rank() OVER (ORDER BY wilson_lb DESC, item) AS INTEGER) AS rank_wilson
+       |FROM sc2""".stripMargin
+  }
+
+  /** Fleiss' kappa replay: the q17 stopword langid (full text and the
+    * first 12 tokens) as raters 2 and 3 next to the gold `lang`; the
+    * agreement numerator stays BIGINT, each p_c² captured to
+    * DECIMAL(25,10) before the exact sum — `Metrics.fleissKappa`'s
+    * arithmetic step for step.
+    */
+  private def fleissKappaOracle: String = {
+    def langidCase(ws: String): String =
+      s"""CASE WHEN greatest(
+         |    len(list_intersect($ws, ['der','die','das','und','ist','nicht','ein','zu'])),
+         |    len(list_intersect($ws, ['the','and','of','to','in','is','that','it','a'])),
+         |    len(list_intersect($ws, ['el','la','los','y','es','no','una','que'])),
+         |    len(list_intersect($ws, ['le','la','les','et','est','pas','une','que'])),
+         |    len(list_intersect($ws, ['的','是','不','了','在','人','有','我']))) <= 0 THEN 'und'
+         |  WHEN len(list_intersect($ws, ['der','die','das','und','ist','nicht','ein','zu'])) = greatest(
+         |    len(list_intersect($ws, ['der','die','das','und','ist','nicht','ein','zu'])),
+         |    len(list_intersect($ws, ['the','and','of','to','in','is','that','it','a'])),
+         |    len(list_intersect($ws, ['el','la','los','y','es','no','una','que'])),
+         |    len(list_intersect($ws, ['le','la','les','et','est','pas','une','que'])),
+         |    len(list_intersect($ws, ['的','是','不','了','在','人','有','我']))) THEN 'de'
+         |  WHEN len(list_intersect($ws, ['the','and','of','to','in','is','that','it','a'])) = greatest(
+         |    len(list_intersect($ws, ['der','die','das','und','ist','nicht','ein','zu'])),
+         |    len(list_intersect($ws, ['the','and','of','to','in','is','that','it','a'])),
+         |    len(list_intersect($ws, ['el','la','los','y','es','no','una','que'])),
+         |    len(list_intersect($ws, ['le','la','les','et','est','pas','une','que'])),
+         |    len(list_intersect($ws, ['的','是','不','了','在','人','有','我']))) THEN 'en'
+         |  WHEN len(list_intersect($ws, ['el','la','los','y','es','no','una','que'])) = greatest(
+         |    len(list_intersect($ws, ['der','die','das','und','ist','nicht','ein','zu'])),
+         |    len(list_intersect($ws, ['the','and','of','to','in','is','that','it','a'])),
+         |    len(list_intersect($ws, ['el','la','los','y','es','no','una','que'])),
+         |    len(list_intersect($ws, ['le','la','les','et','est','pas','une','que'])),
+         |    len(list_intersect($ws, ['的','是','不','了','在','人','有','我']))) THEN 'es'
+         |  WHEN len(list_intersect($ws, ['le','la','les','et','est','pas','une','que'])) = greatest(
+         |    len(list_intersect($ws, ['der','die','das','und','ist','nicht','ein','zu'])),
+         |    len(list_intersect($ws, ['the','and','of','to','in','is','that','it','a'])),
+         |    len(list_intersect($ws, ['el','la','los','y','es','no','una','que'])),
+         |    len(list_intersect($ws, ['le','la','les','et','est','pas','une','que'])),
+         |    len(list_intersect($ws, ['的','是','不','了','在','人','有','我']))) THEN 'fr'
+         |  ELSE 'zh' END""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       |rated AS (
+       |  SELECT doc_id, lang AS r_gold,
+       |         ${langidCase("ws")} AS r_full,
+       |         ${langidCase("list_slice(ws, 1, 12)")} AS r_head
+       |  FROM toks),
+       |lng AS (
+       |  SELECT doc_id, unnest([r_gold, r_full, r_head]) AS cat FROM rated
+       |  WHERE r_gold IS NOT NULL AND r_full IS NOT NULL AND r_head IS NOT NULL),
+       |nic AS (SELECT doc_id, cat, count(*) AS c FROM lng GROUP BY 1, 2),
+       |per AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS ss FROM nic GROUP BY 1),
+       |ia AS (SELECT count(*) AS n_items,
+       |              CAST(sum(ss - 3) AS BIGINT) AS agree_num FROM per),
+       |catc AS (SELECT cat, count(*) AS cc FROM lng GROUP BY 1),
+       |ca AS (SELECT sum(CAST((CAST(cc AS DOUBLE) / CAST(__n * 3 AS DOUBLE))
+       |                 * (CAST(cc AS DOUBLE) / CAST(__n * 3 AS DOUBLE))
+       |               AS DECIMAL(25,10))) AS pe_sum,
+       |              count(*) AS n_categories
+       |       FROM (SELECT catc.cc, ia.n_items AS __n FROM catc CROSS JOIN ia))
+       |SELECT ia.n_items, 3 AS m, ca.n_categories,
+       |       round(CAST(ia.agree_num AS DOUBLE) / CAST(ia.n_items * 6 AS DOUBLE), 6) AS p_bar,
+       |       round(CAST(ca.pe_sum AS DOUBLE), 6) AS p_e,
+       |       CASE WHEN CAST(ca.pe_sum AS DOUBLE) < 1.0 THEN
+       |         round((CAST(ia.agree_num AS DOUBLE) / CAST(ia.n_items * 6 AS DOUBLE)
+       |             - CAST(ca.pe_sum AS DOUBLE))
+       |           / (CAST(1.0 AS DOUBLE) - CAST(ca.pe_sum AS DOUBLE)), 6)
+       |       END AS kappa
+       |FROM ia CROSS JOIN ca""".stripMargin
+  }
+
+  /** Chao2 + Good–Turing coverage replay: exact incidence counts from
+    * the q156 per-doc-distinct trigram CTE, then the same fixed IEEE
+    * chains (integer q₁(q₁−1) product, two divisions, 6-dp rounds).
+    */
+  private val vocabRichnessOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |           generate_series(1, greatest(len(ws) - 2, 0)),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |freq AS (SELECT s, count(*) AS f FROM sh GROUP BY 1),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |agg AS (SELECT count(*) AS d_observed,
+      |               CAST(sum(f) AS BIGINT) AS n_incidences,
+      |               CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS q1,
+      |               CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS q2
+      |        FROM freq)
+      |SELECT nd.n_docs, agg.d_observed, agg.n_incidences, agg.q1, agg.q2,
+      |       round(CAST(agg.d_observed AS DOUBLE) +
+      |             (CAST(nd.n_docs - 1 AS DOUBLE) / CAST(nd.n_docs AS DOUBLE)) *
+      |             (CAST(agg.q1 * (agg.q1 - 1) AS DOUBLE)
+      |               / CAST(2 * (agg.q2 + 1) AS DOUBLE)), 6) AS chao2,
+      |       round(CAST(1.0 AS DOUBLE) - CAST(agg.q1 AS DOUBLE)
+      |               / CAST(agg.n_incidences AS DOUBLE), 6) AS coverage
+      |FROM agg CROSS JOIN nd""".stripMargin
+
   /** Spliced-literal oracles are valid only after their query trained
     * its state in THIS process (graft.Verify dumps oracleSql AFTER the
     * queries run, so a full gate always passes every guard). On a
@@ -3842,6 +4035,14 @@ object SparkEntry {
     // the calibration artifact's LIFECYCLE: fresh gate silent, drifted
     // gate fires, recalibrated budget differs, the swap's spend pinned
     "q274_calibration_staleness" -> calibrationLifecycleOracle,
+    // Bradley–Terry MM: 5 chained iterations, per-term decimal capture
+    "q276_bt_strengths" -> btStrengthsOracle,
+    // Wilson lower bound: identical IEEE tree, sqrt correctly rounded
+    "q277_wilson_winrate" -> wilsonWinrateOracle,
+    // Fleiss' kappa over gold lang + two stopword-langid raters
+    "q278_fleiss_kappa" -> fleissKappaOracle,
+    // Chao2 richness + Good-Turing coverage from exact incidence counts
+    "q279_vocab_richness" -> vocabRichnessOracle,
     // multi-round prune training on the NATURAL corpus at its supported
     // width, kept-mass floor per round
     "q275_natural_vocab_rounds" -> vocabAuditRoundsOracle(

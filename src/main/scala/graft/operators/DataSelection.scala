@@ -481,6 +481,53 @@ object DataSelection {
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
   }
 
+  /** CHAO2 unseen-vocabulary estimate + sample coverage — the "how much
+    * content does the FULL crawl hold that this corpus hasn't seen"
+    * companion to [[vocabGrowth]] (that one plots the curve; this one
+    * extrapolates it). Shingle presence per doc is INCIDENCE data
+    * (each doc contributes a shingle at most once), so the right
+    * richness estimator is Chao2 (Chao 1987, bias-corrected form):
+    *
+    *   D̂ = D + ((R−1)/R) · q₁(q₁−1) / (2(q₂+1))
+    *
+    * with D = observed distinct shingles, R = docs, q₁/q₂ = shingles
+    * seen in exactly one/two docs; plus the Good–Turing sample
+    * coverage `C = 1 − q₁/Σincidences` (the fraction of the incidence
+    * mass belonging to already-seen vocabulary). Low coverage / high
+    * D̂−D = more crawl still buys new content; coverage ≈ 1 = the
+    * marginal crawl re-collects what the corpus already holds.
+    *
+    * Exactness: D, R, q₁, q₂ and the incidence total are exact BIGINTs
+    * from two partial-agg passes; D̂ and C are fixed IEEE chains on
+    * them (the q₁(q₁−1) product stays integer), 6-dp rounded — fully
+    * oracle-replayable. Scale shape: shingle-keyed doc-frequency agg
+    * (map-side combined) then a scalar fold; output is 1 row.
+    */
+  def vocabRichness(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val base = Parallelism.ensureCompute(docs)
+    val nDocs = base.select(col(idCol)).distinct().count()
+    require(nDocs > 0, "corpus has no documents")
+    val freq = base
+      .select(explode(TextFunctions.hashedShingles(col(textCol), n)).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val agg = freq.agg(
+      count(lit(1)).as("d_observed"),
+      sum(col("f")).as("n_incidences"),
+      sum(when(col("f") === 1L, 1L).otherwise(0L)).as("q1"),
+      sum(when(col("f") === 2L, 1L).otherwise(0L)).as("q2"))
+    agg.select(
+      lit(nDocs).as("n_docs"),
+      col("d_observed"), col("n_incidences"), col("q1"), col("q2"),
+      round(col("d_observed").cast("double") +
+        (lit(nDocs - 1L).cast("double") / lit(nDocs).cast("double")) *
+          ((col("q1") * (col("q1") - 1L)).cast("double") /
+            (lit(2L) * (col("q2") + 1L)).cast("double")), 6).as("chao2"),
+      round(lit(1.0) - col("q1").cast("double") /
+        col("n_incidences").cast("double"), 6).as("coverage"))
+  }
+
   /** DoReMi domain-reweighting trajectory (Xie et al. 2023, "DoReMi:
     * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
     * Algorithm 1's Group-DRO exponentiated-gradient update): given a

@@ -64,6 +64,59 @@ object Metrics {
       when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
+  /** FLEISS' KAPPA (Fleiss 1971): chance-corrected agreement for m ≥ 2
+    * raters over a categorical label — the multi-rater generalization
+    * of [[agreement]]'s Cohen gate, and the QA readout for annotation
+    * campaigns (are three labelers/models assigning languages,
+    * topics, toxicity tiers consistently, beyond what base rates
+    * force?). Per item i with n_ic raters choosing category c:
+    * `P_i = (Σ_c n_ic² − m)/(m(m−1))`, `P̄ = mean_i P_i`,
+    * `P̄_e = Σ_c p_c²` with `p_c = Σ_i n_ic / (n·m)`, and
+    * `κ = (P̄ − P̄_e)/(1 − P̄_e)`.
+    *
+    * Exactness: P̄'s numerator `Σ_i (Σ_c n_ic² − m)` stays an exact
+    * BIGINT (so P̄ is ONE division of identical integers — no per-item
+    * float mean); each p_c is one division, its square captured to
+    * DECIMAL(25,10) before the exact category sum; κ is a fixed IEEE
+    * chain on those, 6-dp rounded. Degenerate P̄_e = 1 (every rater
+    * constant and equal) yields NULL κ via the same CASE on both
+    * engines. Items where ANY rater abstained (null) are excluded up
+    * front — a partial row has no defined n_ic column sum.
+    *
+    * Scale shape: the long table is m× the item count; two partial-agg
+    * shuffles (item-keyed pair counts, category-keyed totals), both
+    * map-side combined; the category table is label-domain-sized and
+    * the output is 1 row. Returns
+    * (n_items, m, n_categories, p_bar, p_e, kappa).
+    */
+  def fleissKappa(df: DataFrame, idCol: String, raterCols: Seq[String]): DataFrame = {
+    require(raterCols.size >= 2,
+      s"fleissKappa needs >= 2 raters, got ${raterCols.size}")
+    val m = raterCols.size
+    val base = df
+      .where(raterCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(col(idCol).as("id"),
+        array(raterCols.map(c => col(c).cast("string")): _*).as("rs"))
+    val long = base.select(col("id"), explode(col("rs")).as("cat"))
+    val perItem = long.groupBy(col("id"), col("cat")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(sum(col("c") * col("c")).as("ss"))
+    val itemAgg = perItem.agg(count(lit(1)).as("n_items"),
+      sum(col("ss") - lit(m.toLong)).as("agree_num"))
+    val catAgg = long.groupBy(col("cat")).agg(count(lit(1)).as("cc"))
+      .crossJoin(itemAgg.select(col("n_items").as("__n")))
+      .select(((col("cc").cast("double") / (col("__n") * m).cast("double")) *
+        (col("cc").cast("double") / (col("__n") * m).cast("double")))
+        .cast("decimal(25,10)").as("pc2"))
+      .agg(sum(col("pc2")).as("pe_sum"), count(lit(1)).as("n_categories"))
+    val pBar = col("agree_num").cast("double") /
+      (col("n_items") * (m.toLong * (m.toLong - 1L))).cast("double")
+    val pe = col("pe_sum").cast("double")
+    itemAgg.crossJoin(catAgg).select(
+      col("n_items"), lit(m).as("m"), col("n_categories"),
+      round(pBar, 6).as("p_bar"), round(pe, 6).as("p_e"),
+      when(pe < 1.0, round((pBar - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
   /** EXACT distributed ROC-AUC via the Mann–Whitney U statistic with
     * MIDRANKS (the tie-correct formulation: AUC = P(score⁺ > score⁻) +
     * ½P(tie)) — the ranking-quality readout for a trained filter

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pairwise-PREFERENCE analytics — the RLHF/eval half of the data
+  * pipeline: given a log of "A beat B" comparisons (human preference
+  * pairs, A/B test exposures, model-vs-model eval games), recover a
+  * per-item strength scale and a small-sample-honest ranking.
+  *
+  *  - [[adjacentComparisons]] — turn an event log into comparisons
+  *    (each user's consecutive events duel; higher value wins).
+  *  - [[btStrengths]] — Bradley–Terry strengths via the MM algorithm
+  *    (Hunter 2004, "MM algorithms for generalized Bradley–Terry
+  *    models", Annals of Statistics §1-2). The batch analog of Elo:
+  *    order-independent, so it distributes (Elo's sequential update
+  *    does not).
+  *  - [[wilsonLowerBound]] — Wilson score interval lower bound
+  *    (Wilson 1927): rank items by the PESSIMISTIC win rate, so a
+  *    2-0 newcomer does not outrank a 180-20 incumbent.
+  *
+  * No analog in the reference (`themovies.py` has no preference data);
+  * added per the training-pipeline mandate — preference pairs are the
+  * post-training counterpart of the pretraining corpus and arrive at
+  * the same scale.
+  *
+  * Scale shape: comparisons reduce to a (winner, loser)-keyed count
+  * matrix in ONE partial-agg shuffle; items (models, policies, prompt
+  * templates) number in the hundreds, so every MM iteration runs on a
+  * model-sized table (the Lloyd's/codebook discipline — iterate on the
+  * tiny state, never re-shuffle the corpus).
+  *
+  * Exactness/portability: strengths live as DECIMAL; the only IEEE ops
+  * are per-term divisions of identical operand doubles, each captured
+  * to DECIMAL(25,10) before the order-independent decimal sum (the
+  * q121 per-contribution capture discipline), then one division per
+  * item per iteration. sqrt in the Wilson bound is IEEE
+  * correctly-rounded, hence bit-equal across engines. The DuckDB
+  * oracles replay every iteration.
+  */
+object Preference {
+
+  /** Comparisons from an event log: within each `userCol` partition,
+    * order by (`tsCol`, `idCol`) and duel each event against its
+    * successor — higher `valueCol` wins, value ties go to the
+    * lexicographically smaller item, same-item pairs are dropped.
+    * Output: (winner, loser), one row per decided duel.
+    *
+    * Scale shape: one window sort per user partition (the q29
+    * sessionize shuffle), then map-side arithmetic — no further
+    * shuffle; the output feeds [[btStrengths]]'s single count agg.
+    */
+  def adjacentComparisons(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, itemCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    Parallelism.ensureCompute(events)
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(itemCol).as("item"), col(valueCol).as("v"))
+      .withColumn("nxt_item", lead(col("item"), 1).over(w))
+      .withColumn("nxt_v", lead(col("v"), 1).over(w))
+      .where(col("nxt_item").isNotNull && col("item") =!= col("nxt_item"))
+      .select(
+        when(col("v") > col("nxt_v"), col("item"))
+          .when(col("nxt_v") > col("v"), col("nxt_item"))
+          .when(col("item") < col("nxt_item"), col("item"))
+          .otherwise(col("nxt_item")).as("winner"),
+        when(col("v") > col("nxt_v"), col("nxt_item"))
+          .when(col("nxt_v") > col("v"), col("item"))
+          .when(col("item") < col("nxt_item"), col("nxt_item"))
+          .otherwise(col("item")).as("loser"))
+  }
+
+  /** Bradley–Terry strengths by `iters` MM iterations from the flat
+    * start π⁰ = 1 (Hunter 2004 eq. 2):
+    *
+    *   π_i ← W_i / Σ_{j≠i} N_ij / (π_i + π_j)
+    *
+    * with W_i = total wins of i and N_ij = games between i and j. Each
+    * MM step provably increases the BT likelihood from any positive
+    * start; a FIXED iteration count (like the q71 Lloyd's rounds and
+    * the q88 PageRank) keeps the trajectory an oracle-replayable
+    * closed form rather than a convergence race. A zero-win item takes
+    * strength 0 at the first step and keeps it — the MLE boundary
+    * case, deterministic on both engines.
+    *
+    * Input: a (winner, loser) comparison log. Output: one row per
+    * item — (item, wins, games, strength) with strength the π
+    * normalized to sum 1 and captured at 6 dp.
+    *
+    * Arithmetic: N_ij, W_i exact BIGINT; π decimal(20,10); each MM
+    * term `N_ij / (π_i + π_j)` is one division of identical operand
+    * doubles captured to DECIMAL(25,10); the Σ_j is an exact decimal
+    * sum (order-independent under any partitioning); the update is one
+    * more captured division. The corpus-sized work is exactly ONE
+    * partial-agg shuffle (the (winner, loser) count matrix) —
+    * iterations never touch the comparison log again.
+    */
+  def btStrengths(comparisons: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
+    // the ONLY corpus-sized pass: one (winner, loser)-keyed partial agg;
+    // everything below runs on the K^2-row matrix, pinned local so the
+    // MM loop never replays the shuffle
+    val dirPairs = Parallelism.ensureCompute(comparisons)
+      .groupBy(col("winner"), col("loser")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val wins0 = dirPairs.groupBy(col("winner").as("item"))
+      .agg(sum(col("n")).as("wins"))
+    val games2 = dirPairs
+      .select(col("winner").as("i"), col("loser").as("j"), col("n"))
+      .unionAll(dirPairs
+        .select(col("loser").as("i"), col("winner").as("j"), col("n")))
+      .groupBy(col("i"), col("j")).agg(sum(col("n")).as("n"))
+    val items = games2.select(col("i").as("item")).distinct()
+    val w = items.join(wins0, Seq("item"), "left_outer")
+      .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"))
+      .localCheckpoint()
+    val g = games2.groupBy(col("i").as("item")).agg(sum(col("n")).as("games"))
+    var pi = w.select(col("item"),
+      lit(java.math.BigDecimal.ONE).cast("decimal(20,10)").as("pi"))
+    for (_ <- 1 to iters) {
+      val terms = games2
+        .join(pi.select(col("item").as("i"), col("pi").as("pi_i")), Seq("i"))
+        .join(pi.select(col("item").as("j"), col("pi").as("pi_j")), Seq("j"))
+        .select(col("i").as("item"),
+          (col("n").cast("double") / (col("pi_i") + col("pi_j")).cast("double"))
+            .cast("decimal(25,10)").as("t"))
+      val denom = terms.groupBy(col("item")).agg(sum(col("t")).as("den"))
+      pi = w.join(denom, Seq("item"))
+        .select(col("item"),
+          (col("wins").cast("double") / col("den").cast("double"))
+            .cast("decimal(20,10)").as("pi"))
+    }
+    // normalize to a probability scale: 1-row scalar attach (the house
+    // crossJoin-scalar pattern), one division per item, 6-dp capture
+    val tot = pi.agg(sum(col("pi")).as("pi_sum"))
+    pi.join(w, Seq("item")).join(g, Seq("item"))
+      .crossJoin(tot)
+      .select(col("item"), col("wins"), col("games"),
+        (col("pi").cast("double") / col("pi_sum").cast("double"))
+          .cast("decimal(18,6)").cast("double").as("strength"))
+  }
+
+  /** Wilson score-interval LOWER bound on a binomial proportion
+    * (Wilson 1927) at confidence multiplier `z`:
+    *
+    *   ( p̂ + z²/2n − z·√( (p̂(1−p̂) + z²/4n) / n ) ) / (1 + z²/n)
+    *
+    * The small-sample-honest ranking key: a raw win rate ranks 2-0
+    * above 180-20; the Wilson bound does not. Every operation is a
+    * single IEEE double op on identical operands in a fixed tree —
+    * sqrt is correctly-rounded per IEEE 754, so the whole expression
+    * is bit-portable without any capture until the caller rounds.
+    */
+  def wilsonLowerBound(wins: Column, games: Column, z: Double = 1.96): Column = {
+    val n = games.cast("double")
+    val p = wins.cast("double") / n
+    val z2 = lit(z) * lit(z)
+    (p + z2 / (lit(2.0) * n)
+      - lit(z) * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * n)) / n)) /
+      (lit(1.0) + z2 / n)
+  }
+}

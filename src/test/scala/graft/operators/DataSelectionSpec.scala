@@ -413,4 +413,41 @@ class DataSelectionSpec extends SparkSuite {
     assert(holdErr.getMessage.contains("empty holdout"),
       s"expected the empty-holdout raise, got: ${holdErr.getMessage}")
   }
+
+  test("vocabRichness: hand-computed Chao2 and coverage") {
+    // incidences: "a b c" in 2 docs; 4 trigrams in exactly 1 doc
+    // D=5, N=6, q1=4, q2=1 -> chao2 = 5 + (2/3)*(4*3)/(2*2) = 7.0,
+    // coverage = 1 - 4/6
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c"), (3L, "x y z w v")
+    ).toDF("doc_id", "text")
+    val r = DataSelection.vocabRichness(docs, "doc_id", "text", n = 3).head()
+    assert(r.getLong(0) == 3L, s"n_docs: $r")
+    assert(r.getLong(1) == 5L && r.getLong(2) == 6L, s"D/N: $r")
+    assert(r.getLong(3) == 4L && r.getLong(4) == 1L, s"q1/q2: $r")
+    assert(r.getDouble(5) == 7.0, s"chao2: $r")
+    assert(r.getDouble(6) ==
+      BigDecimal(1.0 - 4.0 / 6.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"coverage: $r")
+  }
+
+  test("vocabRichness: per-doc repeats count once (incidence, not abundance)") {
+    // the trigram "a b a" repeats inside doc 1 but is one incidence
+    val docs = Seq((1L, "a b a b a"), (2L, "a b a")).toDF("doc_id", "text")
+    val r = DataSelection.vocabRichness(docs, "doc_id", "text", n = 3).head()
+    // doc1 trigrams: {a b a, b a b}; doc2: {a b a} -> D=2, N=3, q1=1, q2=1
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L, s"$r")
+    assert(r.getLong(3) == 1L && r.getLong(4) == 1L, s"$r")
+    // chao2 = 2 + (1/2)*(1*0)/(2*2) = 2.0 (no singles-pair mass to extrapolate)
+    assert(r.getDouble(5) == 2.0, s"$r")
+  }
+
+  test("vocabRichness: coverage 1 when nothing is rare") {
+    val docs = Seq((1L, "p q r"), (2L, "p q r")).toDF("doc_id", "text")
+    val r = DataSelection.vocabRichness(docs, "doc_id", "text", n = 3).head()
+    assert(r.getLong(3) == 0L, s"$r")
+    assert(r.getDouble(6) == 1.0, s"all incidence mass already seen: $r")
+    assert(r.getDouble(5) == r.getLong(1).toDouble,
+      s"chao2 falls back to D when q1 = 0: $r")
+  }
 }

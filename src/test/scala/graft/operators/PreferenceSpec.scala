@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Bradley–Terry MM fit, comparison extraction, and the Wilson bound:
+  * hand-computable fixed points, tie/boundary rules, partitioning
+  * independence, and the small-sample rank inversion. */
+class PreferenceSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("adjacentComparisons: ordering, value duel, tie rule, same-type drop") {
+    // one user, ordered by (ts, id): A(3) B(1) B(2) A(2) C(2)
+    // duels: A-B -> A wins; B-B dropped; B-A -> value tie -> A (smaller);
+    // A-C -> value tie -> A (smaller)
+    val ev = Seq(
+      (1L, 1L, "A", 3.0), (1L, 2L, "B", 1.0), (1L, 3L, "B", 2.0),
+      (1L, 4L, "A", 2.0), (1L, 5L, "C", 2.0)
+    ).toDF("user_id", "event_id", "item", "v")
+      .select($"user_id", to_timestamp(lit("2024-01-01")).as("ts"),
+        $"event_id", $"item", $"v")
+    val comps = Preference.adjacentComparisons(
+      ev, "user_id", "ts", "event_id", "item", "v")
+      .as[(String, String)].collect().toSeq.sorted
+    assert(comps == Seq(("A", "B"), ("A", "B"), ("A", "C")))
+  }
+
+  test("adjacentComparisons never crosses users") {
+    val ev = Seq((1L, 1L, "A", 9.0), (2L, 2L, "B", 1.0))
+      .toDF("user_id", "event_id", "item", "v")
+      .select($"user_id", to_timestamp(lit("2024-01-01")).as("ts"),
+        $"event_id", $"item", $"v")
+    assert(Preference.adjacentComparisons(
+      ev, "user_id", "ts", "event_id", "item", "v").count() == 0)
+  }
+
+  test("btStrengths two-item fixed point equals the closed-form MLE") {
+    // A beats B 3x, B beats A 1x -> BT MLE p(A beats B) = 3/4; the MM
+    // fixed point (reached at iteration 1 here) normalizes to (0.75, 0.25)
+    val comps = Seq(("A", "B"), ("A", "B"), ("A", "B"), ("B", "A"))
+      .toDF("winner", "loser")
+    val got = Preference.btStrengths(comps, iters = 5)
+      .select($"item", $"wins", $"games", $"strength")
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (i, w, g, s) => i -> ((w, g, s)) }.toMap
+    assert(got("A") == ((3L, 4L, 0.75)))
+    assert(got("B") == ((1L, 4L, 0.25)))
+  }
+
+  test("btStrengths zero-win item takes strength 0 (MLE boundary)") {
+    val comps = Seq(("A", "B"), ("A", "B")).toDF("winner", "loser")
+    val got = Preference.btStrengths(comps, iters = 3)
+      .select($"item", $"strength").as[(String, Double)].collect().toMap
+    assert(got("A") == 1.0 && got("B") == 0.0)
+  }
+
+  test("btStrengths is partitioning-independent (decimal capture sums)") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val comps = Preference.adjacentComparisons(
+      ev, "user_id", "ts", "event_id", "event_type", "value")
+    val a = Preference.btStrengths(comps, iters = 5).collect().toSet
+    val b = Preference.btStrengths(comps.repartition(17), iters = 5)
+      .collect().toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("btStrengths strengths order by win quality, not raw wins alone") {
+    // round-robin: A beats B 9/10, B beats C 9/10, A beats C 9/10 ->
+    // strict order A > B > C
+    val comps = (
+      Seq.fill(9)(("A", "B")) ++ Seq.fill(1)(("B", "A")) ++
+      Seq.fill(9)(("B", "C")) ++ Seq.fill(1)(("C", "B")) ++
+      Seq.fill(9)(("A", "C")) ++ Seq.fill(1)(("C", "A"))
+    ).toDF("winner", "loser")
+    val s = Preference.btStrengths(comps, iters = 10)
+      .select($"item", $"strength").as[(String, Double)].collect().toMap
+    assert(s("A") > s("B") && s("B") > s("C"))
+  }
+
+  test("wilsonLowerBound: the 2-0 newcomer ranks below the 180-20 incumbent") {
+    val df = Seq(("new", 2L, 2L), ("inc", 180L, 200L))
+      .toDF("item", "wins", "games")
+      .select($"item",
+        ($"wins".cast("double") / $"games".cast("double")).as("p_hat"),
+        Preference.wilsonLowerBound($"wins", $"games").as("lb"))
+    val m = df.as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m("new")._1 > m("inc")._1, "raw rate prefers the newcomer")
+    assert(m("new")._2 < m("inc")._2, "wilson bound prefers the incumbent")
+    assert(m("inc")._2 > 0.8 && m("inc")._2 < 0.9)
+  }
+
+  test("wilsonLowerBound grows with evidence at a fixed rate") {
+    val lbs = Seq((9L, 10L), (90L, 100L), (900L, 1000L))
+      .toDF("w", "n").orderBy($"n")
+      .select(Preference.wilsonLowerBound($"w", $"n"))
+      .as[Double].collect().toList
+    assert(lbs.sliding(2).forall { case List(a, b) => a < b; case _ => true })
+    assert(lbs.forall(v => v > 0 && v < 0.9))
+  }
+}

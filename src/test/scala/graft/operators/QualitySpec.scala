@@ -154,4 +154,50 @@ class QualitySpec extends SparkSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(d.getDouble(2) - want) < 2e-6, s"H(a) off: $d vs $want")
   }
+
+  test("Metrics.fleissKappa: perfect agreement scores 1") {
+    val df = Seq((1L, "a", "a", "a"), (2L, "b", "b", "b"), (3L, "a", "a", "a"))
+      .toDF("id", "r1", "r2", "r3")
+    val r = Metrics.fleissKappa(df, "id", Seq("r1", "r2", "r3")).head()
+    assert(r.getLong(0) == 3L && r.getInt(1) == 3 && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 1.0, s"p_bar: $r")
+    assert(r.getDouble(5) == 1.0, s"kappa: $r")
+  }
+
+  test("Metrics.fleissKappa: chance-level agreement scores 0 (m=2 Scott's pi)") {
+    // (a,a),(a,b),(b,a),(b,b): P-bar = 0.5, balanced margins -> p_e = 0.5
+    val df = Seq((1L, "a", "a"), (2L, "a", "b"), (3L, "b", "a"), (4L, "b", "b"))
+      .toDF("id", "r1", "r2")
+    val r = Metrics.fleissKappa(df, "id", Seq("r1", "r2")).head()
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 0.5, s"$r")
+    assert(r.getDouble(5) == 0.0, s"kappa must be 0 at chance: $r")
+  }
+
+  test("Metrics.fleissKappa: m=3 hand case and the exact capture arithmetic") {
+    // items (a,a,a) and (a,b,b): P-bar = (6+2)/12 = 2/3;
+    // p_a = 4/6, p_b = 2/6 -> p_e = captured(4/6)^2 + captured(2/6)^2
+    val df = Seq((1L, "a", "a", "a"), (2L, "a", "b", "b"))
+      .toDF("id", "r1", "r2", "r3")
+    val r = Metrics.fleissKappa(df, "id", Seq("r1", "r2", "r3")).head()
+    val pa = 4.0 / 6.0; val pb = 2.0 / 6.0
+    val pe = BigDecimal(pa * pa).setScale(10, BigDecimal.RoundingMode.HALF_UP) +
+      BigDecimal(pb * pb).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val pBar = 8.0 / 12.0
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == r6(pBar), s"p_bar: $r")
+    assert(r.getDouble(4) == r6(pe.toDouble), s"p_e: $r")
+    assert(r.getDouble(5) ==
+      r6((pBar - pe.toDouble) / (1.0 - pe.toDouble)), s"kappa: $r")
+  }
+
+  test("Metrics.fleissKappa: constant equal raters -> NULL kappa; null rater rows excluded") {
+    val const = Seq((1L, "a", "a"), (2L, "a", "a")).toDF("id", "r1", "r2")
+    val rc = Metrics.fleissKappa(const, "id", Seq("r1", "r2")).head()
+    assert(rc.isNullAt(5), s"degenerate p_e = 1 must yield NULL kappa: $rc")
+    val withNull = Seq((1L, Some("a"), Some("a")), (2L, Some("a"), None))
+      .toDF("id", "r1", "r2")
+    val rn = Metrics.fleissKappa(withNull, "id", Seq("r1", "r2")).head()
+    assert(rn.getLong(0) == 1L, s"abstained item must be excluded: $rn")
+  }
 }
