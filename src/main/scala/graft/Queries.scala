@@ -8141,4 +8141,51 @@ object Queries {
   def q279VocabRichness(spark: SparkSession, dir: String): DataFrame =
     DataSelection.vocabRichness(t(spark, dir, "documents"),
       "doc_id", "text", n = 3)
+
+  // ---------------------------------------------------------------- Q280
+  /** Preference-coherence audit ([[graft.operators.Preference
+    * .coherenceReport]]): per compared pair, the observed win rate vs
+    * the Bradley–Terry prediction and their deviation, plus the
+    * strict-majority triad census (decided and CYCLIC triples) — the
+    * "is one strength scale even valid" QA that runs before q276's fit
+    * is trusted. All model-sized after the one count-matrix shuffle;
+    * the oracle replays the fit, every pair row, and both triad joins.
+    */
+  def q280PreferenceCoherence(spark: SparkSession, dir: String): DataFrame =
+    Preference.coherenceReport(
+      Preference.adjacentComparisons(tp(spark, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", "value"),
+      iters = 5)
+
+  // ---------------------------------------------------------------- Q281
+  /** Incremental preference maintenance: per-shard count matrices
+    * (user-parity shards — comparisons never cross users, so the
+    * shards partition the comparison log exactly) MERGE by counter
+    * addition ([[graft.operators.Preference.mergeMatrices]]), REQUIREd
+    * bit-equal to the from-scratch matrix both ways — the q143/q91
+    * additivity discipline for the preference band: history is never
+    * rescanned, the MM refit runs on the merged model-sized matrix.
+    * Output carries per-shard game counts next to the refit strengths.
+    */
+  def q281IncrementalBt(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tp(spark, dir, "events")
+    def comps(df: DataFrame): DataFrame = Preference.adjacentComparisons(
+      df, "user_id", "ts", "event_id", "event_type", "value")
+    val m1 = Preference.countMatrix(comps(ev.where(col("user_id") % 2 === 0)))
+    val m2 = Preference.countMatrix(comps(ev.where(col("user_id") % 2 === 1)))
+    val merged = Preference.mergeMatrices(m1, m2).localCheckpoint()
+    val full = Preference.countMatrix(comps(ev))
+    require(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "counter additivity violated: merged shard matrices != from-scratch matrix")
+    def gamesOf(m: DataFrame, name: String): DataFrame = m
+      .select(explode(array(col("winner"), col("loser"))).as("item"), col("n"))
+      .groupBy(col("item")).agg(sum(col("n")).as(name))
+    Preference.fitFromMatrix(merged, iters = 5)
+      .join(gamesOf(m1, "ge"), Seq("item"), "left_outer")
+      .join(gamesOf(m2, "go"), Seq("item"), "left_outer")
+      .select(col("item"),
+        coalesce(col("ge"), lit(0L)).as("games_even"),
+        coalesce(col("go"), lit(0L)).as("games_odd"),
+        col("games"), col("strength"))
+  }
 }

@@ -316,6 +316,8 @@ object SparkEntry {
     "q277_wilson_winrate" -> (Queries.q277WilsonWinrate _),
     "q278_fleiss_kappa" -> (Queries.q278FleissKappa _),
     "q279_vocab_richness" -> (Queries.q279VocabRichness _),
+    "q280_preference_coherence" -> (Queries.q280PreferenceCoherence _),
+    "q281_incremental_bt" -> (Queries.q281IncrementalBt _),
     "q261_vocab_width" -> (Queries.q261VocabWidth _),
     "q261b_vocab_width_model" -> (Queries.q261bVocabWidthModel _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
@@ -2985,27 +2987,32 @@ object SparkEntry {
     * type, same-type pairs dropped) — the same window and CASE ladder
     * as `Preference.adjacentComparisons`.
     */
-  private val comparisonCtes: String =
-    """ord AS (
-      |  SELECT event_type AS item, value AS v,
-      |         lead(event_type) OVER w AS nt, lead(value) OVER w AS nv
-      |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      |comp AS (
-      |  SELECT CASE WHEN v > nv THEN item
-      |              WHEN nv > v THEN nt
-      |              WHEN item < nt THEN item ELSE nt END AS winner,
-      |         CASE WHEN v > nv THEN nt
-      |              WHEN nv > v THEN item
-      |              WHEN item < nt THEN nt ELSE item END AS loser
-      |  FROM ord WHERE nt IS NOT NULL AND item <> nt)""".stripMargin
+  private def comparisonCtesNamed(suffix: String, where: String): String =
+    s"""ord$suffix AS (
+       |  SELECT event_type AS item, value AS v,
+       |         lead(event_type) OVER w AS nt, lead(value) OVER w AS nv
+       |  FROM events$where
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |comp$suffix AS (
+       |  SELECT CASE WHEN v > nv THEN item
+       |              WHEN nv > v THEN nt
+       |              WHEN item < nt THEN item ELSE nt END AS winner,
+       |         CASE WHEN v > nv THEN nt
+       |              WHEN nv > v THEN item
+       |              WHEN item < nt THEN nt ELSE item END AS loser
+       |  FROM ord$suffix WHERE nt IS NOT NULL AND item <> nt)""".stripMargin
+
+  private val comparisonCtes: String = comparisonCtesNamed("", "")
 
   /** Bradley–Terry MM replay: the (winner, loser) count matrix, then 5
     * chained iterations with the engine's exact arithmetic — per-term
     * division of identical operand doubles captured to DECIMAL(25,10),
     * exact decimal sums, one captured division per item per iteration.
     */
-  private def btStrengthsOracle: String = {
+  /** The full MM chain (count matrix -> 5 iterations -> normalizer) as
+    * shared CTEs — q276 selects from it directly, q280/q281 extend it.
+    */
+  private def btChainCtes: String = {
     val iters = (1 to 5).map { k =>
       val prev = s"p${k - 1}"
       s"""p$k AS (
@@ -3018,7 +3025,7 @@ object SparkEntry {
          |  JOIN $prev pi_j ON pi_j.item = g2.j
          |  GROUP BY w.item, w.wins)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $comparisonCtes,
+    s"""$comparisonCtes,
        |dp AS (SELECT winner, loser, count(*) AS n FROM comp GROUP BY 1, 2),
        |wins0 AS (SELECT winner AS item, CAST(sum(n) AS BIGINT) AS wins
        |          FROM dp GROUP BY 1),
@@ -3032,13 +3039,79 @@ object SparkEntry {
        |g AS (SELECT i AS item, CAST(sum(n) AS BIGINT) AS games FROM g2 GROUP BY 1),
        |p0 AS (SELECT item, CAST(1 AS DECIMAL(20,10)) AS pi FROM w),
        |$iters,
-       |tot AS (SELECT sum(pi) AS pi_sum FROM p5)
-       |SELECT w.item, w.wins, g.games,
-       |       CAST(CAST(CAST(p5.pi AS DOUBLE) / CAST(tot.pi_sum AS DOUBLE)
-       |         AS DECIMAL(18,6)) AS DOUBLE) AS strength
+       |tot AS (SELECT sum(pi) AS pi_sum FROM p5)""".stripMargin
+  }
+
+  private val btStrengthExpr: String =
+    """CAST(CAST(CAST(p5.pi AS DOUBLE) / CAST(tot.pi_sum AS DOUBLE)
+      |         AS DECIMAL(18,6)) AS DOUBLE)""".stripMargin
+
+  private def btStrengthsOracle: String =
+    s"""WITH $btChainCtes
+       |SELECT w.item, w.wins, g.games, $btStrengthExpr AS strength
        |FROM w JOIN p5 ON p5.item = w.item
        |JOIN g ON g.item = w.item CROSS JOIN tot""".stripMargin
-  }
+
+  /** q280: the pair-level BT fit audit + strict-majority triad census
+    * on top of the shared MM chain.
+    */
+  private def preferenceCoherenceOracle: String =
+    s"""WITH $btChainCtes,
+       |st AS (SELECT w.item, $btStrengthExpr AS strength
+       |       FROM w JOIN p5 ON p5.item = w.item CROSS JOIN tot),
+       |pairs AS (
+       |  SELECT least(winner, loser) AS item_a, greatest(winner, loser) AS item_b,
+       |         CAST(sum(CASE WHEN winner < loser THEN n ELSE 0 END) AS BIGINT) AS wins_a,
+       |         CAST(sum(CASE WHEN winner > loser THEN n ELSE 0 END) AS BIGINT) AS wins_b
+       |  FROM dp GROUP BY 1, 2),
+       |fit AS (
+       |  SELECT p.item_a, p.item_b, p.wins_a, p.wins_b,
+       |         round(CAST(p.wins_a AS DOUBLE)
+       |             / CAST(p.wins_a + p.wins_b AS DOUBLE), 6) AS p_obs,
+       |         round(sa.strength / (sa.strength + sb.strength), 6) AS p_bt
+       |  FROM pairs p JOIN st sa ON sa.item = p.item_a
+       |  JOIN st sb ON sb.item = p.item_b),
+       |fit2 AS (SELECT *, round(abs(p_obs - p_bt), 6) AS abs_dev FROM fit),
+       |decided AS (
+       |  SELECT item_a AS pa, item_b AS pb,
+       |         CASE WHEN wins_a > wins_b THEN item_a ELSE item_b END AS src,
+       |         CASE WHEN wins_a > wins_b THEN item_b ELSE item_a END AS dst
+       |  FROM pairs WHERE wins_a <> wins_b),
+       |tri AS (SELECT count(*) AS n_decided_triads
+       |        FROM decided d1
+       |        JOIN decided d2 ON d2.pa = d1.pb
+       |        JOIN decided d3 ON d3.pa = d1.pa AND d3.pb = d2.pb),
+       |cyc AS (SELECT count(*) AS n_cyclic_triads FROM
+       |        (SELECT src AS x, dst AS y FROM decided) e1
+       |        JOIN (SELECT src AS y, dst AS z FROM decided) e2 USING (y)
+       |        JOIN (SELECT src AS z, dst AS x FROM decided) e3 USING (z, x)
+       |        WHERE x < y AND x < z)
+       |SELECT fit2.*, tri.n_decided_triads, cyc.n_cyclic_triads
+       |FROM fit2 CROSS JOIN tri CROSS JOIN cyc""".stripMargin
+
+  /** q281: the same fit (merged == from-scratch by counter additivity)
+    * with per-shard game counts from the user-parity comparison logs.
+    */
+  private def incrementalBtOracle: String =
+    s"""WITH $btChainCtes,
+       |${comparisonCtesNamed("_e", " WHERE user_id % 2 = 0")},
+       |${comparisonCtesNamed("_o", " WHERE user_id % 2 = 1")},
+       |dpe AS (SELECT winner, loser, count(*) AS n FROM comp_e GROUP BY 1, 2),
+       |dpo AS (SELECT winner, loser, count(*) AS n FROM comp_o GROUP BY 1, 2),
+       |ge AS (SELECT item, CAST(sum(n) AS BIGINT) AS games_even FROM (
+       |         SELECT winner AS item, n FROM dpe
+       |         UNION ALL SELECT loser, n FROM dpe) GROUP BY 1),
+       |go AS (SELECT item, CAST(sum(n) AS BIGINT) AS games_odd FROM (
+       |         SELECT winner AS item, n FROM dpo
+       |         UNION ALL SELECT loser, n FROM dpo) GROUP BY 1)
+       |SELECT w.item,
+       |       coalesce(ge.games_even, 0) AS games_even,
+       |       coalesce(go.games_odd, 0) AS games_odd,
+       |       g.games, $btStrengthExpr AS strength
+       |FROM w JOIN p5 ON p5.item = w.item
+       |JOIN g ON g.item = w.item CROSS JOIN tot
+       |LEFT JOIN ge ON ge.item = w.item
+       |LEFT JOIN go ON go.item = w.item""".stripMargin
 
   /** Wilson lower bound replay: the identical IEEE expression tree
     * (sqrt is correctly-rounded per IEEE 754, so no capture is needed
@@ -4043,6 +4116,10 @@ object SparkEntry {
     "q278_fleiss_kappa" -> fleissKappaOracle,
     // Chao2 richness + Good-Turing coverage from exact incidence counts
     "q279_vocab_richness" -> vocabRichnessOracle,
+    // pair-level BT fit audit + strict-majority triad census
+    "q280_preference_coherence" -> preferenceCoherenceOracle,
+    // counter-additive shard merge == from-scratch matrix; refit + shards
+    "q281_incremental_bt" -> incrementalBtOracle,
     // multi-round prune training on the NATURAL corpus at its supported
     // width, kept-mass floor per round
     "q275_natural_vocab_rounds" -> vocabAuditRoundsOracle(

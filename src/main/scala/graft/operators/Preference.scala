@@ -96,14 +96,35 @@ object Preference {
     * partial-agg shuffle (the (winner, loser) count matrix) —
     * iterations never touch the comparison log again.
     */
-  def btStrengths(comparisons: DataFrame, iters: Int = 5): DataFrame = {
-    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
-    // the ONLY corpus-sized pass: one (winner, loser)-keyed partial agg;
-    // everything below runs on the K^2-row matrix, pinned local so the
-    // MM loop never replays the shuffle
-    val dirPairs = Parallelism.ensureCompute(comparisons)
+  def btStrengths(comparisons: DataFrame, iters: Int = 5): DataFrame =
+    fitFromMatrix(countMatrix(comparisons), iters)
+
+  /** The (winner, loser, n) directed count matrix — the ONLY
+    * corpus-sized pass of the band (one partial-agg shuffle), pinned
+    * local so downstream model-sized work never replays it. Counters
+    * are ADDITIVE across shards/days: maintain per-batch matrices and
+    * [[mergeMatrices]] them — history is never rescanned (the q143
+    * count-min / q91 incremental-agg discipline).
+    */
+  def countMatrix(comparisons: DataFrame): DataFrame =
+    Parallelism.ensureCompute(comparisons)
       .groupBy(col("winner"), col("loser")).agg(count(lit(1)).as("n"))
       .localCheckpoint()
+
+  /** Counter addition of two count matrices: merge(m1, m2) equals the
+    * from-scratch matrix over the concatenated logs bit-for-bit.
+    */
+  def mergeMatrices(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("winner"), col("loser")).agg(sum(col("n")).as("n"))
+
+  /** The MM fit from a prebuilt (winner, loser, n) matrix — see
+    * [[btStrengths]] for semantics and arithmetic.
+    */
+  def fitFromMatrix(matrix: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
+    val dirPairs = matrix.select(col("winner"), col("loser"),
+      col("n").cast("long").as("n")).localCheckpoint()
     val wins0 = dirPairs.groupBy(col("winner").as("item"))
       .agg(sum(col("n")).as("wins"))
     val games2 = dirPairs
@@ -152,6 +173,69 @@ object Preference {
     * sqrt is correctly-rounded per IEEE 754, so the whole expression
     * is bit-portable without any capture until the caller rounds.
     */
+  /** PREFERENCE-COHERENCE audit — "is a single strength scale even
+    * valid for this comparison log?": per unordered pair, the observed
+    * win rate vs the Bradley–Terry prediction `s_a/(s_a+s_b)` and
+    * their absolute deviation (large deviations = pairs the 1-D scale
+    * cannot explain: context-dependent preferences, rater factions,
+    * nontransitive matchups); plus, attached as scalars, the
+    * strict-majority tournament's triad census — decided triples and
+    * CYCLIC triples (i beats j beats k beats i, the rock-paper-
+    * scissors count no scalar rating can ever fit).
+    *
+    * Scale shape: everything derives from the one [[countMatrix]]
+    * pass; the pair frame, the MM fit, the majority edges and the
+    * triad joins are all K- or K²-sized (items number in the
+    * hundreds). The triad self-joins are K³ worst case — model-sized,
+    * never the corpus. Returns one row per compared pair:
+    * (item_a, item_b, wins_a, wins_b, p_obs, p_bt, abs_dev,
+    * n_decided_triads, n_cyclic_triads).
+    */
+  def coherenceReport(comparisons: DataFrame, iters: Int = 5): DataFrame = {
+    val m = countMatrix(comparisons)
+    val st = fitFromMatrix(m, iters)
+    val pairs = m
+      .select(least(col("winner"), col("loser")).as("item_a"),
+        greatest(col("winner"), col("loser")).as("item_b"),
+        when(col("winner") < col("loser"), col("n")).otherwise(0L).as("na"),
+        when(col("winner") > col("loser"), col("n")).otherwise(0L).as("nb"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(sum(col("na")).as("wins_a"), sum(col("nb")).as("wins_b"))
+      .localCheckpoint()
+    val fit = pairs
+      .join(st.select(col("item").as("item_a"), col("strength").as("s_a")),
+        Seq("item_a"))
+      .join(st.select(col("item").as("item_b"), col("strength").as("s_b")),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("wins_a"), col("wins_b"),
+        round(col("wins_a").cast("double") /
+          (col("wins_a") + col("wins_b")).cast("double"), 6).as("p_obs"),
+        round(col("s_a") / (col("s_a") + col("s_b")), 6).as("p_bt"))
+      .withColumn("abs_dev", round(abs(col("p_obs") - col("p_bt")), 6))
+    // strict-majority edges; a 3-subtournament with all edges decided
+    // is either transitive or ONE directed 3-cycle, so each cyclic
+    // triad is counted once by pinning x as the smallest rotation
+    val decided = pairs.where(col("wins_a") =!= col("wins_b"))
+      .select(col("item_a").as("pa"), col("item_b").as("pb"),
+        when(col("wins_a") > col("wins_b"), col("item_a"))
+          .otherwise(col("item_b")).as("src"),
+        when(col("wins_a") > col("wins_b"), col("item_b"))
+          .otherwise(col("item_a")).as("dst"))
+    val nDecidedTriads = decided.select(col("pa").as("a"), col("pb").as("b"))
+      .join(decided.select(col("pa").as("b"), col("pb").as("c")), Seq("b"))
+      .join(decided.select(col("pa").as("a"), col("pb").as("c")), Seq("a", "c"))
+      .count()
+    val nCyclic = decided.select(col("src").as("x"), col("dst").as("y"))
+      .join(decided.select(col("src").as("y"), col("dst").as("z")), Seq("y"))
+      .join(decided.select(col("src").as("z"), col("dst").as("x")),
+        Seq("z", "x"))
+      .where(col("x") < col("y") && col("x") < col("z"))
+      .count()
+    fit.crossJoin(comparisons.sparkSession.range(1)
+      .select(lit(nDecidedTriads).as("n_decided_triads"),
+        lit(nCyclic).as("n_cyclic_triads")))
+  }
+
   def wilsonLowerBound(wins: Column, games: Column, z: Double = 1.96): Column = {
     val n = games.cast("double")
     val p = wins.cast("double") / n

@@ -92,6 +92,50 @@ class PreferenceSpec extends SparkSuite {
     assert(m("inc")._2 > 0.8 && m("inc")._2 < 0.9)
   }
 
+  test("coherenceReport: rock-paper-scissors is one cyclic triad, flat fit") {
+    // A>B, B>C, C>A (2x each): perfectly symmetric -> equal strengths,
+    // p_bt = 0.5 on every pair, observed rates 1/0 -> abs_dev = 0.5
+    val comps = (Seq.fill(2)(("A", "B")) ++ Seq.fill(2)(("B", "C")) ++
+      Seq.fill(2)(("C", "A"))).toDF("winner", "loser")
+    val rows = Preference.coherenceReport(comps, iters = 5).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p_bt") == 0.5, s"symmetric fit: $r")
+      assert(r.getAs[Double]("abs_dev") == 0.5, s"cycle cannot fit a scale: $r")
+      assert(r.getAs[Long]("n_decided_triads") == 1L, s"$r")
+      assert(r.getAs[Long]("n_cyclic_triads") == 1L, s"$r")
+    }
+  }
+
+  test("coherenceReport: transitive tournament has zero cyclic triads") {
+    val comps = Seq(("A", "B"), ("B", "C"), ("A", "C")).toDF("winner", "loser")
+    val r = Preference.coherenceReport(comps, iters = 5).collect().head
+    assert(r.getAs[Long]("n_decided_triads") == 1L)
+    assert(r.getAs[Long]("n_cyclic_triads") == 0L)
+  }
+
+  test("coherenceReport: tied pair decides no edge") {
+    // A-B tied 1:1 -> pair undecided -> no triads at all
+    val comps = Seq(("A", "B"), ("B", "A"), ("B", "C"), ("A", "C"))
+      .toDF("winner", "loser")
+    val r = Preference.coherenceReport(comps, iters = 5).collect().head
+    assert(r.getAs[Long]("n_decided_triads") == 0L,
+      s"the tied A-B edge must break every triad: $r")
+  }
+
+  test("mergeMatrices: counter addition equals the from-scratch matrix") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    def comps(df: org.apache.spark.sql.DataFrame) =
+      Preference.adjacentComparisons(
+        df, "user_id", "ts", "event_id", "event_type", "value")
+    val m1 = Preference.countMatrix(comps(ev.where($"user_id" % 2 === 0)))
+    val m2 = Preference.countMatrix(comps(ev.where($"user_id" % 2 === 1)))
+    val merged = Preference.mergeMatrices(m1, m2)
+    val full = Preference.countMatrix(comps(ev))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    assert(full.count() > 0)
+  }
+
   test("wilsonLowerBound grows with evidence at a fixed rate") {
     val lbs = Seq((9L, 10L), (90L, 100L), (900L, 1000L))
       .toDF("w", "n").orderBy($"n")
