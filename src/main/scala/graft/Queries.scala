@@ -8188,4 +8188,55 @@ object Queries {
         coalesce(col("go"), lit(0L)).as("games_odd"),
         col("games"), col("strength"))
   }
+
+  // ---------------------------------------------------------------- Q282
+  /** STREAMED preference ingestion on the lakehouse substrate — the
+    * band's serving capstone: three user-shard comparison micro-batches
+    * arrive through [[graft.streaming.Streams.streamingPreferenceIngest]]
+    * (each batch appends its own K²-bounded count-matrix DELTA,
+    * exactly-once txn ledger), the SERVE folds the appended deltas with
+    * one model-sized `groupBy sum`, and a compaction overwrite of the
+    * folded form must not change the read. In-query pins: a
+    * foreachBatch restart replay of batch 1 commits nothing; the
+    * fold-on-read equals the from-scratch count matrix BOTH WAYS; the
+    * post-compaction read stays matrix-equal; the MM fit runs on the
+    * table READ BACK after compaction (not an in-memory copy). At
+    * 100 TB: each micro-batch pays one partial agg + one K²-row append,
+    * the serve reads delta-rows-count rows, and compaction cadence is a
+    * policy knob, not a correctness event — the q143/q91 additivity
+    * discipline composed with the q262/q266 exactly-once manifest
+    * stream.
+    */
+  def q282StreamingPreference(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tp(spark, dir, "events")
+    def comps(shard: Int): DataFrame = Preference.adjacentComparisons(
+      ev.where(col("user_id") % 3 === shard),
+      "user_id", "ts", "event_id", "event_type", "value")
+    val root = java.nio.file.Files.createTempDirectory("graft_q282")
+      .resolve("t").toString
+    val sink = Streams.streamingPreferenceIngest(root, "q282_ingest") _
+    sink(comps(0), 0L)
+    sink(comps(1), 1L)
+    val vLive = ManifestTable.currentVersion(spark, root)
+    sink(comps(1), 1L) // restart replay
+    require(ManifestTable.currentVersion(spark, root) == vLive,
+      "replaying the last delta batch must not commit a new version")
+    sink(comps(2), 2L)
+    val full = Preference.countMatrix(Preference.adjacentComparisons(
+      ev, "user_id", "ts", "event_id", "event_type", "value"))
+    val nDeltaRows = ManifestTable.read(spark, root).count()
+    val folded = ManifestTable.read(spark, root)
+      .groupBy(col("winner"), col("loser")).agg(sum(col("n")).as("n"))
+      .localCheckpoint()
+    require(folded.exceptAll(full).isEmpty && full.exceptAll(folded).isEmpty,
+      "fold-on-read of the streamed deltas must equal the from-scratch matrix")
+    ManifestTable.commit(spark, root, folded) // compaction: folded snapshot
+    val compacted = ManifestTable.read(spark, root).localCheckpoint()
+    require(compacted.exceptAll(full).isEmpty && full.exceptAll(compacted).isEmpty,
+      "compaction must not change the served matrix")
+    Preference.fitFromMatrix(compacted, iters = 5)
+      .crossJoin(spark.range(1).select(
+        lit(nDeltaRows).as("n_delta_rows"),
+        lit(compacted.count()).as("n_folded_rows")))
+  }
 }

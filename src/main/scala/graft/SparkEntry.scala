@@ -318,6 +318,7 @@ object SparkEntry {
     "q279_vocab_richness" -> (Queries.q279VocabRichness _),
     "q280_preference_coherence" -> (Queries.q280PreferenceCoherence _),
     "q281_incremental_bt" -> (Queries.q281IncrementalBt _),
+    "q282_streaming_preference" -> (Queries.q282StreamingPreference _),
     "q261_vocab_width" -> (Queries.q261VocabWidth _),
     "q261b_vocab_width_model" -> (Queries.q261bVocabWidthModel _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
@@ -3242,6 +3243,25 @@ object SparkEntry {
       |               / CAST(agg.n_incidences AS DOUBLE), 6) AS coverage
       |FROM agg CROSS JOIN nd""".stripMargin
 
+  /** q282: the fit over the folded streamed deltas (== the from-scratch
+    * chain by the in-query additivity REQUIREs) plus the delta/folded
+    * row accounting from the three user-shard comparison logs.
+    */
+  private def streamingPreferenceOracle: String =
+    s"""WITH $btChainCtes,
+       |${comparisonCtesNamed("_s0", " WHERE user_id % 3 = 0")},
+       |${comparisonCtesNamed("_s1", " WHERE user_id % 3 = 1")},
+       |${comparisonCtesNamed("_s2", " WHERE user_id % 3 = 2")},
+       |d0 AS (SELECT count(*) AS c FROM (SELECT DISTINCT winner, loser FROM comp_s0)),
+       |d1 AS (SELECT count(*) AS c FROM (SELECT DISTINCT winner, loser FROM comp_s1)),
+       |d2 AS (SELECT count(*) AS c FROM (SELECT DISTINCT winner, loser FROM comp_s2)),
+       |nf AS (SELECT count(*) AS n_folded_rows FROM dp)
+       |SELECT w.item, w.wins, g.games, $btStrengthExpr AS strength,
+       |       d0.c + d1.c + d2.c AS n_delta_rows, nf.n_folded_rows
+       |FROM w JOIN p5 ON p5.item = w.item JOIN g ON g.item = w.item
+       |CROSS JOIN tot CROSS JOIN d0 CROSS JOIN d1 CROSS JOIN d2
+       |CROSS JOIN nf""".stripMargin
+
   /** Spliced-literal oracles are valid only after their query trained
     * its state in THIS process (graft.Verify dumps oracleSql AFTER the
     * queries run, so a full gate always passes every guard). On a
@@ -4120,6 +4140,9 @@ object SparkEntry {
     "q280_preference_coherence" -> preferenceCoherenceOracle,
     // counter-additive shard merge == from-scratch matrix; refit + shards
     "q281_incremental_bt" -> incrementalBtOracle,
+    // streamed delta appends, fold-on-read, compaction read-equal, fit
+    // from the read-back table
+    "q282_streaming_preference" -> streamingPreferenceOracle,
     // multi-round prune training on the NATURAL corpus at its supported
     // width, kept-mass floor per round
     "q275_natural_vocab_rounds" -> vocabAuditRoundsOracle(

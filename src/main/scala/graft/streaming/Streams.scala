@@ -494,6 +494,28 @@ object Streams {
       batchId)
   }
 
+  /** PREFERENCE-DELTA sink — pass to `foreachBatch`: each micro-batch
+    * of (winner, loser) comparisons collapses to its own count-matrix
+    * DELTA (one partial agg, K²-bounded rows) and APPENDS it to a
+    * manifest table, stamped `txn = (queryName, batchId)` so a restart
+    * replay is a no-op — the exactly-once contract of
+    * [[graft.operators.ManifestTable.streamInto]] on the counter-delta
+    * path. Counters are additive ([[graft.operators.Preference
+    * .mergeMatrices]]), so the SERVE folds the appended deltas with one
+    * model-sized `groupBy sum` at read time and a compaction rewrite of
+    * the folded form is read-equal by construction — the count-min /
+    * incremental-agg maintenance shape (q143/q91) for preference data:
+    * the comparison log is never rescanned, each micro-batch pays one
+    * K²-bounded append.
+    */
+  def streamingPreferenceIngest(tableRoot: String, queryName: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    graft.operators.ManifestTable.streamInto(tableRoot, queryName)(
+      batch.groupBy(col("winner"), col("loser")).agg(count(lit(1)).as("n")),
+      batchId)
+  }
+
   /** SPARSE merge-on-read UPDATE sink — pass to `foreachBatch`: each
     * micro-batch of key-unique changelog rows applies as ONE
     * [[graft.operators.ManifestTable.updateKeysMor]] commit (replacement

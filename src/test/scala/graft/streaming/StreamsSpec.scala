@@ -1075,4 +1075,39 @@ class StreamsSpec extends SparkSuite {
     assert(ManifestTable.read(spark, root).orderBy("id").collect().toSeq == got,
       "maintenance must not change the read")
   }
+
+  test("streamingPreferenceIngest: fold-on-read == batch matrix; replay is a no-op") {
+    import graft.operators.{ManifestTable, Preference}
+    val in = tmpDir("pref-stream")
+    // two micro-batches of (winner, loser) comparisons, one file each
+    Seq(("A", "B"), ("A", "B"), ("B", "C"))
+      .toDF("winner", "loser").coalesce(1).write.mode("append").parquet(in)
+    Seq(("A", "B"), ("C", "A"))
+      .toDF("winner", "loser").coalesce(1).write.mode("append").parquet(in)
+    val root = tmpDir("pref-table") + "/t"
+    val schema = spark.read.parquet(in).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream.outputMode("append")
+      .foreachBatch(Streams.streamingPreferenceIngest(root, "pref_test") _)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val folded = ManifestTable.read(spark, root)
+      .groupBy($"winner", $"loser").agg(sum($"n").as("n"))
+    val batch = Preference.countMatrix(
+      spark.read.parquet(in).select($"winner", $"loser"))
+    assert(folded.exceptAll(batch).isEmpty && batch.exceptAll(folded).isEmpty,
+      "streamed delta fold must equal the batch count matrix")
+    // restart replay of the last micro-batch: txn ledger makes it a no-op
+    val v = ManifestTable.currentVersion(spark, root)
+    Streams.streamingPreferenceIngest(root, "pref_test")(
+      Seq(("A", "B"), ("C", "A")).toDF("winner", "loser"), 1L)
+    assert(ManifestTable.currentVersion(spark, root) == v,
+      "replaying a committed batch id must not commit")
+    // the fit over the folded table matches the direct fit
+    val viaTable = Preference.fitFromMatrix(folded).collect().toSet
+    val direct = Preference.btStrengths(
+      spark.read.parquet(in).select($"winner", $"loser")).collect().toSet
+    assert(viaTable == direct)
+  }
 }
