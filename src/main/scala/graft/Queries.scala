@@ -8239,4 +8239,45 @@ object Queries {
         lit(nDeltaRows).as("n_delta_rows"),
         lit(compacted.count()).as("n_folded_rows")))
   }
+
+  /** q283/q284's paired eval fixture: per document, the metric delta
+    * between two filters against the gold language label — q142's
+    * hashed classifier (rater A) vs the q147 length gate (rater B),
+    * `d = (A correct) − (B correct) ∈ {−1, 0, 1}`.
+    */
+  private def evalDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val scored = DataSelection.hashedLinearScore(docs, "doc_id", "text",
+      buckets = 64)
+    docs.select(col("doc_id"), (col("lang") === "en").as("g"))
+      .join(scored.select(col("doc_id"), col("label").as("la"),
+        (col("n_tokens") >= 60).as("lb")), Seq("doc_id"))
+      .select(col("doc_id"),
+        (when(col("la") === col("g"), 1L).otherwise(0L) -
+          when(col("lb") === col("g"), 1L).otherwise(0L)).as("d"))
+  }
+
+  // ---------------------------------------------------------------- Q283
+  /** Paired bootstrap for "is filter A actually better than filter B"
+    * ([[graft.operators.Significance.pairedBootstrap]]): percentile CI
+    * on the mean per-document accuracy delta plus the bootstrap
+    * probability the delta is ≤ 0, from 200 DETERMINISTIC resamples
+    * (the LCG index stream — no engine RNG, so both engines and every
+    * rerun draw the same replicates). The statistical-rigor step the
+    * eval battery (q174/q181/q188) hands its point estimates to.
+    */
+  def q283PairedBootstrap(spark: SparkSession, dir: String): DataFrame =
+    Significance.pairedBootstrap(evalDeltas(spark, dir), "doc_id", "d",
+      nBoot = 200)
+
+  // ---------------------------------------------------------------- Q284
+  /** Sign-flip permutation test on the same paired deltas
+    * ([[graft.operators.Significance.signFlipTest]]): exact-integer
+    * null distribution |Σ ±dᵢ| over 200 deterministic flips, add-one
+    * p-value — the assumption-free companion to q283 (exchangeable
+    * signs under H₀ is the only premise; no CI shape is assumed).
+    */
+  def q284SignFlip(spark: SparkSession, dir: String): DataFrame =
+    Significance.signFlipTest(evalDeltas(spark, dir), "doc_id", "d",
+      nPerm = 200)
 }

@@ -319,6 +319,8 @@ object SparkEntry {
     "q280_preference_coherence" -> (Queries.q280PreferenceCoherence _),
     "q281_incremental_bt" -> (Queries.q281IncrementalBt _),
     "q282_streaming_preference" -> (Queries.q282StreamingPreference _),
+    "q283_paired_bootstrap" -> (Queries.q283PairedBootstrap _),
+    "q284_sign_flip" -> (Queries.q284SignFlip _),
     "q261_vocab_width" -> (Queries.q261VocabWidth _),
     "q261b_vocab_width_model" -> (Queries.q261bVocabWidthModel _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
@@ -3262,6 +3264,77 @@ object SparkEntry {
        |CROSS JOIN tot CROSS JOIN d0 CROSS JOIN d1 CROSS JOIN d2
        |CROSS JOIN nf""".stripMargin
 
+  /** q283/q284's shared replay prefix: the q142/q147 labelers, gold
+    * language, per-doc deltas, the rank axis, and the (n, Σd) scalars.
+    */
+  private val evalDeltaCtes: String =
+    """h AS (
+      |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         list_transform(string_split(text, ' '), t ->
+      |           list_reduce(
+      |             list_prepend(CAST(0 AS BIGINT),
+      |               list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |             (a, x) -> (a * 131 + x) % 281474976710656)) AS hs
+      |  FROM documents),
+      |sc AS (SELECT doc_id, lang, n_tokens,
+      |        CAST(coalesce(list_sum(list_transform(hs, hv ->
+      |          ((hv % 64) * 2654435761) % 1997 - 998)), 0) AS BIGINT) AS score_int
+      |       FROM h),
+      |dd AS (SELECT doc_id,
+      |         CAST((CASE WHEN (score_int > 0) = (lang = 'en') THEN 1 ELSE 0 END)
+      |       - (CASE WHEN (n_tokens >= 60) = (lang = 'en') THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |       FROM sc),
+      |rk AS (SELECT doc_id, d,
+      |         CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1 AS rn
+      |       FROM dd),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS obs
+      |       FROM rk)""".stripMargin
+
+  /** q283: 200 deterministic LCG resamples, replicate means captured
+    * DECIMAL(20,10), nearest-rank CI order statistics, captured
+    * divisions for the point estimate and p.
+    */
+  private def pairedBootstrapOracle: String =
+    s"""WITH $evalDeltaCtes,
+       |draws AS (
+       |  SELECT bb.b,
+       |         (((bb.b * nn.n + rk.rn + 1) * 1103515245 + 12345) % 2147483647) % nn.n AS rn
+       |  FROM (SELECT CAST(unnest(generate_series(0, 199)) AS BIGINT) AS b) bb
+       |  CROSS JOIN nn CROSS JOIN (SELECT rn FROM rk) rk),
+       |ms AS (
+       |  SELECT dr.b,
+       |         CAST(CAST(CAST(sum(rk.d) AS BIGINT) AS DOUBLE)
+       |             / CAST(nn.n AS DOUBLE) AS DECIMAL(20,10)) AS m
+       |  FROM draws dr JOIN rk ON rk.rn = dr.rn CROSS JOIN nn
+       |  GROUP BY dr.b, nn.n),
+       |rms AS (SELECT m, b, row_number() OVER (ORDER BY m, b) AS r FROM ms),
+       |lo AS (SELECT CAST(m AS DOUBLE) AS ci_lo FROM rms WHERE r = 5),
+       |hi AS (SELECT CAST(m AS DOUBLE) AS ci_hi FROM rms WHERE r = 195),
+       |pp AS (SELECT count(*) AS c FROM ms WHERE m <= 0)
+       |SELECT nn.n AS n_items, 200 AS n_boot,
+       |       CAST(CAST(CAST(nn.obs AS DOUBLE) / CAST(nn.n AS DOUBLE)
+       |         AS DECIMAL(18,6)) AS DOUBLE) AS mean_delta,
+       |       lo.ci_lo, hi.ci_hi,
+       |       CAST(CAST(CAST(pp.c AS DOUBLE) / CAST(200 AS DOUBLE)
+       |         AS DECIMAL(18,6)) AS DOUBLE) AS p_leq_zero
+       |FROM nn CROSS JOIN lo CROSS JOIN hi CROSS JOIN pp""".stripMargin
+
+  /** q284: exact-integer sign-flip null, add-one p. */
+  private def signFlipOracle: String =
+    s"""WITH $evalDeltaCtes,
+       |fs AS (
+       |  SELECT bb.b,
+       |         CAST(sum((1 - 2 * ((((bb.b * nn.n + rk.rn + 1) * 1103515245 + 12345)
+       |             % 2147483647) % 2)) * rk.d) AS BIGINT) AS s
+       |  FROM (SELECT CAST(unnest(generate_series(0, 199)) AS BIGINT) AS b) bb
+       |  CROSS JOIN rk CROSS JOIN nn
+       |  GROUP BY bb.b),
+       |ge AS (SELECT count(*) AS c FROM fs CROSS JOIN nn WHERE abs(fs.s) >= abs(nn.obs))
+       |SELECT nn.n AS n_items, 200 AS n_perm, nn.obs AS sum_delta,
+       |       CAST(CAST(CAST(1 + ge.c AS DOUBLE) / CAST(201 AS DOUBLE)
+       |         AS DECIMAL(18,6)) AS DOUBLE) AS p_value
+       |FROM nn CROSS JOIN ge""".stripMargin
+
   /** Spliced-literal oracles are valid only after their query trained
     * its state in THIS process (graft.Verify dumps oracleSql AFTER the
     * queries run, so a full gate always passes every guard). On a
@@ -4143,6 +4216,10 @@ object SparkEntry {
     // streamed delta appends, fold-on-read, compaction read-equal, fit
     // from the read-back table
     "q282_streaming_preference" -> streamingPreferenceOracle,
+    // 200 deterministic LCG resamples, nearest-rank CI, captured p
+    "q283_paired_bootstrap" -> pairedBootstrapOracle,
+    // exact-integer sign-flip null distribution, add-one p
+    "q284_sign_flip" -> signFlipOracle,
     // multi-round prune training on the NATURAL corpus at its supported
     // width, kept-mass floor per round
     "q275_natural_vocab_rounds" -> vocabAuditRoundsOracle(
