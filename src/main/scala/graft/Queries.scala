@@ -8280,4 +8280,39 @@ object Queries {
   def q284SignFlip(spark: SparkSession, dir: String): DataFrame =
     Significance.signFlipTest(evalDeltas(spark, dir), "doc_id", "d",
       nPerm = 200)
+
+  // ---------------------------------------------------------------- Q285
+  /** PROMOTION GATE — the preference and significance bands composed
+    * into the deployment decision: fit BT strengths over the whole
+    * comparison log (q276), take the top-2 items, reduce their
+    * head-to-head duels to PER-USER net deltas (the pairing unit), and
+    * gate the promotion on BOTH the q283 bootstrap CI clearing zero
+    * AND the q284 sign-flip p < 0.05 — computed as plan columns, so
+    * the decision itself is oracle-pinned, not a driver judgment call.
+    * One row: the contender pair, the evidence, and the boolean. At
+    * 100 TB the corpus-sized work is the one comparison window + count
+    * matrix; the user-delta table is bounded by the active-user count
+    * of the top pair.
+    */
+  def q285PromotionGate(spark: SparkSession, dir: String): DataFrame = {
+    val comps = Preference.adjacentComparisons(tp(spark, dir, "events"),
+      "user_id", "ts", "event_id", "event_type", "value")
+      .localCheckpoint()
+    val st = Preference.btStrengths(comps, iters = 5)
+    val top2 = st.orderBy(col("strength").desc, col("item"))
+      .limit(2).select(col("item")).collect().map(_.getString(0))
+    val (a, b) = (top2(0), top2(1))
+    val ud = comps
+      .where((col("winner") === a && col("loser") === b) ||
+        (col("winner") === b && col("loser") === a))
+      .groupBy(col("user"))
+      .agg(sum(when(col("winner") === a, 1L).otherwise(-1L)).as("d"))
+    val boot = Significance.pairedBootstrap(ud, "user", "d", nBoot = 200)
+    val flip = Significance.signFlipTest(ud, "user", "d", nPerm = 200)
+    boot.crossJoin(flip.select(col("sum_delta"), col("p_value")))
+      .select(lit(a).as("item_a"), lit(b).as("item_b"),
+        col("n_items").as("n_users"), col("sum_delta"), col("mean_delta"),
+        col("ci_lo"), col("ci_hi"), col("p_value"), col("p_leq_zero"),
+        (col("ci_lo") > lit(0.0) && col("p_value") < lit(0.05)).as("promote"))
+  }
 }

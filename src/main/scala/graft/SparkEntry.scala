@@ -321,6 +321,7 @@ object SparkEntry {
     "q282_streaming_preference" -> (Queries.q282StreamingPreference _),
     "q283_paired_bootstrap" -> (Queries.q283PairedBootstrap _),
     "q284_sign_flip" -> (Queries.q284SignFlip _),
+    "q285_promotion_gate" -> (Queries.q285PromotionGate _),
     "q261_vocab_width" -> (Queries.q261VocabWidth _),
     "q261b_vocab_width_model" -> (Queries.q261bVocabWidthModel _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
@@ -2992,12 +2993,13 @@ object SparkEntry {
     */
   private def comparisonCtesNamed(suffix: String, where: String): String =
     s"""ord$suffix AS (
-       |  SELECT event_type AS item, value AS v,
+       |  SELECT user_id, event_type AS item, value AS v,
        |         lead(event_type) OVER w AS nt, lead(value) OVER w AS nv
        |  FROM events$where
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-       |comp$suffix AS (
-       |  SELECT CASE WHEN v > nv THEN item
+       |comp$suffix AS MATERIALIZED (
+       |  SELECT user_id,
+       |         CASE WHEN v > nv THEN item
        |              WHEN nv > v THEN nt
        |              WHEN item < nt THEN item ELSE nt END AS winner,
        |         CASE WHEN v > nv THEN nt
@@ -3007,18 +3009,20 @@ object SparkEntry {
 
   private val comparisonCtes: String = comparisonCtesNamed("", "")
 
-  /** Bradley–Terry MM replay: the (winner, loser) count matrix, then 5
-    * chained iterations with the engine's exact arithmetic — per-term
-    * division of identical operand doubles captured to DECIMAL(25,10),
-    * exact decimal sums, one captured division per item per iteration.
-    */
   /** The full MM chain (count matrix -> 5 iterations -> normalizer) as
-    * shared CTEs — q276 selects from it directly, q280/q281 extend it.
+    * shared CTEs — q276 selects from it directly, q280/q281/q282/q285
+    * extend it. Multiply-referenced CTEs are MATERIALIZED: DuckDB
+    * inlines CTEs per reference by default, and each iteration
+    * references its predecessor twice, so an un-materialized chain
+    * re-expands exponentially once a consumer (q285) adds more
+    * reference paths. Per-term division of identical operand doubles
+    * captured to DECIMAL(25,10), exact decimal sums, one captured
+    * division per item per iteration.
     */
   private def btChainCtes: String = {
     val iters = (1 to 5).map { k =>
       val prev = s"p${k - 1}"
-      s"""p$k AS (
+      s"""p$k AS MATERIALIZED (
          |  SELECT w.item,
          |         CAST(CAST(w.wins AS DOUBLE) / CAST(sum(CAST(CAST(g2.n AS DOUBLE)
          |             / CAST(pi_i.pi + pi_j.pi AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE)
@@ -3029,20 +3033,20 @@ object SparkEntry {
          |  GROUP BY w.item, w.wins)""".stripMargin
     }.mkString(",\n")
     s"""$comparisonCtes,
-       |dp AS (SELECT winner, loser, count(*) AS n FROM comp GROUP BY 1, 2),
+       |dp AS MATERIALIZED (SELECT winner, loser, count(*) AS n FROM comp GROUP BY 1, 2),
        |wins0 AS (SELECT winner AS item, CAST(sum(n) AS BIGINT) AS wins
        |          FROM dp GROUP BY 1),
-       |g2 AS (
+       |g2 AS MATERIALIZED (
        |  SELECT i, j, CAST(sum(n) AS BIGINT) AS n FROM (
        |    SELECT winner AS i, loser AS j, n FROM dp
        |    UNION ALL SELECT loser, winner, n FROM dp) GROUP BY 1, 2),
        |items AS (SELECT DISTINCT i AS item FROM g2),
-       |w AS (SELECT items.item, coalesce(wins0.wins, 0) AS wins
+       |w AS MATERIALIZED (SELECT items.item, coalesce(wins0.wins, 0) AS wins
        |      FROM items LEFT JOIN wins0 ON wins0.item = items.item),
        |g AS (SELECT i AS item, CAST(sum(n) AS BIGINT) AS games FROM g2 GROUP BY 1),
-       |p0 AS (SELECT item, CAST(1 AS DECIMAL(20,10)) AS pi FROM w),
+       |p0 AS MATERIALIZED (SELECT item, CAST(1 AS DECIMAL(20,10)) AS pi FROM w),
        |$iters,
-       |tot AS (SELECT sum(pi) AS pi_sum FROM p5)""".stripMargin
+       |tot AS MATERIALIZED (SELECT sum(pi) AS pi_sum FROM p5)""".stripMargin
   }
 
   private val btStrengthExpr: String =
@@ -3060,9 +3064,9 @@ object SparkEntry {
     */
   private def preferenceCoherenceOracle: String =
     s"""WITH $btChainCtes,
-       |st AS (SELECT w.item, $btStrengthExpr AS strength
+       |st AS MATERIALIZED (SELECT w.item, $btStrengthExpr AS strength
        |       FROM w JOIN p5 ON p5.item = w.item CROSS JOIN tot),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT least(winner, loser) AS item_a, greatest(winner, loser) AS item_b,
        |         CAST(sum(CASE WHEN winner < loser THEN n ELSE 0 END) AS BIGINT) AS wins_a,
        |         CAST(sum(CASE WHEN winner > loser THEN n ELSE 0 END) AS BIGINT) AS wins_b
@@ -3075,7 +3079,7 @@ object SparkEntry {
        |  FROM pairs p JOIN st sa ON sa.item = p.item_a
        |  JOIN st sb ON sb.item = p.item_b),
        |fit2 AS (SELECT *, round(abs(p_obs - p_bt), 6) AS abs_dev FROM fit),
-       |decided AS (
+       |decided AS MATERIALIZED (
        |  SELECT item_a AS pa, item_b AS pb,
        |         CASE WHEN wins_a > wins_b THEN item_a ELSE item_b END AS src,
        |         CASE WHEN wins_a > wins_b THEN item_b ELSE item_a END AS dst
@@ -3284,11 +3288,48 @@ object SparkEntry {
       |         CAST((CASE WHEN (score_int > 0) = (lang = 'en') THEN 1 ELSE 0 END)
       |       - (CASE WHEN (n_tokens >= 60) = (lang = 'en') THEN 1 ELSE 0 END) AS BIGINT) AS d
       |       FROM sc),
-      |rk AS (SELECT doc_id, d,
+      |rk AS MATERIALIZED (SELECT doc_id, d,
       |         CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1 AS rn
       |       FROM dd),
-      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS obs
+      |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS obs
       |       FROM rk)""".stripMargin
+
+  /** The bootstrap replay over a (rn, d) rank table `rk` with scalars
+    * `nn`(n, obs): LCG draws, DECIMAL(20,10) replicate means,
+    * nearest-rank CI ranks, P(m <= 0) count. Emits CTEs
+    * draws/ms/rms/lo/hi/pp.
+    */
+  private def bootstrapReplayCtes(rk: String, nn: String, b: Int): String = {
+    val loRank = math.ceil(0.025 * b).toInt
+    val hiRank = math.ceil(0.975 * b).toInt
+    s"""draws AS MATERIALIZED (
+       |  SELECT bb.b,
+       |         (((bb.b * $nn.n + $rk.rn + 1) * 1103515245 + 12345) % 2147483647) % $nn.n AS rn
+       |  FROM (SELECT CAST(unnest(generate_series(0, ${b - 1})) AS BIGINT) AS b) bb
+       |  CROSS JOIN $nn CROSS JOIN (SELECT rn FROM $rk) $rk),
+       |ms AS MATERIALIZED (
+       |  SELECT dr.b,
+       |         CAST(CAST(CAST(sum($rk.d) AS BIGINT) AS DOUBLE)
+       |             / CAST($nn.n AS DOUBLE) AS DECIMAL(20,10)) AS m
+       |  FROM draws dr JOIN $rk ON $rk.rn = dr.rn CROSS JOIN $nn
+       |  GROUP BY dr.b, $nn.n),
+       |rms AS MATERIALIZED (SELECT m, b, row_number() OVER (ORDER BY m, b) AS r FROM ms),
+       |lo AS (SELECT CAST(m AS DOUBLE) AS ci_lo FROM rms WHERE r = $loRank),
+       |hi AS (SELECT CAST(m AS DOUBLE) AS ci_hi FROM rms WHERE r = $hiRank),
+       |pp AS (SELECT count(*) AS c FROM ms WHERE m <= 0)""".stripMargin
+  }
+
+  /** The sign-flip replay over the same shape: CTEs fs/ge. */
+  private def signFlipReplayCtes(rk: String, nn: String, b: Int): String =
+    s"""fs AS MATERIALIZED (
+       |  SELECT bb.b,
+       |         CAST(sum((1 - 2 * ((((bb.b * $nn.n + $rk.rn + 1) * 1103515245 + 12345)
+       |             % 2147483647) % 2)) * $rk.d) AS BIGINT) AS s
+       |  FROM (SELECT CAST(unnest(generate_series(0, ${b - 1})) AS BIGINT) AS b) bb
+       |  CROSS JOIN $rk CROSS JOIN $nn
+       |  GROUP BY bb.b),
+       |ge AS (SELECT count(*) AS c FROM fs CROSS JOIN $nn
+       |       WHERE abs(fs.s) >= abs($nn.obs))""".stripMargin
 
   /** q283: 200 deterministic LCG resamples, replicate means captured
     * DECIMAL(20,10), nearest-rank CI order statistics, captured
@@ -3296,21 +3337,7 @@ object SparkEntry {
     */
   private def pairedBootstrapOracle: String =
     s"""WITH $evalDeltaCtes,
-       |draws AS (
-       |  SELECT bb.b,
-       |         (((bb.b * nn.n + rk.rn + 1) * 1103515245 + 12345) % 2147483647) % nn.n AS rn
-       |  FROM (SELECT CAST(unnest(generate_series(0, 199)) AS BIGINT) AS b) bb
-       |  CROSS JOIN nn CROSS JOIN (SELECT rn FROM rk) rk),
-       |ms AS (
-       |  SELECT dr.b,
-       |         CAST(CAST(CAST(sum(rk.d) AS BIGINT) AS DOUBLE)
-       |             / CAST(nn.n AS DOUBLE) AS DECIMAL(20,10)) AS m
-       |  FROM draws dr JOIN rk ON rk.rn = dr.rn CROSS JOIN nn
-       |  GROUP BY dr.b, nn.n),
-       |rms AS (SELECT m, b, row_number() OVER (ORDER BY m, b) AS r FROM ms),
-       |lo AS (SELECT CAST(m AS DOUBLE) AS ci_lo FROM rms WHERE r = 5),
-       |hi AS (SELECT CAST(m AS DOUBLE) AS ci_hi FROM rms WHERE r = 195),
-       |pp AS (SELECT count(*) AS c FROM ms WHERE m <= 0)
+       |${bootstrapReplayCtes("rk", "nn", 200)}
        |SELECT nn.n AS n_items, 200 AS n_boot,
        |       CAST(CAST(CAST(nn.obs AS DOUBLE) / CAST(nn.n AS DOUBLE)
        |         AS DECIMAL(18,6)) AS DOUBLE) AS mean_delta,
@@ -3322,18 +3349,49 @@ object SparkEntry {
   /** q284: exact-integer sign-flip null, add-one p. */
   private def signFlipOracle: String =
     s"""WITH $evalDeltaCtes,
-       |fs AS (
-       |  SELECT bb.b,
-       |         CAST(sum((1 - 2 * ((((bb.b * nn.n + rk.rn + 1) * 1103515245 + 12345)
-       |             % 2147483647) % 2)) * rk.d) AS BIGINT) AS s
-       |  FROM (SELECT CAST(unnest(generate_series(0, 199)) AS BIGINT) AS b) bb
-       |  CROSS JOIN rk CROSS JOIN nn
-       |  GROUP BY bb.b),
-       |ge AS (SELECT count(*) AS c FROM fs CROSS JOIN nn WHERE abs(fs.s) >= abs(nn.obs))
+       |${signFlipReplayCtes("rk", "nn", 200)}
        |SELECT nn.n AS n_items, 200 AS n_perm, nn.obs AS sum_delta,
        |       CAST(CAST(CAST(1 + ge.c AS DOUBLE) / CAST(201 AS DOUBLE)
        |         AS DECIMAL(18,6)) AS DOUBLE) AS p_value
        |FROM nn CROSS JOIN ge""".stripMargin
+
+  /** q285: BT top-2 -> per-user head-to-head deltas -> bootstrap CI +
+    * sign-flip p -> the promote boolean, all in one replay.
+    */
+  private def promotionGateOracle: String =
+    s"""WITH $btChainCtes,
+       |st AS MATERIALIZED (SELECT w.item, $btStrengthExpr AS strength
+       |       FROM w JOIN p5 ON p5.item = w.item CROSS JOIN tot),
+       |top2 AS MATERIALIZED (SELECT item, row_number() OVER (ORDER BY strength DESC, item) AS r
+       |         FROM st),
+       |pa AS (SELECT item AS a FROM top2 WHERE r = 1),
+       |pb AS (SELECT item AS b FROM top2 WHERE r = 2),
+       |ud AS MATERIALIZED (
+       |  SELECT user_id,
+       |         CAST(sum(CASE WHEN winner = pa.a THEN 1 ELSE -1 END) AS BIGINT) AS d
+       |  FROM comp CROSS JOIN pa CROSS JOIN pb
+       |  WHERE (winner = pa.a AND loser = pb.b) OR (winner = pb.b AND loser = pa.a)
+       |  GROUP BY user_id),
+       |rk2 AS MATERIALIZED (SELECT user_id, d,
+       |          CAST(row_number() OVER (ORDER BY user_id) AS BIGINT) - 1 AS rn
+       |        FROM ud),
+       |nn2 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS obs
+       |        FROM rk2),
+       |${bootstrapReplayCtes("rk2", "nn2", 200)},
+       |${signFlipReplayCtes("rk2", "nn2", 200)}
+       |SELECT pa.a AS item_a, pb.b AS item_b, nn2.n AS n_users, nn2.obs AS sum_delta,
+       |       CAST(CAST(CAST(nn2.obs AS DOUBLE) / CAST(nn2.n AS DOUBLE)
+       |         AS DECIMAL(18,6)) AS DOUBLE) AS mean_delta,
+       |       lo.ci_lo, hi.ci_hi,
+       |       CAST(CAST(CAST(1 + ge.c AS DOUBLE) / CAST(201 AS DOUBLE)
+       |         AS DECIMAL(18,6)) AS DOUBLE) AS p_value,
+       |       CAST(CAST(CAST(pp.c AS DOUBLE) / CAST(200 AS DOUBLE)
+       |         AS DECIMAL(18,6)) AS DOUBLE) AS p_leq_zero,
+       |       (lo.ci_lo > 0.0 AND
+       |         CAST(CAST(CAST(1 + ge.c AS DOUBLE) / CAST(201 AS DOUBLE)
+       |           AS DECIMAL(18,6)) AS DOUBLE) < 0.05) AS promote
+       |FROM pa CROSS JOIN pb CROSS JOIN nn2 CROSS JOIN lo CROSS JOIN hi
+       |CROSS JOIN pp CROSS JOIN ge""".stripMargin
 
   /** Spliced-literal oracles are valid only after their query trained
     * its state in THIS process (graft.Verify dumps oracleSql AFTER the
@@ -4220,6 +4278,8 @@ object SparkEntry {
     "q283_paired_bootstrap" -> pairedBootstrapOracle,
     // exact-integer sign-flip null distribution, add-one p
     "q284_sign_flip" -> signFlipOracle,
+    // BT top-2 -> per-user deltas -> CI + p -> the promote boolean
+    "q285_promotion_gate" -> promotionGateOracle,
     // multi-round prune training on the NATURAL corpus at its supported
     // width, kept-mass floor per round
     "q275_natural_vocab_rounds" -> vocabAuditRoundsOracle(
@@ -8438,7 +8498,7 @@ object SparkEntry {
         |  FROM (SELECT f.id, sum(f.x * CAST(w1.w AS DECIMAL(18,6))) AS pred
         |        FROM f JOIN w1 ON w1.bucket = f.bucket GROUP BY 1) p
         |  JOIN lab ON lab.id = p.id),
-        |g2 AS (
+        |g2 AS MATERIALIZED (
         |  SELECT f.bucket, CAST(sum(r2.r * f.x) AS DECIMAL(38,6)) AS gs
         |  FROM f JOIN r2 ON r2.id = f.id GROUP BY 1),
         |w2 AS (

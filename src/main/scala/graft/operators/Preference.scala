@@ -45,7 +45,9 @@ object Preference {
     * order by (`tsCol`, `idCol`) and duel each event against its
     * successor — higher `valueCol` wins, value ties go to the
     * lexicographically smaller item, same-item pairs are dropped.
-    * Output: (winner, loser), one row per decided duel.
+    * Output: (user, winner, loser), one row per decided duel — the
+    * user column is the PAIRING unit downstream per-user tests
+    * (q285's promotion gate) group on.
     *
     * Scale shape: one window sort per user partition (the q29
     * sessionize shuffle), then map-side arithmetic — no further
@@ -61,6 +63,7 @@ object Preference {
       .withColumn("nxt_v", lead(col("v"), 1).over(w))
       .where(col("nxt_item").isNotNull && col("item") =!= col("nxt_item"))
       .select(
+        col(userCol).as("user"),
         when(col("v") > col("nxt_v"), col("item"))
           .when(col("nxt_v") > col("v"), col("nxt_item"))
           .when(col("item") < col("nxt_item"), col("item"))

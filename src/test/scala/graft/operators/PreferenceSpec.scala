@@ -22,6 +22,7 @@ class PreferenceSpec extends SparkSuite {
         $"event_id", $"item", $"v")
     val comps = Preference.adjacentComparisons(
       ev, "user_id", "ts", "event_id", "item", "v")
+      .select($"winner", $"loser")
       .as[(String, String)].collect().toSeq.sorted
     assert(comps == Seq(("A", "B"), ("A", "B"), ("A", "C")))
   }
