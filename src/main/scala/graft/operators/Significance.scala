@@ -38,6 +38,18 @@ object Significance {
   private def scramble(x: Column): Column =
     (x * lit(1103515245L) + lit(12345L)) % lit(2147483647L)
 
+  /** Dense 0-based rank by the unique `idCol` — the resample axis.
+    * Range-partitioned prefix sum ([[TrainingPrep.globalPrefixSum]]),
+    * never a single-task global window: rank assignment stays
+    * distributed even when an "eval set" is corpus-sized. The oracles
+    * replay it as a plain `row_number` — same values by uniqueness of
+    * the order key.
+    */
+  private def rankByKey(df: DataFrame): DataFrame =
+    TrainingPrep.globalPrefixSum(
+      df.withColumn("__one", lit(1L)), "id", "__one", "__cum")
+      .select(col("id"), col("d"), (col("__cum") - 1L).as("rn"))
+
   /** Percentile-bootstrap report for the mean per-item delta. `items`
     * must carry a UNIQUE `idCol` (the resample rank order) and an
     * integer `deltaCol` (e.g. `a_correct − b_correct` ∈ {−1,0,1}).
@@ -59,10 +71,7 @@ object Significance {
     val spark = items.sparkSession
     val base = items.select(col(idCol).as("id"),
       col(deltaCol).cast("long").as("d"))
-    // eval-set-sized single sort — bounded by contract (see scaladoc)
-    val ranked = base.withColumn("rn",
-      row_number().over(Window.orderBy(col("id"))).cast("long") - 1L)
-      .localCheckpoint()
+    val ranked = rankByKey(base).localCheckpoint()
     val n = ranked.count()
     require(n > 0, "empty eval set")
     val obs = ranked.agg(sum(col("d"))).head().getLong(0)
@@ -106,9 +115,7 @@ object Significance {
     val spark = items.sparkSession
     val base = items.select(col(idCol).as("id"),
       col(deltaCol).cast("long").as("d"))
-    val ranked = base.withColumn("rn",
-      row_number().over(Window.orderBy(col("id"))).cast("long") - 1L)
-      .localCheckpoint()
+    val ranked = rankByKey(base).localCheckpoint()
     val n = ranked.count()
     require(n > 0, "empty eval set")
     val obs = ranked.agg(sum(col("d"))).head().getLong(0)
