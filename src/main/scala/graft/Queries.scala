@@ -8088,8 +8088,10 @@ object Queries {
     * window over the K-item table only.
     */
   def q277WilsonWinrate(spark: SparkSession, dir: String): DataFrame = {
+    // pinned: both the wins agg and the games explode consume it
     val comps = Preference.adjacentComparisons(tp(spark, dir, "events"),
       "user_id", "ts", "event_id", "event_type", "value")
+      .localCheckpoint()
     val wins = comps.groupBy(col("winner").as("item"))
       .agg(count(lit(1)).as("wins"))
     val games = comps
@@ -8301,12 +8303,18 @@ object Queries {
     val st = Preference.btStrengths(comps, iters = 5)
     val top2 = st.orderBy(col("strength").desc, col("item"))
       .limit(2).select(col("item")).collect().map(_.getString(0))
+    require(top2.length == 2,
+      s"promotion gate needs >= 2 compared items, found ${top2.length}")
     val (a, b) = (top2(0), top2(1))
     val ud = comps
       .where((col("winner") === a && col("loser") === b) ||
         (col("winner") === b && col("loser") === a))
       .groupBy(col("user"))
       .agg(sum(when(col("winner") === a, 1L).otherwise(-1L)).as("d"))
+      .localCheckpoint()
+    require(ud.count() > 0,
+      s"top-2 items '$a' and '$b' never dueled head-to-head — " +
+        "their relative strength is only transitive; no paired test exists")
     val boot = Significance.pairedBootstrap(ud, "user", "d", nBoot = 200)
     val flip = Significance.signFlipTest(ud, "user", "d", nPerm = 200)
     boot.crossJoin(flip.select(col("sum_delta"), col("p_value")))

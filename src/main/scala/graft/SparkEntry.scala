@@ -3304,7 +3304,7 @@ object SparkEntry {
     val hiRank = math.ceil(0.975 * b).toInt
     s"""draws AS MATERIALIZED (
        |  SELECT bb.b,
-       |         (((bb.b * $nn.n + $rk.rn + 1) * 1103515245 + 12345) % 2147483647) % $nn.n AS rn
+       |         ((((bb.b * $nn.n + $rk.rn + 1) % 2147483647) * 1103515245 + 12345) % 2147483647) % $nn.n AS rn
        |  FROM (SELECT CAST(unnest(generate_series(0, ${b - 1})) AS BIGINT) AS b) bb
        |  CROSS JOIN $nn CROSS JOIN (SELECT rn FROM $rk) $rk),
        |ms AS MATERIALIZED (
@@ -3323,7 +3323,7 @@ object SparkEntry {
   private def signFlipReplayCtes(rk: String, nn: String, b: Int): String =
     s"""fs AS MATERIALIZED (
        |  SELECT bb.b,
-       |         CAST(sum((1 - 2 * ((((bb.b * $nn.n + $rk.rn + 1) * 1103515245 + 12345)
+       |         CAST(sum((1 - 2 * (((((bb.b * $nn.n + $rk.rn + 1) % 2147483647) * 1103515245 + 12345)
        |             % 2147483647) % 2)) * $rk.d) AS BIGINT) AS s
        |  FROM (SELECT CAST(unnest(generate_series(0, ${b - 1})) AS BIGINT) AS b) bb
        |  CROSS JOIN $rk CROSS JOIN $nn

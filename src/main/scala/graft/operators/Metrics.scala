@@ -81,7 +81,10 @@ object Metrics {
     * chain on those, 6-dp rounded. Degenerate P̄_e = 1 (every rater
     * constant and equal) yields NULL κ via the same CASE on both
     * engines. Items where ANY rater abstained (null) are excluded up
-    * front — a partial row has no defined n_ic column sum.
+    * front — a partial row has no defined n_ic column sum. `idCol`
+    * must be UNIQUE: a duplicated item would inflate its vote count
+    * past m and push P̄/κ silently out of range, so the per-item vote
+    * total is guarded in-plan (raise_error when any item's votes ≠ m).
     *
     * Scale shape: the long table is m× the item count; two partial-agg
     * shuffles (item-keyed pair counts, category-keyed totals), both
@@ -99,9 +102,18 @@ object Metrics {
         array(raterCols.map(c => col(c).cast("string")): _*).as("rs"))
     val long = base.select(col("id"), explode(col("rs")).as("cat"))
     val perItem = long.groupBy(col("id"), col("cat")).agg(count(lit(1)).as("c"))
-      .groupBy(col("id")).agg(sum(col("c") * col("c")).as("ss"))
+      .groupBy(col("id")).agg(sum(col("c") * col("c")).as("ss"),
+        sum(col("c")).as("__votes"))
     val itemAgg = perItem.agg(count(lit(1)).as("n_items"),
-      sum(col("ss") - lit(m.toLong)).as("agree_num"))
+      sum(col("ss") - lit(m.toLong)).as("agree_num"),
+      sum(when(col("__votes") =!= m.toLong, 1L).otherwise(0L)).as("__bad"))
+      .select(
+        when(col("__bad") > 0, raise_error(concat(
+          lit("fleissKappa: "), col("__bad"),
+          lit(s" item(s) carry a vote count != m=$m — duplicate ids in " +
+            s"the input inflate agreement silently; dedupe upstream"))))
+          .otherwise(col("n_items")).as("n_items"),
+        col("agree_num"))
     val catAgg = long.groupBy(col("cat")).agg(count(lit(1)).as("cc"))
       .crossJoin(itemAgg.select(col("n_items").as("__n")))
       .select(((col("cc").cast("double") / (col("__n") * m).cast("double")) *

@@ -150,10 +150,14 @@ object Preference {
           (col("n").cast("double") / (col("pi_i") + col("pi_j")).cast("double"))
             .cast("decimal(25,10)").as("t"))
       val denom = terms.groupBy(col("item")).agg(sum(col("t")).as("den"))
+      // model-sized barrier: each iteration references pi TWICE, so an
+      // un-pinned lazy plan doubles per pass (2^iters nodes — the same
+      // exponential the DuckDB replay hit before AS MATERIALIZED)
       pi = w.join(denom, Seq("item"))
         .select(col("item"),
           (col("wins").cast("double") / col("den").cast("double"))
             .cast("decimal(20,10)").as("pi"))
+        .localCheckpoint()
     }
     // normalize to a probability scale: 1-row scalar attach (the house
     // crossJoin-scalar pattern), one division per item, 6-dp capture
@@ -165,17 +169,6 @@ object Preference {
           .cast("decimal(18,6)").cast("double").as("strength"))
   }
 
-  /** Wilson score-interval LOWER bound on a binomial proportion
-    * (Wilson 1927) at confidence multiplier `z`:
-    *
-    *   ( p̂ + z²/2n − z·√( (p̂(1−p̂) + z²/4n) / n ) ) / (1 + z²/n)
-    *
-    * The small-sample-honest ranking key: a raw win rate ranks 2-0
-    * above 180-20; the Wilson bound does not. Every operation is a
-    * single IEEE double op on identical operands in a fixed tree —
-    * sqrt is correctly-rounded per IEEE 754, so the whole expression
-    * is bit-portable without any capture until the caller rounds.
-    */
   /** PREFERENCE-COHERENCE audit — "is a single strength scale even
     * valid for this comparison log?": per unordered pair, the observed
     * win rate vs the Bradley–Terry prediction `s_a/(s_a+s_b)` and
@@ -190,12 +183,22 @@ object Preference {
     * pass; the pair frame, the MM fit, the majority edges and the
     * triad joins are all K- or K²-sized (items number in the
     * hundreds). The triad self-joins are K³ worst case — model-sized,
-    * never the corpus. Returns one row per compared pair:
+    * never the corpus, and PRICED BEFORE EXECUTION like every
+    * super-linear surface in this engine: the item count (a counts-only
+    * read of the matrix) is checked against `maxItems` and the call
+    * refuses loudly rather than silently launching a cubic join over a
+    * million-item log. Returns one row per compared pair:
     * (item_a, item_b, wins_a, wins_b, p_obs, p_bt, abs_dev,
     * n_decided_triads, n_cyclic_triads).
     */
-  def coherenceReport(comparisons: DataFrame, iters: Int = 5): DataFrame = {
+  def coherenceReport(comparisons: DataFrame, iters: Int = 5,
+      maxItems: Int = 1000): DataFrame = {
     val m = countMatrix(comparisons)
+    val k = m.select(col("winner")).unionAll(m.select(col("loser")))
+      .distinct().count()
+    require(k <= maxItems,
+      s"coherenceReport: $k items exceed maxItems=$maxItems — the triad " +
+        "census is O(K^3) in items; raise maxItems only with the cost priced")
     val st = fitFromMatrix(m, iters)
     val pairs = m
       .select(least(col("winner"), col("loser")).as("item_a"),
@@ -239,6 +242,17 @@ object Preference {
         lit(nCyclic).as("n_cyclic_triads")))
   }
 
+  /** Wilson score-interval LOWER bound on a binomial proportion
+    * (Wilson 1927) at confidence multiplier `z`:
+    *
+    *   ( p̂ + z²/2n − z·√( (p̂(1−p̂) + z²/4n) / n ) ) / (1 + z²/n)
+    *
+    * The small-sample-honest ranking key: a raw win rate ranks 2-0
+    * above 180-20; the Wilson bound does not. Every operation is a
+    * single IEEE double op on identical operands in a fixed tree —
+    * sqrt is correctly-rounded per IEEE 754, so the whole expression
+    * is bit-portable without any capture until the caller rounds.
+    */
   def wilsonLowerBound(wins: Column, games: Column, z: Double = 1.96): Column = {
     val n = games.cast("double")
     val p = wins.cast("double") / n

@@ -34,9 +34,16 @@ import org.apache.spark.sql.functions._
   */
 object Significance {
 
-  /** The portable LCG scramble into [0, 2³¹−1). */
+  /** The portable LCG scramble into [0, 2³¹−1). The input is reduced
+    * mod 2³¹−1 BEFORE the multiply, so the product stays < 2⁶² for ANY
+    * 64-bit x — without the pre-reduction, b·n+i+1 overflows the
+    * multiply once n·(B+1) passes ~8.4e9, silently in Spark (negative
+    * rn dropped by the join) and loudly in DuckDB (BIGINT overflow):
+    * the engines would diverge exactly at scale.
+    */
   private def scramble(x: Column): Column =
-    (x * lit(1103515245L) + lit(12345L)) % lit(2147483647L)
+    ((x % lit(2147483647L)) * lit(1103515245L) + lit(12345L)) %
+      lit(2147483647L)
 
   /** Dense 0-based rank by the unique `idCol` — the resample axis.
     * Range-partitioned prefix sum ([[TrainingPrep.globalPrefixSum]]),
@@ -45,10 +52,17 @@ object Significance {
     * replay it as a plain `row_number` — same values by uniqueness of
     * the order key.
     */
-  private def rankByKey(df: DataFrame): DataFrame =
-    TrainingPrep.globalPrefixSum(
+  private def rankByKey(df: DataFrame): DataFrame = {
+    val ps = TrainingPrep.globalPrefixSum(
       df.withColumn("__one", lit(1L)), "id", "__one", "__cum")
-      .select(col("id"), col("d"), (col("__cum") - 1L).as("rn"))
+    // pin the projection, then release the prefix-sum cache —
+    // globalPrefixSum persists its output and has no unpersist path,
+    // and a bench session runs hundreds of queries in one context
+    val out = ps.select(col("id"), col("d"), (col("__cum") - 1L).as("rn"))
+      .localCheckpoint()
+    ps.unpersist()
+    out
+  }
 
   /** Percentile-bootstrap report for the mean per-item delta. `items`
     * must carry a UNIQUE `idCol` (the resample rank order) and an
@@ -71,7 +85,7 @@ object Significance {
     val spark = items.sparkSession
     val base = items.select(col(idCol).as("id"),
       col(deltaCol).cast("long").as("d"))
-    val ranked = rankByKey(base).localCheckpoint()
+    val ranked = rankByKey(base)
     val n = ranked.count()
     require(n > 0, "empty eval set")
     val obs = ranked.agg(sum(col("d"))).head().getLong(0)
@@ -115,7 +129,7 @@ object Significance {
     val spark = items.sparkSession
     val base = items.select(col(idCol).as("id"),
       col(deltaCol).cast("long").as("d"))
-    val ranked = rankByKey(base).localCheckpoint()
+    val ranked = rankByKey(base)
     val n = ranked.count()
     require(n > 0, "empty eval set")
     val obs = ranked.agg(sum(col("d"))).head().getLong(0)

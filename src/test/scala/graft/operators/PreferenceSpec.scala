@@ -124,6 +124,18 @@ class PreferenceSpec extends SparkSuite {
       s"the tied A-B edge must break every triad: $r")
   }
 
+  test("coherenceReport refuses an item count past the priced cap") {
+    val comps = Seq(("A", "B"), ("B", "C"), ("C", "D")).toDF("winner", "loser")
+    val e = intercept[Exception] {
+      Preference.coherenceReport(comps, iters = 2, maxItems = 3)
+    }
+    assert(e.getMessage.contains("exceed maxItems"),
+      s"expected the O(K^3) pricing refusal, got: ${e.getMessage}")
+    // at the cap it runs
+    assert(Preference.coherenceReport(comps, iters = 2, maxItems = 4)
+      .count() == 3)
+  }
+
   test("mergeMatrices: counter addition equals the from-scratch matrix") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     def comps(df: org.apache.spark.sql.DataFrame) =

@@ -191,6 +191,16 @@ class QualitySpec extends SparkSuite {
       r6((pBar - pe.toDouble) / (1.0 - pe.toDouble)), s"kappa: $r")
   }
 
+  test("Metrics.fleissKappa: duplicated item ids refuse loudly") {
+    val dup = Seq((1L, "a", "b"), (1L, "a", "b"), (2L, "b", "a"))
+      .toDF("id", "r1", "r2")
+    val e = intercept[Exception] {
+      Metrics.fleissKappa(dup, "id", Seq("r1", "r2")).collect()
+    }
+    assert(e.getMessage.contains("vote count != m"),
+      s"duplicate ids must not inflate agreement silently: ${e.getMessage}")
+  }
+
   test("Metrics.fleissKappa: constant equal raters -> NULL kappa; null rater rows excluded") {
     val const = Seq((1L, "a", "a"), (2L, "a", "a")).toDF("id", "r1", "r2")
     val rc = Metrics.fleissKappa(const, "id", Seq("r1", "r2")).head()
