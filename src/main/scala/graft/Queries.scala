@@ -8296,6 +8296,37 @@ object Queries {
     * matrix; the user-delta table is bounded by the active-user count
     * of the top pair.
     */
+  /** Comparison-graph CONNECTIVITY audit — the scale-validity check
+    * that runs before q276's fit is read as ONE ranking: a Bradley–
+    * Terry scale only carries information WITHIN a connected component
+    * of the comparison graph (Ford 1957's existence condition is the
+    * directional refinement; disconnectedness is the hard failure —
+    * two item groups that never met have no joint scale at all, yet
+    * the MM fit silently returns numbers for both). Reuses the q13g
+    * union-find ([[graft.operators.MinHashDedup.duplicateGroups]], the
+    * adaptive driver/distributed closure) over the DISTINCT compared
+    * pairs — component count and membership are oracle-replayed via
+    * recursive reachability. Output: per item its component (min-label
+    * rep) and size, plus the component count and the `one_scale`
+    * verdict as plan columns.
+    */
+  def q286ComparisonConnectivity(spark: SparkSession, dir: String): DataFrame = {
+    val comps = Preference.adjacentComparisons(tp(spark, dir, "events"),
+      "user_id", "ts", "event_id", "event_type", "value")
+    val m = Preference.countMatrix(comps)
+    val pairs = m.select(least(col("winner"), col("loser")).as("idA"),
+      greatest(col("winner"), col("loser")).as("idB")).distinct()
+    val groups = MinHashDedup.duplicateGroups(pairs)
+    val sizes = groups.groupBy(col("rep"))
+      .agg(count(lit(1)).as("component_size"))
+    val nComp = sizes.count()
+    groups.join(sizes, Seq("rep"))
+      .select(col("id").as("item"), col("rep").as("component"),
+        col("component_size"))
+      .crossJoin(spark.range(1).select(lit(nComp).as("n_components"),
+        lit(nComp == 1L).as("one_scale")))
+  }
+
   def q285PromotionGate(spark: SparkSession, dir: String): DataFrame = {
     val comps = Preference.adjacentComparisons(tp(spark, dir, "events"),
       "user_id", "ts", "event_id", "event_type", "value")

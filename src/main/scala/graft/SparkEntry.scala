@@ -322,6 +322,7 @@ object SparkEntry {
     "q283_paired_bootstrap" -> (Queries.q283PairedBootstrap _),
     "q284_sign_flip" -> (Queries.q284SignFlip _),
     "q285_promotion_gate" -> (Queries.q285PromotionGate _),
+    "q286_comparison_connectivity" -> (Queries.q286ComparisonConnectivity _),
     "q261_vocab_width" -> (Queries.q261VocabWidth _),
     "q261b_vocab_width_model" -> (Queries.q261bVocabWidthModel _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
@@ -4280,6 +4281,24 @@ object SparkEntry {
     "q284_sign_flip" -> signFlipOracle,
     // BT top-2 -> per-user deltas -> CI + p -> the promote boolean
     "q285_promotion_gate" -> promotionGateOracle,
+    // comparison-graph components via recursive reachability + min-label
+    "q286_comparison_connectivity" ->
+      s"""WITH RECURSIVE $comparisonCtes,
+         |pr AS (SELECT DISTINCT least(winner, loser) AS a,
+         |                       greatest(winner, loser) AS b FROM comp),
+         |e AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+         |reach AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+         |),
+         |grp AS (SELECT a AS item, least(a, min(b)) AS component
+         |        FROM reach GROUP BY a),
+         |cs AS (SELECT component, count(*) AS component_size FROM grp GROUP BY 1),
+         |nc AS (SELECT count(*) AS n_components FROM cs)
+         |SELECT grp.item, grp.component, cs.component_size,
+         |       nc.n_components, nc.n_components = 1 AS one_scale
+         |FROM grp JOIN cs USING (component) CROSS JOIN nc""".stripMargin,
     // multi-round prune training on the NATURAL corpus at its supported
     // width, kept-mass floor per round
     "q275_natural_vocab_rounds" -> vocabAuditRoundsOracle(
