@@ -8327,6 +8327,20 @@ object Queries {
         lit(nComp == 1L).as("one_scale")))
   }
 
+  /** Cluster-bootstrap CIs on the Bradley–Terry strengths
+    * ([[graft.operators.Preference.bootstrapStrengths]]): users are
+    * the resampling cluster (within-user comparisons are correlated),
+    * replicate matrices assemble by counter additivity of per-user
+    * sub-matrices, and all 200 replicates fit in ONE batched b-keyed
+    * MM chain — the uncertainty band q276's point estimates were
+    * missing, at B×U draw cost (users, never comparisons).
+    */
+  def q287BtBootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    Preference.bootstrapStrengths(
+      Preference.adjacentComparisons(tp(spark, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", "value"),
+      nBoot = 200, iters = 5)
+
   def q285PromotionGate(spark: SparkSession, dir: String): DataFrame = {
     val comps = Preference.adjacentComparisons(tp(spark, dir, "events"),
       "user_id", "ts", "event_id", "event_type", "value")

@@ -323,6 +323,7 @@ object SparkEntry {
     "q284_sign_flip" -> (Queries.q284SignFlip _),
     "q285_promotion_gate" -> (Queries.q285PromotionGate _),
     "q286_comparison_connectivity" -> (Queries.q286ComparisonConnectivity _),
+    "q287_bt_bootstrap_ci" -> (Queries.q287BtBootstrapCi _),
     "q261_vocab_width" -> (Queries.q261VocabWidth _),
     "q261b_vocab_width_model" -> (Queries.q261bVocabWidthModel _),
     "q252_residual_clip_monitor" -> (Queries.q252ResidualClipMonitor _),
@@ -3394,6 +3395,78 @@ object SparkEntry {
        |FROM pa CROSS JOIN pb CROSS JOIN nn2 CROSS JOIN lo CROSS JOIN hi
        |CROSS JOIN pp CROSS JOIN ge""".stripMargin
 
+  /** q287: the full-fit chain plus the b-keyed batched replicate chain
+    * — per-user sub-matrices, LCG user draws, counter-additive
+    * replicate matrices, 5 MM iterations replicate-keyed, integer
+    * nearest-rank CI positions (ceil(R/40), ceil(39R/40) as exact
+    * integer division — the double 0.025·R form rounds wrong at exact
+    * multiples).
+    */
+  private def btBootstrapOracle: String = {
+    val iters = (1 to 5).map { k =>
+      val prev = s"bp${k - 1}"
+      s"""bp$k AS MATERIALIZED (
+         |  SELECT w.b, w.item,
+         |         CAST(CAST(w.wins AS DOUBLE) / CAST(sum(CAST(CAST(g.n AS DOUBLE)
+         |             / CAST(pi_i.pi + pi_j.pi AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE)
+         |           AS DECIMAL(20,10)) AS pi
+         |  FROM bwf w JOIN bg g ON g.b = w.b AND g.i = w.item
+         |  JOIN $prev pi_i ON pi_i.b = w.b AND pi_i.item = g.i
+         |  JOIN $prev pi_j ON pi_j.b = w.b AND pi_j.item = g.j
+         |  GROUP BY w.b, w.item, w.wins)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $btChainCtes,
+       |um AS MATERIALIZED (SELECT user_id, winner, loser, count(*) AS n
+       |      FROM comp GROUP BY 1, 2, 3),
+       |us AS MATERIALIZED (
+       |  SELECT user_id, CAST(row_number() OVER (ORDER BY user_id) AS BIGINT) - 1 AS rn
+       |  FROM (SELECT DISTINCT user_id FROM um)),
+       |nu AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM us),
+       |dr AS MATERIALIZED (
+       |  SELECT bb.b,
+       |         ((((bb.b * nu.n + us.rn + 1) % 2147483647) * 1103515245 + 12345)
+       |           % 2147483647) % nu.n AS rn
+       |  FROM (SELECT CAST(unnest(generate_series(0, 199)) AS BIGINT) AS b) bb
+       |  CROSS JOIN nu CROSS JOIN (SELECT rn FROM us) us),
+       |rm AS MATERIALIZED (
+       |  SELECT dr.b, um.winner, um.loser, CAST(sum(um.n) AS BIGINT) AS n
+       |  FROM dr JOIN us ON us.rn = dr.rn JOIN um ON um.user_id = us.user_id
+       |  GROUP BY 1, 2, 3),
+       |bw AS MATERIALIZED (SELECT b, winner AS item, CAST(sum(n) AS BIGINT) AS wins
+       |      FROM rm GROUP BY 1, 2),
+       |bg AS MATERIALIZED (SELECT b, i, j, CAST(sum(n) AS BIGINT) AS n FROM (
+       |      SELECT b, winner AS i, loser AS j, n FROM rm
+       |      UNION ALL SELECT b, loser, winner, n FROM rm) GROUP BY 1, 2, 3),
+       |bi AS MATERIALIZED (SELECT DISTINCT b, i AS item FROM bg),
+       |bwf AS MATERIALIZED (
+       |  SELECT bi.b, bi.item, coalesce(bw.wins, 0) AS wins
+       |  FROM bi LEFT JOIN bw ON bw.b = bi.b AND bw.item = bi.item),
+       |bp0 AS MATERIALIZED (SELECT b, item, CAST(1 AS DECIMAL(20,10)) AS pi FROM bwf),
+       |$iters,
+       |btot AS MATERIALIZED (SELECT b, sum(pi) AS pi_sum FROM bp5 GROUP BY 1),
+       |bs AS MATERIALIZED (
+       |  SELECT bp5.b, bp5.item,
+       |         CAST(CAST(CAST(bp5.pi AS DOUBLE) / CAST(btot.pi_sum AS DOUBLE)
+       |           AS DECIMAL(18,6)) AS DOUBLE) AS s
+       |  FROM bp5 JOIN btot ON btot.b = bp5.b),
+       |rs AS MATERIALIZED (SELECT item, CAST(count(*) AS BIGINT) AS n_reps
+       |      FROM bs GROUP BY 1),
+       |rr AS MATERIALIZED (
+       |  SELECT item, s, b, row_number() OVER (PARTITION BY item ORDER BY s, b) AS r
+       |  FROM bs),
+       |blo AS (SELECT rr.item, rr.s AS ci_lo FROM rr JOIN rs ON rs.item = rr.item
+       |        WHERE rr.r = (rs.n_reps + 39) // 40),
+       |bhi AS (SELECT rr.item, rr.s AS ci_hi FROM rr JOIN rs ON rs.item = rr.item
+       |        WHERE rr.r = (39 * rs.n_reps + 39) // 40)
+       |SELECT w.item, w.wins, g.games, $btStrengthExpr AS strength,
+       |       blo.ci_lo, bhi.ci_hi, rs.n_reps
+       |FROM w JOIN p5 ON p5.item = w.item
+       |JOIN g ON g.item = w.item CROSS JOIN tot
+       |JOIN blo ON blo.item = w.item
+       |JOIN bhi ON bhi.item = w.item
+       |JOIN rs ON rs.item = w.item""".stripMargin
+  }
+
   /** Spliced-literal oracles are valid only after their query trained
     * its state in THIS process (graft.Verify dumps oracleSql AFTER the
     * queries run, so a full gate always passes every guard). On a
@@ -4281,6 +4354,8 @@ object SparkEntry {
     "q284_sign_flip" -> signFlipOracle,
     // BT top-2 -> per-user deltas -> CI + p -> the promote boolean
     "q285_promotion_gate" -> promotionGateOracle,
+    // user-cluster bootstrap: batched b-keyed MM chain, integer CI ranks
+    "q287_bt_bootstrap_ci" -> btBootstrapOracle,
     // comparison-graph components via recursive reachability + min-label
     "q286_comparison_connectivity" ->
       s"""WITH RECURSIVE $comparisonCtes,

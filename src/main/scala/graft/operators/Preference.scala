@@ -242,6 +242,103 @@ object Preference {
         lit(nCyclic).as("n_cyclic_triads")))
   }
 
+  /** CLUSTER-BOOTSTRAP confidence intervals on the Bradley–Terry
+    * strengths: resample USERS with replacement (the exchangeable
+    * unit — comparisons within a user are correlated, so the user is
+    * the honest resampling cluster, the same pairing logic as the
+    * q285 gate) via the deterministic LCG stream
+    * ([[Significance.lcgScramble]]), rebuild each replicate's count
+    * matrix by COUNTER ADDITIVITY of the per-user sub-matrices (the
+    * comparison log is never rescanned per replicate), and fit ALL
+    * `nBoot` replicates in ONE batched b-keyed MM chain. Output per
+    * item: the full-sample fit (wins, games, strength) plus
+    * nearest-rank percentile CI bounds over the replicates containing
+    * the item and that replicate count.
+    *
+    * Scale shape: corpus-sized work is one (user, winner, loser)
+    * partial agg + the one full-fit matrix pass; draws are B×U rows
+    * (USERS, not comparisons); the batched chain is B·K²-sized with a
+    * model-sized checkpoint per iteration. Percentile ranks use the
+    * INTEGER forms `ceil(R/40)` / `ceil(39R/40)`: the double
+    * `ceil(0.025·R)` is wrong exactly at the common R (binary 0.025
+    * makes 0.025·200 = 5.0000000000000003 → ceil 6), so no float ever
+    * touches the rank.
+    */
+  def bootstrapStrengths(comparisons: DataFrame, nBoot: Int = 200,
+      iters: Int = 5): DataFrame = {
+    require(nBoot >= 10 && nBoot <= 10000,
+      s"nBoot must be in [10, 10000], got $nBoot")
+    val spark = comparisons.sparkSession
+    val comps = Parallelism.ensureCompute(comparisons).localCheckpoint()
+    val um = comps.groupBy(col("user"), col("winner"), col("loser"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val ps = TrainingPrep.globalPrefixSum(
+      um.select(col("user")).distinct().withColumn("__one", lit(1L)),
+      "user", "__one", "__cum")
+    val ranked = ps.select(col("user"), (col("__cum") - 1L).as("rn"))
+      .localCheckpoint()
+    ps.unpersist()
+    val nU = ranked.count()
+    require(nU > 0, "empty comparison log")
+    val draws = spark.range(nBoot).select(col("id").as("b"))
+      .crossJoin(ranked.select(col("rn").as("i")))
+      .select(col("b"),
+        (Significance.lcgScramble(col("b") * lit(nU) + col("i") + lit(1L))
+          % lit(nU)).as("rn"))
+    val rm = draws.join(ranked, Seq("rn")).join(um, Seq("user"))
+      .groupBy(col("b"), col("winner"), col("loser"))
+      .agg(sum(col("n")).as("n")).localCheckpoint()
+    // batched MM: the q276 chain with a replicate key on every join
+    val bw = rm.groupBy(col("b"), col("winner").as("item"))
+      .agg(sum(col("n")).as("wins"))
+    val bg = rm.select(col("b"), col("winner").as("i"), col("loser").as("j"),
+        col("n"))
+      .unionAll(rm.select(col("b"), col("loser").as("i"),
+        col("winner").as("j"), col("n")))
+      .groupBy(col("b"), col("i"), col("j")).agg(sum(col("n")).as("n"))
+      .localCheckpoint()
+    val bi = bg.select(col("b"), col("i").as("item")).distinct()
+    val bwf = bi.join(bw, Seq("b", "item"), "left_outer")
+      .select(col("b"), col("item"), coalesce(col("wins"), lit(0L)).as("wins"))
+      .localCheckpoint()
+    var pi = bwf.select(col("b"), col("item"),
+      lit(java.math.BigDecimal.ONE).cast("decimal(20,10)").as("pi"))
+    for (_ <- 1 to iters) {
+      val terms = bg
+        .join(pi.select(col("b"), col("item").as("i"), col("pi").as("pi_i")),
+          Seq("b", "i"))
+        .join(pi.select(col("b"), col("item").as("j"), col("pi").as("pi_j")),
+          Seq("b", "j"))
+        .select(col("b"), col("i").as("item"),
+          (col("n").cast("double") / (col("pi_i") + col("pi_j")).cast("double"))
+            .cast("decimal(25,10)").as("t"))
+      val denom = terms.groupBy(col("b"), col("item"))
+        .agg(sum(col("t")).as("den"))
+      pi = bwf.join(denom, Seq("b", "item"))
+        .select(col("b"), col("item"),
+          (col("wins").cast("double") / col("den").cast("double"))
+            .cast("decimal(20,10)").as("pi"))
+        .localCheckpoint()
+    }
+    val btot = pi.groupBy(col("b")).agg(sum(col("pi")).as("pi_sum"))
+    val bs = pi.join(btot, Seq("b"))
+      .select(col("b"), col("item"),
+        (col("pi").cast("double") / col("pi_sum").cast("double"))
+          .cast("decimal(18,6)").cast("double").as("s"))
+      .localCheckpoint()
+    val rs = bs.groupBy(col("item")).agg(count(lit(1)).as("n_reps"))
+    val rr = bs.withColumn("r", row_number().over(
+      Window.partitionBy(col("item")).orderBy(col("s"), col("b"))).cast("long"))
+    val lo = rr.join(rs, Seq("item"))
+      .where(col("r") === expr("(n_reps + 39) div 40"))
+      .select(col("item"), col("s").as("ci_lo"))
+    val hi = rr.join(rs, Seq("item"))
+      .where(col("r") === expr("(39 * n_reps + 39) div 40"))
+      .select(col("item"), col("s").as("ci_hi"))
+    btStrengths(comps, iters)
+      .join(lo, Seq("item")).join(hi, Seq("item")).join(rs, Seq("item"))
+  }
+
   /** Wilson score-interval LOWER bound on a binomial proportion
     * (Wilson 1927) at confidence multiplier `z`:
     *

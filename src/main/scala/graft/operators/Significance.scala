@@ -45,6 +45,12 @@ object Significance {
     ((x % lit(2147483647L)) * lit(1103515245L) + lit(12345L)) %
       lit(2147483647L)
 
+  /** The scramble, exposed for other deterministic resampling surfaces
+    * (q287's cluster bootstrap draws its user stream from the same
+    * arithmetic so every resampler in the engine replays identically).
+    */
+  def lcgScramble(x: Column): Column = scramble(x)
+
   /** Dense 0-based rank by the unique `idCol` — the resample axis.
     * Range-partitioned prefix sum ([[TrainingPrep.globalPrefixSum]]),
     * never a single-task global window: rank assignment stays

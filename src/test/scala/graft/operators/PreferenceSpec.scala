@@ -124,6 +124,22 @@ class PreferenceSpec extends SparkSuite {
       s"the tied A-B edge must break every triad: $r")
   }
 
+  test("bootstrapStrengths: CI order, replicate cap, partitioning independence") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val comps = Preference.adjacentComparisons(
+      ev, "user_id", "ts", "event_id", "event_type", "value")
+    val a = Preference.bootstrapStrengths(comps, nBoot = 50, iters = 3)
+      .collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("ci_hi"), s"$r")
+      assert(r.getAs[Long]("n_reps") <= 50L, s"$r")
+    }
+    val b = Preference.bootstrapStrengths(comps.repartition(13),
+      nBoot = 50, iters = 3).collect()
+    assert(a.toSet == b.toSet, "the LCG draws must not depend on partitioning")
+  }
+
   test("coherenceReport refuses an item count past the priced cap") {
     val comps = Seq(("A", "B"), ("B", "C"), ("C", "D")).toDF("winner", "loser")
     val e = intercept[Exception] {
