@@ -326,17 +326,22 @@ object Preference {
         (col("pi").cast("double") / col("pi_sum").cast("double"))
           .cast("decimal(18,6)").cast("double").as("s"))
       .localCheckpoint()
-    val rs = bs.groupBy(col("item")).agg(count(lit(1)).as("n_reps"))
-    val rr = bs.withColumn("r", row_number().over(
-      Window.partitionBy(col("item")).orderBy(col("s"), col("b"))).cast("long"))
-    val lo = rr.join(rs, Seq("item"))
-      .where(col("r") === expr("(n_reps + 39) div 40"))
-      .select(col("item"), col("s").as("ci_lo"))
-    val hi = rr.join(rs, Seq("item"))
-      .where(col("r") === expr("(39 * n_reps + 39) div 40"))
-      .select(col("item"), col("s").as("ci_hi"))
-    btStrengths(comps, iters)
-      .join(lo, Seq("item")).join(hi, Seq("item")).join(rs, Seq("item"))
+    // CI bounds + replicate counts in ONE window pass and ONE item-keyed
+    // agg (optimization round 13; was an rs groupBy + two filtered
+    // rs-joins + a three-join tail — same nearest-rank order statistics,
+    // 4 fewer joins, and the agg reuses the window's item partitioning)
+    val w = Window.partitionBy(col("item"))
+    val ci = bs
+      .withColumn("r", row_number().over(
+        w.orderBy(col("s"), col("b"))).cast("long"))
+      .withColumn("n_reps", count(lit(1)).over(w))
+      .groupBy(col("item")).agg(
+        min(when(col("r") === expr("(n_reps + 39) div 40"), col("s")))
+          .as("ci_lo"),
+        min(when(col("r") === expr("(39 * n_reps + 39) div 40"), col("s")))
+          .as("ci_hi"),
+        min(col("n_reps")).as("n_reps"))
+    btStrengths(comps, iters).join(ci, Seq("item"))
   }
 
   /** Wilson score-interval LOWER bound on a binomial proportion

@@ -92,9 +92,12 @@ object Significance {
     val base = items.select(col(idCol).as("id"),
       col(deltaCol).cast("long").as("d"))
     val ranked = rankByKey(base)
-    val n = ranked.count()
+    // one action for both driver scalars (n seeds the LCG literals;
+    // optimization round 13: was a count + a separate sum job)
+    val nObs = ranked.agg(count(lit(1)), sum(col("d"))).head()
+    val n = nObs.getLong(0)
     require(n > 0, "empty eval set")
-    val obs = ranked.agg(sum(col("d"))).head().getLong(0)
+    val obs = nObs.getLong(1)
     val draws = spark.range(nBoot).select(col("id").as("b"))
       .crossJoin(ranked.select(col("rn").as("i")))
       .select(col("b"),
@@ -106,20 +109,23 @@ object Significance {
       .localCheckpoint()
     val loRank = math.ceil(0.025 * nBoot).toLong
     val hiRank = math.ceil(0.975 * nBoot).toLong
-    val rankedMeans = means.withColumn("r",
-      row_number().over(Window.orderBy(col("m"), col("b"))).cast("long"))
-    val lo = rankedMeans.where(col("r") === loRank).select(col("m"))
-      .head().getDecimal(0).doubleValue
-    val hi = rankedMeans.where(col("r") === hiRank).select(col("m"))
-      .head().getDecimal(0).doubleValue
-    val pLeq = means.where(col("m") <= lit(java.math.BigDecimal.ZERO)).count()
-    spark.range(1).select(
-      lit(n).as("n_items"), lit(nBoot).as("n_boot"),
-      (lit(obs).cast("double") / lit(n).cast("double"))
-        .cast("decimal(18,6)").cast("double").as("mean_delta"),
-      lit(lo).as("ci_lo"), lit(hi).as("ci_hi"),
-      (lit(pLeq).cast("double") / lit(nBoot.toLong).cast("double"))
-        .cast("decimal(18,6)").cast("double").as("p_leq_zero"))
+    // CI bounds and the p-mass fold into ONE lazy aggregation over one
+    // pass of the rank window (was: two head() jobs + a count job, each
+    // replanning the window) — same order statistics, same values
+    means.withColumn("r",
+        row_number().over(Window.orderBy(col("m"), col("b"))).cast("long"))
+      .agg(
+        min(when(col("r") === loRank, col("m"))).as("__lo"),
+        min(when(col("r") === hiRank, col("m"))).as("__hi"),
+        count(when(col("m") <= lit(java.math.BigDecimal.ZERO), 1)).as("__pleq"))
+      .select(
+        lit(n).as("n_items"), lit(nBoot).as("n_boot"),
+        (lit(obs).cast("double") / lit(n).cast("double"))
+          .cast("decimal(18,6)").cast("double").as("mean_delta"),
+        col("__lo").cast("double").as("ci_lo"),
+        col("__hi").cast("double").as("ci_hi"),
+        (col("__pleq").cast("double") / lit(nBoot.toLong).cast("double"))
+          .cast("decimal(18,6)").cast("double").as("p_leq_zero"))
   }
 
   /** Sign-flip permutation test on the per-item deltas: the observed
@@ -136,22 +142,26 @@ object Significance {
     val base = items.select(col(idCol).as("id"),
       col(deltaCol).cast("long").as("d"))
     val ranked = rankByKey(base)
-    val n = ranked.count()
+    // one action for both driver scalars (optimization round 13; the
+    // null-distribution count folds into the final lazy plan instead of
+    // a separate count() job)
+    val nObs = ranked.agg(count(lit(1)), sum(col("d"))).head()
+    val n = nObs.getLong(0)
     require(n > 0, "empty eval set")
-    val obs = ranked.agg(sum(col("d"))).head().getLong(0)
+    val obs = nObs.getLong(1)
     val flips = spark.range(nPerm).select(col("id").as("b"))
       .crossJoin(ranked.select(col("rn"), col("d")))
       .select(col("b"),
         ((lit(1L) - lit(2L) *
           (scramble(col("b") * lit(n) + col("rn") + lit(1L)) % lit(2L)))
           * col("d")).as("sd"))
-    val ge = flips.groupBy(col("b")).agg(sum(col("sd")).as("s"))
-      .where(abs(col("s")) >= math.abs(obs)).count()
-    spark.range(1).select(
-      lit(n).as("n_items"), lit(nPerm).as("n_perm"),
-      lit(obs).as("sum_delta"),
-      ((lit(1L) + lit(ge)).cast("double") /
-        lit(nPerm + 1L).cast("double"))
-        .cast("decimal(18,6)").cast("double").as("p_value"))
+    flips.groupBy(col("b")).agg(sum(col("sd")).as("s"))
+      .agg(count(when(abs(col("s")) >= math.abs(obs), 1)).as("__ge"))
+      .select(
+        lit(n).as("n_items"), lit(nPerm).as("n_perm"),
+        lit(obs).as("sum_delta"),
+        ((lit(1L) + col("__ge")).cast("double") /
+          lit(nPerm + 1L).cast("double"))
+          .cast("decimal(18,6)").cast("double").as("p_value"))
   }
 }

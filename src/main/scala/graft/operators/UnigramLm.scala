@@ -244,10 +244,12 @@ object UnigramLm {
     * `alpha` (α(0..len): total probability mass of paths reaching each
     * position), `beta` (stored reversed: β(len..0) — mass from each
     * position to the end), `z` (= α(len), the word's partition
-    * function). Two per-row HOF folds, a localCheckpoint barrier
-    * between them and before the consumer (CollapseProject would
-    * re-inline each fold into every downstream `element_at` — the
-    * plan-size blowup the Viterbi path already guards against).
+    * function). Two INDEPENDENT per-row HOF folds computed in one
+    * projection behind one localCheckpoint barrier before the consumer
+    * (CollapseProject would re-inline each fold into every downstream
+    * `element_at` — the plan-size blowup the Viterbi path already
+    * guards against; the folds don't reference each other, so no
+    * barrier is needed between them).
     *
     * Exactness/portability: edge probabilities are the fixed chain
     * [[pe]]; each position's sum folds the FILTERED edge list in its
@@ -258,14 +260,19 @@ object UnigramLm {
     * via the `z` guard rather than silently renormalized.
     */
   private def softLattice(arr: DataFrame): DataFrame = {
-    val withAlpha = arr.withColumn("alpha",
+    // alpha and beta are INDEPENDENT per-row folds over the same edge
+    // list (neither references the other), so both compute in ONE
+    // projection behind ONE checkpoint — the barrier still keeps
+    // CollapseProject from re-inlining either fold into the downstream
+    // element_at references, at half the materializations per round
+    // (optimization round 13; was two chained checkpoints).
+    // beta fold appends β(len−i) at index i+1: β(q) lives at len−q+1
+    val withBeta = arr.withColumn("alpha",
       aggregate(sequence(lit(1L), col("len")), array(lit(1.0)),
         (acc, p) => concat(acc, array(
           aggregate(filter(col("es"), e => eEnd(e) === p), lit(0.0),
             (a, e) => a + element_at(acc, (eS(e) + 1).cast("int")) * pe(e))))))
-      .localCheckpoint()
-    // beta fold appends β(len−i) at index i+1: β(q) lives at len−q+1
-    val withBeta = withAlpha.withColumn("beta",
+      .withColumn("beta",
       aggregate(sequence(lit(1L), col("len")), array(lit(1.0)),
         (acc, i) => concat(acc, array(
           aggregate(filter(col("es"), e => eS(e) === col("len") - i), lit(0.0),
