@@ -4873,8 +4873,13 @@ object Queries {
     */
   def q216HammingRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = tp(spark, dir, "embeddings")
+    // pinned: the signature projection is 16 chained ~43-term decimal
+    // folds — referenced twice (query side + corpus side) it would be
+    // PLANNED and EVALUATED twice; one checkpoint makes it once
+    // (optimization round 13 — at scale the signatures are the stored
+    // ingest-time artifact anyway, the jlProjected sidecar discipline)
     val sigs = Similarity.srpSignatures(emb, "vec_id", "embedding",
-      dim = PqDim, bits = 16)
+      dim = PqDim, bits = 16).localCheckpoint()
     val approx = Similarity.hammingTopK(
       sigs.where(col("vec_id") % 97 === 0), "vec_id", sigs, "vec_id", k = 5)
     gtHits(approx, exactCosTop5(spark, dir), "hits")
@@ -8159,6 +8164,22 @@ object Queries {
         "user_id", "ts", "event_id", "event_type", "value"),
       iters = 5)
 
+  /** Single-pass MULTISET equality for in-query identity pins: tag a
+    * rows +1 and b rows −1, group on every column, and any nonzero tag
+    * sum is a multiset difference — exactly `a.exceptAll(b).isEmpty &&
+    * b.exceptAll(a).isEmpty`, in ONE job instead of two anti-join
+    * passes (optimization round 13; used by the preference-band
+    * additivity REQUIREs).
+    */
+  private def multisetEqual(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toSeq
+    a.withColumn("__t", lit(1L))
+      .unionByName(b.select(cols.map(col): _*).withColumn("__t", lit(-1L)))
+      .groupBy(cols.map(col): _*).agg(sum(col("__t")).as("__d"))
+      .where(col("__d") =!= 0L)
+      .isEmpty
+  }
+
   // ---------------------------------------------------------------- Q281
   /** Incremental preference maintenance: per-shard count matrices
     * (user-parity shards — comparisons never cross users, so the
@@ -8177,7 +8198,7 @@ object Queries {
     val m2 = Preference.countMatrix(comps(ev.where(col("user_id") % 2 === 1)))
     val merged = Preference.mergeMatrices(m1, m2).localCheckpoint()
     val full = Preference.countMatrix(comps(ev))
-    require(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+    require(multisetEqual(merged, full),
       "counter additivity violated: merged shard matrices != from-scratch matrix")
     def gamesOf(m: DataFrame, name: String): DataFrame = m
       .select(explode(array(col("winner"), col("loser"))).as("item"), col("n"))
@@ -8230,11 +8251,11 @@ object Queries {
     val folded = ManifestTable.read(spark, root)
       .groupBy(col("winner"), col("loser")).agg(sum(col("n")).as("n"))
       .localCheckpoint()
-    require(folded.exceptAll(full).isEmpty && full.exceptAll(folded).isEmpty,
+    require(multisetEqual(folded, full),
       "fold-on-read of the streamed deltas must equal the from-scratch matrix")
     ManifestTable.commit(spark, root, folded) // compaction: folded snapshot
     val compacted = ManifestTable.read(spark, root).localCheckpoint()
-    require(compacted.exceptAll(full).isEmpty && full.exceptAll(compacted).isEmpty,
+    require(multisetEqual(compacted, full),
       "compaction must not change the served matrix")
     Preference.fitFromMatrix(compacted, iters = 5)
       .crossJoin(spark.range(1).select(

@@ -130,11 +130,15 @@ object Preference {
       col("n").cast("long").as("n")).localCheckpoint()
     val wins0 = dirPairs.groupBy(col("winner").as("item"))
       .agg(sum(col("n")).as("wins"))
+    // pinned: every MM iteration (and items/g below) reads games2 — an
+    // un-pinned plan re-runs the union + partial agg once per consumer
+    // (optimization round 13; model-sized, one materialization)
     val games2 = dirPairs
       .select(col("winner").as("i"), col("loser").as("j"), col("n"))
       .unionAll(dirPairs
         .select(col("loser").as("i"), col("winner").as("j"), col("n")))
       .groupBy(col("i"), col("j")).agg(sum(col("n")).as("n"))
+      .localCheckpoint()
     val items = games2.select(col("i").as("item")).distinct()
     val w = items.join(wins0, Seq("item"), "left_outer")
       .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"))
@@ -320,6 +324,13 @@ object Preference {
             .cast("decimal(20,10)").as("pi"))
         .localCheckpoint()
     }
+    // the full-sample fit reuses the per-user matrix already built:
+    // its (winner, loser) matrix is um re-aggregated — exact integer
+    // counter additivity, one corpus window pass instead of two
+    // (optimization round 13; btStrengths(comps) would re-scan comps)
+    val fullFit = fitFromMatrix(
+      um.groupBy(col("winner"), col("loser")).agg(sum(col("n")).as("n"))
+        .localCheckpoint(), iters)
     val btot = pi.groupBy(col("b")).agg(sum(col("pi")).as("pi_sum"))
     val bs = pi.join(btot, Seq("b"))
       .select(col("b"), col("item"),
@@ -341,7 +352,7 @@ object Preference {
         min(when(col("r") === expr("(39 * n_reps + 39) div 40"), col("s")))
           .as("ci_hi"),
         min(col("n_reps")).as("n_reps"))
-    btStrengths(comps, iters).join(ci, Seq("item"))
+    fullFit.join(ci, Seq("item"))
   }
 
   /** Wilson score-interval LOWER bound on a binomial proportion
