@@ -6666,9 +6666,13 @@ object Queries {
     sink(raw.where(col("vec_id") % 8 === 5), 1L) // restart replay
     require(ManifestTable.currentVersion(spark, root) == vLive,
       "replaying the last ingest batch must not commit a new version")
-    require(ManifestTable.read(spark, root).count() ==
-      tp(spark, dir, "embeddings").count(),
-      "the assembled codes table must hold exactly the corpus")
+    // both counts in one action (crossJoin of two scalar aggs)
+    locally {
+      val cnts = ManifestTable.read(spark, root).agg(count(lit(1)))
+        .crossJoin(tp(spark, dir, "embeddings").agg(count(lit(1)))).head()
+      require(cnts.getLong(0) == cnts.getLong(1),
+        "the assembled codes table must hold exactly the corpus")
+    }
     val del = rot.select(col("vec_id")).where(col("vec_id") % 7 === 1)
     val st = ManifestTable.deleteKeysMor(spark, root, del, "vec_id")
     require(st.filesRewritten == 0,
@@ -6729,10 +6733,9 @@ object Queries {
       "a MOR-deleted vector surfaced from the serving probe")
     ManifestTable.rewriteDeletes(spark, root)
     val mat = top5("materialized").localCheckpoint()
-    require(mat.count() == mor.count() &&
-      mat.select(col("q_id"), col("vec_id"), col("l2"))
-        .exceptAll(mor.select(col("q_id"), col("vec_id"), col("l2")))
-        .isEmpty,
+    require(multisetEqual(
+      mat.select(col("q_id"), col("vec_id"), col("l2")),
+      mor.select(col("q_id"), col("vec_id"), col("l2"))),
       "the delete-materialization pass changed the serving read")
     mor.unionByName(mat)
   }
@@ -6879,7 +6882,12 @@ object Queries {
     val qResid = Parallelism.ensureCompute(
       ProductQuantizer.residuals(probed, "kvec", "list", cents)
         .select(col("vec_id"), col("list"), col("resid"))).localCheckpoint()
-    val measured = X512Ladder.map { case (m, ksub) =>
+    // the three rungs are INDEPENDENT counts over the same frozen probe
+    // set: submit them concurrently (guide §2.6 — overlap independent
+    // jobs; Pipeline.fanOut is the house thread pool) so the ladder's
+    // wall is the slowest rung, not the sum (optimization round 13)
+    val measured = graft.pipeline.Pipeline.fanOut(X512Ladder, 3,
+      graft.pipeline.Pipeline.RetryPolicy(retries = 0)) { case (m, ksub) =>
       val hits = ProductQuantizer.adcTopK(qResid, "vec_id", "resid",
         x512CodesM(spark, dir, m, ksub), "vec_id",
         x512BooksM(spark, dir, m, ksub),
@@ -7160,19 +7168,24 @@ object Queries {
         queries, "kvec", cents, PqXDim, nProbe = 2))
     // counts-only chooser inputs: per plan, the priced pair mass and
     // the MIN per-query filtered pool in its probed lists (a query
-    // with NO filtered candidate counts 0, not missing)
-    val measured = probePlans.map { case (nm, probed0) =>
+    // with NO filtered candidate counts 0, not missing). The three
+    // plans are independent audits over the same frozen inputs: both
+    // scalars come from ONE aggregation each (the left join's zero
+    // rows add nothing to the sum), and the plans run concurrently
+    // (guide §2.6 / Pipeline.fanOut — optimization round 13; was a
+    // sequential per-plan checkpoint + two separate scalar actions)
+    val measured = graft.pipeline.Pipeline.fanOut(probePlans, 3,
+      graft.pipeline.Pipeline.RetryPolicy(retries = 0)) { case (nm, probed0) =>
       val probed = probed0.localCheckpoint()
       val per = probed.select(col("vec_id").as("q_id"), col("list"))
         .join(fLists.withColumnRenamed("vec_id", "c_id"), Seq("list"))
         .where(col("c_id") =!= col("q_id"))
         .groupBy(col("q_id")).agg(count(lit(1)).as("n"))
-        .localCheckpoint()
-      val pairs = per.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
-      val minC = queries.select(col("vec_id").as("q_id"))
+      val row = queries.select(col("vec_id").as("q_id"))
         .join(per, Seq("q_id"), "left")
-        .agg(min(coalesce(col("n"), lit(0L)))).head().getLong(0)
-      (nm, pairs, minC, probed)
+        .agg(coalesce(sum(col("n")), lit(0L)),
+          min(coalesce(col("n"), lit(0L)))).head()
+      (nm, row.getLong(0), row.getLong(1), probed)
     }
     val selfIn = queries.select(col("vec_id"))
       .join(fLists, Seq("vec_id"), "left_semi").count()
@@ -7230,12 +7243,18 @@ object Queries {
         .select(col("vec_id")), Seq("vec_id"), "left_semi").count() == 0,
       "a served vector violates the predicate")
     // exact FILTERED ground truth (same decimal metric) — recall
+    // nGt and hits from ONE action: serve's (q_id, vec_id) pairs are
+    // unique (top-5 per query), so the left join neither duplicates
+    // nor drops GT rows (optimization round 13; was two counts)
     val gt = exactTop5(fLists.select(col("vec_id"))
       .crossJoin(queries.select(col("vec_id").as("q_id"))))
-      .select(col("q_id"), col("vec_id")).localCheckpoint()
-    val nGt = gt.count()
-    val hits = serve.select(col("q_id"), col("vec_id"))
-      .join(gt, Seq("q_id", "vec_id"), "left_semi").count()
+      .select(col("q_id"), col("vec_id"))
+    val gtRow = gt
+      .join(serve.select(col("q_id"), col("vec_id"), lit(1L).as("__h")),
+        Seq("q_id", "vec_id"), "left")
+      .agg(count(lit(1)), count(col("__h"))).head()
+    val nGt = gtRow.getLong(0)
+    val hits = gtRow.getLong(1)
     val recall = BigDecimal(hits.toDouble / nGt.toDouble)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     serve
